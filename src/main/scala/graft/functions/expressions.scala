@@ -1,0 +1,169 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.{Bridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Popcount of an arbitrary-length `0x…` hex bitfield (sync-committee
+  * participation; reference: src/parsers/fork_base.py:141-161). Codegen'd:
+  * stays inside WholeStageCodegen as a single static call per row.
+  */
+case class HexPopcount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(v: Any): Any =
+    HexUtil.popcountHex(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HexUtil.popcountHex($c)")
+  override protected def withNewChildInternal(c: Expression): HexPopcount = copy(c)
+  override def prettyName: String = "hex_popcount"
+}
+
+/** `len(hex)//2` byte length of a hex string (reference:
+  * src/parsers/data_column_sidecars.py:67-74). */
+case class HexByteLength(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(v: Any): Any =
+    HexUtil.hexByteLen(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HexUtil.hexByteLen($c)")
+  override protected def withNewChildInternal(c: Expression): HexByteLength = copy(c)
+  override def prettyName: String = "hex_byte_length"
+}
+
+/** Hex-aware `safe_int` (reference: src/parsers/fork_base.py:210-222):
+  * `0x…` → base 16, decimal otherwise, null/garbage → null; UInt64 overflow
+  * clamps to Long.MaxValue (engine sentinel policy, SURVEY §7.4).
+  */
+case class SafeLong(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    HexUtil.safeLong(v.asInstanceOf[UTF8String], 0L)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HexUtil.safeLong($c, 0L)")
+  override protected def withNewChildInternal(c: Expression): SafeLong = copy(c)
+  override def prettyName: String = "safe_long"
+}
+
+/** First 16 hex of sha256 over Python-canonical JSON (sorted keys,
+  * `(',',':')` separators, ensure_ascii) — write-side dedup key parity with
+  * the reference (src/loaders/base.py:17-31). Jackson parse per row → not
+  * codegen'd; used only on the raw-ingest path, never in analytic hot loops.
+  */
+case class CanonicalJsonHash16(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(CanonicalJson.payloadHash16(v.toString))
+  override protected def withNewChildInternal(c: Expression): CanonicalJsonHash16 =
+    copy(c)
+  override def prettyName: String = "canonical_json_hash16"
+}
+
+object FloatVectorOps {
+  /** Dot product of two float vectors, accumulated in double, sequential
+    * left-to-right — deterministic for a fixed array order. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  def norm(a: ArrayData): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val v = a.getFloat(i).toDouble; acc += v * v; i += 1 }
+    math.sqrt(acc)
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val d = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    if (na == 0.0 || nb == 0.0) 0.0 else d / (na * nb)
+  }
+}
+
+/** Codegen'd float-vector dot product (`Array[Float]` embedding columns) —
+  * the ANN/near-dup hot path. Beats `aggregate(zip_with(...))` by avoiding
+  * per-element lambda dispatch and boxing.
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FloatVectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.FloatVectorOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FloatVectorDot =
+    copy(l, r)
+  override def prettyName: String = "vec_dot"
+}
+
+/** Codegen'd cosine similarity between two float vectors. */
+case class FloatVectorCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FloatVectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.FloatVectorOps.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FloatVectorCosine =
+    copy(l, r)
+  override def prettyName: String = "vec_cosine"
+}
+
+/** Column-level API over the custom expressions + composed scalar pack
+  * (SURVEY §2.8). Everything here is either a native Catalyst expression or
+  * a composition of codegen'd built-ins — no Scala/Python UDFs.
+  */
+object GraftFunctions {
+  import org.apache.spark.sql.functions._
+
+  private def col(e: Expression): Column = ExpressionUtils.column(e)
+  private def expr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def hex_popcount(c: Column): Column = col(HexPopcount(expr(c)))
+  def hex_byte_length(c: Column): Column = col(HexByteLength(expr(c)))
+  def safe_long(c: Column): Column = col(SafeLong(expr(c)))
+  def payload_hash16(c: Column): Column = col(CanonicalJsonHash16(expr(c)))
+  def vec_dot(a: Column, b: Column): Column = col(FloatVectorDot(expr(a), expr(b)))
+  def vec_cosine(a: Column, b: Column): Column =
+    col(FloatVectorCosine(expr(a), expr(b)))
+
+  /** C8: slot → timestamp (`genesis_time + slot * seconds_per_slot`;
+    * reference: src/utils/time_utils.py:5-8). */
+  def slot_timestamp(slot: Column, genesisTime: Long, secondsPerSlot: Long): Column =
+    timestamp_seconds(lit(genesisTime) + slot * lit(secondsPerSlot))
+
+  /** C9: slot → epoch (reference: src/services/fork.py:405-408). */
+  def slot_epoch(slot: Column, slotsPerEpoch: Long): Column =
+    floor(slot / lit(slotsPerEpoch)).cast(LongType)
+
+  /** C11: true iff UTC date of slot differs from UTC date of slot+1
+    * (reference: src/utils/time_utils.py:10-28). */
+  def is_last_slot_of_day(slot: Column, genesisTime: Long, secondsPerSlot: Long): Column =
+    to_date(slot_timestamp(slot, genesisTime, secondsPerSlot)) =!=
+      to_date(slot_timestamp(slot + lit(1), genesisTime, secondsPerSlot))
+
+  /** Register SQL-callable versions (for `spark.sql` users). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("hex_popcount", es => HexPopcount(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hex_byte_length", es => HexByteLength(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("safe_long", es => SafeLong(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("canonical_json_hash16", es => CanonicalJsonHash16(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_dot", es => FloatVectorDot(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_cosine", es => FloatVectorCosine(es(0), es(1)), "scala_udf")
+  }
+}

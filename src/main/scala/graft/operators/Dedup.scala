@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.functions.GraftFunctions.vec_cosine
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB path:
+  *
+  *  - exact: one hash-shuffle on a 16-byte key (not the full document).
+  *  - MinHash+LSH: signatures are per-row array expressions (no shuffle);
+  *    the only shuffle is the band-bucket self-join, whose key cardinality
+  *    is tunable via (numHashes, bands).
+  *  - SimHash: per-row 64-bit signature; near-dup = same signature bucket
+  *    (or Hamming ≤ k via multi-probe over rotated bands).
+  *  - embedding cosine: LSH hyperplane buckets first, exact cosine only
+  *    within buckets.
+  */
+object Dedup {
+
+  /** Exact dedup groups: content hash → representative id + multiplicity.
+    * Shuffles only (hash, id) — at 100 TB the wide text column is pruned
+    * before the exchange. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("h"), col(idCol))
+      .groupBy("h")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n"))
+
+  /** Keep one representative row per distinct content. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Distinct lower-cased tokens. */
+  def tokenSet(text: Column): Column =
+    array_distinct(split(lower(text), " "))
+
+  /** `w`-shingles over the token array (n-gram units for Jaccard). */
+  def shingles(text: Column, w: Int): Column = {
+    val toks = split(lower(text), " ")
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - (w - 1), lit(0))),
+        i => concat_ws(" ", slice(toks, i, lit(w)))))
+  }
+
+  /** MinHash signature as `numHashes` min-of-keyed-md5 values — computed
+    * entirely per row (array transform + array_min), zero shuffle.
+    * Seeded hash i = md5(i || "#" || token).
+    */
+  def minhashSignature(tokens: Column, numHashes: Int): Seq[Column] =
+    (1 to numHashes).map { i =>
+      array_min(transform(tokens, t => md5(concat(lit(s"$i#"), t)))).as(s"mh$i")
+    }
+
+  /** LSH candidate pairs: documents whose signatures collide on at least
+    * one band of `rowsPerBand` consecutive hashes. The self-join key is the
+    * (band index, band hash) pair — this is the standard
+    * shingle→minhash→band→bucket-join plan and the only shuffle in the op.
+    */
+  def minhashCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val sig = df.select(col(idCol).as("id") +: minhashSignature(tokenSet(col(textCol)), numHashes): _*)
+    val nBands = numHashes / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      val cols = (b * rowsPerBand + 1 to (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))
+    }
+    val buckets = sig
+      .select(col("id"), explode(array(bands: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for a pair-candidates frame: join the
+    * shingle sets back and compute |∩|/|∪| with array intrinsics. */
+  def jaccardForPairs(
+      pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
+      shingleW: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleW).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "d1").withColumnRenamed("sh", "sh1"), "d1")
+      .join(sh.withColumnRenamed("id", "d2").withColumnRenamed("sh", "sh2"), "d2")
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .select("d1", "d2", "jaccard")
+  }
+
+  /** Embedding-cosine near-dup: hyperplane-LSH bucket (see
+    * [[Similarity.hyperplaneSignature]]) then exact cosine within bucket.
+    * Returns pairs with cosine ≥ threshold. */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      planes: Int, seed: Long, threshold: Double): DataFrame = {
+    val withSig = df.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.hyperplaneSignature(col(vecCol), dim = Similarity.dimOf(df, vecCol),
+        planes = planes, seed = seed).as("sig"))
+    val a = withSig.as("a")
+    val b = withSig.as("b")
+    a.join(b, col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .withColumn("cosine", vec_cosine(col("a.v"), col("b.v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("d1"), col("b.id").as("d2"), col("cosine"))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.functions.GraftFunctions.{vec_cosine, vec_dot}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.{Bridge => ExpressionUtils}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Static simhash kernel, called from generated code. */
+object SimHashUtil {
+  /** FNV-1a 64-bit — stable across JVMs/processes (unlike
+    * `String.hashCode` or Python's salted `hash()`, cf. SURVEY §7.4 C7). */
+  def fnv64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash over a token array: per-bit vote of each token's FNV
+    * hash, sign of the vote becomes the signature bit. */
+  def simhash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val h = fnv64(tokens.getUTF8String(t))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+}
+
+/** Codegen'd 64-bit SimHash of an `Array[String]` token column. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    SimHashUtil.simhash64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.SimHashUtil.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+  override def prettyName: String = "simhash64"
+}
+
+/** Similarity-search operators over `Array[Float]` embedding columns.
+  *
+  * Scale design: brute-force top-k is the correctness baseline (one scan,
+  * TakeOrdered — no full sort, no shuffle of the corpus). The LSH
+  * hyperplane path buckets the corpus once (per-row signature, zero
+  * shuffle) so candidate generation at 100 TB touches only same-bucket
+  * pairs; exact cosine re-ranks within buckets.
+  */
+object Similarity {
+
+  def simhash64(tokens: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** Embedding dimensionality probe (driver-side, single-row scan). */
+  def dimOf(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).limit(1).head().getInt(0)
+
+  /** Deterministic Gaussian hyperplanes (driver-generated, broadcast as
+    * literals into the plan — no side files, no shuffle). */
+  def randomPlanes(dim: Int, planes: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  /** Pack sign(v·plane_i) bits into a Long bucket signature. */
+  def hyperplaneSignature(vec: Column, dim: Int, planes: Int, seed: Long): Column = {
+    val ps = randomPlanes(dim, planes, seed)
+    (0 until planes)
+      .map(i => when(vec_dot(vec, typedlit(ps(i).toSeq)) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** Brute-force cosine top-k against one query vector: single corpus scan,
+    * codegen'd dot product, TakeOrderedAndProject. */
+  def bruteForceTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame =
+    corpus
+      .select(col(idCol), vec_cosine(col(vecCol), typedlit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Top-k neighbors for EVERY query row: broadcast the (small) query set
+    * against the (large) corpus, rank per query. The corpus never shuffles. */
+  def topKJoin(
+      queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+      qVec: String, cVec: String, k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries.select(col(qId), col(qVec))))
+      .withColumn("cosine", vec_cosine(col(cVec), col(qVec)))
+    val w = Window.partitionBy(qId).orderBy(col("cosine").desc, col(cId).asc)
+    joined
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(qId), col(cId), col("rnk"), col("cosine"))
+  }
+
+  /** IVF-style ANN: assign corpus rows to hyperplane buckets once; probe
+    * only the query's bucket. Recall traded for a `2^planes` scan cut. */
+  def lshTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, planes: Int, seed: Long): DataFrame = {
+    val dim = query.length
+    val sigCol = hyperplaneSignature(col(vecCol), dim, planes, seed)
+    val ps = randomPlanes(dim, planes, seed)
+    val querySig = (0 until planes).map { i =>
+      val dot = ps(i).zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      if (dot > 0) 1L << i else 0L
+    }.sum
+    corpus
+      .withColumn("sig", sigCol)
+      .filter(col("sig") === lit(querySig))
+      .select(col(idCol), vec_cosine(col(vecCol), typedlit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

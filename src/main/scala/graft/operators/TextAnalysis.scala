@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Text-analysis operators for large-scale training-data pipelines. All are
+  * per-row column expressions (no shuffle, full whole-stage codegen) — they
+  * scale linearly with partitions at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the `\s+`-split token count every data
+    * pipeline starts from). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word proxy: splits on word boundaries AND digit/letter
+    * transitions, the usual pre-tokenizer regex shape. */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(
+      split(text, "(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})|\\s+|(?=\\p{Punct})"),
+      c => length(c) > 0))
+
+  /** Quality signals: length, token count, mean token length, punctuation
+    * ratio, stopword ratio. Composable score in [0,1]. */
+  def qualityStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val stop = typedLit(Seq("the", "a", "of", "and", "to", "in", "is"))
+    df.withColumn("n_chars_q", length(t))
+      .withColumn("n_tokens_q", size(toks))
+      .withColumn(
+        "mean_token_len",
+        when(size(toks) > 0,
+          aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(toks))
+          .otherwise(lit(0.0)))
+      .withColumn(
+        "punct_ratio",
+        when(length(t) > 0,
+          (length(t) - length(regexp_replace(t, "\\p{Punct}", ""))).cast("double") / length(t))
+          .otherwise(lit(0.0)))
+      .withColumn(
+        "stopword_ratio",
+        when(size(toks) > 0,
+          size(filter(toks, x => array_contains(stop, lower(x)))).cast("double") / size(toks))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Language-ID heuristic: score each candidate language by its stopword
+    * hit count over the document's tokens; argmax wins, ties broken by
+    * profile order. Pure array expressions — no UDF, no shuffle.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich", "mit", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "un", "une", "je", "que"),
+    "es" -> Seq("el", "la", "los", "las", "es", "no", "un", "una", "yo", "que"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "他", "这", "就"),
+  )
+
+  def langIdScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(lower(text))
+    langProfiles.map { case (lang, words) =>
+      lang -> size(filter(toks, x => array_contains(typedLit(words), x)))
+    }
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langIdScores(text)
+    // argmax via a struct sort: (score desc, profile order asc)
+    val structs = scores.zipWithIndex.map { case ((lang, s), i) =>
+      struct(s.as("score"), lit(i).as("ord"), lit(lang).as("lang"))
+    }
+    val best = aggregate(
+      array(structs: _*),
+      structs.head,
+      (acc, x) =>
+        when(x.getField("score") > acc.getField("score"), x).otherwise(acc))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: hash of the sorted distinct lower-cased token
+    * set (an order-insensitive content signature). `md5` variant is
+    * oracle-checkable; `xxhash64` variant is the cheap scale path. */
+  def fingerprintMd5(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(lower(text), " ")))))
+
+  def fingerprintXx(text: Column): Column =
+    xxhash64(concat_ws(" ", array_sort(array_distinct(split(lower(text), " ")))))
+}

@@ -1,0 +1,489 @@
+package graft.queries
+
+import graft.core.Tables._
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The driver-checked operator inventory: every entry maps one operator
+  * family from SURVEY.md §2 onto the testdata tables, with a DuckDB oracle
+  * where the semantics are ANSI-SQL-expressible.
+  *
+  * Numeric-determinism policy: any SUM over a double column goes through
+  * DECIMAL(18,2) (exact, order-independent) and is cast back to DOUBLE at
+  * the end, so Spark's parallel partial aggregation and DuckDB's sequential
+  * sum produce bit-identical results. Raw double columns are only ever
+  * passed through untouched. Timestamps are only emitted at day/hour
+  * granularity (testdata `ts` is nanosecond-precision; Spark truncates to
+  * micros on read).
+  */
+object Inventory {
+
+  /** Exact decimal sum of a double column, surfaced as DOUBLE. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** `events.ts` arrives as nanosecond-epoch LONG (Spark has no nanos
+    * timestamp; `spark.sql.legacy.parquet.nanosAsLong=true`). Integer
+    * `div` — not `/` — so the 1e18-scale value never round-trips through
+    * a double. */
+  private def eventTs = timestamp_micros(expr("ts div 1000"))
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------------
+  // §2.4 Filters / predicates / dedup
+  // ---------------------------------------------------------------------
+
+  /** F1: slot-range predicate (transformer chunk reads). Pushed to parquet. */
+  val f1RangeScan: Q = (s, d) =>
+    events(s, d)
+      .filter(col("event_id").between(100, 400))
+      .select("event_id", "event_type", "value")
+
+  /** F2/W1: latest-payload-per-key window dedup — the engine-wide
+    * ReplacingMergeTree-FINAL equivalent (reference:
+    * src/services/transformer.py:356-367). */
+  val f2LatestPerKey: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type")
+  }
+
+  /** F4/A8: distinct projection (payload-hash dedup shape). */
+  val f4DistinctPairs: Q = (s, d) =>
+    events(s, d).select("user_id", "event_type").distinct()
+
+  /** F5: fork-gate filter (skip slots before activation). */
+  val f5ForkGate: Q = (s, d) =>
+    events(s, d)
+      .filter(col("event_id") >= 500 && col("event_type") === "purchase")
+      .select("event_id", "user_id")
+
+  /** F6/C11: last-event-of-day boundary detection via LEAD
+    * (reference: src/utils/time_utils.py:10-28). */
+  val f6LastOfDay: Q = (s, d) => {
+    val w = Window.orderBy("event_id")
+    events(s, d)
+      .select(col("event_id"), to_date(eventTs).as("day"))
+      .withColumn("next_day", lead("day", 1).over(w))
+      .filter(col("next_day").isNull || col("day") =!= col("next_day"))
+      .select("event_id", "day")
+  }
+
+  /** F7: status/IN-list filter + count (ledger status queries). */
+  val f7StatusFilter: Q = (s, d) =>
+    events(s, d)
+      .filter(col("event_type").isin("error", "signup"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+
+  // ---------------------------------------------------------------------
+  // §2.5 Joins
+  // ---------------------------------------------------------------------
+
+  /** J1/J2: untransformed-chunk discovery = left anti join
+    * (reference: src/services/transformer.py:240-268). */
+  val j1AntiJoin: Q = (s, d) =>
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** J3: gap detection — generated sequence anti-joined against observed
+    * keys (reference: scripts/maintenance.py:127-146). */
+  val j3GapDetection: Q = (s, d) => {
+    val ev = events(s, d)
+    val maxUser = ev.agg(max("user_id")).head().getLong(0)
+    s.range(0, maxUser + 1)
+      .toDF("user_id")
+      .join(
+        ev.filter(col("event_type") === "purchase"),
+        Seq("user_id"),
+        "left_anti")
+      .select("user_id")
+  }
+
+  /** J4: fact ⋈ broadcast dim + aggregation (docs analytics). The dim side
+    * is explicitly broadcast: at 100 TB the orders fact never shuffles. */
+  val j4JoinAggBroadcast: Q = (s, d) =>
+    orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+
+  /** J5: equi join + daily rollup (blocks ⋈ withdrawals shape). */
+  val j5DailyRollupJoin: Q = (s, d) =>
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("qty"))
+
+  /** J6/X1: day-over-day EXCEPT diff (pending-queue applied entries;
+    * reference: docs/pending-queues.md:113-128). */
+  val j6ExceptDiff: Q = (s, d) => {
+    val ev = events(s, d)
+    val day1 = ev.filter(to_date(eventTs) === lit("2024-01-01").cast("date"))
+      .select("user_id").distinct()
+    val day2 = ev.filter(to_date(eventTs) === lit("2024-01-02").cast("date"))
+      .select("user_id").distinct()
+    day1.except(day2)
+  }
+
+  // ---------------------------------------------------------------------
+  // §2.6 Aggregations
+  // ---------------------------------------------------------------------
+
+  /** A1: chunk-overview conditional aggregation (count + countIf;
+    * reference: src/services/clickhouse.py:266-284). */
+  val a1ConditionalAgg: Q = (s, d) =>
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") > 100, 1).otherwise(0)).as("n_high"),
+        sum(when(col("value") <= 100, 1).otherwise(0)).as("n_low"),
+        min("event_id").as("min_id"),
+        max("event_id").as("max_id"))
+
+  /** A2 + flagship: TPC-H-Q1-shaped two-key aggregate with derived
+    * measures; map-side partial agg then single shuffle on the group keys. */
+  val a2PricingSummary: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base"),
+        sum(
+          col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("n"))
+
+  /** A4: gap stats — min/max/exact distinct (reference:
+    * scripts/maintenance.py:95-125). At 100 TB `countDistinct` becomes
+    * `approx_count_distinct`; exact kept here for oracle parity. */
+  val a4MinMaxDistinct: Q = (s, d) =>
+    events(s, d).agg(
+      min("event_id").as("min_id"),
+      max("event_id").as("max_id"),
+      countDistinct("user_id").as("n_users"),
+      count(lit(1)).as("n"))
+
+  /** A5: max-slot probe per loader (resume point). */
+  val a5MaxProbe: Q = (s, d) =>
+    events(s, d).groupBy("event_type").agg(max("event_id").as("max_id"))
+
+  /** A7a: hourly time-bucket rollup (toStartOfHour analytics). */
+  val a7HourlyRollup: Q = (s, d) =>
+    events(s, d)
+      .groupBy(date_trunc("hour", eventTs).as("h"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+
+  /** A7b: top-proposers HAVING shape (docs: CLICKHOUSE_GUIDE.md:282-295). */
+  val a7TopUsersHaving: Q = (s, d) =>
+    events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+
+  /** A8: distinct single-column projection (existing-chunk cache). */
+  val a8DistinctPriorities: Q = (s, d) =>
+    orders(s, d).select("o_orderpriority").distinct()
+
+  // ---------------------------------------------------------------------
+  // §2.7 Windows, sorts, limits, set ops
+  // ---------------------------------------------------------------------
+
+  /** W1: latest-props-per-user window dedup (payload variant of F2). */
+  val w1LatestProps: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "props")
+  }
+
+  /** W2: deterministic work sharding rn%workers (reference:
+    * src/services/clickhouse.py:137-152). */
+  val w2WorkSharding: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+    events(s, d)
+      .withColumn("shard", (row_number().over(w) - 1) % 4)
+      .filter(col("shard") === 0)
+      .select("event_id")
+  }
+
+  /** O1: ORDER BY … LIMIT top-k (TakeOrderedAndProject — no full sort). */
+  val o1TopK: Q = (s, d) =>
+    events(s, d)
+      .orderBy(col("value").desc, col("event_id").asc)
+      .limit(10)
+      .select("event_id", "value")
+
+  /** O2: multi-key sort + limit. */
+  val o2MultiKeySort: Q = (s, d) =>
+    events(s, d)
+      .orderBy(col("event_type").asc, col("event_id").asc)
+      .limit(100)
+      .select("event_type", "event_id")
+
+  /** X2: UNION ALL of per-table stats (monitoring). */
+  val x2UnionStats: Q = (s, d) => {
+    def stat(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("tbl"), col("n"))
+    stat("orders", orders(s, d))
+      .unionByName(stat("lineitem", lineitem(s, d)))
+      .unionByName(stat("customer", customer(s, d)))
+  }
+
+  // ---------------------------------------------------------------------
+  // §2.8 Scalar pack
+  // ---------------------------------------------------------------------
+
+  /** C1: hex-aware safe_int — custom codegen expression; round-trips
+    * event_id through a hex string. Oracle is the identity. */
+  val c1SafeLongHex: Q = (s, d) =>
+    events(s, d)
+      .select(
+        col("event_id"),
+        safe_long(concat(lit("0x"), hex(col("event_id")))).as("parsed"))
+
+  /** C3: canonical-JSON payload hash (sorted keys, ensure_ascii) — custom
+    * expression; first 16 hex of sha256. */
+  val c3PayloadHash: Q = (s, d) =>
+    events(s, d).select(col("event_id"), payload_hash16(col("props")).as("h"))
+
+  /** C4: popcount — built-in bit_count plus the custom hex_popcount
+    * expression over the hex rendering (must agree). */
+  val c4Popcount: Q = (s, d) =>
+    events(s, d)
+      .filter(col("event_id") < 1000)
+      .select(
+        col("event_id"),
+        bit_count(col("event_id")).cast("int").as("pc"),
+        hex_popcount(concat(lit("0x"), hex(col("event_id")))).as("pc2"))
+
+  /** C8: slot → timestamp (genesis + slot*seconds_per_slot). */
+  val c8SlotTimestamp: Q = (s, d) =>
+    events(s, d)
+      .filter(col("event_id") < 500)
+      .select(
+        col("event_id").as("slot"),
+        slot_timestamp(col("event_id"), 1638993340L, 5L).as("slot_ts"))
+
+  /** C9: slot → epoch rollup. */
+  val c9EpochRollup: Q = (s, d) =>
+    events(s, d)
+      .groupBy(floor(col("event_id") / 16).cast(LongType).as("epoch"))
+      .agg(count(lit(1)).as("n"))
+
+  /** C14: ad-hoc JSON field probe (JSONExtractString fork sampling;
+    * reference: src/services/fork.py:292-300). */
+  val c14JsonProbe: Q = (s, d) =>
+    events(s, d)
+      .filter(col("event_id") < 500)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  // ---------------------------------------------------------------------
+  // §2.10 Dataflow shapes + §2.3 parse shapes on testdata
+  // ---------------------------------------------------------------------
+
+  /** D1/R3: chunk planning — tumbling slot windows aligned to CHUNK_SIZE
+    * (reference: src/services/loader.py:487-758). */
+  val d1ChunkPlan: Q = (s, d) =>
+    events(s, d)
+      .groupBy((col("event_id") / 100).cast(LongType).as("chunk_id"))
+      .agg(
+        min("event_id").as("start_id"),
+        max("event_id").as("end_id"),
+        count(lit(1)).as("n"))
+
+  /** P2-shape: posexplode + enumerate (attestation-list parsing shape). */
+  val p2ExplodeEnumerate: Q = (s, d) =>
+    documents(s, d)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("word"))
+
+  /** P24-shape: unpivot/melt (specs k/v table; reference:
+    * src/loaders/specs.py:24-91). */
+  val p24Unpivot: Q = (s, d) => {
+    val li = lineitem(s, d).filter(col("l_orderkey") < 100)
+    li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        lit("quantity").as("param"), col("l_quantity").as("val"))
+      .unionByName(
+        li.select(
+          col("l_orderkey"), col("l_linenumber"),
+          lit("tax").as("param"), col("l_tax").as("val")))
+  }
+
+  // ---------------------------------------------------------------------
+  // Declared inventory
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "f1_range_scan" -> f1RangeScan,
+    "f2_latest_per_key" -> f2LatestPerKey,
+    "f4_distinct_pairs" -> f4DistinctPairs,
+    "f5_fork_gate" -> f5ForkGate,
+    "f6_last_of_day" -> f6LastOfDay,
+    "f7_status_filter" -> f7StatusFilter,
+    "j1_anti_join" -> j1AntiJoin,
+    "j3_gap_detection" -> j3GapDetection,
+    "j4_join_agg_broadcast" -> j4JoinAggBroadcast,
+    "j5_daily_rollup_join" -> j5DailyRollupJoin,
+    "j6_except_diff" -> j6ExceptDiff,
+    "a1_conditional_agg" -> a1ConditionalAgg,
+    "a2_pricing_summary" -> a2PricingSummary,
+    "a4_minmax_distinct" -> a4MinMaxDistinct,
+    "a5_max_probe" -> a5MaxProbe,
+    "a7_hourly_rollup" -> a7HourlyRollup,
+    "a7_top_users_having" -> a7TopUsersHaving,
+    "a8_distinct_priorities" -> a8DistinctPriorities,
+    "w1_latest_props" -> w1LatestProps,
+    "w2_work_sharding" -> w2WorkSharding,
+    "o1_topk" -> o1TopK,
+    "o2_multikey_sort" -> o2MultiKeySort,
+    "x2_union_stats" -> x2UnionStats,
+    "c1_safe_long_hex" -> c1SafeLongHex,
+    "c3_payload_hash" -> c3PayloadHash,
+    "c4_popcount" -> c4Popcount,
+    "c8_slot_timestamp" -> c8SlotTimestamp,
+    "c9_epoch_rollup" -> c9EpochRollup,
+    "c14_json_probe" -> c14JsonProbe,
+    "d1_chunk_plan" -> d1ChunkPlan,
+    "p2_explode_enumerate" -> p2ExplodeEnumerate,
+    "p24_unpivot" -> p24Unpivot,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "f1_range_scan" ->
+      "SELECT event_id, event_type, value FROM events WHERE event_id BETWEEN 100 AND 400",
+    "f2_latest_per_key" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+    "f4_distinct_pairs" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "f5_fork_gate" ->
+      "SELECT event_id, user_id FROM events WHERE event_id >= 500 AND event_type = 'purchase'",
+    "f6_last_of_day" ->
+      """SELECT event_id, day FROM (
+        |  SELECT event_id, CAST(ts AS DATE) AS day,
+        |         LEAD(CAST(ts AS DATE)) OVER (ORDER BY event_id) AS next_day
+        |  FROM events) t
+        |WHERE next_day IS NULL OR day <> next_day""".stripMargin,
+    "f7_status_filter" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE event_type IN ('error', 'signup') GROUP BY event_type""".stripMargin,
+    "j1_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "j3_gap_detection" ->
+      """WITH seq AS (SELECT ROW_NUMBER() OVER () - 1 AS user_id FROM events)
+        |SELECT s.user_id FROM seq s
+        |WHERE s.user_id <= (SELECT MAX(user_id) FROM events)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM events e WHERE e.user_id = s.user_id AND e.event_type = 'purchase')""".stripMargin,
+    "j4_join_agg_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "j5_daily_rollup_join" ->
+      """SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY CAST(o_orderdate AS DATE)""".stripMargin,
+    "j6_except_diff" ->
+      """SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'""".stripMargin,
+    "a1_conditional_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |       SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS n_high,
+        |       SUM(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS n_low,
+        |       MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events GROUP BY event_type""".stripMargin,
+    "a2_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "a4_minmax_distinct" ->
+      """SELECT MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+        |       COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n FROM events""".stripMargin,
+    "a5_max_probe" ->
+      "SELECT event_type, MAX(event_id) AS max_id FROM events GROUP BY event_type",
+    "a7_hourly_rollup" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |FROM events GROUP BY 1""".stripMargin,
+    "a7_top_users_having" ->
+      """SELECT user_id, count(*) AS n FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id HAVING count(*) >= 5""".stripMargin,
+    "a8_distinct_priorities" ->
+      "SELECT DISTINCT o_orderpriority FROM orders",
+    "w1_latest_props" ->
+      """SELECT user_id, props FROM (
+        |  SELECT user_id, props,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+    "w2_work_sharding" ->
+      """SELECT event_id FROM (
+        |  SELECT event_id,
+        |         (ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) - 1) % 4 AS shard
+        |  FROM events) t WHERE shard = 0""".stripMargin,
+    "o1_topk" ->
+      "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 10",
+    "o2_multikey_sort" ->
+      "SELECT event_type, event_id FROM events ORDER BY event_type, event_id LIMIT 100",
+    "x2_union_stats" ->
+      """SELECT 'orders' AS tbl, count(*) AS n FROM orders
+        |UNION ALL SELECT 'lineitem' AS tbl, count(*) AS n FROM lineitem
+        |UNION ALL SELECT 'customer' AS tbl, count(*) AS n FROM customer""".stripMargin,
+    "c1_safe_long_hex" ->
+      "SELECT event_id, event_id AS parsed FROM events",
+    "c3_payload_hash" ->
+      "SELECT event_id, substr(sha256(replace(props, ' ', '')), 1, 16) AS h FROM events",
+    "c4_popcount" ->
+      """SELECT event_id, CAST(bit_count(event_id) AS INT) AS pc,
+        |       CAST(bit_count(event_id) AS INT) AS pc2
+        |FROM events WHERE event_id < 1000""".stripMargin,
+    "c8_slot_timestamp" ->
+      """SELECT event_id AS slot,
+        |       make_timestamp((1638993340 + event_id * 5) * 1000000) AS slot_ts
+        |FROM events WHERE event_id < 500""".stripMargin,
+    "c9_epoch_rollup" ->
+      "SELECT event_id // 16 AS epoch, count(*) AS n FROM events GROUP BY 1",
+    "c14_json_probe" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE event_id < 500""".stripMargin,
+    "d1_chunk_plan" ->
+      """SELECT event_id // 100 AS chunk_id, MIN(event_id) AS start_id,
+        |       MAX(event_id) AS end_id, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "p2_explode_enumerate" ->
+      """SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS word
+        |FROM (SELECT doc_id, string_split(text, ' ') AS l
+        |      FROM documents WHERE doc_id < 20) t""".stripMargin,
+    "p24_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'quantity' AS param, l_quantity AS val
+        |FROM lineitem WHERE l_orderkey < 100
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'tax' AS param, l_tax AS val
+        |FROM lineitem WHERE l_orderkey < 100""".stripMargin,
+  )
+}

@@ -1,0 +1,244 @@
+package graft.queries
+
+import graft.core.Tables._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Training-data pipeline operators (dedup, similarity search, text
+  * analysis, multimodal) surfaced as driver-checkable queries over the
+  * `documents` / `embeddings` testdata tables. Implementations live in
+  * [[graft.operators]]; entries here bind them to concrete columns.
+  */
+object LlmInventory {
+  type Q = (SparkSession, String) => DataFrame
+
+  // --- Text analysis ----------------------------------------------------
+
+  val t1TokenCount: Q = (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+
+  val t2QualityStats: Q = (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars2"),
+      size(split(col("text"), " ")).as("n_words"),
+      ((length(col("text")) - length(regexp_replace(col("text"), "the", ""))) / 3)
+        .cast("long").as("the_cnt"))
+
+  val t3LangStats: Q = (s, d) =>
+    documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+
+  /** Language-ID heuristic (stopword profiles) — no SQL oracle; correctness
+    * covered by ScalaTest. */
+  val t4LangId: Q = (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  val t5Fingerprint: Q = (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+
+  // --- Dedup ------------------------------------------------------------
+
+  val d2ExactDedup: Q = (s, d) =>
+    Dedup.exactGroups(documents(s, d), "doc_id", "text")
+
+  /** Unigram-overlap candidate pairs (the n-gram-Jaccard numerator),
+    * restricted to a doc window so the oracle join stays small. */
+  val d3TokenOverlap: Q = (s, d) => {
+    val tok = documents(s, d)
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id"), explode(Dedup.tokenSet(col("text"))).as("w"))
+      .distinct()
+    val a = tok.toDF("d1", "w")
+    val b = tok.toDF("d2", "w")
+    a.join(b, Seq("w"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= 30)
+  }
+
+  /** MinHash band-bucket candidate pairs, 4 hashes / 2 bands of 2 —
+    * oracle-checkable because the seeded hash is md5. */
+  val d4MinhashBand: Q = (s, d) => {
+    val sig = documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id") +: Dedup.minhashSignature(Dedup.tokenSet(col("text")), 4): _*)
+    val a = sig.select(col("doc_id").as("d1"), col("mh1"), col("mh2"), col("mh3"), col("mh4"))
+    val b = sig.select(col("doc_id").as("d2"),
+      col("mh1").as("n1"), col("mh2").as("n2"), col("mh3").as("n3"), col("mh4").as("n4"))
+    a.join(b, col("d1") < col("d2") &&
+        ((col("mh1") === col("n1") && col("mh2") === col("n2")) ||
+         (col("mh3") === col("n3") && col("mh4") === col("n4"))))
+      .select("d1", "d2")
+  }
+
+  /** Full MinHash-LSH pipeline (shingle→minhash→band→bucket join) — the
+    * scale path; rows-only check (band hashing not oracle-expressible). */
+  val d5MinhashLsh: Q = (s, d) =>
+    Dedup.minhashCandidatePairs(
+      documents(s, d), "doc_id", "text", numHashes = 8, rowsPerBand = 2)
+      .orderBy("d1", "d2")
+
+  /** SimHash near-dup buckets — rows-only check. */
+  val d6Simhash: Q = (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      Similarity.simhash64(Dedup.tokenSet(col("text"))).as("simhash"))
+
+  /** Embedding-cosine near-dup pairs via hyperplane LSH — rows-only. */
+  val d7EmbeddingNearDup: Q = (s, d) =>
+    Dedup.embeddingNearDupPairs(
+      embeddings(s, d), "vec_id", "embedding",
+      planes = 8, seed = 42L, threshold = 0.35)
+      .select("d1", "d2")
+      .orderBy("d1", "d2")
+
+  // --- Similarity search ------------------------------------------------
+
+  /** Brute-force cosine top-10 for query vec_id=0; rank-only output so the
+    * oracle compare is robust to last-ulp float differences. */
+  val s1CosineTopK: Q = (s, d) => {
+    val em = embeddings(s, d)
+    val query = em.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val w = Window.orderBy(col("cosine").desc, col("vec_id").asc)
+    Similarity
+      .bruteForceTopK(em.filter(col("vec_id") =!= 0), "vec_id", "embedding", query, 10)
+      .withColumn("rnk", row_number().over(w))
+      .select("rnk", "vec_id")
+  }
+
+  /** LSH-bucketed ANN over the same query — rows-only (recall-traded). */
+  val s2LshTopK: Q = (s, d) => {
+    val em = embeddings(s, d)
+    val query = em.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    Similarity.lshTopK(em.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      query, k = 10, planes = 4, seed = 42L)
+      .select("vec_id")
+  }
+
+  /** Per-label centroid-free pairwise stats: count pairs per label bucket —
+    * exercises the bucketed self-join shape with an exact oracle. */
+  val s3LabelBuckets: Q = (s, d) =>
+    embeddings(s, d)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), min("vec_id").as("min_id"), max("vec_id").as("max_id"))
+
+  // --- Multimodal -------------------------------------------------------
+
+  /** Binary-column metadata over text-as-bytes (no real media in testdata):
+    * byte length + sha256 — the first derived scan of any multimodal table. */
+  val m1BinaryMeta: Q = (s, d) =>
+    Multimodal.withBinaryMeta(
+        documents(s, d).select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "payload")
+      .select(col("doc_id"), col("n_bytes"), substring(col("content_sha"), 1, 16).as("sha16"))
+
+  /** Deterministic fake decode → fixed-width feature vector; rows-only
+    * (stubbed codec, SURVEY-mandated). Emits vector length + first element
+    * so drift is detectable. */
+  val m2DecodeStub: Q = (s, d) =>
+    documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(
+        col("doc_id"),
+        Multimodal.decodeStub(col("text").cast("binary"), 16).as("features"))
+      .select(col("doc_id"), size(col("features")).as("dim"), element_at(col("features"), 1).as("f0"))
+
+  /** Frame-sampling plumbing: one row per byte-window "frame". */
+  val m3FrameWindows: Q = (s, d) =>
+    Multimodal.frameWindows(
+      documents(s, d).filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text").cast("binary").as("payload")),
+      "doc_id", "payload", 4)
+
+  val queries: Map[String, Q] = Map(
+    "t1_token_count" -> t1TokenCount,
+    "t2_quality_stats" -> t2QualityStats,
+    "t3_lang_stats" -> t3LangStats,
+    "t4_lang_id" -> t4LangId,
+    "t5_fingerprint" -> t5Fingerprint,
+    "d2_exact_dedup" -> d2ExactDedup,
+    "d3_token_overlap" -> d3TokenOverlap,
+    "d4_minhash_band" -> d4MinhashBand,
+    "d5_minhash_lsh" -> d5MinhashLsh,
+    "d6_simhash" -> d6Simhash,
+    "d7_embedding_near_dup" -> d7EmbeddingNearDup,
+    "s1_cosine_topk" -> s1CosineTopK,
+    "s2_lsh_topk" -> s2LshTopK,
+    "s3_label_buckets" -> s3LabelBuckets,
+    "m1_binary_meta" -> m1BinaryMeta,
+    "m2_decode_stub" -> m2DecodeStub,
+    "m3_frame_windows" -> m3FrameWindows,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "t1_token_count" ->
+      "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents",
+    "t2_quality_stats" ->
+      """SELECT doc_id, length(text) AS n_chars2,
+        |       len(string_split(text, ' ')) AS n_words,
+        |       (length(text) - length(replace(text, 'the', ''))) // 3 AS the_cnt
+        |FROM documents""".stripMargin,
+    "t3_lang_stats" ->
+      "SELECT lang, count(*) AS n_docs, SUM(n_chars) AS total_chars FROM documents GROUP BY lang",
+    "t5_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+        |FROM documents""".stripMargin,
+    "d2_exact_dedup" ->
+      """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, count(*) AS n
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "d3_token_overlap" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+        |  FROM documents WHERE doc_id < 60)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 30""".stripMargin,
+    "d4_minhash_band" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+        |  FROM documents WHERE doc_id < 100),
+        |sig AS (
+        |  SELECT doc_id,
+        |         min(md5('1#' || w)) AS mh1, min(md5('2#' || w)) AS mh2,
+        |         min(md5('3#' || w)) AS mh3, min(md5('4#' || w)) AS mh4
+        |  FROM tok GROUP BY doc_id)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        | AND ((a.mh1 = b.mh1 AND a.mh2 = b.mh2) OR (a.mh3 = b.mh3 AND a.mh4 = b.mh4))""".stripMargin,
+    "s1_cosine_topk" ->
+      """SELECT rnk, vec_id FROM (
+        |  SELECT vec_id,
+        |         ROW_NUMBER() OVER (
+        |           ORDER BY list_cosine_similarity(embedding,
+        |             (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id) AS rnk
+        |  FROM embeddings WHERE vec_id <> 0) t
+        |WHERE rnk <= 10""".stripMargin,
+    "s3_label_buckets" ->
+      """SELECT label, count(*) AS n, MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+        |FROM embeddings GROUP BY label""".stripMargin,
+    "m1_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |       substr(sha256(text), 1, 16) AS sha16
+        |FROM documents""".stripMargin,
+    "m3_frame_windows" ->
+      """SELECT doc_id, t.i AS frame_idx,
+        |       t.i * (octet_length(encode(text)) // 4) + 1 AS offset,
+        |       octet_length(encode(text)) // 4 AS frame_bytes
+        |FROM documents, generate_series(0, 3) AS t(i)
+        |WHERE doc_id < 20""".stripMargin,
+  )
+}
