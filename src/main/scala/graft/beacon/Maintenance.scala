@@ -1,0 +1,112 @@
+package graft.beacon
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Maintenance surface (D5–D7; reference: src/services/maintenance.py):
+  * integrity check, fix (delete + reload window), chunk reset.
+  *
+  * Deletion on parquet = partition-scoped rewrite: only the month
+  * partitions overlapping the slot range are read back, filtered, and
+  * overwritten (dynamic partition overwrite) — the 100 TB-safe analog of
+  * the reference's `ALTER TABLE … DELETE` mutations, without the mutation
+  * queue backpressure dance (maintenance.py:140-205).
+  */
+object Maintenance {
+
+  /** D6: integrity report — failed chunks + completed-but-untransformed
+    * anti-join (reference: maintenance.py:577-667). */
+  def check(
+      spark: SparkSession, chunkLedger: LedgerStore, progressLedger: LedgerStore,
+      loaders: Seq[String]): Map[String, DataFrame] = {
+    val ledger = chunkLedger.read(spark, Schemas.loadStateChunks)
+    val progress = progressLedger.read(spark, Schemas.transformerProgress)
+    val failed = Ledger.chunkStates(ledger)
+      .filter(col("status") === "failed")
+      .orderBy("loader_name", "start_slot")
+    val untransformed = loaders
+      .map(l => Ledger.untransformedChunks(ledger, progress, l, Int.MaxValue))
+      .reduceOption(_ unionByName _)
+      .getOrElse(failed.limit(0))
+    Map("failed_chunks" -> failed, "untransformed_chunks" -> untransformed)
+  }
+
+  /** Delete a slot range from a month-partitioned parquet table by
+    * rewriting ONLY the affected month partitions. */
+  def deleteSlotRange(
+      spark: SparkSession, tableDir: String, cfg: ChainConfig,
+      startSlot: Long, endSlot: Long): Unit = {
+    val months = monthsOf(cfg, startSlot, endSlot)
+    val df = spark.read.parquet(tableDir)
+    val kept = df
+      .filter(col("month").isin(months: _*))
+      .filter(!col("slot").between(startSlot, endSlot))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // Overwrite only the affected month partitions; empty result still
+      // clears them via an explicit per-month rewrite.
+      if (kept.isEmpty) {
+        months.foreach { m =>
+          val dir = new java.io.File(s"$tableDir/month=$m")
+          if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+        }
+      } else {
+        kept.write.mode(SaveMode.Overwrite).partitionBy("month").parquet(tableDir)
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  def monthsOf(cfg: ChainConfig, startSlot: Long, endSlot: Long): Seq[String] = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")
+    def monthAt(slot: Long) = java.time.Instant
+      .ofEpochSecond(cfg.genesisTimeUnix + slot * cfg.secondsPerSlot)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.withDayOfMonth(1)
+    val s = monthAt(startSlot)
+    val e = monthAt(endSlot)
+    Iterator.iterate(s)(_.plusMonths(1)).takeWhile(!_.isAfter(e))
+      .map(_.format(fmt)).toSeq
+  }
+
+  /** D5: fix failed chunks — delete the raw slot window, reset the ledger
+    * rows to pending (versioned append, never UPDATE), ready for refetch +
+    * retransform (reference: maintenance.py:77-358). */
+  def fixChunks(
+      spark: SparkSession, cfg: ChainConfig, rawDir: String,
+      chunkLedger: LedgerStore, chunks: DataFrame,
+      version: Long = System.currentTimeMillis()): Int = {
+    val rows = chunks.select("chunk_id", "start_slot", "end_slot", "loader_name", "created_at").collect()
+    rows.foreach { r =>
+      deleteSlotRange(spark, rawDir, cfg, r.getLong(1), r.getLong(2))
+    }
+    if (rows.nonEmpty)
+      chunkLedger.append(Ledger.transition(chunks, "pending", "maintenance", version))
+    rows.length
+  }
+
+  /** D7: flip chunk status via versioned insert
+    * (reference: maintenance.py:669-715). */
+  def resetChunks(
+      chunkLedger: LedgerStore, chunks: DataFrame, toStatus: String = "pending",
+      version: Long = System.currentTimeMillis()): Unit =
+    chunkLedger.append(Ledger.transition(chunks, toStatus, "maintenance", version))
+
+  /** R6: stale-claim recovery — claimed/processing older than `maxAgeMin`
+    * flipped back to pending (reference: transformer.py:104-129). */
+  def resetStaleClaims(
+      spark: SparkSession, chunkLedger: LedgerStore, maxAgeMin: Int = 30,
+      version: Long = System.currentTimeMillis()): Long = {
+    val ledger = chunkLedger.read(spark, Schemas.loadStateChunks)
+    val stale = Ledger.chunkStates(ledger)
+      .filter(col("status") === "claimed" &&
+        col("updated_at") < current_timestamp() - expr(s"INTERVAL $maxAgeMin MINUTES"))
+    val n = stale.count()
+    if (n > 0) chunkLedger.append(Ledger.transition(stale, "pending", "maintenance", version))
+    n
+  }
+}

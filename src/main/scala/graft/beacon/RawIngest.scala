@@ -1,0 +1,146 @@
+package graft.beacon
+
+import graft.functions.CanonicalJson
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Per-slot payload fetch, executor-side (S1–S8). Implementations MUST be
+  * serializable — one instance is shipped to each task and drives the
+  * HTTP client for that partition's slots.
+  */
+trait SlotFetcher extends Serializable {
+  /** None = empty slot (404-as-empty, normal for missed blocks;
+    * reference: src/loaders/base.py:51-58). Throw for hard errors. */
+  def fetch(slot: Long): Option[String]
+}
+
+/** S1: beacon-node HTTP GET with the reference's retry policy — 3 retries,
+  * linearly increasing backoff, 404-as-empty vs 404-as-error modes, API
+  * key as query param (reference: src/services/beacon_api.py:44-159).
+  * Endpoint template contains `{slot}`.
+  */
+final case class HttpSlotFetcher(
+    baseUrl: String,
+    endpointTemplate: String,
+    allowEmpty404: Boolean = true,
+    apiKey: Option[String] = None,
+    maxRetries: Int = 3,
+    backoffMillis: Long = 5000L,
+    timeoutMillis: Long = 600000L) extends SlotFetcher {
+
+  @transient private lazy val client =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMillis))
+      .build()
+
+  def fetch(slot: Long): Option[String] = {
+    val path = endpointTemplate.replace("{slot}", slot.toString)
+    val qp = apiKey.map(k => s"?api_key=$k").getOrElse("")
+    val uri = java.net.URI.create(s"$baseUrl$path$qp")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        val req = java.net.http.HttpRequest.newBuilder(uri)
+          .timeout(java.time.Duration.ofMillis(timeoutMillis)).GET().build()
+        val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        resp.statusCode() match {
+          case 200 => return Some(resp.body())
+          case 404 if allowEmpty404 => return None
+          case 404 => throw new RuntimeException(s"404 for $uri (state must exist)")
+          case code if attempt <= maxRetries =>
+            Thread.sleep(backoffMillis * attempt) // linear-increasing backoff
+          case code => throw new RuntimeException(s"HTTP $code for $uri")
+        }
+      } catch {
+        case e: java.io.IOException if attempt <= maxRetries =>
+          Thread.sleep(backoffMillis * attempt)
+      }
+    }
+    None
+  }
+}
+
+/** Test/offline fetcher over an in-memory slot→payload map. */
+final case class MapSlotFetcher(payloads: Map[Long, String]) extends SlotFetcher {
+  def fetch(slot: Long): Option[String] = payloads.get(slot)
+}
+
+/** Raw-table ingest: the Spark shape of the reference's backfill worker
+  * loop (SURVEY §3.1) — `spark.range(slots)` → repartition → per-partition
+  * fetch → `prepare_row` (payload hash C3) → payload-hash dedup (F4) →
+  * month-partitioned parquet + ledger append.
+  */
+object RawIngest {
+
+  /** Fetch a slot list into raw rows. Partition count bounds concurrent
+    * HTTP connections (the reference's BACKFILL_WORKERS knob, D2). */
+  def fetchSlots(
+      spark: SparkSession, slots: Seq[Long], fetcher: SlotFetcher,
+      parallelism: Int = 4): DataFrame = {
+    import spark.implicits._
+    val ds = spark.createDataset(slots).repartition(parallelism)
+    ds.mapPartitions { it =>
+      it.flatMap { slot =>
+        fetcher.fetch(slot).map { payload =>
+          (slot, payload, CanonicalJson.payloadHash16(payload),
+            new java.sql.Timestamp(System.currentTimeMillis()))
+        }
+      }
+    }.toDF("slot", "payload", "payload_hash", "retrieved_at")
+  }
+
+  /** F4 write-side dedup + month-partitioned write (reference partitions
+    * every table by `toStartOfMonth(slot_timestamp)`;
+    * migrations/003_raw_tables.sql:16). Sorting within partitions by slot
+    * gives parquet min/max stats → slot-range scans prune row groups (the
+    * ORDER BY slot clustered-key equivalent, SURVEY §4).
+    */
+  def writeRaw(rows: DataFrame, cfg: ChainConfig, rawDir: String): Unit =
+    rows
+      .dropDuplicates("slot", "payload_hash")
+      .withColumn("month", date_format(cfg.slotTimestamp(col("slot")), "yyyy-MM"))
+      .sortWithinPartitions("slot")
+      .write.mode(SaveMode.Append)
+      .partitionBy("month")
+      .parquet(rawDir)
+
+  /** Full chunk ingest: fetch → write → ledger transition. Failed fetches
+    * fail the whole chunk (reference error policy: base.py:87-100). */
+  def ingestChunk(
+      spark: SparkSession, cfg: ChainConfig, fetcher: SlotFetcher,
+      rawDir: String, ledger: LedgerStore, loader: String,
+      startSlot: Long, endSlot: Long, parallelism: Int = 4,
+      version: Long = System.currentTimeMillis()): Boolean = {
+    val chunk = Ledger.planChunks(spark, startSlot, endSlot, endSlot - startSlot + 1, loader)
+    ledger.append(Ledger.transition(chunk, "claimed", "spark", version))
+    try {
+      val rows = fetchSlots(spark, startSlot.to(endSlot), fetcher, parallelism)
+      writeRaw(rows, cfg, rawDir)
+      ledger.append(Ledger.transition(chunk, "completed", "spark", version + 1))
+      true
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        ledger.append(Ledger.transition(chunk, "failed", "spark", version + 1))
+        false
+    }
+  }
+
+  /** F5/F6 fetch gates: restrict a slot range to a loader's cadence —
+    * fork-activation floor (pending queues fetch only Electra+;
+    * src/loaders/pending_consolidations.py:28-33) and daily-snapshot slots
+    * (validators; src/loaders/validators.py:129-149). */
+  def gateSlots(
+      cfg: ChainConfig, slots: Seq[Long],
+      activationFork: Option[String] = None,
+      dailyOnly: Boolean = false): Seq[Long] = {
+    val floor = activationFork.flatMap(cfg.activationSlot).getOrElse(0L)
+    val gated = slots.filter(_ >= floor)
+    if (!dailyOnly) gated
+    else gated.filter { s =>
+      val d1 = (cfg.genesisTimeUnix + s * cfg.secondsPerSlot) / 86400
+      val d2 = (cfg.genesisTimeUnix + (s + 1) * cfg.secondsPerSlot) / 86400
+      d1 != d2
+    }
+  }
+}

@@ -1,0 +1,156 @@
+package graft.beacon
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+
+import java.sql.Timestamp
+
+/** The transform pipeline (SURVEY §3.2): raw parquet → latest-per-slot
+  * dedup → parse → multi-table month-partitioned writes → progress ledger.
+  *
+  * Differences from the reference's chunk-at-a-time Python loop, by
+  * design: chunks become *partitions of one job* (Spark's scheduler
+  * replaces the worker pool), the fork-group-then-parse step (D3)
+  * disappears into the maximal-schema single parse, and the 1→13 table
+  * fan-out reuses one persisted parse of the raw payload.
+  */
+object Transformer {
+
+  /** Loaders and the structured tables they own (F8 allowed-tables
+    * filter; reference: src/services/transformer.py:41-69,458-474). */
+  val blockTables: Set[String] = Set(
+    "blocks", "attestations", "deposits", "voluntary_exits",
+    "proposer_slashings", "attester_slashings", "sync_aggregates",
+    "execution_payloads", "transactions", "withdrawals", "bls_changes",
+    "blob_commitments", "execution_requests")
+
+  def readRaw(spark: SparkSession, rawDir: String): DataFrame =
+    spark.read.parquet(rawDir)
+
+  /** F1 + F2/F3: slot-range scan (partition-pruned + row-group-pruned)
+    * then latest-payload-per-slot window dedup
+    * (reference: transformer.py:342-374). */
+  def chunkData(raw: DataFrame, startSlot: Long, endSlot: Long): DataFrame =
+    Ledger.latest(
+      raw.filter(col("slot").between(startSlot, endSlot))
+        .select("slot", "payload", "payload_hash", "retrieved_at"),
+      Seq("slot"), "retrieved_at")
+
+  private def writeTable(df: DataFrame, cfg: ChainConfig, outDir: String, table: String): Long = {
+    val out = df.withColumn(
+      "month", date_format(cfg.slotTimestamp(col("slot")), "yyyy-MM"))
+    out.sortWithinPartitions("slot")
+      .write.mode(SaveMode.Append).partitionBy("month")
+      .parquet(s"$outDir/$table")
+    out.count()
+  }
+
+  private def progressRow(
+      spark: SparkSession, rawTable: String, startSlot: Long, endSlot: Long,
+      status: String, processed: Long, failed: Long, error: Option[String],
+      version: Long): DataFrame = {
+    val row = Row(rawTable, startSlot, endSlot, status, processed, failed,
+      error.orNull, new Timestamp(System.currentTimeMillis()), version)
+    spark.createDataFrame(
+      java.util.Arrays.asList(row), Schemas.transformerProgress)
+  }
+
+  /** Transform one blocks chunk into all block-derived tables. The parsed
+    * intermediate is persisted so the JSON parse runs ONCE for the 13-table
+    * fan-out (SURVEY §7.4 multi-output transform). */
+  def transformBlocksChunk(
+      spark: SparkSession, cfg: ChainConfig, rawDir: String, outDir: String,
+      progress: LedgerStore, startSlot: Long, endSlot: Long,
+      allowedTables: Option[Set[String]] = None,
+      version: Long = System.currentTimeMillis()): Boolean = {
+    try {
+      val chunk = chunkData(readRaw(spark, rawDir), startSlot, endSlot)
+      val parsed = BlockParser.withParsed(chunk).persist()
+      try {
+        val tables = BlockParser.parseAll(parsed, cfg, version, allowedTables)
+        var total = 0L
+        tables.foreach { case (name, df) =>
+          total += writeTable(df.drop("month"), cfg, outDir, name)
+        }
+        progress.append(progressRow(spark, "raw_blocks", startSlot, endSlot,
+          "completed", total, 0L, None, version))
+        true
+      } finally parsed.unpersist()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        progress.append(progressRow(spark, "raw_blocks", startSlot, endSlot,
+          "failed", 0L, 1L, Some(String.valueOf(e.getMessage)), version))
+        false
+    }
+  }
+
+  /** Transform a chunk of a single-output raw table (validators, rewards,
+    * pending queues, sidecars). `parse` is one of [[StateParsers]]. */
+  def transformStateChunk(
+      spark: SparkSession, cfg: ChainConfig, rawDir: String, outDir: String,
+      progress: LedgerStore, rawTable: String, outTable: String,
+      parse: (DataFrame, ChainConfig, Long) => DataFrame,
+      startSlot: Long, endSlot: Long,
+      version: Long = System.currentTimeMillis()): Boolean = {
+    try {
+      val chunk = chunkData(readRaw(spark, rawDir), startSlot, endSlot)
+      val n = writeTable(parse(chunk, cfg, version), cfg, outDir, outTable)
+      progress.append(progressRow(spark, rawTable, startSlot, endSlot,
+        "completed", n, 0L, None, version))
+      true
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        progress.append(progressRow(spark, rawTable, startSlot, endSlot,
+          "failed", 0L, 1L, Some(String.valueOf(e.getMessage)), version))
+        false
+    }
+  }
+
+  /** D4 batch loop: discover untransformed chunks (J1) and process them.
+    * Returns the number of chunks processed. */
+  def runBatch(
+      spark: SparkSession, cfg: ChainConfig, rawDir: String, outDir: String,
+      chunkLedger: LedgerStore, progressLedger: LedgerStore,
+      loader: String = "blocks", chunksPerFetch: Int = 50): Int = {
+    val ledger = chunkLedger.read(spark, Schemas.loadStateChunks)
+    val progress = progressLedger.read(spark, Schemas.transformerProgress)
+    val todo = Ledger
+      .untransformedChunks(ledger, progress, loader, chunksPerFetch)
+      .select("start_slot", "end_slot")
+      .collect()
+    todo.foreach { r =>
+      transformBlocksChunk(spark, cfg, rawDir, outDir, progressLedger,
+        r.getLong(0), r.getLong(1))
+    }
+    todo.length
+  }
+
+  /** Read-side FINAL view of a structured table (dedup by its natural key
+    * at max insert_version) — the engine-wide `latest(table)` surface. */
+  def latestTable(spark: SparkSession, outDir: String, table: String,
+      keys: Seq[String]): DataFrame =
+    Ledger.latest(spark.read.parquet(s"$outDir/$table"), keys, "insert_version")
+
+  /** Natural ORDER BY keys per structured table (from migrations §1). */
+  val tableKeys: Map[String, Seq[String]] = Map(
+    "blocks" -> Seq("slot"),
+    "attestations" -> Seq("slot", "attestation_index", "committee_index"),
+    "deposits" -> Seq("slot", "deposit_index", "pubkey"),
+    "voluntary_exits" -> Seq("slot", "validator_index"),
+    "proposer_slashings" -> Seq("slot", "slashing_index", "header_1_proposer_index"),
+    "attester_slashings" -> Seq("slot", "slashing_index", "att_1_committee_index"),
+    "sync_aggregates" -> Seq("slot"),
+    "execution_payloads" -> Seq("slot", "block_number"),
+    "transactions" -> Seq("slot", "transaction_index", "transaction_hash"),
+    "withdrawals" -> Seq("slot", "withdrawal_index", "validator_index"),
+    "bls_changes" -> Seq("slot", "change_index", "validator_index"),
+    "blob_commitments" -> Seq("slot", "commitment_index"),
+    "blob_sidecars" -> Seq("slot", "blob_index"),
+    "execution_requests" -> Seq("slot"),
+    "validators" -> Seq("slot", "validator_index"),
+    "rewards" -> Seq("slot", "proposer_index"),
+    "pending_consolidations" -> Seq("slot", "source_index", "target_index"),
+    "pending_deposits" -> Seq("slot", "pubkey", "deposit_slot"),
+    "pending_partial_withdrawals" -> Seq("slot", "validator_index", "withdrawable_epoch"),
+    "data_column_sidecars" -> Seq("slot", "column_index"))
+}

@@ -1,0 +1,147 @@
+package graft
+
+import graft.beacon._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class BlockParserSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private val cfg = ChainConfig.gnosis
+
+  private def rawOf(rows: (Long, String)*): DataFrame =
+    rows.toSeq
+      .map { case (s, p) =>
+        (s, p, graft.functions.CanonicalJson.payloadHash16(p),
+          new java.sql.Timestamp(1700000000000L))
+      }
+      .toDF("slot", "payload", "payload_hash", "retrieved_at")
+
+  private lazy val tables = BlockParser.parseAll(
+    rawOf(21405700L -> BeaconFixtures.electraBlock, 5L -> BeaconFixtures.phase0Block),
+    cfg, insertVersion = 7L)
+
+  test("blocks: header fields, derived counts, popcount, fork version (P1)") {
+    val b = tables("blocks").orderBy("slot").collect()
+    assert(b.length === 2)
+    val phase0 = b(0)
+    assert(phase0.getAs[String]("version") === "0x00000064")
+    assert(phase0.getAs[Long]("sync_aggregate_participation") === 0L)
+    assert(phase0.getAs[Int]("withdrawals_count") === 0)
+    val electra = b(1)
+    assert(electra.getAs[Long]("proposer_index") === 12345L)
+    assert(electra.getAs[String]("version") === "0x05000064")
+    assert(electra.getAs[Long]("eth1_deposit_count") === 567L)
+    // 0xffff = 16 set bits
+    assert(electra.getAs[Long]("sync_aggregate_participation") === 16L)
+    assert(electra.getAs[Int]("withdrawals_count") === 2)
+    assert(electra.getAs[Int]("blob_kzg_commitments_count") === 2)
+    // 1 deposit + 1 withdrawal + 0 consolidations
+    assert(electra.getAs[Int]("execution_requests_count") === 2)
+    assert(electra.getAs[Long]("insert_version") === 7L)
+  }
+
+  test("attestations: enumerate + checkpoint flatten (P2)") {
+    val a = tables("attestations").orderBy("attestation_index").collect()
+    assert(a.length === 2)
+    assert(a(0).getAs[Long]("attestation_index") === 0L)
+    assert(a(0).getAs[Long]("committee_index") === 3L)
+    assert(a(0).getAs[Long]("source_epoch") === 1337855L)
+    assert(a(1).getAs[Long]("attestation_slot") === 21405698L)
+  }
+
+  test("deposits keep proof array (P3)") {
+    val d = tables("deposits").collect()
+    assert(d.length === 1)
+    assert(d(0).getAs[Seq[String]]("proof") === Seq("0xp1", "0xp2"))
+    assert(d(0).getAs[Long]("amount") === 32000000000L)
+  }
+
+  test("attester_slashings: indices cast + distinct union total (P6)") {
+    val s = tables("attester_slashings").collect()
+    assert(s.length === 1)
+    val r = s(0)
+    assert(r.getAs[Seq[Long]]("att_1_attesting_indices") === Seq(1L, 2L, 3L))
+    assert(r.getAs[Int]("att_1_validator_count") === 3)
+    assert(r.getAs[Int]("att_2_validator_count") === 4)
+    // |{1,2,3} ∪ {2,3,4,5}| = 5
+    assert(r.getAs[Int]("total_slashed_validators") === 5)
+  }
+
+  test("sync_aggregates only for blocks carrying one; popcount columns (P7)") {
+    val s = tables("sync_aggregates").collect()
+    assert(s.length === 1)
+    assert(s(0).getAs[Int]("participation_count") === 16)
+    assert(s(0).getAs[Int]("participating_validators") === 16)
+  }
+
+  test("execution_payloads: Deneb fields, huge base_fee stays string (P8)") {
+    val e = tables("execution_payloads").collect()
+    assert(e.length === 1)
+    val r = e(0)
+    assert(r.getAs[Long]("block_number") === 35000000L)
+    assert(r.getAs[Long]("transactions_count") === 3L)
+    assert(r.getAs[Long]("withdrawals_count") === 2L)
+    assert(r.getAs[Long]("blob_gas_used") === 131072L)
+    // > Long.MaxValue — preserved as string (migration declares String)
+    assert(r.getAs[String]("base_fee_per_gas") === "18446744073709551616")
+  }
+
+  test("transactions: stable placeholder hash format (P9, documented divergence)") {
+    val t = tables("transactions").orderBy("transaction_index").collect()
+    assert(t.length === 3)
+    assert(t.forall(_.getAs[String]("transaction_hash").matches("tx_hash_[0-9a-f]{8}")))
+    assert(t(0).getAs[Long]("gas_limit") === 30000000L)
+    // deterministic across runs
+    val again = BlockParser.parseAll(
+      rawOf(21405700L -> BeaconFixtures.electraBlock), cfg)("transactions")
+      .orderBy("transaction_index").collect()
+    assert(t.map(_.getAs[String]("transaction_hash")).toSeq ===
+      again.map(_.getAs[String]("transaction_hash")).toSeq)
+  }
+
+  test("withdrawals / bls_changes / blob_commitments (P10-P12)") {
+    assert(tables("withdrawals").count() === 2)
+    val w = tables("withdrawals").orderBy("withdrawal_index").head()
+    assert(w.getAs[Long]("withdrawal_index") === 9000L)
+    assert(w.getAs[Long]("amount") === 123456L)
+    val b = tables("bls_changes").head()
+    assert(b.getAs[Long]("validator_index") === 55L)
+    val c = tables("blob_commitments").orderBy("commitment_index").collect()
+    assert(c.map(_.getAs[String]("commitment")).toSeq === Seq("0xkzg1", "0xkzg2"))
+  }
+
+  test("execution_requests: JSON payload + counts, zero-count rows dropped (P14)") {
+    val e = tables("execution_requests").collect()
+    assert(e.length === 1)
+    val r = e(0)
+    assert(r.getAs[Int]("deposits_count") === 1)
+    assert(r.getAs[Int]("withdrawals_count") === 1)
+    assert(r.getAs[Int]("consolidations_count") === 0)
+    assert(r.getAs[String]("payload").contains("\"pubkey\""))
+  }
+
+  test("F8: allowedTables filters the fan-out") {
+    val only = BlockParser.parseAll(
+      rawOf(21405700L -> BeaconFixtures.electraBlock), cfg,
+      allowedTables = Some(Set("blocks", "attestations")))
+    assert(only.keySet === Set("blocks", "attestations"))
+  }
+
+  test("slot_timestamp = genesis + slot*5s (C8 on gnosis)") {
+    val b = tables("blocks").filter($"slot" === 5L).head()
+    val ts = b.getAs[java.sql.Timestamp]("slot_timestamp")
+    assert(ts.getTime / 1000 === cfg.genesisTimeUnix + 5 * 5)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.{CanonicalJson, HexUtil}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  test("popcountHex matches Long.bitCount over seeded random longs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val v = rnd.nextLong() & Long.MaxValue
+      val hex = java.lang.Long.toHexString(v)
+      assert(HexUtil.popcountHex(u("0x" + hex)) === java.lang.Long.bitCount(v))
+      assert(HexUtil.popcountHex(u(hex)) === java.lang.Long.bitCount(v))
+    }
+  }
+
+  test("popcountHex edge cases (reference fork_base.py:141-161 semantics)") {
+    assert(HexUtil.popcountHex(u("")) === 0)
+    assert(HexUtil.popcountHex(u("0x")) === 0)
+    assert(HexUtil.popcountHex(null) === 0)
+    assert(HexUtil.popcountHex(u("0xff")) === 8)
+    assert(HexUtil.popcountHex(u("0xFF")) === 8)
+    // non-hex chars contribute 0 (reference raises → 0 via except)
+    assert(HexUtil.popcountHex(u("0xzz")) === 0)
+    // long bitfield (512-bit sync committee = 128 hex chars)
+    assert(HexUtil.popcountHex(u("0x" + "f" * 128)) === 512)
+  }
+
+  test("hexByteLen = len//2 after 0x strip (data_column_sidecars.py:67-74)") {
+    assert(HexUtil.hexByteLen(u("0xaabb")) === 2)
+    assert(HexUtil.hexByteLen(u("aabb")) === 2)
+    assert(HexUtil.hexByteLen(u("0x")) === 0)
+    assert(HexUtil.hexByteLen(u("0xabc")) === 1) // odd length floors
+    assert(HexUtil.hexByteLen(null) === 0)
+  }
+
+  test("safeLong: hex, decimal, garbage, UInt64 clamp (fork_base.py:210-222)") {
+    assert(HexUtil.safeLong(u("123"), 0L) === 123L)
+    assert(HexUtil.safeLong(u("0x10"), 0L) === 16L)
+    assert(HexUtil.safeLong(u("0X10"), 0L) === 16L)
+    assert(HexUtil.safeLong(u(""), 7L) === 7L)
+    assert(HexUtil.safeLong(u("nope"), 7L) === 7L)
+    assert(HexUtil.safeLong(null, 7L) === 7L)
+    // FAR_FUTURE_EPOCH = 2^64-1 clamps to Long.MaxValue (SURVEY §7.4)
+    assert(HexUtil.safeLong(u("18446744073709551615"), 0L) === Long.MaxValue)
+  }
+
+  test("canonical JSON hash matches Python json.dumps(sort_keys, separators) sha256[:16]") {
+    // expected values computed with CPython json + hashlib
+    assert(CanonicalJson.payloadHash16("""{"b": 1, "a": "ü"}""") === "9e638ba662cf3592")
+    assert(CanonicalJson.payloadHash16(
+      """{"slot": "123", "nested": {"z": [1, 2, 3], "a": null, "t": true}}""") === "b0df9031656391f5")
+    // astral-plane emoji → surrogate-pair 🚀 escaping
+    assert(CanonicalJson.payloadHash16(
+      "{\"graffiti\": \"héllo 🚀\", \"x\": \"0xdead\"}") === "fb1a1b2562851190")
+    assert(CanonicalJson.payloadHash16("""{"data": []}""") === "8fe32e407a1038ee")
+  }
+
+  test("canonicalize sorts keys recursively with compact separators") {
+    assert(CanonicalJson.canonicalize("""{"b": 1, "a": {"d": 2, "c": 3}}""") ===
+      """{"a":{"c":3,"d":2},"b":1}""")
+  }
+
+  test("payloadHash16 on invalid JSON falls back to raw-string hash, 16 hex") {
+    val h = CanonicalJson.payloadHash16("not json at all")
+    assert(h.length === 16 && h.matches("[0-9a-f]{16}"))
+  }
+}

@@ -1,0 +1,150 @@
+package graft
+
+import graft.beacon._
+import graft.streaming.{ChunkedTail, HeadProbe}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** End-to-end pipeline: mock fetch → raw ingest (+ledger) → transform →
+  * query, plus ledger/maintenance/streaming semantics (SURVEY §3).
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private val cfg = ChainConfig.gnosis
+
+  private def tmp(): String = Files.createTempDirectory("graft").toString
+
+  private def fetcherFor(slots: Range): MapSlotFetcher =
+    MapSlotFetcher(slots.collect {
+      // every 5th slot is an empty slot (404 → absent)
+      case s if s % 5 != 4 =>
+        s.toLong -> BeaconFixtures.electraBlock
+          .replace("\"slot\": \"21405700\"", s"""\"slot\": \"$s\"""")
+    }.toMap)
+
+  test("ledger: chunk planning aligns and truncates (D1)") {
+    val chunks = Ledger.planChunks(spark, 250, 999, 100, "blocks").collect()
+    assert(chunks.head.getAs[Long]("start_slot") === 200L)
+    assert(chunks.head.getAs[Long]("end_slot") === 299L)
+    assert(chunks.last.getAs[Long]("end_slot") === 999L)
+    assert(chunks.length === 8)
+  }
+
+  test("ledger: versioned transitions, latest wins; anti-join discovery (J1)") {
+    val store = LedgerStore(tmp() + "/chunks")
+    val progress = LedgerStore(tmp() + "/progress")
+    val planned = Ledger.planChunks(spark, 0, 199, 100, "blocks")
+    store.append(planned)
+    store.append(Ledger.transition(planned.limit(1), "completed", "w1", 5L))
+    val ledger = store.read(spark, Schemas.loadStateChunks)
+    val states = Ledger.chunkStates(ledger).orderBy("start_slot").collect()
+    assert(states.length === 2)
+    assert(states(0).getAs[String]("status") === "completed")
+    assert(states(1).getAs[String]("status") === "pending")
+    // one completed chunk, nothing transformed → 1 untransformed
+    val todo = Ledger.untransformedChunks(
+      ledger, progress.read(spark, Schemas.transformerProgress), "blocks")
+    assert(todo.count() === 1)
+    // overview conditional agg (A1)
+    val ov = Ledger.overview(ledger).head()
+    assert(ov.getAs[Long]("completed_chunks") === 1L)
+    assert(ov.getAs[Long]("pending_chunks") === 1L)
+  }
+
+  test("e2e: ingest chunk → transform → §7.3 flagship query; empty slots skipped") {
+    val rawDir = tmp() + "/raw_blocks"
+    val outDir = tmp() + "/tables"
+    val chunkLedger = LedgerStore(tmp() + "/chunks")
+    val progressLedger = LedgerStore(tmp() + "/progress")
+
+    val ok = RawIngest.ingestChunk(spark, cfg, fetcherFor(0 until 100), rawDir,
+      chunkLedger, "blocks", 0, 99, parallelism = 4)
+    assert(ok)
+    val raw = spark.read.parquet(rawDir)
+    assert(raw.count() === 80) // 20 of 100 slots empty
+    assert(raw.columns.contains("month"))
+    // payload_hash is the canonical sha256[:16]
+    assert(raw.head().getAs[String]("payload_hash").matches("[0-9a-f]{16}"))
+
+    assert(Transformer.transformBlocksChunk(
+      spark, cfg, rawDir, outDir, progressLedger, 0, 99, version = 1L))
+
+    // SURVEY §7.3 target query
+    spark.read.parquet(s"$outDir/blocks").createOrReplaceTempView("blocks")
+    val top = spark.sql(
+      """SELECT slot, proposer_index, version, slot_timestamp FROM blocks
+        |WHERE slot > 50 ORDER BY slot DESC LIMIT 10""".stripMargin).collect()
+    assert(top.length === 10)
+    assert(top.head.getAs[Long]("slot") === 98L) // 99 % 5 == 4 → empty
+    assert(top.forall(_.getAs[String]("version") === "0x00000064"))
+
+    // fan-out tables materialized
+    assert(spark.read.parquet(s"$outDir/attestations").count() === 160L) // 2 per block
+    assert(spark.read.parquet(s"$outDir/transactions").count() === 240L) // 3 per block
+
+    // progress ledger recorded completed
+    val st = Ledger.transformStatus(
+      progressLedger.read(spark, Schemas.transformerProgress)).head()
+    assert(st.getAs[Long]("completed") === 1L)
+
+    // re-transform at higher version → latest() still one row per slot (R4 idempotency)
+    assert(Transformer.transformBlocksChunk(
+      spark, cfg, rawDir, outDir, progressLedger, 0, 99, version = 2L))
+    val latest = Transformer.latestTable(spark, outDir, "blocks", Seq("slot"))
+    assert(latest.count() === 80L)
+    assert(latest.agg(min("insert_version")).head().getLong(0) === 2L)
+
+    // gap detection (J3): empty slots show as gaps
+    val gaps = Ledger.gaps(spark, raw, 0, 99, sampleLimit = 100).collect()
+    assert(gaps.length === 20)
+    assert(gaps.head.getAs[Long]("slot") === 4L)
+
+    // maintenance: delete a slot window then verify it is gone (D5)
+    Maintenance.deleteSlotRange(spark, rawDir, cfg, 0, 9)
+    assert(spark.read.parquet(rawDir).filter(col("slot") <= 9).count() === 0)
+    assert(spark.read.parquet(rawDir).count() === 72) // 80 - 8 present in 0..9
+  }
+
+  test("realtime chunk-aligned tail: only complete chunks, idempotent resume (R1-R4)") {
+    val rawDir = tmp() + "/raw_rt"
+    val chunkLedger = LedgerStore(tmp() + "/chunks_rt")
+    @volatile var head = 259L
+    val probe = new HeadProbe { def headSlot(): Long = head }
+    val tail = new ChunkedTail(spark, cfg, fetcherFor(0 until 400), probe, rawDir,
+      chunkLedger, chunkSize = 100L, slotDelay = 10L, pollMillis = 1L)
+
+    // head=259, delay=10 → target=249 → chunks [100,199] complete only
+    // (chunk [0,99] also complete; resume starts at -1)
+    val last = tail.run(1)
+    assert(last === 199L)
+    val raw = spark.read.parquet(rawDir)
+    assert(Ledger.maxSlot(raw).get <= 199L)
+
+    // advance head → next chunk becomes complete; resume picks up from raw
+    head = 370L
+    val last2 = tail.run(1)
+    assert(last2 === 299L)
+    // no duplicate ingest of completed chunks (ledger idempotency probe)
+    assert(tail.isChunkCompleted(100, 199))
+    val states = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))
+    assert(states.filter(col("start_slot") === 100L).count() === 1)
+  }
+
+  test("fetch gates: fork-activation floor + daily-snapshot slots (F5/F6)") {
+    val slots = (27435000L to 27435020L).toSeq
+    val gated = RawIngest.gateSlots(cfg, slots, activationFork = Some("fulu"))
+    assert(gated.head === 27435008L)
+    // daily gating picks exactly the last slot of each UTC day
+    val daily = RawIngest.gateSlots(cfg, (0L to 17280L * 2).toSeq, dailyOnly = true)
+    assert(daily.nonEmpty)
+    daily.foreach { s =>
+      val d1 = (cfg.genesisTimeUnix + s * 5) / 86400
+      val d2 = (cfg.genesisTimeUnix + (s + 1) * 5) / 86400
+      assert(d1 != d2)
+    }
+  }
+}
