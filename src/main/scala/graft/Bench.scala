@@ -11,6 +11,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb session/codegen warmup so the first timed query isn't charged for it
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -46,14 +46,20 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(w)))))
   }
 
-  /** MinHash signature as `numHashes` min-of-keyed-md5 values — computed
+  /** MinHash signature as `numHashes` min-of-keyed-hash values — computed
     * entirely per row (array transform + array_min), zero shuffle.
-    * Seeded hash i = md5(i || "#" || token).
-    */
-  def minhashSignature(tokens: Column, numHashes: Int): Seq[Column] =
+    * md5 variant: oracle-parity (DuckDB md5 is identical). */
+  def minhashSignatureMd5(tokens: Column, numHashes: Int): Seq[Column] =
     (1 to numHashes).map { i =>
       array_min(transform(tokens, t => md5(concat(lit(s"$i#"), t)))).as(s"mh$i")
     }
+
+  /** Scale-path signature: single-pass codegen'd [[MinHashSignature]]
+    * expression (all k mins in one loop over the token bytes). */
+  def minhashSignature(tokens: Column, numHashes: Int): Seq[Column] = {
+    val sig = MinHash.signature(tokens, numHashes)
+    (1 to numHashes).map(i => element_at(sig, i).as(s"mh$i"))
+  }
 
   /** LSH candidate pairs: documents whose signatures collide on at least
     * one band of `rowsPerBand` consecutive hashes. The self-join key is the
@@ -62,16 +68,28 @@ object Dedup {
     */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val sig = df.select(col(idCol).as("id") +: minhashSignature(tokenSet(col(textCol)), numHashes): _*)
+      numHashes: Int, rowsPerBand: Int, shingleWidth: Int = 1): DataFrame = {
+    val units =
+      if (shingleWidth <= 1) tokenSet(col(textCol)) else shingles(col(textCol), shingleWidth)
+    // Small inputs (one parquet file) arrive as one partition; fan the
+    // heavy per-row signature compute across all cores first (at scale the
+    // exchange is round-robin and narrow relative to the signature cost).
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val withUnits = df.repartition(parts).select(col(idCol).as("id"), units.as("units"))
+    val sig = withUnits
+      .select(col("id"), MinHash.signature(col("units"), numHashes).as("sig"))
+      .select(col("id") +: (1 to numHashes).map(i => element_at(col("sig"), i).as(s"mh$i")): _*)
     val nBands = numHashes / rowsPerBand
     val bands = (0 until nBands).map { b =>
       val cols = (b * rowsPerBand + 1 to (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
-      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bh"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }
     val buckets = sig
       .select(col("id"), explode(array(bands: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      // self-join below: persist so the signature pipeline runs once, not
+      // once per join side
+      .persist()
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

@@ -68,25 +68,29 @@ object LlmInventory {
   }
 
   /** MinHash band-bucket candidate pairs, 4 hashes / 2 bands of 2 —
-    * oracle-checkable because the seeded hash is md5. */
+    * oracle-checkable because the seeded hash is md5. The OR-of-bands is
+    * planned as a UNION of two hash equi-joins + distinct (an OR join
+    * condition would force a nested-loop — quadratic at scale). */
   val d4MinhashBand: Q = (s, d) => {
     val sig = documents(s, d)
       .filter(col("doc_id") < 100)
-      .select(col("doc_id") +: Dedup.minhashSignature(Dedup.tokenSet(col("text")), 4): _*)
-    val a = sig.select(col("doc_id").as("d1"), col("mh1"), col("mh2"), col("mh3"), col("mh4"))
-    val b = sig.select(col("doc_id").as("d2"),
-      col("mh1").as("n1"), col("mh2").as("n2"), col("mh3").as("n3"), col("mh4").as("n4"))
-    a.join(b, col("d1") < col("d2") &&
-        ((col("mh1") === col("n1") && col("mh2") === col("n2")) ||
-         (col("mh3") === col("n3") && col("mh4") === col("n4"))))
-      .select("d1", "d2")
+      .select(col("doc_id") +: Dedup.minhashSignatureMd5(Dedup.tokenSet(col("text")), 4): _*)
+    def bandPairs(h1: String, h2: String) = {
+      val a = sig.select(col("doc_id").as("d1"), col(h1).as("b1"), col(h2).as("b2"))
+      val b = sig.select(col("doc_id").as("d2"), col(h1).as("b1"), col(h2).as("b2"))
+      a.join(b, Seq("b1", "b2")).filter(col("d1") < col("d2")).select("d1", "d2")
+    }
+    bandPairs("mh1", "mh2").unionByName(bandPairs("mh3", "mh4")).distinct()
   }
 
   /** Full MinHash-LSH pipeline (shingle→minhash→band→bucket join) — the
-    * scale path; rows-only check (band hashing not oracle-expressible). */
+    * scale path; rows-only check (band hashing not oracle-expressible).
+    * 3-word shingles + 2 bands of 4 hashes: collision probability stays
+    * selective even on the synthetic corpus's tiny vocabulary. */
   val d5MinhashLsh: Q = (s, d) =>
     Dedup.minhashCandidatePairs(
-      documents(s, d), "doc_id", "text", numHashes = 8, rowsPerBand = 2)
+      documents(s, d), "doc_id", "text", numHashes = 8, rowsPerBand = 4,
+      shingleWidth = 3)
       .orderBy("d1", "d2")
 
   /** SimHash near-dup buckets — rows-only check. */
