@@ -1,0 +1,148 @@
+package graft
+
+import graft.beacon._
+import graft.streaming.{ChunkedTail, HeadProbe}
+import org.apache.spark.sql.SparkSession
+
+/** CLI (reference D10 parity: src/cli.py) —
+  *
+  * {{{
+  * graft load backfill  --base DIR --start-slot A --end-slot B [--beacon-url U] [--chunk-size N]
+  * graft load realtime  --base DIR --beacon-url U [--delay N] [--chunk-size N] [--iterations N]
+  * graft transform batch --base DIR [--network gnosis|mainnet]
+  * graft maintain check|fix|reset --base DIR
+  * graft fork info --slot S [--network gnosis|mainnet]
+  * graft fork list [--network gnosis|mainnet]
+  * }}}
+  *
+  * `--base DIR` holds `raw_blocks/`, `tables/`, `load_state_chunks/`,
+  * `transformer_progress/`. Without `--beacon-url` the loader uses an
+  * offline deterministic fetcher (CI/testing).
+  */
+object Main {
+
+  private def opt(args: Array[String], name: String): Option[String] = {
+    val i = args.indexOf(s"--$name")
+    if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+  }
+
+  private def session(): SparkSession = graft.core.Sessions.local(
+    sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+
+  private def cfgOf(args: Array[String]): ChainConfig =
+    if (opt(args, "network").contains("mainnet")) ChainConfig.mainnet else ChainConfig.gnosis
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "load" :: "backfill" :: rest => backfill(rest.toArray)
+    case "load" :: "realtime" :: rest => realtime(rest.toArray)
+    case "transform" :: "batch" :: rest => transform(rest.toArray)
+    case "maintain" :: cmd :: rest if Set("check", "fix", "reset")(cmd) => maintain(cmd, rest.toArray)
+    case "fork" :: "info" :: rest => forkInfo(rest.toArray)
+    case "fork" :: "list" :: rest =>
+      cfgOf(rest.toArray).forks.foreach(f => println(s"${f.name}\tepoch=${f.epoch}\tversion=${f.version}"))
+    case _ =>
+      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|fork info|fork list} [options]")
+      sys.exit(2)
+  }
+
+  private def fetcherOf(args: Array[String]): SlotFetcher =
+    opt(args, "beacon-url") match {
+      case Some(url) => HttpSlotFetcher(url, "/eth/v2/beacon/blocks/{slot}")
+      case None => // offline deterministic fetcher for CI
+        new SlotFetcher {
+          def fetch(slot: Long): Option[String] =
+            if (slot % 10 == 9) None
+            else Some(
+              s"""{"version":"phase0","data":{"message":{"slot":"$slot","proposer_index":"${slot % 64}","parent_root":"0xp","state_root":"0xs","body":{"randao_reveal":"0xr","graffiti":"0x00","eth1_data":{"deposit_root":"0xd","deposit_count":"1","block_hash":"0xb"},"attestations":[],"deposits":[],"voluntary_exits":[],"proposer_slashings":[],"attester_slashings":[]}},"signature":"0xbs"}}""")
+        }
+    }
+
+  private def backfill(args: Array[String]): Unit = {
+    val spark = session()
+    val base = opt(args, "base").getOrElse(sys.error("--base required"))
+    val cfg = cfgOf(args)
+    val start = opt(args, "start-slot").map(_.toLong).getOrElse(0L)
+    val end = opt(args, "end-slot").map(_.toLong).getOrElse(start + 999L)
+    val cs = opt(args, "chunk-size").map(_.toLong).getOrElse(1000L)
+    val ledger = LedgerStore(s"$base/load_state_chunks")
+    val fetcher = fetcherOf(args)
+    // plan → skip already-completed (the bulk anti-join) → ingest
+    val planned = Ledger.planChunks(spark, start, end, cs, "blocks")
+    val existing = ledger.read(spark, Schemas.loadStateChunks)
+    val todo = Ledger.newChunks(planned, Ledger.chunkStates(existing)
+      .filter(org.apache.spark.sql.functions.col("status") === "completed"))
+      .select("start_slot", "end_slot").collect()
+    println(s"[graft] backfill: ${todo.length} chunks to load")
+    todo.foreach { r =>
+      val ok = RawIngest.ingestChunk(spark, cfg, fetcher, s"$base/raw_blocks",
+        ledger, "blocks", r.getLong(0), r.getLong(1),
+        parallelism = spark.sparkContext.defaultParallelism)
+      println(s"[graft] chunk ${r.getLong(0)}-${r.getLong(1)}: ${if (ok) "completed" else "failed"}")
+    }
+    spark.stop()
+  }
+
+  private def realtime(args: Array[String]): Unit = {
+    val spark = session()
+    val base = opt(args, "base").getOrElse(sys.error("--base required"))
+    val cfg = cfgOf(args)
+    val url = opt(args, "beacon-url").getOrElse(sys.error("--beacon-url required for realtime"))
+    val probe = new HeadProbe {
+      def headSlot(): Long = {
+        val client = java.net.http.HttpClient.newHttpClient()
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"$url/eth/v1/beacon/headers/head")).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        """"slot"\s*:\s*"(\d+)"""".r.findFirstMatchIn(resp.body())
+          .map(_.group(1).toLong).getOrElse(sys.error("no head slot"))
+      }
+    }
+    val tail = new ChunkedTail(spark, cfg, fetcherOf(args), probe,
+      s"$base/raw_blocks", LedgerStore(s"$base/load_state_chunks"),
+      chunkSize = opt(args, "chunk-size").map(_.toLong).getOrElse(100L),
+      slotDelay = opt(args, "delay").map(_.toLong).getOrElse(100L))
+    tail.run(opt(args, "iterations").map(_.toInt).getOrElse(Int.MaxValue))
+    spark.stop()
+  }
+
+  private def transform(args: Array[String]): Unit = {
+    val spark = session()
+    val base = opt(args, "base").getOrElse(sys.error("--base required"))
+    val n = Transformer.runBatch(spark, cfgOf(args), s"$base/raw_blocks",
+      s"$base/tables", LedgerStore(s"$base/load_state_chunks"),
+      LedgerStore(s"$base/transformer_progress"))
+    println(s"[graft] transform batch: $n chunks processed")
+    spark.stop()
+  }
+
+  private def maintain(cmd: String, args: Array[String]): Unit = {
+    val spark = session()
+    val base = opt(args, "base").getOrElse(sys.error("--base required"))
+    val chunkLedger = LedgerStore(s"$base/load_state_chunks")
+    val progressLedger = LedgerStore(s"$base/transformer_progress")
+    cmd match {
+      case "check" =>
+        Maintenance.check(spark, chunkLedger, progressLedger, Seq("blocks"))
+          .foreach { case (name, df) => println(s"[graft] $name:"); df.show(50, truncate = false) }
+      case "fix" =>
+        val failed = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))
+          .filter(org.apache.spark.sql.functions.col("status") === "failed")
+        val n = Maintenance.fixChunks(spark, cfgOf(args), s"$base/raw_blocks", chunkLedger, failed)
+        println(s"[graft] fixed $n chunks (reset to pending; re-run load + transform)")
+      case "reset" =>
+        val claimed = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))
+          .filter(org.apache.spark.sql.functions.col("status") === "claimed")
+        Maintenance.resetChunks(chunkLedger, claimed)
+        println("[graft] claimed chunks reset to pending")
+    }
+    spark.stop()
+  }
+
+  private def forkInfo(args: Array[String]): Unit = {
+    val cfg = cfgOf(args)
+    val slot = opt(args, "slot").map(_.toLong).getOrElse(0L)
+    val f = cfg.forkAtSlotValue(slot)
+    println(s"slot=$slot fork=${f.name} version=${f.version} epoch=${slot / cfg.slotsPerEpoch}")
+  }
+}

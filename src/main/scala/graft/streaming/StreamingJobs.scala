@@ -1,0 +1,103 @@
+package graft.streaming
+
+import graft.beacon._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Structured Streaming surface (SURVEY §2.9 R1–R5 re-expressed
+  * Spark-native). Three jobs:
+  *
+  *  1. [[rawIngestStream]] — the realtime loader as a streaming query:
+  *     a slot stream → `foreachBatch` (fetch, payload-hash dedup, raw
+  *     write + ledger append). Checkpointing + the idempotent replace-keyed
+  *     sink give the reference's exactly-once semantics (R4).
+  *  2. [[windowedActivity]] — event-time tumbling-window aggregation with
+  *     a watermark: the reference's fixed `REALTIME_SLOT_DELAY` lateness
+  *     allowance (R2) expressed as `withWatermark`.
+  *  3. [[sessionize]] — `flatMapGroupsWithState` custom state, the
+  *     mechanism a per-validator / per-proposer running-state stream would
+  *     use (nothing in the reference needs more than this).
+  */
+object StreamingJobs {
+
+  /** R1/R4: slot-stream ingest via foreachBatch. `slots` is any streaming
+    * Dataset[Long] (rate source in prod, MemoryStream in tests). */
+  def rawIngestStream(
+      slots: Dataset[java.lang.Long], cfg: ChainConfig, fetcher: SlotFetcher,
+      rawDir: String, ledger: LedgerStore, loader: String,
+      checkpointDir: String): StreamingQuery = {
+    slots.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[java.lang.Long], batchId: Long) =>
+        val spark = batch.sparkSession
+        val slotList = batch.collect().map(_.longValue()).sorted
+        if (slotList.nonEmpty) {
+          val rows = RawIngest.fetchSlots(
+            spark, slotList.toSeq, fetcher,
+            parallelism = spark.sparkContext.defaultParallelism)
+          RawIngest.writeRaw(rows, cfg, rawDir)
+          val chunk = Ledger.planChunks(
+            spark, slotList.min, slotList.max, slotList.max - slotList.min + 1, loader)
+          ledger.append(Ledger.transition(chunk, "completed", s"stream-$batchId", batchId))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** R2/R3: watermarked tumbling-window rollup over an event-time stream.
+    * Late rows beyond the watermark are dropped — the streaming analog of
+    * the reference's head-delay reorg guard. */
+  def windowedActivity(
+      events: DataFrame, tsCol: String, keyCol: String,
+      windowLen: String = "5 minutes", lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col(keyCol), col("n"), col("total_value"))
+
+  final case class SessionInput(userId: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(n: Long, total: Double, lastTs: Long)
+  final case class SessionOutput(userId: Long, n: Long, total: Double, closed: Boolean)
+
+  /** Custom keyed state via flatMapGroupsWithState: per-key running
+    * aggregate with processing-time timeout (session close). */
+  def sessionize(
+      input: Dataset[SessionInput], timeoutMs: Long = 60000L): Dataset[SessionOutput] = {
+    import input.sparkSession.implicits._
+    input
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        (userId: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOutput(userId, s.n, s.total, closed = true))
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            val buf = rows.toSeq
+            val next = SessionState(
+              prev.n + buf.size, prev.total + buf.map(_.value).sum,
+              math.max(prev.lastTs, buf.map(_.ts.getTime).maxOption.getOrElse(0L)))
+            state.update(next)
+            state.setTimeoutDuration(timeoutMs)
+            Iterator.single(SessionOutput(userId, next.n, next.total, closed = false))
+          }
+        })
+  }
+
+  /** Convenience: stream the `events` testdata directory as a file source
+    * (schema-required for streaming reads). */
+  def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+      .withColumn("ts_micros", timestamp_micros(expr("ts div 1000")))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.queries.{Inventory, LlmInventory}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the scale properties SURVEY §4 promises must
+  * actually appear in the optimized plan, not just in comments. Guards
+  * against regressions that silently turn a pruned scan into a full scan
+  * or a broadcast join into a shuffle join.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = (Inventory.queries ++ LlmInventory.queries)(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("f1_range_scan: range predicate pushed into the parquet scan") {
+    val p = planOf("f1_range_scan")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThanOrEqual(event_id,100)"), p)
+    assert(p.contains("LessThanOrEqual(event_id,400)"), p)
+  }
+
+  test("f1_range_scan: column pruning — only the 3 projected columns are read") {
+    val p = planOf("f1_range_scan")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("event_id") && readSchema.contains("event_type") &&
+      readSchema.contains("value"), readSchema)
+    assert(!readSchema.contains("props") && !readSchema.contains("user_id"), readSchema)
+  }
+
+  test("j4_join_agg_broadcast: dim side broadcast, fact side never exchanged pre-join") {
+    val p = planOf("j4_join_agg_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("o1_topk: ORDER BY+LIMIT plans as TakeOrderedAndProject (no full sort)") {
+    val p = planOf("o1_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("a2_pricing_summary: partial aggregation before the exchange") {
+    val p = planOf("a2_pricing_summary")
+    val firstHash = p.indexOf("HashAggregate")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstHash >= 0 && firstExchange >= 0)
+    // formatted plan lists operators leaf-last; partial agg must exist on
+    // the scan side of the exchange
+    assert(p.split("Exchange").head.contains("HashAggregate") ||
+      p.contains("partial_"), p.take(2000))
+  }
+
+  test("j1_anti_join: planned as a broadcast/shuffle hash anti join, not nested loop") {
+    val p = planOf("j1_anti_join")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d5_minhash_lsh: band self-join is an equi hash join, not nested loop") {
+    val p = planOf("d5_minhash_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("custom expressions stay inside WholeStageCodegen") {
+    val p = planOf("c4_popcount")
+    // formatted mode marks codegen'd operators with "[codegen id : N]"
+    assert(p.contains("[codegen id :"), p)
+    // the projection carrying hex_popcount is itself codegen'd
+    val projLine = p.linesIterator.find(l => l.contains("Project") && l.contains("(4)"))
+    assert(projLine.exists(_.contains("*")), p.take(800))
+    assert(p.contains("hex_popcount"), p)
+  }
+
+  test("s1_cosine_topk: brute-force scan is a single pass + TakeOrdered") {
+    val p = planOf("s1_cosine_topk")
+    assert(p.contains("vec_cosine"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
