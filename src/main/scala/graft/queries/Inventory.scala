@@ -268,6 +268,21 @@ object Inventory {
         bit_count(col("event_id")).cast("int").as("pc"),
         hex_popcount(concat(lit("0x"), hex(col("event_id")))).as("pc2"))
 
+  /** C5: hex byte length — custom codegen expression over the hex
+    * rendering; oracle recomputes `len(hex)//2` directly. */
+  val c5HexByteLength: Q = (s, d) =>
+    events(s, d)
+      .filter(col("event_id") < 2000)
+      .select(
+        col("event_id"),
+        hex_byte_length(hex(col("event_id"))).as("n_bytes"))
+
+  /** J7: driver-side crossJoin of two 1-row frames (time_helpers compose
+    * shape; reference: src/loaders/specs.py:53-78). */
+  val j7CrossOneRow: Q = (s, d) =>
+    region(s, d).agg(count(lit(1)).as("n_regions"))
+      .crossJoin(nation(s, d).agg(count(lit(1)).as("n_nations")))
+
   /** C8: slot → timestamp (genesis + slot*seconds_per_slot). */
   val c8SlotTimestamp: Q = (s, d) =>
     events(s, d)
@@ -356,6 +371,8 @@ object Inventory {
     "c1_safe_long_hex" -> c1SafeLongHex,
     "c3_payload_hash" -> c3PayloadHash,
     "c4_popcount" -> c4Popcount,
+    "c5_hex_byte_length" -> c5HexByteLength,
+    "j7_cross_one_row" -> j7CrossOneRow,
     "c8_slot_timestamp" -> c8SlotTimestamp,
     "c9_epoch_rollup" -> c9EpochRollup,
     "c14_json_probe" -> c14JsonProbe,
@@ -462,6 +479,11 @@ object Inventory {
       """SELECT event_id, CAST(bit_count(event_id) AS INT) AS pc,
         |       CAST(bit_count(event_id) AS INT) AS pc2
         |FROM events WHERE event_id < 1000""".stripMargin,
+    "c5_hex_byte_length" ->
+      "SELECT event_id, CAST(length(hex(event_id)) // 2 AS INT) AS n_bytes FROM events WHERE event_id < 2000",
+    "j7_cross_one_row" ->
+      """SELECT (SELECT count(*) FROM region) AS n_regions,
+        |       (SELECT count(*) FROM nation) AS n_nations""".stripMargin,
     "c8_slot_timestamp" ->
       """SELECT event_id AS slot,
         |       make_timestamp((1638993340 + event_id * 5) * 1000000) AS slot_ts

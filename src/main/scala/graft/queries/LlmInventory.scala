@@ -93,6 +93,23 @@ object LlmInventory {
       shingleWidth = 3)
       .orderBy("d1", "d2")
 
+  /** Exact unigram Jaccard over all pairs in a doc window: the verify
+    * stage after LSH candidate generation. A single IEEE double division
+    * of two exact ints → bit-identical in Spark and DuckDB. */
+  val d8JaccardVerify: Q = (s, d) => {
+    val sub = documents(s, d)
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"), Dedup.tokenSet(col("text")).as("toks"))
+    val a = sub.select(col("doc_id").as("d1"), col("toks").as("t1"))
+    val b = sub.select(col("doc_id").as("d2"), col("toks").as("t2"))
+    a.join(b, col("d1") < col("d2"))
+      .select(
+        col("d1"), col("d2"),
+        (size(array_intersect(col("t1"), col("t2"))).cast("double") /
+          size(array_union(col("t1"), col("t2")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   /** SimHash near-dup buckets — rows-only check. */
   val d6Simhash: Q = (s, d) =>
     documents(s, d).select(
@@ -177,6 +194,7 @@ object LlmInventory {
     "d3_token_overlap" -> d3TokenOverlap,
     "d4_minhash_band" -> d4MinhashBand,
     "d5_minhash_lsh" -> d5MinhashLsh,
+    "d8_jaccard_verify" -> d8JaccardVerify,
     "d6_simhash" -> d6Simhash,
     "d7_embedding_near_dup" -> d7EmbeddingNearDup,
     "s1_cosine_topk" -> s1CosineTopK,
@@ -223,6 +241,30 @@ object LlmInventory {
         |SELECT a.doc_id AS d1, b.doc_id AS d2
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         | AND ((a.mh1 = b.mh1 AND a.mh2 = b.mh2) OR (a.mh3 = b.mh3 AND a.mh4 = b.mh4))""".stripMargin,
+    "d8_jaccard_verify" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+        |  FROM documents WHERE doc_id < 40),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT d1, d2, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+        |FROM common JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+        |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5""".stripMargin,
+    "d8_jaccard_verify" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+        |  FROM documents WHERE doc_id < 40),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT d1, d2, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+        |FROM common JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+        |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5""".stripMargin,
     "s1_cosine_topk" ->
       """SELECT rnk, vec_id FROM (
         |  SELECT vec_id,
