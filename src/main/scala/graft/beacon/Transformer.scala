@@ -41,8 +41,37 @@ object Transformer {
       "month", date_format(cfg.slotTimestamp(col("slot")), "yyyy-MM"))
     out.sortWithinPartitions("slot")
       .write.mode(SaveMode.Append).partitionBy("month")
+      // K3: width-aware output file sizing per table
+      .option("maxRecordsPerFile", Loaders.maxRecordsPerFile(table))
       .parquet(s"$outDir/$table")
     out.count()
+  }
+
+  /** Generic chunk transform for any registered loader: read its raw
+    * table, dedup, parse via the loader's parser, write every owned
+    * table, record progress. */
+  def transformChunk(
+      spark: SparkSession, cfg: ChainConfig, loader: LoaderDef,
+      rawDir: String, outDir: String, progress: LedgerStore,
+      startSlot: Long, endSlot: Long,
+      version: Long = System.currentTimeMillis()): Boolean = {
+    try {
+      val chunk = chunkData(readRaw(spark, rawDir), startSlot, endSlot)
+      val tables = loader.parse(chunk, cfg, version)
+        .view.filterKeys(loader.tables).toMap // F8
+      var total = 0L
+      tables.foreach { case (name, df) =>
+        total += writeTable(df.drop("month"), cfg, outDir, name)
+      }
+      progress.append(progressRow(spark, loader.rawTable, startSlot, endSlot,
+        "completed", total, 0L, None, version))
+      true
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        progress.append(progressRow(spark, loader.rawTable, startSlot, endSlot,
+          "failed", 0L, 1L, Some(String.valueOf(e.getMessage)), version))
+        false
+    }
   }
 
   private def progressRow(

@@ -60,23 +60,24 @@ object TextAnalysis {
   )
 
   def langIdScores(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(lower(text))
+    // distinct-token intersect with each profile: array_intersect is a
+    // codegen'd intrinsic — no interpreted higher-order lambdas in the
+    // per-document hot path
+    val toks = array_distinct(tokens(lower(text)))
     langProfiles.map { case (lang, words) =>
-      lang -> size(filter(toks, x => array_contains(typedLit(words), x)))
+      lang -> size(array_intersect(toks, typedLit(words)))
     }
   }
 
   def langId(text: Column): Column = {
     val scores = langIdScores(text)
-    // argmax via a struct sort: (score desc, profile order asc)
+    // argmax via greatest() over (score, -profileOrder, lang) structs:
+    // field-by-field comparison gives highest score, ties to the earliest
+    // profile — all codegen'd, no fold
     val structs = scores.zipWithIndex.map { case ((lang, s), i) =>
-      struct(s.as("score"), lit(i).as("ord"), lit(lang).as("lang"))
+      struct(s.as("score"), lit(-i).as("negOrd"), lit(lang).as("lang"))
     }
-    val best = aggregate(
-      array(structs: _*),
-      structs.head,
-      (acc, x) =>
-        when(x.getField("score") > acc.getField("score"), x).otherwise(acc))
+    val best = greatest(structs: _*)
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 

@@ -134,6 +134,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(states.filter(col("start_slot") === 100L).count() === 1)
   }
 
+  test("loader registry: generic transform path for a state loader (validators)") {
+    val rawDir = tmp() + "/raw_validators"
+    val outDir = tmp() + "/tables_v"
+    val progress = LedgerStore(tmp() + "/progress_v")
+    val fetcher = MapSlotFetcher(Map(1000L -> BeaconFixtures.validatorsPayload))
+    RawIngest.ingestChunk(spark, cfg, fetcher, rawDir, LedgerStore(tmp() + "/cl"),
+      "validators", 1000, 1000)
+    val ok = Transformer.transformChunk(spark, cfg, Loaders.validators,
+      rawDir, outDir, progress, 1000, 1000, version = 1L)
+    assert(ok)
+    assert(spark.read.parquet(s"$outDir/validators").count() === 2)
+    // loader gates: pending queues fetch only at Electra+ daily boundaries
+    val pc = Loaders.pendingConsolidations
+    val gated = pc.gateSlots(cfg, Seq(100L, cfg.activationSlot("electra").get + 5))
+    assert(gated.forall(_ >= cfg.activationSlot("electra").get))
+    assert(Loaders.byName("blocks").tables.contains("attestations"))
+    assert(Loaders.all.map(_.name).distinct.size === 8)
+  }
+
   test("fetch gates: fork-activation floor + daily-snapshot slots (F5/F6)") {
     val slots = (27435000L to 27435020L).toSeq
     val gated = RawIngest.gateSlots(cfg, slots, activationFork = Some("fulu"))
