@@ -46,7 +46,8 @@ object BeaconSmoke {
       chunkLedger, progressLedger)
     println(s"[smoke] chunks transformed: $processed")
 
-    spark.read.parquet(s"$outDir/blocks").createOrReplaceTempView("blocks")
+    val views = BeaconCatalog.registerViews(spark, outDir)
+    println(s"[smoke] registered views: ${views.mkString(", ")}")
     println("[smoke] flagship query (SURVEY §7.3):")
     spark.sql(
       """SELECT slot, proposer_index, version, slot_timestamp FROM blocks
@@ -54,6 +55,7 @@ object BeaconSmoke {
     println("[smoke] ledger overview:")
     Ledger.overview(chunkLedger.read(spark, Schemas.loadStateChunks)).show(false)
     Ledger.transformStatus(progressLedger.read(spark, Schemas.transformerProgress)).show(false)
+    println(s"[smoke] metrics: ${graft.core.Metrics.report(spark)}")
     spark.stop()
   }
 }

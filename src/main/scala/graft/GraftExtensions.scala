@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions._
+import graft.operators.{MinHashSignature, SimHash64}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers every custom Catalyst
+  * expression as a SQL function, so
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) exposes the full scalar pack to
+  * pure-SQL users:
+  *
+  * {{{
+  * SELECT hex_popcount(sync_committee_bits), safe_long(amount),
+  *        canonical_json_hash16(payload), vec_cosine(a, b),
+  *        simhash64(tokens), minhash_signature(tokens, 8)
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("hex_popcount"),
+      info("hex_popcount", "popcount of an arbitrary-length 0x-hex bitfield"),
+      (es: Seq[Expression]) => HexPopcount(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("hex_byte_length"),
+      info("hex_byte_length", "len(hex)//2 after 0x strip"),
+      (es: Seq[Expression]) => HexByteLength(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("safe_long"),
+      info("safe_long", "hex-aware tolerant int parse, UInt64-clamped"),
+      (es: Seq[Expression]) => SafeLong(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("canonical_json_hash16"),
+      info("canonical_json_hash16", "sha256[:16] of Python-canonical JSON"),
+      (es: Seq[Expression]) => CanonicalJsonHash16(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "float-vector dot product (double)"),
+      (es: Seq[Expression]) => FloatVectorDot(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "float-vector cosine similarity (double)"),
+      (es: Seq[Expression]) => FloatVectorCosine(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "64-bit SimHash of a token array"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "k-wide MinHash signature of a token array"),
+      (es: Seq[Expression]) => MinHashSignature(
+        es.head,
+        es(1).eval().asInstanceOf[Int])))
+  }
+}

@@ -1,0 +1,37 @@
+package graft.beacon
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL catalog surface: registers every materialized structured table as a
+  * temp view, plus a `<table>_latest` FINAL view (window-collapsed to the
+  * max insert_version per natural key) — the engine-wide equivalent of
+  * ClickHouse `FROM table FINAL` (SURVEY §1.1).
+  */
+object BeaconCatalog {
+
+  /** Register raw + structured views for every table present in `outDir`.
+    * Returns the registered view names. */
+  def registerViews(spark: SparkSession, outDir: String): Seq[String] = {
+    def hasParquet(dir: java.io.File): Boolean = {
+      val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      files.exists(f => f.isFile && f.getName.endsWith(".parquet")) ||
+        files.exists(f => f.isDirectory && hasParquet(f))
+    }
+    val present = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty)
+      // an all-empty-table write leaves only _SUCCESS — nothing to register
+      .filter(d => d.isDirectory && hasParquet(d))
+      .map(_.getName)
+      .filter(Transformer.tableKeys.contains)
+      .sorted
+    present.flatMap { table =>
+      val df = spark.read.parquet(s"$outDir/$table")
+      df.createOrReplaceTempView(table)
+      val latestName = s"${table}_latest"
+      Transformer
+        .latestTable(spark, outDir, table, Transformer.tableKeys(table))
+        .createOrReplaceTempView(latestName)
+      Seq(table, latestName)
+    }.toSeq
+  }
+}

@@ -79,10 +79,13 @@ object RawIngest {
       spark: SparkSession, slots: Seq[Long], fetcher: SlotFetcher,
       parallelism: Int = 4): DataFrame = {
     import spark.implicits._
+    val m = graft.core.Metrics.of(spark)
     val ds = spark.createDataset(slots).repartition(parallelism)
     ds.mapPartitions { it =>
       it.flatMap { slot =>
-        fetcher.fetch(slot).map { payload =>
+        val r = fetcher.fetch(slot)
+        if (r.isEmpty) m.apiEmpty.add(1) else m.apiFetched.add(1)
+        r.map { payload =>
           (slot, payload, CanonicalJson.payloadHash16(payload),
             new java.sql.Timestamp(System.currentTimeMillis()))
         }
@@ -118,10 +121,12 @@ object RawIngest {
       val rows = fetchSlots(spark, startSlot.to(endSlot), fetcher, parallelism)
       writeRaw(rows, cfg, rawDir)
       ledger.append(Ledger.transition(chunk, "completed", "spark", version + 1))
+      graft.core.Metrics.of(spark).chunksCompleted.add(1)
       true
     } catch {
       case scala.util.control.NonFatal(_) =>
         ledger.append(Ledger.transition(chunk, "failed", "spark", version + 1))
+        graft.core.Metrics.of(spark).chunksFailed.add(1)
         false
     }
   }

@@ -44,7 +44,9 @@ object Transformer {
       // K3: width-aware output file sizing per table
       .option("maxRecordsPerFile", Loaders.maxRecordsPerFile(table))
       .parquet(s"$outDir/$table")
-    out.count()
+    val n = out.count()
+    graft.core.Metrics.of(df.sparkSession).rowsWritten.add(n)
+    n
   }
 
   /** Generic chunk transform for any registered loader: read its raw

@@ -1,0 +1,88 @@
+package graft
+
+import graft.beacon._
+import graft.operators.Skew
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+  // extensions install at session BUILD time: clear the suite-shared
+  // active/default session so getOrCreate builds a fresh SparkSession
+  // (reusing the JVM's SparkContext) with the extensions applied
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+  import spark.implicits._
+
+  test("SQL users reach every custom expression via SparkSessionExtensions") {
+    val r = spark.sql(
+      """SELECT hex_popcount('0xff') AS pc, hex_byte_length('0xaabb') AS hb,
+        |       safe_long('0x10') AS sl,
+        |       canonical_json_hash16('{"b": 1, "a": "\u00fc"}') AS h,
+        |       vec_cosine(array(cast(1.0 as float), cast(0.0 as float)),
+        |                  array(cast(1.0 as float), cast(0.0 as float))) AS cos,
+        |       simhash64(array('a', 'b')) AS sh,
+        |       minhash_signature(array('a', 'b'), 4) AS mh""".stripMargin).head()
+    assert(r.getAs[Int]("pc") === 8)
+    assert(r.getAs[Int]("hb") === 2)
+    assert(r.getAs[Long]("sl") === 16L)
+    assert(r.getAs[String]("h") === "9e638ba662cf3592")
+    assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12)
+    assert(r.getAs[Seq[Long]]("mh").length === 4)
+  }
+
+  test("BeaconCatalog: <table> and <table>_latest views registered") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    val raw = Seq((1L, BeaconFixtures.phase0Block.replace("\"slot\": \"5\"", "\"slot\": \"1\""),
+      "h", new java.sql.Timestamp(0L))).toDF("slot", "payload", "payload_hash", "retrieved_at")
+    Transformer.transformChunk(spark, ChainConfig.gnosis, Loaders.blocks,
+      writeTmpRaw(raw, base), s"$base/tables", LedgerStore(s"$base/p"), 0, 10, version = 1L)
+    // second write at higher version to exercise latest()
+    Transformer.transformChunk(spark, ChainConfig.gnosis, Loaders.blocks,
+      writeTmpRaw(raw, base + "2"), s"$base/tables", LedgerStore(s"$base/p"), 0, 10, version = 2L)
+    val views = BeaconCatalog.registerViews(spark, s"$base/tables")
+    assert(views.contains("blocks") && views.contains("blocks_latest"))
+    assert(spark.sql("SELECT count(*) FROM blocks").head().getLong(0) === 2L)
+    val latest = spark.sql("SELECT insert_version FROM blocks_latest").collect()
+    assert(latest.length === 1 && latest(0).getLong(0) === 2L)
+  }
+
+  private def writeTmpRaw(df: org.apache.spark.sql.DataFrame, base: String): String = {
+    val dir = s"$base/raw"
+    df.withColumn("month", lit("2021-12"))
+      .write.mode("append").partitionBy("month").parquet(dir)
+    dir
+  }
+
+  test("saltedJoin equals plain join on a hot key") {
+    val skewed = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i)).toDF("k", "v")
+    val dim = Seq((1L, "hot"), (2L, "b"), (3L, "c")).toDF("k", "name")
+    val plain = skewed.join(dim, Seq("k")).agg(count(lit(1)), sum("v")).head()
+    val salted = Skew.saltedJoin(skewed, dim, "k", factor = 8)
+      .agg(count(lit(1)), sum("v")).head()
+    assert(plain === salted)
+  }
+
+  test("metrics: accumulators track fetch/ingest/transform") {
+    val base = java.nio.file.Files.createTempDirectory("graft_m").toString
+    val fetcher = MapSlotFetcher((0L until 10L).collect {
+      case s if s % 2 == 0 => s -> BeaconFixtures.phase0Block
+    }.toMap)
+    RawIngest.ingestChunk(spark, ChainConfig.gnosis, fetcher, s"$base/raw",
+      LedgerStore(s"$base/l"), "blocks", 0, 9)
+    val m = graft.core.Metrics.report(spark)
+    assert(m("api_fetched") >= 5L)
+    assert(m("api_empty404") >= 5L)
+    assert(m("chunks_completed") >= 1L)
+    assert(graft.core.Metrics.ingestLag(100L, Some(90L)) === 10L)
+  }
+}
