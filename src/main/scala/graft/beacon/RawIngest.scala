@@ -93,6 +93,36 @@ object RawIngest {
     }.toDF("slot", "payload", "payload_hash", "retrieved_at")
   }
 
+  /** Big-payload variant of [[fetchSlots]] (validators snapshots): the
+    * canonical `payload_hash` is computed on the INTACT payload, then the
+    * `data[]` array is split into ≤ `entriesPerPart` parts via a streaming
+    * parse ([[PayloadSplitter]]) when the payload exceeds
+    * `splitThresholdBytes`. Output adds (part_index, part_count); all
+    * downstream `from_json`+`explode` parsers work per part unchanged.
+    */
+  def fetchSlotsSplit(
+      spark: SparkSession, slots: Seq[Long], fetcher: SlotFetcher,
+      parallelism: Int = 4, splitThresholdBytes: Int = 8 << 20,
+      entriesPerPart: Int = 50000): DataFrame = {
+    import spark.implicits._
+    val ds = spark.createDataset(slots).repartition(parallelism)
+    ds.mapPartitions { it =>
+      it.flatMap { slot =>
+        fetcher.fetch(slot).toSeq.flatMap { payload =>
+          val hash = CanonicalJson.payloadHash16(payload)
+          val ts = new java.sql.Timestamp(System.currentTimeMillis())
+          val parts =
+            if (payload.length >= splitThresholdBytes)
+              PayloadSplitter.split(payload, entriesPerPart)
+            else Seq(payload)
+          parts.zipWithIndex.map { case (p, i) =>
+            (slot, p, hash, ts, i, parts.length)
+          }
+        }
+      }
+    }.toDF("slot", "payload", "payload_hash", "retrieved_at", "part_index", "part_count")
+  }
+
   /** F4 write-side dedup + month-partitioned write (reference partitions
     * every table by `toStartOfMonth(slot_timestamp)`;
     * migrations/003_raw_tables.sql:16). Sorting within partitions by slot
@@ -101,7 +131,9 @@ object RawIngest {
     */
   def writeRaw(rows: DataFrame, cfg: ChainConfig, rawDir: String): Unit =
     rows
-      .dropDuplicates("slot", "payload_hash")
+      .dropDuplicates(
+        if (rows.columns.contains("part_index")) Seq("slot", "payload_hash", "part_index")
+        else Seq("slot", "payload_hash"))
       .withColumn("month", date_format(cfg.slotTimestamp(col("slot")), "yyyy-MM"))
       .sortWithinPartitions("slot")
       .write.mode(SaveMode.Append)

@@ -153,6 +153,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(Loaders.all.map(_.name).distinct.size === 8)
   }
 
+  test("validators mega-payload split: hash pre-split, parse across parts intact (SURVEY 7.4)") {
+    import spark.implicits._
+    val payload = BeaconFixtures.validatorsPayload
+    val intactHash = graft.functions.CanonicalJson.payloadHash16(payload)
+    // force splitting: threshold 1 byte, 1 entry per part -> 2 parts
+    val parts = RawIngest.fetchSlotsSplit(spark,
+      Seq(1000L), MapSlotFetcher(Map(1000L -> payload)),
+      splitThresholdBytes = 1, entriesPerPart = 1)
+    val rows = parts.orderBy("part_index").collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getAs[String]("payload_hash") === intactHash))
+    assert(rows.forall(_.getAs[Int]("part_count") === 2))
+    // parse across parts == parse of the intact payload
+    val split = StateParsers.validators(parts, cfg).orderBy("validator_index")
+    val whole = StateParsers.validators(
+      Seq((1000L, payload, intactHash, new java.sql.Timestamp(0L)))
+        .toDF("slot", "payload", "payload_hash", "retrieved_at"), cfg)
+      .orderBy("validator_index")
+    assert(split.drop("slot_timestamp", "insert_version").collect().toSeq ===
+      whole.drop("slot_timestamp", "insert_version").collect().toSeq)
+    // streaming splitter: non-data payloads stay intact
+    assert(PayloadSplitter.split("{\"other\": 1}", 1) === Seq("{\"other\": 1}"))
+    assert(PayloadSplitter.split("not json", 1) === Seq("not json"))
+  }
+
+  test("maintenance fix loop: failed chunk -> fix -> reload -> retransform (D5)") {
+    val rawDir = tmp() + "/raw_fix"
+    val outDir = tmp() + "/tables_fix"
+    val chunkLedger = LedgerStore(tmp() + "/chunks_fix")
+    val progressLedger = LedgerStore(tmp() + "/progress_fix")
+    // a fetcher that fails hard for the first chunk
+    val failing = new SlotFetcher {
+      def fetch(slot: Long): Option[String] =
+        if (slot < 50) throw new RuntimeException("node down") else None
+    }
+    assert(!RawIngest.ingestChunk(spark, cfg, failing, rawDir, chunkLedger,
+      "blocks", 0, 49))
+    val failed = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))
+      .filter(col("status") === "failed")
+    assert(failed.count() === 1)
+    // fix: reset to pending (raw dir may not exist yet -> no delete needed)
+    Maintenance.resetChunks(chunkLedger, failed)
+    val pending = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))
+      .filter(col("status") === "pending")
+    assert(pending.count() === 1)
+    // reload with a healthy fetcher, retransform, verify
+    assert(RawIngest.ingestChunk(spark, cfg, fetcherFor(0 until 50), rawDir,
+      chunkLedger, "blocks", 0, 49, version = System.currentTimeMillis() + 10))
+    assert(Transformer.transformBlocksChunk(spark, cfg, rawDir, outDir,
+      progressLedger, 0, 49, version = 1L))
+    assert(spark.read.parquet(s"$outDir/blocks").count() === 40)
+  }
+
   test("fetch gates: fork-activation floor + daily-snapshot slots (F5/F6)") {
     val slots = (27435000L to 27435020L).toSeq
     val gated = RawIngest.gateSlots(cfg, slots, activationFork = Some("fulu"))
