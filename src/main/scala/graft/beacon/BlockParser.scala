@@ -135,9 +135,16 @@ object BlockParser {
   /** P6: attester_slashings — indexed attestations + derived validator
     * counts and distinct-union total (reference: phase0.py:87-190). */
   def attesterSlashings(parsed: DataFrame): DataFrame = {
-    def indices(a: Column): Column =
-      coalesce(transform(a("attesting_indices"), x => l(x)), array().cast("array<long>"))
-    def att(prefix: String, a: Column) = Seq(
+    // CSV/scalar fallback (reference _parse_attesting_indices): the main
+    // maximal schema nulls a non-array attesting_indices; re-read just
+    // those fields as strings and split on ','. `av` = the variant struct
+    // for the SAME exploded slashing (element_at by pos).
+    def indices(a: Column, av: Column): Column =
+      coalesce(
+        transform(a("attesting_indices"), x => l(x)),
+        transform(split(av("attesting_indices"), ","), x => l(trim(x))),
+        array().cast("array<long>"))
+    def att(prefix: String, a: Column, av: Column) = Seq(
       l(field(a, "data.slot")).as(s"${prefix}_slot"),
       l(field(a, "data.index")).as(s"${prefix}_committee_index"),
       s(field(a, "data.beacon_block_root")).as(s"${prefix}_beacon_block_root"),
@@ -146,14 +153,25 @@ object BlockParser {
       l(field(a, "data.target.epoch")).as(s"${prefix}_target_epoch"),
       s(field(a, "data.target.root")).as(s"${prefix}_target_root"),
       s(a("signature")).as(s"${prefix}_signature"),
-      indices(a).as(s"${prefix}_attesting_indices"),
-      size(indices(a)).as(s"${prefix}_validator_count"))
+      indices(a, av).as(s"${prefix}_attesting_indices"),
+      size(indices(a, av)).as(s"${prefix}_validator_count"))
+    val variant = from_json(col("payload"), Schemas.attesterSlashingsCsvVariant)
+      .getField("data").getField("message").getField("body")
+      .getField("attester_slashings")
     parsed
-      .select(col("slot"), posexplode(body("attester_slashings")).as(Seq("pos", "as")))
+      .select(
+        col("slot"), col("payload"),
+        posexplode(body("attester_slashings")).as(Seq("pos", "as")))
+      .select(
+        col("slot"), col("pos"), col("as"),
+        element_at(variant, col("pos") + 1).as("asv"))
       .select(
         (col("slot") +: col("pos").cast("long").as("slashing_index") +:
-          (att("att_1", col("as.attestation_1")) ++ att("att_2", col("as.attestation_2")) :+
-            size(array_union(indices(col("as.attestation_1")), indices(col("as.attestation_2"))))
+          (att("att_1", col("as.attestation_1"), col("asv.attestation_1")) ++
+            att("att_2", col("as.attestation_2"), col("asv.attestation_2")) :+
+            size(array_union(
+              indices(col("as.attestation_1"), col("asv.attestation_1")),
+              indices(col("as.attestation_2"), col("asv.attestation_2"))))
               .as("total_slashed_validators"))): _*)
   }
 

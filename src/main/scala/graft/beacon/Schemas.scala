@@ -94,6 +94,22 @@ object Schemas {
     StructField("blob_kzg_commitments", arr(StringType)),    // Deneb+
     StructField("execution_requests", executionRequests)))   // Electra+
 
+  /** Variant view for the reference's `_parse_attesting_indices`
+    * tolerance (phase0.py:87-190): some CL clients emit attesting_indices
+    * as a CSV string or scalar instead of an array. This minimal schema
+    * re-reads ONLY the slashing indices as strings; the parser coalesces
+    * array → CSV-split. */
+  val attesterSlashingsCsvVariant: StructType = {
+    val indexed = StructType(Seq(S("attesting_indices")))
+    val slashing = StructType(Seq(
+      StructField("attestation_1", indexed),
+      StructField("attestation_2", indexed)))
+    StructType(Seq(StructField("data", StructType(Seq(
+      StructField("message", StructType(Seq(
+        StructField("body", StructType(Seq(
+          StructField("attester_slashings", arr(slashing)))))))))))))
+  }
+
   /** Full signed-block envelope `/eth/v2/beacon/blocks/{slot}`
     * (reference: src/parsers/fork_base.py:86-139, FIXTURES.md §2). */
   val blockPayload: StructType = StructType(Seq(

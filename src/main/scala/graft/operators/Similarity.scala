@@ -115,6 +115,77 @@ object Similarity {
       .select(col(qId), col(cId), col("rnk"), col("cosine"))
   }
 
+  /** Driver-side Lloyd k-means over a bounded sample — the IVF coarse
+    * quantizer. Deterministic for a fixed seed; centroids are broadcast as
+    * plan literals. Sample stays small (driver holds sampleN * dim
+    * floats); the CORPUS assignment below is fully distributed. */
+  def kmeansCentroids(
+      corpus: DataFrame, vecCol: String, k: Int, iters: Int, seed: Long,
+      sampleN: Int = 2000): Array[Array[Float]] = {
+    val sample = corpus.select(col(vecCol)).limit(sampleN)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    val rnd = new java.util.Random(seed)
+    var centroids = Array.fill(k)(sample(rnd.nextInt(sample.length)).clone())
+    (1 to iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Assign every corpus row to its nearest centroid (`list_id`) — a
+    * greatest-struct argmax over codegen'd cosine columns, no shuffle. */
+  def ivfAssign(
+      corpus: DataFrame, vecCol: String, centroids: Array[Array[Float]]): DataFrame = {
+    val structs = centroids.zipWithIndex.map { case (c, i) =>
+      struct(vec_cosine(col(vecCol), typedlit(c.toSeq)).as("cos"), lit(i).as("list_id"))
+    }
+    corpus.withColumn("list_id", greatest(structs.toIndexedSeq: _*).getField("list_id"))
+  }
+
+  /** IVF top-k: probe the nProbe centroid lists closest to the query, then
+    * exact cosine within those lists. At 100 TB the assigned corpus is
+    * written bucketed by list_id so a probe reads only nProbe/k of the
+    * data (partition-pruned). */
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
+      k: Int, centroids: Array[Array[Float]], nProbe: Int): DataFrame = {
+    def cos(a: Array[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val probeLists = centroids.zipWithIndex
+      .map { case (c, i) => (cos(c, query), i) }
+      .sortBy(-_._1).take(nProbe).map(_._2).toSeq
+    ivfAssign(corpus, vecCol, centroids)
+      .filter(col("list_id").isin(probeLists: _*))
+      .select(col(idCol), vec_cosine(col(vecCol), typedlit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF-style ANN: assign corpus rows to hyperplane buckets once; probe
     * only the query's bucket. Recall traded for a `2^planes` scan cut. */
   def lshTopK(

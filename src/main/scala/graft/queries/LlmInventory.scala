@@ -149,6 +149,18 @@ object LlmInventory {
       .select("vec_id")
   }
 
+  /** IVF ANN: k-means coarse quantizer + nProbe list probing — the other
+    * scale path beside LSH; rows-only check, recall asserted in tests. */
+  val s4IvfTopK: Q = (s, d) => {
+    val em = embeddings(s, d)
+    val query = em.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val centroids = Similarity.kmeansCentroids(em, "embedding", k = 8, iters = 5, seed = 42L)
+    Similarity.ivfTopK(em.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      query, k = 10, centroids, nProbe = 3)
+      .select("vec_id")
+  }
+
   /** Per-label centroid-free pairwise stats: count pairs per label bucket —
     * exercises the bucketed self-join shape with an exact oracle. */
   val s3LabelBuckets: Q = (s, d) =>
@@ -200,6 +212,7 @@ object LlmInventory {
     "s1_cosine_topk" -> s1CosineTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_label_buckets" -> s3LabelBuckets,
+    "s4_ivf_topk" -> s4IvfTopK,
     "m1_binary_meta" -> m1BinaryMeta,
     "m2_decode_stub" -> m2DecodeStub,
     "m3_frame_windows" -> m3FrameWindows,

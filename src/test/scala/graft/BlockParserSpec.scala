@@ -132,6 +132,17 @@ class BlockParserSpec extends AnyFunSuite {
     assert(r.getAs[String]("payload").contains("\"pubkey\""))
   }
 
+  test("attester_slashings: CSV-string attesting_indices fallback (phase0.py parity)") {
+    val csvPayload = BeaconFixtures.electraBlock
+      .replace("\"attesting_indices\": [\"1\", \"2\", \"3\"]",
+        "\"attesting_indices\": \"1, 2, 3\"")
+    val out = BlockParser.parseAll(
+      rawOf(21405700L -> csvPayload), cfg)("attester_slashings").head()
+    assert(out.getAs[Seq[Long]]("att_1_attesting_indices") === Seq(1L, 2L, 3L))
+    assert(out.getAs[Int]("att_1_validator_count") === 3)
+    assert(out.getAs[Int]("total_slashed_validators") === 5)
+  }
+
   test("F8: allowedTables filters the fan-out") {
     val only = BlockParser.parseAll(
       rawOf(21405700L -> BeaconFixtures.electraBlock), cfg,

@@ -72,6 +72,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(plain === salted)
   }
 
+  test("IVF ANN: nProbe=all equals brute force; nProbe=3 has usable recall") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val query = em.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val corpus = em.filter(col("vec_id") =!= 0)
+    val brute = graft.operators.Similarity
+      .bruteForceTopK(corpus, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val centroids = graft.operators.Similarity
+      .kmeansCentroids(em, "embedding", k = 8, iters = 5, seed = 42L)
+    val full = graft.operators.Similarity
+      .ivfTopK(corpus, "vec_id", "embedding", query, 10, centroids, nProbe = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(full === brute) // probing every list == exact
+    val probed = graft.operators.Similarity
+      .ivfTopK(corpus, "vec_id", "embedding", query, 10, centroids, nProbe = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(probed.intersect(brute).size >= 5, s"recall too low: $probed vs $brute")
+  }
+
   test("metrics: accumulators track fetch/ingest/transform") {
     val base = java.nio.file.Files.createTempDirectory("graft_m").toString
     val fetcher = MapSlotFetcher((0L until 10L).collect {
