@@ -114,6 +114,102 @@ object Dedup {
       .select("d1", "d2", "jaccard")
   }
 
+  /** Connected components over an undirected pair list (d1,d2) by
+    * iterative min-label propagation. Each iteration is one shuffle join;
+    * converges in O(diameter) rounds — near-dup clusters are tiny, so
+    * `maxIter` ~10 is ample. (At extreme scale swap for large-star/
+    * small-star; the interface stays the same.) Returns (id, component)
+    * where component = min id of the cluster. */
+  def connectedComponents(
+      pairs: DataFrame, maxIter: Int = 10,
+      driverThreshold: Long = 5000000L): DataFrame = {
+    // After jaccard confirmation the edge set is orders of magnitude
+    // smaller than the corpus (only actual near-dups). Below the
+    // threshold a driver union-find is exact, allocation-light, and
+    // avoids maxIter shuffle rounds; the distributed label-propagation
+    // loop below remains the giant-graph path.
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("d1").cast("long"), col("d2").cast("long"))
+    if (edges.limit((driverThreshold + 1).toInt).count() <= driverThreshold) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keys.toSeq.map(id => (id, find(id)))
+      import spark.implicits._
+      return rows.toDF("id", "component")
+    }
+    val sym = pairs.select(col("d1"), col("d2"))
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .distinct()
+      .persist()
+    var comp = sym.select(col("d1").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val nbrMin = sym
+        .join(comp, sym("d2") === comp("id"))
+        .groupBy(sym("d1").as("id"))
+        .agg(min("component").as("nbr_min"))
+      val next = comp
+        .join(nbrMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .persist()
+      val changed = next.join(
+          comp.withColumnRenamed("component", "prev"), Seq("id"))
+        .filter(col("component") =!= col("prev"))
+        .limit(1).count() > 0
+      comp.unpersist()
+      comp = next
+      converged = !changed
+      i += 1
+    }
+    sym.unpersist()
+    comp
+  }
+
+  /** Full near-dup grouping pipeline: MinHash-LSH candidates → exact
+    * shingle-Jaccard ≥ threshold → connected components → (id, group,
+    * is_representative). Docs with no near-dup get their own group. */
+  def nearDupGroups(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, rowsPerBand: Int = 4, shingleW: Int = 3,
+      jaccardThreshold: Double = 0.8): DataFrame = {
+    val candidates = minhashCandidatePairs(df, idCol, textCol, numHashes, rowsPerBand, shingleW)
+    // materialize the (tiny) confirmed-pair set once: connectedComponents
+    // runs several actions over it, and without the persist each action
+    // would re-run the whole LSH + shingle-join pipeline
+    val confirmed = jaccardForPairs(candidates, df, idCol, textCol, shingleW)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("d1", "d2")
+      .persist()
+    val comps = connectedComponents(confirmed)
+    val out = df.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("component"), col("id")).as("group"))
+      .withColumn("is_representative", col(idCol) === col("group"))
+    // driver-path components are a local frame → safe to release now
+    confirmed.unpersist(blocking = false)
+    out
+  }
+
   /** Embedding-cosine near-dup: hyperplane-LSH bucket (see
     * [[Similarity.hyperplaneSignature]]) then exact cosine within bucket.
     * Returns pairs with cosine ≥ threshold. */

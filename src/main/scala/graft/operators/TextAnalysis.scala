@@ -81,6 +81,29 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Corpus quality filter: the standard pre-training gate composed from
+    * the signals above. Returns the input plus (quality_ok, drop_reason) —
+    * callers either filter or audit the drops. Thresholds follow common
+    * published heuristics (length window, mean token length window,
+    * symbol/punct ceiling). */
+  def qualityFilter(
+      df: DataFrame, textCol: String,
+      minChars: Int = 50, maxChars: Int = 100000,
+      minMeanTokenLen: Double = 2.0, maxMeanTokenLen: Double = 12.0,
+      maxPunctRatio: Double = 0.3): DataFrame = {
+    val stats = qualityStats(df, textCol)
+    stats
+      .withColumn(
+        "drop_reason",
+        when(col("n_chars_q") < minChars, "too_short")
+          .when(col("n_chars_q") > maxChars, "too_long")
+          .when(col("mean_token_len") < minMeanTokenLen, "tokens_too_short")
+          .when(col("mean_token_len") > maxMeanTokenLen, "tokens_too_long")
+          .when(col("punct_ratio") > maxPunctRatio, "too_much_punct")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("quality_ok", col("drop_reason").isNull)
+  }
+
   /** Document fingerprint: hash of the sorted distinct lower-cased token
     * set (an order-insensitive content signature). `md5` variant is
     * oracle-checkable; `xxhash64` variant is the cheap scale path. */

@@ -110,6 +110,18 @@ object LlmInventory {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** Near-dup GROUPS (LSH -> jaccard -> connected components) — the full
+    * corpus-dedup pipeline output; rows-only (iterative algorithm). */
+  val d9NearDupGroups: Q = (s, d) =>
+    Dedup.nearDupGroups(documents(s, d), "doc_id", "text", jaccardThreshold = 0.8)
+      .orderBy("doc_id")
+
+  /** Quality gate with drop reasons — rows-only (double thresholds). */
+  val t6QualityFilter: Q = (s, d) =>
+    TextAnalysis.qualityFilter(documents(s, d), "text")
+      .groupBy("quality_ok", "drop_reason")
+      .agg(count(lit(1)).as("n"))
+
   /** SimHash near-dup buckets — rows-only check. */
   val d6Simhash: Q = (s, d) =>
     documents(s, d).select(
@@ -207,6 +219,8 @@ object LlmInventory {
     "d4_minhash_band" -> d4MinhashBand,
     "d5_minhash_lsh" -> d5MinhashLsh,
     "d8_jaccard_verify" -> d8JaccardVerify,
+    "d9_near_dup_groups" -> d9NearDupGroups,
+    "t6_quality_filter" -> t6QualityFilter,
     "d6_simhash" -> d6Simhash,
     "d7_embedding_near_dup" -> d7EmbeddingNearDup,
     "s1_cosine_topk" -> s1CosineTopK,

@@ -1,7 +1,7 @@
 package graft
 
 import graft.beacon._
-import graft.operators.Skew
+import graft.operators.{Dedup, Skew}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -89,6 +89,25 @@ class ExtensionsSpec extends AnyFunSuite {
       .ivfTopK(corpus, "vec_id", "embedding", query, 10, centroids, nProbe = 3)
       .collect().map(_.getLong(0)).toSet
     assert(probed.intersect(brute).size >= 5, s"recall too low: $probed vs $brute")
+  }
+
+  test("nearDupGroups: LSH -> jaccard -> connected components finds chains") {
+    // 100 distinct words: a single-word edit changes only ~3 of ~98
+    // shingles -> jaccard ~0.94, well above threshold
+    val base = (1 to 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, base),                                  // group 0
+      (1L, base.replace(" w50 ", " w50x ")),       // near-dup of 0
+      (2L, base.replace(" w20 ", " w20x ")),       // near-dup of 0 (chain via 0)
+      (3L, "completely different words " * 20),    // group 3
+      (4L, "completely different words " * 20),    // exact dup of 3
+      (5L, ("unrelated content here now " * 20) + "tail") // alone
+    ).toDF("doc_id", "text")
+    val groups = Dedup.nearDupGroups(docs, "doc_id", "text", jaccardThreshold = 0.6)
+      .orderBy("doc_id").collect()
+    assert(groups.map(_.getAs[Long]("group")).toSeq === Seq(0L, 0L, 0L, 3L, 3L, 5L))
+    assert(groups.map(_.getAs[Boolean]("is_representative")).toSeq ===
+      Seq(true, false, false, true, false, true))
   }
 
   test("metrics: accumulators track fetch/ingest/transform") {
