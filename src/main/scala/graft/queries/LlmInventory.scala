@@ -173,6 +173,22 @@ object LlmInventory {
       .select("vec_id")
   }
 
+  /** Top-3 neighbors for EVERY query vector (vec_id<20): broadcast query
+    * set against the corpus, rank per query — the batch-ANN shape. Rank
+    * output keeps the oracle robust to last-ulp float differences. */
+  val s5TopKJoin: Q = (s, d) => {
+    val em = embeddings(s, d)
+    val q = broadcast(em.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    em.crossJoin(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", graft.functions.GraftFunctions.vec_cosine(col("embedding"), col("q_vec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("q_id", "vec_id", "rnk")
+  }
+
   /** Per-label centroid-free pairwise stats: count pairs per label bucket —
     * exercises the bucketed self-join shape with an exact oracle. */
   val s3LabelBuckets: Q = (s, d) =>
@@ -227,6 +243,7 @@ object LlmInventory {
     "s2_lsh_topk" -> s2LshTopK,
     "s3_label_buckets" -> s3LabelBuckets,
     "s4_ivf_topk" -> s4IvfTopK,
+    "s5_topk_join" -> s5TopKJoin,
     "m1_binary_meta" -> m1BinaryMeta,
     "m2_decode_stub" -> m2DecodeStub,
     "m3_frame_windows" -> m3FrameWindows,
@@ -300,6 +317,16 @@ object LlmInventory {
         |             (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id) AS rnk
         |  FROM embeddings WHERE vec_id <> 0) t
         |WHERE rnk <= 10""".stripMargin,
+    "s5_topk_join" ->
+      """SELECT q_id, vec_id, rnk FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+        |         ROW_NUMBER() OVER (
+        |           PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |                    c.vec_id) AS rnk
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 20 AND c.vec_id <> q.vec_id) t
+        |WHERE rnk <= 3""".stripMargin,
     "s3_label_buckets" ->
       """SELECT label, count(*) AS n, MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
         |FROM embeddings GROUP BY label""".stripMargin,
