@@ -156,6 +156,23 @@ object Transformer {
     todo.length
   }
 
+  /** Bucketed write for co-located slot joins: both sides of a
+    * blocks ⋈ withdrawals / rewards / attestations join written with the
+    * same bucketing never shuffle — the join is planned bucket-to-bucket
+    * (SortMergeJoin with zero Exchange). This is the 100 TB path for the
+    * recurring slot-equi-join analytics (SURVEY §2.5 J4/J5); requires a
+    * catalog table (saveAsTable), so it complements — not replaces — the
+    * plain month-partitioned layout. */
+  def writeBucketedTable(
+      df: DataFrame, tableName: String, bucketCols: Seq[String],
+      numBuckets: Int = 64): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** Read-side FINAL view of a structured table (dedup by its natural key
     * at max insert_version) — the engine-wide `latest(table)` surface. */
   def latestTable(spark: SparkSession, outDir: String, table: String,

@@ -34,6 +34,10 @@ final class ChunkedTail(
     probe: HeadProbe,
     rawDir: String,
     chunkLedger: LedgerStore,
+    /** when set, each ingested chunk is transformed in the same
+      * micro-batch (low-latency structured tables, SURVEY §3.3):
+      * (outDir, progress ledger). */
+    chainedTransform: Option[(String, LedgerStore)] = None,
     loader: String = "blocks",
     chunkSize: Long = 100L,
     slotDelay: Long = 100L,
@@ -59,8 +63,12 @@ final class ChunkedTail(
       val start = nextBoundary
       val end = nextBoundary + chunkSize - 1
       if (!isChunkCompleted(start, end)) {
-        RawIngest.ingestChunk(spark, cfg, fetcher, rawDir, chunkLedger,
+        val ok = RawIngest.ingestChunk(spark, cfg, fetcher, rawDir, chunkLedger,
           loader, start, end)
+        if (ok) chainedTransform.foreach { case (outDir, progress) =>
+          Transformer.transformChunk(spark, cfg, Loaders.byName(loader),
+            rawDir, outDir, progress, start, end)
+        }
       }
       last = end
       nextBoundary += chunkSize

@@ -112,10 +112,13 @@ class PipelineSpec extends AnyFunSuite {
   test("realtime chunk-aligned tail: only complete chunks, idempotent resume (R1-R4)") {
     val rawDir = tmp() + "/raw_rt"
     val chunkLedger = LedgerStore(tmp() + "/chunks_rt")
+    val outDir = tmp() + "/tables_rt"
+    val progressRt = LedgerStore(tmp() + "/progress_rt")
     @volatile var head = 259L
     val probe = new HeadProbe { def headSlot(): Long = head }
     val tail = new ChunkedTail(spark, cfg, fetcherFor(0 until 400), probe, rawDir,
-      chunkLedger, chunkSize = 100L, slotDelay = 10L, pollMillis = 1L)
+      chunkLedger, chainedTransform = Some((outDir, progressRt)),
+      chunkSize = 100L, slotDelay = 10L, pollMillis = 1L)
 
     // head=259, delay=10 → target=249 → chunks [100,199] complete only
     // (chunk [0,99] also complete; resume starts at -1)
@@ -132,6 +135,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(tail.isChunkCompleted(100, 199))
     val states = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))
     assert(states.filter(col("start_slot") === 100L).count() === 1)
+    // chained transform materialized structured tables in the same batch
+    assert(spark.read.parquet(s"$outDir/blocks").count() > 0)
+    assert(Ledger.transformStatus(progressRt.read(spark, Schemas.transformerProgress))
+      .head().getAs[Long]("completed") >= 1L)
   }
 
   test("loader registry: generic transform path for a state loader (validators)") {

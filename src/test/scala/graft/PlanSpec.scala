@@ -79,6 +79,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hex_popcount"), p)
   }
 
+  test("bucketed tables: slot equi-join plans with ZERO exchange (co-located)") {
+    import spark.implicits._
+    Seq("b_blocks", "b_rewards").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) { loc.listFiles().foreach(_.delete()); loc.delete() }
+    }
+    val blocks = (0L until 1000L).map(s => (s, s % 64)).toDF("slot", "proposer_index")
+    val rewards = (0L until 1000L).map(s => (s, s * 100)).toDF("slot", "total")
+    graft.beacon.Transformer.writeBucketedTable(blocks, "b_blocks", Seq("slot"), 8)
+    graft.beacon.Transformer.writeBucketedTable(rewards, "b_rewards", Seq("slot"), 8)
+    // disable broadcast so the join must co-locate: bucketed SMJ, no shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_blocks").join(spark.table("b_rewards"), "slot")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() === 1000L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("s1_cosine_topk: brute-force scan is a single pass + TakeOrdered") {
     val p = planOf("s1_cosine_topk")
     assert(p.contains("vec_cosine"), p)
