@@ -20,8 +20,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+  private def info(name: String, usage: String) = {
+    val _ = usage // ExpressionInfo's usage-bearing constructor is deprecated
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+  }
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((

@@ -41,7 +41,6 @@ object BlockParser {
   /** safe_int with default 0 (hex-aware, UInt64-clamped). */
   private def l(c: Column): Column = coalesce(safe_long(c), lit(0L))
 
-  private def i(c: Column): Column = l(c).cast("int")
 
   private def sizeOr0(c: Column): Column = coalesce(size(c), lit(0)).cast("int")
 
