@@ -44,15 +44,17 @@ object Maintenance {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      // Overwrite only the affected month partitions; empty result still
-      // clears them via an explicit per-month rewrite.
-      if (kept.isEmpty) {
-        months.foreach { m =>
-          val dir = new java.io.File(s"$tableDir/month=$m")
-          if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
-        }
-      } else {
+      // Dynamic overwrite only rewrites partitions PRESENT in `kept`: a
+      // month whose every row fell in the deleted range would otherwise
+      // silently keep its stale files. Write the surviving months first
+      // (the scan still sees all source files), THEN clear emptied months.
+      val keptMonths = kept.select("month").distinct().collect().map(_.getString(0)).toSet
+      if (keptMonths.nonEmpty) {
         kept.write.mode(SaveMode.Overwrite).partitionBy("month").parquet(tableDir)
+      }
+      months.filterNot(keptMonths).foreach { m =>
+        val dir = new java.io.File(s"$tableDir/month=$m")
+        if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
       }
     } finally {
       prev match {

@@ -160,6 +160,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(Loaders.all.map(_.name).distinct.size === 8)
   }
 
+  test("deleteSlotRange clears fully-emptied month partitions (D5 edge)") {
+    import spark.implicits._
+    val dir = tmp() + "/raw_months"
+    // gnosis months: slot 450k ~ 2022-01, slot 1_000_000 ~ 2022-02 area —
+    // use two clearly distinct months via direct month column values
+    val rows = Seq(
+      (100L, "p1", "h1", new java.sql.Timestamp(0L), "2021-12"),
+      (600000L, "p2", "h2", new java.sql.Timestamp(0L), "2022-01"))
+      .toDF("slot", "payload", "payload_hash", "retrieved_at", "month")
+    rows.write.partitionBy("month").parquet(dir)
+    // delete the whole first month's slot range; second month untouched
+    Maintenance.deleteSlotRange(spark, dir, cfg, 0L, 500000L)
+    val left = spark.read.parquet(dir)
+    assert(left.count() === 1)
+    assert(left.head().getAs[Long]("slot") === 600000L)
+    assert(!new java.io.File(s"$dir/month=2021-12").exists())
+  }
+
   test("validators mega-payload split: hash pre-split, parse across parts intact (SURVEY 7.4)") {
     import spark.implicits._
     val payload = BeaconFixtures.validatorsPayload
