@@ -12,16 +12,9 @@ object BeaconCatalog {
   /** Register raw + structured views for every table present in `outDir`.
     * Returns the registered view names. */
   def registerViews(spark: SparkSession, outDir: String): Seq[String] = {
-    def hasParquet(dir: java.io.File): Boolean = {
-      val files = Option(dir.listFiles()).getOrElse(Array.empty)
-      files.exists(f => f.isFile && f.getName.endsWith(".parquet")) ||
-        files.exists(f => f.isDirectory && hasParquet(f))
-    }
-    val present = Option(new java.io.File(outDir).listFiles())
-      .getOrElse(Array.empty)
+    val present = graft.core.Fs.listDirNames(spark, outDir)
       // an all-empty-table write leaves only _SUCCESS — nothing to register
-      .filter(d => d.isDirectory && hasParquet(d))
-      .map(_.getName)
+      .filter(name => graft.core.Fs.hasParquetFiles(spark, s"$outDir/$name"))
       .filter(Transformer.tableKeys.contains)
       .sorted
     present.flatMap { table =>

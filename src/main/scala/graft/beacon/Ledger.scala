@@ -47,6 +47,21 @@ object Ledger {
         lit(0L).as("insert_version"))
   }
 
+  /** One EXACT chunk row (no alignment) — for recording the ledger state
+    * of a specific already-decided range (ingest, streaming batches).
+    * `planChunks` is for PLANNING and floor-aligns; using it to record an
+    * arbitrary range would corrupt chunk identity. */
+  def chunkRow(
+      spark: SparkSession, loader: String, startSlot: Long, endSlot: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(
+        chunkId(loader, startSlot, endSlot), startSlot, endSlot, loader,
+        "pending", null, now, now, 0L)),
+      Schemas.loadStateChunks)
+  }
+
   /** Chunks not yet planned: anti-join against the existing ledger (the
     * reference's bulk completed-set cache, loader.py:492-528 — the
     * anti-join IS the bulk form). */
@@ -164,7 +179,7 @@ final case class LedgerStore(path: String) {
     df.write.mode(SaveMode.Append).parquet(path)
 
   def read(spark: SparkSession, schema: org.apache.spark.sql.types.StructType): DataFrame =
-    if (new java.io.File(path).exists())
+    if (graft.core.Fs.exists(spark, path))
       spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 }

@@ -36,6 +36,8 @@ object Maintenance {
   def deleteSlotRange(
       spark: SparkSession, tableDir: String, cfg: ChainConfig,
       startSlot: Long, endSlot: Long): Unit = {
+    // a chunk can fail before its first raw write: nothing to delete
+    if (!graft.core.Fs.exists(spark, tableDir)) return
     val months = monthsOf(cfg, startSlot, endSlot)
     val df = spark.read.parquet(tableDir)
     val kept = df
@@ -53,8 +55,7 @@ object Maintenance {
         kept.write.mode(SaveMode.Overwrite).partitionBy("month").parquet(tableDir)
       }
       months.filterNot(keptMonths).foreach { m =>
-        val dir = new java.io.File(s"$tableDir/month=$m")
-        if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+        graft.core.Fs.deleteDir(spark, s"$tableDir/month=$m")
       }
     } finally {
       prev match {

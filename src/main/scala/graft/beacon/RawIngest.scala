@@ -147,7 +147,7 @@ object RawIngest {
       rawDir: String, ledger: LedgerStore, loader: String,
       startSlot: Long, endSlot: Long, parallelism: Int = 4,
       version: Long = System.currentTimeMillis()): Boolean = {
-    val chunk = Ledger.planChunks(spark, startSlot, endSlot, endSlot - startSlot + 1, loader)
+    val chunk = Ledger.chunkRow(spark, loader, startSlot, endSlot)
     ledger.append(Ledger.transition(chunk, "claimed", "spark", version))
     try {
       val rows = fetchSlots(spark, startSlot.to(endSlot), fetcher, parallelism)

@@ -39,12 +39,16 @@ object Transformer {
   private def writeTable(df: DataFrame, cfg: ChainConfig, outDir: String, table: String): Long = {
     val out = df.withColumn(
       "month", date_format(cfg.slotTimestamp(col("slot")), "yyyy-MM"))
-    out.sortWithinPartitions("slot")
+    // Observation rides the write action itself — a separate .count()
+    // would re-run the whole parse pipeline once more per table
+    val obs = org.apache.spark.sql.Observation()
+    out.observe(obs, count(lit(1)).as("n"))
+      .sortWithinPartitions("slot")
       .write.mode(SaveMode.Append).partitionBy("month")
       // K3: width-aware output file sizing per table
       .option("maxRecordsPerFile", Loaders.maxRecordsPerFile(table))
       .parquet(s"$outDir/$table")
-    val n = out.count()
+    val n = obs.get("n").asInstanceOf[Long]
     graft.core.Metrics.of(df.sparkSession).rowsWritten.add(n)
     n
   }

@@ -1,0 +1,46 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Filesystem probes through the Hadoop FileSystem API — java.io.File only
+  * sees the local disk, which would make ledgers/catalogs on hdfs:// or
+  * s3a:// read as empty (silently re-ingesting the world). Every path
+  * check in the engine goes through here.
+  */
+object Fs {
+  private def fs(spark: SparkSession, path: String) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val (f, p) = fs(spark, path)
+    f.exists(p)
+  }
+
+  /** Recursive delete of a directory (month-partition cleanup). */
+  def deleteDir(spark: SparkSession, path: String): Boolean = {
+    val (f, p) = fs(spark, path)
+    f.exists(p) && f.delete(p, true)
+  }
+
+  /** Immediate child directory names. */
+  def listDirNames(spark: SparkSession, path: String): Seq[String] = {
+    val (f, p) = fs(spark, path)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
+  }
+
+  /** Does the tree under `path` contain any parquet data file? (An
+    * all-empty-table write leaves only _SUCCESS.) */
+  def hasParquetFiles(spark: SparkSession, path: String): Boolean = {
+    val (f, p) = fs(spark, path)
+    if (!f.exists(p)) return false
+    val it = f.listFiles(p, true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) return true
+    }
+    false
+  }
+}

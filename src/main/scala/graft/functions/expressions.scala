@@ -99,7 +99,17 @@ object FloatVectorOps {
 case class FloatVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  // defensive typing without private ExpectsInputTypes: reject non-float
+  // arrays at analysis time — ArrayData.getFloat on an array<double> would
+  // silently read garbage
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = children.forall(c => c.dataType == ArrayType(FloatType) ||
+      c.dataType == ArrayType(FloatType, containsNull = false))
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> inputs, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  }
   override protected def nullSafeEval(a: Any, b: Any): Any =
     FloatVectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -113,7 +123,17 @@ case class FloatVectorDot(left: Expression, right: Expression)
 case class FloatVectorCosine(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  // defensive typing without private ExpectsInputTypes: reject non-float
+  // arrays at analysis time — ArrayData.getFloat on an array<double> would
+  // silently read garbage
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = children.forall(c => c.dataType == ArrayType(FloatType) ||
+      c.dataType == ArrayType(FloatType, containsNull = false))
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> inputs, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  }
   override protected def nullSafeEval(a: Any, b: Any): Any =
     FloatVectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -40,10 +40,14 @@ object Dedup {
   /** `w`-shingles over the token array (n-gram units for Jaccard). */
   def shingles(text: Column, w: Int): Column = {
     val toks = split(lower(text), " ")
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(toks) - (w - 1), lit(0))),
-        i => concat_ws(" ", slice(toks, i, lit(w)))))
+    // guard: sequence(1, 0) is a DESCENDING [1, 0] in Spark, and
+    // slice(_, 0, _) throws — documents shorter than w shingle to []
+    when(size(toks) >= w,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - (w - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(w))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** MinHash signature as `numHashes` min-of-keyed-hash values — computed

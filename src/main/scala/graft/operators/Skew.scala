@@ -25,22 +25,35 @@ object Skew {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
-  /** Two-phase (salted) aggregation for a hot-key groupBy: partial agg on
-    * (key, salt) then final agg on key. Works for associative aggregates —
-    * the caller supplies both phases. */
+  /** One aggregate expressed as a (partial over the value column, final
+    * over the partial results) pair — e.g. count = (count, sum),
+    * sum = (sum, sum), max = (max, max). */
+  final case class TwoPhase(
+      alias: String, partial: Column => Column, combine: Column => Column)
+
+  object TwoPhase {
+    def sumOf(alias: String): TwoPhase = TwoPhase(alias, sum, sum)
+    def countOf(alias: String): TwoPhase = TwoPhase(alias, c => count(c), sum)
+    def maxOf(alias: String): TwoPhase = TwoPhase(alias, max, max)
+    def minOf(alias: String): TwoPhase = TwoPhase(alias, min, min)
+  }
+
+  /** Two-phase (salted) aggregation for a hot-key groupBy: a RANDOM salt
+    * spreads the hot key over `factor` reducers for the partial phase (a
+    * value-derived salt would collapse when hot rows share one value),
+    * then the final phase combines partials per key. */
   def twoPhaseAgg(
-      df: DataFrame, key: String, factor: Int,
-      partial: Seq[(String, Column => Column)],
-      valueCol: String): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(factor)))
+      df: DataFrame, key: String, valueCol: String, factor: Int,
+      aggs: Seq[TwoPhase]): DataFrame = {
+    val salted = df.withColumn("__salt", (rand(seed = 42) * factor).cast("int"))
     val phase1 = salted
       .groupBy(col(key), col("__salt"))
       .agg(
-        partial.head._2(col(valueCol)).as(partial.head._1),
-        partial.tail.map(p => p._2(col(valueCol)).as(p._1)): _*)
+        aggs.head.partial(col(valueCol)).as(aggs.head.alias),
+        aggs.tail.map(a => a.partial(col(valueCol)).as(a.alias)): _*)
     phase1.groupBy(col(key))
       .agg(
-        partial.head._2(col(partial.head._1)).as(partial.head._1),
-        partial.tail.map(p => p._2(col(p._1)).as(p._1)): _*)
+        aggs.head.combine(col(aggs.head.alias)).as(aggs.head.alias),
+        aggs.tail.map(a => a.combine(col(a.alias)).as(a.alias)): _*)
   }
 }

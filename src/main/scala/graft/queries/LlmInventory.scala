@@ -297,18 +297,6 @@ object LlmInventory {
         |SELECT d1, d2, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
         |FROM common JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
         |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5""".stripMargin,
-    "d8_jaccard_verify" ->
-      """WITH tok AS (
-        |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
-        |  FROM documents WHERE doc_id < 40),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-        |common AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-        |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
-        |SELECT d1, d2, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
-        |FROM common JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
-        |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5""".stripMargin,
     "s1_cosine_topk" ->
       """SELECT rnk, vec_id FROM (
         |  SELECT vec_id,

@@ -47,7 +47,7 @@ final class ChunkedTail(
   /** Resume point: max ingested slot (A5), falling back to ledger state. */
   def resumeSlot(): Long = {
     val fromRaw =
-      if (new java.io.File(rawDir).exists())
+      if (graft.core.Fs.exists(spark, rawDir))
         Ledger.maxSlot(spark.read.parquet(rawDir))
       else None
     fromRaw.getOrElse(-1L)

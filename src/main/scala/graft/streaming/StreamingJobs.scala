@@ -38,8 +38,9 @@ object StreamingJobs {
             spark, slotList.toSeq, fetcher,
             parallelism = spark.sparkContext.defaultParallelism)
           RawIngest.writeRaw(rows, cfg, rawDir)
-          val chunk = Ledger.planChunks(
-            spark, slotList.min, slotList.max, slotList.max - slotList.min + 1, loader)
+          // record the batch's EXACT slot range — planChunks would floor-align
+          // the start and falsely mark never-fetched slots completed
+          val chunk = Ledger.chunkRow(spark, loader, slotList.min, slotList.max)
           ledger.append(Ledger.transition(chunk, "completed", s"stream-$batchId", batchId))
         }
         ()

@@ -110,6 +110,37 @@ class ExtensionsSpec extends AnyFunSuite {
       Seq(true, false, false, true, false, true))
   }
 
+  test("shingles: documents shorter than the shingle width yield empty sets") {
+    val docs = Seq((0L, "only two"), (1L, "a b c d e")).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"), graft.operators.Dedup.shingles(col("text"), 3).as("s"))
+      .orderBy("doc_id").collect()
+    assert(sh(0).getAs[Seq[String]]("s") === Seq.empty)
+    assert(sh(1).getAs[Seq[String]]("s") === Seq("a b c", "b c d", "c d e"))
+    // and the full pipeline survives short docs
+    val pairs = graft.operators.Dedup.minhashCandidatePairs(docs, "doc_id", "text", 8, 4, 3)
+    assert(pairs.count() === 0)
+  }
+
+  test("twoPhaseAgg (salted) equals plain groupBy for sum/count on a hot key") {
+    val df = (1 to 2000).map(i => (if (i % 3 == 0) 1L else i.toLong, 1.0)).toDF("k", "v")
+    val plain = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .orderBy("k").collect()
+    val salted = Skew.twoPhaseAgg(df, "k", "v", factor = 8,
+      Seq(Skew.TwoPhase.sumOf("s"), Skew.TwoPhase.countOf("n")))
+      .orderBy("k").collect()
+    assert(plain.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq ===
+      salted.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq)
+  }
+
+  test("vec_cosine rejects non-float arrays at analysis time") {
+    val bad = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(graft.functions.GraftFunctions.vec_cosine(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("array<float>") || e.getMessage.contains("DATATYPE"))
+  }
+
   test("metrics: accumulators track fetch/ingest/transform") {
     val base = java.nio.file.Files.createTempDirectory("graft_m").toString
     val fetcher = MapSlotFetcher((0L until 10L).collect {

@@ -160,6 +160,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(Loaders.all.map(_.name).distinct.size === 8)
   }
 
+  test("ingestChunk records the EXACT chunk range, even non-aligned (ledger identity)") {
+    val chunkLedger = LedgerStore(tmp() + "/chunks_exact")
+    // start 1000 is NOT a multiple of the 251-slot chunk length
+    RawIngest.ingestChunk(spark, cfg, fetcherFor(1000 until 1251), tmp() + "/raw_e",
+      chunkLedger, "blocks", 1000, 1250)
+    val states = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks)).collect()
+    assert(states.length === 1)
+    assert(states(0).getAs[String]("chunk_id") === "blocks_1000_1250")
+    assert(states(0).getAs[Long]("start_slot") === 1000L)
+    assert(states(0).getAs[Long]("end_slot") === 1250L)
+    assert(states(0).getAs[String]("status") === "completed")
+  }
+
+  test("fixChunks on a chunk that failed before any raw write does not crash (D5 edge)") {
+    val chunkLedger = LedgerStore(tmp() + "/chunks_nofile")
+    val failing = new SlotFetcher {
+      def fetch(slot: Long): Option[String] = throw new RuntimeException("down")
+    }
+    val missingRaw = tmp() + "/raw_never_written"
+    assert(!RawIngest.ingestChunk(spark, cfg, failing, missingRaw, chunkLedger, "blocks", 0, 9))
+    val failed = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))
+      .filter(col("status") === "failed")
+    assert(Maintenance.fixChunks(spark, cfg, missingRaw, chunkLedger, failed) === 1)
+    assert(Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))
+      .filter(col("status") === "pending").count() === 1)
+  }
+
   test("deleteSlotRange clears fully-emptied month partitions (D5 edge)") {
     import spark.implicits._
     val dir = tmp() + "/raw_months"
