@@ -37,11 +37,12 @@ object Main {
     case "load" :: "realtime" :: rest => realtime(rest.toArray)
     case "transform" :: "batch" :: rest => transform(rest.toArray)
     case "maintain" :: cmd :: rest if Set("check", "fix", "reset")(cmd) => maintain(cmd, rest.toArray)
+    case "status" :: rest => status(rest.toArray)
     case "fork" :: "info" :: rest => forkInfo(rest.toArray)
     case "fork" :: "list" :: rest =>
       cfgOf(rest.toArray).forks.foreach(f => println(s"${f.name}\tepoch=${f.epoch}\tversion=${f.version}"))
     case _ =>
-      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|fork info|fork list} [options]")
+      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|status|fork info|fork list} [options]")
       sys.exit(2)
   }
 
@@ -109,10 +110,34 @@ object Main {
   private def transform(args: Array[String]): Unit = {
     val spark = session()
     val base = opt(args, "base").getOrElse(sys.error("--base required"))
-    val n = Transformer.runBatch(spark, cfgOf(args), s"$base/raw_blocks",
-      s"$base/tables", LedgerStore(s"$base/load_state_chunks"),
-      LedgerStore(s"$base/transformer_progress"))
-    println(s"[graft] transform batch: $n chunks processed")
+    val loaderName = opt(args, "loader").getOrElse("blocks")
+    val loader = Loaders.byName(loaderName)
+    val chunkLedger = LedgerStore(s"$base/load_state_chunks")
+    val progressLedger = LedgerStore(s"$base/transformer_progress")
+    val todo = Ledger.untransformedChunks(
+        chunkLedger.read(spark, Schemas.loadStateChunks),
+        progressLedger.read(spark, Schemas.transformerProgress), loaderName)
+      .select("start_slot", "end_slot").collect()
+    todo.foreach { r =>
+      Transformer.transformChunk(spark, cfgOf(args), loader,
+        s"$base/raw_$loaderName", s"$base/tables", progressLedger,
+        r.getLong(0), r.getLong(1))
+    }
+    println(s"[graft] transform batch ($loaderName): ${todo.length} chunks processed")
+    spark.stop()
+  }
+
+  /** Ops status surface: chunk overview (A1) + transform rollup (A3). */
+  private def status(args: Array[String]): Unit = {
+    val spark = session()
+    val base = opt(args, "base").getOrElse(sys.error("--base required"))
+    println("[graft] chunk overview:")
+    Ledger.overview(LedgerStore(s"$base/load_state_chunks")
+      .read(spark, Schemas.loadStateChunks)).show(50, truncate = false)
+    println("[graft] transform status:")
+    Ledger.transformStatus(LedgerStore(s"$base/transformer_progress")
+      .read(spark, Schemas.transformerProgress)).show(50, truncate = false)
+    println(s"[graft] metrics: ${graft.core.Metrics.report(spark)}")
     spark.stop()
   }
 

@@ -118,7 +118,10 @@ object ChainConfig {
     val sps = longOf("seconds_per_slot").getOrElse(base.secondsPerSlot)
     val spe = longOf("slots_per_epoch").getOrElse(base.slotsPerEpoch)
     val forks = base.forks.map { f =>
-      longOf(s"${f.name}_fork_epoch").map(e => f.copy(epoch = e)).getOrElse(f)
+      val withEpoch = longOf(s"${f.name}_fork_epoch").map(e => f.copy(epoch = e)).getOrElse(f)
+      // version strings also arrive as `%_FORK_VERSION` spec rows
+      kv.get(s"${f.name}_fork_version").filter(_.startsWith("0x"))
+        .map(v => withEpoch.copy(version = v)).getOrElse(withEpoch)
     }.sortBy(_.epoch)
     ChainConfig(network, genesisTimeUnix, sps, spe, forks)
   }

@@ -63,15 +63,23 @@ object Transformer {
       version: Long = System.currentTimeMillis()): Boolean = {
     try {
       val chunk = chunkData(readRaw(spark, rawDir), startSlot, endSlot)
-      val tables = loader.parse(chunk, cfg, version)
-        .view.filterKeys(loader.tables).toMap // F8
-      var total = 0L
-      tables.foreach { case (name, df) =>
-        total += writeTable(df.drop("month"), cfg, outDir, name)
-      }
-      progress.append(progressRow(spark, loader.rawTable, startSlot, endSlot,
-        "completed", total, 0L, None, version))
-      true
+      // multi-table fan-out (blocks): pre-parse + persist so the JSON
+      // parse runs once, not once per output table (parseAll detects the
+      // pre-parsed "p" column and skips re-parsing)
+      val prepared =
+        if (loader.tables.size > 1) BlockParser.withParsed(chunk).persist()
+        else chunk
+      try {
+        val tables = loader.parse(prepared, cfg, version)
+          .view.filterKeys(loader.tables).toMap // F8
+        var total = 0L
+        tables.foreach { case (name, df) =>
+          total += writeTable(df.drop("month"), cfg, outDir, name)
+        }
+        progress.append(progressRow(spark, loader.rawTable, startSlot, endSlot,
+          "completed", total, 0L, None, version))
+        true
+      } finally if (loader.tables.size > 1) prepared.unpersist()
     } catch {
       case scala.util.control.NonFatal(e) =>
         progress.append(progressRow(spark, loader.rawTable, startSlot, endSlot,

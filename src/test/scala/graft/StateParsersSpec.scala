@@ -122,6 +122,14 @@ class StateParsersSpec extends AnyFunSuite {
     assert(c.forks.find(_.name == "fulu").get.epoch === 1714688L)
   }
 
+  test("fromSpecs also overrides fork VERSION strings (D8)") {
+    val sp = Foundation.specs(spark,
+      """{"data": {"ALTAIR_FORK_VERSION": "0x01000099"}}""")
+    val c = ChainConfig.fromSpecs(sp, 1638993340L, "gnosis")
+    assert(c.forks.find(_.name == "altair").get.version === "0x01000099")
+    assert(c.forks.find(_.name == "deneb").get.version === "0x04000064") // preset kept
+  }
+
   test("gnosis fulu boundary: slot 27435007 electra, 27435008 fulu (test_fulu_support parity)") {
     val c = ChainConfig.gnosis
     assert(c.forkAtSlotValue(27435007L).name === "electra")
