@@ -219,16 +219,29 @@ object Dedup {
     * Returns pairs with cosine ≥ threshold. */
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      planes: Int, seed: Long, threshold: Double): DataFrame = {
+      planes: Int, seed: Long, threshold: Double, bands: Int = 1): DataFrame = {
+    // multiple independent hyperplane signatures (different seeds): a
+    // near-dup pair straddling one band's hyperplane still collides in
+    // another band — recall compounds as 1-(1-p)^bands
+    val dim = Similarity.dimOf(df, vecCol)
+    val sigCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        Similarity.hyperplaneSignature(col(vecCol), dim, planes, seed + b).as("sig"))
+        .as(s"sig$b")
+    }
     val withSig = df.select(
-      col(idCol).as("id"), col(vecCol).as("v"),
-      Similarity.hyperplaneSignature(col(vecCol), dim = Similarity.dimOf(df, vecCol),
-        planes = planes, seed = seed).as("sig"))
-    val a = withSig.as("a")
-    val b = withSig.as("b")
-    a.join(b, col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
-      .withColumn("cosine", vec_cosine(col("a.v"), col("b.v")))
+      (col(idCol).as("id") +: col(vecCol).as("v") +: sigCols): _*)
+    val buckets = withSig
+      .select(col("id"), col("v"),
+        explode(array((0 until bands).map(b => col(s"sig$b")): _*)).as("bk"))
+      .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"),
+        vec_cosine(col("a.v"), col("b.v")).as("cosine"))
+      .distinct()
       .filter(col("cosine") >= threshold)
-      .select(col("a.id").as("d1"), col("b.id").as("d2"), col("cosine"))
   }
 }

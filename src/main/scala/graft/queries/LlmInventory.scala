@@ -132,7 +132,7 @@ object LlmInventory {
   val d7EmbeddingNearDup: Q = (s, d) =>
     Dedup.embeddingNearDupPairs(
       embeddings(s, d), "vec_id", "embedding",
-      planes = 8, seed = 42L, threshold = 0.35)
+      planes = 8, seed = 42L, threshold = 0.35, bands = 2)
       .select("d1", "d2")
       .orderBy("d1", "d2")
 

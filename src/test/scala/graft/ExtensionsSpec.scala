@@ -72,6 +72,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(plain === salted)
   }
 
+  test("multi-band embedding LSH: more bands never lose pairs, only gain recall") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairs(bands: Int) = Dedup.embeddingNearDupPairs(
+      em, "vec_id", "embedding", planes = 8, seed = 42L, threshold = 0.3, bands = bands)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = pairs(1)
+    val three = pairs(3)
+    assert(one.subsetOf(three))
+    assert(three.size >= one.size)
+  }
+
   test("IVF ANN: nProbe=all equals brute force; nProbe=3 has usable recall") {
     val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val query = em.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
