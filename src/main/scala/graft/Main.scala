@@ -9,8 +9,9 @@ import org.apache.spark.sql.SparkSession
   * {{{
   * graft load backfill  --base DIR --start-slot A --end-slot B [--beacon-url U] [--chunk-size N]
   * graft load realtime  --base DIR --beacon-url U [--delay N] [--chunk-size N] [--iterations N]
-  * graft transform batch --base DIR [--network gnosis|mainnet]
+  * graft transform batch --base DIR [--loader blocks|validators|...] [--network gnosis|mainnet]
   * graft maintain check|fix|reset --base DIR
+  * graft status --base DIR
   * graft fork info --slot S [--network gnosis|mainnet]
   * graft fork list [--network gnosis|mainnet]
   * }}}
@@ -112,18 +113,10 @@ object Main {
     val base = opt(args, "base").getOrElse(sys.error("--base required"))
     val loaderName = opt(args, "loader").getOrElse("blocks")
     val loader = Loaders.byName(loaderName)
-    val chunkLedger = LedgerStore(s"$base/load_state_chunks")
-    val progressLedger = LedgerStore(s"$base/transformer_progress")
-    val todo = Ledger.untransformedChunks(
-        chunkLedger.read(spark, Schemas.loadStateChunks),
-        progressLedger.read(spark, Schemas.transformerProgress), loaderName)
-      .select("start_slot", "end_slot").collect()
-    todo.foreach { r =>
-      Transformer.transformChunk(spark, cfgOf(args), loader,
-        s"$base/raw_$loaderName", s"$base/tables", progressLedger,
-        r.getLong(0), r.getLong(1))
-    }
-    println(s"[graft] transform batch ($loaderName): ${todo.length} chunks processed")
+    val n = Transformer.runBatch(spark, cfgOf(args), s"$base/raw_$loaderName",
+      s"$base/tables", LedgerStore(s"$base/load_state_chunks"),
+      LedgerStore(s"$base/transformer_progress"), loader)
+    println(s"[graft] transform batch ($loaderName): $n chunks processed")
     spark.stop()
   }
 
@@ -137,7 +130,8 @@ object Main {
     println("[graft] transform status:")
     Ledger.transformStatus(LedgerStore(s"$base/transformer_progress")
       .read(spark, Schemas.transformerProgress)).show(50, truncate = false)
-    println(s"[graft] metrics: ${graft.core.Metrics.report(spark)}")
+    // note: accumulator metrics are per-session; a CLI `status` runs in a
+    // fresh JVM, so they are reported by the long-lived processes instead
     spark.stop()
   }
 

@@ -21,7 +21,10 @@ final case class LoaderDef(
     /** structured tables this loader owns (F8 allowed-tables filter). */
     tables: Set[String],
     /** parse the raw frame into (table → rows). */
-    parse: (DataFrame, ChainConfig, Long) => Map[String, DataFrame]) {
+    parse: (DataFrame, ChainConfig, Long) => Map[String, DataFrame],
+    /** optional pre-parse step shared by all output tables (persist-worthy
+      * multi-table fan-outs); identity when None. */
+    prepare: Option[DataFrame => DataFrame] = None) {
 
   def rawTable: String = s"raw_$name"
 
@@ -43,7 +46,10 @@ object Loaders {
     "blocks", "/eth/v2/beacon/blocks/{slot}",
     allowEmpty404 = true, dailyOnly = false, activationFork = None,
     tables = Transformer.blockTables,
-    parse = (raw, cfg, v) => BlockParser.parseAll(raw, cfg, v))
+    parse = (raw, cfg, v) => BlockParser.parseAll(raw, cfg, v),
+    // one JSON parse shared by the 13-table fan-out (persisted by the
+    // transformer); parseAll detects the pre-parsed column
+    prepare = Some(BlockParser.withParsed))
 
   val validators: LoaderDef = LoaderDef(
     "validators", "/eth/v1/beacon/states/{slot}/validators",

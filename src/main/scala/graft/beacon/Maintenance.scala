@@ -36,8 +36,9 @@ object Maintenance {
   def deleteSlotRange(
       spark: SparkSession, tableDir: String, cfg: ChainConfig,
       startSlot: Long, endSlot: Long): Unit = {
-    // a chunk can fail before its first raw write: nothing to delete
-    if (!graft.core.Fs.exists(spark, tableDir)) return
+    // a chunk can fail before its first raw write, or the dir may hold
+    // only _SUCCESS (all-empty-slot chunk): nothing to delete either way
+    if (!graft.core.Fs.hasParquetFiles(spark, tableDir)) return
     val months = monthsOf(cfg, startSlot, endSlot)
     val df = spark.read.parquet(tableDir)
     val kept = df
@@ -50,13 +51,16 @@ object Maintenance {
       // month whose every row fell in the deleted range would otherwise
       // silently keep its stale files. Write the surviving months first
       // (the scan still sees all source files), THEN clear emptied months.
-      val keptMonths = kept.select("month").distinct().collect().map(_.getString(0)).toSet
-      if (keptMonths.nonEmpty) {
-        kept.write.mode(SaveMode.Overwrite).partitionBy("month").parquet(tableDir)
-      }
-      months.filterNot(keptMonths).foreach { m =>
-        graft.core.Fs.deleteDir(spark, s"$tableDir/month=$m")
-      }
+      kept.persist() // one scan feeds both the month probe and the rewrite
+      try {
+        val keptMonths = kept.select("month").distinct().collect().map(_.getString(0)).toSet
+        if (keptMonths.nonEmpty) {
+          kept.write.mode(SaveMode.Overwrite).partitionBy("month").parquet(tableDir)
+        }
+        months.filterNot(keptMonths).foreach { m =>
+          graft.core.Fs.deleteDir(spark, s"$tableDir/month=$m")
+        }
+      } finally kept.unpersist()
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)

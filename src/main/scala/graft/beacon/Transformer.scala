@@ -63,12 +63,13 @@ object Transformer {
       version: Long = System.currentTimeMillis()): Boolean = {
     try {
       val chunk = chunkData(readRaw(spark, rawDir), startSlot, endSlot)
-      // multi-table fan-out (blocks): pre-parse + persist so the JSON
-      // parse runs once, not once per output table (parseAll detects the
-      // pre-parsed "p" column and skips re-parsing)
-      val prepared =
-        if (loader.tables.size > 1) BlockParser.withParsed(chunk).persist()
-        else chunk
+      // multi-table fan-outs declare a shared pre-parse step (blocks: one
+      // from_json of the whole payload); persist it so the parse runs
+      // once, not once per output table
+      val prepared = loader.prepare match {
+        case Some(prep) => prep(chunk).persist()
+        case None => chunk
+      }
       try {
         val tables = loader.parse(prepared, cfg, version)
           .view.filterKeys(loader.tables).toMap // F8
@@ -79,7 +80,7 @@ object Transformer {
         progress.append(progressRow(spark, loader.rawTable, startSlot, endSlot,
           "completed", total, 0L, None, version))
         true
-      } finally if (loader.tables.size > 1) prepared.unpersist()
+      } finally if (loader.prepare.isDefined) prepared.unpersist()
     } catch {
       case scala.util.control.NonFatal(e) =>
         progress.append(progressRow(spark, loader.rawTable, startSlot, endSlot,
@@ -98,74 +99,51 @@ object Transformer {
       java.util.Arrays.asList(row), Schemas.transformerProgress)
   }
 
-  /** Transform one blocks chunk into all block-derived tables. The parsed
-    * intermediate is persisted so the JSON parse runs ONCE for the 13-table
-    * fan-out (SURVEY §7.4 multi-output transform). */
+  /** Blocks convenience wrapper over [[transformChunk]] (kept for the
+    * common case; `allowedTables` intersects the loader's table set — F8). */
   def transformBlocksChunk(
       spark: SparkSession, cfg: ChainConfig, rawDir: String, outDir: String,
       progress: LedgerStore, startSlot: Long, endSlot: Long,
       allowedTables: Option[Set[String]] = None,
       version: Long = System.currentTimeMillis()): Boolean = {
-    try {
-      val chunk = chunkData(readRaw(spark, rawDir), startSlot, endSlot)
-      val parsed = BlockParser.withParsed(chunk).persist()
-      try {
-        val tables = BlockParser.parseAll(parsed, cfg, version, allowedTables)
-        var total = 0L
-        tables.foreach { case (name, df) =>
-          total += writeTable(df.drop("month"), cfg, outDir, name)
-        }
-        progress.append(progressRow(spark, "raw_blocks", startSlot, endSlot,
-          "completed", total, 0L, None, version))
-        true
-      } finally parsed.unpersist()
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        progress.append(progressRow(spark, "raw_blocks", startSlot, endSlot,
-          "failed", 0L, 1L, Some(String.valueOf(e.getMessage)), version))
-        false
+    val loader = allowedTables match {
+      case Some(allow) => Loaders.blocks.copy(tables = Loaders.blocks.tables.intersect(allow))
+      case None => Loaders.blocks
     }
+    transformChunk(spark, cfg, loader, rawDir, outDir, progress,
+      startSlot, endSlot, version)
   }
 
-  /** Transform a chunk of a single-output raw table (validators, rewards,
-    * pending queues, sidecars). `parse` is one of [[StateParsers]]. */
-  def transformStateChunk(
-      spark: SparkSession, cfg: ChainConfig, rawDir: String, outDir: String,
-      progress: LedgerStore, rawTable: String, outTable: String,
-      parse: (DataFrame, ChainConfig, Long) => DataFrame,
-      startSlot: Long, endSlot: Long,
-      version: Long = System.currentTimeMillis()): Boolean = {
-    try {
-      val chunk = chunkData(readRaw(spark, rawDir), startSlot, endSlot)
-      val n = writeTable(parse(chunk, cfg, version), cfg, outDir, outTable)
-      progress.append(progressRow(spark, rawTable, startSlot, endSlot,
-        "completed", n, 0L, None, version))
-      true
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        progress.append(progressRow(spark, rawTable, startSlot, endSlot,
-          "failed", 0L, 1L, Some(String.valueOf(e.getMessage)), version))
-        false
-    }
-  }
-
-  /** D4 batch loop: discover untransformed chunks (J1) and process them.
-    * Returns the number of chunks processed. */
+  /** D4 batch loop: discover untransformed chunks (J1) in rounds of
+    * `chunksPerFetch` until the backlog drains. Chunks whose transform
+    * FAILS stay "untransformed" (progress row != completed), so each
+    * range is attempted at most once per invocation to guarantee
+    * termination (the reference's batch mode exits on empty rounds;
+    * failed chunks go to `maintain fix`). Returns chunks processed. */
   def runBatch(
       spark: SparkSession, cfg: ChainConfig, rawDir: String, outDir: String,
       chunkLedger: LedgerStore, progressLedger: LedgerStore,
-      loader: String = "blocks", chunksPerFetch: Int = 50): Int = {
-    val ledger = chunkLedger.read(spark, Schemas.loadStateChunks)
-    val progress = progressLedger.read(spark, Schemas.transformerProgress)
-    val todo = Ledger
-      .untransformedChunks(ledger, progress, loader, chunksPerFetch)
-      .select("start_slot", "end_slot")
-      .collect()
-    todo.foreach { r =>
-      transformBlocksChunk(spark, cfg, rawDir, outDir, progressLedger,
-        r.getLong(0), r.getLong(1))
+      loader: LoaderDef = Loaders.blocks, chunksPerFetch: Int = 50): Int = {
+    val attempted = scala.collection.mutable.Set.empty[(Long, Long)]
+    var processed = 0
+    var draining = true
+    while (draining) {
+      val ledger = chunkLedger.read(spark, Schemas.loadStateChunks)
+      val progress = progressLedger.read(spark, Schemas.transformerProgress)
+      val todo = Ledger
+        .untransformedChunks(ledger, progress, loader.name, chunksPerFetch)
+        .select("start_slot", "end_slot")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filterNot(attempted)
+      if (todo.isEmpty) draining = false
+      else todo.foreach { case (a, b) =>
+        attempted += ((a, b))
+        transformChunk(spark, cfg, loader, rawDir, outDir, progressLedger, a, b)
+        processed += 1
+      }
     }
-    todo.length
+    processed
   }
 
   /** Bucketed write for co-located slot joins: both sides of a

@@ -39,7 +39,14 @@ object Fs {
     if (!f.exists(p)) return false
     val it = f.listFiles(p, true)
     while (it.hasNext) {
-      if (it.next().getPath.getName.endsWith(".parquet")) return true
+      val fp = it.next().getPath
+      // skip uncommitted staging output (_temporary, .spark-staging-*):
+      // Spark's own file index ignores '_'/'.'-prefixed path components
+      val committed = Iterator.iterate(fp)(_.getParent).takeWhile(_ != null)
+        .takeWhile(_.toString.length >= path.length)
+        .forall(q => !q.getName.startsWith("_") && !q.getName.startsWith("."))
+      val isData = fp.getName.endsWith(".parquet") && !fp.getName.startsWith(".")
+      if (committed && isData) return true
     }
     false
   }

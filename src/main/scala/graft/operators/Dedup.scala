@@ -235,6 +235,8 @@ object Dedup {
       .select(col("id"), col("v"),
         explode(array((0 until bands).map(b => col(s"sig$b")): _*)).as("bk"))
       .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      // self-join: persist so bands x planes x dim dot products run once
+      .persist()
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
