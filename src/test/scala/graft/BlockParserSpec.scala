@@ -143,6 +143,30 @@ class BlockParserSpec extends AnyFunSuite {
     assert(out.getAs[Int]("total_slashed_validators") === 5)
   }
 
+  test("capella-era block: deneb/electra fields null-gate, capella tables emit") {
+    // strip deneb+electra additions from the electra fixture -> capella shape
+    val capella = BeaconFixtures.electraBlock
+      .replace("\"blob_kzg_commitments\": [\"0xkzg1\", \"0xkzg2\"],", "")
+      // empty the electra request lists (a real capella block omits the
+      // field entirely; null-gate and zero-gate behave identically)
+      .replaceAll("(?s)\"deposits\": \\[\\{\"pubkey\": \"0xqp.*?\\}\\]", "\"deposits\": []")
+      .replaceAll("(?s)\"withdrawals\": \\[\\{\"source_address.*?\\}\\]", "\"withdrawals\": []")
+      .replaceAll(",\\s*\"blob_gas_used\": \"131072\", \"excess_blob_gas\": \"0\"\\}", "}")
+      .replace("\"slot\": \"21405700\"", "\"slot\": \"10400000\"") // capella epoch range
+    val t = BlockParser.parseAll(rawOf(10400000L -> capella), cfg)
+    val b = t("blocks").head()
+    assert(b.getAs[String]("version") === "0x03000064") // capella on gnosis
+    assert(b.getAs[Int]("blob_kzg_commitments_count") === 0)
+    assert(b.getAs[Int]("execution_requests_count") === 0)
+    assert(b.getAs[Int]("withdrawals_count") === 2) // capella feature present
+    val ep = t("execution_payloads").head()
+    assert(ep.getAs[Long]("blob_gas_used") === 0L) // deneb default
+    assert(t("blob_commitments").count() === 0)
+    assert(t("execution_requests").count() === 0)
+    assert(t("withdrawals").count() === 2)
+    assert(t("bls_changes").count() === 1)
+  }
+
   test("F8: allowedTables filters the fan-out") {
     val only = BlockParser.parseAll(
       rawOf(21405700L -> BeaconFixtures.electraBlock), cfg,

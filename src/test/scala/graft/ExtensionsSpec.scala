@@ -152,6 +152,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("array<float>") || e.getMessage.contains("DATATYPE"))
   }
 
+  test("decodeBatched: mapPartitions batch contract, deterministic features") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .limit(100)
+    val a = graft.operators.Multimodal.decodeBatched(docs, "doc_id", "payload", dim = 8)
+    val b = graft.operators.Multimodal.decodeBatched(docs, "doc_id", "payload", dim = 8, batchSize = 7)
+    assert(a.count() === 100)
+    val fa = a.orderBy("doc_id").collect().map(_.getSeq[Float](1))
+    val fb = b.orderBy("doc_id").collect().map(_.getSeq[Float](1))
+    assert(fa.toSeq === fb.toSeq) // batch size never changes results
+    assert(fa.head.length === 8)
+    assert(fa.forall(_.forall(f => f >= -1.0f && f <= 1.0f)))
+  }
+
   test("metrics: accumulators track fetch/ingest/transform") {
     val base = java.nio.file.Files.createTempDirectory("graft_m").toString
     val fetcher = MapSlotFetcher((0L until 10L).collect {
