@@ -94,6 +94,23 @@ object StreamingJobs {
         })
   }
 
+  /** Production slot stream: the rate source emits one row per slot
+    * period; value N maps to slot startSlot+N. Pair with
+    * [[rawIngestStream]] for an end-to-end streaming ingest
+    * (`rowsPerSecond = 1/secondsPerSlot` paces fetches to chain tempo;
+    * the head-delay watermark is applied by fetching `slotDelay` behind).
+    */
+  def slotStream(
+      spark: SparkSession, startSlot: Long, secondsPerSlot: Long): Dataset[java.lang.Long] = {
+    import spark.implicits._
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", math.max(1L, 1L / math.max(1L, secondsPerSlot)).toString)
+      .load()
+      .select((col("value") + startSlot).as("slot"))
+      .as[java.lang.Long]
+  }
+
   /** Convenience: stream the `events` testdata directory as a file source
     * (schema-required for streaming reads). */
   def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
