@@ -174,6 +174,24 @@ class BlockParserSpec extends AnyFunSuite {
     assert(only.keySet === Set("blocks", "attestations"))
   }
 
+  test("degenerate payloads: empty object, missing body, garbage — no crash, safe defaults") {
+    val degenerate = rawOf(
+      1L -> "{}",
+      2L -> """{"data": {"message": {"slot": "2"}}}""",
+      3L -> "complete garbage",
+      4L -> """{"version": "phase0", "data": {"message": {"slot": "4", "body": {}}}}""")
+    val t = BlockParser.parseAll(degenerate, cfg)
+    val blocks = t("blocks").orderBy("slot").collect()
+    assert(blocks.length === 4) // every raw row yields a defaults row (parser parity)
+    assert(blocks.forall(_.getAs[Long]("proposer_index") === 0L))
+    assert(blocks.forall(_.getAs[String]("parent_root") === ""))
+    assert(blocks(0).getAs[String]("version") === "0x00000064")
+    // list-derived tables stay empty rather than erroring
+    assert(t("attestations").count() === 0)
+    assert(t("transactions").count() === 0)
+    assert(t("attester_slashings").count() === 0)
+  }
+
   test("slot_timestamp = genesis + slot*5s (C8 on gnosis)") {
     val b = tables("blocks").filter($"slot" === 5L).head()
     val ts = b.getAs[java.sql.Timestamp]("slot_timestamp")
