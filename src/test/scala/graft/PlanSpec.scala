@@ -2,6 +2,7 @@ package graft
 
 import graft.queries.{Inventory, LlmInventory}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.ExplainMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -100,6 +101,26 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange"), plan)
       assert(joined.count() === 1000L)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("latest() FINAL view: slot predicate pushes THROUGH the window to the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_latest").toString + "/t"
+    (0L until 1000L).map(s => (s, s % 7, "2021-12"))
+      .toDF("slot", "insert_version", "month")
+      .write.partitionBy("month").parquet(dir)
+    val latest = graft.beacon.Ledger.latest(
+      spark.read.parquet(dir), Seq("slot"), "insert_version")
+    val pruned = latest.filter(col("slot").between(100, 200))
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the filter is on the window's PARTITION BY key, so Catalyst pushes it
+    // below the window into the parquet scan — the property that keeps
+    // latest() reads partition/row-group-pruned at 100 TB
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("GreaterThanOrEqual(slot,100)"), plan)
+    assert(plan.contains("LessThanOrEqual(slot,200)"), plan)
+    assert(pruned.count() === 101)
   }
 
   test("s1_cosine_topk: brute-force scan is a single pass + TakeOrdered") {
