@@ -69,7 +69,7 @@ object Inventory {
   val f6LastOfDay: Q = (s, d) => {
     val w = Window.orderBy("event_id")
     events(s, d)
-      .select(col("event_id"), to_date(eventTs).as("day"))
+      .select(col("event_id"), date_format(eventTs, "yyyy-MM-dd").as("day"))
       .withColumn("next_day", lead("day", 1).over(w))
       .filter(col("next_day").isNull || col("day") =!= col("next_day"))
       .select("event_id", "day")
@@ -119,7 +119,7 @@ object Inventory {
   val j5DailyRollupJoin: Q = (s, d) =>
     lineitem(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("qty"))
 
   /** J6/X1: day-over-day EXCEPT diff (pending-queue applied entries;
@@ -180,7 +180,7 @@ object Inventory {
   /** A7a: hourly time-bucket rollup (toStartOfHour analytics). */
   val a7HourlyRollup: Q = (s, d) =>
     events(s, d)
-      .groupBy(date_trunc("hour", eventTs).as("h"))
+      .groupBy(date_format(date_trunc("hour", eventTs), "yyyy-MM-dd HH:mm:ss").as("h"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
 
   /** A7b: top-proposers HAVING shape (docs: CLICKHOUSE_GUIDE.md:282-295). */
@@ -289,7 +289,8 @@ object Inventory {
       .filter(col("event_id") < 500)
       .select(
         col("event_id").as("slot"),
-        slot_timestamp(col("event_id"), 1638993340L, 5L).as("slot_ts"))
+        date_format(slot_timestamp(col("event_id"), 1638993340L, 5L),
+          "yyyy-MM-dd HH:mm:ss").as("slot_ts"))
 
   /** C9: slot → epoch rollup. */
   val c9EpochRollup: Q = (s, d) =>
@@ -325,7 +326,7 @@ object Inventory {
     documents(s, d)
       .filter(col("doc_id") < 20)
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("word"))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("word"))
 
   /** P24-shape: unpivot/melt (specs k/v table; reference:
     * src/loaders/specs.py:24-91). */
@@ -395,8 +396,8 @@ object Inventory {
       "SELECT event_id, user_id FROM events WHERE event_id >= 500 AND event_type = 'purchase'",
     "f6_last_of_day" ->
       """SELECT event_id, day FROM (
-        |  SELECT event_id, CAST(ts AS DATE) AS day,
-        |         LEAD(CAST(ts AS DATE)) OVER (ORDER BY event_id) AS next_day
+        |  SELECT event_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |         LEAD(strftime(CAST(ts AS DATE), '%Y-%m-%d')) OVER (ORDER BY event_id) AS next_day
         |  FROM events) t
         |WHERE next_day IS NULL OR day <> next_day""".stripMargin,
     "f7_status_filter" ->
@@ -417,18 +418,18 @@ object Inventory {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
     "j5_daily_rollup_join" ->
-      """SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_items,
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day, count(*) AS n_items,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY CAST(o_orderdate AS DATE)""".stripMargin,
+        |GROUP BY 1""".stripMargin,
     "j6_except_diff" ->
       """SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'
         |EXCEPT
         |SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'""".stripMargin,
     "a1_conditional_agg" ->
       """SELECT event_type, count(*) AS n,
-        |       SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS n_high,
-        |       SUM(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS n_low,
+        |       CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |       CAST(SUM(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
         |       MIN(event_id) AS min_id, MAX(event_id) AS max_id
         |FROM events GROUP BY event_type""".stripMargin,
     "a2_pricing_summary" ->
@@ -445,7 +446,7 @@ object Inventory {
     "a5_max_probe" ->
       "SELECT event_type, MAX(event_id) AS max_id FROM events GROUP BY event_type",
     "a7_hourly_rollup" ->
-      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, count(*) AS n,
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
         |FROM events GROUP BY 1""".stripMargin,
     "a7_top_users_having" ->
@@ -486,7 +487,8 @@ object Inventory {
         |       (SELECT count(*) FROM nation) AS n_nations""".stripMargin,
     "c8_slot_timestamp" ->
       """SELECT event_id AS slot,
-        |       make_timestamp((1638993340 + event_id * 5) * 1000000) AS slot_ts
+        |       strftime(make_timestamp((1638993340 + event_id * 5) * 1000000),
+        |                '%Y-%m-%d %H:%M:%S') AS slot_ts
         |FROM events WHERE event_id < 500""".stripMargin,
     "c9_epoch_rollup" ->
       "SELECT event_id // 16 AS epoch, count(*) AS n FROM events GROUP BY 1",

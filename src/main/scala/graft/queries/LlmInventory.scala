@@ -19,13 +19,13 @@ object LlmInventory {
   val t1TokenCount: Q = (s, d) =>
     documents(s, d).select(
       col("doc_id"),
-      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
 
   val t2QualityStats: Q = (s, d) =>
     documents(s, d).select(
       col("doc_id"),
-      length(col("text")).as("n_chars2"),
-      size(split(col("text"), " ")).as("n_words"),
+      length(col("text")).cast("long").as("n_chars2"),
+      size(split(col("text"), " ")).cast("long").as("n_words"),
       ((length(col("text")) - length(regexp_replace(col("text"), "the", ""))) / 3)
         .cast("long").as("the_cnt"))
 
@@ -147,7 +147,7 @@ object LlmInventory {
     val w = Window.orderBy(col("cosine").desc, col("vec_id").asc)
     Similarity
       .bruteForceTopK(em.filter(col("vec_id") =!= 0), "vec_id", "embedding", query, 10)
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .select("rnk", "vec_id")
   }
 
@@ -184,7 +184,7 @@ object LlmInventory {
     em.crossJoin(q)
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", graft.functions.GraftFunctions.vec_cosine(col("embedding"), col("q_vec")))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .select("q_id", "vec_id", "rnk")
   }
@@ -204,7 +204,7 @@ object LlmInventory {
     Multimodal.withBinaryMeta(
         documents(s, d).select(col("doc_id"), col("text").cast("binary").as("payload")),
         "payload")
-      .select(col("doc_id"), col("n_bytes"), substring(col("content_sha"), 1, 16).as("sha16"))
+      .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"), substring(col("content_sha"), 1, 16).as("sha16"))
 
   /** Deterministic fake decode → fixed-width feature vector; rows-only
     * (stubbed codec, SURVEY-mandated). Emits vector length + first element
@@ -258,7 +258,7 @@ object LlmInventory {
         |       (length(text) - length(replace(text, 'the', ''))) // 3 AS the_cnt
         |FROM documents""".stripMargin,
     "t3_lang_stats" ->
-      "SELECT lang, count(*) AS n_docs, SUM(n_chars) AS total_chars FROM documents GROUP BY lang",
+      "SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY lang",
     "t5_fingerprint" ->
       """SELECT doc_id,
         |       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
