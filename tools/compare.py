@@ -55,6 +55,15 @@ def main():
         if list(s.columns) != list(d.columns):
             results[name] = f"SCHEMA_MISMATCH spark={list(s.columns)} duck={list(d.columns)}"
             continue
+        # dtype drift is a hash-compare hazard even when values match
+        dt = [
+            (c, str(spark_df[c].dtype), str(duck_df[c].dtype))
+            for c in sorted(spark_df.columns)
+            if str(spark_df[c].dtype) != str(duck_df[c].dtype)
+        ]
+        if dt:
+            results[name] = f"DTYPE_MISMATCH {dt}"
+            continue
         if len(s) != len(d):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(s)} duck={len(d)}"
             continue
