@@ -50,6 +50,34 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Token-overlap candidate pairs via inverted-index self-join, with a
+    * document-frequency ceiling: a token appearing in `df` documents
+    * contributes O(df²) join pairs, so one stop-word-grade token makes the
+    * self-join quadratic in the corpus. Tokens with DF > `maxDf` are
+    * dropped BEFORE the join (they carry no dedup signal anyway — overlap
+    * on "the" says nothing). The hot-token set is tiny by construction →
+    * broadcast anti-join, no extra shuffle of the posting list. */
+  def tokenOverlapPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      minCommon: Int, maxDf: Long): DataFrame = {
+    val tok = df
+      .select(col(idCol).as("id"), explode(tokenSet(col(textCol))).as("w"))
+      .distinct()
+    val hot = tok.groupBy("w").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("w")
+    // NB: a USING join reorders columns (join key first) — select explicitly
+    val posting = tok.join(broadcast(hot), Seq("w"), "left_anti")
+      .select(col("id"), col("w"))
+    val a = posting.select(col("id").as("d1"), col("w"))
+    val b = posting.select(col("id").as("d2"), col("w"))
+    a.join(b, Seq("w"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+  }
+
   /** MinHash signature as `numHashes` min-of-keyed-hash values — computed
     * entirely per row (array transform + array_min), zero shuffle.
     * md5 variant: oracle-parity (DuckDB md5 is identical). */
@@ -106,8 +134,14 @@ object Dedup {
     * shingle sets back and compute |∩|/|∪| with array intrinsics. */
   def jaccardForPairs(
       pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
-      shingleW: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleW).as("sh"))
+      shingleW: Int): DataFrame =
+    jaccardWithShingles(
+      pairs, df.select(col(idCol).as("id"), shingles(col(textCol), shingleW).as("sh")))
+
+  /** Jaccard over a precomputed `(id, sh)` shingle frame — `sh` is joined
+    * TWICE (d1 side and d2 side), so callers that own the frame should
+    * persist it to halve the shingle compute. */
+  def jaccardWithShingles(pairs: DataFrame, sh: DataFrame): DataFrame =
     pairs
       .join(sh.withColumnRenamed("id", "d1").withColumnRenamed("sh", "sh1"), "d1")
       .join(sh.withColumnRenamed("id", "d2").withColumnRenamed("sh", "sh2"), "d2")
@@ -116,7 +150,6 @@ object Dedup {
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))))
       .select("d1", "d2", "jaccard")
-  }
 
   /** Connected components over an undirected pair list (d1,d2) by
     * iterative min-label propagation. Each iteration is one shuffle join;
@@ -134,8 +167,12 @@ object Dedup {
     // loop below remains the giant-graph path.
     val spark = pairs.sparkSession
     val edges = pairs.select(col("d1").cast("long"), col("d2").cast("long"))
-    if (edges.limit((driverThreshold + 1).toInt).count() <= driverThreshold) {
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // single bounded action decides the path AND fetches the edges — a
+    // separate count() probe would cost one full extra pass over the
+    // (possibly expensive) upstream pipeline
+    val bounded = edges.limit((driverThreshold + 1).toInt).collect()
+    if (bounded.length <= driverThreshold) {
+      val es = bounded.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -194,15 +231,21 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, rowsPerBand: Int = 4, shingleW: Int = 3,
       jaccardThreshold: Double = 0.8): DataFrame = {
+    // persist every frame that is consumed more than once downstream:
+    // candidates feeds the double-sided shingle join, the shingle frame is
+    // joined twice (d1/d2 side), and confirmed drives the component loop —
+    // without these the LSH pipeline re-runs per consumer
     val candidates = minhashCandidatePairs(df, idCol, textCol, numHashes, rowsPerBand, shingleW)
-    // materialize the (tiny) confirmed-pair set once: connectedComponents
-    // runs several actions over it, and without the persist each action
-    // would re-run the whole LSH + shingle-join pipeline
-    val confirmed = jaccardForPairs(candidates, df, idCol, textCol, shingleW)
+      .persist()
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleW).as("sh"))
+      .persist()
+    val confirmed = jaccardWithShingles(candidates, sh)
       .filter(col("jaccard") >= jaccardThreshold)
       .select("d1", "d2")
       .persist()
-    val comps = connectedComponents(confirmed)
+    val comps = connectedComponents(confirmed) // materializes `confirmed`
+    candidates.unpersist(blocking = false)
+    sh.unpersist(blocking = false)
     val out = df.select(col(idCol).as("id"))
       .join(comps, Seq("id"), "left")
       .select(

@@ -102,18 +102,22 @@ object Similarity {
       .limit(k)
 
   /** Top-k neighbors for EVERY query row: broadcast the (small) query set
-    * against the (large) corpus, rank per query. The corpus never shuffles. */
+    * against the (large) corpus, then a bounded top-k AGGREGATE per query.
+    * The corpus never shuffles as data: the partial [[BoundedTopK]] runs
+    * map-side, so the only exchange carries |partitions| x |Q| x k survivor
+    * rows (a window `partitionBy(q)` would instead funnel corpus x |Q| rows
+    * onto |Q| reducer keys — a scale killer). */
   def topKJoin(
       queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
-      qVec: String, cVec: String, k: Int): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries.select(col(qId), col(qVec))))
+      qVec: String, cVec: String, k: Int): DataFrame =
+    corpus.crossJoin(broadcast(queries.select(col(qId), col(qVec))))
       .withColumn("cosine", vec_cosine(col(cVec), col(qVec)))
-    val w = Window.partitionBy(qId).orderBy(col("cosine").desc, col(cId).asc)
-    joined
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col(qId), col(cId), col("rnk"), col("cosine"))
-  }
+      .groupBy(qId)
+      .agg(TopK.topkAgg(k)(col("cosine"), col(cId).cast("long")).as("topk"))
+      .select(col(qId), posexplode(col("topk")))
+      .select(
+        col(qId), col("col.id").as(cId),
+        (col("pos") + 1).as("rnk"), col("col.score").as("cosine"))
 
   /** Driver-side Lloyd k-means over a bounded sample — the IVF coarse
     * quantizer. Deterministic for a fixed seed; centroids are broadcast as

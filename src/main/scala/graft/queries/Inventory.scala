@@ -64,15 +64,21 @@ object Inventory {
       .filter(col("event_id") >= 500 && col("event_type") === "purchase")
       .select("event_id", "user_id")
 
-  /** F6/C11: last-event-of-day boundary detection via LEAD
-    * (reference: src/utils/time_utils.py:10-28). */
+  /** F6/C11: last-slot-of-day boundary detection — the reference's
+    * `is_last_slot_of_day` (src/utils/time_utils.py:10-28) is a pure
+    * function of the slot clock, so the boundary is a PER-ROW closed form
+    * (date(ts(id)) ≠ date(ts(id+1))), not a LEAD over a global window.
+    * A global unpartitioned window would funnel the whole table through
+    * one task; this form is embarrassingly parallel and the predicate
+    * stays inside whole-stage codegen. 300s/slot spreads the sf0.01 id
+    * range over ~35 UTC days. */
   val f6LastOfDay: Q = (s, d) => {
-    val w = Window.orderBy("event_id")
+    val clock = graft.beacon.ChainConfig.gnosis.copy(secondsPerSlot = 300L)
     events(s, d)
-      .select(col("event_id"), date_format(eventTs, "yyyy-MM-dd").as("day"))
-      .withColumn("next_day", lead("day", 1).over(w))
-      .filter(col("next_day").isNull || col("day") =!= col("next_day"))
-      .select("event_id", "day")
+      .filter(clock.isLastSlotOfDay(col("event_id")))
+      .select(
+        col("event_id"),
+        date_format(clock.slotTimestamp(col("event_id")), "yyyy-MM-dd").as("day"))
   }
 
   /** F7: status/IN-list filter + count (ledger status queries). */
@@ -395,11 +401,12 @@ object Inventory {
     "f5_fork_gate" ->
       "SELECT event_id, user_id FROM events WHERE event_id >= 500 AND event_type = 'purchase'",
     "f6_last_of_day" ->
-      """SELECT event_id, day FROM (
-        |  SELECT event_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-        |         LEAD(strftime(CAST(ts AS DATE), '%Y-%m-%d')) OVER (ORDER BY event_id) AS next_day
-        |  FROM events) t
-        |WHERE next_day IS NULL OR day <> next_day""".stripMargin,
+      """SELECT event_id,
+        |       strftime(make_timestamp((1638993340 + event_id * 300) * 1000000),
+        |                '%Y-%m-%d') AS day
+        |FROM events
+        |WHERE CAST(make_timestamp((1638993340 + event_id * 300) * 1000000) AS DATE)
+        |   <> CAST(make_timestamp((1638993340 + (event_id + 1) * 300) * 1000000) AS DATE)""".stripMargin,
     "f7_status_filter" ->
       """SELECT event_type, count(*) AS n FROM events
         |WHERE event_type IN ('error', 'signup') GROUP BY event_type""".stripMargin,

@@ -52,20 +52,15 @@ object LlmInventory {
     Dedup.exactGroups(documents(s, d), "doc_id", "text")
 
   /** Unigram-overlap candidate pairs (the n-gram-Jaccard numerator),
-    * restricted to a doc window so the oracle join stays small. */
-  val d3TokenOverlap: Q = (s, d) => {
-    val tok = documents(s, d)
-      .filter(col("doc_id") < 60)
-      .select(col("doc_id"), explode(Dedup.tokenSet(col("text"))).as("w"))
-      .distinct()
-    val a = tok.toDF("d1", "w")
-    val b = tok.toDF("d2", "w")
-    a.join(b, Seq("w"))
-      .filter(col("d1") < col("d2"))
-      .groupBy("d1", "d2")
-      .agg(count(lit(1)).as("common"))
-      .filter(col("common") >= 30)
-  }
+    * restricted to a doc window so the oracle join stays small. The
+    * operator carries a document-frequency ceiling (hot tokens dropped
+    * before the self-join — the quadratic-blowup guard); maxDf=100 exceeds
+    * the window's 60 docs, so the oracle (which has no cap) still matches
+    * exactly. */
+  val d3TokenOverlap: Q = (s, d) =>
+    Dedup.tokenOverlapPairs(
+      documents(s, d).filter(col("doc_id") < 60), "doc_id", "text",
+      minCommon = 30, maxDf = 100)
 
   /** MinHash band-bucket candidate pairs, 4 hashes / 2 bands of 2 —
     * oracle-checkable because the seeded hash is md5. The OR-of-bands is
@@ -174,19 +169,24 @@ object LlmInventory {
   }
 
   /** Top-3 neighbors for EVERY query vector (vec_id<20): broadcast query
-    * set against the corpus, rank per query — the batch-ANN shape. Rank
-    * output keeps the oracle robust to last-ulp float differences. */
+    * set against the corpus, then a bounded top-k aggregate per query (the
+    * partial [[graft.operators.BoundedTopK]] truncates map-side, so the
+    * shuffle carries only k survivors per partition per query — no
+    * corpus-sized window exchange). Rank output keeps the oracle robust to
+    * last-ulp float differences. */
   val s5TopKJoin: Q = (s, d) => {
     val em = embeddings(s, d)
     val q = broadcast(em.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
     em.crossJoin(q)
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", graft.functions.GraftFunctions.vec_cosine(col("embedding"), col("q_vec")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
-      .select("q_id", "vec_id", "rnk")
+      .groupBy("q_id")
+      .agg(graft.operators.TopK.topkAgg(3)(col("cosine"), col("vec_id")).as("topk"))
+      .select(col("q_id"), posexplode(col("topk")))
+      .select(
+        col("q_id"), col("col.id").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rnk"))
   }
 
   /** Per-label centroid-free pairwise stats: count pairs per label bucket —
