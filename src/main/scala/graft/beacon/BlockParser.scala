@@ -1,6 +1,6 @@
 package graft.beacon
 
-import graft.functions.GraftFunctions.{hex_popcount, safe_long}
+import graft.functions.GraftFunctions.{hex_popcount, safe_long, safe_long_null}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -81,7 +81,10 @@ object BlockParser {
         col("pos").cast("long").as("attestation_index"),
         s(col("att.aggregation_bits")).as("aggregation_bits"),
         s(col("att.signature")).as("signature"),
-        coalesce(safe_long(col("att.data.slot")), col("slot")).as("attestation_slot"),
+        // reference `safe_int(att_data.get("slot", slot), slot)`: BOTH a
+        // missing field AND an unparseable value fall back to the block
+        // slot — safe_long (garbage → 0) would turn garbage into slot 0
+        coalesce(safe_long_null(col("att.data.slot")), col("slot")).as("attestation_slot"),
         l(col("att.data.index")).as("committee_index"),
         s(col("att.data.beacon_block_root")).as("beacon_block_root"),
         l(col("att.data.source.epoch")).as("source_epoch"),
@@ -163,7 +166,14 @@ object BlockParser {
         posexplode(body("attester_slashings")).as(Seq("pos", "as")))
       .select(
         col("slot"), col("pos"), col("as"),
-        element_at(variant, col("pos") + 1).as("asv"))
+        // the CSV fallback re-parse of the whole payload is gated per row:
+        // only when the maximal schema nulled an attesting_indices array
+        // (the rare scalar/CSV variant) does the second from_json run —
+        // the common path never pays a double payload parse
+        when(
+          col("as.attestation_1.attesting_indices").isNull ||
+            col("as.attestation_2.attesting_indices").isNull,
+          element_at(variant, col("pos") + 1)).as("asv"))
       .select(
         (col("slot") +: col("pos").cast("long").as("slashing_index") +:
           (att("att_1", col("as.attestation_1"), col("asv.attestation_1")) ++

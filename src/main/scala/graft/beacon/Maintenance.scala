@@ -110,7 +110,7 @@ object Maintenance {
       version: Long = System.currentTimeMillis()): Long = {
     val ledger = chunkLedger.read(spark, Schemas.loadStateChunks)
     val stale = Ledger.chunkStates(ledger)
-      .filter(col("status") === "claimed" &&
+      .filter(col("status").isin("claimed", "processing") &&
         col("updated_at") < current_timestamp() - expr(s"INTERVAL $maxAgeMin MINUTES"))
     val n = stale.count()
     if (n > 0) chunkLedger.append(Ledger.transition(stale, "pending", "maintenance", version))

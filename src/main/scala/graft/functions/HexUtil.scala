@@ -42,6 +42,31 @@ object HexUtil {
     eff / 2
   }
 
+  /** Null-on-failure variant of [[safeLong]] (boxed so generated code can
+    * branch on null): null/empty/garbage → null, overflow still clamps.
+    * Backs the `coalesce(safe_long_null(x), fallback)` pattern that
+    * mirrors the reference's `safe_int(x, fallback)` — a plain default-0
+    * parse would swallow the fallback on garbage input. */
+  def safeLongBoxed(s: UTF8String): java.lang.Long = {
+    if (s == null) return null
+    val str = s.toString.trim
+    if (str.isEmpty) return null
+    try {
+      if (str.startsWith("0x") || str.startsWith("0X"))
+        java.lang.Long.valueOf(java.lang.Long.parseLong(str.substring(2), 16))
+      else java.lang.Long.valueOf(str.toLong)
+    } catch {
+      case _: NumberFormatException =>
+        try {
+          val hex = str.startsWith("0x") || str.startsWith("0X")
+          val bi = new java.math.BigInteger(
+            if (hex) str.substring(2) else str, if (hex) 16 else 10)
+          if (bi.bitLength() > 63) java.lang.Long.valueOf(Long.MaxValue)
+          else java.lang.Long.valueOf(bi.longValue())
+        } catch { case _: NumberFormatException => null }
+    }
+  }
+
   /** Hex-aware integer parse mirroring the reference's `safe_int`
     * (src/parsers/fork_base.py:210-222): null/empty → default, `0x…` parsed
     * base-16, otherwise base-10; unparseable → default.

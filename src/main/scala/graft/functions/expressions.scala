@@ -36,18 +36,32 @@ case class HexByteLength(child: Expression) extends UnaryExpression {
 }
 
 /** Hex-aware `safe_int` (reference: src/parsers/fork_base.py:210-222):
-  * `0x…` → base 16, decimal otherwise, null/garbage → null; UInt64 overflow
-  * clamps to Long.MaxValue (engine sentinel policy, SURVEY §7.4).
+  * `0x…` → base 16, decimal otherwise; UInt64 overflow clamps to
+  * Long.MaxValue (engine sentinel policy, SURVEY §7.4). Failure mode is
+  * selectable: `failToNull = false` (default) maps null/empty/garbage to 0
+  * — the reference's `safe_int(x)` with default 0; `failToNull = true`
+  * maps them to NULL so callers can `coalesce` to a row-specific fallback,
+  * mirroring `safe_int(x, fallback)`.
   */
-case class SafeLong(child: Expression) extends UnaryExpression {
+case class SafeLong(child: Expression, failToNull: Boolean = false)
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
+  // Both modes null-propagate on a NULL child (UnaryExpression wrapper);
+  // they differ only on non-null garbage: 0 vs NULL.
   override protected def nullSafeEval(v: Any): Any =
-    HexUtil.safeLong(v.asInstanceOf[UTF8String], 0L)
+    if (failToNull) HexUtil.safeLongBoxed(v.asInstanceOf[UTF8String])
+    else HexUtil.safeLong(v.asInstanceOf[UTF8String], 0L)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HexUtil.safeLong($c, 0L)")
-  override protected def withNewChildInternal(c: Expression): SafeLong = copy(c)
-  override def prettyName: String = "safe_long"
+    if (!failToNull)
+      defineCodeGen(ctx, ev, c => s"graft.functions.HexUtil.safeLong($c, 0L)")
+    else nullSafeCodeGen(ctx, ev, c => s"""
+        java.lang.Long graftSafeLong = graft.functions.HexUtil.safeLongBoxed($c);
+        if (graftSafeLong == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = graftSafeLong.longValue(); }""")
+  override protected def withNewChildInternal(c: Expression): SafeLong =
+    copy(child = c)
+  override def prettyName: String = if (failToNull) "safe_long_null" else "safe_long"
 }
 
 /** First 16 hex of sha256 over Python-canonical JSON (sorted keys,
@@ -156,6 +170,9 @@ object GraftFunctions {
   def hex_popcount(c: Column): Column = col(HexPopcount(expr(c)))
   def hex_byte_length(c: Column): Column = col(HexByteLength(expr(c)))
   def safe_long(c: Column): Column = col(SafeLong(expr(c)))
+  /** Garbage → NULL variant for `coalesce(safe_long_null(x), fallback)` —
+    * the reference's `safe_int(x, fallback)` row-specific-default shape. */
+  def safe_long_null(c: Column): Column = col(SafeLong(expr(c), failToNull = true))
   def payload_hash16(c: Column): Column = col(CanonicalJsonHash16(expr(c)))
   def vec_dot(a: Column, b: Column): Column = col(FloatVectorDot(expr(a), expr(b)))
   def vec_cosine(a: Column, b: Column): Column =
@@ -182,6 +199,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("hex_popcount", es => HexPopcount(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("hex_byte_length", es => HexByteLength(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("safe_long", es => SafeLong(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("safe_long_null", es => SafeLong(es.head, failToNull = true), "scala_udf")
     reg.createOrReplaceTempFunction("canonical_json_hash16", es => CanonicalJsonHash16(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vec_dot", es => FloatVectorDot(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_cosine", es => FloatVectorCosine(es(0), es(1)), "scala_udf")

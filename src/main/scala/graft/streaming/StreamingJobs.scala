@@ -39,9 +39,14 @@ object StreamingJobs {
             parallelism = spark.sparkContext.defaultParallelism)
           RawIngest.writeRaw(rows, cfg, rawDir)
           // record the batch's EXACT slot range — planChunks would floor-align
-          // the start and falsely mark never-fetched slots completed
+          // the start and falsely mark never-fetched slots completed.
+          // insert_version is epoch millis: ONE version domain shared with
+          // Maintenance.fixChunks/resetChunks — a batchId (0,1,2,…) could
+          // never outrank a maintenance row's millis version, leaving
+          // maintenance-touched chunks pending forever
           val chunk = Ledger.chunkRow(spark, loader, slotList.min, slotList.max)
-          ledger.append(Ledger.transition(chunk, "completed", s"stream-$batchId", batchId))
+          ledger.append(Ledger.transition(
+            chunk, "completed", s"stream-$batchId", System.currentTimeMillis()))
         }
         ()
       }
@@ -94,21 +99,41 @@ object StreamingJobs {
         })
   }
 
-  /** Production slot stream: the rate source emits one row per slot
-    * period; value N maps to slot startSlot+N. Pair with
-    * [[rawIngestStream]] for an end-to-end streaming ingest
-    * (`rowsPerSecond = 1/secondsPerSlot` paces fetches to chain tempo;
-    * the head-delay watermark is applied by fetching `slotDelay` behind).
+  /** Production slot stream paced to chain tempo. The rate source ticks
+    * once per SECOND (`rowsPerSecond = 1`) and the slot is derived from
+    * elapsed ticks — `startSlot + value / secondsPerSlot` — keeping only
+    * the first tick of each slot period (`value % secondsPerSlot == 0`),
+    * so exactly one row per slot is emitted and never faster than the
+    * chain produces them. (A naive `rowsPerSecond = 1/secondsPerSlot`
+    * truncates to 0→clamped 1 row/s and emits future slots 5–12× too
+    * fast; paired with [[rawIngestStream]] those 404-as-empty and are
+    * ledger-completed with no data — permanently dropped.) Pair with
+    * [[rawIngestStream]]; the head-delay watermark is applied by starting
+    * `slotDelay` behind the probed head.
     */
   def slotStream(
       spark: SparkSession, startSlot: Long, secondsPerSlot: Long): Dataset[java.lang.Long] = {
     import spark.implicits._
+    val sps = math.max(1L, secondsPerSlot)
     spark.readStream
       .format("rate")
-      .option("rowsPerSecond", math.max(1L, 1L / math.max(1L, secondsPerSlot)).toString)
+      .option("rowsPerSecond", "1")
       .load()
-      .select((col("value") + startSlot).as("slot"))
+      // stateless pacing gate: one surviving tick per slot period — no
+      // dropDuplicates state store needed
+      .filter(col("value") % sps === 0)
+      .select((col("value") / sps + startSlot).cast("long").as("slot"))
       .as[java.lang.Long]
+  }
+
+  /** Pure pacing law behind [[slotStream]] (unit-testable without a
+    * clock): the slot emitted for rate-source tick `value`, or None when
+    * the tick is mid-slot-period and must be suppressed. At any elapsed
+    * time T seconds, the max emitted slot is startSlot + T/secondsPerSlot
+    * — i.e. never ahead of the chain. */
+  def slotAtTick(startSlot: Long, secondsPerSlot: Long, value: Long): Option[Long] = {
+    val sps = math.max(1L, secondsPerSlot)
+    if (value % sps == 0) Some(startSlot + value / sps) else None
   }
 
   /** Convenience: stream the `events` testdata directory as a file source

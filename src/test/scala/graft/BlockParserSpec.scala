@@ -143,6 +143,31 @@ class BlockParserSpec extends AnyFunSuite {
     assert(out.getAs[Int]("total_slashed_validators") === 5)
   }
 
+  test("attestations: garbage data.slot falls back to BLOCK slot, not 0 (safe_int parity)") {
+    // reference fork_base.py:210-222: safe_int(att_data.get("slot", slot), slot)
+    // → both a missing field and an unparseable value yield the block slot
+    val garbage = BeaconFixtures.electraBlock
+      .replaceFirst("\"slot\": \"21405699\"", "\"slot\": \"not-a-number\"")
+    val a = BlockParser.parseAll(rawOf(21405700L -> garbage), cfg)("attestations")
+      .orderBy("attestation_index").collect()
+    assert(a(0).getAs[Long]("attestation_slot") === 21405700L)
+  }
+
+  test("attester_slashings: CSV fallback payload re-parse is gated (single ungated from_json)") {
+    // on a pre-parsed frame the only from_json left is the CSV-variant one,
+    // and it must sit under the null-gate CASE — the common all-array path
+    // never re-parses the raw payload
+    val prepared = BlockParser.withParsed(rawOf(21405700L -> BeaconFixtures.electraBlock))
+      .persist()
+    try {
+      prepared.count() // materialize so the shared parse is an InMemoryRelation
+      val plan = BlockParser.attesterSlashings(prepared)
+        .queryExecution.optimizedPlan.toString()
+      assert("from_json".r.findAllIn(plan).length === 1)
+      assert(plan.toLowerCase.contains("case when"))
+    } finally prepared.unpersist()
+  }
+
   test("capella-era block: deneb/electra fields null-gate, capella tables emit") {
     // strip deneb+electra additions from the electra fixture -> capella shape
     val capella = BeaconFixtures.electraBlock

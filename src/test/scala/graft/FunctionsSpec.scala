@@ -49,6 +49,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(HexUtil.safeLong(u("18446744073709551615"), 0L) === Long.MaxValue)
   }
 
+  test("safeLongBoxed: garbage/empty/null → null, valid parses, overflow clamps") {
+    assert(HexUtil.safeLongBoxed(u("123")) === java.lang.Long.valueOf(123L))
+    assert(HexUtil.safeLongBoxed(u("0x10")) === java.lang.Long.valueOf(16L))
+    assert(HexUtil.safeLongBoxed(u("nope")) === null)
+    assert(HexUtil.safeLongBoxed(u("")) === null)
+    assert(HexUtil.safeLongBoxed(null) === null)
+    assert(HexUtil.safeLongBoxed(u("18446744073709551615")) ===
+      java.lang.Long.valueOf(Long.MaxValue))
+  }
+
   test("canonical JSON hash matches Python json.dumps(sort_keys, separators) sha256[:16]") {
     // expected values computed with CPython json + hashlib
     assert(CanonicalJson.payloadHash16("""{"b": 1, "a": "ü"}""") === "9e638ba662cf3592")

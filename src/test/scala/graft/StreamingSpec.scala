@@ -36,6 +36,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(states.filter(col("status") === "completed").count() >= 1)
   }
 
+  test("slotStream pacing law: never emits slots faster than the chain (R1 fix)") {
+    // mainnet cadence: 12 s per slot. Simulate 120 s of rate-source ticks —
+    // exactly slots start..start+10 may be emitted, one per period, and at
+    // any elapsed T the max emitted slot is start + T/12 (never ahead).
+    val start = 9000000L
+    val emitted = (0L to 120L).flatMap(StreamingJobs.slotAtTick(start, 12L, _))
+    assert(emitted === (start to start + 10L))
+    (0L to 120L).foreach { t =>
+      val maxSoFar = (0L to t).flatMap(StreamingJobs.slotAtTick(start, 12L, _)).maxOption
+      assert(maxSoFar.forall(_ <= start + t / 12L), s"slot ahead of chain at t=$t")
+    }
+    // gnosis cadence 5 s: 1/5 would truncate to rowsPerSecond=0→1 in the old
+    // code (12 slots emitted in 12 s); the law emits only 3
+    assert((0L to 12L).flatMap(StreamingJobs.slotAtTick(0L, 5L, _)).length === 3)
+  }
+
+  test("slotStream: rate source emits at most elapsed/secondsPerSlot slots (R1 fix)") {
+    val q = StreamingJobs.slotStream(spark, 100L, 3L)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("slots_paced").start()
+    val t0 = System.nanoTime()
+    try {
+      Thread.sleep(4000)
+      q.processAllAvailable()
+      val elapsedSec = (System.nanoTime() - t0) / 1e9
+      val slots = spark.sql("SELECT * FROM slots_paced").as[Long].collect().sorted
+      // upper bound is the pacing contract (robust under machine load, which
+      // only slows emission); +1 covers the tick at t=0
+      assert(slots.length <= elapsedSec / 3 + 1.5,
+        s"emitted ${slots.length} slots in $elapsedSec s at 3 s/slot")
+      assert(slots.headOption.forall(_ === 100L))
+      assert(slots.toSeq === slots.toSeq.distinct, "duplicate slots emitted")
+    } finally q.stop()
+  }
+
+  test("ledger version domain: maintenance and streaming transitions interleave correctly (R4 fix)") {
+    implicit val sq = spark.sqlContext
+    val base = Files.createTempDirectory("graft_verdom").toString
+    val ledger = LedgerStore(s"$base/ledger")
+    // 1) maintenance resets a chunk to pending with an epoch-millis version
+    val chunk = Ledger.chunkRow(spark, "blocks", 0L, 4L)
+    Maintenance.resetChunks(ledger, chunk, "pending")
+    Thread.sleep(5) // strictly later millis for the stream's completion
+    // 2) a LATER streaming batch completes the same range — its epoch-millis
+    //    insert_version must outrank the maintenance row (a batchId 0,1,2…
+    //    version could never win and the chunk would look pending forever)
+    val mem = MemoryStream[java.lang.Long]
+    val payload = (s: Long) => s"""{"version":"phase0","data":{"message":{"slot":"$s"}}}"""
+    val fetcher = MapSlotFetcher((0L until 5L).map(s => s -> payload(s)).toMap)
+    mem.addData((0L until 5L).map(java.lang.Long.valueOf): _*)
+    val q = StreamingJobs.rawIngestStream(
+      mem.toDS(), cfg, fetcher, s"$base/raw", ledger, "blocks", s"$base/ckpt")
+    q.awaitTermination(60000)
+    val state = Ledger.chunkStates(ledger.read(spark, Schemas.loadStateChunks))
+      .filter(col("chunk_id") === Ledger.chunkId("blocks", 0L, 4L)).collect()
+    assert(state.length === 1)
+    assert(state(0).getAs[String]("status") === "completed")
+  }
+
   test("windowedActivity: watermark + tumbling window over event-time (R2/R3)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]

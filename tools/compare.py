@@ -72,7 +72,9 @@ def main():
             for c in s.columns:
                 sv, dv = s[c], d[c]
                 if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
-                    ok = (
+                    # zero-row frames: .max() is NaN and NaN <= 0 is False —
+                    # an empty-but-matching table must compare OK
+                    ok = len(sv) == 0 or (
                         (sv.astype(float).fillna(-1e308) - dv.astype(float).fillna(-1e308))
                         .abs()
                         .max()
