@@ -74,12 +74,26 @@ object Main {
     val todo = Ledger.newChunks(planned, Ledger.chunkStates(existing)
       .filter(org.apache.spark.sql.functions.col("status") === "completed"))
       .select("start_slot", "end_slot").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
     println(s"[graft] backfill: ${todo.length} chunks to load")
-    todo.foreach { r =>
-      val ok = RawIngest.ingestChunk(spark, cfg, fetcher, s"$base/raw_blocks",
-        ledger, "blocks", r.getLong(0), r.getLong(1),
-        parallelism = spark.sparkContext.defaultParallelism)
-      println(s"[graft] chunk ${r.getLong(0)}-${r.getLong(1)}: ${if (ok) "completed" else "failed"}")
+    val par = spark.sparkContext.defaultParallelism
+    opt(args, "workers").map(_.toInt) match {
+      case Some(workers) => // thread-pooled per-chunk mode (failure isolation)
+        val oks = RawIngest.ingestChunksPooled(spark, cfg, fetcher,
+          s"$base/raw_blocks", ledger, "blocks", todo, workers, par)
+        todo.zip(oks).foreach { case ((a, b), ok) =>
+          println(s"[graft] chunk $a-$b: ${if (ok) "completed" else "failed"}") }
+      case None => // default: ONE fused Spark job over all chunks
+        val ok = RawIngest.ingestChunksFused(spark, cfg, fetcher,
+          s"$base/raw_blocks", ledger, "blocks", todo, par)
+        if (!ok) { // per-chunk fallback isolates the poisoned range
+          println("[graft] fused backfill failed; retrying per chunk")
+          todo.foreach { case (a, b) =>
+            val okc = RawIngest.ingestChunk(spark, cfg, fetcher, s"$base/raw_blocks",
+              ledger, "blocks", a, b, parallelism = par)
+            println(s"[graft] chunk $a-$b: ${if (okc) "completed" else "failed"}")
+          }
+        } else println(s"[graft] backfill: ${todo.length} chunks completed (fused)")
     }
     spark.stop()
   }

@@ -62,6 +62,19 @@ object Ledger {
       Schemas.loadStateChunks)
   }
 
+  /** Bulk form of [[chunkRow]]: one EXACT ledger row per (start, end)
+    * range — the single-append shape for fused multi-chunk ingest. */
+  def chunkRows(
+      spark: SparkSession, loader: String, ranges: Seq[(Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val rows: java.util.List[Row] = java.util.Arrays.asList(
+      ranges.map { case (s, e) =>
+        Row(chunkId(loader, s, e), s, e, loader, "pending", null, now, now, 0L)
+      }: _*)
+    spark.createDataFrame(rows, Schemas.loadStateChunks)
+  }
+
   /** Chunks not yet planned: anti-join against the existing ledger (the
     * reference's bulk completed-set cache, loader.py:492-528 — the
     * anti-join IS the bulk form). */

@@ -163,6 +163,88 @@ object RawIngest {
     }
   }
 
+  /** D2 at scale: ingest MANY chunks as ONE Spark job — the union of all
+    * ranges' slots goes through a single [[fetchSlots]] (Spark's task
+    * scheduler IS the worker pool; `parallelism` bounds concurrent HTTP
+    * connections exactly like the reference's BACKFILL_WORKERS,
+    * loader.py:463-485), one [[writeRaw]], and bulk ledger transitions
+    * (one append per status, not per chunk). All-or-nothing: a hard fetch
+    * error fails the whole batch and the caller falls back to per-chunk
+    * [[ingestChunk]] for failure isolation. */
+  def ingestChunksFused(
+      spark: SparkSession, cfg: ChainConfig, fetcher: SlotFetcher,
+      rawDir: String, ledger: LedgerStore, loader: String,
+      ranges: Seq[(Long, Long)], parallelism: Int = 4,
+      version: Long = System.currentTimeMillis()): Boolean = {
+    if (ranges.isEmpty) return true
+    val chunks = Ledger.chunkRows(spark, loader, ranges)
+    ledger.append(Ledger.transition(chunks, "claimed", "spark-fused", version))
+    try {
+      val slots = ranges.flatMap { case (s, e) => s.to(e) }
+      val rows = fetchSlots(spark, slots, fetcher, parallelism)
+      writeRaw(rows, cfg, rawDir)
+      ledger.append(Ledger.transition(chunks, "completed", "spark-fused", version + 1))
+      graft.core.Metrics.of(spark).chunksCompleted.add(ranges.length)
+      true
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        ledger.append(Ledger.transition(chunks, "failed", "spark-fused", version + 1))
+        graft.core.Metrics.of(spark).chunksFailed.add(ranges.length)
+        false
+    }
+  }
+
+  /** Concurrent parquet appends to one directory from multiple driver
+    * threads race on the shared `_temporary` staging dir — commits must be
+    * serialized even though fetch jobs may overlap freely. */
+  private[beacon] val commitLock = new Object
+
+  /** Thread-pooled per-chunk ingest (the failure-isolation alternative to
+    * [[ingestChunksFused]]): `workers` driver threads run one chunk each;
+    * the FETCH job of every chunk is materialized OUTSIDE the commit lock
+    * (Spark schedules tasks from concurrent jobs side by side), while the
+    * raw write + ledger appends serialize on [[commitLock]]. Returns the
+    * per-range success flags in input order. */
+  def ingestChunksPooled(
+      spark: SparkSession, cfg: ChainConfig, fetcher: SlotFetcher,
+      rawDir: String, ledger: LedgerStore, loader: String,
+      ranges: Seq[(Long, Long)], workers: Int = 4,
+      parallelism: Int = 4): Seq[Boolean] = {
+    if (ranges.isEmpty) return Seq.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, workers))
+    try {
+      val futures = ranges.map { case (s, e) =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            val version = System.currentTimeMillis()
+            val chunk = Ledger.chunkRow(spark, loader, s, e)
+            commitLock.synchronized {
+              ledger.append(Ledger.transition(chunk, "claimed", "spark-pool", version))
+            }
+            val rows = fetchSlots(spark, s.to(e), fetcher, parallelism).persist()
+            try {
+              rows.count() // fetch runs NOW, outside the commit lock
+              commitLock.synchronized {
+                writeRaw(rows, cfg, rawDir)
+                ledger.append(Ledger.transition(chunk, "completed", "spark-pool", version + 1))
+              }
+              graft.core.Metrics.of(spark).chunksCompleted.add(1)
+              true
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                commitLock.synchronized {
+                  ledger.append(Ledger.transition(chunk, "failed", "spark-pool", version + 1))
+                }
+                graft.core.Metrics.of(spark).chunksFailed.add(1)
+                false
+            } finally rows.unpersist(blocking = false)
+          }
+        })
+      }
+      futures.map(_.get())
+    } finally pool.shutdown()
+  }
+
   /** F5/F6 fetch gates: restrict a slot range to a loader's cadence —
     * fork-activation floor (pending queues fetch only Electra+;
     * src/loaders/pending_consolidations.py:28-33) and daily-snapshot slots

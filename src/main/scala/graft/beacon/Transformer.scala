@@ -114,16 +114,107 @@ object Transformer {
       startSlot, endSlot, version)
   }
 
+  /** Tag rows with the (start_slot, end_slot) of the owning chunk from a
+    * driver-known set of DISJOINT ranges, as a broadcast equi-join — the
+    * scalable interval-join shape. Each range of width ≤ W overlaps at
+    * most two buckets of width W, so exploding ranges into their covered
+    * buckets keeps the broadcast side ≤ 2·|ranges| rows and the probe an
+    * equi-join on the bucket plus a residual BETWEEN — no nested-loop
+    * range join, no per-row CASE chain over thousands of ranges. */
+  private[beacon] def tagChunks(df: DataFrame, ranges: Seq[(Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "tagChunks needs at least one range")
+    val w = math.max(1L, ranges.map { case (s, e) => e - s + 1 }.max)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val buckets = ranges.flatMap { case (s, e) =>
+      (s / w).to(e / w).map(b => (b, s, e))
+    }.toDF("__bucket", "start_slot", "end_slot")
+    df.withColumn("__bucket", expr(s"slot div $w"))
+      .join(broadcast(buckets), Seq("__bucket"))
+      .filter(col("slot").between(col("start_slot"), col("end_slot")))
+      .drop("__bucket")
+  }
+
+  /** D2/D4 at scale: transform ALL pending ranges as ONE Spark job per
+    * output table instead of one driver-loop iteration per chunk. The
+    * union of ranges is scanned once (partition/row-group pruned by the
+    * global slot bounds), deduped latest-per-slot once, parsed once
+    * (persisted for the multi-table fan-out), and each output table is
+    * written with a single action. Per-chunk progress rows are preserved:
+    * one fused count job (a union-aggregate over the persisted parse)
+    * yields rows-written per chunk, appended as a single progress write.
+    *
+    * All-or-nothing: any failure rolls up to `false` and the caller falls
+    * back to per-chunk [[transformChunk]] for failure isolation (the
+    * reference's chunk-at-a-time loop, loader.py:463-485, becomes the
+    * EXCEPTION path instead of the steady-state).
+    */
+  def transformChunksFused(
+      spark: SparkSession, cfg: ChainConfig, loader: LoaderDef,
+      rawDir: String, outDir: String, progress: LedgerStore,
+      ranges: Seq[(Long, Long)],
+      version: Long = System.currentTimeMillis()): Boolean = {
+    if (ranges.isEmpty) return true
+    try {
+      val globalMin = ranges.map(_._1).min
+      val globalMax = ranges.map(_._2).max
+      val raw = readRaw(spark, rawDir)
+        .filter(col("slot").between(globalMin, globalMax))
+        .select("slot", "payload", "payload_hash", "retrieved_at")
+      // exact membership + chunk tag, then latest-per-slot dedup (ranges
+      // are disjoint, so the global window == per-chunk windows)
+      val tagged = Ledger.latest(tagChunks(raw, ranges), Seq("slot"), "retrieved_at")
+      val prepared = (loader.prepare match {
+        case Some(prep) => prep(tagged)
+        case None => tagged
+      }).persist()
+      try {
+        val tables = loader.parse(prepared, cfg, version)
+          .view.filterKeys(loader.tables).toMap // F8
+        tables.foreach { case (name, df) =>
+          writeTable(df.drop("month"), cfg, outDir, name)
+        }
+        // per-chunk counts: ONE union-aggregate action over the persisted
+        // parse (not one job per chunk) — each branch re-derives its table
+        // from cache, tags the chunk, and the union groups to chunk totals
+        val counts: Map[(Long, Long), Long] =
+          if (tables.isEmpty) Map.empty
+          else tables.values
+            .map(df => tagChunks(df.select("slot"), ranges)
+              .groupBy("start_slot", "end_slot").agg(count(lit(1)).as("n")))
+            .reduce(_ unionByName _)
+            .groupBy("start_slot", "end_slot").agg(sum("n").as("n"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+            .toMap
+        val rows = ranges.map { case (s, e) =>
+          Row(loader.rawTable, s, e, "completed", counts.getOrElse((s, e), 0L), 0L,
+            null, new Timestamp(System.currentTimeMillis()), version)
+        }
+        progress.append(spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), Schemas.transformerProgress))
+        true
+      } finally prepared.unpersist()
+    } catch {
+      case scala.util.control.NonFatal(_) => false
+    }
+  }
+
   /** D4 batch loop: discover untransformed chunks (J1) in rounds of
-    * `chunksPerFetch` until the backlog drains. Chunks whose transform
-    * FAILS stay "untransformed" (progress row != completed), so each
-    * range is attempted at most once per invocation to guarantee
-    * termination (the reference's batch mode exits on empty rounds;
-    * failed chunks go to `maintain fix`). Returns chunks processed. */
+    * `chunksPerFetch` until the backlog drains. The steady-state path is
+    * [[transformChunksFused]] — one Spark action per output table over the
+    * whole round, not one job cascade per chunk; a fused-round failure
+    * falls back to per-chunk [[transformChunk]] so one poisoned chunk
+    * fails alone. Chunks whose transform FAILS stay "untransformed"
+    * (progress row != completed), so each range is attempted at most once
+    * per invocation to guarantee termination (the reference's batch mode
+    * exits on empty rounds; failed chunks go to `maintain fix`). Returns
+    * chunks processed. */
   def runBatch(
       spark: SparkSession, cfg: ChainConfig, rawDir: String, outDir: String,
       chunkLedger: LedgerStore, progressLedger: LedgerStore,
-      loader: LoaderDef = Loaders.blocks, chunksPerFetch: Int = 50): Int = {
+      loader: LoaderDef = Loaders.blocks, chunksPerFetch: Int = 50,
+      fused: Boolean = true): Int = {
     val attempted = scala.collection.mutable.Set.empty[(Long, Long)]
     var processed = 0
     var draining = true
@@ -136,11 +227,17 @@ object Transformer {
         .collect()
         .map(r => (r.getLong(0), r.getLong(1)))
         .filterNot(attempted)
+        .toSeq
       if (todo.isEmpty) draining = false
-      else todo.foreach { case (a, b) =>
-        attempted += ((a, b))
-        transformChunk(spark, cfg, loader, rawDir, outDir, progressLedger, a, b)
-        processed += 1
+      else {
+        attempted ++= todo
+        val fusedOk = fused && todo.length > 1 &&
+          transformChunksFused(spark, cfg, loader, rawDir, outDir, progressLedger, todo)
+        if (fusedOk) processed += todo.length
+        else todo.foreach { case (a, b) =>
+          transformChunk(spark, cfg, loader, rawDir, outDir, progressLedger, a, b)
+          processed += 1
+        }
       }
     }
     processed

@@ -109,6 +109,95 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(rawDir).count() === 72) // 80 - 8 present in 0..9
   }
 
+  test("ingestChunksFused: many chunks, ONE fetch job + bulk ledger transitions (D2)") {
+    val rawDir = tmp() + "/raw_fused"
+    val ledger = LedgerStore(tmp() + "/chunks_fused")
+    val ranges = Seq((0L, 49L), (50L, 99L), (100L, 149L))
+    assert(RawIngest.ingestChunksFused(
+      spark, cfg, fetcherFor(0 until 150), rawDir, ledger, "blocks", ranges, 4))
+    assert(spark.read.parquet(rawDir).count() === 120) // 30 of 150 empty
+    val states = Ledger.chunkStates(ledger.read(spark, Schemas.loadStateChunks))
+      .orderBy("start_slot").collect()
+    assert(states.length === 3)
+    assert(states.forall(_.getAs[String]("status") === "completed"))
+    // exact chunk identity preserved per range
+    assert(states.map(r => (r.getAs[Long]("start_slot"), r.getAs[Long]("end_slot"))).toSeq
+      === ranges)
+  }
+
+  test("ingestChunksFused failure marks all chunks failed; per-chunk retry isolates (D2)") {
+    val rawDir = tmp() + "/raw_fusedfail"
+    val ledger = LedgerStore(tmp() + "/chunks_fusedfail")
+    val poisoned = new SlotFetcher {
+      def fetch(slot: Long): Option[String] =
+        if (slot >= 50L) throw new RuntimeException("node down for 50+")
+        else Some(BeaconFixtures.phase0Block)
+    }
+    assert(!RawIngest.ingestChunksFused(
+      spark, cfg, poisoned, rawDir, ledger, "blocks", Seq((0L, 9L), (50L, 59L)), 2))
+    // fallback per-chunk: healthy range completes, poisoned range fails alone
+    assert(RawIngest.ingestChunk(spark, cfg, poisoned, rawDir, ledger, "blocks", 0, 9))
+    assert(!RawIngest.ingestChunk(spark, cfg, poisoned, rawDir, ledger, "blocks", 50, 59))
+    val states = Ledger.chunkStates(ledger.read(spark, Schemas.loadStateChunks))
+      .orderBy("start_slot").collect()
+    assert(states.map(_.getAs[String]("status")).toSeq === Seq("completed", "failed"))
+  }
+
+  test("ingestChunksPooled: concurrent chunks, serialized commits, no dup slots (D2)") {
+    val rawDir = tmp() + "/raw_pooled"
+    val ledger = LedgerStore(tmp() + "/chunks_pooled")
+    val ranges = (0 until 4).map(i => (i * 25L, i * 25L + 24L))
+    val oks = RawIngest.ingestChunksPooled(
+      spark, cfg, fetcherFor(0 until 100), rawDir, ledger, "blocks", ranges,
+      workers = 3, parallelism = 2)
+    assert(oks === Seq(true, true, true, true))
+    val raw = spark.read.parquet(rawDir)
+    assert(raw.count() === 80)
+    assert(raw.select("slot").distinct().count() === 80) // no duplicate appends
+    assert(Ledger.chunkStates(ledger.read(spark, Schemas.loadStateChunks))
+      .filter(col("status") === "completed").count() === 4)
+  }
+
+  test("runBatch fused: one action per output table, per-chunk progress intact (D4)") {
+    def run(nChunks: Int): (Int, Int, String) = {
+      val base = tmp()
+      val rawDir = s"$base/raw_blocks"
+      val outDir = s"$base/tables"
+      val chunkLedger = LedgerStore(s"$base/chunks")
+      val progressLedger = LedgerStore(s"$base/progress")
+      val ranges = (0 until nChunks).map(i => (i * 50L, i * 50L + 49L))
+      assert(RawIngest.ingestChunksFused(spark, cfg, fetcherFor(0 until nChunks * 50),
+        rawDir, chunkLedger, "blocks", ranges, 4))
+      val sc = spark.sparkContext
+      sc.setJobGroup(s"fused-$nChunks", "runBatch fused job-count probe")
+      val processed =
+        try Transformer.runBatch(spark, cfg, rawDir, outDir, chunkLedger, progressLedger)
+        finally sc.clearJobGroup()
+      Thread.sleep(1500) // status store is async
+      val jobs = sc.statusTracker.getJobIdsForGroup(s"fused-$nChunks").length
+      (processed, jobs, base)
+    }
+    val (p4, jobs4, base4) = run(4)
+    assert(p4 === 4)
+    // per-chunk progress rows intact: one completed row per range, counts > 0
+    val prog = Ledger.latest(
+      LedgerStore(s"$base4/progress").read(spark, Schemas.transformerProgress),
+      Seq("raw_table_name", "start_slot", "end_slot"), "insert_version")
+      .orderBy("start_slot").collect()
+    assert(prog.length === 4)
+    assert(prog.forall(_.getAs[String]("status") === "completed"))
+    assert(prog.forall(_.getAs[Long]("processed_count") > 0L))
+    // output equals the per-chunk path: 40 non-empty slots per 50-slot chunk
+    assert(spark.read.parquet(s"$base4/tables/blocks").count() === 160L)
+    assert(spark.read.parquet(s"$base4/tables/attestations").count() === 320L)
+    // fused = CONSTANT number of Spark jobs regardless of chunk count (the
+    // serial loop grew by >14 jobs per extra chunk)
+    val (p8, jobs8, _) = run(8)
+    assert(p8 === 8)
+    assert(math.abs(jobs8 - jobs4) <= 4,
+      s"fused runBatch job count must not scale with chunks: 4→$jobs4 8→$jobs8")
+  }
+
   test("realtime chunk-aligned tail: only complete chunks, idempotent resume (R1-R4)") {
     val rawDir = tmp() + "/raw_rt"
     val chunkLedger = LedgerStore(tmp() + "/chunks_rt")
