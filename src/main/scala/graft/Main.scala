@@ -1,14 +1,14 @@
 package graft
 
 import graft.beacon._
-import graft.streaming.{ChunkedTail, HeadProbe}
+import graft.streaming.{ChunkedTail, CompositeTail, HeadProbe, TailLoader}
 import org.apache.spark.sql.SparkSession
 
 /** CLI (reference D10 parity: src/cli.py) —
   *
   * {{{
-  * graft load backfill  --base DIR --start-slot A --end-slot B [--beacon-url U] [--chunk-size N]
-  * graft load realtime  --base DIR --beacon-url U [--delay N] [--chunk-size N] [--iterations N]
+  * graft load backfill  --base DIR --start-slot A --end-slot B [--beacon-url U] [--chunk-size N] [--workers N]
+  * graft load realtime  --base DIR --beacon-url U [--delay N] [--chunk-size N] [--iterations N] [--loaders a,b,c]
   * graft transform batch --base DIR [--loader blocks|validators|...] [--network gnosis|mainnet]
   * graft maintain check|fix|reset --base DIR
   * graft status --base DIR
@@ -114,11 +114,24 @@ object Main {
           .map(_.group(1).toLong).getOrElse(sys.error("no head slot"))
       }
     }
-    val tail = new ChunkedTail(spark, cfg, fetcherOf(args), probe,
-      s"$base/raw_blocks", LedgerStore(s"$base/load_state_chunks"),
-      chunkSize = opt(args, "chunk-size").map(_.toLong).getOrElse(100L),
-      slotDelay = opt(args, "delay").map(_.toLong).getOrElse(100L))
-    tail.run(opt(args, "iterations").map(_.toInt).getOrElse(Int.MaxValue))
+    val chunkSize = opt(args, "chunk-size").map(_.toLong).getOrElse(100L)
+    val slotDelay = opt(args, "delay").map(_.toLong).getOrElse(100L)
+    val iterations = opt(args, "iterations").map(_.toInt).getOrElse(Int.MaxValue)
+    opt(args, "loaders") match {
+      case Some(names) => // composite tail: every named loader per micro-batch
+        val tls = names.split(",").toSeq.map { n =>
+          val l = Loaders.byName(n.trim)
+          TailLoader(l, l.httpFetcher(url))
+        }
+        new CompositeTail(spark, cfg, probe, base,
+          LedgerStore(s"$base/load_state_chunks"), tls, chunkSize, slotDelay)
+          .run(iterations)
+      case None =>
+        new ChunkedTail(spark, cfg, fetcherOf(args), probe,
+          s"$base/raw_blocks", LedgerStore(s"$base/load_state_chunks"),
+          chunkSize = chunkSize, slotDelay = slotDelay)
+          .run(iterations)
+    }
     spark.stop()
   }
 

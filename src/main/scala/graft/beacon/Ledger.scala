@@ -47,6 +47,32 @@ object Ledger {
         lit(0L).as("insert_version"))
   }
 
+  /** D1 daily mode: single-slot chunks at each last-slot-of-UTC-day in
+    * [startSlot, endSlot] — the validators/pending-queue snapshot cadence
+    * (reference: src/services/loader.py:547-558 plans validators as
+    * per-day single-slot chunks). Pure `spark.range` over epoch days +
+    * the C12 closed form; no data scan, no window. */
+  def planDailyChunks(
+      spark: SparkSession, startSlot: Long, endSlot: Long, cfg: ChainConfig,
+      loader: String): DataFrame = {
+    val day0 = (cfg.genesisTimeUnix + startSlot * cfg.secondsPerSlot) / 86400
+    val dayN = (cfg.genesisTimeUnix + endSlot * cfg.secondsPerSlot) / 86400
+    spark.range(day0, dayN + 1)
+      // last slot with genesis + slot*sps < (day+1)*midnight (C12)
+      .select((((col("id") + 1) * 86400 - cfg.genesisTimeUnix - 1)
+        .cast("long") / cfg.secondsPerSlot).cast("long").as("slot"))
+      .filter(col("slot").between(startSlot, endSlot))
+      .select(
+        concat_ws("_", lit(loader), col("slot"), col("slot")).as("chunk_id"),
+        col("slot").as("start_slot"), col("slot").as("end_slot"),
+        lit(loader).as("loader_name"),
+        lit("pending").as("status"),
+        lit(null).cast("string").as("worker_id"),
+        current_timestamp().as("created_at"),
+        current_timestamp().as("updated_at"),
+        lit(0L).as("insert_version"))
+  }
+
   /** One EXACT chunk row (no alignment) — for recording the ledger state
     * of a specific already-decided range (ingest, streaming batches).
     * `planChunks` is for PLANNING and floor-aligns; using it to record an

@@ -54,15 +54,22 @@ final class ChunkedTail(
   }
 
   /** Process every complete chunk in (lastSlot, head − delay]. Returns the
-    * new last processed slot. One call = one micro-batch. */
+    * new last processed slot. One call = one micro-batch. The completed
+    * set is read ONCE per micro-batch (the reference's bulk-cache trick,
+    * loader.py:492-528) — a per-chunk ledger probe would re-read and
+    * window-collapse the whole ledger once per chunk, every poll. */
   def processAvailable(lastSlot: Long): Long = {
     val target = probe.headSlot() - slotDelay
     var last = lastSlot
-    var nextBoundary = ((last / chunkSize) + 1) * chunkSize
+    // floorDiv: last = -1 (empty resume) must yield boundary 0 — plain
+    // `/` truncates toward zero and would skip chunk [0, chunkSize-1]
+    var nextBoundary = (Math.floorDiv(last, chunkSize) + 1) * chunkSize
+    val completed =
+      if (nextBoundary + chunkSize - 1 <= target) completedChunks() else Set.empty[(Long, Long)]
     while (nextBoundary + chunkSize - 1 <= target) {
       val start = nextBoundary
       val end = nextBoundary + chunkSize - 1
-      if (!isChunkCompleted(start, end)) {
+      if (!completed((start, end))) {
         val ok = RawIngest.ingestChunk(spark, cfg, fetcher, rawDir, chunkLedger,
           loader, start, end)
         if (ok) chainedTransform.foreach { case (outDir, progress) =>
@@ -76,15 +83,17 @@ final class ChunkedTail(
     last
   }
 
+  /** Bulk completed-chunk cache: one ledger read + window collapse per
+    * micro-batch for ALL probes (reference loader.py:492-528). */
+  def completedChunks(): Set[(Long, Long)] =
+    ChunkedTail.completedByLoader(spark, chunkLedger, Seq(loader))
+      .getOrElse(loader, Set.empty)
+
   /** Idempotency probe (reference `_is_chunk_completed` FINAL lookup,
-    * loader.py:264-278). */
-  def isChunkCompleted(start: Long, end: Long): Boolean = {
-    import org.apache.spark.sql.functions._
-    val states = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))
-    !states.filter(
-      col("loader_name") === loader && col("start_slot") === start &&
-        col("end_slot") === end && col("status") === "completed").isEmpty
-  }
+    * loader.py:264-278). Kept for one-off checks; the poll loop uses the
+    * bulk [[completedChunks]] cache instead. */
+  def isChunkCompleted(start: Long, end: Long): Boolean =
+    completedChunks()((start, end))
 
   /** R1: the poll loop. Runs `maxIterations` micro-batches (use
     * Int.MaxValue for a production tail; tests pass small numbers). */
@@ -96,6 +105,145 @@ final class ChunkedTail(
         val newLast = processAvailable(last)
         if (newLast == last && i + 1 < maxIterations) Thread.sleep(pollMillis)
         last = newLast
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          if (i + 1 < maxIterations) Thread.sleep(errorBackoffMillis)
+      }
+      i += 1
+    }
+    last
+  }
+}
+
+object ChunkedTail {
+  /** One ledger read + FINAL collapse serving the completed-chunk sets of
+    * MANY loaders at once — the shared bulk cache of a composite
+    * micro-batch. The collected set is bounded by chunk count (range /
+    * chunk_size), the same cardinality the reference caches driver-side. */
+  def completedByLoader(
+      spark: SparkSession, chunkLedger: LedgerStore,
+      loaders: Seq[String]): Map[String, Set[(Long, Long)]] = {
+    import org.apache.spark.sql.functions._
+    Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))
+      .filter(col("status") === "completed" && col("loader_name").isin(loaders: _*))
+      .select("loader_name", "start_slot", "end_slot")
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSet).toMap
+  }
+}
+
+/** One loader's slot in a composite tail: its endpoint fetcher and an
+  * optional chained transform target. */
+final case class TailLoader(
+    loader: LoaderDef,
+    fetcher: SlotFetcher,
+    chainedTransform: Option[(String, LedgerStore)] = None)
+
+/** Composite realtime tail (reference: src/services/loader.py:120-241 —
+  * realtime drives EVERY enabled loader per cycle, validators and pending
+  * queues on daily single-slot chunks, loader.py:547-558).
+  *
+  * One micro-batch = one head probe + ONE ledger read (shared completed
+  * cache across loaders) + per-loader chunk planning by cadence:
+  *  - chunk-windowed loaders (blocks, rewards, sidecars): complete
+  *    `chunkSize`-aligned windows in (last, head − delay], gated on the
+  *    activation fork (a window entirely before activation is skipped);
+  *  - dailyOnly loaders (validators, pending queues): one single-slot
+  *    chunk per last-slot-of-UTC-day in the window (C12 closed form).
+  *
+  * Raw tables land in `rawBase/raw_<loader>`; each `TailLoader` may chain
+  * a transform of its chunk in the same micro-batch.
+  */
+final class CompositeTail(
+    spark: SparkSession,
+    cfg: ChainConfig,
+    probe: HeadProbe,
+    rawBase: String,
+    chunkLedger: LedgerStore,
+    loaders: Seq[TailLoader],
+    chunkSize: Long = 100L,
+    slotDelay: Long = 100L,
+    pollMillis: Long = 6000L,
+    errorBackoffMillis: Long = 12000L) {
+
+  require(loaders.nonEmpty, "CompositeTail needs at least one loader")
+
+  def rawDirOf(l: LoaderDef): String = s"$rawBase/${l.rawTable}"
+
+  def resumeSlot(l: LoaderDef): Long = {
+    val dir = rawDirOf(l)
+    (if (graft.core.Fs.exists(spark, dir))
+       Ledger.maxSlot(spark.read.parquet(dir))
+     else None).getOrElse(-1L)
+  }
+
+  /** Candidate chunk ranges for one loader in (last, target], by cadence.
+    * Driver-side closed forms only — no data scan. */
+  def planFor(
+      l: LoaderDef, last: Long, target: Long): Seq[(Long, Long)] = {
+    val floor = l.activationFork.flatMap(cfg.activationSlot).getOrElse(0L)
+    if (l.dailyOnly) {
+      // daily single-slot chunks: every last-slot-of-day in (last, target]
+      Iterator.iterate(cfg.lastSlotOfDay(
+          java.time.Instant.ofEpochSecond(
+            cfg.genesisTimeUnix + math.max(last + 1, floor) * cfg.secondsPerSlot)
+            .atZone(java.time.ZoneOffset.UTC).toLocalDate))(s =>
+          // next day's boundary: fixed slots-per-day stride would drift on
+          // leap seconds; recompute from the date instead
+          cfg.lastSlotOfDay(java.time.Instant.ofEpochSecond(
+            cfg.genesisTimeUnix + (s + 1) * cfg.secondsPerSlot)
+            .atZone(java.time.ZoneOffset.UTC).toLocalDate))
+        .dropWhile(s => s <= last || s < floor)
+        .takeWhile(_ <= target)
+        .map(s => (s, s))
+        .toSeq
+    } else {
+      var boundary =
+        (Math.floorDiv(math.max(last, floor - chunkSize), chunkSize) + 1) * chunkSize
+      val out = Seq.newBuilder[(Long, Long)]
+      while (boundary + chunkSize - 1 <= target) {
+        if (boundary + chunkSize - 1 >= floor) out += ((boundary, boundary + chunkSize - 1))
+        boundary += chunkSize
+      }
+      out.result()
+    }
+  }
+
+  /** One composite micro-batch: probe the head once, read the completed
+    * cache once, then ingest every loader's due chunks. Returns the new
+    * per-loader last slots. */
+  def processAvailable(lastSlots: Map[String, Long]): Map[String, Long] = {
+    val target = probe.headSlot() - slotDelay
+    val completed = ChunkedTail.completedByLoader(
+      spark, chunkLedger, loaders.map(_.loader.name))
+    loaders.map { tl =>
+      val name = tl.loader.name
+      var last = lastSlots.getOrElse(name, resumeSlot(tl.loader))
+      planFor(tl.loader, last, target).foreach { case (start, end) =>
+        if (!completed.getOrElse(name, Set.empty)((start, end))) {
+          val ok = RawIngest.ingestChunk(spark, cfg, tl.fetcher,
+            rawDirOf(tl.loader), chunkLedger, name, start, end)
+          if (ok) tl.chainedTransform.foreach { case (outDir, progress) =>
+            Transformer.transformChunk(spark, cfg, tl.loader,
+              rawDirOf(tl.loader), outDir, progress, start, end)
+          }
+        }
+        last = math.max(last, end)
+      }
+      name -> last
+    }.toMap
+  }
+
+  /** R1: the composite poll loop. */
+  def run(maxIterations: Int): Map[String, Long] = {
+    var last = loaders.map(tl => tl.loader.name -> resumeSlot(tl.loader)).toMap
+    var i = 0
+    while (i < maxIterations) {
+      try {
+        val next = processAvailable(last)
+        if (next == last && i + 1 < maxIterations) Thread.sleep(pollMillis)
+        last = next
       } catch {
         case scala.util.control.NonFatal(_) =>
           if (i + 1 < maxIterations) Thread.sleep(errorBackoffMillis)

@@ -1,7 +1,7 @@
 package graft
 
 import graft.beacon._
-import graft.streaming.{ChunkedTail, HeadProbe}
+import graft.streaming.{ChunkedTail, CompositeTail, HeadProbe, TailLoader}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -215,6 +215,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(last === 199L)
     val raw = spark.read.parquet(rawDir)
     assert(Ledger.maxSlot(raw).get <= 199L)
+    // empty resume (last = -1) must include chunk [0,99] — floorDiv
+    // boundary math (plain integer division skipped the first chunk)
+    assert(raw.agg(min("slot")).head().getLong(0) === 0L)
 
     // advance head → next chunk becomes complete; resume picks up from raw
     head = 370L
@@ -228,6 +231,76 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$outDir/blocks").count() > 0)
     assert(Ledger.transformStatus(progressRt.read(spark, Schemas.transformerProgress))
       .head().getAs[Long]("completed") >= 1L)
+  }
+
+  test("planDailyChunks: single-slot chunks at each UTC-day boundary (D1 daily mode)") {
+    // gnosis: genesis 1638993340, 5 s/slot → first day boundary at slot 2931,
+    // then every 17280 slots (86400/5)
+    val chunks = Ledger.planDailyChunks(spark, 0L, 40000L, cfg, "validators")
+      .orderBy("start_slot").collect()
+    assert(chunks.map(_.getAs[Long]("start_slot")).toSeq === Seq(2931L, 20211L, 37491L))
+    assert(chunks.forall(r => r.getAs[Long]("start_slot") === r.getAs[Long]("end_slot")))
+    assert(chunks.forall(_.getAs[String]("loader_name") === "validators"))
+    // boundary law: slot is the day's last (C11) — slot+1 lands on the next day
+    chunks.map(_.getAs[Long]("start_slot")).foreach { s =>
+      val d1 = (cfg.genesisTimeUnix + s * cfg.secondsPerSlot) / 86400
+      val d2 = (cfg.genesisTimeUnix + (s + 1) * cfg.secondsPerSlot) / 86400
+      assert(d1 != d2, s"slot $s is not a day boundary")
+    }
+  }
+
+  test("CompositeTail: per-loader cadence — windowed blocks + daily validators (R1 multi-loader)") {
+    val base = tmp()
+    val chunkLedger = LedgerStore(s"$base/chunks")
+    val probe = new HeadProbe { def headSlot(): Long = 3050L }
+    val validatorsPayload =
+      """{"data":[{"index":"1","balance":"32","status":"active_ongoing",
+        |"validator":{"pubkey":"0xv1","effective_balance":"32","slashed":false,
+        |"activation_epoch":"0","exit_epoch":"100","withdrawal_credentials":"0x00"}}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val valFetcher = MapSlotFetcher(
+      (0L to 3050L).map(s => s -> validatorsPayload).toMap)
+    val tail = new CompositeTail(spark, cfg, probe, base, chunkLedger,
+      Seq(
+        TailLoader(Loaders.blocks, fetcherFor(0 until 3060)),
+        TailLoader(Loaders.validators, valFetcher)),
+      chunkSize = 1000L, slotDelay = 50L, pollMillis = 1L)
+    // target = 3000: blocks chunks [0,999][1000,1999][2000,2999]; validators
+    // daily boundary 2931 only (next is 20211)
+    val last = tail.run(1)
+    assert(last("blocks") === 2999L)
+    assert(last("validators") === 2931L)
+    val rawVal = spark.read.parquet(s"$base/raw_validators")
+    assert(rawVal.select("slot").distinct().collect().map(_.getLong(0)).toSeq === Seq(2931L))
+    val states = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))
+    assert(states.filter(col("loader_name") === "blocks" &&
+      col("status") === "completed").count() === 3)
+    val valChunk = states.filter(col("loader_name") === "validators").collect()
+    assert(valChunk.length === 1)
+    assert((valChunk(0).getAs[Long]("start_slot"), valChunk(0).getAs[Long]("end_slot"))
+      === (2931L, 2931L))
+    // idempotency: second batch with unchanged head re-ingests nothing
+    val rawCountBefore = spark.read.parquet(s"$base/raw_blocks").count()
+    val last2 = tail.processAvailable(last)
+    assert(last2 === last)
+    assert(spark.read.parquet(s"$base/raw_blocks").count() === rawCountBefore)
+  }
+
+  test("CompositeTail.planFor: activation-fork floor gates windows and daily slots") {
+    val probe = new HeadProbe { def headSlot(): Long = 0L }
+    val tail = new CompositeTail(spark, cfg, probe, tmp(), LedgerStore(tmp() + "/cl"),
+      Seq(TailLoader(Loaders.blocks, fetcherFor(0 until 1))), chunkSize = 100L)
+    // windowed: floor mid-window keeps the straddling chunk (404-tolerant),
+    // drops fully-pre-activation windows
+    val deneb = Loaders.blobSidecars.copy(activationFork = Some("altair")) // gnosis altair @ slot 8192
+    val win = tail.planFor(deneb, -1L, 8500L)
+    assert(win.head === (8100L, 8199L)) // first window whose end >= 8192
+    assert(win.last === (8400L, 8499L))
+    // daily: boundaries below the floor are skipped entirely (state
+    // endpoints 404-as-error, must not be probed pre-activation)
+    val dailyGated = Loaders.pendingDeposits.copy(activationFork = Some("altair"))
+    val daily = tail.planFor(dailyGated, -1L, 40000L)
+    assert(daily === Seq((20211L, 20211L), (37491L, 37491L))) // 2931 < 8192 dropped
   }
 
   test("loader registry: generic transform path for a state loader (validators)") {
