@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
   * graft load realtime  --base DIR --beacon-url U [--delay N] [--chunk-size N] [--iterations N] [--loaders a,b,c]
   * graft transform batch --base DIR [--loader blocks|validators|...] [--network gnosis|mainnet]
   * graft maintain check|fix|reset --base DIR
+  * graft maintain refresh-specs --base DIR --beacon-url U
   * graft status --base DIR
   * graft fork info --slot S [--network gnosis|mainnet]
   * graft fork list [--network gnosis|mainnet]
@@ -33,11 +34,27 @@ object Main {
   private def cfgOf(args: Array[String]): ChainConfig =
     if (opt(args, "network").contains("mainnet")) ChainConfig.mainnet else ChainConfig.gnosis
 
+  private def networkOf(args: Array[String]): String =
+    opt(args, "network").getOrElse("gnosis")
+
+  /** D9: the reference always runs genesis→specs→verify before any load
+    * (loader.py:1008-1060). With a node URL we bootstrap (fetch + verify +
+    * materialize foundation tables) and run with the DERIVED schedule;
+    * offline we reuse a previous bootstrap's stored tables, else the
+    * static preset. */
+  private def cfgBootstrapped(
+      spark: SparkSession, args: Array[String], base: String): ChainConfig =
+    opt(args, "beacon-url") match {
+      case Some(url) => Foundation.bootstrap(
+        spark, HttpFoundationFetcher(url, opt(args, "api-key")), base, networkOf(args))
+      case None => Foundation.storedConfig(spark, base, networkOf(args))
+    }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "load" :: "backfill" :: rest => backfill(rest.toArray)
     case "load" :: "realtime" :: rest => realtime(rest.toArray)
     case "transform" :: "batch" :: rest => transform(rest.toArray)
-    case "maintain" :: cmd :: rest if Set("check", "fix", "reset")(cmd) => maintain(cmd, rest.toArray)
+    case "maintain" :: cmd :: rest if Set("check", "fix", "reset", "refresh-specs")(cmd) => maintain(cmd, rest.toArray)
     case "status" :: rest => status(rest.toArray)
     case "fork" :: "info" :: rest => forkInfo(rest.toArray)
     case "fork" :: "list" :: rest =>
@@ -62,7 +79,7 @@ object Main {
   private def backfill(args: Array[String]): Unit = {
     val spark = session()
     val base = opt(args, "base").getOrElse(sys.error("--base required"))
-    val cfg = cfgOf(args)
+    val cfg = cfgBootstrapped(spark, args, base)
     val start = opt(args, "start-slot").map(_.toLong).getOrElse(0L)
     val end = opt(args, "end-slot").map(_.toLong).getOrElse(start + 999L)
     val cs = opt(args, "chunk-size").map(_.toLong).getOrElse(1000L)
@@ -101,7 +118,7 @@ object Main {
   private def realtime(args: Array[String]): Unit = {
     val spark = session()
     val base = opt(args, "base").getOrElse(sys.error("--base required"))
-    val cfg = cfgOf(args)
+    val cfg = cfgBootstrapped(spark, args, base)
     val url = opt(args, "beacon-url").getOrElse(sys.error("--beacon-url required for realtime"))
     val probe = new HeadProbe {
       def headSlot(): Long = {
@@ -140,7 +157,10 @@ object Main {
     val base = opt(args, "base").getOrElse(sys.error("--base required"))
     val loaderName = opt(args, "loader").getOrElse("blocks")
     val loader = Loaders.byName(loaderName)
-    val n = Transformer.runBatch(spark, cfgOf(args), s"$base/raw_$loaderName",
+    // transform derives timing from the bootstrapped foundation tables
+    // when present (reference: time_helpers, loader.py:1008-1060)
+    val cfg = Foundation.storedConfig(spark, base, networkOf(args))
+    val n = Transformer.runBatch(spark, cfg, s"$base/raw_$loaderName",
       s"$base/tables", LedgerStore(s"$base/load_state_chunks"),
       LedgerStore(s"$base/transformer_progress"), loader)
     println(s"[graft] transform batch ($loaderName): $n chunks processed")
@@ -181,6 +201,11 @@ object Main {
           .filter(org.apache.spark.sql.functions.col("status") === "claimed")
         Maintenance.resetChunks(chunkLedger, claimed)
         println("[graft] claimed chunks reset to pending")
+      case "refresh-specs" => // reference: src/cli.py:77-82
+        val url = opt(args, "beacon-url").getOrElse(sys.error("--beacon-url required for refresh-specs"))
+        val n = Foundation.refreshSpecs(
+          spark, HttpFoundationFetcher(url, opt(args, "api-key")), base)
+        println(s"[graft] refresh-specs: $n spec parameters stored")
     }
     spark.stop()
   }

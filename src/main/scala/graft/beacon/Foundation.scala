@@ -4,6 +4,40 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** Fetch of the two one-shot foundation payloads (S7; reference:
+  * src/services/beacon_api.py genesis/spec endpoints). */
+trait FoundationFetcher extends Serializable {
+  def genesis(): String
+  def specs(): String
+}
+
+/** Beacon-node HTTP foundation fetch (`/eth/v1/beacon/genesis`,
+  * `/eth/v1/config/spec`). */
+final case class HttpFoundationFetcher(
+    baseUrl: String, apiKey: Option[String] = None,
+    timeoutMillis: Long = 60000L) extends FoundationFetcher {
+  private def get(path: String): String = {
+    val qp = apiKey.map(k => s"?api_key=$k").getOrElse("")
+    val client = java.net.http.HttpClient.newHttpClient()
+    val resp = client.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$baseUrl$path$qp"))
+        .timeout(java.time.Duration.ofMillis(timeoutMillis)).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200, s"HTTP ${resp.statusCode()} for $baseUrl$path")
+    resp.body()
+  }
+  def genesis(): String = get("/eth/v1/beacon/genesis")
+  def specs(): String = get("/eth/v1/config/spec")
+}
+
+/** Offline/test foundation fetcher over literal payloads. */
+final case class MapFoundationFetcher(genesisJson: String, specsJson: String)
+    extends FoundationFetcher {
+  def genesis(): String = genesisJson
+  def specs(): String = specsJson
+}
+
 /** Foundation bootstrap (D9): genesis + specs + time_helpers, the three
   * driver-side config tables everything else derives timing from
   * (reference: src/loaders/{genesis,specs}.py, migrations/001,002).
@@ -65,4 +99,58 @@ object Foundation {
     ChainConfig.fromSpecs(
       specsDf.select(col("parameter_name"), col("parameter_value")), g, network)
   }
+
+  def genesisDir(baseDir: String): String = s"$baseDir/tables/genesis"
+  def specsDir(baseDir: String): String = s"$baseDir/tables/specs"
+  def timeHelpersDir(baseDir: String): String = s"$baseDir/tables/time_helpers"
+
+  /** The reference's mandatory pre-load sequence (genesis → specs →
+    * verify, src/services/loader.py:1008-1060): fetch both payloads,
+    * VERIFY a previously-stored genesis agrees (a node for a different
+    * chain must not silently corrupt the dataset), materialize all three
+    * foundation tables, and return the derived [[ChainConfig]] the load/
+    * transform should run with. */
+  def bootstrap(
+      spark: SparkSession, fetcher: FoundationFetcher, baseDir: String,
+      network: String): ChainConfig = {
+    val g = genesis(spark, fetcher.genesis())
+    val s = specs(spark, fetcher.specs())
+    val gDir = genesisDir(baseDir)
+    if (graft.core.Fs.hasParquetFiles(spark, gDir)) {
+      val stored = spark.read.parquet(gDir)
+        .select(unix_timestamp(col("genesis_time"))).head().getLong(0)
+      val fetched = g.select(unix_timestamp(col("genesis_time"))).head().getLong(0)
+      require(stored == fetched,
+        s"genesis verify failed: stored=$stored node=$fetched — refusing to mix chains")
+    }
+    g.write.mode("overwrite").parquet(gDir)
+    s.write.mode("overwrite").parquet(specsDir(baseDir))
+    timeHelpers(g, s).write.mode("overwrite").parquet(timeHelpersDir(baseDir))
+    chainConfig(g, s, network)
+  }
+
+  /** `maintain refresh-specs` (reference: src/cli.py:77-82): re-fetch the
+    * spec table and recompute time_helpers against the stored genesis. */
+  def refreshSpecs(
+      spark: SparkSession, fetcher: FoundationFetcher, baseDir: String): Long = {
+    val s = specs(spark, fetcher.specs())
+    s.write.mode("overwrite").parquet(specsDir(baseDir))
+    if (graft.core.Fs.hasParquetFiles(spark, genesisDir(baseDir))) {
+      val g = spark.read.parquet(genesisDir(baseDir))
+      timeHelpers(g, spark.read.parquet(specsDir(baseDir)))
+        .write.mode("overwrite").parquet(timeHelpersDir(baseDir))
+    }
+    spark.read.parquet(specsDir(baseDir)).count()
+  }
+
+  /** Rebuild the ChainConfig from previously-bootstrapped foundation
+    * tables, falling back to the static network preset when absent. */
+  def storedConfig(spark: SparkSession, baseDir: String, network: String): ChainConfig =
+    if (graft.core.Fs.hasParquetFiles(spark, genesisDir(baseDir)) &&
+        graft.core.Fs.hasParquetFiles(spark, specsDir(baseDir)))
+      chainConfig(
+        spark.read.parquet(genesisDir(baseDir)),
+        spark.read.parquet(specsDir(baseDir)), network)
+    else if (network == "mainnet") ChainConfig.mainnet
+    else ChainConfig.gnosis
 }

@@ -303,6 +303,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(daily === Seq((20211L, 20211L), (37491L, 37491L))) // 2931 < 8192 dropped
   }
 
+  test("foundation bootstrap e2e: genesis+specs → derived schedule drives a transform (D9)") {
+    val base = tmp()
+    // a custom chain: genesis 2021-01-01T00:00:07Z, 7 s slots, 8-slot epochs,
+    // electra at epoch 2 — NONE of these match a static preset
+    val genesisUnix = 1609459207L
+    val fetcher = MapFoundationFetcher(
+      s"""{"data":{"genesis_time":"$genesisUnix","genesis_validators_root":"0xgvr","genesis_fork_version":"0x00000099"}}""",
+      """{"data":{"SECONDS_PER_SLOT":"7","SLOTS_PER_EPOCH":"8",
+        |"ELECTRA_FORK_EPOCH":"2","ELECTRA_FORK_VERSION":"0x05000099"}}"""
+        .stripMargin.replaceAll("\n", ""))
+    val cfg2 = Foundation.bootstrap(spark, fetcher, base, "gnosis")
+    assert(cfg2.genesisTimeUnix === genesisUnix)
+    assert(cfg2.secondsPerSlot === 7L)
+    assert(cfg2.slotsPerEpoch === 8L)
+    assert(cfg2.forks.find(_.name === "electra").get.epoch === 2L)
+    assert(cfg2.forks.find(_.name === "electra").get.version === "0x05000099")
+    // foundation tables materialized
+    assert(spark.read.parquet(Foundation.specsDir(base)).count() >= 4)
+    val th = spark.read.parquet(Foundation.timeHelpersDir(base)).head()
+    assert(th.getAs[Long]("genesis_time_unix") === genesisUnix)
+    assert(th.getAs[Long]("seconds_per_slot") === 7L)
+    // transform a chunk WITH the derived schedule: slot_timestamp must be
+    // genesis + slot*7 (not any preset's 5s/12s law)
+    val rawDir = s"$base/raw_blocks"
+    RawIngest.ingestChunk(spark, cfg2, fetcherFor(0 until 20), rawDir,
+      LedgerStore(s"$base/chunks"), "blocks", 0, 19)
+    Transformer.transformBlocksChunk(spark, cfg2, rawDir, s"$base/tables",
+      LedgerStore(s"$base/progress"), 0, 19, version = 1L)
+    val b = spark.read.parquet(s"$base/tables/blocks")
+      .filter(col("slot") === 10L).head()
+    assert(b.getAs[java.sql.Timestamp]("slot_timestamp").getTime / 1000
+      === genesisUnix + 10L * 7L)
+    // storedConfig rehydrates the derived schedule (what `transform batch` uses)
+    val stored = Foundation.storedConfig(spark, base, "gnosis")
+    assert(stored.secondsPerSlot === 7L)
+    assert(stored.forks.find(_.name === "electra").get.epoch === 2L)
+    // refresh-specs overwrites the spec table + time_helpers (cli.py:77-82)
+    val fetcher2 = MapFoundationFetcher(fetcher.genesisJson,
+      """{"data":{"SECONDS_PER_SLOT":"7","SLOTS_PER_EPOCH":"16"}}""")
+    assert(Foundation.refreshSpecs(spark, fetcher2, base) === 2L)
+    assert(Foundation.storedConfig(spark, base, "gnosis").slotsPerEpoch === 16L)
+    // verify guard: a node for a DIFFERENT chain must be refused
+    val wrongChain = MapFoundationFetcher(
+      """{"data":{"genesis_time":"1700000000","genesis_validators_root":"0x","genesis_fork_version":"0x"}}""",
+      fetcher.specsJson)
+    intercept[IllegalArgumentException] {
+      Foundation.bootstrap(spark, wrongChain, base, "gnosis")
+    }
+  }
+
   test("loader registry: generic transform path for a state loader (validators)") {
     val rawDir = tmp() + "/raw_validators"
     val outDir = tmp() + "/tables_v"
