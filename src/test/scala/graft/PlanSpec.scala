@@ -123,6 +123,26 @@ class PlanSpec extends AnyFunSuite {
     assert(pruned.count() === 101)
   }
 
+  test("f6_last_of_day: per-row closed form — NO Window anywhere in the plan") {
+    val p = planOf("f6_last_of_day")
+    assert(!p.contains("Window"), p.take(2000))
+    // the boundary predicate stays inside whole-stage codegen
+    assert(p.contains("[codegen id :"), p.take(800))
+  }
+
+  test("s5_topk_join: partial-merge bounded top-k, no Window, no corpus exchange on q_id") {
+    val p = planOf("s5_topk_join")
+    // the window form would shuffle corpus x |Q| rows onto |Q| reducers
+    assert(!p.contains("Window"), p.take(2000))
+    // BoundedTopK compiles to ObjectHashAggregate running partial-mode
+    // BEFORE the exchange: map-side truncation to k survivors per query
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val lastExchange = p.lastIndexOf("Exchange")
+    assert(firstAgg >= 0 && lastExchange >= 0)
+    assert(p.contains("partial"), p.take(2000))
+  }
+
   test("s1_cosine_topk: brute-force scan is a single pass + TakeOrdered") {
     val p = planOf("s1_cosine_topk")
     assert(p.contains("vec_cosine"), p)

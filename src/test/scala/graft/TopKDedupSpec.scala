@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.{BoundedTopK, Dedup, ScoredId, TopK, TopKBuf}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the round-2 additions that previously had only
+  * transitive oracle coverage: the BoundedTopK partial-merge aggregate and
+  * the DF-ceilinged token-overlap candidate join.
+  */
+class TopKDedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def finishOf(agg: BoundedTopK, items: Seq[ScoredId]): Seq[ScoredId] =
+    agg.finish(items.foldLeft(agg.zero)(agg.reduce))
+
+  test("BoundedTopK.reduce: buffer stays bounded (compacts at 2k), finish sorts") {
+    val agg = new BoundedTopK(3)
+    val items = (1 to 100).map(i => ScoredId(i.toDouble, i.toLong))
+    val buf = items.foldLeft(agg.zero)(agg.reduce)
+    assert(buf.items.size < 6, s"buffer must stay bounded, was ${buf.items.size}")
+    assert(agg.finish(buf).map(_.id) === Seq(100L, 99L, 98L))
+  }
+
+  test("BoundedTopK: k >= group size returns the whole group, sorted") {
+    val agg = new BoundedTopK(10)
+    val out = finishOf(agg, Seq(ScoredId(1.0, 3L), ScoredId(5.0, 1L), ScoredId(2.0, 2L)))
+    assert(out.map(_.id) === Seq(1L, 2L, 3L))
+    assert(out.map(_.score) === Seq(5.0, 2.0, 1.0))
+  }
+
+  test("BoundedTopK: deterministic tie-break — equal scores rank by id asc") {
+    val agg = new BoundedTopK(2)
+    val tied = Seq(ScoredId(1.0, 9L), ScoredId(1.0, 2L), ScoredId(1.0, 5L))
+    // any permutation of arrival must give the same winners
+    tied.permutations.foreach { perm =>
+      assert(finishOf(agg, perm).map(_.id) === Seq(2L, 5L), s"order $perm")
+    }
+  }
+
+  test("BoundedTopK.merge: partial buffers combine to the global top-k") {
+    val agg = new BoundedTopK(3)
+    val left = Seq(ScoredId(9.0, 1L), ScoredId(7.0, 2L)).foldLeft(agg.zero)(agg.reduce)
+    val right = Seq(ScoredId(8.0, 3L), ScoredId(6.0, 4L)).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(left, right)).map(_.id) === Seq(1L, 3L, 2L))
+    // merge with zero on either side is identity
+    assert(agg.finish(agg.merge(agg.zero, left)).map(_.id) === Seq(1L, 2L))
+    assert(agg.finish(agg.merge(left, agg.zero)).map(_.id) === Seq(1L, 2L))
+    // empty + empty
+    assert(agg.finish(agg.merge(agg.zero, agg.zero)) === Seq.empty)
+  }
+
+  test("topkAgg end-to-end: per-group k best across many partitions") {
+    val rows = (0 until 4).flatMap(g =>
+      (0 until 500).map(i => (g.toLong, (i * 31 % 500).toDouble, i.toLong)))
+    val df = rows.toDF("g", "score", "id").repartition(8)
+    val out = df.groupBy("g")
+      .agg(TopK.topkAgg(3)(col("score"), col("id")).as("top"))
+      .select(col("g"), explode(col("top")).as("s"))
+      .select(col("g"), col("s.score"), col("s.id"))
+      .collect()
+    assert(out.length === 12)
+    // per group the max achievable score is 499 at i with i*31%500 == 499
+    val g0 = out.filter(_.getLong(0) == 0L).map(r => (r.getDouble(1), r.getLong(2)))
+    assert(g0.map(_._1).toSeq === g0.map(_._1).sorted(Ordering[Double].reverse).toSeq)
+    assert(g0.head._1 === 499.0)
+  }
+
+  test("tokenOverlapPairs: DF ceiling drops hot tokens BEFORE the self-join (sub-quadratic)") {
+    // 200 docs all share the stop-word 'the' (hot); only docs 0/1 and 2/3
+    // share 3 rare tokens each
+    val docs = (0 until 200).map { i =>
+      val rare =
+        if (i <= 1) "alpha beta gamma"
+        else if (i <= 3) "delta epsilon zeta"
+        else s"solo${i}a solo${i}b solo${i}c"
+      (i.toLong, s"the $rare")
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.tokenOverlapPairs(docs, "doc_id", "text", minCommon = 2, maxDf = 50L)
+    val got = pairs.select("d1", "d2").as[(Long, Long)].collect().toSet
+    // hot-token-only overlaps (e.g. (0,5), (7,9), …) must NOT appear: with
+    // 'the' in the posting list the join would be 200*199/2 ≈ 20k pairs
+    assert(got === Set((0L, 1L), (2L, 3L)))
+    // and the ceiling is applied as a broadcast anti-join (no extra shuffle
+    // of the posting list)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(1500))
+    assert(plan.contains("BroadcastExchange"), plan.take(1500))
+  }
+
+  test("tokenOverlapPairs: common-token count respects the ceiling survivors only") {
+    val docs = Seq(
+      (1L, "x y z w"),
+      (2L, "x y z q"),
+      (3L, "x p r s")).toDF("id", "t")
+    val out = Dedup.tokenOverlapPairs(docs, "id", "t", minCommon = 3, maxDf = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L, 3L))) // x,y,z common; (1,3)/(2,3) only share x
+  }
+}
