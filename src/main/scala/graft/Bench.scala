@@ -14,12 +14,23 @@ object Bench {
     // absorb session/codegen warmup so the first timed query isn't charged for it
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink forces evaluation of EVERY output column — .count()
-      // would let Catalyst prune projection-only compute to nothing
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        // ops that persist their result (LSH pair frames) must not feed a
+        // later run from cache, and a prior query's cache must not skew
+        // this one — every run starts cache-clean
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        // noop sink forces evaluation of EVERY output column — .count()
+        // would let Catalyst prune projection-only compute to nothing
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      // one warmup (plan compile + JIT + page cache) then median-of-3 so a
+      // single noisy run can't swing the per-query signal ±20%
+      once()
+      val timed = Seq(once(), once(), once()).sorted
+      name -> timed(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -97,6 +97,10 @@ object Dedup {
     * one band of `rowsPerBand` consecutive hashes. The self-join key is the
     * (band index, band hash) pair — this is the standard
     * shingle→minhash→band→bucket-join plan and the only shuffle in the op.
+    *
+    * The returned pair frame is PERSISTED and materialized (caller-owned:
+    * unpersist when done); the internal bucket frame is released before
+    * returning, so nothing corpus-sized leaks into the session cache.
     */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -124,10 +128,25 @@ object Dedup {
       .persist()
     val a = buckets.as("a")
     val b = buckets.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+    val pairs = a
+      .join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("d1"), col("b.id").as("d2"))
       .distinct()
+    materializeAndRelease(pairs, buckets)
+  }
+
+  /** Persist-hygiene helper for ops whose result needs a TEMP persisted
+    * frame: materialize the (small) result into the cache with one bounded
+    * action, then release the temp immediately — nothing upstream leaks
+    * into the caller's session. The RETURNED frame is persisted and
+    * caller-owned: unpersist it when done (it is the candidate-pair set,
+    * orders of magnitude smaller than the corpus). */
+  private def materializeAndRelease(result: DataFrame, temps: DataFrame*): DataFrame = {
+    result.persist()
+    result.count()
+    temps.foreach(_.unpersist(blocking = false))
+    result
   }
 
   /** Exact n-gram Jaccard similarity for a pair-candidates frame: join the
@@ -156,7 +175,9 @@ object Dedup {
     * converges in O(diameter) rounds — near-dup clusters are tiny, so
     * `maxIter` ~10 is ample. (At extreme scale swap for large-star/
     * small-star; the interface stays the same.) Returns (id, component)
-    * where component = min id of the cluster. */
+    * where component = min id of the cluster. The distributed path returns
+    * a localCheckpoint-backed frame: lineage-free, outside the session
+    * cache, blocks reclaimed by the ContextCleaner once dropped. */
   def connectedComponents(
       pairs: DataFrame, maxIter: Int = 10,
       driverThreshold: Long = 5000000L): DataFrame = {
@@ -194,9 +215,16 @@ object Dedup {
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .distinct()
       .persist()
+    // iterative loop state is localCheckpoint'ed, not persisted: each
+    // round references `comp` three times, so an un-truncated lineage
+    // TREBLES per iteration (exponential plan growth → planner OOM by
+    // ~iteration 30). Eager localCheckpoint cuts the lineage to the
+    // materialized blocks each round; the blocks are reclaimed by the
+    // ContextCleaner when the frame is dropped, and nothing enters the
+    // session's cacheManager — no leak for long-lived sessions.
     var comp = sym.select(col("d1").as("id")).distinct()
       .withColumn("component", col("id"))
-      .persist()
+      .localCheckpoint(true)
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -210,17 +238,16 @@ object Dedup {
           col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next.join(
           comp.withColumnRenamed("component", "prev"), Seq("id"))
         .filter(col("component") =!= col("prev"))
         .limit(1).count() > 0
-      comp.unpersist()
       comp = next
       converged = !changed
       i += 1
     }
-    sym.unpersist()
+    sym.unpersist(blocking = false)
     comp
   }
 
@@ -232,11 +259,11 @@ object Dedup {
       numHashes: Int = 8, rowsPerBand: Int = 4, shingleW: Int = 3,
       jaccardThreshold: Double = 0.8): DataFrame = {
     // persist every frame that is consumed more than once downstream:
-    // candidates feeds the double-sided shingle join, the shingle frame is
-    // joined twice (d1/d2 side), and confirmed drives the component loop —
-    // without these the LSH pipeline re-runs per consumer
+    // candidates arrive persisted+materialized from minhashCandidatePairs,
+    // the shingle frame is joined twice (d1/d2 side), and confirmed drives
+    // the component loop — without these the LSH pipeline re-runs per
+    // consumer. ALL temps are released before returning.
     val candidates = minhashCandidatePairs(df, idCol, textCol, numHashes, rowsPerBand, shingleW)
-      .persist()
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleW).as("sh"))
       .persist()
     val confirmed = jaccardWithShingles(candidates, sh)
@@ -252,14 +279,17 @@ object Dedup {
         col("id").as(idCol),
         coalesce(col("component"), col("id")).as("group"))
       .withColumn("is_representative", col(idCol) === col("group"))
-    // driver-path components are a local frame → safe to release now
+    // comps is either a driver-local frame (union-find path) or
+    // localCheckpoint-backed (distributed path) — neither holds a
+    // cacheManager entry, so `out` is leak-free without extra actions
     confirmed.unpersist(blocking = false)
     out
   }
 
   /** Embedding-cosine near-dup: hyperplane-LSH bucket (see
     * [[Similarity.hyperplaneSignature]]) then exact cosine within bucket.
-    * Returns pairs with cosine ≥ threshold. */
+    * Returns pairs with cosine ≥ threshold — persisted and materialized
+    * (caller-owned); the bucket temp is released before returning. */
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       planes: Int, seed: Long, threshold: Double, bands: Int = 1): DataFrame = {
@@ -282,11 +312,13 @@ object Dedup {
       .persist()
     val a = buckets.as("a")
     val b = buckets.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+    val pairs = a
+      .join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("d1"), col("b.id").as("d2"),
         vec_cosine(col("a.v"), col("b.v")).as("cosine"))
       .distinct()
       .filter(col("cosine") >= threshold)
+    materializeAndRelease(pairs, buckets)
   }
 }

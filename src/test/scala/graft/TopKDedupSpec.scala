@@ -90,6 +90,37 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"), plan.take(1500))
   }
 
+  test("dedup persist hygiene: temps released; only caller-owned results stay cached") {
+    spark.catalog.clearCache()
+    def cached: Boolean = !spark.sharedState.cacheManager.isEmpty
+    val docs = (0 until 120).map(i =>
+      (i.toLong, s"tok${i % 8}a tok${i % 8}b tok${i % 8}c word$i tail$i")).toDF("id", "text")
+    // minhashCandidatePairs: returned frame IS persisted (caller-owned),
+    // internal buckets are not
+    val pairs = Dedup.minhashCandidatePairs(docs, "id", "text", 8, 4, 2)
+    pairs.unpersist(blocking = true)
+    assert(!cached, "minhashCandidatePairs leaked its bucket temp")
+    // embeddingNearDupPairs: same contract
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)((i % 5).toFloat + 1f))).toDF("id", "v")
+    val epairs = Dedup.embeddingNearDupPairs(vecs, "id", "v", planes = 4, seed = 7L,
+      threshold = 0.9, bands = 2)
+    epairs.unpersist(blocking = true)
+    assert(!cached, "embeddingNearDupPairs leaked its bucket temp")
+    // nearDupGroups (driver union-find path): fully leak-free
+    val out = Dedup.nearDupGroups(docs, "id", "text", 8, 4, 2, 0.5)
+    assert(out.count() === 120L)
+    assert(!cached, "nearDupGroups leaked temps on the driver-CC path")
+    // distributed label-propagation path: loop state is checkpoint-backed,
+    // nothing enters the session cache (a persisted loop would also grow
+    // its lineage 3x per iteration → planner OOM on long chains)
+    val star = (1 until 40).map(i => (0L, i.toLong)).toDF("d1", "d2")
+    val comps = Dedup.connectedComponents(star, maxIter = 10, driverThreshold = 10L)
+    assert(comps.select("component").distinct().count() === 1L)
+    assert(comps.filter(col("component") =!= 0L).count() === 0L)
+    assert(!cached, "connectedComponents leaked loop state on the distributed path")
+  }
+
   test("tokenOverlapPairs: common-token count respects the ceiling survivors only") {
     val docs = Seq(
       (1L, "x y z w"),
