@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   *
   * {{{
   * graft load backfill  --base DIR --start-slot A --end-slot B [--beacon-url U] [--chunk-size N] [--workers N]
-  * graft load realtime  --base DIR --beacon-url U [--delay N] [--chunk-size N] [--iterations N] [--loaders a,b,c]
+  * graft load realtime  --base DIR --beacon-url U [--delay N] [--chunk-size N] [--iterations N] [--loaders a,b,c] [--metrics-port P]
   * graft transform batch --base DIR [--loader blocks|validators|...] [--network gnosis|mainnet]
   * graft maintain check|fix|reset --base DIR
   * graft maintain refresh-specs --base DIR --beacon-url U
@@ -134,6 +134,11 @@ object Main {
     val chunkSize = opt(args, "chunk-size").map(_.toLong).getOrElse(100L)
     val slotDelay = opt(args, "delay").map(_.toLong).getOrElse(100L)
     val iterations = opt(args, "iterations").map(_.toInt).getOrElse(Int.MaxValue)
+    // D11: Prometheus /metrics + /health for the long-lived tail process
+    opt(args, "metrics-port").foreach { p =>
+      val port = graft.core.Observability.start(spark, p.toInt)
+      println(s"[graft] metrics server on :$port (/metrics, /health)")
+    }
     opt(args, "loaders") match {
       case Some(names) => // composite tail: every named loader per micro-batch
         val tls = names.split(",").toSeq.map { n =>

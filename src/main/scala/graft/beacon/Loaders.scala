@@ -57,6 +57,16 @@ object Loaders {
     tables = Set("validators"),
     parse = single("validators")(StateParsers.validators))
 
+  /** S3: validators fetch with the optional `id` filter — a comma-joined
+    * list as the `id` query param (reference: beacon_api.py:173-181,
+    * `get_validators(state_id, validator_ids)`). */
+  def validatorsFetcher(
+      baseUrl: String, ids: Seq[String] = Nil,
+      apiKey: Option[String] = None): HttpSlotFetcher =
+    HttpSlotFetcher(
+      baseUrl, validators.endpointTemplate, allowEmpty404 = false, apiKey,
+      extraQuery = if (ids.isEmpty) Nil else Seq("id=" + ids.mkString(",")))
+
   val rewards: LoaderDef = LoaderDef(
     "rewards", "/eth/v1/beacon/rewards/blocks/{slot}",
     allowEmpty404 = true, dailyOnly = false, activationFork = None,

@@ -26,7 +26,10 @@ final case class HttpSlotFetcher(
     apiKey: Option[String] = None,
     maxRetries: Int = 3,
     backoffMillis: Long = 5000L,
-    timeoutMillis: Long = 600000L) extends SlotFetcher {
+    timeoutMillis: Long = 600000L,
+    /** extra query params, e.g. the validators `id` filter
+      * (reference: beacon_api.py:173-181). */
+    extraQuery: Seq[String] = Nil) extends SlotFetcher {
 
   @transient private lazy val client =
     java.net.http.HttpClient.newBuilder()
@@ -35,7 +38,8 @@ final case class HttpSlotFetcher(
 
   def fetch(slot: Long): Option[String] = {
     val path = endpointTemplate.replace("{slot}", slot.toString)
-    val qp = apiKey.map(k => s"?api_key=$k").getOrElse("")
+    val params = extraQuery ++ apiKey.map(k => s"api_key=$k").toSeq
+    val qp = if (params.isEmpty) "" else params.mkString("?", "&", "")
     val uri = java.net.URI.create(s"$baseUrl$path$qp")
     var attempt = 0
     while (true) {

@@ -1,0 +1,99 @@
+package graft.core
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+
+/** D11: the reference's `/metrics` + `/health` HTTP surface
+  * (reference: src/observability.py:145-198) over the engine's
+  * accumulator-backed [[Metrics]].
+  *
+  *  - `/metrics` renders Prometheus text exposition (counters named
+  *    `graft_<metric>_total`) from the session's accumulators — the same
+  *    counters the Spark UI/REST API already aggregates per stage.
+  *  - `/health` returns the mutable health map as JSON; `status` of
+  *    `failed`/`error` flips the response to 503 (load-balancer
+  *    convention, observability.py:169-176).
+  *
+  * Built on the JDK's HttpServer: no extra dependency, daemon thread,
+  * idempotent start.
+  */
+object Observability {
+
+  private val healthState = scala.collection.concurrent.TrieMap[String, String](
+    "status" -> "starting")
+  @volatile private var server: Option[HttpServer] = None
+
+  /** Thread-safe health update (reference `update_health`). */
+  def updateHealth(kv: (String, String)*): Unit = healthState ++= kv
+
+  def health: Map[String, String] = healthState.toMap
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  def healthJson: String = healthState.toSeq.sortBy(_._1)
+    .map { case (k, v) => s""""${jsonEscape(k)}": "${jsonEscape(v)}"""" }
+    .mkString("{", ", ", "}")
+
+  /** Prometheus text exposition of the engine counters plus any gauges
+    * passed in (e.g. ingest lag). */
+  def prometheusText(spark: SparkSession, gauges: Map[String, Long] = Map.empty): String = {
+    val counters = Metrics.report(spark).toSeq.sortBy(_._1).map { case (k, v) =>
+      val name = s"graft_${k}_total"
+      s"# TYPE $name counter\n$name $v"
+    }
+    val gaugeLines = gauges.toSeq.sortBy(_._1).map { case (k, v) =>
+      val name = s"graft_$k"
+      s"# TYPE $name gauge\n$name $v"
+    }
+    (counters ++ gaugeLines).mkString("", "\n", "\n")
+  }
+
+  /** Start the server (idempotent; port 0 = ephemeral). Returns the bound
+    * port. */
+  def start(spark: SparkSession, port: Int = 9090,
+      gauges: () => Map[String, Long] = () => Map.empty): Int = synchronized {
+    server match {
+      case Some(s) => s.getAddress.getPort
+      case None =>
+        val s = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+        def respond(ex: HttpExchange, code: Int, contentType: String, body: String): Unit = {
+          val bytes = body.getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.put("Content-Type", List(contentType).asJava)
+          ex.sendResponseHeaders(code, bytes.length.toLong)
+          val os = ex.getResponseBody
+          try os.write(bytes) finally os.close()
+        }
+        s.createContext("/", (ex: HttpExchange) => ex.getRequestURI.getPath match {
+          case "/metrics" =>
+            respond(ex, 200, "text/plain; version=0.0.4; charset=utf-8",
+              prometheusText(spark, gauges()))
+          case "/health" =>
+            val code =
+              if (Set("failed", "error")(healthState.getOrElse("status", ""))) 503 else 200
+            respond(ex, code, "application/json", healthJson)
+          case _ => respond(ex, 404, "text/plain", "not found")
+        })
+        s.setExecutor(null) // default executor on the dispatch thread
+        s.start()
+        server = Some(s)
+        updateHealth("status" -> "ok")
+        s.getAddress.getPort
+    }
+  }
+
+  def stop(): Unit = synchronized {
+    server.foreach(_.stop(0))
+    server = None
+    healthState.clear()
+    healthState += "status" -> "starting"
+  }
+}
