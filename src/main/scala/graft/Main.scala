@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
   * {{{
   * graft load backfill  --base DIR --start-slot A --end-slot B [--beacon-url U] [--chunk-size N] [--workers N]
   * graft load realtime  --base DIR --beacon-url U [--delay N] [--chunk-size N] [--iterations N] [--loaders a,b,c] [--metrics-port P]
-  * graft transform batch --base DIR [--loader blocks|validators|...] [--network gnosis|mainnet]
+  * graft transform batch|run --base DIR [--loader L] [--network N] [--continuous] [--poll-ms MS]
+  * graft transform reprocess --base DIR --start-slot A --end-slot B [--loader L] [--chunk-size N]
   * graft maintain check|fix|reset --base DIR
   * graft maintain refresh-specs --base DIR --beacon-url U
   * graft status --base DIR
@@ -53,7 +54,8 @@ object Main {
   def main(args: Array[String]): Unit = args.toList match {
     case "load" :: "backfill" :: rest => backfill(rest.toArray)
     case "load" :: "realtime" :: rest => realtime(rest.toArray)
-    case "transform" :: "batch" :: rest => transform(rest.toArray)
+    case "transform" :: cmd :: rest if Set("batch", "run", "reprocess")(cmd) =>
+      transform(cmd, rest.toArray)
     case "maintain" :: cmd :: rest if Set("check", "fix", "reset", "refresh-specs")(cmd) => maintain(cmd, rest.toArray)
     case "status" :: rest => status(rest.toArray)
     case "fork" :: "info" :: rest => forkInfo(rest.toArray)
@@ -157,7 +159,7 @@ object Main {
     spark.stop()
   }
 
-  private def transform(args: Array[String]): Unit = {
+  private def transform(cmd: String, args: Array[String]): Unit = {
     val spark = session()
     val base = opt(args, "base").getOrElse(sys.error("--base required"))
     val loaderName = opt(args, "loader").getOrElse("blocks")
@@ -165,10 +167,27 @@ object Main {
     // transform derives timing from the bootstrapped foundation tables
     // when present (reference: time_helpers, loader.py:1008-1060)
     val cfg = Foundation.storedConfig(spark, base, networkOf(args))
-    val n = Transformer.runBatch(spark, cfg, s"$base/raw_$loaderName",
-      s"$base/tables", LedgerStore(s"$base/load_state_chunks"),
-      LedgerStore(s"$base/transformer_progress"), loader)
-    println(s"[graft] transform batch ($loaderName): $n chunks processed")
+    val rawDir = s"$base/raw_$loaderName"
+    val outDir = s"$base/tables"
+    val chunkLedger = LedgerStore(s"$base/load_state_chunks")
+    val progressLedger = LedgerStore(s"$base/transformer_progress")
+    cmd match {
+      case "reprocess" => // cli.py:47-53
+        val start = opt(args, "start-slot").map(_.toLong).getOrElse(sys.error("--start-slot required"))
+        val end = opt(args, "end-slot").map(_.toLong).getOrElse(sys.error("--end-slot required"))
+        val cs = opt(args, "chunk-size").map(_.toLong).getOrElse(100L)
+        val ok = Transformer.reprocess(
+          spark, cfg, loader, rawDir, outDir, progressLedger, start, end, cs)
+        println(s"[graft] reprocess $start-$end ($loaderName): ${if (ok) "ok" else "FAILED"}")
+      case "run" if args.contains("--continuous") => // transformer.py:131-233
+        Transformer.runContinuous(spark, cfg, rawDir, outDir, chunkLedger,
+          progressLedger, loader,
+          pollMillis = opt(args, "poll-ms").map(_.toLong).getOrElse(10000L))
+      case _ => // batch (and one-shot `run`)
+        val n = Transformer.runBatch(
+          spark, cfg, rawDir, outDir, chunkLedger, progressLedger, loader)
+        println(s"[graft] transform $cmd ($loaderName): $n chunks processed")
+    }
     spark.stop()
   }
 

@@ -243,6 +243,51 @@ object Transformer {
     processed
   }
 
+  /** `transform reprocess` — delete-and-rebuild of a slot range
+    * (reference CLI surface: src/cli.py:47-53; the reference's
+    * `transformer.py:610-618` body is an acknowledged stub, so the
+    * semantics here are the engine's own, composed from D5 + the fused
+    * D4): partition-scoped delete of [startSlot, endSlot] from every
+    * table the loader owns, then a fused re-transform of the range as
+    * chunk-aligned sub-ranges with a fresh insert_version (latest()
+    * readers switch over atomically per key). Raw data is NOT refetched —
+    * that is `maintain fix`'s job. */
+  def reprocess(
+      spark: SparkSession, cfg: ChainConfig, loader: LoaderDef,
+      rawDir: String, outDir: String, progress: LedgerStore,
+      startSlot: Long, endSlot: Long, chunkSize: Long = 100L): Boolean = {
+    loader.tables.foreach { t =>
+      Maintenance.deleteSlotRange(spark, s"$outDir/$t", cfg, startSlot, endSlot)
+    }
+    val ranges = startSlot.to(endSlot, chunkSize)
+      .map(s => (s, math.min(s + chunkSize - 1, endSlot)))
+    transformChunksFused(spark, cfg, loader, rawDir, outDir, progress, ranges) || {
+      ranges.forall { case (a, b) =>
+        transformChunk(spark, cfg, loader, rawDir, outDir, progress, a, b)
+      }
+    }
+  }
+
+  /** Continuous transform (reference `transform run --continuous`,
+    * transformer.py:131-233: poll every `pollMillis`, drain the backlog
+    * each round). `maxRounds` bounds the loop for tests; pass
+    * Int.MaxValue in production. Returns total chunks processed. */
+  def runContinuous(
+      spark: SparkSession, cfg: ChainConfig, rawDir: String, outDir: String,
+      chunkLedger: LedgerStore, progressLedger: LedgerStore,
+      loader: LoaderDef = Loaders.blocks, chunksPerFetch: Int = 50,
+      pollMillis: Long = 10000L, maxRounds: Int = Int.MaxValue): Int = {
+    var total = 0
+    var round = 0
+    while (round < maxRounds) {
+      total += runBatch(spark, cfg, rawDir, outDir, chunkLedger, progressLedger,
+        loader, chunksPerFetch)
+      round += 1
+      if (round < maxRounds) Thread.sleep(pollMillis)
+    }
+    total
+  }
+
   /** Bucketed write for co-located slot joins: both sides of a
     * blocks ⋈ withdrawals / rewards / attestations join written with the
     * same bucketing never shuffle — the join is planned bucket-to-bucket

@@ -260,9 +260,15 @@ object Inventory {
         safe_long(concat(lit("0x"), hex(col("event_id")))).as("parsed"))
 
   /** C3: canonical-JSON payload hash (sorted keys, ensure_ascii) — custom
-    * expression; first 16 hex of sha256. */
+    * expression; first 16 hex of sha256. The Jackson parse is the one
+    * genuinely CPU-heavy per-row op in the inventory and a small input
+    * arrives as ONE parquet partition — fan out before computing (at
+    * 100 TB real files split on maxPartitionBytes and the exchange is
+    * narrow noise next to the parse). */
   val c3PayloadHash: Q = (s, d) =>
-    events(s, d).select(col("event_id"), payload_hash16(col("props")).as("h"))
+    events(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("event_id"), payload_hash16(col("props")).as("h"))
 
   /** C4: popcount — built-in bit_count plus the custom hex_popcount
     * expression over the hex rendering (must agree). */

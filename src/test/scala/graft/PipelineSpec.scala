@@ -303,6 +303,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(daily === Seq((20211L, 20211L), (37491L, 37491L))) // 2931 < 8192 dropped
   }
 
+  test("transform reprocess: delete-and-rebuild of a slot range at a fresh version") {
+    val base = tmp()
+    val rawDir = s"$base/raw_blocks"
+    val outDir = s"$base/tables"
+    val progressLedger = LedgerStore(s"$base/progress")
+    RawIngest.ingestChunk(spark, cfg, fetcherFor(0 until 100), rawDir,
+      LedgerStore(s"$base/chunks"), "blocks", 0, 99)
+    assert(Transformer.transformBlocksChunk(
+      spark, cfg, rawDir, outDir, progressLedger, 0, 99, version = 1L))
+    val before = spark.read.parquet(s"$outDir/blocks").count() // 80 non-empty
+    // reprocess the middle of the range in 20-slot chunks
+    assert(Transformer.reprocess(
+      spark, cfg, Loaders.blocks, rawDir, outDir, progressLedger, 20, 59, chunkSize = 20))
+    val blocks = Transformer.latestTable(spark, outDir, "blocks", Seq("slot"))
+    assert(blocks.count() === before) // nothing lost, nothing duplicated
+    // reprocessed slots carry the NEW insert_version; others keep v1
+    val versions = blocks
+      .select(col("slot"), col("insert_version")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(versions.filter(_._1 < 20).forall(_._2 === 1L))
+    assert(versions.view.filterKeys(s => s >= 20 && s <= 59).forall(_._2 > 1L))
+    // per-chunk progress rows recorded for the reprocess sub-ranges
+    val prog = Ledger.latest(progressLedger.read(spark, Schemas.transformerProgress),
+      Seq("raw_table_name", "start_slot", "end_slot"), "insert_version")
+    assert(prog.filter(col("start_slot") === 20L && col("end_slot") === 39L &&
+      col("status") === "completed").count() === 1)
+    assert(prog.filter(col("start_slot") === 40L && col("end_slot") === 59L).count() === 1)
+  }
+
   test("foundation bootstrap e2e: genesis+specs → derived schedule drives a transform (D9)") {
     val base = tmp()
     // a custom chain: genesis 2021-01-01T00:00:07Z, 7 s slots, 8-slot epochs,
