@@ -24,7 +24,11 @@ final case class LoaderDef(
     parse: (DataFrame, ChainConfig, Long) => Map[String, DataFrame],
     /** optional pre-parse step shared by all output tables (persist-worthy
       * multi-table fan-outs); identity when None. */
-    prepare: Option[DataFrame => DataFrame] = None) {
+    prepare: Option[DataFrame => DataFrame] = None,
+    /** mega-payload loaders (validators: ~150 MB/slot on mainnet) split
+      * the `data[]` array into parts at fetch time (P19,
+      * [[RawIngest.fetchSlotsSplit]]); parsers work per part. */
+    splitPayload: Boolean = false) {
 
   def rawTable: String = s"raw_$name"
 
@@ -55,7 +59,8 @@ object Loaders {
     "validators", "/eth/v1/beacon/states/{slot}/validators",
     allowEmpty404 = false, dailyOnly = true, activationFork = None,
     tables = Set("validators"),
-    parse = single("validators")(StateParsers.validators))
+    parse = single("validators")(StateParsers.validators),
+    splitPayload = true)
 
   /** S3: validators fetch with the optional `id` filter — a comma-joined
     * list as the `id` query param (reference: beacon_api.py:173-181,

@@ -145,16 +145,21 @@ object RawIngest {
       .parquet(rawDir)
 
   /** Full chunk ingest: fetch → write → ledger transition. Failed fetches
-    * fail the whole chunk (reference error policy: base.py:87-100). */
+    * fail the whole chunk (reference error policy: base.py:87-100).
+    * `split` routes through [[fetchSlotsSplit]] for mega-payload loaders
+    * (P19 — validators snapshots). */
   def ingestChunk(
       spark: SparkSession, cfg: ChainConfig, fetcher: SlotFetcher,
       rawDir: String, ledger: LedgerStore, loader: String,
       startSlot: Long, endSlot: Long, parallelism: Int = 4,
-      version: Long = System.currentTimeMillis()): Boolean = {
+      version: Long = System.currentTimeMillis(),
+      split: Boolean = false): Boolean = {
     val chunk = Ledger.chunkRow(spark, loader, startSlot, endSlot)
     ledger.append(Ledger.transition(chunk, "claimed", "spark", version))
     try {
-      val rows = fetchSlots(spark, startSlot.to(endSlot), fetcher, parallelism)
+      val rows =
+        if (split) fetchSlotsSplit(spark, startSlot.to(endSlot), fetcher, parallelism)
+        else fetchSlots(spark, startSlot.to(endSlot), fetcher, parallelism)
       writeRaw(rows, cfg, rawDir)
       ledger.append(Ledger.transition(chunk, "completed", "spark", version + 1))
       graft.core.Metrics.of(spark).chunksCompleted.add(1)

@@ -223,7 +223,8 @@ final class CompositeTail(
       planFor(tl.loader, last, target).foreach { case (start, end) =>
         if (!completed.getOrElse(name, Set.empty)((start, end))) {
           val ok = RawIngest.ingestChunk(spark, cfg, tl.fetcher,
-            rawDirOf(tl.loader), chunkLedger, name, start, end)
+            rawDirOf(tl.loader), chunkLedger, name, start, end,
+            split = tl.loader.splitPayload)
           if (ok) tl.chainedTransform.foreach { case (outDir, progress) =>
             Transformer.transformChunk(spark, cfg, tl.loader,
               rawDirOf(tl.loader), outDir, progress, start, end)

@@ -401,6 +401,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(Loaders.all.map(_.name).distinct.size === 8)
   }
 
+  test("ingestChunk split mode: raw rows carry part columns (P19 wiring)") {
+    val rawDir = tmp() + "/raw_val_split"
+    val payload = """{"data":[{"index":"1","balance":"32"}]}"""
+    assert(RawIngest.ingestChunk(spark, cfg, MapSlotFetcher(Map(5L -> payload)),
+      rawDir, LedgerStore(tmp() + "/cl"), "validators", 5, 5, split = true))
+    val raw = spark.read.parquet(rawDir)
+    assert(raw.columns.contains("part_index") && raw.columns.contains("part_count"))
+    assert(raw.head().getAs[Int]("part_count") === 1) // under threshold: intact
+  }
+
   test("ingestChunk records the EXACT chunk range, even non-aligned (ledger identity)") {
     val chunkLedger = LedgerStore(tmp() + "/chunks_exact")
     // start 1000 is NOT a multiple of the 251-slot chunk length
