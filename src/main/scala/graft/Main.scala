@@ -171,6 +171,10 @@ object Main {
     val outDir = s"$base/tables"
     val chunkLedger = LedgerStore(s"$base/load_state_chunks")
     val progressLedger = LedgerStore(s"$base/transformer_progress")
+    // R6: startup stale-claim recovery (reference transformer.py:104-129
+    // resets claimed/processing >30 min on start)
+    val recovered = Maintenance.resetStaleClaims(spark, chunkLedger)
+    if (recovered > 0) println(s"[graft] recovered $recovered stale claims")
     cmd match {
       case "reprocess" => // cli.py:47-53
         val start = opt(args, "start-slot").map(_.toLong).getOrElse(sys.error("--start-slot required"))
@@ -216,9 +220,12 @@ object Main {
         Maintenance.check(spark, chunkLedger, progressLedger, Seq("blocks"))
           .foreach { case (name, df) => println(s"[graft] $name:"); df.show(50, truncate = false) }
       case "fix" =>
-        val failed = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))
-          .filter(org.apache.spark.sql.functions.col("status") === "failed")
-        val n = Maintenance.fixChunks(spark, cfgOf(args), s"$base/raw_blocks", chunkLedger, failed)
+        val states = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))
+        // --force fixes EVERY chunk, not just failed ones (cli.py:65)
+        val targets =
+          if (args.contains("--force")) states
+          else states.filter(org.apache.spark.sql.functions.col("status") === "failed")
+        val n = Maintenance.fixChunks(spark, cfgOf(args), s"$base/raw_blocks", chunkLedger, targets)
         println(s"[graft] fixed $n chunks (reset to pending; re-run load + transform)")
       case "reset" =>
         val claimed = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))
