@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic sampling / split assignment for training-data pipelines.
+  *
+  * Train/val/test membership must be a PURE FUNCTION of the record id —
+  * reproducible across runs, engines, and re-shards (no RNG state, no
+  * `rand()` whose result depends on partitioning). The key is the first
+  * 16 bits of md5(id) rendered as 4 hex chars: uniformly distributed,
+  * identical in any engine with a standard md5, and thresholdable by
+  * plain string comparison (hex is lexicographically ordered at fixed
+  * width). Entirely codegen'd built-ins — no UDF, no shuffle.
+  */
+object Sampling {
+
+  /** 16-bit hex bucket of a record id — stable across engines and runs. */
+  def hashKey(id: Column): Column = substring(md5(id.cast("string")), 1, 4)
+
+  /** Threshold for fraction `p` as a 4-hex-char literal (p of the 65536
+    * buckets fall below it). */
+  def boundaryHex(p: Double): String = {
+    require(p >= 0.0 && p <= 1.0, s"fraction out of range: $p")
+    f"${math.min(65535L, math.round(p * 65536.0))}%04x"
+  }
+
+  /** Deterministic train/val/test label: `trainPct` of ids → train, next
+    * `valPct` → val, rest → test. */
+  def splitLabel(id: Column, trainPct: Double, valPct: Double): Column =
+    when(hashKey(id) < lit(boundaryHex(trainPct)), "train")
+      .when(hashKey(id) < lit(boundaryHex(trainPct + valPct)), "val")
+      .otherwise("test")
+
+  /** Deterministic `pct` sample: the SAME rows come back on every run and
+    * every engine (unlike `df.sample`, which draws per-partition). */
+  def deterministicSample(df: DataFrame, idCol: String, pct: Double): DataFrame =
+    df.filter(hashKey(col(idCol)) < lit(boundaryHex(pct)))
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -196,6 +196,23 @@ object LlmInventory {
       .groupBy("label")
       .agg(count(lit(1)).as("n"), min("vec_id").as("min_id"), max("vec_id").as("max_id"))
 
+  // --- Deterministic sampling / splits ---------------------------------
+
+  /** t7: train/val/test split counts — split membership is a pure function
+    * of the id (md5 hex-bucket threshold), reproducible across engines.
+    * 90/5/5. */
+  val t7HashSplit: Q = (s, d) =>
+    documents(s, d)
+      .select(Sampling.splitLabel(col("doc_id"), 0.90, 0.05).as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"))
+
+  /** t8: deterministic 10% sample — same rows every run/engine (unlike
+    * `df.sample`, which depends on partitioning). */
+  val t8DeterministicSample: Q = (s, d) =>
+    Sampling.deterministicSample(documents(s, d), "doc_id", 0.10)
+      .select("doc_id")
+
   // --- Multimodal -------------------------------------------------------
 
   /** Binary-column metadata over text-as-bytes (no real media in testdata):
@@ -244,6 +261,8 @@ object LlmInventory {
     "s3_label_buckets" -> s3LabelBuckets,
     "s4_ivf_topk" -> s4IvfTopK,
     "s5_topk_join" -> s5TopKJoin,
+    "t7_hash_split" -> t7HashSplit,
+    "t8_deterministic_sample" -> t8DeterministicSample,
     "m1_binary_meta" -> m1BinaryMeta,
     "m2_decode_stub" -> m2DecodeStub,
     "m3_frame_windows" -> m3FrameWindows,
@@ -266,6 +285,14 @@ object LlmInventory {
     "d2_exact_dedup" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "t7_hash_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
+        |            ELSE 'test' END AS split, count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
+    "t8_deterministic_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'""".stripMargin,
     "d3_token_overlap" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w

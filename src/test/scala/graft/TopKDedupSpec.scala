@@ -121,6 +121,27 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(!cached, "connectedComponents leaked loop state on the distributed path")
   }
 
+  test("Sampling: deterministic splits partition exactly, reproducibly, ~proportionally") {
+    import graft.operators.Sampling
+    val ids = (0L until 10000L).toDF("id")
+    val labeled = ids.select(col("id"), Sampling.splitLabel(col("id"), 0.9, 0.05).as("s"))
+    val counts = labeled.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 10000L) // exact partition, no overlap/loss
+    assert(counts("train") > 8700 && counts("train") < 9300)
+    assert(counts("val") > 250 && counts("val") < 750)
+    // determinism: a re-run and a re-partitioned run pick the SAME rows
+    val s1 = Sampling.deterministicSample(ids, "id", 0.10).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.deterministicSample(ids.repartition(13), "id", 0.10)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 === s2)
+    assert(s1.size > 700 && s1.size < 1300)
+    // boundary rendering
+    assert(Sampling.boundaryHex(0.10) === "199a")
+    assert(Sampling.boundaryHex(1.0) === "ffff")
+    assert(Sampling.boundaryHex(0.0) === "0000")
+  }
+
   test("tokenOverlapPairs: common-token count respects the ceiling survivors only") {
     val docs = Seq(
       (1L, "x y z w"),
