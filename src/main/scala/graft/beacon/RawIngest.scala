@@ -79,15 +79,26 @@ object RawIngest {
 
   /** Fetch a slot list into raw rows. Partition count bounds concurrent
     * HTTP connections (the reference's BACKFILL_WORKERS knob, D2). */
+  /** Bounded-cardinality metrics route for a fetcher (C16; reference:
+    * observability.py:124-145 — labels by normalized endpoint). */
+  private def routeOf(fetcher: SlotFetcher): String = fetcher match {
+    case h: HttpSlotFetcher =>
+      graft.core.Observability.normalizeApiEndpoint(
+        h.endpointTemplate.replace("{slot}", "0"))
+    case _ => "offline"
+  }
+
   def fetchSlots(
       spark: SparkSession, slots: Seq[Long], fetcher: SlotFetcher,
       parallelism: Int = 4): DataFrame = {
     import spark.implicits._
     val m = graft.core.Metrics.of(spark)
+    val byEndpoint = graft.core.Metrics.endpoint(spark, routeOf(fetcher))
     val ds = spark.createDataset(slots).repartition(parallelism)
     ds.mapPartitions { it =>
       it.flatMap { slot =>
         val r = fetcher.fetch(slot)
+        byEndpoint.add(1)
         if (r.isEmpty) m.apiEmpty.add(1) else m.apiFetched.add(1)
         r.map { payload =>
           (slot, payload, CanonicalJson.payloadHash16(payload),
@@ -109,9 +120,11 @@ object RawIngest {
       parallelism: Int = 4, splitThresholdBytes: Int = 8 << 20,
       entriesPerPart: Int = 50000): DataFrame = {
     import spark.implicits._
+    val byEndpoint = graft.core.Metrics.endpoint(spark, routeOf(fetcher))
     val ds = spark.createDataset(slots).repartition(parallelism)
     ds.mapPartitions { it =>
       it.flatMap { slot =>
+        byEndpoint.add(1)
         fetcher.fetch(slot).toSeq.flatMap { payload =>
           val hash = CanonicalJson.payloadHash16(payload)
           val ts = new java.sql.Timestamp(System.currentTimeMillis())

@@ -121,7 +121,7 @@ object Transformer {
     * buckets keeps the broadcast side ≤ 2·|ranges| rows and the probe an
     * equi-join on the bucket plus a residual BETWEEN — no nested-loop
     * range join, no per-row CASE chain over thousands of ranges. */
-  private[beacon] def tagChunks(df: DataFrame, ranges: Seq[(Long, Long)]): DataFrame = {
+  def tagChunks(df: DataFrame, ranges: Seq[(Long, Long)]): DataFrame = {
     require(ranges.nonEmpty, "tagChunks needs at least one range")
     val w = math.max(1L, ranges.map { case (s, e) => e - s + 1 }.max)
     val spark = df.sparkSession

@@ -44,6 +44,30 @@ object Metrics {
       "chunks_failed" -> m.chunksFailed.value)
   }
 
+  // Per-endpoint request counters (reference labels its API counters by
+  // normalized route, observability.py:124-145 — C16). Accumulators are
+  // registered lazily per (session, route) on the driver and captured in
+  // the fetch closures.
+  private val endpointCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, LongAccumulator]]()
+
+  def endpoint(spark: SparkSession, route: String): LongAccumulator =
+    endpointCache.synchronized {
+      val perSession = Option(endpointCache.get(spark)).getOrElse {
+        val m = scala.collection.concurrent.TrieMap.empty[String, LongAccumulator]
+        endpointCache.put(spark, m)
+        m
+      }
+      perSession.getOrElseUpdate(route,
+        spark.sparkContext.longAccumulator(s"graft.api.requests.$route"))
+    }
+
+  def endpointReport(spark: SparkSession): Map[String, Long] =
+    endpointCache.synchronized {
+      Option(endpointCache.get(spark))
+        .map(_.view.mapValues(_.value.longValue()).toMap).getOrElse(Map.empty)
+    }
+
   /** Realtime ingest lag in slots (reference gauge: loader.py:106-112). */
   def ingestLag(headSlot: Long, maxIngestedSlot: Option[Long]): Long =
     headSlot - maxIngestedSlot.getOrElse(-1L)

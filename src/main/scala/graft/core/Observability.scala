@@ -22,6 +22,28 @@ import scala.jdk.CollectionConverters._
   */
 object Observability {
 
+  /** C16: collapse dynamic Beacon API paths to bounded-cardinality route
+    * labels (reference: src/observability.py:124-145
+    * `normalize_api_endpoint`) — an unbounded per-slot label set would
+    * blow up any Prometheus backend. */
+  private val routePatterns: Seq[(scala.util.matching.Regex, String)] = Seq(
+    "^/eth/v2/beacon/blocks/[^/]+$".r -> "/eth/v2/beacon/blocks/{block_id}",
+    "^/eth/v1/beacon/rewards/blocks/[^/]+$".r -> "/eth/v1/beacon/rewards/blocks/{block_id}",
+    "^/eth/v1/debug/beacon/data_column_sidecars/[^/]+$".r -> "/eth/v1/debug/beacon/data_column_sidecars/{slot}",
+    "^/eth/v1/beacon/blobs/[^/]+$".r -> "/eth/v1/beacon/blobs/{block_id}",
+    "^/eth/v1/beacon/states/[^/]+/validators$".r -> "/eth/v1/beacon/states/{state_id}/validators",
+    "^/eth/v1/beacon/states/[^/]+/pending_consolidations$".r -> "/eth/v1/beacon/states/{state_id}/pending_consolidations",
+    "^/eth/v1/beacon/states/[^/]+/pending_deposits$".r -> "/eth/v1/beacon/states/{state_id}/pending_deposits",
+    "^/eth/v1/beacon/states/[^/]+/pending_partial_withdrawals$".r -> "/eth/v1/beacon/states/{state_id}/pending_partial_withdrawals",
+  )
+
+  def normalizeApiEndpoint(endpoint: String): String = {
+    val path = endpoint.split("\\?", 2)(0)
+    routePatterns.collectFirst {
+      case (re, label) if re.matches(path) => label
+    }.getOrElse(path)
+  }
+
   private val healthState = scala.collection.concurrent.TrieMap[String, String](
     "status" -> "starting")
   @volatile private var server: Option[HttpServer] = None
@@ -50,11 +72,20 @@ object Observability {
       val name = s"graft_${k}_total"
       s"# TYPE $name counter\n$name $v"
     }
+    // per-endpoint request counters, labeled by normalized route (C16)
+    val perEndpoint = {
+      val m = Metrics.endpointReport(spark)
+      if (m.isEmpty) Seq.empty
+      else "# TYPE graft_api_requests_total counter" +:
+        m.toSeq.sortBy(_._1).map { case (route, v) =>
+          s"""graft_api_requests_total{endpoint="$route"} $v"""
+        }
+    }
     val gaugeLines = gauges.toSeq.sortBy(_._1).map { case (k, v) =>
       val name = s"graft_$k"
       s"# TYPE $name gauge\n$name $v"
     }
-    (counters ++ gaugeLines).mkString("", "\n", "\n")
+    (counters ++ perEndpoint ++ gaugeLines).mkString("", "\n", "\n")
   }
 
   /** Start the server (idempotent; port 0 = ephemeral). Returns the bound

@@ -43,6 +43,36 @@ class ObservabilitySpec extends AnyFunSuite {
     } finally Observability.stop()
   }
 
+  test("normalizeApiEndpoint collapses dynamic paths to bounded routes (C16)") {
+    import graft.core.Observability.normalizeApiEndpoint
+    assert(normalizeApiEndpoint("/eth/v2/beacon/blocks/123456")
+      === "/eth/v2/beacon/blocks/{block_id}")
+    assert(normalizeApiEndpoint("/eth/v1/beacon/states/98765/validators?id=1,2")
+      === "/eth/v1/beacon/states/{state_id}/validators")
+    assert(normalizeApiEndpoint("/eth/v1/beacon/states/head/pending_deposits")
+      === "/eth/v1/beacon/states/{state_id}/pending_deposits")
+    assert(normalizeApiEndpoint("/eth/v1/debug/beacon/data_column_sidecars/42")
+      === "/eth/v1/debug/beacon/data_column_sidecars/{slot}")
+    assert(normalizeApiEndpoint("/eth/v1/beacon/blobs/42")
+      === "/eth/v1/beacon/blobs/{block_id}")
+    assert(normalizeApiEndpoint("/eth/v1/beacon/rewards/blocks/7")
+      === "/eth/v1/beacon/rewards/blocks/{block_id}")
+    // unknown routes pass through query-stripped
+    assert(normalizeApiEndpoint("/eth/v1/node/health?x=1") === "/eth/v1/node/health")
+  }
+
+  test("per-endpoint request counters surface in /metrics with route labels (C16)") {
+    import graft.beacon._
+    val port = Observability.start(spark, 0)
+    try {
+      val rawDir = java.nio.file.Files.createTempDirectory("graft_obs").toString + "/raw"
+      RawIngest.fetchSlots(spark, 0L to 9L,
+        MapSlotFetcher((0L to 9L).map(s => s -> "{}").toMap), 2).count()
+      val m = get(port, "/metrics").body()
+      assert(m.contains("""graft_api_requests_total{endpoint="offline"}"""), m)
+    } finally Observability.stop()
+  }
+
   test("validators fetcher sends the comma-joined id filter (beacon_api.py:173-181)") {
     @volatile var seenQuery: String = null
     val server = com.sun.net.httpserver.HttpServer.create(

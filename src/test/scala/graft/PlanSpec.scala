@@ -143,6 +143,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial"), p.take(2000))
   }
 
+  test("fused transform chunk tagging: broadcast equi-join on the bucket, no NLJ") {
+    import spark.implicits._
+    val raw = (0L until 10000L).map(s => (s, s"p$s")).toDF("slot", "payload")
+    val ranges = (0 until 40).map(i => (i * 100L, i * 100L + 99L))
+    val tagged = graft.beacon.Transformer.tagChunks(raw, ranges)
+    val plan = tagged.queryExecution.executedPlan.toString
+    // the interval join must plan as a broadcast HASH join on the bucket
+    // key (residual BETWEEN as filter) — a range-only join would be a
+    // BroadcastNestedLoopJoin scanning |raw| x |ranges|
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(tagged.count() === 4000L) // 40 ranges x 100 slots
+  }
+
   test("s1_cosine_topk: brute-force scan is a single pass + TakeOrdered") {
     val p = planOf("s1_cosine_topk")
     assert(p.contains("vec_cosine"), p)
