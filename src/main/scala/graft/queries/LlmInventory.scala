@@ -134,16 +134,23 @@ object LlmInventory {
   // --- Similarity search ------------------------------------------------
 
   /** Brute-force cosine top-10 for query vec_id=0; rank-only output so the
-    * oracle compare is robust to last-ulp float differences. */
+    * oracle compare is robust to last-ulp float differences. Ranks are
+    * assigned driver-side over the ALREADY-REDUCED 10-row TakeOrdered
+    * result — a global `Window.orderBy` here (even over 10 rows) plans a
+    * single-partition window and was the codebase's last
+    * everything-to-one-partition warning. */
   val s1CosineTopK: Q = (s, d) => {
     val em = embeddings(s, d)
     val query = em.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0)
-    val w = Window.orderBy(col("cosine").desc, col("vec_id").asc)
-    Similarity
+    val top = Similarity
       .bruteForceTopK(em.filter(col("vec_id") =!= 0), "vec_id", "embedding", query, 10)
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .select("rnk", "vec_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .select("vec_id").collect()
+    import s.implicits._
+    top.toSeq.zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r.getLong(0)) }
+      .toDF("rnk", "vec_id")
   }
 
   /** LSH-bucketed ANN over the same query — rows-only (recall-traded). */

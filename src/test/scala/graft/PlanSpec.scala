@@ -157,9 +157,18 @@ class PlanSpec extends AnyFunSuite {
     assert(tagged.count() === 4000L) // 40 ranges x 100 slots
   }
 
-  test("s1_cosine_topk: brute-force scan is a single pass + TakeOrdered") {
-    val p = planOf("s1_cosine_topk")
+  test("s1 brute-force cosine: single pass + TakeOrdered, no cartesian, no Window") {
+    // the query itself assigns ranks driver-side over the reduced top-10;
+    // the scale-relevant plan is the underlying operator's
+    val em = graft.core.Tables.embeddings(spark, sf)
+    val query = em.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val p = graft.operators.Similarity
+      .bruteForceTopK(em.filter(col("vec_id") =!= 0), "vec_id", "embedding", query, 10)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("vec_cosine"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
   }
 }
