@@ -61,6 +61,15 @@ object Transformer {
       rawDir: String, outDir: String, progress: LedgerStore,
       startSlot: Long, endSlot: Long,
       version: Long = System.currentTimeMillis()): Boolean = {
+    // a raw dir holding only _SUCCESS (every slot of every ingested chunk
+    // was 404-empty) has no inferable schema; an empty chunk is SUCCESS
+    // with zero rows, not a poisoned failure (reference: empty slots are
+    // success-with-no-row, base.py:51-58)
+    if (!graft.core.Fs.hasParquetFiles(spark, rawDir)) {
+      progress.append(progressRow(spark, loader.rawTable, startSlot, endSlot,
+        "completed", 0L, 0L, None, version))
+      return true
+    }
     try {
       val chunk = chunkData(readRaw(spark, rawDir), startSlot, endSlot)
       // multi-table fan-outs declare a shared pre-parse step (blocks: one
@@ -155,6 +164,16 @@ object Transformer {
       ranges: Seq[(Long, Long)],
       version: Long = System.currentTimeMillis()): Boolean = {
     if (ranges.isEmpty) return true
+    if (!graft.core.Fs.hasParquetFiles(spark, rawDir)) {
+      // all-empty raw table: every range completes with zero rows
+      val rows = ranges.map { case (s, e) =>
+        Row(loader.rawTable, s, e, "completed", 0L, 0L,
+          null, new Timestamp(System.currentTimeMillis()), version)
+      }
+      progress.append(spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), Schemas.transformerProgress))
+      return true
+    }
     try {
       val globalMin = ranges.map(_._1).min
       val globalMax = ranges.map(_._2).max

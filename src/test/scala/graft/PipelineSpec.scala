@@ -303,6 +303,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(daily === Seq((20211L, 20211L), (37491L, 37491L))) // 2931 < 8192 dropped
   }
 
+  test("all-empty chunk transforms as SUCCESS with zero rows, not a poisoned failure") {
+    val base = tmp()
+    val rawDir = s"$base/raw_blocks"
+    val chunkLedger = LedgerStore(s"$base/chunks")
+    val progressLedger = LedgerStore(s"$base/progress")
+    // every slot 404s → writeRaw writes an empty frame → dir holds only
+    // _SUCCESS (no schema to infer)
+    assert(RawIngest.ingestChunk(spark, cfg, MapSlotFetcher(Map.empty), rawDir,
+      chunkLedger, "blocks", 0, 9))
+    assert(Transformer.transformBlocksChunk(
+      spark, cfg, rawDir, s"$base/tables", progressLedger, 0, 9, version = 1L))
+    // fused path over the same empty raw table
+    assert(Transformer.transformChunksFused(spark, cfg, Loaders.blocks, rawDir,
+      s"$base/tables", progressLedger, Seq((10L, 19L), (20L, 29L))))
+    val prog = Ledger.latest(progressLedger.read(spark, Schemas.transformerProgress),
+      Seq("raw_table_name", "start_slot", "end_slot"), "insert_version").collect()
+    assert(prog.length === 3)
+    assert(prog.forall(_.getAs[String]("status") === "completed"))
+    assert(prog.forall(_.getAs[Long]("processed_count") === 0L))
+  }
+
   test("transform reprocess: delete-and-rebuild of a slot range at a fresh version") {
     val base = tmp()
     val rawDir = s"$base/raw_blocks"
