@@ -44,10 +44,12 @@ final class ChunkedTail(
     pollMillis: Long = 6000L,
     errorBackoffMillis: Long = 12000L) {
 
-  /** Resume point: max ingested slot (A5), falling back to ledger state. */
+  /** Resume point: max ingested slot (A5), falling back to ledger state.
+    * hasParquetFiles, not exists: a raw dir holding only _SUCCESS (all
+    * slots so far were 404-empty) has no inferable schema. */
   def resumeSlot(): Long = {
     val fromRaw =
-      if (graft.core.Fs.exists(spark, rawDir))
+      if (graft.core.Fs.hasParquetFiles(spark, rawDir))
         Ledger.maxSlot(spark.read.parquet(rawDir))
       else None
     fromRaw.getOrElse(-1L)
@@ -173,7 +175,7 @@ final class CompositeTail(
 
   def resumeSlot(l: LoaderDef): Long = {
     val dir = rawDirOf(l)
-    (if (graft.core.Fs.exists(spark, dir))
+    (if (graft.core.Fs.hasParquetFiles(spark, dir))
        Ledger.maxSlot(spark.read.parquet(dir))
      else None).getOrElse(-1L)
   }

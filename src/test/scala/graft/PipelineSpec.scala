@@ -324,6 +324,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(prog.forall(_.getAs[Long]("processed_count") === 0L))
   }
 
+  test("tail resume over an all-empty raw dir is -1, not a schema-inference crash") {
+    val rawDir = tmp() + "/raw_empty_tail"
+    RawIngest.ingestChunk(spark, cfg, MapSlotFetcher(Map.empty), rawDir,
+      LedgerStore(tmp() + "/cl"), "blocks", 0, 9)
+    val probe = new HeadProbe { def headSlot(): Long = 0L }
+    val tail = new ChunkedTail(spark, cfg, MapSlotFetcher(Map.empty), probe,
+      rawDir, LedgerStore(tmp() + "/cl2"))
+    assert(tail.resumeSlot() === -1L)
+  }
+
   test("transform reprocess: delete-and-rebuild of a slot range at a fresh version") {
     val base = tmp()
     val rawDir = s"$base/raw_blocks"
