@@ -156,6 +156,7 @@ object Main {
           chunkSize = chunkSize, slotDelay = slotDelay)
           .run(iterations)
     }
+    graft.core.Observability.stop()
     spark.stop()
   }
 
@@ -225,7 +226,12 @@ object Main {
         val targets =
           if (args.contains("--force")) states
           else states.filter(org.apache.spark.sql.functions.col("status") === "failed")
-        val n = Maintenance.fixChunks(spark, cfgOf(args), s"$base/raw_blocks", chunkLedger, targets)
+        // storedConfig, not the static preset: deleteSlotRange computes
+        // month partitions from the cfg — a mismatch with the DERIVED
+        // schedule the load ran under would target the wrong months
+        val n = Maintenance.fixChunks(spark,
+          Foundation.storedConfig(spark, base, networkOf(args)),
+          s"$base/raw_blocks", chunkLedger, targets)
         println(s"[graft] fixed $n chunks (reset to pending; re-run load + transform)")
       case "reset" =>
         val claimed = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))

@@ -15,17 +15,34 @@ trait FoundationFetcher extends Serializable {
   * `/eth/v1/config/spec`). */
 final case class HttpFoundationFetcher(
     baseUrl: String, apiKey: Option[String] = None,
-    timeoutMillis: Long = 60000L) extends FoundationFetcher {
+    timeoutMillis: Long = 60000L,
+    maxRetries: Int = 3,
+    backoffMillis: Long = 5000L) extends FoundationFetcher {
+  @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+  // same retry posture as the slot fetch (S1): a transient 5xx from the
+  // node must not abort the whole backfill/realtime startup
   private def get(path: String): String = {
     val qp = apiKey.map(k => s"?api_key=$k").getOrElse("")
-    val client = java.net.http.HttpClient.newHttpClient()
-    val resp = client.send(
-      java.net.http.HttpRequest.newBuilder(
-        java.net.URI.create(s"$baseUrl$path$qp"))
-        .timeout(java.time.Duration.ofMillis(timeoutMillis)).GET().build(),
-      java.net.http.HttpResponse.BodyHandlers.ofString())
-    require(resp.statusCode() == 200, s"HTTP ${resp.statusCode()} for $baseUrl$path")
-    resp.body()
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"$baseUrl$path$qp"))
+            .timeout(java.time.Duration.ofMillis(timeoutMillis)).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() == 200) return resp.body()
+        if (attempt > maxRetries)
+          sys.error(s"HTTP ${resp.statusCode()} for $baseUrl$path")
+        Thread.sleep(backoffMillis * attempt)
+      } catch {
+        case e: java.io.IOException =>
+          if (attempt > maxRetries) throw e
+          Thread.sleep(backoffMillis * attempt)
+      }
+    }
+    sys.error("unreachable")
   }
   def genesis(): String = get("/eth/v1/beacon/genesis")
   def specs(): String = get("/eth/v1/config/spec")

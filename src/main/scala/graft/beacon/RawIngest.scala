@@ -92,9 +92,20 @@ object RawIngest {
       spark: SparkSession, slots: Seq[Long], fetcher: SlotFetcher,
       parallelism: Int = 4): DataFrame = {
     import spark.implicits._
+    fetchSlotsDs(spark.createDataset(slots), fetcher, parallelism)
+  }
+
+  /** Core fetch over an already-distributed slot Dataset — large backfills
+    * must not materialize every slot driver-side (see
+    * [[ingestChunksFused]]). */
+  def fetchSlotsDs(
+      slots: org.apache.spark.sql.Dataset[Long], fetcher: SlotFetcher,
+      parallelism: Int = 4): DataFrame = {
+    val spark = slots.sparkSession
+    import spark.implicits._
     val m = graft.core.Metrics.of(spark)
     val byEndpoint = graft.core.Metrics.endpoint(spark, routeOf(fetcher))
-    val ds = spark.createDataset(slots).repartition(parallelism)
+    val ds = slots.repartition(parallelism)
     ds.mapPartitions { it =>
       it.flatMap { slot =>
         val r = fetcher.fetch(slot)
@@ -202,8 +213,12 @@ object RawIngest {
     val chunks = Ledger.chunkRows(spark, loader, ranges)
     ledger.append(Ledger.transition(chunks, "claimed", "spark-fused", version))
     try {
-      val slots = ranges.flatMap { case (s, e) => s.to(e) }
-      val rows = fetchSlots(spark, slots, fetcher, parallelism)
+      // the driver holds only the RANGES; slots explode executor-side (a
+      // 10M-slot backfill must not become a 10M-element LocalRelation)
+      import spark.implicits._
+      val slots = spark.createDataset(ranges)
+        .flatMap { case (s, e) => s.to(e) }
+      val rows = fetchSlotsDs(slots, fetcher, parallelism)
       writeRaw(rows, cfg, rawDir)
       ledger.append(Ledger.transition(chunks, "completed", "spark-fused", version + 1))
       graft.core.Metrics.of(spark).chunksCompleted.add(ranges.length)
@@ -249,15 +264,17 @@ object RawIngest {
               commitLock.synchronized {
                 writeRaw(rows, cfg, rawDir)
                 ledger.append(Ledger.transition(chunk, "completed", "spark-pool", version + 1))
+                // driver-side accumulator adds are NOT thread-safe —
+                // concurrent pool threads would lose increments
+                graft.core.Metrics.of(spark).chunksCompleted.add(1)
               }
-              graft.core.Metrics.of(spark).chunksCompleted.add(1)
               true
             } catch {
               case scala.util.control.NonFatal(_) =>
                 commitLock.synchronized {
                   ledger.append(Ledger.transition(chunk, "failed", "spark-pool", version + 1))
+                  graft.core.Metrics.of(spark).chunksFailed.add(1)
                 }
-                graft.core.Metrics.of(spark).chunksFailed.add(1)
                 false
             } finally rows.unpersist(blocking = false)
           }

@@ -27,14 +27,24 @@ object Transformer {
   def readRaw(spark: SparkSession, rawDir: String): DataFrame =
     spark.read.parquet(rawDir)
 
+  /** Dedup keys for a raw frame: split-payload tables (validators parts,
+    * P19) carry part_index — deduping on slot alone would keep ONE
+    * arbitrary part and silently drop the rest of the snapshot. */
+  private def rawKeys(raw: DataFrame): Seq[String] =
+    if (raw.columns.contains("part_index")) Seq("slot", "part_index") else Seq("slot")
+
+  private def rawCols(raw: DataFrame): Seq[String] =
+    Seq("slot", "payload", "payload_hash", "retrieved_at") ++
+      (if (raw.columns.contains("part_index")) Seq("part_index", "part_count") else Nil)
+
   /** F1 + F2/F3: slot-range scan (partition-pruned + row-group-pruned)
     * then latest-payload-per-slot window dedup
     * (reference: transformer.py:342-374). */
   def chunkData(raw: DataFrame, startSlot: Long, endSlot: Long): DataFrame =
     Ledger.latest(
       raw.filter(col("slot").between(startSlot, endSlot))
-        .select("slot", "payload", "payload_hash", "retrieved_at"),
-      Seq("slot"), "retrieved_at")
+        .select(rawCols(raw).map(col): _*),
+      rawKeys(raw), "retrieved_at")
 
   private def writeTable(df: DataFrame, cfg: ChainConfig, outDir: String, table: String): Long = {
     val out = df.withColumn(
@@ -177,12 +187,14 @@ object Transformer {
     try {
       val globalMin = ranges.map(_._1).min
       val globalMax = ranges.map(_._2).max
-      val raw = readRaw(spark, rawDir)
+      val rawAll = readRaw(spark, rawDir)
+      val raw = rawAll
         .filter(col("slot").between(globalMin, globalMax))
-        .select("slot", "payload", "payload_hash", "retrieved_at")
+        .select(rawCols(rawAll).map(col): _*)
       // exact membership + chunk tag, then latest-per-slot dedup (ranges
-      // are disjoint, so the global window == per-chunk windows)
-      val tagged = Ledger.latest(tagChunks(raw, ranges), Seq("slot"), "retrieved_at")
+      // are disjoint, so the global window == per-chunk windows; split
+      // tables dedup per (slot, part))
+      val tagged = Ledger.latest(tagChunks(raw, ranges), rawKeys(rawAll), "retrieved_at")
       val prepared = (loader.prepare match {
         case Some(prep) => prep(tagged)
         case None => tagged
@@ -281,9 +293,12 @@ object Transformer {
     val ranges = startSlot.to(endSlot, chunkSize)
       .map(s => (s, math.min(s + chunkSize - 1, endSlot)))
     transformChunksFused(spark, cfg, loader, rawDir, outDir, progress, ranges) || {
-      ranges.forall { case (a, b) =>
+      // attempt EVERY chunk (no short-circuit): the range was already
+      // deleted above, so an unattempted sub-range would simply vanish
+      // from the output tables
+      ranges.map { case (a, b) =>
         transformChunk(spark, cfg, loader, rawDir, outDir, progress, a, b)
-      }
+      }.forall(identity)
     }
   }
 

@@ -17,7 +17,8 @@ import scala.jdk.CollectionConverters._
   *    `failed`/`error` flips the response to 503 (load-balancer
   *    convention, observability.py:169-176).
   *
-  * Built on the JDK's HttpServer: no extra dependency, daemon thread,
+  * Built on the JDK's HttpServer: no extra dependency, daemon dispatcher
+  * (started from a daemon thread so it cannot pin a finished JVM),
   * idempotent start.
   */
 object Observability {
@@ -114,7 +115,13 @@ object Observability {
           case _ => respond(ex, 404, "text/plain", "not found")
         })
         s.setExecutor(null) // default executor on the dispatch thread
-        s.start()
+        // the dispatcher thread inherits daemon status from the STARTING
+        // thread — start from a daemon so a finished CLI run (e.g.
+        // realtime --iterations N) can exit without an explicit stop()
+        val starter = new Thread(() => s.start(), "graft-metrics-starter")
+        starter.setDaemon(true)
+        starter.start()
+        starter.join()
         server = Some(s)
         updateHealth("status" -> "ok")
         s.getAddress.getPort

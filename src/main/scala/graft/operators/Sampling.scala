@@ -18,11 +18,15 @@ object Sampling {
   /** 16-bit hex bucket of a record id — stable across engines and runs. */
   def hashKey(id: Column): Column = substring(md5(id.cast("string")), 1, 4)
 
-  /** Threshold for fraction `p` as a 4-hex-char literal (p of the 65536
-    * buckets fall below it). */
+  /** Threshold for fraction `p` as a string literal compared against the
+    * 4-hex-char key (p of the 65536 buckets fall below it). p = 1.0 must
+    * include bucket 0xffff too — "g" sorts after every hex digit, so
+    * `key < "g"` is all-inclusive (a clamped "ffff" would silently drop
+    * ~1/65536 of rows from a "100%" sample). */
   def boundaryHex(p: Double): String = {
     require(p >= 0.0 && p <= 1.0, s"fraction out of range: $p")
-    f"${math.min(65535L, math.round(p * 65536.0))}%04x"
+    val b = math.round(p * 65536.0)
+    if (b >= 65536L) "g" else f"$b%04x"
   }
 
   /** Deterministic train/val/test label: `trainPct` of ids → train, next

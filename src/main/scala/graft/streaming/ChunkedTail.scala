@@ -217,12 +217,20 @@ final class CompositeTail(
     * per-loader last slots. */
   def processAvailable(lastSlots: Map[String, Long]): Map[String, Long] = {
     val target = probe.headSlot() - slotDelay
-    val completed = ChunkedTail.completedByLoader(
-      spark, chunkLedger, loaders.map(_.loader.name))
+    val plans: Map[String, (Long, Seq[(Long, Long)])] = loaders.map { tl =>
+      val last = lastSlots.getOrElse(tl.loader.name, resumeSlot(tl.loader))
+      tl.loader.name -> (last, planFor(tl.loader, last, target))
+    }.toMap
+    // an idle poll (nothing due for any loader) must not pay the ledger
+    // read + window collapse + collect every pollMillis, forever
+    val completed =
+      if (plans.values.exists(_._2.nonEmpty))
+        ChunkedTail.completedByLoader(spark, chunkLedger, loaders.map(_.loader.name))
+      else Map.empty[String, Set[(Long, Long)]]
     loaders.map { tl =>
       val name = tl.loader.name
-      var last = lastSlots.getOrElse(name, resumeSlot(tl.loader))
-      planFor(tl.loader, last, target).foreach { case (start, end) =>
+      var last = plans(name)._1
+      plans(name)._2.foreach { case (start, end) =>
         if (!completed.getOrElse(name, Set.empty)((start, end))) {
           val ok = RawIngest.ingestChunk(spark, cfg, tl.fetcher,
             rawDirOf(tl.loader), chunkLedger, name, start, end,

@@ -442,6 +442,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(raw.head().getAs[Int]("part_count") === 1) // under threshold: intact
   }
 
+  test("split-payload transform: dedup keys on (slot, part) — NO parts dropped (P19)") {
+    val base = tmp()
+    val rawDir = s"$base/raw_validators"
+    val payload =
+      """{"data":[
+        |{"index":"1","balance":"31","status":"active_ongoing","validator":{"pubkey":"0xv1","effective_balance":"32","slashed":false,"activation_epoch":"0","exit_epoch":"100","withdrawal_credentials":"0x00"}},
+        |{"index":"2","balance":"32","status":"active_ongoing","validator":{"pubkey":"0xv2","effective_balance":"32","slashed":false,"activation_epoch":"0","exit_epoch":"101","withdrawal_credentials":"0x01"}},
+        |{"index":"3","balance":"33","status":"active_ongoing","validator":{"pubkey":"0xv3","effective_balance":"32","slashed":false,"activation_epoch":"0","exit_epoch":"102","withdrawal_credentials":"0x02"}}
+        |]}""".stripMargin.replaceAll("\n", "")
+    // force a 1-entry-per-part split: 3 parts for one slot
+    val rows = RawIngest.fetchSlotsSplit(spark, Seq(5L),
+      MapSlotFetcher(Map(5L -> payload)), 2,
+      splitThresholdBytes = 1, entriesPerPart = 1)
+    RawIngest.writeRaw(rows, cfg, rawDir)
+    assert(spark.read.parquet(rawDir).count() === 3) // 3 part rows
+    // a slot-only dedup would keep ONE part and lose 2 of 3 validators
+    assert(Transformer.transformChunk(spark, cfg, Loaders.validators,
+      rawDir, s"$base/tables", LedgerStore(s"$base/progress"), 0, 9))
+    val vals = spark.read.parquet(s"$base/tables/validators")
+    assert(vals.select(col("validator_index").cast("long")).collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("ingestChunk records the EXACT chunk range, even non-aligned (ledger identity)") {
     val chunkLedger = LedgerStore(tmp() + "/chunks_exact")
     // start 1000 is NOT a multiple of the 251-slot chunk length

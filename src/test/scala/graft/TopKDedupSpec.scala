@@ -136,10 +136,12 @@ class TopKDedupSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(s1 === s2)
     assert(s1.size > 700 && s1.size < 1300)
-    // boundary rendering
+    // boundary rendering; p=1.0 must be all-inclusive ("g" sorts after
+    // every hex digit — a clamped "ffff" would drop bucket 0xffff)
     assert(Sampling.boundaryHex(0.10) === "199a")
-    assert(Sampling.boundaryHex(1.0) === "ffff")
+    assert(Sampling.boundaryHex(1.0) === "g")
     assert(Sampling.boundaryHex(0.0) === "0000")
+    assert(Sampling.deterministicSample(ids, "id", 1.0).count() === 10000L)
   }
 
   test("tokenOverlapPairs: common-token count respects the ceiling survivors only") {
