@@ -19,30 +19,15 @@ final case class HttpFoundationFetcher(
     maxRetries: Int = 3,
     backoffMillis: Long = 5000L) extends FoundationFetcher {
   @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
-  // same retry posture as the slot fetch (S1): a transient 5xx from the
-  // node must not abort the whole backfill/realtime startup
+  // shared S1 retry machine: transient 5xx/IO errors retry with backoff,
+  // hard 4xx misconfigurations fail fast with a clear message
   private def get(path: String): String = {
     val qp = apiKey.map(k => s"?api_key=$k").getOrElse("")
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      try {
-        val resp = client.send(
-          java.net.http.HttpRequest.newBuilder(
-            java.net.URI.create(s"$baseUrl$path$qp"))
-            .timeout(java.time.Duration.ofMillis(timeoutMillis)).GET().build(),
-          java.net.http.HttpResponse.BodyHandlers.ofString())
-        if (resp.statusCode() == 200) return resp.body()
-        if (attempt > maxRetries)
-          sys.error(s"HTTP ${resp.statusCode()} for $baseUrl$path")
-        Thread.sleep(backoffMillis * attempt)
-      } catch {
-        case e: java.io.IOException =>
-          if (attempt > maxRetries) throw e
-          Thread.sleep(backoffMillis * attempt)
-      }
+    val uri = java.net.URI.create(s"$baseUrl$path$qp")
+    HttpRetry.get(client, uri, timeoutMillis, maxRetries, backoffMillis) match {
+      case (200, body) => body
+      case (code, _) => sys.error(s"HTTP $code for $baseUrl$path")
     }
-    sys.error("unreachable")
   }
   def genesis(): String = get("/eth/v1/beacon/genesis")
   def specs(): String = get("/eth/v1/config/spec")

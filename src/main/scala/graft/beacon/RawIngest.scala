@@ -14,6 +14,37 @@ trait SlotFetcher extends Serializable {
   def fetch(slot: Long): Option[String]
 }
 
+/** The ONE GET-with-retry state machine every HTTP surface shares
+  * (reference retry policy, beacon_api.py:44-159): linear-increasing
+  * backoff on retryable statuses (5xx, 408, 429) and IO errors; any
+  * other status — including 404 — returns immediately for the caller to
+  * map per its own mode. Hard 4xx misconfigurations (401/403/wrong URL)
+  * fail fast instead of stalling through the backoff ladder. */
+private[beacon] object HttpRetry {
+  def get(
+      client: java.net.http.HttpClient, uri: java.net.URI,
+      timeoutMillis: Long, maxRetries: Int, backoffMillis: Long): (Int, String) = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        val req = java.net.http.HttpRequest.newBuilder(uri)
+          .timeout(java.time.Duration.ofMillis(timeoutMillis)).GET().build()
+        val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        val code = resp.statusCode()
+        val retryable = code >= 500 || code == 408 || code == 429
+        if (!retryable || attempt > maxRetries) return (code, resp.body())
+        Thread.sleep(backoffMillis * attempt)
+      } catch {
+        case e: java.io.IOException =>
+          if (attempt > maxRetries) throw e
+          Thread.sleep(backoffMillis * attempt)
+      }
+    }
+    sys.error("unreachable")
+  }
+}
+
 /** S1: beacon-node HTTP GET with the reference's retry policy — 3 retries,
   * linearly increasing backoff, 404-as-empty vs 404-as-error modes, API
   * key as query param (reference: src/services/beacon_api.py:44-159).
@@ -41,27 +72,12 @@ final case class HttpSlotFetcher(
     val params = extraQuery ++ apiKey.map(k => s"api_key=$k").toSeq
     val qp = if (params.isEmpty) "" else params.mkString("?", "&", "")
     val uri = java.net.URI.create(s"$baseUrl$path$qp")
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      try {
-        val req = java.net.http.HttpRequest.newBuilder(uri)
-          .timeout(java.time.Duration.ofMillis(timeoutMillis)).GET().build()
-        val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-        resp.statusCode() match {
-          case 200 => return Some(resp.body())
-          case 404 if allowEmpty404 => return None
-          case 404 => throw new RuntimeException(s"404 for $uri (state must exist)")
-          case code if attempt <= maxRetries =>
-            Thread.sleep(backoffMillis * attempt) // linear-increasing backoff
-          case code => throw new RuntimeException(s"HTTP $code for $uri")
-        }
-      } catch {
-        case e: java.io.IOException if attempt <= maxRetries =>
-          Thread.sleep(backoffMillis * attempt)
-      }
+    HttpRetry.get(client, uri, timeoutMillis, maxRetries, backoffMillis) match {
+      case (200, body) => Some(body)
+      case (404, _) if allowEmpty404 => None
+      case (404, _) => throw new RuntimeException(s"404 for $uri (state must exist)")
+      case (code, _) => throw new RuntimeException(s"HTTP $code for $uri")
     }
-    None
   }
 }
 

@@ -27,24 +27,39 @@ object Transformer {
   def readRaw(spark: SparkSession, rawDir: String): DataFrame =
     spark.read.parquet(rawDir)
 
-  /** Dedup keys for a raw frame: split-payload tables (validators parts,
-    * P19) carry part_index — deduping on slot alone would keep ONE
-    * arbitrary part and silently drop the rest of the snapshot. */
-  private def rawKeys(raw: DataFrame): Seq[String] =
-    if (raw.columns.contains("part_index")) Seq("slot", "part_index") else Seq("slot")
-
   private def rawCols(raw: DataFrame): Seq[String] =
     Seq("slot", "payload", "payload_hash", "retrieved_at") ++
       (if (raw.columns.contains("part_index")) Seq("part_index", "part_count") else Nil)
 
+  /** Latest-RETRIEVAL-per-slot dedup, split-safe: all parts of one fetch
+    * share (retrieved_at, payload_hash), so `dense_rank` over that pair
+    * keeps every part of the winning retrieval and none of any older one.
+    * A per-(slot, part) latest would mix snapshots (a re-fetch that split
+    * into fewer parts would keep the new parts PLUS the old retrieval's
+    * orphaned tail parts); a per-slot latest would keep one arbitrary
+    * part and drop the rest of the snapshot. */
+  private def latestRetrieval(raw: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("slot")
+      .orderBy(col("retrieved_at").desc, col("payload_hash").desc)
+    if (!raw.columns.contains("part_index"))
+      raw.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    else
+      raw.withColumn("__rk", dense_rank().over(w))
+        .filter(col("__rk") === 1)
+        .drop("__rk")
+        // cross-batch exact-duplicate parts (same retrieval appended
+        // twice) collapse to one row per part
+        .dropDuplicates("slot", "part_index")
+  }
+
   /** F1 + F2/F3: slot-range scan (partition-pruned + row-group-pruned)
-    * then latest-payload-per-slot window dedup
+    * then latest-retrieval-per-slot window dedup
     * (reference: transformer.py:342-374). */
   def chunkData(raw: DataFrame, startSlot: Long, endSlot: Long): DataFrame =
-    Ledger.latest(
+    latestRetrieval(
       raw.filter(col("slot").between(startSlot, endSlot))
-        .select(rawCols(raw).map(col): _*),
-      rawKeys(raw), "retrieved_at")
+        .select(rawCols(raw).map(col): _*))
 
   private def writeTable(df: DataFrame, cfg: ChainConfig, outDir: String, table: String): Long = {
     val out = df.withColumn(
@@ -71,11 +86,14 @@ object Transformer {
       rawDir: String, outDir: String, progress: LedgerStore,
       startSlot: Long, endSlot: Long,
       version: Long = System.currentTimeMillis()): Boolean = {
-    // a raw dir holding only _SUCCESS (every slot of every ingested chunk
-    // was 404-empty) has no inferable schema; an empty chunk is SUCCESS
-    // with zero rows, not a poisoned failure (reference: empty slots are
-    // success-with-no-row, base.py:51-58)
-    if (!graft.core.Fs.hasParquetFiles(spark, rawDir)) {
+    // a raw dir that EXISTS but holds only _SUCCESS (every slot so far
+    // was 404-empty) has no inferable schema; that is SUCCESS with zero
+    // rows (reference: empty slots are success-with-no-row, base.py:51-58).
+    // A MISSING dir is a real failure — treating it as empty would let
+    // e.g. a reprocess of an archived raw table delete output data and
+    // report ok — so it falls through to the failing read below.
+    if (graft.core.Fs.exists(spark, rawDir) &&
+        !graft.core.Fs.hasParquetFiles(spark, rawDir)) {
       progress.append(progressRow(spark, loader.rawTable, startSlot, endSlot,
         "completed", 0L, 0L, None, version))
       return true
@@ -116,6 +134,19 @@ object Transformer {
       error.orNull, new Timestamp(System.currentTimeMillis()), version)
     spark.createDataFrame(
       java.util.Arrays.asList(row), Schemas.transformerProgress)
+  }
+
+  /** Bulk form of [[progressRow]]: one row per range with per-range
+    * processed counts (the single shape both fused paths append). */
+  private def progressRows(
+      spark: SparkSession, rawTable: String, ranges: Seq[(Long, Long)],
+      status: String, counts: Map[(Long, Long), Long], version: Long): DataFrame = {
+    val now = new Timestamp(System.currentTimeMillis())
+    val rows = ranges.map { case (s, e) =>
+      Row(rawTable, s, e, status, counts.getOrElse((s, e), 0L), 0L, null, now, version)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), Schemas.transformerProgress)
   }
 
   /** Blocks convenience wrapper over [[transformChunk]] (kept for the
@@ -174,14 +205,11 @@ object Transformer {
       ranges: Seq[(Long, Long)],
       version: Long = System.currentTimeMillis()): Boolean = {
     if (ranges.isEmpty) return true
+    if (!graft.core.Fs.exists(spark, rawDir)) return false // missing ≠ empty
     if (!graft.core.Fs.hasParquetFiles(spark, rawDir)) {
       // all-empty raw table: every range completes with zero rows
-      val rows = ranges.map { case (s, e) =>
-        Row(loader.rawTable, s, e, "completed", 0L, 0L,
-          null, new Timestamp(System.currentTimeMillis()), version)
-      }
-      progress.append(spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), Schemas.transformerProgress))
+      progress.append(progressRows(spark, loader.rawTable, ranges,
+        "completed", Map.empty, version))
       return true
     }
     try {
@@ -191,10 +219,9 @@ object Transformer {
       val raw = rawAll
         .filter(col("slot").between(globalMin, globalMax))
         .select(rawCols(rawAll).map(col): _*)
-      // exact membership + chunk tag, then latest-per-slot dedup (ranges
-      // are disjoint, so the global window == per-chunk windows; split
-      // tables dedup per (slot, part))
-      val tagged = Ledger.latest(tagChunks(raw, ranges), rawKeys(rawAll), "retrieved_at")
+      // exact membership + chunk tag, then latest-retrieval dedup (ranges
+      // are disjoint, so the global window == per-chunk windows)
+      val tagged = latestRetrieval(tagChunks(raw, ranges))
       val prepared = (loader.prepare match {
         case Some(prep) => prep(tagged)
         case None => tagged
@@ -218,12 +245,8 @@ object Transformer {
             .collect()
             .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
             .toMap
-        val rows = ranges.map { case (s, e) =>
-          Row(loader.rawTable, s, e, "completed", counts.getOrElse((s, e), 0L), 0L,
-            null, new Timestamp(System.currentTimeMillis()), version)
-        }
-        progress.append(spark.createDataFrame(
-          java.util.Arrays.asList(rows: _*), Schemas.transformerProgress))
+        progress.append(progressRows(spark, loader.rawTable, ranges,
+          "completed", counts, version))
         true
       } finally prepared.unpersist()
     } catch {

@@ -465,6 +465,44 @@ class PipelineSpec extends AnyFunSuite {
       .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("split re-fetch: only the winning retrieval's parts survive — no snapshot mixing (P19)") {
+    val base = tmp()
+    val rawDir = s"$base/raw_validators"
+    def valEntry(i: Int, bal: Int) =
+      s"""{"index":"$i","balance":"$bal","status":"active_ongoing","validator":{"pubkey":"0xv$i","effective_balance":"32","slashed":false,"activation_epoch":"0","exit_epoch":"10$i","withdrawal_credentials":"0x0$i"}}"""
+    // retrieval 1: 3 validators split into 3 parts
+    val p1 = s"""{"data":[${valEntry(1, 11)},${valEntry(2, 12)},${valEntry(3, 13)}]}"""
+    RawIngest.writeRaw(RawIngest.fetchSlotsSplit(spark, Seq(5L),
+      MapSlotFetcher(Map(5L -> p1)), 2, splitThresholdBytes = 1, entriesPerPart = 1),
+      cfg, rawDir)
+    Thread.sleep(5)
+    // retrieval 2 (later): only 2 validators → 2 parts; a per-(slot,part)
+    // latest would keep retrieval 1's orphaned part 3 and mix snapshots
+    val p2 = s"""{"data":[${valEntry(1, 21)},${valEntry(2, 22)}]}"""
+    RawIngest.writeRaw(RawIngest.fetchSlotsSplit(spark, Seq(5L),
+      MapSlotFetcher(Map(5L -> p2)), 2, splitThresholdBytes = 1, entriesPerPart = 1),
+      cfg, rawDir)
+    assert(spark.read.parquet(rawDir).count() === 5) // 3 + 2 part rows
+    assert(Transformer.transformChunk(spark, cfg, Loaders.validators,
+      rawDir, s"$base/tables", LedgerStore(s"$base/progress"), 0, 9))
+    val vals = spark.read.parquet(s"$base/tables/validators")
+      .select(col("validator_index").cast("long"), col("balance").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // ONLY retrieval 2: validators 1,2 with the NEW balances; no phantom 3
+    assert(vals === Seq((1L, 21L), (2L, 22L)))
+  }
+
+  test("missing raw dir is a FAILURE, not an empty success (reprocess data-loss guard)") {
+    val base = tmp()
+    val progress = LedgerStore(s"$base/progress")
+    assert(!Transformer.transformChunk(spark, cfg, Loaders.blocks,
+      s"$base/raw_nonexistent", s"$base/tables", progress, 0, 9))
+    assert(!Transformer.transformChunksFused(spark, cfg, Loaders.blocks,
+      s"$base/raw_nonexistent", s"$base/tables", progress, Seq((0L, 9L), (10L, 19L))))
+    val st = progress.read(spark, Schemas.transformerProgress)
+    assert(st.filter(col("status") === "completed").count() === 0)
+  }
+
   test("ingestChunk records the EXACT chunk range, even non-aligned (ledger identity)") {
     val chunkLedger = LedgerStore(tmp() + "/chunks_exact")
     // start 1000 is NOT a multiple of the 251-slot chunk length
