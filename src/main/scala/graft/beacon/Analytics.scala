@@ -62,12 +62,22 @@ object Analytics {
         avg("sync_aggregate_participation").as("avg_participation"))
       .orderBy("hour")
 
-  /** X2: monitoring union of per-table row counts (GUIDE:541-553). */
+  /** X2: monitoring union of per-table row counts (GUIDE:541-553).
+    * Name-sorted for deterministic row order; empty input → empty frame
+    * (monitoring may run before any table materializes). */
   def tableStats(tables: Map[String, DataFrame]): DataFrame =
-    tables.map { case (name, df) =>
+    tables.toSeq.sortBy(_._1).map { case (name, df) =>
       df.agg(count(lit(1)).as("n_rows"), max("slot").as("max_slot"))
         .select(lit(name).as("table"), col("n_rows"), col("max_slot"))
-    }.reduce(_ unionByName _)
+    }.reduceOption(_ unionByName _).getOrElse {
+      val spark = org.apache.spark.sql.SparkSession.active
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("table", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("max_slot", org.apache.spark.sql.types.LongType))))
+    }
 
   /** J6/X1: pending-queue day-over-day diff — entries present in the D-1
     * snapshot but absent in D = applied on D
@@ -81,7 +91,12 @@ object Analytics {
         .filter(col("slot") === lastSlot)
         .select("source_index", "target_index")
     }
-    snapshotAt(dayPrev).except(snapshotAt(day))
+    val cur = snapshotAt(day)
+    // a MISSING day-D snapshot (ingest hasn't reached it / fetch failed)
+    // must not report the entire previous queue as "applied" — there is
+    // nothing to diff against, so the honest answer is empty
+    if (cur.isEmpty) cur.limit(0)
+    else snapshotAt(dayPrev).except(cur)
   }
 
   /** Proposer reward leaderboard via blocks ⋈ rewards (GUIDE:343-353). */

@@ -105,6 +105,10 @@ object Dedup {
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, rowsPerBand: Int, shingleWidth: Int = 1): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand " +
+        s"($rowsPerBand) — trailing hashes would be computed but belong to " +
+        "no band, silently lowering recall")
     val units =
       if (shingleWidth <= 1) tokenSet(col(textCol)) else shingles(col(textCol), shingleWidth)
     // Small inputs (one parquet file) arrive as one partition; fan the
@@ -187,12 +191,22 @@ object Dedup {
     // avoids maxIter shuffle rounds; the distributed label-propagation
     // loop below remains the giant-graph path.
     val spark = pairs.sparkSession
+    // the driver union-find works on long ids; string/UUID ids would cast
+    // to null and NPE — route them to the type-agnostic distributed path
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      pairs.schema.fields
+        .filter(f => f.name == "d1" || f.name == "d2")
+        .forall(f => Set[DataType](ByteType, ShortType, IntegerType, LongType)(f.dataType))
+    }
     val edges = pairs.select(col("d1").cast("long"), col("d2").cast("long"))
     // single bounded action decides the path AND fetches the edges — a
     // separate count() probe would cost one full extra pass over the
     // (possibly expensive) upstream pipeline
-    val bounded = edges.limit((driverThreshold + 1).toInt).collect()
-    if (bounded.length <= driverThreshold) {
+    val bounded =
+      if (integralIds) edges.limit((driverThreshold + 1).toInt).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (integralIds && bounded.length <= driverThreshold) {
       val es = bounded.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
@@ -247,6 +261,11 @@ object Dedup {
       converged = !changed
       i += 1
     }
+    if (!converged)
+      System.err.println(
+        s"[graft] WARNING: connectedComponents did not converge in $maxIter " +
+          "iterations — a cluster wider than maxIter hops is reported as " +
+          "multiple components; raise maxIter for long-chain graphs")
     sym.unpersist(blocking = false)
     comp
   }

@@ -71,21 +71,26 @@ object Multimodal {
   def decodeBatched(
       df: DataFrame, idCol: String, binCol: String, dim: Int,
       batchSize: Int = 64): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val idIdx = df.schema.fieldIndex(idCol)
     val binIdx = df.schema.fieldIndex(binCol)
+    // id passes through with its ORIGINAL type (int/long/string ids all
+    // valid) — a hard-coded getLong would ClassCastException on int32 ids
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(idCol),
+      org.apache.spark.sql.types.StructField("features",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false))))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // per-batch "codec init" happens here in a real implementation
         batch.iterator.map { r =>
-          val id = r.getLong(idIdx)
           val bytes = r.getAs[Array[Byte]](binIdx)
-          val feats = stubDecodeBytes(bytes, dim)
-          (id, feats)
+          org.apache.spark.sql.Row(r.get(idIdx), stubDecodeBytes(bytes, dim))
         }
       }
-    }.toDF(idCol, "features")
+    }
   }
 
   /** Deterministic fake feature extraction over raw bytes (FNV-mixed). */

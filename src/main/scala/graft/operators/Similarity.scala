@@ -109,15 +109,24 @@ object Similarity {
     * onto |Q| reducer keys — a scale killer). */
   def topKJoin(
       queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
-      qVec: String, cVec: String, k: Int): DataFrame =
-    corpus.crossJoin(broadcast(queries.select(col(qId), col(qVec))))
-      .withColumn("cosine", vec_cosine(col(cVec), col(qVec)))
-      .groupBy(qId)
+      qVec: String, cVec: String, k: Int,
+      /** drop the query's own corpus row (queries drawn FROM the corpus
+        * would otherwise spend a top-k slot on themselves at cosine 1.0). */
+      excludeSelf: Boolean = true): DataFrame = {
+    // internal names: queries and corpus may share column names
+    val q = broadcast(queries.select(col(qId).as("__q_id"), col(qVec).as("__q_vec")))
+    val joined = corpus.crossJoin(q)
+    val candidates =
+      if (excludeSelf) joined.filter(col(cId) =!= col("__q_id")) else joined
+    candidates
+      .withColumn("cosine", vec_cosine(col(cVec), col("__q_vec")))
+      .groupBy(col("__q_id"))
       .agg(TopK.topkAgg(k)(col("cosine"), col(cId).cast("long")).as("topk"))
-      .select(col(qId), posexplode(col("topk")))
+      .select(col("__q_id").as(qId), posexplode(col("topk")))
       .select(
         col(qId), col("col.id").as(cId),
         (col("pos") + 1).as("rnk"), col("col.score").as("cosine"))
+  }
 
   /** Driver-side Lloyd k-means over a bounded sample — the IVF coarse
     * quantizer. Deterministic for a fixed seed; centroids are broadcast as

@@ -10,8 +10,13 @@ import org.apache.spark.sql.{Column, DataFrame}
 object TextAnalysis {
 
   /** Whitespace tokenization (the `\s+`-split token count every data
-    * pipeline starts from). */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+    * pipeline starts from). Empty / whitespace-only text tokenizes to []
+    * — a bare `split` yields [""], a phantom token that inflates counts
+    * and ratio denominators. The `when` keeps the common path codegen'd
+    * (trimmed non-empty text can't produce empty tokens under `\s+`). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -78,7 +83,13 @@ object TextAnalysis {
       struct(s.as("score"), lit(-i).as("negOrd"), lit(lang).as("lang"))
     }
     val best = greatest(structs: _*)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+    // CJK text is unsegmented: whitespace tokens never intersect the
+    // single-character zh profile, so detect it by script — ≥25% CJK
+    // codepoints wins before the stopword vote
+    val cjkChars = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    when(length(text) > 0 && cjkChars * 4 >= length(text), lit("zh"))
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
   }
 
   /** Corpus quality filter: the standard pre-training gate composed from

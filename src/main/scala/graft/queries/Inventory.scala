@@ -103,7 +103,9 @@ object Inventory {
     * keys (reference: scripts/maintenance.py:127-146). */
   val j3GapDetection: Q = (s, d) => {
     val ev = events(s, d)
-    val maxUser = ev.agg(max("user_id")).head().getLong(0)
+    val maxRow = ev.agg(max("user_id")).head()
+    // empty events: no candidate ids, no gaps (a bare getLong would NPE)
+    val maxUser = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
     s.range(0, maxUser + 1)
       .toDF("user_id")
       .join(
@@ -420,7 +422,10 @@ object Inventory {
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
     "j3_gap_detection" ->
-      """WITH seq AS (SELECT ROW_NUMBER() OVER () - 1 AS user_id FROM events)
+      // seq base must be a table whose ROW COUNT exceeds max(user_id) at
+      // every SF — lineitem (largest table, 6k rows at sf0.001) always
+      // does; events itself only did by generator accident
+      """WITH seq AS (SELECT ROW_NUMBER() OVER () - 1 AS user_id FROM lineitem)
         |SELECT s.user_id FROM seq s
         |WHERE s.user_id <= (SELECT MAX(user_id) FROM events)
         |  AND NOT EXISTS (

@@ -183,17 +183,10 @@ object LlmInventory {
     * last-ulp float differences. */
   val s5TopKJoin: Q = (s, d) => {
     val em = embeddings(s, d)
-    val q = broadcast(em.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
-    em.crossJoin(q)
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", graft.functions.GraftFunctions.vec_cosine(col("embedding"), col("q_vec")))
-      .groupBy("q_id")
-      .agg(graft.operators.TopK.topkAgg(3)(col("cosine"), col("vec_id")).as("topk"))
-      .select(col("q_id"), posexplode(col("topk")))
-      .select(
-        col("q_id"), col("col.id").as("vec_id"),
-        (col("pos") + 1).cast("long").as("rnk"))
+    Similarity.topKJoin(
+      em.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("embedding")),
+      em, "q_id", "vec_id", "embedding", "embedding", k = 3)
+      .select(col("q_id"), col("vec_id"), col("rnk").cast("long").as("rnk"))
   }
 
   /** Per-label centroid-free pairwise stats: count pairs per label bucket —
@@ -277,7 +270,10 @@ object LlmInventory {
 
   val oracleSql: Map[String, String] = Map(
     "t1_token_count" ->
-      "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents",
+      """SELECT doc_id,
+        |       CASE WHEN trim(text) = '' THEN 0
+        |            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |FROM documents""".stripMargin,
     "t2_quality_stats" ->
       """SELECT doc_id, length(text) AS n_chars2,
         |       len(string_split(text, ' ')) AS n_words,

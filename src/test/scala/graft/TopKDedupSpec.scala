@@ -121,6 +121,57 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(!cached, "connectedComponents leaked loop state on the distributed path")
   }
 
+  test("tokens: empty/whitespace-only text yields 0 tokens, not a phantom empty token") {
+    import graft.operators.TextAnalysis
+    val df = Seq((1L, ""), (2L, "   "), (3L, "one two")).toDF("id", "t")
+    val out = df.select(col("id"), TextAnalysis.tokenCount(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(1L -> 0, 2L -> 0, 3L -> 2))
+    // quality ratios keep clean denominators on empty docs
+    val q = TextAnalysis.qualityStats(df, "t").filter(col("id") === 1L).head()
+    assert(q.getAs[Double]("mean_token_len") === 0.0)
+    assert(q.getAs[Double]("stopword_ratio") === 0.0)
+  }
+
+  test("langId: unsegmented CJK text detects as zh via script, not stopword tokens") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "我不在这就是他有了的"),          // unsegmented Chinese
+      (2L, "the cat sat on the mat and it is fine"),
+      (3L, "der hund ist nicht mit der katze und ich"),
+      (4L, "")).toDF("id", "t")
+    val out = df.select(col("id"), TextAnalysis.langId(col("t")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "zh")
+    assert(out(2L) === "en")
+    assert(out(3L) === "de")
+    assert(out(4L) === "und")
+  }
+
+  test("topKJoin: queries drawn from the corpus exclude their own row") {
+    import graft.operators.Similarity
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.tabulate(4)(j => (1.0f + i * j) / (i + 1)))).toDF("vid", "v")
+    val out = Similarity.topKJoin(
+      vecs.filter(col("vid") < 3).select(col("vid").as("qid"), col("v")),
+      vecs, "qid", "vid", "v", "v", k = 5)
+    // no self-pair occupies a slot
+    assert(out.filter(col("qid") === col("vid")).count() === 0)
+    assert(out.groupBy("qid").count().collect().forall(_.getLong(1) === 5L))
+    // opt-out keeps the self-pair at rank 1 (cosine 1.0)
+    val withSelf = Similarity.topKJoin(
+      vecs.filter(col("vid") < 3).select(col("vid").as("qid"), col("v")),
+      vecs, "qid", "vid", "v", "v", k = 5, excludeSelf = false)
+    assert(withSelf.filter(col("qid") === col("vid") && col("rnk") === 1).count() === 3)
+  }
+
+  test("minhashCandidatePairs rejects numHashes not divisible by rowsPerBand") {
+    val docs = Seq((1L, "a b c")).toDF("id", "t")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashCandidatePairs(docs, "id", "t", numHashes = 10, rowsPerBand = 4)
+    }
+  }
+
   test("Sampling: deterministic splits partition exactly, reproducibly, ~proportionally") {
     import graft.operators.Sampling
     val ids = (0L until 10000L).toDF("id")
