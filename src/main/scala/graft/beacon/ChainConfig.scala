@@ -27,16 +27,19 @@ final case class ChainConfig(
 
   def startSlot(f: Fork): Long = f.epoch * slotsPerEpoch
 
+  // C8/C9/C11 delegate to the static-parameter forms in GraftFunctions so
+  // the slot-time arithmetic exists exactly once
   /** C9: slot → epoch. */
-  def epochOf(slot: Column): Column = floor(slot / lit(slotsPerEpoch)).cast("long")
+  def epochOf(slot: Column): Column =
+    graft.functions.GraftFunctions.slot_epoch(slot, slotsPerEpoch)
 
   /** C8: slot → UTC timestamp. */
   def slotTimestamp(slot: Column): Column =
-    timestamp_seconds(lit(genesisTimeUnix) + slot * lit(secondsPerSlot))
+    graft.functions.GraftFunctions.slot_timestamp(slot, genesisTimeUnix, secondsPerSlot)
 
   /** C11: last slot of its UTC day. */
   def isLastSlotOfDay(slot: Column): Column =
-    to_date(slotTimestamp(slot)) =!= to_date(slotTimestamp(slot + lit(1)))
+    graft.functions.GraftFunctions.is_last_slot_of_day(slot, genesisTimeUnix, secondsPerSlot)
 
   /** C12 closed form: the last slot whose timestamp falls on `date`
     * (reference scans backward ≤200 slots; the arithmetic form is exact). */

@@ -109,9 +109,22 @@ object Ledger {
       ledger.select("chunk_id").distinct(),
       Seq("chunk_id"), "left_anti")
 
+  /** Ledger-specific FINAL with a DETERMINISTIC tie-break: insert_version
+    * is wall-clock millis from concurrent writers, so two workers can
+    * collide on the same version for one key — a version-only window
+    * would then pick an arbitrary row per query execution and the chunk
+    * state could flap between reads. Ties order by updated_at desc, then
+    * status/worker_id (any stable order works; determinism is the point). */
+  private def latestLedgerRow(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(
+      col("insert_version").desc, col("updated_at").desc,
+      col("status").asc, col("worker_id").asc_nulls_last)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Current chunk states (latest version per chunk). */
   def chunkStates(ledger: DataFrame): DataFrame =
-    latest(ledger, Seq("chunk_id"), "insert_version")
+    latestLedgerRow(ledger, Seq("chunk_id"))
 
   /** Status-transition rows (claimed/completed/failed) to append. */
   def transition(
@@ -156,11 +169,20 @@ object Ledger {
   /** J1: untransformed-chunk discovery — completed load chunks with no
     * completed transform row; left anti join + ordered limit
     * (reference: src/services/transformer.py:240-268). */
+  /** Progress-ledger FINAL with the same deterministic tie-break rationale
+    * as [[chunkStates]] (wall-clock versions from concurrent writers). */
+  def progressStates(progress: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy("raw_table_name", "start_slot", "end_slot")
+      .orderBy(col("insert_version").desc, col("processed_at").desc, col("status").asc)
+    progress.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
   def untransformedChunks(
       ledger: DataFrame, progress: DataFrame, loader: String, limit: Int = 50): DataFrame = {
     val completed = chunkStates(ledger)
       .filter(col("loader_name") === loader && col("status") === "completed")
-    val done = latest(progress, Seq("raw_table_name", "start_slot", "end_slot"), "insert_version")
+    val done = progressStates(progress)
       .filter(col("raw_table_name") === s"raw_$loader" && col("status") === "completed")
       .select("start_slot", "end_slot")
     completed
@@ -171,7 +193,7 @@ object Ledger {
 
   /** A3: transform status rollup (reference: transformer.py:620-662). */
   def transformStatus(progress: DataFrame): DataFrame =
-    latest(progress, Seq("raw_table_name", "start_slot", "end_slot"), "insert_version")
+    progressStates(progress)
       .groupBy("raw_table_name")
       .agg(
         count(lit(1)).as("total"),

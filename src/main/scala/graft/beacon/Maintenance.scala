@@ -88,9 +88,15 @@ object Maintenance {
       chunkLedger: LedgerStore, chunks: DataFrame,
       version: Long = System.currentTimeMillis()): Int = {
     val rows = chunks.select("chunk_id", "start_slot", "end_slot", "loader_name", "created_at").collect()
-    rows.foreach { r =>
-      deleteSlotRange(spark, rawDir, cfg, r.getLong(1), r.getLong(2))
-    }
+    // merge adjacent/overlapping chunk ranges first: 100 failed chunks in
+    // one month must not rewrite that month partition 100 times
+    val merged = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      .foldLeft(List.empty[(Long, Long)]) {
+        case ((s0, e0) :: tail, (s, e)) if s <= e0 + 1 =>
+          (s0, math.max(e0, e)) :: tail
+        case (acc, r) => r :: acc
+      }.reverse
+    merged.foreach { case (s, e) => deleteSlotRange(spark, rawDir, cfg, s, e) }
     if (rows.nonEmpty)
       chunkLedger.append(Ledger.transition(chunks, "pending", "maintenance", version))
     rows.length
@@ -109,11 +115,18 @@ object Maintenance {
       spark: SparkSession, chunkLedger: LedgerStore, maxAgeMin: Int = 30,
       version: Long = System.currentTimeMillis()): Long = {
     val ledger = chunkLedger.read(spark, Schemas.loadStateChunks)
+    // one SNAPSHOT serves both the count and the append: two separate
+    // evaluations would re-run current_timestamp() and re-scan a ledger
+    // that may have grown in between, so the returned count could
+    // disagree with the rows actually transitioned
     val stale = Ledger.chunkStates(ledger)
       .filter(col("status").isin("claimed", "processing") &&
         col("updated_at") < current_timestamp() - expr(s"INTERVAL $maxAgeMin MINUTES"))
-    val n = stale.count()
-    if (n > 0) chunkLedger.append(Ledger.transition(stale, "pending", "maintenance", version))
-    n
+      .persist()
+    try {
+      val n = stale.count() // materializes the snapshot into the cache
+      if (n > 0) chunkLedger.append(Ledger.transition(stale, "pending", "maintenance", version))
+      n
+    } finally stale.unpersist(blocking = false)
   }
 }

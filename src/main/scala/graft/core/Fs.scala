@@ -37,13 +37,20 @@ object Fs {
   def hasParquetFiles(spark: SparkSession, path: String): Boolean = {
     val (f, p) = fs(spark, path)
     if (!f.exists(p)) return false
-    val it = f.listFiles(p, true)
+    // qualify the root and stop the ancestor walk at PATH equality — a
+    // string-length comparison against the unqualified input walks past
+    // (or includes) the table root when listings come back fully
+    // qualified, so a '_'/'.'-prefixed component in the root's own name
+    // or its ancestors would mark every file uncommitted
+    val root = f.makeQualified(p)
+    val it = f.listFiles(root, true)
     while (it.hasNext) {
       val fp = it.next().getPath
       // skip uncommitted staging output (_temporary, .spark-staging-*):
       // Spark's own file index ignores '_'/'.'-prefixed path components
-      val committed = Iterator.iterate(fp)(_.getParent).takeWhile(_ != null)
-        .takeWhile(_.toString.length >= path.length)
+      // BELOW the table root
+      val committed = Iterator.iterate(fp)(_.getParent)
+        .takeWhile(q => q != null && q != root)
         .forall(q => !q.getName.startsWith("_") && !q.getName.startsWith("."))
       val isData = fp.getName.endsWith(".parquet") && !fp.getName.startsWith(".")
       if (committed && isData) return true

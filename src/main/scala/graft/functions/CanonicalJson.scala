@@ -13,7 +13,17 @@ import java.security.MessageDigest
   * (surrogate pairs for astral planes); `/` NOT escaped.
   */
 object CanonicalJson {
-  private val mapper = new ObjectMapper()
+  // parity with Python json.loads' accept/reject envelope: NaN/Infinity
+  // literals PARSE (json.loads accepts them by default) and trailing
+  // tokens REJECT (json.loads raises on '{}garbage') — Jackson's defaults
+  // are the opposite on both counts, which would flip payloads between
+  // the canonical-hash and raw-string-fallback paths vs the reference
+  private val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.enable(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_NON_NUMERIC_NUMBERS)
+    m.enable(com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
+    m
+  }
 
   def canonicalize(json: String): String = {
     val node = mapper.readTree(json)
@@ -22,13 +32,31 @@ object CanonicalJson {
     sb.toString
   }
 
+  /** Python sorts keys by CODE POINT; Java String.compareTo compares
+    * UTF-16 code units, which misorders astral-plane keys against
+    * U+E000..U+FFFF (surrogates compare below them). */
+  def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   private def write(node: JsonNode, sb: java.lang.StringBuilder): Unit = {
     if (node.isObject) {
       sb.append('{')
       val names = new java.util.ArrayList[String]()
       val it = node.fieldNames()
       while (it.hasNext) names.add(it.next())
-      java.util.Collections.sort(names)
+      java.util.Collections.sort(names, new java.util.Comparator[String] {
+        def compare(a: String, b: String): Int = codePointCompare(a, b)
+      })
       var first = true
       val ni = names.iterator()
       while (ni.hasNext) {
@@ -61,9 +89,13 @@ object CanonicalJson {
     } else {
       // Python repr of floats: shortest round-trip. Java's Double.toString
       // matches for common cases; beacon payloads carry no floats in
-      // practice (all quantities are strings/ints).
+      // practice (all quantities are strings/ints). Non-finite values
+      // render as Python's json.dumps literals.
       val d = node.doubleValue()
-      if (d == Math.floor(d) && !d.isInfinite && Math.abs(d) < 1e16)
+      if (d.isNaN) sb.append("NaN")
+      else if (d == Double.PositiveInfinity) sb.append("Infinity")
+      else if (d == Double.NegativeInfinity) sb.append("-Infinity")
+      else if (d == Math.floor(d) && Math.abs(d) < 1e16)
         sb.append(d.toLong).append(".0")
       else sb.append(d)
     }

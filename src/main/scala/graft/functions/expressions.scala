@@ -55,10 +55,16 @@ case class SafeLong(child: Expression, failToNull: Boolean = false)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     if (!failToNull)
       defineCodeGen(ctx, ev, c => s"graft.functions.HexUtil.safeLong($c, 0L)")
-    else nullSafeCodeGen(ctx, ev, c => s"""
-        java.lang.Long graftSafeLong = graft.functions.HexUtil.safeLongBoxed($c);
-        if (graftSafeLong == null) { ${ev.isNull} = true; }
-        else { ${ev.value} = graftSafeLong.longValue(); }""")
+    else nullSafeCodeGen(ctx, ev, c => {
+      // freshName: two safe_long_null calls in one codegen scope must not
+      // collide on the local's name (duplicate declaration → Janino
+      // compile error → silent interpreted fallback)
+      val boxed = ctx.freshName("graftSafeLong")
+      s"""
+        java.lang.Long $boxed = graft.functions.HexUtil.safeLongBoxed($c);
+        if ($boxed == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $boxed.longValue(); }"""
+    })
   override protected def withNewChildInternal(c: Expression): SafeLong =
     copy(child = c)
   override def prettyName: String = if (failToNull) "safe_long_null" else "safe_long"

@@ -98,7 +98,8 @@ final class ChunkedTail(
     completedChunks()((start, end))
 
   /** R1: the poll loop. Runs `maxIterations` micro-batches (use
-    * Int.MaxValue for a production tail; tests pass small numbers). */
+    * Int.MaxValue for a production tail; tests pass small numbers).
+    * Errors back off but are never silent: logged + surfaced in /health. */
   def run(maxIterations: Int): Long = {
     var last = resumeSlot()
     var i = 0
@@ -108,7 +109,8 @@ final class ChunkedTail(
         if (newLast == last && i + 1 < maxIterations) Thread.sleep(pollMillis)
         last = newLast
       } catch {
-        case scala.util.control.NonFatal(_) =>
+        case scala.util.control.NonFatal(e) =>
+          ChunkedTail.reportPollError("ChunkedTail", e)
           if (i + 1 < maxIterations) Thread.sleep(errorBackoffMillis)
       }
       i += 1
@@ -118,6 +120,16 @@ final class ChunkedTail(
 }
 
 object ChunkedTail {
+  /** A poll-loop error must never vanish: a persistent failure (bad dir,
+    * unreachable node, corrupt ledger) would otherwise spin on backoff
+    * forever producing nothing with no diagnostic anywhere. */
+  private[streaming] def reportPollError(who: String, e: Throwable): Unit = {
+    System.err.println(s"[graft] $who poll error (backing off): $e")
+    graft.core.Observability.updateHealth(
+      "last_error" -> String.valueOf(e),
+      "last_error_at" -> java.time.Instant.now().toString)
+  }
+
   /** One ledger read + FINAL collapse serving the completed-chunk sets of
     * MANY loaders at once — the shared bulk cache of a composite
     * micro-batch. The collected set is bounded by chunk count (range /
@@ -256,7 +268,8 @@ final class CompositeTail(
         if (next == last && i + 1 < maxIterations) Thread.sleep(pollMillis)
         last = next
       } catch {
-        case scala.util.control.NonFatal(_) =>
+        case scala.util.control.NonFatal(e) =>
+          ChunkedTail.reportPollError("CompositeTail", e)
           if (i + 1 < maxIterations) Thread.sleep(errorBackoffMillis)
       }
       i += 1

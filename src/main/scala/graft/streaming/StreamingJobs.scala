@@ -38,15 +38,20 @@ object StreamingJobs {
             spark, slotList.toSeq, fetcher,
             parallelism = spark.sparkContext.defaultParallelism)
           RawIngest.writeRaw(rows, cfg, rawDir)
-          // record the batch's EXACT slot range — planChunks would floor-align
-          // the start and falsely mark never-fetched slots completed.
+          // record EXACT contiguous runs — one [min,max] row would mark
+          // never-fetched slots completed when a replay/recovery stream
+          // delivers a gapped batch, and planChunks would floor-align.
           // insert_version is epoch millis: ONE version domain shared with
           // Maintenance.fixChunks/resetChunks — a batchId (0,1,2,…) could
           // never outrank a maintenance row's millis version, leaving
           // maintenance-touched chunks pending forever
-          val chunk = Ledger.chunkRow(spark, loader, slotList.min, slotList.max)
+          val runs = slotList.foldLeft(List.empty[(Long, Long)]) {
+            case ((s, e) :: tail, x) if x == e + 1 => (s, x) :: tail
+            case (acc, x) => (x, x) :: acc
+          }.reverse
+          val chunks = Ledger.chunkRows(spark, loader, runs)
           ledger.append(Ledger.transition(
-            chunk, "completed", s"stream-$batchId", System.currentTimeMillis()))
+            chunks, "completed", s"stream-$batchId", System.currentTimeMillis()))
         }
         ()
       }

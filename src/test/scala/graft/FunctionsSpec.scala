@@ -79,4 +79,29 @@ class FunctionsSpec extends AnyFunSuite {
     val h = CanonicalJson.payloadHash16("not json at all")
     assert(h.length === 16 && h.matches("[0-9a-f]{16}"))
   }
+
+  test("canonicalize matches Python's accept/reject envelope (NaN, trailing, astral keys)") {
+    // python: json.dumps(json.loads('{"v": NaN, ...}'), sort_keys=True,
+    // separators=(',',':')) == '{"v":NaN,"w":Infinity,"x":-Infinity}'
+    assert(CanonicalJson.canonicalize("""{"v": NaN, "w": Infinity, "x": -Infinity}""")
+      === """{"v":NaN,"w":Infinity,"x":-Infinity}""")
+    assert(CanonicalJson.payloadHash16("""{"v": NaN, "w": Infinity, "x": -Infinity}""")
+      === "72fc2a4f64ecde5d")
+    // python json.loads REJECTS trailing tokens → the reference hashes the
+    // raw string; Jackson's default leniency would canonicalize '{}'
+    assert(CanonicalJson.payloadHash16("{}garbage") === "7eb696333c2056fc")
+    // python sorts keys by CODE POINT: U+FFFF before U+1F600; UTF-16
+    // code-unit comparison would order the surrogate pair first
+    val astral = "{\"\uD83D\uDE00\": 2, \"\uFFFF\": 1}"
+    assert(CanonicalJson.canonicalize(astral)
+      === "{\"\\uffff\":1,\"\\ud83d\\ude00\":2}")
+    assert(CanonicalJson.payloadHash16(astral) === "7399aff294a6b56f")
+  }
+
+  test("codePointCompare orders astral keys like Python") {
+    assert(CanonicalJson.codePointCompare("\uFFFF", "\uD83D\uDE00") < 0)
+    assert(CanonicalJson.codePointCompare("a", "ab") < 0)
+    assert(CanonicalJson.codePointCompare("b", "a") > 0)
+    assert(CanonicalJson.codePointCompare("same", "same") === 0)
+  }
 }
