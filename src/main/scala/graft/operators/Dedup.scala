@@ -174,13 +174,14 @@ object Dedup {
           size(array_union(col("sh1"), col("sh2"))))
       .select("d1", "d2", "jaccard")
 
-  /** Connected components over an undirected pair list (d1,d2) by
-    * iterative min-label propagation. Each iteration is one shuffle join;
-    * converges in O(diameter) rounds — near-dup clusters are tiny, so
-    * `maxIter` ~10 is ample. (At extreme scale swap for large-star/
-    * small-star; the interface stays the same.) Returns (id, component)
-    * where component = min id of the cluster. The distributed path returns
-    * a localCheckpoint-backed frame: lineage-free, outside the session
+  /** Connected components over an undirected pair list (d1,d2): driver
+    * union-find below `driverThreshold` edges (exact, zero shuffles),
+    * else distributed min-label propagation WITH pointer jumping — the
+    * star-contraction-family combination that converges in O(log n)
+    * rounds rather than O(diameter) (a long chain of templated near-dups
+    * resolves in ~log₂ hops). Returns (id, component) where component =
+    * min id of the cluster. The distributed path returns a
+    * localCheckpoint-backed frame: lineage-free, outside the session
     * cache, blocks reclaimed by the ContextCleaner once dropped. */
   def connectedComponents(
       pairs: DataFrame, maxIter: Int = 10,
@@ -229,13 +230,15 @@ object Dedup {
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .distinct()
       .persist()
-    // iterative loop state is localCheckpoint'ed, not persisted: each
-    // round references `comp` three times, so an un-truncated lineage
-    // TREBLES per iteration (exponential plan growth → planner OOM by
-    // ~iteration 30). Eager localCheckpoint cuts the lineage to the
-    // materialized blocks each round; the blocks are reclaimed by the
-    // ContextCleaner when the frame is dropped, and nothing enters the
-    // session's cacheManager — no leak for long-lived sessions.
+    // Each round interleaves one neighbor-min PROPAGATION with one
+    // POINTER JUMP (comp(u) ← comp(comp(u))) — the star-contraction
+    // family's trick that makes convergence O(log n) rounds instead of
+    // O(diameter): a 1M-hop chain resolves in ~20 rounds, not 1M.
+    // Loop state is localCheckpoint'ed, not persisted: each round
+    // references `comp` several times, so an un-truncated lineage grows
+    // exponentially (planner OOM by ~iteration 30); eager localCheckpoint
+    // cuts it to the materialized blocks, the ContextCleaner reclaims
+    // them, and nothing enters the session's cacheManager.
     var comp = sym.select(col("d1").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
@@ -246,12 +249,22 @@ object Dedup {
         .join(comp, sym("d2") === comp("id"))
         .groupBy(sym("d1").as("id"))
         .agg(min("component").as("nbr_min"))
-      val next = comp
+      val propagated = comp
         .join(nbrMin, Seq("id"), "left")
         .select(
           col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
+      // pointer jump: follow the label one hop (labels are node ids, so
+      // every label exists as an id row)
+      val parents = propagated
+        .select(col("id").as("pid"), col("component").as("pcomp"))
+      val next = propagated
+        .join(parents, propagated("component") === parents("pid"), "left")
+        .select(
+          propagated("id"),
+          least(propagated("component"),
+            coalesce(col("pcomp"), propagated("component"))).as("component"))
         .localCheckpoint(true)
       val changed = next.join(
           comp.withColumnRenamed("component", "prev"), Seq("id"))
@@ -264,8 +277,8 @@ object Dedup {
     if (!converged)
       System.err.println(
         s"[graft] WARNING: connectedComponents did not converge in $maxIter " +
-          "iterations — a cluster wider than maxIter hops is reported as " +
-          "multiple components; raise maxIter for long-chain graphs")
+          "iterations (graph needs more than ~2^$maxIter-hop label reach); " +
+          "components may be split — raise maxIter")
     sym.unpersist(blocking = false)
     comp
   }

@@ -121,6 +121,31 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(!cached, "connectedComponents leaked loop state on the distributed path")
   }
 
+  test("distributed CC: pointer jumping resolves a 120-hop chain within ~log n rounds") {
+    // plain O(diameter) propagation would need 120 rounds; with pointer
+    // jumping maxIter=12 (~2^12 reach) must fully converge — no warning,
+    // one component rooted at 0
+    val chain = (0 until 120).map(i => (i.toLong, (i + 1).toLong)).toDF("d1", "d2")
+    val comps = Dedup.connectedComponents(chain, maxIter = 12, driverThreshold = 10L)
+    assert(comps.count() === 121L)
+    assert(comps.filter(col("component") =!= 0L).count() === 0L)
+  }
+
+  test("distributed CC matches driver union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(1234)
+    (1 to 3).foreach { trial =>
+      val n = 200
+      val edges = (1 to 150).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("d1", "d2")
+      val exact = Dedup.connectedComponents(df, driverThreshold = 5000000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.connectedComponents(df, maxIter = 15, driverThreshold = 1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist === exact, s"trial $trial: distributed CC diverged from union-find")
+    }
+  }
+
   test("tokens: empty/whitespace-only text yields 0 tokens, not a phantom empty token") {
     import graft.operators.TextAnalysis
     val df = Seq((1L, ""), (2L, "   "), (3L, "one two")).toDF("id", "t")
