@@ -90,13 +90,8 @@ object Maintenance {
     val rows = chunks.select("chunk_id", "start_slot", "end_slot", "loader_name", "created_at").collect()
     // merge adjacent/overlapping chunk ranges first: 100 failed chunks in
     // one month must not rewrite that month partition 100 times
-    val merged = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
-      .foldLeft(List.empty[(Long, Long)]) {
-        case ((s0, e0) :: tail, (s, e)) if s <= e0 + 1 =>
-          (s0, math.max(e0, e)) :: tail
-        case (acc, r) => r :: acc
-      }.reverse
-    merged.foreach { case (s, e) => deleteSlotRange(spark, rawDir, cfg, s, e) }
+    graft.core.Ranges.merge(rows.map(r => (r.getLong(1), r.getLong(2))).toSeq)
+      .foreach { case (s, e) => deleteSlotRange(spark, rawDir, cfg, s, e) }
     if (rows.nonEmpty)
       chunkLedger.append(Ledger.transition(chunks, "pending", "maintenance", version))
     rows.length
@@ -119,14 +114,15 @@ object Maintenance {
     // evaluations would re-run current_timestamp() and re-scan a ledger
     // that may have grown in between, so the returned count could
     // disagree with the rows actually transitioned
+    // localCheckpoint, not persist: cached blocks are EVICTABLE, and a
+    // recomputation during the append would re-run current_timestamp()
+    // with the later job's clock — the checkpoint pins one snapshot
     val stale = Ledger.chunkStates(ledger)
       .filter(col("status").isin("claimed", "processing") &&
         col("updated_at") < current_timestamp() - expr(s"INTERVAL $maxAgeMin MINUTES"))
-      .persist()
-    try {
-      val n = stale.count() // materializes the snapshot into the cache
-      if (n > 0) chunkLedger.append(Ledger.transition(stale, "pending", "maintenance", version))
-      n
-    } finally stale.unpersist(blocking = false)
+      .localCheckpoint(true)
+    val n = stale.count()
+    if (n > 0) chunkLedger.append(Ledger.transition(stale, "pending", "maintenance", version))
+    n
   }
 }

@@ -26,10 +26,35 @@ object CanonicalJson {
   }
 
   def canonicalize(json: String): String = {
+    rejectNonPythonNonFinite(json)
     val node = mapper.readTree(json)
     val sb = new java.lang.StringBuilder(json.length)
     write(node, sb)
     sb.toString
+  }
+
+  /** Jackson's ALLOW_NON_NUMERIC_NUMBERS accepts a SUPERSET of Python's
+    * literals (short forms INF/+INF/-INF, +Infinity); Python json.loads
+    * accepts exactly NaN / Infinity / -Infinity. Any other non-finite
+    * token must throw so [[payloadHash16]] takes the raw-string fallback
+    * like the reference. Gated on a cheap substring probe — the streaming
+    * token scan runs only for payloads that could contain one. */
+  private def rejectNonPythonNonFinite(json: String): Unit = {
+    if (!json.contains("Inf") && !json.contains("INF")) return
+    val pythonLiterals = java.util.Set.of("NaN", "Infinity", "-Infinity")
+    val p = mapper.getFactory.createParser(json)
+    try {
+      var t = p.nextToken()
+      while (t != null) {
+        if (t == com.fasterxml.jackson.core.JsonToken.VALUE_NUMBER_FLOAT) {
+          val d = p.getDoubleValue
+          if ((d.isNaN || d.isInfinite) && !pythonLiterals.contains(p.getText))
+            throw new IllegalArgumentException(
+              s"non-Python non-finite literal: ${p.getText}")
+        }
+        t = p.nextToken()
+      }
+    } finally p.close()
   }
 
   /** Python sorts keys by CODE POINT; Java String.compareTo compares

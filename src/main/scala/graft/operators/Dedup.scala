@@ -277,7 +277,7 @@ object Dedup {
     if (!converged)
       System.err.println(
         s"[graft] WARNING: connectedComponents did not converge in $maxIter " +
-          "iterations (graph needs more than ~2^$maxIter-hop label reach); " +
+          s"iterations (graph needs more than ~2^$maxIter-hop label reach); " +
           "components may be split — raise maxIter")
     sym.unpersist(blocking = false)
     comp

@@ -110,9 +110,12 @@ object Similarity {
   def topKJoin(
       queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
       qVec: String, cVec: String, k: Int,
-      /** drop the query's own corpus row (queries drawn FROM the corpus
-        * would otherwise spend a top-k slot on themselves at cosine 1.0). */
-      excludeSelf: Boolean = true): DataFrame = {
+      /** OPT-IN: set true when queries are drawn FROM the corpus, so a
+        * query's own row doesn't spend a top-k slot on itself at cosine
+        * 1.0. Off by default — with an unrelated corpus, an id that
+        * merely collides with a query id would silently lose a
+        * legitimate (possibly best) match. */
+      excludeSelf: Boolean = false): DataFrame = {
     // internal names: queries and corpus may share column names
     val q = broadcast(queries.select(col(qId).as("__q_id"), col(qVec).as("__q_vec")))
     val joined = corpus.crossJoin(q)

@@ -12,11 +12,14 @@ object TextAnalysis {
   /** Whitespace tokenization (the `\s+`-split token count every data
     * pipeline starts from). Empty / whitespace-only text tokenizes to []
     * — a bare `split` yields [""], a phantom token that inflates counts
-    * and ratio denominators. The `when` keeps the common path codegen'd
-    * (trimmed non-empty text can't produce empty tokens under `\s+`). */
-  def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+    * and ratio denominators. Stripping uses the SAME `\s` class as the
+    * split (`trim` strips only 0x20 spaces, so a leading tab/newline
+    * would reintroduce the phantom token). All codegen'd built-ins. */
+  def tokens(text: Column): Column = {
+    val stripped = regexp_replace(text, "^\\s+|\\s+$", "")
+    when(length(stripped) === 0, array().cast("array<string>"))
+      .otherwise(split(stripped, "\\s+"))
+  }
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

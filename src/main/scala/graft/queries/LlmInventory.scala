@@ -185,7 +185,8 @@ object LlmInventory {
     val em = embeddings(s, d)
     Similarity.topKJoin(
       em.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("embedding")),
-      em, "q_id", "vec_id", "embedding", "embedding", k = 3)
+      em, "q_id", "vec_id", "embedding", "embedding", k = 3,
+      excludeSelf = true) // queries ARE corpus rows
       .select(col("q_id"), col("vec_id"), col("rnk").cast("long").as("rnk"))
   }
 
@@ -270,10 +271,13 @@ object LlmInventory {
 
   val oracleSql: Map[String, String] = Map(
     "t1_token_count" ->
-      """SELECT doc_id,
-        |       CASE WHEN trim(text) = '' THEN 0
-        |            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
-        |FROM documents""".stripMargin,
+      // strip with the same \s class as the split (plain trim strips only
+      // spaces) — mirrors TextAnalysis.tokens exactly
+      """WITH s AS (SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS t FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN t = '' THEN 0
+        |            ELSE len(string_split_regex(t, '\s+')) END AS n_tokens
+        |FROM s""".stripMargin,
     "t2_quality_stats" ->
       """SELECT doc_id, length(text) AS n_chars2,
         |       len(string_split(text, ' ')) AS n_words,

@@ -32,7 +32,10 @@ object StreamingJobs {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[java.lang.Long], batchId: Long) =>
         val spark = batch.sparkSession
-        val slotList = batch.collect().map(_.longValue()).sorted
+        // distinct: a replay stream may deliver duplicate slots — without
+        // it a repeated slot is fetched twice and splits the run fold
+        // into overlapping chunk rows
+        val slotList = batch.collect().map(_.longValue()).distinct.sorted
         if (slotList.nonEmpty) {
           val rows = RawIngest.fetchSlots(
             spark, slotList.toSeq, fetcher,
@@ -45,10 +48,7 @@ object StreamingJobs {
           // Maintenance.fixChunks/resetChunks — a batchId (0,1,2,…) could
           // never outrank a maintenance row's millis version, leaving
           // maintenance-touched chunks pending forever
-          val runs = slotList.foldLeft(List.empty[(Long, Long)]) {
-            case ((s, e) :: tail, x) if x == e + 1 => (s, x) :: tail
-            case (acc, x) => (x, x) :: acc
-          }.reverse
+          val runs = graft.core.Ranges.runsOf(slotList.toSeq)
           val chunks = Ledger.chunkRows(spark, loader, runs)
           ledger.append(Ledger.transition(
             chunks, "completed", s"stream-$batchId", System.currentTimeMillis()))

@@ -98,6 +98,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(CanonicalJson.payloadHash16(astral) === "7399aff294a6b56f")
   }
 
+  test("non-Python non-finite literals (-INF) fall back to raw-string hash") {
+    // Jackson accepts -INF; python json.loads rejects it → reference
+    // hashes the raw string, so we must too
+    intercept[Exception] { CanonicalJson.canonicalize("""{"v": -INF}""") }
+    val raw = """{"v": -INF}"""
+    assert(CanonicalJson.payloadHash16(raw) ===
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(raw.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(16))
+    // a STRING value containing "INF" is ordinary JSON on both sides
+    assert(CanonicalJson.canonicalize("""{"x": "INF"}""") === """{"x":"INF"}""")
+  }
+
+  test("tokens strips ALL whitespace classes before splitting") {
+    import org.apache.spark.sql.SparkSession
+    val spark: SparkSession = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "\nSome doc"), (2L, "\t"), (3L, " a\tb ")).toDF("id", "t")
+    val out = df.select(col("id"),
+      graft.operators.TextAnalysis.tokenCount(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(1L -> 2, 2L -> 0, 3L -> 2))
+  }
+
   test("codePointCompare orders astral keys like Python") {
     assert(CanonicalJson.codePointCompare("\uFFFF", "\uD83D\uDE00") < 0)
     assert(CanonicalJson.codePointCompare("a", "ab") < 0)

@@ -173,21 +173,30 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(out(4L) === "und")
   }
 
-  test("topKJoin: queries drawn from the corpus exclude their own row") {
+  test("topKJoin: excludeSelf drops the query's own corpus row; default keeps id collisions") {
     import graft.operators.Similarity
     val vecs = (0 until 30).map(i =>
       (i.toLong, Array.tabulate(4)(j => (1.0f + i * j) / (i + 1)))).toDF("vid", "v")
-    val out = Similarity.topKJoin(
-      vecs.filter(col("vid") < 3).select(col("vid").as("qid"), col("v")),
-      vecs, "qid", "vid", "v", "v", k = 5)
-    // no self-pair occupies a slot
+    val queries = vecs.filter(col("vid") < 3).select(col("vid").as("qid"), col("v"))
+    // opt-IN when queries are corpus rows: no self-pair occupies a slot
+    val out = Similarity.topKJoin(vecs.filter(col("vid") < 3)
+      .select(col("vid").as("qid"), col("v")), vecs, "qid", "vid", "v", "v",
+      k = 5, excludeSelf = true)
     assert(out.filter(col("qid") === col("vid")).count() === 0)
     assert(out.groupBy("qid").count().collect().forall(_.getLong(1) === 5L))
-    // opt-out keeps the self-pair at rank 1 (cosine 1.0)
-    val withSelf = Similarity.topKJoin(
-      vecs.filter(col("vid") < 3).select(col("vid").as("qid"), col("v")),
-      vecs, "qid", "vid", "v", "v", k = 5, excludeSelf = false)
+    // DEFAULT keeps id-colliding rows (an unrelated corpus sharing an id
+    // space must not silently lose its best match): self-pair at rank 1
+    val withSelf = Similarity.topKJoin(queries, vecs, "qid", "vid", "v", "v", k = 5)
     assert(withSelf.filter(col("qid") === col("vid") && col("rnk") === 1).count() === 3)
+  }
+
+  test("Ranges.merge coalesces overlaps/duplicates; runsOf splits on gaps") {
+    import graft.core.Ranges
+    assert(Ranges.merge(Seq((10L, 19L), (0L, 9L), (20L, 29L), (50L, 59L)))
+      === Seq((0L, 29L), (50L, 59L)))
+    assert(Ranges.merge(Seq((0L, 9L), (5L, 7L), (0L, 9L))) === Seq((0L, 9L)))
+    assert(Ranges.runsOf(Seq(5L, 6L, 6L, 7L, 100L)) === Seq((5L, 7L), (100L, 100L)))
+    assert(Ranges.runsOf(Seq.empty) === Seq.empty)
   }
 
   test("minhashCandidatePairs rejects numHashes not divisible by rowsPerBand") {
