@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hex_byte_length", "len(hex)//2 after 0x strip"),
       (es: Seq[Expression]) => HexByteLength(es.head)))
     e.injectFunction((
+      FunctionIdentifier("cjk_codepoint_count"),
+      info("cjk_codepoint_count", "count of codepoints in [U+4E00,U+9FFF]"),
+      (es: Seq[Expression]) => CjkCodepointCount(es.head)))
+    e.injectFunction((
       FunctionIdentifier("safe_long"),
       info("safe_long", "hex-aware tolerant int parse, UInt64-clamped"),
       (es: Seq[Expression]) => SafeLong(es.head)))

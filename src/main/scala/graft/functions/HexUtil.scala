@@ -91,4 +91,33 @@ object HexUtil {
         } catch { case _: NumberFormatException => default }
     }
   }
+
+  /** Count of codepoints in the CJK Unified Ideographs block
+    * [U+4E00, U+9FFF] — the language-ID script vote. Walks the UTF-8 bytes
+    * directly (every codepoint in the block is a 3-byte sequence), so it is
+    * one allocation-free pass instead of the full-text
+    * `regexp_replace("[^\\x{4e00}-\\x{9fff}]", "")` rewrite it replaces.
+    * Malformed trailing sequences are skipped, matching how UTF8String
+    * itself advances by lead byte.
+    */
+  def cjkCodepointCount(s: UTF8String): Int = {
+    if (s == null) return 0
+    val n = s.numBytes()
+    var i = 0
+    var acc = 0
+    while (i < n) {
+      val b0 = s.getByte(i) & 0xFF
+      if (b0 < 0x80) i += 1 // ASCII
+      else if (b0 < 0xE0) i += 2 // 2-byte seq: codepoint < 0x800 < 0x4E00
+      else if (b0 < 0xF0) { // 3-byte seq: codepoint in [0x800, 0xFFFF]
+        if (i + 2 < n) {
+          val cp = ((b0 & 0x0F) << 12) |
+            ((s.getByte(i + 1) & 0x3F) << 6) | (s.getByte(i + 2) & 0x3F)
+          if (cp >= 0x4E00 && cp <= 0x9FFF) acc += 1
+        }
+        i += 3
+      } else i += 4 // 4-byte seq: supplementary plane, > 0xFFFF
+    }
+    acc
+  }
 }

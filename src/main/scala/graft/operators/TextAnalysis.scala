@@ -88,8 +88,9 @@ object TextAnalysis {
     val best = greatest(structs: _*)
     // CJK text is unsegmented: whitespace tokens never intersect the
     // single-character zh profile, so detect it by script — ≥25% CJK
-    // codepoints wins before the stopword vote
-    val cjkChars = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    // codepoints wins before the stopword vote. Codegen'd single-pass
+    // counter; the regexp_replace it replaced was a 3× per-row CPU tax.
+    val cjkChars = graft.functions.GraftFunctions.cjk_codepoint_count(text)
     when(length(text) > 0 && cjkChars * 4 >= length(text), lit("zh"))
       .when(best.getField("score") > 0, best.getField("lang"))
       .otherwise(lit("und"))

@@ -34,8 +34,10 @@ object LlmInventory {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
 
-  /** Language-ID heuristic (stopword profiles) — no SQL oracle; correctness
-    * covered by ScalaTest. */
+  /** Language-ID heuristic (stopword profiles + CJK script vote) —
+    * oracle-checked: DuckDB `list_intersect` + a CASE chain reproduce the
+    * greatest-struct argmax (ties to earliest profile) exactly; scores are
+    * exact ints so the compare is deterministic. */
   val t4LangId: Q = (s, d) =>
     documents(s, d).select(
       col("doc_id"),
@@ -111,7 +113,10 @@ object LlmInventory {
     Dedup.nearDupGroups(documents(s, d), "doc_id", "text", jaccardThreshold = 0.8)
       .orderBy("doc_id")
 
-  /** Quality gate with drop reasons — rows-only (double thresholds). */
+  /** Quality gate with drop reasons — oracle-checked: every signal is
+    * integer arithmetic followed by ONE IEEE double division (the d8
+    * technique), so the threshold comparisons classify identically in
+    * Spark and DuckDB. */
   val t6QualityFilter: Q = (s, d) =>
     TextAnalysis.qualityFilter(documents(s, d), "text")
       .groupBy("quality_ok", "drop_reason")
@@ -285,6 +290,70 @@ object LlmInventory {
         |FROM documents""".stripMargin,
     "t3_lang_stats" ->
       "SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY lang",
+    "t4_lang_id" ->
+      // Mirrors TextAnalysis.langId: distinct \s+-tokens of lower(text),
+      // per-profile hit counts via list_intersect (exact ints), argmax with
+      // ties to earliest profile (CASE order = profile order), and the
+      // ≥25%-CJK-codepoints script override checked first.
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(lower(text), '^\s+|\s+$', '', 'g') AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN t = '' THEN []::VARCHAR[]
+        |              ELSE list_distinct(string_split_regex(t, '\s+')) END AS toks
+        |  FROM s),
+        |sc AS (
+        |  SELECT doc_id, length(text) AS n_chars_t4,
+        |    len(list_intersect(toks, ['the','and','of','to','a','in','is','it','you','that'])) AS s_en,
+        |    len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','ich','mit','zu'])) AS s_de,
+        |    len(list_intersect(toks, ['le','la','les','et','est','pas','un','une','je','que'])) AS s_fr,
+        |    len(list_intersect(toks, ['el','la','los','las','es','no','un','una','yo','que'])) AS s_es,
+        |    len(list_intersect(toks, ['的','了','是','我','不','在','有','他','这','就'])) AS s_zh,
+        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk
+        |  FROM tok)
+        |SELECT doc_id,
+        |  CASE WHEN n_chars_t4 > 0 AND cjk * 4 >= n_chars_t4 THEN 'zh'
+        |       WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+        |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+        |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+        |       ELSE 'zh' END AS lang_pred
+        |FROM sc""".stripMargin,
+    "t6_quality_filter" ->
+      // Mirrors TextAnalysis.qualityFilter: same \s+ token pipeline as t1,
+      // [[:punct:]] = Java \p{Punct} (both the ASCII POSIX class), each
+      // ratio one exact-int IEEE division → identical classification.
+      """WITH s AS (
+        |  SELECT doc_id, text, regexp_replace(text, '^\s+|\s+$', '', 'g') AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN t = '' THEN []::VARCHAR[]
+        |              ELSE string_split_regex(t, '\s+') END AS toks
+        |  FROM s),
+        |st AS (
+        |  SELECT doc_id, length(text) AS n_chars_q, len(toks) AS n_tokens_q,
+        |         CASE WHEN len(toks) > 0
+        |              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+        |              ELSE 0.0 END AS mean_token_len,
+        |         CASE WHEN length(text) > 0
+        |              THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)
+        |              ELSE 0.0 END AS punct_ratio
+        |  FROM tok),
+        |cls AS (
+        |  SELECT doc_id,
+        |         CASE WHEN n_chars_q < 50 THEN 'too_short'
+        |              WHEN n_chars_q > 100000 THEN 'too_long'
+        |              WHEN mean_token_len < 2.0 THEN 'tokens_too_short'
+        |              WHEN mean_token_len > 12.0 THEN 'tokens_too_long'
+        |              WHEN punct_ratio > 0.3 THEN 'too_much_punct'
+        |              ELSE NULL END AS drop_reason
+        |  FROM st)
+        |SELECT drop_reason IS NULL AS quality_ok, drop_reason, count(*) AS n
+        |FROM cls GROUP BY 1, 2""".stripMargin,
     "t5_fingerprint" ->
       """SELECT doc_id,
         |       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp

@@ -30,6 +30,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(HexUtil.popcountHex(u("0x" + "f" * 128)) === 512)
   }
 
+  test("cjkCodepointCount matches the regex it replaced on seeded mixed text") {
+    // oracle = the old per-row expression: count chars surviving
+    // regexp_replace(text, "[^\x{4e00}-\x{9fff}]", "")
+    def oracle(s: String): Int =
+      s.codePoints().toArray.count(cp => cp >= 0x4E00 && cp <= 0x9FFF)
+    val rnd = new scala.util.Random(7)
+    // alphabet spanning ASCII, Latin-1, CJK block edges, Hangul (adjacent
+    // block, must NOT count), 4-byte emoji, and in-block ideographs
+    val alphabet: Array[String] = Array(
+      "a", "Z", "é", "ß", "䷿", "一", "鿿", "ꀀ",
+      "中", "文", "的", "一", "가", "😀", " ", "\n", "0")
+    (1 to 300).foreach { _ =>
+      val s = (0 until rnd.nextInt(80)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(HexUtil.cjkCodepointCount(u(s)) === oracle(s), s"on ${s.take(40)}")
+    }
+    assert(HexUtil.cjkCodepointCount(null) === 0)
+    assert(HexUtil.cjkCodepointCount(u("")) === 0)
+    assert(HexUtil.cjkCodepointCount(u("中文全部都是汉字")) === 8)
+  }
+
   test("hexByteLen = len//2 after 0x strip (data_column_sidecars.py:67-74)") {
     assert(HexUtil.hexByteLen(u("0xaabb")) === 2)
     assert(HexUtil.hexByteLen(u("aabb")) === 2)
