@@ -11,7 +11,8 @@ import org.apache.spark.sql.SparkSession
   * graft load realtime  --base DIR --beacon-url U [--delay N] [--chunk-size N] [--iterations N] [--loaders a,b,c] [--metrics-port P]
   * graft transform batch|run --base DIR [--loader L] [--network N] [--continuous] [--poll-ms MS]
   * graft transform reprocess --base DIR --start-slot A --end-slot B [--loader L] [--chunk-size N]
-  * graft maintain check|fix|reset --base DIR
+  * graft maintain check|reset --base DIR
+  * graft maintain fix --base DIR [--start-slot A] [--end-slot B] [--loaders a,b] [--force] [--beacon-url U]
   * graft maintain refresh-specs --base DIR --beacon-url U
   * graft status --base DIR
   * graft fork info --slot S [--network gnosis|mainnet]
@@ -66,16 +67,20 @@ object Main {
       sys.exit(2)
   }
 
+  /** Offline deterministic fetcher (CI/testing): every 10th slot empty. */
+  private def offlineFetcher: SlotFetcher = new SlotFetcher {
+    def fetch(slot: Long): Option[String] =
+      if (slot % 10 == 9) None
+      else Some(
+        s"""{"version":"phase0","data":{"message":{"slot":"$slot","proposer_index":"${slot % 64}","parent_root":"0xp","state_root":"0xs","body":{"randao_reveal":"0xr","graffiti":"0x00","eth1_data":{"deposit_root":"0xd","deposit_count":"1","block_hash":"0xb"},"attestations":[],"deposits":[],"voluntary_exits":[],"proposer_slashings":[],"attester_slashings":[]}},"signature":"0xbs"}}""")
+  }
+
   private def fetcherOf(args: Array[String]): SlotFetcher =
     opt(args, "beacon-url") match {
-      case Some(url) => HttpSlotFetcher(url, "/eth/v2/beacon/blocks/{slot}")
-      case None => // offline deterministic fetcher for CI
-        new SlotFetcher {
-          def fetch(slot: Long): Option[String] =
-            if (slot % 10 == 9) None
-            else Some(
-              s"""{"version":"phase0","data":{"message":{"slot":"$slot","proposer_index":"${slot % 64}","parent_root":"0xp","state_root":"0xs","body":{"randao_reveal":"0xr","graffiti":"0x00","eth1_data":{"deposit_root":"0xd","deposit_count":"1","block_hash":"0xb"},"attestations":[],"deposits":[],"voluntary_exits":[],"proposer_slashings":[],"attester_slashings":[]}},"signature":"0xbs"}}""")
-        }
+      // --api-key is honored here exactly like the foundation fetch
+      case Some(url) => HttpSlotFetcher(
+        url, "/eth/v2/beacon/blocks/{slot}", apiKey = opt(args, "api-key"))
+      case None => offlineFetcher
     }
 
   private def backfill(args: Array[String]): Unit = {
@@ -141,11 +146,16 @@ object Main {
       val port = graft.core.Observability.start(spark, p.toInt)
       println(s"[graft] metrics server on :$port (/metrics, /health)")
     }
+    // realtime feeds the transformer continuously (reference
+    // loader.py:120-241): every ingested chunk is transformed in the same
+    // micro-batch, so structured tables tail the head too
+    val chained = Some((s"$base/tables", LedgerStore(s"$base/transformer_progress")))
     opt(args, "loaders") match {
       case Some(names) => // composite tail: every named loader per micro-batch
         val tls = names.split(",").toSeq.map { n =>
           val l = Loaders.byName(n.trim)
-          TailLoader(l, l.httpFetcher(url))
+          TailLoader(l, l.httpFetcher(url, opt(args, "api-key")),
+            chainedTransform = chained)
         }
         new CompositeTail(spark, cfg, probe, base,
           LedgerStore(s"$base/load_state_chunks"), tls, chunkSize, slotDelay)
@@ -153,6 +163,7 @@ object Main {
       case None =>
         new ChunkedTail(spark, cfg, fetcherOf(args), probe,
           s"$base/raw_blocks", LedgerStore(s"$base/load_state_chunks"),
+          chainedTransform = chained,
           chunkSize = chunkSize, slotDelay = slotDelay)
           .run(iterations)
     }
@@ -221,18 +232,29 @@ object Main {
         Maintenance.check(spark, chunkLedger, progressLedger, Seq("blocks"))
           .foreach { case (name, df) => println(s"[graft] $name:"); df.show(50, truncate = false) }
       case "fix" =>
-        val states = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))
-        // --force fixes EVERY chunk, not just failed ones (cli.py:65)
-        val targets =
-          if (args.contains("--force")) states
-          else states.filter(org.apache.spark.sql.functions.col("status") === "failed")
+        // one-command repair (reference maintenance.py:77-138): delete →
+        // reset → reload → retransform, scoped by --start-slot/--end-slot/
+        // --loaders, --force fixing EVERY chunk not just failed (cli.py:65)
+        val loaderDefs = opt(args, "loaders")
+          .map(_.split(",").toSeq.map(n => Loaders.byName(n.trim)))
+          .getOrElse(Seq(Loaders.blocks))
+        val fetcherFor: LoaderDef => SlotFetcher = opt(args, "beacon-url") match {
+          case Some(url) => l => l.httpFetcher(url, opt(args, "api-key"))
+          case None => _ => offlineFetcher
+        }
         // storedConfig, not the static preset: deleteSlotRange computes
         // month partitions from the cfg — a mismatch with the DERIVED
         // schedule the load ran under would target the wrong months
-        val n = Maintenance.fixChunks(spark,
-          Foundation.storedConfig(spark, base, networkOf(args)),
-          s"$base/raw_blocks", chunkLedger, targets)
-        println(s"[graft] fixed $n chunks (reset to pending; re-run load + transform)")
+        val fixed = Maintenance.fixAndRepair(spark,
+          Foundation.storedConfig(spark, base, networkOf(args)), base,
+          chunkLedger, progressLedger, loaderDefs, fetcherFor,
+          startSlot = opt(args, "start-slot").map(_.toLong).getOrElse(0L),
+          endSlot = opt(args, "end-slot").map(_.toLong).getOrElse(Long.MaxValue),
+          force = args.contains("--force"),
+          parallelism = spark.sparkContext.defaultParallelism)
+        fixed.foreach { case (l, n) =>
+          println(s"[graft] $l: $n chunks repaired (deleted + reloaded + retransformed)")
+        }
       case "reset" =>
         val claimed = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))
           .filter(org.apache.spark.sql.functions.col("status") === "claimed")

@@ -84,7 +84,7 @@ object Analytics {
     * (docs/pending-queues.md:113-128). */
   def appliedConsolidations(
       pendingConsolidations: DataFrame, dayPrev: java.sql.Date, day: java.sql.Date,
-      cfg: ChainConfig): DataFrame = {
+      cfg: ChainConfig, rawPending: Option[DataFrame] = None): DataFrame = {
     def snapshotAt(d: java.sql.Date) = {
       val lastSlot = cfg.lastSlotOfDay(d.toLocalDate)
       pendingConsolidations
@@ -93,9 +93,19 @@ object Analytics {
     }
     val cur = snapshotAt(day)
     // a MISSING day-D snapshot (ingest hasn't reached it / fetch failed)
-    // must not report the entire previous queue as "applied" — there is
-    // nothing to diff against, so the honest answer is empty
-    if (cur.isEmpty) cur.limit(0)
+    // must not report the entire previous queue as "applied" — but an
+    // empty parsed snapshot is AMBIGUOUS: the queue may legitimately have
+    // drained to empty (common for pending_consolidations), in which case
+    // the full D-1 set really was applied. With the raw table available we
+    // can tell the two apart: a raw payload row for the day-D slot proves
+    // the snapshot was ingested (its data[] was just empty). Without it,
+    // fall back to the conservative empty answer.
+    val snapshotPresent = rawPending match {
+      case Some(raw) =>
+        !raw.filter(col("slot") === cfg.lastSlotOfDay(day.toLocalDate)).isEmpty
+      case None => !cur.isEmpty
+    }
+    if (!snapshotPresent) cur.limit(0)
     else snapshotAt(dayPrev).except(cur)
   }
 

@@ -105,6 +105,21 @@ object Foundation {
   def genesisDir(baseDir: String): String = s"$baseDir/tables/genesis"
   def specsDir(baseDir: String): String = s"$baseDir/tables/specs"
   def timeHelpersDir(baseDir: String): String = s"$baseDir/tables/time_helpers"
+  def rawGenesisDir(baseDir: String): String = s"$baseDir/raw_genesis"
+  def rawSpecsDir(baseDir: String): String = s"$baseDir/raw_specs"
+
+  /** Raw foundation payload row — same shape as the slot raw tables minus
+    * the slot (reference stores the unparsed genesis/specs JSON beside the
+    * structured rows, migrations/003_raw_tables.sql:25-35): the audit
+    * trail that lets the structured tables be re-parsed byte-for-byte. */
+  private def rawPayload(spark: SparkSession, payloadJson: String): DataFrame = {
+    import spark.implicits._
+    Seq(payloadJson).toDF("payload")
+      .select(
+        col("payload"),
+        lit(graft.functions.CanonicalJson.payloadHash16(payloadJson)).as("payload_hash"),
+        current_timestamp().as("retrieved_at"))
+  }
 
   /** The reference's mandatory pre-load sequence (genesis → specs →
     * verify, src/services/loader.py:1008-1060): fetch both payloads,
@@ -115,8 +130,10 @@ object Foundation {
   def bootstrap(
       spark: SparkSession, fetcher: FoundationFetcher, baseDir: String,
       network: String): ChainConfig = {
-    val g = genesis(spark, fetcher.genesis())
-    val s = specs(spark, fetcher.specs())
+    val genesisJson = fetcher.genesis()
+    val specsJson = fetcher.specs()
+    val g = genesis(spark, genesisJson)
+    val s = specs(spark, specsJson)
     val gDir = genesisDir(baseDir)
     if (graft.core.Fs.hasParquetFiles(spark, gDir)) {
       val stored = spark.read.parquet(gDir)
@@ -125,6 +142,10 @@ object Foundation {
       require(stored == fetched,
         s"genesis verify failed: stored=$stored node=$fetched — refusing to mix chains")
     }
+    // raw payloads land beside the structured tables (S7 audit parity):
+    // re-parse of raw_genesis/raw_specs must reproduce genesis/specs
+    rawPayload(spark, genesisJson).write.mode("overwrite").parquet(rawGenesisDir(baseDir))
+    rawPayload(spark, specsJson).write.mode("overwrite").parquet(rawSpecsDir(baseDir))
     g.write.mode("overwrite").parquet(gDir)
     s.write.mode("overwrite").parquet(specsDir(baseDir))
     timeHelpers(g, s).write.mode("overwrite").parquet(timeHelpersDir(baseDir))
@@ -135,7 +156,9 @@ object Foundation {
     * spec table and recompute time_helpers against the stored genesis. */
   def refreshSpecs(
       spark: SparkSession, fetcher: FoundationFetcher, baseDir: String): Long = {
-    val s = specs(spark, fetcher.specs())
+    val specsJson = fetcher.specs()
+    val s = specs(spark, specsJson)
+    rawPayload(spark, specsJson).write.mode("overwrite").parquet(rawSpecsDir(baseDir))
     s.write.mode("overwrite").parquet(specsDir(baseDir))
     if (graft.core.Fs.hasParquetFiles(spark, genesisDir(baseDir))) {
       val g = spark.read.parquet(genesisDir(baseDir))

@@ -97,6 +97,72 @@ object Maintenance {
     rows.length
   }
 
+  /** D5 complete: the reference's one-command repair loop
+    * (reference: src/services/maintenance.py:77-138 — cleanup → reset →
+    * reload → retransform, and maintenance.py:240-258 deletes from the
+    * TRANSFORMED tables as well as the raw one). Per loader:
+    *
+    *  1. identify target chunks — failed, or ALL with `force` — scoped to
+    *     `[startSlot, endSlot]` by range overlap;
+    *  2. delete the merged slot windows from the raw table AND every
+    *     structured table the loader owns (partition-scoped rewrites);
+    *  3. reset the ledger rows to pending (versioned append);
+    *  4. re-ingest the chunk grid fused (per-chunk fallback), honoring the
+    *     loader's fetch gates and mega-payload split;
+    *  5. re-transform the same grid fused (per-chunk fallback), so
+    *     progress stays chunk-grained and latest() readers switch over
+    *     atomically per key.
+    *
+    * Returns chunks repaired per loader. */
+  def fixAndRepair(
+      spark: SparkSession, cfg: ChainConfig, base: String,
+      chunkLedger: LedgerStore, progressLedger: LedgerStore,
+      loaders: Seq[LoaderDef], fetcherFor: LoaderDef => SlotFetcher,
+      startSlot: Long = 0L, endSlot: Long = Long.MaxValue,
+      force: Boolean = false, parallelism: Int = 4): Map[String, Int] = {
+    val states = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))
+    loaders.map { loader =>
+      val targets = states
+        .filter(col("loader_name") === loader.name)
+        .filter(if (force) lit(true) else col("status") === "failed")
+        .filter(col("start_slot") <= endSlot && col("end_slot") >= startSlot)
+      val rows = targets.select("start_slot", "end_slot").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      if (rows.isEmpty) loader.name -> 0
+      else {
+        val rawDir = s"$base/${loader.rawTable}"
+        val version = System.currentTimeMillis()
+        // merge adjacent ranges first: 100 failed chunks in one month must
+        // not rewrite that month partition 100 times — and delete the
+        // STRUCTURED windows too (stale rows are masked by latest() until
+        // the retransform lands, but the reference removes them outright)
+        graft.core.Ranges.merge(rows).foreach { case (s, e) =>
+          deleteSlotRange(spark, rawDir, cfg, s, e)
+          loader.tables.foreach { t =>
+            deleteSlotRange(spark, s"$base/tables/$t", cfg, s, e)
+          }
+        }
+        chunkLedger.append(Ledger.transition(targets, "pending", "maintenance", version))
+        val fetcher = fetcherFor(loader)
+        val gate = Some(RawIngest.slotGate(cfg, loader.activationFork, loader.dailyOnly))
+        val loaded = RawIngest.ingestChunksFused(
+          spark, cfg, fetcher, rawDir, chunkLedger, loader.name, rows,
+          parallelism, split = loader.splitPayload, gate = gate)
+        if (!loaded) rows.foreach { case (s, e) =>
+          RawIngest.ingestChunk(spark, cfg, fetcher, rawDir, chunkLedger,
+            loader.name, s, e, parallelism, split = loader.splitPayload, gate = gate)
+        }
+        val transformed = Transformer.transformChunksFused(
+          spark, cfg, loader, rawDir, s"$base/tables", progressLedger, rows)
+        if (!transformed) rows.foreach { case (s, e) =>
+          Transformer.transformChunk(
+            spark, cfg, loader, rawDir, s"$base/tables", progressLedger, s, e)
+        }
+        loader.name -> rows.length
+      }
+    }.toMap
+  }
+
   /** D7: flip chunk status via versioned insert
     * (reference: maintenance.py:669-715). */
   def resetChunks(

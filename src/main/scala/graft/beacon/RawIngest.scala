@@ -147,8 +147,22 @@ object RawIngest {
       parallelism: Int = 4, splitThresholdBytes: Int = 8 << 20,
       entriesPerPart: Int = 50000): DataFrame = {
     import spark.implicits._
+    fetchSlotsSplitDs(spark.createDataset(slots), fetcher, parallelism,
+      splitThresholdBytes, entriesPerPart)
+  }
+
+  /** [[fetchSlotsSplit]] over an already-distributed slot Dataset — the
+    * split analog of [[fetchSlotsDs]], so the fused/pooled bulk ingest
+    * paths can honor `LoaderDef.splitPayload` without materializing slots
+    * driver-side. */
+  def fetchSlotsSplitDs(
+      slots: org.apache.spark.sql.Dataset[Long], fetcher: SlotFetcher,
+      parallelism: Int = 4, splitThresholdBytes: Int = 8 << 20,
+      entriesPerPart: Int = 50000): DataFrame = {
+    val spark = slots.sparkSession
+    import spark.implicits._
     val byEndpoint = graft.core.Metrics.endpoint(spark, routeOf(fetcher))
-    val ds = spark.createDataset(slots).repartition(parallelism)
+    val ds = slots.repartition(parallelism)
     ds.mapPartitions { it =>
       it.flatMap { slot =>
         byEndpoint.add(1)
@@ -193,13 +207,18 @@ object RawIngest {
       rawDir: String, ledger: LedgerStore, loader: String,
       startSlot: Long, endSlot: Long, parallelism: Int = 4,
       version: Long = System.currentTimeMillis(),
-      split: Boolean = false): Boolean = {
+      split: Boolean = false,
+      gate: Option[Long => Boolean] = None): Boolean = {
     val chunk = Ledger.chunkRow(spark, loader, startSlot, endSlot)
     ledger.append(Ledger.transition(chunk, "claimed", "spark", version))
     try {
+      val slots = gate match {
+        case Some(g) => startSlot.to(endSlot).filter(g)
+        case None => startSlot.to(endSlot)
+      }
       val rows =
-        if (split) fetchSlotsSplit(spark, startSlot.to(endSlot), fetcher, parallelism)
-        else fetchSlots(spark, startSlot.to(endSlot), fetcher, parallelism)
+        if (split) fetchSlotsSplit(spark, slots, fetcher, parallelism)
+        else fetchSlots(spark, slots, fetcher, parallelism)
       writeRaw(rows, cfg, rawDir)
       ledger.append(Ledger.transition(chunk, "completed", "spark", version + 1))
       graft.core.Metrics.of(spark).chunksCompleted.add(1)
@@ -224,23 +243,36 @@ object RawIngest {
       spark: SparkSession, cfg: ChainConfig, fetcher: SlotFetcher,
       rawDir: String, ledger: LedgerStore, loader: String,
       ranges: Seq[(Long, Long)], parallelism: Int = 4,
-      version: Long = System.currentTimeMillis()): Boolean = {
+      version: Long = System.currentTimeMillis(),
+      split: Boolean = false,
+      gate: Option[Long => Boolean] = None): Boolean = {
     if (ranges.isEmpty) return true
     val chunks = Ledger.chunkRows(spark, loader, ranges)
     ledger.append(Ledger.transition(chunks, "claimed", "spark-fused", version))
     try {
       // the driver holds only the RANGES; slots explode executor-side (a
-      // 10M-slot backfill must not become a 10M-element LocalRelation)
+      // 10M-slot backfill must not become a 10M-element LocalRelation);
+      // the loader's fetch gate (fork floor / daily-only) filters there too
       import spark.implicits._
-      val slots = spark.createDataset(ranges)
+      val exploded = spark.createDataset(ranges)
         .flatMap { case (s, e) => s.to(e) }
-      val rows = fetchSlotsDs(slots, fetcher, parallelism)
+      val slots = gate match {
+        case Some(g) => exploded.filter(g)
+        case None => exploded
+      }
+      val rows =
+        if (split) fetchSlotsSplitDs(slots, fetcher, parallelism)
+        else fetchSlotsDs(slots, fetcher, parallelism)
       writeRaw(rows, cfg, rawDir)
       ledger.append(Ledger.transition(chunks, "completed", "spark-fused", version + 1))
       graft.core.Metrics.of(spark).chunksCompleted.add(ranges.length)
       true
     } catch {
-      case scala.util.control.NonFatal(_) =>
+      case scala.util.control.NonFatal(e) =>
+        // never silent: the caller's per-chunk fallback re-runs the work,
+        // but the FIRST failure of a fused 10M-slot backfill must be
+        // diagnosable without that re-run
+        graft.core.Observability.reportError(s"ingestChunksFused($loader)", e)
         ledger.append(Ledger.transition(chunks, "failed", "spark-fused", version + 1))
         graft.core.Metrics.of(spark).chunksFailed.add(ranges.length)
         false
@@ -262,7 +294,9 @@ object RawIngest {
       spark: SparkSession, cfg: ChainConfig, fetcher: SlotFetcher,
       rawDir: String, ledger: LedgerStore, loader: String,
       ranges: Seq[(Long, Long)], workers: Int = 4,
-      parallelism: Int = 4): Seq[Boolean] = {
+      parallelism: Int = 4,
+      split: Boolean = false,
+      gate: Option[Long => Boolean] = None): Seq[Boolean] = {
     if (ranges.isEmpty) return Seq.empty
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, workers))
     try {
@@ -274,7 +308,13 @@ object RawIngest {
             commitLock.synchronized {
               ledger.append(Ledger.transition(chunk, "claimed", "spark-pool", version))
             }
-            val rows = fetchSlots(spark, s.to(e), fetcher, parallelism).persist()
+            val slots = gate match {
+              case Some(g) => s.to(e).filter(g)
+              case None => s.to(e)
+            }
+            val rows = (
+              if (split) fetchSlotsSplit(spark, slots, fetcher, parallelism)
+              else fetchSlots(spark, slots, fetcher, parallelism)).persist()
             try {
               rows.count() // fetch runs NOW, outside the commit lock
               commitLock.synchronized {
@@ -286,7 +326,8 @@ object RawIngest {
               }
               true
             } catch {
-              case scala.util.control.NonFatal(_) =>
+              case scala.util.control.NonFatal(ex) =>
+                graft.core.Observability.reportError(s"ingestChunksPooled($loader, $s-$e)", ex)
                 commitLock.synchronized {
                   ledger.append(Ledger.transition(chunk, "failed", "spark-pool", version + 1))
                   graft.core.Metrics.of(spark).chunksFailed.add(1)
@@ -316,5 +357,18 @@ object RawIngest {
       val d2 = (cfg.genesisTimeUnix + (s + 1) * cfg.secondsPerSlot) / 86400
       d1 != d2
     }
+  }
+
+  /** [[gateSlots]] as a serializable per-slot predicate: closes over
+    * primitives only (floor/genesis/cadence), so the fused/pooled bulk
+    * ingest paths can gate executor-side without shipping the config. */
+  def slotGate(
+      cfg: ChainConfig, activationFork: Option[String],
+      dailyOnly: Boolean): Long => Boolean = {
+    val floor = activationFork.flatMap(cfg.activationSlot).getOrElse(0L)
+    val genesis = cfg.genesisTimeUnix
+    val sps = cfg.secondsPerSlot
+    s => s >= floor && (!dailyOnly ||
+      (genesis + s * sps) / 86400 != (genesis + (s + 1) * sps) / 86400)
   }
 }

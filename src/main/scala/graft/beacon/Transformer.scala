@@ -205,6 +205,17 @@ object Transformer {
       ranges: Seq[(Long, Long)],
       version: Long = System.currentTimeMillis()): Boolean = {
     if (ranges.isEmpty) return true
+    // tagChunks silently DUPLICATES a slot that falls in two ranges (it
+    // joins both) — mixed chunk grids in the ledger (streaming exact runs
+    // vs planned chunks after a chunk-size change) could feed overlapping
+    // ranges here. Cheap driver-side check; fall back to per-chunk.
+    val sorted = ranges.sortBy(_._1)
+    val overlapping = sorted.zip(sorted.tail).exists { case ((_, e1), (s2, _)) => s2 <= e1 }
+    if (overlapping || sorted.exists { case (s, e) => s > e }) {
+      graft.core.Observability.reportError(s"transformChunksFused(${loader.name})",
+        new IllegalArgumentException(s"overlapping or inverted chunk ranges: ${sorted.take(5)}…"))
+      return false
+    }
     if (!graft.core.Fs.exists(spark, rawDir)) return false // missing ≠ empty
     if (!graft.core.Fs.hasParquetFiles(spark, rawDir)) {
       // all-empty raw table: every range completes with zero rows
@@ -250,7 +261,11 @@ object Transformer {
         true
       } finally prepared.unpersist()
     } catch {
-      case scala.util.control.NonFatal(_) => false
+      case scala.util.control.NonFatal(e) =>
+        // never silent: the per-chunk fallback re-runs the work, but the
+        // first fused failure must be diagnosable without the re-run
+        graft.core.Observability.reportError(s"transformChunksFused(${loader.name})", e)
+        false
     }
   }
 
@@ -310,6 +325,15 @@ object Transformer {
       spark: SparkSession, cfg: ChainConfig, loader: LoaderDef,
       rawDir: String, outDir: String, progress: LedgerStore,
       startSlot: Long, endSlot: Long, chunkSize: Long = 100L): Boolean = {
+    // pre-flight BEFORE deleting: a missing raw dir (archived, wrong
+    // --base) means the re-transform below can only fail, and the already-
+    // transformed output rows would be permanently deleted for nothing
+    if (!graft.core.Fs.exists(spark, rawDir)) {
+      graft.core.Observability.reportError(s"reprocess(${loader.name})",
+        new java.io.FileNotFoundException(
+          s"raw dir $rawDir missing — aborting before deleting output tables"))
+      return false
+    }
     loader.tables.foreach { t =>
       Maintenance.deleteSlotRange(spark, s"$outDir/$t", cfg, startSlot, endSlot)
     }

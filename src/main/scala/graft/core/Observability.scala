@@ -52,6 +52,17 @@ object Observability {
   /** Thread-safe health update (reference `update_health`). */
   def updateHealth(kv: (String, String)*): Unit = healthState ++= kv
 
+  /** Log + surface a component failure in `/health` — shared by the
+    * streaming poll loops and the fused batch paths. A fused 10M-slot
+    * backfill that fails must leave a diagnostic somewhere even though the
+    * caller recovers via the per-chunk fallback. */
+  def reportError(who: String, e: Throwable): Unit = {
+    System.err.println(s"[graft] $who failed: $e")
+    updateHealth(
+      "last_error" -> s"$who: $e",
+      "last_error_at" -> java.time.Instant.now().toString)
+  }
+
   def health: Map[String, String] = healthState.toMap
 
   private def jsonEscape(s: String): String =
@@ -94,7 +105,15 @@ object Observability {
   def start(spark: SparkSession, port: Int = 9090,
       gauges: () => Map[String, Long] = () => Map.empty): Int = synchronized {
     server match {
-      case Some(s) => s.getAddress.getPort
+      case Some(s) =>
+        // idempotent start returns the RUNNING server: a mismatched port
+        // request (or fresh gauges closure) is ignored, which must not be
+        // silent — the second caller would believe its port was honored
+        val bound = s.getAddress.getPort
+        if (port != 0 && port != bound)
+          System.err.println(
+            s"[graft] metrics server already on :$bound; ignoring request for :$port (and its gauges)")
+        bound
       case None =>
         val s = HttpServer.create(new java.net.InetSocketAddress(port), 0)
         def respond(ex: HttpExchange, code: Int, contentType: String, body: String): Unit = {

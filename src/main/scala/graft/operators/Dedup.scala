@@ -200,15 +200,20 @@ object Dedup {
         .filter(f => f.name == "d1" || f.name == "d2")
         .forall(f => Set[DataType](ByteType, ShortType, IntegerType, LongType)(f.dataType))
     }
-    val edges = pairs.select(col("d1").cast("long"), col("d2").cast("long"))
     // single bounded action decides the path AND fetches the edges — a
     // separate count() probe would cost one full extra pass over the
-    // (possibly expensive) upstream pipeline
-    val bounded =
-      if (integralIds) edges.limit((driverThreshold + 1).toInt).collect()
-      else Array.empty[org.apache.spark.sql.Row]
+    // (possibly expensive) upstream pipeline. Collected as a PRIMITIVE
+    // Dataset[(Long,Long)] (tuple encoder), not Rows: 5M boxed Rows with
+    // object headers cost hundreds of driver MB; primitive tuples are
+    // ~3× lighter and never materialize a GenericRow each
+    val bounded: Array[(Long, Long)] =
+      if (integralIds) {
+        import spark.implicits._
+        pairs.select(col("d1").cast("long"), col("d2").cast("long"))
+          .as[(Long, Long)].limit((driverThreshold + 1).toInt).collect()
+      } else Array.empty
     if (integralIds && bounded.length <= driverThreshold) {
-      val es = bounded.map(r => (r.getLong(0), r.getLong(1)))
+      val es = bounded
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

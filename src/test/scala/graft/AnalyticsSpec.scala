@@ -81,6 +81,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(applied(0).getAs[Long]("source_index") === 100L)
   }
 
+  test("appliedConsolidations: drained-to-empty queue vs missing snapshot (raw disambiguation)") {
+    val d1 = java.sql.Date.valueOf("2021-12-09")
+    val d2 = java.sql.Date.valueOf("2021-12-10")
+    val s1 = cfg.lastSlotOfDay(d1.toLocalDate)
+    val s2 = cfg.lastSlotOfDay(d2.toLocalDate)
+    // day-2 parsed snapshot is EMPTY — ambiguous on its own
+    val pending = Seq((s1, 100L, 200L), (s1, 101L, 200L))
+      .toDF("slot", "source_index", "target_index")
+    // without the raw table: conservative empty (can't tell missing from drained)
+    assert(Analytics.appliedConsolidations(pending, d1, d2, cfg).count() === 0)
+    // a raw payload row at the day-2 slot proves the snapshot WAS ingested
+    // with an empty queue → the full day-1 set really was applied
+    val raw = Seq((s2, "{}")).toDF("slot", "payload")
+    val applied = Analytics.appliedConsolidations(pending, d1, d2, cfg, Some(raw))
+      .orderBy("source_index").collect()
+    assert(applied.map(_.getAs[Long]("source_index")).toSeq === Seq(100L, 101L))
+    // raw row absent for day-2 → still suppressed
+    val rawOther = Seq((s1, "{}")).toDF("slot", "payload")
+    assert(Analytics.appliedConsolidations(pending, d1, d2, cfg, Some(rawOther)).count() === 0)
+  }
+
   test("balanceDeltas windowed lag") {
     val v = Seq(
       (100L, 1, 32000000000L), (200L, 1, 32001000000L),

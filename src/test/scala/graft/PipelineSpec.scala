@@ -286,6 +286,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/raw_blocks").count() === rawCountBefore)
   }
 
+  test("CompositeTail chained transform: structured rows land in the same micro-batch (R1)") {
+    val base = tmp()
+    val chunkLedger = LedgerStore(s"$base/chunks")
+    val progressLedger = LedgerStore(s"$base/progress")
+    val probe = new HeadProbe { def headSlot(): Long = 160L }
+    // mirrors Main.realtime --loaders wiring: each TailLoader chains its
+    // transform, so raw AND structured tables tail the head together
+    val tail = new CompositeTail(spark, cfg, probe, base, chunkLedger,
+      Seq(TailLoader(Loaders.blocks, fetcherFor(0 until 200),
+        chainedTransform = Some((s"$base/tables", progressLedger)))),
+      chunkSize = 100L, slotDelay = 50L, pollMillis = 1L)
+    tail.run(1)
+    // chunk [0,99] was ingested and transformed in one micro-batch
+    assert(spark.read.parquet(s"$base/tables/blocks").count() === 80)
+    val prog = Ledger.latest(
+      progressLedger.read(spark, Schemas.transformerProgress),
+      Seq("raw_table_name", "start_slot", "end_slot"), "insert_version").collect()
+    assert(prog.length === 1 && prog(0).getAs[String]("status") === "completed")
+  }
+
   test("CompositeTail.planFor: activation-fork floor gates windows and daily slots") {
     val probe = new HeadProbe { def headSlot(): Long = 0L }
     val tail = new CompositeTail(spark, cfg, probe, tmp(), LedgerStore(tmp() + "/cl"),
@@ -613,5 +633,134 @@ class PipelineSpec extends AnyFunSuite {
       val d2 = (cfg.genesisTimeUnix + (s + 1) * 5) / 86400
       assert(d1 != d2)
     }
+  }
+
+  test("slotGate predicate agrees with gateSlots (fused-path executor gating)") {
+    val slots = (27434990L to 27435020L) ++ (0L to 40000L by 7L)
+    for {
+      fork <- Seq(None, Some("fulu"))
+      daily <- Seq(false, true)
+    } {
+      val g = RawIngest.slotGate(cfg, fork, daily)
+      assert(slots.filter(g) === RawIngest.gateSlots(cfg, slots, fork, daily),
+        s"fork=$fork daily=$daily")
+    }
+  }
+
+  test("fixAndRepair: one-command delete → reset → reload → retransform (D5 complete)") {
+    val base = tmp()
+    val chunkLedger = LedgerStore(s"$base/load_state_chunks")
+    val progressLedger = LedgerStore(s"$base/transformer_progress")
+    val rawDir = s"$base/raw_blocks"
+    val outDir = s"$base/tables"
+    val good = fetcherFor(0 until 100)
+    val poisoned = new SlotFetcher {
+      def fetch(slot: Long): Option[String] =
+        if (slot >= 50) throw new RuntimeException("node down") else good.fetch(slot)
+    }
+    assert(RawIngest.ingestChunk(spark, cfg, poisoned, rawDir, chunkLedger, "blocks", 0, 49))
+    assert(!RawIngest.ingestChunk(spark, cfg, poisoned, rawDir, chunkLedger, "blocks", 50, 99))
+    Transformer.runBatch(spark, cfg, rawDir, outDir, chunkLedger, progressLedger)
+    assert(spark.read.parquet(s"$outDir/blocks").count() === 40) // only the healthy chunk
+    // range scoping: a fix window that misses the failed chunk repairs nothing
+    val none = Maintenance.fixAndRepair(spark, cfg, base, chunkLedger, progressLedger,
+      Seq(Loaders.blocks), _ => good, startSlot = 0L, endSlot = 49L)
+    assert(none("blocks") === 0)
+    // the one-command repair: delete window → reset → reload → retransform
+    val fixed = Maintenance.fixAndRepair(spark, cfg, base, chunkLedger, progressLedger,
+      Seq(Loaders.blocks), _ => good)
+    assert(fixed("blocks") === 1)
+    val states = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))
+    assert(states.filter(col("status") === "completed").count() === 2)
+    assert(spark.read.parquet(rawDir).select("slot").distinct().count() === 80)
+    assert(spark.read.parquet(s"$outDir/blocks").count() === 80) // repaired, no dups
+    // chunk-grained progress row for the repaired range
+    val prog = Ledger.latest(
+      progressLedger.read(spark, Schemas.transformerProgress),
+      Seq("raw_table_name", "start_slot", "end_slot"), "insert_version")
+      .filter(col("start_slot") === 50L).collect()
+    assert(prog.length === 1 && prog(0).getAs[String]("status") === "completed")
+  }
+
+  test("fused ingest/transform failures surface in /health, overlap rejected (never silent)") {
+    val rawDir = tmp() + "/raw_health"
+    val ledger = LedgerStore(tmp() + "/chunks_health")
+    val boom = new SlotFetcher {
+      def fetch(slot: Long): Option[String] = throw new RuntimeException("boom-ingest")
+    }
+    graft.core.Observability.updateHealth("last_error" -> "none")
+    assert(!RawIngest.ingestChunksFused(spark, cfg, boom, rawDir, ledger, "blocks",
+      Seq((0L, 9L), (10L, 19L))))
+    assert(graft.core.Observability.health("last_error").contains("ingestChunksFused"))
+    // overlapping ranges would silently duplicate rows in tagChunks — the
+    // fused transform rejects them up front (per-chunk fallback takes over)
+    val progress = LedgerStore(tmp() + "/progress_health")
+    assert(!Transformer.transformChunksFused(spark, cfg, Loaders.blocks, rawDir,
+      tmp() + "/t_health", progress, Seq((0L, 10L), (5L, 15L))))
+    assert(graft.core.Observability.health("last_error").contains("overlapping"))
+  }
+
+  test("ingestChunksFused split + gate: part columns and gated slots (P19/F5 bulk wiring)") {
+    val base = tmp()
+    val ledger = LedgerStore(s"$base/cl")
+    val rawDir = s"$base/raw_validators"
+    val payload = """{"data":[{"index":"1","balance":"32"}]}"""
+    val fetcher = MapSlotFetcher((0L to 3000L).map(_ -> payload).toMap)
+    val gate = RawIngest.slotGate(cfg, None, dailyOnly = true)
+    assert(RawIngest.ingestChunksFused(spark, cfg, fetcher, rawDir, ledger,
+      "validators", Seq((0L, 3000L)), split = true, gate = Some(gate)))
+    val raw = spark.read.parquet(rawDir)
+    assert(raw.columns.contains("part_index") && raw.columns.contains("part_count"))
+    // daily gate: only slot 2931 (the one UTC-day boundary in [0,3000]) fetched
+    assert(raw.select("slot").distinct().collect().map(_.getLong(0)).toSeq === Seq(2931L))
+  }
+
+  test("reprocess aborts BEFORE deleting outputs when the raw dir is missing (data-loss guard)") {
+    val base = tmp()
+    val rawDir = s"$base/raw_blocks"
+    val outDir = s"$base/tables"
+    val progress = LedgerStore(s"$base/progress")
+    RawIngest.ingestChunk(spark, cfg, fetcherFor(0 until 50), rawDir,
+      LedgerStore(s"$base/cl"), "blocks", 0, 49)
+    assert(Transformer.transformBlocksChunk(spark, cfg, rawDir, outDir,
+      progress, 0, 49, version = 1L))
+    assert(spark.read.parquet(s"$outDir/blocks").count() === 40)
+    // wrong --base / archived raw dir: reprocess must fail WITHOUT deleting
+    assert(!Transformer.reprocess(spark, cfg, Loaders.blocks,
+      s"$base/raw_blocks_ARCHIVED", outDir, progress, 0, 49))
+    assert(spark.read.parquet(s"$outDir/blocks").count() === 40) // untouched
+  }
+
+  test("bootstrap persists raw genesis/specs that re-parse to the structured tables (S7 audit)") {
+    val base = tmp()
+    val genesisJson =
+      """{"data":{"genesis_time":"1638993340","genesis_validators_root":"0xgvr","genesis_fork_version":"0x00000064"}}"""
+    val specsJson =
+      """{"data":{"SECONDS_PER_SLOT":"5","SLOTS_PER_EPOCH":"16"}}"""
+    Foundation.bootstrap(spark, MapFoundationFetcher(genesisJson, specsJson), base, "gnosis")
+    for ((dir, json) <- Seq(
+        Foundation.rawGenesisDir(base) -> genesisJson,
+        Foundation.rawSpecsDir(base) -> specsJson)) {
+      val raw = spark.read.parquet(dir)
+      assert(raw.count() === 1)
+      val row = raw.head()
+      assert(row.getAs[String]("payload") === json)
+      assert(row.getAs[String]("payload_hash")
+        === graft.functions.CanonicalJson.payloadHash16(json))
+      assert(row.getAs[java.sql.Timestamp]("retrieved_at") != null)
+    }
+    // audit parity: re-parsing the stored raw payloads reproduces the
+    // structured tables byte-for-byte
+    val reG = Foundation.genesis(spark,
+      spark.read.parquet(Foundation.rawGenesisDir(base)).head().getAs[String]("payload"))
+    assert(reG.collect().toSeq === spark.read.parquet(Foundation.genesisDir(base))
+      .select("genesis_time", "genesis_validators_root", "genesis_fork_version")
+      .collect().toSeq)
+    val reS = Foundation.specs(spark,
+      spark.read.parquet(Foundation.rawSpecsDir(base)).head().getAs[String]("payload"))
+      .select("parameter_name", "parameter_value").orderBy("parameter_name")
+    assert(reS.collect().toSeq === spark.read.parquet(Foundation.specsDir(base))
+      .select("parameter_name", "parameter_value").orderBy("parameter_name")
+      .collect().toSeq)
   }
 }
