@@ -31,12 +31,17 @@ object TextAnalysis {
       c => length(c) > 0))
 
   /** Quality signals: length, token count, mean token length, punctuation
-    * ratio, stopword ratio. Composable score in [0,1]. */
+    * ratio, stopword ratio. Composable score in [0,1]. Tokenizes ONCE into
+    * a hidden column (same CollapseProject-resistant shape as
+    * [[withLangId]]): the token array feeds four of the five signals, and
+    * inlining it would re-run the tokenizer per signal per row. */
   def qualityStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
+    val tmp = "__quality_toks"
+    val toks = col(tmp)
     val stop = typedLit(Seq("the", "a", "of", "and", "to", "in", "is"))
-    df.withColumn("n_chars_q", length(t))
+    df.withColumn(tmp, tokens(t))
+      .withColumn("n_chars_q", length(t))
       .withColumn("n_tokens_q", size(toks))
       .withColumn(
         "mean_token_len",
@@ -53,6 +58,7 @@ object TextAnalysis {
         when(size(toks) > 0,
           size(filter(toks, x => array_contains(stop, lower(x)))).cast("double") / size(toks))
           .otherwise(lit(0.0)))
+      .drop(tmp)
   }
 
   /** Language-ID heuristic: score each candidate language by its stopword
@@ -77,8 +83,13 @@ object TextAnalysis {
     }
   }
 
-  def langId(text: Column): Column = {
-    val scores = langIdScores(text)
+  /** Argmax + CJK-override verdict over an ALREADY-COMPUTED distinct-token
+    * array (see [[withLangId]] for why the tokens are materialized
+    * separately). */
+  private def langIdFromTokens(text: Column, toks: Column): Column = {
+    val scores = langProfiles.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, typedLit(words)))
+    }
     // argmax via greatest() over (score, -profileOrder, lang) structs:
     // field-by-field comparison gives highest score, ties to the earliest
     // profile — all codegen'd, no fold
@@ -89,11 +100,31 @@ object TextAnalysis {
     // CJK text is unsegmented: whitespace tokens never intersect the
     // single-character zh profile, so detect it by script — ≥25% CJK
     // codepoints wins before the stopword vote. Codegen'd single-pass
-    // counter; the regexp_replace it replaced was a 3× per-row CPU tax.
+    // counter; the regexp_replace it replaced was a per-row CPU tax.
     val cjkChars = graft.functions.GraftFunctions.cjk_codepoint_count(text)
     when(length(text) > 0 && cjkChars * 4 >= length(text), lit("zh"))
       .when(best.getField("score") > 0, best.getField("lang"))
       .otherwise(lit("und"))
+  }
+
+  def langId(text: Column): Column =
+    langIdFromTokens(text, array_distinct(tokens(lower(text))))
+
+  /** The scale path for language-ID: tokenize ONCE into a hidden column in
+    * a lower projection, then score. The Column-level [[langId]] embeds the
+    * token-array subtree in every profile intersect, and because the final
+    * `when` chain makes those branches conditional they are excluded from
+    * whole-stage-codegen subexpression elimination — the tokenizer (the
+    * dominant cost) runs once per profile, a ~5× per-row tax. Catalyst's
+    * CollapseProject keeps the two projections separate (it refuses to
+    * duplicate non-trivial expressions referenced more than once), so the
+    * array really is computed once per row. */
+  def withLangId(df: DataFrame, textCol: String, out: String = "lang_pred"): DataFrame = {
+    val t = col(textCol)
+    val tmp = "__langid_toks"
+    df.withColumn(tmp, array_distinct(tokens(lower(t))))
+      .withColumn(out, langIdFromTokens(t, col(tmp)))
+      .drop(tmp)
   }
 
   /** Corpus quality filter: the standard pre-training gate composed from

@@ -39,9 +39,10 @@ object LlmInventory {
     * greatest-struct argmax (ties to earliest profile) exactly; scores are
     * exact ints so the compare is deterministic. */
   val t4LangId: Q = (s, d) =>
-    documents(s, d).select(
-      col("doc_id"),
-      TextAnalysis.langId(col("text")).as("lang_pred"))
+    // withLangId, not the Column langId: the df-level form tokenizes once
+    // per row instead of once per profile (~4× on the lang-id hot path)
+    TextAnalysis.withLangId(documents(s, d), "text")
+      .select("doc_id", "lang_pred")
 
   val t5Fingerprint: Q = (s, d) =>
     documents(s, d).select(

@@ -171,6 +171,13 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(out(2L) === "en")
     assert(out(3L) === "de")
     assert(out(4L) === "und")
+    // the one-tokenize-per-row df-level form is semantically identical to
+    // the Column form (it exists purely to dodge the 5× tokenize tax)
+    val out2 = TextAnalysis.withLangId(df, "t", "l")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("l")).toMap
+    assert(out2 === out)
+    // and the hidden token column does not leak into the output schema
+    assert(TextAnalysis.withLangId(df, "t").columns.toSeq === Seq("id", "t", "lang_pred"))
   }
 
   test("topKJoin: excludeSelf drops the query's own corpus row; default keeps id collisions") {
