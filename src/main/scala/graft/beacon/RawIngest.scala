@@ -121,10 +121,17 @@ object RawIngest {
     import spark.implicits._
     val m = graft.core.Metrics.of(spark)
     val byEndpoint = graft.core.Metrics.endpoint(spark, routeOf(fetcher))
+    // per-endpoint latency histogram (reference
+    // api_request_duration_seconds, observability.py:29-35): accumulator
+    // merges per-task bucket arrays driver-side
+    val latency = graft.core.Metrics.histogram(
+      spark, "api_request_duration_seconds", routeOf(fetcher))
     val ds = slots.repartition(parallelism)
     ds.mapPartitions { it =>
       it.flatMap { slot =>
+        val t0 = System.nanoTime()
         val r = fetcher.fetch(slot)
+        latency.add((System.nanoTime() - t0) / 1000000L)
         byEndpoint.add(1)
         if (r.isEmpty) m.apiEmpty.add(1) else m.apiFetched.add(1)
         r.map { payload =>
@@ -162,11 +169,16 @@ object RawIngest {
     val spark = slots.sparkSession
     import spark.implicits._
     val byEndpoint = graft.core.Metrics.endpoint(spark, routeOf(fetcher))
+    val latency = graft.core.Metrics.histogram(
+      spark, "api_request_duration_seconds", routeOf(fetcher))
     val ds = slots.repartition(parallelism)
     ds.mapPartitions { it =>
       it.flatMap { slot =>
         byEndpoint.add(1)
-        fetcher.fetch(slot).toSeq.flatMap { payload =>
+        val t0 = System.nanoTime()
+        val fetched = fetcher.fetch(slot)
+        latency.add((System.nanoTime() - t0) / 1000000L)
+        fetched.toSeq.flatMap { payload =>
           val hash = CanonicalJson.payloadHash16(payload)
           val ts = new java.sql.Timestamp(System.currentTimeMillis())
           val parts =
@@ -211,6 +223,8 @@ object RawIngest {
       gate: Option[Long => Boolean] = None): Boolean = {
     val chunk = Ledger.chunkRow(spark, loader, startSlot, endSlot)
     ledger.append(Ledger.transition(chunk, "claimed", "spark", version))
+    // chunk_duration_seconds{loader/load} (reference observability.py:64-69)
+    val t0 = System.nanoTime()
     try {
       val slots = gate match {
         case Some(g) => startSlot.to(endSlot).filter(g)
@@ -222,6 +236,9 @@ object RawIngest {
       writeRaw(rows, cfg, rawDir)
       ledger.append(Ledger.transition(chunk, "completed", "spark", version + 1))
       graft.core.Metrics.of(spark).chunksCompleted.add(1)
+      graft.core.Metrics.histogram(spark, "chunk_duration_seconds", s"$loader/load",
+        graft.core.Metrics.chunkDurationBucketsMillis)
+        .add((System.nanoTime() - t0) / 1000000L)
       true
     } catch {
       case scala.util.control.NonFatal(_) =>

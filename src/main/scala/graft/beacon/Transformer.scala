@@ -98,6 +98,8 @@ object Transformer {
         "completed", 0L, 0L, None, version))
       return true
     }
+    // chunk_duration_seconds{loader/transform} (reference observability.py:64-69)
+    val t0 = System.nanoTime()
     try {
       val chunk = chunkData(readRaw(spark, rawDir), startSlot, endSlot)
       // multi-table fan-outs declare a shared pre-parse step (blocks: one
@@ -116,6 +118,10 @@ object Transformer {
         }
         progress.append(progressRow(spark, loader.rawTable, startSlot, endSlot,
           "completed", total, 0L, None, version))
+        graft.core.Metrics.histogram(
+          spark, "chunk_duration_seconds", s"${loader.name}/transform",
+          graft.core.Metrics.chunkDurationBucketsMillis)
+          .add((System.nanoTime() - t0) / 1000000L)
         true
       } finally if (loader.prepare.isDefined) prepared.unpersist()
     } catch {

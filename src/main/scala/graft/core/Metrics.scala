@@ -71,4 +71,85 @@ object Metrics {
   /** Realtime ingest lag in slots (reference gauge: loader.py:106-112). */
   def ingestLag(headSlot: Long, maxIngestedSlot: Option[Long]): Long =
     headSlot - maxIngestedSlot.getOrElse(-1L)
+
+  // --- Latency histograms (reference: observability.py:20-75 ----------
+  // api_request_duration_seconds / chunk_duration_seconds). Spark-native:
+  // a custom AccumulatorV2 merges per-task bucket arrays on the driver,
+  // so executor-side fetch timings aggregate exactly like the counters.
+
+  /** Reference API_LATENCY_BUCKETS, in millis. */
+  val apiLatencyBucketsMillis: Array[Long] =
+    Array(50L, 100L, 250L, 500L, 1000L, 2500L, 5000L, 10000L, 30000L, 60000L, 120000L, 300000L)
+
+  /** Reference CHUNK_DURATION_BUCKETS, in millis. */
+  val chunkDurationBucketsMillis: Array[Long] =
+    Array(500L, 1000L, 2500L, 5000L, 10000L, 30000L, 60000L, 120000L, 300000L, 600000L, 1800000L)
+
+  /** Immutable histogram snapshot: per-bucket counts (last slot = +Inf),
+    * observation count, and summed millis. */
+  final case class HistogramSnapshot(
+      bucketsMillis: Array[Long], counts: Array[Long], n: Long, sumMillis: Long)
+
+  /** Fixed-bucket latency histogram accumulator (observations in millis).
+    * add() is O(buckets) with no allocation — safe on the fetch hot path. */
+  final class LatencyHistogram(val bucketsMillis: Array[Long])
+      extends org.apache.spark.util.AccumulatorV2[java.lang.Long, HistogramSnapshot] {
+    private val counts = new Array[Long](bucketsMillis.length + 1)
+    private var n = 0L
+    private var sumMillis = 0L
+    override def isZero: Boolean = n == 0L
+    override def copy(): LatencyHistogram = {
+      val h = new LatencyHistogram(bucketsMillis)
+      System.arraycopy(counts, 0, h.counts, 0, counts.length)
+      h.n = n; h.sumMillis = sumMillis; h
+    }
+    override def reset(): Unit = {
+      java.util.Arrays.fill(counts, 0L); n = 0L; sumMillis = 0L
+    }
+    override def add(v: java.lang.Long): Unit = {
+      val millis = v.longValue()
+      var i = 0
+      while (i < bucketsMillis.length && millis > bucketsMillis(i)) i += 1
+      counts(i) += 1; n += 1; sumMillis += millis
+    }
+    override def merge(other: org.apache.spark.util.AccumulatorV2[java.lang.Long, HistogramSnapshot]): Unit =
+      other match {
+        case h: LatencyHistogram =>
+          var i = 0
+          while (i < counts.length) { counts(i) += h.counts(i); i += 1 }
+          n += h.n; sumMillis += h.sumMillis
+        case _ => throw new UnsupportedOperationException(
+          s"cannot merge ${other.getClass} into LatencyHistogram")
+      }
+    override def value: HistogramSnapshot =
+      HistogramSnapshot(bucketsMillis, counts.clone(), n, sumMillis)
+  }
+
+  private val histogramCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[(String, String), LatencyHistogram]]()
+
+  /** Lazily-registered named histogram, keyed (metric, label) — e.g.
+    * ("api_request_duration_seconds", route) or
+    * ("chunk_duration_seconds", "blocks/load"). */
+  def histogram(
+      spark: SparkSession, metric: String, label: String,
+      buckets: Array[Long] = apiLatencyBucketsMillis): LatencyHistogram =
+    histogramCache.synchronized {
+      val perSession = Option(histogramCache.get(spark)).getOrElse {
+        val m = scala.collection.concurrent.TrieMap.empty[(String, String), LatencyHistogram]
+        histogramCache.put(spark, m)
+        m
+      }
+      perSession.getOrElseUpdate((metric, label), {
+        val h = new LatencyHistogram(buckets)
+        spark.sparkContext.register(h, s"graft.$metric.$label")
+        h
+      })
+    }
+
+  def histogramReport(spark: SparkSession): Map[(String, String), HistogramSnapshot] =
+    histogramCache.synchronized {
+      Option(histogramCache.get(spark))
+        .map(_.view.mapValues(_.value).toMap).getOrElse(Map.empty)
+    }
 }

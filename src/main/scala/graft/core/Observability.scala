@@ -97,7 +97,27 @@ object Observability {
       val name = s"graft_$k"
       s"# TYPE $name gauge\n$name $v"
     }
-    (counters ++ perEndpoint ++ gaugeLines).mkString("", "\n", "\n")
+    // latency histograms: cumulative le-buckets + _sum/_count, the
+    // Prometheus histogram convention (reference observability.py:29-35,
+    // 64-69 via prometheus_client.Histogram)
+    val histLines = {
+      val report = Metrics.histogramReport(spark)
+      report.groupBy(_._1._1).toSeq.sortBy(_._1).flatMap { case (metric, entries) =>
+        val labelKey =
+          if (metric == "api_request_duration_seconds") "endpoint" else "label"
+        s"# TYPE graft_$metric histogram" +:
+          entries.toSeq.sortBy(_._1._2).flatMap { case ((_, label), snap) =>
+            val cumulative = snap.counts.scanLeft(0L)(_ + _).tail
+            snap.bucketsMillis.zipWithIndex.map { case (b, i) =>
+              s"""graft_${metric}_bucket{$labelKey="$label",le="${b / 1000.0}"} ${cumulative(i)}"""
+            }.toSeq ++ Seq(
+              s"""graft_${metric}_bucket{$labelKey="$label",le="+Inf"} ${snap.n}""",
+              s"""graft_${metric}_sum{$labelKey="$label"} ${snap.sumMillis / 1000.0}""",
+              s"""graft_${metric}_count{$labelKey="$label"} ${snap.n}""")
+          }
+      }
+    }
+    (counters ++ perEndpoint ++ gaugeLines ++ histLines).mkString("", "\n", "\n")
   }
 
   /** Start the server (idempotent; port 0 = ephemeral). Returns the bound

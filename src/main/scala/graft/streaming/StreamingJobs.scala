@@ -117,15 +117,26 @@ object StreamingJobs {
     * `slotDelay` behind the probed head.
     */
   def slotStream(
-      spark: SparkSession, startSlot: Long, secondsPerSlot: Long): Dataset[java.lang.Long] = {
+      spark: SparkSession, startSlot: Long, secondsPerSlot: Long): Dataset[java.lang.Long] =
+    paceTicks(
+      spark.readStream
+        .format("rate")
+        .option("rowsPerSecond", "1")
+        .load(),
+      startSlot, secondsPerSlot)
+
+  /** The pacing transformation behind [[slotStream]], over ANY tick stream
+    * whose `value` column counts elapsed seconds (the rate source in prod;
+    * a MemoryStream of 0..N in tests — a virtual clock that lets the
+    * pacing law be asserted end-to-end without wall-clock sleeps or
+    * flakiness). Stateless gate: one surviving tick per slot period, no
+    * dropDuplicates state store needed. */
+  def paceTicks(
+      ticks: DataFrame, startSlot: Long, secondsPerSlot: Long): Dataset[java.lang.Long] = {
+    val spark = ticks.sparkSession
     import spark.implicits._
     val sps = math.max(1L, secondsPerSlot)
-    spark.readStream
-      .format("rate")
-      .option("rowsPerSecond", "1")
-      .load()
-      // stateless pacing gate: one surviving tick per slot period — no
-      // dropDuplicates state store needed
+    ticks
       .filter(col("value") % sps === 0)
       .select((col("value") / sps + startSlot).cast("long").as("slot"))
       .as[java.lang.Long]

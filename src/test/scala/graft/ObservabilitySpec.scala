@@ -73,6 +73,48 @@ class ObservabilitySpec extends AnyFunSuite {
     } finally Observability.stop()
   }
 
+  test("LatencyHistogram: bucket placement, merge, cumulative Prometheus rendering") {
+    import graft.core.Metrics
+    val h = new Metrics.LatencyHistogram(Metrics.apiLatencyBucketsMillis)
+    assert(h.isZero)
+    h.add(10L)    // ≤50ms → bucket 0
+    h.add(50L)    // boundary is INCLUSIVE (le semantics) → bucket 0
+    h.add(51L)    // → bucket 1 (≤100ms)
+    h.add(400000L) // beyond the last boundary → +Inf bucket
+    val other = new Metrics.LatencyHistogram(Metrics.apiLatencyBucketsMillis)
+    other.add(2000L) // → ≤2.5s bucket
+    h.merge(other)
+    val snap = h.value
+    assert(snap.n === 5L)
+    assert(snap.sumMillis === 10L + 50L + 51L + 400000L + 2000L)
+    assert(snap.counts(0) === 2L)
+    assert(snap.counts(1) === 1L)
+    assert(snap.counts.last === 1L) // +Inf
+    // cumulative le-buckets: every boundary ≥ the previous, ending at n
+    val cumulative = snap.counts.scanLeft(0L)(_ + _).tail
+    assert(cumulative.last === snap.n)
+    assert(cumulative.toSeq === cumulative.sorted.toSeq)
+  }
+
+  test("fetch + chunk latency histograms surface in /metrics (reference histograms)") {
+    import graft.beacon._
+    val base = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    val payload = """{"version":"phase0","data":{"message":{"slot":"1","proposer_index":"1","parent_root":"0xp","state_root":"0xs","body":{"randao_reveal":"0xr","graffiti":"0x00","eth1_data":{"deposit_root":"0xd","deposit_count":"1","block_hash":"0xb"},"attestations":[],"deposits":[],"voluntary_exits":[],"proposer_slashings":[],"attester_slashings":[]}},"signature":"0xbs"}}"""
+    val fetcher = MapSlotFetcher((0L to 9L).map(_ -> payload).toMap)
+    assert(RawIngest.ingestChunk(spark, ChainConfig.gnosis, fetcher,
+      s"$base/raw", LedgerStore(s"$base/cl"), "blocks", 0, 9))
+    val report = graft.core.Metrics.histogramReport(spark)
+    val api = report(("api_request_duration_seconds", "offline"))
+    assert(api.n >= 10L) // one observation per fetched slot
+    val chunk = report(("chunk_duration_seconds", "blocks/load"))
+    assert(chunk.n >= 1L)
+    val text = Observability.prometheusText(spark)
+    assert(text.contains("# TYPE graft_api_request_duration_seconds histogram"))
+    assert(text.contains("""graft_api_request_duration_seconds_bucket{endpoint="offline",le="+Inf"}"""))
+    assert(text.contains("""graft_chunk_duration_seconds_bucket{label="blocks/load",le="+Inf"}"""))
+    assert(text.contains("""graft_api_request_duration_seconds_count{endpoint="offline"}"""))
+  }
+
   test("validators fetcher sends the comma-joined id filter (beacon_api.py:173-181)") {
     @volatile var seenQuery: String = null
     val server = com.sun.net.httpserver.HttpServer.create(

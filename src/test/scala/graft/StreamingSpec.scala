@@ -52,6 +52,35 @@ class StreamingSpec extends AnyFunSuite {
     assert((0L to 12L).flatMap(StreamingJobs.slotAtTick(0L, 5L, _)).length === 3)
   }
 
+  test("virtual-clock e2e: paceTicks → rawIngestStream at mainnet cadence (R1/R4)") {
+    // 120 virtual seconds of rate-source ticks at 12 s/slot: the paced
+    // stream must ingest EXACTLY slots 9000000..9000010, once each, and
+    // ledger-complete the exact run — no wall-clock sleeps, no flakiness
+    implicit val sq = spark.sqlContext
+    val base = Files.createTempDirectory("graft_vclock").toString
+    val start = 9000000L
+    val mem = MemoryStream[Long]
+    mem.addData(0L to 120L: _*)
+    val ticks = mem.toDS().toDF("value")
+    val paced = StreamingJobs.paceTicks(ticks, start, 12L)
+    val payload = (s: Long) => s"""{"version":"phase0","data":{"message":{"slot":"$s"}}}"""
+    val fetcher = MapSlotFetcher(
+      (start to start + 100L).map(s => s -> payload(s)).toMap)
+    val q = StreamingJobs.rawIngestStream(
+      paced, cfg, fetcher, s"$base/raw", LedgerStore(s"$base/ledger"),
+      "blocks", s"$base/ckpt")
+    q.awaitTermination(60000)
+    val slots = spark.read.parquet(s"$base/raw")
+      .select("slot").collect().map(_.getLong(0)).sorted.toSeq
+    assert(slots === (start to start + 10L)) // one row per slot, none ahead
+    val states = Ledger.chunkStates(
+      LedgerStore(s"$base/ledger").read(spark, Schemas.loadStateChunks))
+      .filter(col("status") === "completed").collect()
+    assert(states.map(r =>
+      (r.getAs[Long]("start_slot"), r.getAs[Long]("end_slot"))).toSet
+      === Set((start, start + 10L))) // one exact contiguous run
+  }
+
   test("slotStream: rate source emits at most elapsed/secondsPerSlot slots (R1 fix)") {
     val q = StreamingJobs.slotStream(spark, 100L, 3L)
       .writeStream.outputMode(OutputMode.Append)
