@@ -145,20 +145,27 @@ object Maintenance {
         chunkLedger.append(Ledger.transition(targets, "pending", "maintenance", version))
         val fetcher = fetcherFor(loader)
         val gate = Some(RawIngest.slotGate(cfg, loader.activationFork, loader.dailyOnly))
-        val loaded = RawIngest.ingestChunksFused(
-          spark, cfg, fetcher, rawDir, chunkLedger, loader.name, rows,
-          parallelism, split = loader.splitPayload, gate = gate)
-        if (!loaded) rows.foreach { case (s, e) =>
-          RawIngest.ingestChunk(spark, cfg, fetcher, rawDir, chunkLedger,
-            loader.name, s, e, parallelism, split = loader.splitPayload, gate = gate)
+        // only chunks that actually RELOADED are retransformed: a chunk
+        // whose refetch still fails must stay `failed` in the ledger —
+        // retransforming its (now deleted) window would write a
+        // completed-with-0-rows progress row that masks the data loss
+        val loadedRanges: Seq[(Long, Long)] =
+          if (RawIngest.ingestChunksFused(
+              spark, cfg, fetcher, rawDir, chunkLedger, loader.name, rows,
+              parallelism, split = loader.splitPayload, gate = gate)) rows
+          else rows.filter { case (s, e) =>
+            RawIngest.ingestChunk(spark, cfg, fetcher, rawDir, chunkLedger,
+              loader.name, s, e, parallelism, split = loader.splitPayload, gate = gate)
+          }
+        if (loadedRanges.nonEmpty) {
+          val transformed = Transformer.transformChunksFused(
+            spark, cfg, loader, rawDir, s"$base/tables", progressLedger, loadedRanges)
+          if (!transformed) loadedRanges.foreach { case (s, e) =>
+            Transformer.transformChunk(
+              spark, cfg, loader, rawDir, s"$base/tables", progressLedger, s, e)
+          }
         }
-        val transformed = Transformer.transformChunksFused(
-          spark, cfg, loader, rawDir, s"$base/tables", progressLedger, rows)
-        if (!transformed) rows.foreach { case (s, e) =>
-          Transformer.transformChunk(
-            spark, cfg, loader, rawDir, s"$base/tables", progressLedger, s, e)
-        }
-        loader.name -> rows.length
+        loader.name -> loadedRanges.length
       }
     }.toMap
   }

@@ -682,6 +682,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(prog.length === 1 && prog(0).getAs[String]("status") === "completed")
   }
 
+  test("fixAndRepair: a chunk whose refetch still fails stays failed — no masked data loss") {
+    val base = tmp()
+    val chunkLedger = LedgerStore(s"$base/load_state_chunks")
+    val progressLedger = LedgerStore(s"$base/transformer_progress")
+    val down = new SlotFetcher {
+      def fetch(slot: Long): Option[String] = throw new RuntimeException("still down")
+    }
+    assert(!RawIngest.ingestChunk(spark, cfg, down, s"$base/raw_blocks",
+      chunkLedger, "blocks", 0, 49))
+    val repaired = Maintenance.fixAndRepair(spark, cfg, base, chunkLedger,
+      progressLedger, Seq(Loaders.blocks), _ => down)
+    assert(repaired("blocks") === 0) // reload failed → NOT counted repaired
+    val states = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))
+    assert(states.filter(col("status") === "failed").count() === 1) // still visible
+    // and no completed-with-0-rows progress row papering over the hole
+    assert(progressLedger.read(spark, Schemas.transformerProgress)
+      .filter(col("status") === "completed").count() === 0)
+  }
+
   test("fused ingest/transform failures surface in /health, overlap rejected (never silent)") {
     val rawDir = tmp() + "/raw_health"
     val ledger = LedgerStore(tmp() + "/chunks_health")
