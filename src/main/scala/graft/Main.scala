@@ -238,22 +238,35 @@ object Main {
         val loaderDefs = opt(args, "loaders")
           .map(_.split(",").toSeq.map(n => Loaders.byName(n.trim)))
           .getOrElse(Seq(Loaders.blocks))
-        val fetcherFor: LoaderDef => SlotFetcher = opt(args, "beacon-url") match {
-          case Some(url) => l => l.httpFetcher(url, opt(args, "api-key"))
-          case None => _ => offlineFetcher
-        }
         // storedConfig, not the static preset: deleteSlotRange computes
         // month partitions from the cfg — a mismatch with the DERIVED
         // schedule the load ran under would target the wrong months
-        val fixed = Maintenance.fixAndRepair(spark,
-          Foundation.storedConfig(spark, base, networkOf(args)), base,
-          chunkLedger, progressLedger, loaderDefs, fetcherFor,
-          startSlot = opt(args, "start-slot").map(_.toLong).getOrElse(0L),
-          endSlot = opt(args, "end-slot").map(_.toLong).getOrElse(Long.MaxValue),
-          force = args.contains("--force"),
-          parallelism = spark.sparkContext.defaultParallelism)
-        fixed.foreach { case (l, n) =>
-          println(s"[graft] $l: $n chunks repaired (deleted + reloaded + retransformed)")
+        val cfg = Foundation.storedConfig(spark, base, networkOf(args))
+        opt(args, "beacon-url") match {
+          case Some(url) =>
+            val fetcherFor: LoaderDef => SlotFetcher =
+              l => l.httpFetcher(url, opt(args, "api-key"))
+            val fixed = Maintenance.fixAndRepair(spark, cfg, base,
+              chunkLedger, progressLedger, loaderDefs, fetcherFor,
+              startSlot = opt(args, "start-slot").map(_.toLong).getOrElse(0L),
+              endSlot = opt(args, "end-slot").map(_.toLong).getOrElse(Long.MaxValue),
+              force = args.contains("--force"),
+              parallelism = spark.sparkContext.defaultParallelism)
+            fixed.foreach { case (l, n) =>
+              println(s"[graft] $l: $n chunks repaired (deleted + reloaded + retransformed)")
+            }
+          case None =>
+            // NO reload source → the full repair would replace real chain
+            // data with the offline CI fetcher's synthetic payloads and
+            // mark the chunks completed. Without a node, stop at the old
+            // delete-raw + reset-to-pending behavior.
+            val states = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))
+            val targets =
+              if (args.contains("--force")) states
+              else states.filter(org.apache.spark.sql.functions.col("status") === "failed")
+            val n = Maintenance.fixChunks(spark, cfg, s"$base/raw_blocks", chunkLedger, targets)
+            println(s"[graft] fixed $n chunks (reset to pending; " +
+              "pass --beacon-url to reload + retransform in one command)")
         }
       case "reset" =>
         val claimed = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))

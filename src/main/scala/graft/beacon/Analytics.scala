@@ -96,15 +96,18 @@ object Analytics {
     // must not report the entire previous queue as "applied" — but an
     // empty parsed snapshot is AMBIGUOUS: the queue may legitimately have
     // drained to empty (common for pending_consolidations), in which case
-    // the full D-1 set really was applied. With the raw table available we
-    // can tell the two apart: a raw payload row for the day-D slot proves
-    // the snapshot was ingested (its data[] was just empty). Without it,
-    // fall back to the conservative empty answer.
-    val snapshotPresent = rawPending match {
+    // the full D-1 set really was applied. A non-empty parsed snapshot is
+    // always unambiguous. For the empty case, the raw table disambiguates
+    // — but only a raw payload whose data[] is itself EMPTY proves the
+    // drained queue: a raw row with entries merely means the transformer
+    // has not landed that chunk yet, and diffing against it would
+    // over-report the whole D-1 queue (the original bug).
+    val snapshotPresent = !cur.isEmpty || (rawPending match {
       case Some(raw) =>
-        !raw.filter(col("slot") === cfg.lastSlotOfDay(day.toLocalDate)).isEmpty
-      case None => !cur.isEmpty
-    }
+        !raw.filter(col("slot") === cfg.lastSlotOfDay(day.toLocalDate) &&
+          get_json_object(col("payload"), "$.data[0]").isNull).isEmpty
+      case None => false
+    })
     if (!snapshotPresent) cur.limit(0)
     else snapshotAt(dayPrev).except(cur)
   }

@@ -157,15 +157,25 @@ object Maintenance {
             RawIngest.ingestChunk(spark, cfg, fetcher, rawDir, chunkLedger,
               loader.name, s, e, parallelism, split = loader.splitPayload, gate = gate)
           }
-        if (loadedRanges.nonEmpty) {
-          val transformed = Transformer.transformChunksFused(
-            spark, cfg, loader, rawDir, s"$base/tables", progressLedger, loadedRanges)
-          if (!transformed) loadedRanges.foreach { case (s, e) =>
+        // repaired = reloaded AND retransformed; the structured windows
+        // were deleted in step 2, so a range whose transform failed has a
+        // hole in the output tables and must NOT be reported repaired
+        val repairedRanges: Seq[(Long, Long)] =
+          if (loadedRanges.isEmpty) Seq.empty
+          else if (Transformer.transformChunksFused(
+            spark, cfg, loader, rawDir, s"$base/tables", progressLedger, loadedRanges))
+            loadedRanges
+          else loadedRanges.filter { case (s, e) =>
             Transformer.transformChunk(
               spark, cfg, loader, rawDir, s"$base/tables", progressLedger, s, e)
           }
-        }
-        loader.name -> loadedRanges.length
+        if (repairedRanges.length < rows.length)
+          graft.core.Observability.reportError(s"fixAndRepair(${loader.name})",
+            new IllegalStateException(
+              s"${rows.length - repairedRanges.length} of ${rows.length} chunks " +
+                "not fully repaired (reload or retransform failed) — " +
+                "their windows were deleted; re-run fix once the cause is fixed"))
+        loader.name -> repairedRanges.length
       }
     }.toMap
   }

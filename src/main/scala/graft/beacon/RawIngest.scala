@@ -242,6 +242,11 @@ object RawIngest {
       true
     } catch {
       case scala.util.control.NonFatal(_) =>
+        // failed chunks observe their duration too: the pathological
+        // retry-then-fail tail is exactly what a p99 dashboard must show
+        graft.core.Metrics.histogram(spark, "chunk_duration_seconds", s"$loader/load",
+          graft.core.Metrics.chunkDurationBucketsMillis)
+          .add((System.nanoTime() - t0) / 1000000L)
         ledger.append(Ledger.transition(chunk, "failed", "spark", version + 1))
         graft.core.Metrics.of(spark).chunksFailed.add(1)
         false

@@ -126,6 +126,11 @@ object Transformer {
       } finally if (loader.prepare.isDefined) prepared.unpersist()
     } catch {
       case scala.util.control.NonFatal(e) =>
+        // failed chunks observe their duration too (p99 must see them)
+        graft.core.Metrics.histogram(
+          spark, "chunk_duration_seconds", s"${loader.name}/transform",
+          graft.core.Metrics.chunkDurationBucketsMillis)
+          .add((System.nanoTime() - t0) / 1000000L)
         progress.append(progressRow(spark, loader.rawTable, startSlot, endSlot,
           "failed", 0L, 1L, Some(String.valueOf(e.getMessage)), version))
         false
@@ -191,6 +196,30 @@ object Transformer {
       .drop("__bucket")
   }
 
+  /** Exact range-membership filter over the same broadcast bucket shape as
+    * [[tagChunks]], but as a LEFT SEMI join: a slot that falls in several
+    * ranges (mixed chunk grids in the ledger — streaming exact runs vs
+    * planned chunks after a chunk-size change) passes ONCE instead of
+    * being duplicated per owning range. The fused transform parses through
+    * this (it only needs membership); [[tagChunks]] remains for the
+    * per-chunk counts, where a shared slot legitimately counts in every
+    * owning range's progress row. */
+  def filterToRanges(df: DataFrame, ranges: Seq[(Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "filterToRanges needs at least one range")
+    val w = math.max(1L, ranges.map { case (s, e) => e - s + 1 }.max)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val buckets = ranges.flatMap { case (s, e) =>
+      (s / w).to(e / w).map(b => (b, s, e))
+    }.toDF("__bucket", "__fs", "__fe")
+    val probed = df.withColumn("__bucket", expr(s"slot div $w"))
+    probed.join(broadcast(buckets),
+      probed("__bucket") === buckets("__bucket") &&
+        probed("slot").between(buckets("__fs"), buckets("__fe")),
+      "left_semi")
+      .drop("__bucket")
+  }
+
   /** D2/D4 at scale: transform ALL pending ranges as ONE Spark job per
     * output table instead of one driver-loop iteration per chunk. The
     * union of ranges is scanned once (partition/row-group pruned by the
@@ -211,17 +240,24 @@ object Transformer {
       ranges: Seq[(Long, Long)],
       version: Long = System.currentTimeMillis()): Boolean = {
     if (ranges.isEmpty) return true
-    // tagChunks silently DUPLICATES a slot that falls in two ranges (it
-    // joins both) — mixed chunk grids in the ledger (streaming exact runs
-    // vs planned chunks after a chunk-size change) could feed overlapping
-    // ranges here. Cheap driver-side check; fall back to per-chunk.
+    // inverted ranges are ledger corruption → refuse (per-chunk fallback
+    // surfaces the bad row); OVERLAPPING ranges are merely a mixed chunk
+    // grid — the semi-join membership below parses each slot once, so the
+    // fused path handles them correctly. Surface the mix in /health
+    // anyway: overlapping grids mean per-chunk counts double-count the
+    // shared slots (each owning range reports them), worth an operator's
+    // attention even though the output tables stay duplicate-free.
     val sorted = ranges.sortBy(_._1)
-    val overlapping = sorted.zip(sorted.tail).exists { case ((_, e1), (s2, _)) => s2 <= e1 }
-    if (overlapping || sorted.exists { case (s, e) => s > e }) {
+    if (sorted.exists { case (s, e) => s > e }) {
       graft.core.Observability.reportError(s"transformChunksFused(${loader.name})",
-        new IllegalArgumentException(s"overlapping or inverted chunk ranges: ${sorted.take(5)}…"))
+        new IllegalArgumentException(s"inverted chunk ranges: ${sorted.take(5)}…"))
       return false
     }
+    if (sorted.zip(sorted.tail).exists { case ((_, e1), (s2, _)) => s2 <= e1 })
+      graft.core.Observability.reportError(s"transformChunksFused(${loader.name})",
+        new IllegalArgumentException(
+          s"overlapping chunk ranges (mixed grid): ${sorted.take(5)}… — " +
+            "output stays duplicate-free; per-chunk counts double-count the overlap"))
     if (!graft.core.Fs.exists(spark, rawDir)) return false // missing ≠ empty
     if (!graft.core.Fs.hasParquetFiles(spark, rawDir)) {
       // all-empty raw table: every range completes with zero rows
@@ -236,9 +272,10 @@ object Transformer {
       val raw = rawAll
         .filter(col("slot").between(globalMin, globalMax))
         .select(rawCols(rawAll).map(col): _*)
-      // exact membership + chunk tag, then latest-retrieval dedup (ranges
-      // are disjoint, so the global window == per-chunk windows)
-      val tagged = latestRetrieval(tagChunks(raw, ranges))
+      // exact membership (semi-join: overlap-safe, no tag columns riding
+      // through the parse), then latest-retrieval dedup — the global
+      // latest-per-slot window equals the per-chunk windows for any grid
+      val tagged = latestRetrieval(filterToRanges(raw, ranges))
       val prepared = (loader.prepare match {
         case Some(prep) => prep(tagged)
         case None => tagged

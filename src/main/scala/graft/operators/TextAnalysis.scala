@@ -38,6 +38,8 @@ object TextAnalysis {
   def qualityStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val tmp = "__quality_toks"
+    require(!df.columns.contains(tmp),
+      s"input already has a column named $tmp — rename it before qualityStats")
     val toks = col(tmp)
     val stop = typedLit(Seq("the", "a", "of", "and", "to", "in", "is"))
     df.withColumn(tmp, tokens(t))
@@ -122,6 +124,8 @@ object TextAnalysis {
   def withLangId(df: DataFrame, textCol: String, out: String = "lang_pred"): DataFrame = {
     val t = col(textCol)
     val tmp = "__langid_toks"
+    require(!df.columns.contains(tmp),
+      s"input already has a column named $tmp — rename it before withLangId")
     df.withColumn(tmp, array_distinct(tokens(lower(t))))
       .withColumn(out, langIdFromTokens(t, col(tmp)))
       .drop(tmp)

@@ -277,12 +277,13 @@ object LlmInventory {
 
   val oracleSql: Map[String, String] = Map(
     "t1_token_count" ->
-      // strip with the same \s class as the split (plain trim strips only
-      // spaces) — mirrors TextAnalysis.tokens exactly
-      """WITH s AS (SELECT doc_id, regexp_replace(text, '^\s+|\s+$', '', 'g') AS t FROM documents)
+      // strip/split with Java's exact \s class spelled out — RE2's \s
+      // lacks vertical tab (U+000B), so a bare '\s' would tokenize
+      // differently from Spark on \x0B — mirrors TextAnalysis.tokens
+      """WITH s AS (SELECT doc_id, regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t FROM documents)
         |SELECT doc_id,
         |       CASE WHEN t = '' THEN 0
-        |            ELSE len(string_split_regex(t, '\s+')) END AS n_tokens
+        |            ELSE len(string_split_regex(t, '[ \t\n\x0b\f\r]+')) END AS n_tokens
         |FROM s""".stripMargin,
     "t2_quality_stats" ->
       """SELECT doc_id, length(text) AS n_chars2,
@@ -298,12 +299,12 @@ object LlmInventory {
       // ≥25%-CJK-codepoints script override checked first.
       """WITH s AS (
         |  SELECT doc_id, text,
-        |         regexp_replace(lower(text), '^\s+|\s+$', '', 'g') AS t
+        |         regexp_replace(lower(text), '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t
         |  FROM documents),
         |tok AS (
         |  SELECT doc_id, text,
         |         CASE WHEN t = '' THEN []::VARCHAR[]
-        |              ELSE list_distinct(string_split_regex(t, '\s+')) END AS toks
+        |              ELSE list_distinct(string_split_regex(t, '[ \t\n\x0b\f\r]+')) END AS toks
         |  FROM s),
         |sc AS (
         |  SELECT doc_id, length(text) AS n_chars_t4,
@@ -328,12 +329,12 @@ object LlmInventory {
       // [[:punct:]] = Java \p{Punct} (both the ASCII POSIX class), each
       // ratio one exact-int IEEE division → identical classification.
       """WITH s AS (
-        |  SELECT doc_id, text, regexp_replace(text, '^\s+|\s+$', '', 'g') AS t
+        |  SELECT doc_id, text, regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t
         |  FROM documents),
         |tok AS (
         |  SELECT doc_id, text,
         |         CASE WHEN t = '' THEN []::VARCHAR[]
-        |              ELSE string_split_regex(t, '\s+') END AS toks
+        |              ELSE string_split_regex(t, '[ \t\n\x0b\f\r]+') END AS toks
         |  FROM s),
         |st AS (
         |  SELECT doc_id, length(text) AS n_chars_q, len(toks) AS n_tokens_q,

@@ -100,6 +100,18 @@ class AnalyticsSpec extends AnyFunSuite {
     // raw row absent for day-2 → still suppressed
     val rawOther = Seq((s1, "{}")).toDF("slot", "payload")
     assert(Analytics.appliedConsolidations(pending, d1, d2, cfg, Some(rawOther)).count() === 0)
+    // transform lag: the day-2 raw payload still HAS entries (the
+    // transformer just hasn't landed it) → NOT proof of a drained queue
+    val rawLag = Seq((s2, """{"data":[{"source_index":"101","target_index":"200"}]}"""))
+      .toDF("slot", "payload")
+    assert(Analytics.appliedConsolidations(pending, d1, d2, cfg, Some(rawLag)).count() === 0)
+    // a NON-empty parsed day-2 snapshot is unambiguous even when the raw
+    // row is missing — the diff must be computed
+    val pendingBoth = Seq((s1, 100L, 200L), (s1, 101L, 200L), (s2, 101L, 200L))
+      .toDF("slot", "source_index", "target_index")
+    val diffed = Analytics.appliedConsolidations(pendingBoth, d1, d2, cfg, Some(rawOther))
+      .collect()
+    assert(diffed.map(_.getAs[Long]("source_index")).toSeq === Seq(100L))
   }
 
   test("balanceDeltas windowed lag") {

@@ -711,12 +711,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(!RawIngest.ingestChunksFused(spark, cfg, boom, rawDir, ledger, "blocks",
       Seq((0L, 9L), (10L, 19L))))
     assert(graft.core.Observability.health("last_error").contains("ingestChunksFused"))
-    // overlapping ranges would silently duplicate rows in tagChunks — the
-    // fused transform rejects them up front (per-chunk fallback takes over)
+    // inverted ranges are ledger corruption → refused
     val progress = LedgerStore(tmp() + "/progress_health")
     assert(!Transformer.transformChunksFused(spark, cfg, Loaders.blocks, rawDir,
-      tmp() + "/t_health", progress, Seq((0L, 10L), (5L, 15L))))
+      tmp() + "/t_health", progress, Seq((10L, 0L))))
+    assert(graft.core.Observability.health("last_error").contains("inverted"))
+  }
+
+  test("fused transform over an OVERLAPPING grid: each slot parsed once, mix surfaced (D4)") {
+    val base = tmp()
+    RawIngest.ingestChunk(spark, cfg, fetcherFor(0 until 16), s"$base/raw",
+      LedgerStore(s"$base/cl"), "blocks", 0, 15)
+    graft.core.Observability.updateHealth("last_error" -> "none")
+    // mixed chunk grid (streaming exact run vs planned chunk): semi-join
+    // membership parses the shared slots 5-10 ONCE — no duplicate rows
+    assert(Transformer.transformChunksFused(spark, cfg, Loaders.blocks,
+      s"$base/raw", s"$base/tables", LedgerStore(s"$base/progress"),
+      Seq((0L, 10L), (5L, 15L))))
     assert(graft.core.Observability.health("last_error").contains("overlapping"))
+    val slots = spark.read.parquet(s"$base/tables/blocks")
+      .select("slot").collect().map(_.getLong(0)).sorted.toSeq
+    assert(slots === slots.distinct) // no duplicated slots in the output
+    assert(slots === (0L to 15L).filterNot(_ % 5 === 4L)) // full coverage
   }
 
   test("ingestChunksFused split + gate: part columns and gated slots (P19/F5 bulk wiring)") {
