@@ -301,7 +301,12 @@ object Dedup {
     // the component loop — without these the LSH pipeline re-runs per
     // consumer. ALL temps are released before returning.
     val candidates = minhashCandidatePairs(df, idCol, textCol, numHashes, rowsPerBand, shingleW)
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleW).as("sh"))
+    // repartition BEFORE the shingle compute, for the same reason
+    // minhashCandidatePairs does: a single-file input arrives as one
+    // partition and the per-row shingling would run single-threaded
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val sh = df.repartition(parts)
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleW).as("sh"))
       .persist()
     val confirmed = jaccardWithShingles(candidates, sh)
       .filter(col("jaccard") >= jaccardThreshold)
