@@ -344,8 +344,11 @@ object Dedup {
         Similarity.hyperplaneSignature(col(vecCol), dim, planes, seed + b).as("sig"))
         .as(s"sig$b")
     }
-    val withSig = df.select(
-      (col(idCol).as("id") +: col(vecCol).as("v") +: sigCols): _*)
+    // fan out before the signature compute (bands × planes × dim dot
+    // products per row): a single-file input is one partition otherwise
+    val withSig = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select((col(idCol).as("id") +: col(vecCol).as("v") +: sigCols): _*)
     val buckets = withSig
       .select(col("id"), col("v"),
         explode(array((0 until bands).map(b => col(s"sig$b")): _*)).as("bk"))
