@@ -157,6 +157,21 @@ class PlanSpec extends AnyFunSuite {
     assert(tagged.count() === 4000L) // 40 ranges x 100 slots
   }
 
+  test("fused transform membership: broadcast LEFT SEMI on the bucket, overlap-safe") {
+    import spark.implicits._
+    val raw = (0L until 10000L).map(s => (s, s"p$s")).toDF("slot", "payload")
+    val ranges = (0 until 40).map(i => (i * 100L, i * 100L + 99L))
+    val kept = graft.beacon.Transformer.filterToRanges(raw, ranges)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(kept.count() === 4000L)
+    // overlap: slots in two ranges pass ONCE (the guarantee tagChunks
+    // cannot give — it owns per-range counting instead)
+    assert(graft.beacon.Transformer
+      .filterToRanges(raw, Seq((0L, 100L), (50L, 150L))).count() === 151L)
+  }
+
   test("s1 brute-force cosine: single pass + TakeOrdered, no cartesian, no Window") {
     // the query itself assigns ranks driver-side over the reduced top-10;
     // the scale-relevant plan is the underlying operator's
