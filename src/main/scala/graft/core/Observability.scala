@@ -77,6 +77,17 @@ object Observability {
     .map { case (k, v) => s""""${jsonEscape(k)}": "${jsonEscape(v)}"""" }
     .mkString("{", ", ", "}")
 
+  // Process-level gauge registry (reference gauges chain_head_slot /
+  // highest_raw_slot / chain_lag_slots, observability.py:37-58): the tail
+  // loops push values per micro-batch; /metrics renders them merged with
+  // any start()-time gauges closure. Bounded cardinality: names come from
+  // the fixed loader registry.
+  private val gaugeState = scala.collection.concurrent.TrieMap[String, Long]()
+
+  def setGauges(kv: (String, Long)*): Unit = gaugeState ++= kv
+
+  def gaugeValues: Map[String, Long] = gaugeState.toMap
+
   /** Prometheus text exposition of the engine counters plus any gauges
     * passed in (e.g. ingest lag). */
   def prometheusText(spark: SparkSession, gauges: Map[String, Long] = Map.empty): String = {
@@ -93,7 +104,7 @@ object Observability {
           s"""graft_api_requests_total{endpoint="$route"} $v"""
         }
     }
-    val gaugeLines = gauges.toSeq.sortBy(_._1).map { case (k, v) =>
+    val gaugeLines = (gaugeState.toMap ++ gauges).toSeq.sortBy(_._1).map { case (k, v) =>
       val name = s"graft_$k"
       s"# TYPE $name gauge\n$name $v"
     }

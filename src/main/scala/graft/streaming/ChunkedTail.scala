@@ -61,7 +61,8 @@ final class ChunkedTail(
     * loader.py:492-528) — a per-chunk ledger probe would re-read and
     * window-collapse the whole ledger once per chunk, every poll. */
   def processAvailable(lastSlot: Long): Long = {
-    val target = probe.headSlot() - slotDelay
+    val head = probe.headSlot()
+    val target = head - slotDelay
     var last = lastSlot
     // floorDiv: last = -1 (empty resume) must yield boundary 0 — plain
     // `/` truncates toward zero and would skip chunk [0, chunkSize-1]
@@ -82,6 +83,12 @@ final class ChunkedTail(
       last = end
       nextBoundary += chunkSize
     }
+    // realtime gauges (reference chain_head_slot / chain_lag_slots,
+    // observability.py:37-58) — pushed per micro-batch, read by /metrics
+    graft.core.Observability.setGauges(
+      "chain_head_slot" -> head,
+      s"ingest_last_slot_$loader" -> last,
+      s"ingest_lag_slots_$loader" -> math.max(0L, head - last))
     last
   }
 
@@ -228,7 +235,9 @@ final class CompositeTail(
     * cache once, then ingest every loader's due chunks. Returns the new
     * per-loader last slots. */
   def processAvailable(lastSlots: Map[String, Long]): Map[String, Long] = {
-    val target = probe.headSlot() - slotDelay
+    val head = probe.headSlot()
+    val target = head - slotDelay
+    graft.core.Observability.setGauges("chain_head_slot" -> head)
     val plans: Map[String, (Long, Seq[(Long, Long)])] = loaders.map { tl =>
       val last = lastSlots.getOrElse(tl.loader.name, resumeSlot(tl.loader))
       tl.loader.name -> (last, planFor(tl.loader, last, target))
@@ -254,6 +263,11 @@ final class CompositeTail(
         }
         last = math.max(last, end)
       }
+      // per-loader lag gauges (reference highest_raw_slot / chain_lag_slots
+      // by loader, observability.py:42-58); names bounded by the registry
+      graft.core.Observability.setGauges(
+        s"ingest_last_slot_$name" -> last,
+        s"ingest_lag_slots_$name" -> math.max(0L, head - last))
       name -> last
     }.toMap
   }

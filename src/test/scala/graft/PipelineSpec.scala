@@ -306,6 +306,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(prog.length === 1 && prog(0).getAs[String]("status") === "completed")
   }
 
+  test("tail micro-batches push head/lag gauges into /metrics (D11 gauges)") {
+    val base = tmp()
+    val probe = new HeadProbe { def headSlot(): Long = 260L }
+    val tail = new ChunkedTail(spark, cfg, fetcherFor(0 until 300), probe,
+      s"$base/raw", LedgerStore(s"$base/cl"), chunkSize = 100L, slotDelay = 50L)
+    tail.run(1) // target 210 → chunks [0,99] [100,199]; last = 199
+    val g = graft.core.Observability.gaugeValues
+    assert(g("chain_head_slot") === 260L)
+    assert(g("ingest_last_slot_blocks") === 199L)
+    assert(g("ingest_lag_slots_blocks") === 61L)
+    val text = graft.core.Observability.prometheusText(spark)
+    assert(text.contains("# TYPE graft_chain_head_slot gauge"))
+    assert(text.contains("graft_ingest_lag_slots_blocks 61"))
+  }
+
   test("CompositeTail.planFor: activation-fork floor gates windows and daily slots") {
     val probe = new HeadProbe { def headSlot(): Long = 0L }
     val tail = new CompositeTail(spark, cfg, probe, tmp(), LedgerStore(tmp() + "/cl"),
