@@ -258,15 +258,24 @@ object Main {
           case None =>
             // NO reload source → the full repair would replace real chain
             // data with the offline CI fetcher's synthetic payloads and
-            // mark the chunks completed. Without a node, stop at the old
-            // delete-raw + reset-to-pending behavior.
+            // mark the chunks completed. Without a node, stop at
+            // delete-raw + reset-to-pending — but honor the SAME
+            // loader/slot scoping as the full repair: each loader's
+            // chunks delete from ITS raw dir only, and chunks outside
+            // the requested window are untouched.
+            import org.apache.spark.sql.functions.{col, lit}
             val states = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))
-            val targets =
-              if (args.contains("--force")) states
-              else states.filter(org.apache.spark.sql.functions.col("status") === "failed")
-            val n = Maintenance.fixChunks(spark, cfg, s"$base/raw_blocks", chunkLedger, targets)
-            println(s"[graft] fixed $n chunks (reset to pending; " +
-              "pass --beacon-url to reload + retransform in one command)")
+            val fixStart = opt(args, "start-slot").map(_.toLong).getOrElse(0L)
+            val fixEnd = opt(args, "end-slot").map(_.toLong).getOrElse(Long.MaxValue)
+            loaderDefs.foreach { l =>
+              val targets = states
+                .filter(col("loader_name") === l.name)
+                .filter(if (args.contains("--force")) lit(true) else col("status") === "failed")
+                .filter(col("start_slot") <= fixEnd && col("end_slot") >= fixStart)
+              val n = Maintenance.fixChunks(spark, cfg, s"$base/${l.rawTable}", chunkLedger, targets)
+              println(s"[graft] ${l.name}: $n chunks reset to pending (raw windows " +
+                "deleted; pass --beacon-url to reload + retransform in one command)")
+            }
         }
       case "reset" =>
         val claimed = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))

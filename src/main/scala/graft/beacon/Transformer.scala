@@ -182,14 +182,24 @@ object Transformer {
     * buckets keeps the broadcast side ≤ 2·|ranges| rows and the probe an
     * equi-join on the bucket plus a residual BETWEEN — no nested-loop
     * range join, no per-row CASE chain over thousands of ranges. */
+  /** Shared bucket-explosion for the interval joins below: each range of
+    * width ≤ W covers at most two W-buckets, so the broadcast side stays
+    * ≤ 2·|ranges| rows; probes equi-join on `slot div W` plus a residual
+    * BETWEEN. Returns (bucket width, buckets frame with the given range
+    * column names). */
+  private def bucketize(
+      spark: SparkSession, ranges: Seq[(Long, Long)],
+      startName: String, endName: String): (Long, DataFrame) = {
+    val w = math.max(1L, ranges.map { case (s, e) => e - s + 1 }.max)
+    import spark.implicits._
+    (w, ranges.flatMap { case (s, e) =>
+      (s / w).to(e / w).map(b => (b, s, e))
+    }.toDF("__bucket", startName, endName))
+  }
+
   def tagChunks(df: DataFrame, ranges: Seq[(Long, Long)]): DataFrame = {
     require(ranges.nonEmpty, "tagChunks needs at least one range")
-    val w = math.max(1L, ranges.map { case (s, e) => e - s + 1 }.max)
-    val spark = df.sparkSession
-    import spark.implicits._
-    val buckets = ranges.flatMap { case (s, e) =>
-      (s / w).to(e / w).map(b => (b, s, e))
-    }.toDF("__bucket", "start_slot", "end_slot")
+    val (w, buckets) = bucketize(df.sparkSession, ranges, "start_slot", "end_slot")
     df.withColumn("__bucket", expr(s"slot div $w"))
       .join(broadcast(buckets), Seq("__bucket"))
       .filter(col("slot").between(col("start_slot"), col("end_slot")))
@@ -206,12 +216,7 @@ object Transformer {
     * owning range's progress row. */
   def filterToRanges(df: DataFrame, ranges: Seq[(Long, Long)]): DataFrame = {
     require(ranges.nonEmpty, "filterToRanges needs at least one range")
-    val w = math.max(1L, ranges.map { case (s, e) => e - s + 1 }.max)
-    val spark = df.sparkSession
-    import spark.implicits._
-    val buckets = ranges.flatMap { case (s, e) =>
-      (s / w).to(e / w).map(b => (b, s, e))
-    }.toDF("__bucket", "__fs", "__fe")
+    val (w, buckets) = bucketize(df.sparkSession, ranges, "__fs", "__fe")
     val probed = df.withColumn("__bucket", expr(s"slot div $w"))
     probed.join(broadcast(buckets),
       probed("__bucket") === buckets("__bucket") &&
@@ -254,10 +259,9 @@ object Transformer {
       return false
     }
     if (sorted.zip(sorted.tail).exists { case ((_, e1), (s2, _)) => s2 <= e1 })
-      graft.core.Observability.reportError(s"transformChunksFused(${loader.name})",
-        new IllegalArgumentException(
-          s"overlapping chunk ranges (mixed grid): ${sorted.take(5)}… — " +
-            "output stays duplicate-free; per-chunk counts double-count the overlap"))
+      graft.core.Observability.reportWarning(s"transformChunksFused(${loader.name})",
+        s"overlapping chunk ranges (mixed grid): ${sorted.take(5)}… — " +
+          "output stays duplicate-free; per-chunk counts double-count the overlap")
     if (!graft.core.Fs.exists(spark, rawDir)) return false // missing ≠ empty
     if (!graft.core.Fs.hasParquetFiles(spark, rawDir)) {
       // all-empty raw table: every range completes with zero rows

@@ -140,11 +140,17 @@ object Metrics {
         histogramCache.put(spark, m)
         m
       }
-      perSession.getOrElseUpdate((metric, label), {
-        val h = new LatencyHistogram(buckets)
-        spark.sparkContext.register(h, s"graft.$metric.$label")
-        h
+      val h = perSession.getOrElseUpdate((metric, label), {
+        val fresh = new LatencyHistogram(buckets)
+        spark.sparkContext.register(fresh, s"graft.$metric.$label")
+        fresh
       })
+      // first caller wins the registration — a later caller with different
+      // buckets (the default arg makes this an easy mistake) would
+      // otherwise silently land observations in the wrong bucket layout
+      require(java.util.Arrays.equals(h.bucketsMillis, buckets),
+        s"histogram $metric/$label already registered with different buckets")
+      h
     }
 
   def histogramReport(spark: SparkSession): Map[(String, String), HistogramSnapshot] =

@@ -63,6 +63,16 @@ object Observability {
       "last_error_at" -> java.time.Instant.now().toString)
   }
 
+  /** Benign-but-noteworthy conditions (e.g. a mixed chunk grid the code
+    * handles correctly) — a SEPARATE health key, so they never clobber the
+    * `last_error` diagnostic of a real failure. */
+  def reportWarning(who: String, msg: String): Unit = {
+    System.err.println(s"[graft] $who: $msg")
+    updateHealth(
+      "last_warning" -> s"$who: $msg",
+      "last_warning_at" -> java.time.Instant.now().toString)
+  }
+
   def health: Map[String, String] = healthState.toMap
 
   private def jsonEscape(s: String): String =
@@ -183,5 +193,8 @@ object Observability {
     server = None
     healthState.clear()
     healthState += "status" -> "starting"
+    // stale gauges from a previous run would render as live-but-stalled
+    // loaders in a later /metrics exposition of the same JVM
+    gaugeState.clear()
   }
 }

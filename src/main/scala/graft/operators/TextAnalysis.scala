@@ -75,23 +75,24 @@ object TextAnalysis {
     "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "他", "这", "就"),
   )
 
-  def langIdScores(text: Column): Seq[(String, Column)] = {
-    // distinct-token intersect with each profile: array_intersect is a
-    // codegen'd intrinsic — no interpreted higher-order lambdas in the
-    // per-document hot path
-    val toks = array_distinct(tokens(lower(text)))
+  /** Per-profile hit counts over an already-computed distinct-token array:
+    * array_intersect is a codegen'd intrinsic — no interpreted
+    * higher-order lambdas in the per-document hot path. The single source
+    * of the scoring expression for both [[langIdScores]] and
+    * [[langIdFromTokens]]. */
+  private def scoresFromTokens(toks: Column): Seq[(String, Column)] =
     langProfiles.map { case (lang, words) =>
       lang -> size(array_intersect(toks, typedLit(words)))
     }
-  }
+
+  def langIdScores(text: Column): Seq[(String, Column)] =
+    scoresFromTokens(array_distinct(tokens(lower(text))))
 
   /** Argmax + CJK-override verdict over an ALREADY-COMPUTED distinct-token
     * array (see [[withLangId]] for why the tokens are materialized
     * separately). */
   private def langIdFromTokens(text: Column, toks: Column): Column = {
-    val scores = langProfiles.map { case (lang, words) =>
-      lang -> size(array_intersect(toks, typedLit(words)))
-    }
+    val scores = scoresFromTokens(toks)
     // argmax via greatest() over (score, -profileOrder, lang) structs:
     // field-by-field comparison gives highest score, ties to the earliest
     // profile — all codegen'd, no fold

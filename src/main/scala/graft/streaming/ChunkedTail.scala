@@ -64,6 +64,11 @@ final class ChunkedTail(
     val head = probe.headSlot()
     val target = head - slotDelay
     var last = lastSlot
+    // gauge cursor advances only past chunks whose data EXISTS (completed
+    // earlier or ingested now) — the poll cursor `last` moves past failed
+    // chunks too (they are maintain-fix territory), and a lag gauge that
+    // followed it would report a healthy tail over a hole
+    var lastOk = lastSlot
     // floorDiv: last = -1 (empty resume) must yield boundary 0 — plain
     // `/` truncates toward zero and would skip chunk [0, chunkSize-1]
     var nextBoundary = (Math.floorDiv(last, chunkSize) + 1) * chunkSize
@@ -72,14 +77,18 @@ final class ChunkedTail(
     while (nextBoundary + chunkSize - 1 <= target) {
       val start = nextBoundary
       val end = nextBoundary + chunkSize - 1
-      if (!completed((start, end))) {
-        val ok = RawIngest.ingestChunk(spark, cfg, fetcher, rawDir, chunkLedger,
-          loader, start, end)
-        if (ok) chainedTransform.foreach { case (outDir, progress) =>
-          Transformer.transformChunk(spark, cfg, Loaders.byName(loader),
-            rawDir, outDir, progress, start, end)
+      val ok =
+        if (completed((start, end))) true
+        else {
+          val r = RawIngest.ingestChunk(spark, cfg, fetcher, rawDir, chunkLedger,
+            loader, start, end)
+          if (r) chainedTransform.foreach { case (outDir, progress) =>
+            Transformer.transformChunk(spark, cfg, Loaders.byName(loader),
+              rawDir, outDir, progress, start, end)
+          }
+          r
         }
-      }
+      if (ok) lastOk = end
       last = end
       nextBoundary += chunkSize
     }
@@ -87,8 +96,8 @@ final class ChunkedTail(
     // observability.py:37-58) — pushed per micro-batch, read by /metrics
     graft.core.Observability.setGauges(
       "chain_head_slot" -> head,
-      s"ingest_last_slot_$loader" -> last,
-      s"ingest_lag_slots_$loader" -> math.max(0L, head - last))
+      s"ingest_last_slot_$loader" -> lastOk,
+      s"ingest_lag_slots_$loader" -> math.max(0L, head - lastOk))
     last
   }
 
@@ -251,23 +260,29 @@ final class CompositeTail(
     loaders.map { tl =>
       val name = tl.loader.name
       var last = plans(name)._1
+      // gauge cursor follows DATA, not the poll cursor (see ChunkedTail)
+      var lastOk = last
       plans(name)._2.foreach { case (start, end) =>
-        if (!completed.getOrElse(name, Set.empty)((start, end))) {
-          val ok = RawIngest.ingestChunk(spark, cfg, tl.fetcher,
-            rawDirOf(tl.loader), chunkLedger, name, start, end,
-            split = tl.loader.splitPayload)
-          if (ok) tl.chainedTransform.foreach { case (outDir, progress) =>
-            Transformer.transformChunk(spark, cfg, tl.loader,
-              rawDirOf(tl.loader), outDir, progress, start, end)
+        val ok =
+          if (completed.getOrElse(name, Set.empty)((start, end))) true
+          else {
+            val r = RawIngest.ingestChunk(spark, cfg, tl.fetcher,
+              rawDirOf(tl.loader), chunkLedger, name, start, end,
+              split = tl.loader.splitPayload)
+            if (r) tl.chainedTransform.foreach { case (outDir, progress) =>
+              Transformer.transformChunk(spark, cfg, tl.loader,
+                rawDirOf(tl.loader), outDir, progress, start, end)
+            }
+            r
           }
-        }
+        if (ok) lastOk = math.max(lastOk, end)
         last = math.max(last, end)
       }
       // per-loader lag gauges (reference highest_raw_slot / chain_lag_slots
       // by loader, observability.py:42-58); names bounded by the registry
       graft.core.Observability.setGauges(
-        s"ingest_last_slot_$name" -> last,
-        s"ingest_lag_slots_$name" -> math.max(0L, head - last))
+        s"ingest_last_slot_$name" -> lastOk,
+        s"ingest_lag_slots_$name" -> math.max(0L, head - lastOk))
       name -> last
     }.toMap
   }

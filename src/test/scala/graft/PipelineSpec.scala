@@ -319,6 +319,21 @@ class PipelineSpec extends AnyFunSuite {
     val text = graft.core.Observability.prometheusText(spark)
     assert(text.contains("# TYPE graft_chain_head_slot gauge"))
     assert(text.contains("graft_ingest_lag_slots_blocks 61"))
+    // a chunk that FAILS must not advance the lag gauge (the poll cursor
+    // moves on — failed chunks are maintain-fix territory — but a lag
+    // gauge following it would report a healthy tail over a hole)
+    val flaky = new SlotFetcher {
+      val good = fetcherFor(0 until 300)
+      def fetch(slot: Long): Option[String] =
+        if (slot >= 300) throw new RuntimeException("node down") else good.fetch(slot)
+    }
+    val tail2 = new ChunkedTail(spark, cfg, flaky,
+      new HeadProbe { def headSlot(): Long = 460L },
+      s"$base/raw", LedgerStore(s"$base/cl"), chunkSize = 100L, slotDelay = 50L)
+    tail2.run(1) // target 410: [200,299] ok, [300,399] fails
+    val g2 = graft.core.Observability.gaugeValues
+    assert(g2("ingest_last_slot_blocks") === 299L)
+    assert(g2("ingest_lag_slots_blocks") === 161L)
   }
 
   test("CompositeTail.planFor: activation-fork floor gates windows and daily slots") {
@@ -743,7 +758,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(Transformer.transformChunksFused(spark, cfg, Loaders.blocks,
       s"$base/raw", s"$base/tables", LedgerStore(s"$base/progress"),
       Seq((0L, 10L), (5L, 15L))))
-    assert(graft.core.Observability.health("last_error").contains("overlapping"))
+    // a handled-correctly condition is a WARNING — it must not clobber
+    // the last_error diagnostic of a real failure
+    assert(graft.core.Observability.health("last_warning").contains("overlapping"))
+    assert(graft.core.Observability.health("last_error") === "none")
     val slots = spark.read.parquet(s"$base/tables/blocks")
       .select("slot").collect().map(_.getLong(0)).sorted.toSeq
     assert(slots === slots.distinct) // no duplicated slots in the output
