@@ -203,10 +203,18 @@ object Similarity {
   }
 
   /** IVF-style ANN: assign corpus rows to hyperplane buckets once; probe
-    * only the query's bucket. Recall traded for a `2^planes` scan cut. */
+    * only the query's bucket. Recall traded for a `2^planes` scan cut.
+    *
+    * `multiProbe`: also probe every bucket at Hamming distance ≤ 1 from
+    * the query signature (the standard multi-probe LSH recall lever —
+    * near-neighbors straddling ONE hyperplane land one bit away). At
+    * scale this turns one bucket read into `planes + 1` bucket reads,
+    * still exponentially cheaper than the full scan; with the corpus
+    * written bucketed by `sig`, each probe is partition-pruned. */
   def lshTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Float], k: Int, planes: Int, seed: Long): DataFrame = {
+      query: Seq[Float], k: Int, planes: Int, seed: Long,
+      multiProbe: Boolean = false): DataFrame = {
     val dim = query.length
     val sigCol = hyperplaneSignature(col(vecCol), dim, planes, seed)
     val ps = randomPlanes(dim, planes, seed)
@@ -214,9 +222,12 @@ object Similarity {
       val dot = ps(i).zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
       if (dot > 0) 1L << i else 0L
     }.sum
+    val probeSigs =
+      if (!multiProbe) Seq(querySig)
+      else querySig +: (0 until planes).map(i => querySig ^ (1L << i))
     corpus
       .withColumn("sig", sigCol)
-      .filter(col("sig") === lit(querySig))
+      .filter(col("sig").isin(probeSigs: _*))
       .select(col(idCol), vec_cosine(col(vecCol), typedlit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)

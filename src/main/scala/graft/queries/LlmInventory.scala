@@ -165,7 +165,7 @@ object LlmInventory {
     val query = em.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0)
     Similarity.lshTopK(em.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-      query, k = 10, planes = 4, seed = 42L)
+      query, k = 10, planes = 4, seed = 42L, multiProbe = true)
       .select("vec_id")
   }
 

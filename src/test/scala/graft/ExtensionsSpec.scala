@@ -83,6 +83,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(three.size >= one.size)
   }
 
+  test("multi-probe LSH: superset of the single bucket, recall never drops") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val query = em.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val corpus = em.filter(col("vec_id") =!= 0)
+    def ids(multiProbe: Boolean) = graft.operators.Similarity
+      .lshTopK(corpus, "vec_id", "embedding", query, k = 10,
+        planes = 4, seed = 42L, multiProbe = multiProbe)
+      .collect().map(_.getLong(0)).toSet
+    val single = ids(multiProbe = false)
+    val multi = ids(multiProbe = true)
+    val brute = graft.operators.Similarity
+      .bruteForceTopK(corpus, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    // Hamming-1 probing widens the candidate set → top-k recall vs brute
+    // force can only improve (candidate superset + same exact re-rank)
+    assert(multi.intersect(brute).size >= single.intersect(brute).size)
+    assert(multi.intersect(brute).size >= 5, s"multi-probe recall too low: $multi vs $brute")
+  }
+
   test("IVF ANN: nProbe=all equals brute force; nProbe=3 has usable recall") {
     val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val query = em.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
