@@ -64,5 +64,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => MinHashSignature(
         es.head,
         es(1).eval().asInstanceOf[Int])))
+    e.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      info("word_shingles", "distinct w-token shingles of lowercased text"),
+      (es: Seq[Expression]) => graft.operators.WordShingles(
+        es.head,
+        es(1).eval().asInstanceOf[Int])))
   }
 }

@@ -37,18 +37,12 @@ object Dedup {
   def tokenSet(text: Column): Column =
     array_distinct(split(lower(text), " "))
 
-  /** `w`-shingles over the token array (n-gram units for Jaccard). */
-  def shingles(text: Column, w: Int): Column = {
-    val toks = split(lower(text), " ")
-    // guard: sequence(1, 0) is a DESCENDING [1, 0] in Spark, and
-    // slice(_, 0, _) throws — documents shorter than w shingle to []
-    when(size(toks) >= w,
-      array_distinct(
-        transform(
-          sequence(lit(1), size(toks) - (w - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(w))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** `w`-shingles over the token array (n-gram units for Jaccard).
+    * Codegen'd single-pass kernel ([[WordShingles]]): the composed
+    * transform/slice/concat_ws formula it replaces was an interpreted
+    * higher-order lambda — the dominant per-row cost of the LSH dedup
+    * pipeline. Semantics identical (equivalence-tested). */
+  def shingles(text: Column, w: Int): Column = Shingles.of(text, w)
 
   /** Token-overlap candidate pairs via inverted-index self-join, with a
     * document-frequency ceiling: a token appearing in `df` documents

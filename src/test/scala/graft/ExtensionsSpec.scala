@@ -83,6 +83,41 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(three.size >= one.size)
   }
 
+  test("WordShingles kernel matches the composed transform/slice formula exactly") {
+    import graft.operators.Dedup
+    // the old formula, kept as the oracle
+    def oldShingles(text: org.apache.spark.sql.Column, w: Int) = {
+      val toks = split(lower(text), " ")
+      when(size(toks) >= w,
+        array_distinct(transform(
+          sequence(lit(1), size(toks) - (w - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(w))))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val tricky = Seq(
+      "The quick brown Fox jumps over the lazy dog",
+      "a  b   c d", // interior empty tokens
+      " leading and trailing ", // edge empties
+      "tiny", "two words", "", "   ",
+      "rep rep rep rep rep", // duplicate shingles collapse
+      "中文 混合 tokens here 中文 混合 tokens") ++
+      (1 to 50).map(i => (0 to i % 13).map(j => s"w${(i * j) % 7}").mkString(" "))
+    val df = tricky.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    for (w <- Seq(1, 2, 3, 5)) {
+      val got = df.select(col("id"), Dedup.shingles(col("t"), w).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val want = df.select(col("id"), oldShingles(col("t"), w).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(got === want, s"w=$w")
+    }
+    // null text → [] (the formula's otherwise-branch), never NULL
+    val withNull = Seq((1L, "a b c"), (2L, null)).toDF("id", "t")
+    val n = withNull.select(col("id"), Dedup.shingles(col("t"), 2).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(n(2L) === Seq.empty)
+    assert(n(1L) === Seq("a b", "b c"))
+  }
+
   test("multi-probe LSH: superset of the single bucket, recall never drops") {
     val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val query = em.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
