@@ -47,8 +47,11 @@ object TextAnalysis {
       .withColumn("n_tokens_q", size(toks))
       .withColumn(
         "mean_token_len",
+        // sum of token lengths == length of the empty-sep join — same
+        // exact integer, but array_join is codegen'd where the
+        // aggregate(...) lambda it replaces was interpreted per element
         when(size(toks) > 0,
-          aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(toks))
+          length(array_join(toks, "")).cast("double") / size(toks))
           .otherwise(lit(0.0)))
       .withColumn(
         "punct_ratio",
