@@ -80,6 +80,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hex_popcount"), p)
   }
 
+  test("WordShingles and CjkCodepointCount compile into whole-stage codegen") {
+    import org.apache.spark.sql.execution.debug._
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    // range source → a real WholeStageCodegen stage (a LocalRelation would
+    // constant-fold driver-side and prove nothing); a Janino failure in a
+    // custom doGenCode silently falls back to interpreted eval, so assert
+    // the generated source actually contains the kernel calls
+    val df = spark.range(64)
+      .select(concat_ws(" ", lit("a"), col("id").cast("string"), lit("中 c")).as("t"))
+      .select(
+        graft.operators.Dedup.shingles(col("t"), 2).as("s"),
+        graft.functions.GraftFunctions.cjk_codepoint_count(col("t")).as("c"))
+    val gen = df.queryExecution.debug.codegenToSeq()
+    assert(gen.nonEmpty)
+    val code = gen.map(_._2).mkString("\n")
+    assert(code.contains("wordShingles"), "WordShingles not in generated code")
+    assert(code.contains("cjkCodepointCount"), "CjkCodepointCount not in generated code")
+    val row = df.limit(1).collect().head
+    assert(row.getSeq[String](0) === Seq("a 0", "0 中", "中 c"))
+    assert(row.getInt(1) === 1)
+  }
+
   test("bucketed tables: slot equi-join plans with ZERO exchange (co-located)") {
     import spark.implicits._
     Seq("b_blocks", "b_rewards").foreach { t =>
