@@ -17,7 +17,7 @@ object BeaconCatalog {
       .filter(name => graft.core.Fs.hasParquetFiles(spark, s"$outDir/$name"))
       .filter(Transformer.tableKeys.contains)
       .sorted
-    present.flatMap { table =>
+    val slotViews = present.flatMap { table =>
       val df = spark.read.parquet(s"$outDir/$table")
       df.createOrReplaceTempView(table)
       val latestName = s"${table}_latest"
@@ -26,5 +26,14 @@ object BeaconCatalog {
         .createOrReplaceTempView(latestName)
       Seq(table, latestName)
     }.toSeq
+    // foundation tables (genesis / specs / time_helpers) are 1-row or k/v
+    // config frames with no insert_version — plain views, no _latest
+    val foundationViews = Seq("genesis", "specs", "time_helpers")
+      .filter(name => graft.core.Fs.hasParquetFiles(spark, s"$outDir/$name"))
+      .map { t =>
+        spark.read.parquet(s"$outDir/$t").createOrReplaceTempView(t)
+        t
+      }
+    slotViews ++ foundationViews
   }
 }

@@ -49,11 +49,21 @@ class ExtensionsSpec extends AnyFunSuite {
     // second write at higher version to exercise latest()
     Transformer.transformChunk(spark, ChainConfig.gnosis, Loaders.blocks,
       writeTmpRaw(raw, base + "2"), s"$base/tables", LedgerStore(s"$base/p"), 0, 10, version = 2L)
+    // foundation tables register as plain views (no _latest)
+    Foundation.bootstrap(spark, MapFoundationFetcher(
+      """{"data":{"genesis_time":"1638993340","genesis_validators_root":"0x","genesis_fork_version":"0x00000064"}}""",
+      """{"data":{"SECONDS_PER_SLOT":"5","SLOTS_PER_EPOCH":"16"}}"""), base, "gnosis")
     val views = BeaconCatalog.registerViews(spark, s"$base/tables")
     assert(views.contains("blocks") && views.contains("blocks_latest"))
     assert(spark.sql("SELECT count(*) FROM blocks").head().getLong(0) === 2L)
     val latest = spark.sql("SELECT insert_version FROM blocks_latest").collect()
     assert(latest.length === 1 && latest(0).getLong(0) === 2L)
+    assert(views.contains("genesis") && views.contains("specs") && views.contains("time_helpers"))
+    assert(!views.contains("genesis_latest"))
+    assert(spark.sql("SELECT seconds_per_slot FROM time_helpers").head().getLong(0) === 5L)
+    assert(spark.sql(
+      "SELECT parameter_value FROM specs WHERE parameter_name = 'SLOTS_PER_EPOCH'")
+      .head().getString(0) === "16")
   }
 
   private def writeTmpRaw(df: org.apache.spark.sql.DataFrame, base: String): String = {
