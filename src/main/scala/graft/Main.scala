@@ -215,8 +215,22 @@ object Main {
     Ledger.overview(LedgerStore(s"$base/load_state_chunks")
       .read(spark, Schemas.loadStateChunks)).show(50, truncate = false)
     println("[graft] transform status:")
-    Ledger.transformStatus(LedgerStore(s"$base/transformer_progress")
-      .read(spark, Schemas.transformerProgress)).show(50, truncate = false)
+    val progress = LedgerStore(s"$base/transformer_progress")
+      .read(spark, Schemas.transformerProgress)
+    Ledger.transformStatus(progress).show(50, truncate = false)
+    // reference transformer_status.py:41-60: recent failures (with error
+    // message) and recent activity, newest first
+    import org.apache.spark.sql.functions.col
+    val states = Ledger.progressStates(progress)
+    println("[graft] recent failures:")
+    states.filter(col("status") === "failed")
+      .select("raw_table_name", "start_slot", "end_slot", "failed_count", "error_message")
+      .orderBy(col("processed_at").desc).limit(5).show(5, truncate = 60)
+    println("[graft] recent activity:")
+    states
+      .select("raw_table_name", "start_slot", "end_slot", "status",
+        "processed_count", "failed_count", "processed_at")
+      .orderBy(col("processed_at").desc).limit(10).show(truncate = false)
     // note: accumulator metrics are per-session; a CLI `status` runs in a
     // fresh JVM, so they are reported by the long-lived processes instead
     spark.stop()
