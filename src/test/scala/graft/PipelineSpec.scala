@@ -783,6 +783,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(raw.select("slot").distinct().collect().map(_.getLong(0)).toSeq === Seq(2931L))
   }
 
+  test("ingestChunksPooled honors split + gate (P19/F5 pooled wiring)") {
+    val base = tmp()
+    val payload = """{"data":[{"index":"1","balance":"32"}]}"""
+    val fetcher = MapSlotFetcher((0L to 3000L).map(_ -> payload).toMap)
+    val gate = RawIngest.slotGate(cfg, None, dailyOnly = true)
+    val oks = RawIngest.ingestChunksPooled(spark, cfg, fetcher, s"$base/raw",
+      LedgerStore(s"$base/cl"), "validators", Seq((0L, 1500L), (1501L, 3000L)),
+      workers = 2, split = true, gate = Some(gate))
+    assert(oks === Seq(true, true))
+    val raw = spark.read.parquet(s"$base/raw")
+    assert(raw.columns.contains("part_index") && raw.columns.contains("part_count"))
+    // daily gate: only slot 2931 (the one UTC-day boundary in [0,3000])
+    assert(raw.select("slot").distinct().collect().map(_.getLong(0)).toSeq === Seq(2931L))
+  }
+
   test("reprocess aborts BEFORE deleting outputs when the raw dir is missing (data-loss guard)") {
     val base = tmp()
     val rawDir = s"$base/raw_blocks"
