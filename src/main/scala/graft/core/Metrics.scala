@@ -18,20 +18,30 @@ object Metrics {
       chunksCompleted: LongAccumulator,
       chunksFailed: LongAccumulator)
 
+  /** One per-session lazy registry shape shared by every metric family:
+    * WeakHashMap keyed by session (sessions are GC-reclaimable), one lock,
+    * construct-on-first-use. Keeping the locking discipline in one place —
+    * three hand-rolled copies of this drifted once already. */
+  private def perSession[V <: AnyRef](
+      cache: java.util.WeakHashMap[SparkSession, V], spark: SparkSession)(
+      mk: => V): V = cache.synchronized {
+    Option(cache.get(spark)).getOrElse {
+      val v = mk
+      cache.put(spark, v)
+      v
+    }
+  }
+
   private val cache = new java.util.WeakHashMap[SparkSession, EngineMetrics]()
 
-  def of(spark: SparkSession): EngineMetrics = cache.synchronized {
-    Option(cache.get(spark)).getOrElse {
-      val sc = spark.sparkContext
-      val m = EngineMetrics(
-        sc.longAccumulator("graft.api.fetched"),
-        sc.longAccumulator("graft.api.empty404"),
-        sc.longAccumulator("graft.rows.written"),
-        sc.longAccumulator("graft.chunks.completed"),
-        sc.longAccumulator("graft.chunks.failed"))
-      cache.put(spark, m)
-      m
-    }
+  def of(spark: SparkSession): EngineMetrics = perSession(cache, spark) {
+    val sc = spark.sparkContext
+    EngineMetrics(
+      sc.longAccumulator("graft.api.fetched"),
+      sc.longAccumulator("graft.api.empty404"),
+      sc.longAccumulator("graft.rows.written"),
+      sc.longAccumulator("graft.chunks.completed"),
+      sc.longAccumulator("graft.chunks.failed"))
   }
 
   def report(spark: SparkSession): Map[String, Long] = {
@@ -52,25 +62,16 @@ object Metrics {
     new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, LongAccumulator]]()
 
   def endpoint(spark: SparkSession, route: String): LongAccumulator =
-    endpointCache.synchronized {
-      val perSession = Option(endpointCache.get(spark)).getOrElse {
-        val m = scala.collection.concurrent.TrieMap.empty[String, LongAccumulator]
-        endpointCache.put(spark, m)
-        m
-      }
-      perSession.getOrElseUpdate(route,
-        spark.sparkContext.longAccumulator(s"graft.api.requests.$route"))
-    }
+    perSession(endpointCache, spark) {
+      scala.collection.concurrent.TrieMap.empty[String, LongAccumulator]
+    }.getOrElseUpdate(route,
+      spark.sparkContext.longAccumulator(s"graft.api.requests.$route"))
 
   def endpointReport(spark: SparkSession): Map[String, Long] =
     endpointCache.synchronized {
       Option(endpointCache.get(spark))
         .map(_.view.mapValues(_.value.longValue()).toMap).getOrElse(Map.empty)
     }
-
-  /** Realtime ingest lag in slots (reference gauge: loader.py:106-112). */
-  def ingestLag(headSlot: Long, maxIngestedSlot: Option[Long]): Long =
-    headSlot - maxIngestedSlot.getOrElse(-1L)
 
   // --- Latency histograms (reference: observability.py:20-75 ----------
   // api_request_duration_seconds / chunk_duration_seconds). Spark-native:
@@ -133,25 +134,21 @@ object Metrics {
     * ("chunk_duration_seconds", "blocks/load"). */
   def histogram(
       spark: SparkSession, metric: String, label: String,
-      buckets: Array[Long] = apiLatencyBucketsMillis): LatencyHistogram =
-    histogramCache.synchronized {
-      val perSession = Option(histogramCache.get(spark)).getOrElse {
-        val m = scala.collection.concurrent.TrieMap.empty[(String, String), LatencyHistogram]
-        histogramCache.put(spark, m)
-        m
-      }
-      val h = perSession.getOrElseUpdate((metric, label), {
-        val fresh = new LatencyHistogram(buckets)
-        spark.sparkContext.register(fresh, s"graft.$metric.$label")
-        fresh
-      })
-      // first caller wins the registration — a later caller with different
-      // buckets (the default arg makes this an easy mistake) would
-      // otherwise silently land observations in the wrong bucket layout
-      require(java.util.Arrays.equals(h.bucketsMillis, buckets),
-        s"histogram $metric/$label already registered with different buckets")
-      h
-    }
+      buckets: Array[Long] = apiLatencyBucketsMillis): LatencyHistogram = {
+    val h = perSession(histogramCache, spark) {
+      scala.collection.concurrent.TrieMap.empty[(String, String), LatencyHistogram]
+    }.getOrElseUpdate((metric, label), {
+      val fresh = new LatencyHistogram(buckets)
+      spark.sparkContext.register(fresh, s"graft.$metric.$label")
+      fresh
+    })
+    // first caller wins the registration — a later caller with different
+    // buckets (the default arg makes this an easy mistake) would
+    // otherwise silently land observations in the wrong bucket layout
+    require(java.util.Arrays.equals(h.bucketsMillis, buckets),
+      s"histogram $metric/$label already registered with different buckets")
+    h
+  }
 
   def histogramReport(spark: SparkSession): Map[(String, String), HistogramSnapshot] =
     histogramCache.synchronized {

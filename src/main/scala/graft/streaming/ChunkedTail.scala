@@ -67,8 +67,10 @@ final class ChunkedTail(
     // gauge cursor advances only past chunks whose data EXISTS (completed
     // earlier or ingested now) — the poll cursor `last` moves past failed
     // chunks too (they are maintain-fix territory), and a lag gauge that
-    // followed it would report a healthy tail over a hole
-    var lastOk = lastSlot
+    // followed it would report a healthy tail over a hole. Persisted
+    // ACROSS micro-batches: re-seeding from the poll cursor would jump
+    // the gauge over the hole one poll later
+    var lastOk = gaugeCursor.getOrElse(lastSlot)
     // floorDiv: last = -1 (empty resume) must yield boundary 0 — plain
     // `/` truncates toward zero and would skip chunk [0, chunkSize-1]
     var nextBoundary = (Math.floorDiv(last, chunkSize) + 1) * chunkSize
@@ -80,10 +82,15 @@ final class ChunkedTail(
       val ok =
         if (completed((start, end))) true
         else {
+          // honor the loader's fetch contract (P19 split, F5/F6 gates):
+          // a window straddling the activation fork must not probe
+          // pre-activation slots, and mega-payload loaders must split
+          val ldef = Loaders.byName(loader)
           val r = RawIngest.ingestChunk(spark, cfg, fetcher, rawDir, chunkLedger,
-            loader, start, end)
+            loader, start, end, split = ldef.splitPayload,
+            gate = Some(RawIngest.slotGate(cfg, ldef.activationFork, ldef.dailyOnly)))
           if (r) chainedTransform.foreach { case (outDir, progress) =>
-            Transformer.transformChunk(spark, cfg, Loaders.byName(loader),
+            Transformer.transformChunk(spark, cfg, ldef,
               rawDir, outDir, progress, start, end)
           }
           r
@@ -92,6 +99,7 @@ final class ChunkedTail(
       last = end
       nextBoundary += chunkSize
     }
+    gaugeCursor = Some(lastOk)
     // realtime gauges (reference chain_head_slot / chain_lag_slots,
     // observability.py:37-58) — pushed per micro-batch, read by /metrics
     graft.core.Observability.setGauges(
@@ -100,6 +108,11 @@ final class ChunkedTail(
       s"ingest_lag_slots_$loader" -> math.max(0L, head - lastOk))
     last
   }
+
+  /** Highest slot whose data is known to exist — survives across
+    * micro-batches so a failed chunk's hole stays visible in the lag
+    * gauges until repaired. */
+  @volatile private var gaugeCursor: Option[Long] = None
 
   /** Bulk completed-chunk cache: one ledger read + window collapse per
     * micro-batch for ALL probes (reference loader.py:492-528). */
@@ -139,12 +152,8 @@ object ChunkedTail {
   /** A poll-loop error must never vanish: a persistent failure (bad dir,
     * unreachable node, corrupt ledger) would otherwise spin on backoff
     * forever producing nothing with no diagnostic anywhere. */
-  private[streaming] def reportPollError(who: String, e: Throwable): Unit = {
-    System.err.println(s"[graft] $who poll error (backing off): $e")
-    graft.core.Observability.updateHealth(
-      "last_error" -> String.valueOf(e),
-      "last_error_at" -> java.time.Instant.now().toString)
-  }
+  private[streaming] def reportPollError(who: String, e: Throwable): Unit =
+    graft.core.Observability.reportError(s"$who poll (backing off)", e)
 
   /** One ledger read + FINAL collapse serving the completed-chunk sets of
     * MANY loaders at once — the shared bulk cache of a composite
@@ -260,15 +269,22 @@ final class CompositeTail(
     loaders.map { tl =>
       val name = tl.loader.name
       var last = plans(name)._1
-      // gauge cursor follows DATA, not the poll cursor (see ChunkedTail)
-      var lastOk = last
+      // gauge cursor follows DATA, not the poll cursor, and persists
+      // across micro-batches (see ChunkedTail)
+      var lastOk = gaugeCursors.getOrElse(name, last)
       plans(name)._2.foreach { case (start, end) =>
         val ok =
           if (completed.getOrElse(name, Set.empty)((start, end))) true
           else {
+            // F5 gate executor-side too: a window STRADDLING the
+            // activation fork is planned (404-tolerant endpoints), but
+            // its pre-activation slots must not be probed — state
+            // endpoints can answer 400, failing the whole chunk
             val r = RawIngest.ingestChunk(spark, cfg, tl.fetcher,
               rawDirOf(tl.loader), chunkLedger, name, start, end,
-              split = tl.loader.splitPayload)
+              split = tl.loader.splitPayload,
+              gate = Some(RawIngest.slotGate(
+                cfg, tl.loader.activationFork, tl.loader.dailyOnly)))
             if (r) tl.chainedTransform.foreach { case (outDir, progress) =>
               Transformer.transformChunk(spark, cfg, tl.loader,
                 rawDirOf(tl.loader), outDir, progress, start, end)
@@ -278,6 +294,7 @@ final class CompositeTail(
         if (ok) lastOk = math.max(lastOk, end)
         last = math.max(last, end)
       }
+      gaugeCursors = gaugeCursors.updated(name, lastOk)
       // per-loader lag gauges (reference highest_raw_slot / chain_lag_slots
       // by loader, observability.py:42-58); names bounded by the registry
       graft.core.Observability.setGauges(
@@ -286,6 +303,10 @@ final class CompositeTail(
       name -> last
     }.toMap
   }
+
+  /** Per-loader highest slot whose data is known to exist — survives
+    * across micro-batches (see ChunkedTail.gaugeCursor). */
+  @volatile private var gaugeCursors: Map[String, Long] = Map.empty
 
   /** R1: the composite poll loop. */
   def run(maxIterations: Int): Map[String, Long] = {

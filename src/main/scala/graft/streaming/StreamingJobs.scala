@@ -22,11 +22,19 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 object StreamingJobs {
 
   /** R1/R4: slot-stream ingest via foreachBatch. `slots` is any streaming
-    * Dataset[Long] (rate source in prod, MemoryStream in tests). */
+    * Dataset[Long] (rate source in prod, MemoryStream in tests).
+    *
+    * `trigger` defaults to AvailableNow — drain-what-exists-then-stop,
+    * right for replay/backfill streams and tests. For the CONTINUOUS
+    * production pairing with [[slotStream]] (a rate source that has ~zero
+    * rows available at start) pass a ProcessingTime trigger, e.g.
+    * `Trigger.ProcessingTime(secondsPerSlot * 1000)` — AvailableNow would
+    * snapshot the empty offset range and terminate immediately. */
   def rawIngestStream(
       slots: Dataset[java.lang.Long], cfg: ChainConfig, fetcher: SlotFetcher,
       rawDir: String, ledger: LedgerStore, loader: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     slots.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
@@ -55,7 +63,7 @@ object StreamingJobs {
         }
         ()
       }
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
   }
 
@@ -113,7 +121,9 @@ object StreamingJobs {
     * truncates to 0→clamped 1 row/s and emits future slots 5–12× too
     * fast; paired with [[rawIngestStream]] those 404-as-empty and are
     * ledger-completed with no data — permanently dropped.) Pair with
-    * [[rawIngestStream]]; the head-delay watermark is applied by starting
+    * [[rawIngestStream]] **with a ProcessingTime trigger** (its
+    * AvailableNow default would snapshot the rate source's empty initial
+    * offsets and stop); the head-delay watermark is applied by starting
     * `slotDelay` behind the probed head.
     */
   def slotStream(

@@ -241,6 +241,5 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(m("api_fetched") >= 5L)
     assert(m("api_empty404") >= 5L)
     assert(m("chunks_completed") >= 1L)
-    assert(graft.core.Metrics.ingestLag(100L, Some(90L)) === 10L)
   }
 }

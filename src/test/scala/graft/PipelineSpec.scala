@@ -330,10 +330,15 @@ class PipelineSpec extends AnyFunSuite {
     val tail2 = new ChunkedTail(spark, cfg, flaky,
       new HeadProbe { def headSlot(): Long = 460L },
       s"$base/raw", LedgerStore(s"$base/cl"), chunkSize = 100L, slotDelay = 50L)
-    tail2.run(1) // target 410: [200,299] ok, [300,399] fails
+    val last2 = tail2.run(1) // target 410: [200,299] ok, [300,399] fails
     val g2 = graft.core.Observability.gaugeValues
     assert(g2("ingest_last_slot_blocks") === 299L)
     assert(g2("ingest_lag_slots_blocks") === 161L)
+    // the hole stays visible on the NEXT micro-batch too: the gauge
+    // cursor persists across batches instead of re-seeding from the poll
+    // cursor (which has already moved past the failed chunk)
+    tail2.processAvailable(last2)
+    assert(graft.core.Observability.gaugeValues("ingest_last_slot_blocks") === 299L)
   }
 
   test("CompositeTail.planFor: activation-fork floor gates windows and daily slots") {
