@@ -24,7 +24,8 @@ object BlockParser {
     * should `.persist()` the result so the JSON parse happens once
     * (SURVEY §7.4 multi-output transform). */
   def withParsed(raw: DataFrame): DataFrame =
-    raw.withColumn("p", from_json(col("payload"), blockPayload))
+    raw.withColumn("p", from_json(col("payload"), blockPayload,
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")))
 
   /** Nested-path field access on a struct Column (`Column.apply` treats
     * "a.b" as one field name, so split and chain getField). */
@@ -35,23 +36,24 @@ object BlockParser {
   private def body(path: String): Column = msg("body." + path)
   private def bodyCol: Column = col("p").getField("data").getField("message").getField("body")
 
-  /** safe_str: null → "" (reference: fork_base.py:224-230). */
-  private def s(c: Column): Column = coalesce(c, lit(""))
+  import ParseHelpers.{s, l, withMeta}
 
-  /** safe_int with default 0 (hex-aware, UInt64-clamped). */
-  private def l(c: Column): Column = coalesce(safe_long(c), lit(0L))
-
-
-  private def sizeOr0(c: Column): Column = coalesce(size(c), lit(0)).cast("int")
-
-  private def withMeta(df: DataFrame, cfg: ChainConfig, insertVersion: Long): DataFrame =
-    df.withColumn("slot_timestamp", cfg.slotTimestamp(col("slot")))
-      .withColumn("insert_version", lit(insertVersion))
+  // counts are UInt64 in the reference schema → LongType uniformly (a
+  // mixed int/long landscape breaks schema-sensitive unions downstream)
+  private def sizeOr0(c: Column): Column = coalesce(size(c), lit(0)).cast("long")
 
   /** P1: blocks — header/eth1 projection + derived counts + popcount
-    * participation (reference: fork_base.py:86-139). */
+    * participation (reference: fork_base.py:86-139). Valid-but-sparse
+    * JSON (`{}`) yields a defaults row — the reference's dict.get
+    * defaults — but an UNPARSEABLE payload (from_json → NULL) must not
+    * fabricate a phantom block with proposer 0 and empty roots; the
+    * reference raises there. We skip the row (documented divergence:
+    * skip vs fail-the-chunk), so every emitted row came from real JSON. */
   def blocks(parsed: DataFrame, cfg: ChainConfig): DataFrame =
-    parsed.select(
+    parsed
+      .filter(col("p").isNotNull &&
+        col("p").getField("_corrupt_record").isNull)
+      .select(
       col("slot"),
       l(msg("proposer_index")).as("proposer_index"),
       s(msg("parent_root")).as("parent_root"),
@@ -156,7 +158,7 @@ object BlockParser {
       s(field(a, "data.target.root")).as(s"${prefix}_target_root"),
       s(a("signature")).as(s"${prefix}_signature"),
       indices(a, av).as(s"${prefix}_attesting_indices"),
-      size(indices(a, av)).as(s"${prefix}_validator_count"))
+      size(indices(a, av)).cast("long").as(s"${prefix}_validator_count"))
     val variant = from_json(col("payload"), Schemas.attesterSlashingsCsvVariant)
       .getField("data").getField("message").getField("body")
       .getField("attester_slashings")
@@ -181,7 +183,7 @@ object BlockParser {
             size(array_union(
               indices(col("as.attestation_1"), col("asv.attestation_1")),
               indices(col("as.attestation_2"), col("asv.attestation_2"))))
-              .as("total_slashed_validators"))): _*)
+              .cast("long").as("total_slashed_validators"))): _*)
   }
 
   /** P7: sync_aggregates (Altair+; null-gated, no fork branch needed)
@@ -194,9 +196,9 @@ object BlockParser {
         s(body("sync_aggregate.sync_committee_bits")).as("sync_committee_bits"),
         s(body("sync_aggregate.sync_committee_signature")).as("sync_committee_signature"),
         coalesce(hex_popcount(body("sync_aggregate.sync_committee_bits")), lit(0))
-          .as("participation_count"),
+          .cast("long").as("participation_count"),
         coalesce(hex_popcount(body("sync_aggregate.sync_committee_bits")), lit(0))
-          .as("participating_validators"))
+          .cast("long").as("participating_validators"))
 
   /** P8: execution_payloads (Bellatrix+, Deneb blob-gas and Capella
     * withdrawal-count fields default to 0 on older forks)

@@ -120,12 +120,27 @@ object ChainConfig {
         .filter(_ < FarFutureEpoch).map(_.toLong)
     val sps = longOf("seconds_per_slot").getOrElse(base.secondsPerSlot)
     val spe = longOf("slots_per_epoch").getOrElse(base.slotsPerEpoch)
-    val forks = base.forks.map { f =>
+    val updated = base.forks.map { f =>
       val withEpoch = longOf(s"${f.name}_fork_epoch").map(e => f.copy(epoch = e)).getOrElse(f)
       // version strings also arrive as `%_FORK_VERSION` spec rows
       kv.get(s"${f.name}_fork_version").filter(_.startsWith("0x"))
         .map(v => withEpoch.copy(version = v)).getOrElse(withEpoch)
-    }.sortBy(_.epoch)
+    }
+    // forks the spec announces that the STATIC preset lacks (e.g. fulu
+    // once it is scheduled on mainnet): the derived schedule must
+    // self-heal, not be capped at the preset's snapshot-time knowledge.
+    // longOf already drops FAR_FUTURE placeholders.
+    val known = updated.map(_.name).toSet
+    val announced = kv.keys.collect {
+      case k if k.endsWith("_fork_epoch") => k.stripSuffix("_fork_epoch")
+    }.filterNot(known).toSeq.sorted
+    val added = announced.flatMap { name =>
+      longOf(s"${name}_fork_epoch").map { e =>
+        Fork(name, e,
+          kv.get(s"${name}_fork_version").filter(_.startsWith("0x")).getOrElse(""))
+      }
+    }
+    val forks = (updated ++ added).sortBy(_.epoch)
     ChainConfig(network, genesisTimeUnix, sps, spe, forks)
   }
 }

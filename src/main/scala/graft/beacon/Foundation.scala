@@ -97,9 +97,20 @@ object Foundation {
   /** Assemble a [[ChainConfig]] from materialized foundation tables
     * (reference D8 flow: specs rows → fork epochs; genesis → timing). */
   def chainConfig(genesisDf: DataFrame, specsDf: DataFrame, network: String): ChainConfig = {
-    val g = genesisDf.select(unix_timestamp(col("genesis_time"))).head().getLong(0)
+    val g = genesisTimeOf(genesisDf)
     ChainConfig.fromSpecs(
       specsDf.select(col("parameter_name"), col("parameter_value")), g, network)
+  }
+
+  /** Genesis unix time with a DIAGNOSABLE failure mode: an empty genesis
+    * frame or an unparseable genesis_time would otherwise surface as a
+    * bare NoSuchElementException/NPE far from the malformed payload. */
+  private def genesisTimeOf(genesisDf: DataFrame): Long = {
+    val rows = genesisDf.select(unix_timestamp(col("genesis_time"))).head(1)
+    require(rows.nonEmpty, "genesis table is empty — re-run bootstrap")
+    require(!rows.head.isNullAt(0),
+      "genesis_time is unparseable (neither unix seconds nor ISO-8601) — check the node's /eth/v1/beacon/genesis payload")
+    rows.head.getLong(0)
   }
 
   def genesisDir(baseDir: String): String = s"$baseDir/tables/genesis"
@@ -136,9 +147,8 @@ object Foundation {
     val s = specs(spark, specsJson)
     val gDir = genesisDir(baseDir)
     if (graft.core.Fs.hasParquetFiles(spark, gDir)) {
-      val stored = spark.read.parquet(gDir)
-        .select(unix_timestamp(col("genesis_time"))).head().getLong(0)
-      val fetched = g.select(unix_timestamp(col("genesis_time"))).head().getLong(0)
+      val stored = genesisTimeOf(spark.read.parquet(gDir))
+      val fetched = genesisTimeOf(g)
       require(stored == fetched,
         s"genesis verify failed: stored=$stored node=$fetched — refusing to mix chains")
     }
@@ -156,6 +166,15 @@ object Foundation {
     * spec table and recompute time_helpers against the stored genesis. */
   def refreshSpecs(
       spark: SparkSession, fetcher: FoundationFetcher, baseDir: String): Long = {
+    // the same chain-mixing guard bootstrap enforces: refreshing specs
+    // from a node for a DIFFERENT chain would silently overwrite the
+    // stored schedule (slot cadence, fork epochs) with the wrong one
+    if (graft.core.Fs.hasParquetFiles(spark, genesisDir(baseDir))) {
+      val stored = genesisTimeOf(spark.read.parquet(genesisDir(baseDir)))
+      val nodeGenesis = genesisTimeOf(genesis(spark, fetcher.genesis()))
+      require(stored == nodeGenesis,
+        s"refresh-specs verify failed: stored genesis=$stored node=$nodeGenesis — refusing to mix chains")
+    }
     val specsJson = fetcher.specs()
     val s = specs(spark, specsJson)
     rawPayload(spark, specsJson).write.mode("overwrite").parquet(rawSpecsDir(baseDir))
@@ -176,6 +195,9 @@ object Foundation {
       chainConfig(
         spark.read.parquet(genesisDir(baseDir)),
         spark.read.parquet(specsDir(baseDir)), network)
-    else if (network == "mainnet") ChainConfig.mainnet
-    else ChainConfig.gnosis
+    // unknown networks default to the mainnet preset — the SAME fallback
+    // ChainConfig.fromSpecs uses, so the derived and preset paths agree
+    // for an identical CLI invocation
+    else if (network == "gnosis") ChainConfig.gnosis
+    else ChainConfig.mainnet
 }

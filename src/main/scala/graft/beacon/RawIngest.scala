@@ -367,11 +367,23 @@ object RawIngest {
     * fork-activation floor (pending queues fetch only Electra+;
     * src/loaders/pending_consolidations.py:28-33) and daily-snapshot slots
     * (validators; src/loaders/validators.py:129-149). */
+  /** Activation floor for a gated loader. A NAMED fork that is absent
+    * from the schedule (e.g. fulu before it is scheduled on a network)
+    * gates EVERYTHING out — `getOrElse(0L)` would invert the gate and
+    * fetch every slot since genesis from an endpoint that does not exist
+    * yet. */
+  private def activationFloor(
+      cfg: ChainConfig, activationFork: Option[String]): Long =
+    activationFork match {
+      case None => 0L
+      case Some(f) => cfg.activationSlot(f).getOrElse(Long.MaxValue)
+    }
+
   def gateSlots(
       cfg: ChainConfig, slots: Seq[Long],
       activationFork: Option[String] = None,
       dailyOnly: Boolean = false): Seq[Long] = {
-    val floor = activationFork.flatMap(cfg.activationSlot).getOrElse(0L)
+    val floor = activationFloor(cfg, activationFork)
     val gated = slots.filter(_ >= floor)
     if (!dailyOnly) gated
     else gated.filter { s =>
@@ -387,7 +399,7 @@ object RawIngest {
   def slotGate(
       cfg: ChainConfig, activationFork: Option[String],
       dailyOnly: Boolean): Long => Boolean = {
-    val floor = activationFork.flatMap(cfg.activationSlot).getOrElse(0L)
+    val floor = activationFloor(cfg, activationFork)
     val genesis = cfg.genesisTimeUnix
     val sps = cfg.secondsPerSlot
     s => s >= floor && (!dailyOnly ||

@@ -118,7 +118,12 @@ object Schemas {
       StructField("message", StructType(Seq(
         S("slot"), S("proposer_index"), S("parent_root"), S("state_root"),
         StructField("body", blockBody)))),
-      S("signature"))))))
+      S("signature")))),
+    // PERMISSIVE from_json parses malformed JSON to the SAME all-null
+    // struct as a legitimately sparse `{}` — this corrupt-record capture
+    // (populated only on parse failure) is the only way to tell them
+    // apart, and blocks() uses it to refuse phantom default rows
+    S("_corrupt_record")))
 
   /** `/eth/v1/beacon/states/{id}/validators` (reference:
     * src/parsers/validators.py:11-47, FIXTURES.md §3). */

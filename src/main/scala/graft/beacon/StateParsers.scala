@@ -17,13 +17,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 object StateParsers {
 
   import Schemas._
-
-  private def s(c: Column): Column = coalesce(c, lit(""))
-  private def l(c: Column): Column = coalesce(safe_long(c), lit(0L))
-
-  private def withMeta(df: DataFrame, cfg: ChainConfig, insertVersion: Long): DataFrame =
-    df.withColumn("slot_timestamp", cfg.slotTimestamp(col("slot")))
-      .withColumn("insert_version", lit(insertVersion))
+  // one definition of the safe_str/safe_int defaults and the
+  // slot_timestamp/insert_version meta contract, shared with the block
+  // parsers — two drifting copies once covered 20 output tables
+  import ParseHelpers.{s, l, withMeta}
 
   /** P19: validators snapshot explode — the big-payload stress case.
     * UInt64 sentinel epochs (FAR_FUTURE = 2^64-1) clamp to Long.MaxValue
@@ -140,13 +137,16 @@ object StateParsers {
         .select(
           col("slot"),
           l(col("sc.index")).as("column_index"),
-          coalesce(size(col("sc.column")), lit(0)).as("column_cells"),
+          coalesce(size(col("sc.column")), lit(0)).cast("long").as("column_cells"),
+          // per-element coalesce: ONE null cell must not null the whole
+          // fold (column_bytes=0 while column_cells counts the cell would
+          // be internally inconsistent) — a null cell contributes 0 bytes
           coalesce(
             aggregate(col("sc.column"), lit(0L),
-              (acc, x) => acc + hex_byte_length(x).cast("long")),
+              (acc, x) => acc + coalesce(hex_byte_length(x).cast("long"), lit(0L))),
             lit(0L)).as("column_bytes"),
-          coalesce(size(col("sc.kzg_commitments")), lit(0)).as("kzg_commitments_count"),
-          coalesce(size(col("sc.kzg_proofs")), lit(0)).as("kzg_proofs_count"),
+          coalesce(size(col("sc.kzg_commitments")), lit(0)).cast("long").as("kzg_commitments_count"),
+          coalesce(size(col("sc.kzg_proofs")), lit(0)).cast("long").as("kzg_proofs_count"),
           l(col("sc.signed_block_header.message.slot")).as("signed_block_slot"),
           l(col("sc.signed_block_header.message.proposer_index")).as("proposer_index"),
           s(col("sc.signed_block_header.message.body_root")).as("body_root"),

@@ -221,7 +221,14 @@ final class CompositeTail(
     * Driver-side closed forms only — no data scan. */
   def planFor(
       l: LoaderDef, last: Long, target: Long): Seq[(Long, Long)] = {
-    val floor = l.activationFork.flatMap(cfg.activationSlot).getOrElse(0L)
+    // a NAMED fork missing from the schedule gates everything out — a
+    // 0L floor would invert the gate and plan every slot since genesis
+    // for an endpoint that does not exist yet on this network
+    val floor = l.activationFork match {
+      case None => 0L
+      case Some(f) => cfg.activationSlot(f).getOrElse(Long.MaxValue)
+    }
+    if (floor > target) return Seq.empty // also guards the epoch math below
     if (l.dailyOnly) {
       // daily single-slot chunks: every last-slot-of-day in (last, target]
       Iterator.iterate(cfg.lastSlotOfDay(

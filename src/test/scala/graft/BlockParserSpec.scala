@@ -38,17 +38,17 @@ class BlockParserSpec extends AnyFunSuite {
     val phase0 = b(0)
     assert(phase0.getAs[String]("version") === "0x00000064")
     assert(phase0.getAs[Long]("sync_aggregate_participation") === 0L)
-    assert(phase0.getAs[Int]("withdrawals_count") === 0)
+    assert(phase0.getAs[Long]("withdrawals_count") === 0L)
     val electra = b(1)
     assert(electra.getAs[Long]("proposer_index") === 12345L)
     assert(electra.getAs[String]("version") === "0x05000064")
     assert(electra.getAs[Long]("eth1_deposit_count") === 567L)
     // 0xffff = 16 set bits
     assert(electra.getAs[Long]("sync_aggregate_participation") === 16L)
-    assert(electra.getAs[Int]("withdrawals_count") === 2)
-    assert(electra.getAs[Int]("blob_kzg_commitments_count") === 2)
+    assert(electra.getAs[Long]("withdrawals_count") === 2L)
+    assert(electra.getAs[Long]("blob_kzg_commitments_count") === 2L)
     // 1 deposit + 1 withdrawal + 0 consolidations
-    assert(electra.getAs[Int]("execution_requests_count") === 2)
+    assert(electra.getAs[Long]("execution_requests_count") === 2L)
     assert(electra.getAs[Long]("insert_version") === 7L)
   }
 
@@ -73,17 +73,17 @@ class BlockParserSpec extends AnyFunSuite {
     assert(s.length === 1)
     val r = s(0)
     assert(r.getAs[Seq[Long]]("att_1_attesting_indices") === Seq(1L, 2L, 3L))
-    assert(r.getAs[Int]("att_1_validator_count") === 3)
-    assert(r.getAs[Int]("att_2_validator_count") === 4)
+    assert(r.getAs[Long]("att_1_validator_count") === 3L)
+    assert(r.getAs[Long]("att_2_validator_count") === 4L)
     // |{1,2,3} ∪ {2,3,4,5}| = 5
-    assert(r.getAs[Int]("total_slashed_validators") === 5)
+    assert(r.getAs[Long]("total_slashed_validators") === 5L)
   }
 
   test("sync_aggregates only for blocks carrying one; popcount columns (P7)") {
     val s = tables("sync_aggregates").collect()
     assert(s.length === 1)
-    assert(s(0).getAs[Int]("participation_count") === 16)
-    assert(s(0).getAs[Int]("participating_validators") === 16)
+    assert(s(0).getAs[Long]("participation_count") === 16L)
+    assert(s(0).getAs[Long]("participating_validators") === 16L)
   }
 
   test("execution_payloads: Deneb fields, huge base_fee stays string (P8)") {
@@ -126,9 +126,9 @@ class BlockParserSpec extends AnyFunSuite {
     val e = tables("execution_requests").collect()
     assert(e.length === 1)
     val r = e(0)
-    assert(r.getAs[Int]("deposits_count") === 1)
-    assert(r.getAs[Int]("withdrawals_count") === 1)
-    assert(r.getAs[Int]("consolidations_count") === 0)
+    assert(r.getAs[Long]("deposits_count") === 1L)
+    assert(r.getAs[Long]("withdrawals_count") === 1L)
+    assert(r.getAs[Long]("consolidations_count") === 0L)
     assert(r.getAs[String]("payload").contains("\"pubkey\""))
   }
 
@@ -139,8 +139,8 @@ class BlockParserSpec extends AnyFunSuite {
     val out = BlockParser.parseAll(
       rawOf(21405700L -> csvPayload), cfg)("attester_slashings").head()
     assert(out.getAs[Seq[Long]]("att_1_attesting_indices") === Seq(1L, 2L, 3L))
-    assert(out.getAs[Int]("att_1_validator_count") === 3)
-    assert(out.getAs[Int]("total_slashed_validators") === 5)
+    assert(out.getAs[Long]("att_1_validator_count") === 3L)
+    assert(out.getAs[Long]("total_slashed_validators") === 5L)
   }
 
   test("attestations: garbage data.slot falls back to BLOCK slot, not 0 (safe_int parity)") {
@@ -181,9 +181,9 @@ class BlockParserSpec extends AnyFunSuite {
     val t = BlockParser.parseAll(rawOf(10400000L -> capella), cfg)
     val b = t("blocks").head()
     assert(b.getAs[String]("version") === "0x03000064") // capella on gnosis
-    assert(b.getAs[Int]("blob_kzg_commitments_count") === 0)
-    assert(b.getAs[Int]("execution_requests_count") === 0)
-    assert(b.getAs[Int]("withdrawals_count") === 2) // capella feature present
+    assert(b.getAs[Long]("blob_kzg_commitments_count") === 0L)
+    assert(b.getAs[Long]("execution_requests_count") === 0L)
+    assert(b.getAs[Long]("withdrawals_count") === 2L) // capella feature present
     val ep = t("execution_payloads").head()
     assert(ep.getAs[Long]("blob_gas_used") === 0L) // deneb default
     assert(t("blob_commitments").count() === 0)
@@ -207,7 +207,10 @@ class BlockParserSpec extends AnyFunSuite {
       4L -> """{"version": "phase0", "data": {"message": {"slot": "4", "body": {}}}}""")
     val t = BlockParser.parseAll(degenerate, cfg)
     val blocks = t("blocks").orderBy("slot").collect()
-    assert(blocks.length === 4) // every raw row yields a defaults row (parser parity)
+    // valid-but-sparse JSON → defaults row (reference dict.get parity);
+    // UNPARSEABLE JSON (slot 3) is skipped, never a phantom block
+    assert(blocks.length === 3)
+    assert(blocks.map(_.getAs[Long]("slot")).toSeq === Seq(1L, 2L, 4L))
     assert(blocks.forall(_.getAs[Long]("proposer_index") === 0L))
     assert(blocks.forall(_.getAs[String]("parent_root") === ""))
     assert(blocks(0).getAs[String]("version") === "0x00000064")

@@ -70,11 +70,11 @@ class StateParsersSpec extends AnyFunSuite {
     assert(d.length === 1)
     val r = d(0)
     assert(r.getAs[Long]("column_index") === 3L)
-    assert(r.getAs[Int]("column_cells") === 2)
+    assert(r.getAs[Long]("column_cells") === 2L)
     // 0xaabb → 2 bytes, 0xccddee → 3 bytes
     assert(r.getAs[Long]("column_bytes") === 5L)
-    assert(r.getAs[Int]("kzg_commitments_count") === 2)
-    assert(r.getAs[Int]("kzg_proofs_count") === 1)
+    assert(r.getAs[Long]("kzg_commitments_count") === 2L)
+    assert(r.getAs[Long]("kzg_proofs_count") === 1L)
     assert(r.getAs[Long]("signed_block_slot") === 27435008L)
     // sha256 of '["0xaabb","0xccddee"]' — CPython json.dumps canonical
     assert(r.getAs[String]("column_hash") ===
@@ -120,6 +120,34 @@ class StateParsersSpec extends AnyFunSuite {
     assert(c.forks.find(_.name == "altair").get.epoch === 512L)
     // FAR_FUTURE spec row ignored → static gnosis default kept
     assert(c.forks.find(_.name == "fulu").get.epoch === 1714688L)
+  }
+
+  test("fromSpecs adds spec-announced forks MISSING from the preset (D8 self-heal)") {
+    // mainnet's static preset has no fulu — a node that schedules it must
+    // win; a FAR_FUTURE announcement for an unknown fork must not
+    val sp = Foundation.specs(spark,
+      """{"data": {"FULU_FORK_EPOCH": "400000", "FULU_FORK_VERSION": "0x06000000",
+                   "GLOAS_FORK_EPOCH": "18446744073709551615"}}""")
+    val c = ChainConfig.fromSpecs(sp, 1606824023L, "mainnet")
+    val fulu = c.forks.find(_.name == "fulu")
+    assert(fulu.exists(f => f.epoch === 400000L && f.version === "0x06000000"))
+    assert(!c.forks.exists(_.name == "gloas"))
+    assert(c.forks === c.forks.sortBy(_.epoch)) // schedule stays ordered
+  }
+
+  test("fetch gate: a NAMED fork absent from the schedule gates everything OUT (F5)") {
+    // mainnet has no fulu → the data_column_sidecars gate must fetch
+    // NOTHING, not every slot since genesis (getOrElse(0) inversion)
+    val mainnet = ChainConfig.mainnet
+    assert(ChainConfig.mainnet.activationSlot("fulu").isEmpty)
+    assert(RawIngest.gateSlots(mainnet, Seq(0L, 1000000L, 12000000L),
+      activationFork = Some("fulu")) === Seq.empty)
+    val g = RawIngest.slotGate(mainnet, Some("fulu"), dailyOnly = false)
+    assert(!Seq(0L, 1000000L, 12000000L).exists(g))
+    // scheduled fork still gates normally
+    val g2 = RawIngest.slotGate(mainnet, Some("electra"), dailyOnly = false)
+    val floor = mainnet.activationSlot("electra").get
+    assert(g2(floor) && !g2(floor - 1))
   }
 
   test("fromSpecs also overrides fork VERSION strings (D8)") {
