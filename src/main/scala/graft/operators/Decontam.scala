@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the train/test-overlap detector every
+  * training-data pipeline runs before a corpus ships: find corpus
+  * documents that share verbatim w-token shingles with a benchmark
+  * (evaluation) set, so they can be dropped or audited.
+  *
+  * Scale shape: the benchmark side is SMALL (eval suites are thousands of
+  * documents; the corpus is the 100 TB side), so its distinct shingle set
+  * is broadcast and the corpus-side explode joins it with a broadcast hash
+  * join — no shuffle of the corpus, no sort. The corpus side then
+  * aggregates matched shingles per document (map-side partial count).
+  */
+object Decontam {
+
+  /** Corpus documents sharing ≥ `minHits` distinct w-token shingles with
+    * ANY benchmark document. Returns `(idCol, n_hits)` where `n_hits` is
+    * the count of DISTINCT contaminated shingles in the document (the
+    * per-doc shingle sets are already distinct — [[Shingles.of]]).
+    *
+    * `w` trades precision for recall exactly like published
+    * decontamination setups (8–13-gram windows on real corpora); pick the
+    * smallest `w` whose shingles are rare enough to be evidence of
+    * copying rather than chance collision.
+    */
+  def contaminationHits(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, w: Int, minHits: Long = 1L): DataFrame = {
+    require(w >= 1, s"shingle width must be >= 1, got $w")
+    val benchShingles = benchmark
+      .select(explode(Shingles.of(col(textCol), w)).as("shingle"))
+      .distinct()
+    val corpusShingles = corpus
+      .select(col(idCol), explode(Shingles.of(col(textCol), w)).as("shingle"))
+    corpusShingles
+      .join(broadcast(benchShingles), Seq("shingle"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
+  /** The gate most pipelines actually apply: the corpus MINUS contaminated
+    * documents (left-anti against [[contaminationHits]]). */
+  def decontaminated(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, w: Int, minHits: Long = 1L): DataFrame = {
+    val hits = contaminationHits(corpus, benchmark, idCol, textCol, w, minHits)
+    corpus.join(hits.select(idCol), Seq(idCol), "left_anti")
+  }
+}

@@ -25,13 +25,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * with fewer than `w` tokens (and NULL text) shingle to `[]`.
   */
 object ShingleUtil {
-  def wordShingles(s: UTF8String, w: Int): ArrayData = {
+  def wordShingles(s: UTF8String, w: Int): ArrayData =
+    wordShingles(s, w, distinct = true)
+
+  /** `distinct = false` keeps EVERY w-gram occurrence in document order —
+    * the repetition-measurement variant ([[graft.operators.TextAnalysis
+    * .ngramRepetitionStats]] counts gram multiplicity, which a set
+    * destroys). Same lower/split/join semantics as the distinct kernel. */
+  def wordShingles(s: UTF8String, w: Int, distinct: Boolean): ArrayData = {
     if (s == null) return new GenericArrayData(Array.empty[Any])
     // UTF8String.toLowerCase == Spark's lower(); String.split(" ", -1)
     // == Spark's split(str, " ") (regex split, trailing empties KEPT)
     val toks = s.toLowerCase.toString.split(" ", -1)
     if (toks.length < w) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String]()
+    // LinkedHashSet for the distinct variant (keep-first order), ArrayList
+    // for the multiplicity-preserving one — both emit in document order
+    val seen: java.util.Collection[String] =
+      if (distinct) new java.util.LinkedHashSet[String]()
+      else new java.util.ArrayList[String](toks.length - w + 1)
     val sb = new java.lang.StringBuilder()
     var i = 0
     while (i <= toks.length - w) {
@@ -53,17 +64,19 @@ object ShingleUtil {
   }
 }
 
-/** Codegen'd `word_shingles(text, w) -> array<string>`: distinct w-token
-  * shingles of the lowercased, space-split text. NULL text yields `[]`
-  * (never NULL), matching the composed formula it replaces — hence the
-  * custom eval/doGenCode instead of the null-propagating nullSafe pair. */
-case class WordShingles(child: Expression, width: Int) extends UnaryExpression {
+/** Codegen'd `word_shingles(text, w) -> array<string>`: w-token shingles
+  * of the lowercased, space-split text — distinct (keep-first) by default,
+  * every occurrence when `distinct = false`. NULL text yields `[]` (never
+  * NULL), matching the composed formula it replaces — hence the custom
+  * eval/doGenCode instead of the null-propagating nullSafe pair. */
+case class WordShingles(child: Expression, width: Int, distinct: Boolean = true)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     ShingleUtil.wordShingles(
-      if (v == null) null else v.asInstanceOf[UTF8String], width)
+      if (v == null) null else v.asInstanceOf[UTF8String], width, distinct)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
@@ -71,7 +84,7 @@ case class WordShingles(child: Expression, width: Int) extends UnaryExpression {
       code = c.code + code"""
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
           graft.operators.ShingleUtil.wordShingles(
-            ${c.isNull} ? null : ${c.value}, $width);""",
+            ${c.isNull} ? null : ${c.value}, $width, $distinct);""",
       isNull = FalseLiteral)
   }
   override protected def withNewChildInternal(c: Expression): WordShingles =
@@ -83,4 +96,10 @@ object Shingles {
   /** Column API: distinct w-token shingles of the text. */
   def of(text: Column, w: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), w))
+
+  /** Multiplicity-preserving variant: EVERY w-gram occurrence, in document
+    * order — the n-gram-repetition counting input. */
+  def all(text: Column, w: Int): Column =
+    ExpressionUtils.column(
+      WordShingles(ExpressionUtils.expression(text), w, distinct = false))
 }

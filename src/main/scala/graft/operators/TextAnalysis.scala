@@ -158,6 +158,41 @@ object TextAnalysis {
       .withColumn("quality_ok", col("drop_reason").isNull)
   }
 
+  /** Gopher-style n-gram repetition signals (Rae et al. 2021, app. A1.1:
+    * "fraction of characters in the most frequent n-gram" family, counted
+    * over gram occurrences): per document, the total/most-frequent/distinct
+    * w-gram counts and the two derived fractions —
+    * `top_frac` (repetition: how much of the document is its single most
+    * frequent gram) and `distinct_frac` (diversity: type/token ratio).
+    * `n = 1` measures word repetition, `n = 2..4` phrase repetition.
+    *
+    * Distributed shape, not a per-row mode: grams explode into rows and
+    * aggregate twice — (id, gram) counts shuffle once with map-side
+    * partial aggregation, then roll up per id. Linear in corpus size,
+    * skew-free (gram cardinality per doc is bounded by doc length); a
+    * per-row array-mode expression would be O(tokens log tokens) per row
+    * interpreted, and this is the plan that scales to 100 TB.
+    *
+    * Documents with fewer than `n` tokens produce no grams and are absent
+    * from the output (exactly the rows a repetition gate cannot judge).
+    * Fractions are one IEEE division of exact ints → oracle-checkable. */
+  def ngramRepetitionStats(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    val grams = df.select(
+      col(idCol), explode(graft.operators.Shingles.all(col(textCol), n)).as("gram"))
+    grams.groupBy(idCol, "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy(idCol)
+      .agg(
+        sum("cnt").as("n_grams"),
+        max("cnt").as("top_cnt"),
+        count(lit(1)).as("n_distinct"))
+      .select(
+        col(idCol), col("n_grams"),
+        (col("top_cnt").cast("double") / col("n_grams")).as("top_frac"),
+        (col("n_distinct").cast("double") / col("n_grams")).as("distinct_frac"))
+  }
+
   /** Document fingerprint: hash of the sorted distinct lower-cased token
     * set (an order-insensitive content signature). `md5` variant is
     * oracle-checkable; `xxhash64` variant is the cheap scale path. */

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables._
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Decontam, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -220,6 +220,32 @@ object LlmInventory {
     Sampling.deterministicSample(documents(s, d), "doc_id", 0.10)
       .select("doc_id")
 
+  // --- Repetition / contamination gates ---------------------------------
+
+  /** t9: Gopher-style word-repetition signals — top-word fraction and
+    * type/token ratio per document. Exact ints + one IEEE division each →
+    * oracle-checked. */
+  val t9Repetition: Q = (s, d) =>
+    TextAnalysis.ngramRepetitionStats(documents(s, d), "doc_id", "text", 1)
+
+  /** t10: phrase repetition — same signals over word 2-grams
+    * (multiplicity-preserving shingles, NOT the distinct LSH kernel). */
+  val t10TopNgram: Q = (s, d) =>
+    TextAnalysis.ngramRepetitionStats(documents(s, d), "doc_id", "text", 2)
+
+  /** t11: benchmark decontamination — corpus docs (doc_id % 97 != 0)
+    * sharing a verbatim 4-token shingle with the held-out "benchmark"
+    * docs (doc_id % 97 == 0). Broadcast benchmark shingle set; w=4 picked
+    * so shared shingles are evidence of copying, not chance collision, on
+    * the synthetic corpus's 31-word vocabulary. */
+  val t11Decontam: Q = (s, d) => {
+    val docs = documents(s, d)
+    Decontam.contaminationHits(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", w = 4)
+  }
+
   // --- Multimodal -------------------------------------------------------
 
   /** Binary-column metadata over text-as-bytes (no real media in testdata):
@@ -270,6 +296,9 @@ object LlmInventory {
     "s5_topk_join" -> s5TopKJoin,
     "t7_hash_split" -> t7HashSplit,
     "t8_deterministic_sample" -> t8DeterministicSample,
+    "t9_repetition" -> t9Repetition,
+    "t10_top_ngram" -> t10TopNgram,
+    "t11_decontam" -> t11Decontam,
     "m1_binary_meta" -> m1BinaryMeta,
     "m2_decode_stub" -> m2DecodeStub,
     "m3_frame_windows" -> m3FrameWindows,
@@ -371,6 +400,49 @@ object LlmInventory {
     "t8_deterministic_sample" ->
       """SELECT doc_id FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'""".stripMargin,
+    "t9_repetition" ->
+      // mirrors ngramRepetitionStats(n=1): space-split of lower(text)
+      // (empties kept, like Java split(" ", -1)), per-(doc,word) counts,
+      // then exact-int rollup + one IEEE division per fraction
+      """WITH g AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS gram
+        |  FROM documents),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+        |       CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_frac,
+        |       CAST(COUNT(*) AS DOUBLE) / SUM(cnt) AS distinct_frac
+        |FROM c GROUP BY doc_id""".stripMargin,
+    "t10_top_ngram" ->
+      // 2-grams with multiplicity: toks[i] || ' ' || toks[i+1] for
+      // i in [1, len-1] (1-indexed) — the non-distinct shingle kernel
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(toks)),
+        |                               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        |  FROM tok WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+        |       CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_frac,
+        |       CAST(COUNT(*) AS DOUBLE) / SUM(cnt) AS distinct_frac
+        |FROM c GROUP BY doc_id""".stripMargin,
+    "t11_decontam" ->
+      // distinct 4-gram shingles per doc on both sides (the Spark kernel
+      // dedups per document), benchmark set distinct across docs, equi-join
+      // + per-doc count of shared shingles
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS shingle
+        |  FROM tok WHERE len(toks) >= 4),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+        |SELECT s.doc_id, count(*) AS n_hits
+        |FROM sh s JOIN bench b USING (shingle)
+        |WHERE s.doc_id % 97 <> 0
+        |GROUP BY s.doc_id""".stripMargin,
     "d3_token_overlap" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w

@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.{Decontam, Shingles, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 additions: n-gram repetition signals (Gopher-style gates) and
+  * benchmark decontamination (train/test overlap).
+  */
+class RepetitionDecontamSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("Shingles.all keeps multiplicity and document order; .of dedups keep-first") {
+    val df = Seq("B b a b B").toDF("text")
+    val all = df.select(Shingles.all(col("text"), 2)).head().getSeq[String](0)
+    assert(all === Seq("b b", "b a", "a b", "b b"))
+    val dedup = df.select(Shingles.of(col("text"), 2)).head().getSeq[String](0)
+    assert(dedup === Seq("b b", "b a", "a b"))
+  }
+
+  test("Shingles.all(w=1) is exactly the lowercased space-split token stream") {
+    val df = Seq("A b  c ", "", "x").toDF("text")
+    val rows = df.select(Shingles.all(col("text"), 1)).collect().map(_.getSeq[String](0))
+    // split(" ", -1) keeps interior AND trailing empties; "" is one empty token
+    assert(rows(0) === Seq("a", "b", "", "c", ""))
+    assert(rows(1) === Seq(""))
+    assert(rows(2) === Seq("x"))
+  }
+
+  test("ngramRepetitionStats n=1: top-word and type/token fractions are exact") {
+    val df = Seq((1L, "a a a b"), (2L, "x y z w")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramRepetitionStats(df, "doc_id", "text", 1)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 4L) // n_grams
+    assert(out(0).getDouble(2) === 0.75) // top_frac: "a" 3 of 4
+    assert(out(0).getDouble(3) === 0.5) // distinct_frac: {a,b} of 4
+    assert(out(1).getDouble(2) === 0.25) // all-distinct doc
+    assert(out(1).getDouble(3) === 1.0)
+  }
+
+  test("ngramRepetitionStats n=2: repeated phrase dominates; short docs drop out") {
+    val df = Seq(
+      (1L, "to be to be to be"), // 2-grams: [to be, be to, to be, be to, to be]
+      (2L, "solo")               // < 2 tokens -> no grams -> absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramRepetitionStats(df, "doc_id", "text", 2).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 1L)
+    assert(out.head.getLong(1) === 5L)
+    assert(out.head.getDouble(2) === 3.0 / 5.0) // "to be" x3
+    assert(out.head.getDouble(3) === 2.0 / 5.0) // {"to be","be to"}
+  }
+
+  test("contaminationHits: verbatim w-gram overlap found, counted distinct, gated by minHits") {
+    // bench 3-grams: {the quick brown, quick brown fox, brown fox jumps}
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares "the quick brown" + "quick brown fox", each occurring TWICE
+      // — the repeated window must count once (distinct), not four times
+      (1L, "so the quick brown fox said the quick brown fox"),
+      (2L, "entirely different words here"),
+      (3L, "quick brown fox jumps high") // shares 2 grams, once each
+    ).toDF("doc_id", "text")
+    val hits = Decontam.contaminationHits(corpus, bench, "doc_id", "text", w = 3)
+      .orderBy("doc_id").collect()
+    assert(hits.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 2L), (3L, 2L)))
+    val strict = Decontam.contaminationHits(corpus, bench, "doc_id", "text", w = 3, minHits = 3)
+      .collect()
+    assert(strict.isEmpty)
+  }
+
+  test("decontaminated: anti-join removes exactly the contaminated docs") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota"),
+      (3L, "one two three four")
+    ).toDF("doc_id", "text")
+    val clean = Decontam.decontaminated(corpus, bench, "doc_id", "text", w = 4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(clean.toSeq === Seq(2L, 3L))
+  }
+
+  test("decontam plan: benchmark side broadcasts — no shuffle of the corpus side for the join") {
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "a b c d x"), (2L, "p q r s t")).toDF("doc_id", "text")
+    val plan = Decontam.contaminationHits(corpus, bench, "doc_id", "text", w = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+}
