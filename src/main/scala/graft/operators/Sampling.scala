@@ -40,4 +40,26 @@ object Sampling {
     * every engine (unlike `df.sample`, which draws per-partition). */
   def deterministicSample(df: DataFrame, idCol: String, pct: Double): DataFrame =
     df.filter(hashKey(col(idCol)) < lit(boundaryHex(pct)))
+
+  /** Stratified deterministic sampling — the domain-mixing primitive: each
+    * stratum (source, domain, language, …) keeps its own fraction; strata
+    * not in `rates` keep `defaultPct`. The per-row boundary is a literal
+    * CASE chain over the stratum column, so the filter is still a pure
+    * codegen'd row predicate: no shuffle, no join, no RNG.
+    *
+    * Selection hashes the id ALONE (not (stratum, id)), which buys the
+    * nesting property mixture tuning needs: a row kept at rate p is kept
+    * at every rate ≥ p, so re-weighting a domain never churns the rest of
+    * its sample (and upsampling is a superset of the old sample). Strata
+    * are disjoint by construction, so sharing one hash stream across them
+    * costs nothing. */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultPct: Double = 0.0): DataFrame = {
+    val boundary = rates.toSeq.sortBy(_._1).foldLeft(lit(boundaryHex(defaultPct))) {
+      case (acc, (stratum, p)) =>
+        when(col(stratumCol) === stratum, lit(boundaryHex(p))).otherwise(acc)
+    }
+    df.filter(hashKey(col(idCol)) < boundary)
+  }
 }

@@ -220,6 +220,15 @@ object LlmInventory {
     Sampling.deterministicSample(documents(s, d), "doc_id", 0.10)
       .select("doc_id")
 
+  /** t12: stratified deterministic sampling — per-source keep rates (the
+    * domain-mixing primitive). src0 kept whole (exercises the all-inclusive
+    * "g" boundary), src1 half, src2 a quarter, everything else 10%. */
+  val t12StratifiedSample: Q = (s, d) =>
+    Sampling.stratifiedSample(
+      documents(s, d), "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultPct = 0.10)
+      .select("doc_id", "source")
+
   // --- Repetition / contamination gates ---------------------------------
 
   /** t9: Gopher-style word-repetition signals — top-word fraction and
@@ -297,6 +306,7 @@ object LlmInventory {
     "t7_hash_split" -> t7HashSplit,
     "t8_deterministic_sample" -> t8DeterministicSample,
     "t9_repetition" -> t9Repetition,
+    "t12_stratified_sample" -> t12StratifiedSample,
     "t10_top_ngram" -> t10TopNgram,
     "t11_decontam" -> t11Decontam,
     "m1_binary_meta" -> m1BinaryMeta,
@@ -400,6 +410,14 @@ object LlmInventory {
     "t8_deterministic_sample" ->
       """SELECT doc_id FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'""".stripMargin,
+    "t12_stratified_sample" ->
+      // boundaryHex: 1.0 -> 'g' (all 4-hex keys sort below), 0.5 -> '8000',
+      // 0.25 -> '4000', 0.10 -> round(.1*65536)=6554 = '199a' (same
+      // threshold as t8)
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |      CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8000'
+        |                  WHEN 'src2' THEN '4000' ELSE '199a' END""".stripMargin,
     "t9_repetition" ->
       // mirrors ngramRepetitionStats(n=1): space-split of lower(text)
       // (empties kept, like Java split(" ", -1)), per-(doc,word) counts,

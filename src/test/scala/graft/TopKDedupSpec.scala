@@ -236,6 +236,28 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(Sampling.deterministicSample(ids, "id", 1.0).count() === 10000L)
   }
 
+  test("Sampling.stratifiedSample: per-stratum rates, nesting, default fallback") {
+    import graft.operators.Sampling
+    val rows = (0L until 6000L).map(i => (i, s"dom${i % 3}")).toDF("id", "dom")
+    val rates = Map("dom0" -> 1.0, "dom1" -> 0.25)
+    val kept = Sampling.stratifiedSample(rows, "id", "dom", rates, defaultPct = 0.0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDom = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDom("dom0") === 2000) // rate 1.0 keeps the whole stratum
+    assert(byDom("dom1") > 300 && byDom("dom1") < 700) // ~500
+    assert(!byDom.contains("dom2")) // default 0.0 drops unlisted strata
+    // nesting: dom1 at 25% is a subset of dom1 at 50% (same hash stream)
+    val at50 = Sampling.stratifiedSample(rows, "id", "dom", Map("dom1" -> 0.5))
+      .collect().map(_.getLong(0)).toSet
+    val at25 = kept.filter(_._2 == "dom1").map(_._1).toSet
+    assert(at25.subsetOf(at50))
+    // and it agrees with the unstratified sampler at the same rate
+    val flat = Sampling.deterministicSample(
+      rows.filter(col("dom") === "dom1"), "id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(at25 === flat)
+  }
+
   test("tokenOverlapPairs: common-token count respects the ceiling survivors only") {
     val docs = Seq(
       (1L, "x y z w"),
