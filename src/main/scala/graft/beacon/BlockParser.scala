@@ -48,11 +48,20 @@ object BlockParser {
     * defaults — but an UNPARSEABLE payload (from_json → NULL) must not
     * fabricate a phantom block with proposer 0 and empty roots; the
     * reference raises there. We skip the row (documented divergence:
-    * skip vs fail-the-chunk), so every emitted row came from real JSON. */
+    * skip vs fail-the-chunk), so every emitted row came from real JSON.
+    *
+    * "Unparseable" must mean the JSON ENVELOPE failed, not any schema
+    * mismatch: PERMISSIVE from_json sets `_corrupt_record` for a single
+    * mistyped field too (e.g. the CSV-string attesting_indices variant
+    * this engine deliberately tolerates — see [[attesterSlashings]]),
+    * while still parsing every other field. Dropping on `_corrupt_record`
+    * alone would silently lose the whole block row for a payload whose
+    * slashings we DO parse. A failed envelope leaves `message.slot` null
+    * (real payloads always carry it), so that is the phantom test. */
   def blocks(parsed: DataFrame, cfg: ChainConfig): DataFrame =
     parsed
       .filter(col("p").isNotNull &&
-        col("p").getField("_corrupt_record").isNull)
+        (col("p").getField("_corrupt_record").isNull || msg("slot").isNotNull))
       .select(
       col("slot"),
       l(msg("proposer_index")).as("proposer_index"),

@@ -372,7 +372,12 @@ object RawIngest {
     * gates EVERYTHING out — `getOrElse(0L)` would invert the gate and
     * fetch every slot since genesis from an endpoint that does not exist
     * yet. */
-  private def activationFloor(
+  /** First slot the loader's endpoint exists at — `Long.MaxValue` when the
+    * NAMED fork is missing from this network's schedule (gates everything
+    * out; a 0L floor would invert the gate and probe every slot since
+    * genesis). Shared by the ingest gates and the tail planners — the rule
+    * must not fork between planning and fetching. */
+  private[graft] def activationFloor(
       cfg: ChainConfig, activationFork: Option[String]): Long =
     activationFork match {
       case None => 0L

@@ -61,9 +61,42 @@ object Transformer {
       raw.filter(col("slot").between(startSlot, endSlot))
         .select(rawCols(raw).map(col): _*))
 
+  /** Paths whose on-disk schema was already checked against the writer's —
+    * the probe (one footer read) runs once per table directory per JVM;
+    * our own subsequent appends are consistent by construction. */
+  private val schemaProbed = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** Appending a widened column type (e.g. a count migrating int→long)
+    * next to old files of the narrower type silently corrupts the table:
+    * spark.read.parquet infers from a sampled file and fails (or
+    * mis-reads) on the rest. Fail FAST with the repair instruction
+    * instead — mixed-type directories are unrecoverable without a rewrite
+    * anyway. Compares by field name on the overlap; added/dropped columns
+    * are fine (parquet unions schemas of nullable fields). */
+  private def requireCompatibleSchema(
+      df: DataFrame, dir: String, table: String): Unit =
+    schemaProbed.getOrElseUpdate(dir, {
+      if (graft.core.Fs.hasParquetFiles(df.sparkSession, dir)) {
+        val existing = df.sparkSession.read.parquet(dir).schema
+          .map(f => f.name -> f.dataType).toMap
+        val drift = df.schema
+          .filter(f => f.name != "month") // partition col: type is inferred on read
+          .flatMap { f =>
+            existing.get(f.name).filter(_ != f.dataType)
+              .map(old => s"${f.name}: on-disk $old vs writer ${f.dataType}")
+          }
+        if (drift.nonEmpty) throw new IllegalStateException(
+          s"schema drift on $table at $dir — appending would mix parquet " +
+            s"types in one directory (${drift.mkString("; ")}); reprocess " +
+            "the table (`transform reprocess`) to rewrite it under the new schema")
+      }
+      true
+    })
+
   private def writeTable(df: DataFrame, cfg: ChainConfig, outDir: String, table: String): Long = {
     val out = df.withColumn(
       "month", date_format(cfg.slotTimestamp(col("slot")), "yyyy-MM"))
+    requireCompatibleSchema(out, s"$outDir/$table", table)
     // Observation rides the write action itself — a separate .count()
     // would re-run the whole parse pipeline once more per table
     val obs = org.apache.spark.sql.Observation()

@@ -61,11 +61,23 @@ object Metrics {
   private val endpointCache =
     new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, LongAccumulator]]()
 
-  def endpoint(spark: SparkSession, route: String): LongAccumulator =
-    perSession(endpointCache, spark) {
+  def endpoint(spark: SparkSession, route: String): LongAccumulator = {
+    val m = perSession(endpointCache, spark) {
       scala.collection.concurrent.TrieMap.empty[String, LongAccumulator]
-    }.getOrElseUpdate(route,
-      spark.sparkContext.longAccumulator(s"graft.api.requests.$route"))
+    }
+    // TrieMap.getOrElseUpdate is atomic for INSERTION, not thunk
+    // evaluation: two concurrent first callers would each construct-and-
+    // register an accumulator, orphaning the loser in Spark's registry.
+    // Fast path stays lock-free; only first-use takes the lock.
+    m.get(route).getOrElse(registrationLock.synchronized {
+      m.getOrElseUpdate(route,
+        spark.sparkContext.longAccumulator(s"graft.api.requests.$route"))
+    })
+  }
+
+  /** Serializes accumulator construct-and-register (rare: first call per
+    * key); shared by [[endpoint]] and [[histogram]]. */
+  private val registrationLock = new Object
 
   def endpointReport(spark: SparkSession): Map[String, Long] =
     endpointCache.synchronized {
@@ -135,12 +147,16 @@ object Metrics {
   def histogram(
       spark: SparkSession, metric: String, label: String,
       buckets: Array[Long] = apiLatencyBucketsMillis): LatencyHistogram = {
-    val h = perSession(histogramCache, spark) {
+    val m = perSession(histogramCache, spark) {
       scala.collection.concurrent.TrieMap.empty[(String, String), LatencyHistogram]
-    }.getOrElseUpdate((metric, label), {
-      val fresh = new LatencyHistogram(buckets)
-      spark.sparkContext.register(fresh, s"graft.$metric.$label")
-      fresh
+    }
+    // same race as [[endpoint]]: registration must not run twice per key
+    val h = m.get((metric, label)).getOrElse(registrationLock.synchronized {
+      m.getOrElseUpdate((metric, label), {
+        val fresh = new LatencyHistogram(buckets)
+        spark.sparkContext.register(fresh, s"graft.$metric.$label")
+        fresh
+      })
     })
     // first caller wins the registration — a later caller with different
     // buckets (the default arg makes this an easy mistake) would

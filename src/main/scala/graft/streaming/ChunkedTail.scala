@@ -64,18 +64,18 @@ final class ChunkedTail(
     val head = probe.headSlot()
     val target = head - slotDelay
     var last = lastSlot
-    // gauge cursor advances only past chunks whose data EXISTS (completed
-    // earlier or ingested now) — the poll cursor `last` moves past failed
-    // chunks too (they are maintain-fix territory), and a lag gauge that
-    // followed it would report a healthy tail over a hole. Persisted
-    // ACROSS micro-batches: re-seeding from the poll cursor would jump
-    // the gauge over the hole one poll later
-    var lastOk = gaugeCursor.getOrElse(lastSlot)
+    // hoisted: the loader definition (and its gate) is fixed for the
+    // instance — a thousand-chunk catch-up batch must not pay a registry
+    // lookup per chunk
+    val ldef = Loaders.byName(loader)
     // floorDiv: last = -1 (empty resume) must yield boundary 0 — plain
     // `/` truncates toward zero and would skip chunk [0, chunkSize-1]
     var nextBoundary = (Math.floorDiv(last, chunkSize) + 1) * chunkSize
     val completed =
       if (nextBoundary + chunkSize - 1 <= target) completedChunks() else Set.empty[(Long, Long)]
+    // a hole repaired out-of-band (maintain fix) reappears in the
+    // completed set — heal it so the gauge stops reporting it
+    if (completed.nonEmpty) holes = holes.diff(completed)
     while (nextBoundary + chunkSize - 1 <= target) {
       val start = nextBoundary
       val end = nextBoundary + chunkSize - 1
@@ -85,7 +85,6 @@ final class ChunkedTail(
           // honor the loader's fetch contract (P19 split, F5/F6 gates):
           // a window straddling the activation fork must not probe
           // pre-activation slots, and mega-payload loaders must split
-          val ldef = Loaders.byName(loader)
           val r = RawIngest.ingestChunk(spark, cfg, fetcher, rawDir, chunkLedger,
             loader, start, end, split = ldef.splitPayload,
             gate = Some(RawIngest.slotGate(cfg, ldef.activationFork, ldef.dailyOnly)))
@@ -95,24 +94,30 @@ final class ChunkedTail(
           }
           r
         }
-      if (ok) lastOk = end
+      if (!ok) holes += ((start, end))
       last = end
       nextBoundary += chunkSize
     }
-    gaugeCursor = Some(lastOk)
+    // the DATA cursor the gauges report: the poll cursor capped below the
+    // EARLIEST unrepaired hole — `lastOk = end` on each success would jump
+    // the gauge over a failed chunk as soon as any LATER chunk succeeded,
+    // reporting a healthy tail over missing data
+    val dataCursor = ChunkedTail.dataCursor(last, holes)
     // realtime gauges (reference chain_head_slot / chain_lag_slots,
     // observability.py:37-58) — pushed per micro-batch, read by /metrics
     graft.core.Observability.setGauges(
       "chain_head_slot" -> head,
-      s"ingest_last_slot_$loader" -> lastOk,
-      s"ingest_lag_slots_$loader" -> math.max(0L, head - lastOk))
+      s"ingest_last_slot_$loader" -> dataCursor,
+      s"ingest_lag_slots_$loader" -> math.max(0L, head - dataCursor))
     last
   }
 
-  /** Highest slot whose data is known to exist — survives across
-    * micro-batches so a failed chunk's hole stays visible in the lag
-    * gauges until repaired. */
-  @volatile private var gaugeCursor: Option[Long] = None
+  /** Failed chunks whose data is missing — survives across micro-batches
+    * so a hole stays visible in the lag gauges until repaired (healed via
+    * the completed set once `maintain fix` replays it). Process-lifetime
+    * only: holes from a PREVIOUS process are the ledger's to report (J3
+    * gap detection / A6 failed-chunk summary). */
+  @volatile private var holes: Set[(Long, Long)] = Set.empty
 
   /** Bulk completed-chunk cache: one ledger read + window collapse per
     * micro-batch for ALL probes (reference loader.py:492-528). */
@@ -154,6 +159,12 @@ object ChunkedTail {
     * forever producing nothing with no diagnostic anywhere. */
   private[streaming] def reportPollError(who: String, e: Throwable): Unit =
     graft.core.Observability.reportError(s"$who poll (backing off)", e)
+
+  /** Gauge cursor law: the poll cursor capped below the earliest
+    * unrepaired hole. Pure — unit-testable like slotAtTick. */
+  private[graft] def dataCursor(pollCursor: Long, holes: Set[(Long, Long)]): Long =
+    if (holes.isEmpty) pollCursor
+    else math.min(pollCursor, holes.map(_._1).min - 1)
 
   /** One ledger read + FINAL collapse serving the completed-chunk sets of
     * MANY loaders at once — the shared bulk cache of a composite
@@ -221,13 +232,9 @@ final class CompositeTail(
     * Driver-side closed forms only — no data scan. */
   def planFor(
       l: LoaderDef, last: Long, target: Long): Seq[(Long, Long)] = {
-    // a NAMED fork missing from the schedule gates everything out — a
-    // 0L floor would invert the gate and plan every slot since genesis
-    // for an endpoint that does not exist yet on this network
-    val floor = l.activationFork match {
-      case None => 0L
-      case Some(f) => cfg.activationSlot(f).getOrElse(Long.MaxValue)
-    }
+    // shared with the ingest gates — planning and fetching must apply the
+    // SAME named-fork-missing-gates-everything-out rule
+    val floor = RawIngest.activationFloor(cfg, l.activationFork)
     if (floor > target) return Seq.empty // also guards the epoch math below
     if (l.dailyOnly) {
       // daily single-slot chunks: every last-slot-of-day in (last, target]
@@ -276,9 +283,9 @@ final class CompositeTail(
     loaders.map { tl =>
       val name = tl.loader.name
       var last = plans(name)._1
-      // gauge cursor follows DATA, not the poll cursor, and persists
-      // across micro-batches (see ChunkedTail)
-      var lastOk = gaugeCursors.getOrElse(name, last)
+      var loaderHoles = holesByLoader.getOrElse(name, Set.empty)
+      // heal holes repaired out-of-band (maintain fix) — see ChunkedTail
+      completed.get(name).foreach(c => loaderHoles = loaderHoles.diff(c))
       plans(name)._2.foreach { case (start, end) =>
         val ok =
           if (completed.getOrElse(name, Set.empty)((start, end))) true
@@ -298,22 +305,30 @@ final class CompositeTail(
             }
             r
           }
-        if (ok) lastOk = math.max(lastOk, end)
+        if (!ok) loaderHoles += ((start, end))
         last = math.max(last, end)
       }
-      gaugeCursors = gaugeCursors.updated(name, lastOk)
+      holesByLoader = holesByLoader.updated(name, loaderHoles)
       // per-loader lag gauges (reference highest_raw_slot / chain_lag_slots
-      // by loader, observability.py:42-58); names bounded by the registry
-      graft.core.Observability.setGauges(
-        s"ingest_last_slot_$name" -> lastOk,
-        s"ingest_lag_slots_$name" -> math.max(0L, head - lastOk))
+      // by loader, observability.py:42-58); names bounded by the registry.
+      // Gauge cursor follows DATA: poll cursor capped below the earliest
+      // unrepaired hole (see ChunkedTail.dataCursor). A loader gated out
+      // by an unscheduled activation fork publishes NO lag — its cursor
+      // would sit at resume (-1) forever, paging "12M slots behind" for
+      // an endpoint that is correctly idle on this network
+      if (RawIngest.activationFloor(cfg, tl.loader.activationFork) <= target) {
+        val dataCursor = ChunkedTail.dataCursor(last, loaderHoles)
+        graft.core.Observability.setGauges(
+          s"ingest_last_slot_$name" -> dataCursor,
+          s"ingest_lag_slots_$name" -> math.max(0L, head - dataCursor))
+      }
       name -> last
     }.toMap
   }
 
-  /** Per-loader highest slot whose data is known to exist — survives
-    * across micro-batches (see ChunkedTail.gaugeCursor). */
-  @volatile private var gaugeCursors: Map[String, Long] = Map.empty
+  /** Per-loader unrepaired failed chunks — survives across micro-batches
+    * (see ChunkedTail.holes). */
+  @volatile private var holesByLoader: Map[String, Set[(Long, Long)]] = Map.empty
 
   /** R1: the composite poll loop. */
   def run(maxIterations: Int): Map[String, Long] = {

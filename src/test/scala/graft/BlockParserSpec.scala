@@ -143,6 +143,21 @@ class BlockParserSpec extends AnyFunSuite {
     assert(out.getAs[Long]("total_slashed_validators") === 5L)
   }
 
+  test("blocks: the tolerated CSV-variant payload keeps its blocks row (schema mismatch != unparseable)") {
+    // PERMISSIVE from_json flags the CSV-string attesting_indices as
+    // _corrupt_record while parsing everything else — the phantom-row
+    // filter must not drop the block the slashings parser DOES handle
+    val csvPayload = BeaconFixtures.electraBlock
+      .replace("\"attesting_indices\": [\"1\", \"2\", \"3\"]",
+        "\"attesting_indices\": \"1, 2, 3\"")
+    val t = BlockParser.parseAll(rawOf(21405700L -> csvPayload), cfg)
+    val b = t("blocks").collect()
+    assert(b.length === 1, "CSV-variant payload must not lose its blocks row")
+    assert(b.head.getAs[Long]("slot") === 21405700L)
+    assert(b.head.getAs[String]("parent_root").nonEmpty) // fields parsed, not defaults
+    assert(t("attester_slashings").count() >= 1L) // cross-table consistency
+  }
+
   test("attestations: garbage data.slot falls back to BLOCK slot, not 0 (safe_int parity)") {
     // reference fork_base.py:210-222: safe_int(att_data.get("slot", slot), slot)
     // → both a missing field and an unparseable value yield the block slot

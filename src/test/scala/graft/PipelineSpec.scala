@@ -341,6 +341,73 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.core.Observability.gaugeValues("ingest_last_slot_blocks") === 299L)
   }
 
+  test("lag gauge stays below a mid-batch hole even when LATER chunks succeed, and heals on repair") {
+    val base = tmp()
+    var head = 560L
+    val probe = new HeadProbe { def headSlot(): Long = head }
+    val good = fetcherFor(0 until 700)
+    val holey = new SlotFetcher {
+      def fetch(slot: Long): Option[String] =
+        if (slot >= 300 && slot <= 399) throw new RuntimeException("mid-batch hole")
+        else good.fetch(slot)
+    }
+    val ledger = LedgerStore(s"$base/cl")
+    val tail = new ChunkedTail(spark, cfg, holey, probe,
+      s"$base/raw", ledger, chunkSize = 100L, slotDelay = 50L)
+    val last = tail.run(1) // target 510: [0,99]..[200,299] ok, [300,399] FAILS, [400,499] ok
+    assert(last === 499L) // poll cursor moved past the hole
+    val g = graft.core.Observability.gaugeValues
+    // the gauge must NOT follow the later success over the hole
+    assert(g("ingest_last_slot_blocks") === 299L)
+    assert(g("ingest_lag_slots_blocks") === 261L)
+    // repair the hole out-of-band (maintain-fix shape: reload the chunk)
+    assert(RawIngest.ingestChunk(spark, cfg, good, s"$base/raw", ledger,
+      "blocks", 300L, 399L))
+    // next micro-batch (new window due → completed set re-read) heals it
+    head = 700L // target 650 → [500,599] due
+    tail.processAvailable(last)
+    val g2 = graft.core.Observability.gaugeValues
+    assert(g2("ingest_last_slot_blocks") === 599L)
+    assert(g2("ingest_lag_slots_blocks") === 101L)
+  }
+
+  test("writeTable fails fast on schema drift instead of appending mixed parquet types") {
+    val base = tmp()
+    // simulate a table written by an OLD engine version: same column,
+    // narrower type (int where the writer now emits long)
+    import spark.implicits._
+    Seq((1L, 1)).toDF("slot", "withdrawals_count")
+      .write.parquet(s"$base/tables/blocks")
+    val raw = fetcherFor(0 until 10)
+    assert(RawIngest.ingestChunk(spark, cfg, raw, s"$base/raw",
+      LedgerStore(s"$base/cl"), "blocks", 0L, 9L))
+    val progress = LedgerStore(s"$base/tp")
+    val ok = Transformer.transformChunk(spark, cfg, Loaders.blocks,
+      s"$base/raw", s"$base/tables", progress, 0L, 9L)
+    assert(!ok, "append over a drifted schema must fail, not corrupt the table")
+    val err = Ledger.progressStates(progress.read(spark, Schemas.transformerProgress))
+      .filter(org.apache.spark.sql.functions.col("status") === "failed")
+      .select("error_message").head().getString(0)
+    assert(err.contains("schema drift"), err)
+    assert(err.contains("withdrawals_count"), err)
+  }
+
+  test("CompositeTail: a loader gated out by an unscheduled fork publishes NO lag gauges") {
+    val base = tmp()
+    val probe = new HeadProbe { def headSlot(): Long = 1000L }
+    val gated = Loaders.blocks.copy(
+      name = "gated_probe_test", activationFork = Some("never_scheduled"))
+    val tail = new CompositeTail(spark, cfg, probe, base,
+      LedgerStore(s"$base/cl"), Seq(TailLoader(gated, fetcherFor(0 until 10))),
+      chunkSize = 100L, slotDelay = 50L)
+    tail.processAvailable(Map.empty)
+    val g = graft.core.Observability.gaugeValues
+    assert(!g.contains("ingest_last_slot_gated_probe_test"),
+      "idle-by-gate loader must not publish a cursor")
+    assert(!g.contains("ingest_lag_slots_gated_probe_test"),
+      "idle-by-gate loader must not page as catastrophically behind")
+  }
+
   test("CompositeTail.planFor: activation-fork floor gates windows and daily slots") {
     val probe = new HeadProbe { def headSlot(): Long = 0L }
     val tail = new CompositeTail(spark, cfg, probe, tmp(), LedgerStore(tmp() + "/cl"),

@@ -52,6 +52,14 @@ class StreamingSpec extends AnyFunSuite {
     assert((0L to 12L).flatMap(StreamingJobs.slotAtTick(0L, 5L, _)).length === 3)
   }
 
+  test("dataCursor law: poll cursor capped below the earliest unrepaired hole") {
+    import graft.streaming.ChunkedTail.dataCursor
+    assert(dataCursor(499L, Set.empty) === 499L)
+    assert(dataCursor(499L, Set((300L, 399L))) === 299L) // later success must not mask the hole
+    assert(dataCursor(499L, Set((300L, 399L), (100L, 199L))) === 99L) // earliest hole wins
+    assert(dataCursor(250L, Set((300L, 399L))) === 250L) // hole above the cursor: no cap
+  }
+
   test("virtual-clock e2e: paceTicks → rawIngestStream at mainnet cadence (R1/R4)") {
     // 120 virtual seconds of rate-source ticks at 12 s/slot: the paced
     // stream must ingest EXACTLY slots 9000000..9000010, once each, and
