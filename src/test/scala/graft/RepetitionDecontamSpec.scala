@@ -84,6 +84,18 @@ class RepetitionDecontamSpec extends AnyFunSuite {
     assert(clean.toSeq === Seq(2L, 3L))
   }
 
+  test("ngramRepetitionStats plan: both aggregates partial before exchange; one shuffle level per agg") {
+    val df = Seq((1L, "a b a"), (2L, "c d")).toDF("doc_id", "text")
+    val plan = TextAnalysis.ngramRepetitionStats(df, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    // the (id, gram) count and the per-id rollup must both map-side
+    // combine — at 100 TB the gram explosion is corpus-sized and an
+    // unpartialed aggregate would shuffle every gram occurrence
+    assert(plan.contains("partial_count") || plan.contains("partial"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+  }
+
   test("decontam plan: benchmark side broadcasts — no shuffle of the corpus side for the join") {
     val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
     val corpus = Seq((1L, "a b c d x"), (2L, "p q r s t")).toDF("doc_id", "text")
