@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -61,5 +62,55 @@ object Sampling {
         when(col(stratumCol) === stratum, lit(boundaryHex(p))).otherwise(acc)
     }
     df.filter(hashKey(col(idCol)) < boundary)
+  }
+
+  /** Token-budget selection — "take the best documents until N tokens":
+    * rows in (priorityCol DESC, idCol ASC) order whose RUNNING `costCol`
+    * total (inclusive) stays ≤ `budget`. The order must be total —
+    * idCol breaks priority ties — so the selected set is a deterministic
+    * prefix, independent of partitioning and engine.
+    *
+    * Scalable distributed prefix sum, NOT `Window.orderBy(...)` over the
+    * whole frame (that plans a single-partition exchange — the one shape
+    * this codebase bans at 100 TB): range-repartition on the order key,
+    * running-sum WITHIN each partition (window partitioned by the
+    * materialized partition id → parallel), then add each partition's
+    * driver-computed offset (the cumulative total of all partitions
+    * before it — |partitions| values, broadcast as a literal map).
+    *
+    * The result is caller-owned persisted (the partition-id → offset
+    * mapping must not be recomputed under a different range sampling);
+    * unpersist when done. */
+  def tokenBudgetSelect(
+      df: DataFrame, idCol: String, costCol: String, priorityCol: String,
+      budget: Long): DataFrame = {
+    val ord = Seq(col(priorityCol).desc, col(idCol).asc)
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val parted = df
+      .repartitionByRange(parts, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    try {
+      // per-partition totals: |partitions| rows to the driver
+      val totals = parted.groupBy("__pid")
+        .agg(sum(col(costCol).cast("long")).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets = (0 until parts).scanLeft(0L) {
+        case (acc, p) => acc + totals.getOrElse(p, 0L)
+      }
+      val offsetOf = map((0 until parts).flatMap(p =>
+        Seq(lit(p), lit(offsets(p)))): _*)
+      val w = Window.partitionBy("__pid").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val out = parted
+        .withColumn("__run",
+          element_at(offsetOf, col("__pid")) + sum(col(costCol).cast("long")).over(w))
+        .filter(col("__run") <= budget)
+        .drop("__pid", "__run")
+        .persist()
+      out.count() // materialize while the partitioning is still pinned
+      out
+    } finally parted.unpersist(blocking = false)
   }
 }

@@ -229,6 +229,16 @@ object LlmInventory {
       Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultPct = 0.10)
       .select("doc_id", "source")
 
+  /** t13: token-budget selection — highest-n_chars docs (doc_id ties)
+    * until 10k words. Distributed prefix sum (range partition +
+    * per-partition offsets), never a single-partition global window. */
+  val t13TokenBudget: Q = (s, d) => {
+    val docs = documents(s, d)
+      .withColumn("n_words_b", size(split(col("text"), " ")).cast("long"))
+    Sampling.tokenBudgetSelect(docs, "doc_id", "n_words_b", "n_chars", 10000L)
+      .select("doc_id")
+  }
+
   // --- Repetition / contamination gates ---------------------------------
 
   /** t9: Gopher-style word-repetition signals — top-word fraction and
@@ -307,6 +317,7 @@ object LlmInventory {
     "t8_deterministic_sample" -> t8DeterministicSample,
     "t9_repetition" -> t9Repetition,
     "t12_stratified_sample" -> t12StratifiedSample,
+    "t13_token_budget" -> t13TokenBudget,
     "t10_top_ngram" -> t10TopNgram,
     "t11_decontam" -> t11Decontam,
     "m1_binary_meta" -> m1BinaryMeta,
@@ -418,6 +429,16 @@ object LlmInventory {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
         |      CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8000'
         |                  WHEN 'src2' THEN '4000' ELSE '199a' END""".stripMargin,
+    "t13_token_budget" ->
+      // same total order (n_chars DESC, doc_id ASC) and inclusive running
+      // word-count budget; exact ints → identical prefix in any engine
+      """SELECT doc_id FROM (
+        |  SELECT doc_id,
+        |         SUM(len(string_split(text, ' '))) OVER (
+        |           ORDER BY n_chars DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM documents) t
+        |WHERE run <= 10000""".stripMargin,
     "t9_repetition" ->
       // mirrors ngramRepetitionStats(n=1): space-split of lower(text)
       // (empties kept, like Java split(" ", -1)), per-(doc,word) counts,

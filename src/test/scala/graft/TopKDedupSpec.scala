@@ -258,6 +258,32 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(at25 === flat)
   }
 
+  test("tokenBudgetSelect: deterministic prefix under the budget, ties by id, partition-independent") {
+    import graft.operators.Sampling
+    // priority ties everywhere: selection must fall back to id order
+    val rows = (0L until 1000L).map(i => (i, 7L, (i % 5) + 1L))
+      .toDF("id", "prio", "cost")
+    val out = Sampling.tokenBudgetSelect(rows, "id", "cost", "prio", 90L)
+    try {
+      val got = out.select("id").as[Long].collect().sorted.toSeq
+      // naive reference: same total order, inclusive running sum
+      val expect = (0L until 1000L).map(i => (i, (i % 5) + 1L))
+        .scanLeft((-1L, 0L)) { case ((_, acc), (i, c)) => (i, acc + c) }
+        .drop(1).takeWhile(_._2 <= 90L).map(_._1)
+      assert(got === expect)
+      // partition-independence: a shuffled, oddly-partitioned input selects
+      // the SAME prefix
+      val shuffled = rows.orderBy(rand(42)).repartition(7)
+      val out2 = Sampling.tokenBudgetSelect(shuffled, "id", "cost", "prio", 90L)
+      try assert(out2.select("id").as[Long].collect().sorted.toSeq === expect)
+      finally out2.unpersist()
+      // budget smaller than the first row's cost selects nothing
+      val none = Sampling.tokenBudgetSelect(rows, "id", "cost", "prio", 0L)
+      try assert(none.count() === 0L)
+      finally none.unpersist()
+    } finally out.unpersist()
+  }
+
   test("tokenOverlapPairs: common-token count respects the ceiling survivors only") {
     val docs = Seq(
       (1L, "x y z w"),
