@@ -84,30 +84,42 @@ object Sampling {
   def tokenBudgetSelect(
       df: DataFrame, idCol: String, costCol: String, priorityCol: String,
       budget: Long): DataFrame = {
+    Seq("__pid", "__run", "__offset").foreach(t => require(!df.columns.contains(t),
+      s"input already has a column named $t — rename it before tokenBudgetSelect"))
     val ord = Seq(col(priorityCol).desc, col(idCol).asc)
+    // NULL costs count as 0 (documented): SUM skips nulls asymmetrically
+    // between engines/positions, so normalize before any arithmetic
+    val cost = coalesce(col(costCol).cast("long"), lit(0L))
     val parts = df.sparkSession.sparkContext.defaultParallelism
+    // no sortWithinPartitions here: __pid depends only on the range
+    // exchange, the totals groupBy ignores order, and the running-sum
+    // window below re-sorts after its own __pid exchange anyway — a
+    // pre-sort would be a wasted full sort of the dataset
     val parted = df
       .repartitionByRange(parts, ord: _*)
-      .sortWithinPartitions(ord: _*)
       .withColumn("__pid", spark_partition_id())
       .persist()
     try {
       // per-partition totals: |partitions| rows to the driver
       val totals = parted.groupBy("__pid")
-        .agg(sum(col(costCol).cast("long")).as("t"))
+        .agg(sum(cost).as("t"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       val offsets = (0 until parts).scanLeft(0L) {
         case (acc, p) => acc + totals.getOrElse(p, 0L)
       }
-      val offsetOf = map((0 until parts).flatMap(p =>
-        Seq(lit(p), lit(offsets(p)))): _*)
+      // offsets ride a broadcast-joined 2-column frame: an O(1) hash probe
+      // per row, where a literal CreateMap would plan a CaseKeyWhen chain
+      // with one branch per partition (thousands on a real cluster —
+      // past Janino's method limit, silently interpreted)
+      import df.sparkSession.implicits._
+      val offsetDf = (0 until parts).map(p => (p, offsets(p))).toDF("__pid", "__offset")
       val w = Window.partitionBy("__pid").orderBy(ord: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val out = parted
-        .withColumn("__run",
-          element_at(offsetOf, col("__pid")) + sum(col(costCol).cast("long")).over(w))
+        .join(broadcast(offsetDf), Seq("__pid"))
+        .withColumn("__run", col("__offset") + sum(cost).over(w))
         .filter(col("__run") <= budget)
-        .drop("__pid", "__run")
+        .drop("__pid", "__run", "__offset")
         .persist()
       out.count() // materialize while the partitioning is still pinned
       out

@@ -281,6 +281,21 @@ class TopKDedupSpec extends AnyFunSuite {
       val none = Sampling.tokenBudgetSelect(rows, "id", "cost", "prio", 0L)
       try assert(none.count() === 0L)
       finally none.unpersist()
+      // NULL costs count as 0, never NPE the offsets job — even when a
+      // whole range partition is all-null (nulls-last priority ordering)
+      val withNulls = (0L until 100L)
+        .map(i => (i, if (i < 50) Some(7L) else None, java.lang.Long.valueOf(1L)))
+        .toDF("id", "prio", "cost")
+      val sel = Sampling.tokenBudgetSelect(withNulls, "id", "cost", "prio", 10L)
+      try assert(sel.count() === 10L)
+      finally sel.unpersist()
+      val nullCosts = (0L until 100L)
+        .map(i => (i, 7L, if (i % 2 == 0) Some(1L) else None))
+        .toDF("id", "prio", "cost")
+      val sel2 = Sampling.tokenBudgetSelect(nullCosts, "id", "cost", "prio", 3L)
+      // costs 1,0,1,0,...: run hits 3 at id 4; ids 0..5 all have run <= 3
+      try assert(sel2.select("id").as[Long].collect().sorted.toSeq === (0L to 5L))
+      finally sel2.unpersist()
     } finally out.unpersist()
   }
 
