@@ -66,9 +66,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es(1).eval().asInstanceOf[Int])))
     e.injectFunction((
       FunctionIdentifier("word_shingles"),
-      info("word_shingles", "distinct w-token shingles of lowercased text"),
+      info("word_shingles",
+        "w-token shingles of lowercased text; optional 3rd arg distinct " +
+          "(default true) — false keeps every occurrence (repetition counting)"),
       (es: Seq[Expression]) => graft.operators.WordShingles(
         es.head,
-        es(1).eval().asInstanceOf[Int])))
+        es(1).eval().asInstanceOf[Int],
+        distinct = if (es.length > 2) es(2).eval().asInstanceOf[Boolean] else true)))
   }
 }

@@ -28,15 +28,26 @@ object Decontam {
     */
   def contaminationHits(
       corpus: DataFrame, benchmark: DataFrame,
-      idCol: String, textCol: String, w: Int, minHits: Long = 1L): DataFrame = {
+      idCol: String, textCol: String, w: Int, minHits: Long = 1L,
+      maxBroadcastDocs: Long = 100000L): DataFrame = {
     require(w >= 1, s"shingle width must be >= 1, got $w")
     val benchShingles = benchmark
       .select(explode(Shingles.of(col(textCol), w)).as("shingle"))
       .distinct()
+    // an explicit broadcast() bypasses autoBroadcastJoinThreshold, so it
+    // needs its own guard: a huge eval suite's shingle set (tens of
+    // millions of multi-word strings) would OOM the driver or hit the
+    // broadcast hard limit. The doc count is a cheap proxy (shingles ≈
+    // docs × tokens; one count of the SMALL side, no shingle compute);
+    // past the cap, fall back to the shuffle equi-join — slower, never
+    // fatal.
+    val benchSide =
+      if (benchmark.count() <= maxBroadcastDocs) broadcast(benchShingles)
+      else benchShingles
     val corpusShingles = corpus
       .select(col(idCol), explode(Shingles.of(col(textCol), w)).as("shingle"))
     corpusShingles
-      .join(broadcast(benchShingles), Seq("shingle"))
+      .join(benchSide, Seq("shingle"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minHits)
@@ -46,8 +57,10 @@ object Decontam {
     * documents (left-anti against [[contaminationHits]]). */
   def decontaminated(
       corpus: DataFrame, benchmark: DataFrame,
-      idCol: String, textCol: String, w: Int, minHits: Long = 1L): DataFrame = {
-    val hits = contaminationHits(corpus, benchmark, idCol, textCol, w, minHits)
+      idCol: String, textCol: String, w: Int, minHits: Long = 1L,
+      maxBroadcastDocs: Long = 100000L): DataFrame = {
+    val hits = contaminationHits(
+      corpus, benchmark, idCol, textCol, w, minHits, maxBroadcastDocs)
     corpus.join(hits.select(idCol), Seq(idCol), "left_anti")
   }
 }

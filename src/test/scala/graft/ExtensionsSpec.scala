@@ -38,6 +38,12 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[String]("h") === "9e638ba662cf3592")
     assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12)
     assert(r.getAs[Seq[Long]]("mh").length === 4)
+    // word_shingles: 2-arg distinct default; 3-arg multiplicity variant
+    val sh = spark.sql(
+      """SELECT word_shingles('a b a b', 2) AS d,
+        |       word_shingles('a b a b', 2, false) AS all""".stripMargin).head()
+    assert(sh.getAs[Seq[String]]("d") === Seq("a b", "b a"))
+    assert(sh.getAs[Seq[String]]("all") === Seq("a b", "b a", "a b"))
   }
 
   test("BeaconCatalog: <table> and <table>_latest views registered") {
