@@ -299,6 +299,23 @@ class TopKDedupSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("t12/t13 plan shapes: pruned scan for the stratified filter; no single-partition exchange in the prefix sum") {
+    val d = "/root/testdata/sf0.001"
+    // t12: a pure row predicate — one codegen'd filter over a 2-column scan
+    val p12 = graft.SparkEntry.queries("t12_stratified_sample")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(p12.contains("ReadSchema: struct<doc_id:bigint,source:string>"), p12.take(1500))
+    assert(!p12.contains("Exchange"), p12.take(1500))
+    // t13: the distributed prefix sum must never plan the global-order
+    // window's single-partition exchange
+    val df13 = graft.SparkEntry.queries("t13_token_budget")(spark, d)
+    try {
+      val p13 = df13.queryExecution.executedPlan.toString
+      assert(!p13.contains("SinglePartition"), p13.take(2000))
+      assert(p13.contains("BroadcastHashJoin"), p13.take(2000)) // offsets ride a broadcast
+    } finally df13.unpersist()
+  }
+
   test("tokenOverlapPairs: common-token count respects the ceiling survivors only") {
     val docs = Seq(
       (1L, "x y z w"),
