@@ -50,18 +50,25 @@ object BlockParser {
     * reference raises there. We skip the row (documented divergence:
     * skip vs fail-the-chunk), so every emitted row came from real JSON.
     *
-    * "Unparseable" must mean the JSON ENVELOPE failed, not any schema
+    * "Unparseable" must mean the JSON DOCUMENT failed, not any schema
     * mismatch: PERMISSIVE from_json sets `_corrupt_record` for a single
     * mistyped field too (e.g. the CSV-string attesting_indices variant
     * this engine deliberately tolerates — see [[attesterSlashings]]),
     * while still parsing every other field. Dropping on `_corrupt_record`
     * alone would silently lose the whole block row for a payload whose
-    * slashings we DO parse. A failed envelope leaves `message.slot` null
-    * (real payloads always carry it), so that is the phantom test. */
+    * slashings we DO parse. A parsed field (like `message.slot`) is NOT
+    * proof either: partial-results mode keeps every field parsed BEFORE
+    * the failure, so a TRUNCATED body (proxy cut mid-stream) carries a
+    * real slot and all-null body fields — the exact phantom. The
+    * discriminator is structural validity: `get_json_object` returns
+    * null for malformed/truncated JSON but answers normally on a valid
+    * document with a mistyped field. Evaluated only on corrupt rows
+    * (rare), so the second parse is off the hot path. */
   def blocks(parsed: DataFrame, cfg: ChainConfig): DataFrame =
     parsed
       .filter(col("p").isNotNull &&
-        (col("p").getField("_corrupt_record").isNull || msg("slot").isNotNull))
+        (col("p").getField("_corrupt_record").isNull ||
+          get_json_object(col("payload"), "$.data.message.slot").isNotNull))
       .select(
       col("slot"),
       l(msg("proposer_index")).as("proposer_index"),

@@ -363,15 +363,6 @@ object RawIngest {
     } finally pool.shutdown()
   }
 
-  /** F5/F6 fetch gates: restrict a slot range to a loader's cadence —
-    * fork-activation floor (pending queues fetch only Electra+;
-    * src/loaders/pending_consolidations.py:28-33) and daily-snapshot slots
-    * (validators; src/loaders/validators.py:129-149). */
-  /** Activation floor for a gated loader. A NAMED fork that is absent
-    * from the schedule (e.g. fulu before it is scheduled on a network)
-    * gates EVERYTHING out — `getOrElse(0L)` would invert the gate and
-    * fetch every slot since genesis from an endpoint that does not exist
-    * yet. */
   /** First slot the loader's endpoint exists at — `Long.MaxValue` when the
     * NAMED fork is missing from this network's schedule (gates everything
     * out; a 0L floor would invert the gate and probe every slot since
@@ -384,6 +375,10 @@ object RawIngest {
       case Some(f) => cfg.activationSlot(f).getOrElse(Long.MaxValue)
     }
 
+  /** F5/F6 fetch gates: restrict a slot range to a loader's cadence —
+    * fork-activation floor (pending queues fetch only Electra+;
+    * src/loaders/pending_consolidations.py:28-33) and daily-snapshot slots
+    * (validators; src/loaders/validators.py:129-149). */
   def gateSlots(
       cfg: ChainConfig, slots: Seq[Long],
       activationFork: Option[String] = None,

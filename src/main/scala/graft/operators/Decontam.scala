@@ -29,21 +29,21 @@ object Decontam {
   def contaminationHits(
       corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, w: Int, minHits: Long = 1L,
-      maxBroadcastDocs: Long = 100000L): DataFrame = {
+      broadcastBenchmark: Boolean = true): DataFrame = {
     require(w >= 1, s"shingle width must be >= 1, got $w")
     val benchShingles = benchmark
       .select(explode(Shingles.of(col(textCol), w)).as("shingle"))
       .distinct()
-    // an explicit broadcast() bypasses autoBroadcastJoinThreshold, so it
-    // needs its own guard: a huge eval suite's shingle set (tens of
-    // millions of multi-word strings) would OOM the driver or hit the
-    // broadcast hard limit. The doc count is a cheap proxy (shingles ≈
-    // docs × tokens; one count of the SMALL side, no shingle compute);
-    // past the cap, fall back to the shuffle equi-join — slower, never
-    // fatal.
+    // an explicit broadcast() bypasses autoBroadcastJoinThreshold, so the
+    // caller must be able to opt out: a huge eval suite's shingle set
+    // (tens of millions of multi-word strings — rule of thumb: >100k
+    // benchmark docs) would OOM the driver or hit the broadcast hard
+    // limit. `broadcastBenchmark = false` plans the shuffle equi-join —
+    // slower, never fatal. A knob, not a measured guard: measuring would
+    // cost an eager Spark job at plan-construction time and a second
+    // compute of the benchmark lineage.
     val benchSide =
-      if (benchmark.count() <= maxBroadcastDocs) broadcast(benchShingles)
-      else benchShingles
+      if (broadcastBenchmark) broadcast(benchShingles) else benchShingles
     val corpusShingles = corpus
       .select(col(idCol), explode(Shingles.of(col(textCol), w)).as("shingle"))
     corpusShingles
@@ -58,9 +58,9 @@ object Decontam {
   def decontaminated(
       corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, w: Int, minHits: Long = 1L,
-      maxBroadcastDocs: Long = 100000L): DataFrame = {
+      broadcastBenchmark: Boolean = true): DataFrame = {
     val hits = contaminationHits(
-      corpus, benchmark, idCol, textCol, w, minHits, maxBroadcastDocs)
+      corpus, benchmark, idCol, textCol, w, minHits, broadcastBenchmark)
     corpus.join(hits.select(idCol), Seq(idCol), "left_anti")
   }
 }

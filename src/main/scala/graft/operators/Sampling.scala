@@ -121,7 +121,11 @@ object Sampling {
         .filter(col("__run") <= budget)
         .drop("__pid", "__run", "__offset")
         .persist()
-      out.count() // materialize while the partitioning is still pinned
+      // materialize while the partitioning is still pinned; a failed
+      // count must release the cache entry it just registered, or retries
+      // in a long-lived driver accumulate orphans
+      try out.count()
+      catch { case e: Throwable => out.unpersist(blocking = false); throw e }
       out
     } finally parted.unpersist(blocking = false)
   }

@@ -71,10 +71,13 @@ final class ChunkedTail(
     // floorDiv: last = -1 (empty resume) must yield boundary 0 — plain
     // `/` truncates toward zero and would skip chunk [0, chunkSize-1]
     var nextBoundary = (Math.floorDiv(last, chunkSize) + 1) * chunkSize
+    // the completed set is read when windows are due OR holes are pending:
+    // a hole repaired out-of-band (maintain fix) must heal on the NEXT
+    // poll, not after the head advances a whole chunk (≈20 min at mainnet
+    // cadence) — the extra ledger read only persists while holes exist
     val completed =
-      if (nextBoundary + chunkSize - 1 <= target) completedChunks() else Set.empty[(Long, Long)]
-    // a hole repaired out-of-band (maintain fix) reappears in the
-    // completed set — heal it so the gauge stops reporting it
+      if (nextBoundary + chunkSize - 1 <= target || holes.nonEmpty) completedChunks()
+      else Set.empty[(Long, Long)]
     if (completed.nonEmpty) holes = holes.diff(completed)
     while (nextBoundary + chunkSize - 1 <= target) {
       val start = nextBoundary
@@ -275,9 +278,11 @@ final class CompositeTail(
       tl.loader.name -> (last, planFor(tl.loader, last, target))
     }.toMap
     // an idle poll (nothing due for any loader) must not pay the ledger
-    // read + window collapse + collect every pollMillis, forever
+    // read + window collapse + collect every pollMillis, forever — but
+    // pending holes re-read it so out-of-band repairs heal on the next
+    // poll (see ChunkedTail.processAvailable)
     val completed =
-      if (plans.values.exists(_._2.nonEmpty))
+      if (plans.values.exists(_._2.nonEmpty) || holesByLoader.values.exists(_.nonEmpty))
         ChunkedTail.completedByLoader(spark, chunkLedger, loaders.map(_.loader.name))
       else Map.empty[String, Set[(Long, Long)]]
     loaders.map { tl =>
@@ -312,11 +317,14 @@ final class CompositeTail(
       // per-loader lag gauges (reference highest_raw_slot / chain_lag_slots
       // by loader, observability.py:42-58); names bounded by the registry.
       // Gauge cursor follows DATA: poll cursor capped below the earliest
-      // unrepaired hole (see ChunkedTail.dataCursor). A loader gated out
-      // by an unscheduled activation fork publishes NO lag — its cursor
-      // would sit at resume (-1) forever, paging "12M slots behind" for
-      // an endpoint that is correctly idle on this network
-      if (RawIngest.activationFloor(cfg, tl.loader.activationFork) <= target) {
+      // unrepaired hole (see ChunkedTail.dataCursor). A GATED loader whose
+      // activation is unscheduled or still ahead publishes NO lag — its
+      // cursor would sit at resume (-1) forever, paging "12M slots behind"
+      // for an endpoint that is correctly idle on this network. UNGATED
+      // loaders (floor 0) always publish, matching the single-loader
+      // ChunkedTail even when target < 0 on a young chain.
+      val floor = RawIngest.activationFloor(cfg, tl.loader.activationFork)
+      if (floor == 0L || floor <= target) {
         val dataCursor = ChunkedTail.dataCursor(last, loaderHoles)
         graft.core.Observability.setGauges(
           s"ingest_last_slot_$name" -> dataCursor,

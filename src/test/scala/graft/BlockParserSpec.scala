@@ -158,6 +158,17 @@ class BlockParserSpec extends AnyFunSuite {
     assert(t("attester_slashings").count() >= 1L) // cross-table consistency
   }
 
+  test("blocks: a TRUNCATED payload is dropped even though partial parsing recovered its slot") {
+    // partial-results parsing keeps fields before the cut, so the slot is
+    // real while the body is all-null — emitting it would fabricate a
+    // phantom block with proposer 0 and empty roots
+    val full = BeaconFixtures.electraBlock
+    val cut = full.substring(0, (full.length * 3) / 5)
+    assert(cut.contains("\"slot\""), "fixture must be cut AFTER the slot field")
+    val t = BlockParser.parseAll(rawOf(21405700L -> cut), cfg)
+    assert(t("blocks").count() === 0L, "truncated JSON must never produce a blocks row")
+  }
+
   test("attestations: garbage data.slot falls back to BLOCK slot, not 0 (safe_int parity)") {
     // reference fork_base.py:210-222: safe_int(att_data.get("slot", slot), slot)
     // → both a missing field and an unparseable value yield the block slot

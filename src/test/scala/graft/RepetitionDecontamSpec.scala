@@ -88,10 +88,14 @@ class RepetitionDecontamSpec extends AnyFunSuite {
     val df = Seq((1L, "a b a"), (2L, "c d")).toDF("doc_id", "text")
     val plan = TextAnalysis.ngramRepetitionStats(df, "doc_id", "text", 2)
       .queryExecution.executedPlan.toString
-    // the (id, gram) count and the per-id rollup must both map-side
+    // the (id, gram) count and the per-id rollup must BOTH map-side
     // combine — at 100 TB the gram explosion is corpus-sized and an
-    // unpartialed aggregate would shuffle every gram occurrence
-    assert(plan.contains("partial_count") || plan.contains("partial"), plan.take(2000))
+    // unpartialed aggregate would shuffle every gram occurrence. Each
+    // stage is asserted by its own partial function, not a single
+    // "partial" substring that either alone would satisfy.
+    assert(plan.contains("partial_count"), plan.take(2000)) // (id, gram) stage
+    assert(plan.contains("partial_sum") && plan.contains("partial_max"),
+      plan.take(2000)) // per-id rollup stage
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoopJoin"),
       plan.take(2000))
   }

@@ -307,13 +307,17 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(p12.contains("ReadSchema: struct<doc_id:bigint,source:string>"), p12.take(1500))
     assert(!p12.contains("Exchange"), p12.take(1500))
     // t13: the distributed prefix sum must never plan the global-order
-    // window's single-partition exchange
-    val df13 = graft.SparkEntry.queries("t13_token_budget")(spark, d)
+    // window's single-partition exchange (asserted on the OPERATOR's
+    // caller-owned frame — the query entry collects to release the cache)
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .withColumn("n_words_b", size(split(col("text"), " ")).cast("long"))
+    val sel = graft.operators.Sampling.tokenBudgetSelect(
+      docs, "doc_id", "n_words_b", "n_chars", 10000L)
     try {
-      val p13 = df13.queryExecution.executedPlan.toString
+      val p13 = sel.queryExecution.executedPlan.toString
       assert(!p13.contains("SinglePartition"), p13.take(2000))
       assert(p13.contains("BroadcastHashJoin"), p13.take(2000)) // offsets ride a broadcast
-    } finally df13.unpersist()
+    } finally sel.unpersist()
   }
 
   test("tokenOverlapPairs: common-token count respects the ceiling survivors only") {
