@@ -92,13 +92,27 @@ object Dedup {
     * (band index, band hash) pair — this is the standard
     * shingle→minhash→band→bucket-join plan and the only shuffle in the op.
     *
+    * `md5Parity = true` swaps both hash families for md5 (signature mins =
+    * min md5 of seeded shingle, band hash = md5 of the '|'-joined
+    * signature slice) — byte-identical to an ANSI-SQL oracle, so the full
+    * LSH pipeline is hash-checkable against DuckDB. The default xxhash64
+    * codegen kernel remains the scale path (one pass over the token bytes
+    * vs k interpreted md5 lambdas per row).
+    *
+    * Documents with NO shingle/token units are dropped before signing:
+    * their signature is degenerate (every hash = the empty-set sentinel),
+    * so ALL of them would land in one bucket — a corpus with many
+    * below-width documents would otherwise go quadratic in the self-join.
+    * An empty set has no Jaccard evidence to offer anyway.
+    *
     * The returned pair frame is PERSISTED and materialized (caller-owned:
     * unpersist when done); the internal bucket frame is released before
     * returning, so nothing corpus-sized leaks into the session cache.
     */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, rowsPerBand: Int, shingleWidth: Int = 1): DataFrame = {
+      numHashes: Int, rowsPerBand: Int, shingleWidth: Int = 1,
+      md5Parity: Boolean = false): DataFrame = {
     require(numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a multiple of rowsPerBand " +
         s"($rowsPerBand) — trailing hashes would be computed but belong to " +
@@ -109,14 +123,21 @@ object Dedup {
     // heavy per-row signature compute across all cores first (at scale the
     // exchange is round-robin and narrow relative to the signature cost).
     val parts = df.sparkSession.sparkContext.defaultParallelism
-    val withUnits = df.repartition(parts).select(col(idCol).as("id"), units.as("units"))
-    val sig = withUnits
-      .select(col("id"), MinHash.signature(col("units"), numHashes).as("sig"))
-      .select(col("id") +: (1 to numHashes).map(i => element_at(col("sig"), i).as(s"mh$i")): _*)
+    val withUnits = df.repartition(parts)
+      .select(col(idCol).as("id"), units.as("units"))
+      .filter(size(col("units")) > 0)
+    val sig =
+      if (md5Parity)
+        withUnits.select(col("id") +: minhashSignatureMd5(col("units"), numHashes): _*)
+      else
+        withUnits
+          .select(col("id"), MinHash.signature(col("units"), numHashes).as("sig"))
+          .select(col("id") +: (1 to numHashes).map(i => element_at(col("sig"), i).as(s"mh$i")): _*)
     val nBands = numHashes / rowsPerBand
     val bands = (0 until nBands).map { b =>
       val cols = (b * rowsPerBand + 1 to (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+      val bh = if (md5Parity) md5(concat_ws("|", cols: _*)) else xxhash64(cols: _*)
+      struct(lit(b).as("band"), bh.as("bh"))
     }
     val buckets = sig
       .select(col("id"), explode(array(bands: _*)).as("bk"))
@@ -284,17 +305,21 @@ object Dedup {
 
   /** Full near-dup grouping pipeline: MinHash-LSH candidates → exact
     * shingle-Jaccard ≥ threshold → connected components → (id, group,
-    * is_representative). Docs with no near-dup get their own group. */
+    * is_representative). Docs with no near-dup get their own group.
+    * `md5Parity` selects the oracle-checkable md5 LSH hash family (see
+    * [[minhashCandidatePairs]]); everything downstream of candidate
+    * generation (Jaccard, components) is hash-family-agnostic. */
   def nearDupGroups(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, rowsPerBand: Int = 4, shingleW: Int = 3,
-      jaccardThreshold: Double = 0.8): DataFrame = {
+      jaccardThreshold: Double = 0.8, md5Parity: Boolean = false): DataFrame = {
     // persist every frame that is consumed more than once downstream:
     // candidates arrive persisted+materialized from minhashCandidatePairs,
     // the shingle frame is joined twice (d1/d2 side), and confirmed drives
     // the component loop — without these the LSH pipeline re-runs per
     // consumer. ALL temps are released before returning.
-    val candidates = minhashCandidatePairs(df, idCol, textCol, numHashes, rowsPerBand, shingleW)
+    val candidates =
+      minhashCandidatePairs(df, idCol, textCol, numHashes, rowsPerBand, shingleW, md5Parity)
     // repartition BEFORE the shingle compute, for the same reason
     // minhashCandidatePairs does: a single-file input arrives as one
     // partition and the per-row shingling would run single-threaded

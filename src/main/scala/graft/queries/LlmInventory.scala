@@ -81,14 +81,17 @@ object LlmInventory {
     bandPairs("mh1", "mh2").unionByName(bandPairs("mh3", "mh4")).distinct()
   }
 
-  /** Full MinHash-LSH pipeline (shingle→minhash→band→bucket join) — the
-    * scale path; rows-only check (band hashing not oracle-expressible).
-    * 3-word shingles + 2 bands of 4 hashes: collision probability stays
-    * selective even on the synthetic corpus's tiny vocabulary. */
+  /** Full MinHash-LSH pipeline (shingle→minhash→band→bucket join) —
+    * oracle-checked via the md5-parity hash family (signature mins AND
+    * band hashes both md5, reproducible in ANSI SQL); the xxhash64 codegen
+    * kernel remains the operator's scale default and is equivalence-tested
+    * in ScalaTest. 3-word shingles + 2 bands of 4 hashes: collision
+    * probability stays selective even on the synthetic corpus's tiny
+    * vocabulary. */
   val d5MinhashLsh: Q = (s, d) =>
     Dedup.minhashCandidatePairs(
       documents(s, d), "doc_id", "text", numHashes = 8, rowsPerBand = 4,
-      shingleWidth = 3)
+      shingleWidth = 3, md5Parity = true)
       .orderBy("d1", "d2")
 
   /** Exact unigram Jaccard over all pairs in a doc window: the verify
@@ -109,9 +112,13 @@ object LlmInventory {
   }
 
   /** Near-dup GROUPS (LSH -> jaccard -> connected components) — the full
-    * corpus-dedup pipeline output; rows-only (iterative algorithm). */
+    * corpus-dedup pipeline output, oracle-checked end to end: md5-parity
+    * LSH candidates, exact-int Jaccard with one IEEE division, and
+    * min-label components reproduced in the oracle by a recursive CTE
+    * (min reachable id == union-find's min-of-cluster label). */
   val d9NearDupGroups: Q = (s, d) =>
-    Dedup.nearDupGroups(documents(s, d), "doc_id", "text", jaccardThreshold = 0.8)
+    Dedup.nearDupGroups(documents(s, d), "doc_id", "text", jaccardThreshold = 0.8,
+      md5Parity = true)
       .orderBy("doc_id")
 
   /** Quality gate with drop reasons — oracle-checked: every signal is
@@ -509,6 +516,85 @@ object LlmInventory {
         |SELECT a.doc_id AS d1, b.doc_id AS d2
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         | AND ((a.mh1 = b.mh1 AND a.mh2 = b.mh2) OR (a.mh3 = b.mh3 AND a.mh4 = b.mh4))""".stripMargin,
+    "d5_minhash_lsh" ->
+      // mirrors the md5-parity LSH pipeline exactly: 3-gram shingles of
+      // the space-split lowercased text (docs with <3 tokens shingle to
+      // [] and are dropped), signature = per-seed min md5('i#'||shingle),
+      // band hash = md5 of the '|'-joined signature slice, candidates =
+      // distinct same-band collisions. distinct-ness of the shingle set
+      // doesn't matter under min(), so the unnest skips list_distinct.
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |shx AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM tok WHERE len(toks) >= 3),
+        |sig AS (
+        |  SELECT doc_id,
+        |         min(md5('1#' || sh)) AS mh1, min(md5('2#' || sh)) AS mh2,
+        |         min(md5('3#' || sh)) AS mh3, min(md5('4#' || sh)) AS mh4,
+        |         min(md5('5#' || sh)) AS mh5, min(md5('6#' || sh)) AS mh6,
+        |         min(md5('7#' || sh)) AS mh7, min(md5('8#' || sh)) AS mh8
+        |  FROM shx GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band,
+        |         md5(mh1 || '|' || mh2 || '|' || mh3 || '|' || mh4) AS bh FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |         md5(mh5 || '|' || mh6 || '|' || mh7 || '|' || mh8) FROM sig)
+        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin,
+    "d9_near_dup_groups" ->
+      // the full pipeline: d5's candidate SQL + exact shingle-set Jaccard
+      // (two exact ints, one IEEE division) + connected components as a
+      // recursive CTE — min reachable id over the symmetrized confirmed
+      // edges == the union-find min-of-cluster label the operator emits.
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |shs AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM tok WHERE len(toks) >= 3),
+        |shx AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+        |sig AS (
+        |  SELECT doc_id,
+        |         min(md5('1#' || s)) AS mh1, min(md5('2#' || s)) AS mh2,
+        |         min(md5('3#' || s)) AS mh3, min(md5('4#' || s)) AS mh4,
+        |         min(md5('5#' || s)) AS mh5, min(md5('6#' || s)) AS mh6,
+        |         min(md5('7#' || s)) AS mh7, min(md5('8#' || s)) AS mh8
+        |  FROM shx GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band,
+        |         md5(mh1 || '|' || mh2 || '|' || mh3 || '|' || mh4) AS bh FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |         md5(mh5 || '|' || mh6 || '|' || mh7 || '|' || mh8) FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |confirmed AS (
+        |  SELECT c.d1, c.d2
+        |  FROM cand c
+        |  JOIN shs s1 ON s1.doc_id = c.d1
+        |  JOIN shs s2 ON s2.doc_id = c.d2
+        |  WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(s1.sh, s2.sh))) >= 0.8),
+        |edges AS (
+        |  SELECT d1, d2 FROM confirmed
+        |  UNION SELECT d2, d1 FROM confirmed),
+        |reach(id, r) AS (
+        |  SELECT d1, d1 FROM edges
+        |  UNION
+        |  SELECT reach.id, e.d2 FROM reach JOIN edges e ON e.d1 = reach.r),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT d.doc_id,
+        |       coalesce(c.component, d.doc_id) AS "group",
+        |       d.doc_id = coalesce(c.component, d.doc_id) AS is_representative
+        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin,
     "d8_jaccard_verify" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w

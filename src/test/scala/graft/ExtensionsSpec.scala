@@ -202,6 +202,46 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(pairs.count() === 0)
   }
 
+  test("minhashCandidatePairs: empty-shingle docs never pair with each other") {
+    // every below-width doc used to get the SAME degenerate signature
+    // (empty-set sentinel in every hash slot) — a corpus of short docs
+    // would go quadratic in the bucket self-join. They are dropped now.
+    val docs = Seq(
+      (0L, "one two"), (1L, "three four"), (2L, "five six"),
+      (3L, "a b c d e f g"), (4L, "a b c d e f g")).toDF("doc_id", "text")
+    for (parity <- Seq(false, true)) {
+      val pairs = graft.operators.Dedup
+        .minhashCandidatePairs(docs, "doc_id", "text", 8, 4, 3, md5Parity = parity)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((3L, 4L)), s"md5Parity=$parity: $pairs")
+    }
+  }
+
+  test("nearDupGroups: md5-parity hash family groups like the xxhash64 scale path") {
+    // different hash families -> possibly different CANDIDATE sets, but on
+    // unambiguous near-dups (jaccard >> threshold) both must confirm the
+    // same groups; md5 parity exists so the driver oracle can hash-check
+    // the full pipeline, xxhash64 stays the scale default.
+    val base = (1 to 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, base),
+      (1L, base.replace(" w50 ", " w50x ")),
+      (2L, base.replace(" w20 ", " w20x ")),
+      (3L, "completely different words " * 20),
+      (4L, "completely different words " * 20),
+      (5L, ("unrelated content here now " * 20) + "tail")
+    ).toDF("doc_id", "text")
+    def groups(parity: Boolean) =
+      Dedup.nearDupGroups(docs, "doc_id", "text", jaccardThreshold = 0.6, md5Parity = parity)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group"),
+          r.getAs[Boolean]("is_representative"))).toSeq
+    val expected = Seq((0L, 0L, true), (1L, 0L, false), (2L, 0L, false),
+      (3L, 3L, true), (4L, 3L, false), (5L, 5L, true))
+    assert(groups(parity = false) === expected)
+    assert(groups(parity = true) === expected)
+  }
+
   test("twoPhaseAgg (salted) equals plain groupBy for sum/count on a hot key") {
     val df = (1 to 2000).map(i => (if (i % 3 == 0) 1L else i.toLong, 1.0)).toDF("k", "v")
     val plain = df.groupBy("k")
