@@ -1,0 +1,99 @@
+package graft
+
+import graft.functions.GraftFunctions.vec_cosine
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixed-seed recall gates for the approximate similarity paths (the ones
+  * the driver can only rows-check). Planes/data/seed are all pinned, so
+  * every recall number here is EXACTLY reproducible — a kernel change that
+  * silently degrades recall fails these floors, the same way s4's IVF
+  * recall test already guards the k-means path.
+  */
+class RecallSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  test("hyperplane LSH top-k (s2 shape): pinned recall@10 floors, multi >= single") {
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // recall@10 averaged over 10 pinned queries: a single query's recall is
+    // a 10-sample coin flip; the mean over 100 (query, neighbor) events is
+    // a gate a silent kernel regression can't slip under
+    val queries = em.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def recalls(multiProbe: Boolean): Double = {
+      val per = queries.map { case (qid, query) =>
+        val corpus = em.filter(col("vec_id") =!= qid)
+        val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", query, 10)
+          .collect().map(_.getLong(0)).toSet
+        val got = Similarity.lshTopK(corpus, "vec_id", "embedding", query,
+          k = 10, planes = 4, seed = 42L, multiProbe = multiProbe)
+          .collect().map(_.getLong(0)).toSet
+        got.intersect(brute).size / 10.0
+      }
+      per.sum / per.length
+    }
+    val single = recalls(multiProbe = false)
+    val multi = recalls(multiProbe = true)
+    info(s"lshTopK mean recall@10 over 10 queries: single=$single multi=$multi")
+    // Hamming-1 probing re-ranks a candidate SUPERSET -> can only improve
+    assert(multi >= single)
+    // pinned floors: measured at gate creation (planes=4, seed=42, sf0.01)
+    // single=0.09 multi=0.40 — floors sit one fp-ulp under the exact values
+    // so ANY real recall drop (steps of 0.01 here) fails
+    assert(single >= 0.085, s"single-probe recall regressed: $single < 0.09")
+    assert(multi >= 0.395, s"multi-probe recall regressed: $multi < 0.40")
+  }
+
+  test("embedding near-dup (d7 shape): pinned recall floor on planted near-dups") {
+    import spark.implicits._
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // plant 50 near-dups: vec i cloned as 10000+i with a small deterministic
+    // perturbation (cosine ~0.999, far above d7's 0.35 threshold)
+    val rnd = new java.util.Random(7L)
+    val base = em.filter(col("vec_id") < 50)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val planted = base.map { case (id, v) =>
+      (10000L + id, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq)
+    }.toSeq.toDF("vec_id", "embedding")
+    val corpus = em.select(col("vec_id"), col("embedding")).unionByName(planted)
+    def recall(bands: Int): Double = {
+      val pairs = Dedup.embeddingNearDupPairs(
+        corpus, "vec_id", "embedding", planes = 8, seed = 42L,
+        threshold = 0.35, bands = bands)
+      val got =
+        try pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        finally pairs.unpersist()
+      val hit = base.count { case (id, _) => got.contains((id, 10000L + id)) }
+      hit / base.length.toDouble
+    }
+    val r1 = recall(bands = 1)
+    val r2 = recall(bands = 2)
+    val r4 = recall(bands = 4)
+    info(s"embeddingNearDupPairs planted recall: bands1=$r1 bands2=$r2 bands4=$r4")
+    // more independent bands -> candidate superset -> recall monotone
+    assert(r2 >= r1)
+    assert(r4 >= r2)
+    // pinned floors: measured at gate creation (planes=8, seed=42, 50
+    // planted pairs) were 0.84 / 0.96 / 1.00 — recall moves in steps of
+    // 0.02 here, so these floors catch any single lost pair
+    assert(r1 >= 0.83, s"bands=1 recall regressed: $r1 < 0.84")
+    assert(r2 >= 0.95, s"bands=2 recall regressed: $r2 < 0.96")
+    assert(r4 >= 0.99, s"bands=4 recall regressed: $r4 < 1.00")
+  }
+}
