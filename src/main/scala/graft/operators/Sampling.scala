@@ -44,9 +44,14 @@ object Sampling {
 
   /** Stratified deterministic sampling — the domain-mixing primitive: each
     * stratum (source, domain, language, …) keeps its own fraction; strata
-    * not in `rates` keep `defaultPct`. The per-row boundary is a literal
-    * CASE chain over the stratum column, so the filter is still a pure
-    * codegen'd row predicate: no shuffle, no join, no RNG.
+    * not in `rates` keep `defaultPct`. For the dozens-of-domains case the
+    * per-row boundary is a literal CASE chain over the stratum column, so
+    * the filter is still a pure codegen'd row predicate: no shuffle, no
+    * join, no RNG. Above `caseChainMaxStrata` the chain would blow past
+    * Janino's 64 KB method limit (the same hazard [[tokenBudgetSelect]]
+    * documents for its offsets), so the boundary switches to a broadcast
+    * rate-lookup join — one O(1) hash probe per row, still zero shuffles
+    * of the data side.
     *
     * Selection hashes the id ALONE (not (stratum, id)), which buys the
     * nesting property mixture tuning needs: a row kept at rate p is kept
@@ -56,12 +61,27 @@ object Sampling {
     * costs nothing. */
   def stratifiedSample(
       df: DataFrame, idCol: String, stratumCol: String,
-      rates: Map[String, Double], defaultPct: Double = 0.0): DataFrame = {
-    val boundary = rates.toSeq.sortBy(_._1).foldLeft(lit(boundaryHex(defaultPct))) {
-      case (acc, (stratum, p)) =>
-        when(col(stratumCol) === stratum, lit(boundaryHex(p))).otherwise(acc)
+      rates: Map[String, Double], defaultPct: Double = 0.0,
+      caseChainMaxStrata: Int = 100): DataFrame = {
+    if (rates.size <= caseChainMaxStrata) {
+      val boundary = rates.toSeq.sortBy(_._1).foldLeft(lit(boundaryHex(defaultPct))) {
+        case (acc, (stratum, p)) =>
+          when(col(stratumCol) === stratum, lit(boundaryHex(p))).otherwise(acc)
+      }
+      df.filter(hashKey(col(idCol)) < boundary)
+    } else {
+      Seq("__stratum", "__boundary").foreach(t => require(!df.columns.contains(t),
+        s"input already has a column named $t — rename it before stratifiedSample"))
+      import df.sparkSession.implicits._
+      val rateDf = rates.toSeq.map { case (s, p) => (s, boundaryHex(p)) }
+        .toDF("__stratum", "__boundary")
+      // left join: a NULL or unlisted stratum misses and falls back to the
+      // default boundary — identical to the CASE chain's otherwise branch
+      df.join(broadcast(rateDf), df(stratumCol) === col("__stratum"), "left")
+        .filter(hashKey(col(idCol)) <
+          coalesce(col("__boundary"), lit(boundaryHex(defaultPct))))
+        .drop("__stratum", "__boundary")
     }
-    df.filter(hashKey(col(idCol)) < boundary)
   }
 
   /** Token-budget selection — "take the best documents until N tokens":
@@ -124,6 +144,69 @@ object Sampling {
       // materialize while the partitioning is still pinned; a failed
       // count must release the cache entry it just registered, or retries
       // in a long-lived driver accumulate orphans
+      try out.count()
+      catch { case e: Throwable => out.unpersist(blocking = false); throw e }
+      out
+    } finally parted.unpersist(blocking = false)
+  }
+
+  /** Loan-pattern wrapper for [[tokenBudgetSelect]]: the selection frame is
+    * caller-owned persisted, and a caller that projects before unpersisting
+    * (unpersist on a projection is a no-op) or forgets entirely leaks cache
+    * entries in a long-lived driver. This makes the release structural —
+    * use the frame inside `f`, never let it escape. */
+  def withTokenBudgetSelect[T](
+      df: DataFrame, idCol: String, costCol: String, priorityCol: String,
+      budget: Long)(f: DataFrame => T): T = {
+    val sel = tokenBudgetSelect(df, idCol, costCol, priorityCol, budget)
+    try f(sel) finally sel.unpersist(blocking = false)
+  }
+
+  /** Single-exchange [[tokenBudgetSelect]]: same contract and identical
+    * output (equivalence-tested), for when the selection shows up in a
+    * profile. The window version moves the data twice (range exchange,
+    * then the window's hash exchange on `__pid`); here the data moves ONCE
+    * — range exchange + in-partition sort — and the running sum is a
+    * sequential `mapPartitions` pass over the cached sorted partitions
+    * with the same driver-computed offsets. mapPartitions costs codegen
+    * fusion, but a row-counter running sum is exactly the case where that
+    * trade wins: one narrow pass versus a full second shuffle.
+    *
+    * The window version remains the default: its plan is pure Catalyst
+    * (optimizer-visible end to end) and it is the shape the driver's SQL
+    * oracle mirrors. */
+  def tokenBudgetSelectSinglePass(
+      df: DataFrame, idCol: String, costCol: String, priorityCol: String,
+      budget: Long): DataFrame = {
+    require(!df.columns.contains("__cost"),
+      "input already has a column named __cost — rename it before tokenBudgetSelectSinglePass")
+    val ord = Seq(col(priorityCol).desc, col(idCol).asc)
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val parted = df
+      .withColumn("__cost", coalesce(col(costCol).cast("long"), lit(0L)))
+      .repartitionByRange(parts, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .persist()
+    try {
+      val costIdx = parted.schema.fieldIndex("__cost")
+      // per-partition totals: a narrow projection over the cached frame,
+      // |partitions| longs to the driver — no extra exchange
+      val totals = parted.select(col("__cost")).rdd
+        .mapPartitionsWithIndex { case (pid, it) =>
+          var s = 0L
+          it.foreach(s += _.getLong(0))
+          Iterator.single(pid -> s)
+        }.collect().toMap
+      val offsets = (0 until parts).scanLeft(0L) {
+        case (acc, p) => acc + totals.getOrElse(p, 0L)
+      }
+      val selected = parted.mapPartitions { it =>
+        // cached partition indices line up with the range partitioning the
+        // offsets were computed under (narrow chain over the same cache)
+        var run = offsets(org.apache.spark.TaskContext.getPartitionId())
+        it.filter { row => run += row.getLong(costIdx); run <= budget }
+      }(org.apache.spark.sql.Encoders.row(parted.schema))
+      val out = selected.drop("__cost").persist()
       try out.count()
       catch { case e: Throwable => out.unpersist(blocking = false); throw e }
       out

@@ -299,6 +299,79 @@ class TopKDedupSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("stratifiedSample: >100 strata switch to a broadcast rate-lookup join, same rows") {
+    import graft.operators.Sampling
+    val rows = (0L until 4000L).map(i => (i, s"dom${i % 200}")).toDF("id", "dom")
+    val rates = (0 until 200).map(d => s"dom$d" -> (if (d % 2 == 0) 0.5 else 0.1)).toMap
+    val joined = Sampling.stratifiedSample(rows, "id", "dom", rates, defaultPct = 0.25)
+    // 200 strata > the 100-stratum ceiling: must plan a BHJ, not a CASE
+    // chain one branch shy of Janino's method limit
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    // and the two boundary-lookup shapes select EXACTLY the same rows
+    val viaCase = Sampling.stratifiedSample(rows, "id", "dom", rates,
+      defaultPct = 0.25, caseChainMaxStrata = 1000)
+    assert(joined.collect().map(_.getLong(0)).sorted.toSeq ===
+      viaCase.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(joined.columns.toSeq === Seq("id", "dom")) // helper columns dropped
+    // default fallback through the left join: unlisted stratum keeps 25%
+    val unlisted = Sampling.stratifiedSample(
+      rows.withColumn("dom", lit("never-listed")), "id", "dom", rates,
+      defaultPct = 0.25, caseChainMaxStrata = 0)
+    val n = unlisted.count()
+    assert(n > 800 && n < 1200, s"default-rate fallback broken: $n")
+  }
+
+  test("tokenBudgetSelectSinglePass: identical output to the window version, one exchange") {
+    import graft.operators.Sampling
+    val rows = (0L until 1000L).map(i => (i, 7L, (i % 5) + 1L))
+      .toDF("id", "prio", "cost")
+      .orderBy(rand(43)).repartition(7)
+    val win = Sampling.tokenBudgetSelect(rows, "id", "cost", "prio", 90L)
+    val fast = Sampling.tokenBudgetSelectSinglePass(rows, "id", "cost", "prio", 90L)
+    try {
+      assert(fast.columns.toSeq === win.columns.toSeq)
+      assert(fast.select("id").as[Long].collect().sorted.toSeq ===
+        win.select("id").as[Long].collect().sorted.toSeq)
+      // the whole point: the data moves ONCE. The range exchange is the
+      // only shuffle; the window version's second full shuffle (hash on
+      // __pid) must be absent — and is PRESENT in the window plan, so the
+      // assertion is discriminative. (No occurrence-counting: AQE dumps
+      // nested cached plans more than once.)
+      val fastPlan = fast.queryExecution.executedPlan.toString
+      val winPlan = win.queryExecution.executedPlan.toString
+      assert(fastPlan.contains("Exchange rangepartitioning"), fastPlan.take(2000))
+      assert(!fastPlan.contains("Exchange hashpartitioning(__pid"), fastPlan.take(2000))
+      assert(!fastPlan.contains("SinglePartition"), fastPlan.take(2000))
+      assert(winPlan.contains("Exchange hashpartitioning(__pid"), winPlan.take(2000))
+      // null costs: same normalization as the window version
+      val nullCosts = (0L until 100L)
+        .map(i => (i, 7L, if (i % 2 == 0) Some(1L) else None))
+        .toDF("id", "prio", "cost")
+      val sel = Sampling.tokenBudgetSelectSinglePass(nullCosts, "id", "cost", "prio", 3L)
+      try assert(sel.select("id").as[Long].collect().sorted.toSeq === (0L to 5L))
+      finally sel.unpersist()
+    } finally { win.unpersist(); fast.unpersist() }
+  }
+
+  test("withTokenBudgetSelect: loan wrapper releases the cache entry structurally") {
+    import graft.operators.Sampling
+    val rows = (0L until 100L).map(i => (i, 7L, 1L)).toDF("id", "prio", "cost")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    var during = Set.empty[Int]
+    val n = Sampling.withTokenBudgetSelect(rows, "id", "cost", "prio", 10L) { sel =>
+      during = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      sel.count()
+    }
+    assert(n === 10L)
+    assert((during -- before).nonEmpty, "selection frame was not persisted inside the loan")
+    // unpersist is async: poll briefly for the delta to drain
+    val deadline = System.nanoTime() + 5_000_000_000L
+    def leaked = (spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty
+    while (leaked && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(!leaked, "loan wrapper leaked a persisted frame")
+  }
+
   test("t12/t13 plan shapes: pruned scan for the stratified filter; no single-partition exchange in the prefix sum") {
     val d = "/root/testdata/sf0.001"
     // t12: a pure row predicate — one codegen'd filter over a 2-column scan
