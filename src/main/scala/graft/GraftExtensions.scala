@@ -25,6 +25,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, name)
   }
 
+  /** Clear plan-time error instead of the opaque eval/cast failure a bad
+    * static argument would otherwise throw from inside the builder. */
+  private def fail(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg), None)
+
+  /** Static (foldable, non-null) argument of a SQL function — `k` in
+    * `minhash_signature(tokens, k)` must be a literal the builder can
+    * evaluate at registration time; a column reference has no plan-time
+    * value. */
+  private def staticArg(es: Seq[Expression], idx: Int, fn: String, what: String): Any = {
+    val e = es(idx)
+    if (!e.foldable)
+      fail(s"$fn: argument ${idx + 1} ($what) must be a literal, got ${e.sql}")
+    val v = e.eval()
+    if (v == null) fail(s"$fn: argument ${idx + 1} ($what) must not be NULL")
+    v
+  }
+
+  private def staticInt(es: Seq[Expression], idx: Int, fn: String, what: String): Int =
+    staticArg(es, idx, fn, what) match {
+      case i: Int => i
+      case other =>
+        fail(s"$fn: argument ${idx + 1} ($what) must be an INT literal, " +
+          s"got ${other.getClass.getSimpleName}")
+    }
+
+  private def staticBoolean(es: Seq[Expression], idx: Int, fn: String, what: String): Boolean =
+    staticArg(es, idx, fn, what) match {
+      case b: Boolean => b
+      case other =>
+        fail(s"$fn: argument ${idx + 1} ($what) must be a BOOLEAN literal, " +
+          s"got ${other.getClass.getSimpleName}")
+    }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("hex_popcount"),
@@ -61,17 +96,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "k-wide MinHash signature of a token array"),
-      (es: Seq[Expression]) => MinHashSignature(
-        es.head,
-        es(1).eval().asInstanceOf[Int])))
+      (es: Seq[Expression]) => {
+        if (es.length != 2)
+          fail(s"minhash_signature(tokens, k) takes exactly 2 arguments, got ${es.length}")
+        MinHashSignature(es.head, staticInt(es, 1, "minhash_signature", "k"))
+      }))
     e.injectFunction((
       FunctionIdentifier("word_shingles"),
       info("word_shingles",
         "w-token shingles of lowercased text; optional 3rd arg distinct " +
           "(default true) — false keeps every occurrence (repetition counting)"),
-      (es: Seq[Expression]) => graft.operators.WordShingles(
-        es.head,
-        es(1).eval().asInstanceOf[Int],
-        distinct = if (es.length > 2) es(2).eval().asInstanceOf[Boolean] else true)))
+      (es: Seq[Expression]) => {
+        if (es.length < 2 || es.length > 3)
+          fail(s"word_shingles(text, w[, distinct]) takes 2 or 3 arguments, got ${es.length}")
+        graft.operators.WordShingles(
+          es.head,
+          staticInt(es, 1, "word_shingles", "w"),
+          distinct =
+            if (es.length > 2) staticBoolean(es, 2, "word_shingles", "distinct") else true)
+      }))
   }
 }

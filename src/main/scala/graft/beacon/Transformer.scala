@@ -63,8 +63,19 @@ object Transformer {
 
   /** Paths whose on-disk schema was already checked against the writer's —
     * the probe (one footer read) runs once per table directory per JVM;
-    * our own subsequent appends are consistent by construction. */
+    * our own subsequent appends are consistent by construction. A FAILED
+    * write drops its entry (the directory may now hold partial files or
+    * have been swapped out-of-band — re-probe before the retry), and
+    * [[invalidateSchemaProbes]] exposes the reset to reprocess flows run
+    * against a directory another process may have rewritten. */
   private val schemaProbed = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** Forget cached schema probes — all of them, or those under `prefix`.
+    * Call when a table directory may have been rewritten OUT-OF-BAND
+    * (e.g. `transform reprocess` from another process) while this driver
+    * lives; the next append then re-checks the on-disk schema. */
+  def invalidateSchemaProbes(prefix: String = ""): Unit =
+    schemaProbed.keys.filter(_.startsWith(prefix)).foreach(schemaProbed.remove)
 
   /** Appending a widened column type (e.g. a count migrating int→long)
     * next to old files of the narrower type silently corrupts the table:
@@ -100,12 +111,21 @@ object Transformer {
     // Observation rides the write action itself — a separate .count()
     // would re-run the whole parse pipeline once more per table
     val obs = org.apache.spark.sql.Observation()
-    out.observe(obs, count(lit(1)).as("n"))
-      .sortWithinPartitions("slot")
-      .write.mode(SaveMode.Append).partitionBy("month")
-      // K3: width-aware output file sizing per table
-      .option("maxRecordsPerFile", Loaders.maxRecordsPerFile(table))
-      .parquet(s"$outDir/$table")
+    try
+      out.observe(obs, count(lit(1)).as("n"))
+        .sortWithinPartitions("slot")
+        .write.mode(SaveMode.Append).partitionBy("month")
+        // K3: width-aware output file sizing per table
+        .option("maxRecordsPerFile", Loaders.maxRecordsPerFile(table))
+        .parquet(s"$outDir/$table")
+    catch {
+      case e: Throwable =>
+        // the dir's state is no longer what the probe saw (partial task
+        // files, or the failure itself was an out-of-band rewrite racing
+        // us) — drop the cached probe so the retry re-checks the disk
+        schemaProbed.remove(s"$outDir/$table")
+        throw e
+    }
     val n = obs.get("n").asInstanceOf[Long]
     graft.core.Metrics.of(df.sparkSession).rowsWritten.add(n)
     n
@@ -416,6 +436,9 @@ object Transformer {
     }
     loader.tables.foreach { t =>
       Maintenance.deleteSlotRange(spark, s"$outDir/$t", cfg, startSlot, endSlot)
+      // the rebuild may be the schema-migration write the drift probe
+      // exists for — re-check the (now partially deleted) directory
+      invalidateSchemaProbes(s"$outDir/$t")
     }
     val ranges = startSlot.to(endSlot, chunkSize)
       .map(s => (s, math.min(s + chunkSize - 1, endSlot)))

@@ -25,25 +25,33 @@ object Decontam {
     * decontamination setups (8–13-gram windows on real corpora); pick the
     * smallest `w` whose shingles are rare enough to be evidence of
     * copying rather than chance collision.
-    */
+    *
+    * Broadcast guard: an explicit `broadcast()` bypasses
+    * `autoBroadcastJoinThreshold`, and a huge eval suite's shingle set
+    * (tens of millions of multi-word strings) would OOM the driver or hit
+    * the broadcast hard limit. By default the decision is MEASURED, not
+    * assumed: Catalyst's `optimizedPlan.stats.sizeInBytes` for the
+    * benchmark text (free — file statistics or literal sizes, no job),
+    * multiplied by `w` (each token lands in ≤ w shingles), compared
+    * against `maxBroadcastBytes`. Unknown stats estimate as
+    * `defaultSizeInBytes` = Long.Max → shuffle, the never-fatal side.
+    * `broadcastBenchmark = Some(...)` overrides the estimate either way. */
   def contaminationHits(
       corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, w: Int, minHits: Long = 1L,
-      broadcastBenchmark: Boolean = true): DataFrame = {
+      broadcastBenchmark: Option[Boolean] = None,
+      maxBroadcastBytes: Long = 1L << 30): DataFrame = {
     require(w >= 1, s"shingle width must be >= 1, got $w")
     val benchShingles = benchmark
       .select(explode(Shingles.of(col(textCol), w)).as("shingle"))
       .distinct()
-    // an explicit broadcast() bypasses autoBroadcastJoinThreshold, so the
-    // caller must be able to opt out: a huge eval suite's shingle set
-    // (tens of millions of multi-word strings — rule of thumb: >100k
-    // benchmark docs) would OOM the driver or hit the broadcast hard
-    // limit. `broadcastBenchmark = false` plans the shuffle equi-join —
-    // slower, never fatal. A knob, not a measured guard: measuring would
-    // cost an eager Spark job at plan-construction time and a second
-    // compute of the benchmark lineage.
+    val doBroadcast = broadcastBenchmark.getOrElse {
+      val textBytes = benchmark.select(col(textCol))
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      textBytes * w <= maxBroadcastBytes
+    }
     val benchSide =
-      if (broadcastBenchmark) broadcast(benchShingles) else benchShingles
+      if (doBroadcast) broadcast(benchShingles) else benchShingles
     val corpusShingles = corpus
       .select(col(idCol), explode(Shingles.of(col(textCol), w)).as("shingle"))
     corpusShingles
@@ -58,9 +66,11 @@ object Decontam {
   def decontaminated(
       corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, w: Int, minHits: Long = 1L,
-      broadcastBenchmark: Boolean = true): DataFrame = {
+      broadcastBenchmark: Option[Boolean] = None,
+      maxBroadcastBytes: Long = 1L << 30): DataFrame = {
     val hits = contaminationHits(
-      corpus, benchmark, idCol, textCol, w, minHits, broadcastBenchmark)
+      corpus, benchmark, idCol, textCol, w, minHits, broadcastBenchmark,
+      maxBroadcastBytes)
     corpus.join(hits.select(idCol), Seq(idCol), "left_anti")
   }
 }

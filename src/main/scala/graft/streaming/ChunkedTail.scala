@@ -78,7 +78,7 @@ final class ChunkedTail(
     val completed =
       if (nextBoundary + chunkSize - 1 <= target || holes.nonEmpty) completedChunks()
       else Set.empty[(Long, Long)]
-    if (completed.nonEmpty) holes = holes.diff(completed)
+    if (completed.nonEmpty) holes = ChunkedTail.healHoles(holes, completed)
     while (nextBoundary + chunkSize - 1 <= target) {
       val start = nextBoundary
       val end = nextBoundary + chunkSize - 1
@@ -168,6 +168,27 @@ object ChunkedTail {
   private[graft] def dataCursor(pollCursor: Long, holes: Set[(Long, Long)]): Long =
     if (holes.isEmpty) pollCursor
     else math.min(pollCursor, holes.map(_._1).min - 1)
+
+  /** Hole healing law: a hole is healed when its slot range is COVERED by
+    * the union of completed ranges — NOT when its exact (start, end) tuple
+    * reappears. `maintain fix` may replay a hole at a different chunk
+    * granularity (two half-chunks, a handful of daily single-slot chunks);
+    * exact-tuple matching would leave the lag gauge pinned below a hole
+    * that is fully repaired on disk, and pay the extra ledger read every
+    * poll until restart. Pure — unit-testable like dataCursor. */
+  private[graft] def healHoles(
+      holes: Set[(Long, Long)], completed: Set[(Long, Long)]): Set[(Long, Long)] = {
+    if (holes.isEmpty || completed.isEmpty) return holes
+    // sweep-merge completed into disjoint intervals (adjacent ranges fuse:
+    // [0,49]+[50,99] covers [0,99])
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    completed.toSeq.sorted.foreach { case (s, e) =>
+      if (merged.nonEmpty && s <= merged.last._2 + 1)
+        merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, e))
+      else merged += ((s, e))
+    }
+    holes.filterNot { case (s, e) => merged.exists(m => m._1 <= s && e <= m._2) }
+  }
 
   /** One ledger read + FINAL collapse serving the completed-chunk sets of
     * MANY loaders at once — the shared bulk cache of a composite
@@ -290,7 +311,7 @@ final class CompositeTail(
       var last = plans(name)._1
       var loaderHoles = holesByLoader.getOrElse(name, Set.empty)
       // heal holes repaired out-of-band (maintain fix) — see ChunkedTail
-      completed.get(name).foreach(c => loaderHoles = loaderHoles.diff(c))
+      completed.get(name).foreach(c => loaderHoles = ChunkedTail.healHoles(loaderHoles, c))
       plans(name)._2.foreach { case (start, end) =>
         val ok =
           if (completed.getOrElse(name, Set.empty)((start, end))) true

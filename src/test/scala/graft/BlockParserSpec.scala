@@ -158,6 +158,22 @@ class BlockParserSpec extends AnyFunSuite {
     assert(t("attester_slashings").count() >= 1L) // cross-table consistency
   }
 
+  test("blocks: corrupt-flagged payload legitimately MISSING data.message.slot is kept (document parses)") {
+    // the rescue discriminator is "document parses" (structural probe of
+    // the root), not "slot path present": a well-formed payload with a
+    // mistyped field somewhere AND no data.message.slot must keep its row
+    // (defaults), like any other valid-but-sparse document
+    val noSlot = BeaconFixtures.electraBlock
+      .replace("\"attesting_indices\": [\"1\", \"2\", \"3\"]",
+        "\"attesting_indices\": \"1, 2, 3\"") // mistyped field -> _corrupt_record
+      .replaceFirst("\"slot\": \"21405700\",", "") // drop the message slot
+    assert(!noSlot.contains("\"slot\": \"21405700\""))
+    val t = BlockParser.parseAll(rawOf(21405700L -> noSlot), cfg)
+    val b = t("blocks").collect()
+    assert(b.length === 1, "well-formed slotless payload must keep its blocks row")
+    assert(b.head.getAs[Long]("slot") === 21405700L) // table slot from ingest column
+  }
+
   test("blocks: a TRUNCATED payload is dropped even though partial parsing recovered its slot") {
     // partial-results parsing keeps fields before the cut, so the slot is
     // real while the body is all-null — emitting it would fabricate a

@@ -46,6 +46,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sh.getAs[Seq[String]]("all") === Seq("a b", "b a", "a b"))
   }
 
+  test("SQL static args: clear plan-time errors for bad word_shingles/minhash_signature calls") {
+    def err(sql: String): String =
+      intercept[Exception](spark.sql(sql).collect()).getMessage
+    // arity
+    assert(err("SELECT word_shingles('a b c')").contains("2 or 3 arguments"))
+    assert(err("SELECT word_shingles('a b c', 2, false, true)").contains("2 or 3 arguments"))
+    assert(err("SELECT minhash_signature(array('a'), 4, 5)").contains("exactly 2 arguments"))
+    // non-literal static arg (column reference has no plan-time value)
+    assert(err("SELECT word_shingles(t, w) FROM (SELECT 'a b' AS t, 2 AS w)")
+      .contains("must be a literal"))
+    assert(err("SELECT minhash_signature(array(t), n) FROM (SELECT 'a' AS t, 4 AS n)")
+      .contains("must be a literal"))
+    // wrong literal type / NULL
+    assert(err("SELECT word_shingles('a b', 'two')").contains("INT literal"))
+    assert(err("SELECT word_shingles('a b', 2, 1)").contains("BOOLEAN literal"))
+    assert(err("SELECT minhash_signature(array('a'), cast(null as int))")
+      .contains("must not be NULL"))
+  }
+
   test("BeaconCatalog: <table> and <table>_latest views registered") {
     val base = java.nio.file.Files.createTempDirectory("graft_cat").toString
     val raw = Seq((1L, BeaconFixtures.phase0Block.replace("\"slot\": \"5\"", "\"slot\": \"1\""),

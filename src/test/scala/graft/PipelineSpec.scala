@@ -392,6 +392,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(err.contains("withdrawals_count"), err)
   }
 
+  test("invalidateSchemaProbes: an out-of-band rewrite is re-checked after invalidation") {
+    val base = tmp()
+    val raw = fetcherFor(0 until 20)
+    assert(RawIngest.ingestChunk(spark, cfg, raw, s"$base/raw",
+      LedgerStore(s"$base/cl"), "blocks", 0L, 19L))
+    val progress = LedgerStore(s"$base/tp")
+    // first transform probes the (empty) dir and caches the verdict
+    assert(Transformer.transformChunk(spark, cfg, Loaders.blocks,
+      s"$base/raw", s"$base/tables", progress, 0L, 9L))
+    // another process rewrites the table under a NARROWER schema; without
+    // invalidation this driver's cached probe would skip the drift check
+    import spark.implicits._
+    Seq((1L, 1)).toDF("slot", "withdrawals_count")
+      .write.mode("overwrite").parquet(s"$base/tables/blocks")
+    Transformer.invalidateSchemaProbes(s"$base/tables")
+    val ok = Transformer.transformChunk(spark, cfg, Loaders.blocks,
+      s"$base/raw", s"$base/tables", progress, 10L, 19L)
+    assert(!ok, "post-invalidation append must re-probe and fail fast on drift")
+    val err = Ledger.progressStates(progress.read(spark, Schemas.transformerProgress))
+      .filter(org.apache.spark.sql.functions.col("status") === "failed")
+      .select("error_message").orderBy(org.apache.spark.sql.functions.col("start_slot").desc)
+      .head().getString(0)
+    assert(err.contains("schema drift"), err)
+  }
+
   test("CompositeTail: a loader gated out by an unscheduled fork publishes NO lag gauges") {
     val base = tmp()
     val probe = new HeadProbe { def headSlot(): Long = 1000L }

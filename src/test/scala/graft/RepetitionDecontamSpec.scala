@@ -109,4 +109,37 @@ class RepetitionDecontamSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(1500))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
+
+  test("decontam guard: a benchmark past the broadcast cap plans a shuffle join, no knob") {
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "a b c d x"), (2L, "p q r s t")).toDF("doc_id", "text")
+    // Catalyst stats say this benchmark's text exceeds the (tiny) cap —
+    // the operator must MEASURE and fall back to the shuffle join without
+    // the caller ever touching broadcastBenchmark. Auto-broadcast would
+    // mask the guard on these tiny fixtures — turn it off for the test.
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    val guarded = plan(Decontam.contaminationHits(
+      corpus, bench, "doc_id", "text", w = 4, maxBroadcastBytes = 1L))
+    assert(!guarded.contains("BroadcastHashJoin"), guarded.take(1500))
+    assert(guarded.contains("SortMergeJoin") || guarded.contains("ShuffledHashJoin"),
+      guarded.take(1500))
+    // explicit override beats the estimate in both directions
+    val forced = plan(Decontam.contaminationHits(
+      corpus, bench, "doc_id", "text", w = 4, broadcastBenchmark = Some(true),
+      maxBroadcastBytes = 1L))
+    assert(forced.contains("BroadcastHashJoin"), forced.take(1500))
+    val suppressed = plan(Decontam.contaminationHits(
+      corpus, bench, "doc_id", "text", w = 4, broadcastBenchmark = Some(false)))
+    assert(!suppressed.contains("BroadcastHashJoin"), suppressed.take(1500))
+    // and the guarded shuffle path still finds the same hits
+    val hits = Decontam.contaminationHits(
+      corpus, bench, "doc_id", "text", w = 4, maxBroadcastBytes = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits === Set((1L, 1L))) // doc 1 shares "a b c d" with the benchmark
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
+  }
 }

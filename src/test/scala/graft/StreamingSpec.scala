@@ -60,6 +60,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(dataCursor(250L, Set((300L, 399L))) === 250L) // hole above the cursor: no cap
   }
 
+  test("healHoles law: coverage by the union of completed ranges, any granularity") {
+    import graft.streaming.ChunkedTail.healHoles
+    val hole = Set((100L, 199L))
+    // exact tuple still heals
+    assert(healHoles(hole, Set((100L, 199L))) === Set.empty)
+    // repaired at a DIFFERENT granularity: two half-chunks cover the hole
+    assert(healHoles(hole, Set((100L, 149L), (150L, 199L))) === Set.empty)
+    // overhanging coverage heals too
+    assert(healHoles(hole, Set((0L, 249L))) === Set.empty)
+    // partial coverage does NOT heal
+    assert(healHoles(hole, Set((100L, 149L))) === hole)
+    assert(healHoles(hole, Set((100L, 149L), (151L, 199L))) === hole) // 1-slot gap
+    // unrelated completions leave the hole alone; other holes unaffected
+    assert(healHoles(hole + ((300L, 399L)), Set((100L, 199L), (0L, 99L))) ===
+      Set((300L, 399L)))
+    assert(healHoles(Set.empty[(Long, Long)], Set((0L, 99L))) === Set.empty)
+  }
+
   test("virtual-clock e2e: paceTicks → rawIngestStream at mainnet cadence (R1/R4)") {
     // 120 virtual seconds of rate-source ticks at 12 s/slot: the paced
     // stream must ingest EXACTLY slots 9000000..9000010, once each, and
