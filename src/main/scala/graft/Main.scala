@@ -62,9 +62,30 @@ object Main {
     case "fork" :: "info" :: rest => forkInfo(rest.toArray)
     case "fork" :: "list" :: rest =>
       cfgOf(rest.toArray).forks.foreach(f => println(s"${f.name}\tepoch=${f.epoch}\tversion=${f.version}"))
+    case "fork" :: "detect" :: rest => forkDetect(rest.toArray)
     case _ =>
-      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|status|fork info|fork list} [options]")
+      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|status|fork info|fork list|fork detect --sample} [options]")
       sys.exit(2)
+  }
+
+  /** `fork detect --sample` — the legacy sampling fallback for spec-less
+    * nodes (reference fork.py:253-361): recover the schedule from raw
+    * block payload versions. Without --sample the spec-derived schedule
+    * is authoritative — use `fork info` / `maintain refresh-specs`. */
+  private def forkDetect(args: Array[String]): Unit = {
+    if (!args.contains("--sample")) {
+      System.err.println(
+        "fork detect requires --sample (spec-derived schedules are the " +
+          "primary path — see `fork info` and `maintain refresh-specs`)")
+      sys.exit(2)
+    }
+    val spark = session()
+    val base = opt(args, "base").getOrElse(sys.error("--base required"))
+    val preset = cfgOf(args)
+    val raw = spark.read.parquet(s"$base/raw_blocks")
+    val detected = ForkDetect.configFromDetection(raw, preset)
+    detected.forks.foreach(f =>
+      println(s"${f.name}\tepoch=${f.epoch}\tversion=${f.version}"))
   }
 
   /** Offline deterministic fetcher (CI/testing): every 10th slot empty. */
