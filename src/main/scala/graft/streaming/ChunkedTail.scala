@@ -21,11 +21,14 @@ trait HeadProbe extends Serializable { def headSlot(): Long }
   *    replayed by `Maintenance.fixChunks`.
   *
   * Implemented as a micro-batch driver loop (each iteration = one
-  * `Trigger.AvailableNow`-style batch over the newly complete chunks).
-  * This is deliberately NOT a custom `MicroBatchStream`: the fetch is the
-  * latency bottleneck, batches are chunk-granular, and the ledger already
-  * provides restart/exactly-once semantics — a V2 source would add
-  * machinery without adding behavior.
+  * `Trigger.AvailableNow`-style batch over the newly complete chunks):
+  * the fetch is the latency bottleneck, batches are chunk-granular, and
+  * the ledger already provides restart/exactly-once semantics. Users who
+  * want the same tail behind the standard `spark.readStream` API get it
+  * from [[TailChunkSourceProvider]] + [[StreamingJobs.chunkTailStream]] —
+  * a true `MicroBatchStream` whose offset log is the chunk boundary and
+  * whose sink runs the SAME `ingestChunk` (ledger rows identical to this
+  * loop, e2e-asserted in StreamingSpec).
   */
 final class ChunkedTail(
     spark: SparkSession,

@@ -169,4 +169,63 @@ object StreamingJobs {
     spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
       .withColumn("ts_micros", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** The realtime tail through `spark.readStream` — SURVEY §7.2 step 9's
+    * "true MicroBatchStream". [[TailChunkSourceProvider]] owns the offset
+    * log (`latestOffset = head − slotDelay`, chunk-aligned; R2+R3); each
+    * micro-batch's rows are the due chunk ranges, and this sink runs the
+    * SAME `RawIngest.ingestChunk` per range as the [[ChunkedTail]] driver
+    * loop — fetch contract (loader gate, mega-payload split), ledger
+    * transitions, and metrics are identical by construction. The
+    * completed-chunk cache makes checkpoint replays no-ops on the ledger
+    * (R4 exactly-once: Spark's offset checkpoint on top of the ledger
+    * commit log).
+    *
+    * `probeKey` must be registered first:
+    * `TailChunkSource.registerProbe(probeKey, probe)`. */
+  def chunkTailStream(
+      spark: SparkSession, cfg: ChainConfig, fetcher: SlotFetcher,
+      probeKey: String, rawDir: String, chunkLedger: LedgerStore,
+      loader: String, checkpointDir: String,
+      chunkSize: Long = 100L, slotDelay: Long = 100L, startSlot: Long = -1L,
+      chainedTransform: Option[(String, LedgerStore)] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val ldef = Loaders.byName(loader)
+    spark.readStream
+      .format(classOf[TailChunkSourceProvider].getName)
+      .option("probe", probeKey)
+      .option("chunk-size", chunkSize.toString)
+      .option("slot-delay", slotDelay.toString)
+      .option("start-slot", startSlot.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        // bounded: one row per due chunk — the batch IS the chunk plan
+        val ranges = batch.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        if (ranges.nonEmpty) {
+          // R4 idempotency exactly like ChunkedTail.processAvailable: a
+          // checkpoint replay (or a restart with a fresh checkpoint over
+          // an existing ledger) must not re-fetch completed chunks
+          val completed = ChunkedTail
+            .completedByLoader(s, chunkLedger, Seq(loader))
+            .getOrElse(loader, Set.empty)
+          ranges.filterNot(completed).foreach { case (start, end) =>
+            val ok = RawIngest.ingestChunk(s, cfg, fetcher, rawDir,
+              chunkLedger, loader, start, end, split = ldef.splitPayload,
+              gate = Some(RawIngest.slotGate(cfg, ldef.activationFork, ldef.dailyOnly)))
+            if (ok) chainedTransform.foreach { case (outDir, progress) =>
+              Transformer.transformChunk(s, cfg, ldef,
+                rawDir, outDir, progress, start, end)
+            }
+          }
+        }
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
 }

@@ -78,6 +78,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(healHoles(Set.empty[(Long, Long)], Set((0L, 99L))) === Set.empty)
   }
 
+  test("TailChunkSource laws: chunk-aligned offsets, head-delay watermark, monotone") {
+    import graft.streaming.TailChunkSource._
+    // resume -1 (empty) -> first boundary 0; mid-chunk resume rounds up
+    assert(boundaryAfter(-1L, 100L) === 0L)
+    assert(boundaryAfter(99L, 100L) === 100L)
+    assert(boundaryAfter(100L, 100L) === 200L)
+    // latest = head - delay aligned DOWN to a complete chunk (R2 + R3)
+    assert(completeBoundary(350L, 50L, 100L) === 300L) // target 300 -> [0,299] complete
+    assert(completeBoundary(349L, 50L, 100L) === 300L) // target 299 still completes [200,299]
+    assert(completeBoundary(348L, 50L, 100L) === 200L) // target 298 does not
+    assert(completeBoundary(99L, 100L, 100L) === 0L)   // nothing complete yet
+  }
+
+  test("MicroBatchStream tail e2e: readStream produces IDENTICAL ledger rows to the driver loop") {
+    import graft.streaming.{ChunkedTail, HeadProbe, StreamingJobs, TailChunkSource}
+    val baseA = Files.createTempDirectory("graft_mbs_loop").toString
+    val baseB = Files.createTempDirectory("graft_mbs_stream").toString
+    @volatile var head = 350L
+    val probe = new HeadProbe { def headSlot(): Long = head }
+    val payload = (s: Long) => s"""{"version":"phase0","data":{"message":{"slot":"$s"}}}"""
+    val fetcher = MapSlotFetcher( // every 5th slot 404-empty, like production
+      (0L until 500L).collect { case s if s % 5 != 4 => s -> payload(s) }.toMap)
+    def ledgerRows(base: String) = Ledger.chunkStates(
+      LedgerStore(s"$base/cl").read(spark, Schemas.loadStateChunks))
+      .select("loader_name", "start_slot", "end_slot", "status")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    def rawSlots(base: String) = spark.read.parquet(s"$base/raw")
+      .select("slot").collect().map(_.getLong(0)).sorted.toSeq
+
+    // A: the driver loop (the reference-shaped path)
+    val tail = new ChunkedTail(spark, cfg, fetcher, probe, s"$baseA/raw",
+      LedgerStore(s"$baseA/cl"), chunkSize = 100L, slotDelay = 50L)
+    val lastA = tail.run(1) // target 300 -> chunks [0,99] [100,199] [200,299]
+
+    // B: the same scenario through spark.readStream
+    TailChunkSource.registerProbe("mbs-e2e", probe)
+    val q = StreamingJobs.chunkTailStream(spark, cfg, fetcher, "mbs-e2e",
+      s"$baseB/raw", LedgerStore(s"$baseB/cl"), "blocks", s"$baseB/ckpt",
+      chunkSize = 100L, slotDelay = 50L)
+    q.awaitTermination(60000)
+    assert(ledgerRows(baseB) === ledgerRows(baseA))
+    assert(rawSlots(baseB) === rawSlots(baseA))
+    assert(rawSlots(baseB).last === 298L) // nothing past head - delay (299 is 404-empty)
+
+    // the head advances: a RESTART from the same checkpoint resumes at the
+    // committed offset and ingests exactly the newly complete chunk
+    head = 460L // target 410 -> [300,399] newly due
+    tail.processAvailable(lastA)
+    val q2 = StreamingJobs.chunkTailStream(spark, cfg, fetcher, "mbs-e2e",
+      s"$baseB/raw", LedgerStore(s"$baseB/cl"), "blocks", s"$baseB/ckpt",
+      chunkSize = 100L, slotDelay = 50L)
+    q2.awaitTermination(60000)
+    assert(ledgerRows(baseB) === ledgerRows(baseA))
+    assert(rawSlots(baseB) === rawSlots(baseA))
+    assert(rawSlots(baseB).last === 398L) // 399 is 404-empty
+  }
+
   test("virtual-clock e2e: paceTicks → rawIngestStream at mainnet cadence (R1/R4)") {
     // 120 virtual seconds of rate-source ticks at 12 s/slot: the paced
     // stream must ingest EXACTLY slots 9000000..9000010, once each, and
