@@ -239,17 +239,17 @@ object LlmInventory {
   /** t13: token-budget selection — highest-n_chars docs (doc_id ties)
     * until 10k words. Distributed prefix sum (range partition +
     * per-partition offsets), never a single-partition global window.
-    * The selection (budget-bound, ~200 ids) is collected so the operator's
-    * caller-owned persisted frame can be RELEASED here — returning a
-    * projection of it would make the cache entry unreachable (unpersist
-    * on a projection is a no-op). Same driver-side finish as s1. */
+    * The selection (budget-bound, ~200 ids) is collected inside the
+    * [[Sampling.withTokenBudgetSelect]] loan so the operator's persisted
+    * frame is released structurally — returning a projection of it would
+    * make the cache entry unreachable (unpersist on a projection is a
+    * no-op). Same driver-side finish as s1. */
   val t13TokenBudget: Q = (s, d) => {
     val docs = documents(s, d)
       .withColumn("n_words_b", size(split(col("text"), " ")).cast("long"))
-    val sel = Sampling.tokenBudgetSelect(docs, "doc_id", "n_words_b", "n_chars", 10000L)
-    val ids =
-      try sel.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-      finally sel.unpersist()
+    val ids = Sampling.withTokenBudgetSelect(
+      docs, "doc_id", "n_words_b", "n_chars", 10000L)(
+      _.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
     import s.implicits._
     ids.toDF("doc_id")
   }
