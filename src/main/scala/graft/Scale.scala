@@ -44,20 +44,20 @@ object Scale {
     }
   }
 
-  def main(args: Array[String]): Unit = {
-    val totalSlots = args.lift(0).map(_.toLong).getOrElse(1000000L)
-    val outMd = args.lift(1).getOrElse("SCALE.md")
-    val chunkSize = 1000L
-    val waveChunks = 100 // 100k slots per fused job
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  final case class ScaleStats(
+      totalSlots: Long, chunkSize: Long, chunks: Int, waves: Int,
+      ingestSec: Double, transformSec: Double, querySec: Double,
+      rawRows: Long, blocksRows: Long, attRows: Long,
+      latestCount: Long, maxSlot: Long, monthRows: Int,
+      heapAfterIngestMb: Long, heapAfterTransformMb: Long, heapFinalMb: Long,
+      expectedPresent: Long)
+
+  /** The measurable core (main wraps it; ScaleSpec smokes it at tiny N). */
+  def run(
+      spark: SparkSession, totalSlots: Long, chunkSize: Long,
+      waveChunks: Int, base: String,
+      parallelism: Int): ScaleStats = {
     val cfg = ChainConfig.gnosis
-    val base = Files.createTempDirectory("graft_scale").toString
     val fetcher = SyntheticFetcher()
     val ledger = LedgerStore(s"$base/load_state_chunks")
     val progress = LedgerStore(s"$base/transformer_progress")
@@ -68,11 +68,11 @@ object Scale {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    // ---- stage 1: fused ingest, 100k-slot waves -------------------------
+    // ---- stage 1: fused ingest, waveChunks chunks per fused job ---------
     val (_, ingestSec) = timed {
       ranges.grouped(waveChunks).zipWithIndex.foreach { case (wave, i) =>
         require(RawIngest.ingestChunksFused(spark, cfg, fetcher, s"$base/raw",
-          ledger, "blocks", wave, parallelism = cpus.toInt),
+          ledger, "blocks", wave, parallelism = parallelism),
           s"ingest wave $i failed")
         System.err.println(s"[scale] ingest wave ${i + 1}/$nWaves done")
       }
@@ -105,10 +105,29 @@ object Scale {
         .collect().length
       (n, maxSlot, monthly)
     }
-    val heapFinal = heapPeakMb()
     val (latestCount, maxSlot, monthRows) = queryResults
+    ScaleStats(totalSlots, chunkSize, ranges.size, nWaves,
+      ingestSec, transformSec, querySec, rawRows, blocksRows, attRows,
+      latestCount, maxSlot, monthRows,
+      heapAfterIngest, heapAfterTransform, heapPeakMb(),
+      (0L until totalSlots).count(_ % 32 != 31))
+  }
 
-    val expectedPresent = (0L until totalSlots).count(_ % 32 != 31)
+  def main(args: Array[String]): Unit = {
+    val totalSlots = args.lift(0).map(_.toLong).getOrElse(1000000L)
+    val outMd = args.lift(1).getOrElse("SCALE.md")
+    val chunkSize = 1000L
+    val waveChunks = 100 // 100k slots per fused job
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = Files.createTempDirectory("graft_scale").toString
+    val st = run(spark, totalSlots, chunkSize, waveChunks, base, cpus.toInt)
+    import st._
     val md =
       s"""# SCALE — 1M-slot synthetic backfill (order-of-magnitude stress run)
          |
@@ -119,21 +138,21 @@ object Scale {
          |
          || stage | wall (s) | rows | rows/s |
          ||---|---|---|---|
-         || ingest (fetch+hash+dedup+write, ${ranges.size} chunks in $nWaves fused jobs) | ${f"$ingestSec%.1f"} | $rawRows raw | ${f"${rawRows / ingestSec}%.0f"} |
+         || ingest (fetch+hash+dedup+write, $chunks chunks in $waves fused jobs) | ${f"$ingestSec%.1f"} | $rawRows raw | ${f"${rawRows / ingestSec}%.0f"} |
          || transform (parse → ${Loaders.blocks.tables.size} tables, per-chunk progress rows) | ${f"$transformSec%.1f"} | $blocksRows blocks + $attRows attestations | ${f"${(blocksRows + attRows) / transformSec}%.0f"} out (${f"${rawRows / transformSec}%.0f"} in) |
          || latest() count + max + monthly rollup | ${f"$querySec%.1f"} | $latestCount latest blocks, $monthRows month rows | ${f"${latestCount / querySec}%.0f"} |
          |
          |- slots: $totalSlots (chunk size $chunkSize); present slots $expectedPresent — raw/blocks row counts match exactly: ${rawRows == expectedPresent && blocksRows == expectedPresent}
          |- max structured slot: $maxSlot (= totalSlots − 2: the last slot is 404-empty by construction)
-         |- peak driver+executor heap (single JVM local[$cpus]): after ingest ${heapAfterIngest} MB, after transform ${heapAfterTransform} MB, final ${heapFinal} MB
-         |- driver never holds row data: ranges only (${ranges.size} tuples), slots explode executor-side, ledger transitions are bulk appends
+         |- peak driver+executor heap (single JVM local[$cpus]): after ingest ${heapAfterIngestMb} MB, after transform ${heapAfterTransformMb} MB, final ${heapFinalMb} MB
+         |- driver never holds row data: ranges only ($chunks tuples), slots explode executor-side, ledger transitions are bulk appends
          |- baseline floor (reference BASELINE.md: ≥1,000 rows/s batch insert): exceeded by ${f"${rawRows / ingestSec / 1000.0}%.0f"}×
          |
          |Reproduce: `SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale $totalSlots"`
          |""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(outMd),
       md.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"""{"metric":"scale_total","value":${ingestSec + transformSec + querySec},"unit":"sec","ingest_rows_per_s":${rawRows / ingestSec},"transform_in_rows_per_s":${rawRows / transformSec},"raw_rows":$rawRows,"heap_peak_mb":$heapFinal}""")
+    println(s"""{"metric":"scale_total","value":${ingestSec + transformSec + querySec},"unit":"sec","ingest_rows_per_s":${rawRows / ingestSec},"transform_in_rows_per_s":${rawRows / transformSec},"raw_rows":$rawRows,"heap_peak_mb":$heapFinalMb}""")
     spark.stop()
   }
 }

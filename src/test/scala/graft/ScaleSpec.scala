@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Smoke for the scale-run harness (`graft.Scale`): the SAME code the
+  * 1M-slot SCALE.md run exercises, at tiny N, asserting the parity
+  * invariants the big run reports — so the harness can't bit-rot between
+  * rounds. */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("Scale.run: exact row parity raw -> blocks -> latest at every stage") {
+    val base = Files.createTempDirectory("graft_scale_smoke").toString
+    val st = Scale.run(spark, totalSlots = 2000L, chunkSize = 500L,
+      waveChunks = 2, base = base, parallelism = 4)
+    assert(st.chunks === 4 && st.waves === 2)
+    // every 32nd slot is 404-empty by construction
+    assert(st.expectedPresent === (0L until 2000L).count(_ % 32 != 31))
+    assert(st.rawRows === st.expectedPresent)
+    assert(st.blocksRows === st.expectedPresent)   // 1 block row per present slot
+    assert(st.attRows === st.expectedPresent * 4)  // 4 attestations per block
+    assert(st.latestCount === st.blocksRows)       // latest() collapses nothing (single version)
+    assert(st.maxSlot === 1999L)                   // 1999 % 32 == 15 -> present
+    assert(st.monthRows >= 1)
+  }
+}
