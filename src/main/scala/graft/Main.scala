@@ -86,6 +86,7 @@ object Main {
     val detected = ForkDetect.configFromDetection(raw, preset)
     detected.forks.foreach(f =>
       println(s"${f.name}\tepoch=${f.epoch}\tversion=${f.version}"))
+    spark.stop()
   }
 
   /** Offline deterministic fetcher (CI/testing): every 10th slot empty. */

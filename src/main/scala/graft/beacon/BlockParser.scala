@@ -60,18 +60,21 @@ object BlockParser {
     * proof either: partial-results mode keeps every field parsed BEFORE
     * the failure, so a TRUNCATED body (proxy cut mid-stream) carries a
     * real slot and all-null body fields — the exact phantom. The
-    * discriminator is structural validity of the DOCUMENT ROOT:
-    * `get_json_object(payload, '$')` returns null for malformed/truncated
-    * JSON but echoes any well-formed document — including one with a
-    * mistyped field AND one legitimately missing `data.message.slot`
-    * (probing the slot path instead would drop that row, stricter than
-    * "document parses"). Evaluated only on corrupt rows (rare), so the
-    * second parse is off the hot path. */
+    * discriminator is a STRUCTURAL probe of the document envelope:
+    * `get_json_object(payload, '$.data')` returns null for
+    * malformed/truncated JSON and for well-formed NON-block documents (a
+    * bare JSON scalar/array from a misbehaving proxy — probing just `'$'`
+    * would echo those and fabricate the phantom), but answers normally on
+    * a valid enveloped document with a mistyped field — including one
+    * legitimately missing `data.message.slot` (probing the slot path
+    * would drop that row, stricter than "the block document parses").
+    * Evaluated only on corrupt rows (rare), so the second parse is off
+    * the hot path. */
   def blocks(parsed: DataFrame, cfg: ChainConfig): DataFrame =
     parsed
       .filter(col("p").isNotNull &&
         (col("p").getField("_corrupt_record").isNull ||
-          get_json_object(col("payload"), "$").isNotNull))
+          get_json_object(col("payload"), "$.data").isNotNull))
       .select(
       col("slot"),
       l(msg("proposer_index")).as("proposer_index"),

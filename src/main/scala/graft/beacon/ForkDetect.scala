@@ -59,8 +59,9 @@ object ForkDetect {
           if (!detected.contains(norm)) detected(norm) = epoch
         } else {
           // payload carries the 4-byte hex fork version — map it back
+          // (case-insensitively: clients differ on 0X / hex-digit case)
           forkOrder.drop(1) // phase0 is pinned at epoch 0
-            .find(n => versionOf(n) == v && !detected.contains(n))
+            .find(n => versionOf(n).equalsIgnoreCase(v) && !detected.contains(n))
             .foreach(n => detected(n) = epoch)
         }
         last = v

@@ -71,9 +71,10 @@ final class ChunkedTail(
     // instance — a thousand-chunk catch-up batch must not pay a registry
     // lookup per chunk
     val ldef = Loaders.byName(loader)
-    // floorDiv: last = -1 (empty resume) must yield boundary 0 — plain
-    // `/` truncates toward zero and would skip chunk [0, chunkSize-1]
-    var nextBoundary = (Math.floorDiv(last, chunkSize) + 1) * chunkSize
+    // shared boundary law with the MicroBatchStream source (floorDiv:
+    // last = -1 empty resume must yield boundary 0) — the e2e ledger
+    // parity between the two paths depends on this being ONE formula
+    var nextBoundary = TailChunkSource.boundaryAfter(last, chunkSize)
     // the completed set is read when windows are due OR holes are pending:
     // a hole repaired out-of-band (maintain fix) must heal on the NEXT
     // poll, not after the head advances a whole chunk (≈20 min at mainnet
@@ -280,7 +281,7 @@ final class CompositeTail(
         .toSeq
     } else {
       var boundary =
-        (Math.floorDiv(math.max(last, floor - chunkSize), chunkSize) + 1) * chunkSize
+        TailChunkSource.boundaryAfter(math.max(last, floor - chunkSize), chunkSize)
       val out = Seq.newBuilder[(Long, Long)]
       while (boundary + chunkSize - 1 <= target) {
         if (boundary + chunkSize - 1 >= floor) out += ((boundary, boundary + chunkSize - 1))

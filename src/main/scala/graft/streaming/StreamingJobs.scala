@@ -176,10 +176,13 @@ object StreamingJobs {
     * micro-batch's rows are the due chunk ranges, and this sink runs the
     * SAME `RawIngest.ingestChunk` per range as the [[ChunkedTail]] driver
     * loop — fetch contract (loader gate, mega-payload split), ledger
-    * transitions, and metrics are identical by construction. The
-    * completed-chunk cache makes checkpoint replays no-ops on the ledger
-    * (R4 exactly-once: Spark's offset checkpoint on top of the ledger
-    * commit log).
+    * transitions, chunk metrics, hole tracking, and head/lag gauges all
+    * match the driver loop. The completed-chunk cache makes checkpoint
+    * replays no-ops on the ledger (R4 exactly-once: Spark's offset
+    * checkpoint on top of the ledger commit log). Like the driver loop, a
+    * FAILED chunk becomes a hole — pinned in the lag gauges until
+    * `maintain fix` repairs it (healed by slot-range coverage) — and the
+    * stream moves on rather than blocking the tail.
     *
     * `probeKey` must be registered first:
     * `TailChunkSource.registerProbe(probeKey, probe)`. */
@@ -191,6 +194,11 @@ object StreamingJobs {
       chainedTransform: Option[(String, LedgerStore)] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val ldef = Loaders.byName(loader)
+    val probe = TailChunkSource.probeOf(probeKey)
+    // batch-spanning gauge state, exactly like ChunkedTail.holes: the
+    // foreachBatch closure lives as long as the query
+    val holes = new java.util.concurrent.atomic.AtomicReference(Set.empty[(Long, Long)])
+    val pollCursor = new java.util.concurrent.atomic.AtomicLong(startSlot)
     spark.readStream
       .format(classOf[TailChunkSourceProvider].getName)
       .option("probe", probeKey)
@@ -206,23 +214,38 @@ object StreamingJobs {
         // bounded: one row per due chunk — the batch IS the chunk plan
         val ranges = batch.collect()
           .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-        if (ranges.nonEmpty) {
-          // R4 idempotency exactly like ChunkedTail.processAvailable: a
-          // checkpoint replay (or a restart with a fresh checkpoint over
-          // an existing ledger) must not re-fetch completed chunks
-          val completed = ChunkedTail
-            .completedByLoader(s, chunkLedger, Seq(loader))
-            .getOrElse(loader, Set.empty)
-          ranges.filterNot(completed).foreach { case (start, end) =>
-            val ok = RawIngest.ingestChunk(s, cfg, fetcher, rawDir,
+        // R4 idempotency exactly like ChunkedTail.processAvailable: a
+        // checkpoint replay (or a restart with a fresh checkpoint over an
+        // existing ledger) must not re-fetch completed chunks; pending
+        // holes re-read the set so out-of-band repairs heal next batch
+        val completed =
+          if (ranges.nonEmpty || holes.get.nonEmpty)
+            ChunkedTail.completedByLoader(s, chunkLedger, Seq(loader))
+              .getOrElse(loader, Set.empty[(Long, Long)])
+          else Set.empty[(Long, Long)]
+        holes.updateAndGet(ChunkedTail.healHoles(_, completed))
+        ranges.foreach { case (start, end) =>
+          val ok = completed((start, end)) || {
+            val r = RawIngest.ingestChunk(s, cfg, fetcher, rawDir,
               chunkLedger, loader, start, end, split = ldef.splitPayload,
               gate = Some(RawIngest.slotGate(cfg, ldef.activationFork, ldef.dailyOnly)))
-            if (ok) chainedTransform.foreach { case (outDir, progress) =>
+            if (r) chainedTransform.foreach { case (outDir, progress) =>
               Transformer.transformChunk(s, cfg, ldef,
                 rawDir, outDir, progress, start, end)
             }
+            r
           }
+          if (!ok) holes.updateAndGet(_ + ((start, end)))
+          pollCursor.accumulateAndGet(end, math.max(_, _))
         }
+        // same gauge law as the driver loop: cursor capped below the
+        // earliest unrepaired hole, head re-probed per batch
+        val head = probe.headSlot()
+        val dataCursor = ChunkedTail.dataCursor(pollCursor.get, holes.get)
+        graft.core.Observability.setGauges(
+          "chain_head_slot" -> head,
+          s"ingest_last_slot_$loader" -> dataCursor,
+          s"ingest_lag_slots_$loader" -> math.max(0L, head - dataCursor))
         ()
       }
       .trigger(trigger)

@@ -103,17 +103,29 @@ class TailChunkMicroBatchStream(
 
   private val startBoundary = boundaryAfter(resumeSlot, chunkSize)
 
+  /** High-water mark of every boundary this stream has returned OR
+    * restored from the checkpoint — the monotonicity guard. A probe
+    * reporting a reorged-back head must not regress the offset log:
+    * without the clamp, Spark would record the smaller boundary and
+    * re-plan (and re-deliver) already-committed chunks once the head
+    * recovers. Seeded from deserializeOffset too, so the guard holds
+    * across restarts before the first probe. */
+  private val maxBoundary = new java.util.concurrent.atomic.AtomicLong(startBoundary)
+
   override def initialOffset(): Offset = ChunkBoundaryOffset(startBoundary)
 
   /** R2 + R3 as offset arithmetic: never past head − delay, never a
-    * partial chunk. Monotone even if the probe reports a reorged-back
-    * head (offsets must not regress). */
-  override def latestOffset(): Offset =
-    ChunkBoundaryOffset(
-      math.max(startBoundary, completeBoundary(probe.headSlot(), slotDelay, chunkSize)))
+    * partial chunk, never backwards. */
+  override def latestOffset(): Offset = {
+    val probed = completeBoundary(probe.headSlot(), slotDelay, chunkSize)
+    ChunkBoundaryOffset(maxBoundary.accumulateAndGet(probed, math.max(_, _)))
+  }
 
-  override def deserializeOffset(json: String): Offset =
-    ChunkBoundaryOffset(json.trim.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val b = json.trim.toLong
+    maxBoundary.accumulateAndGet(b, math.max(_, _))
+    ChunkBoundaryOffset(b)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[ChunkBoundaryOffset].boundary

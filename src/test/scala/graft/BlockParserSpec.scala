@@ -158,6 +158,20 @@ class BlockParserSpec extends AnyFunSuite {
     assert(t("attester_slashings").count() >= 1L) // cross-table consistency
   }
 
+  test("blocks: well-formed NON-block JSON (scalar/array payload) is dropped, not a phantom") {
+    // a misbehaving proxy can answer 200 with valid-JSON garbage: a bare
+    // string, a number, an array. from_json corrupt-flags them with every
+    // field null; the rescue must NOT echo them through (a '$' root probe
+    // would — only an enveloped document with $.data qualifies)
+    // (valid-but-sparse OBJECTS like {} keep their documented defaults-row
+    // behavior — only corrupt-flagged non-envelopes are at issue here)
+    for (garbage <- Seq("\"Too Many Requests\"", "123", "[1,2,3]")) {
+      val t = BlockParser.parseAll(rawOf(21405700L -> garbage), cfg)
+      assert(t("blocks").count() === 0L,
+        s"payload $garbage must not produce a blocks row")
+    }
+  }
+
   test("blocks: corrupt-flagged payload legitimately MISSING data.message.slot is kept (document parses)") {
     // the rescue discriminator is "document parses" (structural probe of
     // the root), not "slot path present": a well-formed payload with a

@@ -40,6 +40,11 @@ class ForkDetectSpec extends AnyFunSuite {
     val epochs = ForkDetect.detectForkEpochs(raw, cfg)
     assert(epochs("altair") === 125L)
     assert(epochs("bellatrix") === 500L)
+    // clients differ on 0X / hex-digit case — matching is case-insensitive
+    val shouty = rawOf(s => s"""{"version": "${versionAt(s).toUpperCase}", "data": {}}""")
+    val fromShouty = ForkDetect.detectForkEpochs(shouty, cfg)
+    assert(fromShouty("altair") === 125L)
+    assert(fromShouty("bellatrix") === 500L)
   }
 
   test("empty table and single-fork tables fall back to the preset schedule") {

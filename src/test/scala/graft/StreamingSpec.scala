@@ -134,6 +134,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(ledgerRows(baseB) === ledgerRows(baseA))
     assert(rawSlots(baseB) === rawSlots(baseA))
     assert(rawSlots(baseB).last === 398L) // 399 is 404-empty
+    // gauges follow the same law as the driver loop (head re-probed,
+    // cursor at the last ingested chunk end, no holes)
+    val g = graft.core.Observability.gaugeValues
+    assert(g("chain_head_slot") === 460L)
+    assert(g("ingest_last_slot_blocks") === 399L)
+    assert(g("ingest_lag_slots_blocks") === 61L)
+  }
+
+  test("chunkTailStream: a failed chunk becomes a hole pinned in the lag gauges, then heals") {
+    import graft.streaming.{HeadProbe, StreamingJobs, TailChunkSource}
+    val base = Files.createTempDirectory("graft_mbs_hole").toString
+    @volatile var head = 350L
+    val probe = new HeadProbe { def headSlot(): Long = head }
+    val payload = (s: Long) => s"""{"version":"phase0","data":{"message":{"slot":"$s"}}}"""
+    val good = MapSlotFetcher((0L until 600L).map(s => s -> payload(s)).toMap)
+    val holey = new SlotFetcher {
+      def fetch(slot: Long): Option[String] =
+        if (slot >= 100 && slot <= 199) throw new RuntimeException("node down for 100s")
+        else good.fetch(slot)
+    }
+    val ledger = LedgerStore(s"$base/cl")
+    TailChunkSource.registerProbe("mbs-hole", probe)
+    val q = StreamingJobs.chunkTailStream(spark, cfg, holey, "mbs-hole",
+      s"$base/raw", ledger, "blocks", s"$base/ckpt",
+      chunkSize = 100L, slotDelay = 50L)
+    q.awaitTermination(60000) // target 300: [0,99] ok, [100,199] FAILS, [200,299] ok
+    val g = graft.core.Observability.gaugeValues
+    assert(g("ingest_last_slot_blocks") === 99L) // pinned below the hole
+    assert(g("ingest_lag_slots_blocks") === 251L)
+    // repair out-of-band (maintain-fix shape), head advances -> next run
+    // heals the hole via the completed set and the gauge jumps forward
+    assert(RawIngest.ingestChunk(spark, cfg, good, s"$base/raw", ledger,
+      "blocks", 100L, 199L))
+    head = 460L // [300,399] newly due
+    val q2 = StreamingJobs.chunkTailStream(spark, cfg, holey, "mbs-hole",
+      s"$base/raw", ledger, "blocks", s"$base/ckpt",
+      chunkSize = 100L, slotDelay = 50L)
+    q2.awaitTermination(60000)
+    val g2 = graft.core.Observability.gaugeValues
+    assert(g2("ingest_last_slot_blocks") === 399L)
+    assert(g2("ingest_lag_slots_blocks") === 61L)
+  }
+
+  test("TailChunkMicroBatchStream: latestOffset never regresses on a reorged-back head") {
+    import graft.streaming.{ChunkBoundaryOffset, HeadProbe, TailChunkMicroBatchStream}
+    @volatile var head = 350L
+    val stream = new TailChunkMicroBatchStream(
+      new HeadProbe { def headSlot(): Long = head },
+      chunkSize = 100L, slotDelay = 50L, resumeSlot = -1L)
+    assert(stream.latestOffset() === ChunkBoundaryOffset(300L))
+    head = 250L // probe reorgs back: target 200, but 300 was already returned
+    assert(stream.latestOffset() === ChunkBoundaryOffset(300L))
+    head = 500L // recovery advances past the mark again
+    assert(stream.latestOffset() === ChunkBoundaryOffset(400L))
+    // restart path: a checkpoint-restored offset seeds the high-water mark
+    val restarted = new TailChunkMicroBatchStream(
+      new HeadProbe { def headSlot(): Long = 250L },
+      chunkSize = 100L, slotDelay = 50L, resumeSlot = -1L)
+    restarted.deserializeOffset("300")
+    assert(restarted.latestOffset() === ChunkBoundaryOffset(300L))
   }
 
   test("virtual-clock e2e: paceTicks → rawIngestStream at mainnet cadence (R1/R4)") {
