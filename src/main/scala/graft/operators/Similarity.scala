@@ -68,6 +68,42 @@ object Similarity {
   def simhash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
 
+  /** Oracle-parity SimHash: the same per-bit-vote construction as
+    * [[SimHash64]], but with md5-derived token hashes and a RELATIONAL
+    * formulation (explode → per-bit votes → nibble pack), so an ANSI-SQL
+    * oracle can reproduce it bit for bit — FNV-1a is not expressible in
+    * SQL, which is why d6 was rows-only before this. Token hash = 64 bits
+    * from the md5 hex: chars 1–8 are bits 32–63, chars 9–16 are bits
+    * 0–31; sig bit j set when the +/−1 vote sum is strictly positive
+    * (exactly [[SimHashUtil.simhash64]]'s `votes(j) > 0`); output is the
+    * standard 16-hex-char MSB-first rendering.
+    *
+    * Both aggregations partial map-side; the bit explosion is 64× the
+    * token count, so this is the CHECKABLE path — the single-pass codegen
+    * [[SimHash64]] kernel remains the 100 TB scale path. */
+  def simhashMd5Parity(df: DataFrame, idCol: String, tokens: Column): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens).as("t"))
+    val h = tok.select(col(idCol),
+      conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("hhi"),
+      conv(substring(md5(col("t")), 9, 8), 16, 10).cast("long").as("hlo"))
+    val bits = h
+      .withColumn("j", explode(sequence(lit(0), lit(63))))
+      .select(col(idCol), col("j"),
+        expr("CASE WHEN j < 32 THEN shiftright(hlo, j) & 1L " +
+          "ELSE shiftright(hhi, j - 32) & 1L END").as("bit"))
+    val votes = bits.groupBy(col(idCol), col("j"))
+      .agg(sum(col("bit") * 2 - 1).as("v"))
+    val nibbles = votes
+      .groupBy(col(idCol), expr("15 - j div 4").as("n"))
+      .agg(expr("sum(CASE WHEN v > 0 THEN shiftleft(1L, cast(j % 4 as int)) ELSE 0L END)")
+        .as("nv"))
+    nibbles.groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("n"), col("nv")))),
+          x => lower(conv(x.getField("nv"), 10, 16))), "").as("simhash_hex"))
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")

@@ -130,11 +130,13 @@ object LlmInventory {
       .groupBy("quality_ok", "drop_reason")
       .agg(count(lit(1)).as("n"))
 
-  /** SimHash near-dup buckets — rows-only check. */
+  /** SimHash near-dup signatures — oracle-checked via the md5-parity
+    * relational construction ([[Similarity.simhashMd5Parity]]); the
+    * codegen FNV-1a [[Similarity.simhash64]] kernel stays the scale path
+    * (equivalence of the vote construction is asserted in ScalaTest). */
   val d6Simhash: Q = (s, d) =>
-    documents(s, d).select(
-      col("doc_id"),
-      Similarity.simhash64(Dedup.tokenSet(col("text"))).as("simhash"))
+    Similarity.simhashMd5Parity(
+      documents(s, d), "doc_id", Dedup.tokenSet(col("text")))
 
   /** Embedding-cosine near-dup pairs via hyperplane LSH — rows-only. */
   val d7EmbeddingNearDup: Q = (s, d) =>
@@ -595,6 +597,35 @@ object LlmInventory {
         |       coalesce(c.component, d.doc_id) AS "group",
         |       d.doc_id = coalesce(c.component, d.doc_id) AS is_representative
         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin,
+    "d6_simhash" ->
+      // mirrors simhashMd5Parity: distinct tokens, 64-bit md5-derived
+      // token hash split as two 32-bit halves (hex chars 1-8 = bits
+      // 32-63, chars 9-16 = bits 0-31), +/-1 votes per bit, sig bit =
+      // votes strictly positive, packed MSB-first as 16 hex chars
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, t,
+        |         ('0x' || substr(md5(t), 1, 8))::BIGINT AS hhi,
+        |         ('0x' || substr(md5(t), 9, 8))::BIGINT AS hlo
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, j.j AS j,
+        |         CASE WHEN j.j < 32 THEN (hlo >> j.j) & 1
+        |              ELSE (hhi >> (j.j - 32)) & 1 END AS bit
+        |  FROM h, (SELECT unnest(range(0, 64)) AS j) j),
+        |votes AS (
+        |  SELECT doc_id, j, SUM(2 * bit - 1) AS v FROM bits GROUP BY doc_id, j),
+        |nibbles AS (
+        |  SELECT doc_id, 15 - (j // 4) AS n,
+        |         SUM(CASE WHEN v > 0 THEN 1 << (j % 4) ELSE 0 END) AS nv
+        |  FROM votes GROUP BY doc_id, j // 4)
+        |SELECT doc_id,
+        |       array_to_string(list_transform(
+        |         list_sort(list({'n': n, 'v': nv})),
+        |         x -> substr('0123456789abcdef', CAST(x.v AS INT) + 1, 1)), '') AS simhash_hex
+        |FROM nibbles GROUP BY doc_id""".stripMargin,
     "d8_jaccard_verify" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w

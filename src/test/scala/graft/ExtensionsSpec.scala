@@ -261,6 +261,32 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(groups(parity = true) === expected)
   }
 
+  test("simhashMd5Parity: vote construction checks out against a driver-side reference") {
+    import graft.operators.Similarity
+    def sigOf(docs: Seq[(Long, String)]): Map[Long, String] =
+      Similarity.simhashMd5Parity(docs.toDF("doc_id", "text"), "doc_id",
+          graft.operators.Dedup.tokenSet(col("text")))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // single token: every bit's vote is that token's bit -> sig IS the
+    // token's md5-derived 64-bit hash (chars 1-8 high, 9-16 low)
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (java.lang.Long.parseLong(md5hex.substring(0, 8), 16) << 32) |
+      java.lang.Long.parseLong(md5hex.substring(8, 16), 16)
+    assert(sigOf(Seq((1L, "hello")))(1L) === f"$expected%016x")
+    // the SimHash property: a one-word edit of a 100-word doc stays close
+    // in hamming distance; an unrelated doc does not
+    val base = (1 to 100).map(i => s"w$i").mkString(" ")
+    val sigs = sigOf(Seq(
+      (1L, base), (2L, base.replace(" w50 ", " w50x ")),
+      (3L, "entirely different vocabulary here " * 25)))
+    def hamming(a: String, b: String): Int =
+      java.lang.Long.bitCount(
+        java.lang.Long.parseUnsignedLong(a, 16) ^ java.lang.Long.parseUnsignedLong(b, 16))
+    assert(hamming(sigs(1L), sigs(2L)) < hamming(sigs(1L), sigs(3L)))
+    assert(hamming(sigs(1L), sigs(2L)) <= 8, s"near-dup drifted: ${hamming(sigs(1L), sigs(2L))}")
+  }
+
   test("twoPhaseAgg (salted) equals plain groupBy for sum/count on a hot key") {
     val df = (1 to 2000).map(i => (if (i % 3 == 0) 1L else i.toLong, 1.0)).toDF("k", "v")
     val plain = df.groupBy("k")
