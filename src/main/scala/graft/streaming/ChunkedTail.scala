@@ -266,19 +266,8 @@ final class CompositeTail(
     if (floor > target) return Seq.empty // also guards the epoch math below
     if (l.dailyOnly) {
       // daily single-slot chunks: every last-slot-of-day in (last, target]
-      Iterator.iterate(cfg.lastSlotOfDay(
-          java.time.Instant.ofEpochSecond(
-            cfg.genesisTimeUnix + math.max(last + 1, floor) * cfg.secondsPerSlot)
-            .atZone(java.time.ZoneOffset.UTC).toLocalDate))(s =>
-          // next day's boundary: fixed slots-per-day stride would drift on
-          // leap seconds; recompute from the date instead
-          cfg.lastSlotOfDay(java.time.Instant.ofEpochSecond(
-            cfg.genesisTimeUnix + (s + 1) * cfg.secondsPerSlot)
-            .atZone(java.time.ZoneOffset.UTC).toLocalDate))
-        .dropWhile(s => s <= last || s < floor)
-        .takeWhile(_ <= target)
-        .map(s => (s, s))
-        .toSeq
+      // — ONE law shared with the MicroBatchStream source's daily mode
+      TailChunkSource.dailySlots(cfg, last + 1, target, floor).map(s => (s, s))
     } else {
       var boundary =
         TailChunkSource.boundaryAfter(math.max(last, floor - chunkSize), chunkSize)

@@ -195,6 +195,13 @@ object StreamingJobs {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val ldef = Loaders.byName(loader)
     val probe = TailChunkSource.probeOf(probeKey)
+    // daily-cadence loaders (validators, pending queues) stream their
+    // last-slot-of-UTC-day chunks — the source needs the network timing
+    // and the activation floor for the day enumeration (CompositeTail's
+    // planFor law); windowed loaders gate pre-activation slots inside
+    // ingestChunk instead, like the single-loader driver loop
+    if (ldef.dailyOnly) TailChunkSource.registerProbe(probeKey, probe, cfg)
+    val floor = RawIngest.activationFloor(cfg, ldef.activationFork)
     // batch-spanning gauge state, exactly like ChunkedTail.holes: the
     // foreachBatch closure lives as long as the query
     val holes = new java.util.concurrent.atomic.AtomicReference(Set.empty[(Long, Long)])
@@ -202,6 +209,8 @@ object StreamingJobs {
     spark.readStream
       .format(classOf[TailChunkSourceProvider].getName)
       .option("probe", probeKey)
+      .option("mode", if (ldef.dailyOnly) "daily" else "windowed")
+      .option("floor-slot", floor.toString)
       .option("chunk-size", chunkSize.toString)
       .option("slot-delay", slotDelay.toString)
       .option("start-slot", startSlot.toString)

@@ -40,16 +40,27 @@ object TailChunkSource {
 
   /** Driver-side probe registry: a [[HeadProbe]] is live state (virtual
     * clocks in tests, an HTTP client in production) and cannot ride a
-    * string option. Offsets are computed on the driver, so the registry
-    * never needs to exist on executors. */
-  private val probes = new java.util.concurrent.ConcurrentHashMap[String, HeadProbe]()
+    * string option; daily-cadence streams also need the network timing
+    * ([[graft.beacon.ChainConfig]]) for day-boundary math. Offsets are
+    * computed on the driver, so the registry never needs to exist on
+    * executors. */
+  private val probes = new java.util.concurrent.ConcurrentHashMap[
+    String, (HeadProbe, Option[graft.beacon.ChainConfig])]()
 
-  def registerProbe(key: String, probe: HeadProbe): Unit = probes.put(key, probe)
+  def registerProbe(key: String, probe: HeadProbe): Unit =
+    probes.put(key, (probe, None))
 
-  private[streaming] def probeOf(key: String): HeadProbe = {
+  /** Daily-mode registration: the config drives last-slot-of-UTC-day
+    * enumeration (C12 closed form). */
+  def registerProbe(key: String, probe: HeadProbe, cfg: graft.beacon.ChainConfig): Unit =
+    probes.put(key, (probe, Some(cfg)))
+
+  private[streaming] def probeOf(key: String): HeadProbe = entryOf(key)._1
+
+  private[streaming] def entryOf(key: String): (HeadProbe, Option[graft.beacon.ChainConfig]) = {
     val p = probes.get(key)
     require(p != null, s"no HeadProbe registered under '$key' — call " +
-      "TailChunkSource.registerProbe(key, probe) before starting the stream")
+      "TailChunkSource.registerProbe(key, probe[, cfg]) before starting the stream")
     p
   }
 
@@ -61,6 +72,27 @@ object TailChunkSource {
   /** Largest exclusive boundary whose last chunk is fully ≤ head − delay. */
   def completeBoundary(head: Long, slotDelay: Long, chunkSize: Long): Long =
     Math.floorDiv(head - slotDelay + 1, chunkSize) * chunkSize
+
+  /** Daily-cadence chunk law, shared with [[CompositeTail.planFor]]: every
+    * last-slot-of-UTC-day in [max(fromSlot, floor), toSlotInclusive].
+    * Recomputed from the DATE each step — a fixed slots-per-day stride
+    * would drift on leap seconds. */
+  def dailySlots(
+      cfg: graft.beacon.ChainConfig, fromSlot: Long, toSlotInclusive: Long,
+      floor: Long = 0L): Seq[Long] = {
+    val start = math.max(math.max(fromSlot, floor), 0L)
+    if (toSlotInclusive < start) return Seq.empty
+    Iterator.iterate(cfg.lastSlotOfDay(
+        java.time.Instant.ofEpochSecond(
+          cfg.genesisTimeUnix + start * cfg.secondsPerSlot)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate))(s =>
+        cfg.lastSlotOfDay(java.time.Instant.ofEpochSecond(
+          cfg.genesisTimeUnix + (s + 1) * cfg.secondsPerSlot)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate))
+      .dropWhile(_ < start)
+      .takeWhile(_ <= toSlotInclusive)
+      .toSeq
+  }
 }
 
 /** Exclusive chunk boundary as a streaming offset. */
@@ -86,22 +118,38 @@ class TailChunkTable(options: CaseInsensitiveStringMap) extends Table with Suppo
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = TailChunkSource.schema
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          val (probe, cfg) = TailChunkSource.entryOf(options.get("probe"))
+          val daily = Option(options.get("mode")).contains("daily")
+          if (daily) require(cfg.isDefined,
+            "daily mode needs the network timing — register with " +
+              "TailChunkSource.registerProbe(key, probe, cfg)")
           new TailChunkMicroBatchStream(
-            TailChunkSource.probeOf(options.get("probe")),
+            probe,
             chunkSize = Option(options.get("chunk-size")).map(_.toLong).getOrElse(100L),
             slotDelay = Option(options.get("slot-delay")).map(_.toLong).getOrElse(100L),
-            resumeSlot = Option(options.get("start-slot")).map(_.toLong).getOrElse(-1L))
+            resumeSlot = Option(options.get("start-slot")).map(_.toLong).getOrElse(-1L),
+            daily = if (daily) Some((cfg.get,
+              Option(options.get("floor-slot")).map(_.toLong).getOrElse(0L))) else None)
+        }
       }
     }
 }
 
+/** Windowed mode: offsets are exclusive multiples of `chunkSize`. Daily
+  * mode (`daily = Some((cfg, floor))`): offsets are exclusive SLOT
+  * boundaries and each batch's rows are the single-slot
+  * last-slot-of-UTC-day chunks due — the validators/pending-queues
+  * cadence ([[CompositeTail]]'s planFor law, same enumeration). */
 class TailChunkMicroBatchStream(
-    probe: HeadProbe, chunkSize: Long, slotDelay: Long, resumeSlot: Long)
+    probe: HeadProbe, chunkSize: Long, slotDelay: Long, resumeSlot: Long,
+    daily: Option[(graft.beacon.ChainConfig, Long)] = None)
     extends MicroBatchStream {
   import TailChunkSource._
 
-  private val startBoundary = boundaryAfter(resumeSlot, chunkSize)
+  private val startBoundary =
+    if (daily.isDefined) math.max(resumeSlot + 1, 0L)
+    else boundaryAfter(resumeSlot, chunkSize)
 
   /** High-water mark of every boundary this stream has returned OR
     * restored from the checkpoint — the monotonicity guard. A probe
@@ -117,7 +165,13 @@ class TailChunkMicroBatchStream(
   /** R2 + R3 as offset arithmetic: never past head − delay, never a
     * partial chunk, never backwards. */
   override def latestOffset(): Offset = {
-    val probed = completeBoundary(probe.headSlot(), slotDelay, chunkSize)
+    val head = probe.headSlot()
+    val probed = daily match {
+      case Some((cfg, floor)) =>
+        dailySlots(cfg, startBoundary, head - slotDelay, floor)
+          .lastOption.map(_ + 1).getOrElse(startBoundary)
+      case None => completeBoundary(head, slotDelay, chunkSize)
+    }
     ChunkBoundaryOffset(maxBoundary.accumulateAndGet(probed, math.max(_, _)))
   }
 
@@ -130,9 +184,15 @@ class TailChunkMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[ChunkBoundaryOffset].boundary
     val hi = end.asInstanceOf[ChunkBoundaryOffset].boundary
-    (lo until hi by chunkSize)
-      .map(b => ChunkRangePartition(b, b + chunkSize - 1): InputPartition)
-      .toArray
+    daily match {
+      case Some((cfg, floor)) =>
+        dailySlots(cfg, lo, hi - 1, floor)
+          .map(s => ChunkRangePartition(s, s): InputPartition).toArray
+      case None =>
+        (lo until hi by chunkSize)
+          .map(b => ChunkRangePartition(b, b + chunkSize - 1): InputPartition)
+          .toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = ChunkRangeReaderFactory

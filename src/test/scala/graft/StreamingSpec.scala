@@ -177,6 +177,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(g2("ingest_lag_slots_blocks") === 61L)
   }
 
+  test("chunkTailStream daily mode: validators last-slot-of-day chunks match CompositeTail") {
+    import graft.streaming.{CompositeTail, HeadProbe, StreamingJobs, TailChunkSource, TailLoader}
+    val baseA = Files.createTempDirectory("graft_daily_loop").toString
+    val baseB = Files.createTempDirectory("graft_daily_stream").toString
+    @volatile var head = 3050L
+    val probe = new HeadProbe { def headSlot(): Long = head }
+    val validatorsPayload =
+      """{"data":[{"index":"1","balance":"32","status":"active_ongoing",
+        |"validator":{"pubkey":"0xv1","effective_balance":"32","slashed":false,
+        |"activation_epoch":"0","exit_epoch":"100","withdrawal_credentials":"0x00"}}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val valFetcher = MapSlotFetcher(
+      (0L to 25000L).map(s => s -> validatorsPayload).toMap)
+    def ledgerRows(p: String) = Ledger.chunkStates(
+      LedgerStore(p).read(spark, Schemas.loadStateChunks))
+      .select("loader_name", "start_slot", "end_slot", "status")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    def rawSlots(p: String) = spark.read.parquet(p)
+      .select("slot").distinct().collect().map(_.getLong(0)).sorted.toSeq
+
+    // A: the composite driver loop, validators only (daily cadence)
+    val tailA = new CompositeTail(spark, cfg, probe, baseA,
+      LedgerStore(s"$baseA/chunks"),
+      Seq(TailLoader(Loaders.validators, valFetcher)),
+      chunkSize = 1000L, slotDelay = 50L, pollMillis = 1L)
+    val lastA = tailA.run(1) // target 3000 -> daily slot 2931 only
+
+    // B: the same cadence through spark.readStream (daily mode)
+    TailChunkSource.registerProbe("mbs-daily", probe)
+    val q = StreamingJobs.chunkTailStream(spark, cfg, valFetcher, "mbs-daily",
+      s"$baseB/raw_validators", LedgerStore(s"$baseB/cl"), "validators",
+      s"$baseB/ckpt", chunkSize = 1000L, slotDelay = 50L)
+    q.awaitTermination(60000)
+    assert(ledgerRows(s"$baseB/cl") === ledgerRows(s"$baseA/chunks"))
+    assert(rawSlots(s"$baseB/raw_validators") === Seq(2931L))
+    assert(rawSlots(s"$baseB/raw_validators") === rawSlots(s"$baseA/raw_validators"))
+
+    // a day later (gnosis: 86400/5 = 17280 slots) both paths pick up
+    // exactly the next day boundary
+    head = 3050L + 17280L
+    tailA.processAvailable(lastA)
+    val q2 = StreamingJobs.chunkTailStream(spark, cfg, valFetcher, "mbs-daily",
+      s"$baseB/raw_validators", LedgerStore(s"$baseB/cl"), "validators",
+      s"$baseB/ckpt", chunkSize = 1000L, slotDelay = 50L)
+    q2.awaitTermination(60000)
+    assert(ledgerRows(s"$baseB/cl") === ledgerRows(s"$baseA/chunks"))
+    assert(rawSlots(s"$baseB/raw_validators") === rawSlots(s"$baseA/raw_validators"))
+    assert(rawSlots(s"$baseB/raw_validators").last === 20211L)
+  }
+
+  test("TailChunkSource.dailySlots: the shared daily-cadence law") {
+    import graft.streaming.TailChunkSource.dailySlots
+    val cfg = ChainConfig.gnosis
+    // from the CompositeTail fixture: target 3000 -> 2931 only
+    assert(dailySlots(cfg, 0L, 3000L) === Seq(2931L))
+    // a full day later the next boundary appears
+    assert(dailySlots(cfg, 0L, 21000L) === Seq(2931L, 20211L))
+    // fromSlot excludes already-processed boundaries
+    assert(dailySlots(cfg, 2932L, 21000L) === Seq(20211L))
+    // floor skips pre-activation days; empty when nothing is due
+    assert(dailySlots(cfg, 0L, 21000L, floor = 3000L) === Seq(20211L))
+    assert(dailySlots(cfg, 0L, 2930L) === Seq.empty)
+  }
+
   test("TailChunkMicroBatchStream: latestOffset never regresses on a reorged-back head") {
     import graft.streaming.{ChunkBoundaryOffset, HeadProbe, TailChunkMicroBatchStream}
     @volatile var head = 350L
