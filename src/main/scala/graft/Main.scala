@@ -13,6 +13,7 @@ import org.apache.spark.sql.SparkSession
   * graft transform reprocess --base DIR --start-slot A --end-slot B [--loader L] [--chunk-size N]
   * graft maintain check|reset --base DIR
   * graft maintain fix --base DIR [--start-slot A] [--end-slot B] [--loaders a,b] [--force] [--beacon-url U]
+  * graft maintain compact --base DIR [--tables t1,t2|raw_x] [--months 2024-01,..] [--min-files N]
   * graft maintain refresh-specs --base DIR --beacon-url U
   * graft status --base DIR
   * graft fork info --slot S [--network gnosis|mainnet]
@@ -57,7 +58,7 @@ object Main {
     case "load" :: "realtime" :: rest => realtime(rest.toArray)
     case "transform" :: cmd :: rest if Set("batch", "run", "reprocess")(cmd) =>
       transform(cmd, rest.toArray)
-    case "maintain" :: cmd :: rest if Set("check", "fix", "reset", "refresh-specs")(cmd) => maintain(cmd, rest.toArray)
+    case "maintain" :: cmd :: rest if Set("check", "fix", "reset", "compact", "refresh-specs")(cmd) => maintain(cmd, rest.toArray)
     case "status" :: rest => status(rest.toArray)
     case "fork" :: "info" :: rest => forkInfo(rest.toArray)
     case "fork" :: "list" :: rest =>
@@ -312,6 +313,37 @@ object Main {
               println(s"[graft] ${l.name}: $n chunks reset to pending (raw windows " +
                 "deleted; pass --beacon-url to reload + retransform in one command)")
             }
+        }
+      case "compact" =>
+        // ReplacingMergeTree merge analogue (Compaction.scala): collapse
+        // month partitions to latest(), re-sort, re-size, atomic swap.
+        // Default target = every structured table on disk plus every
+        // loader's raw table — the same surface background merges cover.
+        val months = opt(args, "months")
+          .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+        val minFiles = opt(args, "min-files").map(_.toInt).getOrElse(2)
+        val tables = opt(args, "tables")
+          .map(_.split(",").map(_.trim).toSeq)
+          .getOrElse {
+            Transformer.tableKeys.keys.toSeq.sorted
+              .filter(t => graft.core.Fs.exists(spark, s"$base/tables/$t")) ++
+              Loaders.all.map(_.rawTable)
+                .filter(t => graft.core.Fs.exists(spark, s"$base/$t"))
+          }
+        val compactionLog = LedgerStore(s"$base/compaction_log")
+        val version = System.currentTimeMillis()
+        tables.foreach { t =>
+          val results =
+            if (t.startsWith("raw_")) Compaction.compactRaw(spark, base, t, months, minFiles)
+            else Compaction.compactStructured(spark, base, t, months, minFiles)
+          Compaction.record(spark, compactionLog, results, version)
+          results.foreach { r =>
+            println(s"[graft] compact ${r.table} month=${r.month}: " +
+              s"files ${r.filesBefore}->${r.filesAfter}, " +
+              s"rows ${r.rowsBefore}->${r.rowsAfter}, " +
+              s"bytes ${r.bytesBefore}->${r.bytesAfter}")
+          }
+          if (results.isEmpty) println(s"[graft] compact $t: nothing to do")
         }
       case "reset" =>
         val claimed = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))

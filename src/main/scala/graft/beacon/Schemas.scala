@@ -196,4 +196,19 @@ object Schemas {
     StructField("error_message", StringType, nullable = true),
     StructField("processed_at", TimestampType, nullable = true),
     StructField("insert_version", LongType, nullable = false)))
+
+  /** Compaction log — one row per month partition rewritten by
+    * `maintain compact` (the MergeTree merge analogue; Compaction.scala).
+    * Append-only with insert_version like the other ledgers. */
+  val compactionLog: StructType = StructType(Seq(
+    StructField("table_name", StringType, nullable = false),
+    StructField("month", StringType, nullable = false),
+    StructField("files_before", LongType, nullable = false),
+    StructField("files_after", LongType, nullable = false),
+    StructField("rows_before", LongType, nullable = false),
+    StructField("rows_after", LongType, nullable = false),
+    StructField("bytes_before", LongType, nullable = false),
+    StructField("bytes_after", LongType, nullable = false),
+    StructField("compacted_at", TimestampType, nullable = false),
+    StructField("insert_version", LongType, nullable = false)))
 }

@@ -38,7 +38,7 @@ object Transformer {
     * into fewer parts would keep the new parts PLUS the old retrieval's
     * orphaned tail parts); a per-slot latest would keep one arbitrary
     * part and drop the rest of the snapshot. */
-  private def latestRetrieval(raw: DataFrame): DataFrame = {
+  private[beacon] def latestRetrieval(raw: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("slot")
       .orderBy(col("retrieved_at").desc, col("payload_hash").desc)

@@ -35,26 +35,57 @@ object Fs {
   /** Does the tree under `path` contain any parquet data file? (An
     * all-empty-table write leaves only _SUCCESS.) */
   def hasParquetFiles(spark: SparkSession, path: String): Boolean = {
+    var found = false
+    walkDataFiles(spark, path) { _ => found = true; false }
+    found
+  }
+
+  /** (count, total bytes) of committed parquet data files under `path` —
+    * the compaction planner's small-file probe. */
+  def dataFileStats(spark: SparkSession, path: String): (Int, Long) = {
+    var n = 0
+    var bytes = 0L
+    walkDataFiles(spark, path) { st => n += 1; bytes += st.getLen; true }
+    (n, bytes)
+  }
+
+  /** Walk committed parquet data files under `path`, invoking `visit` per
+    * file until it returns false. Skips uncommitted staging output
+    * (_temporary, .spark-staging-*): Spark's own file index ignores
+    * '_'/'.'-prefixed path components BELOW the table root. The root is
+    * qualified and the ancestor walk stops at PATH equality — a
+    * string-length comparison against the unqualified input walks past
+    * (or includes) the table root when listings come back fully
+    * qualified, so a '_'/'.'-prefixed component in the root's own name
+    * or its ancestors would mark every file uncommitted. */
+  private def walkDataFiles(spark: SparkSession, path: String)(
+      visit: org.apache.hadoop.fs.FileStatus => Boolean): Unit = {
     val (f, p) = fs(spark, path)
-    if (!f.exists(p)) return false
-    // qualify the root and stop the ancestor walk at PATH equality — a
-    // string-length comparison against the unqualified input walks past
-    // (or includes) the table root when listings come back fully
-    // qualified, so a '_'/'.'-prefixed component in the root's own name
-    // or its ancestors would mark every file uncommitted
+    if (!f.exists(p)) return
     val root = f.makeQualified(p)
     val it = f.listFiles(root, true)
-    while (it.hasNext) {
-      val fp = it.next().getPath
-      // skip uncommitted staging output (_temporary, .spark-staging-*):
-      // Spark's own file index ignores '_'/'.'-prefixed path components
-      // BELOW the table root
+    var continue = true
+    while (continue && it.hasNext) {
+      val st = it.next()
+      val fp = st.getPath
       val committed = Iterator.iterate(fp)(_.getParent)
         .takeWhile(q => q != null && q != root)
         .forall(q => !q.getName.startsWith("_") && !q.getName.startsWith("."))
       val isData = fp.getName.endsWith(".parquet") && !fp.getName.startsWith(".")
-      if (committed && isData) return true
+      if (committed && isData) continue = visit(st)
     }
-    false
+  }
+
+  /** Rename `src` → `dst`, creating dst's parent first (HDFS rename does
+    * not mkdir). A same-filesystem directory rename is the one atomic
+    * primitive parquet storage offers — the compaction swap is built on
+    * it. Returns false if src is missing or the filesystem refuses. */
+  def rename(spark: SparkSession, src: String, dst: String): Boolean = {
+    val (f, s) = fs(spark, src)
+    val d = new Path(dst)
+    if (!f.exists(s)) return false
+    val parent = d.getParent
+    if (parent != null && !f.exists(parent)) f.mkdirs(parent)
+    f.rename(s, d)
   }
 }
