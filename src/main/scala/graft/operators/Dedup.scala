@@ -353,14 +353,18 @@ object Dedup {
     * (caller-owned); the bucket temp is released before returning. */
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      planes: Int, seed: Long, threshold: Double, bands: Int = 1): DataFrame = {
+      planes: Int, seed: Long, threshold: Double, bands: Int = 1,
+      /** md5-derived ±1 plane family for oracle parity (the declared d7
+        * query); JVM-seeded Gaussian stays the default scale path. */
+      md5Family: Boolean = false): DataFrame = {
     // multiple independent hyperplane signatures (different seeds): a
     // near-dup pair straddling one band's hyperplane still collides in
     // another band — recall compounds as 1-(1-p)^bands
     val dim = Similarity.dimOf(df, vecCol)
     val sigCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        Similarity.hyperplaneSignature(col(vecCol), dim, planes, seed + b).as("sig"))
+        Similarity.hyperplaneSignature(col(vecCol), dim, planes, seed + b, md5Family)
+          .as("sig"))
         .as(s"sig$b")
     }
     // fan out before the signature compute (bands × planes × dim dot

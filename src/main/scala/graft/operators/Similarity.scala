@@ -119,13 +119,43 @@ object Similarity {
     Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
-  /** Pack sign(v·plane_i) bits into a Long bucket signature. */
-  def hyperplaneSignature(vec: Column, dim: Int, planes: Int, seed: Long): Column = {
-    val ps = randomPlanes(dim, planes, seed)
-    (0 until planes)
-      .map(i => when(vec_dot(vec, typedlit(ps(i).toSeq)) > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
+  /** Oracle-parity hyperplane family: ±1 (Rademacher) components derived
+    * from `md5("{seed}#{plane}#{dim}")` — sign +1 when the first hex digit
+    * is 0–7. Sign-random-projection with ±1 entries is a standard LSH
+    * family (sparse random projections); what makes THIS one special is
+    * that an ANSI-SQL oracle can rebuild it verbatim with `md5(...)`, and
+    * the resulting dot product is bit-identical across engines: ±1·v is an
+    * exact double, and both [[graft.functions.FloatVectorOps.dot]] and
+    * DuckDB's `list_reduce` fold left-to-right, so every rounding step
+    * agrees. The JVM-seeded Gaussian family stays the operator default;
+    * the md5 family is what the DECLARED s2/d7 queries use so the driver
+    * can hash-check the full ANN pipeline (same trick as d5/d6/d9). */
+  def md5SignPlanes(dim: Int, planes: Int, seed: Long): Array[Array[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes) { i =>
+      Array.tabulate(dim) { j =>
+        val hex = md.digest(s"$seed#$i#$j".getBytes("UTF-8"))
+        // first hex digit = high nibble of byte 0
+        if (((hex(0) >> 4) & 0xf) < 8) 1.0f else -1.0f
+      }
+    }
   }
+
+  /** Pack sign(v·plane_i) bits into a Long bucket signature for an
+    * explicit plane set. */
+  def signatureOf(vec: Column, ps: Array[Array[Float]]): Column =
+    ps.zipWithIndex
+      .map { case (p, i) =>
+        when(vec_dot(vec, typedlit(p.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+
+  /** Pack sign(v·plane_i) bits into a Long bucket signature. */
+  def hyperplaneSignature(vec: Column, dim: Int, planes: Int, seed: Long,
+      md5Family: Boolean = false): Column =
+    signatureOf(vec,
+      if (md5Family) md5SignPlanes(dim, planes, seed)
+      else randomPlanes(dim, planes, seed))
 
   /** Brute-force cosine top-k against one query vector: single corpus scan,
     * codegen'd dot product, TakeOrderedAndProject. */
@@ -250,10 +280,15 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, planes: Int, seed: Long,
-      multiProbe: Boolean = false): DataFrame = {
+      multiProbe: Boolean = false,
+      /** Use the md5-derived ±1 family ([[md5SignPlanes]]) so an SQL
+        * oracle reproduces the buckets bit-for-bit. */
+      md5Family: Boolean = false): DataFrame = {
     val dim = query.length
-    val sigCol = hyperplaneSignature(col(vecCol), dim, planes, seed)
-    val ps = randomPlanes(dim, planes, seed)
+    val ps =
+      if (md5Family) md5SignPlanes(dim, planes, seed)
+      else randomPlanes(dim, planes, seed)
+    val sigCol = signatureOf(col(vecCol), ps)
     val querySig = (0 until planes).map { i =>
       val dot = ps(i).zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
       if (dot > 0) 1L << i else 0L

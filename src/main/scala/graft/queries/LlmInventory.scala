@@ -138,11 +138,17 @@ object LlmInventory {
     Similarity.simhashMd5Parity(
       documents(s, d), "doc_id", Dedup.tokenSet(col("text")))
 
-  /** Embedding-cosine near-dup pairs via hyperplane LSH — rows-only. */
+  /** Embedding-cosine near-dup pairs via hyperplane LSH — oracle-checked
+    * through the md5-derived ±1 plane family ([[Similarity.md5SignPlanes]]):
+    * ±1·float products are exact doubles and both engines fold the dot
+    * product left-to-right, so bucket membership is bit-identical; the
+    * closest pair sits 1e-3 from the 0.35 cosine threshold (measured at
+    * sf0.01), far outside fp noise. The JVM-seeded Gaussian family stays
+    * the operator default (recall floors pinned in RecallSpec). */
   val d7EmbeddingNearDup: Q = (s, d) =>
     Dedup.embeddingNearDupPairs(
       embeddings(s, d), "vec_id", "embedding",
-      planes = 8, seed = 42L, threshold = 0.35, bands = 2)
+      planes = 8, seed = 42L, threshold = 0.35, bands = 2, md5Family = true)
       .select("d1", "d2")
       .orderBy("d1", "d2")
 
@@ -168,14 +174,22 @@ object LlmInventory {
       .toDF("rnk", "vec_id")
   }
 
-  /** LSH-bucketed ANN over the same query — rows-only (recall-traded). */
+  /** LSH-bucketed ANN over the same query — oracle-checked via the md5
+    * ±1 plane family (bucket membership bit-identical in DuckDB) with
+    * rank-only output like s1; ranks assigned driver-side over the
+    * already-reduced ≤10-row result (no single-partition window). */
   val s2LshTopK: Q = (s, d) => {
     val em = embeddings(s, d)
     val query = em.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0)
-    Similarity.lshTopK(em.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-      query, k = 10, planes = 4, seed = 42L, multiProbe = true)
-      .select("vec_id")
+    val top = Similarity.lshTopK(em.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      query, k = 10, planes = 4, seed = 42L, multiProbe = true, md5Family = true)
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .select("vec_id").collect()
+    import s.implicits._
+    top.toSeq.zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r.getLong(0)) }
+      .toDF("rnk", "vec_id")
   }
 
   /** IVF ANN: k-means coarse quantizer + nProbe list probing — the other
@@ -646,6 +660,46 @@ object LlmInventory {
         |             (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id) AS rnk
         |  FROM embeddings WHERE vec_id <> 0) t
         |WHERE rnk <= 10""".stripMargin,
+    // md5 ±1 plane family (Similarity.md5SignPlanes): sign from the first
+    // hex digit of md5("{seed}#{plane}#{dim}"); the dot product folds
+    // left-to-right in doubles on both sides, so buckets match bit-for-bit
+    "s2_lsh_topk" ->
+      """WITH sigs AS (
+        |  SELECT vec_id, embedding,
+        |    sum(CASE WHEN dot > 0 THEN 1<<i ELSE 0 END)::BIGINT AS sig
+        |  FROM (
+        |    SELECT vec_id, embedding, i.i AS i,
+        |      list_reduce(list_transform(range(1, len(embedding)+1),
+        |        j -> CASE WHEN ('0x'||substr(md5('42#'||i.i::VARCHAR||'#'||(j-1)::VARCHAR),1,1))::INT < 8
+        |             THEN CAST(embedding[j] AS DOUBLE) ELSE -CAST(embedding[j] AS DOUBLE) END),
+        |        (a,b2) -> a+b2) AS dot
+        |    FROM embeddings CROSS JOIN range(0, 4) i(i))
+        |  GROUP BY vec_id, embedding),
+        |q AS (SELECT sig, embedding FROM sigs WHERE vec_id = 0)
+        |SELECT ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rnk, vec_id FROM (
+        |  SELECT c.vec_id AS vec_id,
+        |    list_cosine_similarity(c.embedding, (SELECT embedding FROM q)) AS cos
+        |  FROM sigs c
+        |  WHERE c.vec_id <> 0 AND (c.sig = (SELECT sig FROM q)
+        |     OR xor(c.sig, (SELECT sig FROM q)) IN (1, 2, 4, 8))) t
+        |ORDER BY rnk LIMIT 10""".stripMargin,
+    "d7_embedding_near_dup" ->
+      """WITH sigs AS (
+        |  SELECT vec_id, embedding, band,
+        |    sum(CASE WHEN dot > 0 THEN 1<<i ELSE 0 END)::BIGINT AS sig
+        |  FROM (
+        |    SELECT vec_id, embedding, b.band AS band, i.i AS i,
+        |      list_reduce(list_transform(range(1, len(embedding)+1),
+        |        j -> CASE WHEN ('0x'||substr(md5((42+b.band)::VARCHAR||'#'||i.i::VARCHAR||'#'||(j-1)::VARCHAR),1,1))::INT < 8
+        |             THEN CAST(embedding[j] AS DOUBLE) ELSE -CAST(embedding[j] AS DOUBLE) END),
+        |        (a,b2) -> a+b2) AS dot
+        |    FROM embeddings CROSS JOIN range(0, 2) b(band) CROSS JOIN range(0, 8) i(i))
+        |  GROUP BY vec_id, embedding, band)
+        |SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+        |FROM sigs a JOIN sigs b
+        |  ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        |ORDER BY d1, d2""".stripMargin,
     "s5_topk_join" ->
       """SELECT q_id, vec_id, rnk FROM (
         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,

@@ -59,6 +59,33 @@ class RecallSpec extends AnyFunSuite {
     assert(multi >= 0.395, s"multi-probe recall regressed: $multi < 0.40")
   }
 
+  test("md5 ±1 plane family (declared s2/d7): pinned recall floors + determinism") {
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // the family is a pure function of (seed, plane, dim) — regenerate twice
+    val a = Similarity.md5SignPlanes(64, 4, 42L)
+    val b = Similarity.md5SignPlanes(64, 4, 42L)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.flatten.forall(x => x == 1.0f || x == -1.0f))
+    val queries = em.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val per = queries.map { case (qid, query) =>
+      val corpus = em.filter(col("vec_id") =!= qid)
+      val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", query, 10)
+        .collect().map(_.getLong(0)).toSet
+      val got = Similarity.lshTopK(corpus, "vec_id", "embedding", query,
+        k = 10, planes = 4, seed = 42L, multiProbe = true, md5Family = true)
+        .collect().map(_.getLong(0)).toSet
+      got.intersect(brute).size / 10.0
+    }
+    val recall = per.sum / per.length
+    info(s"md5-family lshTopK mean recall@10 over 10 queries: $recall")
+    // pinned floor: measured 0.46 at gate creation (planes=4, seed=42,
+    // sf0.01) — above the Gaussian family's 0.40; recall moves in steps
+    // of 0.01 so any single lost neighbor fails
+    assert(recall >= 0.455, s"md5-family multi-probe recall regressed: $recall < 0.46")
+  }
+
   test("embedding near-dup (d7 shape): pinned recall floor on planted near-dups") {
     import spark.implicits._
     val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
