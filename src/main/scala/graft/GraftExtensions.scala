@@ -94,6 +94,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash64", "64-bit SimHash of a token array"),
       (es: Seq[Expression]) => SimHash64(es.head)))
     e.injectFunction((
+      FunctionIdentifier("image_format"),
+      info("image_format", "png|gif|unknown from container magic bytes"),
+      (es: Seq[Expression]) => ImageFormat(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("image_width"),
+      info("image_width", "PNG IHDR / GIF logical-screen width; -1 unknown"),
+      (es: Seq[Expression]) => ImageWidth(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("image_height"),
+      info("image_height", "PNG IHDR / GIF logical-screen height; -1 unknown"),
+      (es: Seq[Expression]) => ImageHeight(es.head)))
+    e.injectFunction((
       FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "k-wide MinHash signature of a token array"),
       (es: Seq[Expression]) => {

@@ -199,6 +199,13 @@ object GraftFunctions {
   def vec_dot(a: Column, b: Column): Column = col(FloatVectorDot(expr(a), expr(b)))
   def vec_cosine(a: Column, b: Column): Column =
     col(FloatVectorCosine(expr(a), expr(b)))
+  def image_format(c: Column): Column = col(ImageFormat(expr(c)))
+  /** PNG/GIF pixel width; NULL for unrecognized payloads. */
+  def image_width(c: Column): Column =
+    nullif(col(ImageWidth(expr(c))), lit(-1))
+  /** PNG/GIF pixel height; NULL for unrecognized payloads. */
+  def image_height(c: Column): Column =
+    nullif(col(ImageHeight(expr(c))), lit(-1))
 
   /** C8: slot → timestamp (`genesis_time + slot * seconds_per_slot`;
     * reference: src/utils/time_utils.py:5-8). */
@@ -226,5 +233,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("canonical_json_hash16", es => CanonicalJsonHash16(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vec_dot", es => FloatVectorDot(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_cosine", es => FloatVectorCosine(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("image_format", es => ImageFormat(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("image_width", es => ImageWidth(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("image_height", es => ImageHeight(es.head), "scala_udf")
   }
 }

@@ -306,16 +306,40 @@ object LlmInventory {
         "payload")
       .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"), substring(col("content_sha"), 1, 16).as("sha16"))
 
-  /** Deterministic fake decode → fixed-width feature vector; rows-only
-    * (stubbed codec, SURVEY-mandated). Emits vector length + first element
-    * so drift is detectable. */
-  val m2DecodeStub: Q = (s, d) =>
-    documents(s, d)
-      .filter(col("doc_id") < 50)
+  /** Real container-metadata decode — oracle-checked. Deterministic
+    * PNG/GIF/unknown payloads are constructed per doc_id (no image libs in
+    * the environment, and documents.text is not an image), then the
+    * codegen'd [[graft.functions.ImageFormat]]/Width/Height expressions
+    * extract format and pixel dimensions from the real container headers:
+    * PNG IHDR big-endian at bytes 16–23, GIF logical screen little-endian
+    * at bytes 6–9. DuckDB rebuilds both sides via hex-string arithmetic. */
+  val m2ImageMeta: Q = (s, d) => {
+    val doc = documents(s, d).filter(col("doc_id") < 50)
+    // PNG: signature + IHDR header + width/height (BE u32) + bit depth etc.
+    val pngPayload = unhex(concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      lpad(hex(lit(100) + col("doc_id") % 100), 8, "0"),
+      lpad(hex(lit(50) + col("doc_id") % 100), 8, "0"),
+      lit("0806000000")))
+    // GIF89a: magic + logical screen width/height (LE u16) + flags
+    val gifW = lit(200) + col("doc_id") % 100
+    val gifH = lit(120) + col("doc_id") % 100
+    val gifPayload = unhex(concat(
+      lit("474946383961"),
+      lpad(hex(gifW % 256), 2, "0"), lpad(hex(gifW / 256), 2, "0"),
+      lpad(hex(gifH % 256), 2, "0"), lpad(hex(gifH / 256), 2, "0"),
+      lit("F70000")))
+    doc
+      .withColumn("payload",
+        when(col("doc_id") % 3 === 0, pngPayload)
+          .when(col("doc_id") % 3 === 1, gifPayload)
+          .otherwise(col("text").cast("binary")))
       .select(
         col("doc_id"),
-        Multimodal.decodeStub(col("text").cast("binary"), 16).as("features"))
-      .select(col("doc_id"), size(col("features")).as("dim"), element_at(col("features"), 1).as("f0"))
+        graft.functions.GraftFunctions.image_format(col("payload")).as("format"),
+        graft.functions.GraftFunctions.image_width(col("payload")).cast("long").as("width"),
+        graft.functions.GraftFunctions.image_height(col("payload")).cast("long").as("height"))
+  }
 
   /** Frame-sampling plumbing: one row per byte-window "frame". */
   val m3FrameWindows: Q = (s, d) =>
