@@ -376,7 +376,7 @@ object LlmInventory {
     "t10_top_ngram" -> t10TopNgram,
     "t11_decontam" -> t11Decontam,
     "m1_binary_meta" -> m1BinaryMeta,
-    "m2_decode_stub" -> m2DecodeStub,
+    "m2_image_meta" -> m2ImageMeta,
     "m3_frame_windows" -> m3FrameWindows,
   )
 
