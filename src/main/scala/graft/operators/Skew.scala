@@ -44,14 +44,21 @@ object Skew {
     * then the final phase combines partials per key. */
   def twoPhaseAgg(
       df: DataFrame, key: String, valueCol: String, factor: Int,
+      aggs: Seq[TwoPhase]): DataFrame =
+    twoPhaseAgg(df, Seq(key), valueCol, factor, aggs)
+
+  /** Multi-key variant — functionally-dependent attribute columns ride
+    * along in the group key instead of needing a post-agg re-join. */
+  def twoPhaseAgg(
+      df: DataFrame, keys: Seq[String], valueCol: String, factor: Int,
       aggs: Seq[TwoPhase]): DataFrame = {
     val salted = df.withColumn("__salt", (rand(seed = 42) * factor).cast("int"))
     val phase1 = salted
-      .groupBy(col(key), col("__salt"))
+      .groupBy(keys.map(col) :+ col("__salt"): _*)
       .agg(
         aggs.head.partial(col(valueCol)).as(aggs.head.alias),
         aggs.tail.map(a => a.partial(col(valueCol)).as(a.alias)): _*)
-    phase1.groupBy(col(key))
+    phase1.groupBy(keys.map(col): _*)
       .agg(
         aggs.head.combine(col(aggs.head.alias)).as(aggs.head.alias),
         aggs.tail.map(a => a.combine(col(a.alias)).as(a.alias)): _*)

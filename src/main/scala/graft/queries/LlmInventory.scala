@@ -1,9 +1,10 @@
 package graft.queries
 
 import graft.core.Tables._
-import graft.operators.{Decontam, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Decontam, Dedup, Multimodal, Sampling, Similarity, Skew, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Training-data pipeline operators (dedup, similarity search, text
@@ -348,6 +349,39 @@ object LlmInventory {
         .select(col("doc_id"), col("text").cast("binary").as("payload")),
       "doc_id", "payload", 4)
 
+  // --- Skew toolkit -----------------------------------------------------
+
+  /** t14: the skew toolkit on the declared surface — salted hot-key join
+    * ([[Skew.saltedJoin]]) to restrict the fact table to its hottest keys,
+    * then a two-phase salted aggregation ([[Skew.twoPhaseAgg]]) over the
+    * joined rows. Oracle-checkable because both utilities are
+    * salt-INVARIANT by construction: the salted join equals a plain inner
+    * join on the key, and count/sum/max partials recombine exactly (sums
+    * ride DECIMAL(18,2), the engine's exact-sum policy), so the DuckDB
+    * side is the plain join + one-phase agg the salted plan must equal. */
+  val t14SkewAgg: Q = (s, d) => {
+    val ev = events(s, d)
+      .withColumn("value_d", col("value").cast(DecimalType(18, 2)))
+    // hot-key dim: top-3 event types by frequency (ties → lexicographic),
+    // carrying a functionally-dependent attribute through the pipeline
+    val hot = events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("type_n"), min("user_id").as("first_user"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("type_n").desc, col("event_type"))))
+      .filter(col("rk") <= 3)
+      .select("event_type", "first_user")
+    val joined = Skew.saltedJoin(ev, hot, "event_type", factor = 8)
+    Skew.twoPhaseAgg(joined, Seq("event_type", "first_user"), "value_d", 8,
+        Seq(Skew.TwoPhase.countOf("n_events"),
+          Skew.TwoPhase.sumOf("total_value"),
+          Skew.TwoPhase.maxOf("max_value")))
+      .select(
+        col("event_type"), col("first_user"), col("n_events"),
+        col("total_value").cast("double").as("total_value"),
+        col("max_value").cast("double").as("max_value"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t1_token_count" -> t1TokenCount,
     "t2_quality_stats" -> t2QualityStats,
@@ -378,6 +412,7 @@ object LlmInventory {
     "m1_binary_meta" -> m1BinaryMeta,
     "m2_image_meta" -> m2ImageMeta,
     "m3_frame_windows" -> m3FrameWindows,
+    "t14_skew_agg" -> t14SkewAgg,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -747,5 +782,56 @@ object LlmInventory {
         |       octet_length(encode(text)) // 4 AS frame_bytes
         |FROM documents, generate_series(0, 3) AS t(i)
         |WHERE doc_id < 20""".stripMargin,
+    // Rebuild the same deterministic PNG/GIF payloads as hex strings, then
+    // RE-PARSE them exactly as ImageMetaUtil does (signature + IHDR check,
+    // PNG width/height big-endian at bytes 16-23 = hex chars 33-48, GIF
+    // logical-screen little-endian at bytes 6-9 = hex chars 13-20) rather
+    // than short-circuiting to the generating arithmetic — a detection or
+    // offset bug in the expressions would surface as a mismatch here.
+    "m2_image_meta" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN
+        |           '89504E470D0A1A0A' || '0000000D' || '49484452' ||
+        |           lpad(hex(100 + doc_id % 100), 8, '0') ||
+        |           lpad(hex(50 + doc_id % 100), 8, '0') || '0806000000'
+        |         WHEN doc_id % 3 = 1 THEN
+        |           '474946383961' ||
+        |           lpad(hex((200 + doc_id % 100) % 256), 2, '0') ||
+        |           lpad(hex((200 + doc_id % 100) // 256), 2, '0') ||
+        |           lpad(hex((120 + doc_id % 100) % 256), 2, '0') ||
+        |           lpad(hex((120 + doc_id % 100) // 256), 2, '0') ||
+        |           'F70000'
+        |         ELSE hex(encode(text)) END AS h
+        |  FROM documents WHERE doc_id < 50),
+        |det AS (
+        |  SELECT doc_id, h,
+        |    (length(h) >= 48 AND substr(h, 1, 16) = '89504E470D0A1A0A'
+        |       AND substr(h, 25, 8) = '49484452') AS is_png,
+        |    (length(h) >= 20 AND substr(h, 1, 8) = '47494638'
+        |       AND substr(h, 9, 2) IN ('37', '39') AND substr(h, 11, 2) = '61') AS is_gif
+        |  FROM src)
+        |SELECT doc_id,
+        |  CASE WHEN is_png THEN 'png' WHEN is_gif THEN 'gif' ELSE 'unknown' END AS format,
+        |  CASE WHEN is_png THEN ('0x' || substr(h, 33, 8))::BIGINT
+        |       WHEN is_gif THEN ('0x' || substr(h, 13, 2))::BIGINT
+        |                        + 256 * ('0x' || substr(h, 15, 2))::BIGINT END AS width,
+        |  CASE WHEN is_png THEN ('0x' || substr(h, 41, 8))::BIGINT
+        |       WHEN is_gif THEN ('0x' || substr(h, 17, 2))::BIGINT
+        |                        + 256 * ('0x' || substr(h, 19, 2))::BIGINT END AS height
+        |FROM det""".stripMargin,
+    // Salt-invariance law: the salted join + two-phase agg must equal the
+    // plain inner join + one-phase agg. Sums through DECIMAL(18,2), count
+    // over the value column (mirrors countOf's non-null semantics).
+    "t14_skew_agg" ->
+      """WITH hot AS (
+        |  SELECT event_type, min(user_id) AS first_user
+        |  FROM events GROUP BY event_type
+        |  QUALIFY row_number() OVER (ORDER BY count(*) DESC, event_type) <= 3)
+        |SELECT e.event_type, h.first_user, count(e.value) AS n_events,
+        |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       CAST(MAX(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+        |FROM events e JOIN hot h USING (event_type)
+        |GROUP BY e.event_type, h.first_user""".stripMargin,
   )
 }
