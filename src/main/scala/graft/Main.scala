@@ -322,6 +322,18 @@ object Main {
         val months = opt(args, "months")
           .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
         val minFiles = opt(args, "min-files").map(_.toInt).getOrElse(2)
+        // concurrent-append guard: months at/after the ingest frontier are
+        // excluded (their in-flight appends would be dropped by the swap)
+        // unless --force, for a store that is known-quiesced
+        val hotFloor =
+          if (args.contains("--force")) None
+          else {
+            val cfg = Foundation.storedConfig(spark, base, networkOf(args))
+            val f = Compaction.frontierMonth(spark, chunkLedger, cfg)
+            f.foreach(m => println(s"[graft] compact: months >= $m are at the " +
+              "ingest frontier and are skipped (--force compacts them anyway)"))
+            f
+          }
         val tables = opt(args, "tables")
           .map(_.split(",").map(_.trim).toSeq)
           .getOrElse {
@@ -334,8 +346,8 @@ object Main {
         val version = System.currentTimeMillis()
         tables.foreach { t =>
           val results =
-            if (t.startsWith("raw_")) Compaction.compactRaw(spark, base, t, months, minFiles)
-            else Compaction.compactStructured(spark, base, t, months, minFiles)
+            if (t.startsWith("raw_")) Compaction.compactRaw(spark, base, t, months, minFiles, hotFloor)
+            else Compaction.compactStructured(spark, base, t, months, minFiles, hotFloor)
           Compaction.record(spark, compactionLog, results, version)
           results.foreach { r =>
             println(s"[graft] compact ${r.table} month=${r.month}: " +

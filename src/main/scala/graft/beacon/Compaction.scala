@@ -29,11 +29,16 @@ import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
   * '.'-prefixed, so Spark's file index never reads either. The swap is two
   * same-filesystem renames; an interruption between them leaves the
   * partition parked, and [[recoverInterrupted]] (run automatically at the
-  * start of every compact) renames it back. At every instant the table
-  * directory is readable. Like ClickHouse merges, a month being compacted
-  * must not receive concurrent APPENDS (rows landing in the live dir
-  * after the rewrite's scan would be dropped by the swap) — run it on
-  * months behind the ingest frontier, which is where small files
+  * start of every compact) renames it back. Crash-safe, not
+  * reader-isolated: a query that LISTS the table inside the brief window
+  * between the two renames misses the month being swapped (or throws
+  * FileNotFoundException off a pre-swap cached file index) — readers that
+  * need exact results must not race a compact of the months they scan.
+  * Like ClickHouse merges, a month being compacted must not receive
+  * concurrent APPENDS (rows landing in the live dir after the rewrite's
+  * scan would be dropped by the swap) — the `hotMonthFloor` guard
+  * (default-on in the CLI, fed by [[frontierMonth]]) keeps compaction
+  * strictly behind the ingest frontier, which is where small files
   * accumulate anyway.
   */
 object Compaction {
@@ -47,6 +52,31 @@ object Compaction {
 
   private def tmpRoot(dir: String) = s"$dir/.compact-tmp"
   private def oldRoot(dir: String) = s"$dir/.compact-old"
+
+  /** yyyy-MM (UTC) of a slot's timestamp — the partition value the writers
+    * derive with `date_format(cfg.slotTimestamp(slot), "yyyy-MM")`. */
+  def monthOfSlot(cfg: ChainConfig, slot: Long): String =
+    java.time.Instant
+      .ofEpochSecond(cfg.genesisTimeUnix + slot * cfg.secondsPerSlot)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM"))
+
+  /** The ingest-frontier month: yyyy-MM of the max `end_slot` over
+    * non-failed chunk states in the load ledger — the newest month any
+    * loader has written to or is writing to right now (claimed chunks ARE
+    * in-flight appends, so they count). Months at or after this value must
+    * not be compacted while ingest is live: rows appended after the
+    * rewrite's scan would be silently dropped by the swap. None on an
+    * empty ledger (cold store — nothing is hot). Note `maintain fix`
+    * reloads can append to arbitrary OLD months; do not run fix and
+    * compact concurrently (both are operator-invoked). */
+  def frontierMonth(
+      spark: SparkSession, chunkLedger: LedgerStore, cfg: ChainConfig): Option[String] = {
+    val states = Ledger.chunkStates(chunkLedger.read(spark, Schemas.loadStateChunks))
+      .filter(col("status").isin("claimed", "completed"))
+    val r = states.agg(max("end_slot")).head()
+    if (r.isNullAt(0)) None else Some(monthOfSlot(cfg, r.getLong(0)))
+  }
 
   /** Heal an interrupted swap: any partition still parked under
     * `.compact-old/` whose live dir is missing is renamed back; parked
@@ -81,18 +111,25 @@ object Compaction {
     *                 month is already merged (dead versions inside one
     *                 file can only come from a single append, which the
     *                 writers never produce for one key)
+    * @param hotMonthFloor skip months >= this `yyyy-MM` (typically
+    *                 [[frontierMonth]]): they may receive concurrent
+    *                 appends, which the swap would silently drop. Applies
+    *                 even to explicitly-requested `months` — pass None
+    *                 (the CLI's `--force`) to compact a hot month anyway
     */
   def compactTable(
       spark: SparkSession, tableDir: String, table: String,
       dedup: DataFrame => DataFrame, maxRecordsPerFile: Long,
-      months: Seq[String] = Nil, minFiles: Int = 2): Seq[MonthResult] = {
+      months: Seq[String] = Nil, minFiles: Int = 2,
+      hotMonthFloor: Option[String] = None): Seq[MonthResult] = {
     recoverInterrupted(spark, tableDir)
     if (!graft.core.Fs.hasParquetFiles(spark, tableDir)) return Nil
     val monthDirs = graft.core.Fs.listDirNames(spark, tableDir)
       .filter(_.startsWith("month="))
     val wanted =
-      if (months.isEmpty) monthDirs
-      else monthDirs.filter(d => months.contains(d.stripPrefix("month=")))
+      (if (months.isEmpty) monthDirs
+       else monthDirs.filter(d => months.contains(d.stripPrefix("month="))))
+        .filter(d => hotMonthFloor.forall(d.stripPrefix("month=") < _))
     val results = wanted.sorted.flatMap { mdir =>
       val live = s"$tableDir/$mdir"
       val (filesBefore, bytesBefore) = graft.core.Fs.dataFileStats(spark, live)
@@ -137,12 +174,13 @@ object Compaction {
     * keys/version its FINAL view reads with (Transformer.latestTable). */
   def compactStructured(
       spark: SparkSession, base: String, table: String,
-      months: Seq[String] = Nil, minFiles: Int = 2): Seq[MonthResult] = {
+      months: Seq[String] = Nil, minFiles: Int = 2,
+      hotMonthFloor: Option[String] = None): Seq[MonthResult] = {
     val keys = Transformer.tableKeys.getOrElse(table,
       sys.error(s"unknown structured table: $table"))
     compactTable(spark, s"$base/tables/$table", table,
       df => Ledger.latest(df, keys, "insert_version"),
-      Loaders.maxRecordsPerFile(table), months, minFiles)
+      Loaders.maxRecordsPerFile(table), months, minFiles, hotMonthFloor)
   }
 
   /** Compact a raw payload table using the transformer's own
@@ -150,10 +188,11 @@ object Compaction {
     * winning fetch survive together). */
   def compactRaw(
       spark: SparkSession, base: String, rawTable: String,
-      months: Seq[String] = Nil, minFiles: Int = 2): Seq[MonthResult] =
+      months: Seq[String] = Nil, minFiles: Int = 2,
+      hotMonthFloor: Option[String] = None): Seq[MonthResult] =
     compactTable(spark, s"$base/$rawTable", rawTable,
       Transformer.latestRetrieval _,
-      Loaders.maxRecordsPerFile(rawTable), months, minFiles)
+      Loaders.maxRecordsPerFile(rawTable), months, minFiles, hotMonthFloor)
 
   /** Record results to the compaction log — append-only with
     * `insert_version`, exactly like the chunk/progress ledgers, so

@@ -112,6 +112,58 @@ class CompactionSpec extends AnyFunSuite {
     assert(!graft.core.Fs.exists(spark, s"$dir/.compact-old"))
   }
 
+  test("hot-month floor: frontier month is refused, concurrent append survives") {
+    val base = tmp()
+    buildStructured(base) // months 2024-01 (cold), 2024-02 (hot)
+    val dir = s"$base/tables/blocks"
+    // a tail appends to the hot month while compact runs with the guard
+    spark.range(140, 141)
+      .select(col("id").as("slot"), lit(999L).as("body_count"),
+        lit(9L).as("insert_version"), lit("2024-02").as("month"))
+      .write.mode(SaveMode.Append).partitionBy("month").parquet(dir)
+    val hotFilesBefore = graft.core.Fs.dataFileStats(spark, s"$dir/month=2024-02")
+
+    val results = Compaction.compactStructured(
+      spark, base, "blocks", hotMonthFloor = Some("2024-02"))
+    // only the cold month is rewritten — even though both were eligible
+    assert(results.map(_.month) === Seq("2024-01"))
+    // the hot month's files are untouched and the appended row is intact
+    assert(graft.core.Fs.dataFileStats(spark, s"$dir/month=2024-02") === hotFilesBefore)
+    assert(latestBlocks(base).contains((140L, 999L, 9L)))
+    // an explicit months= request cannot bypass the guard either
+    assert(Compaction.compactStructured(spark, base, "blocks",
+      months = Seq("2024-02"), hotMonthFloor = Some("2024-02")).isEmpty)
+    // floor=None (the CLI's --force) compacts it
+    assert(Compaction.compactStructured(spark, base, "blocks",
+      months = Seq("2024-02")).map(_.month) === Seq("2024-02"))
+    assert(latestBlocks(base).contains((140L, 999L, 9L)))
+  }
+
+  test("frontierMonth: ledger max end_slot over non-failed states, writer-consistent months") {
+    val cfg = ChainConfig.gnosis
+    // monthOfSlot must agree with the writers' partition derivation
+    // (date_format(cfg.slotTimestamp(slot), 'yyyy-MM')) — a mismatch would
+    // guard the wrong month
+    val slots = Seq(0L, 12345L, 777777L, 7777777L)
+    val viaColumn = slots.toDF("slot")
+      .select(date_format(cfg.slotTimestamp(col("slot")), "yyyy-MM"))
+      .as[String].collect().toSeq
+    assert(viaColumn === slots.map(Compaction.monthOfSlot(cfg, _)))
+
+    val base = tmp()
+    val ledger = LedgerStore(s"$base/load_state_chunks")
+    assert(Compaction.frontierMonth(spark, ledger, cfg).isEmpty) // cold store
+    ledger.append(Ledger.transition(
+      Ledger.chunkRow(spark, "blocks", 0L, 1000L), "completed", "w", 1L))
+    ledger.append(Ledger.transition(
+      Ledger.chunkRow(spark, "blocks", 1001L, 500000L), "claimed", "w", 2L))
+    // failed chunks don't advance the frontier: nothing is appending there
+    ledger.append(Ledger.transition(
+      Ledger.chunkRow(spark, "blocks", 500001L, 9000000L), "failed", "w", 3L))
+    assert(Compaction.frontierMonth(spark, ledger, cfg) ===
+      Some(Compaction.monthOfSlot(cfg, 500000L)))
+  }
+
   test("compact raw: split-safe latest-retrieval dedup, orphaned parts dropped") {
     val base = tmp()
     val dir = s"$base/raw_blocks"
