@@ -194,6 +194,43 @@ object Compaction {
       Transformer.latestRetrieval _,
       Loaders.maxRecordsPerFile(rawTable), months, minFiles, hotMonthFloor)
 
+  /** Frontier-aware auto-compact for one loader's tail — the continuous
+    * background-merge analogue (ClickHouse gets this for free, forever, on
+    * every ReplacingMergeTree table: reference
+    * migrations/005_fork_phase0.sql:30-33; a long-lived graft tail invokes
+    * this on a micro-batch cadence instead of waiting for an operator to
+    * remember `maintain compact`). Compacts every month STRICTLY behind
+    * the ingest frontier whose data-file count has reached `minFiles` —
+    * each completed chunk appends at least one file to every month it
+    * touches, so `minFiles` is "K appends accumulated behind the
+    * frontier". Covers the loader's raw table and, when `structuredDir` is
+    * given, every structured table the loader owns. Cost when nothing
+    * qualifies: one ledger probe plus a directory listing per table. */
+  def autoCompactLoader(
+      spark: SparkSession, cfg: ChainConfig, loader: LoaderDef,
+      rawDir: String, structuredDir: Option[String],
+      chunkLedger: LedgerStore, minFiles: Int = 8,
+      log: Option[LedgerStore] = None): Seq[MonthResult] =
+    frontierMonth(spark, chunkLedger, cfg) match {
+      case None => Nil
+      case Some(frontier) =>
+        val raw = compactTable(spark, rawDir, loader.rawTable,
+          Transformer.latestRetrieval _,
+          Loaders.maxRecordsPerFile(loader.rawTable),
+          Nil, minFiles, Some(frontier))
+        val structured = structuredDir.toSeq.flatMap { outDir =>
+          loader.tables.toSeq.sorted.flatMap { t =>
+            if (!graft.core.Fs.exists(spark, s"$outDir/$t")) Nil
+            else compactTable(spark, s"$outDir/$t", t,
+              df => Ledger.latest(df, Transformer.tableKeys(t), "insert_version"),
+              Loaders.maxRecordsPerFile(t), Nil, minFiles, Some(frontier))
+          }
+        }
+        val all = raw ++ structured
+        log.foreach(record(spark, _, all))
+        all
+    }
+
   /** Record results to the compaction log — append-only with
     * `insert_version`, exactly like the chunk/progress ledgers, so
     * `maintain` history is queryable alongside them. */

@@ -192,7 +192,9 @@ object StreamingJobs {
       loader: String, checkpointDir: String,
       chunkSize: Long = 100L, slotDelay: Long = 100L, startSlot: Long = -1L,
       chainedTransform: Option[(String, LedgerStore)] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      autoCompactMinFiles: Int = 0,
+      compactionLog: Option[LedgerStore] = None): StreamingQuery = {
     val ldef = Loaders.byName(loader)
     val probe = TailChunkSource.probeOf(probeKey)
     // daily-cadence loaders (validators, pending queues) stream their
@@ -255,6 +257,19 @@ object StreamingJobs {
           "chain_head_slot" -> head,
           s"ingest_last_slot_$loader" -> dataCursor,
           s"ingest_lag_slots_$loader" -> math.max(0L, head - dataCursor))
+        // continuous-merge analogue: after the batch's chunks are committed
+        // (so the frontier reflects them), compact any month that fell
+        // strictly behind the frontier with >= autoCompactMinFiles files.
+        // Only on batches that appended — idle polls touch nothing.
+        if (autoCompactMinFiles > 0 && ranges.nonEmpty) {
+          val merged = Compaction.autoCompactLoader(s, cfg, ldef, rawDir,
+            chainedTransform.map(_._1), chunkLedger, autoCompactMinFiles,
+            compactionLog)
+          if (merged.nonEmpty) graft.core.Observability.setGauges(
+            s"compacted_months_total_$loader" ->
+              (graft.core.Observability.gaugeValues
+                .getOrElse(s"compacted_months_total_$loader", 0L) + merged.size))
+        }
         ()
       }
       .trigger(trigger)

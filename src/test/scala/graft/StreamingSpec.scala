@@ -10,6 +10,22 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.Files
 
+/** Per-slot fetch tally for the restart e2e — static so executor-side
+  * fetcher instances (same JVM in local mode) all hit one map. */
+object RestartFetchCounter {
+  val counts = new java.util.concurrent.ConcurrentHashMap[
+    Long, java.util.concurrent.atomic.AtomicLong]()
+}
+
+final case class CountingSlotFetcher(payloads: Map[Long, String]) extends SlotFetcher {
+  def fetch(slot: Long): Option[String] = {
+    RestartFetchCounter.counts
+      .computeIfAbsent(slot, _ => new java.util.concurrent.atomic.AtomicLong())
+      .incrementAndGet()
+    payloads.get(slot)
+  }
+}
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   import spark.implicits._
@@ -226,6 +242,141 @@ class StreamingSpec extends AnyFunSuite {
     assert(ledgerRows(s"$baseB/cl") === ledgerRows(s"$baseA/chunks"))
     assert(rawSlots(s"$baseB/raw_validators") === rawSlots(s"$baseA/raw_validators"))
     assert(rawSlots(s"$baseB/raw_validators").last === 20211L)
+  }
+
+  test("checkpoint restart: mid-batch kill + reorged-back head → no refetch, no offset regression") {
+    import graft.streaming.{HeadProbe, StreamingJobs, TailChunkSource}
+    val base = Files.createTempDirectory("graft_restart").toString
+    @volatile var head = 350L
+    val probe = new HeadProbe { def headSlot(): Long = head }
+    val payload = (s: Long) => s"""{"version":"phase0","data":{"message":{"slot":"$s"}}}"""
+    RestartFetchCounter.counts.clear()
+    val fetcher = CountingSlotFetcher((0L until 500L).map(s => s -> payload(s)).toMap)
+    TailChunkSource.registerProbe("mbs-restart", probe)
+    val ledger = LedgerStore(s"$base/cl")
+    def run(): Unit = {
+      val q = StreamingJobs.chunkTailStream(spark, cfg, fetcher, "mbs-restart",
+        s"$base/raw", ledger, "blocks", s"$base/ckpt",
+        chunkSize = 100L, slotDelay = 50L)
+      q.awaitTermination(60000)
+    }
+    def ledgerRows() = Ledger.chunkStates(ledger.read(spark, Schemas.loadStateChunks))
+      .select("chunk_id", "status").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    def fetchCounts() = {
+      import scala.jdk.CollectionConverters._
+      RestartFetchCounter.counts.asScala.map { case (s, n) => (s, n.get) }.toMap
+    }
+    def newestCheckpointBoundary(): Long = {
+      val dir = new java.io.File(s"$base/ckpt/offsets")
+      val f = dir.listFiles.filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+      // HDFSOffsetLog: version line, metadata line, then one offset json
+      // per source — ours is the bare boundary
+      scala.io.Source.fromFile(f).getLines().toSeq.last.trim.toLong
+    }
+
+    run() // target 300 → chunks [0,99] [100,199] [200,299]
+    val rows1 = ledgerRows()
+    val counts1 = fetchCounts()
+    assert(counts1.keySet === (0L until 300L).toSet)
+    assert(counts1.values.forall(_ === 1L), "a slot was fetched more than once")
+    assert(newestCheckpointBoundary() === 300L)
+
+    // kill between the offset write and the batch commit: drop the newest
+    // commit marker, so the restart must REPLAY that batch from the offset
+    // log (the R4 case Spark's checkpoint contract guarantees can happen)
+    val commitsDir = new java.io.File(s"$base/ckpt/commits")
+    val newestCommit = commitsDir.listFiles
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    assert(newestCommit.delete())
+    // the local FS keeps a Hadoop checksum shadow; a stale one blocks the
+    // re-commit rename on restart
+    new java.io.File(commitsDir, s".${newestCommit.getName}.crc").delete()
+    // ...and while we're down, the chain reorgs BACK below our offset
+    head = 250L
+
+    run() // replayed batch: ledger short-circuits — zero refetches
+    assert(ledgerRows() === rows1, "replay mutated the ledger")
+    assert(fetchCounts() === counts1, "replay refetched a committed chunk")
+    // the reorged head must not regress the offset log (monotonicity guard)
+    assert(newestCheckpointBoundary() === 300L)
+    assert(spark.read.parquet(s"$base/raw").select("slot").distinct().count() === 300L)
+
+    // the head recovers past the old offset: exactly the newly complete
+    // chunk is planned — nothing before it is re-delivered or re-fetched
+    head = 460L
+    run() // target 410 → [300,399] only
+    val counts3 = fetchCounts()
+    assert(counts3.keySet === (0L until 400L).toSet)
+    assert(counts3.values.forall(_ === 1L),
+      "recovery re-fetched a slot from a committed chunk")
+    assert(newestCheckpointBoundary() === 400L)
+    assert(ledgerRows().size === rows1.size + 1)
+  }
+
+  test("auto-compact: behind-frontier months stay bounded across a long tail, latest() unchanged") {
+    import graft.streaming.{HeadProbe, StreamingJobs, TailChunkSource}
+    val base = Files.createTempDirectory("graft_autocompact").toString
+    // 1 slot = 1 UTC day → a month rolls every ~30 slots; 5-slot chunks
+    // give each month ~6 separate appends — the small-files regime a
+    // months-long tail produces, scaled down to seconds
+    val dayCfg = cfg.copy(secondsPerSlot = 86400L)
+    @volatile var head = 100L
+    val probe = new HeadProbe { def headSlot(): Long = head }
+    val payload = (s: Long) => s"""{"version":"phase0","data":{"message":{"slot":"$s"}}}"""
+    val fetcher = MapSlotFetcher((0L until 200L).map(s => s -> payload(s)).toMap)
+    TailChunkSource.registerProbe("mbs-compact", probe)
+    val ledger = LedgerStore(s"$base/cl")
+    val clog = LedgerStore(s"$base/compaction_log")
+    def run(): Unit = {
+      val q = StreamingJobs.chunkTailStream(spark, dayCfg, fetcher, "mbs-compact",
+        s"$base/raw", ledger, "blocks", s"$base/ckpt",
+        chunkSize = 5L, slotDelay = 5L,
+        chainedTransform = Some((s"$base/tables", LedgerStore(s"$base/tp"))),
+        autoCompactMinFiles = 2, compactionLog = Some(clog))
+      q.awaitTermination(120000)
+    }
+    def monthFiles(dir: String): Map[String, Int] =
+      graft.core.Fs.listDirNames(spark, dir).filter(_.startsWith("month="))
+        .map(m => m.stripPrefix("month=") ->
+          graft.core.Fs.dataFileStats(spark, s"$dir/$m")._1).toMap
+    run() // target 95 → chunks [0,4]..[90,94]
+
+    val frontier1 = Compaction.frontierMonth(spark, ledger, dayCfg).get
+    assert(frontier1 === Compaction.monthOfSlot(dayCfg, 94L))
+    // every month strictly behind the frontier collapsed to one file, in
+    // the raw table AND the chained structured table; the frontier month
+    // was refused (still holds its per-chunk appends)
+    Seq(s"$base/raw", s"$base/tables/blocks").foreach { dir =>
+      val files = monthFiles(dir)
+      assert(files.size >= 3, s"$dir spans $files") // the fixture really crosses months
+      files.foreach { case (m, n) =>
+        if (m < frontier1) assert(n === 1, s"$dir month $m not compacted: $n files")
+        else assert(n >= 2, s"$dir frontier month $m was compacted under live ingest")
+      }
+    }
+    // correctness unchanged: every ingested slot exactly once through FINAL
+    assert(spark.read.parquet(s"$base/raw").select("slot").as[Long]
+      .collect().sorted.toSeq === (0L to 94L))
+    assert(Transformer.latestTable(spark, s"$base/tables", "blocks", Seq("slot"))
+      .select("slot").as[Long].collect().sorted.toSeq === (0L to 94L))
+    // the merge history landed in the compaction log
+    assert(clog.read(spark, Schemas.compactionLog).count() >= 3)
+
+    // the tail keeps running: head advances ~3 months, a restart on the
+    // same checkpoint drains the new chunks and compacts what fell behind
+    head = 200L
+    run() // target 195 → chunks [95,99]..[190,194]
+    val frontier2 = Compaction.frontierMonth(spark, ledger, dayCfg).get
+    assert(frontier2 === Compaction.monthOfSlot(dayCfg, 194L))
+    assert(frontier2 > frontier1)
+    monthFiles(s"$base/raw").foreach { case (m, n) =>
+      if (m < frontier2) assert(n === 1, s"raw month $m not compacted: $n files")
+    }
+    assert(spark.read.parquet(s"$base/raw").select("slot").as[Long]
+      .collect().sorted.toSeq === (0L to 194L))
+    assert(Transformer.latestTable(spark, s"$base/tables", "blocks", Seq("slot"))
+      .select("slot").as[Long].collect().sorted.toSeq === (0L to 194L))
   }
 
   test("TailChunkSource.dailySlots: the shared daily-cadence law") {
