@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.spark.sql.functions.{col, to_json}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, MapType, StructType}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** JDBC sink shaped like the reference's ClickHouse batch-insert path
@@ -32,7 +34,24 @@ object ClickHouseSink {
     "validators" -> 1000,
   ).withDefaultValue(10000)
 
-  /** Append `df` into a JDBC table with the reference's batching knobs.
+  /** The reference's per-value insert normalization (clickhouse.py:452-475
+    * `norm`), applied column-wise from the schema instead of per row:
+    * dict/list values are stored as JSON strings (`json.dumps`), booleans
+    * as 0/1 (ClickHouse UInt8), datetimes tz-naive — the session is
+    * already UTC, so timestamps pass through. Boolean cast preserves
+    * NULLs, which `1 if v else 0` on typed columns must. */
+  def normalize(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case _: ArrayType | _: StructType | _: MapType =>
+          d.withColumn(f.name, to_json(col(f.name)))
+        case BooleanType => d.withColumn(f.name, col(f.name).cast("int"))
+        case _ => d
+      }
+    }
+
+  /** Append `df` into a JDBC table with the reference's batching knobs,
+    * after [[normalize]] (insert_batch normalizes every row the same way).
     * `maxConnections` caps writer parallelism: more than ~8-16 concurrent
     * INSERT streams saturates a single ClickHouse node (reference pool
     * size, clickhouse.py:64-87). */
@@ -41,7 +60,7 @@ object ClickHouseSink {
       mode: SaveMode = SaveMode.Append,
       maxConnections: Int = 8,
       extraOptions: Map[String, String] = Map.empty): Unit =
-    df.write
+    normalize(df).write
       .mode(mode)
       .format("jdbc")
       .option("url", url)

@@ -33,6 +33,44 @@ class JdbcSinkSpec extends AnyFunSuite {
       .count() === 510L)
   }
 
+  test("K1 parity: parsed structured tables round-trip through the sink (insert_batch normalization)") {
+    import graft.beacon._
+    val cfg = ChainConfig.gnosis
+    val raw = Seq(
+      (21405700L, BeaconFixtures.electraBlock),
+      (5L, BeaconFixtures.phase0Block))
+      .map { case (s, p) =>
+        (s, p, graft.functions.CanonicalJson.payloadHash16(p),
+          new java.sql.Timestamp(1700000000000L))
+      }
+      .toDF("slot", "payload", "payload_hash", "retrieved_at")
+    val tables = BlockParser.parseAll(raw, cfg, insertVersion = 7L)
+
+    // deposits carries an ARRAY column (proof) — the reference stores
+    // lists as json.dumps strings (clickhouse.py:456-461); blocks is the
+    // all-scalar K1 shape. Both must survive write → partitioned read.
+    Seq("blocks", "deposits").foreach { t =>
+      val df = tables(t).drop("month")
+      ClickHouseSink.write(df, url, s"k1_$t", mode = SaveMode.Overwrite,
+        maxConnections = 2)
+      val back = ClickHouseSink.read(spark, url, s"k1_$t", "slot", 0L, 21405700L, 2)
+      val expect = ClickHouseSink.normalize(df)
+      assert(back.columns.sorted === expect.columns.sorted)
+      val key = if (t == "blocks") Seq("slot") else Seq("slot", "deposit_index")
+      def rows(d: org.apache.spark.sql.DataFrame) = {
+        val cols = d.columns.sorted.toSeq
+        d.select(cols.head, cols.tail: _*).collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      }
+      assert(rows(back) === rows(expect), s"$t did not round-trip")
+    }
+    // the array column really became a JSON string, with its values intact
+    val proof = ClickHouseSink.read(spark, url, "k1_deposits", "slot", 0L, 21405700L, 1)
+      .select("proof").collect().map(_.getString(0))
+    assert(proof.forall(_.startsWith("[")))
+    assert(proof.exists(_.contains("0x")))
+  }
+
   test("per-table write chunks follow the reference's sizing") {
     assert(ClickHouseSink.writeChunk("transactions") === 100)
     assert(ClickHouseSink.writeChunk("attestations") === 500)
