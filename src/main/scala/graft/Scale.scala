@@ -113,7 +113,118 @@ object Scale {
       (0L until totalSlots).count(_ % 32 != 31))
   }
 
+  /** Deterministic synthetic validators state (reference scale anchor:
+    * each validators chunk parses a full ~400k-entry state,
+    * /root/reference/src/config.py:60-62; ~150 MB/slot on mainnet). Every
+    * entry carries the full validator object incl. FAR_FUTURE sentinel
+    * epochs so the safe_long clamp is on the hot path. ~370 B/entry →
+    * 400k entries ≈ 150 MB of JSON per daily state. */
+  final case class SyntheticValidatorsFetcher(entries: Int) extends SlotFetcher {
+    private val pad = "0" * 96
+    def fetch(slot: Long): Option[String] = {
+      val sb = new java.lang.StringBuilder(64 + entries * 380)
+      sb.append("""{"execution_optimistic":false,"finalized":true,"data":[""")
+      var i = 0
+      while (i < entries) {
+        if (i > 0) sb.append(',')
+        val hx = java.lang.Long.toHexString(i.toLong)
+        sb.append("{\"index\":\"").append(i)
+          .append("\",\"balance\":\"").append(32000000000L + (slot + i) % 1000000L)
+          .append("\",\"status\":\"")
+          .append(if (i % 97 == 0) "exited_unslashed" else "active_ongoing")
+          .append("\",\"validator\":{\"pubkey\":\"0x")
+          .append(pad, 0, 96 - hx.length).append(hx)
+          .append("\",\"withdrawal_credentials\":\"0x01")
+          .append(pad, 0, 62 - hx.length).append(hx)
+          .append("\",\"effective_balance\":\"32000000000\",\"slashed\":")
+          .append(i % 1009 == 0)
+          .append(",\"activation_eligibility_epoch\":\"0\",\"activation_epoch\":\"0\",\"exit_epoch\":\"")
+          .append(if (i % 97 == 0) "123456" else "18446744073709551615")
+          .append("\",\"withdrawable_epoch\":\"18446744073709551615\"}}")
+        i += 1
+      }
+      sb.append("]}")
+      Some(sb.toString)
+    }
+  }
+
+  final case class ValidatorsScaleStats(
+      days: Int, entries: Int, streamSec: Double, parquetSec: Double,
+      rawParts: Long, partsPerDay: Double, validatorRows: Long,
+      latestRows: Long, maxSlot: Long, parityOk: Boolean,
+      heapStartMb: Long, heapEndMb: Long)
+
+  /** Daily-cadence validators stage: ≥90 simulated days of ~400k-entry
+    * states driven through the PRODUCTION daily MicroBatchStream
+    * (readStream → daily chunk plan → split-path ingest → chained
+    * transform), plus a split-vs-whole parity check on one day. The
+    * measured shape is P19's worst case: one mega-payload per task,
+    * split into ≤50k-entry parts at fetch time so no single row exceeds
+    * the part bound. */
+  def runValidators(
+      spark: SparkSession, days: Int, entries: Int, base: String): ValidatorsScaleStats = {
+    import graft.streaming.{HeadProbe, StreamingJobs, TailChunkSource}
+    val cfg = ChainConfig.gnosis
+    val fetcher = SyntheticValidatorsFetcher(entries)
+    val heapStart = heapPeakMb()
+    val slotDelay = 50L
+    val slotsPerDay = 86400L / cfg.secondsPerSlot
+    val dailies = TailChunkSource
+      .dailySlots(cfg, 0L, (days + 1).toLong * slotsPerDay)
+      .take(days)
+    require(dailies.size == days, s"wanted $days daily slots, got ${dailies.size}")
+    val head = dailies.last + slotDelay
+    val probe = new HeadProbe { def headSlot(): Long = head }
+    TailChunkSource.registerProbe("scale-validators", probe, cfg)
+    val ledger = LedgerStore(s"$base/cl")
+    val progress = LedgerStore(s"$base/tp")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (_, streamSec) = timed {
+      val q = StreamingJobs.chunkTailStream(spark, cfg, fetcher,
+        "scale-validators", s"$base/raw_validators", ledger, "validators",
+        s"$base/ckpt", chunkSize = 1000L, slotDelay = slotDelay,
+        chainedTransform = Some((s"$base/tables", progress)))
+      require(q.awaitTermination(4 * 3600 * 1000L), "validators stream timed out")
+    }
+    val (counts, parquetSec) = timed {
+      val rawParts = spark.read.parquet(s"$base/raw_validators").count()
+      val rows = spark.read.parquet(s"$base/tables/validators").count()
+      val latest = Transformer.latestTable(
+        spark, s"$base/tables", "validators", Transformer.tableKeys("validators"))
+      val latestRows = latest.count()
+      val maxSlot = latest.agg(max("slot")).head().getLong(0)
+      (rawParts, rows, latestRows, maxSlot)
+    }
+    val (rawParts, validatorRows, latestRows, maxSlot) = counts
+
+    // split-vs-whole parity on one day: the split path (parts) and the
+    // whole-payload path must produce identical structured rows
+    val daySlot = dailies.head
+    val parityOk = {
+      Seq(("split", true), ("whole", false)).foreach { case (name, split) =>
+        require(RawIngest.ingestChunk(spark, cfg, fetcher,
+          s"$base/parity_$name", LedgerStore(s"$base/parity_${name}_cl"),
+          "validators", daySlot, daySlot, parallelism = 4,
+          version = 1L, split = split))
+        require(Transformer.transformChunk(spark, cfg, Loaders.validators,
+          s"$base/parity_$name", s"$base/parity_${name}_tables",
+          LedgerStore(s"$base/parity_${name}_tp"), daySlot, daySlot,
+          version = 1L))
+      }
+      val a = spark.read.parquet(s"$base/parity_split_tables/validators")
+      val b = spark.read.parquet(s"$base/parity_whole_tables/validators")
+      a.count() == entries.toLong && b.count() == entries.toLong &&
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    }
+    ValidatorsScaleStats(days, entries, streamSec, parquetSec,
+      rawParts, rawParts.toDouble / days, validatorRows, latestRows, maxSlot,
+      parityOk, heapStart, heapPeakMb())
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("validators")) return validatorsMain(args)
     val totalSlots = args.lift(0).map(_.toLong).getOrElse(1000000L)
     val outMd = args.lift(1).getOrElse("SCALE.md")
     val chunkSize = 1000L
@@ -153,6 +264,65 @@ object Scale {
     java.nio.file.Files.write(java.nio.file.Paths.get(outMd),
       md.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"""{"metric":"scale_total","value":${ingestSec + transformSec + querySec},"unit":"sec","ingest_rows_per_s":${rawRows / ingestSec},"transform_in_rows_per_s":${rawRows / transformSec},"raw_rows":$rawRows,"heap_peak_mb":$heapFinalMb}""")
+    spark.stop()
+  }
+
+  private val validatorsHeader =
+    "## Validators mega-payload daily stage"
+
+  /** `runMain graft.Scale validators [days] [entries] [outMd]` — appends
+    * (or replaces) the validators section of SCALE.md. */
+  private def validatorsMain(args: Array[String]): Unit = {
+    val days = args.lift(1).map(_.toInt).getOrElse(92)
+    val entries = args.lift(2).map(_.toInt).getOrElse(400000)
+    val outMd = args.lift(3).getOrElse("SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = Files.createTempDirectory("graft_scale_validators").toString
+    val st = runValidators(spark, days, entries, base)
+    import st._
+    val approxMbPerDay = entries * 370L / (1024 * 1024)
+    val section =
+      s"""$validatorsHeader (P19 split path through the daily MicroBatchStream)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale validators $days $entries"` —
+         |$days simulated days at the production daily cadence (readStream daily
+         |mode → last-slot-of-UTC-day chunk plan → split-path ingest → chained
+         |per-chunk transform), each day one synthetic ~${entries / 1000}k-entry
+         |(~$approxMbPerDay MB JSON) validators state with FAR_FUTURE sentinel
+         |epochs on the safe_long hot path (reference: config.py:60-62 —
+         |"each validators chunk parses a full ~400k-entry state").
+         |
+         || metric | value |
+         ||---|---|
+         || stream wall (ingest + transform, $days days) | ${f"$streamSec%.1f"} s (${f"${validatorRows / streamSec}%.0f"} validator rows/s end-to-end) |
+         || raw part rows | $rawParts (${f"$partsPerDay%.1f"} parts/day — the ≤50k-entry split bound) |
+         || validators rows | $validatorRows (= days × entries: ${validatorRows == days.toLong * entries}) |
+         || latest() rows / max slot | $latestRows / $maxSlot |
+         || split-vs-whole parity (1 day, exceptAll both ways) | $parityOk |
+         || peak heap before / after | $heapStartMb MB / $heapEndMb MB |
+         |
+         |- the driver holds daily chunk RANGES only; each ~$approxMbPerDay MB state is
+         |  fetched, split into parts, and parsed entirely executor-side
+         |- bounded heap: the split bound caps any single row / task at ~18 MB
+         |  regardless of state size — the knob that survives 2M-validator states
+         |""".stripMargin
+    val path = java.nio.file.Paths.get(outMd)
+    val existing =
+      if (java.nio.file.Files.exists(path))
+        new String(java.nio.file.Files.readAllBytes(path),
+          java.nio.charset.StandardCharsets.UTF_8)
+      else ""
+    val kept = existing.split(java.util.regex.Pattern.quote(validatorsHeader))(0)
+    java.nio.file.Files.write(path,
+      (kept + section).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"metric":"scale_validators","value":$streamSec,"unit":"sec","days":$days,"entries":$entries,"validator_rows":$validatorRows,"rows_per_s":${validatorRows / streamSec},"parity_ok":$parityOk,"heap_peak_mb":$heapEndMb}""")
     spark.stop()
   }
 }

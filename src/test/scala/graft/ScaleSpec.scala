@@ -11,6 +11,18 @@ import java.nio.file.Files
 class ScaleSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("Scale.runValidators: daily stream + split path, split-vs-whole parity") {
+    val base = Files.createTempDirectory("graft_scale_val_smoke").toString
+    // 60k entries × ~370 B ≈ 22 MB — above the 8 MB split threshold, so
+    // the smoke really exercises the part path (2 parts per day)
+    val st = Scale.runValidators(spark, days = 2, entries = 60000, base = base)
+    assert(st.validatorRows === 2L * 60000)
+    assert(st.latestRows === st.validatorRows) // single version per (slot, index)
+    assert(st.rawParts === 2L * 2)             // ceil(60000 / 50000) parts per day
+    assert(st.maxSlot === 20211L)              // gnosis day-2 boundary (dailySlots law)
+    assert(st.parityOk, "split path and whole-payload path disagree")
+  }
+
   test("Scale.run: exact row parity raw -> blocks -> latest at every stage") {
     val base = Files.createTempDirectory("graft_scale_smoke").toString
     val st = Scale.run(spark, totalSlots = 2000L, chunkSize = 500L,
