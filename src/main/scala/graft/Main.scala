@@ -8,12 +8,12 @@ import org.apache.spark.sql.SparkSession
   *
   * {{{
   * graft load backfill  --base DIR --start-slot A --end-slot B [--beacon-url U] [--chunk-size N] [--workers N]
-  * graft load realtime  --base DIR --beacon-url U [--delay N] [--chunk-size N] [--iterations N] [--loaders a,b,c] [--metrics-port P]
+  * graft load realtime  --base DIR --beacon-url U [--delay N] [--chunk-size N] [--iterations N] [--loaders a,b,c] [--metrics-port P] [--auto-compact N]
   * graft transform batch|run --base DIR [--loader L] [--network N] [--continuous] [--poll-ms MS]
   * graft transform reprocess --base DIR --start-slot A --end-slot B [--loader L] [--chunk-size N]
   * graft maintain check|reset --base DIR
   * graft maintain fix --base DIR [--start-slot A] [--end-slot B] [--loaders a,b] [--force] [--beacon-url U]
-  * graft maintain compact --base DIR [--tables t1,t2|raw_x] [--months 2024-01,..] [--min-files N]
+  * graft maintain compact --base DIR [--tables t1,t2|raw_x] [--months 2024-01,..] [--min-files N] [--force]
   * graft maintain refresh-specs --base DIR --beacon-url U
   * graft status --base DIR
   * graft fork info --slot S [--network gnosis|mainnet]
@@ -173,6 +173,14 @@ object Main {
     // loader.py:120-241): every ingested chunk is transformed in the same
     // micro-batch, so structured tables tail the head too
     val chained = Some((s"$base/tables", LedgerStore(s"$base/transformer_progress")))
+    // --auto-compact N: continuous-merge analogue — after batches that
+    // appended, compact behind-frontier months holding >= N files
+    // (ClickHouse merges continuously; a months-long tail otherwise
+    // accumulates small files until an operator remembers `maintain
+    // compact`). 0 = off.
+    val autoCompact = opt(args, "auto-compact").map(_.toInt).getOrElse(0)
+    val compactionLog =
+      if (autoCompact > 0) Some(LedgerStore(s"$base/compaction_log")) else None
     opt(args, "loaders") match {
       case Some(names) => // composite tail: every named loader per micro-batch
         val tls = names.split(",").toSeq.map { n =>
@@ -181,13 +189,15 @@ object Main {
             chainedTransform = chained)
         }
         new CompositeTail(spark, cfg, probe, base,
-          LedgerStore(s"$base/load_state_chunks"), tls, chunkSize, slotDelay)
+          LedgerStore(s"$base/load_state_chunks"), tls, chunkSize, slotDelay,
+          autoCompactMinFiles = autoCompact, compactionLog = compactionLog)
           .run(iterations)
       case None =>
         new ChunkedTail(spark, cfg, fetcherOf(args), probe,
           s"$base/raw_blocks", LedgerStore(s"$base/load_state_chunks"),
           chainedTransform = chained,
-          chunkSize = chunkSize, slotDelay = slotDelay)
+          chunkSize = chunkSize, slotDelay = slotDelay,
+          autoCompactMinFiles = autoCompact, compactionLog = compactionLog)
           .run(iterations)
     }
     graft.core.Observability.stop()

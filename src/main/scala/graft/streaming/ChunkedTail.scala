@@ -45,7 +45,13 @@ final class ChunkedTail(
     chunkSize: Long = 100L,
     slotDelay: Long = 100L,
     pollMillis: Long = 6000L,
-    errorBackoffMillis: Long = 12000L) {
+    errorBackoffMillis: Long = 12000L,
+    /** > 0 enables the continuous-merge analogue: after each batch that
+      * ingested chunks, months strictly behind the ingest frontier with
+      * at least this many data files are compacted (see
+      * [[graft.beacon.Compaction.autoCompactLoader]]). */
+    autoCompactMinFiles: Int = 0,
+    compactionLog: Option[LedgerStore] = None) {
 
   /** Resume point: max ingested slot (A5), falling back to ledger state.
     * hasParquetFiles, not exists: a raw dir holding only _SUCCESS (all
@@ -116,6 +122,12 @@ final class ChunkedTail(
       "chain_head_slot" -> head,
       s"ingest_last_slot_$loader" -> dataCursor,
       s"ingest_lag_slots_$loader" -> math.max(0L, head - dataCursor))
+    // continuous-merge analogue, same contract as chunkTailStream's hook:
+    // only after batches that appended, with their commits in the frontier
+    if (autoCompactMinFiles > 0 && last != lastSlot)
+      Compaction.autoCompactLoader(spark, cfg, ldef, rawDir,
+        chainedTransform.map(_._1), chunkLedger, autoCompactMinFiles,
+        compactionLog)
     last
   }
 
@@ -243,7 +255,11 @@ final class CompositeTail(
     chunkSize: Long = 100L,
     slotDelay: Long = 100L,
     pollMillis: Long = 6000L,
-    errorBackoffMillis: Long = 12000L) {
+    errorBackoffMillis: Long = 12000L,
+    /** > 0 enables the continuous-merge analogue per loader (see
+      * [[graft.beacon.Compaction.autoCompactLoader]]). */
+    autoCompactMinFiles: Int = 0,
+    compactionLog: Option[LedgerStore] = None) {
 
   require(loaders.nonEmpty, "CompositeTail needs at least one loader")
 
@@ -299,7 +315,7 @@ final class CompositeTail(
       if (plans.values.exists(_._2.nonEmpty) || holesByLoader.values.exists(_.nonEmpty))
         ChunkedTail.completedByLoader(spark, chunkLedger, loaders.map(_.loader.name))
       else Map.empty[String, Set[(Long, Long)]]
-    loaders.map { tl =>
+    val result = loaders.map { tl =>
       val name = tl.loader.name
       var last = plans(name)._1
       var loaderHoles = holesByLoader.getOrElse(name, Set.empty)
@@ -346,6 +362,14 @@ final class CompositeTail(
       }
       name -> last
     }.toMap
+    // continuous-merge analogue: per loader, after a batch that appended
+    if (autoCompactMinFiles > 0 && plans.values.exists(_._2.nonEmpty))
+      loaders.foreach { tl =>
+        Compaction.autoCompactLoader(spark, cfg, tl.loader,
+          rawDirOf(tl.loader), tl.chainedTransform.map(_._1), chunkLedger,
+          autoCompactMinFiles, compactionLog)
+      }
+    result
   }
 
   /** Per-loader unrepaired failed chunks — survives across micro-batches

@@ -379,6 +379,32 @@ class StreamingSpec extends AnyFunSuite {
       .select("slot").as[Long].collect().sorted.toSeq === (0L to 194L))
   }
 
+  test("auto-compact: the driver-loop tail applies the same policy as the stream") {
+    import graft.streaming.{ChunkedTail, HeadProbe}
+    val base = Files.createTempDirectory("graft_autocompact_loop").toString
+    val dayCfg = cfg.copy(secondsPerSlot = 86400L)
+    val probe = new HeadProbe { def headSlot(): Long = 100L }
+    val payload = (s: Long) => s"""{"version":"phase0","data":{"message":{"slot":"$s"}}}"""
+    val fetcher = MapSlotFetcher((0L until 100L).map(s => s -> payload(s)).toMap)
+    val ledger = LedgerStore(s"$base/cl")
+    new ChunkedTail(spark, dayCfg, fetcher, probe, s"$base/raw", ledger,
+      chunkSize = 5L, slotDelay = 5L, autoCompactMinFiles = 2,
+      compactionLog = Some(LedgerStore(s"$base/compaction_log")))
+      .run(1)
+    val frontier = Compaction.frontierMonth(spark, ledger, dayCfg).get
+    val months = graft.core.Fs.listDirNames(spark, s"$base/raw")
+      .filter(_.startsWith("month=")).map(_.stripPrefix("month="))
+    assert(months.count(_ < frontier) >= 2) // multiple cold months existed
+    months.foreach { m =>
+      val n = graft.core.Fs.dataFileStats(spark, s"$base/raw/month=$m")._1
+      if (m < frontier) assert(n === 1, s"month $m not compacted: $n files")
+    }
+    assert(spark.read.parquet(s"$base/raw").select("slot").as[Long]
+      .collect().sorted.toSeq === (0L to 94L))
+    assert(LedgerStore(s"$base/compaction_log")
+      .read(spark, Schemas.compactionLog).count() >= 2)
+  }
+
   test("TailChunkSource.dailySlots: the shared daily-cadence law") {
     import graft.streaming.TailChunkSource.dailySlots
     val cfg = ChainConfig.gnosis
