@@ -201,4 +201,34 @@ object TextAnalysis {
 
   def fingerprintXx(text: Column): Column =
     xxhash64(concat_ws(" ", array_sort(array_distinct(split(lower(text), " ")))))
+
+  /** Rolling-hash document fingerprints by winnowing (Schleimer/
+    * Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD 2003 — the MOSS algorithm): hash every
+    * k-gram OCCURRENCE in document order, slide a w-window over the hash
+    * sequence, keep each window's minimum, emit the distinct minima as
+    * the document's fingerprint set. Guarantee: any match of at least
+    * w + k − 1 consecutive tokens between two documents shares at least
+    * one fingerprint, at ~2/(w+1) the storage of the full gram-hash set —
+    * the partial-overlap detector whole-document hashes (t5) cannot be.
+    * Because the output is the distinct value SET, robust winnowing's
+    * rightmost-minimum tie rule cannot change it. All array ops are
+    * executor-side higher-order functions over the codegen'd
+    * [[Shingles.all]] kernel; the hash is the md5-parity family (d5/d6
+    * technique) so the whole operator is DuckDB-oracle-checkable. Docs
+    * with fewer than k + w − 1 tokens emit no rows. */
+  def winnowFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame =
+    df
+      .select(
+        col(idCol),
+        transform(Shingles.all(col(textCol), k),
+          g => substring(md5(g), 1, 16)).as("h"))
+      .filter(size(col("h")) >= w)
+      .select(
+        col(idCol),
+        explode(array_distinct(
+          transform(sequence(lit(1), size(col("h")) - w + 1),
+            i => array_min(slice(col("h"), i, lit(w)))))).as("fp"))
 }

@@ -402,4 +402,29 @@ class TopKDedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(out === Set((1L, 2L, 3L))) // x,y,z common; (1,3)/(2,3) only share x
   }
+
+  test("winnowFingerprints: MOSS guarantee, compression bound, short docs") {
+    import graft.operators.TextAnalysis
+    val k = 3; val w = 4
+    // two documents sharing a run of exactly w + k - 1 = 6 tokens amid
+    // otherwise disjoint vocabularies MUST share >= 1 fingerprint
+    val shared = "p q r s t u"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 $shared a5 a6 a7 a8 a9"),
+      (2L, s"b1 b2 b3 b4 b5 $shared b6 b7 b8"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"), // unrelated
+      (4L, "d1 d2 d3 d4 d5"),                          // 3 grams < w: no rows
+      (5L, "e1 e2")).toDF("doc_id", "text")            // < k tokens: no rows
+    val fp = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fp(1L).intersect(fp(2L)).nonEmpty, "shared 6-token run produced no common fingerprint")
+    assert(fp(1L).intersect(fp(3L)).isEmpty && fp(2L).intersect(fp(3L)).isEmpty)
+    assert(!fp.contains(4L) && !fp.contains(5L))
+    // winnowing selects at most one fingerprint per window position and at
+    // least one per ~w positions: |fp| in [ceil(windows/w), windows]
+    val nGrams1 = 10 + 6 - k + 1 // 14 grams for doc 1 (16 tokens)
+    val windows1 = nGrams1 - w + 1
+    assert(fp(1L).size <= windows1 && fp(1L).size >= windows1 / w,
+      s"doc1 fingerprint count ${fp(1L).size} outside [${windows1 / w}, $windows1]")
+  }
 }
