@@ -194,6 +194,23 @@ class PlanSpec extends AnyFunSuite {
       .filterToRanges(raw, Seq((0L, 100L), (50L, 150L))).count() === 151L)
   }
 
+  test("t14_skew_agg: hot-dim join broadcasts, no nested loop, two-level agg") {
+    val p = planOf("t14_skew_agg")
+    // the replicated (dim × salt) side is tiny → must ride a broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // both agg phases keep partial aggregation (map-side combine)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("t15_winnow_fingerprint: pure per-row pipeline — no shuffle, 2-column scan") {
+    val p = planOf("t15_winnow_fingerprint")
+    assert(!p.contains("Exchange"), p) // winnowing is embarrassingly parallel
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
+  }
+
   test("s1 brute-force cosine: single pass + TakeOrdered, no cartesian, no Window") {
     // the query itself assigns ranks driver-side over the reduced top-10;
     // the scale-relevant plan is the underlying operator's
