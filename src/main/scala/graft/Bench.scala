@@ -13,6 +13,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/codegen warmup so the first timed query isn't charged for it
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
+    // a failing query must surface in the JSON, not time as a fast no-op —
+    // the bench keeps running (one broken query must not void the round's
+    // numbers) but the error is named in an "errors" field
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         // ops that persist their result (LSH pair frames) must not feed a
@@ -23,7 +27,11 @@ object Bench {
         // noop sink forces evaluation of EVERY output column — .count()
         // would let Catalyst prune projection-only compute to nothing
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       // one warmup (plan compile + JIT + page cache) then median-of-3 so a
@@ -35,7 +43,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) =>
+      s"\"" + k + "\":\"" + v.replaceAll("[\"\\\\\n\r\t]", " ") + "\""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
