@@ -95,16 +95,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => SimHash64(es.head)))
     e.injectFunction((
       FunctionIdentifier("image_format"),
-      info("image_format", "png|gif|unknown from container magic bytes"),
+      info("image_format", "png|gif|jpeg|unknown from container magic bytes"),
       (es: Seq[Expression]) => ImageFormat(es.head)))
     e.injectFunction((
       FunctionIdentifier("image_width"),
-      info("image_width", "PNG IHDR / GIF logical-screen width; -1 unknown"),
+      info("image_width", "PNG IHDR / GIF logical-screen / JPEG SOF width; -1 unknown"),
       (es: Seq[Expression]) => ImageWidth(es.head)))
     e.injectFunction((
       FunctionIdentifier("image_height"),
-      info("image_height", "PNG IHDR / GIF logical-screen height; -1 unknown"),
+      info("image_height", "PNG IHDR / GIF logical-screen / JPEG SOF height; -1 unknown"),
       (es: Seq[Expression]) => ImageHeight(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("audio_format"),
+      info("audio_format", "wav|unknown from RIFF/WAVE magic bytes"),
+      (es: Seq[Expression]) => AudioFormat(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("audio_channels"),
+      info("audio_channels", "WAV fmt-chunk channel count; -1 unknown"),
+      (es: Seq[Expression]) => AudioChannels(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("audio_sample_rate"),
+      info("audio_sample_rate", "WAV fmt-chunk sample rate (Hz); -1 unknown"),
+      (es: Seq[Expression]) => AudioSampleRate(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("audio_duration_ms"),
+      info("audio_duration_ms", "WAV data-size/byte-rate duration in ms; -1 unknown"),
+      (es: Seq[Expression]) => AudioDurationMs(es.head)))
     e.injectFunction((
       FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "k-wide MinHash signature of a token array"),

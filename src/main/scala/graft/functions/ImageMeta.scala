@@ -29,6 +29,35 @@ object ImageMetaUtil {
       b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
       (b(4) == '7' || b(4) == '9') && b(5) == 'a'
 
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 4 && u(b, 0) == 0xff && u(b, 1) == 0xd8
+
+  /** JPEG stores dimensions inside a Start-Of-Frame segment at a VARIABLE
+    * offset — walk the marker segments (each `FF mm` + big-endian length)
+    * until SOFn (C0–CF except the DHT/JPG/DAC pseudo-markers C4/C8/CC):
+    * height u16 BE at +5, width at +7. (-1, -1) on malformed streams,
+    * entropy-coded data, or EOI before any SOF. */
+  private def jpegDims(b: Array[Byte]): (Int, Int) = {
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u(b, i) != 0xff) return (-1, -1)
+      val m = u(b, i + 1)
+      // standalone markers carry no length: padding/TEM/RSTn
+      if (m == 0xff || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+      else if (m == 0xd9 || m == 0xda) return (-1, -1) // EOI / scan data before SOF
+      else {
+        val len = (u(b, i + 2) << 8) | u(b, i + 3)
+        if (len < 2) return (-1, -1)
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          if (i + 8 >= b.length) return (-1, -1)
+          return (((u(b, i + 7) << 8) | u(b, i + 8), (u(b, i + 5) << 8) | u(b, i + 6)))
+        }
+        i += 2 + len
+      }
+    }
+    (-1, -1)
+  }
+
   private def be32(b: Array[Byte], o: Int): Int =
     (u(b, o) << 24) | (u(b, o + 1) << 16) | (u(b, o + 2) << 8) | u(b, o + 3)
 
@@ -36,17 +65,21 @@ object ImageMetaUtil {
 
   private val PNG = UTF8String.fromString("png")
   private val GIF = UTF8String.fromString("gif")
+  private val JPEG = UTF8String.fromString("jpeg")
   private val UNKNOWN = UTF8String.fromString("unknown")
 
   def format(b: Array[Byte]): UTF8String =
-    if (isPng(b)) PNG else if (isGif(b)) GIF else UNKNOWN
+    if (isPng(b)) PNG else if (isGif(b)) GIF
+    else if (isJpeg(b)) JPEG else UNKNOWN
 
   /** −1 = not a recognized container (mapped to NULL at the Column API). */
   def width(b: Array[Byte]): Int =
-    if (isPng(b)) be32(b, 16) else if (isGif(b)) le16(b, 6) else -1
+    if (isPng(b)) be32(b, 16) else if (isGif(b)) le16(b, 6)
+    else if (isJpeg(b)) jpegDims(b)._1 else -1
 
   def height(b: Array[Byte]): Int =
-    if (isPng(b)) be32(b, 20) else if (isGif(b)) le16(b, 8) else -1
+    if (isPng(b)) be32(b, 20) else if (isGif(b)) le16(b, 8)
+    else if (isJpeg(b)) jpegDims(b)._2 else -1
 }
 
 /** Container format of a binary image payload: 'png' | 'gif' | 'unknown'. */

@@ -206,6 +206,16 @@ object GraftFunctions {
   /** PNG/GIF pixel height; NULL for unrecognized payloads. */
   def image_height(c: Column): Column =
     nullif(col(ImageHeight(expr(c))), lit(-1))
+  def audio_format(c: Column): Column = col(AudioFormat(expr(c)))
+  /** WAV channel count; NULL for unrecognized payloads. */
+  def audio_channels(c: Column): Column =
+    nullif(col(AudioChannels(expr(c))), lit(-1))
+  /** WAV sample rate in Hz; NULL for unrecognized payloads. */
+  def audio_sample_rate(c: Column): Column =
+    nullif(col(AudioSampleRate(expr(c))), lit(-1L))
+  /** WAV duration in whole ms (data size / byte rate); NULL if unknown. */
+  def audio_duration_ms(c: Column): Column =
+    nullif(col(AudioDurationMs(expr(c))), lit(-1L))
 
   /** C8: slot → timestamp (`genesis_time + slot * seconds_per_slot`;
     * reference: src/utils/time_utils.py:5-8). */
@@ -236,5 +246,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("image_format", es => ImageFormat(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("image_width", es => ImageWidth(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("image_height", es => ImageHeight(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("audio_format", es => AudioFormat(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("audio_channels", es => AudioChannels(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("audio_sample_rate", es => AudioSampleRate(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("audio_duration_ms", es => AudioDurationMs(es.head), "scala_udf")
   }
 }

@@ -5,7 +5,7 @@ import graft.operators.{Decontam, Dedup, Multimodal, Sampling, Similarity, Skew,
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal) surfaced as driver-checkable queries over the
@@ -308,12 +308,16 @@ object LlmInventory {
       .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"), substring(col("content_sha"), 1, 16).as("sha16"))
 
   /** Real container-metadata decode — oracle-checked. Deterministic
-    * PNG/GIF/unknown payloads are constructed per doc_id (no image libs in
-    * the environment, and documents.text is not an image), then the
-    * codegen'd [[graft.functions.ImageFormat]]/Width/Height expressions
-    * extract format and pixel dimensions from the real container headers:
-    * PNG IHDR big-endian at bytes 16–23, GIF logical screen little-endian
-    * at bytes 6–9. DuckDB rebuilds both sides via hex-string arithmetic. */
+    * PNG/GIF/JPEG/unknown payloads are constructed per doc_id (no image
+    * libs in the environment, and documents.text is not an image), then
+    * the codegen'd [[graft.functions.ImageFormat]]/Width/Height
+    * expressions extract format and pixel dimensions from the real
+    * container headers: PNG IHDR big-endian at bytes 16–23, GIF logical
+    * screen little-endian at bytes 6–9, JPEG via the SOF segment walk
+    * (here a canonical APP0+SOF0 layout, so the oracle can extract at the
+    * layout's known offsets — a walk bug lands elsewhere and mismatches;
+    * variable-offset robustness is unit-tested in FunctionsSpec). DuckDB
+    * rebuilds both sides via hex-string arithmetic. */
   val m2ImageMeta: Q = (s, d) => {
     val doc = documents(s, d).filter(col("doc_id") < 50)
     // PNG: signature + IHDR header + width/height (BE u32) + bit depth etc.
@@ -330,16 +334,61 @@ object LlmInventory {
       lpad(hex(gifW % 256), 2, "0"), lpad(hex(gifW / 256), 2, "0"),
       lpad(hex(gifH % 256), 2, "0"), lpad(hex(gifH / 256), 2, "0"),
       lit("F70000")))
+    // JPEG: SOI + 16-byte APP0/JFIF + SOF0 (height/width BE u16 at +5/+7)
+    val jpegPayload = unhex(concat(
+      lit("FFD8" + "FFE00010" + "4A46494600" + "0101" + "00" + "00010001" + "0000" +
+        "FFC00011" + "08"),
+      lpad(hex(lit(80) + col("doc_id") % 100), 4, "0"),
+      lpad(hex(lit(160) + col("doc_id") % 100), 4, "0"),
+      lit("03" + "011100021101031101")))
     doc
       .withColumn("payload",
-        when(col("doc_id") % 3 === 0, pngPayload)
-          .when(col("doc_id") % 3 === 1, gifPayload)
+        when(col("doc_id") % 4 === 0, pngPayload)
+          .when(col("doc_id") % 4 === 1, gifPayload)
+          .when(col("doc_id") % 4 === 2, jpegPayload)
           .otherwise(col("text").cast("binary")))
       .select(
         col("doc_id"),
         graft.functions.GraftFunctions.image_format(col("payload")).as("format"),
         graft.functions.GraftFunctions.image_width(col("payload")).cast("long").as("width"),
         graft.functions.GraftFunctions.image_height(col("payload")).cast("long").as("height"))
+  }
+
+  /** m4: audio-container metadata — the WAV counterpart of m2.
+    * Deterministic canonical 44-byte PCM headers are constructed per
+    * doc_id (RIFF size, channels, sample rate, byte rate, data size all
+    * little-endian), then the codegen'd RIFF chunk walker
+    * ([[graft.functions.AudioMetaUtil]]) extracts channels / sample rate /
+    * duration. The oracle rebuilds the same hex strings and re-parses at
+    * the canonical layout's offsets (cross-checked against Python's
+    * `wave` module before landing); non-canonical chunk layouts are
+    * unit-tested in FunctionsSpec. */
+  val m4AudioMeta: Q = (s, d) => {
+    val doc = documents(s, d).filter(col("doc_id") < 60)
+    val ch = lit(1) + col("doc_id") % 3
+    val rate = when(col("doc_id") % 3 === 0, 8000L)
+      .when(col("doc_id") % 3 === 1, 16000L).otherwise(44100L)
+    val byteRate = rate * ch * 2
+    val dataSize = lit(2000) + col("doc_id") * 4
+    def le16h(c: Column) = concat(
+      lpad(hex(c % 256), 2, "0"), lpad(hex(shiftright(c, 8) % 256), 2, "0"))
+    def le32h(c: Column) = concat(le16h(c),
+      lpad(hex(shiftright(c, 16) % 256), 2, "0"),
+      lpad(hex(shiftright(c, 24) % 256), 2, "0"))
+    val wav = unhex(concat(
+      lit("52494646"), le32h(dataSize + 36), lit("57415645"),
+      lit("666D7420"), lit("10000000"), lit("0100"),
+      le16h(ch), le32h(rate), le32h(byteRate), le16h(ch * 2), lit("1000"),
+      lit("64617461"), le32h(dataSize)))
+    doc
+      .withColumn("payload",
+        when(col("doc_id") % 2 === 0, wav).otherwise(col("text").cast("binary")))
+      .select(
+        col("doc_id"),
+        graft.functions.GraftFunctions.audio_format(col("payload")).as("aformat"),
+        graft.functions.GraftFunctions.audio_channels(col("payload")).cast("long").as("channels"),
+        graft.functions.GraftFunctions.audio_sample_rate(col("payload")).as("sample_rate"),
+        graft.functions.GraftFunctions.audio_duration_ms(col("payload")).as("duration_ms"))
   }
 
   /** Frame-sampling plumbing: one row per byte-window "frame". */
@@ -419,6 +468,7 @@ object LlmInventory {
     "m1_binary_meta" -> m1BinaryMeta,
     "m2_image_meta" -> m2ImageMeta,
     "m3_frame_windows" -> m3FrameWindows,
+    "m4_audio_meta" -> m4AudioMeta,
     "t14_skew_agg" -> t14SkewAgg,
     "t15_winnow_fingerprint" -> t15WinnowFingerprint,
   )
@@ -790,26 +840,34 @@ object LlmInventory {
         |       octet_length(encode(text)) // 4 AS frame_bytes
         |FROM documents, generate_series(0, 3) AS t(i)
         |WHERE doc_id < 20""".stripMargin,
-    // Rebuild the same deterministic PNG/GIF payloads as hex strings, then
-    // RE-PARSE them exactly as ImageMetaUtil does (signature + IHDR check,
+    // Rebuild the same deterministic PNG/GIF/JPEG payloads as hex strings,
+    // then RE-PARSE them as ImageMetaUtil does (signature + IHDR check,
     // PNG width/height big-endian at bytes 16-23 = hex chars 33-48, GIF
-    // logical-screen little-endian at bytes 6-9 = hex chars 13-20) rather
-    // than short-circuiting to the generating arithmetic — a detection or
-    // offset bug in the expressions would surface as a mismatch here.
+    // logical-screen little-endian at bytes 6-9 = hex chars 13-20, JPEG
+    // SOF0 height/width at the canonical layout's offsets, bytes 25-28 =
+    // hex chars 51-58) rather than short-circuiting to the generating
+    // arithmetic — a detection, walk, or offset bug in the expressions
+    // would surface as a mismatch here.
     "m2_image_meta" ->
       """WITH src AS (
         |  SELECT doc_id,
-        |         CASE WHEN doc_id % 3 = 0 THEN
+        |         CASE WHEN doc_id % 4 = 0 THEN
         |           '89504E470D0A1A0A' || '0000000D' || '49484452' ||
         |           lpad(hex(100 + doc_id % 100), 8, '0') ||
         |           lpad(hex(50 + doc_id % 100), 8, '0') || '0806000000'
-        |         WHEN doc_id % 3 = 1 THEN
+        |         WHEN doc_id % 4 = 1 THEN
         |           '474946383961' ||
         |           lpad(hex((200 + doc_id % 100) % 256), 2, '0') ||
         |           lpad(hex((200 + doc_id % 100) // 256), 2, '0') ||
         |           lpad(hex((120 + doc_id % 100) % 256), 2, '0') ||
         |           lpad(hex((120 + doc_id % 100) // 256), 2, '0') ||
         |           'F70000'
+        |         WHEN doc_id % 4 = 2 THEN
+        |           'FFD8' || 'FFE00010' || '4A46494600' || '0101' || '00' ||
+        |           '00010001' || '0000' || 'FFC00011' || '08' ||
+        |           lpad(hex(80 + doc_id % 100), 4, '0') ||
+        |           lpad(hex(160 + doc_id % 100), 4, '0') ||
+        |           '03' || '011100021101031101'
         |         ELSE hex(encode(text)) END AS h
         |  FROM documents WHERE doc_id < 50),
         |det AS (
@@ -817,17 +875,80 @@ object LlmInventory {
         |    (length(h) >= 48 AND substr(h, 1, 16) = '89504E470D0A1A0A'
         |       AND substr(h, 25, 8) = '49484452') AS is_png,
         |    (length(h) >= 20 AND substr(h, 1, 8) = '47494638'
-        |       AND substr(h, 9, 2) IN ('37', '39') AND substr(h, 11, 2) = '61') AS is_gif
+        |       AND substr(h, 9, 2) IN ('37', '39') AND substr(h, 11, 2) = '61') AS is_gif,
+        |    (length(h) >= 8 AND substr(h, 1, 4) = 'FFD8') AS is_jpeg
         |  FROM src)
         |SELECT doc_id,
-        |  CASE WHEN is_png THEN 'png' WHEN is_gif THEN 'gif' ELSE 'unknown' END AS format,
+        |  CASE WHEN is_png THEN 'png' WHEN is_gif THEN 'gif'
+        |       WHEN is_jpeg THEN 'jpeg' ELSE 'unknown' END AS format,
         |  CASE WHEN is_png THEN ('0x' || substr(h, 33, 8))::BIGINT
         |       WHEN is_gif THEN ('0x' || substr(h, 13, 2))::BIGINT
-        |                        + 256 * ('0x' || substr(h, 15, 2))::BIGINT END AS width,
+        |                        + 256 * ('0x' || substr(h, 15, 2))::BIGINT
+        |       WHEN is_jpeg THEN ('0x' || substr(h, 55, 4))::BIGINT END AS width,
         |  CASE WHEN is_png THEN ('0x' || substr(h, 41, 8))::BIGINT
         |       WHEN is_gif THEN ('0x' || substr(h, 17, 2))::BIGINT
-        |                        + 256 * ('0x' || substr(h, 19, 2))::BIGINT END AS height
+        |                        + 256 * ('0x' || substr(h, 19, 2))::BIGINT
+        |       WHEN is_jpeg THEN ('0x' || substr(h, 51, 4))::BIGINT END AS height
         |FROM det""".stripMargin,
+    // WAV mirror of the m2 technique: rebuild the canonical 44-byte PCM
+    // header as hex (all multi-byte fields little-endian), detect via
+    // RIFF/WAVE magic, extract channels (chars 45-48), sample rate (chars
+    // 49-56), byte rate (57-64) and data size (81-88), duration =
+    // data*1000//byte_rate. Cross-checked against Python's wave module.
+    "m4_audio_meta" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0 THEN
+        |           '52494646' ||
+        |           lpad(hex((2036 + doc_id * 4) % 256), 2, '0') ||
+        |           lpad(hex(((2036 + doc_id * 4) // 256) % 256), 2, '0') ||
+        |           lpad(hex(((2036 + doc_id * 4) // 65536) % 256), 2, '0') ||
+        |           lpad(hex(((2036 + doc_id * 4) // 16777216) % 256), 2, '0') ||
+        |           '57415645' || '666D7420' || '10000000' || '0100' ||
+        |           lpad(hex((1 + doc_id % 3) % 256), 2, '0') || '00' ||
+        |           lpad(hex((CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END) % 256), 2, '0') ||
+        |           lpad(hex(((CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END) // 256) % 256), 2, '0') ||
+        |           lpad(hex(((CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END) // 65536) % 256), 2, '0') ||
+        |           '00' ||
+        |           lpad(hex(((CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END) * (1 + doc_id % 3) * 2) % 256), 2, '0') ||
+        |           lpad(hex((((CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END) * (1 + doc_id % 3) * 2) // 256) % 256), 2, '0') ||
+        |           lpad(hex((((CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END) * (1 + doc_id % 3) * 2) // 65536) % 256), 2, '0') ||
+        |           '00' ||
+        |           lpad(hex(((1 + doc_id % 3) * 2) % 256), 2, '0') || '00' ||
+        |           '1000' || '64617461' ||
+        |           lpad(hex((2000 + doc_id * 4) % 256), 2, '0') ||
+        |           lpad(hex(((2000 + doc_id * 4) // 256) % 256), 2, '0') ||
+        |           lpad(hex(((2000 + doc_id * 4) // 65536) % 256), 2, '0') ||
+        |           lpad(hex(((2000 + doc_id * 4) // 16777216) % 256), 2, '0')
+        |         ELSE hex(encode(text)) END AS h
+        |  FROM documents WHERE doc_id < 60),
+        |det AS (
+        |  SELECT doc_id, h,
+        |    (length(h) >= 24 AND substr(h, 1, 8) = '52494646'
+        |       AND substr(h, 17, 8) = '57415645') AS is_wav
+        |  FROM src),
+        |ext AS (
+        |  SELECT doc_id, is_wav,
+        |    CASE WHEN is_wav THEN ('0x' || substr(h, 45, 2))::BIGINT
+        |                          + 256 * ('0x' || substr(h, 47, 2))::BIGINT END AS ch,
+        |    CASE WHEN is_wav THEN ('0x' || substr(h, 49, 2))::BIGINT
+        |                          + 256 * ('0x' || substr(h, 51, 2))::BIGINT
+        |                          + 65536 * ('0x' || substr(h, 53, 2))::BIGINT
+        |                          + 16777216 * ('0x' || substr(h, 55, 2))::BIGINT END AS rate,
+        |    CASE WHEN is_wav THEN ('0x' || substr(h, 57, 2))::BIGINT
+        |                          + 256 * ('0x' || substr(h, 59, 2))::BIGINT
+        |                          + 65536 * ('0x' || substr(h, 61, 2))::BIGINT
+        |                          + 16777216 * ('0x' || substr(h, 63, 2))::BIGINT END AS byte_rate,
+        |    CASE WHEN is_wav THEN ('0x' || substr(h, 81, 2))::BIGINT
+        |                          + 256 * ('0x' || substr(h, 83, 2))::BIGINT
+        |                          + 65536 * ('0x' || substr(h, 85, 2))::BIGINT
+        |                          + 16777216 * ('0x' || substr(h, 87, 2))::BIGINT END AS data_size
+        |  FROM det)
+        |SELECT doc_id,
+        |  CASE WHEN is_wav THEN 'wav' ELSE 'unknown' END AS aformat,
+        |  ch AS channels, rate AS sample_rate,
+        |  CASE WHEN is_wav THEN data_size * 1000 // byte_rate END AS duration_ms
+        |FROM ext""".stripMargin,
     // Salt-invariance law: the salted join + two-phase agg must equal the
     // plain inner join + one-phase agg. Sums through DECIMAL(18,2), count
     // over the value column (mirrors countOf's non-null semantics).

@@ -148,4 +148,83 @@ class FunctionsSpec extends AnyFunSuite {
     assert(CanonicalJson.codePointCompare("b", "a") > 0)
     assert(CanonicalJson.codePointCompare("same", "same") === 0)
   }
+
+  private def bytesOfHex(h: String): Array[Byte] =
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("ImageMetaUtil: PNG/GIF fixed-offset extraction and rejection") {
+    import graft.functions.ImageMetaUtil._
+    val png = bytesOfHex(
+      "89504E470D0A1A0A" + "0000000D" + "49484452" + "00000190" + "00000064" + "0806000000")
+    assert(format(png).toString === "png" && width(png) === 400 && height(png) === 100)
+    // PNG signature without IHDR at bytes 12-15 is NOT a png
+    val noIhdr = bytesOfHex("89504E470D0A1A0A" + "0000000D" + "49484453" + "00000190" + "00000064")
+    assert(format(noIhdr).toString === "unknown" && width(noIhdr) === -1)
+    val gif87 = bytesOfHex("474946383761" + "2C01" + "F000" + "F70000") // 300x240 LE
+    assert(format(gif87).toString === "gif" && width(gif87) === 300 && height(gif87) === 240)
+    assert(format("not an image".getBytes).toString === "unknown")
+    assert(format(Array.empty[Byte]).toString === "unknown")
+  }
+
+  test("ImageMetaUtil: JPEG SOF walk handles variable segment layouts") {
+    import graft.functions.ImageMetaUtil._
+    val sof0 = "FFC0" + "0011" + "08" + "0050" + "00A0" + "03" + "011100021101031101" // 160x80
+    // canonical: SOI + APP0 + SOF0
+    val app0 = "FFE00010" + "4A46494600" + "0101" + "00" + "00010001" + "0000"
+    val canonical = bytesOfHex("FFD8" + app0 + sof0)
+    assert(format(canonical).toString === "jpeg")
+    assert(width(canonical) === 160 && height(canonical) === 80)
+    // extra variable-length segments before SOF (APP1/EXIF + a comment),
+    // plus standalone TEM + fill bytes the walker must step over
+    val app1 = "FFE1" + "0008" + "457869660000" // 6-byte payload
+    val com = "FFFE" + "0005" + "686579" // 3-byte comment
+    val shifted = bytesOfHex("FFD8" + "FF01" + app1 + com + app0 + sof0)
+    assert(format(shifted).toString === "jpeg")
+    assert(width(shifted) === 160 && height(shifted) === 80)
+    // progressive JPEG: SOF2 carries dimensions the same way
+    val sof2 = "FFC2" + "0011" + "08" + "0100" + "0200" + "03" + "011100021101031101" // 512x256
+    assert(width(bytesOfHex("FFD8" + app0 + sof2)) === 512)
+    assert(height(bytesOfHex("FFD8" + app0 + sof2)) === 256)
+    // DHT (C4) is NOT a SOF \u2014 must be skipped, not parsed as dimensions
+    val dht = "FFC4" + "0007" + "0001020304"
+    assert(width(bytesOfHex("FFD8" + dht + sof0)) === 160)
+    // EOI or scan data before any SOF \u2192 dimensions unknown, format jpeg
+    assert(width(bytesOfHex("FFD8" + "FFD9")) === -1)
+    assert(width(bytesOfHex("FFD8" + app0 + "FFDA" + "0002")) === -1)
+    // malformed: non-FF where a marker must be / truncated SOF / bad length
+    assert(width(bytesOfHex("FFD8" + "00C0" + "0011")) === -1)
+    assert(width(bytesOfHex("FFD8" + "FFC0" + "0011" + "08" + "00")) === -1)
+    assert(width(bytesOfHex("FFD8" + "FFC0" + "0001")) === -1)
+  }
+
+  test("AudioMetaUtil: WAV chunk walk — canonical, reordered, odd-size padding") {
+    import graft.functions.AudioMetaUtil._
+    val fmt = "666D7420" + "10000000" + "0100" + "0200" +
+      "803E0000" + "00FA0000" + "0400" + "1000" // stereo 16000 Hz, byteRate 64000
+    def data(n: Int) = "64617461" + {
+      val h = java.lang.Integer.toHexString(n)
+      // LE u32
+      val p = ("0" * (8 - h.length)) + h
+      p.substring(6, 8) + p.substring(4, 6) + p.substring(2, 4) + p.substring(0, 2)
+    }
+    val canonical = bytesOfHex("52494646" + "24500000" + "57415645" + fmt + data(128000))
+    assert(format(canonical).toString === "wav")
+    assert(channels(canonical) === 2)
+    assert(sampleRate(canonical) === 16000L)
+    assert(durationMs(canonical) === 2000L) // 128000 / 64000 * 1000
+    // a LIST chunk with an ODD size before fmt: the walker must skip it
+    // including the RIFF even-byte pad
+    val list = "4C495354" + "03000000" + "414243" + "00" // 3-byte payload + pad
+    val reordered = bytesOfHex("52494646" + "24500000" + "57415645" + list + fmt + data(32000))
+    assert(channels(reordered) === 2 && sampleRate(reordered) === 16000L)
+    assert(durationMs(reordered) === 500L)
+    // headers-only file: data size declared, payload absent — still parses
+    val headersOnly = bytesOfHex("52494646" + "24500000" + "57415645" + fmt + data(640))
+    assert(durationMs(headersOnly) === 10L)
+    // data chunk but no fmt: duration unknowable
+    assert(durationMs(bytesOfHex("52494646" + "10000000" + "57415645" + data(640))) === -1L)
+    // not RIFF/WAVE at all
+    assert(format("RIFFnope".getBytes).toString === "unknown")
+    assert(channels(bytesOfHex("52494646" + "00000000" + "57415646")) === -1)
+  }
 }
