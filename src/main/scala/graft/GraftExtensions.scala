@@ -122,6 +122,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("audio_duration_ms", "WAV data-size/byte-rate duration in ms; -1 unknown"),
       (es: Seq[Expression]) => AudioDurationMs(es.head)))
     e.injectFunction((
+      FunctionIdentifier("video_format"),
+      info("video_format", "mp4|unknown from the ISO-BMFF ftyp box"),
+      (es: Seq[Expression]) => VideoFormat(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("video_duration_ms"),
+      info("video_duration_ms", "MP4 mvhd duration in ms; -1 unknown"),
+      (es: Seq[Expression]) => VideoDurationMs(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("video_width"),
+      info("video_width", "MP4 first-track tkhd pixel width; -1 unknown"),
+      (es: Seq[Expression]) => VideoWidth(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("video_height"),
+      info("video_height", "MP4 first-track tkhd pixel height; -1 unknown"),
+      (es: Seq[Expression]) => VideoHeight(es.head)))
+    e.injectFunction((
       FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "k-wide MinHash signature of a token array"),
       (es: Seq[Expression]) => {

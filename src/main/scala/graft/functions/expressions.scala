@@ -216,6 +216,16 @@ object GraftFunctions {
   /** WAV duration in whole ms (data size / byte rate); NULL if unknown. */
   def audio_duration_ms(c: Column): Column =
     nullif(col(AudioDurationMs(expr(c))), lit(-1L))
+  def video_format(c: Column): Column = col(VideoFormat(expr(c)))
+  /** MP4 mvhd duration in whole ms; NULL for unrecognized payloads. */
+  def video_duration_ms(c: Column): Column =
+    nullif(col(VideoDurationMs(expr(c))), lit(-1L))
+  /** MP4 first-track tkhd pixel width; NULL for unrecognized payloads. */
+  def video_width(c: Column): Column =
+    nullif(col(VideoWidth(expr(c))), lit(-1))
+  /** MP4 first-track tkhd pixel height; NULL for unrecognized payloads. */
+  def video_height(c: Column): Column =
+    nullif(col(VideoHeight(expr(c))), lit(-1))
 
   /** C8: slot → timestamp (`genesis_time + slot * seconds_per_slot`;
     * reference: src/utils/time_utils.py:5-8). */
@@ -250,5 +260,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("audio_channels", es => AudioChannels(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("audio_sample_rate", es => AudioSampleRate(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("audio_duration_ms", es => AudioDurationMs(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("video_format", es => VideoFormat(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("video_duration_ms", es => VideoDurationMs(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("video_width", es => VideoWidth(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("video_height", es => VideoHeight(es.head), "scala_udf")
   }
 }

@@ -391,6 +391,47 @@ object LlmInventory {
         graft.functions.GraftFunctions.audio_duration_ms(col("payload")).as("duration_ms"))
   }
 
+  /** m5: video-container metadata — MP4 (ISO-BMFF) completes the
+    * image/audio/video metadata triple. Deterministic canonical
+    * `ftyp + moov(mvhd + trak(tkhd))` trees are constructed per doc_id
+    * (all fields big-endian, 16.16 fixed-point dimensions), then the
+    * codegen'd box walker ([[graft.functions.VideoMetaUtil]]) extracts
+    * duration (mvhd timescale/duration) and the first track's pixel
+    * dimensions. Oracle re-extracts at the canonical layout's offsets
+    * (template cross-validated against an independent Python box walker
+    * before landing); box-order robustness is unit-tested. */
+  val m5VideoMeta: Q = (s, d) => {
+    val doc = documents(s, d).filter(col("doc_id") < 60)
+    val ts = when(col("doc_id") % 3 === 0, 600L)
+      .when(col("doc_id") % 3 === 1, 1000L).otherwise(90000L)
+    val durUnits = ts * (lit(5) + col("doc_id") % 20)
+    val w = lit(320) + col("doc_id") % 100
+    val hgt = lit(180) + col("doc_id") % 100
+    def be32h(c: Column) = lpad(hex(c), 8, "0")
+    val zeros = (n: Int) => "00000000" * n
+    val matrix = "00010000" + zeros(3) + "00010000" + zeros(3) + "40000000"
+    val mp4 = unhex(concat(
+      lit("00000010" + "66747970" + "69736F6D" + "00000200" +
+        "000000D8" + "6D6F6F76" +
+        "0000006C" + "6D766864" + zeros(3)),
+      be32h(ts), be32h(durUnits),
+      lit("00010000" + "01000000" + zeros(2) + matrix + zeros(6) + "00000002" +
+        "00000064" + "7472616B" +
+        "0000005C" + "746B6864" + "00000007" + zeros(2) +
+        "00000001" + zeros(4) + "0000" * 4 + matrix),
+      lpad(hex(w), 4, "0"), lit("0000"),
+      lpad(hex(hgt), 4, "0"), lit("0000")))
+    doc
+      .withColumn("payload",
+        when(col("doc_id") % 2 === 0, mp4).otherwise(col("text").cast("binary")))
+      .select(
+        col("doc_id"),
+        graft.functions.GraftFunctions.video_format(col("payload")).as("vformat"),
+        graft.functions.GraftFunctions.video_width(col("payload")).cast("long").as("width"),
+        graft.functions.GraftFunctions.video_height(col("payload")).cast("long").as("height"),
+        graft.functions.GraftFunctions.video_duration_ms(col("payload")).as("duration_ms"))
+  }
+
   /** Frame-sampling plumbing: one row per byte-window "frame". */
   val m3FrameWindows: Q = (s, d) =>
     Multimodal.frameWindows(
@@ -469,6 +510,7 @@ object LlmInventory {
     "m2_image_meta" -> m2ImageMeta,
     "m3_frame_windows" -> m3FrameWindows,
     "m4_audio_meta" -> m4AudioMeta,
+    "m5_video_meta" -> m5VideoMeta,
     "t14_skew_agg" -> t14SkewAgg,
     "t15_winnow_fingerprint" -> t15WinnowFingerprint,
   )
@@ -949,6 +991,42 @@ object LlmInventory {
         |  ch AS channels, rate AS sample_rate,
         |  CASE WHEN is_wav THEN data_size * 1000 // byte_rate END AS duration_ms
         |FROM ext""".stripMargin,
+    // MP4 mirror: rebuild the canonical ftyp+moov(mvhd+trak(tkhd)) tree
+    // as hex, detect via the ftyp 4cc at bytes 4-7, extract mvhd
+    // timescale/duration (chars 89-104) and the tkhd 16.16 dimensions'
+    // integer parts (chars 449-452 / 457-460). Template cross-validated
+    // against an independent Python box walker before landing.
+    "m5_video_meta" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0 THEN
+        |           '00000010' || '66747970' || '69736F6D' || '00000200' ||
+        |           '000000D8' || '6D6F6F76' ||
+        |           '0000006C' || '6D766864' || repeat('00000000', 3) ||
+        |           lpad(hex(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END), 8, '0') ||
+        |           lpad(hex((CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END) * (5 + doc_id % 20)), 8, '0') ||
+        |           '00010000' || '01000000' || repeat('00000000', 2) ||
+        |           '00010000' || repeat('00000000', 3) || '00010000' || repeat('00000000', 3) || '40000000' ||
+        |           repeat('00000000', 6) || '00000002' ||
+        |           '00000064' || '7472616B' ||
+        |           '0000005C' || '746B6864' || '00000007' || repeat('00000000', 2) ||
+        |           '00000001' || repeat('00000000', 4) || repeat('0000', 4) ||
+        |           '00010000' || repeat('00000000', 3) || '00010000' || repeat('00000000', 3) || '40000000' ||
+        |           lpad(hex(320 + doc_id % 100), 4, '0') || '0000' ||
+        |           lpad(hex(180 + doc_id % 100), 4, '0') || '0000'
+        |         ELSE hex(encode(text)) END AS h
+        |  FROM documents WHERE doc_id < 60),
+        |det AS (
+        |  SELECT doc_id, h,
+        |    (length(h) >= 24 AND substr(h, 9, 8) = '66747970') AS is_mp4
+        |  FROM src)
+        |SELECT doc_id,
+        |  CASE WHEN is_mp4 THEN 'mp4' ELSE 'unknown' END AS vformat,
+        |  CASE WHEN is_mp4 THEN ('0x' || substr(h, 449, 4))::BIGINT END AS width,
+        |  CASE WHEN is_mp4 THEN ('0x' || substr(h, 457, 4))::BIGINT END AS height,
+        |  CASE WHEN is_mp4 THEN ('0x' || substr(h, 97, 8))::BIGINT * 1000
+        |                        // ('0x' || substr(h, 89, 8))::BIGINT END AS duration_ms
+        |FROM det""".stripMargin,
     // Salt-invariance law: the salted join + two-phase agg must equal the
     // plain inner join + one-phase agg. Sums through DECIMAL(18,2), count
     // over the value column (mirrors countOf's non-null semantics).

@@ -227,4 +227,43 @@ class FunctionsSpec extends AnyFunSuite {
     assert(format("RIFFnope".getBytes).toString === "unknown")
     assert(channels(bytesOfHex("52494646" + "00000000" + "57415646")) === -1)
   }
+
+  test("VideoMetaUtil: ISO-BMFF box walk — canonical, reordered, v1, malformed") {
+    import graft.functions.VideoMetaUtil._
+    val matrix = "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 + "40000000"
+    val ftyp = "00000010" + "66747970" + "69736F6D" + "00000200"
+    def mvhd(ts: Long, dur: Long) =
+      "0000006C" + "6D766864" + "00000000" * 3 + f"$ts%08X" + f"$dur%08X" +
+        "00010000" + "01000000" + "00000000" * 2 + matrix + "00000000" * 6 + "00000002"
+    def tkhd(w: Int, h: Int) =
+      "0000005C" + "746B6864" + "00000007" + "00000000" * 2 + "00000001" +
+        "00000000" * 4 + "0000" * 4 + matrix + f"$w%04X" + "0000" + f"$h%04X" + "0000"
+    def trak(w: Int, h: Int) = "00000064" + "7472616B" + tkhd(w, h)
+    def moov(inner: String) =
+      f"${8 + inner.length / 2}%08X" + "6D6F6F76" + inner
+
+    val canonical = bytesOfHex(ftyp + moov(mvhd(1000, 7000) + trak(640, 360)))
+    assert(format(canonical).toString === "mp4")
+    assert(durationMs(canonical) === 7000L)
+    assert(width(canonical) === 640 && height(canonical) === 360)
+    // unknown boxes before moov, and trak BEFORE mvhd inside it, plus a
+    // non-tkhd child ahead of tkhd in the trak — all must be skipped by size
+    val free = "00000010" + "66726565" + "00000000" * 2
+    val udta = "00000009" + "75647461" + "00" // odd-size box: no padding in BMFF
+    val trakShifted = f"${8 + (udta + tkhd(1920, 1080)).length / 2}%08X" + "7472616B" +
+      udta + tkhd(1920, 1080)
+    val reordered = bytesOfHex(ftyp + free + moov(trakShifted + mvhd(90000, 90000 * 3)))
+    assert(durationMs(reordered) === 3000L)
+    assert(width(reordered) === 1920 && height(reordered) === 1080)
+    // mvhd version 1: 64-bit creation/modification/duration
+    val mvhdV1 = "00000078" + "6D766864" + "01000000" + "00000000" * 4 +
+      f"${600}%08X" + "00000000" + f"${600L * 42}%08X" +
+      "00010000" + "01000000" + "00000000" * 2 + matrix + "00000000" * 6 + "00000002"
+    assert(durationMs(bytesOfHex(ftyp + moov(mvhdV1))) === 42000L)
+    // no moov / no trak / truncated box size lying beyond the payload
+    assert(durationMs(bytesOfHex(ftyp)) === -1L)
+    assert(width(bytesOfHex(ftyp + moov(mvhd(1000, 1000)))) === -1)
+    assert(durationMs(bytesOfHex(ftyp + "000000FF" + "6D6F6F76" + "0000")) === -1L)
+    assert(format("plain text".getBytes).toString === "unknown")
+  }
 }
