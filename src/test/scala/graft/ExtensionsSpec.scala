@@ -44,6 +44,25 @@ class ExtensionsSpec extends AnyFunSuite {
         |       word_shingles('a b a b', 2, false) AS all""".stripMargin).head()
     assert(sh.getAs[Seq[String]]("d") === Seq("a b", "b a"))
     assert(sh.getAs[Seq[String]]("all") === Seq("a b", "b a", "a b"))
+    // container-metadata families (image/audio/video) reach SQL too
+    val m = spark.sql(
+      """SELECT image_format(unhex('474946383961' || '2C01' || 'F000' || 'F70000')) AS gif,
+        |       image_width(unhex('474946383961' || '2C01' || 'F000' || 'F70000')) AS gw,
+        |       audio_format(unhex('52494646' || '24500000' || '57415645'
+        |         || '666D7420' || '10000000' || '0100' || '0200'
+        |         || '803E0000' || '00FA0000' || '0400' || '1000'
+        |         || '64617461' || '00F40100')) AS wav,
+        |       audio_duration_ms(unhex('52494646' || '24500000' || '57415645'
+        |         || '666D7420' || '10000000' || '0100' || '0200'
+        |         || '803E0000' || '00FA0000' || '0400' || '1000'
+        |         || '64617461' || '00F40100')) AS ms,
+        |       video_format(unhex('0000001066747970' || '69736F6D00000200')) AS mp4,
+        |       image_format(cast('nope' as binary)) AS unk""".stripMargin).head()
+    assert(m.getAs[String]("gif") === "gif" && m.getAs[Int]("gw") === 300)
+    assert(m.getAs[String]("wav") === "wav")
+    assert(m.getAs[Long]("ms") === 2000L) // 128000 bytes / 64000 B/s
+    assert(m.getAs[String]("mp4") === "mp4")
+    assert(m.getAs[String]("unk") === "unknown")
   }
 
   test("SQL static args: clear plan-time errors for bad word_shingles/minhash_signature calls") {
