@@ -244,13 +244,38 @@ object Similarity {
     corpus.withColumn("list_id", greatest(structs.toIndexedSeq: _*).getField("list_id"))
   }
 
-  /** IVF top-k: probe the nProbe centroid lists closest to the query, then
-    * exact cosine within those lists. At 100 TB the assigned corpus is
-    * written bucketed by list_id so a probe reads only nProbe/k of the
-    * data (partition-pruned). */
-  def ivfTopK(
-      corpus: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
+  /** Materialize the IVF index: the assigned corpus written PARTITIONED by
+    * `list_id`, so a probe scan reads only the nProbe/k probed directories
+    * (partition pruning, asserted in PlanSpec) — the 100 TB serving shape
+    * [[ivfTopK]] computes on the fly. Rewrite when centroids are
+    * re-trained; assignment is a scan-side greatest-struct argmax, so the
+    * write is a single pass with no shuffle beyond the partitioned sink. */
+  def writeIvfIndex(
+      corpus: DataFrame, vecCol: String, centroids: Array[Array[Float]],
+      dir: String): Unit =
+    ivfAssign(corpus, vecCol, centroids)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("list_id").parquet(dir)
+
+  /** IVF top-k over a materialized [[writeIvfIndex]] directory: identical
+    * results to the on-the-fly [[ivfTopK]] (equivalence-tested), but the
+    * scan is partition-pruned to the probed lists. */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      idCol: String, vecCol: String, query: Seq[Float],
       k: Int, centroids: Array[Array[Float]], nProbe: Int): DataFrame = {
+    val probeLists = probedLists(centroids, query, nProbe)
+    spark.read.parquet(indexDir)
+      .filter(col("list_id").isin(probeLists: _*))
+      .select(col(idCol), vec_cosine(col(vecCol), typedlit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** The nProbe centroid ids closest (by cosine) to the query — shared by
+    * the on-the-fly and indexed probe paths. */
+  private def probedLists(
+      centroids: Array[Array[Float]], query: Seq[Float], nProbe: Int): Seq[Int] = {
     def cos(a: Array[Float], b: Seq[Float]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
@@ -258,9 +283,18 @@ object Similarity {
       }
       if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
     }
-    val probeLists = centroids.zipWithIndex
+    centroids.zipWithIndex
       .map { case (c, i) => (cos(c, query), i) }
       .sortBy(-_._1).take(nProbe).map(_._2).toSeq
+  }
+
+  /** IVF top-k: probe the nProbe centroid lists closest to the query, then
+    * exact cosine within those lists — the on-the-fly form of
+    * [[ivfTopKIndexed]] for corpora not worth materializing. */
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
+      k: Int, centroids: Array[Array[Float]], nProbe: Int): DataFrame = {
+    val probeLists = probedLists(centroids, query, nProbe)
     ivfAssign(corpus, vecCol, centroids)
       .filter(col("list_id").isin(probeLists: _*))
       .select(col(idCol), vec_cosine(col(vecCol), typedlit(query)).as("cosine"))

@@ -208,6 +208,18 @@ class ExtensionsSpec extends AnyFunSuite {
       .ivfTopK(corpus, "vec_id", "embedding", query, 10, centroids, nProbe = 3)
       .collect().map(_.getLong(0)).toSet
     assert(probed.intersect(brute).size >= 5, s"recall too low: $probed vs $brute")
+
+    // the materialized index path: identical results, partition-pruned scan
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
+    graft.operators.Similarity.writeIvfIndex(corpus, "embedding", centroids, dir)
+    val indexed = graft.operators.Similarity
+      .ivfTopKIndexed(spark, dir, "vec_id", "embedding", query, 10, centroids, nProbe = 3)
+    assert(indexed.collect().map(_.getLong(0)).toSet === probed)
+    // the probe reads ONLY the probed list_id directories — partition
+    // pruning must show in the scan, not a post-scan filter
+    val scan = indexed.queryExecution.executedPlan.toString
+    val pf = scan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("list_id"), scan.take(2000))
   }
 
   test("nearDupGroups: LSH -> jaccard -> connected components finds chains") {
