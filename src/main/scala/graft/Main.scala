@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   * graft transform reprocess --base DIR --start-slot A --end-slot B [--loader L] [--chunk-size N]
   * graft maintain check|reset --base DIR
   * graft maintain fix --base DIR [--start-slot A] [--end-slot B] [--loaders a,b] [--force] [--beacon-url U]
-  * graft maintain compact --base DIR [--tables t1,t2|raw_x] [--months 2024-01,..] [--min-files N] [--force]
+  * graft maintain compact --base DIR [--tables t1,t2|raw_x] [--months 2024-01,..] [--min-files N] [--concurrent N] [--force]
   * graft maintain refresh-specs --base DIR --beacon-url U
   * graft status --base DIR
   * graft fork info --slot S [--network gnosis|mainnet]
@@ -354,10 +354,11 @@ object Main {
           }
         val compactionLog = LedgerStore(s"$base/compaction_log")
         val version = System.currentTimeMillis()
+        val concurrent = opt(args, "concurrent").map(_.toInt).getOrElse(1)
         tables.foreach { t =>
           val results =
-            if (t.startsWith("raw_")) Compaction.compactRaw(spark, base, t, months, minFiles, hotFloor)
-            else Compaction.compactStructured(spark, base, t, months, minFiles, hotFloor)
+            if (t.startsWith("raw_")) Compaction.compactRaw(spark, base, t, months, minFiles, hotFloor, concurrent)
+            else Compaction.compactStructured(spark, base, t, months, minFiles, hotFloor, concurrent)
           Compaction.record(spark, compactionLog, results, version)
           results.foreach { r =>
             println(s"[graft] compact ${r.table} month=${r.month}: " +

@@ -116,12 +116,20 @@ object Compaction {
     *                 appends, which the swap would silently drop. Applies
     *                 even to explicitly-requested `months` — pass None
     *                 (the CLI's `--force`) to compact a hot month anyway
+    * @param maxConcurrentMonths rewrite up to this many months at once
+    *                 (driver threads submitting independent Spark jobs).
+    *                 ClickHouse merges run concurrently; sequential month
+    *                 rewrites leave the cluster idle between a small
+    *                 month's stages. Months are independent — every
+    *                 staged/parked path is month-scoped — so this only
+    *                 overlaps work. 1 (default) = current sequential walk
     */
   def compactTable(
       spark: SparkSession, tableDir: String, table: String,
       dedup: DataFrame => DataFrame, maxRecordsPerFile: Long,
       months: Seq[String] = Nil, minFiles: Int = 2,
-      hotMonthFloor: Option[String] = None): Seq[MonthResult] = {
+      hotMonthFloor: Option[String] = None,
+      maxConcurrentMonths: Int = 1): Seq[MonthResult] = {
     recoverInterrupted(spark, tableDir)
     if (!graft.core.Fs.hasParquetFiles(spark, tableDir)) return Nil
     val monthDirs = graft.core.Fs.listDirNames(spark, tableDir)
@@ -130,7 +138,7 @@ object Compaction {
       (if (months.isEmpty) monthDirs
        else monthDirs.filter(d => months.contains(d.stripPrefix("month="))))
         .filter(d => hotMonthFloor.forall(d.stripPrefix("month=") < _))
-    val results = wanted.sorted.flatMap { mdir =>
+    def compactMonth(mdir: String): Option[MonthResult] = {
       val live = s"$tableDir/$mdir"
       val (filesBefore, bytesBefore) = graft.core.Fs.dataFileStats(spark, live)
       if (filesBefore < minFiles) None
@@ -162,6 +170,22 @@ object Compaction {
           bytesBefore, bytesAfter))
       }
     }
+    val results =
+      if (maxConcurrentMonths <= 1) wanted.sorted.flatMap(compactMonth)
+      else {
+        // independent Spark jobs submitted from a bounded driver pool; a
+        // month failure propagates after the in-flight months finish
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(maxConcurrentMonths, math.max(1, wanted.size)))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(
+              wanted.sorted.map(m => scala.concurrent.Future(compactMonth(m)))),
+            scala.concurrent.duration.Duration.Inf).flatten
+        finally pool.shutdown()
+      }
     // the roots only ever hold in-flight state; leave nothing behind
     graft.core.Fs.deleteDir(spark, tmpRoot(tableDir))
     graft.core.Fs.deleteDir(spark, oldRoot(tableDir))
@@ -175,12 +199,14 @@ object Compaction {
   def compactStructured(
       spark: SparkSession, base: String, table: String,
       months: Seq[String] = Nil, minFiles: Int = 2,
-      hotMonthFloor: Option[String] = None): Seq[MonthResult] = {
+      hotMonthFloor: Option[String] = None,
+      maxConcurrentMonths: Int = 1): Seq[MonthResult] = {
     val keys = Transformer.tableKeys.getOrElse(table,
       sys.error(s"unknown structured table: $table"))
     compactTable(spark, s"$base/tables/$table", table,
       df => Ledger.latest(df, keys, "insert_version"),
-      Loaders.maxRecordsPerFile(table), months, minFiles, hotMonthFloor)
+      Loaders.maxRecordsPerFile(table), months, minFiles, hotMonthFloor,
+      maxConcurrentMonths)
   }
 
   /** Compact a raw payload table using the transformer's own
@@ -189,10 +215,12 @@ object Compaction {
   def compactRaw(
       spark: SparkSession, base: String, rawTable: String,
       months: Seq[String] = Nil, minFiles: Int = 2,
-      hotMonthFloor: Option[String] = None): Seq[MonthResult] =
+      hotMonthFloor: Option[String] = None,
+      maxConcurrentMonths: Int = 1): Seq[MonthResult] =
     compactTable(spark, s"$base/$rawTable", rawTable,
       Transformer.latestRetrieval _,
-      Loaders.maxRecordsPerFile(rawTable), months, minFiles, hotMonthFloor)
+      Loaders.maxRecordsPerFile(rawTable), months, minFiles, hotMonthFloor,
+      maxConcurrentMonths)
 
   /** Frontier-aware auto-compact for one loader's tail — the continuous
     * background-merge analogue (ClickHouse gets this for free, forever, on

@@ -112,6 +112,21 @@ class CompactionSpec extends AnyFunSuite {
     assert(!graft.core.Fs.exists(spark, s"$dir/.compact-old"))
   }
 
+  test("concurrent month rewrites: same results as sequential, clean roots") {
+    val base = tmp()
+    buildStructured(base) // months 2024-01, 2024-02, each with many files
+    val dir = s"$base/tables/blocks"
+    val before = latestBlocks(base)
+    val results = Compaction.compactStructured(
+      spark, base, "blocks", maxConcurrentMonths = 4)
+    assert(results.map(_.month).sorted === Seq("2024-01", "2024-02"))
+    assert(latestBlocks(base) === before)
+    assert(spark.read.parquet(dir).count() === before.size.toLong)
+    assert(results.map(_.rowsAfter).sum === before.size.toLong)
+    assert(!graft.core.Fs.exists(spark, s"$dir/.compact-tmp"))
+    assert(!graft.core.Fs.exists(spark, s"$dir/.compact-old"))
+  }
+
   test("hot-month floor: frontier month is refused, concurrent append survives") {
     val base = tmp()
     buildStructured(base) // months 2024-01 (cold), 2024-02 (hot)
