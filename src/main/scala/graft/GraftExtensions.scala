@@ -94,6 +94,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash64", "64-bit SimHash of a token array"),
       (es: Seq[Expression]) => SimHash64(es.head)))
     e.injectFunction((
+      FunctionIdentifier("sq8_encode"),
+      info("sq8_encode", "normalize + scalar-quantize a float vector to signed-byte codes"),
+      (es: Seq[Expression]) => Sq8Encode(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("sq8_dot"),
+      info("sq8_dot", "exact integer dot product of two SQ8 code vectors"),
+      (es: Seq[Expression]) => Sq8Dot(es(0), es(1))))
+    e.injectFunction((
       FunctionIdentifier("image_format"),
       info("image_format", "png|gif|jpeg|unknown from container magic bytes"),
       (es: Seq[Expression]) => ImageFormat(es.head)))

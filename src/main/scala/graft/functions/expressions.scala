@@ -178,6 +178,88 @@ case class FloatVectorCosine(left: Expression, right: Expression)
   override def prettyName: String = "vec_cosine"
 }
 
+/** SQ8 scalar-quantization kernels (static, called from generated code).
+  *
+  * Encoding: unit-L2 normalize in doubles (ordered left fold, so the
+  * arithmetic is reproducible in any engine that folds the list in
+  * order), then symmetric signed-byte quantization
+  * `clamp(floor(u_i * 127), -127, 127)` — one byte per dimension, a 4x
+  * memory reduction over float32. On normalized vectors the integer code
+  * dot product is a monotone ~127^2-scaled estimate of cosine, so
+  * ranking by it approximates cosine ranking without any float
+  * arithmetic at query time (and the integer scores are exactly
+  * reproducible, which is what makes s6 oracle-checkable).
+  */
+object Sq8Util {
+  def encodeFloats(a: Array[Float]): Array[Byte] = {
+    val n = a.length
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val v = a(i).toDouble; acc += v * v; i += 1 }
+    val nrm = math.sqrt(acc)
+    val out = new Array[Byte](n)
+    if (nrm == 0.0) return out
+    i = 0
+    while (i < n) {
+      val c = math.floor(a(i).toDouble / nrm * 127.0)
+      val cl = if (c < -127.0) -127.0 else if (c > 127.0) 127.0 else c
+      out(i) = cl.toByte
+      i += 1
+    }
+    out
+  }
+
+  def encode(a: ArrayData): Array[Byte] = encodeFloats(a.toFloatArray())
+
+  /** Integer dot product of two packed code vectors — exact (max
+    * |acc| = dim * 127^2 fits a long up to dim ~ 5.7e14). */
+  def dot(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a(i).toLong * b(i).toLong; i += 1 }
+    acc
+  }
+}
+
+/** Codegen'd SQ8 encode: `array<float>` embedding → packed signed-byte
+  * codes (`binary`, 1 byte/dim). */
+case class Sq8Encode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = child.dataType == ArrayType(FloatType) ||
+      child.dataType == ArrayType(FloatType, containsNull = false)
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> input, got ${child.dataType.simpleString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    Sq8Util.encode(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sq8Util.encode($c)")
+  override protected def withNewChildInternal(c: Expression): Sq8Encode = copy(c)
+  override def prettyName: String = "sq8_encode"
+}
+
+/** Codegen'd integer dot product of two SQ8 code vectors (`binary`). */
+case class Sq8Dot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = children.forall(_.dataType == BinaryType)
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary inputs, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Sq8Util.dot(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Sq8Util.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Sq8Dot =
+    copy(l, r)
+  override def prettyName: String = "sq8_dot"
+}
+
 /** Column-level API over the custom expressions + composed scalar pack
   * (SURVEY §2.8). Everything here is either a native Catalyst expression or
   * a composition of codegen'd built-ins — no Scala/Python UDFs.
@@ -199,6 +281,8 @@ object GraftFunctions {
   def vec_dot(a: Column, b: Column): Column = col(FloatVectorDot(expr(a), expr(b)))
   def vec_cosine(a: Column, b: Column): Column =
     col(FloatVectorCosine(expr(a), expr(b)))
+  def sq8_encode(c: Column): Column = col(Sq8Encode(expr(c)))
+  def sq8_dot(a: Column, b: Column): Column = col(Sq8Dot(expr(a), expr(b)))
   def image_format(c: Column): Column = col(ImageFormat(expr(c)))
   /** PNG/GIF pixel width; NULL for unrecognized payloads. */
   def image_width(c: Column): Column =
@@ -253,6 +337,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("canonical_json_hash16", es => CanonicalJsonHash16(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vec_dot", es => FloatVectorDot(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_cosine", es => FloatVectorCosine(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("sq8_encode", es => Sq8Encode(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sq8_dot", es => Sq8Dot(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("image_format", es => ImageFormat(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("image_width", es => ImageWidth(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("image_height", es => ImageHeight(es.head), "scala_udf")

@@ -84,6 +84,32 @@ object Sampling {
     }
   }
 
+  /** Per-key frequency cap — the "at most N documents per domain /
+    * source / site" curation primitive (over-represented hosts otherwise
+    * dominate a crawl-derived corpus). Deterministic: within a key, rows
+    * rank by (md5(id), id) — a stable pseudo-random total order
+    * independent of partitioning and engine — and ranks past `cap` drop,
+    * so re-runs and re-shards keep the SAME winners (and lowering the
+    * cap keeps a prefix of them, the nesting property
+    * [[stratifiedSample]] documents for rates).
+    *
+    * Plan: a per-key window, which shuffles each key's rows to one
+    * reducer — the right shape while no key dominates a partition's
+    * memory. For a pathological mega-key, pre-thin candidates with
+    * [[deterministicSample]] at rate ~ `cap * safety / est_count` first
+    * (hash nesting makes the two filters consistent: the cap's md5 order
+    * ranks the sample's survivors identically), or two-phase it via the
+    * count+threshold shape in [[graft.operators.Skew]]. Output keeps the
+    * input columns plus the 1-based `rankCol`. */
+  def perKeyCap(
+      df: DataFrame, idCol: String, keyCol: String, cap: Int,
+      rankCol: String = "rk"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= cap)
+  }
+
   /** Token-budget selection — "take the best documents until N tokens":
     * rows in (priorityCol DESC, idCol ASC) order whose RUNNING `costCol`
     * total (inclusive) stays ≤ `budget`. The order must be total —

@@ -1,6 +1,7 @@
 package graft.operators
 
-import graft.functions.GraftFunctions.{vec_cosine, vec_dot}
+import graft.functions.GraftFunctions.{sq8_dot, sq8_encode, vec_cosine, vec_dot}
+import graft.functions.Sq8Util
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -166,6 +167,34 @@ object Similarity {
       .select(col(idCol), vec_cosine(col(vecCol), typedlit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
+
+  /** SQ8 scalar-quantized top-k against one query vector (FAISS's SQ8
+    * flat-scan shape): [[graft.functions.Sq8Encode]] packs each embedding
+    * to 1 byte/dim map-side (4x less data touched per scan than float32 —
+    * at 100 TB the quantized corpus would be materialized once and
+    * scanned instead of the floats), [[graft.functions.Sq8Dot]] scores
+    * with exact integer arithmetic, TakeOrderedAndProject keeps k.
+    * `rerank > 0` re-sorts the top-`rerank` code-score candidates by
+    * exact cosine — the standard two-stage ANN refinement; the vectors
+    * ride along only into the bounded candidate set.
+    * Output: (idCol, score) — or (idCol, cosine) when reranking. */
+  def sq8TopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, rerank: Int = 0): DataFrame = {
+    val qCodes = lit(Sq8Util.encodeFloats(query.toArray))
+    val scored = corpus.select(
+      col(idCol), col(vecCol).as("__v"),
+      sq8_dot(sq8_encode(col(vecCol)), qCodes).as("score"))
+    if (rerank <= 0)
+      scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
+        .select(col(idCol), col("score"))
+    else
+      scored.orderBy(col("score").desc, col(idCol).asc)
+        .limit(math.max(k, rerank))
+        .select(col(idCol), vec_cosine(col("__v"), typedlit(query)).as("cosine"))
+        .orderBy(col("cosine").desc, col(idCol).asc)
+        .limit(k)
+  }
 
   /** Top-k neighbors for EVERY query row: broadcast the (small) query set
     * against the (large) corpus, then a bounded top-k AGGREGATE per query.

@@ -122,6 +122,21 @@ object LlmInventory {
       md5Parity = true)
       .orderBy("doc_id")
 
+  /** d10: dedup yield report — group-size histogram over the d9
+    * components with exact kept/dropped doc counts per size: the summary
+    * a curation run publishes ("dedup dropped N docs; largest cluster
+    * size S"). Pure integer aggregation downstream of the oracle-checked
+    * d9 pipeline, so the whole report hash-matches. */
+  val d10DedupYield: Q = (s, d) =>
+    Dedup.nearDupGroups(documents(s, d), "doc_id", "text", jaccardThreshold = 0.8,
+      md5Parity = true)
+      .groupBy("group").agg(count(lit(1)).as("group_size"))
+      .groupBy("group_size")
+      .agg(
+        count(lit(1)).as("n_groups"),
+        (count(lit(1)) * col("group_size")).as("n_docs"),
+        (count(lit(1)) * (col("group_size") - 1)).as("n_dropped"))
+
   /** Quality gate with drop reasons — oracle-checked: every signal is
     * integer arithmetic followed by ONE IEEE double division (the d8
     * technique), so the threshold comparisons classify identically in
@@ -205,6 +220,29 @@ object LlmInventory {
       .select("vec_id")
   }
 
+  /** SQ8 scalar-quantized ANN ([[Similarity.sq8TopK]]): unit-normalize,
+    * quantize to signed bytes (1 byte/dim — the 4x-compressed scan path),
+    * rank by the EXACT integer code dot product. Every step is integer
+    * or reproducible double arithmetic (ordered-fold norm, floor, clamp),
+    * so the oracle rebuilds codes and scores bit-for-bit relationally;
+    * scores ride along in the output as the strongest check. Rank
+    * assigned driver-side over the already-reduced 10-row TakeOrdered
+    * result (no single-partition window; the s1 pattern). The exact-
+    * cosine `rerank` refinement stays the operator default for users —
+    * recall of both paths is pinned in RecallSpec. */
+  val s6Sq8TopK: Q = (s, d) => {
+    val em = embeddings(s, d)
+    val query = em.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val top = Similarity
+      .sq8TopK(em.filter(col("vec_id") =!= 0), "vec_id", "embedding", query, 10)
+      .collect()
+    import s.implicits._
+    top.toSeq.zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r.getLong(0), r.getLong(1)) }
+      .toDF("rnk", "vec_id", "score")
+  }
+
   /** Top-3 neighbors for EVERY query vector (vec_id<20): broadcast query
     * set against the corpus, then a bounded top-k aggregate per query (the
     * partial [[graft.operators.BoundedTopK]] truncates map-side, so the
@@ -270,6 +308,14 @@ object LlmInventory {
     import s.implicits._
     ids.toDF("doc_id")
   }
+
+  /** t16: per-source frequency cap ([[Sampling.perKeyCap]]) — keep at
+    * most 10 docs per source by the deterministic md5 rank. Both engines
+    * rank by the same (md5 hex, id) total order, so kept rows AND their
+    * ranks hash-match exactly. */
+  val t16SourceCap: Q = (s, d) =>
+    Sampling.perKeyCap(documents(s, d), "doc_id", "source", cap = 10)
+      .select(col("doc_id"), col("source"), col("rk"))
 
   // --- Repetition / contamination gates ---------------------------------
 
@@ -491,6 +537,7 @@ object LlmInventory {
     "d5_minhash_lsh" -> d5MinhashLsh,
     "d8_jaccard_verify" -> d8JaccardVerify,
     "d9_near_dup_groups" -> d9NearDupGroups,
+    "d10_dedup_yield" -> d10DedupYield,
     "t6_quality_filter" -> t6QualityFilter,
     "d6_simhash" -> d6Simhash,
     "d7_embedding_near_dup" -> d7EmbeddingNearDup,
@@ -499,6 +546,7 @@ object LlmInventory {
     "s3_label_buckets" -> s3LabelBuckets,
     "s4_ivf_topk" -> s4IvfTopK,
     "s5_topk_join" -> s5TopKJoin,
+    "s6_sq8_topk" -> s6Sq8TopK,
     "t7_hash_split" -> t7HashSplit,
     "t8_deterministic_sample" -> t8DeterministicSample,
     "t9_repetition" -> t9Repetition,
@@ -513,6 +561,7 @@ object LlmInventory {
     "m5_video_meta" -> m5VideoMeta,
     "t14_skew_agg" -> t14SkewAgg,
     "t15_winnow_fingerprint" -> t15WinnowFingerprint,
+    "t16_source_cap" -> t16SourceCap,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -770,6 +819,57 @@ object LlmInventory {
         |       coalesce(c.component, d.doc_id) AS "group",
         |       d.doc_id = coalesce(c.component, d.doc_id) AS is_representative
         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin,
+    "d10_dedup_yield" ->
+      // d9's pipeline (same CTEs) summarized to the group-size histogram:
+      // exact integer counts per component size
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |shs AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM tok WHERE len(toks) >= 3),
+        |shx AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+        |sig AS (
+        |  SELECT doc_id,
+        |         min(md5('1#' || s)) AS mh1, min(md5('2#' || s)) AS mh2,
+        |         min(md5('3#' || s)) AS mh3, min(md5('4#' || s)) AS mh4,
+        |         min(md5('5#' || s)) AS mh5, min(md5('6#' || s)) AS mh6,
+        |         min(md5('7#' || s)) AS mh7, min(md5('8#' || s)) AS mh8
+        |  FROM shx GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band,
+        |         md5(mh1 || '|' || mh2 || '|' || mh3 || '|' || mh4) AS bh FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |         md5(mh5 || '|' || mh6 || '|' || mh7 || '|' || mh8) FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |confirmed AS (
+        |  SELECT c.d1, c.d2
+        |  FROM cand c
+        |  JOIN shs s1 ON s1.doc_id = c.d1
+        |  JOIN shs s2 ON s2.doc_id = c.d2
+        |  WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(s1.sh, s2.sh))) >= 0.8),
+        |edges AS (
+        |  SELECT d1, d2 FROM confirmed
+        |  UNION SELECT d2, d1 FROM confirmed),
+        |reach(id, r) AS (
+        |  SELECT d1, d1 FROM edges
+        |  UNION
+        |  SELECT reach.id, e.d2 FROM reach JOIN edges e ON e.d1 = reach.r),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |sizes AS (
+        |  SELECT coalesce(c.component, d.doc_id) AS grp, count(*) AS group_size
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        |  GROUP BY 1)
+        |SELECT group_size, count(*) AS n_groups,
+        |       count(*) * group_size AS n_docs,
+        |       count(*) * (group_size - 1) AS n_dropped
+        |FROM sizes GROUP BY group_size""".stripMargin,
     "d6_simhash" ->
       // mirrors simhashMd5Parity: distinct tokens, 64-bit md5-derived
       // token hash split as two 32-bit halves (hex chars 1-8 = bits
@@ -872,6 +972,34 @@ object LlmInventory {
     "s3_label_buckets" ->
       """SELECT label, count(*) AS n, MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
         |FROM embeddings GROUP BY label""".stripMargin,
+    // mirrors Sq8Util.encodeFloats exactly: ordered-fold norm
+    // (list_reduce == the kernel's left-to-right accumulation), then
+    // clamp(floor(v/n*127), -127, 127) per element; the integer code dot
+    // product is exact in both engines
+    "s6_sq8_topk" ->
+      """WITH nrm AS (
+        |  SELECT vec_id,
+        |         sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+        |                          (a, b) -> a + b)) AS nn,
+        |         embedding
+        |  FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id, pos,
+        |         CASE WHEN nn = 0.0 THEN 0
+        |              ELSE CAST(least(127.0, greatest(-127.0,
+        |                     floor(v / nn * 127.0))) AS INT) END AS code
+        |  FROM (SELECT vec_id, nn, generate_subscripts(embedding,1) AS pos,
+        |               unnest(embedding)::DOUBLE AS v
+        |        FROM nrm)),
+        |q AS (SELECT pos, code FROM codes WHERE vec_id = 0),
+        |scores AS (
+        |  SELECT c.vec_id, CAST(sum(c.code * q.code) AS BIGINT) AS score
+        |  FROM codes c JOIN q USING (pos) WHERE c.vec_id <> 0 GROUP BY c.vec_id)
+        |SELECT rnk, vec_id, score FROM (
+        |  SELECT vec_id, score,
+        |         ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS rnk
+        |  FROM scores) t
+        |WHERE rnk <= 10""".stripMargin,
     "m1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |       substr(sha256(text), 1, 16) AS sha16
@@ -1059,5 +1187,14 @@ object LlmInventory {
         |       unnest(list_distinct(list_transform(range(1, len(h) - 2),
         |         i -> list_min(h[i:i+3])))) AS fp
         |FROM hs WHERE len(h) >= 4""".stripMargin,
+    // same (md5 hex, id) total order per source in both engines
+    "t16_source_cap" ->
+      """SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (
+        |           PARTITION BY source
+        |           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 10""".stripMargin,
   )
 }

@@ -81,6 +81,34 @@ object StreamingJobs {
         col("window.start").as("window_start"),
         col(keyCol), col("n"), col("total_value"))
 
+  /** Streaming exact dedup — the first occurrence of each content hash
+    * passes, later duplicates drop. State carries only the 64-hex sha256
+    * of `textCol` (the documents themselves never enter the state store),
+    * so a billion seen-hashes is ~100 GB of state spread across
+    * executors, not driver memory.
+    *
+    * With `tsCol` set, `dropDuplicatesWithinWatermark` BOUNDS the state:
+    * hashes older than the watermark are evicted, which is the only
+    * shape that survives an unbounded run — exact global dedup of an
+    * infinite stream needs infinite memory in ANY engine, so production
+    * tails pair this with a periodic batch [[graft.operators.Dedup]]
+    * sweep over the at-rest corpus (the same split the reference makes
+    * between realtime insert and table-wide FINAL dedup). Without
+    * `tsCol`, state grows with distinct documents — replay/backfill
+    * streams only. */
+  def streamingExactDedup(
+      docs: DataFrame, textCol: String, tsCol: Option[String] = None,
+      lateness: String = "10 minutes"): DataFrame = {
+    val hashed = docs.withColumn("__content_hash", sha2(col(textCol), 256))
+    val deduped = tsCol match {
+      case Some(ts) =>
+        hashed.withWatermark(ts, lateness)
+          .dropDuplicatesWithinWatermark("__content_hash")
+      case None => hashed.dropDuplicates("__content_hash")
+    }
+    deduped.drop("__content_hash")
+  }
+
   final case class SessionInput(userId: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(n: Long, total: Double, lastTs: Long)
   final case class SessionOutput(userId: Long, n: Long, total: Double, closed: Boolean)

@@ -266,4 +266,46 @@ class FunctionsSpec extends AnyFunSuite {
     assert(durationMs(bytesOfHex(ftyp + "000000FF" + "6D6F6F76" + "0000")) === -1L)
     assert(format("plain text".getBytes).toString === "unknown")
   }
+
+  test("Sq8Util.encodeFloats: matches reference arithmetic, clamps, zero vector") {
+    import graft.functions.Sq8Util
+    // independent reimplementation of the documented formula
+    def ref(v: Array[Float]): Array[Byte] = {
+      var acc = 0.0
+      v.foreach { x => acc += x.toDouble * x.toDouble }
+      val n = math.sqrt(acc)
+      if (n == 0.0) new Array[Byte](v.length)
+      else v.map { x =>
+        math.max(-127, math.min(127, math.floor(x.toDouble / n * 127.0).toInt)).toByte
+      }
+    }
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val v = Array.fill(64)((rnd.nextGaussian() * 3).toFloat)
+      val got = Sq8Util.encodeFloats(v)
+      assert(got.toSeq === ref(v).toSeq)
+      assert(got.forall(c => c >= -127 && c <= 127))
+    }
+    assert(Sq8Util.encodeFloats(Array.fill(8)(0.0f)).toSeq === Seq.fill(8)(0.toByte))
+    // scale invariance by exact powers of two (pure exponent shifts in
+    // IEEE): codes are a function of the DIRECTION only
+    val v = Array.fill(32)((rnd.nextGaussian()).toFloat)
+    assert(Sq8Util.encodeFloats(v.map(_ * 4.0f)).toSeq === Sq8Util.encodeFloats(v).toSeq)
+    // a unit basis vector hits the clamp boundary exactly: floor(1*127)=127
+    val basis = Array.fill(16)(0.0f); basis(3) = 1.0f
+    assert(Sq8Util.encodeFloats(basis)(3) === 127.toByte)
+  }
+
+  test("Sq8Util.dot: exact integer accumulation (BigInt oracle)") {
+    import graft.functions.Sq8Util
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val a = Array.fill(64)((rnd.nextInt(255) - 127).toByte)
+      val b = Array.fill(64)((rnd.nextInt(255) - 127).toByte)
+      val want = a.zip(b).map { case (x, y) => BigInt(x.toInt) * BigInt(y.toInt) }.sum
+      assert(BigInt(Sq8Util.dot(a, b)) === want)
+    }
+    // length mismatch: shorter prefix only (defensive, mirrors vec_dot)
+    assert(Sq8Util.dot(Array[Byte](2, 3), Array[Byte](5)) === 10L)
+  }
 }

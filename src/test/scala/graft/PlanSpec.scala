@@ -225,4 +225,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("s6 SQ8 top-k: codegen'd encode+dot, TakeOrdered, no exchange, no Window") {
+    val em = graft.core.Tables.embeddings(spark, sf)
+    val query = em.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val p = graft.operators.Similarity
+      .sq8TopK(em.filter(col("vec_id") =!= 0), "vec_id", "embedding", query, 10)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // quantize + score are row-local expressions inside the scan stage;
+    // the only data movement is TakeOrdered's k-row gather
+    assert(p.contains("sq8_dot") && p.contains("sq8_encode"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("t16_source_cap: ONE exchange (hash by source), rank+filter map-side after") {
+    val p = planOf("t16_source_cap")
+    // per-key window: exactly one hash partitioning on the key — no
+    // global (single-partition) sort, no extra shuffle for the filter
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(source"), p)
+    assert(!p.contains("SinglePartition"), p)
+    // the "(n) Exchange" detail headers count physical exchanges exactly
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
+  }
 }

@@ -123,4 +123,32 @@ class RecallSpec extends AnyFunSuite {
     assert(r2 >= 0.95, s"bands=2 recall regressed: $r2 < 0.96")
     assert(r4 >= 0.99, s"bands=4 recall regressed: $r4 < 1.00")
   }
+
+  test("SQ8 quantized top-k (s6 shape): pinned code-rank recall, rerank = exact") {
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = em.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val per = queries.map { case (qid, query) =>
+      val corpus = em.filter(col("vec_id") =!= qid)
+      val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", query, 10)
+        .collect().map(_.getLong(0))
+      val codeRank = Similarity.sq8TopK(corpus, "vec_id", "embedding", query, 10)
+        .collect().map(_.getLong(0)).toSet
+      // two-stage refinement: top-50 by code score, exact cosine re-sort —
+      // on this corpus the candidate set always contains the true top-10,
+      // so the rerank path must EQUAL brute force (order included)
+      val reranked = Similarity
+        .sq8TopK(corpus, "vec_id", "embedding", query, 10, rerank = 50)
+        .collect().map(_.getLong(0))
+      assert(reranked.toSeq === brute.toSeq,
+        s"rerank path diverged from brute force for query $qid")
+      codeRank.intersect(brute.toSet).size / 10.0
+    }
+    val recall = per.sum / per.length
+    info(s"sq8TopK code-rank mean recall@10 over 10 queries: $recall")
+    // pinned floor: measured 0.95 at gate creation (sf0.01, queries 0-9);
+    // recall moves in steps of 0.01, so any single lost neighbor fails
+    assert(recall >= 0.945, s"SQ8 code-rank recall regressed: $recall < 0.95")
+  }
 }

@@ -52,6 +52,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(states.filter(col("status") === "completed").count() >= 1)
   }
 
+  test("streamingExactDedup: first occurrence wins across batches (unbounded mode)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingJobs.streamingExactDedup(
+      mem.toDF().toDF("doc_id", "text"), "text")
+    val q = out.writeStream.format("memory").queryName("dedup_unbounded")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, "doc-a"), (2L, "doc-a"), (3L, "doc-b"))
+      q.processAllAvailable()
+      // cross-batch: the state store remembers doc-a and doc-b
+      mem.addData((4L, "doc-b"), (5L, "doc-c"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_unbounded")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === Seq(1L, 3L, 5L))
+      // the dedup column is internal — it must not leak into the output
+      assert(!spark.table("dedup_unbounded").columns.contains("__content_hash"))
+    } finally q.stop()
+  }
+
+  test("streamingExactDedup: watermarked mode drops in-window dups, evicts old state") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val out = StreamingJobs.streamingExactDedup(
+      mem.toDF().toDF("doc_id", "text", "ts"), "text",
+      tsCol = Some("ts"), lateness = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("dedup_wm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, "doc-a", ts(10)), (2L, "doc-a", ts(11)), (3L, "doc-b", ts(12)))
+      q.processAllAvailable()
+      // watermark is now 12s - 10s = 2s; doc-a's state is still live
+      mem.addData((4L, "doc-c", ts(100)))
+      q.processAllAvailable()
+      // watermark is now 90s: doc-a's seen-hash (expiry 10s + 10s = 20s)
+      // has been EVICTED — the same content passes again, which is the
+      // bounded-state contract (in-window exact, out-of-window best-effort)
+      mem.addData((5L, "doc-a", ts(200)))
+      q.processAllAvailable()
+      val got = spark.table("dedup_wm")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === Seq(1L, 3L, 4L, 5L))
+    } finally q.stop()
+  }
+
   test("slotStream pacing law: never emits slots faster than the chain (R1 fix)") {
     // mainnet cadence: 12 s per slot. Simulate 120 s of rate-source ticks —
     // exactly slots start..start+10 may be emitted, one per period, and at
