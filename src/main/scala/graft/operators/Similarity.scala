@@ -226,6 +226,52 @@ object Similarity {
         (col("pos") + 1).as("rnk"), col("col.score").as("cosine"))
   }
 
+  /** Batch SQ8 ANN — [[topKJoin]]'s shape with a quantized prefilter:
+    *
+    *  1. scan 1 scores every (corpus row, query) with the INTEGER code
+    *     dot ([[graft.functions.Sq8Dot]] over [[graft.functions.Sq8Encode]]
+    *     codes — at 100 TB the code column would be materialized once,
+    *     making this scan read 4x less than float32) and keeps
+    *     `overfetch * k` survivors per query via the map-side bounded
+    *     [[BoundedTopK]];
+    *  2. the survivor id set (|Q| * overfetch * k rows — tiny) broadcasts
+    *     back against the corpus, so the exact float cosine runs ONLY on
+    *     survivors; a second bounded top-k emits the final k.
+    *
+    * The expensive float math thus touches overfetch*k rows per query
+    * instead of the whole corpus, and neither scan shuffles corpus data.
+    * Output matches [[topKJoin]]: (qId, cId, rnk, cosine). */
+  def sq8TopKJoin(
+      queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+      qVec: String, cVec: String, k: Int, overfetch: Int = 4,
+      excludeSelf: Boolean = false): DataFrame = {
+    val q = broadcast(queries.select(
+      col(qId).as("__q_id"), col(qVec).as("__q_vec"),
+      sq8_encode(col(qVec)).as("__q_code")))
+    val scored = corpus
+      .select(col(cId), sq8_encode(col(cVec)).as("__c_code"))
+      .crossJoin(q.select(col("__q_id"), col("__q_code")))
+    val filtered =
+      if (excludeSelf) scored.filter(col(cId) =!= col("__q_id")) else scored
+    // integer scores are exact in double up to 2^53 (dim * 127^2 << that)
+    val survivors = filtered
+      .withColumn("__qs", sq8_dot(col("__c_code"), col("__q_code")).cast("double"))
+      .groupBy(col("__q_id"))
+      .agg(TopK.topkAgg(math.max(k, overfetch * k))(col("__qs"), col(cId).cast("long"))
+        .as("topk"))
+      .select(col("__q_id"), explode(col("topk.id")).as("__c_id"))
+    corpus.select(col(cId), col(cVec))
+      .join(broadcast(survivors), col(cId).cast("long") === col("__c_id"))
+      .join(q.select(col("__q_id"), col("__q_vec")), "__q_id")
+      .withColumn("__cos", vec_cosine(col(cVec), col("__q_vec")))
+      .groupBy(col("__q_id"))
+      .agg(TopK.topkAgg(k)(col("__cos"), col(cId).cast("long")).as("topk"))
+      .select(col("__q_id").as(qId), posexplode(col("topk")))
+      .select(
+        col(qId), col("col.id").as(cId),
+        (col("pos") + 1).as("rnk"), col("col.score").as("cosine"))
+  }
+
   /** Driver-side Lloyd k-means over a bounded sample — the IVF coarse
     * quantizer. Deterministic for a fixed seed; centroids are broadcast as
     * plan literals. Sample stays small (driver holds sampleN * dim

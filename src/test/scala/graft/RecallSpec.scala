@@ -151,4 +151,28 @@ class RecallSpec extends AnyFunSuite {
     // recall moves in steps of 0.01, so any single lost neighbor fails
     assert(recall >= 0.945, s"SQ8 code-rank recall regressed: $recall < 0.95")
   }
+
+  test("SQ8 batch top-k join (s5 shape): prefilter+rerank vs exact topKJoin") {
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = em.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    def keyed(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.collect().map(r =>
+        (r.getAs[Long]("q_id"), r.getAs[Number]("rnk").longValue()) ->
+          r.getAs[Long]("vec_id")).toMap
+    val exact = keyed(Similarity.topKJoin(
+      queries, em, "q_id", "vec_id", "embedding", "embedding", k = 3,
+      excludeSelf = true))
+    val got = keyed(Similarity.sq8TopKJoin(
+      queries, em, "q_id", "vec_id", "embedding", "embedding", k = 3,
+      overfetch = 8, excludeSelf = true))
+    assert(got.size === exact.size)
+    val agree = exact.count { case (key, id) => got.get(key).contains(id) }
+    val recall = agree.toDouble / exact.size
+    info(s"sq8TopKJoin rank-exact agreement vs topKJoin: $recall")
+    // measured 1.0 at gate creation (sf0.01, 20 queries, k=3, overfetch=8):
+    // the 24-candidate prefilter always contains the true top-3 here, and
+    // the rerank reproduces exact ranks INCLUDING tie-breaks
+    assert(recall >= 0.995, s"sq8TopKJoin diverged from exact: $recall < 1.0")
+  }
 }
