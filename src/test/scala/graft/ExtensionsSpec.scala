@@ -63,6 +63,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(m.getAs[Long]("ms") === 2000L) // 128000 bytes / 64000 B/s
     assert(m.getAs[String]("mp4") === "mp4")
     assert(m.getAs[String]("unk") === "unknown")
+    // SQ8 quantization family: a unit basis vector encodes to one 127 code
+    // and its self-dot is 127^2 exactly
+    val s = spark.sql(
+      """SELECT sq8_dot(
+        |         sq8_encode(array(cast(1.0 as float), cast(0.0 as float))),
+        |         sq8_encode(array(cast(1.0 as float), cast(0.0 as float)))) AS d,
+        |       sq8_encode(array(cast(0.0 as float), cast(0.0 as float))) AS z""".stripMargin)
+      .head()
+    assert(s.getAs[Long]("d") === 127L * 127L)
+    assert(s.getAs[Array[Byte]]("z").toSeq === Seq(0.toByte, 0.toByte))
   }
 
   test("SQL static args: clear plan-time errors for bad word_shingles/minhash_signature calls") {
