@@ -180,11 +180,17 @@ object Similarity {
     * Output: (idCol, score) — or (idCol, cosine) when reranking. */
   def sq8TopK(
       corpus: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Float], k: Int, rerank: Int = 0): DataFrame = {
+      query: Seq[Float], k: Int, rerank: Int = 0,
+      /** name of a PRE-MATERIALIZED code column (e.g. from
+        * [[writeIvfIndex]] with codes) — skips the on-the-fly encode so
+        * the scan touches 1 byte/dim instead of the float vectors until
+        * the rerank stage. */
+      codeCol: Option[String] = None): DataFrame = {
     val qCodes = lit(Sq8Util.encodeFloats(query.toArray))
     val scored = corpus.select(
       col(idCol), col(vecCol).as("__v"),
-      sq8_dot(sq8_encode(col(vecCol)), qCodes).as("score"))
+      sq8_dot(codeCol.map(col).getOrElse(sq8_encode(col(vecCol))), qCodes)
+        .as("score"))
     if (rerank <= 0)
       scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
         .select(col(idCol), col("score"))
@@ -327,10 +333,20 @@ object Similarity {
     * write is a single pass with no shuffle beyond the partitioned sink. */
   def writeIvfIndex(
       corpus: DataFrame, vecCol: String, centroids: Array[Array[Float]],
-      dir: String): Unit =
-    ivfAssign(corpus, vecCol, centroids)
+      dir: String,
+      /** also materialize the SQ8 code column (`sq8_code`, 1 byte/dim):
+        * enables the [[ivfSq8TopKIndexed]] serving path, whose probe
+        * scans read the codes and only touch float vectors for rerank
+        * survivors. */
+      withSq8Codes: Boolean = false): Unit = {
+    val assigned = ivfAssign(corpus, vecCol, centroids)
+    val indexed =
+      if (withSq8Codes) assigned.withColumn("sq8_code", sq8_encode(col(vecCol)))
+      else assigned
+    indexed
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("list_id").parquet(dir)
+  }
 
   /** IVF top-k over a materialized [[writeIvfIndex]] directory: identical
     * results to the on-the-fly [[ivfTopK]] (equivalence-tested), but the
@@ -345,6 +361,25 @@ object Similarity {
       .select(col(idCol), vec_cosine(col(vecCol), typedlit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** IVF-SQ8 serving path (FAISS's IVF+SQ8 shape without leaving
+    * parquet + Catalyst): partition-pruned scan of the nProbe probed
+    * lists in a [[writeIvfIndex]] `withSq8Codes` directory, integer
+    * code-dot prefilter to `overfetch * k` candidates, exact-cosine
+    * rerank. The probe thus reads (nProbe/k-lists) of the corpus and
+    * scores it at 1 byte/dim; float vectors only matter for the bounded
+    * rerank set. */
+  def ivfSq8TopKIndexed(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      idCol: String, vecCol: String, query: Seq[Float],
+      k: Int, centroids: Array[Array[Float]], nProbe: Int,
+      overfetch: Int = 4): DataFrame = {
+    val probeLists = probedLists(centroids, query, nProbe)
+    val pruned = spark.read.parquet(indexDir)
+      .filter(col("list_id").isin(probeLists: _*))
+    sq8TopK(pruned, idCol, vecCol, query, k,
+      rerank = overfetch * k, codeCol = Some("sq8_code"))
   }
 
   /** The nProbe centroid ids closest (by cosine) to the query — shared by

@@ -230,6 +230,20 @@ class ExtensionsSpec extends AnyFunSuite {
     val scan = indexed.queryExecution.executedPlan.toString
     val pf = scan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(pf.contains("list_id"), scan.take(2000))
+
+    // IVF-SQ8: code-materialized index, quantized prefilter + exact
+    // rerank recovers the SAME probed answer (the prefilter's 40
+    // candidates out of ~3 lists always contain the true top-10 here)
+    val sqDir = java.nio.file.Files.createTempDirectory("graft_ivf_sq8").toString
+    graft.operators.Similarity.writeIvfIndex(
+      corpus, "embedding", centroids, sqDir, withSq8Codes = true)
+    assert(spark.read.parquet(sqDir).columns.contains("sq8_code"))
+    val sq = graft.operators.Similarity.ivfSq8TopKIndexed(
+      spark, sqDir, "vec_id", "embedding", query, 10, centroids, nProbe = 3)
+    assert(sq.collect().map(_.getLong(0)).toSet === probed)
+    val sqScan = sq.queryExecution.executedPlan.toString
+    val sqPf = sqScan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(sqPf.contains("list_id"), sqScan.take(2000))
   }
 
   test("nearDupGroups: LSH -> jaccard -> connected components finds chains") {
