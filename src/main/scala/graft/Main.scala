@@ -18,6 +18,10 @@ import org.apache.spark.sql.SparkSession
   * graft status --base DIR
   * graft fork info --slot S [--network gnosis|mainnet]
   * graft fork list [--network gnosis|mainnet]
+  * graft corpus dedup  --in DIR --out DIR [--id-col c] [--text-col c] [--threshold 0.8]
+  * graft corpus cap    --in DIR --out DIR --key-col c [--cap N] [--id-col c]
+  * graft corpus sample --in DIR --out DIR --pct P [--id-col c]
+  * graft corpus stats  --in DIR [--id-col c] [--text-col c]
   * }}}
   *
   * `--base DIR` holds `raw_blocks/`, `tables/`, `load_state_chunks/`,
@@ -64,9 +68,69 @@ object Main {
     case "fork" :: "list" :: rest =>
       cfgOf(rest.toArray).forks.foreach(f => println(s"${f.name}\tepoch=${f.epoch}\tversion=${f.version}"))
     case "fork" :: "detect" :: rest => forkDetect(rest.toArray)
+    case "corpus" :: cmd :: rest if Set("dedup", "cap", "sample", "stats")(cmd) =>
+      val spark = session()
+      try corpusRun(spark, cmd, rest.toArray) finally spark.stop()
     case _ =>
-      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|status|fork info|fork list|fork detect --sample} [options]")
+      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|status|fork info|fork list|fork detect --sample|corpus dedup|cap|sample|stats} [options]")
       sys.exit(2)
+  }
+
+  /** `graft corpus <dedup|cap|sample|stats>` — the training-data curation
+    * operators ([[graft.operators.Dedup]], [[graft.operators.Sampling]],
+    * [[graft.operators.TextAnalysis]]) as batch CLI verbs over parquet
+    * corpora. Session-injected so tests drive it on the shared fixture. */
+  private[graft] def corpusRun(
+      spark: SparkSession, cmd: String, args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val in = opt(args, "in").getOrElse(sys.error("--in required"))
+    val idCol = opt(args, "id-col").getOrElse("doc_id")
+    val textCol = opt(args, "text-col").getOrElse("text")
+    val docs = spark.read.parquet(in)
+    def outDir: String = opt(args, "out").getOrElse(sys.error("--out required"))
+    cmd match {
+      case "dedup" =>
+        val threshold = opt(args, "threshold").map(_.toDouble).getOrElse(0.8)
+        val out = outDir
+        val groups = graft.operators.Dedup
+          .nearDupGroups(docs, idCol, textCol, jaccardThreshold = threshold)
+          .persist()
+        val keep = groups.filter(col("is_representative")).select(col(idCol))
+        docs.join(keep, Seq(idCol), "left_semi")
+          .write.mode("overwrite").parquet(out)
+        val total = docs.count()
+        val kept = spark.read.parquet(out).count()
+        groups.unpersist(blocking = false)
+        println(s"[graft] corpus dedup: $total docs -> $kept kept " +
+          s"(${total - kept} near-dups dropped, threshold $threshold)")
+      case "cap" =>
+        val keyCol = opt(args, "key-col").getOrElse(sys.error("--key-col required"))
+        val cap = opt(args, "cap").map(_.toInt).getOrElse(1000)
+        val out = outDir
+        graft.operators.Sampling.perKeyCap(docs, idCol, keyCol, cap)
+          .drop("rk").write.mode("overwrite").parquet(out)
+        val total = docs.count()
+        val kept = spark.read.parquet(out).count()
+        println(s"[graft] corpus cap: $total docs -> $kept kept " +
+          s"(<= $cap per $keyCol)")
+      case "sample" =>
+        val pct = opt(args, "pct").map(_.toDouble)
+          .getOrElse(sys.error("--pct required"))
+        val out = outDir
+        graft.operators.Sampling.deterministicSample(docs, idCol, pct)
+          .write.mode("overwrite").parquet(out)
+        println(s"[graft] corpus sample: kept ${spark.read.parquet(out).count()} " +
+          s"of ${docs.count()} docs (pct $pct, hash-deterministic)")
+      case "stats" =>
+        val q = graft.operators.TextAnalysis.qualityFilter(docs, textCol)
+        val r = q.agg(
+          count(lit(1)).as("docs"),
+          sum(graft.operators.TextAnalysis.tokenCount(col(textCol)).cast("long"))
+            .as("tokens"),
+          sum(when(col("quality_ok"), 1L).otherwise(0L)).as("quality_ok")).head()
+        println(s"[graft] corpus stats: docs=${r.getLong(0)} " +
+          s"tokens=${r.getLong(1)} quality_ok=${r.getLong(2)}")
+    }
   }
 
   /** `fork detect --sample` — the legacy sampling fallback for spec-less

@@ -943,4 +943,43 @@ class PipelineSpec extends AnyFunSuite {
       .select("parameter_name", "parameter_value").orderBy("parameter_name")
       .collect().toSeq)
   }
+
+  test("corpus CLI verbs: dedup drops the planted near-dup, cap/sample/stats run (D10)") {
+    import spark.implicits._
+    val base = tmp()
+    val long = (1 to 100).map(i => s"w$i").mkString(" ")
+    // docs 0/1 near-dup (one-word edit); 2-21 distinct, all source "hot";
+    // 22-23 distinct, source "cold"
+    val rows =
+      Seq((0L, long, "hot"), (1L, long.replace(" w50 ", " w50x "), "hot")) ++
+        (2L to 21L).map(i =>
+          (i, (1 to 60).map(j => s"u${i}_$j").mkString(" "), "hot")) ++
+        Seq((22L, "alpha beta gamma delta epsilon zeta", "cold"),
+          (23L, "eta theta iota kappa lambda mu", "cold"))
+    rows.toDF("doc_id", "text", "source").write.parquet(s"$base/in")
+
+    Main.corpusRun(spark, "dedup",
+      Array("--in", s"$base/in", "--out", s"$base/dedup"))
+    val deduped = spark.read.parquet(s"$base/dedup")
+    assert(deduped.count() === 23) // doc 1 dropped, representative 0 kept
+    assert(deduped.filter(col("doc_id") === 0).count() === 1)
+    assert(deduped.filter(col("doc_id") === 1).count() === 0)
+    // full rows survive, not just ids
+    assert(deduped.columns.toSet === Set("doc_id", "text", "source"))
+
+    Main.corpusRun(spark, "cap",
+      Array("--in", s"$base/in", "--out", s"$base/cap",
+        "--key-col", "source", "--cap", "5"))
+    val capped = spark.read.parquet(s"$base/cap")
+    assert(capped.filter(col("source") === "hot").count() === 5)
+    assert(capped.filter(col("source") === "cold").count() === 2)
+    assert(!capped.columns.contains("rk"))
+
+    Main.corpusRun(spark, "sample",
+      Array("--in", s"$base/in", "--out", s"$base/sample", "--pct", "1.0"))
+    assert(spark.read.parquet(s"$base/sample").count() === 24) // pct=1 keeps all
+
+    // stats only prints — it must run cleanly on the same corpus
+    Main.corpusRun(spark, "stats", Array("--in", s"$base/in"))
+  }
 }
