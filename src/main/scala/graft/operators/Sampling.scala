@@ -84,6 +84,37 @@ object Sampling {
     }
   }
 
+  /** Mixture up-sampling — repeat each row toward its stratum's target
+    * weight, the other half of mixture construction (down-weighting is
+    * [[stratifiedSample]]). Weight w yields floor(w) copies plus one
+    * extra for the deterministic [[hashKey]] slice of size frac(w), so
+    * expected copies per row = w exactly and the extra-copy set NESTS
+    * with [[deterministicSample]]'s (same hash stream: the docs that get
+    * the extra epoch are the ones a frac(w) sample would keep). Weight 0
+    * drops the stratum. Emits 1-based `repCol` so downstream
+    * shard-writers can keep copies apart. Pure codegen'd CASE chain +
+    * explode — no shuffle, no join, no RNG. */
+  def upsampleByWeight(
+      df: DataFrame, idCol: String, stratumCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      repCol: String = "rep"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0.0),
+      "negative mixture weight")
+    def base(w: Double): Int = math.floor(w).toInt
+    def bound(w: Double): String = boundaryHex(w - math.floor(w))
+    val baseCol = weights.toSeq.sortBy(_._1).foldLeft(lit(base(defaultWeight))) {
+      case (acc, (s, w)) => when(col(stratumCol) === s, lit(base(w))).otherwise(acc)
+    }
+    val boundCol = weights.toSeq.sortBy(_._1).foldLeft(lit(bound(defaultWeight))) {
+      case (acc, (s, w)) => when(col(stratumCol) === s, lit(bound(w))).otherwise(acc)
+    }
+    df.withColumn("__n_copies",
+        baseCol + when(hashKey(col(idCol)) < boundCol, 1).otherwise(0))
+      .filter(col("__n_copies") > 0)
+      .withColumn(repCol, explode(sequence(lit(1), col("__n_copies"))))
+      .drop("__n_copies")
+  }
+
   /** Per-key frequency cap — the "at most N documents per domain /
     * source / site" curation primitive (over-represented hosts otherwise
     * dominate a crawl-derived corpus). Deterministic: within a key, rows

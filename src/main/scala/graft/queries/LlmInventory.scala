@@ -317,6 +317,15 @@ object LlmInventory {
     Sampling.perKeyCap(documents(s, d), "doc_id", "source", cap = 10)
       .select(col("doc_id"), col("source"), col("rk"))
 
+  /** t17: mixture up-sampling ([[Sampling.upsampleByWeight]]) — src0 at
+    * 2.5 epochs, src1 at 0.5, everything else at 1.0. Copy counts are
+    * floor(w) plus the md5-slice extra, so the repeated rows AND their
+    * rep indices are integer-deterministic in both engines. */
+  val t17MixtureUpsample: Q = (s, d) =>
+    Sampling.upsampleByWeight(documents(s, d), "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 1.0))
+      .select(col("doc_id"), col("source"), col("rep").cast("long").as("rep"))
+
   // --- Repetition / contamination gates ---------------------------------
 
   /** t9: Gopher-style word-repetition signals — top-word fraction and
@@ -562,6 +571,7 @@ object LlmInventory {
     "t14_skew_agg" -> t14SkewAgg,
     "t15_winnow_fingerprint" -> t15WinnowFingerprint,
     "t16_source_cap" -> t16SourceCap,
+    "t17_mixture_upsample" -> t17MixtureUpsample,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1196,5 +1206,25 @@ object LlmInventory {
         |           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
         |  FROM documents) t
         |WHERE rk <= 10""".stripMargin,
+    // copies = floor(w) + md5-slice extra; frac(2.5)=frac(0.5)=0.5 ->
+    // boundary 0x8000, frac 0 -> boundary 0x0000 (empty slice); the
+    // bounded cross-join + filter mirrors Spark's explode(sequence)
+    "t17_mixture_upsample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(floor(CASE source WHEN 'src0' THEN 2.5
+        |                                WHEN 'src1' THEN 0.5
+        |                                WHEN 'src2' THEN 1.0
+        |                                ELSE 1.0 END) AS INT) +
+        |         CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) <
+        |                   (CASE source WHEN 'src0' THEN '8000'
+        |                                WHEN 'src1' THEN '8000'
+        |                                WHEN 'src2' THEN '0000'
+        |                                ELSE '0000' END)
+        |              THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents)
+        |SELECT doc_id, source, r.rep
+        |FROM t CROSS JOIN range(1, 8) r(rep)
+        |WHERE r.rep <= n_copies""".stripMargin,
   )
 }

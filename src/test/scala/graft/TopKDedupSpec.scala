@@ -258,6 +258,29 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(at25 === flat)
   }
 
+  test("Sampling.upsampleByWeight: copies = floor(w) + nested hash slice, weight-0 drops") {
+    import graft.operators.Sampling
+    val rows = (0L until 6000L).map(i => (i, s"dom${i % 3}")).toDF("id", "dom")
+    val up = Sampling.upsampleByWeight(rows, "id", "dom",
+      Map("dom0" -> 2.5, "dom1" -> 0.0), defaultWeight = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byDom = up.groupBy(_._2).view.mapValues(_.length).toMap
+    // dom0 at 2.5: every row twice + ~half a third time
+    assert(byDom("dom0") > 2000 * 2.3 && byDom("dom0") < 2000 * 2.7, byDom)
+    assert(!byDom.contains("dom1")) // weight 0 drops the stratum
+    assert(byDom("dom2") === 2000)  // default weight 1.0 = exactly once
+    // rep indices are a dense 1..n per row
+    val reps = up.filter(_._2 == "dom0").groupBy(_._1).view.mapValues(_.map(_._3).sorted)
+    assert(reps.values.forall(s => s.toSeq == (1 to s.length)))
+    // nesting: the rows granted the 3rd copy at 2.5 are EXACTLY the
+    // deterministicSample(0.5) rows of the stratum (same hash stream)
+    val third = up.filter(t => t._2 == "dom0" && t._3 == 3).map(_._1).toSet
+    val half = Sampling.deterministicSample(
+      rows.filter(col("dom") === "dom0"), "id", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(third === half)
+  }
+
   test("tokenBudgetSelect: deterministic prefix under the budget, ties by id, partition-independent") {
     import graft.operators.Sampling
     // priority ties everywhere: selection must fall back to id order
