@@ -18,10 +18,12 @@ import org.apache.spark.sql.SparkSession
   * graft status --base DIR
   * graft fork info --slot S [--network gnosis|mainnet]
   * graft fork list [--network gnosis|mainnet]
-  * graft corpus dedup  --in DIR --out DIR [--id-col c] [--text-col c] [--threshold 0.8]
-  * graft corpus cap    --in DIR --out DIR --key-col c [--cap N] [--id-col c]
-  * graft corpus sample --in DIR --out DIR --pct P [--id-col c]
-  * graft corpus stats  --in DIR [--id-col c] [--text-col c]
+  * graft corpus dedup    --in DIR --out DIR [--id-col c] [--text-col c] [--threshold 0.8]
+  * graft corpus cap      --in DIR --out DIR --key-col c [--cap N] [--id-col c]
+  * graft corpus sample   --in DIR --out DIR --pct P [--id-col c]
+  * graft corpus upsample --in DIR --out DIR --key-col c --weights k=w,k=w [--default-weight 1.0] [--id-col c]
+  * graft corpus export   --in DIR --out DIR --shards N [--id-col c]
+  * graft corpus stats    --in DIR [--id-col c] [--text-col c]
   * }}}
   *
   * `--base DIR` holds `raw_blocks/`, `tables/`, `load_state_chunks/`,
@@ -68,7 +70,8 @@ object Main {
     case "fork" :: "list" :: rest =>
       cfgOf(rest.toArray).forks.foreach(f => println(s"${f.name}\tepoch=${f.epoch}\tversion=${f.version}"))
     case "fork" :: "detect" :: rest => forkDetect(rest.toArray)
-    case "corpus" :: cmd :: rest if Set("dedup", "cap", "sample", "stats")(cmd) =>
+    case "corpus" :: cmd :: rest
+        if Set("dedup", "cap", "sample", "upsample", "export", "stats")(cmd) =>
       val spark = session()
       try corpusRun(spark, cmd, rest.toArray) finally spark.stop()
     case _ =>
@@ -121,6 +124,36 @@ object Main {
           .write.mode("overwrite").parquet(out)
         println(s"[graft] corpus sample: kept ${spark.read.parquet(out).count()} " +
           s"of ${docs.count()} docs (pct $pct, hash-deterministic)")
+      case "upsample" =>
+        val keyCol = opt(args, "key-col").getOrElse(sys.error("--key-col required"))
+        val weights = opt(args, "weights").getOrElse(sys.error("--weights required"))
+          .split(",").map { kv =>
+            val Array(k, w) = kv.split("=", 2)
+            k -> w.toDouble
+          }.toMap
+        val defaultW = opt(args, "default-weight").map(_.toDouble).getOrElse(1.0)
+        val out = outDir
+        graft.operators.Sampling
+          .upsampleByWeight(docs, idCol, keyCol, weights, defaultW)
+          .write.mode("overwrite").parquet(out)
+        println(s"[graft] corpus upsample: ${docs.count()} docs -> " +
+          s"${spark.read.parquet(out).count()} rows (weights $weights, " +
+          s"default $defaultW)")
+      case "export" =>
+        val shards = opt(args, "shards").map(_.toInt)
+          .getOrElse(sys.error("--shards required"))
+        val out = outDir
+        // deterministic shard = hash bucket of the id (reproducible across
+        // runs/engines, unlike round-robin repartition), one file per
+        // shard, rows id-sorted within a shard for stable reads
+        docs
+          .withColumn("shard",
+            pmod(xxhash64(col(idCol)), lit(shards.toLong)).cast("int"))
+          .repartition(shards, col("shard"))
+          .sortWithinPartitions(col("shard"), col(idCol))
+          .write.mode("overwrite").partitionBy("shard").parquet(out)
+        println(s"[graft] corpus export: ${spark.read.parquet(out).count()} rows " +
+          s"into $shards hash shards at $out")
       case "stats" =>
         val q = graft.operators.TextAnalysis.qualityFilter(docs, textCol)
         val r = q.agg(

@@ -979,6 +979,26 @@ class PipelineSpec extends AnyFunSuite {
       Array("--in", s"$base/in", "--out", s"$base/sample", "--pct", "1.0"))
     assert(spark.read.parquet(s"$base/sample").count() === 24) // pct=1 keeps all
 
+    Main.corpusRun(spark, "upsample",
+      Array("--in", s"$base/in", "--out", s"$base/up",
+        "--key-col", "source", "--weights", "cold=3.0", "--default-weight", "1.0"))
+    val up = spark.read.parquet(s"$base/up")
+    assert(up.filter(col("source") === "cold").count() === 6) // 2 docs x 3
+    assert(up.filter(col("source") === "hot").count() === 22) // weight 1
+    assert(up.columns.contains("rep"))
+
+    Main.corpusRun(spark, "export",
+      Array("--in", s"$base/in", "--out", s"$base/shards", "--shards", "4"))
+    val exported = spark.read.parquet(s"$base/shards")
+    assert(exported.count() === 24)
+    // shard is a pure function of the id: re-export shards identically
+    Main.corpusRun(spark, "export",
+      Array("--in", s"$base/in", "--out", s"$base/shards2", "--shards", "4"))
+    val a = exported.select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = spark.read.parquet(s"$base/shards2")
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a === b)
+
     // stats only prints — it must run cleanly on the same corpus
     Main.corpusRun(spark, "stats", Array("--in", s"$base/in"))
   }

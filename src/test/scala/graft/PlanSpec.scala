@@ -241,6 +241,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("t17_mixture_upsample: pure per-row explode — no shuffle, no join") {
+    val p = planOf("t17_mixture_upsample")
+    assert(p.contains("Generate"), p) // the explode(sequence(...))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("t16_source_cap: ONE exchange (hash by source), rank+filter map-side after") {
     val p = planOf("t16_source_cap")
     // per-key window: exactly one hash partitioning on the key — no
