@@ -389,4 +389,32 @@ object Dedup {
       .filter(col("cosine") >= threshold)
     materializeAndRelease(pairs, buckets)
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * embedding near-dup pairs ([[embeddingNearDupPairs]]: hyperplane-LSH
+    * buckets, exact cosine ≥ threshold within bucket) → connected
+    * components → one representative (min id) per semantic cluster.
+    * Output mirrors [[nearDupGroups]]: (idCol, group, is_representative);
+    * rows with `is_representative = false` are the semantic duplicates a
+    * curation run drops. The 100 TB shape is the same as the text near-dup
+    * pipeline: bucketing is per-row expressions, the only quadratic work
+    * is within-bucket, and the component graph (confirmed near-dups only)
+    * is orders of magnitude smaller than the corpus. */
+  def semanticDedupGroups(
+      df: DataFrame, idCol: String, vecCol: String,
+      planes: Int, seed: Long, threshold: Double, bands: Int = 1,
+      md5Family: Boolean = false): DataFrame = {
+    // keep a handle on the PERSISTED frame — unpersist must target the
+    // exact cached plan, not a .select derivative of it
+    val cached = embeddingNearDupPairs(
+      df, idCol, vecCol, planes, seed, threshold, bands, md5Family)
+    val comps = connectedComponents(cached.select("d1", "d2"))
+    cached.unpersist(blocking = false)
+    df.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("component"), col("id")).as("group"))
+      .withColumn("is_representative", col(idCol) === col("group"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables._
-import graft.operators.{Decontam, Dedup, Multimodal, Sampling, Similarity, Skew, TextAnalysis}
+import graft.operators.{Decontam, Dedup, LmScore, Multimodal, Sampling, Similarity, Skew, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -167,6 +167,18 @@ object LlmInventory {
       planes = 8, seed = 42L, threshold = 0.35, bands = 2, md5Family = true)
       .select("d1", "d2")
       .orderBy("d1", "d2")
+
+  /** Semantic dedup end to end (the SemDeDup corpus-curation shape):
+    * d7's oracle-checked embedding near-dup pairs → connected components
+    * → min-id representative per semantic cluster. The oracle reuses
+    * d7's pair SQL verbatim and d9's recursive-CTE component
+    * construction, so the full semantic-dedup verdict (who is kept, who
+    * is dropped, which cluster) hash-matches. */
+  val s7SemanticDedup: Q = (s, d) =>
+    Dedup.semanticDedupGroups(
+      embeddings(s, d), "vec_id", "embedding",
+      planes = 8, seed = 42L, threshold = 0.35, bands = 2, md5Family = true)
+      .orderBy("vec_id")
 
   // --- Similarity search ------------------------------------------------
 
@@ -350,6 +362,19 @@ object LlmInventory {
       docs.filter(col("doc_id") % 97 =!= 0),
       docs.filter(col("doc_id") % 97 === 0),
       "doc_id", "text", w = 4)
+  }
+
+  /** Bigram-LM novelty scoring (CCNet/KenLM quality-filter shape): each
+    * doc scored by the fraction of its token bigrams absent from a
+    * reference slice's vocabulary (sources src0/src1 as the "curated"
+    * domain). Exact integer counts + one IEEE division, broadcast
+    * reference vocabulary — hash-checked end to end. */
+  val t18LmNovelty: Q = (s, d) => {
+    val docs = documents(s, d)
+    LmScore.bigramNovelty(
+      docs, docs.filter(col("source").isin("src0", "src1")),
+      "doc_id", "text")
+      .orderBy("doc_id")
   }
 
   // --- Multimodal -------------------------------------------------------
@@ -550,6 +575,7 @@ object LlmInventory {
     "t6_quality_filter" -> t6QualityFilter,
     "d6_simhash" -> d6Simhash,
     "d7_embedding_near_dup" -> d7EmbeddingNearDup,
+    "s7_semantic_dedup" -> s7SemanticDedup,
     "s1_cosine_topk" -> s1CosineTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_label_buckets" -> s3LabelBuckets,
@@ -563,6 +589,7 @@ object LlmInventory {
     "t13_token_budget" -> t13TokenBudget,
     "t10_top_ngram" -> t10TopNgram,
     "t11_decontam" -> t11Decontam,
+    "t18_lm_novelty" -> t18LmNovelty,
     "m1_binary_meta" -> m1BinaryMeta,
     "m2_image_meta" -> m2ImageMeta,
     "m3_frame_windows" -> m3FrameWindows,
@@ -731,6 +758,29 @@ object LlmInventory {
         |FROM sh s JOIN bench b USING (shingle)
         |WHERE s.doc_id % 97 <> 0
         |GROUP BY s.doc_id""".stripMargin,
+    // multiplicity-preserving bigrams (no list_distinct on the doc side),
+    // reference vocabulary distinct over src0/src1, LEFT JOIN + null-count,
+    // one final IEEE division
+    "t18_lm_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents),
+        |ref AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM tok WHERE source IN ('src0', 'src1')),
+        |bgs AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM tok),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |         count(*) AS n_bigrams,
+        |         sum(CASE WHEN r.bg IS NULL THEN 1 ELSE 0 END) AS n_unseen
+        |  FROM bgs b LEFT JOIN ref r ON b.bg = r.bg
+        |  GROUP BY b.doc_id)
+        |SELECT doc_id, n_bigrams::BIGINT AS n_bigrams, n_unseen::BIGINT AS n_unseen,
+        |       CAST(n_unseen AS DOUBLE) / n_bigrams AS novelty
+        |FROM scored ORDER BY doc_id""".stripMargin,
     "d3_token_overlap" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
@@ -969,6 +1019,36 @@ object LlmInventory {
         |  ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
         |ORDER BY d1, d2""".stripMargin,
+    // d7's pair SQL + d9's recursive-CTE components: min reachable id over
+    // the symmetrized near-dup edges == the union-find min-of-cluster label
+    "s7_semantic_dedup" ->
+      """WITH RECURSIVE sigs AS (
+        |  SELECT vec_id, embedding, band,
+        |    sum(CASE WHEN dot > 0 THEN 1<<i ELSE 0 END)::BIGINT AS sig
+        |  FROM (
+        |    SELECT vec_id, embedding, b.band AS band, i.i AS i,
+        |      list_reduce(list_transform(range(1, len(embedding)+1),
+        |        j -> CASE WHEN ('0x'||substr(md5((42+b.band)::VARCHAR||'#'||i.i::VARCHAR||'#'||(j-1)::VARCHAR),1,1))::INT < 8
+        |             THEN CAST(embedding[j] AS DOUBLE) ELSE -CAST(embedding[j] AS DOUBLE) END),
+        |        (a,b2) -> a+b2) AS dot
+        |    FROM embeddings CROSS JOIN range(0, 2) b(band) CROSS JOIN range(0, 8) i(i))
+        |  GROUP BY vec_id, embedding, band),
+        |pairs AS (
+        |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+        |  FROM sigs a JOIN sigs b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35),
+        |edges AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT d1, d1 FROM edges
+        |  UNION
+        |  SELECT reach.id, e.d2 FROM reach JOIN edges e ON e.d1 = reach.r),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT e.vec_id,
+        |       coalesce(c.component, e.vec_id) AS "group",
+        |       e.vec_id = coalesce(c.component, e.vec_id) AS is_representative
+        |FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
     "s5_topk_join" ->
       """SELECT q_id, vec_id, rnk FROM (
         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,

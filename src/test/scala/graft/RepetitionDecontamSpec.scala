@@ -142,4 +142,25 @@ class RepetitionDecontamSpec extends AnyFunSuite {
     assert(hits === Set((1L, 1L))) // doc 1 shares "a b c d" with the benchmark
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
   }
+
+  test("LmScore.bigramNovelty: unseen fraction exact; short docs drop; gate keeps them") {
+    import graft.operators.LmScore
+    val ref = Seq((100L, "a b c"), (101L, "c d")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d"), // bigrams: "a b","b c","c d" — all in ref vocab
+      (2L, "a b x y"), // "a b" seen; "b x","x y" unseen -> 2/3
+      (3L, "z z z"),   // "z z" x2 unseen, multiplicity preserved -> 2/2
+      (4L, "solo")     // no bigrams: absent from scores
+    ).toDF("doc_id", "text")
+    val scored = LmScore.bigramNovelty(corpus, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(scored(1L) === ((3L, 0L, 0.0)))
+    assert(scored(2L) === ((3L, 2L, 2.0 / 3)))
+    assert(scored(3L) === ((2L, 2L, 1.0)))
+    assert(!scored.contains(4L))
+    // the gate drops high-novelty docs but KEEPS bigram-less ones
+    val kept = LmScore.familiarityFiltered(corpus, ref, "doc_id", "text", maxNovelty = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L))
+  }
 }

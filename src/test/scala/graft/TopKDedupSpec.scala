@@ -450,4 +450,21 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(fp(1L).size <= windows1 && fp(1L).size >= windows1 / w,
       s"doc1 fingerprint count ${fp(1L).size} outside [${windows1 / w}, $windows1]")
   }
+
+  test("semanticDedupGroups: cosine clusters merge to min-id representative; singletons survive") {
+    // 1,2 identical; 3 a scaled copy of 1 (cosine = 1); 4 orthogonal.
+    // Identical directions always share every hyperplane bucket, so the
+    // cluster {1,2,3} forms regardless of the sampled planes.
+    val em = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(2f, 0f, 0f, 0f)),
+      (4L, Seq(0f, 0f, 0f, 1f))).toDF("id", "vec")
+    val byId = Dedup.semanticDedupGroups(
+        em, "id", "vec", planes = 6, seed = 7L, threshold = 0.9, bands = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(byId === Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)),
+      3L -> ((1L, false)), 4L -> ((4L, true))))
+  }
 }
