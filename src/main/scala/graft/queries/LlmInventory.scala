@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables._
-import graft.operators.{Decontam, Dedup, LmScore, Multimodal, Sampling, Similarity, Skew, TextAnalysis}
+import graft.operators.{Decontam, Dedup, LmScore, Multimodal, Sampling, Similarity, Sketches, Skew, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -377,6 +377,20 @@ object LlmInventory {
       .orderBy("doc_id")
   }
 
+  /** KMV distinct-count sketch vs exact (per-lang distinct bigrams): the
+    * bounded-state bottom-k aggregate ([[graft.operators.Sketches]],
+    * a real `TypedImperativeAggregate` with map-side partials) next to
+    * the exact count it estimates — the sketch-accuracy report a pipeline
+    * publishes. md5-prefix hashes make every held value and the single
+    * final division reproducible in the oracle. */
+  val a9KmvDistinct: Q = (s, d) => {
+    val bgs = documents(s, d)
+      .select(col("lang"), explode(LmScore.bigrams(col("text"))).as("bg"))
+    val sk = Sketches.kmvDistinct(bgs, Seq("lang"), "bg", k = 64)
+    val exact = bgs.groupBy("lang").agg(countDistinct("bg").as("exact_bigrams"))
+    exact.join(sk, Seq("lang")).orderBy("lang")
+  }
+
   // --- Multimodal -------------------------------------------------------
 
   /** Binary-column metadata over text-as-bytes (no real media in testdata):
@@ -590,6 +604,7 @@ object LlmInventory {
     "t10_top_ngram" -> t10TopNgram,
     "t11_decontam" -> t11Decontam,
     "t18_lm_novelty" -> t18LmNovelty,
+    "a9_kmv_distinct" -> a9KmvDistinct,
     "m1_binary_meta" -> m1BinaryMeta,
     "m2_image_meta" -> m2ImageMeta,
     "m3_frame_windows" -> m3FrameWindows,
@@ -781,6 +796,31 @@ object LlmInventory {
         |SELECT doc_id, n_bigrams::BIGINT AS n_bigrams, n_unseen::BIGINT AS n_unseen,
         |       CAST(n_unseen AS DOUBLE) / n_bigrams AS novelty
         |FROM scored ORDER BY doc_id""".stripMargin,
+    // KMV bottom-k over md5-prefix hashes: k-th smallest distinct hash via
+    // a window rank, estimate = (k-1)*16^15 / h_k (one IEEE division);
+    // below saturation the held count is the exact distinct count
+    "a9_kmv_distinct" ->
+      """WITH tok AS (
+        |  SELECT lang, string_split(lower(text), ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT DISTINCT lang, unnest(list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM tok),
+        |r AS (
+        |  SELECT lang, hv,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS nd
+        |  FROM (SELECT DISTINCT lang, ('0x' || substr(md5(bg), 1, 15))::BIGINT AS hv FROM bg)),
+        |agg AS (
+        |  SELECT lang,
+        |         CAST(max(nd) AS BIGINT) AS exact_bigrams,
+        |         CAST(least(max(nd), 64) AS BIGINT) AS n_held,
+        |         max(CASE WHEN rn = 64 THEN hv END) AS h_k
+        |  FROM r GROUP BY lang)
+        |SELECT lang, exact_bigrams, n_held, h_k,
+        |       CASE WHEN n_held < 64 THEN CAST(n_held AS DOUBLE)
+        |            ELSE 63.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE) END AS kmv_estimate
+        |FROM agg ORDER BY lang""".stripMargin,
     "d3_token_overlap" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w

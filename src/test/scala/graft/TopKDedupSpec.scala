@@ -467,4 +467,34 @@ class TopKDedupSpec extends AnyFunSuite {
       1L -> ((1L, true)), 2L -> ((1L, false)),
       3L -> ((1L, false)), 4L -> ((4L, true))))
   }
+
+  test("KmvMinHashes: k smallest DISTINCT values, ascending, across partition merges") {
+    import graft.operators.Sketches
+    // duplicates and shuffled arrival across 7 partitions must not matter
+    val vals = (1L to 50L) ++ (1L to 50L) ++ Seq(0L, 0L)
+    val df = spark.createDataset(scala.util.Random.shuffle(vals)).repartition(7).toDF("h")
+    val mins = df.agg(Sketches.kmvMinHashes(col("h"), 5)).head().getSeq[Long](0)
+    assert(mins === Seq(0L, 1L, 2L, 3L, 4L))
+    // below saturation: every distinct value held, still ascending
+    val small = spark.createDataset(Seq(9L, 3L, 9L, 7L)).toDF("h")
+    assert(small.agg(Sketches.kmvMinHashes(col("h"), 5)).head().getSeq[Long](0)
+      === Seq(3L, 7L, 9L))
+  }
+
+  test("kmvDistinct: exact below saturation (null h_k); (k-1)*2^60/h_k at saturation") {
+    import graft.operators.Sketches
+    val df = (1 to 200).map(i => (if (i <= 40) "small" else "big", s"v$i"))
+      .toDF("g", "v")
+    val out = Sketches.kmvDistinct(df, Seq("g"), "v", k = 64)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getDouble(3)))).toMap
+    // 40 distinct < k: sketch is exact, no k-th hash
+    assert(out("small") === ((40L, None, 40.0)))
+    // 160 distinct > k: saturated; recompute the estimator independently
+    val (nHeld, hk, est) = out("big")
+    assert(nHeld === 64L)
+    val expected = 63.0 * 1152921504606846976.0 / hk.get.toDouble
+    assert(est === expected)
+    assert(est > 100.0 && est < 260.0, s"estimate $est wildly off exact 160")
+  }
 }
