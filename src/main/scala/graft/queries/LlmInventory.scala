@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables._
-import graft.operators.{Decontam, Dedup, LmScore, Multimodal, Sampling, Similarity, Sketches, Skew, TextAnalysis}
+import graft.operators.{BloomSet, Decontam, Dedup, LmScore, Multimodal, Pii, Sampling, Similarity, Sketches, Skew, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -391,6 +391,59 @@ object LlmInventory {
     exact.join(sk, Seq("lang")).orderBy("lang")
   }
 
+  /** PII scrub audit — deterministic emails/phones planted from doc_id
+    * (the corpus text itself is synthetic vocab words), then the
+    * RE2-safe [[graft.operators.Pii]] patterns count and redact them;
+    * output carries md5 of the redacted text so the oracle verifies the
+    * rewrite byte-for-byte, not just the counts. */
+  val t19PiiRedact: Q = (s, d) => {
+    val aug = documents(s, d).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("t"))
+    Pii.piiStats(aug, "doc_id", "t")
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Bloom-filter membership pre-filter, measured: build an 8192-bit
+    * filter over the reference slice's bigrams, probe every other
+    * source's bigrams, and report flagged / actually-present / false
+    * positives / false negatives per lang. The false-negative column
+    * being all zero IS the Bloom guarantee, driver-checked; the handful
+    * of false positives is the tunable cost. */
+  val t20BloomMembership: Q = (s, d) => {
+    val docs = documents(s, d)
+    val isRef = col("source").isin("src0", "src1")
+    val refBg = docs.filter(isRef)
+      .select(explode(LmScore.bigrams(col("text"))).as("bg")).distinct()
+    val bloom = BloomSet.build(refBg, "bg", m = 8192, k = 2)
+    val probes = docs.filter(!isRef)
+      .select(col("lang"), explode(LmScore.bigrams(col("text"))).as("bg"))
+      .distinct()
+    BloomSet.mightContain(probes, "bg", bloom, m = 8192, k = 2)
+      .join(refBg.withColumn("present", lit(1)), Seq("bg"), "left")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_probes"),
+        sum(when(col("might_contain"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("present").isNotNull, 1L).otherwise(0L)).as("n_present"),
+        sum(when(col("might_contain") && col("present").isNull, 1L)
+          .otherwise(0L)).as("n_false_pos"),
+        sum(when(!col("might_contain") && col("present").isNotNull, 1L)
+          .otherwise(0L)).as("n_false_neg"))
+      .orderBy("lang")
+  }
+
   // --- Multimodal -------------------------------------------------------
 
   /** Binary-column metadata over text-as-bytes (no real media in testdata):
@@ -605,6 +658,8 @@ object LlmInventory {
     "t11_decontam" -> t11Decontam,
     "t18_lm_novelty" -> t18LmNovelty,
     "a9_kmv_distinct" -> a9KmvDistinct,
+    "t19_pii_redact" -> t19PiiRedact,
+    "t20_bloom_membership" -> t20BloomMembership,
     "m1_binary_meta" -> m1BinaryMeta,
     "m2_image_meta" -> m2ImageMeta,
     "m3_frame_windows" -> m3FrameWindows,
@@ -821,6 +876,70 @@ object LlmInventory {
         |       CASE WHEN n_held < 64 THEN CAST(n_held AS DOUBLE)
         |            ELSE 63.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE) END AS kmv_estimate
         |FROM agg ORDER BY lang""".stripMargin,
+    // planted PII from doc_id arithmetic, RE2-safe patterns, redacted text
+    // verified via md5 — regexp semantics agree between Java and RE2 on
+    // these explicit character classes
+    "t19_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text ||
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN ' contact user' || doc_id::VARCHAR || '@mail.example.com now'
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+        |                   lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0')
+        |              ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |       md5(regexp_replace(regexp_replace(t,
+        |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |             '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    // the filter is rebuilt relationally: distinct md5 positions of the
+    // reference bigrams packed 63 bits/word (DuckDB's checked << refuses
+    // the sign bit), probes re-hash and test both bits
+    "t20_bloom_membership" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, source, string_split(lower(text), ' ') AS toks FROM documents),
+        |refbg AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM tok WHERE source IN ('src0', 'src1')),
+        |bloom AS (
+        |  SELECT pos // 63 AS word, bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS mask
+        |  FROM (
+        |    SELECT DISTINCT ('0x' || substr(md5(s.seed::VARCHAR || '#' || bg), 1, 15))::BIGINT % 8192 AS pos
+        |    FROM refbg CROSS JOIN range(1, 3) s(seed))
+        |  GROUP BY 1),
+        |probes AS (
+        |  SELECT DISTINCT lang, bg FROM (
+        |    SELECT lang, unnest(list_transform(range(1, len(toks)),
+        |             i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |    FROM tok WHERE source NOT IN ('src0', 'src1'))),
+        |ph AS (
+        |  SELECT lang, bg,
+        |         ('0x' || substr(md5('1#' || bg), 1, 15))::BIGINT % 8192 AS p1,
+        |         ('0x' || substr(md5('2#' || bg), 1, 15))::BIGINT % 8192 AS p2
+        |  FROM probes),
+        |flags AS (
+        |  SELECT ph.lang, ph.bg,
+        |         CASE WHEN ((coalesce(b1.mask, 0) >> CAST(p1 % 63 AS INT)) & 1) = 1
+        |               AND ((coalesce(b2.mask, 0) >> CAST(p2 % 63 AS INT)) & 1) = 1 THEN 1 ELSE 0 END AS flagged,
+        |         CASE WHEN r.bg IS NOT NULL THEN 1 ELSE 0 END AS actual
+        |  FROM ph
+        |  LEFT JOIN bloom b1 ON b1.word = p1 // 63
+        |  LEFT JOIN bloom b2 ON b2.word = p2 // 63
+        |  LEFT JOIN refbg r ON r.bg = ph.bg)
+        |SELECT lang,
+        |       CAST(count(*) AS BIGINT) AS n_probes,
+        |       CAST(sum(flagged) AS BIGINT) AS n_flagged,
+        |       CAST(sum(actual) AS BIGINT) AS n_present,
+        |       CAST(sum(CASE WHEN flagged = 1 AND actual = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+        |       CAST(sum(CASE WHEN flagged = 0 AND actual = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+        |FROM flags GROUP BY lang ORDER BY lang""".stripMargin,
     "d3_token_overlap" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w

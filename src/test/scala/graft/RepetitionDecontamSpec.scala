@@ -163,4 +163,39 @@ class RepetitionDecontamSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(1L, 4L))
   }
+
+  test("Pii: counts and typed redaction; RE2-safe patterns leave clean text untouched") {
+    import graft.operators.Pii
+    val df = Seq(
+      (1L, "mail a.b+c%d@sub.example.org and x@y.io plus 123-456-7890 done"),
+      (2L, "no pii here, not even user@localhost or 12-34-56"),
+      (3L, "edge 999-999-9999999 has a phone prefix")).toDF("id", "t")
+    val out = Pii.piiStats(df, "id", "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((2L, 1L, "mail [EMAIL] and [EMAIL] plus [PHONE] done")))
+    // user@localhost has no dot-TLD: not an email by this pattern
+    assert(out(2L) === ((0L, 0L, "no pii here, not even user@localhost or 12-34-56")))
+    // regex finds the 3-3-4 prefix inside the longer digit run
+    assert(out(3L)._2 === 1L)
+  }
+
+  test("BloomSet: zero false negatives; saturated filter flags everything; clean probes mostly pass") {
+    import graft.operators.BloomSet
+    val ref = (1 to 50).map(i => s"ref$i").toDF("v")
+    val bloom = BloomSet.build(ref, "v", m = 8192, k = 2)
+    // every word's mask is a positive 63-bit value (sign bit never used)
+    assert(bloom.collect().forall(r => r.getLong(1) > 0L))
+    // membership: all reference values flag true — the Bloom guarantee
+    val self = BloomSet.mightContain(ref, "v", bloom, m = 8192, k = 2)
+    assert(self.filter(!col("might_contain")).count() === 0L)
+    // fresh values against a roomy filter: at most a few false positives
+    val fresh = (1 to 50).map(i => s"other$i").toDF("v")
+    val fp = BloomSet.mightContain(fresh, "v", bloom, m = 8192, k = 2)
+      .filter(col("might_contain")).count()
+    assert(fp <= 5L, s"expected ~0.01% FP rate at this load, got $fp/50")
+    // m=1: every bit collides -> everything flags (the saturation mode)
+    val tiny = BloomSet.build(ref, "v", m = 1, k = 2)
+    assert(BloomSet.mightContain(fresh, "v", tiny, m = 1, k = 2)
+      .filter(!col("might_contain")).count() === 0L)
+  }
 }
