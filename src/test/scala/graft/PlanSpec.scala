@@ -258,4 +258,34 @@ class PlanSpec extends AnyFunSuite {
     // the "(n) Exchange" detail headers count physical exchanges exactly
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
   }
+
+  test("t18_lm_novelty: reference vocabulary rides a broadcast join, no nested loop") {
+    val p = planOf("t18_lm_novelty")
+    // the corpus side must NOT shuffle to meet the (small) reference side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("word_shingles"), p) // codegen bigram kernel, not HOF lambdas
+  }
+
+  test("t19_pii_redact: per-row scrub — no join, no window, only the final sort moves data") {
+    val p = planOf("t19_pii_redact")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p) // orderBy only
+  }
+
+  test("t20_bloom_membership: filter probes are broadcast joins; corpus side never nested-loops") {
+    val p = planOf("t20_bloom_membership")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("a9_kmv_distinct: bounded sketch runs as ObjectHashAggregate with map-side partials") {
+    val p = planOf("a9_kmv_distinct")
+    // TypedImperativeAggregate plans on the object-hash path, and the
+    // partial phase must appear (k longs per group cross the wire, not
+    // the distinct value set)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_kmv_min_hashes") || p.contains("kmv_min_hashes"), p)
+  }
 }
