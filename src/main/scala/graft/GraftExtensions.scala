@@ -167,5 +167,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           distinct =
             if (es.length > 2) staticBoolean(es, 2, "word_shingles", "distinct") else true)
       }))
+    e.injectFunction((
+      FunctionIdentifier("kmv_min_hashes"),
+      info("kmv_min_hashes",
+        "aggregate: ascending array of the k smallest distinct long hashes " +
+          "(KMV distinct-count sketch state)"),
+      (es: Seq[Expression]) => {
+        if (es.length != 2)
+          fail(s"kmv_min_hashes(hash, k) takes exactly 2 arguments, got ${es.length}")
+        graft.operators.Sketches.KmvMinHashes(
+          es.head, staticInt(es, 1, "kmv_min_hashes", "k"))
+          .toAggregateExpression()
+      }))
   }
 }

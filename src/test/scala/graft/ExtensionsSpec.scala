@@ -73,6 +73,14 @@ class ExtensionsSpec extends AnyFunSuite {
       .head()
     assert(s.getAs[Long]("d") === 127L * 127L)
     assert(s.getAs[Array[Byte]]("z").toSeq === Seq(0.toByte, 0.toByte))
+    // kmv_min_hashes: SQL aggregate — k smallest distinct, ascending,
+    // grouped like any built-in agg
+    val kmv = spark.sql(
+      """SELECT g, kmv_min_hashes(h, 2) AS mins FROM VALUES
+        |  ('a', 30L), ('a', 10L), ('a', 20L), ('a', 10L), ('b', 5L)
+        |  AS t(g, h) GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(kmv(0).getAs[Seq[Long]]("mins") === Seq(10L, 20L))
+    assert(kmv(1).getAs[Seq[Long]]("mins") === Seq(5L))
   }
 
   test("SQL static args: clear plan-time errors for bad word_shingles/minhash_signature calls") {
