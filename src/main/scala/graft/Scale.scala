@@ -226,6 +226,7 @@ object Scale {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("validators")) return validatorsMain(args)
     if (args.headOption.contains("dedup")) return dedupMain(args)
+    if (args.headOption.contains("semdedup")) return semdedupMain(args)
     val totalSlots = args.lift(0).map(_.toLong).getOrElse(1000000L)
     val outMd = args.lift(1).getOrElse("SCALE.md")
     val chunkSize = 1000L
@@ -423,6 +424,104 @@ object Scale {
     java.nio.file.Files.write(path,
       (kept + section).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"""{"metric":"scale_dedup","value":$dedupSec,"unit":"sec","n_docs":$nDocs,"docs_per_s":${nDocs / dedupSec},"recall":${recalled.toDouble / planted},"dropped":$dropped,"heap_peak_mb":$heapMb}""")
+    spark.stop()
+  }
+
+  private val semdedupHeader = "## Semantic-dedup corpus stage"
+
+  /** Deterministic synthetic embedding corpus: `n` vectors × `dim`
+    * components drawn uniform-ish from [-1,1] via xxhash64(seed, j),
+    * generated ENTIRELY executor-side. Every 20th vector reuses its
+    * successor's seed plus a +0.01 shift on every component — a planted
+    * semantic near-dup with cosine ≈ 0.9998 against ~0.0±0.125 for
+    * random 64-dim pairs, mirroring what an embedding model emits for
+    * near-identical documents. */
+  def genEmbCorpus(
+      spark: SparkSession, n: Long, dim: Int = 64): org.apache.spark.sql.DataFrame =
+    spark.range(n).toDF("vec_id")
+      .withColumn("seed",
+        when(col("vec_id") % 20 === 0, col("vec_id") + 1).otherwise(col("vec_id")))
+      .withColumn("embedding",
+        transform(sequence(lit(1), lit(dim)),
+          j => (pmod(xxhash64(col("seed"), j), lit(2001L)).cast("double") / 1000.0
+            - 1.0
+            + when(col("vec_id") % 20 === 0, 0.01).otherwise(0.0)).cast("float")))
+      .select("vec_id", "embedding")
+
+  /** `runMain graft.Scale semdedup [nVecs] [outMd]` — the SemDeDup
+    * pipeline ([[graft.operators.Dedup.semanticDedupGroups]]) three
+    * orders of magnitude above the sf0.01 oracle corpus, on the
+    * PRODUCTION Gaussian hyperplane family: 16 planes × 4 bands bucket
+    * the corpus, exact cosine ≥ 0.999 confirms within buckets, connected
+    * components pick the min-id representative; planted-pair recall is
+    * the correctness signal. */
+  private def semdedupMain(args: Array[String]): Unit = {
+    val nVecs = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    val outMd = args.lift(2).getOrElse("SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val dir = Files.createTempDirectory("graft_scale_semdedup").toString
+    val (_, genSec) = timed {
+      genEmbCorpus(spark, nVecs).write.mode("overwrite").parquet(dir)
+    }
+    val vecs = spark.read.parquet(dir)
+    val planted = nVecs / 20
+    val ((total, dropped, recalled), dedupSec) = timed {
+      val groups = graft.operators.Dedup
+        .semanticDedupGroups(vecs, "vec_id", "embedding",
+          planes = 16, seed = 42L, threshold = 0.999, bands = 4)
+        .persist()
+      val total = groups.count()
+      val dropped = groups.filter(!col("is_representative")).count()
+      val a = groups.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("d"), col("group").as("g1"))
+      val b = groups.select((col("vec_id") - 1).as("d"), col("group").as("g2"))
+      val recalled = a.join(b, "d").filter(col("g1") === col("g2")).count()
+      groups.unpersist(blocking = false)
+      (total, dropped, recalled)
+    }
+    val heapMb = heapPeakMb()
+    val section =
+      s"""
+         |$semdedupHeader (hyperplane LSH → exact cosine → components, production Gaussian family)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale semdedup $nVecs"` —
+         |`Dedup.semanticDedupGroups` (the SemDeDup shape) over ${nVecs / 1000}k
+         |synthetic 64-dim embeddings (generated executor-side, materialized
+         |to parquet first); every 20th vector is a planted near-dup of its
+         |successor (cosine ≈ 0.9998 vs ~0 for random pairs).
+         |
+         || metric | value |
+         ||---|---|
+         || corpus generate + write | ${f"$genSec%.1f"} s ($nVecs vectors) |
+         || semantic-dedup wall | ${f"$dedupSec%.1f"} s (${f"${nVecs / dedupSec}%.0f"} vecs/s) |
+         || planted-pair recall | $recalled / $planted (${f"${recalled.toDouble / planted}%.3f"}) |
+         || vectors in / dropped as dups | $total / $dropped |
+         || peak heap | $heapMb MB |
+         |
+         |- bucketing is per-row expressions (16 planes × 4 bands of
+         |  codegen'd dot products); the band self-join touches only
+         |  same-signature buckets and the component graph is the 50k
+         |  confirmed near-dups, not the corpus
+         |""".stripMargin
+    val path = java.nio.file.Paths.get(outMd)
+    val existing =
+      if (java.nio.file.Files.exists(path))
+        new String(java.nio.file.Files.readAllBytes(path),
+          java.nio.charset.StandardCharsets.UTF_8)
+      else ""
+    val kept = existing.split(java.util.regex.Pattern.quote(semdedupHeader))(0)
+    java.nio.file.Files.write(path,
+      (kept + section).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"metric":"scale_semdedup","value":$dedupSec,"unit":"sec","n_vecs":$nVecs,"vecs_per_s":${nVecs / dedupSec},"recall":${recalled.toDouble / planted},"dropped":$dropped,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.Files
@@ -36,5 +37,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(st.latestCount === st.blocksRows)       // latest() collapses nothing (single version)
     assert(st.maxSlot === 1999L)                   // 1999 % 32 == 15 -> present
     assert(st.monthRows >= 1)
+  }
+
+  test("Scale.genEmbCorpus: planted pairs near-identical, random pairs far, executor-side gen") {
+    import graft.functions.GraftFunctions.vec_cosine
+    val df = Scale.genEmbCorpus(spark, 200L, dim = 64).persist()
+    val a = df.select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = df.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    // planted (i, i+1) pairs sit above the 0.999 semdedup threshold
+    val plantedCos = a.filter(col("ida") % 20 === 0)
+      .join(b, col("idb") === col("ida") + 1)
+      .select(vec_cosine(col("va"), col("vb")).as("c"))
+      .agg(min("c")).head().getDouble(0)
+    assert(plantedCos > 0.999, s"planted-pair cosine $plantedCos not near-identical")
+    // non-planted neighbors are independent draws: nowhere near threshold
+    val randomCos = a.filter(col("ida") % 20 === 5)
+      .join(b, col("idb") === col("ida") + 1)
+      .select(vec_cosine(col("va"), col("vb")).as("c"))
+      .agg(max("c")).head().getDouble(0)
+    assert(randomCos < 0.9, s"independent vectors suspiciously similar: $randomCos")
+    df.unpersist(blocking = false)
   }
 }
