@@ -23,6 +23,9 @@ import org.apache.spark.sql.SparkSession
   * graft corpus sample   --in DIR --out DIR --pct P [--id-col c]
   * graft corpus upsample --in DIR --out DIR --key-col c --weights k=w,k=w [--default-weight 1.0] [--id-col c]
   * graft corpus export   --in DIR --out DIR --shards N [--id-col c]
+  * graft corpus semdedup --in DIR --out DIR [--vec-col c] [--threshold 0.999] [--planes 16] [--bands 4] [--seed 42]
+  * graft corpus scrub    --in DIR --out DIR [--text-col c]
+  * graft corpus lmfilter --in DIR --out DIR --ref DIR [--max-novelty 0.3]
   * graft corpus stats    --in DIR [--id-col c] [--text-col c]
   * }}}
   *
@@ -71,15 +74,16 @@ object Main {
       cfgOf(rest.toArray).forks.foreach(f => println(s"${f.name}\tepoch=${f.epoch}\tversion=${f.version}"))
     case "fork" :: "detect" :: rest => forkDetect(rest.toArray)
     case "corpus" :: cmd :: rest
-        if Set("dedup", "cap", "sample", "upsample", "export", "stats")(cmd) =>
+        if Set("dedup", "semdedup", "scrub", "lmfilter", "cap", "sample",
+          "upsample", "export", "stats")(cmd) =>
       val spark = session()
       try corpusRun(spark, cmd, rest.toArray) finally spark.stop()
     case _ =>
-      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|status|fork info|fork list|fork detect --sample|corpus dedup|cap|sample|stats} [options]")
+      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|status|fork info|fork list|fork detect --sample|corpus dedup|semdedup|scrub|lmfilter|cap|sample|upsample|export|stats} [options]")
       sys.exit(2)
   }
 
-  /** `graft corpus <dedup|cap|sample|stats>` — the training-data curation
+  /** `graft corpus <dedup|semdedup|scrub|lmfilter|cap|sample|upsample|export|stats>` — the training-data curation
     * operators ([[graft.operators.Dedup]], [[graft.operators.Sampling]],
     * [[graft.operators.TextAnalysis]]) as batch CLI verbs over parquet
     * corpora. Session-injected so tests drive it on the shared fixture. */
@@ -154,6 +158,45 @@ object Main {
           .write.mode("overwrite").partitionBy("shard").parquet(out)
         println(s"[graft] corpus export: ${spark.read.parquet(out).count()} rows " +
           s"into $shards hash shards at $out")
+      case "semdedup" =>
+        val vecCol = opt(args, "vec-col").getOrElse("embedding")
+        val threshold = opt(args, "threshold").map(_.toDouble).getOrElse(0.999)
+        val planes = opt(args, "planes").map(_.toInt).getOrElse(16)
+        val bands = opt(args, "bands").map(_.toInt).getOrElse(4)
+        val seed = opt(args, "seed").map(_.toLong).getOrElse(42L)
+        val out = outDir
+        val groups = graft.operators.Dedup
+          .semanticDedupGroups(docs, idCol, vecCol, planes, seed, threshold, bands)
+          .persist()
+        val keep = groups.filter(col("is_representative")).select(col(idCol))
+        docs.join(keep, Seq(idCol), "left_semi")
+          .write.mode("overwrite").parquet(out)
+        val total = docs.count()
+        val kept = spark.read.parquet(out).count()
+        groups.unpersist(blocking = false)
+        println(s"[graft] corpus semdedup: $total docs -> $kept kept " +
+          s"(${total - kept} semantic dups dropped, cosine >= $threshold, " +
+          s"$planes planes x $bands bands)")
+      case "scrub" =>
+        val out = outDir
+        val pii = docs.agg(
+          sum(graft.operators.Pii.emailCount(col(textCol))).as("e"),
+          sum(graft.operators.Pii.phoneCount(col(textCol))).as("p")).head()
+        docs.withColumn(textCol, graft.operators.Pii.redact(col(textCol)))
+          .write.mode("overwrite").parquet(out)
+        println(s"[graft] corpus scrub: redacted ${pii.getLong(0)} emails, " +
+          s"${pii.getLong(1)} phones across ${spark.read.parquet(out).count()} docs")
+      case "lmfilter" =>
+        val ref = opt(args, "ref").getOrElse(sys.error("--ref required"))
+        val maxNovelty = opt(args, "max-novelty").map(_.toDouble).getOrElse(0.3)
+        val out = outDir
+        graft.operators.LmScore
+          .familiarityFiltered(docs, spark.read.parquet(ref), idCol, textCol, maxNovelty)
+          .write.mode("overwrite").parquet(out)
+        val total = docs.count()
+        val kept = spark.read.parquet(out).count()
+        println(s"[graft] corpus lmfilter: $total docs -> $kept kept " +
+          s"(${total - kept} above novelty $maxNovelty vs $ref)")
       case "stats" =>
         val q = graft.operators.TextAnalysis.qualityFilter(docs, textCol)
         val r = q.agg(

@@ -1002,4 +1002,38 @@ class PipelineSpec extends AnyFunSuite {
     // stats only prints — it must run cleanly on the same corpus
     Main.corpusRun(spark, "stats", Array("--in", s"$base/in"))
   }
+
+  test("corpus CLI: semdedup / scrub / lmfilter verbs (D10)") {
+    import spark.implicits._
+    val base = tmp()
+    // semdedup: the Scale generator's planted embedding dups (every 20th
+    // vector near-identical to its successor) must be the rows dropped
+    Scale.genEmbCorpus(spark, 100L).write.parquet(s"$base/emb")
+    Main.corpusRun(spark, "semdedup",
+      Array("--in", s"$base/emb", "--out", s"$base/semdedup", "--id-col", "vec_id"))
+    val kept = spark.read.parquet(s"$base/semdedup")
+    assert(kept.count() === 95) // 5 planted dups dropped (ids 0,20,40,60,80... keep min id)
+    // representative = min id of each pair {i, i+1}: the planted i stays
+    assert(kept.filter(col("vec_id").isin(0L, 20L, 40L, 60L, 80L)).count() === 5)
+    assert(kept.filter(col("vec_id").isin(1L, 21L, 41L, 61L, 81L)).count() === 0)
+
+    // scrub: text column rewritten in place, other columns untouched
+    Seq((1L, "mail me a@b.io or 555-123-4567", "keepme"))
+      .toDF("doc_id", "text", "extra").write.parquet(s"$base/pii")
+    Main.corpusRun(spark, "scrub",
+      Array("--in", s"$base/pii", "--out", s"$base/scrubbed"))
+    val scrubbed = spark.read.parquet(s"$base/scrubbed").head()
+    assert(scrubbed.getAs[String]("text") === "mail me [EMAIL] or [PHONE]")
+    assert(scrubbed.getAs[String]("extra") === "keepme")
+
+    // lmfilter: docs whose bigrams the reference never saw are dropped
+    Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
+      .write.parquet(s"$base/lmin")
+    Seq((9L, "a b c d e")).toDF("doc_id", "text").write.parquet(s"$base/lmref")
+    Main.corpusRun(spark, "lmfilter",
+      Array("--in", s"$base/lmin", "--out", s"$base/lmout",
+        "--ref", s"$base/lmref", "--max-novelty", "0.5"))
+    assert(spark.read.parquet(s"$base/lmout")
+      .select("doc_id").as[Long].collect().toSeq === Seq(1L))
+  }
 }
