@@ -222,6 +222,105 @@ object Sq8Util {
   }
 }
 
+/** Product-quantization kernels (static, called from generated code) —
+  * the FAISS PQ shape: the dimension is split into `m` subspaces of
+  * `dim/m`, each subspace has its own `ksub`-centroid codebook, and a
+  * vector encodes to `m` bytes (one centroid index per subspace; 8 bytes
+  * for a 64-dim embedding at m=8 — 32× smaller than float32 and 8×
+  * smaller than SQ8). Query-time scoring is ADC (asymmetric distance
+  * computation): the query precomputes a `m × ksub` lookup table of
+  * `dot(query_sub, centroid)` once, and each corpus vector scores with m
+  * table lookups + adds — no float math against the vector itself.
+  * Codebooks are flattened row-major `[(s·ksub + c)·subDim + i]`. */
+object PqUtil {
+  /** Per-subspace L2-nearest centroid index, one byte per subspace. */
+  def encodeFloats(
+      v: Array[Float], codebook: Array[Float], m: Int, ksub: Int): Array[Byte] = {
+    val subDim = v.length / m
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val base = (s * ksub + c) * subDim
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val t = v(s * subDim + i).toDouble - codebook(base + i)
+          d += t * t
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  def encode(v: ArrayData, codebook: Array[Float], m: Int, ksub: Int): Array[Byte] =
+    encodeFloats(v.toFloatArray(), codebook, m, ksub)
+
+  /** ADC score: `Σ_s lut[s·ksub + code[s]]` — approximates
+    * `dot(query, vector)` when `lut[s][c] = dot(query_sub(s), centroid_c)`. */
+  def adc(code: Array[Byte], lut: Array[Double], ksub: Int): Double = {
+    var acc = 0.0
+    var s = 0
+    while (s < code.length) { acc += lut(s * ksub + (code(s) & 0xFF)); s += 1 }
+    acc
+  }
+}
+
+/** Codegen'd PQ encode: `array<float>` embedding → `m` centroid-index
+  * bytes (`binary`). The codebook is a plan-bound constant (broadcast
+  * with the serialized plan, referenced — not inlined — in generated
+  * code). */
+case class PqEncode(child: Expression, codebook: Array[Float], m: Int, ksub: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = child.dataType == ArrayType(FloatType) ||
+      child.dataType == ArrayType(FloatType, containsNull = false)
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> input, got ${child.dataType.simpleString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    PqUtil.encode(v.asInstanceOf[ArrayData], codebook, m, ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebook", codebook, "float[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqUtil.encode($c, $cb, $m, $ksub)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncode =
+    copy(child = c)
+  override def prettyName: String = "pq_encode"
+}
+
+/** Codegen'd PQ ADC score of a code column against a query's lookup
+  * table (plan-bound constant). */
+case class PqAdc(child: Expression, lut: Array[Double], ksub: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary code input, got ${child.dataType.simpleString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    PqUtil.adc(v.asInstanceOf[Array[Byte]], lut, ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("pqLut", lut, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqUtil.adc($c, $lutRef, $ksub)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqAdc =
+    copy(child = c)
+  override def prettyName: String = "pq_adc"
+}
+
 /** Codegen'd SQ8 encode: `array<float>` embedding → packed signed-byte
   * codes (`binary`, 1 byte/dim). */
 case class Sq8Encode(child: Expression) extends UnaryExpression {

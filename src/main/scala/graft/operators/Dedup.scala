@@ -417,4 +417,72 @@ object Dedup {
         coalesce(col("component"), col("id")).as("group"))
       .withColumn("is_representative", col(idCol) === col("group"))
   }
+
+  /** Non-overlapping `chunkTokens`-token chunks of a document, with their
+    * 0-based chunk index — the explode side of [[chunkDedup]]. A document
+    * with fewer than one full chunk still yields its (short) chunk 0;
+    * empty documents yield no rows. */
+  def docChunks(
+      df: DataFrame, idCol: String, textCol: String, chunkTokens: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.select(col(idCol).as("id"), toks.as("toks"))
+      // ceil(n/chunkTokens) via exact integer arithmetic — Column `/` is
+      // IEEE division, and sequence(0, -1) would DESCEND for empty docs,
+      // so both the division and the empty case are handled integrally
+      .withColumn("n_chunks",
+        floor((size(col("toks")) + lit(chunkTokens - 1)).cast("long") / lit(chunkTokens))
+          .cast("int"))
+      .filter(col("n_chunks") > 0)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+          i => concat_ws(" ", slice(col("toks"), i * chunkTokens + 1, lit(chunkTokens))))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+  }
+
+  /** Sub-document (line/passage-level) exact dedup — the CCNet line-dedup
+    * / Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499) substring-dedup shape at fixed
+    * chunk granularity: split every document into non-overlapping
+    * `chunkTokens`-token chunks, find chunks whose content repeats
+    * ANYWHERE in the corpus, keep only the globally-first occurrence
+    * (min (doc, idx) over the hash group), and reassemble each document
+    * from its surviving chunks in order.
+    *
+    * Output: `(id, n_chunks, n_kept, text_dedup)` — `text_dedup` is NULL
+    * when every chunk of the document was a repeat (the row a curation
+    * run drops entirely).
+    *
+    * 100 TB shape: chunking is a per-row expression; the duplicate scan
+    * shuffles only `(md5 hash, id, idx)` — 16 bytes + ints per chunk, the
+    * wide text pruned before the exchange (same posture as
+    * [[exactGroups]]); the reassembly is one groupBy on the document id.
+    * No self-join: the "first occurrence" rule is a min-struct aggregate
+    * over the hash group, then a join back on the hash — both sides
+    * already hash-partitioned by the same key, so AQE elides the second
+    * exchange. */
+  def chunkDedup(
+      df: DataFrame, idCol: String, textCol: String, chunkTokens: Int): DataFrame = {
+    val chunks = docChunks(df, idCol, textCol, chunkTokens)
+      .withColumn("h", md5(col("chunk")))
+    // globally-first occurrence per distinct chunk content: min (id, idx)
+    val first = chunks
+      .groupBy("h")
+      .agg(min(struct(col("id"), col("chunk_idx"))).as("f"))
+      .select(col("h"), col("f.id").as("fid"), col("f.chunk_idx").as("fidx"))
+    val kept = chunks.join(first, Seq("h"))
+      .withColumn("keep", col("id") === col("fid") && col("chunk_idx") === col("fidx"))
+    kept
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("chunk_idx"), col("chunk"))))),
+            s => s.getField("chunk"))).as("text_cat"))
+      .withColumn("text_dedup", when(col("n_kept") > 0, col("text_cat")))
+      .drop("text_cat")
+  }
 }

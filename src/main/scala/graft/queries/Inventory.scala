@@ -25,11 +25,15 @@ object Inventory {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast(DecimalType(18, 2))).cast("double")
 
-  /** `events.ts` arrives as nanosecond-epoch LONG (Spark has no nanos
-    * timestamp; `spark.sql.legacy.parquet.nanosAsLong=true`). Integer
+  /** `events.ts` as a Spark timestamp, whatever the parquet physical
+    * type: nanosecond-epoch LONG data (Spark has no nanos timestamp;
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) converts via integer
     * `div` — not `/` — so the 1e18-scale value never round-trips through
-    * a double. */
-  private def eventTs = timestamp_micros(expr("ts div 1000"))
+    * a double; micro/millisecond TIMESTAMP data is used as-is. */
+  private def eventTs(ev: DataFrame) = ev.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+    case _ => col("ts")
+  }
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -134,9 +138,9 @@ object Inventory {
     * reference: docs/pending-queues.md:113-128). */
   val j6ExceptDiff: Q = (s, d) => {
     val ev = events(s, d)
-    val day1 = ev.filter(to_date(eventTs) === lit("2024-01-01").cast("date"))
+    val day1 = ev.filter(to_date(eventTs(ev)) === lit("2024-01-01").cast("date"))
       .select("user_id").distinct()
-    val day2 = ev.filter(to_date(eventTs) === lit("2024-01-02").cast("date"))
+    val day2 = ev.filter(to_date(eventTs(ev)) === lit("2024-01-02").cast("date"))
       .select("user_id").distinct()
     day1.except(day2)
   }
@@ -186,10 +190,11 @@ object Inventory {
     events(s, d).groupBy("event_type").agg(max("event_id").as("max_id"))
 
   /** A7a: hourly time-bucket rollup (toStartOfHour analytics). */
-  val a7HourlyRollup: Q = (s, d) =>
-    events(s, d)
-      .groupBy(date_format(date_trunc("hour", eventTs), "yyyy-MM-dd HH:mm:ss").as("h"))
+  val a7HourlyRollup: Q = (s, d) => {
+    val ev = events(s, d)
+    ev.groupBy(date_format(date_trunc("hour", eventTs(ev)), "yyyy-MM-dd HH:mm:ss").as("h"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+  }
 
   /** A7b: top-proposers HAVING shape (docs: CLICKHOUSE_GUIDE.md:282-295). */
   val a7TopUsersHaving: Q = (s, d) =>

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables._
-import graft.operators.{BloomSet, Decontam, Dedup, LmScore, Multimodal, Pii, Sampling, Similarity, Sketches, Skew, TextAnalysis}
+import graft.operators.{BloomSet, Classifier, Decontam, Dedup, LmScore, Multimodal, Pii, Sampling, Similarity, Sketches, Skew, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -593,6 +593,24 @@ object LlmInventory {
   val t15WinnowFingerprint: Q = (s, d) =>
     TextAnalysis.winnowFingerprints(documents(s, d), "doc_id", "text", k = 3, w = 4)
 
+  /** d11: sub-document (passage-level) exact dedup — the CCNet line-dedup
+    * shape at 10-token chunk granularity ([[Dedup.chunkDedup]]): repeated
+    * chunks anywhere in the corpus are removed except their globally-first
+    * occurrence, and documents are reassembled from the survivors.
+    * Oracle-checked: DuckDB rebuilds the chunking with `generate_series` +
+    * `list_slice`, replays the first-occurrence rule with a window
+    * `row_number`, and re-assembles with an ordered `string_agg` — exact
+    * string equality end to end. */
+  val d11ChunkDedup: Q = (s, d) =>
+    Dedup.chunkDedup(documents(s, d), "doc_id", "text", chunkTokens = 10)
+
+  /** t21: hashed-linear quality classifier (fastText shape,
+    * [[Classifier.scored]]) — per-token md5-derived weights, mean-pooled
+    * into a linear score, thresholded. Exact integer hash sum + one IEEE
+    * division, so the score column hash-matches the DuckDB oracle. */
+  val t21ClassifierScore: Q = (s, d) =>
+    Classifier.scored(documents(s, d), "doc_id", "text", seed = "w", threshold = 0.0)
+
   // --- Skew toolkit -----------------------------------------------------
 
   /** t14: the skew toolkit on the declared surface — salted hot-key join
@@ -669,6 +687,8 @@ object LlmInventory {
     "t15_winnow_fingerprint" -> t15WinnowFingerprint,
     "t16_source_cap" -> t16SourceCap,
     "t17_mixture_upsample" -> t17MixtureUpsample,
+    "d11_chunk_dedup" -> d11ChunkDedup,
+    "t21_classifier_score" -> t21ClassifierScore,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1465,5 +1485,59 @@ object LlmInventory {
         |SELECT doc_id, source, r.rep
         |FROM t CROSS JOIN range(1, 8) r(rep)
         |WHERE r.rep <= n_copies""".stripMargin,
+    // rebuild the 10-token chunking (generate_series + list_slice), replay
+    // the globally-first-occurrence rule (window row_number ordered by
+    // (doc, idx) — equals Spark's min-struct over the hash group), and
+    // reassemble survivors with an ordered string_agg
+    "d11_chunk_dedup" ->
+      """WITH s AS (
+        |  SELECT doc_id, regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |         CASE WHEN t = '' THEN []::VARCHAR[]
+        |              ELSE string_split_regex(t, '[ \t\n\x0b\f\r]+') END AS toks
+        |  FROM s),
+        |ch AS (
+        |  -- DuckDB's generate_series cannot take a lateral column bound;
+        |  -- bounded cross-join + filter instead (docs cap out well under
+        |  -- 64 chunks x 10 tokens)
+        |  SELECT doc_id, g.i AS chunk_idx,
+        |         array_to_string(list_slice(toks, g.i * 10 + 1, g.i * 10 + 10), ' ') AS chunk
+        |  FROM tok CROSS JOIN range(0, 64) g(i)
+        |  WHERE g.i < (len(toks) + 9) // 10),
+        |rk AS (
+        |  SELECT doc_id, chunk_idx, chunk,
+        |         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM ch)
+        |SELECT doc_id,
+        |       count(*) AS n_chunks,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CASE WHEN sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+        |            THEN string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx)
+        |       END AS text_dedup
+        |FROM rk GROUP BY doc_id""".stripMargin,
+    // same md5-derived uint32 weights, exact BIGINT sum, one IEEE
+    // division + subtraction — bit-identical score
+    "t21_classifier_score" ->
+      """WITH s AS (
+        |  SELECT doc_id, regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |         CASE WHEN t = '' THEN []::VARCHAR[]
+        |              ELSE string_split_regex(t, '[ \t\n\x0b\f\r]+') END AS toks
+        |  FROM s),
+        |h AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(coalesce(list_sum(list_transform(toks,
+        |           x -> ('0x' || substr(md5('w#' || x), 1, 8))::BIGINT)), 0) AS BIGINT) AS hash_sum
+        |  FROM tok)
+        |SELECT doc_id, n_tokens, hash_sum,
+        |       CASE WHEN n_tokens > 0
+        |            THEN hash_sum::DOUBLE / (n_tokens * 2147483648.0) - 1 END AS score,
+        |       coalesce(CASE WHEN n_tokens > 0
+        |            THEN hash_sum::DOUBLE / (n_tokens * 2147483648.0) - 1 END > 0.0, false) AS keep
+        |FROM h""".stripMargin,
   )
 }

@@ -194,8 +194,13 @@ object StreamingJobs {
     * (schema-required for streaming reads). */
   def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val tsMicros = schema("ts").dataType match {
+      // nanosecond-epoch LONG data (legacy nanosAsLong read)
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts")
+    }
     spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
-      .withColumn("ts_micros", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_micros", tsMicros)
   }
 
   /** The realtime tail through `spark.readStream` — SURVEY §7.2 step 9's
