@@ -382,6 +382,12 @@ object GraftFunctions {
     col(FloatVectorCosine(expr(a), expr(b)))
   def sq8_encode(c: Column): Column = col(Sq8Encode(expr(c)))
   def sq8_dot(a: Column, b: Column): Column = col(Sq8Dot(expr(a), expr(b)))
+  /** PQ encode against a trained flattened codebook (plan-bound constant). */
+  def pq_encode(c: Column, codebook: Array[Float], m: Int, ksub: Int): Column =
+    col(PqEncode(expr(c), codebook, m, ksub))
+  /** PQ ADC score against a query's lookup table (plan-bound constant). */
+  def pq_adc(c: Column, lut: Array[Double], ksub: Int): Column =
+    col(PqAdc(expr(c), lut, ksub))
   def image_format(c: Column): Column = col(ImageFormat(expr(c)))
   /** PNG/GIF pixel width; NULL for unrecognized payloads. */
   def image_width(c: Column): Column =

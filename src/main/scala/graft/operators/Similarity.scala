@@ -1,7 +1,7 @@
 package graft.operators
 
-import graft.functions.GraftFunctions.{sq8_dot, sq8_encode, vec_cosine, vec_dot}
-import graft.functions.Sq8Util
+import graft.functions.GraftFunctions.{pq_adc, pq_encode, sq8_dot, sq8_encode, vec_cosine, vec_dot}
+import graft.functions.{PqUtil, Sq8Util}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -288,6 +288,13 @@ object Similarity {
     val sample = corpus.select(col(vecCol)).limit(sampleN)
       .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty corpus")
+    lloyd(sample, k, iters, seed)
+  }
+
+  /** The Lloyd iteration itself, over driver-local points — shared by the
+    * IVF coarse quantizer and the per-subspace PQ trainers. */
+  private def lloyd(
+      sample: Array[Array[Float]], k: Int, iters: Int, seed: Long): Array[Array[Float]] = {
     val dim = sample.head.length
     val rnd = new java.util.Random(seed)
     var centroids = Array.fill(k)(sample(rnd.nextInt(sample.length)).clone())
@@ -380,6 +387,86 @@ object Similarity {
       .filter(col("list_id").isin(probeLists: _*))
     sq8TopK(pruned, idCol, vecCol, query, k,
       rerank = overfetch * k, codeCol = Some("sq8_code"))
+  }
+
+  /** Train PQ codebooks (the FAISS product-quantizer trainer shape): the
+    * embedding dimension splits into `m` equal subspaces, and each
+    * subspace gets its own `ksub`-centroid Lloyd k-means over a
+    * driver-side bounded sample's subvectors. Deterministic for a fixed
+    * seed. Returns `[m][ksub][dim/m]`. */
+  def pqCodebooks(
+      corpus: DataFrame, vecCol: String, m: Int, ksub: Int, iters: Int,
+      seed: Long, sampleN: Int = 2000): Array[Array[Array[Float]]] = {
+    val sample = corpus.select(col(vecCol)).limit(sampleN)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      // per-subspace seed: independent initializations across subspaces
+      lloyd(sub, ksub, iters, seed + s)
+    }
+  }
+
+  /** Flatten `[m][ksub][subDim]` codebooks row-major for the plan-bound
+    * [[graft.functions.PqEncode]] constant. */
+  def pqFlatten(codebooks: Array[Array[Array[Float]]]): Array[Float] =
+    codebooks.flatten.flatten
+
+  /** The query's ADC lookup table: `lut[s·ksub + c] = dot(q_sub(s),
+    * centroid_c)` — so summing one entry per subspace approximates
+    * `dot(query, vector)` by `dot(query, decode(code))`. */
+  def pqLut(codebooks: Array[Array[Array[Float]]], query: Seq[Float]): Array[Double] = {
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val subDim = codebooks.head.head.length
+    val lut = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ksub) {
+        var d = 0.0
+        var i = 0
+        while (i < subDim) { d += query(s * subDim + i).toDouble * codebooks(s)(c)(i); i += 1 }
+        lut(s * ksub + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    lut
+  }
+
+  /** PQ top-k against one query vector (FAISS's PQ flat-scan shape):
+    * corpus vectors encode to `m` bytes ([[graft.functions.PqEncode]] —
+    * at 100 TB the code column would be materialized once and scanned
+    * instead of the floats: 8 bytes/vector at m=8 vs 256 for float32),
+    * each row scores with `m` lookup-table adds
+    * ([[graft.functions.PqAdc]]), and the top `overfetch·k` ADC
+    * candidates rerank by exact cosine — the standard two-stage ANN
+    * refinement. Output: (idCol, cosine). */
+  def pqTopK(
+      corpus: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
+      k: Int, codebooks: Array[Array[Array[Float]]], overfetch: Int = 4,
+      /** name of a PRE-MATERIALIZED code column — skips the on-the-fly
+        * encode so the scan touches m bytes/row until the rerank. */
+      codeCol: Option[String] = None): DataFrame = {
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val flat = pqFlatten(codebooks)
+    val lut = pqLut(codebooks, query)
+    corpus
+      .select(
+        col(idCol), col(vecCol).as("__v"),
+        pq_adc(
+          codeCol.map(col).getOrElse(pq_encode(col(vecCol), flat, m, ksub)),
+          lut, ksub).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(math.max(k, overfetch * k))
+      .select(col(idCol), vec_cosine(col("__v"), typedlit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
   }
 
   /** The nProbe centroid ids closest (by cosine) to the query — shared by

@@ -232,6 +232,24 @@ object LlmInventory {
       .select("vec_id")
   }
 
+  /** s8: product-quantization ANN ([[Similarity.pqTopK]] — the FAISS PQ
+    * flat-scan shape): 16 per-subspace Lloyd codebooks quantize each
+    * 64-dim embedding to 16 bytes, ADC lookup-table scoring prefilters,
+    * exact cosine reranks. Rows-only like s4: the codebook training is
+    * iterative k-means, not SQL-expressible — recall is pinned in
+    * RecallSpec instead (0.87 @ overfetch=4; full-overfetch equals brute
+    * force exactly). */
+  val s8PqTopK: Q = (s, d) => {
+    val em = embeddings(s, d)
+    val query = em.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val codebooks =
+      Similarity.pqCodebooks(em, "embedding", m = 16, ksub = 16, iters = 5, seed = 42L)
+    Similarity.pqTopK(em.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      query, k = 10, codebooks)
+      .select("vec_id")
+  }
+
   /** SQ8 scalar-quantized ANN ([[Similarity.sq8TopK]]): unit-normalize,
     * quantize to signed bytes (1 byte/dim — the 4x-compressed scan path),
     * rank by the EXACT integer code dot product. Every step is integer
@@ -667,6 +685,7 @@ object LlmInventory {
     "s4_ivf_topk" -> s4IvfTopK,
     "s5_topk_join" -> s5TopKJoin,
     "s6_sq8_topk" -> s6Sq8TopK,
+    "s8_pq_topk" -> s8PqTopK,
     "t7_hash_split" -> t7HashSplit,
     "t8_deterministic_sample" -> t8DeterministicSample,
     "t9_repetition" -> t9Repetition,

@@ -308,4 +308,41 @@ class FunctionsSpec extends AnyFunSuite {
     // length mismatch: shorter prefix only (defensive, mirrors vec_dot)
     assert(Sq8Util.dot(Array[Byte](2, 3), Array[Byte](5)) === 10L)
   }
+
+  test("PqUtil.encodeFloats: per-subspace nearest centroid, ties to lowest index") {
+    import graft.functions.PqUtil
+    // m=2 subspaces of dim 2; ksub=2 centroids each, flattened row-major
+    // subspace 0: c0=(0,0) c1=(10,10); subspace 1: c0=(5,5) c1=(-5,-5)
+    val codebook = Array[Float](0, 0, 10, 10, 5, 5, -5, -5)
+    assert(PqUtil.encodeFloats(Array[Float](1, 1, 4, 4), codebook, 2, 2).toSeq ===
+      Seq[Byte](0, 0))
+    assert(PqUtil.encodeFloats(Array[Float](9, 9, -4, -4), codebook, 2, 2).toSeq ===
+      Seq[Byte](1, 1))
+    // equidistant (5,5): both centroids at d²=50 — strict < keeps index 0
+    assert(PqUtil.encodeFloats(Array[Float](5, 5, 0, 0), codebook, 2, 2).toSeq ===
+      Seq[Byte](0, 0))
+  }
+
+  test("PqUtil.adc: lookup-table sum with unsigned code bytes") {
+    import graft.functions.PqUtil
+    val lut = Array.tabulate(2 * 256)(i => i.toDouble / 10)
+    // code bytes are UNSIGNED indices: -1 must read slot 255, not -1
+    val code = Array[Byte](3, -1)
+    assert(PqUtil.adc(code, lut, 256) === (3.0 / 10 + (256 + 255).toDouble / 10))
+  }
+
+  test("PqUtil: encode∘adc approximates the dot against decoded centroids") {
+    import graft.functions.PqUtil
+    // one subspace, centroids on the unit axes: encoding picks the nearer
+    // axis, and the ADC score is exactly dot(query, chosen centroid)
+    val codebook = Array[Float](1, 0, 0, 1) // c0=(1,0) c1=(0,1)
+    val v = Array[Float](0.9f, 0.1f)
+    val code = PqUtil.encodeFloats(v, codebook, 1, 2)
+    assert(code.toSeq === Seq[Byte](0))
+    val query = Seq(0.5f, 2.0f)
+    val lut = graft.operators.Similarity.pqLut(
+      Array(Array(Array(1f, 0f), Array(0f, 1f))), query)
+    // dot(query, c0) = 0.5
+    assert(PqUtil.adc(code, lut, 2) === 0.5)
+  }
 }

@@ -241,6 +241,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("s8 PQ top-k: codegen'd encode+ADC, TakeOrdered, no exchange, no Window") {
+    val em = graft.core.Tables.embeddings(spark, sf)
+    val query = em.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val codebooks = graft.operators.Similarity
+      .pqCodebooks(em, "embedding", m = 16, ksub = 16, iters = 5, seed = 42L)
+    val p = graft.operators.Similarity
+      .pqTopK(em.filter(col("vec_id") =!= 0), "vec_id", "embedding", query, 10, codebooks)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // encode + lookup-table score are row-local expressions inside the
+    // scan stage (codebook/LUT are plan-bound constants); data movement
+    // is two TakeOrdered k-row gathers (ADC prefilter, cosine rerank)
+    assert(p.contains("pq_adc") && p.contains("pq_encode"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("[codegen id :"), p.take(800))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("t17_mixture_upsample: pure per-row explode — no shuffle, no join") {
     val p = planOf("t17_mixture_upsample")
     assert(p.contains("Generate"), p) // the explode(sequence(...))

@@ -152,6 +152,37 @@ class RecallSpec extends AnyFunSuite {
     assert(recall >= 0.945, s"SQ8 code-rank recall regressed: $recall < 0.95")
   }
 
+  test("PQ ADC top-k (s8 shape): pinned recall@10 floor; full overfetch = brute force") {
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val codebooks =
+      Similarity.pqCodebooks(em, "embedding", m = 16, ksub = 16, iters = 5, seed = 42L)
+    val per = (0L until 10L).map { qid =>
+      val query = em.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0)
+      val corpus = em.filter(col("vec_id") =!= qid)
+      val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", query, 10)
+        .collect().map(_.getLong(0))
+      val pq = Similarity
+        .pqTopK(corpus, "vec_id", "embedding", query, 10, codebooks, overfetch = 4)
+        .collect().map(_.getLong(0))
+      // overfetch covering the whole corpus (50·10 ≥ 499): the exact-cosine
+      // rerank then sees every row and must EQUAL brute force, order included
+      val full = Similarity
+        .pqTopK(corpus, "vec_id", "embedding", query, 10, codebooks, overfetch = 50)
+        .collect().map(_.getLong(0))
+      assert(full.toSeq === brute.toSeq,
+        s"full-overfetch PQ rerank diverged from brute force for query $qid")
+      pq.toSet.intersect(brute.toSet).size / 10.0
+    }
+    val recall = per.sum / per.length
+    info(s"pqTopK mean recall@10 over 10 queries (overfetch=4): $recall")
+    // pinned floor: measured 0.87 at gate creation (m=16, ksub=16,
+    // iters=5, seed=42, sf0.01, queries 0-9; m=8 measured 0.59 — the
+    // 4-dim subspaces are what buy the accuracy). Recall moves in steps
+    // of 0.01, so any single lost neighbor fails
+    assert(recall >= 0.865, s"PQ ADC recall regressed: $recall < 0.87")
+  }
+
   test("SQ8 batch top-k join (s5 shape): prefilter+rerank vs exact topKJoin") {
     val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = em.filter(col("vec_id") < 20)
