@@ -26,6 +26,8 @@ import org.apache.spark.sql.SparkSession
   * graft corpus semdedup --in DIR --out DIR [--vec-col c] [--threshold 0.999] [--planes 16] [--bands 4] [--seed 42]
   * graft corpus scrub    --in DIR --out DIR [--text-col c]
   * graft corpus lmfilter --in DIR --out DIR --ref DIR [--max-novelty 0.3]
+  * graft corpus linededup --in DIR --out DIR [--chunk-tokens 10] [--id-col c] [--text-col c]
+  * graft corpus classify --in DIR --out DIR [--threshold 0.0] [--seed w] [--text-col c]
   * graft corpus stats    --in DIR [--id-col c] [--text-col c]
   * }}}
   *
@@ -74,12 +76,12 @@ object Main {
       cfgOf(rest.toArray).forks.foreach(f => println(s"${f.name}\tepoch=${f.epoch}\tversion=${f.version}"))
     case "fork" :: "detect" :: rest => forkDetect(rest.toArray)
     case "corpus" :: cmd :: rest
-        if Set("dedup", "semdedup", "scrub", "lmfilter", "cap", "sample",
-          "upsample", "export", "stats")(cmd) =>
+        if Set("dedup", "semdedup", "scrub", "lmfilter", "linededup",
+          "classify", "cap", "sample", "upsample", "export", "stats")(cmd) =>
       val spark = session()
       try corpusRun(spark, cmd, rest.toArray) finally spark.stop()
     case _ =>
-      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|status|fork info|fork list|fork detect --sample|corpus dedup|semdedup|scrub|lmfilter|cap|sample|upsample|export|stats} [options]")
+      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|status|fork info|fork list|fork detect --sample|corpus dedup|semdedup|scrub|lmfilter|linededup|classify|cap|sample|upsample|export|stats} [options]")
       sys.exit(2)
   }
 
@@ -197,6 +199,35 @@ object Main {
         val kept = spark.read.parquet(out).count()
         println(s"[graft] corpus lmfilter: $total docs -> $kept kept " +
           s"(${total - kept} above novelty $maxNovelty vs $ref)")
+      case "linededup" =>
+        val chunkTokens = opt(args, "chunk-tokens").map(_.toInt).getOrElse(10)
+        val out = outDir
+        // rewrite each doc with corpus-wide repeated chunks removed (first
+        // occurrence survives); docs whose every chunk was a repeat drop out
+        val deduped = graft.operators.Dedup
+          .chunkDedup(docs, idCol, textCol, chunkTokens)
+          .filter(col("text_dedup").isNotNull)
+        docs.drop(textCol)
+          .join(deduped.select(col(idCol), col("text_dedup").as(textCol),
+            col("n_chunks"), col("n_kept")), Seq(idCol))
+          .write.mode("overwrite").parquet(out)
+        val total = docs.count()
+        val kept = spark.read.parquet(out)
+        val k = kept.count()
+        val chunks = kept.agg(sum("n_chunks"), sum("n_kept")).head()
+        println(s"[graft] corpus linededup: $total docs -> $k kept " +
+          s"(${chunks.getLong(0) - chunks.getLong(1)} of ${chunks.getLong(0)} " +
+          s"$chunkTokens-token chunks removed as repeats)")
+      case "classify" =>
+        val threshold = opt(args, "threshold").map(_.toDouble).getOrElse(0.0)
+        val seed = opt(args, "seed").getOrElse("w")
+        val out = outDir
+        graft.operators.Classifier.filtered(docs, textCol, seed, threshold)
+          .write.mode("overwrite").parquet(out)
+        val total = docs.count()
+        val kept = spark.read.parquet(out).count()
+        println(s"[graft] corpus classify: $total docs -> $kept kept " +
+          s"(hashed-linear score > $threshold, seed '$seed')")
       case "stats" =>
         val q = graft.operators.TextAnalysis.qualityFilter(docs, textCol)
         val r = q.agg(

@@ -1036,4 +1036,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/lmout")
       .select("doc_id").as[Long].collect().toSeq === Seq(1L))
   }
+
+  test("corpus CLI: linededup / classify verbs (D10)") {
+    import spark.implicits._
+    val base = tmp()
+    // doc 2 repeats doc 1's chunk "x y" and keeps its own tail; doc 3 is
+    // ENTIRELY doc 1's chunks — it must drop out of the rewritten corpus
+    Seq((1L, "x y a b", "s0"), (2L, "x y c d", "s1"), (3L, "x y", "s2"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$base/ld_in")
+    Main.corpusRun(spark, "linededup",
+      Array("--in", s"$base/ld_in", "--out", s"$base/ld_out",
+        "--chunk-tokens", "2"))
+    val ld = spark.read.parquet(s"$base/ld_out")
+    assert(ld.count() === 2)
+    val byId = ld.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(byId === Map(1L -> "x y a b", 2L -> "c d"))
+    // non-text columns survive the rewrite
+    assert(ld.filter(col("doc_id") === 2).head().getAs[String]("source") === "s1")
+
+    // classify: gate = scored().keep — verified against the operator.
+    // Token-DISJOINT docs, so per-doc scores are independent hash draws
+    // and the threshold splits the corpus
+    val docs = (1L to 50L).map(i => (i, s"tok${i}a tok${i}b tok${i}c"))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$base/cl_in")
+    Main.corpusRun(spark, "classify",
+      Array("--in", s"$base/cl_in", "--out", s"$base/cl_out"))
+    val kept = spark.read.parquet(s"$base/cl_out")
+      .select("doc_id").as[Long].collect().sorted
+    val expected = graft.operators.Classifier.scored(docs, "doc_id", "text")
+      .filter(col("keep")).select("doc_id").as[Long].collect().sorted
+    assert(kept === expected)
+    assert(kept.nonEmpty && kept.length < 50)
+  }
 }
