@@ -109,6 +109,90 @@ object StreamingJobs {
     deduped.drop("__content_hash")
   }
 
+  final case class BandRow(bucket: Long, docId: Long, sig: Long)
+  final case class BucketState(sigs: List[Long], ids: List[Long])
+  final case class BandVerdict(docId: Long, dupOf: Long)
+
+  /** Streaming NEAR-dup dedup — the realtime arm of the batch LSH
+    * pipeline ([[graft.operators.Dedup.nearDupGroups]] is the at-rest
+    * sweep): each arriving document computes its 64-bit SimHash (per-row
+    * codegen kernel, [[graft.operators.SimHash64]]), fans out to `bands`
+    * 16-bit signature-slice buckets, and each bucket keeps keyed state of
+    * the signatures it has admitted. A document whose signature sits
+    * within Hamming ≤ `maxHamming` of a stored signature in ANY of its
+    * buckets is flagged a near-dup of that document; otherwise the
+    * signature is admitted to the bucket's state. The banding is the
+    * standard LSH recall lever: a near-dup pair differing in ≤ maxHamming
+    * of 64 bits agrees exactly on at least one 16-bit slice whenever its
+    * flipped bits don't cover all `bands` slices.
+    *
+    * Output is ONE ROW PER (doc, band) — [[nearDupVerdicts]] folds them
+    * to per-document verdicts; run it inside `foreachBatch` (a batch
+    * aggregation over each micro-batch's band results, avoiding a second
+    * stateful operator in the stream).
+    *
+    * Scale posture: state per bucket is a bounded `maxBucketEntries`
+    * signature list (newest-first, oldest evicted — the recency prior is
+    * what a streaming dedup wants: bursts of near-identical content are
+    * near in time), so total state is ≤ `bands · 2^16 · maxBucketEntries`
+    * (sig, id) pairs regardless of stream length. Verdicts chain: a
+    * near-dup's `dupOf` may itself have been flagged in an earlier batch
+    * (the batch pipeline's connected components resolves the same chains
+    * at rest). Band decisions are bucket-local, so a doc flagged via one
+    * band may still be admitted by another — a recall-widening, not a
+    * correctness issue. */
+  def streamingSimhashDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4,
+      maxBucketEntries: Int = 256): Dataset[BandVerdict] = {
+    require(bands >= 1 && bands <= 4, s"bands must be 1..4, got $bands")
+    import docs.sparkSession.implicits._
+    val sig = graft.operators.Similarity
+      .simhash64(graft.operators.TextAnalysis.tokens(col(textCol)))
+    val banded = docs
+      .select(col(idCol).cast("long").as("docId"), sig.as("sig"))
+      .select(col("docId"), col("sig"),
+        explode(array((0 until bands).map { b =>
+          (lit(b.toLong * 65536L) +
+            shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL)))
+        }: _*)).as("bucket"))
+      .as[BandRow]
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[BandRow], state: GroupState[BucketState]) => {
+          val st = state.getOption.getOrElse(BucketState(Nil, Nil))
+          var sigs = st.sigs
+          var ids = st.ids
+          // docId order within the batch: deterministic verdicts however
+          // the micro-batch happened to partition
+          val out = rows.toSeq.sortBy(_.docId).map { r =>
+            sigs.iterator.zip(ids.iterator).find { case (s, _) =>
+              java.lang.Long.bitCount(s ^ r.sig) <= maxHamming
+            } match {
+              case Some((_, matchedId)) => BandVerdict(r.docId, matchedId)
+              case None =>
+                sigs = (r.sig :: sigs).take(maxBucketEntries)
+                ids = (r.docId :: ids).take(maxBucketEntries)
+                BandVerdict(r.docId, -1L)
+            }
+          }
+          state.update(BucketState(sigs, ids))
+          out.iterator
+        })
+  }
+
+  /** Fold [[streamingSimhashDedup]]'s per-(doc, band) rows into
+    * per-document verdicts — call on each `foreachBatch` batch:
+    * `(docId, dup_of NULL-when-unique, is_dup)`, dup_of = the smallest
+    * matched representative across bands. */
+  def nearDupVerdicts(bandVerdicts: DataFrame): DataFrame =
+    bandVerdicts
+      .groupBy("docId")
+      .agg(min(when(col("dupOf") >= 0, col("dupOf"))).as("dup_of"))
+      .withColumn("is_dup", col("dup_of").isNotNull)
+
   final case class SessionInput(userId: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(n: Long, total: Double, lastTs: Long)
   final case class SessionOutput(userId: Long, n: Long, total: Double, closed: Boolean)

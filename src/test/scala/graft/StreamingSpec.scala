@@ -99,6 +99,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingSimhashDedup: near-dups flagged across batches, uniques admitted") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val band = StreamingJobs.streamingSimhashDedup(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    // foreachBatch folds band rows to per-doc verdicts and appends them —
+    // the production wiring (second aggregation stays OUTSIDE the stream)
+    val sink = scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)]()
+    val q = band.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingJobs.BandVerdict], _: Long) =>
+        StreamingJobs.nearDupVerdicts(batch.toDF()).collect().foreach { r =>
+          sink.synchronized {
+            sink += ((r.getAs[Long]("docId"),
+              if (r.isNullAt(1)) -1L else r.getAs[Long]("dup_of"),
+              r.getAs[Boolean]("is_dup")))
+          }
+        }
+        ()
+      }
+      .start()
+    try {
+      val base = (1 to 60).map(i => s"w$i").mkString(" ")
+      val nearDup = base.replace(" w30 ", " w30x ") // one-token edit
+      val distinct = (1 to 60).map(i => s"z$i").mkString(" ")
+      mem.addData((1L, base), (2L, distinct))
+      q.processAllAvailable()
+      // cross-batch: doc 3 is a near-dup of doc 1 (state remembers batch 1)
+      mem.addData((3L, nearDup), (4L, (1 to 60).map(i => s"q$i").mkString(" ")))
+      q.processAllAvailable()
+      val verdicts = sink.synchronized(sink.toList).groupBy(_._1)
+        .map { case (id, vs) => id -> vs.last }
+      assert(!verdicts(1L)._3 && !verdicts(2L)._3 && !verdicts(4L)._3)
+      assert(verdicts(3L)._3 && verdicts(3L)._2 === 1L,
+        s"doc 3 should be flagged as near-dup of doc 1, got ${verdicts(3L)}")
+      // identical content in the SAME batch also resolves (doc order), and
+      // a re-arrival of an already-flagged variant matches the ADMITTED
+      // representative (doc 1), not the dropped doc 3
+      mem.addData((5L, base), (6L, nearDup))
+      q.processAllAvailable()
+      val v2 = sink.synchronized(sink.toList).groupBy(_._1)
+        .map { case (id, vs) => id -> vs.last }
+      assert(v2(5L)._3 && v2(5L)._2 === 1L) // matches the batch-1 signature
+      assert(v2(6L)._3 && v2(6L)._2 === 1L) // doc 3 was never admitted
+    } finally q.stop()
+  }
+
   test("slotStream pacing law: never emits slots faster than the chain (R1 fix)") {
     // mainnet cadence: 12 s per slot. Simulate 120 s of rate-source ticks —
     // exactly slots start..start+10 may be emitted, one per period, and at
