@@ -227,6 +227,7 @@ object Scale {
     if (args.headOption.contains("validators")) return validatorsMain(args)
     if (args.headOption.contains("dedup")) return dedupMain(args)
     if (args.headOption.contains("semdedup")) return semdedupMain(args)
+    if (args.headOption.contains("chunkdedup")) return chunkDedupMain(args)
     val totalSlots = args.lift(0).map(_.toLong).getOrElse(1000000L)
     val outMd = args.lift(1).getOrElse("SCALE.md")
     val chunkSize = 1000L
@@ -522,6 +523,84 @@ object Scale {
     java.nio.file.Files.write(path,
       (kept + section).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"""{"metric":"scale_semdedup","value":$dedupSec,"unit":"sec","n_vecs":$nVecs,"vecs_per_s":${nVecs / dedupSec},"recall":${recalled.toDouble / planted},"dropped":$dropped,"heap_peak_mb":$heapMb}""")
+    spark.stop()
+  }
+
+  private val chunkDedupHeader = "## Chunk-level (line) dedup stage"
+
+  /** `runMain graft.Scale chunkdedup [nDocs] [outMd]` — the sub-document
+    * exact-dedup pipeline ([[graft.operators.Dedup.chunkDedup]], the
+    * CCNet line-dedup shape) at three orders of magnitude above the
+    * sf0.01 oracle corpus. The [[genDedupCorpus]] corpus gives exact
+    * deterministic invariants: every planted pair (i, i+1) shares its
+    * five 10-token chunks, so doc i+1 must be FULLY deduplicated (NULL
+    * text), and the planted docs' shared " extradup" tail chunk survives
+    * exactly once — removed-chunk and dropped-doc counts are equalities,
+    * not floors. */
+  private def chunkDedupMain(args: Array[String]): Unit = {
+    val nDocs = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    val outMd = args.lift(2).getOrElse("SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val dir = Files.createTempDirectory("graft_scale_chunkdedup").toString
+    val (_, genSec) = timed {
+      genDedupCorpus(spark, nDocs).write.mode("overwrite").parquet(dir)
+    }
+    val docs = spark.read.parquet(dir)
+    val planted = nDocs / 20
+    val ((total, chunksIn, chunksRemoved, fullyDropped), dedupSec) = timed {
+      val out = graft.operators.Dedup
+        .chunkDedup(docs, "doc_id", "text", chunkTokens = 10)
+        .persist()
+      val agg = out.agg(
+        count(lit(1)), sum("n_chunks"), sum(col("n_chunks") - col("n_kept")),
+        sum(when(col("text_dedup").isNull, 1L).otherwise(0L))).head()
+      val r = (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+      out.unpersist(blocking = false)
+      r
+    }
+    // exact invariants (see Scaladoc): every planted successor fully
+    // drops; removed chunks = 5 per planted pair + all-but-one extradup
+    val invariantsOk =
+      total == nDocs && fullyDropped == planted &&
+        chunksRemoved == 6 * planted - 1 && chunksIn == nDocs * 5 + planted
+    val heapMb = heapPeakMb()
+    val section =
+      s"""
+         |$chunkDedupHeader (corpus-wide repeated 10-token chunks removed, first occurrence wins)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale chunkdedup $nDocs"` —
+         |`Dedup.chunkDedup` over the ${nDocs / 1000}k-doc planted corpus:
+         |chunking is a per-row expression; the duplicate scan shuffles only
+         |(16-byte hash, id, idx); reassembly is one groupBy on the doc id.
+         |
+         || metric | value |
+         ||---|---|
+         || corpus generate + write | ${f"$genSec%.1f"} s ($nDocs docs) |
+         || chunk-dedup wall | ${f"$dedupSec%.1f"} s (${f"${nDocs / dedupSec}%.0f"} docs/s, ${f"${chunksIn / dedupSec}%.0f"} chunks/s) |
+         || chunks in / removed as repeats | $chunksIn / $chunksRemoved |
+         || docs fully deduplicated (NULL text) | $fullyDropped |
+         || exact invariants hold | $invariantsOk |
+         || peak heap | $heapMb MB |
+         |""".stripMargin
+    val path = java.nio.file.Paths.get(outMd)
+    val existing =
+      if (java.nio.file.Files.exists(path))
+        new String(java.nio.file.Files.readAllBytes(path),
+          java.nio.charset.StandardCharsets.UTF_8)
+      else ""
+    val kept = existing.split(java.util.regex.Pattern.quote(chunkDedupHeader))(0)
+    java.nio.file.Files.write(path,
+      (kept + section).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"metric":"scale_chunkdedup","value":$dedupSec,"unit":"sec","n_docs":$nDocs,"docs_per_s":${nDocs / dedupSec},"invariants_ok":$invariantsOk,"chunks_removed":$chunksRemoved,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 }

@@ -463,8 +463,13 @@ object Dedup {
     * exchange. */
   def chunkDedup(
       df: DataFrame, idCol: String, textCol: String, chunkTokens: Int): DataFrame = {
+    // persisted: consumed twice (the first-occurrence aggregate and the
+    // join-back side) — recomputing the tokenize+explode costs ~1.4× the
+    // whole pipeline (measured at 200k docs). Released before returning;
+    // the result arrives materialized+persisted (caller-owned).
     val chunks = docChunks(df, idCol, textCol, chunkTokens)
       .withColumn("h", md5(col("chunk")))
+      .persist()
     // globally-first occurrence per distinct chunk content: min (id, idx)
     val first = chunks
       .groupBy("h")
@@ -472,7 +477,7 @@ object Dedup {
       .select(col("h"), col("f.id").as("fid"), col("f.chunk_idx").as("fidx"))
     val kept = chunks.join(first, Seq("h"))
       .withColumn("keep", col("id") === col("fid") && col("chunk_idx") === col("fidx"))
-    kept
+    val out = kept
       .groupBy(col("id").as(idCol))
       .agg(
         count(lit(1)).as("n_chunks"),
@@ -484,5 +489,6 @@ object Dedup {
             s => s.getField("chunk"))).as("text_cat"))
       .withColumn("text_dedup", when(col("n_kept") > 0, col("text_cat")))
       .drop("text_cat")
+    materializeAndRelease(out, chunks)
   }
 }

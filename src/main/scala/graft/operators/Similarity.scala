@@ -345,11 +345,20 @@ object Similarity {
         * enables the [[ivfSq8TopKIndexed]] serving path, whose probe
         * scans read the codes and only touch float vectors for rerank
         * survivors. */
-      withSq8Codes: Boolean = false): Unit = {
+      withSq8Codes: Boolean = false,
+      /** also materialize the PQ code column (`pq_code`, m bytes — the
+        * trained codebooks, [[pqCodebooks]]): enables
+        * [[ivfPqTopKIndexed]], the FAISS IVF-PQ serving shape. */
+      pqCodebooksOpt: Option[Array[Array[Array[Float]]]] = None): Unit = {
     val assigned = ivfAssign(corpus, vecCol, centroids)
-    val indexed =
+    val withSq8 =
       if (withSq8Codes) assigned.withColumn("sq8_code", sq8_encode(col(vecCol)))
       else assigned
+    val indexed = pqCodebooksOpt match {
+      case Some(cb) => withSq8.withColumn("pq_code",
+        pq_encode(col(vecCol), pqFlatten(cb), cb.length, cb.head.length))
+      case None => withSq8
+    }
     indexed
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("list_id").parquet(dir)
@@ -462,6 +471,33 @@ object Similarity {
         pq_adc(
           codeCol.map(col).getOrElse(pq_encode(col(vecCol), flat, m, ksub)),
           lut, ksub).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(math.max(k, overfetch * k))
+      .select(col(idCol), vec_cosine(col("__v"), typedlit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** IVF-PQ serving path (FAISS's IVF-PQ shape without leaving parquet +
+    * Catalyst): partition-pruned scan of the nProbe probed lists in a
+    * [[writeIvfIndex]] `pqCodebooksOpt` directory, ADC lookup-table
+    * prefilter over the m-byte codes to `overfetch·k` candidates, exact
+    * cosine rerank. The probe reads (nProbe/k-lists) of the corpus at m
+    * bytes/vector — the most compressed scan in the family (8 bytes at
+    * m=8 vs 64 for SQ8, 256 for float32). */
+  def ivfPqTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      idCol: String, vecCol: String, query: Seq[Float],
+      k: Int, centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]], nProbe: Int,
+      overfetch: Int = 4): DataFrame = {
+    val probeLists = probedLists(centroids, query, nProbe)
+    val ksub = codebooks.head.length
+    val lut = pqLut(codebooks, query)
+    spark.read.parquet(indexDir)
+      .filter(col("list_id").isin(probeLists: _*))
+      .select(col(idCol), col(vecCol).as("__v"),
+        pq_adc(col("pq_code"), lut, ksub).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(math.max(k, overfetch * k))
       .select(col(idCol), vec_cosine(col("__v"), typedlit(query)).as("cosine"))

@@ -252,6 +252,29 @@ class ExtensionsSpec extends AnyFunSuite {
     val sqScan = sq.queryExecution.executedPlan.toString
     val sqPf = sqScan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(sqPf.contains("list_id"), sqScan.take(2000))
+
+    // IVF-PQ: m-byte-code index, ADC prefilter + exact rerank. With
+    // overfetch covering the probed lists the rerank sees every probed
+    // row, so the answer must EQUAL the float probed answer
+    val codebooks = graft.operators.Similarity
+      .pqCodebooks(em, "embedding", m = 16, ksub = 16, iters = 5, seed = 42L)
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_ivf_pq").toString
+    graft.operators.Similarity.writeIvfIndex(
+      corpus, "embedding", centroids, pqDir, pqCodebooksOpt = Some(codebooks))
+    assert(spark.read.parquet(pqDir).columns.contains("pq_code"))
+    val pq = graft.operators.Similarity.ivfPqTopKIndexed(
+      spark, pqDir, "vec_id", "embedding", query, 10, centroids, codebooks,
+      nProbe = 3, overfetch = 50)
+    assert(pq.collect().map(_.getLong(0)).toSet === probed)
+    val pqScan = pq.queryExecution.executedPlan.toString
+    val pqPf = pqScan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pqPf.contains("list_id"), pqScan.take(2000))
+    // tight overfetch still recovers most of the probed answer
+    val pqTight = graft.operators.Similarity.ivfPqTopKIndexed(
+      spark, pqDir, "vec_id", "embedding", query, 10, centroids, codebooks,
+      nProbe = 3, overfetch = 4)
+    assert(pqTight.collect().map(_.getLong(0)).toSet.intersect(probed).size >= 8,
+      "IVF-PQ tight-overfetch recall regressed")
   }
 
   test("nearDupGroups: LSH -> jaccard -> connected components finds chains") {
