@@ -231,4 +231,36 @@ object TextAnalysis {
         explode(array_distinct(
           transform(sequence(lit(1), size(col("h")) - w + 1),
             i => array_min(slice(col("h"), i, lit(w)))))).as("fp"))
+
+  /** Corpus TF-IDF top-`k` terms per document — the keyword-extraction /
+    * doc-representation primitive, with the exact-arithmetic core that
+    * makes it oracle-checkable: `tf` (term occurrences in the doc) and
+    * `df` (documents containing the term) are exact integers, and the
+    * rarity weighting is the reciprocal `tf/df` (ONE IEEE division —
+    * monotone in df exactly like the classical `tf·log(N/df)`, without
+    * the cross-engine libm hazard). Ranking ties break on the term
+    * string.
+    *
+    * Output: `(idCol, term, tf, df, score, rnk)`, `rnk ≤ k`.
+    *
+    * 100 TB shape: one shuffle on (doc, term) for tf, one on term for the
+    * df dimension (vocabulary-sized — Catalyst broadcasts it when stats
+    * allow), one on the doc id for the per-doc rank window; no
+    * corpus-sized window (partitionBy is the doc id, never a constant). */
+  def tfidfTopTerms(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
+  }
 }

@@ -629,6 +629,13 @@ object LlmInventory {
   val t21ClassifierScore: Q = (s, d) =>
     Classifier.scored(documents(s, d), "doc_id", "text", seed = "w", threshold = 0.0)
 
+  /** t22: TF-IDF top-3 terms per document ([[TextAnalysis.tfidfTopTerms]])
+    * — exact integer tf/df, reciprocal rarity score (one IEEE division),
+    * term-ascending tie-break, so every column including the double score
+    * hash-matches the DuckDB oracle. */
+  val t22TfidfTopTerms: Q = (s, d) =>
+    TextAnalysis.tfidfTopTerms(documents(s, d), "doc_id", "text", k = 3)
+
   // --- Skew toolkit -----------------------------------------------------
 
   /** t14: the skew toolkit on the declared surface — salted hot-key join
@@ -708,6 +715,7 @@ object LlmInventory {
     "t17_mixture_upsample" -> t17MixtureUpsample,
     "d11_chunk_dedup" -> d11ChunkDedup,
     "t21_classifier_score" -> t21ClassifierScore,
+    "t22_tfidf_topterms" -> t22TfidfTopTerms,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1558,5 +1566,26 @@ object LlmInventory {
         |       coalesce(CASE WHEN n_tokens > 0
         |            THEN hash_sum::DOUBLE / (n_tokens * 2147483648.0) - 1 END > 0.0, false) AS keep
         |FROM h""".stripMargin,
+    // same exact integer tf/df, same single division, same tie-break
+    "t22_tfidf_topterms" ->
+      """WITH s AS (
+        |  SELECT doc_id, regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(t, '[ \t\n\x0b\f\r]+')) AS term
+        |  FROM s WHERE t <> ''),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |         tf.tf::DOUBLE / dfreq.df AS score,
+        |         row_number() OVER (
+        |           PARTITION BY tf.doc_id
+        |           ORDER BY tf.tf::DOUBLE / dfreq.df DESC, tf.term ASC) AS rnk
+        |  FROM tf JOIN dfreq USING (term))
+        |SELECT doc_id, term, tf, df, score, CAST(rnk AS INT) AS rnk
+        |FROM ranked WHERE rnk <= 3""".stripMargin,
   )
 }

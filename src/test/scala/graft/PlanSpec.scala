@@ -260,6 +260,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("t22_tfidf_topterms: doc-keyed rank window, no single-partition funnel") {
+    val p = planOf("t22_tfidf_topterms")
+    // per-doc rank: the window partitions on the doc id — a constant
+    // partitionBy would funnel the corpus through one task
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+    // tf and df are partial-aggregated map-side before their exchanges
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("t17_mixture_upsample: pure per-row explode — no shuffle, no join") {
     val p = planOf("t17_mixture_upsample")
     assert(p.contains("Generate"), p) // the explode(sequence(...))
