@@ -398,6 +398,46 @@ object Similarity {
       rerank = overfetch * k, codeCol = Some("sq8_code"))
   }
 
+  /** Per-group embedding centroids (the class-centroid / prototype
+    * builder behind centroid classifiers, SemDeDup cluster seeds, and
+    * label-balance diagnostics): mean vector per group, computed by
+    * dimension — `posexplode` to (group, dim, component), aggregate,
+    * rebuild the array with `array_agg` ordered by dim.
+    *
+    * Exactness: a float/double sum is shuffle-order-dependent (and
+    * engine-dependent), so components first quantize to 2^-20 fixed
+    * point — `floor(x · 2^20)` on the exactly-widened double, an
+    * IEEE-exact product + deterministic floor — and the sum is an exact
+    * Long (order-independent); ONE double division recovers the mean.
+    * The ≤ 2^-20 per-component bias is far below embedding noise, and
+    * the result is bit-reproducible anywhere.
+    *
+    * 100 TB shape: the explode multiplies rows by dim but each carries
+    * (group, int, long) — columnar-cheap; the aggregate partial runs
+    * map-side, so the exchange moves |groups|·dim partial rows per
+    * partition, never the corpus. */
+  def groupCentroids(
+      df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    groupCentroidsByDim(df, groupCol, vecCol)
+      .groupBy(col(groupCol))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("centroid"),
+        max("n_vectors").as("n_vectors"))
+
+  /** [[groupCentroids]] in long form — one row per (group, dim), scalar
+    * columns only (the oracle-comparable shape). */
+  def groupCentroidsByDim(
+      df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(
+        (sum(floor(col("x").cast("double") * lit(1048576.0)).cast("long"))
+          .cast("double") / (count(lit(1)) * lit(1048576.0))).as("m"),
+        count(lit(1)).as("n_vectors"))
+
   /** Train PQ codebooks (the FAISS product-quantizer trainer shape): the
     * embedding dimension splits into `m` equal subspaces, and each
     * subspace gets its own `ksub`-centroid Lloyd k-means over a

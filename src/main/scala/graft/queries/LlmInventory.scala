@@ -288,6 +288,14 @@ object LlmInventory {
       .select(col("q_id"), col("vec_id"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** s9: per-label embedding centroids in long form
+    * ([[Similarity.groupCentroidsByDim]]) — the class-prototype builder.
+    * Components quantize to 2^-20 fixed point before the sum (exact Long,
+    * shuffle-order-independent), one division recovers the mean, so the
+    * double `m` column hash-matches the DuckDB oracle. */
+  val s9LabelCentroids: Q = (s, d) =>
+    Similarity.groupCentroidsByDim(embeddings(s, d), "label", "embedding")
+
   /** Per-label centroid-free pairwise stats: count pairs per label bucket —
     * exercises the bucketed self-join shape with an exact oracle. */
   val s3LabelBuckets: Q = (s, d) =>
@@ -693,6 +701,7 @@ object LlmInventory {
     "s5_topk_join" -> s5TopKJoin,
     "s6_sq8_topk" -> s6Sq8TopK,
     "s8_pq_topk" -> s8PqTopK,
+    "s9_label_centroids" -> s9LabelCentroids,
     "t7_hash_split" -> t7HashSplit,
     "t8_deterministic_sample" -> t8DeterministicSample,
     "t9_repetition" -> t9Repetition,
@@ -1566,6 +1575,18 @@ object LlmInventory {
         |       coalesce(CASE WHEN n_tokens > 0
         |            THEN hash_sum::DOUBLE / (n_tokens * 2147483648.0) - 1 END > 0.0, false) AS keep
         |FROM h""".stripMargin,
+    // same 2^-20 fixed-point quantization, exact BIGINT sum, one division
+    "s9_label_centroids" ->
+      """WITH e AS (
+        |  SELECT label,
+        |         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+        |         unnest(embedding) AS x
+        |  FROM embeddings)
+        |SELECT label, dim,
+        |       CAST(SUM(CAST(floor(x::DOUBLE * 1048576.0) AS BIGINT)) AS DOUBLE)
+        |         / (count(*) * 1048576.0) AS m,
+        |       count(*) AS n_vectors
+        |FROM e GROUP BY label, dim""".stripMargin,
     // same exact integer tf/df, same single division, same tie-break
     "t22_tfidf_topterms" ->
       """WITH s AS (

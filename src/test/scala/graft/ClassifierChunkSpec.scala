@@ -92,6 +92,23 @@ class ClassifierChunkSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("n_kept") === 0L)
   }
 
+  test("groupCentroids: per-group mean vectors, 2^-20 fixed-point exactness") {
+    val df = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(3.0f, 1.0f)),
+      (1, Seq(-2.0f, 4.0f))).toDF("label", "embedding")
+    val out = graft.operators.Similarity.groupCentroids(df, "label", "embedding")
+      .orderBy("label").collect()
+    // integers are exact under the 2^20 quantization: means are exact
+    assert(out(0).getAs[Seq[Double]]("centroid") === Seq(2.0, 0.5))
+    assert(out(0).getAs[Long]("n_vectors") === 2L)
+    assert(out(1).getAs[Seq[Double]]("centroid") === Seq(-2.0, 4.0))
+    // non-dyadic components quantize with bias < 2^-20
+    val q = Seq((0, Seq(0.1f)), (0, Seq(0.2f))).toDF("label", "embedding")
+    val m = graft.operators.Similarity.groupCentroids(q, "label", "embedding")
+      .collect().head.getAs[Seq[Double]]("centroid").head
+    assert(math.abs(m - 0.15) < 1e-5 && m != 0.15)
+  }
+
   test("chunkDedup: intra-document repetition is also deduplicated") {
     val df = Seq((1L, "r s r s t u")).toDF("id", "text")
     val out = Dedup.chunkDedup(df, "id", "text", chunkTokens = 2).collect().head
