@@ -438,6 +438,56 @@ object Similarity {
           .cast("double") / (count(lit(1)) * lit(1048576.0))).as("m"),
         count(lit(1)).as("n_vectors"))
 
+  /** Nearest-centroid label assignment + label-noise flagging — the
+    * embedding-space QC pass a curation pipeline runs over labeled data
+    * (mislabeled rows sit closer to another class's centroid; Northcutt
+    * et al.'s confident-learning intuition in its geometric form):
+    * build per-label centroids ([[groupCentroidsByDim]]), score every
+    * vector against every centroid, argmax, and flag rows whose
+    * predicted label differs from their own.
+    *
+    * Exactness (the d5/s6 discipline): vector components and centroid
+    * means both quantize to 2^-20 fixed point, so each (vector,
+    * centroid) dot product and each centroid norm is an EXACT Long
+    * accumulated in any order; the ranking score
+    * `dot / sqrt(centroid_norm)` (the cosine with the vector's own norm
+    * cancelled — it is constant within the argmax) takes exactly two
+    * deterministic IEEE ops, so the argmax and the score itself
+    * hash-match a relational oracle. Ties break to the lowest label.
+    *
+    * 100 TB shape: centroids are |labels|·dim rows — a broadcast-sized
+    * dim table; the vector side explodes per dim but aggregates
+    * map-side; no corpus self-join, no window over a constant. */
+  def nearestCentroidLabels(
+      df: DataFrame, idCol: String, labelCol: String, vecCol: String): DataFrame = {
+    val q = lit(1048576.0) // 2^20
+    val cents = groupCentroidsByDim(df, labelCol, vecCol)
+      .select(col(labelCol).as("c_label"), col("dim"),
+        floor(col("m") * q).cast("long").as("qm"))
+    val cnorm = cents.groupBy("c_label")
+      .agg(sum(col("qm") * col("qm")).as("c_norm"))
+    val vecs = df
+      .select(col(idCol), col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .withColumn("qx", floor(col("x").cast("double") * q).cast("long"))
+    val dots = vecs
+      .join(broadcast(cents), Seq("dim"))
+      .groupBy(col(idCol), col(labelCol), col("c_label"))
+      .agg(sum(col("qx") * col("qm")).as("dot"))
+      .join(broadcast(cnorm), Seq("c_label"))
+      // score = dot/√centroid_norm: cosine up to the vector's own norm,
+      // which is constant within a vector's argmax
+      .withColumn("score",
+        col("dot").cast("double") / sqrt(col("c_norm").cast("double")))
+    dots
+      .groupBy(col(idCol), col(labelCol))
+      .agg(max(struct(col("score"), (-col("c_label")).as("neg_label"))).as("best"))
+      .select(
+        col(idCol), col(labelCol),
+        (-col("best.neg_label")).as("pred_label"),
+        col("best.score").as("pred_score"))
+      .withColumn("is_noise", col("pred_label") =!= col(labelCol))
+  }
+
   /** Train PQ codebooks (the FAISS product-quantizer trainer shape): the
     * embedding dimension splits into `m` equal subspaces, and each
     * subspace gets its own `ksub`-centroid Lloyd k-means over a

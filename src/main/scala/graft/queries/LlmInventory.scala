@@ -296,6 +296,14 @@ object LlmInventory {
   val s9LabelCentroids: Q = (s, d) =>
     Similarity.groupCentroidsByDim(embeddings(s, d), "label", "embedding")
 
+  /** s10: nearest-centroid label-noise flagging
+    * ([[Similarity.nearestCentroidLabels]]) — per-label centroids, exact
+    * fixed-point dot products, `dot/√centroid_norm` ranking (two IEEE
+    * ops on exact Longs), argmax with ties to the lowest label. Every
+    * column including the double score hash-matches the oracle. */
+  val s10LabelNoise: Q = (s, d) =>
+    Similarity.nearestCentroidLabels(embeddings(s, d), "vec_id", "label", "embedding")
+
   /** Per-label centroid-free pairwise stats: count pairs per label bucket —
     * exercises the bucketed self-join shape with an exact oracle. */
   val s3LabelBuckets: Q = (s, d) =>
@@ -702,6 +710,7 @@ object LlmInventory {
     "s6_sq8_topk" -> s6Sq8TopK,
     "s8_pq_topk" -> s8PqTopK,
     "s9_label_centroids" -> s9LabelCentroids,
+    "s10_label_noise" -> s10LabelNoise,
     "t7_hash_split" -> t7HashSplit,
     "t8_deterministic_sample" -> t8DeterministicSample,
     "t9_repetition" -> t9Repetition,
@@ -1587,6 +1596,42 @@ object LlmInventory {
         |         / (count(*) * 1048576.0) AS m,
         |       count(*) AS n_vectors
         |FROM e GROUP BY label, dim""".stripMargin,
+    // same fixed-point quantization chain (components AND re-quantized
+    // centroid means), exact BIGINT dots/norms, two IEEE ops, same
+    // argmax tie-break
+    "s10_label_noise" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+        |         unnest(embedding) AS x
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, label, dim,
+        |         CAST(floor(x::DOUBLE * 1048576.0) AS BIGINT) AS qx
+        |  FROM e),
+        |cent AS (
+        |  SELECT label AS c_label, dim,
+        |         CAST(floor((CAST(SUM(qx) AS DOUBLE) / (count(*) * 1048576.0))
+        |                    * 1048576.0) AS BIGINT) AS qm
+        |  FROM q GROUP BY label, dim),
+        |cnorm AS (
+        |  SELECT c_label, CAST(SUM(qm * qm) AS BIGINT) AS c_norm
+        |  FROM cent GROUP BY c_label),
+        |dots AS (
+        |  SELECT q.vec_id, q.label, cent.c_label,
+        |         CAST(SUM(q.qx * cent.qm) AS BIGINT) AS dot
+        |  FROM q JOIN cent USING (dim)
+        |  GROUP BY q.vec_id, q.label, cent.c_label),
+        |scored AS (
+        |  SELECT dots.vec_id, dots.label, dots.c_label,
+        |         dot::DOUBLE / sqrt(c_norm::DOUBLE) AS score,
+        |         row_number() OVER (
+        |           PARTITION BY dots.vec_id
+        |           ORDER BY dot::DOUBLE / sqrt(c_norm::DOUBLE) DESC, dots.c_label ASC) AS rn
+        |  FROM dots JOIN cnorm USING (c_label))
+        |SELECT vec_id, label, c_label AS pred_label, score AS pred_score,
+        |       c_label <> label AS is_noise
+        |FROM scored WHERE rn = 1""".stripMargin,
     // same exact integer tf/df, same single division, same tie-break
     "t22_tfidf_topterms" ->
       """WITH s AS (

@@ -109,6 +109,24 @@ class ClassifierChunkSpec extends AnyFunSuite {
     assert(math.abs(m - 0.15) < 1e-5 && m != 0.15)
   }
 
+  test("nearestCentroidLabels: planted mislabeled vector is flagged") {
+    // label 0 clusters near (1,0), label 1 near (0,1); vec 99 carries
+    // label 0 but sits in label 1's cluster → is_noise
+    val rows = (0L until 20L).map(i =>
+      (i, 0, Seq(1.0f + (i % 5) * 0.01f, 0.02f * (i % 3)))) ++
+      (20L until 40L).map(i =>
+        (i, 1, Seq(0.02f * (i % 3), 1.0f + (i % 5) * 0.01f))) ++
+      Seq((99L, 0, Seq(0.0f, 1.0f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val out = graft.operators.Similarity
+      .nearestCentroidLabels(df, "vec_id", "label", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("pred_label"), r.getAs[Boolean]("is_noise"))).toMap
+    assert(out(99L) === ((1, true)), s"planted noise not flagged: ${out(99L)}")
+    assert(out.count { case (id, (_, noise)) => id != 99L && noise } === 0,
+      "clean vectors misflagged")
+  }
+
   test("chunkDedup: intra-document repetition is also deduplicated") {
     val df = Seq((1L, "r s r s t u")).toDF("id", "text")
     val out = Dedup.chunkDedup(df, "id", "text", chunkTokens = 2).collect().head
