@@ -254,6 +254,37 @@ object Inventory {
       .unionByName(stat("customer", customer(s, d)))
   }
 
+  /** X3: INTERSECT — users active on BOTH days (the set-op family's third
+    * member next to j6's EXCEPT and x2's UNION). */
+  val x3Intersect: Q = (s, d) => {
+    val ev = events(s, d)
+    val day1 = ev.filter(to_date(eventTs(ev)) === lit("2024-01-01").cast("date"))
+      .select("user_id").distinct()
+    val day2 = ev.filter(to_date(eventTs(ev)) === lit("2024-01-02").cast("date"))
+      .select("user_id").distinct()
+    day1.intersect(day2)
+  }
+
+  /** A10: ROLLUP super-aggregates — per-(type, priority) order counts with
+    * per-type and grand totals in one pass (the ClickHouse WITH ROLLUP
+    * monitoring shape). Exact ints; NULL group keys mark the totals. */
+  val a10Rollup: Q = (s, d) =>
+    orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("min_key"))
+
+  /** W3: lag window — per-user inter-event gaps in whole seconds (exact
+    * long arithmetic on epoch seconds; first event per user has no
+    * predecessor → NULL gap). */
+  val w3EventDeltas: Q = (s, d) => {
+    val ev = events(s, d)
+    val sec = unix_timestamp(eventTs(ev))
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    ev.select(
+      col("user_id"), col("event_id"),
+      (sec - lag(sec, 1).over(w)).as("gap_s"))
+  }
+
   // ---------------------------------------------------------------------
   // §2.8 Scalar pack
   // ---------------------------------------------------------------------
@@ -388,6 +419,9 @@ object Inventory {
     "o1_topk" -> o1TopK,
     "o2_multikey_sort" -> o2MultiKeySort,
     "x2_union_stats" -> x2UnionStats,
+    "x3_intersect" -> x3Intersect,
+    "a10_rollup" -> a10Rollup,
+    "w3_event_deltas" -> w3EventDeltas,
     "c1_safe_long_hex" -> c1SafeLongHex,
     "c3_payload_hash" -> c3PayloadHash,
     "c4_popcount" -> c4Popcount,
@@ -495,6 +529,22 @@ object Inventory {
       """SELECT 'orders' AS tbl, count(*) AS n FROM orders
         |UNION ALL SELECT 'lineitem' AS tbl, count(*) AS n FROM lineitem
         |UNION ALL SELECT 'customer' AS tbl, count(*) AS n FROM customer""".stripMargin,
+    "x3_intersect" ->
+      """SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'""".stripMargin,
+    "a10_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       MIN(o_orderkey) AS min_key
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    // epoch seconds via integer floor division of microseconds — DuckDB's
+    // epoch() is a DOUBLE and ::BIGINT ROUNDS, Spark's unix_timestamp
+    // truncates; epoch_us // 1000000 matches the truncation exactly
+    "w3_event_deltas" ->
+      """SELECT user_id, event_id,
+        |       epoch_us(ts) // 1000000 - lag(epoch_us(ts) // 1000000, 1) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+        |FROM events""".stripMargin,
     "c1_safe_long_hex" ->
       "SELECT event_id, event_id AS parsed FROM events",
     "c3_payload_hash" ->
