@@ -28,6 +28,7 @@ import org.apache.spark.sql.SparkSession
   * graft corpus lmfilter --in DIR --out DIR --ref DIR [--max-novelty 0.3]
   * graft corpus linededup --in DIR --out DIR [--chunk-tokens 10] [--id-col c] [--text-col c]
   * graft corpus classify --in DIR --out DIR [--threshold 0.0] [--seed w] [--text-col c]
+  * graft corpus curate   --in DIR --out DIR [--classify-threshold T] [--chunk-tokens 10] [--dedup-threshold 0.8] [--ref-bench DIR] [--budget N] [--shards K]
   * graft corpus stats    --in DIR [--id-col c] [--text-col c]
   * }}}
   *
@@ -77,15 +78,16 @@ object Main {
     case "fork" :: "detect" :: rest => forkDetect(rest.toArray)
     case "corpus" :: cmd :: rest
         if Set("dedup", "semdedup", "scrub", "lmfilter", "linededup",
-          "classify", "cap", "sample", "upsample", "export", "stats")(cmd) =>
+          "classify", "curate", "cap", "sample", "upsample", "export",
+          "stats")(cmd) =>
       val spark = session()
       try corpusRun(spark, cmd, rest.toArray) finally spark.stop()
     case _ =>
-      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|status|fork info|fork list|fork detect --sample|corpus dedup|semdedup|scrub|lmfilter|linededup|classify|cap|sample|upsample|export|stats} [options]")
+      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|status|fork info|fork list|fork detect --sample|corpus dedup|semdedup|scrub|lmfilter|linededup|classify|curate|cap|sample|upsample|export|stats} [options]")
       sys.exit(2)
   }
 
-  /** `graft corpus <dedup|semdedup|scrub|lmfilter|cap|sample|upsample|export|stats>` — the training-data curation
+  /** `graft corpus <dedup|semdedup|scrub|lmfilter|linededup|classify|curate|cap|sample|upsample|export|stats>` — the training-data curation
     * operators ([[graft.operators.Dedup]], [[graft.operators.Sampling]],
     * [[graft.operators.TextAnalysis]]) as batch CLI verbs over parquet
     * corpora. Session-injected so tests drive it on the shared fixture. */
@@ -228,6 +230,81 @@ object Main {
         val kept = spark.read.parquet(out).count()
         println(s"[graft] corpus classify: $total docs -> $kept kept " +
           s"(hashed-linear score > $threshold, seed '$seed')")
+      case "curate" =>
+        // the composed end-to-end curation funnel — each stage is the
+        // operator its standalone verb exposes, chained with counts:
+        // quality gate → classifier gate → near-dup dedup → chunk-level
+        // line dedup → [decontam] → [token budget] → [shard] write.
+        // Fuzzy (near-dup) dedup runs BEFORE sub-document dedup: the
+        // reverse order shreds a near-duplicate into a unique-looking
+        // remnant (its shared chunks removed) that then survives the
+        // fuzzy pass — the RefinedWeb ordering.
+        val out = outDir
+        val chunkTokens = opt(args, "chunk-tokens").map(_.toInt).getOrElse(10)
+        val dedupThreshold = opt(args, "dedup-threshold").map(_.toDouble).getOrElse(0.8)
+        val clsThreshold = opt(args, "classify-threshold").map(_.toDouble)
+        val n0 = docs.count()
+        val funnel = scala.collection.mutable.LinkedHashMap("input" -> n0)
+        // 1. heuristic quality gate (length/token/punct envelope)
+        val q = graft.operators.TextAnalysis.qualityFilter(docs, textCol)
+          .filter(col("quality_ok"))
+          .select(docs.columns.map(col): _*)
+        funnel += "quality" -> q.count()
+        // 2. learned-gate stand-in (hashed-linear classifier), opt-in
+        val classified = clsThreshold match {
+          case Some(t) => graft.operators.Classifier.filtered(q, textCol, "w", t)
+          case None => q
+        }
+        if (clsThreshold.isDefined) funnel += "classify" -> classified.count()
+        // 3. whole-document near-dup dedup (representatives survive)
+        val groups = graft.operators.Dedup
+          .nearDupGroups(classified, idCol, textCol, jaccardThreshold = dedupThreshold)
+          .persist()
+        val deduped = classified.join(
+          groups.filter(col("is_representative")).select(col(idCol)), Seq(idCol), "left_semi")
+        funnel += "neardedup" -> deduped.count()
+        // 4. sub-document dedup: repeated chunks removed, docs rewritten
+        val lineDeduped = deduped.drop(textCol).join(
+          graft.operators.Dedup
+            .chunkDedup(deduped, idCol, textCol, chunkTokens)
+            .filter(col("text_dedup").isNotNull)
+            .select(col(idCol), col("text_dedup").as(textCol)),
+          Seq(idCol))
+        funnel += "linededup" -> lineDeduped.count()
+        // 5. benchmark decontamination, opt-in
+        val decontamed = opt(args, "ref-bench") match {
+          case Some(bench) => graft.operators.Decontam.decontaminated(
+            lineDeduped, spark.read.parquet(bench), idCol, textCol, w = 8)
+          case None => lineDeduped
+        }
+        if (opt(args, "ref-bench").isDefined) funnel += "decontam" -> decontamed.count()
+        // 6. token-budget selection (largest-first priority = doc id asc
+        // tie), opt-in
+        val budgeted = opt(args, "budget").map(_.toLong) match {
+          case Some(b) =>
+            val withCost = decontamed.withColumn("__tokens",
+              graft.operators.TextAnalysis.tokenCount(col(textCol)).cast("long"))
+            graft.operators.Sampling
+              .tokenBudgetSelect(withCost, idCol, "__tokens", "__tokens", b)
+              .drop("__tokens")
+          case None => decontamed
+        }
+        if (opt(args, "budget").isDefined) funnel += "budget" -> budgeted.count()
+        // 7. write — hash-sharded when --shards is given
+        opt(args, "shards").map(_.toInt) match {
+          case Some(k) =>
+            budgeted
+              .withColumn("shard", pmod(xxhash64(col(idCol)), lit(k.toLong)).cast("int"))
+              .repartition(k, col("shard"))
+              .sortWithinPartitions(col("shard"), col(idCol))
+              .write.mode("overwrite").partitionBy("shard").parquet(out)
+          case None => budgeted.write.mode("overwrite").parquet(out)
+        }
+        groups.unpersist(blocking = false)
+        val kept = spark.read.parquet(out).count()
+        funnel += "written" -> kept
+        println("[graft] corpus curate funnel: " +
+          funnel.map { case (k, v) => s"$k=$v" }.mkString(" -> "))
       case "stats" =>
         val q = graft.operators.TextAnalysis.qualityFilter(docs, textCol)
         val r = q.agg(

@@ -1037,6 +1037,35 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("corpus CLI: curate — the composed funnel drops each planted offender (D10)") {
+    import spark.implicits._
+    val base = tmp()
+    val good = (1 to 80).map(i => s"w$i").mkString(" ")
+    def uniq(tag: String) = (1 to 80).map(i => s"$tag$i").mkString(" ")
+    val rows = Seq(
+      (1L, good),                                    // survives everything
+      (2L, "short"),                                 // quality: too_short
+      (3L, good.replace(" w40 ", " w40x ")),         // near-dup of 1
+      (4L, uniq("u4")),                              // survives
+      (5L, uniq("u5") + " bench marker phrase here alpha beta gamma delta"), // decontam hit
+      (6L, uniq("u6"))                               // survives
+    ).toDF("doc_id", "text")
+    rows.write.parquet(s"$base/in")
+    // benchmark shares an 8-gram with doc 5
+    Seq((100L, "bench marker phrase here alpha beta gamma delta"))
+      .toDF("bench_id", "text").write.parquet(s"$base/bench")
+    Main.corpusRun(spark, "curate",
+      Array("--in", s"$base/in", "--out", s"$base/out",
+        "--ref-bench", s"$base/bench", "--shards", "2"))
+    val out = spark.read.parquet(s"$base/out")
+    val kept = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 4L, 6L),
+      s"funnel should keep 1/4/6 (drop short 2, near-dup 3, contaminated 5), got $kept")
+    assert(out.columns.contains("shard"))
+    // the near-dup representative keeps its full (chunk-level-rewritten) text
+    assert(out.filter(col("doc_id") === 1).head().getAs[String]("text") === good)
+  }
+
   test("corpus CLI: linededup / classify verbs (D10)") {
     import spark.implicits._
     val base = tmp()
