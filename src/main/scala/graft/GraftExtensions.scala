@@ -179,5 +179,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           es.head, staticInt(es, 1, "kmv_min_hashes", "k"))
           .toAggregateExpression()
       }))
+    e.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      info("misra_gries",
+        "aggregate: Misra-Gries heavy-hitters summary — array of " +
+          "(token, count) structs, count desc; counts are lower bounds, " +
+          "exact when the vocabulary fits the capacity"),
+      (es: Seq[Expression]) => {
+        if (es.length != 2)
+          fail(s"misra_gries(value, capacity) takes exactly 2 arguments, got ${es.length}")
+        graft.operators.Sketches.MisraGries(
+          es.head, staticInt(es, 1, "misra_gries", "capacity"))
+          .toAggregateExpression()
+      }))
   }
 }

@@ -132,4 +132,146 @@ object Sketches {
               element_at(col("mins"), k).cast("double"))
           .as("kmv_estimate")): _*)
   }
+
+  /** Misra-Gries heavy-hitters summary (Misra & Gries 1982; merge rule
+    * from Agarwal et al., "Mergeable Summaries", PODS 2012) — the
+    * bounded-memory answer to "top frequent tokens" that an exact
+    * GROUP BY can't give at 100 TB without shuffling the full key set.
+    * State is ≤ `capacity` (token, count) pairs per group regardless of
+    * stream length; merge sums the maps and, when over capacity,
+    * subtracts the (capacity+1)-th largest count from every entry and
+    * drops the non-positive — the classic error-preserving trim. Held
+    * counts are LOWER bounds with error ≤ n/(capacity+1); when the
+    * distinct key count never exceeds capacity the summary is EXACT
+    * (what the declared t23 query exploits for its oracle). */
+  case class MisraGries(
+      child: Expression, capacity: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[String, java.lang.Long]]
+    with UnaryLike[Expression] {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+
+    private type Buf = java.util.HashMap[String, java.lang.Long]
+
+    override def createAggregationBuffer(): Buf = new java.util.HashMap()
+
+    /** Subtract the (capacity+1)-th largest count from all entries and
+      * drop the non-positive, leaving ≤ capacity entries. */
+    private def trim(buf: Buf): Buf = {
+      if (buf.size() <= capacity) return buf
+      val counts = new Array[Long](buf.size())
+      val it0 = buf.values().iterator()
+      var i = 0
+      while (it0.hasNext) { counts(i) = it0.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      // (capacity+1)-th largest = index size-capacity-1 in ascending order
+      val dec = counts(buf.size() - capacity - 1)
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue - dec
+        if (c <= 0) it.remove() else e.setValue(c)
+      }
+      buf
+    }
+
+    override def update(buf: Buf, input: InternalRow): Buf = {
+      val v = child.eval(input)
+      if (v != null) {
+        val key = v.toString
+        val cur = buf.get(key)
+        if (cur != null) buf.put(key, cur + 1L)
+        else {
+          buf.put(key, 1L)
+          trim(buf)
+        }
+      }
+      buf
+    }
+
+    override def merge(b1: Buf, b2: Buf): Buf = {
+      val it = b2.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val cur = b1.get(e.getKey)
+        b1.put(e.getKey, if (cur == null) e.getValue else cur + e.getValue)
+      }
+      trim(b1)
+    }
+
+    /** Array of (token, count) structs, count desc then token asc — a
+      * deterministic order whatever the hash-map iteration did. */
+    override def eval(buf: Buf): Any = {
+      val entries = new Array[(String, Long)](buf.size())
+      val it = buf.entrySet().iterator()
+      var i = 0
+      while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1 }
+      val sorted = entries.sortBy { case (t, c) => (-c, t) }
+      new GenericArrayData(sorted.map { case (t, c) =>
+        InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(t), c)
+      }: Array[Any])
+    }
+
+    override def serialize(buf: Buf): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(buf.size())
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        out.writeUTF(e.getKey)
+        out.writeLong(e.getValue)
+      }
+      out.flush()
+      bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): Buf = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val buf = createAggregationBuffer()
+      val n = in.readInt()
+      var i = 0
+      while (i < n) { buf.put(in.readUTF(), in.readLong()); i += 1 }
+      buf
+    }
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("token", StringType, nullable = false),
+        StructField("count", LongType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(o: Int): MisraGries =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): MisraGries =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): MisraGries =
+      copy(child = c)
+    override def prettyName: String = "misra_gries"
+  }
+
+  /** Column API: Misra-Gries heavy-hitters summary of a string column
+    * (aggregate — use inside `agg`): array of (token, count) structs,
+    * count desc. */
+  def misraGries(value: Column, capacity: Int): Column =
+    ExpressionUtils.column(
+      MisraGries(ExpressionUtils.expression(value), capacity).toAggregateExpression())
+
+  /** Heavy hitters per group: explode the per-group summary to
+    * `(groupCols…, token, count_lb, rnk)`, top `k` by the summary's
+    * lower-bound counts. Exact when the per-group vocabulary fits
+    * `capacity`. */
+  def heavyHitters(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      capacity: Int, k: Int): DataFrame =
+    df
+      .groupBy(groupCols.map(col): _*)
+      .agg(misraGries(col(valueCol), capacity).as("hh"))
+      .select(groupCols.map(col) :+ posexplode(col("hh")): _*)
+      .filter(col("pos") < k)
+      .select(groupCols.map(col) ++ Seq(
+        col("col.token").as("token"),
+        col("col.count").as("count_lb"),
+        (col("pos") + 1).cast("int").as("rnk")): _*)
 }

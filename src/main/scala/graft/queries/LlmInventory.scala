@@ -652,6 +652,19 @@ object LlmInventory {
   val t22TfidfTopTerms: Q = (s, d) =>
     TextAnalysis.tfidfTopTerms(documents(s, d), "doc_id", "text", k = 3)
 
+  /** t23: per-language heavy-hitter tokens via the Misra-Gries summary
+    * ([[Sketches.heavyHitters]]) — the bounded-memory frequent-items
+    * sketch, capacity 256 ≫ the 31-token testdata vocabulary, so the
+    * lower-bound counts are exact and the whole report (token, count,
+    * rank) hash-matches the exact-GROUP-BY oracle; at 100 TB the same
+    * plan ships ≤ capacity pairs per partition instead of a full key
+    * shuffle. */
+  val t23HeavyHitters: Q = (s, d) =>
+    Sketches.heavyHitters(
+      documents(s, d)
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token")),
+      Seq("lang"), "token", capacity = 256, k = 10)
+
   // --- Skew toolkit -----------------------------------------------------
 
   /** t14: the skew toolkit on the declared surface — salted hot-key join
@@ -734,6 +747,7 @@ object LlmInventory {
     "d11_chunk_dedup" -> d11ChunkDedup,
     "t21_classifier_score" -> t21ClassifierScore,
     "t22_tfidf_topterms" -> t22TfidfTopTerms,
+    "t23_heavy_hitters" -> t23HeavyHitters,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1632,6 +1646,27 @@ object LlmInventory {
         |SELECT vec_id, label, c_label AS pred_label, score AS pred_score,
         |       c_label <> label AS is_noise
         |FROM scored WHERE rn = 1""".stripMargin,
+    // exact GROUP BY counts stand in for the sketch's lower bounds —
+    // equality holds because capacity exceeds the vocabulary
+    "t23_heavy_hitters" ->
+      """WITH s AS (
+        |  SELECT lang, regexp_replace(text, '^[ 	
+]+|[ 	
+]+$', '', 'g') AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT lang, unnest(string_split_regex(t, '[ 	
+]+')) AS token
+        |  FROM s WHERE t <> ''),
+        |cnt AS (
+        |  SELECT lang, token, count(*) AS count_lb FROM tok GROUP BY lang, token),
+        |rk AS (
+        |  SELECT lang, token, count_lb,
+        |         row_number() OVER (
+        |           PARTITION BY lang ORDER BY count_lb DESC, token ASC) AS rnk
+        |  FROM cnt)
+        |SELECT lang, token, count_lb, CAST(rnk AS INT) AS rnk
+        |FROM rk WHERE rnk <= 10""".stripMargin,
     // same exact integer tf/df, same single division, same tie-break
     "t22_tfidf_topterms" ->
       """WITH s AS (

@@ -81,6 +81,13 @@ class ExtensionsSpec extends AnyFunSuite {
         |  AS t(g, h) GROUP BY g ORDER BY g""".stripMargin).collect()
     assert(kmv(0).getAs[Seq[Long]]("mins") === Seq(10L, 20L))
     assert(kmv(1).getAs[Seq[Long]]("mins") === Seq(5L))
+    // misra_gries: SQL aggregate — heavy-hitters summary, count desc
+    val hh = spark.sql(
+      """SELECT misra_gries(w, 4) AS hh FROM VALUES
+        |  ('x'), ('x'), ('y'), ('x'), ('z'), ('y') AS t(w)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(hh === Seq(("x", 3L), ("y", 2L), ("z", 1L)))
   }
 
   test("SQL static args: clear plan-time errors for bad word_shingles/minhash_signature calls") {

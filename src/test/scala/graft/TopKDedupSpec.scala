@@ -468,6 +468,28 @@ class TopKDedupSpec extends AnyFunSuite {
       3L -> ((1L, false)), 4L -> ((4L, true))))
   }
 
+  test("MisraGries: exact below capacity, lower bounds + bounded state above") {
+    import graft.operators.Sketches
+    // below capacity: exact counts, (count desc, token asc) order
+    val words = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++ Seq("d")
+    val df = spark.createDataset(scala.util.Random.shuffle(words)).repartition(4).toDF("w")
+    val hh = df.agg(Sketches.misraGries(col("w"), 10)).head()
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(hh === Seq(("a", 5L), ("b", 3L), ("c", 3L), ("d", 1L)))
+    // above capacity: the heavy hitter survives with a count no LARGER
+    // than truth, and state never exceeds capacity entries
+    val skew = Seq.fill(60)("hot") ++ (1 to 30).map(i => s"cold$i")
+    val df2 = spark.createDataset(scala.util.Random.shuffle(skew)).repartition(4).toDF("w")
+    val hh2 = df2.agg(Sketches.misraGries(col("w"), 8)).head()
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(hh2.size <= 8)
+    assert(hh2.head._1 === "hot")
+    assert(hh2.head._2 <= 60L && hh2.head._2 >= 60L - (90L / 9L),
+      s"MG error bound n/(capacity+1) violated: ${hh2.head}")
+  }
+
   test("KmvMinHashes: k smallest DISTINCT values, ascending, across partition merges") {
     import graft.operators.Sketches
     // duplicates and shuffled arrival across 7 partitions must not matter
