@@ -260,6 +260,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("t21_classifier_score: pure scan-side score — no exchange, no join, codegen'd") {
+    val p = planOf("t21_classifier_score")
+    // the hashed-linear score is one `aggregate` over the token array per
+    // row: any Exchange would mean the gate stopped being a map-only scan
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("[codegen id :"), p.take(800))
+  }
+
+  test("s9_label_centroids: ONE exchange, map-side partial aggregation") {
+    val p = planOf("s9_label_centroids")
+    // posexplode fans out per dim, then a single hash exchange on
+    // (label, dim) with partial_sum/partial_count before it
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("t22_tfidf_topterms: doc-keyed rank window, no single-partition funnel") {
     val p = planOf("t22_tfidf_topterms")
     // per-doc rank: the window partitions on the doc id — a constant

@@ -146,6 +146,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingSimhashDedup: bucket state survives a checkpoint restart") {
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_simdedup_ckpt").toString
+    // same (base, one-token-edit) pair as the cross-batch test above —
+    // a pair KNOWN to collide in at least one 16-bit band
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val sink = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def start(mem: MemoryStream[(Long, String)]) =
+      StreamingJobs.streamingSimhashDedup(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingJobs.BandVerdict], _: Long) =>
+          StreamingJobs.nearDupVerdicts(batch.toDF()).collect().foreach { r =>
+            sink.synchronized {
+              sink += ((r.getAs[Long]("docId"),
+                if (r.isNullAt(1)) -1L else r.getAs[Long]("dup_of")))
+            }
+          }
+          ()
+        }
+        .start()
+    // run 1: admit the base document, then STOP (simulated crash/restart)
+    val mem1 = MemoryStream[(Long, String)]
+    val q1 = start(mem1)
+    try { mem1.addData((1L, base)); q1.processAllAvailable() } finally q1.stop()
+    // run 2: a NEW source on the same checkpoint — the band buckets must
+    // remember doc 1's signature from the state store, not recompute it.
+    // The fresh MemoryStream's offset 0 is already committed in the
+    // checkpoint, so batch 0 is a replay filler the restart skips; the
+    // real post-restart data rides offset 1.
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData((1L, base))
+    val q2 = start(mem2)
+    try {
+      mem2.addData((2L, base.replace(" w30 ", " w30x ")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val verdicts = sink.synchronized(sink.toList).toMap
+    assert(verdicts(1L) === -1L)
+    assert(verdicts(2L) === 1L,
+      s"post-restart near-dup must match the pre-restart admitted doc, got $verdicts")
+  }
+
   test("slotStream pacing law: never emits slots faster than the chain (R1 fix)") {
     // mainnet cadence: 12 s per slot. Simulate 120 s of rate-source ticks —
     // exactly slots start..start+10 may be emitted, one per period, and at
