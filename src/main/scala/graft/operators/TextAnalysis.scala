@@ -232,6 +232,34 @@ object TextAnalysis {
           transform(sequence(lit(1), size(col("h")) - w + 1),
             i => array_min(slice(col("h"), i, lit(w)))))).as("fp"))
 
+  /** Partial-overlap candidate pairs via winnowing fingerprints — the
+    * MOSS detector's second half: documents sharing ≥ `minShared`
+    * fingerprints contain (with the winnowing guarantee) runs of at
+    * least w + k − 1 identical consecutive tokens, i.e. copied passages
+    * that whole-document similarity misses. Same inverted-index shape as
+    * the token-overlap join, with the same quadratic-blowup guard: a
+    * fingerprint appearing in more than `maxDf` documents (boilerplate)
+    * is dropped BEFORE the self-join via a broadcast anti-join — it
+    * carries no plagiarism signal and would contribute O(df²) pairs. */
+  def winnowOverlapPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Long = 2L,
+      maxDf: Long = 1000L): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp"))
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("fp")
+    val posting = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val a = posting.select(col("id").as("d1"), col("fp"))
+    val b = posting.select(col("id").as("d2"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Corpus TF-IDF top-`k` terms per document — the keyword-extraction /
     * doc-representation primitive, with the exact-arithmetic core that
     * makes it oracle-checkable: `tf` (term occurrences in the doc) and

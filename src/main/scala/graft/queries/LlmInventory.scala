@@ -665,6 +665,15 @@ object LlmInventory {
         .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token")),
       Seq("lang"), "token", capacity = 256, k = 10)
 
+  /** t24: partial-overlap pairs via winnowing fingerprints
+    * ([[TextAnalysis.winnowOverlapPairs]]) — the MOSS detector end to
+    * end: docs sharing ≥ 2 surviving fingerprints contain ≥ 6-token
+    * copied runs. `maxDf = 20` drops boilerplate fingerprints before the
+    * self-join (they carry no overlap signal and cost O(df²) pairs). */
+  val t24OverlapPairs: Q = (s, d) =>
+    TextAnalysis.winnowOverlapPairs(
+      documents(s, d), "doc_id", "text", k = 3, w = 4, minShared = 2L, maxDf = 20L)
+
   // --- Skew toolkit -----------------------------------------------------
 
   /** t14: the skew toolkit on the declared surface — salted hot-key join
@@ -748,6 +757,7 @@ object LlmInventory {
     "t21_classifier_score" -> t21ClassifierScore,
     "t22_tfidf_topterms" -> t22TfidfTopTerms,
     "t23_heavy_hitters" -> t23HeavyHitters,
+    "t24_overlap_pairs" -> t24OverlapPairs,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1515,6 +1525,28 @@ object LlmInventory {
         |       unnest(list_distinct(list_transform(range(1, len(h) - 2),
         |         i -> list_min(h[i:i+3])))) AS fp
         |FROM hs WHERE len(h) >= 4""".stripMargin,
+    // t15's fingerprint construction + DF ceiling + pair join
+    "t24_overlap_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |hs AS (
+        |  SELECT doc_id,
+        |         list_transform(
+        |           list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+        |           g -> substr(md5(g), 1, 16)) AS h
+        |  FROM tok WHERE len(toks) >= 3),
+        |fpx AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(h) - 2),
+        |           i -> list_min(h[i:i+3])))) AS fp
+        |  FROM hs WHERE len(h) >= 4),
+        |keep AS (
+        |  SELECT fp FROM fpx GROUP BY fp HAVING count(*) <= 20)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared_fps
+        |FROM fpx a JOIN keep USING (fp) JOIN fpx b USING (fp)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY d1, d2 HAVING count(*) >= 2""".stripMargin,
     // same (md5 hex, id) total order per source in both engines
     "t16_source_cap" ->
       """SELECT doc_id, source, rk FROM (
@@ -1651,12 +1683,15 @@ object LlmInventory {
     "t23_heavy_hitters" ->
       """WITH s AS (
         |  SELECT lang, regexp_replace(text, '^[ 	
-]+|[ 	
-]+$', '', 'g') AS t
+
+]+|[ 	
+
+]+$', '', 'g') AS t
         |  FROM documents),
         |tok AS (
         |  SELECT lang, unnest(string_split_regex(t, '[ 	
-]+')) AS token
+
+]+')) AS token
         |  FROM s WHERE t <> ''),
         |cnt AS (
         |  SELECT lang, token, count(*) AS count_lb FROM tok GROUP BY lang, token),

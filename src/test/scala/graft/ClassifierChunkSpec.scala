@@ -109,6 +109,26 @@ class ClassifierChunkSpec extends AnyFunSuite {
     assert(math.abs(m - 0.15) < 1e-5 && m != 0.15)
   }
 
+  test("winnowOverlapPairs: planted copied passage found; boilerplate ceiling holds") {
+    // docs 1/2 share an 8-token run (≥ w+k−1 = 6 → ≥1 shared fingerprint
+    // guaranteed; 8 tokens give ≥2); docs 3..12 share only a boilerplate
+    // sentence that the DF ceiling must drop
+    val passage = "the quick brown fox jumps over lazy dogs"
+    val boiler = "standard legal disclaimer text appears here verbatim always"
+    val rows =
+      Seq(
+        (1L, s"alpha one two $passage tail1 end1"),
+        (2L, s"beta three four $passage tail2 end2")) ++
+        (3L to 12L).map(i => (i, s"unique${i}a unique${i}b $boiler unique${i}c"))
+    val df = rows.toDF("doc_id", "text")
+    val pairs = graft.operators.TextAnalysis
+      .winnowOverlapPairs(df, "doc_id", "text", k = 3, w = 4,
+        minShared = 2L, maxDf = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)),
+      s"only the copied-passage pair should survive the DF ceiling, got $pairs")
+  }
+
   test("nearestCentroidLabels: planted mislabeled vector is flagged") {
     // label 0 clusters near (1,0), label 1 near (0,1); vec 99 carries
     // label 0 but sits in label 1's cluster → is_noise
