@@ -245,19 +245,28 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4, minShared: Long = 2L,
       maxDf: Long = 1000L): DataFrame = {
+    // persisted: the fingerprint explode (the dominant per-row cost) is
+    // consumed three times — the DF census and BOTH self-join sides.
+    // Released before returning; the result arrives materialized+persisted
+    // (caller-owned), the chunkDedup contract.
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
       .select(col(idCol).as("id"), col("fp"))
+      .persist()
     val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select("fp")
     val posting = fps.join(broadcast(hot), Seq("fp"), "left_anti")
     val a = posting.select(col("id").as("d1"), col("fp"))
     val b = posting.select(col("id").as("d2"), col("fp"))
-    a.join(b, Seq("fp"))
+    val out = a.join(b, Seq("fp"))
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
+    out.persist()
+    out.count()
+    fps.unpersist(blocking = false)
+    out
   }
 
   /** Corpus TF-IDF top-`k` terms per document — the keyword-extraction /
