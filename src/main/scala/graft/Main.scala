@@ -29,6 +29,8 @@ import org.apache.spark.sql.SparkSession
   * graft corpus linededup --in DIR --out DIR [--chunk-tokens 10] [--id-col c] [--text-col c]
   * graft corpus classify --in DIR --out DIR [--threshold 0.0] [--seed w] [--text-col c]
   * graft corpus curate   --in DIR --out DIR [--classify-threshold T] [--chunk-tokens 10] [--dedup-threshold 0.8] [--ref-bench DIR] [--budget N] [--shards K]
+  * graft corpus annindex --in DIR --out DIR [--vec-col c] [--lists 64] [--pq-m 16] [--pq-ksub 16] [--seed 42]
+  * graft corpus annquery --in INDEXDIR --query-id N [--k 10] [--nprobe 8] [--path pq|sq8]
   * graft corpus stats    --in DIR [--id-col c] [--text-col c]
   * }}}
   *
@@ -79,11 +81,11 @@ object Main {
     case "corpus" :: cmd :: rest
         if Set("dedup", "semdedup", "scrub", "lmfilter", "linededup",
           "classify", "curate", "cap", "sample", "upsample", "export",
-          "stats")(cmd) =>
+          "annindex", "annquery", "stats")(cmd) =>
       val spark = session()
       try corpusRun(spark, cmd, rest.toArray) finally spark.stop()
     case _ =>
-      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|status|fork info|fork list|fork detect --sample|corpus dedup|semdedup|scrub|lmfilter|linededup|classify|curate|cap|sample|upsample|export|stats} [options]")
+      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|status|fork info|fork list|fork detect --sample|corpus dedup|semdedup|scrub|lmfilter|linededup|classify|curate|cap|sample|upsample|export|annindex|annquery|stats} [options]")
       sys.exit(2)
   }
 
@@ -162,6 +164,64 @@ object Main {
           .write.mode("overwrite").partitionBy("shard").parquet(out)
         println(s"[graft] corpus export: ${spark.read.parquet(out).count()} rows " +
           s"into $shards hash shards at $out")
+      case "annindex" =>
+        // materialize the FAISS-style serving index: coarse k-means lists
+        // + SQ8 codes + residual-PQ codes, list-partitioned parquet
+        val vecCol = opt(args, "vec-col").getOrElse("embedding")
+        val lists = opt(args, "lists").map(_.toInt).getOrElse(64)
+        val m = opt(args, "pq-m").map(_.toInt).getOrElse(16)
+        val ksub = opt(args, "pq-ksub").map(_.toInt).getOrElse(16)
+        val seed = opt(args, "seed").map(_.toLong).getOrElse(42L)
+        val out = outDir
+        val sampleN = math.max(2000, 20 * lists)
+        val cents = graft.operators.Similarity.kmeansCentroids(
+          docs, vecCol, lists, iters = 5, seed = seed, sampleN = sampleN)
+        val cbs = graft.operators.Similarity.pqCodebooksResidual(
+          docs, vecCol, cents, m, ksub, iters = 5, seed = seed, sampleN = sampleN)
+        graft.operators.Similarity.writeIvfIndex(
+          docs, vecCol, cents, out, withSq8Codes = true, pqCodebooksOpt = Some(cbs))
+        // persist the trained parameters next to the index so annquery can
+        // probe without retraining — one centroid per line (comma-joined
+        // floats); codebooks flattened to (m*ksub) lines in subspace order
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(out, "_ann_centroids.tsv"),
+          cents.map(_.mkString(",")).mkString("\n"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(out, "_ann_codebooks.tsv"),
+          s"$m $ksub\n" +
+            cbs.flatMap(_.map(_.mkString(","))).mkString("\n"))
+        println(s"[graft] corpus annindex: ${spark.read.parquet(out).count()} vectors " +
+          s"in $lists lists at $out (sq8 + residual-pq m=$m ksub=$ksub)")
+      case "annquery" =>
+        val vecCol = opt(args, "vec-col").getOrElse("embedding")
+        val index = opt(args, "index").getOrElse(in) // default: --in IS the index
+        val qid = opt(args, "query-id").map(_.toLong)
+          .getOrElse(sys.error("--query-id required"))
+        val k = opt(args, "k").map(_.toInt).getOrElse(10)
+        val nProbe = opt(args, "nprobe").map(_.toInt).getOrElse(8)
+        val path = opt(args, "path").getOrElse("pq") // pq | sq8
+        val cents = java.nio.file.Files
+          .readString(java.nio.file.Paths.get(index, "_ann_centroids.tsv"))
+          .split("\n").map(_.split(",").map(_.toFloat))
+        val cbLines = java.nio.file.Files
+          .readString(java.nio.file.Paths.get(index, "_ann_codebooks.tsv"))
+          .split("\n")
+        val Array(m, ksub) = cbLines.head.split(" ").map(_.toInt)
+        val codebooks = cbLines.tail.map(_.split(",").map(_.toFloat))
+          .grouped(ksub).map(_.toArray).toArray
+        require(codebooks.length == m, s"codebook file shape mismatch: ${codebooks.length} != $m")
+        val query = spark.read.parquet(index)
+          .filter(col(idCol) === qid).select(vecCol).head().getSeq[Float](0)
+        val top = path match {
+          case "sq8" => graft.operators.Similarity.ivfSq8TopKIndexed(
+            spark, index, idCol, vecCol, query, k + 1, cents, nProbe)
+          case _ => graft.operators.Similarity.ivfPqTopKIndexed(
+            spark, index, idCol, vecCol, query, k + 1, cents, codebooks,
+            nProbe, overfetch = 16)
+        }
+        top.filter(col(idCol) =!= qid).limit(k).collect().foreach { r =>
+          println(s"${r.get(0)}\t${"%.6f".format(r.getDouble(1))}")
+        }
       case "semdedup" =>
         val vecCol = opt(args, "vec-col").getOrElse("embedding")
         val threshold = opt(args, "threshold").map(_.toDouble).getOrElse(0.999)

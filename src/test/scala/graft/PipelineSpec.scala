@@ -1066,6 +1066,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.filter(col("doc_id") === 1).head().getAs[String]("text") === good)
   }
 
+  test("corpus CLI: annindex / annquery round-trip (D10)") {
+    val base = tmp()
+    Scale.genClusteredEmbCorpus(spark, 2000L).write.parquet(s"$base/emb")
+    Main.corpusRun(spark, "annindex",
+      Array("--in", s"$base/emb", "--out", s"$base/idx",
+        "--id-col", "vec_id", "--lists", "16"))
+    // index is self-contained: partitioned parquet + trained params
+    assert(new java.io.File(s"$base/idx/_ann_centroids.tsv").exists())
+    assert(new java.io.File(s"$base/idx/_ann_codebooks.tsv").exists())
+    val idx = spark.read.parquet(s"$base/idx")
+    assert(idx.count() === 2000L)
+    assert(idx.columns.toSet.intersect(Set("sq8_code", "pq_code", "list_id")).size === 3)
+    // annquery prints "<id>\t<cosine>" lines; capture stdout for both paths
+    def queryIds(path: String): Seq[Long] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos)) {
+        Main.corpusRun(spark, "annquery",
+          Array("--in", s"$base/idx", "--id-col", "vec_id",
+            "--query-id", "7", "--k", "5", "--nprobe", "8", "--path", path))
+      }
+      bos.toString.linesIterator.map(_.split("\t")(0).toLong).toSeq
+    }
+    val pqIds = queryIds("pq")
+    val sq8Ids = queryIds("sq8")
+    assert(pqIds.size === 5 && sq8Ids.size === 5)
+    assert(!pqIds.contains(7L) && !sq8Ids.contains(7L))
+    // sanity: the quantized probes agree with brute force on most of top-5
+    val q = spark.read.parquet(s"$base/emb")
+      .filter(col("vec_id") === 7L).select("embedding").head().getSeq[Float](0)
+    val brute = graft.operators.Similarity.bruteForceTopK(
+      spark.read.parquet(s"$base/emb").filter(col("vec_id") =!= 7L),
+      "vec_id", "embedding", q, 5).collect().map(_.getLong(0)).toSet
+    assert(sq8Ids.toSet.intersect(brute).size >= 4, s"sq8 $sq8Ids vs brute $brute")
+    assert(pqIds.toSet.intersect(brute).size >= 3, s"pq $pqIds vs brute $brute")
+  }
+
   test("corpus CLI: linededup / classify verbs (D10)") {
     import spark.implicits._
     val base = tmp()
