@@ -92,6 +92,99 @@ case class WordShingles(child: Expression, width: Int, distinct: Boolean = true)
   override def prettyName: String = "word_shingles"
 }
 
+/** Single-pass winnowing kernel (gram md5 + sliding window minima +
+  * distinct) — the composed formula it replaces ran THREE nested
+  * interpreted higher-order lambdas per row (transform(md5) over grams,
+  * transform(sequence) over windows, array_min over each slice) and was
+  * the dominant cost of the t15/t24 fingerprint pipelines. Exact parity
+  * with `array_distinct(transform(sequence(1, n-w+1), i =>
+  * array_min(slice(transform(grams, g -> substr(md5(g),1,16)), i, w))))`
+  * over `Shingles.all(text, k)` — same gram tokenization (the
+  * [[ShingleUtil.wordShingles]] multiplicity kernel), same md5-hex
+  * prefix-16 hash, lexicographic window minima (= `array_min` on hex
+  * strings), keep-first distinct, and `[]` when the document has fewer
+  * than w grams (the caller's explode then yields no rows, matching the
+  * old `.filter(size(h) >= w)`). */
+object WinnowUtil {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /** First 16 hex chars of md5(gram bytes) — matches Spark's
+    * `substring(md5(g), 1, 16)`. */
+  private def md5Prefix16(g: UTF8String): String = {
+    val d = md.get()
+    d.reset()
+    val h = d.digest(g.getBytes)
+    val out = new Array[Char](16)
+    var i = 0
+    while (i < 8) {
+      out(2 * i) = HEX((h(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX(h(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  def winnowMd5(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val grams = ShingleUtil.wordShingles(s, k, distinct = false)
+    val n = grams.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val hashes = new Array[String](n)
+    var i = 0
+    while (i < n) { hashes(i) = md5Prefix16(grams.getUTF8String(i)); i += 1 }
+    val seen = new java.util.LinkedHashSet[String]()
+    i = 0
+    while (i <= n - w) {
+      // O(n·w) window minima: w is small (4 in the declared queries) and
+      // the strings are interned prefixes — a deque wouldn't pay for
+      // itself at these widths
+      var min = hashes(i)
+      var j = 1
+      while (j < w) {
+        val h = hashes(i + j)
+        if (h.compareTo(min) < 0) min = h
+        j += 1
+      }
+      seen.add(min)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Codegen'd `winnow_md5(text, k, w) -> array<string>`: the distinct
+  * winnowing fingerprint set of the document (md5-prefix16 hash family).
+  * NULL text yields `[]` (never NULL), like [[WordShingles]]. */
+case class WinnowMd5(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    WinnowUtil.winnowMd5(
+      if (v == null) null else v.asInstanceOf[UTF8String], k, w)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code + code"""
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.operators.WinnowUtil.winnowMd5(
+            ${c.isNull} ? null : ${c.value}, $k, $w);""",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression): WinnowMd5 =
+    copy(child = c)
+  override def prettyName: String = "winnow_md5"
+}
+
 object Shingles {
   /** Column API: distinct w-token shingles of the text. */
   def of(text: Column, w: Int): Column =
@@ -102,4 +195,8 @@ object Shingles {
   def all(text: Column, w: Int): Column =
     ExpressionUtils.column(
       WordShingles(ExpressionUtils.expression(text), w, distinct = false))
+
+  /** Winnowing fingerprint set (single-pass kernel; see [[WinnowUtil]]). */
+  def winnow(text: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowMd5(ExpressionUtils.expression(text), k, w))
 }

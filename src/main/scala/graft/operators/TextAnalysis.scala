@@ -216,21 +216,20 @@ object TextAnalysis {
     * executor-side higher-order functions over the codegen'd
     * [[Shingles.all]] kernel; the hash is the md5-parity family (d5/d6
     * technique) so the whole operator is DuckDB-oracle-checkable. Docs
-    * with fewer than k + w − 1 tokens emit no rows. */
+    * with fewer than k + w − 1 tokens emit no rows.
+    *
+    * Computed by the single-pass [[Shingles.winnow]] codegen kernel —
+    * the composed higher-order formula it replaced (transform(md5) →
+    * transform(sequence) → array_min(slice)) was three interpreted
+    * lambda dispatches per row and dominated the t15/t24 pipelines;
+    * kernel-vs-formula parity is asserted in FunctionsSpec. */
   def winnowFingerprints(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4): DataFrame =
     df
-      .select(
-        col(idCol),
-        transform(Shingles.all(col(textCol), k),
-          g => substring(md5(g), 1, 16)).as("h"))
-      .filter(size(col("h")) >= w)
-      .select(
-        col(idCol),
-        explode(array_distinct(
-          transform(sequence(lit(1), size(col("h")) - w + 1),
-            i => array_min(slice(col("h"), i, lit(w)))))).as("fp"))
+      .select(col(idCol), Shingles.winnow(col(textCol), k, w).as("fps"))
+      .filter(size(col("fps")) > 0)
+      .select(col(idCol), explode(col("fps")).as("fp"))
 
   /** Partial-overlap candidate pairs via winnowing fingerprints — the
     * MOSS detector's second half: documents sharing ≥ `minShared`

@@ -309,6 +309,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Sq8Util.dot(Array[Byte](2, 3), Array[Byte](5)) === 10L)
   }
 
+  test("WinnowMd5 kernel: exact parity with the composed winnowing formula") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions._
+    val spark: SparkSession = SparkTestSession.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = ((1L to 40L).map { i =>
+      val n = rnd.nextInt(20) // incl. docs below the k+w-1 threshold
+      (i, (0 until n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    } :+ (98L, "") :+ (99L, "one two three four five six seven")).toDF("id", "text")
+    val (k, w) = (3, 4)
+    val kernel = docs
+      .select(col("id"), graft.operators.Shingles.winnow(col("text"), k, w).as("fps"))
+      .filter(size(col("fps")) > 0)
+      .select(col("id"), explode(col("fps")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val composed = docs
+      .select(col("id"),
+        transform(graft.operators.Shingles.all(col("text"), k),
+          g => substring(md5(g), 1, 16)).as("h"))
+      .filter(size(col("h")) >= w)
+      .select(col("id"),
+        explode(array_distinct(
+          transform(sequence(lit(1), size(col("h")) - w + 1),
+            i => array_min(slice(col("h"), i, lit(w)))))).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kernel === composed)
+    assert(kernel.nonEmpty)
+  }
+
   test("PqUtil.encodeFloats: per-subspace nearest centroid, ties to lowest index") {
     import graft.functions.PqUtil
     // m=2 subspaces of dim 2; ksub=2 centroids each, flattened row-major
