@@ -45,6 +45,65 @@ object SimHashUtil {
   }
 }
 
+/** Static md5-family simhash kernel — the single-pass form of
+  * [[Similarity.simhashMd5Parity]]'s relational construction, emitting
+  * the IDENTICAL 16-hex-char signature (token hash = md5 hex chars 1–8
+  * as bits 32–63 and 9–16 as bits 0–31, per-bit ±1 votes, bit j set when
+  * the vote sum is strictly positive, MSB-first hex rendering). The
+  * relational form exists so a SQL oracle can REBUILD the value; this
+  * kernel exists so the Spark side doesn't pay the 64×-per-token bit
+  * explosion to produce it (kernel-vs-relational parity unit-tested,
+  * and the oracle hash-checks the value end to end). */
+object Md5SimHashUtil {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def simhashHex(tokens: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val d = md.get()
+      d.reset()
+      val h = d.digest(tokens.getUTF8String(t).getBytes)
+      // hex chars 1-8 = bytes 0-3 (hhi), chars 9-16 = bytes 4-7 (hlo)
+      var hhi = 0L
+      var hlo = 0L
+      var b = 0
+      while (b < 4) {
+        hhi = (hhi << 8) | (h(b) & 0xffL)
+        hlo = (hlo << 8) | (h(b + 4) & 0xffL)
+        b += 1
+      }
+      var j = 0
+      while (j < 64) {
+        val bit = if (j < 32) (hlo >>> j) & 1L else (hhi >>> (j - 32)) & 1L
+        if (bit == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    org.apache.spark.unsafe.types.UTF8String.fromString(f"$sig%016x")
+  }
+}
+
+/** Codegen'd md5-family simhash (16-hex-char string) of an
+  * `Array[String]` token column. */
+case class Md5SimHashHex(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    Md5SimHashUtil.simhashHex(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.Md5SimHashUtil.simhashHex($c)")
+  override protected def withNewChildInternal(c: Expression): Md5SimHashHex = copy(c)
+  override def prettyName: String = "md5_simhash_hex"
+}
+
 /** Codegen'd 64-bit SimHash of an `Array[String]` token column. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -68,6 +127,11 @@ object Similarity {
 
   def simhash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+
+  /** Single-pass md5-family simhash hex (see [[Md5SimHashUtil]]) — the
+    * fast form of [[simhashMd5Parity]], bit-identical output. */
+  def md5SimhashHex(tokens: Column): Column =
+    ExpressionUtils.column(Md5SimHashHex(ExpressionUtils.expression(tokens)))
 
   /** Oracle-parity SimHash: the same per-bit-vote construction as
     * [[SimHash64]], but with md5-derived token hashes and a RELATIONAL

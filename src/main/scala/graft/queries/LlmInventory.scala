@@ -151,8 +151,13 @@ object LlmInventory {
     * codegen FNV-1a [[Similarity.simhash64]] kernel stays the scale path
     * (equivalence of the vote construction is asserted in ScalaTest). */
   val d6Simhash: Q = (s, d) =>
-    Similarity.simhashMd5Parity(
-      documents(s, d), "doc_id", Dedup.tokenSet(col("text")))
+    // single-pass kernel form of the md5-parity simhash — bit-identical
+    // to the relational construction the DuckDB oracle rebuilds
+    // (kernel-vs-relational parity unit-tested), without the relational
+    // path's 64-rows-per-token bit explosion
+    documents(s, d).select(
+      col("doc_id"),
+      Similarity.md5SimhashHex(Dedup.tokenSet(col("text"))).as("simhash_hex"))
 
   /** Embedding-cosine near-dup pairs via hyperplane LSH — oracle-checked
     * through the md5-derived ±1 plane family ([[Similarity.md5SignPlanes]]):

@@ -309,6 +309,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Sq8Util.dot(Array[Byte](2, 3), Array[Byte](5)) === 10L)
   }
 
+  test("Md5SimHashHex kernel: exact parity with the relational md5-parity simhash") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions._
+    val spark: SparkSession = SparkTestSession.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vocab = Array("red", "green", "blue", "cyan", "teal", "onyx", "jade")
+    val docs = ((1L to 30L).map { i =>
+      (i, (0 until rnd.nextInt(30) + 1)
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }).toDF("doc_id", "text")
+    val toks = graft.operators.Dedup.tokenSet(col("text"))
+    val kernel = docs
+      .select(col("doc_id"),
+        graft.operators.Similarity.md5SimhashHex(toks).as("simhash_hex"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val relational = graft.operators.Similarity
+      .simhashMd5Parity(docs, "doc_id", toks)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kernel === relational)
+    assert(kernel.values.forall(_.matches("[0-9a-f]{16}")))
+  }
+
   test("WinnowMd5 kernel: exact parity with the composed winnowing formula") {
     import org.apache.spark.sql.SparkSession
     import org.apache.spark.sql.functions._
