@@ -73,12 +73,16 @@ object Dedup {
   }
 
   /** MinHash signature as `numHashes` min-of-keyed-hash values — computed
-    * entirely per row (array transform + array_min), zero shuffle.
-    * md5 variant: oracle-parity (DuckDB md5 is identical). */
-  def minhashSignatureMd5(tokens: Column, numHashes: Int): Seq[Column] =
-    (1 to numHashes).map { i =>
-      array_min(transform(tokens, t => md5(concat(lit(s"$i#"), t)))).as(s"mh$i")
-    }
+    * entirely per row, zero shuffle. md5 variant: oracle-parity (DuckDB
+    * md5 is identical); since round 7 the VALUE comes from the
+    * single-pass [[MinHash.md5Signature]] kernel rather than k
+    * interpreted `array_min(transform(md5))` lambdas (parity
+    * unit-tested; whole-stage CSE collapses the k element_at reads to
+    * one kernel call, the [[minhashSignature]] precedent). */
+  def minhashSignatureMd5(tokens: Column, numHashes: Int): Seq[Column] = {
+    val sig = MinHash.md5Signature(tokens, numHashes)
+    (1 to numHashes).map(i => element_at(sig, i).as(s"mh$i"))
+  }
 
   /** Scale-path signature: single-pass codegen'd [[MinHashSignature]]
     * expression (all k mins in one loop over the token bytes). */
@@ -128,7 +132,14 @@ object Dedup {
       .filter(size(col("units")) > 0)
     val sig =
       if (md5Parity)
-        withUnits.select(col("id") +: minhashSignatureMd5(col("units"), numHashes): _*)
+        // two-step select like the scale path below: the projection
+        // boundary materializes the k-wide kernel signature ONCE per row
+        // — k bare element_at(kernel, i) columns would re-run the kernel
+        // per reference (CSE does not reach across the later band
+        // filters), k-tupling the md5 work
+        withUnits
+          .select(col("id"), MinHash.md5Signature(col("units"), numHashes).as("sig"))
+          .select(col("id") +: (1 to numHashes).map(i => element_at(col("sig"), i).as(s"mh$i")): _*)
       else
         withUnits
           .select(col("id"), MinHash.signature(col("units"), numHashes).as("sig"))

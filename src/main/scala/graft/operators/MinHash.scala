@@ -48,8 +48,77 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_signature"
 }
 
+/** Single-pass md5-family MinHash kernel — the fast form of the
+  * oracle-parity composition `array_min(transform(tokens,
+  * md5(concat("i#", t))))` per hash i (k interpreted lambdas per row,
+  * each allocating an intermediate hex array). Emits the IDENTICAL
+  * 32-hex-char minimum per seed (UTF8 byte compare on lowercase hex ==
+  * `array_min` string ordering), so the DuckDB oracle keeps rebuilding
+  * the value relationally while the Spark side computes it in one loop.
+  * Empty token arrays yield an all-NULL signature (= `array_min([])`). */
+object Md5MinHashUtil {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HEX = "0123456789abcdef".toCharArray
+
+  def signature(tokens: ArrayData, k: Int): ArrayData = {
+    val mins = new Array[String](k)
+    val n = tokens.numElements()
+    val d = md.get()
+    var t = 0
+    while (t < n) {
+      val tok = tokens.getUTF8String(t)
+      if (tok != null) {
+        val tokBytes = tok.getBytes
+        var i = 0
+        while (i < k) {
+          d.reset()
+          d.update(s"${i + 1}#".getBytes("UTF-8"))
+          d.update(tokBytes)
+          val h = d.digest()
+          val hex = new Array[Char](32)
+          var b = 0
+          while (b < 16) {
+            hex(2 * b) = HEX((h(b) >> 4) & 0xf)
+            hex(2 * b + 1) = HEX(h(b) & 0xf)
+            b += 1
+          }
+          val s = new String(hex)
+          if (mins(i) == null || s.compareTo(mins(i)) < 0) mins(i) = s
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(mins.map(s =>
+      if (s == null) null
+      else org.apache.spark.unsafe.types.UTF8String.fromString(s)): Array[Any])
+  }
+}
+
+/** Codegen'd `md5_minhash(tokens, k) -> array<string>` of length k. */
+case class Md5MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override protected def nullSafeEval(v: Any): Any =
+    Md5MinHashUtil.signature(v.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.Md5MinHashUtil.signature($c, $numHashes)")
+  override protected def withNewChildInternal(c: Expression): Md5MinHashSignature =
+    copy(child = c)
+  override def prettyName: String = "md5_minhash_signature"
+}
+
 object MinHash {
   /** Column API: k-wide MinHash signature of a token/shingle array. */
   def signature(tokens: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(tokens), numHashes))
+
+  /** Column API: md5-family (oracle-parity) signature — see
+    * [[Md5MinHashUtil]]. */
+  def md5Signature(tokens: Column, numHashes: Int): Column =
+    ExpressionUtils.column(
+      Md5MinHashSignature(ExpressionUtils.expression(tokens), numHashes))
 }

@@ -73,7 +73,9 @@ object LlmInventory {
   val d4MinhashBand: Q = (s, d) => {
     val sig = documents(s, d)
       .filter(col("doc_id") < 100)
-      .select(col("doc_id") +: Dedup.minhashSignatureMd5(Dedup.tokenSet(col("text")), 4): _*)
+      .select(col("doc_id"),
+        graft.operators.MinHash.md5Signature(Dedup.tokenSet(col("text")), 4).as("sig"))
+      .select(col("doc_id") +: (1 to 4).map(i => element_at(col("sig"), i).as(s"mh$i")): _*)
     def bandPairs(h1: String, h2: String) = {
       val a = sig.select(col("doc_id").as("d1"), col(h1).as("b1"), col(h2).as("b2"))
       val b = sig.select(col("doc_id").as("d2"), col(h1).as("b1"), col(h2).as("b2"))

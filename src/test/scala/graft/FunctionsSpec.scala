@@ -309,6 +309,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Sq8Util.dot(Array[Byte](2, 3), Array[Byte](5)) === 10L)
   }
 
+  test("Md5MinHashSignature kernel: exact parity with the composed md5 formula") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions._
+    val spark: SparkSession = SparkTestSession.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("ant", "bee", "cat", "dog", "elk", "fox")
+    val docs = ((1L to 25L).map { i =>
+      (i, (0 until rnd.nextInt(15)).map(_ => vocab(rnd.nextInt(vocab.length))))
+    } :+ (99L, Seq.empty[String])).toDF("id", "toks")
+    val k = 6
+    def collect(cols: Seq[org.apache.spark.sql.Column]) =
+      docs.select(col("id") +: cols: _*).collect()
+        .map(r => r.getLong(0) -> (1 to k).map(i =>
+          if (r.isNullAt(i)) null else r.getString(i))).toMap
+    val kernel = collect(graft.operators.Dedup.minhashSignatureMd5(col("toks"), k))
+    val composed = collect((1 to k).map { i =>
+      array_min(transform(col("toks"), t => md5(concat(lit(s"$i#"), t)))).as(s"mh$i")
+    })
+    assert(kernel === composed)
+    assert(kernel(99L).forall(_ == null)) // empty tokens → all-NULL signature
+  }
+
   test("Md5SimHashHex kernel: exact parity with the relational md5-parity simhash") {
     import org.apache.spark.sql.SparkSession
     import org.apache.spark.sql.functions._
