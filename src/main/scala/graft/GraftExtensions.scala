@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions._
-import graft.operators.{MinHashSignature, SimHash64}
+import graft.operators.{Md5MinHashSignature, MinHashSignature, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -152,6 +152,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (es.length != 2)
           fail(s"minhash_signature(tokens, k) takes exactly 2 arguments, got ${es.length}")
         MinHashSignature(es.head, staticInt(es, 1, "minhash_signature", "k"))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("md5_minhash_signature"),
+      info("md5_minhash_signature",
+        "k-wide md5-family MinHash signature (oracle-parity hex mins)"),
+      (es: Seq[Expression]) => {
+        if (es.length != 2)
+          fail(s"md5_minhash_signature(tokens, k) takes exactly 2 arguments, got ${es.length}")
+        Md5MinHashSignature(es.head, staticInt(es, 1, "md5_minhash_signature", "k"))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("md5_simhash_hex"),
+      info("md5_simhash_hex",
+        "16-hex md5-family simhash of a token array (oracle-parity)"),
+      (es: Seq[Expression]) => graft.operators.Md5SimHashHex(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("winnow_md5"),
+      info("winnow_md5",
+        "distinct winnowing fingerprint set of text (k-gram md5 prefixes, " +
+          "w-window minima)"),
+      (es: Seq[Expression]) => {
+        if (es.length != 3)
+          fail(s"winnow_md5(text, k, w) takes exactly 3 arguments, got ${es.length}")
+        graft.operators.WinnowMd5(es.head,
+          staticInt(es, 1, "winnow_md5", "k"), staticInt(es, 2, "winnow_md5", "w"))
       }))
     e.injectFunction((
       FunctionIdentifier("word_shingles"),

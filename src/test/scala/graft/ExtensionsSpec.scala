@@ -88,6 +88,16 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getSeq[org.apache.spark.sql.Row](0)
       .map(r => (r.getString(0), r.getLong(1)))
     assert(hh === Seq(("x", 3L), ("y", 2L), ("z", 1L)))
+    // the md5-parity kernels reach SQL and agree with their formulas
+    val kz = spark.sql(
+      """SELECT md5_minhash_signature(array('a', 'b'), 2) AS mh,
+        |       md5_simhash_hex(array('a', 'b')) AS sh,
+        |       winnow_md5('a b c d e f g', 3, 4) AS fp""".stripMargin).head()
+    assert(kz.getSeq[String](0).length === 2)
+    assert(kz.getSeq[String](0).forall(_.matches("[0-9a-f]{32}")))
+    assert(kz.getString(1).matches("[0-9a-f]{16}"))
+    assert(kz.getSeq[String](2).nonEmpty &&
+      kz.getSeq[String](2).forall(_.matches("[0-9a-f]{16}")))
   }
 
   test("SQL static args: clear plan-time errors for bad word_shingles/minhash_signature calls") {
