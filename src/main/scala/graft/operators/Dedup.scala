@@ -434,22 +434,15 @@ object Dedup {
     * with fewer than one full chunk still yields its (short) chunk 0;
     * empty documents yield no rows. */
   def docChunks(
-      df: DataFrame, idCol: String, textCol: String, chunkTokens: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    df.select(col(idCol).as("id"), toks.as("toks"))
-      // ceil(n/chunkTokens) via exact integer arithmetic — Column `/` is
-      // IEEE division, and sequence(0, -1) would DESCEND for empty docs,
-      // so both the division and the empty case are handled integrally
-      .withColumn("n_chunks",
-        floor((size(col("toks")) + lit(chunkTokens - 1)).cast("long") / lit(chunkTokens))
-          .cast("int"))
-      .filter(col("n_chunks") > 0)
-      .select(col("id"),
-        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
-          i => concat_ws(" ", slice(col("toks"), i * chunkTokens + 1, lit(chunkTokens))))))
+      df: DataFrame, idCol: String, textCol: String, chunkTokens: Int): DataFrame =
+    // single-pass [[Shingles.tokenChunks]] kernel (parity-tested against
+    // the composed tokens → sequence/slice/concat_ws formula it replaced,
+    // which ran three interpreted lambdas per row); empty/whitespace-only
+    // docs chunk to [] and the explode emits no rows
+    df.select(col(idCol).as("id"),
+        posexplode(Shingles.tokenChunks(col(textCol), chunkTokens)))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk")
-  }
 
   /** Sub-document (line/passage-level) exact dedup — the CCNet line-dedup
     * / Lee et al. 2022 ("Deduplicating Training Data Makes Language

@@ -185,10 +185,71 @@ case class WinnowMd5(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow_md5"
 }
 
+/** Single-pass chunking kernel: non-overlapping `n`-token chunks of the
+  * `\s+`-tokenized text (the [[graft.operators.TextAnalysis.tokens]]
+  * semantics — strip the full Java `\s` class from both ends, split on
+  * `\s+`, empty/whitespace-only text → no tokens), space-joined. The
+  * composed formula (tokens → transform(sequence) → slice → concat_ws)
+  * was three interpreted lambdas per row and ~40% of the chunk-dedup
+  * pipeline. Empty text yields `[]` (caller's explode emits no rows). */
+object TokenChunksUtil {
+  def chunks(s: UTF8String, n: Int): ArrayData = {
+    if (s == null) return new GenericArrayData(Array.empty[Any])
+    val stripped = s.toString.replaceAll("^\\s+|\\s+$", "")
+    if (stripped.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val toks = stripped.split("\\s+")
+    val nChunks = (toks.length + n - 1) / n
+    val out = new Array[Any](nChunks)
+    val sb = new java.lang.StringBuilder()
+    var c = 0
+    while (c < nChunks) {
+      sb.setLength(0)
+      var j = c * n
+      val end = math.min(j + n, toks.length)
+      while (j < end) {
+        if (j > c * n) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(c) = UTF8String.fromString(sb.toString)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Codegen'd `token_chunks(text, n) -> array<string>`; NULL text yields
+  * `[]` (never NULL), like [[WordShingles]]. */
+case class TokenChunks(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    TokenChunksUtil.chunks(
+      if (v == null) null else v.asInstanceOf[UTF8String], n)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code + code"""
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.operators.TokenChunksUtil.chunks(
+            ${c.isNull} ? null : ${c.value}, $n);""",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression): TokenChunks =
+    copy(child = c)
+  override def prettyName: String = "token_chunks"
+}
+
 object Shingles {
   /** Column API: distinct w-token shingles of the text. */
   def of(text: Column, w: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), w))
+
+  /** Non-overlapping n-token chunks (single-pass kernel). */
+  def tokenChunks(text: Column, n: Int): Column =
+    ExpressionUtils.column(TokenChunks(ExpressionUtils.expression(text), n))
 
   /** Multiplicity-preserving variant: EVERY w-gram occurrence, in document
     * order — the n-gram-repetition counting input. */
