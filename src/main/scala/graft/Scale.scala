@@ -29,6 +29,31 @@ object Scale {
       .map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
   }
 
+  /** Replace ONLY the SCALE.md section starting at `header` (through the
+    * next `## ` heading or EOF), appending when absent — the old
+    * keep-prefix splice silently dropped every LATER section whenever an
+    * earlier stage re-ran. `section` must begin with a newline and end
+    * with one (the stage templates do). */
+  private def spliceSection(outMd: String, header: String, section: String): Unit = {
+    val path = java.nio.file.Paths.get(outMd)
+    val existing =
+      if (java.nio.file.Files.exists(path))
+        new String(java.nio.file.Files.readAllBytes(path),
+          java.nio.charset.StandardCharsets.UTF_8)
+      else ""
+    val i = existing.indexOf(header)
+    val updated =
+      if (i < 0) existing + section
+      else {
+        val next = existing.indexOf("\n## ", i)
+        val prefix = existing.substring(0, i).reverse.dropWhile(_ == '\n').reverse
+        val suffix = if (next < 0) "" else existing.substring(next + 1)
+        prefix + section + (if (suffix.isEmpty) "" else "\n" + suffix)
+      }
+    java.nio.file.Files.write(path,
+      updated.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** Deterministic synthetic electra-style block (~2.4 KB): enough body
     * (attestations, eth1, sync aggregate, execution payload, withdrawals)
     * to exercise every parser branch the blocks loader fans out to.
@@ -265,8 +290,9 @@ object Scale {
          |
          |Reproduce: `SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale $totalSlots"`
          |""".stripMargin
-    java.nio.file.Files.write(java.nio.file.Paths.get(outMd),
-      md.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // splice like the stage sections: a rerun of the backfill stage must
+    // not truncate the "## " stage sections below it
+    spliceSection(outMd, "# SCALE", md)
     println(s"""{"metric":"scale_total","value":${ingestSec + transformSec + querySec},"unit":"sec","ingest_rows_per_s":${rawRows / ingestSec},"transform_in_rows_per_s":${rawRows / transformSec},"raw_rows":$rawRows,"heap_peak_mb":$heapFinalMb}""")
     spark.stop()
   }
@@ -317,15 +343,7 @@ object Scale {
          |- bounded heap: the split bound caps any single row / task at ~18 MB
          |  regardless of state size — the knob that survives 2M-validator states
          |""".stripMargin
-    val path = java.nio.file.Paths.get(outMd)
-    val existing =
-      if (java.nio.file.Files.exists(path))
-        new String(java.nio.file.Files.readAllBytes(path),
-          java.nio.charset.StandardCharsets.UTF_8)
-      else ""
-    val kept = existing.split(java.util.regex.Pattern.quote(validatorsHeader))(0)
-    java.nio.file.Files.write(path,
-      (kept + section).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spliceSection(outMd, validatorsHeader, section)
     println(s"""{"metric":"scale_validators","value":$streamSec,"unit":"sec","days":$days,"entries":$entries,"validator_rows":$validatorRows,"rows_per_s":${validatorRows / streamSec},"parity_ok":$parityOk,"heap_peak_mb":$heapEndMb}""")
     spark.stop()
   }
@@ -416,15 +434,7 @@ object Scale {
          |  Jaccard, and the component loop all run on the band-bucket
          |  survivors, never all pairs
          |""".stripMargin
-    val path = java.nio.file.Paths.get(outMd)
-    val existing =
-      if (java.nio.file.Files.exists(path))
-        new String(java.nio.file.Files.readAllBytes(path),
-          java.nio.charset.StandardCharsets.UTF_8)
-      else ""
-    val kept = existing.split(java.util.regex.Pattern.quote(dedupHeader))(0)
-    java.nio.file.Files.write(path,
-      (kept + section).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spliceSection(outMd, dedupHeader, section)
     println(s"""{"metric":"scale_dedup","value":$dedupSec,"unit":"sec","n_docs":$nDocs,"docs_per_s":${nDocs / dedupSec},"recall":${recalled.toDouble / planted},"dropped":$dropped,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
@@ -542,15 +552,7 @@ object Scale {
          |  same-signature buckets and the component graph is the 50k
          |  confirmed near-dups, not the corpus
          |""".stripMargin
-    val path = java.nio.file.Paths.get(outMd)
-    val existing =
-      if (java.nio.file.Files.exists(path))
-        new String(java.nio.file.Files.readAllBytes(path),
-          java.nio.charset.StandardCharsets.UTF_8)
-      else ""
-    val kept = existing.split(java.util.regex.Pattern.quote(semdedupHeader))(0)
-    java.nio.file.Files.write(path,
-      (kept + section).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spliceSection(outMd, semdedupHeader, section)
     println(s"""{"metric":"scale_semdedup","value":$dedupSec,"unit":"sec","n_vecs":$nVecs,"vecs_per_s":${nVecs / dedupSec},"recall":${recalled.toDouble / planted},"dropped":$dropped,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
@@ -620,15 +622,7 @@ object Scale {
          || exact invariants hold | $invariantsOk |
          || peak heap | $heapMb MB |
          |""".stripMargin
-    val path = java.nio.file.Paths.get(outMd)
-    val existing =
-      if (java.nio.file.Files.exists(path))
-        new String(java.nio.file.Files.readAllBytes(path),
-          java.nio.charset.StandardCharsets.UTF_8)
-      else ""
-    val kept = existing.split(java.util.regex.Pattern.quote(chunkDedupHeader))(0)
-    java.nio.file.Files.write(path,
-      (kept + section).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spliceSection(outMd, chunkDedupHeader, section)
     println(s"""{"metric":"scale_chunkdedup","value":$dedupSec,"unit":"sec","n_docs":$nDocs,"docs_per_s":${nDocs / dedupSec},"invariants_ok":$invariantsOk,"chunks_removed":$chunksRemoved,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
@@ -748,15 +742,7 @@ object Scale {
          |  scanned, and amortizes across queries in batch serving (the
          |  sq8TopKJoin shape)
          |""".stripMargin
-    val path = java.nio.file.Paths.get(outMd)
-    val existing =
-      if (java.nio.file.Files.exists(path))
-        new String(java.nio.file.Files.readAllBytes(path),
-          java.nio.charset.StandardCharsets.UTF_8)
-      else ""
-    val kept = existing.split(java.util.regex.Pattern.quote(annHeader))(0)
-    java.nio.file.Files.write(path,
-      (kept + section).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spliceSection(outMd, annHeader, section)
     println(s"""{"metric":"scale_ann","value":$indexSec,"unit":"sec","n_vecs":$nVecs,"index_vecs_per_s":${nVecs / indexSec},"brute_avg_s":$bruteAvg,"sq8_avg_s":$sq8Avg,"sq8_recall":$sq8Recall,"pq_avg_s":$pqAvg,"pq_recall":$pqRecall,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
