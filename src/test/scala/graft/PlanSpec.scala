@@ -260,6 +260,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("d6_simhash: kernel plan — pure scan+project, no bit-explode, no exchange") {
+    val p = planOf("d6_simhash")
+    // the md5-parity VALUE comes from the single-pass kernel now; the
+    // relational construction (explode 64 bits/token -> two aggregations)
+    // must not reappear in the declared plan
+    assert(p.contains("md5_simhash_hex"), p.take(800))
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("[codegen id :"), p.take(800))
+  }
+
   test("t21_classifier_score: pure scan-side score — no exchange, no join, codegen'd") {
     val p = planOf("t21_classifier_score")
     // the hashed-linear score is one `aggregate` over the token array per
