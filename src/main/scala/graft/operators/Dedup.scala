@@ -116,7 +116,11 @@ object Dedup {
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, rowsPerBand: Int, shingleWidth: Int = 1,
-      md5Parity: Boolean = false): DataFrame = {
+      md5Parity: Boolean = false,
+      /** Hot-bucket ceiling: buckets with more members than this switch
+        * from all-pairs to an id-ordered CHAIN of edges (O(n) candidates
+        * instead of n²/2) — see the guard comment at the self-join. */
+      maxBucketAllPairs: Int = 1024): DataFrame = {
     require(numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a multiple of rowsPerBand " +
         s"($rowsPerBand) — trailing hashes would be computed but belong to " +
@@ -153,17 +157,45 @@ object Dedup {
     val buckets = sig
       .select(col("id"), explode(array(bands: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-      // self-join below: persist so the signature pipeline runs once, not
-      // once per join side
+    // Hot-bucket guard: a legitimate mega-cluster (100k copies of a
+    // boilerplate page — every real crawl corpus has some) lands in ONE
+    // bucket, and an unconditional all-pairs self-join would emit ~n²/2
+    // candidates there before distinct() — 5×10⁹ rows for n=100k.
+    // Buckets above `maxBucketAllPairs` therefore emit an id-ordered
+    // CHAIN of edges (member i ↔ member i+1): O(n) candidates that still
+    // connect the whole bucket, so the connected-components verdict for
+    // a true duplicate cluster is unchanged. What is given up is only
+    // candidate completeness INSIDE an oversized bucket (a pair similar
+    // to each other but not to their chain neighbors can be missed);
+    // the mega-buckets that trigger this are boilerplate clusters whose
+    // members are mutually near-identical, so the chain verifies
+    // through. Small buckets keep exact all-pairs semantics — outputs
+    // at oracle scale are byte-identical to the uncapped op. The bucket
+    // size rides a window count (same exchange as the chain's lag), and
+    // the hot key never reaches the join: both join inputs are filtered
+    // to small buckets BEFORE the equi-join, so no task ever holds a
+    // quadratic build side. The persisted frame is `sized` (the window
+    // output), so the signature pipeline runs once across the join
+    // sides and the chain.
+    val w = Window.partitionBy("band", "bh")
+    val sized = buckets
+      .withColumn("__bn", count(lit(1)).over(w))
       .persist()
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    val pairs = a
+    val small = sized.filter(col("__bn") <= maxBucketAllPairs)
+    val a = small.as("a")
+    val b = small.as("b")
+    val smallPairs = a
       .join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("d1"), col("b.id").as("d2"))
-      .distinct()
-    materializeAndRelease(pairs, buckets)
+    val bigPairs = sized
+      .filter(col("__bn") > maxBucketAllPairs)
+      .select(col("band"), col("bh"), col("id"))
+      .withColumn("__prev", lag("id", 1).over(w.orderBy("id")))
+      .filter(col("__prev").isNotNull)
+      .select(col("__prev").as("d1"), col("id").as("d2"))
+    val pairs = smallPairs.union(bigPairs).distinct()
+    materializeAndRelease(pairs, sized)
   }
 
   /** Persist-hygiene helper for ops whose result needs a TEMP persisted
@@ -367,7 +399,11 @@ object Dedup {
       planes: Int, seed: Long, threshold: Double, bands: Int = 1,
       /** md5-derived ±1 plane family for oracle parity (the declared d7
         * query); JVM-seeded Gaussian stays the default scale path. */
-      md5Family: Boolean = false): DataFrame = {
+      md5Family: Boolean = false,
+      /** Hot-bucket ceiling — same guard as [[minhashCandidatePairs]]:
+        * oversized buckets emit an id-ordered chain instead of all
+        * pairs. */
+      maxBucketAllPairs: Int = 1024): DataFrame = {
     // multiple independent hyperplane signatures (different seeds): a
     // near-dup pair straddling one band's hyperplane still collides in
     // another band — recall compounds as 1-(1-p)^bands
@@ -387,18 +423,40 @@ object Dedup {
       .select(col("id"), col("v"),
         explode(array((0 until bands).map(b => col(s"sig$b")): _*)).as("bk"))
       .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-      // self-join: persist so bands x planes x dim dot products run once
+    // Hot-bucket guard (see [[minhashCandidatePairs]]): buckets above the
+    // ceiling emit an id-ordered chain — O(n) exact-cosine edges that
+    // still connect a true duplicate cluster — and are excluded from the
+    // all-pairs join BEFORE it runs, so no task holds a quadratic build
+    // side. vec_cosine is arithmetically symmetric, so cosine(prev, cur)
+    // on the chain matches the (smaller-id, larger-id) orientation of the
+    // all-pairs branch bitwise. The persisted frame is `sized`, so the
+    // bands × planes × dim signature dot products run once across both
+    // branches.
+    val w = Window.partitionBy("band", "sig")
+    val sized = buckets
+      .withColumn("__bn", count(lit(1)).over(w))
       .persist()
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    val pairs = a
+    val small = sized.filter(col("__bn") <= maxBucketAllPairs)
+    val a = small.as("a")
+    val b = small.as("b")
+    val smallPairs = a
       .join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("d1"), col("b.id").as("d2"),
         vec_cosine(col("a.v"), col("b.v")).as("cosine"))
+    val ow = w.orderBy("id")
+    val bigPairs = sized
+      .filter(col("__bn") > maxBucketAllPairs)
+      .select(col("band"), col("sig"), col("id"), col("v"))
+      .withColumn("__pid", lag("id", 1).over(ow))
+      .withColumn("__pv", lag("v", 1).over(ow))
+      .filter(col("__pid").isNotNull)
+      .select(col("__pid").as("d1"), col("id").as("d2"),
+        vec_cosine(col("__pv"), col("v")).as("cosine"))
+    val pairs = smallPairs.union(bigPairs)
       .distinct()
       .filter(col("cosine") >= threshold)
-    materializeAndRelease(pairs, buckets)
+    materializeAndRelease(pairs, sized)
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):

@@ -227,13 +227,39 @@ object LlmInventory {
       .toDF("rnk", "vec_id")
   }
 
+  /** Long-form parquet dump of a driver-trained ANN artifact (IVF
+    * centroids / PQ codebooks) under `target/oracle/<sf>/<name>` so the
+    * DuckDB oracle can mirror the FULL serving pipeline relationally —
+    * assignment, ADC, rerank are all sequential double folds over these
+    * floats, bit-reproducible via ordered `list_reduce`. Only the Lloyd
+    * TRAINING (iterative, driver-side) is taken as given; everything
+    * downstream is recomputed and checked by the oracle. The path is
+    * resolved against the cwd at emit time, and [[LlmInventory.oracleSql]]
+    * embeds the same resolution, so writer and reader always agree. */
+  private[queries] def oracleArtifactPath(sfDir: String, name: String): String =
+    new java.io.File(
+      s"target/oracle/${new java.io.File(sfDir).getName}/$name").getAbsolutePath
+
   /** IVF ANN: k-means coarse quantizer + nProbe list probing — the other
-    * scale path beside LSH; rows-only check, recall asserted in tests. */
+    * scale path beside LSH. Oracle-checked end-to-end: the trained
+    * centroids persist in long form ([[oracleArtifactPath]]) and the
+    * DuckDB SQL mirrors probe selection (`d/sqrt(na*nb)`, the
+    * driver-side [[Similarity.probedLists]] formula), the greatest-struct
+    * list assignment (`d/(sqrt(na)*sqrt(nb))`, ties to the HIGHER
+    * list_id — Spark struct `greatest`), and the exact-cosine top-10. */
   val s4IvfTopK: Q = (s, d) => {
     val em = embeddings(s, d)
     val query = em.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0)
     val centroids = Similarity.kmeansCentroids(em, "embedding", k = 8, iters = 5, seed = 42L)
+    locally {
+      import s.implicits._
+      centroids.zipWithIndex.flatMap { case (c, li) =>
+        c.zipWithIndex.map { case (v, p) => (li, p, v) }
+      }.toSeq.toDF("list_id", "pos", "val")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(oracleArtifactPath(d, "s4_centroids"))
+    }
     Similarity.ivfTopK(em.filter(col("vec_id") =!= 0), "vec_id", "embedding",
       query, k = 10, centroids, nProbe = 3)
       .select("vec_id")
@@ -242,16 +268,30 @@ object LlmInventory {
   /** s8: product-quantization ANN ([[Similarity.pqTopK]] — the FAISS PQ
     * flat-scan shape): 16 per-subspace Lloyd codebooks quantize each
     * 64-dim embedding to 16 bytes, ADC lookup-table scoring prefilters,
-    * exact cosine reranks. Rows-only like s4: the codebook training is
-    * iterative k-means, not SQL-expressible — recall is pinned in
-    * RecallSpec instead (0.87 @ overfetch=4; full-overfetch equals brute
-    * force exactly). */
+    * exact cosine reranks. Oracle-checked end-to-end: only the Lloyd
+    * codebook TRAINING is taken as given (persisted via
+    * [[oracleArtifactPath]]); the DuckDB SQL re-derives each vector's
+    * 16 code bytes (per-subspace L2 argmin, ties to the lowest index —
+    * [[graft.functions.PqUtil.encodeFloats]]), the query LUT, the ADC
+    * scores, the overfetch·k survivor cut, and the exact-cosine top-10,
+    * all as ordered double folds that match the kernels bitwise. Recall
+    * is additionally pinned in RecallSpec (0.87 @ overfetch=4). */
   val s8PqTopK: Q = (s, d) => {
     val em = embeddings(s, d)
     val query = em.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0)
     val codebooks =
       Similarity.pqCodebooks(em, "embedding", m = 16, ksub = 16, iters = 5, seed = 42L)
+    locally {
+      import s.implicits._
+      codebooks.zipWithIndex.flatMap { case (cents, sub) =>
+        cents.zipWithIndex.flatMap { case (cv, c) =>
+          cv.zipWithIndex.map { case (v, p) => (sub, c, p, v) }
+        }
+      }.toSeq.toDF("sub", "c", "pos", "val")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(oracleArtifactPath(d, "s8_codebooks"))
+    }
     Similarity.pqTopK(em.filter(col("vec_id") =!= 0), "vec_id", "embedding",
       query, k = 10, codebooks)
       .select("vec_id")
@@ -1257,6 +1297,102 @@ object LlmInventory {
         |  WHERE c.vec_id <> 0 AND (c.sig = (SELECT sig FROM q)
         |     OR xor(c.sig, (SELECT sig FROM q)) IN (1, 2, 4, 8))) t
         |ORDER BY rnk LIMIT 10""".stripMargin,
+    // s4/s8: the serving pipeline mirrored relationally from the persisted
+    // training artifacts (see [[oracleArtifactPath]]). Every float op is a
+    // sequential left fold in the Scala kernels, so ordered list_reduce +
+    // explicit DOUBLE casts reproduce the doubles bitwise; argmin/argmax/
+    // top-k boundaries are then exact, with the kernels' tie-breaks
+    // spelled out in the window ORDER BY.
+    "s4_ivf_topk" ->
+      s"""WITH cent AS (
+        |  SELECT list_id, list(val ORDER BY pos) AS cv
+        |  FROM read_parquet('${oracleArtifactPath("sf0.01", "s4_centroids")}/*.parquet')
+        |  GROUP BY list_id),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |qc AS (
+        |  SELECT c.list_id,
+        |    list_reduce(list_transform(range(1, len(c.cv)+1),
+        |      j -> c.cv[j]::DOUBLE * q.qv[j]::DOUBLE), (a,b) -> a+b) AS d,
+        |    list_reduce(list_transform(range(1, len(c.cv)+1),
+        |      j -> c.cv[j]::DOUBLE * c.cv[j]::DOUBLE), (a,b) -> a+b) AS na,
+        |    list_reduce(list_transform(range(1, len(q.qv)+1),
+        |      j -> q.qv[j]::DOUBLE * q.qv[j]::DOUBLE), (a,b) -> a+b) AS nb
+        |  FROM cent c, q),
+        |probed AS (
+        |  SELECT list_id FROM (
+        |    SELECT list_id,
+        |      CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d / sqrt(na * nb) END AS qcos
+        |    FROM qc) t
+        |  ORDER BY qcos DESC, list_id ASC LIMIT 3),
+        |asgp AS (
+        |  SELECT e.vec_id, c.list_id,
+        |    list_reduce(list_transform(range(1, len(c.cv)+1),
+        |      j -> e.embedding[j]::DOUBLE * c.cv[j]::DOUBLE), (a,b) -> a+b) AS d,
+        |    sqrt(list_reduce(list_transform(range(1, len(e.embedding)+1),
+        |      j -> e.embedding[j]::DOUBLE * e.embedding[j]::DOUBLE), (a,b) -> a+b)) AS na,
+        |    sqrt(list_reduce(list_transform(range(1, len(c.cv)+1),
+        |      j -> c.cv[j]::DOUBLE * c.cv[j]::DOUBLE), (a,b) -> a+b)) AS nb
+        |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id <> 0),
+        |asg AS (
+        |  SELECT vec_id, list_id FROM (
+        |    SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY (CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d/(na*nb) END) DESC,
+        |               list_id DESC) AS rn
+        |    FROM asgp) t WHERE rn = 1),
+        |cand AS (
+        |  SELECT e.vec_id,
+        |    list_reduce(list_transform(range(1, len(e.embedding)+1),
+        |      j -> e.embedding[j]::DOUBLE * q.qv[j]::DOUBLE), (a,b) -> a+b) AS d,
+        |    sqrt(list_reduce(list_transform(range(1, len(e.embedding)+1),
+        |      j -> e.embedding[j]::DOUBLE * e.embedding[j]::DOUBLE), (a,b) -> a+b)) AS na,
+        |    sqrt(list_reduce(list_transform(range(1, len(q.qv)+1),
+        |      j -> q.qv[j]::DOUBLE * q.qv[j]::DOUBLE), (a,b) -> a+b)) AS nb
+        |  FROM embeddings e JOIN asg USING (vec_id) JOIN probed USING (list_id), q)
+        |SELECT vec_id FROM (
+        |  SELECT vec_id, CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d/(na*nb) END AS cos
+        |  FROM cand) t
+        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "s8_pq_topk" ->
+      s"""WITH cb AS (
+        |  SELECT sub, c, list(val ORDER BY pos) AS cv
+        |  FROM read_parquet('${oracleArtifactPath("sf0.01", "s8_codebooks")}/*.parquet')
+        |  GROUP BY sub, c),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |lut AS (
+        |  SELECT cb.sub, cb.c,
+        |    list_reduce(list_transform(range(1, len(cb.cv)+1),
+        |      j -> q.qv[cb.sub*4 + j]::DOUBLE * cb.cv[j]::DOUBLE), (a,b) -> a+b) AS lv
+        |  FROM cb, q),
+        |dist AS (
+        |  SELECT e.vec_id, cb.sub, cb.c,
+        |    list_reduce(list_transform(range(1, len(cb.cv)+1),
+        |      j -> (e.embedding[cb.sub*4 + j]::DOUBLE - cb.cv[j]::DOUBLE)
+        |         * (e.embedding[cb.sub*4 + j]::DOUBLE - cb.cv[j]::DOUBLE)),
+        |      (a,b) -> a+b) AS d
+        |  FROM embeddings e CROSS JOIN cb WHERE e.vec_id <> 0),
+        |code AS (
+        |  SELECT vec_id, sub, c FROM (
+        |    SELECT vec_id, sub, c,
+        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, c ASC) AS rn
+        |    FROM dist) t WHERE rn = 1),
+        |score AS (
+        |  SELECT code.vec_id, list_reduce(list(l.lv ORDER BY code.sub), (a,b) -> a+b) AS sc
+        |  FROM code JOIN lut l ON l.sub = code.sub AND l.c = code.c
+        |  GROUP BY code.vec_id),
+        |surv AS (SELECT vec_id FROM score ORDER BY sc DESC, vec_id ASC LIMIT 40),
+        |rer AS (
+        |  SELECT e.vec_id,
+        |    list_reduce(list_transform(range(1, len(e.embedding)+1),
+        |      j -> e.embedding[j]::DOUBLE * q.qv[j]::DOUBLE), (a,b) -> a+b) AS d,
+        |    sqrt(list_reduce(list_transform(range(1, len(e.embedding)+1),
+        |      j -> e.embedding[j]::DOUBLE * e.embedding[j]::DOUBLE), (a,b) -> a+b)) AS na,
+        |    sqrt(list_reduce(list_transform(range(1, len(q.qv)+1),
+        |      j -> q.qv[j]::DOUBLE * q.qv[j]::DOUBLE), (a,b) -> a+b)) AS nb
+        |  FROM embeddings e JOIN surv USING (vec_id), q)
+        |SELECT vec_id FROM (
+        |  SELECT vec_id, CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d/(na*nb) END AS cos
+        |  FROM rer) t
+        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
     "d7_embedding_near_dup" ->
       """WITH sigs AS (
         |  SELECT vec_id, embedding, band,

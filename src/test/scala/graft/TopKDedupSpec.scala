@@ -519,4 +519,58 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(est === expected)
     assert(est > 100.0 && est < 260.0, s"estimate $est wildly off exact 160")
   }
+
+  test("minhash hot-bucket guard: mega-cluster emits a linear chain, components intact") {
+    // 300 identical boilerplate docs (one LSH bucket per band) + one
+    // ordinary near-dup pair that must keep exact all-pairs semantics
+    val boiler = (0 until 300).map(i => (i.toLong, "copy of the same boilerplate page text"))
+    val normal = Seq((1000L, "alpha beta gamma delta"), (1001L, "alpha beta gamma delta"))
+    val docs = (boiler ++ normal).toDF("id", "text")
+    val pairs = Dedup.minhashCandidatePairs(docs, "id", "text",
+      numHashes = 8, rowsPerBand = 4, shingleWidth = 2, maxBucketAllPairs = 50)
+    val got = pairs.as[(Long, Long)].collect().toSet
+    pairs.unpersist(blocking = true)
+    // chain, not all-pairs: 299 consecutive edges instead of 300*299/2
+    val chain = (0L until 299L).map(i => (i, i + 1)).toSet
+    assert(got.filter(_._1 < 1000L) === chain)
+    // the chain still connects the whole mega-cluster into ONE component
+    val comps = Dedup.connectedComponents(
+      spark.createDataset(got.toSeq).toDF("d1", "d2"))
+    assert(comps.filter(col("id") < 1000L).select("component").distinct().count() === 1L)
+    // the small bucket kept exact all-pairs semantics
+    assert(got.contains((1000L, 1001L)))
+  }
+
+  test("embedding hot-bucket guard: chain edges carry exact cosine, small buckets exact") {
+    val mega = (0 until 200).map(i => (i.toLong, Array.fill(8)(1f)))
+    val other = Seq((500L, Array.fill(8)(-1f)), (501L, Array.fill(8)(-1f)))
+    val vecs = (mega ++ other).toDF("id", "v")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "id", "v",
+      planes = 4, seed = 7L, threshold = 0.9, bands = 1, maxBucketAllPairs = 40)
+    val got = pairs.select("d1", "d2", "cosine")
+      .as[(Long, Long, Double)].collect()
+    pairs.unpersist(blocking = true)
+    val megaPairs = got.filter(_._1 < 500L)
+    // linear chain over the identical-vector mega-bucket, cosine ~1
+    // (d/(sqrt(n)*sqrt(n)) is one ulp off exact 1.0 for identical vectors)
+    assert(megaPairs.map(p => (p._1, p._2)).toSet ===
+      (0L until 199L).map(i => (i, i + 1)).toSet)
+    assert(megaPairs.forall(_._3 > 0.9999999))
+    // the 2-member bucket still goes through the exact all-pairs branch
+    assert(got.map(p => (p._1, p._2)).contains((500L, 501L)))
+  }
+
+  test("hot-bucket guard is a no-op below the ceiling (same pairs either way)") {
+    val docs = (0 until 80).map(i =>
+      (i.toLong, s"tok${i % 6}a tok${i % 6}b tok${i % 6}c word$i")).toDF("id", "text")
+    val capped = Dedup.minhashCandidatePairs(docs, "id", "text", 8, 4, 2,
+      maxBucketAllPairs = 1024)
+    val cappedSet = capped.as[(Long, Long)].collect().toSet
+    capped.unpersist(blocking = true)
+    val tiny = Dedup.minhashCandidatePairs(docs, "id", "text", 8, 4, 2,
+      maxBucketAllPairs = 1000000)
+    val unSet = tiny.as[(Long, Long)].collect().toSet
+    tiny.unpersist(blocking = true)
+    assert(cappedSet === unSet)
+  }
 }
