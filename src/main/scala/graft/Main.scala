@@ -29,8 +29,8 @@ import org.apache.spark.sql.SparkSession
   * graft corpus linededup --in DIR --out DIR [--chunk-tokens 10] [--id-col c] [--text-col c]
   * graft corpus classify --in DIR --out DIR [--threshold 0.0] [--seed w] [--text-col c]
   * graft corpus curate   --in DIR --out DIR [--classify-threshold T] [--chunk-tokens 10] [--dedup-threshold 0.8] [--ref-bench DIR] [--budget N] [--shards K]
-  * graft corpus annindex --in DIR --out DIR [--vec-col c] [--lists 64] [--pq-m 16] [--pq-ksub 16] [--seed 42]
-  * graft corpus annquery --in INDEXDIR --query-id N [--k 10] [--nprobe 8] [--path pq|sq8]
+  * graft corpus annindex --in DIR --out DIR [--id-col c] [--vec-col c] [--lists 64] [--pq-m 16] [--pq-ksub 16] [--seed 42]
+  * graft corpus annquery --in INDEXDIR {--query-id N | --query-ids N,N,...} [--index DIR] [--id-col c] [--vec-col c] [--k 10] [--nprobe 8] [--path pq|sq8] [--overfetch 16]
   * graft corpus stats    --in DIR [--id-col c] [--text-col c]
   * }}}
   *
@@ -195,11 +195,10 @@ object Main {
       case "annquery" =>
         val vecCol = opt(args, "vec-col").getOrElse("embedding")
         val index = opt(args, "index").getOrElse(in) // default: --in IS the index
-        val qid = opt(args, "query-id").map(_.toLong)
-          .getOrElse(sys.error("--query-id required"))
         val k = opt(args, "k").map(_.toInt).getOrElse(10)
         val nProbe = opt(args, "nprobe").map(_.toInt).getOrElse(8)
         val path = opt(args, "path").getOrElse("pq") // pq | sq8
+        val overfetch = opt(args, "overfetch").map(_.toInt).getOrElse(16)
         val cents = java.nio.file.Files
           .readString(java.nio.file.Paths.get(index, "_ann_centroids.tsv"))
           .split("\n").map(_.split(",").map(_.toFloat))
@@ -210,17 +209,38 @@ object Main {
         val codebooks = cbLines.tail.map(_.split(",").map(_.toFloat))
           .grouped(ksub).map(_.toArray).toArray
         require(codebooks.length == m, s"codebook file shape mismatch: ${codebooks.length} != $m")
-        val query = spark.read.parquet(index)
-          .filter(col(idCol) === qid).select(vecCol).head().getSeq[Float](0)
-        val top = path match {
-          case "sq8" => graft.operators.Similarity.ivfSq8TopKIndexed(
-            spark, index, idCol, vecCol, query, k + 1, cents, nProbe)
-          case _ => graft.operators.Similarity.ivfPqTopKIndexed(
-            spark, index, idCol, vecCol, query, k + 1, cents, codebooks,
-            nProbe, overfetch = 16)
-        }
-        top.filter(col(idCol) =!= qid).limit(k).collect().foreach { r =>
-          println(s"${r.get(0)}\t${"%.6f".format(r.getDouble(1))}")
+        opt(args, "query-ids") match {
+          case Some(idsCsv) =>
+            // batched serving: ALL queries share one two-scan job over the
+            // union of their probed lists (ivfSq8TopKJoinIndexed) — the
+            // fixed per-job cost amortizes across the batch
+            val qids = idsCsv.split(",").map(_.trim.toLong).toSeq
+            val queries = spark.read.parquet(index)
+              .filter(col(idCol).isin(qids: _*))
+              .select(col(idCol), col(vecCol)).collect()
+              .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+            graft.operators.Similarity.ivfSq8TopKJoinIndexed(
+              spark, index, idCol, vecCol, queries, k, cents, nProbe,
+              overfetch = math.max(1, overfetch / 4), excludeSelf = true)
+              .orderBy(col("q_id"), col("rnk"))
+              .collect().foreach { r =>
+                println(s"${r.get(0)}\t${r.get(1)}\t${"%.6f".format(r.getDouble(3))}")
+              }
+          case None =>
+            val qid = opt(args, "query-id").map(_.toLong)
+              .getOrElse(sys.error("--query-id or --query-ids required"))
+            val query = spark.read.parquet(index)
+              .filter(col(idCol) === qid).select(vecCol).head().getSeq[Float](0)
+            val top = path match {
+              case "sq8" => graft.operators.Similarity.ivfSq8TopKIndexed(
+                spark, index, idCol, vecCol, query, k + 1, cents, nProbe)
+              case _ => graft.operators.Similarity.ivfPqTopKIndexed(
+                spark, index, idCol, vecCol, query, k + 1, cents, codebooks,
+                nProbe, overfetch = overfetch)
+            }
+            top.filter(col(idCol) =!= qid).limit(k).collect().foreach { r =>
+              println(s"${r.get(0)}\t${"%.6f".format(r.getDouble(1))}")
+            }
         }
       case "semdedup" =>
         val vecCol = opt(args, "vec-col").getOrElse("embedding")

@@ -414,13 +414,20 @@ object Similarity {
         * are RESIDUAL codes (vector − its list centroid, the FAISS
         * IVF-PQ coding — train the codebooks with
         * [[pqCodebooksResidual]]); enables [[ivfPqTopKIndexed]]. */
-      pqCodebooksOpt: Option[Array[Array[Array[Float]]]] = None): Unit = {
+      pqCodebooksOpt: Option[Array[Array[Array[Float]]]] = None,
+      /** extra (columnName → residual codebooks) PQ variants written
+        * beside `pq_code` — e.g. an m=32 high-recall column next to the
+        * m=16 default, so one index serves both recall/bytes trades;
+        * probe with [[ivfPqTopKIndexed]]`(codeCol = ...)`. */
+      pqVariants: Seq[(String, Array[Array[Array[Float]]])] = Nil): Unit = {
     val assigned = ivfAssign(corpus, vecCol, centroids)
     val withSq8 =
       if (withSq8Codes) assigned.withColumn("sq8_code", sq8_encode(col(vecCol)))
       else assigned
-    val indexed = pqCodebooksOpt match {
-      case Some(cb) =>
+    val allPq = pqCodebooksOpt.map(("pq_code", _)).toSeq ++ pqVariants
+    val indexed =
+      if (allPq.isEmpty) withSq8
+      else {
         // residual = vec − centroid(list_id) in RAW space (matches
         // [[pqCodebooksResidual]]): the per-list centroid rides a
         // broadcast dim frame; the subtraction is a codegen'd zip_with
@@ -428,18 +435,73 @@ object Similarity {
         val centDf = broadcast(
           centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
             .toDF("list_id", "__cent"))
-        withSq8.join(centDf, Seq("list_id"))
-          .withColumn("pq_code",
-            pq_encode(
-              zip_with(col(vecCol), col("__cent"), (a, b) => a - b)
-                .cast("array<float>"),
-              pqFlatten(cb), cb.length, cb.head.length))
-          .drop("__cent")
-      case None => withSq8
-    }
+        allPq.foldLeft(withSq8.join(centDf, Seq("list_id"))) {
+          case (df, (name, cb)) =>
+            df.withColumn(name,
+              pq_encode(
+                zip_with(col(vecCol), col("__cent"), (a, b) => a - b)
+                  .cast("array<float>"),
+                pqFlatten(cb), cb.length, cb.head.length))
+        }.drop("__cent")
+      }
+    // cluster by list BEFORE the partitioned write: without this every
+    // shuffle partition contributes a file to every list directory
+    // (lists × partitions tiny files — 8k files at 256 lists × 32
+    // partitions), and per-file open cost dominates probe latency. One
+    // hash exchange at build time makes each list exactly ONE file, so a
+    // probe of nProbe lists opens nProbe files.
     indexed
+      .repartition(col("list_id"))
+      .sortWithinPartitions("list_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("list_id").parquet(dir)
+    writeListManifest(dir)
+  }
+
+  /** list_id → parquet-file manifest, written once at index build: probe
+    * reads resolve their leaf files from this table instead of listing the
+    * partition directories — on an object store at 100 TB a recursive
+    * LIST per query is the dominant fixed cost of a probe, and even
+    * locally it floors single-query latency (measured in SCALE.md). The
+    * `_`-prefixed name keeps it invisible to parquet readers. */
+  private def manifestFile(indexDir: String): java.io.File =
+    new java.io.File(indexDir, "_ann_list_files.tsv")
+
+  private def writeListManifest(indexDir: String): Unit = {
+    val base = new java.io.File(indexDir)
+    val lines = base.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("list_id="))
+      .sortBy(_.getName)
+      .flatMap { d =>
+        val listId = d.getName.stripPrefix("list_id=")
+        d.listFiles().toSeq.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .map(f => s"$listId\t${d.getName}/${f.getName}")
+      }
+    java.nio.file.Files.writeString(
+      manifestFile(indexDir).toPath, lines.mkString("\n"))
+  }
+
+  /** Partition-pruned read of the probed lists: manifest-backed when the
+    * index carries `_ann_list_files.tsv` (explicit leaf files + basePath,
+    * zero directory listing), falling back to a `list_id IN (...)`
+    * partition filter for indexes built before the manifest existed. */
+  def readProbedLists(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      lists: Seq[Int]): DataFrame = {
+    val mf = manifestFile(indexDir)
+    if (mf.exists()) {
+      val byList: Map[Int, Seq[String]] = scala.io.Source.fromFile(mf).getLines()
+        .filter(_.nonEmpty).toSeq
+        .map { l => val Array(id, rel) = l.split("\t", 2); (id.toInt, rel) }
+        .groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
+      val files = lists.flatMap(l => byList.getOrElse(l, Nil))
+        .map(rel => s"$indexDir/$rel")
+      if (files.isEmpty)
+        spark.read.parquet(indexDir).filter(col("list_id").isin(lists: _*))
+      else
+        spark.read.option("basePath", indexDir).parquet(files: _*)
+    } else
+      spark.read.parquet(indexDir).filter(col("list_id").isin(lists: _*))
   }
 
   /** IVF top-k over a materialized [[writeIvfIndex]] directory: identical
@@ -450,8 +512,7 @@ object Similarity {
       idCol: String, vecCol: String, query: Seq[Float],
       k: Int, centroids: Array[Array[Float]], nProbe: Int): DataFrame = {
     val probeLists = probedLists(centroids, query, nProbe)
-    spark.read.parquet(indexDir)
-      .filter(col("list_id").isin(probeLists: _*))
+    readProbedLists(spark, indexDir, probeLists)
       .select(col(idCol), vec_cosine(col(vecCol), typedlit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
@@ -470,8 +531,7 @@ object Similarity {
       k: Int, centroids: Array[Array[Float]], nProbe: Int,
       overfetch: Int = 4): DataFrame = {
     val probeLists = probedLists(centroids, query, nProbe)
-    val pruned = spark.read.parquet(indexDir)
-      .filter(col("list_id").isin(probeLists: _*))
+    val pruned = readProbedLists(spark, indexDir, probeLists)
     // two-scan shape (see [[ivfPqTopKIndexed]]): the code prefilter scan
     // must NOT read the float vectors, or it costs more than brute force
     val qCodes = lit(Sq8Util.encodeFloats(query.toArray))
@@ -486,6 +546,70 @@ object Similarity {
       .select(col(idCol), vec_cosine(col(vecCol), typedlit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Batched IVF-SQ8 serving — the probe shape that makes the index pay
+    * its rent: Q queries share ONE two-scan job over the UNION of their
+    * probed lists, so the fixed per-job cost (driver scheduling, file
+    * resolution — manifest-backed, no directory listing) amortizes
+    * across the batch while each (row, query) pair is still scored only
+    * when the query actually probes that row's list.
+    *
+    * Plan: queries explode driver-side to broadcast (q_id, list_id)
+    * probe pairs; the pruned code scan equi-joins on `list_id`
+    * (broadcast hash join — the corpus never shuffles), integer code
+    * dots feed a map-side [[BoundedTopK]] per query, and the
+    * `overfetch·k` survivor ids broadcast back for the exact-cosine
+    * rerank — [[sq8TopKJoin]]'s two-phase shape with IVF pruning in
+    * front. Output matches [[topKJoin]]: (q_id, idCol, rnk, cosine). */
+  def ivfSq8TopKJoinIndexed(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      idCol: String, vecCol: String,
+      queries: Seq[(Long, Array[Float])], k: Int,
+      centroids: Array[Array[Float]], nProbe: Int,
+      overfetch: Int = 4, excludeSelf: Boolean = false): DataFrame = {
+    import spark.implicits._
+    // per-query probe lists are a driver-side |Q|·lists·dim compute —
+    // the same work the single-query path does once, batched
+    val qProbe = queries.map { case (qid, qv) =>
+      (qid, qv, probedLists(centroids, qv.toSeq, nProbe))
+    }
+    val allLists = qProbe.flatMap(_._3).distinct
+    val pruned = readProbedLists(spark, indexDir, allLists)
+    val probePairs = broadcast(
+      qProbe.flatMap { case (qid, _, ls) => ls.map(l => (qid, l)) }
+        .toDF("__q_id", "list_id"))
+    val qCodes = broadcast(
+      qProbe.map { case (qid, qv, _) => (qid, Sq8Util.encodeFloats(qv)) }
+        .toDF("__q_id", "__q_code"))
+    // scan 1: (list_id, id, sq8_code) only — never the float vectors
+    val scored0 = pruned
+      .select(col("list_id"), col(idCol), col("sq8_code"))
+      .join(probePairs, Seq("list_id"))
+      .join(qCodes, Seq("__q_id"))
+    val scored =
+      if (excludeSelf) scored0.filter(col(idCol) =!= col("__q_id")) else scored0
+    val survivors = scored
+      .withColumn("__qs", sq8_dot(col("sq8_code"), col("__q_code")).cast("double"))
+      .groupBy(col("__q_id"))
+      .agg(TopK.topkAgg(math.max(k, overfetch * k))(col("__qs"), col(idCol).cast("long"))
+        .as("topk"))
+      .select(col("__q_id"), explode(col("topk.id")).as("__c_id"))
+    // scan 2: float vectors for the bounded survivor set alone
+    val qVecs = broadcast(
+      qProbe.map { case (qid, qv, _) => (qid, qv.toSeq) }
+        .toDF("__q_id", "__q_vec")
+        .withColumn("__q_vec", col("__q_vec").cast("array<float>")))
+    pruned.select(col(idCol), col(vecCol))
+      .join(broadcast(survivors), col(idCol).cast("long") === col("__c_id"))
+      .join(qVecs, Seq("__q_id"))
+      .withColumn("__cos", vec_cosine(col(vecCol), col("__q_vec")))
+      .groupBy(col("__q_id"))
+      .agg(TopK.topkAgg(k)(col("__cos"), col(idCol).cast("long")).as("topk"))
+      .select(col("__q_id").as("q_id"), posexplode(col("topk")))
+      .select(
+        col("q_id"), col("col.id").as(idCol),
+        (col("pos") + 1).as("rnk"), col("col.score").as("cosine"))
   }
 
   /** Per-group embedding centroids (the class-centroid / prototype
@@ -730,7 +854,11 @@ object Similarity {
       idCol: String, vecCol: String, query: Seq[Float],
       k: Int, centroids: Array[Array[Float]],
       codebooks: Array[Array[Array[Float]]], nProbe: Int,
-      overfetch: Int = 4): DataFrame = {
+      overfetch: Int = 4,
+      /** which materialized PQ code column to score — `pq_code` by
+        * default, or a [[writeIvfIndex]] `pqVariants` column (e.g. the
+        * m=32 high-recall codes). Must match `codebooks`' shape. */
+      codeCol: String = "pq_code"): DataFrame = {
     val probeLists = probedLists(centroids, query, nProbe)
     val ksub = codebooks.head.length
     val lut = pqLut(codebooks, query)
@@ -754,11 +882,10 @@ object Similarity {
     // for the survivors alone. Carrying the vectors through scan 1 (the
     // obvious single-scan plan) reads MORE bytes than the brute scan —
     // measured 3× slower at 1M vectors.
-    val pruned = spark.read.parquet(indexDir)
-      .filter(col("list_id").isin(probeLists: _*))
+    val pruned = readProbedLists(spark, indexDir, probeLists)
     val survivorIds = pruned
       .select(col(idCol),
-        (listOffset + pq_adc(col("pq_code"), lut, ksub)).as("score"))
+        (listOffset + pq_adc(col(codeCol), lut, ksub)).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(math.max(k, overfetch * k))
       .select(col(idCol))

@@ -392,6 +392,84 @@ object Inventory {
   }
 
   // ---------------------------------------------------------------------
+  // Ledger-operator queries (A3/A6/J2): the REAL beacon ledger operators
+  // ([[graft.beacon.Ledger]]/[[graft.beacon.Maintenance]]) driven by a
+  // deterministic synthetic ledger derived from `events` — every derived
+  // column is integer/CASE arithmetic the oracle rebuilds relationally,
+  // so the driver gate checks the operator code itself, not a re-typed
+  // copy of its SQL.
+  // ---------------------------------------------------------------------
+
+  /** Chunk ledger rows synthesized from events: one chunk per event,
+    * status striped by event_id mod 10 (0-5 completed, 6-7 pending,
+    * 8 claimed, 9 failed). */
+  private def syntheticLedger(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      concat(col("event_type"), lit("_"), col("event_id")).as("chunk_id"),
+      (col("event_id") * 100).as("start_slot"),
+      (col("event_id") * 100 + 99).as("end_slot"),
+      col("event_type").as("loader_name"),
+      when(pmod(col("event_id"), lit(10)) <= 5, "completed")
+        .when(pmod(col("event_id"), lit(10)) <= 7, "pending")
+        .when(pmod(col("event_id"), lit(10)) === 8, "claimed")
+        .otherwise("failed").as("status"),
+      concat(lit("w"), pmod(col("event_id"), lit(4))).as("worker_id"),
+      lit(null).cast("timestamp").as("created_at"),
+      lit(null).cast("timestamp").as("updated_at"),
+      lit(1L).as("insert_version"))
+
+  /** Transformer-progress rows synthesized from events: events ≡ 2 (mod 3)
+    * have no progress row at all (never attempted), ≡ 0 completed,
+    * event_id ≡ 1 (mod 21) processing, the rest failed. */
+  private def syntheticProgress(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(pmod(col("event_id"), lit(3)) =!= 2)
+      .select(
+        concat(lit("raw_"), col("event_type")).as("raw_table_name"),
+        (col("event_id") * 100).as("start_slot"),
+        (col("event_id") * 100 + 99).as("end_slot"),
+        when(pmod(col("event_id"), lit(3)) === 0, "completed")
+          .when(pmod(col("event_id"), lit(21)) === 1, "processing")
+          .otherwise("failed").as("status"),
+        pmod(col("event_id"), lit(50)).as("processed_count"),
+        when(pmod(col("event_id"), lit(3)) === 1, pmod(col("event_id"), lit(7)))
+          .otherwise(lit(0L)).as("failed_count"),
+        lit(null).cast("string").as("error_message"),
+        lit(null).cast("timestamp").as("processed_at"),
+        lit(1L).as("insert_version"))
+
+  /** A3: [[graft.beacon.Ledger.transformStatus]] (transformer.py:620-662)
+    * over the synthetic progress ledger. */
+  val a3TransformStatus: Q = (s, d) =>
+    graft.beacon.Ledger.transformStatus(syntheticProgress(s, d))
+
+  /** A6: [[graft.beacon.Ledger.failedSummary]] (maintenance.py:64-80)
+    * over the synthetic chunk ledger. */
+  val a6FailedSummary: Q = (s, d) =>
+    graft.beacon.Ledger.failedSummary(syntheticLedger(s, d))
+
+  /** J2: [[graft.beacon.Maintenance.check]] (maintenance.py:577-667) —
+    * the integrity report end-to-end THROUGH the LedgerStore parquet
+    * round-trip: failed chunks plus the completed-but-untransformed
+    * anti-join, tagged and unioned into one oracle-comparable frame. */
+  val j2IntegrityCheck: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_j2").toString
+    val led = graft.beacon.LedgerStore(s"$tmp/chunks")
+    led.append(syntheticLedger(s, d))
+    val prog = graft.beacon.LedgerStore(s"$tmp/progress")
+    prog.append(syntheticProgress(s, d))
+    val loaders = events(s, d).select("event_type").distinct()
+      .orderBy("event_type").collect().map(_.getString(0)).toSeq
+    val out = graft.beacon.Maintenance.check(s, led, prog, loaders)
+    def shape(df: DataFrame, kind: String) =
+      df.select(
+        col("chunk_id"), col("loader_name"), col("start_slot"),
+        col("end_slot"), col("status"), lit(kind).as("kind"))
+    shape(out("failed_chunks"), "failed")
+      .unionByName(shape(out("untransformed_chunks"), "untransformed"))
+  }
+
+  // ---------------------------------------------------------------------
   // Declared inventory
   // ---------------------------------------------------------------------
 
@@ -403,13 +481,16 @@ object Inventory {
     "f6_last_of_day" -> f6LastOfDay,
     "f7_status_filter" -> f7StatusFilter,
     "j1_anti_join" -> j1AntiJoin,
+    "j2_integrity_check" -> j2IntegrityCheck,
     "j3_gap_detection" -> j3GapDetection,
     "j4_join_agg_broadcast" -> j4JoinAggBroadcast,
     "j5_daily_rollup_join" -> j5DailyRollupJoin,
     "j6_except_diff" -> j6ExceptDiff,
     "a1_conditional_agg" -> a1ConditionalAgg,
     "a2_pricing_summary" -> a2PricingSummary,
+    "a3_transform_status" -> a3TransformStatus,
     "a4_minmax_distinct" -> a4MinMaxDistinct,
+    "a6_failed_summary" -> a6FailedSummary,
     "a5_max_probe" -> a5MaxProbe,
     "a7_hourly_rollup" -> a7HourlyRollup,
     "a7_top_users_having" -> a7TopUsersHaving,
@@ -460,6 +541,64 @@ object Inventory {
     "j1_anti_join" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    // a3/a6/j2 rebuild the synthetic ledgers (see [[syntheticLedger]] /
+    // [[syntheticProgress]]: pure integer/CASE stripes over events) and
+    // mirror the ledger operators relationally — incl. j2's
+    // completed-but-untransformed anti-join
+    "a3_transform_status" ->
+      """WITH prog AS (
+        |  SELECT 'raw_' || event_type AS raw_table_name,
+        |         event_id * 100 AS start_slot, event_id * 100 + 99 AS end_slot,
+        |         CASE WHEN event_id % 3 = 0 THEN 'completed'
+        |              WHEN event_id % 21 = 1 THEN 'processing'
+        |              ELSE 'failed' END AS status,
+        |         event_id % 50 AS processed_count,
+        |         CASE WHEN event_id % 3 = 1 THEN event_id % 7 ELSE 0 END AS failed_count
+        |  FROM events WHERE event_id % 3 <> 2)
+        |SELECT raw_table_name, count(*) AS total,
+        |       CAST(SUM(CASE WHEN status = 'completed' THEN 1 ELSE 0 END) AS BIGINT) AS completed,
+        |       CAST(SUM(CASE WHEN status = 'failed' THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+        |       CAST(SUM(CASE WHEN status = 'processing' THEN 1 ELSE 0 END) AS BIGINT) AS processing,
+        |       CAST(SUM(processed_count) AS BIGINT) AS rows_processed,
+        |       CAST(SUM(failed_count) AS BIGINT) AS rows_failed,
+        |       MAX(CASE WHEN status = 'completed' THEN end_slot END) AS max_completed_slot
+        |FROM prog GROUP BY raw_table_name""".stripMargin,
+    "a6_failed_summary" ->
+      """WITH led AS (
+        |  SELECT event_type AS loader_name,
+        |         event_id * 100 AS start_slot, event_id * 100 + 99 AS end_slot,
+        |         CASE WHEN event_id % 10 <= 5 THEN 'completed'
+        |              WHEN event_id % 10 <= 7 THEN 'pending'
+        |              WHEN event_id % 10 = 8 THEN 'claimed'
+        |              ELSE 'failed' END AS status
+        |  FROM events)
+        |SELECT loader_name, count(*) AS n_failed,
+        |       MIN(start_slot) AS min_slot, MAX(end_slot) AS max_slot
+        |FROM led WHERE status = 'failed' GROUP BY loader_name""".stripMargin,
+    "j2_integrity_check" ->
+      """WITH led AS (
+        |  SELECT event_type || '_' || event_id::VARCHAR AS chunk_id,
+        |         event_type AS loader_name,
+        |         event_id * 100 AS start_slot, event_id * 100 + 99 AS end_slot,
+        |         CASE WHEN event_id % 10 <= 5 THEN 'completed'
+        |              WHEN event_id % 10 <= 7 THEN 'pending'
+        |              WHEN event_id % 10 = 8 THEN 'claimed'
+        |              ELSE 'failed' END AS status
+        |  FROM events),
+        |done AS (
+        |  SELECT 'raw_' || event_type AS raw_table_name,
+        |         event_id * 100 AS start_slot, event_id * 100 + 99 AS end_slot
+        |  FROM events WHERE event_id % 3 = 0)
+        |SELECT chunk_id, loader_name, start_slot, end_slot, status,
+        |       'failed' AS kind
+        |FROM led WHERE status = 'failed'
+        |UNION ALL
+        |SELECT l.chunk_id, l.loader_name, l.start_slot, l.end_slot, l.status,
+        |       'untransformed' AS kind
+        |FROM led l LEFT JOIN done p
+        |  ON p.start_slot = l.start_slot AND p.end_slot = l.end_slot
+        | AND p.raw_table_name = 'raw_' || l.loader_name
+        |WHERE l.status = 'completed' AND p.start_slot IS NULL""".stripMargin,
     "j3_gap_detection" ->
       // seq base must be a table whose ROW COUNT exceeds max(user_id) at
       // every SF — lineitem (largest table, 6k rows at sf0.001) always

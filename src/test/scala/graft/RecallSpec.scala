@@ -256,4 +256,39 @@ class RecallSpec extends AnyFunSuite {
     // the rerank reproduces exact ranks INCLUDING tie-breaks
     assert(recall >= 0.995, s"sq8TopKJoin diverged from exact: $recall < 1.0")
   }
+
+  test("batched IVF probe (ivfSq8TopKJoinIndexed): manifest-backed, matches single-query path") {
+    val corpus = Scale.genClusteredEmbCorpus(spark, 10000L, nClusters0 = 16)
+      .persist()
+    val cents = Similarity.kmeansCentroids(corpus, "embedding", k = 16,
+      iters = 5, seed = 42L, sampleN = 2000)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_batch").toString
+    Similarity.writeIvfIndex(corpus, "embedding", cents, dir, withSq8Codes = true)
+    // manifest written at build: one line per leaf parquet, list-prefixed
+    val mf = new java.io.File(dir, "_ann_list_files.tsv")
+    assert(mf.exists(), "index build must write _ann_list_files.tsv")
+    val mfLists = scala.io.Source.fromFile(mf).getLines().map(_.split("\t")(0).toInt).toSet
+    assert(mfLists === (0 until 16).toSet)
+    val queries = corpus.filter(col("vec_id") < 8)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val batched = Similarity.ivfSq8TopKJoinIndexed(
+      spark, dir, "vec_id", "embedding", queries, k = 5, cents, nProbe = 4,
+      overfetch = 4, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getAs[Number]("rnk").longValue()) -> r.getLong(1))
+      .toMap
+    // per query, the batched result must equal the single-query indexed
+    // probe (same lists, same prefilter, same rerank ordering)
+    queries.foreach { case (qid, qv) =>
+      val single = Similarity.ivfSq8TopKIndexed(
+        spark, dir, "vec_id", "embedding", qv.toSeq, k = 6, cents, nProbe = 4,
+        overfetch = 4)
+        .collect().map(_.getLong(0)).filter(_ != qid).take(5)
+      single.zipWithIndex.foreach { case (id, i) =>
+        assert(batched.get((qid, i + 1L)).contains(id),
+          s"q$qid rank ${i + 1}: batched=${batched.get((qid, i + 1L))} single=$id")
+      }
+    }
+    corpus.unpersist(blocking = false)
+  }
 }
