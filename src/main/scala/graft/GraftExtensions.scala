@@ -166,7 +166,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("md5_simhash_hex"),
       info("md5_simhash_hex",
         "16-hex md5-family simhash of a token array (oracle-parity)"),
-      (es: Seq[Expression]) => graft.operators.Md5SimHashHex(es.head)))
+      (es: Seq[Expression]) => {
+        if (es.length != 1)
+          fail(s"md5_simhash_hex(tokens) takes exactly 1 argument, got ${es.length}")
+        graft.operators.Md5SimHashHex(es.head)
+      }))
     e.injectFunction((
       FunctionIdentifier("winnow_md5"),
       info("winnow_md5",

@@ -286,13 +286,16 @@ object Main {
         val out = outDir
         // rewrite each doc with corpus-wide repeated chunks removed (first
         // occurrence survives); docs whose every chunk was a repeat drop out
-        val deduped = graft.operators.Dedup
+        // (chunkDedup returns a PERSISTED frame — caller-owned, released
+        // after the write below consumes it)
+        val chunkFrame = graft.operators.Dedup
           .chunkDedup(docs, idCol, textCol, chunkTokens)
-          .filter(col("text_dedup").isNotNull)
+        val deduped = chunkFrame.filter(col("text_dedup").isNotNull)
         docs.drop(textCol)
           .join(deduped.select(col(idCol), col("text_dedup").as(textCol),
             col("n_chunks"), col("n_kept")), Seq(idCol))
           .write.mode("overwrite").parquet(out)
+        chunkFrame.unpersist(blocking = false)
         val total = docs.count()
         val kept = spark.read.parquet(out)
         val k = kept.count()
@@ -344,9 +347,12 @@ object Main {
           groups.filter(col("is_representative")).select(col(idCol)), Seq(idCol), "left_semi")
         funnel += "neardedup" -> deduped.count()
         // 4. sub-document dedup: repeated chunks removed, docs rewritten
+        // (chunkDedup's persisted frame is caller-owned — released with
+        // `groups` after the funnel materializes)
+        val chunkFrame = graft.operators.Dedup
+          .chunkDedup(deduped, idCol, textCol, chunkTokens)
         val lineDeduped = deduped.drop(textCol).join(
-          graft.operators.Dedup
-            .chunkDedup(deduped, idCol, textCol, chunkTokens)
+          chunkFrame
             .filter(col("text_dedup").isNotNull)
             .select(col(idCol), col("text_dedup").as(textCol)),
           Seq(idCol))
@@ -381,6 +387,7 @@ object Main {
           case None => budgeted.write.mode("overwrite").parquet(out)
         }
         groups.unpersist(blocking = false)
+        chunkFrame.unpersist(blocking = false)
         val kept = spark.read.parquet(out).count()
         funnel += "written" -> kept
         println("[graft] corpus curate funnel: " +

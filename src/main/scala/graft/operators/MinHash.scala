@@ -63,8 +63,31 @@ object Md5MinHashUtil {
   }
   private val HEX = "0123456789abcdef".toCharArray
 
+  // the k seed-prefix byte arrays ("1#".."k#") are a pure function of k —
+  // cache them once per k instead of allocating O(tokens × k) throwaway
+  // strings inside the kernel loop
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Byte]]]()
+  private def seedPrefixes(k: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(
+      k, _ => Array.tabulate(k)(i => s"${i + 1}#".getBytes("UTF-8")))
+
+  /** Lexicographic compare of two 32-char lowercase-hex buffers — equals
+    * String.compareTo (all ASCII), without materializing a String per
+    * candidate. */
+  private def hexLt(a: Array[Char], b: Array[Char]): Boolean = {
+    var i = 0
+    while (i < 32) {
+      if (a(i) != b(i)) return a(i) < b(i)
+      i += 1
+    }
+    false
+  }
+
   def signature(tokens: ArrayData, k: Int): ArrayData = {
-    val mins = new Array[String](k)
+    val prefixes = seedPrefixes(k)
+    val mins = new Array[Array[Char]](k)
+    val hex = new Array[Char](32) // scratch, cloned only on new-min
     val n = tokens.numElements()
     val d = md.get()
     var t = 0
@@ -75,26 +98,24 @@ object Md5MinHashUtil {
         var i = 0
         while (i < k) {
           d.reset()
-          d.update(s"${i + 1}#".getBytes("UTF-8"))
+          d.update(prefixes(i))
           d.update(tokBytes)
           val h = d.digest()
-          val hex = new Array[Char](32)
           var b = 0
           while (b < 16) {
             hex(2 * b) = HEX((h(b) >> 4) & 0xf)
             hex(2 * b + 1) = HEX(h(b) & 0xf)
             b += 1
           }
-          val s = new String(hex)
-          if (mins(i) == null || s.compareTo(mins(i)) < 0) mins(i) = s
+          if (mins(i) == null || hexLt(hex, mins(i))) mins(i) = hex.clone()
           i += 1
         }
       }
       t += 1
     }
-    new GenericArrayData(mins.map(s =>
-      if (s == null) null
-      else org.apache.spark.unsafe.types.UTF8String.fromString(s)): Array[Any])
+    new GenericArrayData(mins.map(c =>
+      if (c == null) null
+      else org.apache.spark.unsafe.types.UTF8String.fromString(new String(c))): Array[Any])
   }
 }
 

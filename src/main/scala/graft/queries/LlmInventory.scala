@@ -139,6 +139,41 @@ object LlmInventory {
         (count(lit(1)) * col("group_size")).as("n_docs"),
         (count(lit(1)) * (col("group_size") - 1)).as("n_dropped"))
 
+  /** t25: the composed curation funnel — the `corpus curate` CLI's
+    * RefinedWeb ordering (quality gate → whole-doc near-dup dedup →
+    * chunk-level line dedup) at fixed knobs, reported as per-stage
+    * (stage, docs_in, docs_out) counts. Each stage is the REAL operator
+    * the standalone queries check (t6's qualityFilter, d9's
+    * nearDupGroups with the md5-parity family, d11's chunkDedup), and
+    * the oracle CHAINS the three already-green constructions over each
+    * stage's survivor set — so the funnel's composition, not just its
+    * pieces, faces the hash gate. */
+  val t25CurateFunnel: Q = (s, d) => {
+    val docs = documents(s, d)
+    val n0 = docs.count()
+    val q = TextAnalysis.qualityFilter(docs, "text")
+      .filter(col("quality_ok"))
+      .select(docs.columns.toIndexedSeq.map(col): _*)
+    val n1 = q.count()
+    val groups = Dedup.nearDupGroups(q, "doc_id", "text",
+      jaccardThreshold = 0.8, md5Parity = true).persist()
+    val deduped = q.join(
+      groups.filter(col("is_representative")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val n2 = deduped.count()
+    val chunks = Dedup.chunkDedup(deduped, "doc_id", "text", 10)
+    val lineDeduped = deduped.drop("text").join(
+      chunks.filter(col("text_dedup").isNotNull)
+        .select(col("doc_id"), col("text_dedup").as("text")),
+      Seq("doc_id"))
+    val n3 = lineDeduped.count()
+    chunks.unpersist(blocking = false)
+    groups.unpersist(blocking = false)
+    import s.implicits._
+    Seq(("1_quality", n0, n1), ("2_neardedup", n1, n2), ("3_linededup", n2, n3))
+      .toDF("stage", "docs_in", "docs_out")
+  }
+
   /** Quality gate with drop reasons — oracle-checked: every signal is
     * integer arithmetic followed by ONE IEEE double division (the d8
     * technique), so the threshold comparisons classify identically in
@@ -768,6 +803,7 @@ object LlmInventory {
     "d9_near_dup_groups" -> d9NearDupGroups,
     "d10_dedup_yield" -> d10DedupYield,
     "t6_quality_filter" -> t6QualityFilter,
+    "t25_curate_funnel" -> t25CurateFunnel,
     "d6_simhash" -> d6Simhash,
     "d7_embedding_near_dup" -> d7EmbeddingNearDup,
     "s7_semantic_dedup" -> s7SemanticDedup,
@@ -892,6 +928,103 @@ object LlmInventory {
       """SELECT doc_id,
         |       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
         |FROM documents""".stripMargin,
+    // t25: the t6 + d9 + d11 oracle constructions chained over each
+    // stage's survivor set — quality survivors feed the LSH pipeline,
+    // dedup representatives feed the chunk dedup; the three stage counts
+    // check the funnel's COMPOSITION
+    "t25_curate_funnel" ->
+      """WITH RECURSIVE sq AS (
+        |  SELECT doc_id, text, regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t
+        |  FROM documents),
+        |tokq AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN t = '' THEN []::VARCHAR[]
+        |              ELSE string_split_regex(t, '[ \t\n\x0b\f\r]+') END AS toks
+        |  FROM sq),
+        |stq AS (
+        |  SELECT doc_id, text, length(text) AS n_chars_q, len(toks) AS n_tokens_q,
+        |         CASE WHEN len(toks) > 0
+        |              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+        |              ELSE 0.0 END AS mean_token_len,
+        |         CASE WHEN length(text) > 0
+        |              THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)
+        |              ELSE 0.0 END AS punct_ratio
+        |  FROM tokq),
+        |qd AS (
+        |  SELECT doc_id, text FROM stq
+        |  WHERE NOT (n_chars_q < 50 OR n_chars_q > 100000
+        |             OR mean_token_len < 2.0 OR mean_token_len > 12.0
+        |             OR punct_ratio > 0.3)),
+        |tok2 AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM qd),
+        |shs AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM tok2 WHERE len(toks) >= 3),
+        |shx AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+        |sig AS (
+        |  SELECT doc_id,
+        |         min(md5('1#' || s)) AS mh1, min(md5('2#' || s)) AS mh2,
+        |         min(md5('3#' || s)) AS mh3, min(md5('4#' || s)) AS mh4,
+        |         min(md5('5#' || s)) AS mh5, min(md5('6#' || s)) AS mh6,
+        |         min(md5('7#' || s)) AS mh7, min(md5('8#' || s)) AS mh8
+        |  FROM shx GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band,
+        |         md5(mh1 || '|' || mh2 || '|' || mh3 || '|' || mh4) AS bh FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |         md5(mh5 || '|' || mh6 || '|' || mh7 || '|' || mh8) FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |confirmed AS (
+        |  SELECT c.d1, c.d2
+        |  FROM cand c
+        |  JOIN shs s1 ON s1.doc_id = c.d1
+        |  JOIN shs s2 ON s2.doc_id = c.d2
+        |  WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(s1.sh, s2.sh))) >= 0.8),
+        |edges AS (
+        |  SELECT d1, d2 FROM confirmed
+        |  UNION SELECT d2, d1 FROM confirmed),
+        |reach(id, r) AS (
+        |  SELECT d1, d1 FROM edges
+        |  UNION
+        |  SELECT reach.id, e.d2 FROM reach JOIN edges e ON e.d1 = reach.r),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |dd AS (
+        |  SELECT q2.doc_id, q2.text FROM qd q2 LEFT JOIN comp c ON c.id = q2.doc_id
+        |  WHERE coalesce(c.component, q2.doc_id) = q2.doc_id),
+        |s3 AS (
+        |  SELECT doc_id, regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t
+        |  FROM dd),
+        |tok3 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN t = '' THEN []::VARCHAR[]
+        |              ELSE string_split_regex(t, '[ \t\n\x0b\f\r]+') END AS toks
+        |  FROM s3),
+        |ch AS (
+        |  SELECT doc_id, g.i AS chunk_idx,
+        |         array_to_string(list_slice(toks, g.i * 10 + 1, g.i * 10 + 10), ' ') AS chunk
+        |  FROM tok3 CROSS JOIN range(0, 64) g(i)
+        |  WHERE g.i < (len(toks) + 9) // 10),
+        |rk AS (
+        |  SELECT doc_id, chunk_idx, chunk,
+        |         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM ch),
+        |ld AS (
+        |  SELECT doc_id FROM rk GROUP BY doc_id
+        |  HAVING sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0)
+        |SELECT '1_quality' AS stage,
+        |       (SELECT count(*) FROM documents) AS docs_in,
+        |       (SELECT count(*) FROM qd) AS docs_out
+        |UNION ALL
+        |SELECT '2_neardedup', (SELECT count(*) FROM qd), (SELECT count(*) FROM dd)
+        |UNION ALL
+        |SELECT '3_linededup', (SELECT count(*) FROM dd), (SELECT count(*) FROM ld)""".stripMargin,
     "d2_exact_dedup" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY md5(text)""".stripMargin,
@@ -1824,17 +1957,14 @@ object LlmInventory {
     // exact GROUP BY counts stand in for the sketch's lower bounds —
     // equality holds because capacity exceeds the vocabulary
     "t23_heavy_hitters" ->
+      // escaped whitespace class (RE2 interprets the backslash escapes)
+      // like the sibling t21/t22/d11 oracles: literal control bytes were
+      // fragile to editors AND silently omitted CR, which Java \s includes
       """WITH s AS (
-        |  SELECT lang, regexp_replace(text, '^[ 	
-
-]+|[ 	
-
-]+$', '', 'g') AS t
+        |  SELECT lang, regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t
         |  FROM documents),
         |tok AS (
-        |  SELECT lang, unnest(string_split_regex(t, '[ 	
-
-]+')) AS token
+        |  SELECT lang, unnest(string_split_regex(t, '[ \t\n\x0b\f\r]+')) AS token
         |  FROM s WHERE t <> ''),
         |cnt AS (
         |  SELECT lang, token, count(*) AS count_lb FROM tok GROUP BY lang, token),
