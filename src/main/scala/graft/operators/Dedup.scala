@@ -170,32 +170,46 @@ object Dedup {
     // the mega-buckets that trigger this are boilerplate clusters whose
     // members are mutually near-identical, so the chain verifies
     // through. Small buckets keep exact all-pairs semantics — outputs
-    // at oracle scale are byte-identical to the uncapped op. The bucket
-    // size rides a window count (same exchange as the chain's lag), and
-    // the hot key never reaches the join: both join inputs are filtered
-    // to small buckets BEFORE the equi-join, so no task ever holds a
-    // quadratic build side. The persisted frame is `sized` (the window
-    // output), so the signature pipeline runs once across the join
-    // sides and the chain.
-    val w = Window.partitionBy("band", "bh")
-    val sized = buckets
-      .withColumn("__bn", count(lit(1)).over(w))
-      .persist()
-    val small = sized.filter(col("__bn") <= maxBucketAllPairs)
-    val a = small.as("a")
-    val b = small.as("b")
-    val smallPairs = a
-      .join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("d1"), col("b.id").as("d2"))
-    val bigPairs = sized
+    // at oracle scale are byte-identical to the uncapped op.
+    //
+    // The guard is FREE when no bucket exceeds the ceiling (the common
+    // case): a narrow map-side-combined count over the persisted bucket
+    // frame answers "any hot bucket?" as one driver boolean, and only a
+    // hit engages the window plan — the clean path keeps the original
+    // single-shuffle self-join. On a hit, the hot keys never reach the
+    // join: both join inputs filter to small buckets BEFORE the
+    // equi-join, so no task ever holds a quadratic build side.
+    val bucketsP = buckets.persist()
+    val hasHot = !bucketsP
+      .groupBy("band", "bh").agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") > maxBucketAllPairs)
-      .select(col("band"), col("bh"), col("id"))
-      .withColumn("__prev", lag("id", 1).over(w.orderBy("id")))
-      .filter(col("__prev").isNotNull)
-      .select(col("__prev").as("d1"), col("id").as("d2"))
-    val pairs = smallPairs.union(bigPairs).distinct()
-    materializeAndRelease(pairs, sized)
+      .isEmpty
+    val pairs = if (!hasHot) {
+      val a = bucketsP.as("a")
+      val b = bucketsP.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("d1"), col("b.id").as("d2"))
+        .distinct()
+    } else {
+      val w = Window.partitionBy("band", "bh")
+      val sized = bucketsP.withColumn("__bn", count(lit(1)).over(w))
+      val small = sized.filter(col("__bn") <= maxBucketAllPairs)
+      val a = small.as("a")
+      val b = small.as("b")
+      val smallPairs = a
+        .join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("d1"), col("b.id").as("d2"))
+      val bigPairs = sized
+        .filter(col("__bn") > maxBucketAllPairs)
+        .select(col("band"), col("bh"), col("id"))
+        .withColumn("__prev", lag("id", 1).over(w.orderBy("id")))
+        .filter(col("__prev").isNotNull)
+        .select(col("__prev").as("d1"), col("id").as("d2"))
+      smallPairs.union(bigPairs).distinct()
+    }
+    materializeAndRelease(pairs, bucketsP)
   }
 
   /** Persist-hygiene helper for ops whose result needs a TEMP persisted
@@ -423,40 +437,54 @@ object Dedup {
       .select(col("id"), col("v"),
         explode(array((0 until bands).map(b => col(s"sig$b")): _*)).as("bk"))
       .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    // Hot-bucket guard (see [[minhashCandidatePairs]]): buckets above the
-    // ceiling emit an id-ordered chain — O(n) exact-cosine edges that
-    // still connect a true duplicate cluster — and are excluded from the
+    // Hot-bucket guard (see [[minhashCandidatePairs]]): free when no
+    // bucket exceeds the ceiling — the existence probe counts over
+    // (band, sig) ONLY (the vectors never enter its exchange) and the
+    // clean path keeps the original plan. On a hit, oversized buckets
+    // emit an id-ordered chain — O(n) exact-cosine edges that still
+    // connect a true duplicate cluster — and are excluded from the
     // all-pairs join BEFORE it runs, so no task holds a quadratic build
     // side. vec_cosine is arithmetically symmetric, so cosine(prev, cur)
-    // on the chain matches the (smaller-id, larger-id) orientation of the
-    // all-pairs branch bitwise. The persisted frame is `sized`, so the
-    // bands × planes × dim signature dot products run once across both
-    // branches.
-    val w = Window.partitionBy("band", "sig")
-    val sized = buckets
-      .withColumn("__bn", count(lit(1)).over(w))
-      .persist()
-    val small = sized.filter(col("__bn") <= maxBucketAllPairs)
-    val a = small.as("a")
-    val b = small.as("b")
-    val smallPairs = a
-      .join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("d1"), col("b.id").as("d2"),
-        vec_cosine(col("a.v"), col("b.v")).as("cosine"))
-    val ow = w.orderBy("id")
-    val bigPairs = sized
+    // on the chain matches the (smaller-id, larger-id) orientation of
+    // the all-pairs branch bitwise.
+    val bucketsP = buckets.persist()
+    val hasHot = !bucketsP
+      .select(col("band"), col("sig"))
+      .groupBy("band", "sig").agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") > maxBucketAllPairs)
-      .select(col("band"), col("sig"), col("id"), col("v"))
-      .withColumn("__pid", lag("id", 1).over(ow))
-      .withColumn("__pv", lag("v", 1).over(ow))
-      .filter(col("__pid").isNotNull)
-      .select(col("__pid").as("d1"), col("id").as("d2"),
-        vec_cosine(col("__pv"), col("v")).as("cosine"))
-    val pairs = smallPairs.union(bigPairs)
-      .distinct()
-      .filter(col("cosine") >= threshold)
-    materializeAndRelease(pairs, sized)
+      .isEmpty
+    val pairs0 = if (!hasHot) {
+      val a = bucketsP.as("a")
+      val b = bucketsP.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("d1"), col("b.id").as("d2"),
+          vec_cosine(col("a.v"), col("b.v")).as("cosine"))
+        .distinct()
+    } else {
+      val w = Window.partitionBy("band", "sig")
+      val sized = bucketsP.withColumn("__bn", count(lit(1)).over(w))
+      val small = sized.filter(col("__bn") <= maxBucketAllPairs)
+      val a = small.as("a")
+      val b = small.as("b")
+      val smallPairs = a
+        .join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("d1"), col("b.id").as("d2"),
+          vec_cosine(col("a.v"), col("b.v")).as("cosine"))
+      val ow = w.orderBy("id")
+      val bigPairs = sized
+        .filter(col("__bn") > maxBucketAllPairs)
+        .select(col("band"), col("sig"), col("id"), col("v"))
+        .withColumn("__pid", lag("id", 1).over(ow))
+        .withColumn("__pv", lag("v", 1).over(ow))
+        .filter(col("__pid").isNotNull)
+        .select(col("__pid").as("d1"), col("id").as("d2"),
+          vec_cosine(col("__pv"), col("v")).as("cosine"))
+      smallPairs.union(bigPairs).distinct()
+    }
+    val pairs = pairs0.filter(col("cosine") >= threshold)
+    materializeAndRelease(pairs, bucketsP)
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
