@@ -141,6 +141,47 @@ object Sampling {
       .filter(col(rankCol) <= cap)
   }
 
+  /** Histogram-based per-key quantile bucketing — the CCNet head/middle/
+    * tail split shape generalized: assign each row to one of `buckets`
+    * per-key quantile buckets of `scoreCol` WITHOUT sorting the corpus.
+    * CCNet splits each language's documents into perplexity terciles and
+    * samples them at different rates; the same shape serves
+    * length-stratified splits and any score-balanced mixture.
+    *
+    * 100 TB shape: the corpus never sorts. A (key, score) histogram
+    * aggregates with map-side partials (one exchange of distinct pairs),
+    * the cumulative window runs over the HISTOGRAM (rows bounded by
+    * distinct scores per key, not corpus rows — no single-partition
+    * funnel, no per-key row sort), and the bucket per (key, score) joins
+    * back on the same keys (exchange-reusable with the histogram
+    * aggregation). Ties share a bucket by construction: the bucket is
+    * decided by the score group's first cumulative position —
+    * `floor(cum_before * buckets / n) + 1` — exact integer/IEEE
+    * arithmetic, so the assignment is deterministic and
+    * oracle-reproducible.
+    *
+    * `scoreCol` must be discrete (ints/longs — token counts, quantized
+    * scores): the histogram trick trades a continuous sort for group
+    * arithmetic, which is exactly the right trade for the integer
+    * quality signals this codebase emits. */
+  def scoreBuckets(
+      df: DataFrame, keyCol: String, scoreCol: String,
+      buckets: Int = 3): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    Seq("__c", "__cum", "__n", "bucket").foreach(t => require(!df.columns.contains(t),
+      s"input already has a column named $t — rename it before scoreBuckets"))
+    val hist = df.groupBy(col(keyCol), col(scoreCol)).agg(count(lit(1)).as("__c"))
+    val wk = Window.partitionBy(col(keyCol))
+    val assignment = hist
+      .withColumn("__cum", sum("__c").over(wk.orderBy(col(scoreCol))) - col("__c"))
+      .withColumn("__n", sum("__c").over(wk))
+      .withColumn("bucket",
+        least(floor(col("__cum") * lit(buckets) / col("__n")) + 1, lit(buckets.toLong))
+          .cast("int"))
+      .select(col(keyCol), col(scoreCol), col("bucket"))
+    df.join(assignment, Seq(keyCol, scoreCol))
+  }
+
   /** Token-budget selection — "take the best documents until N tokens":
     * rows in (priorityCol DESC, idCol ASC) order whose RUNNING `costCol`
     * total (inclusive) stays ≤ `budget`. The order must be total —

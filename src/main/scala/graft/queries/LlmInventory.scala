@@ -454,6 +454,21 @@ object LlmInventory {
       Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 1.0))
       .select(col("doc_id"), col("source"), col("rep").cast("long").as("rep"))
 
+  /** t26: per-language length terciles ([[Sampling.scoreBuckets]] — the
+    * CCNet head/middle/tail split shape on an exact integer score): each
+    * doc lands in its language's token-count tercile via the
+    * histogram-based assignment (the corpus never sorts; the cumulative
+    * window runs over the (lang, n_tokens) histogram). All-integer
+    * cumulative math + one IEEE division → the bucket is
+    * oracle-reproducible including ties (a score group shares one
+    * bucket by construction). */
+  val t26LengthTerciles: Q = (s, d) =>
+    Sampling.scoreBuckets(
+      documents(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "lang", "n_tokens", buckets = 3)
+      .select("doc_id", "lang", "n_tokens", "bucket")
+
   // --- Repetition / contamination gates ---------------------------------
 
   /** t9: Gopher-style word-repetition signals — top-word fraction and
@@ -836,6 +851,7 @@ object LlmInventory {
     "t15_winnow_fingerprint" -> t15WinnowFingerprint,
     "t16_source_cap" -> t16SourceCap,
     "t17_mixture_upsample" -> t17MixtureUpsample,
+    "t26_length_terciles" -> t26LengthTerciles,
     "d11_chunk_dedup" -> d11ChunkDedup,
     "t21_classifier_score" -> t21ClassifierScore,
     "t22_tfidf_topterms" -> t22TfidfTopTerms,
@@ -928,6 +944,34 @@ object LlmInventory {
       """SELECT doc_id,
         |       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
         |FROM documents""".stripMargin,
+    // t26: t1's token-count construction feeding the histogram-based
+    // tercile assignment — all-integer cumulative math, one IEEE
+    // division per (lang, n_tokens) group, ties share a bucket
+    "t26_length_terciles" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN t = '' THEN 0
+        |              ELSE len(string_split_regex(t, '[ \t\n\x0b\f\r]+')) END AS n_tokens
+        |  FROM s),
+        |hist AS (
+        |  SELECT lang, n_tokens, count(*) AS c FROM tk GROUP BY lang, n_tokens),
+        |cum AS (
+        |  -- CASTs: DuckDB window SUM(BIGINT) is HUGEINT; bring both
+        |  -- operands back to BIGINT so the / is the same BIGINT->DOUBLE
+        |  -- division Spark performs on its window LONGs
+        |  SELECT lang, n_tokens, c,
+        |         CAST(SUM(c) OVER (PARTITION BY lang ORDER BY n_tokens) - c AS BIGINT) AS cume,
+        |         CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM hist),
+        |b AS (
+        |  SELECT lang, n_tokens,
+        |         CAST(LEAST(CAST(floor((cume * 3) / n) AS BIGINT) + 1, 3) AS INT) AS bucket
+        |  FROM cum)
+        |SELECT tk.doc_id, tk.lang, CAST(tk.n_tokens AS BIGINT) AS n_tokens, b.bucket
+        |FROM tk JOIN b USING (lang, n_tokens)""".stripMargin,
     // t25: the t6 + d9 + d11 oracle constructions chained over each
     // stage's survivor set — quality survivors feed the LSH pipeline,
     // dedup representatives feed the chunk dedup; the three stage counts

@@ -346,4 +346,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), p)
     assert(p.contains("partial_kmv_min_hashes") || p.contains("kmv_min_hashes"), p)
   }
+
+  test("batched IVF probe: broadcast-only joins, code-scan never reads the vectors") {
+    import graft.operators.Similarity
+    val corpus = Scale.genClusteredEmbCorpus(spark, 2000L, nClusters0 = 8)
+    val cents = Similarity.kmeansCentroids(corpus, "embedding", k = 8,
+      iters = 3, seed = 42L, sampleN = 500)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_plan").toString
+    Similarity.writeIvfIndex(corpus, "embedding", cents, dir, withSq8Codes = true)
+    val queries = corpus.filter(col("vec_id") < 4)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val p = Similarity.ivfSq8TopKJoinIndexed(
+      spark, dir, "vec_id", "embedding", queries, k = 3, cents, nProbe = 3)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // every join is broadcast (probe pairs, query codes, survivors, query
+    // vectors) — the corpus NEVER shuffles as join input
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the prefilter scan reads (list_id, id, sq8_code) only: some scan's
+    // ReadSchema must carry the code column WITHOUT the float vectors
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.exists(s => s.contains("sq8_code") && !s.contains("embedding")),
+      schemas.mkString("\n"))
+    // the bounded top-k aggregate runs with a partial phase (map-side)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
 }

@@ -520,6 +520,35 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(est > 100.0 && est < 260.0, s"estimate $est wildly off exact 160")
   }
 
+  test("scoreBuckets: per-key terciles from the histogram, ties share a bucket, no corpus sort") {
+    import graft.operators.Sampling
+    // key A: scores 1..9 (no ties) -> clean terciles 3/3/3
+    // key B: score 5 × 6 rows + score 9 × 3 rows — the 6-row tie group
+    // starts at cum 0 -> bucket 1 for ALL SIX (ties cannot split), the
+    // 9s start at cum 6 -> floor(6*3/9)+1 = 3
+    val rows = (1 to 9).map(i => ("A", i.toLong, i.toLong)) ++
+      (10 to 15).map(i => ("B", i.toLong, 5L)) ++
+      (16 to 18).map(i => ("B", i.toLong, 9L))
+    val df = rows.toDF("k", "id", "score").repartition(4)
+    val out = Sampling.scoreBuckets(df, "k", "score", buckets = 3)
+      .select("k", "id", "bucket")
+      .as[(String, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert((1 to 3).forall(i => out(("A", i.toLong)) == 1))
+    assert((4 to 6).forall(i => out(("A", i.toLong)) == 2))
+    assert((7 to 9).forall(i => out(("A", i.toLong)) == 3))
+    assert((10 to 15).forall(i => out(("B", i.toLong)) == 1), "tie group must share bucket 1")
+    assert((16 to 18).forall(i => out(("B", i.toLong)) == 3))
+    // plan shape: the cumulative window runs over the AGGREGATED
+    // histogram — an Aggregate sits below the Window, so the corpus rows
+    // are never sorted per key
+    val plan = Sampling.scoreBuckets(df, "k", "score", 3)
+      .queryExecution.optimizedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    val aggBelow = plan.indexOf("Aggregate", winIdx)
+    assert(winIdx >= 0 && aggBelow > winIdx,
+      s"window must consume the histogram aggregate, not corpus rows:\n${plan.take(1500)}")
+  }
+
   test("minhash hot-bucket guard: mega-cluster emits a linear chain, components intact") {
     // 300 identical boilerplate docs (one LSH bucket per band) + one
     // ordinary near-dup pair that must keep exact all-pairs semantics
