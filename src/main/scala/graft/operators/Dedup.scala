@@ -121,42 +121,8 @@ object Dedup {
         * from all-pairs to an id-ordered CHAIN of edges (O(n) candidates
         * instead of n²/2) — see the guard comment at the self-join. */
       maxBucketAllPairs: Int = 1024): DataFrame = {
-    require(numHashes % rowsPerBand == 0,
-      s"numHashes ($numHashes) must be a multiple of rowsPerBand " +
-        s"($rowsPerBand) — trailing hashes would be computed but belong to " +
-        "no band, silently lowering recall")
-    val units =
-      if (shingleWidth <= 1) tokenSet(col(textCol)) else shingles(col(textCol), shingleWidth)
-    // Small inputs (one parquet file) arrive as one partition; fan the
-    // heavy per-row signature compute across all cores first (at scale the
-    // exchange is round-robin and narrow relative to the signature cost).
-    val parts = df.sparkSession.sparkContext.defaultParallelism
-    val withUnits = df.repartition(parts)
-      .select(col(idCol).as("id"), units.as("units"))
-      .filter(size(col("units")) > 0)
-    val sig =
-      if (md5Parity)
-        // two-step select like the scale path below: the projection
-        // boundary materializes the k-wide kernel signature ONCE per row
-        // — k bare element_at(kernel, i) columns would re-run the kernel
-        // per reference (CSE does not reach across the later band
-        // filters), k-tupling the md5 work
-        withUnits
-          .select(col("id"), MinHash.md5Signature(col("units"), numHashes).as("sig"))
-          .select(col("id") +: (1 to numHashes).map(i => element_at(col("sig"), i).as(s"mh$i")): _*)
-      else
-        withUnits
-          .select(col("id"), MinHash.signature(col("units"), numHashes).as("sig"))
-          .select(col("id") +: (1 to numHashes).map(i => element_at(col("sig"), i).as(s"mh$i")): _*)
-    val nBands = numHashes / rowsPerBand
-    val bands = (0 until nBands).map { b =>
-      val cols = (b * rowsPerBand + 1 to (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
-      val bh = if (md5Parity) md5(concat_ws("|", cols: _*)) else xxhash64(cols: _*)
-      struct(lit(b).as("band"), bh.as("bh"))
-    }
-    val buckets = sig
-      .select(col("id"), explode(array(bands: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val buckets = bandBuckets(
+      df, idCol, textCol, numHashes, rowsPerBand, shingleWidth, md5Parity)
     // Hot-bucket guard: a legitimate mega-cluster (100k copies of a
     // boilerplate page — every real crawl corpus has some) lands in ONE
     // bucket, and an unconditional all-pairs self-join would emit ~n²/2
@@ -210,6 +176,124 @@ object Dedup {
       smallPairs.union(bigPairs).distinct()
     }
     materializeAndRelease(pairs, bucketsP)
+  }
+
+  /** (id, band, bh) LSH band-bucket rows for a corpus — the shared front
+    * half of [[minhashCandidatePairs]] (self-join) and [[nearDupAgainst]]
+    * (cross-corpus join): per-row MinHash signature (single-pass kernel,
+    * md5 family when `md5Parity`), sliced into `numHashes / rowsPerBand`
+    * band hashes, exploded one row per band. No shuffle — signatures and
+    * band hashes are row-local expressions. */
+  private def bandBuckets(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, rowsPerBand: Int, shingleWidth: Int,
+      md5Parity: Boolean): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand " +
+        s"($rowsPerBand) — trailing hashes would be computed but belong to " +
+        "no band, silently lowering recall")
+    val units =
+      if (shingleWidth <= 1) tokenSet(col(textCol)) else shingles(col(textCol), shingleWidth)
+    // Small inputs (one parquet file) arrive as one partition; fan the
+    // heavy per-row signature compute across all cores first (at scale the
+    // exchange is round-robin and narrow relative to the signature cost).
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val withUnits = df.repartition(parts)
+      .select(col(idCol).as("id"), units.as("units"))
+      .filter(size(col("units")) > 0)
+    val sig =
+      if (md5Parity)
+        // two-step select like the scale path below: the projection
+        // boundary materializes the k-wide kernel signature ONCE per row
+        // — k bare element_at(kernel, i) columns would re-run the kernel
+        // per reference (CSE does not reach across the later band
+        // filters), k-tupling the md5 work
+        withUnits
+          .select(col("id"), MinHash.md5Signature(col("units"), numHashes).as("sig"))
+          .select(col("id") +: (1 to numHashes).map(i => element_at(col("sig"), i).as(s"mh$i")): _*)
+      else
+        withUnits
+          .select(col("id"), MinHash.signature(col("units"), numHashes).as("sig"))
+          .select(col("id") +: (1 to numHashes).map(i => element_at(col("sig"), i).as(s"mh$i")): _*)
+    val nBands = numHashes / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      val cols = (b * rowsPerBand + 1 to (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      val bh = if (md5Parity) md5(concat_ws("|", cols: _*)) else xxhash64(cols: _*)
+      struct(lit(b).as("band"), bh.as("bh"))
+    }
+    sig
+      .select(col("id"), explode(array(bands: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  /** Cross-corpus (incremental) EXACT dedup — the new-snapshot-vs-
+    * existing-corpus sweep every production pipeline runs before
+    * within-corpus dedup: drop rows of `df` whose content hash already
+    * exists in `reference`. One 16-byte-key anti-join; at 100 TB the
+    * reference side is the pre-materialized hash column of the at-rest
+    * corpus, so the sweep never touches reference text. */
+  def exactDedupAgainst(
+      df: DataFrame, reference: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.join(
+      reference.select(md5(col(textCol)).as("__h")).distinct(),
+      md5(df(textCol)) === col("__h"), "left_anti")
+
+  /** Cross-corpus NEAR-dup verdicts — MinHash-LSH against a REFERENCE
+    * corpus instead of a self-join: new docs bucket-join the reference's
+    * band buckets, exact shingle-Jaccard confirms, and each new doc gets
+    * `(idCol, dup_of, is_dup)` where `dup_of` is the smallest confirmed
+    * reference id (NULL → novel). Compose with [[nearDupGroups]] for the
+    * within-df sweep; this operator answers "is it already in the
+    * corpus?".
+    *
+    * `refPerBucketCap` is the cross-corpus hot-bucket guard (the d4
+    * `maxDf` shape): a boilerplate bucket on BOTH sides would go
+    * |new|×|ref| quadratic, but ONE confirmed reference match settles a
+    * verdict, so each reference bucket keeps only its first
+    * `refPerBucketCap` members by the deterministic (md5(id), id) rank.
+    * The default far exceeds any oracle-scale bucket, so test outputs
+    * are cap-free; size it to O(100) for crawl-scale sweeps. */
+  def nearDupAgainst(
+      df: DataFrame, reference: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, rowsPerBand: Int = 4, shingleW: Int = 3,
+      jaccardThreshold: Double = 0.8, md5Parity: Boolean = false,
+      refPerBucketCap: Int = 10000): DataFrame = {
+    val newB = bandBuckets(
+      df, idCol, textCol, numHashes, rowsPerBand, shingleW, md5Parity).persist()
+    val wb = Window.partitionBy("band", "bh")
+      .orderBy(md5(col("id").cast("string")), col("id"))
+    val refB = bandBuckets(
+      reference, idCol, textCol, numHashes, rowsPerBand, shingleW, md5Parity)
+      .withColumn("__rk", row_number().over(wb))
+      .filter(col("__rk") <= refPerBucketCap)
+      .drop("__rk")
+      .persist()
+    val cands = newB.as("n")
+      .join(refB.as("r"),
+        col("n.band") === col("r.band") && col("n.bh") === col("r.bh"))
+      .select(col("n.id").as("new_id"), col("r.id").as("ref_id"))
+      .distinct()
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val shNew = df.repartition(parts)
+      .select(col(idCol).as("new_id"), shingles(col(textCol), shingleW).as("__shn"))
+    val shRef = reference.repartition(parts)
+      .select(col(idCol).as("ref_id"), shingles(col(textCol), shingleW).as("__shr"))
+    val confirmed = cands
+      .join(shNew, Seq("new_id"))
+      .join(shRef, Seq("ref_id"))
+      .select(col("new_id"), col("ref_id"),
+        (size(array_intersect(col("__shn"), col("__shr"))).cast("double") /
+          size(array_union(col("__shn"), col("__shr")))).as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .groupBy("new_id")
+      .agg(min("ref_id").as("dup_of"))
+    val out = df.select(col(idCol).cast("long").as("new_id"))
+      .join(confirmed, Seq("new_id"), "left")
+      .select(
+        col("new_id").as(idCol),
+        col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+    materializeAndRelease(out, newB, refB)
   }
 
   /** Persist-hygiene helper for ops whose result needs a TEMP persisted

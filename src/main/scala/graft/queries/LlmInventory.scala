@@ -139,6 +139,34 @@ object LlmInventory {
         (count(lit(1)) * col("group_size")).as("n_docs"),
         (count(lit(1)) * (col("group_size") - 1)).as("n_dropped"))
 
+  /** d12: cross-corpus (incremental) EXACT dedup
+    * ([[Dedup.exactDedupAgainst]]) — the new-snapshot-vs-at-rest-corpus
+    * sweep: docs with doc_id % 10 == 0 play the existing corpus, the
+    * rest the new snapshot; survivors are new docs whose text hash has
+    * no reference match (one 16-byte anti-join). */
+  val d12ExactDedupAgainst: Q = (s, d) => {
+    val docs = documents(s, d)
+    Dedup.exactDedupAgainst(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      .select("doc_id")
+  }
+
+  /** d13: cross-corpus NEAR-dup verdicts ([[Dedup.nearDupAgainst]], md5
+    * family): each new doc (doc_id % 10 ≠ 0) gets (dup_of, is_dup)
+    * against the reference slice via band-bucket join + exact
+    * shingle-Jaccard — the "is it already in the corpus?" sweep. The
+    * default refPerBucketCap far exceeds any sf0.01 bucket, so the
+    * oracle (which has no cap) matches exactly — the d4 maxDf
+    * precedent. */
+  val d13NearDupAgainst: Q = (s, d) => {
+    val docs = documents(s, d)
+    Dedup.nearDupAgainst(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+      md5Parity = true)
+  }
+
   /** t25: the composed curation funnel — the `corpus curate` CLI's
     * RefinedWeb ordering (quality gate → whole-doc near-dup dedup →
     * chunk-level line dedup) at fixed knobs, reported as per-stage
@@ -819,6 +847,8 @@ object LlmInventory {
     "d10_dedup_yield" -> d10DedupYield,
     "t6_quality_filter" -> t6QualityFilter,
     "t25_curate_funnel" -> t25CurateFunnel,
+    "d12_exact_dedup_against" -> d12ExactDedupAgainst,
+    "d13_neardup_against" -> d13NearDupAgainst,
     "d6_simhash" -> d6Simhash,
     "d7_embedding_near_dup" -> d7EmbeddingNearDup,
     "s7_semantic_dedup" -> s7SemanticDedup,
@@ -944,6 +974,53 @@ object LlmInventory {
       """SELECT doc_id,
         |       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
         |FROM documents""".stripMargin,
+    "d12_exact_dedup_against" ->
+      """SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id % 10 <> 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents r
+        |    WHERE r.doc_id % 10 = 0 AND md5(r.text) = md5(d.text))""".stripMargin,
+    // d13: d9's signature/band construction split by the mod-10
+    // predicate — new-side buckets join REFERENCE-side buckets instead
+    // of a self-join; exact shingle-set Jaccard confirms, min ref id per
+    // new doc is the verdict
+    "d13_neardup_against" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |shs AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM tok WHERE len(toks) >= 3),
+        |shx AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+        |sig AS (
+        |  SELECT doc_id,
+        |         min(md5('1#' || s)) AS mh1, min(md5('2#' || s)) AS mh2,
+        |         min(md5('3#' || s)) AS mh3, min(md5('4#' || s)) AS mh4,
+        |         min(md5('5#' || s)) AS mh5, min(md5('6#' || s)) AS mh6,
+        |         min(md5('7#' || s)) AS mh7, min(md5('8#' || s)) AS mh8
+        |  FROM shx GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band,
+        |         md5(mh1 || '|' || mh2 || '|' || mh3 || '|' || mh4) AS bh FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |         md5(mh5 || '|' || mh6 || '|' || mh7 || '|' || mh8) FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+        |  FROM bands n JOIN bands r ON n.band = r.band AND n.bh = r.bh
+        |  WHERE n.doc_id % 10 <> 0 AND r.doc_id % 10 = 0),
+        |confirmed AS (
+        |  SELECT c.new_id, MIN(c.ref_id) AS dup_of
+        |  FROM cand c
+        |  JOIN shs s1 ON s1.doc_id = c.new_id
+        |  JOIN shs s2 ON s2.doc_id = c.ref_id
+        |  WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(s1.sh, s2.sh))) >= 0.8
+        |  GROUP BY c.new_id)
+        |SELECT d.doc_id, c.dup_of, c.dup_of IS NOT NULL AS is_dup
+        |FROM documents d LEFT JOIN confirmed c ON c.new_id = d.doc_id
+        |WHERE d.doc_id % 10 <> 0""".stripMargin,
     // t26: t1's token-count construction feeding the histogram-based
     // tercile assignment — all-integer cumulative math, one IEEE
     // division per (lang, n_tokens) group, ties share a bucket

@@ -589,6 +589,26 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(got.map(p => (p._1, p._2)).contains((500L, 501L)))
   }
 
+  test("nearDupAgainst: cross-corpus verdicts, ref hot-bucket cap keeps recall") {
+    val boiler = (1 to 30).map(i => s"tok$i").mkString(" ")
+    // reference: 100 identical boilerplate docs (ONE bucket per band)
+    val ref = (1000 until 1100).map(i => (i.toLong, boiler)).toDF("doc_id", "text")
+    val novel = (1 to 30).map(i => s"zzz$i").mkString(" ")
+    val news = Seq((1L, boiler), (2L, novel)).toDF("doc_id", "text")
+    val out = Dedup.nearDupAgainst(news, ref, "doc_id", "text",
+      refPerBucketCap = 5) // cap bites: only 5 of 100 refs stay per bucket
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getBoolean(2))).toMap
+    // the capped bucket still answers: doc 1 IS already in the corpus
+    assert(out(1L)._2, "boilerplate new doc must be flagged against the capped bucket")
+    assert(out(1L)._1 >= 1000L && out(1L)._1 < 1100L)
+    assert(!out(2L)._2 && out(2L)._1 == -1L, "novel doc must pass")
+    // exact cross-corpus sweep drops only exact-hash matches
+    val kept = Dedup.exactDedupAgainst(news, ref, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L))
+  }
+
   test("hot-bucket guard is a no-op below the ceiling (same pairs either way)") {
     val docs = (0 until 80).map(i =>
       (i.toLong, s"tok${i % 6}a tok${i % 6}b tok${i % 6}c word$i")).toDF("id", "text")
