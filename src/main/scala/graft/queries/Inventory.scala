@@ -392,6 +392,98 @@ object Inventory {
   }
 
   // ---------------------------------------------------------------------
+  // §2.5/§2.7 extensions: as-of join, sessionization, per-key percentiles
+  // ---------------------------------------------------------------------
+
+  /** J8: as-of join — for each `click`, the latest `purchase` by the same
+    * user strictly before it (ties on ts broken by event_id). Implemented
+    * as the MERGE shape, not a join: tag both sides, ONE shuffle on
+    * user_id, then an ignore-nulls `last()` over the preceding-rows frame.
+    * A range/inequality join here would rescan the purchase side per
+    * click (quadratic in events-per-user and un-broadcastable at 100 TB);
+    * the merge is linear in partition size and both sides ride the same
+    * exchange. The struct keeps (purchase_id, its ts) consistent — two
+    * separate windows could not drift apart, but one frame makes the
+    * invariant structural. */
+  val j8AsofJoin: Q = (s, d) => {
+    val ev = events(s, d)
+    val sec = unix_timestamp(eventTs(ev))
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"), sec.as("sec"))
+      .withColumn("prev",
+        last(
+          when(col("event_type") === "purchase",
+            struct(col("sec").as("p_sec"), col("event_id").as("purchase_id"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(
+        col("event_id").as("click_id"),
+        col("user_id"),
+        col("prev.purchase_id").as("purchase_id"),
+        (col("sec") - col("prev.p_sec")).as("gap_s"))
+  }
+
+  /** W4: gap-based sessionization — the canonical event-stream operator
+    * Spark has no primitive for: a session starts at any event ≥ 30 min
+    * after its user's previous one. lag → boundary flag → running sum
+    * (rows frame: the order keys are unique, so rows ≡ range but skips
+    * the range-frame scan), then per-session aggregation. Everything
+    * after the single user_id exchange stays inside that partition —
+    * both windows and the groupBy reuse the same hash partitioning, so
+    * at 100 TB this is one shuffle of (user_id, ts, event_id) triples
+    * and nothing else. All-long arithmetic (epoch seconds) — exact. */
+  val w4Sessionization: Q = (s, d) => {
+    val ev = events(s, d)
+    val sec = unix_timestamp(eventTs(ev))
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val flagged = ev
+      .select(col("user_id"), col("ts"), col("event_id"), sec.as("sec"))
+      .withColumn("prev_sec", lag(col("sec"), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800L, 1L)
+          .otherwise(0L))
+    flagged
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("sec")).as("start_s"),
+        max(col("sec")).as("end_s"))
+      .withColumn("dur_s", col("end_s") - col("start_s"))
+  }
+
+  /** A11: per-key discrete percentiles (DuckDB `quantile_disc` parity:
+    * smallest v with cum_count ≥ ⌈q·n⌉) WITHOUT sorting the corpus — the
+    * cumulative window runs over the per-key DISTINCT-VALUE histogram,
+    * so a 100 TB fact table reduces to (key, value) cardinality before
+    * anything orders; the t26 scoreBuckets argument, surfaced as the
+    * percentile-summary operator. `cum·100 ≥ tot·q` keeps the threshold
+    * in exact integer arithmetic (no ceil, no doubles); the price values
+    * themselves pass through MIN untouched. */
+  val a11Percentiles: Q = (s, d) => {
+    val hist = lineitem(s, d)
+      .groupBy(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("flag").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("flag")
+    def pick(p: Int) =
+      min(when(col("cum") * 100 >= col("tot") * p, col("v")))
+    hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("tot", sum("cnt").over(wTot))
+      .groupBy("flag")
+      .agg(
+        max("tot").as("n"),
+        pick(50).as("p50"),
+        pick(90).as("p90"),
+        pick(99).as("p99"))
+  }
+
+  // ---------------------------------------------------------------------
   // Ledger-operator queries (A3/A6/J2): the REAL beacon ledger operators
   // ([[graft.beacon.Ledger]]/[[graft.beacon.Maintenance]]) driven by a
   // deterministic synthetic ledger derived from `events` — every derived
@@ -503,6 +595,9 @@ object Inventory {
     "x3_intersect" -> x3Intersect,
     "a10_rollup" -> a10Rollup,
     "w3_event_deltas" -> w3EventDeltas,
+    "j8_asof_join" -> j8AsofJoin,
+    "w4_sessionization" -> w4Sessionization,
+    "a11_percentiles" -> a11Percentiles,
     "c1_safe_long_hex" -> c1SafeLongHex,
     "c3_payload_hash" -> c3PayloadHash,
     "c4_popcount" -> c4Popcount,
@@ -684,6 +779,44 @@ object Inventory {
         |       epoch_us(ts) // 1000000 - lag(epoch_us(ts) // 1000000, 1) OVER (
         |         PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
         |FROM events""".stripMargin,
+    "j8_asof_join" ->
+      """SELECT event_id AS click_id, user_id, purchase_id, sec - p_sec AS gap_s
+        |FROM (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) // 1000000 AS sec,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+        |      OVER w AS purchase_id,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) // 1000000 END IGNORE NULLS)
+        |      OVER w AS p_sec
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) t
+        |WHERE event_type = 'click'""".stripMargin,
+    "w4_sessionization" ->
+      """WITH s AS (SELECT user_id, event_id, ts, epoch_us(ts) // 1000000 AS sec FROM events),
+        |f AS (SELECT user_id, event_id, ts, sec,
+        |        CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+        |             THEN 1 ELSE 0 END AS new_sess
+        |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, sec,
+        |        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |      FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+        |       MIN(sec) AS start_s, MAX(sec) AS end_s, MAX(sec) - MIN(sec) AS dur_s
+        |FROM g GROUP BY user_id, session_idx""".stripMargin,
+    "a11_percentiles" ->
+      """WITH h AS (SELECT l_returnflag AS flag, l_extendedprice AS v, count(*) AS cnt
+        |           FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT flag, v, cnt,
+        |        SUM(cnt) OVER (PARTITION BY flag ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        SUM(cnt) OVER (PARTITION BY flag) AS tot
+        |      FROM h)
+        |SELECT flag, CAST(MAX(tot) AS BIGINT) AS n,
+        |       MIN(CASE WHEN cum * 100 >= tot * 50 THEN v END) AS p50,
+        |       MIN(CASE WHEN cum * 100 >= tot * 90 THEN v END) AS p90,
+        |       MIN(CASE WHEN cum * 100 >= tot * 99 THEN v END) AS p99
+        |FROM c GROUP BY flag""".stripMargin,
     "c1_safe_long_hex" ->
       "SELECT event_id, event_id AS parsed FROM events",
     "c3_payload_hash" ->

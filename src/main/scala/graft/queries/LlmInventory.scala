@@ -414,6 +414,35 @@ object LlmInventory {
   val s10LabelNoise: Q = (s, d) =>
     Similarity.nearestCentroidLabels(embeddings(s, d), "vec_id", "label", "embedding")
 
+  /** s11: unsupervised corpus clustering for mixture balancing — the
+    * SemDeDup/DoReMi-adjacent "cluster, then rebalance" first stage:
+    * k-means over the embedding corpus (same pinned-seed Lloyd trainer as
+    * s4's coarse quantizer), every vector assigned to its nearest centroid
+    * by [[Similarity.ivfAssign]] (a scan-side greatest-struct argmax —
+    * codegen'd cosine columns, NO shuffle until the final 8-group count),
+    * reported as cluster sizes. At 100 TB the assignment is
+    * embarrassingly parallel and the aggregate is 8 rows; the only
+    * trained state is the k×dim centroid matrix, persisted as a long-form
+    * parquet artifact so the DuckDB oracle re-derives the argmax
+    * (cos DESC, ties to the HIGHER cluster — Spark struct `greatest`)
+    * and the counts from the floats themselves. */
+  val s11ClusterSizes: Q = (s, d) => {
+    val em = embeddings(s, d)
+    val centroids =
+      Similarity.kmeansCentroids(em, "embedding", k = 8, iters = 5, seed = 7L)
+    locally {
+      import s.implicits._
+      centroids.zipWithIndex.flatMap { case (c, li) =>
+        c.zipWithIndex.map { case (v, p) => (li, p, v) }
+      }.toSeq.toDF("list_id", "pos", "val")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(oracleArtifactPath(d, "s11_centroids"))
+    }
+    Similarity.ivfAssign(em, "embedding", centroids)
+      .groupBy(col("list_id").as("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec_id"))
+  }
+
   /** Per-label centroid-free pairwise stats: count pairs per label bucket —
     * exercises the bucketed self-join shape with an exact oracle. */
   val s3LabelBuckets: Q = (s, d) =>
@@ -860,6 +889,7 @@ object LlmInventory {
     "s6_sq8_topk" -> s6Sq8TopK,
     "s8_pq_topk" -> s8PqTopK,
     "s9_label_centroids" -> s9LabelCentroids,
+    "s11_cluster_sizes" -> s11ClusterSizes,
     "s10_label_noise" -> s10LabelNoise,
     "t7_hash_split" -> t7HashSplit,
     "t8_deterministic_sample" -> t8DeterministicSample,
@@ -1606,6 +1636,28 @@ object LlmInventory {
         |  SELECT vec_id, CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d/(na*nb) END AS cos
         |  FROM cand) t
         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "s11_cluster_sizes" ->
+      s"""WITH cent AS (
+        |  SELECT list_id, list(val ORDER BY pos) AS cv
+        |  FROM read_parquet('${oracleArtifactPath("sf0.01", "s11_centroids")}/*.parquet')
+        |  GROUP BY list_id),
+        |asgp AS (
+        |  SELECT e.vec_id, c.list_id,
+        |    list_reduce(list_transform(range(1, len(c.cv)+1),
+        |      j -> e.embedding[j]::DOUBLE * c.cv[j]::DOUBLE), (a,b) -> a+b) AS d,
+        |    sqrt(list_reduce(list_transform(range(1, len(e.embedding)+1),
+        |      j -> e.embedding[j]::DOUBLE * e.embedding[j]::DOUBLE), (a,b) -> a+b)) AS na,
+        |    sqrt(list_reduce(list_transform(range(1, len(c.cv)+1),
+        |      j -> c.cv[j]::DOUBLE * c.cv[j]::DOUBLE), (a,b) -> a+b)) AS nb
+        |  FROM embeddings e CROSS JOIN cent c),
+        |asg AS (
+        |  SELECT vec_id, list_id FROM (
+        |    SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY (CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d/(na*nb) END) DESC,
+        |               list_id DESC) AS rn
+        |    FROM asgp) t WHERE rn = 1)
+        |SELECT list_id AS cluster_id, count(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+        |FROM asg GROUP BY list_id""".stripMargin,
     "s8_pq_topk" ->
       s"""WITH cb AS (
         |  SELECT sub, c, list(val ORDER BY pos) AS cv

@@ -373,4 +373,44 @@ class PlanSpec extends AnyFunSuite {
     // the bounded top-k aggregate runs with a partial phase (map-side)
     assert(p.contains("ObjectHashAggregate"), p)
   }
+
+  // formatted plans render each exchange as a "(N) Exchange" detail block
+  private def exchangeCount(p: String): Int =
+    raw"\(\d+\) Exchange".r.findAllIn(p).length
+
+  test("j8_asof_join: merge shape — no join operator, one user_id exchange") {
+    val p = planOf("j8_asof_join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("ShuffledHashJoin") && !p.contains("CartesianProduct"), p.take(2000))
+    assert(exchangeCount(p) == 1, s"expected 1 exchange\n${p.take(2000)}")
+    assert(p.contains("hashpartitioning(user_id"), p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
+
+  test("w4_sessionization: windows AND the session aggregate reuse one user_id exchange") {
+    val p = planOf("w4_sessionization")
+    // hashpartitioning(user_id) satisfies the (user_id, session_idx)
+    // clustering requirement — the groupBy must NOT re-shuffle
+    assert(exchangeCount(p) == 1, s"expected 1 exchange\n${p.take(2000)}")
+    assert(p.contains("hashpartitioning(user_id"), p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
+
+  test("a11_percentiles: cumulative window runs over the histogram, not the corpus") {
+    val p = planOf("a11_percentiles")
+    // the Window's child side must contain the histogram HashAggregate —
+    // i.e. aggregation happens BELOW the window (formatted plans list
+    // operators top-down with leaves last, so the aggregate appears after
+    // the Window header in text order)
+    val iWin = p.indexOf("Window")
+    assert(iWin >= 0, p.take(2000))
+    assert(p.indexOf("HashAggregate", iWin) >= 0, p.take(3000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
+
+  test("s11_cluster_sizes: scan-side assignment — no join, single exchange for the 8-group agg") {
+    val p = planOf("s11_cluster_sizes")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(2000))
+    assert(exchangeCount(p) == 1, s"expected 1 exchange\n${p.take(2000)}")
+  }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import graft.queries.Inventory
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the merge-shaped event operators (j8 as-of join, w4
+  * sessionization) on a handcrafted corpus where every edge case is
+  * planted: ties on ts, boundary-exact gaps, users with no match. The
+  * sf0.01 DuckDB oracle checks the same constructions statistically;
+  * this spec pins the INTENDED tie/boundary rules so an oracle-and-code
+  * drift (both sides wrong the same way) can't slip through.
+  */
+class SessionAsofSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** Write a tiny events.parquet into a temp dir shaped like testdata. */
+  private def eventsDir(rows: Seq[(Long, Long, Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev").toString
+    rows.toDF("event_id", "sec", "user_id", "event_type")
+      .select(
+        col("event_id"),
+        timestamp_seconds(col("sec")).as("ts"),
+        col("user_id"),
+        col("event_type"),
+        lit(1.0).as("value"),
+        lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("j8: latest strictly-preceding purchase; ts ties break by event_id") {
+    val d = eventsDir(Seq(
+      // user 1: click before any purchase → null match
+      (0L, 50L, 1L, "click"),
+      // purchase at t=100 with SMALLER id than the same-ts click: precedes it
+      (1L, 100L, 1L, "purchase"),
+      (2L, 100L, 1L, "click"),
+      // later purchase must NOT be picked by the t=150 click
+      (4L, 150L, 1L, "click"),
+      (3L, 200L, 1L, "purchase"),
+      // same-ts purchase with LARGER id does NOT precede the click
+      (5L, 300L, 2L, "click"),
+      (6L, 300L, 2L, "purchase"),
+      (7L, 400L, 2L, "click")))
+    val out = Inventory.j8AsofJoin(spark, d)
+      .collect().map(r => r.getLong(0) -> ((
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out(0L) == ((-1L, -1L)))          // nothing precedes
+    assert(out(2L) == ((1L, 0L)))            // same-ts smaller-id purchase, gap 0
+    assert(out(4L) == ((1L, 50L)))           // not the future purchase
+    assert(out(5L) == ((-1L, -1L)))          // same-ts larger-id does not precede
+    assert(out(7L) == ((6L, 100L)))          // now it does
+  }
+
+  test("w4: gap of exactly 1800 s continues a session; 1801 starts a new one") {
+    val d = eventsDir(Seq(
+      (0L, 0L, 1L, "view"),
+      (1L, 1800L, 1L, "view"),     // == 1800 → same session
+      (2L, 3601L, 1L, "view"),     // 1801 → new session
+      (3L, 3700L, 1L, "view"),
+      (4L, 0L, 2L, "view")))       // second user: independent numbering
+    val out = Inventory.w4Sessionization(spark, d)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(5))))
+      .toMap
+    assert(out(((1L, 1L))) == ((2L, 1800L)))  // 2 events, 1800 s duration
+    assert(out(((1L, 2L))) == ((2L, 99L)))
+    assert(out(((2L, 1L))) == ((1L, 0L)))
+    assert(out.size == 3)
+  }
+}
