@@ -81,6 +81,31 @@ object StreamingJobs {
         col("window.start").as("window_start"),
         col(keyCol), col("n"), col("total_value"))
 
+  /** Gap-based sessions via Spark's NATIVE session_window — the streaming
+    * counterpart of the batch `w4_sessionization` merge shape (and it runs
+    * on batch frames too, which is how the parity test pins the two
+    * constructions to each other). Semantics note: session_window merges
+    * an event when `delta < gap` (half-open window end), while the batch
+    * operator merges on `delta <= gap`, so PARITY holds at
+    * `gapSeconds = batchGap + 1` for integer-second event times.
+    * In streaming mode sessions seal when the watermark passes their end;
+    * state is per-(key, open-session) and bounded by the lateness horizon
+    * — the engine merges overlapping windows for us, no
+    * flatMapGroupsWithState bookkeeping. */
+  def sessionWindows(
+      events: DataFrame, tsCol: String, keyCol: String,
+      gapSeconds: Long = 1801L, lateness: String = "2 hours"): DataFrame = {
+    val wm =
+      if (events.isStreaming) events.withWatermark(tsCol, lateness) else events
+    wm.groupBy(col(keyCol), session_window(col(tsCol), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+  }
+
   /** Streaming exact dedup — the first occurrence of each content hash
     * passes, later duplicates drop. State carries only the 64-hex sha256
     * of `textCol` (the documents themselves never enter the state store),

@@ -675,6 +675,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(!out.exists(r => r.getAs[Long]("user_id") == 2L && r.getAs[Double]("total_value") == 1.0))
   }
 
+  test("sessionWindows: native session_window matches batch w4_sessionization") {
+    // same corpus, two constructions: the w4 lag/running-sum merge shape
+    // and the engine's session_window — at gap = 1800+1 they must agree
+    // on every (user, session) start time and event count
+    val d = "/root/testdata/sf0.001"
+    val w4 = graft.queries.Inventory.w4Sessionization(spark, d)
+      .select("user_id", "start_s", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ev = graft.core.Tables.events(spark, d)
+    val tsCol = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000"))
+      case _ => org.apache.spark.sql.functions.col("ts")
+    }
+    val sw = StreamingJobs.sessionWindows(
+      ev.withColumn("ts2", tsCol), "ts2", "user_id", gapSeconds = 1801L)
+      .select(
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.unix_timestamp(
+          org.apache.spark.sql.functions.col("session_start")).as("start_s"),
+        org.apache.spark.sql.functions.col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sw == w4, s"native=${sw.size} w4=${w4.size}")
+  }
+
+  test("sessionWindows: streaming — watermark seals a session, open ones stay in state") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val t0 = 1700000000000L
+    val df = mem.toDF().toDF("ts", "user_id")
+    val out = StreamingJobs.sessionWindows(df, "ts", "user_id",
+      gapSeconds = 60L, lateness = "0 seconds")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sw").start()
+    // user 1: two events 30 s apart — one session
+    mem.addData((new java.sql.Timestamp(t0), 1L),
+      (new java.sql.Timestamp(t0 + 30000), 1L))
+    q.processAllAvailable()
+    // an event far ahead advances the watermark past user 1's session end
+    mem.addData((new java.sql.Timestamp(t0 + 10 * 60000), 2L))
+    q.processAllAvailable()
+    mem.addData((new java.sql.Timestamp(t0 + 20 * 60000), 2L))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM sw").collect()
+    q.stop()
+    val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.length == 1 && u1.head.getAs[Long]("n_events") == 2L, rows.mkString(";"))
+    // session end = last event + gap
+    assert(u1.head.getAs[java.sql.Timestamp]("session_end").getTime == t0 + 30000 + 60000)
+    // user 2's latest session is still open (watermark has not passed it)
+    assert(!rows.exists(r => r.getAs[Long]("user_id") == 2L &&
+      r.getAs[java.sql.Timestamp]("session_start").getTime == t0 + 20 * 60000))
+  }
+
   test("sessionize: flatMapGroupsWithState keyed running state") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamingJobs.SessionInput]
