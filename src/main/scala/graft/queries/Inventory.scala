@@ -483,6 +483,38 @@ object Inventory {
         pick(99).as("p99"))
   }
 
+  /** W5: rolling time-window count per event — a RANGE frame over epoch
+    * seconds (preceding 3600 s inclusive), the rate/velocity feature shape
+    * (events-per-user-per-hour at every event). Range frames are the one
+    * window kind where ties matter: all rows whose key falls inside the
+    * bound join the frame regardless of row position, so Spark and the
+    * oracle agree without a tiebreaker. Same single user_id exchange as
+    * w3/w4. */
+  val w5RollingCounts: Q = (s, d) => {
+    val ev = events(s, d)
+    val sec = unix_timestamp(eventTs(ev))
+    val w = Window.partitionBy("user_id").orderBy(col("sec"))
+      .rangeBetween(-3600L, Window.currentRow)
+    ev.select(col("user_id"), col("event_id"), sec.as("sec"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .select("user_id", "event_id", "n_1h")
+  }
+
+  /** A12: PIVOT — day × event_type count matrix with an EXPLICIT value
+    * list (the reference's per-type daily monitoring rollup, columnar).
+    * The explicit list matters at scale: without it Spark runs an extra
+    * distinct-collect job over the corpus to discover columns; with it
+    * the pivot is one pass, and the plan is a plain partial-agg groupBy.
+    * Absent combinations surface as 0 (na.fill), matching the oracle's
+    * conditional sums. */
+  val a12Pivot: Q = (s, d) => {
+    val ev = events(s, d)
+    ev.groupBy(date_format(eventTs(ev), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+  }
+
   // ---------------------------------------------------------------------
   // Ledger-operator queries (A3/A6/J2): the REAL beacon ledger operators
   // ([[graft.beacon.Ledger]]/[[graft.beacon.Maintenance]]) driven by a
@@ -598,6 +630,8 @@ object Inventory {
     "j8_asof_join" -> j8AsofJoin,
     "w4_sessionization" -> w4Sessionization,
     "a11_percentiles" -> a11Percentiles,
+    "w5_rolling_counts" -> w5RollingCounts,
+    "a12_pivot" -> a12Pivot,
     "c1_safe_long_hex" -> c1SafeLongHex,
     "c3_payload_hash" -> c3PayloadHash,
     "c4_popcount" -> c4Popcount,
@@ -817,6 +851,19 @@ object Inventory {
         |       MIN(CASE WHEN cum * 100 >= tot * 90 THEN v END) AS p90,
         |       MIN(CASE WHEN cum * 100 >= tot * 99 THEN v END) AS p99
         |FROM c GROUP BY flag""".stripMargin,
+    "w5_rolling_counts" ->
+      """SELECT user_id, event_id,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1h
+        |FROM events""".stripMargin,
+    "a12_pivot" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1""".stripMargin,
     "c1_safe_long_hex" ->
       "SELECT event_id, event_id AS parsed FROM events",
     "c3_payload_hash" ->

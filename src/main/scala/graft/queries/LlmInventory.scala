@@ -443,6 +443,29 @@ object LlmInventory {
       .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec_id"))
   }
 
+  /** s12: the dot product via BUILT-IN higher-order functions —
+    * `zip_with` + `aggregate` (both codegen-free but Catalyst-native,
+    * no UDF) against a broadcast literal query vector. This is the
+    * no-custom-code path of the [[graft.functions.FloatVectorCosine]]
+    * expression family: `aggregate` folds left sequentially, so the
+    * double result is bit-reproducible and the DuckDB `list_reduce`
+    * oracle matches it exactly (the 0.0 init is absorbed: 0.0 + x ≡ x
+    * in IEEE for these magnitudes). Kept alongside the custom
+    * expressions as the compatibility baseline users start from before
+    * reaching for the codegen kernels. */
+  val s12ZipwithDot: Q = (s, d) => {
+    val em = embeddings(s, d)
+    val query = em.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    em.select(
+      col("vec_id"),
+      aggregate(
+        zip_with(col("embedding"), typedlit(query),
+          (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0),
+        (acc, x) => acc + x).as("dot"))
+  }
+
   /** Per-label centroid-free pairwise stats: count pairs per label bucket —
     * exercises the bucketed self-join shape with an exact oracle. */
   val s3LabelBuckets: Q = (s, d) =>
@@ -890,6 +913,7 @@ object LlmInventory {
     "s8_pq_topk" -> s8PqTopK,
     "s9_label_centroids" -> s9LabelCentroids,
     "s11_cluster_sizes" -> s11ClusterSizes,
+    "s12_zipwith_dot" -> s12ZipwithDot,
     "s10_label_noise" -> s10LabelNoise,
     "t7_hash_split" -> t7HashSplit,
     "t8_deterministic_sample" -> t8DeterministicSample,
@@ -1636,6 +1660,12 @@ object LlmInventory {
         |  SELECT vec_id, CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d/(na*nb) END AS cos
         |  FROM cand) t
         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "s12_zipwith_dot" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  list_reduce(list_transform(range(1, len(e.embedding)+1),
+        |    j -> e.embedding[j]::DOUBLE * q.qv[j]::DOUBLE), (a,b) -> a+b) AS dot
+        |FROM embeddings e, q""".stripMargin,
     "s11_cluster_sizes" ->
       s"""WITH cent AS (
         |  SELECT list_id, list(val ORDER BY pos) AS cv
