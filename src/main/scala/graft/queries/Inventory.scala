@@ -483,6 +483,25 @@ object Inventory {
         pick(99).as("p99"))
   }
 
+  /** J9: interval/range join via [[graft.operators.IntervalJoin]] — for
+    * each click, how many purchase price-bands (value ± 1) contain its
+    * value. A naive `BETWEEN` join plans as a nested loop (quadratic
+    * rescans); the operator buckets the number line (width = band width)
+    * and EQUI-joins on the bucket, refine-filtering after — PlanSpec
+    * asserts no nested-loop/cartesian survives. Count grouped per click
+    * so the output stays bounded at any SF. */
+  val j9IntervalJoin: Q = (s, d) => {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("value"))
+    val bands = ev.filter(col("event_type") === "purchase")
+      .select((col("value") - 1).as("lo"), (col("value") + 1).as("hi"))
+    graft.operators.IntervalJoin
+      .pointInInterval(clicks, "value", bands, "lo", "hi", bucketWidth = 2.0)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
   /** W5: rolling time-window count per event — a RANGE frame over epoch
     * seconds (preceding 3600 s inclusive), the rate/velocity feature shape
     * (events-per-user-per-hour at every event). Range frames are the one
@@ -632,6 +651,7 @@ object Inventory {
     "a11_percentiles" -> a11Percentiles,
     "w5_rolling_counts" -> w5RollingCounts,
     "a12_pivot" -> a12Pivot,
+    "j9_interval_join" -> j9IntervalJoin,
     "c1_safe_long_hex" -> c1SafeLongHex,
     "c3_payload_hash" -> c3PayloadHash,
     "c4_popcount" -> c4Popcount,
@@ -851,6 +871,13 @@ object Inventory {
         |       MIN(CASE WHEN cum * 100 >= tot * 90 THEN v END) AS p90,
         |       MIN(CASE WHEN cum * 100 >= tot * 99 THEN v END) AS p99
         |FROM c GROUP BY flag""".stripMargin,
+    "j9_interval_join" ->
+      """SELECT c.event_id, count(*) AS n_bands
+        |FROM (SELECT event_id, value FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT value - 1 AS lo, value + 1 AS hi FROM events
+        |      WHERE event_type = 'purchase') b
+        |  ON c.value >= b.lo AND c.value <= b.hi
+        |GROUP BY c.event_id""".stripMargin,
     "w5_rolling_counts" ->
       """SELECT user_id, event_id,
         |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000

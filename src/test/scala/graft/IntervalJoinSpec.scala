@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.IntervalJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bucketed interval join must equal the naive inequality join on
+  * every input — including bucket-boundary points, inclusive endpoints,
+  * negative values, and intervals spanning many buckets — and must never
+  * emit a (point, interval) pair twice. */
+class IntervalJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("bucketed join ≡ naive inequality join, no duplicate pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val points = (0 until 400)
+      .map(i => (i.toLong, rnd.nextDouble() * 200 - 100))
+      .toDF("p_id", "p")
+    // widths from 0 (degenerate single-point interval) to ~30 (spans
+    // many width-5 buckets); a few inverted lo>hi rows must drop silently
+    val intervals = (0 until 300).map { i =>
+      val lo = rnd.nextDouble() * 200 - 100
+      val hi = if (i % 50 == 49) lo - 1 else lo + rnd.nextDouble() * 30
+      (i.toLong, lo, hi)
+    }.toDF("iv_id", "lo", "hi")
+    val bucketed = IntervalJoin
+      .pointInInterval(points, "p", intervals, "lo", "hi", bucketWidth = 5.0)
+      .select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = points.crossJoin(intervals)
+      .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(bucketed.length == bucketed.distinct.length, "duplicate pairs emitted")
+    assert(bucketed.sorted.toSeq == naive.sorted.toSeq)
+  }
+
+  test("inclusive endpoints and exact bucket boundaries match") {
+    import spark.implicits._
+    val points = Seq((1L, 10.0), (2L, 15.0), (3L, 20.0), (4L, 20.0000001))
+      .toDF("p_id", "p")
+    val intervals = Seq((7L, 10.0, 20.0)).toDF("iv_id", "lo", "hi")
+    val got = IntervalJoin
+      .pointInInterval(points, "p", intervals, "lo", "hi", bucketWidth = 10.0)
+      .select("p_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L)) // both endpoints in, just-outside out
+  }
+}

@@ -408,6 +408,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p.take(2000))
   }
 
+  test("j9_interval_join: bucketed range join is an equi hash join, never a nested loop") {
+    val p = planOf("j9_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(2000))
+  }
+
   test("s11_cluster_sizes: scan-side assignment — no join, single exchange for the 8-group agg") {
     val p = planOf("s11_cluster_sizes")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(2000))
