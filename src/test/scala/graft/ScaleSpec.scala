@@ -39,6 +39,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(st.monthRows >= 1)
   }
 
+  test("Scale.runEvents: exact session / as-of / rolling / interval invariants at tiny N") {
+    val base = Files.createTempDirectory("graft_scale_events_smoke").toString
+    val st = Scale.runEvents(spark, nEvents = 4000L, base = base)
+    assert(st.nSessions === 20L * 4)        // 20 users × 4 sessions
+    assert(st.minEvents === 50L && st.maxEvents === 50L)
+    assert(st.nativeSessions === st.nSessions)
+    assert(st.asofRows === 2000L && st.asofWrong === 0L)
+    assert(st.maxRoll === 13L)              // 300 s cadence fills the 1-h frame
+    assert(st.intervalPairs === st.expectedPairs)
+    assert(st.expectedPairs === 3L * 4000 - 9)
+  }
+
   test("Scale.genEmbCorpus: planted pairs near-identical, random pairs far, executor-side gen") {
     import graft.functions.GraftFunctions.vec_cosine
     val df = Scale.genEmbCorpus(spark, 200L, dim = 64).persist()
