@@ -106,6 +106,32 @@ object StreamingJobs {
         col("n_events"))
   }
 
+  /** Stream-stream ATTRIBUTION join — purchases matched to the clicks they
+    * followed within `withinSeconds`, both sides unbounded streams. The
+    * equi key (user) makes this a symmetric hash join partitioned by user;
+    * the time-range bound plus BOTH watermarks is what lets the engine
+    * EVICT state — without the range condition a stream-stream join must
+    * keep every row forever. Caller provides disjoint column names:
+    * clicks (c_user, click_id, click_ts), purchases (p_user, purchase_id,
+    * purchase_ts). Works on batch frames too (the join condition is plan-
+    * identical; watermarks no-op). */
+  def attributionJoin(
+      clicks: DataFrame, purchases: DataFrame,
+      withinSeconds: Long = 3600L, lateness: String = "30 minutes"): DataFrame = {
+    val c = if (clicks.isStreaming) clicks.withWatermark("click_ts", lateness) else clicks
+    val p =
+      if (purchases.isStreaming) purchases.withWatermark("purchase_ts", lateness)
+      else purchases
+    c.join(p,
+      expr(s"""c_user = p_user
+              |AND purchase_ts >= click_ts
+              |AND purchase_ts <= click_ts + INTERVAL $withinSeconds SECONDS""".stripMargin))
+      .select(
+        col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .as("lag_s"))
+  }
+
   /** Streaming exact dedup — the first occurrence of each content hash
     * passes, later duplicates drop. State carries only the 64-hex sha256
     * of `textCol` (the documents themselves never enter the state store),

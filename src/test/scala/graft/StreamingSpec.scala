@@ -731,6 +731,46 @@ class StreamingSpec extends AnyFunSuite {
       r.getAs[java.sql.Timestamp]("session_start").getTime == t0 + 20 * 60000))
   }
 
+  test("attributionJoin: stream-stream join matches within the window, evicts beyond it") {
+    implicit val sq = spark.sqlContext
+    val t0 = 1700000000000L
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val out = StreamingJobs.attributionJoin(
+      clicks.toDF().toDF("c_user", "click_id", "click_ts"),
+      purchases.toDF().toDF("p_user", "purchase_id", "purchase_ts"),
+      withinSeconds = 600L, lateness = "10 seconds")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("attr").start()
+    clicks.addData((1L, 100L, new java.sql.Timestamp(t0)))
+    q.processAllAvailable()
+    purchases.addData(
+      (1L, 200L, new java.sql.Timestamp(t0 + 300 * 1000)),  // in window
+      (1L, 201L, new java.sql.Timestamp(t0 + 900 * 1000)),  // beyond 600 s
+      (2L, 202L, new java.sql.Timestamp(t0 + 100 * 1000)))  // other user
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM attr").collect()
+    q.stop()
+    assert(rows.length == 1, rows.mkString(";"))
+    assert(rows.head.getAs[Long]("click_id") == 100L &&
+      rows.head.getAs[Long]("purchase_id") == 200L &&
+      rows.head.getAs[Long]("lag_s") == 300L)
+  }
+
+  test("attributionJoin: batch parity — same construction on static frames") {
+    import spark.implicits._
+    val t0 = 1700000000000L
+    val clicks = Seq((1L, 100L, new java.sql.Timestamp(t0)))
+      .toDF("c_user", "click_id", "click_ts")
+    val purchases = Seq(
+      (1L, 200L, new java.sql.Timestamp(t0 + 300 * 1000)),
+      (1L, 201L, new java.sql.Timestamp(t0 + 900 * 1000)))
+      .toDF("p_user", "purchase_id", "purchase_ts")
+    val got = StreamingJobs.attributionJoin(clicks, purchases, withinSeconds = 600L)
+      .select("purchase_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(200L))
+  }
+
   test("sessionize: flatMapGroupsWithState keyed running state") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamingJobs.SessionInput]
