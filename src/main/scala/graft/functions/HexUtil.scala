@@ -120,4 +120,22 @@ object HexUtil {
     }
     acc
   }
+
+  /** Spread the low 31 bits of `x` into the even bit positions of a long
+    * (the Morton/Z-order bit dilation). */
+  def mortonSpread(x0: Long): Long = {
+    var x = x0 & 0x7FFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  /** Morton interleave of two 31-bit coordinates: a's bits land in the
+    * even positions, b's in the odd — a 62-bit Z-order key, always
+    * non-negative. */
+  def morton2(a: Long, b: Long): Long =
+    mortonSpread(a) | (mortonSpread(b) << 1)
 }

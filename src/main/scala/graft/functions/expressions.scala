@@ -359,6 +359,22 @@ case class Sq8Dot(left: Expression, right: Expression) extends BinaryExpression 
   override def prettyName: String = "sq8_dot"
 }
 
+/** Morton (Z-order) interleave of two LONG coordinates (low 31 bits
+  * each) — the clustering key behind [[graft.operators.Layout]]'s
+  * data-skipping file layout. Codegen'd: one static call per row inside
+  * WholeStageCodegen. */
+case class MortonInterleave(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HexUtil.morton2(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HexUtil.morton2($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): MortonInterleave = copy(l, r)
+  override def prettyName: String = "morton_interleave"
+}
+
 /** Column-level API over the custom expressions + composed scalar pack
   * (SURVEY §2.8). Everything here is either a native Catalyst expression or
   * a composition of codegen'd built-ins — no Scala/Python UDFs.
@@ -377,6 +393,8 @@ object GraftFunctions {
     * the reference's `safe_int(x, fallback)` row-specific-default shape. */
   def safe_long_null(c: Column): Column = col(SafeLong(expr(c), failToNull = true))
   def payload_hash16(c: Column): Column = col(CanonicalJsonHash16(expr(c)))
+  def morton_interleave(a: Column, b: Column): Column =
+    col(MortonInterleave(expr(a), expr(b)))
   def vec_dot(a: Column, b: Column): Column = col(FloatVectorDot(expr(a), expr(b)))
   def vec_cosine(a: Column, b: Column): Column =
     col(FloatVectorCosine(expr(a), expr(b)))

@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.HexUtil
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("morton2: bit-exact interleave, monotone per coordinate at fixed other") {
+    assert(HexUtil.morton2(0L, 0L) == 0L)
+    assert(HexUtil.morton2(1L, 0L) == 1L)    // a → even bits
+    assert(HexUtil.morton2(0L, 1L) == 2L)    // b → odd bits
+    assert(HexUtil.morton2(3L, 1L) == (1 | 4 | 2))       // 0b111
+    assert(HexUtil.morton2(0x7FFFFFFFL, 0x7FFFFFFFL) == 0x3FFFFFFFFFFFFFFFL)
+    assert(HexUtil.morton2(0x7FFFFFFFL, 0x7FFFFFFFL) > 0) // 62 bits, no sign flip
+    // z-curve locality precondition: key grows with either coordinate
+    for (b <- Seq(0L, 5L, 100L); a <- 1L until 20L)
+      assert(HexUtil.morton2(a, b) > HexUtil.morton2(a - 1, b))
+  }
+
+  test("z-ordered layout gives BOTH columns file-pruning power; linear only one") {
+    import spark.implicits._
+    // 100k rows on a 1000 × 100 grid, uniformly occupied
+    val df = spark.range(100000).toDF("id")
+      .withColumn("a", col("id") % 1000)
+      .withColumn("b", expr("id div 1000"))
+    val base = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    val nFiles = 64
+    // linear layout: clustered on `a` alone (what a naive pipeline writes)
+    df.repartitionByRange(nFiles, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(s"$base/linear")
+    Layout.writeZOrdered(df, "a", "b", s"$base/zorder", nFiles)
+    val linStats = Layout.fileStats(spark, s"$base/linear", "a", "b").cache()
+    val zStats = Layout.fileStats(spark, s"$base/zorder", "a", "b").cache()
+    val nLin = linStats.count(); val nZ = zStats.count()
+    assert(nLin >= nFiles / 2 && nZ >= nFiles / 2, s"files: linear=$nLin z=$nZ")
+    // predicate on a (10% of range): both layouts prune well
+    val linA = Layout.filesOverlapping(linStats, "a", 100, 199)
+    val zA = Layout.filesOverlapping(zStats, "a", 100, 199)
+    assert(linA <= nLin / 4, s"linear a-prune read $linA/$nLin")
+    assert(zA <= nZ / 2, s"z a-prune read $zA/$nZ")
+    // predicate on b (10% of range): linear layout reads EVERYTHING,
+    // z-order still prunes
+    val linB = Layout.filesOverlapping(linStats, "b", 20, 29)
+    val zB = Layout.filesOverlapping(zStats, "b", 20, 29)
+    assert(linB >= (nLin * 9) / 10, s"linear b-prune unexpectedly pruned: $linB/$nLin")
+    assert(zB * 2 <= linB, s"z-order b-prune not better: z=$zB linear=$linB")
+    linStats.unpersist(); zStats.unpersist()
+  }
+}
