@@ -179,9 +179,12 @@ object LlmInventory {
   val t25CurateFunnel: Q = (s, d) => {
     val docs = documents(s, d)
     val n0 = docs.count()
+    // the survivor frame feeds FOUR downstream actions (count, group
+    // build, semi-join, chunk explode) — persist once, release at end
     val q = TextAnalysis.qualityFilter(docs, "text")
       .filter(col("quality_ok"))
       .select(docs.columns.toIndexedSeq.map(col): _*)
+      .persist()
     val n1 = q.count()
     val groups = Dedup.nearDupGroups(q, "doc_id", "text",
       jaccardThreshold = 0.8, md5Parity = true).persist()
@@ -197,6 +200,7 @@ object LlmInventory {
     val n3 = lineDeduped.count()
     chunks.unpersist(blocking = false)
     groups.unpersist(blocking = false)
+    q.unpersist(blocking = false)
     import s.implicits._
     Seq(("1_quality", n0, n1), ("2_neardedup", n1, n2), ("3_linededup", n2, n3))
       .toDF("stage", "docs_in", "docs_out")
