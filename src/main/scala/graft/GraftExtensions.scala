@@ -146,6 +146,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("video_height", "MP4 first-track tkhd pixel height; -1 unknown"),
       (es: Seq[Expression]) => VideoHeight(es.head)))
     e.injectFunction((
+      FunctionIdentifier("morton_interleave"),
+      info("morton_interleave",
+        "62-bit Z-order key from two 31-bit coordinates (file-layout clustering)"),
+      (es: Seq[Expression]) => {
+        if (es.length != 2)
+          fail(s"morton_interleave(a, b) takes exactly 2 arguments, got ${es.length}")
+        MortonInterleave(es.head, es(1))
+      }))
+    e.injectFunction((
       FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "k-wide MinHash signature of a token array"),
       (es: Seq[Expression]) => {

@@ -44,6 +44,10 @@ class ExtensionsSpec extends AnyFunSuite {
         |       word_shingles('a b a b', 2, false) AS all""".stripMargin).head()
     assert(sh.getAs[Seq[String]]("d") === Seq("a b", "b a"))
     assert(sh.getAs[Seq[String]]("all") === Seq("a b", "b a", "a b"))
+    // morton_interleave: a in even bits, b in odd
+    val mz = spark.sql(
+      "SELECT morton_interleave(3L, 1L) AS z, morton_interleave(0L, 1L) AS z2").head()
+    assert(mz.getAs[Long]("z") === 7L && mz.getAs[Long]("z2") === 2L)
     // container-metadata families (image/audio/video) reach SQL too
     val m = spark.sql(
       """SELECT image_format(unhex('474946383961' || '2C01' || 'F000' || 'F70000')) AS gif,
