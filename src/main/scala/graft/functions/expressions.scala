@@ -264,6 +264,27 @@ object PqUtil {
   def encode(v: ArrayData, codebook: Array[Float], m: Int, ksub: Int): Array[Byte] =
     encodeFloats(v.toFloatArray(), codebook, m, ksub)
 
+  /** Dense matrix-vector product with a row-major `dim×dim` plan constant
+    * (the OPQ-lite rotation): out[i] = Σ_j M[i·dim+j]·v[j]. */
+  def matVecFloats(v: Array[Float], matrix: Array[Float]): Array[Float] = {
+    val dim = v.length
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      var d = 0.0
+      var j = 0
+      val base = i * dim
+      while (j < dim) { d += matrix(base + j).toDouble * v(j); j += 1 }
+      out(i) = d.toFloat
+      i += 1
+    }
+    out
+  }
+
+  def matVec(v: ArrayData, matrix: Array[Float]): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      matVecFloats(v.toFloatArray(), matrix).map(x => x: Any))
+
   /** ADC score: `Σ_s lut[s·ksub + code[s]]` — approximates
     * `dot(query, vector)` when `lut[s][c] = dot(query_sub(s), centroid_c)`. */
   def adc(code: Array[Byte], lut: Array[Double], ksub: Int): Double = {
@@ -297,6 +318,30 @@ case class PqEncode(child: Expression, codebook: Array[Float], m: Int, ksub: Int
   override protected def withNewChildInternal(c: Expression): PqEncode =
     copy(child = c)
   override def prettyName: String = "pq_encode"
+}
+
+/** Codegen'd dense matrix-vector product against a row-major dim×dim
+  * plan-bound constant — the OPQ-lite random rotation applied scan-side
+  * before PQ subspace split. */
+case class MatVec(child: Expression, matrix: Array[Float])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = child.dataType == ArrayType(FloatType) ||
+      child.dataType == ArrayType(FloatType, containsNull = false)
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> input, got ${child.dataType.simpleString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    PqUtil.matVec(v.asInstanceOf[ArrayData], matrix)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("matVecMatrix", matrix, "float[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqUtil.matVec($c, $mRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): MatVec =
+    copy(child = c)
+  override def prettyName: String = "mat_vec"
 }
 
 /** Codegen'd PQ ADC score of a code column against a query's lookup
@@ -406,6 +451,9 @@ object GraftFunctions {
   /** PQ ADC score against a query's lookup table (plan-bound constant). */
   def pq_adc(c: Column, lut: Array[Double], ksub: Int): Column =
     col(PqAdc(expr(c), lut, ksub))
+  /** Dense rotation (row-major dim×dim plan constant) of a float vector. */
+  def mat_vec(c: Column, matrix: Array[Float]): Column =
+    col(MatVec(expr(c), matrix))
   def image_format(c: Column): Column = col(ImageFormat(expr(c)))
   /** PNG/GIF pixel width; NULL for unrecognized payloads. */
   def image_width(c: Column): Column =

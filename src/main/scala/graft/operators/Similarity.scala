@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.GraftFunctions.{pq_adc, pq_encode, sq8_dot, sq8_encode, vec_cosine, vec_dot}
+import graft.functions.GraftFunctions.{mat_vec, pq_adc, pq_encode, sq8_dot, sq8_encode, vec_cosine, vec_dot}
 import graft.functions.{PqUtil, Sq8Util}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -419,14 +419,19 @@ object Similarity {
         * beside `pq_code` — e.g. an m=32 high-recall column next to the
         * m=16 default, so one index serves both recall/bytes trades;
         * probe with [[ivfPqTopKIndexed]]`(codeCol = ...)`. */
-      pqVariants: Seq[(String, Array[Array[Array[Float]]])] = Nil): Unit = {
+      pqVariants: Seq[(String, Array[Array[Array[Float]]])] = Nil,
+      /** rotated (OPQ-lite) PQ variants: (columnName, rotation matrix from
+        * [[randomRotation]], codebooks trained with the SAME rotation via
+        * [[pqCodebooksResidual]]`(rotation = …)`). The residual rotates
+        * scan-side ([[graft.functions.MatVec]]) before encoding. */
+      pqRotatedVariants: Seq[(String, Array[Float], Array[Array[Array[Float]]])] = Nil): Unit = {
     val assigned = ivfAssign(corpus, vecCol, centroids)
     val withSq8 =
       if (withSq8Codes) assigned.withColumn("sq8_code", sq8_encode(col(vecCol)))
       else assigned
     val allPq = pqCodebooksOpt.map(("pq_code", _)).toSeq ++ pqVariants
     val indexed =
-      if (allPq.isEmpty) withSq8
+      if (allPq.isEmpty && pqRotatedVariants.isEmpty) withSq8
       else {
         // residual = vec − centroid(list_id) in RAW space (matches
         // [[pqCodebooksResidual]]): the per-list centroid rides a
@@ -435,12 +440,17 @@ object Similarity {
         val centDf = broadcast(
           centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
             .toDF("list_id", "__cent"))
-        allPq.foldLeft(withSq8.join(centDf, Seq("list_id"))) {
+        def residual =
+          zip_with(col(vecCol), col("__cent"), (a, b) => a - b).cast("array<float>")
+        val withPlain = allPq.foldLeft(withSq8.join(centDf, Seq("list_id"))) {
           case (df, (name, cb)) =>
             df.withColumn(name,
-              pq_encode(
-                zip_with(col(vecCol), col("__cent"), (a, b) => a - b)
-                  .cast("array<float>"),
+              pq_encode(residual, pqFlatten(cb), cb.length, cb.head.length))
+        }
+        pqRotatedVariants.foldLeft(withPlain) {
+          case (df, (name, rot, cb)) =>
+            df.withColumn(name,
+              pq_encode(mat_vec(residual, rot),
                 pqFlatten(cb), cb.length, cb.head.length))
         }.drop("__cent")
       }
@@ -734,7 +744,12 @@ object Similarity {
   def pqCodebooksResidual(
       corpus: DataFrame, vecCol: String, centroids: Array[Array[Float]],
       m: Int, ksub: Int, iters: Int, seed: Long,
-      sampleN: Int = 2000): Array[Array[Array[Float]]] = {
+      sampleN: Int = 2000,
+      /** OPQ-lite: rotate residuals by this [[randomRotation]] before the
+        * subspace split (codes must then be built over the SAME rotation —
+        * [[writeIvfIndex]] `pqRotatedVariants` / [[ivfPqTopKIndexed]]
+        * `rotation`). */
+      rotation: Option[Array[Float]] = None): Array[Array[Array[Float]]] = {
     val sample = corpus.select(col(vecCol)).limit(sampleN)
       .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty corpus")
@@ -749,7 +764,8 @@ object Similarity {
     // the recall at identical settings.)
     val residuals = sample.map { v =>
       val c = centroids(nearestCentroid(centroids, v))
-      Array.tabulate(dim)(i => v(i) - c(i))
+      val r = Array.tabulate(dim)(i => v(i) - c(i))
+      rotation.map(rotate(_, r)).getOrElse(r)
     }
     val subDim = dim / m
     Array.tabulate(m) { s =>
@@ -758,6 +774,45 @@ object Similarity {
     }
   }
 
+
+  /** Seeded random ORTHONORMAL rotation (OPQ-lite): a Gaussian matrix
+    * orthogonalized by modified Gram-Schmidt, flattened row-major for the
+    * [[graft.functions.MatVec]] plan constant. OPQ proper LEARNS the
+    * rotation minimizing quantization error; the random rotation is its
+    * training-free 80% answer — it evens variance across PQ subspaces, so
+    * codebook bits stop being wasted when a few dimensions carry most of
+    * the signal. Orthonormality means rotation commutes with dot products
+    * (dot(q, r) = dot(R·q, R·r)), which is what lets the ADC path score
+    * rotated codes with a rotated-query LUT and leave the dot(q, c_list)
+    * offset untouched. */
+  def randomRotation(dim: Int, seed: Long): Array[Float] = {
+    val rnd = new java.util.Random(seed)
+    val rows = Array.fill(dim)(Array.fill(dim)(rnd.nextGaussian()))
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < i) { // subtract projection onto earlier rows
+        var d = 0.0
+        var k = 0
+        while (k < dim) { d += rows(i)(k) * rows(j)(k); k += 1 }
+        k = 0
+        while (k < dim) { rows(i)(k) -= d * rows(j)(k); k += 1 }
+        j += 1
+      }
+      var n = 0.0
+      var k = 0
+      while (k < dim) { n += rows(i)(k) * rows(i)(k); k += 1 }
+      val inv = 1.0 / math.sqrt(n)
+      k = 0
+      while (k < dim) { rows(i)(k) *= inv; k += 1 }
+      i += 1
+    }
+    rows.flatten.map(_.toFloat)
+  }
+
+  /** Driver-side rotation of one vector by a row-major flattened matrix. */
+  def rotate(matrix: Array[Float], v: Array[Float]): Array[Float] =
+    graft.functions.PqUtil.matVecFloats(v, matrix)
 
   /** L2-nearest centroid index (driver-side helper). */
   private def nearestCentroid(centroids: Array[Array[Float]], v: Array[Float]): Int = {
@@ -858,10 +913,17 @@ object Similarity {
       /** which materialized PQ code column to score — `pq_code` by
         * default, or a [[writeIvfIndex]] `pqVariants` column (e.g. the
         * m=32 high-recall codes). Must match `codebooks`' shape. */
-      codeCol: String = "pq_code"): DataFrame = {
+      codeCol: String = "pq_code",
+      /** the [[randomRotation]] the `codeCol` codes were built over, if
+        * any: the ADC LUT is computed from the ROTATED query (dot
+        * products commute with an orthonormal rotation, so the
+        * dot(q, c_list) offset and the exact-cosine rerank are
+        * untouched). */
+      rotation: Option[Array[Float]] = None): DataFrame = {
     val probeLists = probedLists(centroids, query, nProbe)
     val ksub = codebooks.head.length
-    val lut = pqLut(codebooks, query)
+    val lut = pqLut(codebooks,
+      rotation.map(rotate(_, query.toArray).toSeq).getOrElse(query))
     // dot(q, c_list) per probed list (raw-space coding, see
     // [[pqCodebooksResidual]]) — driver-computed plan constants
     def qcDot(c: Array[Float]): Double = {

@@ -233,6 +233,66 @@ class RecallSpec extends AnyFunSuite {
     assert(resRecall >= 0.5, s"residual IVF-PQ recall floor regressed: $resRecall")
   }
 
+  test("OPQ-lite rotation: dots commute; recall recovers on anisotropic residuals") {
+    import spark.implicits._
+    // rotation is orthonormal → preserves dot products (the property the
+    // rotated-ADC serving path relies on)
+    val rot = Similarity.randomRotation(64, seed = 7L)
+    val rnd = new scala.util.Random(5)
+    val v1 = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val v2 = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val r1 = Similarity.rotate(rot, v1)
+    val r2 = Similarity.rotate(rot, v2)
+    assert(math.abs(dot(r1, r2) - dot(v1, v2)) < 1e-3)
+    assert(math.abs(dot(r1, r1) - dot(v1, v1)) < 1e-3)
+
+    // ANISOTROPIC corpus: within-cluster signal lives ONLY in dims 0-3
+    // (= PQ subspace 0 at m=16), the regime plain subspace splitting
+    // wastes 15/16 of its code budget on — and the one OPQ exists for
+    val bases = Array.fill(8)(Array.fill(64)(rnd.nextGaussian() * 0.5))
+    val rows = (0 until 10000).map { i =>
+      val v = bases(i % 8).clone()
+      (0 until 4).foreach(d => v(d) += rnd.nextGaussian())
+      (4 until 64).foreach(d => v(d) += rnd.nextGaussian() * 0.01)
+      (i.toLong, v.map(_.toFloat).toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding").persist()
+    val cents = Similarity.kmeansCentroids(corpus, "embedding", k = 16,
+      iters = 5, seed = 42L, sampleN = 3000)
+    val resCb = Similarity.pqCodebooksResidual(corpus, "embedding", cents,
+      m = 16, ksub = 16, iters = 5, seed = 42L)
+    val rotCb = Similarity.pqCodebooksResidual(corpus, "embedding", cents,
+      m = 16, ksub = 16, iters = 5, seed = 42L, rotation = Some(rot))
+    val dir = java.nio.file.Files.createTempDirectory("pq_opq").toString
+    Similarity.writeIvfIndex(corpus, "embedding", cents, dir,
+      pqCodebooksOpt = Some(resCb),
+      pqRotatedVariants = Seq(("pq_rot", rot, rotCb)))
+    def recallOf(codeCol: String, cb: Array[Array[Array[Float]]],
+        r: Option[Array[Float]]): Double = {
+      val per = (0L until 5L).map { qid =>
+        val q = corpus.filter(col("vec_id") === qid)
+          .select("embedding").head().getSeq[Float](0)
+        val brute = Similarity.bruteForceTopK(
+          corpus.filter(col("vec_id") =!= qid), "vec_id", "embedding", q, 10)
+          .collect().map(_.getLong(0)).toSet
+        val got = Similarity.ivfPqTopKIndexed(spark, dir, "vec_id", "embedding",
+          q, 11, cents, cb, nProbe = 8, overfetch = 2,
+          codeCol = codeCol, rotation = r)
+          .collect().map(_.getLong(0)).toSet
+        got.diff(Set(qid)).intersect(brute).size / 10.0
+      }
+      per.sum / per.length
+    }
+    val plain = recallOf("pq_code", resCb, None)
+    val rotated = recallOf("pq_rot", rotCb, Some(rot))
+    corpus.unpersist(blocking = false)
+    info(s"OPQ-lite recall@10: plain=$plain rotated=$rotated")
+    assert(rotated > plain,
+      s"rotation must recover recall on anisotropic residuals: $rotated <= $plain")
+  }
+
   test("SQ8 batch top-k join (s5 shape): prefilter+rerank vs exact topKJoin") {
     val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = em.filter(col("vec_id") < 20)
