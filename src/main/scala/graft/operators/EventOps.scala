@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log operators Spark has no primitive for, each built as the
+  * MERGE shape: one exchange on the key, ordered windows inside the
+  * partition, never a range join or a per-row rescan.
+  */
+object EventOps {
+
+  /** As-of join: for every `left` row, the LATEST `right` row with the
+    * same `keyCol` strictly before it — "before" meaning
+    * `(rightTs, rightTie) < (leftTs, leftTie)` lexicographically, so
+    * same-timestamp ordering is deterministic. Returns every left column
+    * plus `rightValueCols` (null when no right row precedes).
+    *
+    * Built as a union-merge, not a join: both sides ride ONE exchange on
+    * `keyCol`, and an ignore-nulls `last()` over the preceding-rows frame
+    * picks the match — linear in partition size. The textbook
+    * inequality-join formulation rescans the right side per left row
+    * (quadratic per key, and Spark plans it as a nested loop); at corpus
+    * scale the merge is the only shape that holds. Rows from the two
+    * inputs that tie on BOTH ts and tie-breaker resolve right-before-left
+    * (callers with a shared id space never hit this).
+    *
+    * `rightValueCols` must be disjoint from left's column names (the
+    * IntervalJoin convention). */
+  def asofJoin(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String,
+      leftTieCol: String, rightTieCol: String,
+      rightValueCols: Seq[String]): DataFrame = {
+    require(rightValueCols.nonEmpty, "rightValueCols must be non-empty")
+    val leftCols = left.columns.toSeq
+    require(rightValueCols.forall(!leftCols.contains(_)),
+      s"rightValueCols ${rightValueCols.mkString(",")} must be disjoint from left columns")
+    val r = right.select(
+      col(keyCol), col(rightTsCol).as("__ts"), col(rightTieCol).as("__tie"),
+      lit(0).as("__side"),
+      struct(rightValueCols.map(col): _*).as("__rv"))
+    val l = left.select(
+      col("*"), col(leftTsCol).as("__ts"), col(leftTieCol).as("__tie"),
+      lit(1).as("__side"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__ts").asc, col("__tie").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        leftCols.map(col) ++
+          rightValueCols.map(c => col(s"__match.$c").as(c)): _*)
+  }
+
+  /** Gap-based sessionization: a session starts at any row ≥ `gapSeconds`
+    * after its key's previous row (boundary-inclusive: a gap of EXACTLY
+    * `gapSeconds` continues the session). Emits one row per session:
+    * key, session_idx (1-based per key), n_events, start_s, end_s, dur_s
+    * — all epoch-second longs, exact. The windows and the final
+    * aggregation all reuse the single `keyCol` exchange
+    * (hashpartitioning(key) satisfies the (key, session_idx) clustering
+    * requirement — plan-gated in PlanSpec via w4). */
+  def sessionize(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      gapSeconds: Long = 1800L): DataFrame = {
+    val wOrd = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val sec = unix_timestamp(col(tsCol))
+    df.select(col(keyCol), col(tsCol), col(tieCol))
+      .withColumn("__sec", sec)
+      .withColumn("__prev", lag(col("__sec"), 1).over(wOrd))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__sec") - col("__prev") > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("__new")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("__sec")).as("start_s"),
+        max(col("__sec")).as("end_s"))
+      .withColumn("dur_s", col("end_s") - col("start_s"))
+  }
+}

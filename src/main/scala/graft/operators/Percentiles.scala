@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-key discrete percentiles WITHOUT sorting the corpus — DuckDB
+  * `quantile_disc` parity: p-th percentile = the smallest value v whose
+  * cumulative count reaches ⌈p/100 · n⌉.
+  *
+  * The construction reduces the fact table to its per-key DISTINCT-VALUE
+  * histogram first (`groupBy(key, value).count()` — partial-agg +
+  * one exchange), then runs the cumulative window over histogram rows
+  * only. At 100 TB the window input is the value cardinality, not the
+  * row count; for genuinely continuous values quantize first (bucket to
+  * cents / fixed decimals — the `Sampling.scoreBuckets` discussion) and
+  * the percentile is exact at that quantization. The threshold test
+  * `cum·100 ≥ tot·p` stays in integer arithmetic — no ceil, no doubles,
+  * so the result is oracle-exact (a11 in the driver gate). */
+object Percentiles {
+
+  /** One row per key: `n` (count) plus a `p<q>` column per requested
+    * percent (1..100). Values pass through MIN untouched — no float
+    * arithmetic on the measure itself. */
+  def perKey(
+      df: DataFrame, keyCol: String, valueCol: String,
+      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be within [1,100], got $percents")
+    val hist = df.groupBy(col(keyCol), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wCum = Window.partitionBy(keyCol).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(keyCol)
+    val cum = hist
+      .withColumn("__cum", sum("__cnt").over(wCum))
+      .withColumn("__tot", sum("__cnt").over(wTot))
+    cum.groupBy(col(keyCol))
+      .agg(
+        max("__tot").as("n"),
+        percents.map(p =>
+          min(when(col("__cum") * 100 >= col("__tot") * p, col("__v")))
+            .as(s"p$p")): _*)
+  }
+}

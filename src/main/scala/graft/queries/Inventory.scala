@@ -396,32 +396,32 @@ object Inventory {
   // ---------------------------------------------------------------------
 
   /** J8: as-of join — for each `click`, the latest `purchase` by the same
-    * user strictly before it (ties on ts broken by event_id). Implemented
-    * as the MERGE shape, not a join: tag both sides, ONE shuffle on
-    * user_id, then an ignore-nulls `last()` over the preceding-rows frame.
-    * A range/inequality join here would rescan the purchase side per
-    * click (quadratic in events-per-user and un-broadcastable at 100 TB);
-    * the merge is linear in partition size and both sides ride the same
-    * exchange. The struct keeps (purchase_id, its ts) consistent — two
-    * separate windows could not drift apart, but one frame makes the
-    * invariant structural. */
+    * user strictly before it (ties on ts broken by event_id), via the
+    * generic [[graft.operators.EventOps.asofJoin]] MERGE shape: both
+    * sides ride ONE shuffle on user_id and an ignore-nulls `last()` over
+    * the preceding-rows frame picks the match. A range/inequality join
+    * here would rescan the purchase side per click (quadratic in
+    * events-per-user and un-broadcastable at 100 TB); the merge is linear
+    * in partition size. The match struct keeps (purchase_id, its ts)
+    * consistent by construction. */
   val j8AsofJoin: Q = (s, d) => {
     val ev = events(s, d)
     val sec = unix_timestamp(eventTs(ev))
-    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"), sec.as("sec"))
-      .withColumn("prev",
-        last(
-          when(col("event_type") === "purchase",
-            struct(col("sec").as("p_sec"), col("event_id").as("purchase_id"))),
-          ignoreNulls = true).over(w))
-      .filter(col("event_type") === "click")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), sec.as("sec"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"), sec.as("p_sec"))
+    graft.operators.EventOps.asofJoin(
+      clicks, purchases, "user_id",
+      leftTsCol = "ts", rightTsCol = "ts",
+      leftTieCol = "event_id", rightTieCol = "purchase_id",
+      rightValueCols = Seq("purchase_id", "p_sec"))
       .select(
         col("event_id").as("click_id"),
         col("user_id"),
-        col("prev.purchase_id").as("purchase_id"),
-        (col("sec") - col("prev.p_sec")).as("gap_s"))
+        col("purchase_id"),
+        (col("sec") - col("p_sec")).as("gap_s"))
   }
 
   /** W4: gap-based sessionization — the canonical event-stream operator
@@ -435,24 +435,9 @@ object Inventory {
     * and nothing else. All-long arithmetic (epoch seconds) — exact. */
   val w4Sessionization: Q = (s, d) => {
     val ev = events(s, d)
-    val sec = unix_timestamp(eventTs(ev))
-    val wOrd = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-    val flagged = ev
-      .select(col("user_id"), col("ts"), col("event_id"), sec.as("sec"))
-      .withColumn("prev_sec", lag(col("sec"), 1).over(wOrd))
-      .withColumn("new_sess",
-        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800L, 1L)
-          .otherwise(0L))
-    flagged
-      .withColumn("session_idx",
-        sum(col("new_sess")).over(
-          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("user_id"), col("session_idx"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        min(col("sec")).as("start_s"),
-        max(col("sec")).as("end_s"))
-      .withColumn("dur_s", col("end_s") - col("start_s"))
+    graft.operators.EventOps.sessionize(
+      ev.select(col("user_id"), eventTs(ev).as("ts"), col("event_id")),
+      "user_id", "ts", "event_id", gapSeconds = 1800L)
   }
 
   /** A11: per-key discrete percentiles (DuckDB `quantile_disc` parity:
@@ -463,25 +448,11 @@ object Inventory {
     * percentile-summary operator. `cum·100 ≥ tot·q` keeps the threshold
     * in exact integer arithmetic (no ceil, no doubles); the price values
     * themselves pass through MIN untouched. */
-  val a11Percentiles: Q = (s, d) => {
-    val hist = lineitem(s, d)
-      .groupBy(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
-      .agg(count(lit(1)).as("cnt"))
-    val wCum = Window.partitionBy("flag").orderBy(col("v").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wTot = Window.partitionBy("flag")
-    def pick(p: Int) =
-      min(when(col("cum") * 100 >= col("tot") * p, col("v")))
-    hist
-      .withColumn("cum", sum("cnt").over(wCum))
-      .withColumn("tot", sum("cnt").over(wTot))
-      .groupBy("flag")
-      .agg(
-        max("tot").as("n"),
-        pick(50).as("p50"),
-        pick(90).as("p90"),
-        pick(99).as("p99"))
-  }
+  val a11Percentiles: Q = (s, d) =>
+    graft.operators.Percentiles.perKey(
+      lineitem(s, d).select(col("l_returnflag").as("flag"),
+        col("l_extendedprice")),
+      "flag", "l_extendedprice", Seq(50, 90, 99))
 
   /** J9: interval/range join via [[graft.operators.IntervalJoin]] — for
     * each click, how many purchase price-bands (value ± 1) contain its

@@ -55,6 +55,38 @@ class SessionAsofSpec extends AnyFunSuite {
     assert(out(7L) == ((6L, 100L)))          // now it does
   }
 
+  test("EventOps.asofJoin ≡ naive max-lookup join on random data with ts collisions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // small ts range FORCES timestamp collisions so the tie-break path runs
+    val left = (0 until 300).map(i =>
+      (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(40).toLong))
+      .toDF("l_id", "k", "l_sec")
+      .withColumn("l_ts", timestamp_seconds(col("l_sec")))
+    val right = (1000 until 1300).map(i =>
+      (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(40).toLong, rnd.nextDouble()))
+      .toDF("r_id", "k2", "r_sec", "payload")
+      .withColumn("r_ts", timestamp_seconds(col("r_sec")))
+    val got = graft.operators.EventOps.asofJoin(
+      left, right.withColumnRenamed("k2", "k"), "k",
+      leftTsCol = "l_ts", rightTsCol = "r_ts",
+      leftTieCol = "l_id", rightTieCol = "r_id",
+      rightValueCols = Seq("r_id", "payload"))
+      .select("l_id", "r_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val naive = left.join(right,
+        col("k") === col("k2") &&
+          (col("r_ts") < col("l_ts") ||
+            (col("r_ts") === col("l_ts") && col("r_id") < col("l_id"))),
+        "left_outer")
+      .groupBy("l_id")
+      .agg(max(struct(col("r_sec"), col("r_id"))).as("m"))
+      .select(col("l_id"), col("m.r_id"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == naive)
+  }
+
   test("w4: gap of exactly 1800 s continues a session; 1801 starts a new one") {
     val d = eventsDir(Seq(
       (0L, 0L, 1L, "view"),
