@@ -257,6 +257,7 @@ object Scale {
     if (args.headOption.contains("streamdedup")) return streamDedupMain(args)
     if (args.headOption.contains("ann")) return annMain(args)
     if (args.headOption.contains("events")) return eventsMain(args)
+    if (args.headOption.contains("curate")) return curateMain(args)
     val totalSlots = args.lift(0).map(_.toLong).getOrElse(1000000L)
     val outMd = args.lift(1).getOrElse("SCALE.md")
     val chunkSize = 1000L
@@ -1004,6 +1005,119 @@ object Scale {
          |""".stripMargin
     spliceSection(outMd, annHeader, section)
     println(s"""{"metric":"scale_ann","value":$indexSec,"unit":"sec","n_vecs":$nVecs,"index_vecs_per_s":${nVecs / indexSec},"brute_avg_s":$bruteAvg,"sq8_avg_s":$sq8Avg,"sq8_recall":$sq8Recall,"pq_avg_s":$pqAvg,"pq_recall":$pqRecall,"pq32_avg_s":$pq32Avg,"pq32_recall":$pq32Recall,"batch_avg_s":$batchAvg,"batch_recall":$batchRecall,"batch100_avg_s":$batch100Avg,"heap_peak_mb":$heapMb}""")
+    spark.stop()
+  }
+
+  private val curateHeader = "## Curate funnel stage"
+
+  final case class CurateStats(
+      genSec: Double, qualitySec: Double, dedupSec: Double, lineSec: Double,
+      n0: Long, n1: Long, n2: Long, n3: Long, heapMb: Long)
+
+  /** End-to-end RefinedWeb-ordered curation funnel (quality gate →
+    * whole-doc near-dup dedup → chunk-level line dedup) on the planted
+    * dedup corpus plus exactly-too-short docs at every doc_id ≡ 0
+    * (mod 100). The plants make every stage's effect CLOSED-FORM:
+    *   n1 = n − n/100                  (quality drops the shorts, exactly)
+    *   n1 − n2 ∈ [0.9·P, P]            (LSH recall on live pairs,
+    *                                    P = n/20 − n/100; Jaccard verify
+    *                                    admits no false positives)
+    *   n3 = n1 − P                     (EXACT regardless of LSH recall —
+    *                                    pairs the fuzzy stage missed lose
+    *                                    their later member to chunk-level
+    *                                    first-occurrence dedup: the
+    *                                    fuzzy+exact layering working as
+    *                                    designed)
+    * Production hash family (xxhash64), not the oracle's md5-parity. */
+  def runCurate(spark: SparkSession, nDocs: Long, base: String): CurateStats = {
+    require(nDocs % 100 == 0, "nDocs must be a multiple of 100")
+    import graft.operators.{Dedup, TextAnalysis}
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (_, genSec) = timed {
+      genDedupCorpus(spark, nDocs)
+        .withColumn("text",
+          when(col("doc_id") % 100 === 0, lit("x")).otherwise(col("text")))
+        .write.mode("overwrite").parquet(s"$base/docs")
+    }
+    val docs = spark.read.parquet(s"$base/docs")
+    val n0 = docs.count()
+    val (q, qualitySec) = timed {
+      val f = TextAnalysis.qualityFilter(docs, "text")
+        .filter(col("quality_ok"))
+        .select(docs.columns.toIndexedSeq.map(col): _*)
+        .persist()
+      f.count()
+      f
+    }
+    val n1 = q.count()
+    val ((deduped, n2), dedupSec) = timed {
+      val groups = Dedup.nearDupGroups(q, "doc_id", "text").persist()
+      val kept = q.join(
+        groups.filter(col("is_representative")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi").persist()
+      val n = kept.count()
+      groups.unpersist(blocking = false)
+      (kept, n)
+    }
+    val (n3, lineSec) = timed {
+      val chunks = Dedup.chunkDedup(deduped, "doc_id", "text", 10)
+      val n = chunks.filter(col("text_dedup").isNotNull).count()
+      chunks.unpersist(blocking = false)
+      n
+    }
+    q.unpersist(blocking = false)
+    deduped.unpersist(blocking = false)
+    CurateStats(genSec, qualitySec, dedupSec, lineSec, n0, n1, n2, n3, heapPeakMb())
+  }
+
+  private def curateMain(args: Array[String]): Unit = {
+    val nDocs = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    val outMd = args.lift(2).getOrElse("SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = Files.createTempDirectory("graft_scale_curate").toString
+    val st = runCurate(spark, nDocs, base)
+    import st._
+    val livePairs = nDocs / 20 - nDocs / 100
+    require(n0 == nDocs, s"corpus count $n0 != $nDocs")
+    require(n1 == nDocs - nDocs / 100, s"quality invariant broke: $n1")
+    val found = n1 - n2
+    require(found >= (livePairs * 9) / 10 && found <= livePairs,
+      s"near-dup invariant broke: found $found of $livePairs live pairs")
+    require(n3 == n1 - livePairs,
+      s"fuzzy+exact layering invariant broke: n3=$n3 expected ${n1 - livePairs}")
+    val totalSec = qualitySec + dedupSec + lineSec
+    val section =
+      s"""
+         |$curateHeader (quality → near-dup → line dedup over ${nDocs / 1000}k docs, production hash family)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale curate $nDocs"` —
+         |the composed corpus-curation funnel (the `corpus curate` CLI's
+         |RefinedWeb ordering) end to end, with plants that make EVERY
+         |stage's effect a closed-form equality: exactly-too-short docs at
+         |1%, near-dup pairs at every 20th doc.
+         |
+         || stage | wall (s) | docs in → out | invariant |
+         ||---|---|---|---|
+         || 1 quality gate | ${f"$qualitySec%.1f"} | $n0 → $n1 | n − n/100 EXACT (${n1 == nDocs - nDocs / 100}) |
+         || 2 near-dup dedup (MinHash-LSH → Jaccard → components) | ${f"$dedupSec%.1f"} | $n1 → $n2 | dropped $found of $livePairs live pairs (recall ${f"${found.toDouble / livePairs}%.3f"}, 0 false positives possible past exact-Jaccard verify) |
+         || 3 chunk/line dedup (10-token first-occurrence) | ${f"$lineSec%.1f"} | $n2 → $n3 | n1 − P EXACT regardless of stage-2 recall (${n3 == n1 - livePairs}) — missed fuzzy pairs die here |
+         |
+         |- funnel wall ${f"$totalSec%.1f"} s → ${f"${nDocs / totalSec}%.0f"} docs/s end-to-end; corpus gen ${f"$genSec%.1f"} s; peak heap $heapMb MB
+         |- the n3 equality is the fuzzy+exact LAYERING guarantee: chunk-level
+         |  first-occurrence dedup catches exactly the pairs LSH recall
+         |  missed, so final yield is deterministic even though stage 2 is
+         |  approximate — the reason curate orders the stages this way
+         |""".stripMargin
+    spliceSection(outMd, curateHeader, section)
+    println(s"""{"metric":"scale_curate","value":$totalSec,"unit":"sec","n_docs":$nDocs,"docs_per_s":${nDocs / totalSec},"n1":$n1,"n2":$n2,"n3":$n3,"recall":${found.toDouble / livePairs},"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 

@@ -51,6 +51,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(st.expectedPairs === 3L * 4000 - 9)
   }
 
+  test("Scale.runCurate: closed-form funnel invariants at tiny N") {
+    val base = Files.createTempDirectory("graft_scale_curate_smoke").toString
+    val st = Scale.runCurate(spark, nDocs = 4000L, base = base)
+    assert(st.n0 === 4000L)
+    assert(st.n1 === 4000L - 40)              // quality drops the 1% shorts exactly
+    val livePairs = 200L - 40                 // pairs whose dup member wasn't a short
+    val found = st.n1 - st.n2
+    assert(found >= (livePairs * 9) / 10 && found <= livePairs,
+      s"found $found of $livePairs")
+    // fuzzy+exact layering: final yield exact regardless of LSH recall
+    assert(st.n3 === st.n1 - livePairs)
+  }
+
   test("Scale.genEmbCorpus: planted pairs near-identical, random pairs far, executor-side gen") {
     import graft.functions.GraftFunctions.vec_cosine
     val df = Scale.genEmbCorpus(spark, 200L, dim = 64).persist()
