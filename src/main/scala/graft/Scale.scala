@@ -258,6 +258,7 @@ object Scale {
     if (args.headOption.contains("ann")) return annMain(args)
     if (args.headOption.contains("events")) return eventsMain(args)
     if (args.headOption.contains("curate")) return curateMain(args)
+    if (args.headOption.contains("layout")) return layoutMain(args)
     val totalSlots = args.lift(0).map(_.toLong).getOrElse(1000000L)
     val outMd = args.lift(1).getOrElse("SCALE.md")
     val chunkSize = 1000L
@@ -1005,6 +1006,91 @@ object Scale {
          |""".stripMargin
     spliceSection(outMd, annHeader, section)
     println(s"""{"metric":"scale_ann","value":$indexSec,"unit":"sec","n_vecs":$nVecs,"index_vecs_per_s":${nVecs / indexSec},"brute_avg_s":$bruteAvg,"sq8_avg_s":$sq8Avg,"sq8_recall":$sq8Recall,"pq_avg_s":$pqAvg,"pq_recall":$pqRecall,"pq32_avg_s":$pq32Avg,"pq32_recall":$pq32Recall,"batch_avg_s":$batchAvg,"batch_recall":$batchRecall,"batch100_avg_s":$batch100Avg,"heap_peak_mb":$heapMb}""")
+    spark.stop()
+  }
+
+  private val layoutHeader = "## Z-order layout stage"
+
+  /** `runMain graft.Scale layout [nEvents]` — the data-skipping file
+    * layout at 20M rows: the same corpus written linear-on-user vs
+    * Z-ordered on (user_id, sec), then per-file min-max stats (what a
+    * parquet pruner sees) answer how many files each layout forces a
+    * one-column predicate to read. */
+  private def layoutMain(args: Array[String]): Unit = {
+    val nEvents = args.lift(1).map(_.toLong).getOrElse(20000000L)
+    val outMd = args.lift(2).getOrElse("SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Layout
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val base = Files.createTempDirectory("graft_scale_layout").toString
+    val nFiles = 256
+    val df = genEventCorpus(spark, nEvents)
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .select("event_id", "user_id", "sec", "event_type", "value")
+    val (_, linSec) = timed {
+      df.repartitionByRange(nFiles, col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite").parquet(s"$base/linear")
+    }
+    val (_, zSec) = timed {
+      Layout.writeZOrdered(df, "user_id", "sec", s"$base/zorder", nFiles)
+    }
+    val linStats = Layout.fileStats(spark, s"$base/linear", "user_id", "sec").cache()
+    val zStats = Layout.fileStats(spark, s"$base/zorder", "user_id", "sec").cache()
+    val nLin = linStats.count(); val nZ = zStats.count()
+    // predicate 1: 5% of the user range; predicate 2: 10% of the time range
+    val users = nEvents / 200
+    val bounds = df.agg(min("sec"), max("sec")).head()
+    val (sLo, sHi) = (bounds.getLong(0), bounds.getLong(1))
+    val tLo = sLo + (sHi - sLo) * 45 / 100
+    val tHi = sLo + (sHi - sLo) * 55 / 100
+    val linUser = Layout.filesOverlapping(linStats, "a", 0, users * 5 / 100)
+    val zUser = Layout.filesOverlapping(zStats, "a", 0, users * 5 / 100)
+    val linTime = Layout.filesOverlapping(linStats, "b", tLo, tHi)
+    val zTime = Layout.filesOverlapping(zStats, "b", tLo, tHi)
+    linStats.unpersist(); zStats.unpersist()
+    require(linTime >= (nLin * 9) / 10,
+      s"linear layout unexpectedly pruned on time: $linTime/$nLin")
+    require(zTime * 2 <= linTime,
+      s"z-order time pruning not better: z=$zTime linear=$linTime")
+    val heapMb = heapPeakMb()
+    val section =
+      s"""
+         |$layoutHeader (linear vs Morton-clustered write at ${nEvents / 1000000}M rows, $nFiles files)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale layout $nEvents"` —
+         |the event corpus written twice ([[graft.operators.Layout]]):
+         |range-clustered on user_id alone vs Z-ordered on (user_id, sec);
+         |per-file min-max stats (exactly what parquet row-group/file
+         |pruning consumes) then score each layout against one-column
+         |predicates.
+         |
+         || metric | linear (user-sorted) | z-ordered |
+         ||---|---|---|
+         || write wall | ${f"$linSec%.1f"} s | ${f"$zSec%.1f"} s |
+         || files | $nLin | $nZ |
+         || files read, user-range predicate (5%) | $linUser | $zUser |
+         || files read, time-range predicate (10%) | $linTime (${f"${100.0 * linTime / nLin}%.0f"}%) | $zTime (${f"${100.0 * zTime / nZ}%.0f"}%) |
+         |
+         |- the headline: a time predicate on the user-sorted layout reads
+         |  ~EVERY file (each file spans the full time range); the z-ordered
+         |  layout bounds every file in BOTH dimensions, so the same
+         |  predicate reads ${f"${100.0 * zTime / nZ}%.0f"}% of files — at 100 TB that ratio is the
+         |  scan-cost ratio for every secondary-column query
+         |- the price is one extra bounds agg + the Morton projection at
+         |  write (codegen'd static call per row): ${f"$zSec%.1f"} s vs ${f"$linSec%.1f"} s here
+         |- peak heap $heapMb MB
+         |""".stripMargin
+    spliceSection(outMd, layoutHeader, section)
+    println(s"""{"metric":"scale_layout","value":$zSec,"unit":"sec","n_rows":$nEvents,"lin_write_s":$linSec,"z_write_s":$zSec,"lin_time_files":$linTime,"z_time_files":$zTime,"lin_user_files":$linUser,"z_user_files":$zUser,"n_files":$nZ,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 
