@@ -447,6 +447,51 @@ object LlmInventory {
       .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec_id"))
   }
 
+  /** s13: OPQ-lite rotated PQ serving, oracle-checked END TO END — the
+    * s8 flat-PQ pipeline with a seeded random ORTHONORMAL rotation
+    * ([[Similarity.randomRotation]], applied scan-side by the codegen
+    * [[graft.functions.MatVec]] expression) before the subspace split.
+    * The rotation matrix persists as a long-form artifact beside the
+    * codebooks, and the DuckDB oracle re-applies it as 64 ordered double
+    * folds with a FLOAT narrowing cast per output component (DuckDB's
+    * CAST(x AS FLOAT) and Java's double→float narrowing both round to
+    * nearest-even, so the rotated vectors are bit-identical), then
+    * re-derives codes, LUT, ADC scores, survivor cut, and rerank exactly
+    * as s8 does. Only the Lloyd training and the Gram-Schmidt rotation
+    * construction are taken as given (persisted); everything downstream
+    * faces the hash gate. */
+  val s13PqRotatedTopK: Q = (s, d) => {
+    val em = embeddings(s, d)
+    val rot = Similarity.randomRotation(64, seed = 13L)
+    locally {
+      import s.implicits._
+      rot.zipWithIndex.map { case (v, p) => (p, v) }.toSeq.toDF("pos", "val")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(oracleArtifactPath(d, "s13_rotation"))
+    }
+    val rotated = em
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions.mat_vec(col("embedding"), rot)
+          .as("embedding"))
+    val query = rotated.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val codebooks =
+      Similarity.pqCodebooks(rotated, "embedding", m = 16, ksub = 16, iters = 5, seed = 42L)
+    locally {
+      import s.implicits._
+      codebooks.zipWithIndex.flatMap { case (cents, sub) =>
+        cents.zipWithIndex.flatMap { case (cv, c) =>
+          cv.zipWithIndex.map { case (v, p) => (sub, c, p, v) }
+        }
+      }.toSeq.toDF("sub", "c", "pos", "val")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(oracleArtifactPath(d, "s13_codebooks"))
+    }
+    Similarity.pqTopK(rotated.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      query, k = 10, codebooks)
+      .select("vec_id")
+  }
+
   /** s12: the dot product via BUILT-IN higher-order functions —
     * `zip_with` + `aggregate` (both codegen-free but Catalyst-native,
     * no UDF) against a broadcast literal query vector. This is the
@@ -918,6 +963,7 @@ object LlmInventory {
     "s9_label_centroids" -> s9LabelCentroids,
     "s11_cluster_sizes" -> s11ClusterSizes,
     "s12_zipwith_dot" -> s12ZipwithDot,
+    "s13_pq_rotated_topk" -> s13PqRotatedTopK,
     "s10_label_noise" -> s10LabelNoise,
     "t7_hash_split" -> t7HashSplit,
     "t8_deterministic_sample" -> t8DeterministicSample,
@@ -1729,6 +1775,61 @@ object LlmInventory {
         |    sqrt(list_reduce(list_transform(range(1, len(q.qv)+1),
         |      j -> q.qv[j]::DOUBLE * q.qv[j]::DOUBLE), (a,b) -> a+b)) AS nb
         |  FROM embeddings e JOIN surv USING (vec_id), q)
+        |SELECT vec_id FROM (
+        |  SELECT vec_id, CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d/(na*nb) END AS cos
+        |  FROM rer) t
+        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "s13_pq_rotated_topk" ->
+      s"""WITH m AS (
+        |  SELECT list(val ORDER BY pos) AS mv
+        |  FROM read_parquet('${oracleArtifactPath("sf0.01", "s13_rotation")}/*.parquet')),
+        |cb AS (
+        |  SELECT sub, c, list(val ORDER BY pos) AS cv
+        |  FROM read_parquet('${oracleArtifactPath("sf0.01", "s13_codebooks")}/*.parquet')
+        |  GROUP BY sub, c),
+        |q AS (
+        |  SELECT list_transform(range(1, 65), i ->
+        |    CAST(list_reduce(list_transform(range(1, 65),
+        |      j -> m.mv[(i-1)*64 + j]::DOUBLE * e.embedding[j]::DOUBLE),
+        |      (a,b) -> a+b) AS FLOAT)) AS qv
+        |  FROM embeddings e, m WHERE e.vec_id = 0),
+        |rv AS (
+        |  SELECT e.vec_id, list_transform(range(1, 65), i ->
+        |    CAST(list_reduce(list_transform(range(1, 65),
+        |      j -> m.mv[(i-1)*64 + j]::DOUBLE * e.embedding[j]::DOUBLE),
+        |      (a,b) -> a+b) AS FLOAT)) AS emb
+        |  FROM embeddings e, m WHERE e.vec_id <> 0),
+        |lut AS (
+        |  SELECT cb.sub, cb.c,
+        |    list_reduce(list_transform(range(1, len(cb.cv)+1),
+        |      j -> q.qv[cb.sub*4 + j]::DOUBLE * cb.cv[j]::DOUBLE), (a,b) -> a+b) AS lv
+        |  FROM cb, q),
+        |dist AS (
+        |  SELECT r.vec_id, cb.sub, cb.c,
+        |    list_reduce(list_transform(range(1, len(cb.cv)+1),
+        |      j -> (r.emb[cb.sub*4 + j]::DOUBLE - cb.cv[j]::DOUBLE)
+        |         * (r.emb[cb.sub*4 + j]::DOUBLE - cb.cv[j]::DOUBLE)),
+        |      (a,b) -> a+b) AS d
+        |  FROM rv r CROSS JOIN cb),
+        |code AS (
+        |  SELECT vec_id, sub, c FROM (
+        |    SELECT vec_id, sub, c,
+        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, c ASC) AS rn
+        |    FROM dist) t WHERE rn = 1),
+        |score AS (
+        |  SELECT code.vec_id, list_reduce(list(l.lv ORDER BY code.sub), (a,b) -> a+b) AS sc
+        |  FROM code JOIN lut l ON l.sub = code.sub AND l.c = code.c
+        |  GROUP BY code.vec_id),
+        |surv AS (SELECT vec_id FROM score ORDER BY sc DESC, vec_id ASC LIMIT 40),
+        |rer AS (
+        |  SELECT r.vec_id,
+        |    list_reduce(list_transform(range(1, len(r.emb)+1),
+        |      j -> r.emb[j]::DOUBLE * q.qv[j]::DOUBLE), (a,b) -> a+b) AS d,
+        |    sqrt(list_reduce(list_transform(range(1, len(r.emb)+1),
+        |      j -> r.emb[j]::DOUBLE * r.emb[j]::DOUBLE), (a,b) -> a+b)) AS na,
+        |    sqrt(list_reduce(list_transform(range(1, len(q.qv)+1),
+        |      j -> q.qv[j]::DOUBLE * q.qv[j]::DOUBLE), (a,b) -> a+b)) AS nb
+        |  FROM rv r JOIN surv USING (vec_id), q)
         |SELECT vec_id FROM (
         |  SELECT vec_id, CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d/(na*nb) END AS cos
         |  FROM rer) t
