@@ -473,6 +473,36 @@ object Inventory {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** W6: rank-distribution windows — percent_rank / cume_dist / ntile
+    * per event_type over (value, event_id). Both engines define
+    * percent_rank = (rank−1)/(n−1) and cume_dist = peers_cum/n as one
+    * IEEE division over exact integer ranks, and ntile splits the first
+    * n%k buckets one-larger — so all three hash-match. The unique
+    * (value, event_id) order key makes every rank deterministic. */
+  val w6RankDistributions: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)
+    events(s, d)
+      .filter(col("event_id") < 2000)
+      .select(
+        col("event_id"), col("event_type"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  /** A13: GROUPING SETS — per-status and per-priority rollups plus the
+    * grand total in ONE pass (the monitoring dashboard shape; distinct
+    * from a10's ROLLUP lattice). Plans as a single expand + partial-agg
+    * groupBy — no union of three scans. */
+  val a13GroupingSets: Q = (s, d) =>
+    orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") > 100000, 1L).otherwise(0L)).as("n_big"))
+
   /** W5: rolling time-window count per event — a RANGE frame over epoch
     * seconds (preceding 3600 s inclusive), the rate/velocity feature shape
     * (events-per-user-per-hour at every event). Range frames are the one
@@ -623,6 +653,8 @@ object Inventory {
     "w5_rolling_counts" -> w5RollingCounts,
     "a12_pivot" -> a12Pivot,
     "j9_interval_join" -> j9IntervalJoin,
+    "w6_rank_distributions" -> w6RankDistributions,
+    "a13_grouping_sets" -> a13GroupingSets,
     "c1_safe_long_hex" -> c1SafeLongHex,
     "c3_payload_hash" -> c3PayloadHash,
     "c4_popcount" -> c4Popcount,
@@ -849,6 +881,18 @@ object Inventory {
         |      WHERE event_type = 'purchase') b
         |  ON c.value >= b.lo AND c.value <= b.hi
         |GROUP BY c.event_id""".stripMargin,
+    "w6_rank_distributions" ->
+      """SELECT event_id, event_type,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM events WHERE event_id < 2000
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin,
+    "a13_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
     "w5_rolling_counts" ->
       """SELECT user_id, event_id,
         |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
