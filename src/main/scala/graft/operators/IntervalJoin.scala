@@ -48,4 +48,35 @@ object IntervalJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval × interval OVERLAP join (`lLo ≤ rHi AND rLo ≤ lHi`, both
+    * inclusive) — same bucketed equi-join, plus the exactly-once trick:
+    * an overlapping pair co-occupies every bucket their intersection
+    * touches, so a naive bucket join emits it once PER shared bucket.
+    * Instead each pair is claimed only in the bucket of
+    * `max(lLo, rLo)` — the intersection's first bucket, which (floor
+    * being monotone) equals `max(floor(lLo/w), floor(rLo/w))` and is
+    * covered by BOTH sides whenever they overlap — so no distinct pass
+    * and no lost pairs. Column names must be disjoint across sides. */
+  def intervalOverlap(
+      left: DataFrame, lLoCol: String, lHiCol: String,
+      right: DataFrame, rLoCol: String, rHiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val w = lit(bucketWidth)
+    def expand(df: DataFrame, lo: String, hi: String) = df
+      .filter(col(lo) <= col(hi))
+      .withColumn("__bucket",
+        explode(sequence(
+          floor(col(lo) / w).cast("long"),
+          floor(col(hi) / w).cast("long"))))
+    expand(left, lLoCol, lHiCol)
+      .join(expand(right, rLoCol, rHiCol), Seq("__bucket"))
+      .filter(
+        col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol) &&
+          col("__bucket") === greatest(
+            floor(col(lLoCol) / w).cast("long"),
+            floor(col(rLoCol) / w).cast("long")))
+      .drop("__bucket")
+  }
 }

@@ -473,6 +473,26 @@ object Inventory {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** J10: interval-OVERLAP join ([[graft.operators.IntervalJoin
+    * .intervalOverlap]]) — purchase price bands (±2) against click price
+    * bands (±1), counted per purchase. The exactly-once construction
+    * (each pair claimed in the bucket of max(lo, lo) only) means no
+    * distinct pass follows the bucket join; property-tested against the
+    * naive overlap join. */
+  val j10OverlapJoin: Q = (s, d) => {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"),
+        (col("value") - 2).as("p_lo"), (col("value") + 2).as("p_hi"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select((col("value") - 1).as("c_lo"), (col("value") + 1).as("c_hi"))
+    graft.operators.IntervalJoin
+      .intervalOverlap(purchases, "p_lo", "p_hi", clicks, "c_lo", "c_hi",
+        bucketWidth = 4.0)
+      .groupBy("p_id")
+      .agg(count(lit(1)).as("n_overlaps"))
+  }
+
   /** W6: rank-distribution windows — percent_rank / cume_dist / ntile
     * per event_type over (value, event_id). Both engines define
     * percent_rank = (rank−1)/(n−1) and cume_dist = peers_cum/n as one
@@ -655,6 +675,7 @@ object Inventory {
     "j9_interval_join" -> j9IntervalJoin,
     "w6_rank_distributions" -> w6RankDistributions,
     "a13_grouping_sets" -> a13GroupingSets,
+    "j10_overlap_join" -> j10OverlapJoin,
     "c1_safe_long_hex" -> c1SafeLongHex,
     "c3_payload_hash" -> c3PayloadHash,
     "c4_popcount" -> c4Popcount,
@@ -881,6 +902,14 @@ object Inventory {
         |      WHERE event_type = 'purchase') b
         |  ON c.value >= b.lo AND c.value <= b.hi
         |GROUP BY c.event_id""".stripMargin,
+    "j10_overlap_join" ->
+      """SELECT p_id, count(*) AS n_overlaps
+        |FROM (SELECT event_id AS p_id, value - 2 AS p_lo, value + 2 AS p_hi
+        |      FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT value - 1 AS c_lo, value + 1 AS c_hi
+        |      FROM events WHERE event_type = 'click') c
+        |  ON p.p_lo <= c.c_hi AND c.c_lo <= p.p_hi
+        |GROUP BY p_id""".stripMargin,
     "w6_rank_distributions" ->
       """SELECT event_id, event_type,
         |  percent_rank() OVER w AS pr,

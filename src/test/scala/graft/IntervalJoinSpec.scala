@@ -34,6 +34,26 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(bucketed.sorted.toSeq == naive.sorted.toSeq)
   }
 
+  test("intervalOverlap ≡ naive overlap join, exactly-once across shared buckets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def gen(n: Int, idBase: Int) = (0 until n).map { i =>
+      val lo = rnd.nextDouble() * 100 - 50
+      (idBase + i.toLong, lo, lo + rnd.nextDouble() * 25) // spans many width-5 buckets
+    }
+    val left = gen(250, 0).toDF("l_id", "l_lo", "l_hi")
+    val right = gen(250, 1000).toDF("r_id", "r_lo", "r_hi")
+    val bucketed = IntervalJoin
+      .intervalOverlap(left, "l_lo", "l_hi", right, "r_lo", "r_hi", bucketWidth = 5.0)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = left.crossJoin(right)
+      .filter(col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(bucketed.length == bucketed.distinct.length,
+      "pair emitted in more than one shared bucket")
+    assert(bucketed.sorted.toSeq == naive.sorted.toSeq)
+  }
+
   test("inclusive endpoints and exact bucket boundaries match") {
     import spark.implicits._
     val points = Seq((1L, 10.0), (2L, 15.0), (3L, 20.0), (4L, 20.0000001))
