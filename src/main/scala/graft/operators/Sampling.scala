@@ -248,6 +248,57 @@ object Sampling {
     } finally parted.unpersist(blocking = false)
   }
 
+  /** GPT-style sequence packing ("concatenate and cut"): documents
+    * concatenate in `idCol` order into one global token stream, which
+    * training cuts into `windowTokens`-sized contexts. Each doc gets its
+    * `start_offset` in the stream, the `window_id` its first token lands
+    * in, and `crosses` — whether it straddles a window boundary (the
+    * fraction worth monitoring: boundary-crossing docs lose attention
+    * context). The global running sum is the t13 DISTRIBUTED prefix sum —
+    * range partition on the order key, per-partition totals to the driver
+    * (one row per partition), broadcast offsets, in-partition window —
+    * never a single-partition funnel. NULL costs count as 0. */
+  def packWindows(
+      df: DataFrame, idCol: String, costCol: String,
+      windowTokens: Long): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    Seq("__pid", "__offset").foreach(t => require(!df.columns.contains(t),
+      s"input already has a column named $t — rename it before packWindows"))
+    val cost = coalesce(col(costCol).cast("long"), lit(0L))
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val parted = df
+      .repartitionByRange(parts, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    try {
+      val totals = parted.groupBy("__pid")
+        .agg(sum(cost).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets = (0 until parts).scanLeft(0L) {
+        case (acc, p) => acc + totals.getOrElse(p, 0L)
+      }
+      import df.sparkSession.implicits._
+      val offsetDf = (0 until parts).map(p => (p, offsets(p))).toDF("__pid", "__offset")
+      val w = Window.partitionBy("__pid").orderBy(col(idCol).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // result is caller-owned persisted (the tokenBudgetSelect contract):
+      // materialize while the range partitioning is pinned, then release
+      // the intermediate
+      val out = parted
+        .join(broadcast(offsetDf), Seq("__pid"))
+        .withColumn("start_offset", col("__offset") + sum(cost).over(w) - cost)
+        .withColumn("window_id", expr(s"start_offset div $windowTokens"))
+        .withColumn("crosses",
+          cost > 0 &&
+            expr(s"(start_offset + $costCol - 1) div $windowTokens") =!= col("window_id"))
+        .drop("__pid", "__offset")
+        .persist()
+      try out.count()
+      catch { case e: Throwable => out.unpersist(blocking = false); throw e }
+      out
+    } finally parted.unpersist(blocking = false)
+  }
+
   /** Loan-pattern wrapper for [[tokenBudgetSelect]]: the selection frame is
     * caller-owned persisted, and a caller that projects before unpersisting
     * (unpersist on a projection is a no-op) or forgets entirely leaks cache

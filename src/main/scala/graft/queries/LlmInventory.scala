@@ -447,6 +447,22 @@ object LlmInventory {
       .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec_id"))
   }
 
+  /** t27: GPT-style sequence packing ([[Sampling.packWindows]]) — the
+    * concatenate-and-cut context assembly every pretraining run does:
+    * docs concatenate in doc_id order into one token stream cut into
+    * 2048-token windows; each doc reports its global start offset, its
+    * window, and whether it straddles a boundary (the attention-loss
+    * fraction worth monitoring). The global running sum is the t13
+    * distributed prefix-sum shape — per-partition totals to the driver,
+    * never a single-partition window. Oracle mirrors t1's token count
+    * and the exclusive running sum. */
+  val t27PackWindows: Q = (s, d) =>
+    Sampling.packWindows(
+      documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", windowTokens = 2048L)
+
   /** s13: OPQ-lite rotated PQ serving, oracle-checked END TO END — the
     * s8 flat-PQ pipeline with a seeded random ORTHONORMAL rotation
     * ([[Similarity.randomRotation]], applied scan-side by the codegen
@@ -964,6 +980,7 @@ object LlmInventory {
     "s11_cluster_sizes" -> s11ClusterSizes,
     "s12_zipwith_dot" -> s12ZipwithDot,
     "s13_pq_rotated_topk" -> s13PqRotatedTopK,
+    "t27_pack_windows" -> t27PackWindows,
     "s10_label_noise" -> s10LabelNoise,
     "t7_hash_split" -> t7HashSplit,
     "t8_deterministic_sample" -> t8DeterministicSample,
@@ -1779,6 +1796,21 @@ object LlmInventory {
         |  SELECT vec_id, CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d/(na*nb) END AS cos
         |  FROM rer) t
         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "t27_pack_windows" ->
+      """WITH s AS (SELECT doc_id, regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t FROM documents),
+        |tok AS (SELECT doc_id,
+        |          CAST(CASE WHEN t = '' THEN 0
+        |               ELSE len(string_split_regex(t, '[ \t\n\x0b\f\r]+')) END AS BIGINT) AS n_tokens
+        |        FROM s),
+        |run AS (SELECT doc_id, n_tokens,
+        |          CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_offset
+        |        FROM tok)
+        |SELECT doc_id, n_tokens, start_offset,
+        |       start_offset // 2048 AS window_id,
+        |       (n_tokens > 0 AND
+        |        (start_offset + n_tokens - 1) // 2048 <> start_offset // 2048) AS crosses
+        |FROM run""".stripMargin,
     "s13_pq_rotated_topk" ->
       s"""WITH m AS (
         |  SELECT list(val ORDER BY pos) AS mv
