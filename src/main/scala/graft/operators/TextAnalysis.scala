@@ -23,6 +23,32 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** RAG/retrieval passage chunker: sliding token windows of
+    * `chunkTokens` starting every `stride` tokens (stride < chunkTokens ⇒
+    * overlapping passages, the retrieval-context shape; stride ==
+    * chunkTokens ⇒ disjoint packing prep). One row per passage:
+    * (id, chunk_idx, token_start, chunk_text); a document shorter than
+    * one window yields a single truncated passage, an empty document
+    * yields none. Pure scan-side explode — tokens, window starts, and
+    * slices are all codegen'd array ops; no shuffle, no UDF. */
+  def passageChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0,
+      s"chunkTokens/stride must be positive, got $chunkTokens/$stride")
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride))))
+      .select(
+        col(idCol),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").cast("long").as("token_start"),
+        array_join(slice(col("__toks"), col("col") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** BPE-ish sub-word proxy: splits on word boundaries AND digit/letter
     * transitions, the usual pre-tokenizer regex shape. */
   def bpeishTokenCount(text: Column): Column =

@@ -463,6 +463,14 @@ object LlmInventory {
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
       "doc_id", "n_tokens", windowTokens = 2048L)
 
+  /** t28: overlapping passage chunks ([[TextAnalysis.passageChunks]]) —
+    * 32-token windows every 24 tokens (8-token overlap, the
+    * retrieval-context shape). Scan-side explode, hash-checked including
+    * every passage's text. */
+  val t28PassageChunks: Q = (s, d) =>
+    TextAnalysis.passageChunks(documents(s, d), "doc_id", "text",
+      chunkTokens = 32, stride = 24)
+
   /** s13: OPQ-lite rotated PQ serving, oracle-checked END TO END — the
     * s8 flat-PQ pipeline with a seeded random ORTHONORMAL rotation
     * ([[Similarity.randomRotation]], applied scan-side by the codegen
@@ -981,6 +989,7 @@ object LlmInventory {
     "s12_zipwith_dot" -> s12ZipwithDot,
     "s13_pq_rotated_topk" -> s13PqRotatedTopK,
     "t27_pack_windows" -> t27PackWindows,
+    "t28_passage_chunks" -> t28PassageChunks,
     "s10_label_noise" -> s10LabelNoise,
     "t7_hash_split" -> t7HashSplit,
     "t8_deterministic_sample" -> t8DeterministicSample,
@@ -1796,6 +1805,20 @@ object LlmInventory {
         |  SELECT vec_id, CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d/(na*nb) END AS cos
         |  FROM rer) t
         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "t28_passage_chunks" ->
+      """WITH s AS (
+        |  SELECT doc_id, regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |         CASE WHEN t = '' THEN []::VARCHAR[]
+        |              ELSE string_split_regex(t, '[ \t\n\x0b\f\r]+') END AS toks
+        |  FROM s)
+        |SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_idx,
+        |       CAST(g.i * 24 AS BIGINT) AS token_start,
+        |       array_to_string(list_slice(toks, g.i * 24 + 1, g.i * 24 + 32), ' ') AS chunk_text
+        |FROM tok CROSS JOIN range(0, 16) g(i)
+        |WHERE len(toks) > 0 AND g.i * 24 < len(toks)""".stripMargin,
     "t27_pack_windows" ->
       """WITH s AS (SELECT doc_id, regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t FROM documents),
         |tok AS (SELECT doc_id,

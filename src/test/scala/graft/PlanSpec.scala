@@ -416,6 +416,20 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), p.take(2000))
   }
 
+  test("j10_overlap_join: overlap range join is an equi hash join, never a nested loop") {
+    val p = planOf("j10_overlap_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(2000))
+  }
+
+  test("t27_pack_windows: distributed prefix sum — no single-partition window") {
+    val p = planOf("t27_pack_windows")
+    assert(!p.contains("SinglePartition"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
   test("s11_cluster_sizes: scan-side assignment — no join, single exchange for the 8-group agg") {
     val p = planOf("s11_cluster_sizes")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(2000))
