@@ -29,7 +29,7 @@ import org.apache.spark.sql.SparkSession
   * graft corpus linededup --in DIR --out DIR [--chunk-tokens 10] [--id-col c] [--text-col c]
   * graft corpus classify --in DIR --out DIR [--threshold 0.0] [--seed w] [--text-col c]
   * graft corpus curate   --in DIR --out DIR [--classify-threshold T] [--chunk-tokens 10] [--dedup-threshold 0.8] [--ref-bench DIR] [--budget N] [--shards K]
-  * graft corpus annindex --in DIR --out DIR [--id-col c] [--vec-col c] [--lists 64] [--pq-m 16] [--pq-ksub 16] [--seed 42]
+  * graft corpus annindex --in DIR --out DIR [--append] [--id-col c] [--vec-col c] [--lists 64] [--pq-m 16] [--pq-ksub 16] [--seed 42]
   * graft corpus annquery --in INDEXDIR {--query-id N | --query-ids N,N,...} [--index DIR] [--id-col c] [--vec-col c] [--k 10] [--nprobe 8] [--path pq|sq8] [--overfetch 16]
   * graft corpus stats    --in DIR [--id-col c] [--text-col c]
   * }}}
@@ -173,6 +173,25 @@ object Main {
         val ksub = opt(args, "pq-ksub").map(_.toInt).getOrElse(16)
         val seed = opt(args, "seed").map(_.toLong).getOrElse(42L)
         val out = outDir
+        if (args.contains("--append")) {
+          // incremental maintenance: reuse the index's persisted trained
+          // params — append ≡ rebuild over the union (RecallSpec)
+          val cents = java.nio.file.Files
+            .readString(java.nio.file.Paths.get(out, "_ann_centroids.tsv"))
+            .split("\n").map(_.split(",").map(_.toFloat))
+          val cbLines = java.nio.file.Files
+            .readString(java.nio.file.Paths.get(out, "_ann_codebooks.tsv"))
+            .split("\n")
+          val Array(am, aksub) = cbLines.head.split(" ").map(_.toInt)
+          val cbs = cbLines.tail.map(_.split(",").map(_.toFloat))
+            .grouped(aksub).map(_.toArray).toArray
+          require(cbs.length == am, s"codebook file shape mismatch: ${cbs.length} != $am")
+          graft.operators.Similarity.appendToIvfIndex(
+            docs, vecCol, cents, out, withSq8Codes = true, pqCodebooksOpt = Some(cbs))
+          println(s"[graft] corpus annindex --append: index now " +
+            s"${spark.read.parquet(out).count()} vectors at $out")
+          return
+        }
         val sampleN = math.max(2000, 20 * lists)
         val cents = graft.operators.Similarity.kmeansCentroids(
           docs, vecCol, lists, iters = 5, seed = seed, sampleN = sampleN)

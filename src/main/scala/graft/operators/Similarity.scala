@@ -425,47 +425,83 @@ object Similarity {
         * [[pqCodebooksResidual]]`(rotation = …)`). The residual rotates
         * scan-side ([[graft.functions.MatVec]]) before encoding. */
       pqRotatedVariants: Seq[(String, Array[Float], Array[Array[Array[Float]]])] = Nil): Unit = {
-    val assigned = ivfAssign(corpus, vecCol, centroids)
-    val withSq8 =
-      if (withSq8Codes) assigned.withColumn("sq8_code", sq8_encode(col(vecCol)))
-      else assigned
-    val allPq = pqCodebooksOpt.map(("pq_code", _)).toSeq ++ pqVariants
-    val indexed =
-      if (allPq.isEmpty && pqRotatedVariants.isEmpty) withSq8
-      else {
-        // residual = vec − centroid(list_id) in RAW space (matches
-        // [[pqCodebooksResidual]]): the per-list centroid rides a
-        // broadcast dim frame; the subtraction is a codegen'd zip_with
-        import corpus.sparkSession.implicits._
-        val centDf = broadcast(
-          centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-            .toDF("list_id", "__cent"))
-        def residual =
-          zip_with(col(vecCol), col("__cent"), (a, b) => a - b).cast("array<float>")
-        val withPlain = allPq.foldLeft(withSq8.join(centDf, Seq("list_id"))) {
-          case (df, (name, cb)) =>
-            df.withColumn(name,
-              pq_encode(residual, pqFlatten(cb), cb.length, cb.head.length))
-        }
-        pqRotatedVariants.foldLeft(withPlain) {
-          case (df, (name, rot, cb)) =>
-            df.withColumn(name,
-              pq_encode(mat_vec(residual, rot),
-                pqFlatten(cb), cb.length, cb.head.length))
-        }.drop("__cent")
-      }
     // cluster by list BEFORE the partitioned write: without this every
     // shuffle partition contributes a file to every list directory
     // (lists × partitions tiny files — 8k files at 256 lists × 32
     // partitions), and per-file open cost dominates probe latency. One
     // hash exchange at build time makes each list exactly ONE file, so a
     // probe of nProbe lists opens nProbe files.
-    indexed
+    indexedFrame(corpus, vecCol, centroids, withSq8Codes,
+      pqCodebooksOpt, pqVariants, pqRotatedVariants)
       .repartition(col("list_id"))
       .sortWithinPartitions("list_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("list_id").parquet(dir)
     writeListManifest(dir)
+  }
+
+  /** Incrementally APPEND new vectors to an existing index — the only
+    * index-maintenance shape that survives 100 TB (a full rebuild per
+    * ingest batch re-reads the corpus). The caller passes the SAME
+    * trained centroids/codebooks the index was built with — assignment
+    * and codes are pure functions of (vector, trained params), so an
+    * appended index is row-identical to a from-scratch rebuild over the
+    * union (asserted in RecallSpec). Each append adds at most one file
+    * per touched list; the manifest is rewritten to include them.
+    * Re-train (and rebuild) when drift makes the coarse quantizer stale —
+    * that event is corpus-wide by nature. */
+  def appendToIvfIndex(
+      newVectors: DataFrame, vecCol: String, centroids: Array[Array[Float]],
+      dir: String,
+      withSq8Codes: Boolean = false,
+      pqCodebooksOpt: Option[Array[Array[Array[Float]]]] = None,
+      pqVariants: Seq[(String, Array[Array[Array[Float]]])] = Nil,
+      pqRotatedVariants: Seq[(String, Array[Float], Array[Array[Array[Float]]])] = Nil): Unit = {
+    indexedFrame(newVectors, vecCol, centroids, withSq8Codes,
+      pqCodebooksOpt, pqVariants, pqRotatedVariants)
+      .repartition(col("list_id"))
+      .sortWithinPartitions("list_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("list_id").parquet(dir)
+    writeListManifest(dir)
+  }
+
+  /** The assignment + code-column construction shared by build and
+    * append. */
+  private def indexedFrame(
+      corpus: DataFrame, vecCol: String, centroids: Array[Array[Float]],
+      withSq8Codes: Boolean,
+      pqCodebooksOpt: Option[Array[Array[Array[Float]]]],
+      pqVariants: Seq[(String, Array[Array[Array[Float]]])],
+      pqRotatedVariants: Seq[(String, Array[Float], Array[Array[Array[Float]]])]): DataFrame = {
+    val assigned = ivfAssign(corpus, vecCol, centroids)
+    val withSq8 =
+      if (withSq8Codes) assigned.withColumn("sq8_code", sq8_encode(col(vecCol)))
+      else assigned
+    val allPq = pqCodebooksOpt.map(("pq_code", _)).toSeq ++ pqVariants
+    if (allPq.isEmpty && pqRotatedVariants.isEmpty) withSq8
+    else {
+      // residual = vec − centroid(list_id) in RAW space (matches
+      // [[pqCodebooksResidual]]): the per-list centroid rides a
+      // broadcast dim frame; the subtraction is a codegen'd zip_with
+      import corpus.sparkSession.implicits._
+      val centDf = broadcast(
+        centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("list_id", "__cent"))
+      def residual =
+        zip_with(col(vecCol), col("__cent"), (a, b) => a - b).cast("array<float>")
+      val withPlain = allPq.foldLeft(withSq8.join(centDf, Seq("list_id"))) {
+        case (df, (name, cb)) =>
+          df.withColumn(name,
+            pq_encode(residual, pqFlatten(cb), cb.length, cb.head.length))
+      }
+      pqRotatedVariants.foldLeft(withPlain) {
+        case (df, (name, rot, cb)) =>
+          df.withColumn(name,
+            pq_encode(mat_vec(residual, rot),
+              pqFlatten(cb), cb.length, cb.head.length))
+      }.drop("__cent")
+    }
   }
 
   /** list_id → parquet-file manifest, written once at index build: probe

@@ -1102,6 +1102,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(pqIds.toSet.intersect(brute).size >= 3, s"pq $pqIds vs brute $brute")
   }
 
+  test("corpus CLI: annindex --append grows the index with the same trained params") {
+    val base = tmp()
+    val corpus = Scale.genClusteredEmbCorpus(spark, 2000L)
+    corpus.filter(col("vec_id") < 1500).write.parquet(s"$base/emb1")
+    corpus.filter(col("vec_id") >= 1500).write.parquet(s"$base/emb2")
+    Main.corpusRun(spark, "annindex",
+      Array("--in", s"$base/emb1", "--out", s"$base/idx",
+        "--id-col", "vec_id", "--lists", "16"))
+    Main.corpusRun(spark, "annindex",
+      Array("--in", s"$base/emb2", "--out", s"$base/idx",
+        "--id-col", "vec_id", "--append"))
+    val idx = spark.read.parquet(s"$base/idx")
+    assert(idx.count() === 2000L)
+    // appended rows carry the full code-column surface
+    assert(idx.filter(col("vec_id") >= 1500)
+      .filter(col("sq8_code").isNotNull && col("pq_code").isNotNull)
+      .count() === 500L)
+    // the manifest includes the appended files: a probe sees new vectors
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos)) {
+      Main.corpusRun(spark, "annquery",
+        Array("--in", s"$base/idx", "--id-col", "vec_id",
+          "--query-id", "1600", "--k", "3", "--nprobe", "16", "--path", "sq8"))
+    }
+    val ids = bos.toString.linesIterator.map(_.split("\t")(0).toLong).toSeq
+    assert(ids.size === 3 && !ids.contains(1600L))
+  }
+
   test("corpus CLI: linededup / classify verbs (D10)") {
     import spark.implicits._
     val base = tmp()

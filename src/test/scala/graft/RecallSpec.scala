@@ -293,6 +293,34 @@ class RecallSpec extends AnyFunSuite {
       s"rotation must recover recall on anisotropic residuals: $rotated <= $plain")
   }
 
+  test("appendToIvfIndex: incremental append ≡ from-scratch rebuild over the union") {
+    val corpus = Scale.genClusteredEmbCorpus(spark, 4000L, nClusters0 = 8).persist()
+    val cents = Similarity.kmeansCentroids(corpus, "embedding", k = 16,
+      iters = 3, seed = 42L, sampleN = 2000)
+    val full = java.nio.file.Files.createTempDirectory("ivf_full").toString
+    val incr = java.nio.file.Files.createTempDirectory("ivf_incr").toString
+    Similarity.writeIvfIndex(corpus, "embedding", cents, full, withSq8Codes = true)
+    Similarity.writeIvfIndex(corpus.filter(col("vec_id") < 2000), "embedding",
+      cents, incr, withSq8Codes = true)
+    Similarity.appendToIvfIndex(corpus.filter(col("vec_id") >= 2000), "embedding",
+      cents, incr, withSq8Codes = true)
+    // identical content: same (vec_id, list_id, code) rows either way
+    def rows(dir: String) = spark.read.parquet(dir)
+      .select("vec_id", "list_id", "sq8_code").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(rows(incr) == rows(full))
+    // identical probe answers through the manifest-backed serving path
+    (0L until 4L).foreach { qid =>
+      val q = corpus.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0)
+      def top(dir: String) = Similarity.ivfSq8TopKIndexed(
+        spark, dir, "vec_id", "embedding", q, k = 5, cents, nProbe = 4)
+        .collect().map(_.getLong(0)).toSeq
+      assert(top(incr) == top(full), s"probe diverged for query $qid")
+    }
+    corpus.unpersist(blocking = false)
+  }
+
   test("SQ8 batch top-k join (s5 shape): prefilter+rerank vs exact topKJoin") {
     val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = em.filter(col("vec_id") < 20)
