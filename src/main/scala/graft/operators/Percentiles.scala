@@ -24,10 +24,21 @@ object Percentiles {
     * arithmetic on the measure itself. */
   def perKey(
       df: DataFrame, keyCol: String, valueCol: String,
-      percents: Seq[Int]): DataFrame = {
+      percents: Seq[Int],
+      /** For genuinely continuous values: bucket to multiples of this
+        * width BEFORE the histogram (reported percentile = its bucket's
+        * lower bound, exact at that quantization). Bounds the histogram
+        * cardinality to range/width per key — the knob that keeps the
+        * cumulative window off corpus-sized input at 100 TB. */
+      quantize: Option[Double] = None): DataFrame = {
     require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
       s"percents must be within [1,100], got $percents")
-    val hist = df.groupBy(col(keyCol), col(valueCol).as("__v"))
+    require(quantize.forall(_ > 0), s"quantize must be positive, got $quantize")
+    val v = quantize match {
+      case Some(q) => floor(col(valueCol) / q) * q
+      case None => col(valueCol)
+    }
+    val hist = df.groupBy(col(keyCol), v.as("__v"))
       .agg(count(lit(1)).as("__cnt"))
     val wCum = Window.partitionBy(keyCol).orderBy(col("__v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

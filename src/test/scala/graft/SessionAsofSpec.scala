@@ -87,6 +87,20 @@ class SessionAsofSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
+  test("Percentiles.perKey: quantile_disc semantics, quantized variant bounds cardinality") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("k", i.toDouble + 0.5)).toDF("key", "v")
+    val exact = graft.operators.Percentiles.perKey(df, "key", "v", Seq(50, 90))
+      .head()
+    // smallest v with cum >= ceil(q*n): p50 -> 50th value (50.5), p90 -> 90.5
+    assert(exact.getAs[Double]("p50") == 50.5 && exact.getAs[Double]("p90") == 90.5)
+    val quant = graft.operators.Percentiles
+      .perKey(df, "key", "v", Seq(50, 90), quantize = Some(10.0))
+      .head()
+    // bucket lower bounds at width 10: 50.5 -> 50.0, 90.5 -> 90.0
+    assert(quant.getAs[Double]("p50") == 50.0 && quant.getAs[Double]("p90") == 90.0)
+  }
+
   test("w4: gap of exactly 1800 s continues a session; 1801 starts a new one") {
     val d = eventsDir(Seq(
       (0L, 0L, 1L, "view"),

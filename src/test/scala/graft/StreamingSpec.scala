@@ -771,6 +771,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq(200L))
   }
 
+  test("streaming ANN index maintenance: foreachBatch append ≡ batch rebuild") {
+    import graft.operators.Similarity
+    // an embedding stream (e.g. freshly-ingested docs) keeps the serving
+    // index current: each micro-batch appends with the FROZEN trained
+    // params — the exactly-once-per-batch parquet append + manifest
+    // rewrite is idempotent at the file level, and append ≡ rebuild
+    // (RecallSpec) makes the maintained index canonical
+    val corpus = Scale.genClusteredEmbCorpus(spark, 3000L, nClusters0 = 8).persist()
+    val cents = Similarity.kmeansCentroids(corpus, "embedding", k = 8,
+      iters = 3, seed = 42L, sampleN = 1000)
+    val dir = java.nio.file.Files.createTempDirectory("ann_stream").toString
+    // bootstrap: first 1000 vectors indexed as a batch
+    Similarity.writeIvfIndex(corpus.filter(col("vec_id") < 1000), "embedding",
+      cents, s"$dir/idx", withSq8Codes = true)
+    // the remaining 2000 arrive as a 4-file parquet stream
+    corpus.filter(col("vec_id") >= 1000).repartition(4)
+      .write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.appendToIvfIndex(batch, "embedding", cents, s"$dir/idx",
+          withSq8Codes = true)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    assert(spark.read.parquet(s"$dir/idx").count() === 3000L)
+    // probe parity against a one-shot rebuild over everything
+    Similarity.writeIvfIndex(corpus, "embedding", cents, s"$dir/full",
+      withSq8Codes = true)
+    val qv = corpus.filter(col("vec_id") === 2500L)
+      .select("embedding").head().getSeq[Float](0)
+    def top(d: String) = Similarity.ivfSq8TopKIndexed(
+      spark, d, "vec_id", "embedding", qv, k = 5, cents, nProbe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top(s"$dir/idx") == top(s"$dir/full"))
+    corpus.unpersist(blocking = false)
+  }
+
   test("sessionize: flatMapGroupsWithState keyed running state") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamingJobs.SessionInput]
