@@ -101,6 +101,52 @@ class SessionAsofSpec extends AnyFunSuite {
     assert(quant.getAs[Double]("p50") == 50.0 && quant.getAs[Double]("p90") == 90.0)
   }
 
+  test("new operators tolerate empty and degenerate inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val emptyEv = Seq.empty[(Long, Long, Long)].toDF("id", "k", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    // sessionize: no rows -> no sessions
+    assert(graft.operators.EventOps
+      .sessionize(emptyEv, "k", "ts", "id").count() == 0)
+    // asofJoin: empty right -> every left row matches null
+    val left = Seq((1L, 5L, 10L)).toDF("id", "k", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val right = Seq.empty[(Long, Long, Long)].toDF("r_id", "k", "r_sec")
+      .withColumn("r_ts", timestamp_seconds(col("r_sec")))
+    val m = graft.operators.EventOps.asofJoin(
+      left, right, "k", "ts", "r_ts", "id", "r_id", Seq("r_id"))
+    assert(m.count() == 1 && m.head().isNullAt(m.columns.indexOf("r_id")))
+    // asofJoin: empty LEFT -> empty output
+    assert(graft.operators.EventOps.asofJoin(
+      emptyEv.withColumnRenamed("id", "l_id"), right,
+      "k", "ts", "r_ts", "l_id", "r_id", Seq("r_id")).count() == 0)
+    // packWindows: empty corpus -> empty packing
+    val emptyDocs = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
+    assert(graft.operators.Sampling
+      .packWindows(emptyDocs, "doc_id", "n_tokens", 2048L).count() == 0)
+    // packWindows: zero/NULL-cost docs take zero stream space, never cross
+    val zeroes = Seq((1L, Some(0L)), (2L, None), (3L, Some(5L)))
+      .toDF("doc_id", "n_tokens")
+    val packed = graft.operators.Sampling
+      .packWindows(zeroes, "doc_id", "n_tokens", 4L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(packed(1L) == ((0L, 0L, false)))
+    assert(packed(2L) == ((0L, 0L, false)))
+    assert(packed(3L) == ((0L, 0L, true))) // 5 tokens cross the 4-token window
+    // percentiles: empty frame -> no keys
+    assert(graft.operators.Percentiles
+      .perKey(emptyDocs.withColumnRenamed("n_tokens", "v"), "doc_id", "v", Seq(50))
+      .count() == 0)
+    // passageChunks: empty and whitespace-only docs yield no passages
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "a b")).toDF("doc_id", "text")
+    val ch = graft.operators.TextAnalysis
+      .passageChunks(docs, "doc_id", "text", chunkTokens = 2, stride = 1)
+      .collect()
+    assert(ch.forall(_.getLong(0) == 3L) && ch.length == 2)
+  }
+
   test("w4: gap of exactly 1800 s continues a session; 1801 starts a new one") {
     val d = eventsDir(Seq(
       (0L, 0L, 1L, "view"),
