@@ -259,6 +259,7 @@ object Scale {
     if (args.headOption.contains("events")) return eventsMain(args)
     if (args.headOption.contains("curate")) return curateMain(args)
     if (args.headOption.contains("layout")) return layoutMain(args)
+    if (args.headOption.contains("kernels")) return kernelsMain(args)
     val totalSlots = args.lift(0).map(_.toLong).getOrElse(1000000L)
     val outMd = args.lift(1).getOrElse("SCALE.md")
     val chunkSize = 1000L
@@ -1006,6 +1007,116 @@ object Scale {
          |""".stripMargin
     spliceSection(outMd, annHeader, section)
     println(s"""{"metric":"scale_ann","value":$indexSec,"unit":"sec","n_vecs":$nVecs,"index_vecs_per_s":${nVecs / indexSec},"brute_avg_s":$bruteAvg,"sq8_avg_s":$sq8Avg,"sq8_recall":$sq8Recall,"pq_avg_s":$pqAvg,"pq_recall":$pqRecall,"pq32_avg_s":$pq32Avg,"pq32_recall":$pq32Recall,"batch_avg_s":$batchAvg,"batch_recall":$batchRecall,"batch100_avg_s":$batch100Avg,"heap_peak_mb":$heapMb}""")
+    spark.stop()
+  }
+
+  private val kernelsHeader = "## Kernel-vs-UDF microbench stage"
+
+  /** `runMain graft.Scale kernels [nDocs]` — the measured case for the
+    * codegen expression kernels: the SAME per-row byte-level function run
+    * three ways over a 1M-doc corpus — (a) as the custom Catalyst
+    * expression (inside WholeStageCodegen, no conversion), (b) behind a
+    * Scala UDF boundary (identical kernel bytes, but every row pays
+    * internal→external→internal conversion and breaks the codegen span),
+    * and for simhash (c) the pre-kernel relational construction
+    * (explode 64 bit-rows per token). Median of 3 after warmup. */
+  private def kernelsMain(args: Array[String]): Unit = {
+    val nDocs = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    val outMd = args.lift(2).getOrElse("SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.udf
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val dir = Files.createTempDirectory("graft_scale_kernels").toString
+    genDedupCorpus(spark, nDocs).write.mode("overwrite").parquet(s"$dir/docs")
+    val docs = spark.read.parquet(s"$dir/docs")
+    def toks = graft.operators.Dedup.tokenSet(col("text"))
+    // the variants share JIT-hot code (the kernel util itself) — timing
+    // one variant's 3 runs before the other's would hand the second a
+    // warmer JIT; interleave A,B,A,B,A,B after warming BOTH
+    def medianPair(a: => Unit, b: => Unit): (Double, Double) = {
+      a; b // joint warmup
+      def once(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val runs = (1 to 3).map(_ => (once(a), once(b)))
+      (runs.map(_._1).sorted.apply(1), runs.map(_._2).sorted.apply(1))
+    }
+    def median3(f: => Unit): Double = medianPair(f, ())._1
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // identical kernel bytes behind a UDF boundary: Seq[String] →
+    // ArrayData conversion in, external value out — the cost under test
+    val simhashUdf = udf((ts: Seq[String]) =>
+      graft.operators.Md5SimHashUtil.simhashHex(
+        new GenericArrayData(ts.map(UTF8String.fromString).toArray)).toString)
+    def strings(ad: org.apache.spark.sql.catalyst.util.ArrayData): Seq[String] =
+      (0 until ad.numElements()).map(i => String.valueOf(ad.getUTF8String(i)))
+    val minhashUdf = udf((ts: Seq[String]) =>
+      strings(graft.operators.Md5MinHashUtil.signature(
+        new GenericArrayData(ts.map(UTF8String.fromString).toArray), 8)))
+    val winnowUdf = udf((t: String) =>
+      strings(graft.operators.WinnowUtil.winnowMd5(UTF8String.fromString(t), 5, 4)))
+    val (simKernel, simUdf) = medianPair(
+      force(docs.select(graft.operators.Similarity.md5SimhashHex(toks).as("h"))),
+      force(docs.select(simhashUdf(toks).as("h"))))
+    val simRelational = median3(force(
+      graft.operators.Similarity.simhashMd5Parity(docs, "doc_id", toks)))
+    val (mhKernel, mhUdf) = medianPair(
+      force(docs.select(graft.operators.MinHash.md5Signature(toks, 8).as("sig"))),
+      force(docs.select(minhashUdf(toks).as("sig"))))
+    val (wKernel, wUdf) = medianPair(
+      force(docs.select(graft.operators.Shingles.winnow(col("text"), 5, 4).as("fp"))),
+      force(docs.select(winnowUdf(col("text")).as("fp"))))
+    // the CHEAP kernel (seeded xxhash64 — no MessageDigest): per-row work
+    // is small enough that the UDF's conversion boundary is visible
+    val xxUdf = udf((ts: Seq[String]) =>
+      graft.operators.MinHashUtil.signature(
+        new GenericArrayData(ts.map(UTF8String.fromString).toArray), 8)
+        .toLongArray())
+    val (xxKernel, xxUdfS) = medianPair(
+      force(docs.select(graft.operators.MinHash.signature(toks, 8).as("sig"))),
+      force(docs.select(xxUdf(toks).as("sig"))))
+    val heapMb = heapPeakMb()
+    def row(name: String, kernel: Double, other: Double, label: String) =
+      f"| $name | $kernel%.1f | $other%.1f ($label) | ${other / kernel}%.1fx |"
+    val section =
+      s"""
+         |$kernelsHeader (same kernel bytes, three execution shapes, ${nDocs / 1000}k docs)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale kernels $nDocs"` —
+         |each custom expression vs a Scala UDF wrapping the IDENTICAL
+         |per-row function, and (simhash) vs the pre-kernel relational
+         |construction. Runs INTERLEAVED A,B,A,B,A,B after a joint warmup
+         |so shared-JIT heat can't bias the second variant; median of 3,
+         |noop-sink forced.
+         |
+         || kernel | expression (s) | alternative (s) | slowdown |
+         ||---|---|---|---|
+         |${row("md5 simhash", simKernel, simUdf, "UDF")}
+         |${row("md5 simhash", simKernel, simRelational, "relational explode")}
+         |${row("md5 minhash k=8", mhKernel, mhUdf, "UDF")}
+         |${row("winnow k=5 w=4", wKernel, wUdf, "UDF")}
+         |${row("xxhash minhash k=8", xxKernel, xxUdfS, "UDF")}
+         |
+         |- the honest reading: where the kernel is MessageDigest-dominated
+         |  (md5 families: ~400 digests/row) the UDF boundary is noise —
+         |  the order-of-magnitude win is the SINGLE-PASS design vs the
+         |  composed/relational form (k interpreted lambda passes or a
+         |  64-rows-per-token explode), which is what the kernels replaced
+         |- for the cheap seeded-xxhash kernel the conversion boundary
+         |  itself is the measurable cost — the case codegen expressions
+         |  exist for
+         |- peak heap $heapMb MB
+         |""".stripMargin
+    spliceSection(outMd, kernelsHeader, section)
+    println(s"""{"metric":"scale_kernels","value":$simKernel,"unit":"sec","n_docs":$nDocs,"sim_kernel_s":$simKernel,"sim_udf_s":$simUdf,"sim_relational_s":$simRelational,"mh_kernel_s":$mhKernel,"mh_udf_s":$mhUdf,"w_kernel_s":$wKernel,"w_udf_s":$wUdf,"xx_kernel_s":$xxKernel,"xx_udf_s":$xxUdfS,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 
