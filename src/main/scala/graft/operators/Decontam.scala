@@ -73,4 +73,26 @@ object Decontam {
       maxBroadcastBytes)
     corpus.join(hits.select(idCol), Seq(idCol), "left_anti")
   }
+
+  /** SEMANTIC decontamination — the embedding-side complement of the
+    * shingle overlap: a corpus item is contaminated when its cosine
+    * against ANY benchmark embedding exceeds `threshold` (paraphrased or
+    * reformatted test items that share no n-grams still land next to
+    * their source in embedding space). Benchmark broadcasts (benchmarks
+    * are small by nature); the corpus never shuffles — per-row codegen'd
+    * cosines and a map-side MAX aggregate, which is order-independent
+    * and exact, so the double score itself is oracle-checkable. */
+  def semanticContamination(
+      corpus: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
+      benchmark: org.apache.spark.sql.DataFrame, benchVecCol: String,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.vec_cosine
+    corpus
+      .crossJoin(broadcast(benchmark.select(col(benchVecCol).as("__b_vec"))))
+      .withColumn("__cos", vec_cosine(col(vecCol), col("__b_vec")))
+      .groupBy(col(idCol))
+      .agg(max(col("__cos")).as("max_benchmark_cosine"))
+      .withColumn("is_contaminated", col("max_benchmark_cosine") > threshold)
+  }
 }

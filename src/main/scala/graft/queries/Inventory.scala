@@ -473,6 +473,16 @@ object Inventory {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** X4: EXCEPT ALL — multiset difference (each occurrence consumes one
+    * match, unlike X1's set EXCEPT): day-1 user activity minus day-2,
+    * multiplicity-aware. */
+  val x4ExceptAll: Q = (s, d) => {
+    val ev = events(s, d)
+    def day(dt: String) =
+      ev.filter(to_date(eventTs(ev)) === lit(dt)).select("user_id", "event_type")
+    day("2024-01-01").exceptAll(day("2024-01-02"))
+  }
+
   /** J10: interval-OVERLAP join ([[graft.operators.IntervalJoin
     * .intervalOverlap]]) — purchase price bands (±2) against click price
     * bands (±1), counted per purchase. The exactly-once construction
@@ -676,6 +686,7 @@ object Inventory {
     "w6_rank_distributions" -> w6RankDistributions,
     "a13_grouping_sets" -> a13GroupingSets,
     "j10_overlap_join" -> j10OverlapJoin,
+    "x4_except_all" -> x4ExceptAll,
     "c1_safe_long_hex" -> c1SafeLongHex,
     "c3_payload_hash" -> c3PayloadHash,
     "c4_popcount" -> c4Popcount,
@@ -902,6 +913,10 @@ object Inventory {
         |      WHERE event_type = 'purchase') b
         |  ON c.value >= b.lo AND c.value <= b.hi
         |GROUP BY c.event_id""".stripMargin,
+    "x4_except_all" ->
+      """SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+        |EXCEPT ALL
+        |SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'""".stripMargin,
     "j10_overlap_join" ->
       """SELECT p_id, count(*) AS n_overlaps
         |FROM (SELECT event_id AS p_id, value - 2 AS p_lo, value + 2 AS p_hi

@@ -447,6 +447,18 @@ object LlmInventory {
       .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec_id"))
   }
 
+  /** t29: SEMANTIC decontamination ([[Decontam.semanticContamination]]) —
+    * benchmark embeddings (vec_id < 20) broadcast against the corpus;
+    * max-cosine per corpus vector and the threshold verdict. MAX over
+    * doubles is order-independent, and both engines fold each cosine
+    * left-to-right in double, so the score hash-matches exactly. */
+  val t29SemanticDecontam: Q = (s, d) => {
+    val em = embeddings(s, d)
+    Decontam.semanticContamination(
+      em.filter(col("vec_id") >= 20), "vec_id", "embedding",
+      em.filter(col("vec_id") < 20), "embedding", threshold = 0.35)
+  }
+
   /** t27: GPT-style sequence packing ([[Sampling.packWindows]]) — the
     * concatenate-and-cut context assembly every pretraining run does:
     * docs concatenate in doc_id order into one token stream cut into
@@ -990,6 +1002,7 @@ object LlmInventory {
     "s13_pq_rotated_topk" -> s13PqRotatedTopK,
     "t27_pack_windows" -> t27PackWindows,
     "t28_passage_chunks" -> t28PassageChunks,
+    "t29_semantic_decontam" -> t29SemanticDecontam,
     "s10_label_noise" -> s10LabelNoise,
     "t7_hash_split" -> t7HashSplit,
     "t8_deterministic_sample" -> t8DeterministicSample,
@@ -1805,6 +1818,21 @@ object LlmInventory {
         |  SELECT vec_id, CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d/(na*nb) END AS cos
         |  FROM rer) t
         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "t29_semantic_decontam" ->
+      """WITH b AS (SELECT embedding AS bv FROM embeddings WHERE vec_id < 20),
+        |p AS (
+        |  SELECT e.vec_id,
+        |    list_reduce(list_transform(range(1, len(e.embedding)+1),
+        |      j -> e.embedding[j]::DOUBLE * b.bv[j]::DOUBLE), (a,b) -> a+b) AS d,
+        |    sqrt(list_reduce(list_transform(range(1, len(e.embedding)+1),
+        |      j -> e.embedding[j]::DOUBLE * e.embedding[j]::DOUBLE), (a,b) -> a+b)) AS na,
+        |    sqrt(list_reduce(list_transform(range(1, len(b.bv)+1),
+        |      j -> b.bv[j]::DOUBLE * b.bv[j]::DOUBLE), (a,b) -> a+b)) AS nb
+        |  FROM embeddings e CROSS JOIN b WHERE e.vec_id >= 20)
+        |SELECT vec_id,
+        |       MAX(CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d/(na*nb) END) AS max_benchmark_cosine,
+        |       MAX(CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d/(na*nb) END) > 0.35 AS is_contaminated
+        |FROM p GROUP BY vec_id""".stripMargin,
     "t28_passage_chunks" ->
       """WITH s AS (
         |  SELECT doc_id, regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t
