@@ -424,6 +424,16 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), p.take(2000))
   }
 
+  test("t29_semantic_decontam: benchmark broadcasts; corpus exchanges once for the agg") {
+    val p = planOf("t29_semantic_decontam")
+    // the 20-row benchmark side rides a BroadcastExchange (the cross
+    // product IS the operator; the corpus never shuffles as join input)
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(2000))
+    assert(exchangeCount(p) <= 1, p.take(2000))
+  }
+
   test("t27_pack_windows: distributed prefix sum — no single-partition window") {
     val p = planOf("t27_pack_windows")
     assert(!p.contains("SinglePartition"), p.take(2000))
