@@ -1081,6 +1081,70 @@ object Scale {
       joined.unpersist(blocking = false)
       (n, found)
     }
+    // --- ANN serving head-to-head: 20 queries over a 200k-vector corpus —
+    // our manifest-backed batched IVF-SQ8 probe vs MLlib's per-query
+    // BucketedRandomProjectionLSH.approxNearestNeighbors (euclidean ≈
+    // cosine ranking on unit-normalized vectors). Recall measured against
+    // the brute-force cosine top-10.
+    val nVecs = nDocs
+    val emb = genClusteredEmbCorpus(spark, nVecs, nClusters0 = 64)
+      .withColumn("embedding",
+        transform(col("embedding"), x =>
+          (x / sqrt(aggregate(col("embedding"), lit(0.0d),
+            (a, b) => a + b.cast("double") * b.cast("double")))).cast("float")))
+      .persist()
+    emb.count()
+    val queries = (0L until 20L).map { qid =>
+      (qid, emb.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0).toArray)
+    }
+    val brute = queries.map { case (qid, q) =>
+      qid -> graft.operators.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") =!= qid), "vec_id", "embedding", q.toSeq, 10)
+        .collect().map(_.getLong(0)).toSet
+    }.toMap
+    val (cents, ourBuildSec) = timed {
+      val c = graft.operators.Similarity.kmeansCentroids(
+        emb, "embedding", k = 64, iters = 5, seed = 42L, sampleN = 4000)
+      graft.operators.Similarity.writeIvfIndex(
+        emb, "embedding", c, s"$dir/idx", withSq8Codes = true)
+      c
+    }
+    val (annOur, ourAnnSec) = timed {
+      graft.operators.Similarity.ivfSq8TopKJoinIndexed(
+        spark, s"$dir/idx", "vec_id", "embedding",
+        queries, k = 10, cents, nProbe = 8, excludeSelf = true)
+        .collect().groupBy(_.getLong(0))
+        .map { case (qid, rows) => qid -> rows.map(_.getLong(1)).toSet }
+    }
+    val ourAnnRecall = queries.map { case (qid, _) =>
+      annOur.getOrElse(qid, Set.empty[Long]).intersect(brute(qid)).size }.sum / 200.0
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.linalg.Vectors
+    val toVec = udf((xs: Seq[Float]) =>
+      Vectors.dense(xs.map(_.toDouble).toArray))
+    val vecDf = emb.select(col("vec_id"), toVec(col("embedding")).as("features"))
+      .persist()
+    val (model, mlBuildSec) = timed {
+      vecDf.count()
+      new BucketedRandomProjectionLSH()
+        .setInputCol("features").setOutputCol("hashes")
+        .setBucketLength(0.5).setNumHashTables(8).setSeed(42L)
+        .fit(vecDf)
+    }
+    val (annMl, mlAnnSec) = timed {
+      queries.map { case (qid, q) =>
+        qid -> model.approxNearestNeighbors(
+          vecDf.filter(col("vec_id") =!= qid),
+          Vectors.dense(q.map(_.toDouble)), 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+      }.toMap
+    }
+    vecDf.unpersist(blocking = false)
+    val mlAnnRecall = queries.map { case (qid, _) =>
+      annMl.getOrElse(qid, Set.empty[Long]).intersect(brute(qid)).size }.sum / 200.0
+    emb.unpersist(blocking = false)
+
     val heapMb = heapPeakMb()
     val section =
       s"""
@@ -1097,10 +1161,25 @@ object Scale {
          || graft (kernel LSH + verify) | ${f"$ourSec%.1f"} | $ourPairs | $ourFound / $planted (${f"${ourFound.toDouble / planted}%.3f"}) |
          || Spark MLlib approxSimilarityJoin | ${f"$mlSec%.1f"} | $mlPairs | $mlFound / $planted (${f"${mlFound.toDouble / planted}%.3f"}) |
          |
-         |- peak heap $heapMb MB; corpus and plants identical for both
+         |ANN serving, same ${nVecs / 1000}k-vector unit-normalized clustered corpus,
+         |20 queries, recall@10 vs the brute-force cosine top-10:
+         |
+         || pipeline | build (s) | serve 20 queries (s) | per query (s) | recall@10 |
+         ||---|---|---|---|---|
+         || graft IVF-SQ8 batched probe (one job, all 20) | ${f"$ourBuildSec%.1f"} | ${f"$ourAnnSec%.1f"} | ${f"${ourAnnSec / 20}%.3f"} | ${f"$ourAnnRecall%.3f"} |
+         || MLlib BRP-LSH approxNearestNeighbors (per query) | ${f"$mlBuildSec%.1f"} | ${f"$mlAnnSec%.1f"} | ${f"${mlAnnSec / 20}%.3f"} | ${f"$mlAnnRecall%.3f"} |
+         |
+         |- build-vs-serve is the honest split: the IVF index pays a one-time
+         |  materialization (amortized over every later query and maintained
+         |  incrementally — appendToIvfIndex) to make each probe read
+         |  nProbe/lists of 1-byte codes; MLlib's model is cheap to fit but
+         |  every query re-scans hashed vectors — and its per-query cost
+         |  GROWS with the corpus while the probe's shrinks relatively (see
+         |  the 1M-vector ANN stage: probes beat even the brute scan there)
+         |- peak heap $heapMb MB; corpora and plants identical for both
          |""".stripMargin
     spliceSection(outMd, mllibHeader, section)
-    println(s"""{"metric":"scale_mllib","value":$ourSec,"unit":"sec","n_docs":$nDocs,"our_s":$ourSec,"our_pairs":$ourPairs,"our_recall":${ourFound.toDouble / planted},"mllib_s":$mlSec,"mllib_pairs":$mlPairs,"mllib_recall":${mlFound.toDouble / planted},"heap_peak_mb":$heapMb}""")
+    println(s"""{"metric":"scale_mllib","value":$ourSec,"unit":"sec","n_docs":$nDocs,"our_s":$ourSec,"our_pairs":$ourPairs,"our_recall":${ourFound.toDouble / planted},"mllib_s":$mlSec,"mllib_pairs":$mlPairs,"mllib_recall":${mlFound.toDouble / planted},"our_ann_build_s":$ourBuildSec,"our_ann_s":$ourAnnSec,"our_ann_recall":$ourAnnRecall,"mllib_ann_build_s":$mlBuildSec,"mllib_ann_s":$mlAnnSec,"mllib_ann_recall":$mlAnnRecall,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 
