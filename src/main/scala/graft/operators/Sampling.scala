@@ -257,7 +257,11 @@ object Sampling {
     * context). The global running sum is the t13 DISTRIBUTED prefix sum —
     * range partition on the order key, per-partition totals to the driver
     * (one row per partition), broadcast offsets, in-partition window —
-    * never a single-partition funnel. NULL costs count as 0. */
+    * never a single-partition funnel. NULL costs count as 0.
+    *
+    * The returned frame is CALLER-OWNED PERSISTED (the tokenBudgetSelect
+    * contract): unpersist it when done, or use [[withPackWindows]] for
+    * structural release. */
   def packWindows(
       df: DataFrame, idCol: String, costCol: String,
       windowTokens: Long): DataFrame = {
@@ -297,6 +301,15 @@ object Sampling {
       catch { case e: Throwable => out.unpersist(blocking = false); throw e }
       out
     } finally parted.unpersist(blocking = false)
+  }
+
+  /** Loan-pattern wrapper for [[packWindows]] — structural release of the
+    * caller-owned persisted packing frame. */
+  def withPackWindows[T](
+      df: DataFrame, idCol: String, costCol: String, windowTokens: Long)(
+      f: DataFrame => T): T = {
+    val packed = packWindows(df, idCol, costCol, windowTokens)
+    try f(packed) finally packed.unpersist(blocking = false)
   }
 
   /** Loan-pattern wrapper for [[tokenBudgetSelect]]: the selection frame is

@@ -473,6 +473,26 @@ object Inventory {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** A14: 7-day rolling distinct users (rolling DAU) — the windowed
+    * DISTINCT aggregate no engine can merge incrementally, made linear by
+    * the EXPANSION trick: each (user, active-day) pair contributes to the
+    * 7 windows ending on day..day+6, so explode ×7, clip to observed
+    * days (broadcast — day cardinality is tiny), distinct, count. At
+    * 100 TB the input to the explode is the already-distinct (user, day)
+    * frame, never raw events, and nothing ever holds a per-window
+    * distinct set. */
+  val a14RollingDau: Q = (s, d) => {
+    val ev = events(s, d)
+    val act = ev.select(col("user_id"), to_date(eventTs(ev)).as("day")).distinct()
+    val days = act.select("day").distinct()
+    act
+      .withColumn("day", explode(sequence(col("day"), date_add(col("day"), 6))))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .distinct()
+      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("dau7"))
+  }
+
   /** X4: EXCEPT ALL — multiset difference (each occurrence consumes one
     * match, unlike X1's set EXCEPT): day-1 user activity minus day-2,
     * multiplicity-aware. */
@@ -687,6 +707,7 @@ object Inventory {
     "a13_grouping_sets" -> a13GroupingSets,
     "j10_overlap_join" -> j10OverlapJoin,
     "x4_except_all" -> x4ExceptAll,
+    "a14_rolling_dau" -> a14RollingDau,
     "c1_safe_long_hex" -> c1SafeLongHex,
     "c3_payload_hash" -> c3PayloadHash,
     "c4_popcount" -> c4Popcount,
@@ -913,6 +934,15 @@ object Inventory {
         |      WHERE event_type = 'purchase') b
         |  ON c.value >= b.lo AND c.value <= b.hi
         |GROUP BY c.event_id""".stripMargin,
+    "a14_rolling_dau" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM act),
+        |expanded AS (
+        |  SELECT DISTINCT a.user_id, d.day
+        |  FROM act a JOIN days d
+        |    ON d.day >= a.day AND d.day <= a.day + INTERVAL 6 DAY)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS dau7
+        |FROM expanded GROUP BY day""".stripMargin,
     "x4_except_all" ->
       """SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'
         |EXCEPT ALL
