@@ -117,7 +117,13 @@ object StreamingJobs {
     * identical; watermarks no-op). */
   def attributionJoin(
       clicks: DataFrame, purchases: DataFrame,
-      withinSeconds: Long = 3600L, lateness: String = "30 minutes"): DataFrame = {
+      withinSeconds: Long = 3600L, lateness: String = "30 minutes",
+      /** `inner` (matches only) or `left_outer`: unmatched clicks emit a
+        * (click, NULL purchase) row once the watermark proves no purchase
+        * can still arrive inside the window — the streaming "abandoned
+        * click" report. Outer emission REQUIRES the watermark + time
+        * bound; without them the engine could never rule a match out. */
+      joinType: String = "inner"): DataFrame = {
     val c = if (clicks.isStreaming) clicks.withWatermark("click_ts", lateness) else clicks
     val p =
       if (purchases.isStreaming) purchases.withWatermark("purchase_ts", lateness)
@@ -125,7 +131,8 @@ object StreamingJobs {
     c.join(p,
       expr(s"""c_user = p_user
               |AND purchase_ts >= click_ts
-              |AND purchase_ts <= click_ts + INTERVAL $withinSeconds SECONDS""".stripMargin))
+              |AND purchase_ts <= click_ts + INTERVAL $withinSeconds SECONDS""".stripMargin),
+      joinType)
       .select(
         col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
         (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))

@@ -757,6 +757,38 @@ class StreamingSpec extends AnyFunSuite {
       rows.head.getAs[Long]("lag_s") == 300L)
   }
 
+  test("attributionJoin left_outer: unmatched click emits with NULL once provably matchless") {
+    implicit val sq = spark.sqlContext
+    val t0 = 1700000000000L
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val out = StreamingJobs.attributionJoin(
+      clicks.toDF().toDF("c_user", "click_id", "click_ts"),
+      purchases.toDF().toDF("p_user", "purchase_id", "purchase_ts"),
+      withinSeconds = 60L, lateness = "10 seconds", joinType = "left_outer")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("attr_lo").start()
+    clicks.addData((1L, 100L, new java.sql.Timestamp(t0)))
+    q.processAllAvailable()
+    // no emission yet: a purchase inside the 60 s window could still come
+    assert(spark.sql("SELECT * FROM attr_lo").count() == 0)
+    // watermark advances far past click_ts + 60 s on BOTH streams
+    clicks.addData((2L, 101L, new java.sql.Timestamp(t0 + 600 * 1000)))
+    purchases.addData((2L, 200L, new java.sql.Timestamp(t0 + 601 * 1000)))
+    q.processAllAvailable()
+    clicks.addData((2L, 102L, new java.sql.Timestamp(t0 + 1200 * 1000)))
+    purchases.addData((2L, 201L, new java.sql.Timestamp(t0 + 1201 * 1000)))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM attr_lo").collect()
+    q.stop()
+    val unmatched = rows.filter(_.getAs[Long]("click_id") == 100L)
+    assert(unmatched.length == 1, rows.mkString(";"))
+    assert(unmatched.head.isNullAt(unmatched.head.fieldIndex("purchase_id")))
+    // the matched pair from user 2 also flows through
+    assert(rows.exists(r => r.getAs[Long]("click_id") == 101L &&
+      r.getAs[Long]("purchase_id") == 200L))
+  }
+
   test("attributionJoin: batch parity — same construction on static frames") {
     import spark.implicits._
     val t0 = 1700000000000L
