@@ -31,6 +31,8 @@ import org.apache.spark.sql.SparkSession
   * graft corpus curate   --in DIR --out DIR [--classify-threshold T] [--chunk-tokens 10] [--dedup-threshold 0.8] [--ref-bench DIR] [--budget N] [--shards K]
   * graft corpus annindex --in DIR --out DIR [--append] [--id-col c] [--vec-col c] [--lists 64] [--pq-m 16] [--pq-ksub 16] [--seed 42]
   * graft corpus annquery --in INDEXDIR {--query-id N | --query-ids N,N,...} [--index DIR] [--id-col c] [--vec-col c] [--k 10] [--nprobe 8] [--path pq|sq8] [--overfetch 16]
+  * graft corpus pack     --in DIR --out DIR [--window-tokens 2048] [--id-col c] [--text-col c]
+  * graft corpus chunk    --in DIR --out DIR [--chunk-tokens 256] [--stride 192] [--id-col c] [--text-col c]
   * graft corpus stats    --in DIR [--id-col c] [--text-col c]
   * }}}
   *
@@ -81,7 +83,7 @@ object Main {
     case "corpus" :: cmd :: rest
         if Set("dedup", "semdedup", "scrub", "lmfilter", "linededup",
           "classify", "curate", "cap", "sample", "upsample", "export",
-          "annindex", "annquery", "stats")(cmd) =>
+          "annindex", "annquery", "stats", "pack", "chunk")(cmd) =>
       val spark = session()
       try corpusRun(spark, cmd, rest.toArray) finally spark.stop()
     case _ =>
@@ -411,6 +413,33 @@ object Main {
         funnel += "written" -> kept
         println("[graft] corpus curate funnel: " +
           funnel.map { case (k, v) => s"$k=$v" }.mkString(" -> "))
+      case "pack" =>
+        // sequence packing: per-doc global offset / window id / crossing
+        // flag for concatenate-and-cut context assembly
+        val windowTokens = opt(args, "window-tokens").map(_.toLong).getOrElse(2048L)
+        val out = outDir
+        val withTokens = docs.withColumn("__n_tokens",
+          graft.operators.TextAnalysis.tokenCount(col(textCol)).cast("long"))
+        graft.operators.Sampling.withPackWindows(
+          withTokens, idCol, "__n_tokens", windowTokens) { packed =>
+          packed.withColumnRenamed("__n_tokens", "n_tokens")
+            .write.mode("overwrite").parquet(out)
+        }
+        val packedDf = spark.read.parquet(out)
+        val crossing = packedDf.filter(col("crosses")).count()
+        println(s"[graft] corpus pack: ${packedDf.count()} docs into " +
+          s"${windowTokens}-token windows ($crossing cross a boundary)")
+      case "chunk" =>
+        // overlapping passage chunks (retrieval-context shape)
+        val chunkTokens = opt(args, "chunk-tokens").map(_.toInt).getOrElse(256)
+        val stride = opt(args, "stride").map(_.toInt).getOrElse(192)
+        val out = outDir
+        graft.operators.TextAnalysis
+          .passageChunks(docs, idCol, textCol, chunkTokens, stride)
+          .write.mode("overwrite").parquet(out)
+        val n = spark.read.parquet(out).count()
+        println(s"[graft] corpus chunk: $n passages " +
+          s"($chunkTokens tokens, stride $stride) at $out")
       case "stats" =>
         val q = graft.operators.TextAnalysis.qualityFilter(docs, textCol)
         val r = q.agg(

@@ -1130,6 +1130,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids.size === 3 && !ids.contains(1600L))
   }
 
+  test("corpus CLI: pack / chunk verbs (D10)") {
+    import spark.implicits._
+    val base = tmp()
+    Seq((1L, "a b c d e"), (2L, "f g h"), (3L, "i j"))
+      .toDF("doc_id", "text").write.parquet(s"$base/pc_in")
+    Main.corpusRun(spark, "pack",
+      Array("--in", s"$base/pc_in", "--out", s"$base/packed",
+        "--window-tokens", "4"))
+    val packed = spark.read.parquet(s"$base/packed")
+      .select("doc_id", "n_tokens", "start_offset", "window_id", "crosses")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(packed(1L) == ((5L, 0L, 0L, true)))  // 5 tokens cross window 0
+    assert(packed(2L) == ((3L, 5L, 1L, false))) // offsets 5..7 stay in window 1
+    assert(packed(3L) == ((2L, 8L, 2L, false)))
+    Main.corpusRun(spark, "chunk",
+      Array("--in", s"$base/pc_in", "--out", s"$base/chunks",
+        "--chunk-tokens", "3", "--stride", "2"))
+    val chunks = spark.read.parquet(s"$base/chunks")
+    assert(chunks.filter(col("doc_id") === 1L).count() == 3) // starts 0,2,4
+    assert(chunks.filter(col("doc_id") === 1L && col("chunk_idx") === 0)
+      .head().getAs[String]("chunk_text") == "a b c")
+  }
+
   test("corpus CLI: linededup / classify verbs (D10)") {
     import spark.implicits._
     val base = tmp()
