@@ -473,6 +473,22 @@ object Inventory {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** W7: first-touch / last-touch attribution — first_value and
+    * last_value over the full per-user frame (explicit
+    * unbounded-to-unbounded bounds: last_value's DEFAULT frame ends at
+    * the current row, the classic silent-wrong-answer). One row per
+    * event, deterministic order key. */
+  val w7FirstTouch: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events(s, d)
+      .filter(col("event_id") < 3000)
+      .select(
+        col("user_id"), col("event_id"),
+        first(col("event_type")).over(w).as("first_touch"),
+        last(col("event_type")).over(w).as("last_touch"))
+  }
+
   /** A14: 7-day rolling distinct users (rolling DAU) — the windowed
     * DISTINCT aggregate no engine can merge incrementally, made linear by
     * the EXPANSION trick: each (user, active-day) pair contributes to the
@@ -708,6 +724,7 @@ object Inventory {
     "j10_overlap_join" -> j10OverlapJoin,
     "x4_except_all" -> x4ExceptAll,
     "a14_rolling_dau" -> a14RollingDau,
+    "w7_first_touch" -> w7FirstTouch,
     "c1_safe_long_hex" -> c1SafeLongHex,
     "c3_payload_hash" -> c3PayloadHash,
     "c4_popcount" -> c4Popcount,
@@ -934,6 +951,13 @@ object Inventory {
         |      WHERE event_type = 'purchase') b
         |  ON c.value >= b.lo AND c.value <= b.hi
         |GROUP BY c.event_id""".stripMargin,
+    "w7_first_touch" ->
+      """SELECT user_id, event_id,
+        |  first_value(event_type) OVER w AS first_touch,
+        |  last_value(event_type) OVER w AS last_touch
+        |FROM events WHERE event_id < 3000
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "a14_rolling_dau" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |days AS (SELECT DISTINCT day FROM act),
