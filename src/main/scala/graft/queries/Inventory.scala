@@ -509,6 +509,32 @@ object Inventory {
       .agg(count(lit(1)).as("dau7"))
   }
 
+  /** A15: ordered-funnel conversion (signup → click → purchase, each
+    * step strictly AFTER the user's previous step) — the product-
+    * analytics sequence-match operator, built as CHAINED CONDITIONAL
+    * MINIMA: stage k is one filter + join-on-user + min-aggregate over
+    * stage k−1's frontier timestamps. Three narrow shuffles on user_id,
+    * no per-user event-list collection, no window over raw events —
+    * the only shape that holds when one user has millions of events.
+    * Reports reached-users per stage. */
+  val a15FunnelConversion: Q = (s, d) => {
+    val ev = events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id")).filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id")).filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    import s.implicits._
+    Seq(
+      (1, "signup", s1.count()),
+      (2, "click_after_signup", s2.count()),
+      (3, "purchase_after_click", s3.count()))
+      .toDF("stage", "step", "n_users")
+  }
+
   /** X4: EXCEPT ALL — multiset difference (each occurrence consumes one
     * match, unlike X1's set EXCEPT): day-1 user activity minus day-2,
     * multiplicity-aware. */
@@ -725,6 +751,7 @@ object Inventory {
     "x4_except_all" -> x4ExceptAll,
     "a14_rolling_dau" -> a14RollingDau,
     "w7_first_touch" -> w7FirstTouch,
+    "a15_funnel_conversion" -> a15FunnelConversion,
     "c1_safe_long_hex" -> c1SafeLongHex,
     "c3_payload_hash" -> c3PayloadHash,
     "c4_popcount" -> c4Popcount,
@@ -951,6 +978,16 @@ object Inventory {
         |      WHERE event_type = 'purchase') b
         |  ON c.value >= b.lo AND c.value <= b.hi
         |GROUP BY c.event_id""".stripMargin,
+    "a15_funnel_conversion" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT 1 AS stage, 'signup' AS step, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'click_after_signup', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase_after_click', count(*) FROM s3""".stripMargin,
     "w7_first_touch" ->
       """SELECT user_id, event_id,
         |  first_value(event_type) OVER w AS first_touch,
