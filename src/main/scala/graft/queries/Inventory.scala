@@ -535,6 +535,22 @@ object Inventory {
       .toDF("stage", "step", "n_users")
   }
 
+  /** A16: day-7 retention cohorts — users grouped by first-activity day,
+    * retained = active exactly 7 days later. Two user-keyed aggregations
+    * and one join on the distinct (user, day) frame; no per-cohort
+    * scanning, linear at any event volume. */
+  val a16RetentionCohorts: Q = (s, d) => {
+    val ev = events(s, d)
+    val act = ev.select(col("user_id"), to_date(eventTs(ev)).as("day")).distinct()
+    val first = act.groupBy("user_id").agg(min("day").as("cohort"))
+    first.join(act, Seq("user_id"))
+      .groupBy("user_id", "cohort")
+      .agg(max(when(col("day") === date_add(col("cohort"), 7), 1L)
+        .otherwise(0L)).as("d7"))
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"))
+      .agg(count(lit(1)).as("n_users"), sum("d7").as("retained_d7"))
+  }
+
   /** X4: EXCEPT ALL — multiset difference (each occurrence consumes one
     * match, unlike X1's set EXCEPT): day-1 user activity minus day-2,
     * multiplicity-aware. */
@@ -752,6 +768,7 @@ object Inventory {
     "a14_rolling_dau" -> a14RollingDau,
     "w7_first_touch" -> w7FirstTouch,
     "a15_funnel_conversion" -> a15FunnelConversion,
+    "a16_retention_cohorts" -> a16RetentionCohorts,
     "c1_safe_long_hex" -> c1SafeLongHex,
     "c3_payload_hash" -> c3PayloadHash,
     "c4_popcount" -> c4Popcount,
@@ -978,6 +995,15 @@ object Inventory {
         |      WHERE event_type = 'purchase') b
         |  ON c.value >= b.lo AND c.value <= b.hi
         |GROUP BY c.event_id""".stripMargin,
+    "a16_retention_cohorts" ->
+      """WITH first AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |ret AS (SELECT f.cohort, f.user_id,
+        |          MAX(CASE WHEN a.day = f.cohort + INTERVAL 7 DAY THEN 1 ELSE 0 END) AS d7
+        |        FROM first f JOIN act a USING (user_id) GROUP BY f.cohort, f.user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, count(*) AS n_users,
+        |       CAST(SUM(d7) AS BIGINT) AS retained_d7
+        |FROM ret GROUP BY cohort""".stripMargin,
     "a15_funnel_conversion" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
         |            WHERE event_type = 'signup' GROUP BY user_id),
