@@ -440,6 +440,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(2000))
   }
 
+  test("a14_rolling_dau: day-clip rides a broadcast semi-join, no cartesian") {
+    val p = planOf("a14_rolling_dau")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+  }
+
+  test("w7_first_touch: one user_id exchange, no single-partition window") {
+    val p = planOf("w7_first_touch")
+    assert(exchangeCount(p) == 1, p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
+
+  test("a15_funnel_conversion: stage joins are hash joins, never nested loops") {
+    val p = planOf("a15_funnel_conversion")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
   test("s11_cluster_sizes: scan-side assignment — no join, single exchange for the 8-group agg") {
     val p = planOf("s11_cluster_sizes")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(2000))
