@@ -5,6 +5,7 @@ import graft.operators.{Md5MinHashSignature, MinHashSignature, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** SparkSessionExtensions entry point: registers every custom Catalyst
   * expression as a SQL function, so
@@ -153,6 +154,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (es.length != 2)
           fail(s"morton_interleave(a, b) takes exactly 2 arguments, got ${es.length}")
         MortonInterleave(es.head, es(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("range_bucket"),
+      info("range_bucket",
+        "static-interval lookup: bucket index of a double over a sorted " +
+          "literal boundary array (zero-join broadcast-dim range lookup)"),
+      (es: Seq[Expression]) => {
+        if (es.length != 2)
+          fail(s"range_bucket(v, bounds) takes exactly 2 arguments, got ${es.length}")
+        val bounds = staticArg(es, 1, "range_bucket", "bounds") match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            es(1).dataType match {
+              case ArrayType(DoubleType, _) => a.toDoubleArray()
+              case other => fail("range_bucket: bounds must be an " +
+                s"ARRAY<DOUBLE> literal, got ${other.simpleString}")
+            }
+          case other =>
+            fail("range_bucket: bounds must be an ARRAY<DOUBLE> literal, " +
+              s"got ${other.getClass.getSimpleName}")
+        }
+        RangeBucket(es.head, bounds)
       }))
     e.injectFunction((
       FunctionIdentifier("minhash_signature"),

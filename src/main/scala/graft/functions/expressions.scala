@@ -100,6 +100,51 @@ case class CanonicalJsonHash16(child: Expression)
   override def prettyName: String = "canonical_json_hash16"
 }
 
+/** Static-interval lookup kernel (called from generated code). The
+  * boundary array is a plan-bound constant — the broadcast-small-dim
+  * archetype (IP→geo block, value→price tier, slot→fork epoch) where the
+  * dim table is static and tiny but the fact side is 100 TB. Joining
+  * `fact.v BETWEEN dim.lo AND dim.hi` makes Spark plan a
+  * BroadcastNestedLoopJoin — O(rows × intervals) comparisons and a join
+  * node in every plan. Binary search over the sorted bounds is
+  * O(rows × log intervals), stays inside WholeStageCodegen, and involves
+  * no join at all. */
+object RangeUtil {
+  /** Greatest `i` with `bounds(i) <= v`, else -1 below `bounds(0)`;
+    * `v >= bounds(last)` lands in the last bucket (upper range open).
+    * `bounds` must be sorted ascending. NaN orders above every bound
+    * (java.lang.Double ordering) → last bucket. */
+  def bucket(v: Double, bounds: Array[Double]): Int = {
+    val idx = java.util.Arrays.binarySearch(bounds, v)
+    if (idx >= 0) idx else -idx - 2
+  }
+}
+
+/** Codegen'd static-interval lookup: value → bucket index over a sorted
+  * plan-constant boundary array ([[RangeUtil.bucket]]). `width_bucket`
+  * generalized to arbitrary (non-uniform) boundaries. */
+case class RangeBucket(child: Expression, bounds: Array[Double])
+    extends UnaryExpression {
+  require(bounds.nonEmpty && bounds.sameElements(bounds.sorted),
+    "range_bucket bounds must be non-empty and sorted ascending")
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a double input, got ${child.dataType.simpleString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    RangeUtil.bucket(v.asInstanceOf[Double], bounds)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("rangeBounds", bounds, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.RangeUtil.bucket($c, $bRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): RangeBucket =
+    copy(child = c)
+  override def prettyName: String = "range_bucket"
+}
+
 object FloatVectorOps {
   /** Dot product of two float vectors, accumulated in double, sequential
     * left-to-right — deterministic for a fixed array order. */
@@ -123,6 +168,26 @@ object FloatVectorOps {
     val d = dot(a, b)
     val na = norm(a)
     val nb = norm(b)
+    if (na == 0.0 || nb == 0.0) 0.0 else d / (na * nb)
+  }
+
+  /** Driver-side twin of [[cosine]] over plain arrays — IDENTICAL
+    * operation order (sequential double fold, norms via sqrt of the
+    * squared sum, one final division), so a bounded pool collected to
+    * the driver scores bitwise-equal to the scan-side expression. */
+  def cosineArrays(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var d = 0.0
+    var i = 0
+    while (i < n) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+    var sa = 0.0
+    i = 0
+    while (i < a.length) { val v = a(i).toDouble; sa += v * v; i += 1 }
+    var sb = 0.0
+    i = 0
+    while (i < b.length) { val v = b(i).toDouble; sb += v * v; i += 1 }
+    val na = math.sqrt(sa)
+    val nb = math.sqrt(sb)
     if (na == 0.0 || nb == 0.0) 0.0 else d / (na * nb)
   }
 }
@@ -440,6 +505,10 @@ object GraftFunctions {
   def payload_hash16(c: Column): Column = col(CanonicalJsonHash16(expr(c)))
   def morton_interleave(a: Column, b: Column): Column =
     col(MortonInterleave(expr(a), expr(b)))
+  /** Static-interval (broadcast-dim) lookup: bucket index over sorted
+    * plan-constant boundaries — the zero-join range-lookup path. */
+  def range_bucket(c: Column, bounds: Array[Double]): Column =
+    col(RangeBucket(expr(c), bounds))
   def vec_dot(a: Column, b: Column): Column = col(FloatVectorDot(expr(a), expr(b)))
   def vec_cosine(a: Column, b: Column): Column =
     col(FloatVectorCosine(expr(a), expr(b)))

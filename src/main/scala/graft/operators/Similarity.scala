@@ -266,6 +266,79 @@ object Similarity {
         .limit(k)
   }
 
+  /** Maximal-marginal-relevance diverse top-k — the data-SELECTION shape
+    * (Carbonell & Goldstein 1998; used for retrieval-context and
+    * training-subset diversity): greedily pick the candidate maximizing
+    * `lambda·rel(c) − mu·max_{p∈picked} sim(c, p)`, so each pick is
+    * relevant to the query AND far from everything already picked.
+    *
+    * Scale split: the distributed stage is the 100 TB part — a scan-side
+    * cosine ([[graft.functions.FloatVectorCosine]], codegen'd) +
+    * TakeOrderedAndProject down to a `poolSize` candidate pool. The
+    * greedy loop is inherently sequential (each argmax depends on the
+    * previous pick), so it runs on the driver over the BOUNDED pool
+    * (`poolSize²` cosines; 32² = 1k — microseconds), using
+    * [[graft.functions.FloatVectorOps.cosineArrays]], the bitwise twin
+    * of the scan-side expression. `mu` is a separate weight (not
+    * `1 − lambda`) so oracles can spell both as exact literals.
+    * Ties break to the smaller id at every argmax. Output: one row per
+    * pick, `(rnk 1..k, id)` in selection order. */
+  def mmrSelect(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, poolSize: Int = 32,
+      lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(k <= poolSize, s"k=$k exceeds poolSize=$poolSize")
+    val pool = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("__v"),
+        vec_cosine(col(vecCol), typedlit(query)).as("rel"))
+      .orderBy(col("rel").desc, col("id").asc)
+      .limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val n = pool.length
+    val picked = new scala.collection.mutable.ArrayBuffer[Long](k)
+    val chosen = new Array[Boolean](n)
+    // max sim of each candidate to the picked set so far (−∞ ≡ empty set:
+    // the first argmax ranks by lambda·rel alone)
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    var step = 0
+    while (step < math.min(k, n)) {
+      var bestIdx = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!chosen(i)) {
+          val penalty = if (maxSim(i) == Double.NegativeInfinity) 0.0 else maxSim(i)
+          val score = lambda * pool(i)._3 - mu * penalty
+          if (score > bestScore ||
+              (score == bestScore && bestIdx >= 0 && pool(i)._1 < pool(bestIdx)._1)) {
+            bestScore = score
+            bestIdx = i
+          }
+        }
+        i += 1
+      }
+      chosen(bestIdx) = true
+      picked += pool(bestIdx)._1
+      var j = 0
+      while (j < n) {
+        if (!chosen(j)) {
+          val s = graft.functions.FloatVectorOps
+            .cosineArrays(pool(j)._2, pool(bestIdx)._2)
+          if (s > maxSim(j)) maxSim(j) = s
+        }
+        j += 1
+      }
+      step += 1
+    }
+    picked.toSeq.zipWithIndex
+      .map { case (id, i) => ((i + 1).toLong, id) }
+      .toDF("rnk", idCol)
+  }
+
   /** Top-k neighbors for EVERY query row: broadcast the (small) query set
     * against the (large) corpus, then a bounded top-k AGGREGATE per query.
     * The corpus never shuffles as data: the partial [[BoundedTopK]] runs

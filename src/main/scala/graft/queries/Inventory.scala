@@ -643,6 +643,29 @@ object Inventory {
       .na.fill(0L)
   }
 
+  /** J11: static-interval range lookup as a ZERO-JOIN scan-side
+    * expression ([[graft.functions.RangeBucket]]) — the broadcast-dim
+    * archetype (IP→geo, value→tier, slot→fork) where the dim table is a
+    * static sorted boundary list and the fact side is the 100 TB corpus.
+    * Expressing this as `fact.v BETWEEN dim.lo AND dim.hi` joins through
+    * a BroadcastNestedLoopJoin (O(rows × intervals) compares, a join
+    * node, no codegen fusion); binding the 64 boundaries as a
+    * plan-constant binary-search expression keeps the lookup inside
+    * WholeStageCodegen at O(log 64) per row and the whole query is one
+    * scan + one agg exchange (PlanSpec-gated: NO join in the plan).
+    * Boundaries are deliberately non-uniform (quadratic) — the case
+    * `width_bucket` can't express. */
+  val j11RangeLookup: Q = (s, d) => {
+    // 0.15 * (i*i): i*i exact in Long, ONE double rounding — the oracle
+    // spells the same product shape so the bounds are bitwise identical.
+    val bounds = Array.tabulate(64)(i => 0.15 * (i.toLong * i))
+    val ev = events(s, d)
+    ev.select(range_bucket(col("value"), bounds).as("tier"), col("value"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .withColumn("tier_lo", element_at(lit(bounds), col("tier") + 1))
+  }
+
   // ---------------------------------------------------------------------
   // Ledger-operator queries (A3/A6/J2): the REAL beacon ledger operators
   // ([[graft.beacon.Ledger]]/[[graft.beacon.Maintenance]]) driven by a
@@ -764,6 +787,7 @@ object Inventory {
     "w6_rank_distributions" -> w6RankDistributions,
     "a13_grouping_sets" -> a13GroupingSets,
     "j10_overlap_join" -> j10OverlapJoin,
+    "j11_range_lookup" -> j11RangeLookup,
     "x4_except_all" -> x4ExceptAll,
     "a14_rolling_dau" -> a14RollingDau,
     "w7_first_touch" -> w7FirstTouch,
@@ -1034,6 +1058,20 @@ object Inventory {
       """SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'
         |EXCEPT ALL
         |SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'""".stripMargin,
+    "j11_range_lookup" ->
+      """WITH tiers AS (
+        |  -- CAST(0.15 AS DOUBLE): DuckDB parses the bare literal as
+        |  -- DECIMAL and would produce exact-decimal bounds; the Scala
+        |  -- side computes double products (0.15 * (i*i), one rounding)
+        |  SELECT CAST(i AS INT) AS tier, CAST(0.15 AS DOUBLE) * (i*i) AS lo,
+        |         CASE WHEN i = 63 THEN 1e308
+        |              ELSE CAST(0.15 AS DOUBLE) * ((i+1)*(i+1)) END AS hi
+        |  FROM range(0, 64) t(i))
+        |SELECT t.tier, count(*) AS n,
+        |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       t.lo AS tier_lo
+        |FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+        |GROUP BY t.tier, t.lo""".stripMargin,
     "j10_overlap_join" ->
       """SELECT p_id, count(*) AS n_overlaps
         |FROM (SELECT event_id AS p_id, value - 2 AS p_lo, value + 2 AS p_hi

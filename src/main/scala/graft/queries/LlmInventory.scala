@@ -551,6 +551,22 @@ object LlmInventory {
         (acc, x) => acc + x).as("dot"))
   }
 
+  /** s14: maximal-marginal-relevance diverse top-10
+    * ([[Similarity.mmrSelect]]) — greedy λ·rel − μ·max-sim-to-picked
+    * selection over a 32-candidate pool (distributed scan + TakeOrdered;
+    * bounded driver greedy). The oracle replays the greedy argmax as a
+    * recursive CTE over the same pool, picking with the same literal
+    * weights and id tie-break; output is selection order (rnk, vec_id),
+    * rank-only like the other ANN queries. */
+  val s14MmrDiverse: Q = (s, d) => {
+    val em = embeddings(s, d)
+    val query = em.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    Similarity.mmrSelect(
+      em.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      query, k = 10, poolSize = 32, lambda = 0.7, mu = 0.3)
+  }
+
   /** Per-label centroid-free pairwise stats: count pairs per label bucket —
     * exercises the bucketed self-join shape with an exact oracle. */
   val s3LabelBuckets: Q = (s, d) =>
@@ -1000,6 +1016,7 @@ object LlmInventory {
     "s11_cluster_sizes" -> s11ClusterSizes,
     "s12_zipwith_dot" -> s12ZipwithDot,
     "s13_pq_rotated_topk" -> s13PqRotatedTopK,
+    "s14_mmr_diverse" -> s14MmrDiverse,
     "t27_pack_windows" -> t27PackWindows,
     "t28_passage_chunks" -> t28PassageChunks,
     "t29_semantic_decontam" -> t29SemanticDecontam,
@@ -1671,6 +1688,39 @@ object LlmInventory {
         |             (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id) AS rnk
         |  FROM embeddings WHERE vec_id <> 0) t
         |WHERE rnk <= 10""".stripMargin,
+    // MMR greedy replayed as a recursive CTE: same 32-candidate pool
+    // (rel DESC, id), same literal weights 0.7/0.3, same id tie-break;
+    // list_cosine_similarity matches the Scala sequential-fold cosine
+    // (the parity every s-family oracle already rides on)
+    "s14_mmr_diverse" ->
+      """WITH RECURSIVE
+        |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |pool AS (
+        |  SELECT vec_id AS id, embedding,
+        |         list_cosine_similarity(embedding, (SELECT embedding FROM q)) AS rel
+        |  FROM embeddings WHERE vec_id <> 0
+        |  ORDER BY rel DESC, vec_id LIMIT 32),
+        |pairs AS (
+        |  SELECT a.id AS ca, b.id AS cb,
+        |         list_cosine_similarity(a.embedding, b.embedding) AS sim
+        |  FROM pool a JOIN pool b ON a.id <> b.id),
+        |sel AS (
+        |  SELECT 1 AS step,
+        |         [(SELECT id FROM pool ORDER BY 0.7*rel DESC, id LIMIT 1)] AS picked
+        |  UNION ALL
+        |  SELECT s.step + 1,
+        |         list_append(s.picked, (
+        |           SELECT c.id FROM pool c
+        |           WHERE NOT list_contains(s.picked, c.id)
+        |           ORDER BY 0.7*c.rel - 0.3*(
+        |             SELECT MAX(p.sim) FROM pairs p
+        |             WHERE p.ca = c.id AND list_contains(s.picked, p.cb)) DESC, c.id
+        |           LIMIT 1))
+        |  FROM sel s WHERE s.step < 10)
+        |SELECT CAST(u.ord AS BIGINT) AS rnk, CAST(u.id AS BIGINT) AS vec_id
+        |FROM (SELECT unnest(picked) AS id, generate_subscripts(picked, 1) AS ord
+        |      FROM sel WHERE step = 10) u
+        |ORDER BY rnk""".stripMargin,
     // md5 ±1 plane family (Similarity.md5SignPlanes): sign from the first
     // hex digit of md5("{seed}#{plane}#{dim}"); the dot product folds
     // left-to-right in doubles on both sides, so buckets match bit-for-bit

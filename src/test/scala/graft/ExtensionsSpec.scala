@@ -104,6 +104,27 @@ class ExtensionsSpec extends AnyFunSuite {
       kz.getSeq[String](2).forall(_.matches("[0-9a-f]{16}")))
   }
 
+  test("range_bucket reaches SQL; bounds must be a sorted ARRAY<DOUBLE> literal") {
+    val r = spark.sql(
+      """SELECT range_bucket(cast(5.0 as double), array(0.0d, 1.5d, 10.0d)) AS t,
+        |       range_bucket(cast(-1.0 as double), array(0.0d, 1.5d, 10.0d)) AS below,
+        |       range_bucket(cast(99.0 as double), array(0.0d, 1.5d, 10.0d)) AS top""".stripMargin)
+      .head()
+    assert(r.getAs[Int]("t") === 1)
+    assert(r.getAs[Int]("below") === -1)
+    assert(r.getAs[Int]("top") === 2)
+    def err(sql: String): String =
+      intercept[Exception](spark.sql(sql).collect()).getMessage
+    assert(err("SELECT range_bucket(1.0d)").contains("exactly 2 arguments"))
+    assert(err("SELECT range_bucket(v, b) FROM (SELECT 1.0d AS v, array(0.0d) AS b)")
+      .contains("must be a literal"))
+    assert(err("SELECT range_bucket(1.0d, array(1, 2))").contains("ARRAY<DOUBLE>"))
+    // unsorted bounds rejected at plan time (expression constructor guard)
+    assert(intercept[Exception](
+      spark.sql("SELECT range_bucket(1.0d, array(2.0d, 1.0d))").collect())
+      .getMessage.toLowerCase.contains("sorted"))
+  }
+
   test("SQL static args: clear plan-time errors for bad word_shingles/minhash_signature calls") {
     def err(sql: String): String =
       intercept[Exception](spark.sql(sql).collect()).getMessage
@@ -296,6 +317,28 @@ class ExtensionsSpec extends AnyFunSuite {
       nProbe = 3, overfetch = 4)
     assert(pqTight.collect().map(_.getLong(0)).toSet.intersect(probed).size >= 8,
       "IVF-PQ tight-overfetch recall regressed")
+  }
+
+  test("mmrSelect: duplicates are demoted, diverse candidates promoted; ids break ties") {
+    import spark.implicits._
+    // q = (1,0); ids 1 and 2 are the SAME vector (rel ~0.90, mutual sim 1.0);
+    // id 3 mirrors it across the axis (same rel, sim ~0.62). Pure relevance
+    // top-3 is [1, 2, 3] (id tiebreak); MMR must demote the duplicate:
+    // pick 1 (tie -> lower id), then 3 (diverse), then 2.
+    val df = Seq(
+      (1L, Seq(0.9f, 0.436f)),
+      (2L, Seq(0.9f, 0.436f)),
+      (3L, Seq(0.9f, -0.436f))).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .mmrSelect(df, "vec_id", "embedding", Seq(1.0f, 0.0f),
+        k = 3, poolSize = 3, lambda = 0.7, mu = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+    // k > available pool: returns every candidate once, no crash
+    val all = graft.operators.Similarity
+      .mmrSelect(df, "vec_id", "embedding", Seq(1.0f, 0.0f), k = 3, poolSize = 10)
+      .collect().map(_.getLong(1))
+    assert(all.sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
   test("nearDupGroups: LSH -> jaccard -> connected components finds chains") {

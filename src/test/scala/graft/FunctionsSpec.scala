@@ -142,6 +142,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out === Map(1L -> 2, 2L -> 0, 3L -> 2))
   }
 
+  test("RangeBucket: closed-lower/open-upper buckets, -1 below, last at top") {
+    import graft.functions.RangeUtil.bucket
+    val b = Array(0.0, 1.5, 10.0, 100.0)
+    assert(bucket(-0.001, b) === -1)          // below the first bound
+    assert(bucket(0.0, b) === 0)              // exact bound → that bucket
+    assert(bucket(1.4999, b) === 0)
+    assert(bucket(1.5, b) === 1)              // closed lower edge
+    assert(bucket(99.999, b) === 2)
+    assert(bucket(100.0, b) === 3)            // last bound opens the top bucket
+    assert(bucket(1e300, b) === 3)            // top bucket is unbounded above
+    assert(bucket(Double.NaN, b) === 3)       // NaN orders above all (documented)
+    // column path: codegen'd expression over a DataFrame, null stays null
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Seq(Some(-5.0), Some(0.7), Some(42.0), None)
+      .toDF("v")
+      .select(graft.functions.GraftFunctions.range_bucket(col("v"), b).as("t"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getInt(0))
+    assert(out.toSeq === Seq(-1, 0, 2, null))
+    // unsorted bounds are rejected at construction
+    intercept[IllegalArgumentException] {
+      graft.functions.RangeBucket(
+        org.apache.spark.sql.catalyst.expressions.Literal(1.0), Array(2.0, 1.0))
+    }
+  }
+
   test("codePointCompare orders astral keys like Python") {
     assert(CanonicalJson.codePointCompare("\uFFFF", "\uD83D\uDE00") < 0)
     assert(CanonicalJson.codePointCompare("a", "ab") < 0)

@@ -424,6 +424,17 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), p.take(2000))
   }
 
+  test("j11_range_lookup: static-interval lookup is scan-side — NO join in the plan") {
+    val p = planOf("j11_range_lookup")
+    // the 64-interval dim table is a plan-bound constant inside a
+    // codegen'd binary-search expression: the BETWEEN-join alternative
+    // (BroadcastNestedLoopJoin) must not appear, and the whole query is
+    // scan → agg with a single exchange
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("range_bucket"), p.take(2000))
+    assert(exchangeCount(p) <= 1, p.take(2000))
+  }
+
   test("t29_semantic_decontam: benchmark broadcasts; corpus exchanges once for the agg") {
     val p = planOf("t29_semantic_decontam")
     // the 20-row benchmark side rides a BroadcastExchange (the cross
