@@ -156,6 +156,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MortonInterleave(es.head, es(1))
       }))
     e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "Unicode NFC canonical composition (tokenizer/dedup preprocessing)"),
+      (es: Seq[Expression]) => {
+        if (es.length != 1)
+          fail(s"nfc_normalize(text) takes exactly 1 argument, got ${es.length}")
+        NfcNormalize(es.head)
+      }))
+    e.injectFunction((
       FunctionIdentifier("range_bucket"),
       info("range_bucket",
         "static-interval lookup: bucket index of a double over a sorted " +

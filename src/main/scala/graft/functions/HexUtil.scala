@@ -121,6 +121,27 @@ object HexUtil {
     acc
   }
 
+  /** Unicode NFC normalization — the canonical-composition pass every
+    * tokenizer pipeline runs before hashing/dedup (é as U+00E9 vs
+    * e+U+0301 must collide, or the same text dedups differently by
+    * source encoding). ASCII fast path: `Normalizer.isNormalized` on a
+    * pure-ASCII string is a cheap scan and the common crawl case, so the
+    * expensive normalize+re-encode only runs on rows that need it. */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  /** 1 if the string is already NFC-normal, else 0. */
+  def isNfc(s: UTF8String): Int = {
+    if (s == null) return 1
+    if (java.text.Normalizer.isNormalized(
+        s.toString, java.text.Normalizer.Form.NFC)) 1 else 0
+  }
+
   /** Spread the low 31 bits of `x` into the even bit positions of a long
     * (the Morton/Z-order bit dilation). */
   def mortonSpread(x0: Long): Long = {

@@ -50,6 +50,19 @@ case class CjkCodepointCount(child: Expression) extends UnaryExpression {
   override def prettyName: String = "cjk_codepoint_count"
 }
 
+/** Codegen'd Unicode NFC normalization ([[HexUtil.nfcNormalize]]) — the
+  * canonical-composition preprocessing pass (tokenizers, dedup keys,
+  * decontamination all assume one byte sequence per grapheme). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    HexUtil.nfcNormalize(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HexUtil.nfcNormalize($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(c)
+  override def prettyName: String = "nfc_normalize"
+}
+
 /** Hex-aware `safe_int` (reference: src/parsers/fork_base.py:210-222):
   * `0x…` → base 16, decimal otherwise; UInt64 overflow clamps to
   * Long.MaxValue (engine sentinel policy, SURVEY §7.4). Failure mode is
@@ -509,6 +522,8 @@ object GraftFunctions {
     * plan-constant boundaries — the zero-join range-lookup path. */
   def range_bucket(c: Column, bounds: Array[Double]): Column =
     col(RangeBucket(expr(c), bounds))
+  /** Unicode NFC canonical composition (ASCII fast path). */
+  def nfc_normalize(c: Column): Column = col(NfcNormalize(expr(c)))
   def vec_dot(a: Column, b: Column): Column = col(FloatVectorDot(expr(a), expr(b)))
   def vec_cosine(a: Column, b: Column): Column =
     col(FloatVectorCosine(expr(a), expr(b)))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.core.Tables._
+import graft.functions.GraftFunctions.nfc_normalize
 import graft.operators.{BloomSet, Classifier, Decontam, Dedup, LmScore, Multimodal, Pii, Sampling, Similarity, Sketches, Skew, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -482,6 +483,22 @@ object LlmInventory {
   val t28PassageChunks: Q = (s, d) =>
     TextAnalysis.passageChunks(documents(s, d), "doc_id", "text",
       chunkTokens = 32, stride = 24)
+
+  /** t30: Unicode NFC normalization ([[graft.functions.NfcNormalize]]) —
+    * the canonical-composition preprocessing every tokenizer/dedup
+    * pipeline runs (é as U+00E9 vs e+U+0301 must hash identically). The
+    * testdata corpus is ASCII, so each row is AUGMENTED with a decomposed
+    * "e"+combining-acute suffix — the hash and length columns prove the
+    * expression actually composed it (len_nfc = len_raw − 1), and md5
+    * equality pins Java's Normalizer against DuckDB's utf8proc. */
+  val t30NfcNormalize: Q = (s, d) => {
+    val aug = concat(col("text"), lit(" e\u0301")) // decomposed e + combining acute (spelled as an escape)
+    documents(s, d)
+      .filter(col("doc_id") < 2000)
+      .select(col("doc_id"), md5(nfc_normalize(aug)).as("h"),
+        length(aug).cast("long").as("len_raw"),
+        length(nfc_normalize(aug)).cast("long").as("len_nfc"))
+  }
 
   /** s13: OPQ-lite rotated PQ serving, oracle-checked END TO END — the
     * s8 flat-PQ pipeline with a seeded random ORTHONORMAL rotation
@@ -1019,6 +1036,7 @@ object LlmInventory {
     "s14_mmr_diverse" -> s14MmrDiverse,
     "t27_pack_windows" -> t27PackWindows,
     "t28_passage_chunks" -> t28PassageChunks,
+    "t30_nfc_normalize" -> t30NfcNormalize,
     "t29_semantic_decontam" -> t29SemanticDecontam,
     "s10_label_noise" -> s10LabelNoise,
     "t7_hash_split" -> t7HashSplit,
@@ -1897,6 +1915,14 @@ object LlmInventory {
         |       array_to_string(list_slice(toks, g.i * 24 + 1, g.i * 24 + 32), ' ') AS chunk_text
         |FROM tok CROSS JOIN range(0, 16) g(i)
         |WHERE len(toks) > 0 AND g.i * 24 < len(toks)""".stripMargin,
+    // chr(769) = U+0301 combining acute: the augmented suffix arrives
+    // DECOMPOSED on both sides; len_nfc = len_raw − 1 proves composition
+    // actually ran (Java Normalizer ≡ DuckDB utf8proc on NFC)
+    "t30_nfc_normalize" ->
+      """SELECT doc_id, md5(nfc_normalize(text || ' e' || chr(769))) AS h,
+        |       length(text || ' e' || chr(769)) AS len_raw,
+        |       length(nfc_normalize(text || ' e' || chr(769))) AS len_nfc
+        |FROM documents WHERE doc_id < 2000""".stripMargin,
     "t27_pack_windows" ->
       """WITH s AS (SELECT doc_id, regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t FROM documents),
         |tok AS (SELECT doc_id,

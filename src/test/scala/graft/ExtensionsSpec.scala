@@ -115,6 +115,14 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("top") === 2)
     def err(sql: String): String =
       intercept[Exception](spark.sql(sql).collect()).getMessage
+    // nfc_normalize reaches SQL through the same injection
+    // Spark's chr() is ASCII-mod-256 (not codepoint like DuckDB's), so
+    // the decomposed input rides a \u escape instead
+    val nfc = spark.sql(
+      "SELECT nfc_normalize('e\u0301') AS c, length(nfc_normalize('e\u0301')) AS l")
+      .head()
+    assert(nfc.getString(0) === "\u00e9" && nfc.getInt(1) === 1)
+    assert(err("SELECT nfc_normalize('a', 'b')").contains("exactly 1 argument"))
     assert(err("SELECT range_bucket(1.0d)").contains("exactly 2 arguments"))
     assert(err("SELECT range_bucket(v, b) FROM (SELECT 1.0d AS v, array(0.0d) AS b)")
       .contains("must be a literal"))

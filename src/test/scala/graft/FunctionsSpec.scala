@@ -142,6 +142,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out === Map(1L -> 2, 2L -> 0, 3L -> 2))
   }
 
+  test("NfcNormalize: composes decomposed sequences; ASCII passes through untouched") {
+    import graft.functions.HexUtil.{isNfc, nfcNormalize}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    val decomposed = "Cafe\u0301" // Cafe + combining acute U+0301
+    val composed = "Caf\u00e9"  // precomposed U+00E9
+    assert(nfcNormalize(u8(decomposed)).toString === composed)
+    assert(isNfc(u8(decomposed)) === 0 && isNfc(u8(composed)) === 1)
+    // idempotent, and ASCII takes the no-allocation fast path (same ref)
+    val ascii = u8("plain ascii")
+    assert(nfcNormalize(ascii) eq ascii)
+    assert(nfcNormalize(nfcNormalize(u8(decomposed))).toString === composed)
+    // column path (codegen'd expression over a DataFrame; null stays null)
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    val out = Seq(Some("e\u0301"), None).toDF("t")
+      .select(graft.functions.GraftFunctions.nfc_normalize(col("t")).as("c"))
+      .select(col("c"), length(col("c")).as("l"))
+      .collect()
+    assert(out(0).getString(0) === "\u00e9" && out(0).getInt(1) === 1)
+    assert(out(1).isNullAt(0))
+  }
+
   test("RangeBucket: closed-lower/open-upper buckets, -1 below, last at top") {
     import graft.functions.RangeUtil.bucket
     val b = Array(0.0, 1.5, 10.0, 100.0)
