@@ -495,6 +495,41 @@ object Transformer {
       keys: Seq[String]): DataFrame =
     Ledger.latest(spark.read.parquet(s"$outDir/$table"), keys, "insert_version")
 
+  /** Maximal declared schema of a structured table, derived from the
+    * parser lineage itself: plan the table's parser over an EMPTY raw
+    * frame and read the analyzed schema (no job runs). Forks only ever
+    * ADD columns (the maximal-schema design, README), so today's parser
+    * output is the superset of every file era on disk. */
+  def declaredSchema(spark: SparkSession, table: String,
+      cfg: ChainConfig = ChainConfig.gnosis): org.apache.spark.sql.types.StructType = {
+    val ld = Loaders.all.find(_.tables.contains(table)).getOrElse(
+      throw new IllegalArgumentException(s"no loader owns table '$table'"))
+    val emptyRaw = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], Schemas.rawTable)
+    ld.parse(emptyRaw, cfg, 0L)(table).schema
+  }
+
+  /** Schema-drift-tolerant structured read — the 100 TB contract for a
+    * directory written across fork eras (older files predate columns a
+    * later fork added). `spark.read.parquet(dir)` picks ONE footer to
+    * infer from, so whether a late-added column exists depends on which
+    * file is sampled; `mergeSchema=true` fixes that by reading EVERY
+    * footer — a full-directory metadata pass that gets expensive at
+    * 100 TB file counts. Reading with the DECLARED schema does neither:
+    * zero extra footer reads, stable column set, files that lack a
+    * column yield NULL for it (parquet reader contract), and pruning /
+    * pushdown behave exactly as a plain read. */
+  def readDeclared(spark: SparkSession, outDir: String, table: String,
+      cfg: ChainConfig = ChainConfig.gnosis): DataFrame =
+    spark.read.schema(declaredSchema(spark, table, cfg))
+      .parquet(s"$outDir/$table")
+
+  /** [[latestTable]] over the declared-schema read — FINAL view that is
+    * stable across fork-era file mixes. */
+  def latestTableDeclared(spark: SparkSession, outDir: String, table: String,
+      keys: Seq[String], cfg: ChainConfig = ChainConfig.gnosis): DataFrame =
+    Ledger.latest(readDeclared(spark, outDir, table, cfg), keys, "insert_version")
+
   /** Natural ORDER BY keys per structured table (from migrations §1). */
   val tableKeys: Map[String, Seq[String]] = Map(
     "blocks" -> Seq("slot"),

@@ -62,6 +62,41 @@ object LmScore {
         col("n_unseen").cast("double") / col("n_bigrams"))
   }
 
+  /** Per-document AVERAGE reference-corpus frequency of its bigrams:
+    * `(idCol, n_bigrams, ref_total, familiarity)` where `ref_total` is
+    * the exact integer sum of each bigram's occurrence count in the
+    * reference and `familiarity` = ref_total / n_bigrams. The
+    * frequency-weighted companion of [[bigramNovelty]] (novelty only asks
+    * seen/unseen; this is the KenLM-flavored signal — text built from
+    * COMMON reference phrasing scores high, rare-but-seen phrasing low).
+    * Exact integers + one final IEEE division, same oracle story; same
+    * broadcast-vocabulary scale shape (counts ride the broadcast). */
+  def bigramFamiliarity(
+      corpus: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String,
+      broadcastReference: Option[Boolean] = None,
+      maxBroadcastBytes: Long = 1L << 30): DataFrame = {
+    val refCounts = reference
+      .select(explode(bigrams(col(textCol))).as("bg"))
+      .groupBy("bg")
+      .agg(count(lit(1)).as("ref_n"))
+    val doBroadcast = broadcastReference.getOrElse {
+      val textBytes = reference.select(col(textCol))
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      textBytes * 2 <= maxBroadcastBytes
+    }
+    val refSide = if (doBroadcast) broadcast(refCounts) else refCounts
+    corpus
+      .select(col(idCol), explode(bigrams(col(textCol))).as("bg"))
+      .join(refSide, Seq("bg"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("ref_n"), lit(0L))).as("ref_total"))
+      .withColumn("familiarity",
+        col("ref_total").cast("double") / col("n_bigrams"))
+  }
+
   /** The gate: corpus rows whose novelty is ≤ `maxNovelty` (docs the
     * reference LM finds familiar enough to keep). Documents with no
     * bigrams are KEPT — too short to judge, same policy as the quality

@@ -706,6 +706,18 @@ object LlmInventory {
       .orderBy("doc_id")
   }
 
+  /** t31: frequency-weighted LM familiarity
+    * ([[LmScore.bigramFamiliarity]]) — average reference-corpus count of
+    * each document's bigrams, the KenLM-flavored companion of t18's
+    * seen/unseen novelty. Exact integer counts + one final division. */
+  val t31BigramFamiliarity: Q = (s, d) => {
+    val docs = documents(s, d)
+    LmScore.bigramFamiliarity(
+      docs, docs.filter(col("source").isin("src0", "src1")),
+      "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** KMV distinct-count sketch vs exact (per-lang distinct bigrams): the
     * bounded-state bottom-k aggregate ([[graft.operators.Sketches]],
     * a real `TypedImperativeAggregate` with map-side partials) next to
@@ -1037,6 +1049,7 @@ object LlmInventory {
     "t27_pack_windows" -> t27PackWindows,
     "t28_passage_chunks" -> t28PassageChunks,
     "t30_nfc_normalize" -> t30NfcNormalize,
+    "t31_bigram_familiarity" -> t31BigramFamiliarity,
     "t29_semantic_decontam" -> t29SemanticDecontam,
     "s10_label_noise" -> s10LabelNoise,
     "t7_hash_split" -> t7HashSplit,
@@ -1418,6 +1431,30 @@ object LlmInventory {
         |  GROUP BY b.doc_id)
         |SELECT doc_id, n_bigrams::BIGINT AS n_bigrams, n_unseen::BIGINT AS n_unseen,
         |       CAST(n_unseen AS DOUBLE) / n_bigrams AS novelty
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    // t18's construction with the reference side as GROUP BY counts
+    // instead of DISTINCT membership — exact ints, one final division
+    "t31_bigram_familiarity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents),
+        |ref AS (
+        |  SELECT bg, count(*) AS ref_n FROM (
+        |    SELECT unnest(list_transform(range(1, len(toks)),
+        |             i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |    FROM tok WHERE source IN ('src0', 'src1'))
+        |  GROUP BY bg),
+        |bgs AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM tok),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |         count(*) AS n_bigrams,
+        |         sum(COALESCE(r.ref_n, 0)) AS ref_total
+        |  FROM bgs b LEFT JOIN ref r ON b.bg = r.bg
+        |  GROUP BY b.doc_id)
+        |SELECT doc_id, n_bigrams::BIGINT AS n_bigrams, ref_total::BIGINT AS ref_total,
+        |       CAST(ref_total AS DOUBLE) / n_bigrams AS familiarity
         |FROM scored ORDER BY doc_id""".stripMargin,
     // KMV bottom-k over md5-prefix hashes: k-th smallest distinct hash via
     // a window rank, estimate = (k-1)*16^15 / h_k (one IEEE division);

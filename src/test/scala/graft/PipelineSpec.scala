@@ -371,6 +371,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(g2("ingest_lag_slots_blocks") === 101L)
   }
 
+  test("readDeclared: fork-era file mixes read stably — missing columns NULL, no footer merge") {
+    val rawDir = tmp() + "/raw_blocks"
+    val outDir = tmp() + "/tables"
+    val chunkLedger = LedgerStore(tmp() + "/chunks")
+    val progressLedger = LedgerStore(tmp() + "/progress")
+    assert(RawIngest.ingestChunk(spark, cfg, fetcherFor(0 until 20), rawDir,
+      chunkLedger, "blocks", 0, 19, parallelism = 4))
+    assert(Transformer.transformBlocksChunk(
+      spark, cfg, rawDir, outDir, progressLedger, 0, 19, version = 1L))
+    // declaredSchema = the parser's own analyzed output (no job runs)
+    val declared = Transformer.declaredSchema(spark, "blocks")
+    assert(declared.fieldNames.contains("execution_requests_count"))
+    assert(declared.fieldNames.contains("slot") && declared.fieldNames.contains("insert_version"))
+    // simulate an OLD-ERA file: rewrite the directory without a
+    // late-fork column (pre-Electra files had no execution_requests_count)
+    val full = spark.read.parquet(s"$outDir/blocks")
+    val mixedBase = tmp() + "/tables_mixed"
+    val oldEraDir = s"$mixedBase/blocks"
+    full.filter(col("slot") < 8).drop("execution_requests_count")
+      .write.partitionBy("month").parquet(oldEraDir)
+    full.filter(col("slot") >= 8).write.mode("append")
+      .partitionBy("month").parquet(oldEraDir)
+    // plain read: whether the column exists depends on WHICH footer Spark
+    // samples — not asserted (nondeterministic by construction); the
+    // declared read is the stable contract
+    val evolved = Transformer.readDeclared(spark, mixedBase, "blocks")
+    assert(evolved.count() === full.count())
+    val nulls = evolved.filter(col("execution_requests_count").isNull).count()
+    val olds = full.filter(col("slot") < 8).count()
+    assert(nulls === olds, s"old-era rows must surface NULL: $nulls vs $olds")
+    // populated rows keep their values
+    assert(evolved.filter(col("slot") >= 8)
+      .filter(col("execution_requests_count").isNotNull).count() ===
+      full.filter(col("slot") >= 8).count())
+    // partition column still discovered and prunable alongside the
+    // user-specified schema
+    assert(evolved.columns.contains("month"))
+    // FINAL view over the declared read
+    val latest = Transformer.latestTableDeclared(
+      spark, mixedBase, "blocks", Seq("slot"))
+    assert(latest.count() === full.select("slot").distinct().count())
+  }
+
   test("writeTable fails fast on schema drift instead of appending mixed parquet types") {
     val base = tmp()
     // simulate a table written by an OLD engine version: same column,
