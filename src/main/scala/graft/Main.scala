@@ -30,7 +30,7 @@ import org.apache.spark.sql.SparkSession
   * graft corpus classify --in DIR --out DIR [--threshold 0.0] [--seed w] [--text-col c]
   * graft corpus curate   --in DIR --out DIR [--classify-threshold T] [--chunk-tokens 10] [--dedup-threshold 0.8] [--ref-bench DIR] [--budget N] [--shards K]
   * graft corpus annindex --in DIR --out DIR [--append] [--id-col c] [--vec-col c] [--lists 64] [--pq-m 16] [--pq-ksub 16] [--seed 42]
-  * graft corpus annquery --in INDEXDIR {--query-id N | --query-ids N,N,...} [--index DIR] [--id-col c] [--vec-col c] [--k 10] [--nprobe 8] [--path pq|sq8] [--overfetch 16]
+  * graft corpus annquery --in INDEXDIR {--query-id N | --query-ids N,N,...} [--index DIR] [--id-col c] [--vec-col c] [--k 10] [--nprobe 8] [--path pq|sq8] [--overfetch 16] [--diverse [--pool 4k] [--lambda 0.7] [--mu 0.3]]
   * graft corpus pack     --in DIR --out DIR [--window-tokens 2048] [--id-col c] [--text-col c]
   * graft corpus chunk    --in DIR --out DIR [--chunk-tokens 256] [--stride 192] [--id-col c] [--text-col c]
   * graft corpus stats    --in DIR [--id-col c] [--text-col c]
@@ -252,14 +252,37 @@ object Main {
               .getOrElse(sys.error("--query-id or --query-ids required"))
             val query = spark.read.parquet(index)
               .filter(col(idCol) === qid).select(vecCol).head().getSeq[Float](0)
+            // --diverse: MMR-rerank a wider probe pool (k × pool-factor)
+            // instead of returning the raw relevance order — near-duplicate
+            // neighbors collapse to one representative in the answer
+            val diverse = args.contains("--diverse")
+            val poolSize = if (diverse)
+              opt(args, "pool").map(_.toInt).getOrElse(k * 4) else k
             val top = path match {
               case "sq8" => graft.operators.Similarity.ivfSq8TopKIndexed(
-                spark, index, idCol, vecCol, query, k + 1, cents, nProbe)
+                spark, index, idCol, vecCol, query, poolSize + 1, cents, nProbe)
               case _ => graft.operators.Similarity.ivfPqTopKIndexed(
-                spark, index, idCol, vecCol, query, k + 1, cents, codebooks,
+                spark, index, idCol, vecCol, query, poolSize + 1, cents, codebooks,
                 nProbe, overfetch = overfetch)
             }
-            top.filter(col(idCol) =!= qid).limit(k).collect().foreach { r =>
+            val ranked = top.filter(col(idCol) =!= qid).limit(poolSize)
+            if (diverse) {
+              val lambda = opt(args, "lambda").map(_.toDouble).getOrElse(0.7)
+              val mu = opt(args, "mu").map(_.toDouble).getOrElse(0.3)
+              val rel = ranked.collect()
+                .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+              val ids = rel.keys.toSeq
+              // id-pushdown vector fetch for the bounded pool only (the
+              // same two-scan discipline as the probe itself)
+              val vecs = spark.read.parquet(index)
+                .filter(col(idCol).isin(ids: _*))
+                .select(col(idCol), col(vecCol)).collect()
+                .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+              val pool = ids.sorted.map(i => (i, vecs(i), rel(i)))
+                .sortBy { case (i, _, r) => (-r, i) }.toArray
+              graft.operators.Similarity.mmrGreedy(pool, k, lambda, mu)
+                .foreach(id => println(s"$id\t${"%.6f".format(rel(id))}"))
+            } else ranked.collect().foreach { r =>
               println(s"${r.get(0)}\t${"%.6f".format(r.getDouble(1))}")
             }
         }

@@ -298,6 +298,19 @@ object Similarity {
       .limit(poolSize)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    mmrGreedy(pool, k, lambda, mu).zipWithIndex
+      .map { case (id, i) => ((i + 1).toLong, id) }
+      .toDF("rnk", idCol)
+  }
+
+  /** The sequential MMR argmax over a BOUNDED candidate pool of
+    * `(id, vector, relevance)` — the driver half of [[mmrSelect]],
+    * exposed so serving paths (CLI `annquery --diverse`) can rerank an
+    * index probe's candidates with identical semantics. Returns picked
+    * ids in selection order. */
+  def mmrGreedy(
+      pool: Array[(Long, Array[Float], Double)], k: Int,
+      lambda: Double, mu: Double): Seq[Long] = {
     val n = pool.length
     val picked = new scala.collection.mutable.ArrayBuffer[Long](k)
     val chosen = new Array[Boolean](n)
@@ -334,9 +347,7 @@ object Similarity {
       }
       step += 1
     }
-    picked.toSeq.zipWithIndex
-      .map { case (id, i) => ((i + 1).toLong, id) }
-      .toDF("rnk", idCol)
+    picked.toSeq
   }
 
   /** Top-k neighbors for EVERY query row: broadcast the (small) query set

@@ -1143,6 +1143,20 @@ class PipelineSpec extends AnyFunSuite {
       "vec_id", "embedding", q, 5).collect().map(_.getLong(0)).toSet
     assert(sq8Ids.toSet.intersect(brute).size >= 4, s"sq8 $sq8Ids vs brute $brute")
     assert(pqIds.toSet.intersect(brute).size >= 3, s"pq $pqIds vs brute $brute")
+    // --diverse: MMR rerank over the probe pool — k valid distinct ids,
+    // query excluded, and the TOP relevance hit still leads (no penalty
+    // applies to the first pick)
+    val dBos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(dBos)) {
+      Main.corpusRun(spark, "annquery",
+        Array("--in", s"$base/idx", "--id-col", "vec_id",
+          "--query-id", "7", "--k", "5", "--nprobe", "16", "--path", "sq8",
+          "--diverse", "--pool", "20"))
+    }
+    val dIds = dBos.toString.linesIterator.map(_.split("\t")(0).toLong).toSeq
+    assert(dIds.size === 5 && dIds.distinct.size === 5 && !dIds.contains(7L))
+    assert(dIds.head === sq8Ids.head,
+      s"first MMR pick must be the top-relevance hit: $dIds vs $sq8Ids")
   }
 
   test("corpus CLI: annindex --append grows the index with the same trained params") {
