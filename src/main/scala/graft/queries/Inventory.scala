@@ -643,6 +643,61 @@ object Inventory {
       .na.fill(0L)
   }
 
+  /** Exact revenue term: decimal product of price × (1 − discount), the
+    * a2 sum_disc_price construction (order-independent, oracle-exact). */
+  private def revenue =
+    col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
+
+  /** J12: the TPC-H Q3 shipping-priority shape — 3-way selective join
+    * (filtered customer segment ⋈ orders ⋈ lineitem) → revenue rollup →
+    * top-10. The classic OLAP plan: filters push into every scan, the
+    * filtered customer side broadcasts, the orders⋈lineitem equi join
+    * shuffles on the orderkey, TakeOrderedAndProject keeps 10. */
+  val j12ShippingPriority: Q = (s, d) => {
+    val cutoff = lit("1998-06-30").cast("timestamp")
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = orders(s, d).filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = lineitem(s, d).filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(sum(revenue).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** J13: the TPC-H Q5 local-supplier-volume shape — a 6-table star
+    * (region→nation→{customer,supplier}→orders→lineitem) with the
+    * same-nation customer/supplier constraint, rolled up per nation.
+    * The three dim tables (region/nation/supplier) broadcast; the two
+    * fact joins shuffle on their keys once each. */
+  val j13LocalSupplierVolume: Q = (s, d) => {
+    val asia = nation(s, d)
+      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = customer(s, d).select("c_custkey", "c_nationkey")
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val l = lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === col("s_nationkey")) // local supplier
+      .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** J11: static-interval range lookup as a ZERO-JOIN scan-side
     * expression ([[graft.functions.RangeBucket]]) — the broadcast-dim
     * archetype (IP→geo, value→tier, slot→fork) where the dim table is a
@@ -788,6 +843,8 @@ object Inventory {
     "a13_grouping_sets" -> a13GroupingSets,
     "j10_overlap_join" -> j10OverlapJoin,
     "j11_range_lookup" -> j11RangeLookup,
+    "j12_shipping_priority" -> j12ShippingPriority,
+    "j13_local_supplier_volume" -> j13LocalSupplierVolume,
     "x4_except_all" -> x4ExceptAll,
     "a14_rolling_dau" -> a14RollingDau,
     "w7_first_touch" -> w7FirstTouch,
@@ -1058,6 +1115,30 @@ object Inventory {
       """SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'
         |EXCEPT ALL
         |SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'""".stripMargin,
+    "j12_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-06-30'
+        |  AND l_shipdate > TIMESTAMP '1998-06-30'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "j13_local_supplier_volume" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
     "j11_range_lookup" ->
       """WITH tiers AS (
         |  -- CAST(0.15 AS DOUBLE): DuckDB parses the bare literal as

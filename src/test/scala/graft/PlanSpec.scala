@@ -424,6 +424,25 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), p.take(2000))
   }
 
+  test("j12_shipping_priority: selective dim broadcasts, top-10 is TakeOrdered") {
+    val p = planOf("j12_shipping_priority")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // filters reach the scans: segment/date predicates are pushed
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment)") ||
+      p.contains("EqualTo(c_mktsegment,BUILDING)"), p.take(4000))
+  }
+
+  test("j13_local_supplier_volume: star join — dims broadcast, no cartesian, one agg") {
+    val p = planOf("j13_local_supplier_volume")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
   test("j11_range_lookup: static-interval lookup is scan-side — NO join in the plan") {
     val p = planOf("j11_range_lookup")
     // the 64-interval dim table is a plan-bound constant inside a
