@@ -133,6 +133,47 @@ object Sketches {
           .as("kmv_estimate")): _*)
   }
 
+  /** Pairwise corpus-overlap estimates from bounded KMV sketches —
+    * sketch ALGEBRA (Beyer et al., "On Synopses for Distinct-Value
+    * Estimation Under Multiset Operations", SIGMOD 2007): the Jaccard
+    * of two corpora is estimated from their k-min-hash sketches alone,
+    * so cross-corpus overlap costs O(k) per corpus and NO cross-corpus
+    * join — at 100 TB the per-corpus sketches are tiny standing
+    * artifacts and every pair comparison is driver-side set arithmetic.
+    * Estimator: with `U` = the k smallest of `sketch(A) ∪ sketch(B)`
+    * (the valid KMV sketch of A∪B), `est_jaccard` =
+    * `|U ∩ A_k ∩ B_k| / |U|` — exact integers, ONE final IEEE division
+    * per pair, so the whole report is oracle-checkable. One row per
+    * unordered group pair, groups in lexicographic order. The collect is
+    * bounded: one k-array per GROUP (corpus/source), not per row. */
+  def kmvPairwiseOverlap(
+      df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sketches = df
+      .groupBy(col(groupCol))
+      .agg(kmvMinHashes(md5Hash60(col(valueCol)), k).as("mins"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1)
+    val rows = for {
+      i <- sketches.indices
+      j <- (i + 1) until sketches.length
+    } yield {
+      val (ga, ka) = sketches(i)
+      val (gb, kb) = sketches(j)
+      val setA = ka.toSet
+      val setB = kb.toSet
+      val unionHeld = (setA ++ setB).toArray.sorted.take(k)
+      val shared = unionHeld.count(h => setA.contains(h) && setB.contains(h))
+      (ga, gb, unionHeld.length.toLong, shared.toLong,
+        shared.toDouble / unionHeld.length)
+    }
+    rows.toDF(s"${groupCol}_a", s"${groupCol}_b",
+      "n_union_held", "est_shared", "est_jaccard")
+  }
+
   /** Misra-Gries heavy-hitters summary (Misra & Gries 1982; merge rule
     * from Agarwal et al., "Mergeable Summaries", PODS 2012) — the
     * bounded-memory answer to "top frequent tokens" that an exact

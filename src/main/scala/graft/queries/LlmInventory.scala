@@ -732,6 +732,36 @@ object LlmInventory {
     exact.join(sk, Seq("lang")).orderBy("lang")
   }
 
+  /** a17: cross-corpus overlap via KMV sketch algebra
+    * ([[Sketches.kmvPairwiseOverlap]]) — per-source-pair Jaccard of the
+    * bigram sets estimated from bounded k-min sketches (no cross-source
+    * join touches row data), next to the exact Jaccard the estimate
+    * approximates (the sf0.01 quality gauge; at 100 TB only the sketch
+    * path survives). Exact ints + one division per column pair. */
+  val a17KmvOverlap: Q = (s, d) => {
+    val bgs = documents(s, d)
+      .select(col("source"), explode(LmScore.bigrams(col("text"))).as("bg"))
+    val est = Sketches.kmvPairwiseOverlap(bgs, "source", "bg", k = 64)
+    val dist = bgs.distinct()
+    val sizes = dist.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = dist.as("a")
+      .join(dist.as("b"),
+        col("a.bg") === col("b.bg") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("exact_shared"))
+    val exact = shared
+      .join(sizes.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n", "n_a"), Seq("source_a"))
+      .join(sizes.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n", "n_b"), Seq("source_b"))
+      .withColumn("exact_jaccard",
+        col("exact_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("exact_shared")))
+      .select("source_a", "source_b", "exact_shared", "exact_jaccard")
+    est.join(exact, Seq("source_a", "source_b"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** PII scrub audit — deterministic emails/phones planted from doc_id
     * (the corpus text itself is synthetic vocab words), then the
     * RE2-safe [[graft.operators.Pii]] patterns count and redact them;
@@ -1050,6 +1080,7 @@ object LlmInventory {
     "t28_passage_chunks" -> t28PassageChunks,
     "t30_nfc_normalize" -> t30NfcNormalize,
     "t31_bigram_familiarity" -> t31BigramFamiliarity,
+    "a17_kmv_overlap" -> a17KmvOverlap,
     "t29_semantic_decontam" -> t29SemanticDecontam,
     "s10_label_noise" -> s10LabelNoise,
     "t7_hash_split" -> t7HashSplit,
@@ -1432,6 +1463,37 @@ object LlmInventory {
         |SELECT doc_id, n_bigrams::BIGINT AS n_bigrams, n_unseen::BIGINT AS n_unseen,
         |       CAST(n_unseen AS DOUBLE) / n_bigrams AS novelty
         |FROM scored ORDER BY doc_id""".stripMargin,
+    // KMV sketch algebra replayed relationally: per-source bottom-64
+    // md5-prefix hashes, pairwise union-held/shared set arithmetic, one
+    // division per estimate; exact Jaccard from the distinct bigram join
+    "a17_kmv_overlap" ->
+      """WITH tok AS (SELECT source, string_split(lower(text), ' ') AS toks FROM documents),
+        |bg AS (SELECT DISTINCT source, unnest(list_transform(range(1, len(toks)),
+        |         i -> toks[i] || ' ' || toks[i+1])) AS bg FROM tok),
+        |hv AS (SELECT DISTINCT source, ('0x' || substr(md5(bg), 1, 15))::BIGINT AS hv FROM bg),
+        |r AS (SELECT source, hv, ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn FROM hv),
+        |sk AS (SELECT source, list(hv ORDER BY hv) AS ks FROM r WHERE rn <= 64 GROUP BY source),
+        |szs AS (SELECT source, count(*) AS n FROM bg GROUP BY source),
+        |u AS (SELECT a.source AS source_a, b.source AS source_b, a.ks AS ka, b.ks AS kb,
+        |             list_sort(list_distinct(flatten([a.ks, b.ks])))[1:64] AS ku
+        |      FROM sk a JOIN sk b ON a.source < b.source),
+        |est AS (SELECT source_a, source_b,
+        |         CAST(len(ku) AS BIGINT) AS n_union_held,
+        |         CAST(len(list_filter(ku, x -> list_contains(ka, x) AND list_contains(kb, x))) AS BIGINT) AS est_shared,
+        |         CAST(len(list_filter(ku, x -> list_contains(ka, x) AND list_contains(kb, x))) AS DOUBLE)
+        |           / len(ku) AS est_jaccard
+        |        FROM u),
+        |ex AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS ns
+        |       FROM bg a JOIN bg b ON a.bg = b.bg AND a.source < b.source
+        |       GROUP BY a.source, b.source)
+        |SELECT e.source_a, e.source_b, n_union_held, est_shared, est_jaccard,
+        |       CAST(x.ns AS BIGINT) AS exact_shared,
+        |       CAST(x.ns AS DOUBLE) / (na.n + nb.n - x.ns) AS exact_jaccard
+        |FROM est e
+        |JOIN ex x ON x.source_a = e.source_a AND x.source_b = e.source_b
+        |JOIN szs na ON na.source = e.source_a
+        |JOIN szs nb ON nb.source = e.source_b
+        |ORDER BY e.source_a, e.source_b""".stripMargin,
     // t18's construction with the reference side as GROUP BY counts
     // instead of DISTINCT membership — exact ints, one final division
     "t31_bigram_familiarity" ->
