@@ -49,12 +49,18 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
-  /** BPE-ish sub-word proxy: splits on word boundaries AND digit/letter
-    * transitions, the usual pre-tokenizer regex shape. */
+  /** BPE-ish sub-word proxy — the GPT-2 pre-tokenizer regex shape as an
+    * EXTRACTION pattern: letter runs, digit runs, and each remaining
+    * non-space symbol are one pre-token each (real BPE then merges
+    * within these; their count upper-bounds and tracks the BPE token
+    * count). Extraction instead of lookaround-split so the identical
+    * RE2-compatible pattern runs in DuckDB for the oracle (RE2 has no
+    * lookbehind, and its `\s` lacks vertical tab — the whitespace class
+    * is spelled out, as everywhere else in the oracle surface). NULL
+    * text stays NULL. */
   def bpeishTokenCount(text: Column): Column =
-    size(filter(
-      split(text, "(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})|\\s+|(?=\\p{Punct})"),
-      c => length(c) > 0))
+    size(regexp_extract_all(text,
+      lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N} \\t\\n\\x0b\\f\\r]"), lit(0)))
 
   /** Quality signals: length, token count, mean token length, punctuation
     * ratio, stopword ratio. Composable score in [0,1]. Tokenizes ONCE into

@@ -23,6 +23,26 @@ object LlmInventory {
       col("doc_id"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
 
+  /** t32: BPE-ish pre-token counting ([[TextAnalysis.bpeishTokenCount]])
+    * — the GPT-2 pre-tokenizer extraction regex (letter runs, digit
+    * runs, one token per remaining symbol) next to the whitespace count,
+    * with the expansion ratio (pre-tokens per whitespace word) every
+    * token-budget estimate needs. Docs are augmented with a digits+punct
+    * suffix so the sub-word split visibly diverges from the whitespace
+    * split. */
+  val t32BpeishTokens: Q = (s, d) => {
+    val aug = concat(col("text"),
+      lit(" v"), col("doc_id").cast("string"), lit(".x=1,y=22;"))
+    documents(s, d)
+      .filter(col("doc_id") < 2000)
+      .select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(aug).cast("long").as("n_ws"),
+        TextAnalysis.bpeishTokenCount(aug).cast("long").as("n_bpeish"))
+      .withColumn("expansion",
+        col("n_bpeish").cast("double") / col("n_ws"))
+  }
+
   val t2QualityStats: Q = (s, d) =>
     documents(s, d).select(
       col("doc_id"),
@@ -1081,6 +1101,7 @@ object LlmInventory {
     "t30_nfc_normalize" -> t30NfcNormalize,
     "t31_bigram_familiarity" -> t31BigramFamiliarity,
     "a17_kmv_overlap" -> a17KmvOverlap,
+    "t32_bpeish_tokens" -> t32BpeishTokens,
     "t29_semantic_decontam" -> t29SemanticDecontam,
     "s10_label_noise" -> s10LabelNoise,
     "t7_hash_split" -> t7HashSplit,
@@ -1112,6 +1133,24 @@ object LlmInventory {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the identical extraction regex runs in both engines (no
+    // lookaround; whitespace class spelled out for the RE2 \s gap)
+    "t32_bpeish_tokens" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         text || ' v' || CAST(doc_id AS VARCHAR) || '.x=1,y=22;' AS t
+        |  FROM documents WHERE doc_id < 2000),
+        |s AS (SELECT doc_id, t,
+        |        regexp_replace(t, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS tt
+        |      FROM a)
+        |SELECT doc_id,
+        |       CASE WHEN tt = '' THEN 0
+        |            ELSE len(string_split_regex(tt, '[ \t\n\x0b\f\r]+')) END AS n_ws,
+        |       len(regexp_extract_all(t, '\p{L}+|\p{N}+|[^\p{L}\p{N} \t\n\x0b\f\r]')) AS n_bpeish,
+        |       CAST(len(regexp_extract_all(t, '\p{L}+|\p{N}+|[^\p{L}\p{N} \t\n\x0b\f\r]')) AS DOUBLE) /
+        |         (CASE WHEN tt = '' THEN 0
+        |               ELSE len(string_split_regex(tt, '[ \t\n\x0b\f\r]+')) END) AS expansion
+        |FROM s""".stripMargin,
     "t1_token_count" ->
       // strip/split with Java's exact \s class spelled out — RE2's \s
       // lacks vertical tab (U+000B), so a bare '\s' would tokenize

@@ -142,6 +142,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out === Map(1L -> 2, 2L -> 0, 3L -> 2))
   }
 
+  test("bpeishTokenCount: letter/digit runs + per-symbol tokens; Java-\\s whitespace") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "ab12 cd, e\u000Bf"), // ab|12|cd|,|e|f (vertical tab separates)
+      (2L, "x=1,y=22;"),         // x|=|1|,|y|=|22|;
+      (3L, ""),
+      (4L, "   \t  "))
+      .toDF("id", "t")
+      .select(col("id"), graft.operators.TextAnalysis.bpeishTokenCount(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows === Map(1L -> 6, 2L -> 8, 3L -> 0, 4L -> 0))
+  }
+
   test("NfcNormalize: composes decomposed sequences; ASCII passes through untouched") {
     import graft.functions.HexUtil.{isNfc, nfcNormalize}
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
