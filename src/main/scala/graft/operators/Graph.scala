@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation as a DataFrame loop — PageRank over an
+  * edge list, the crawl-graph quality signal (Common-Crawl-style corpora
+  * rank candidate pages by link authority before any text filter runs).
+  *
+  * Design (100 TB shape): each iteration is ONE join of the edge table
+  * against the current rank vector plus ONE aggregation keyed by `dst` —
+  * both shuffle on graph keys, with map-side partial aggregation doing
+  * the in-degree combining before the exchange. The rank vector (|V|
+  * rows, two columns) is orders of magnitude smaller than the edge table
+  * at web scale; Catalyst broadcasts it when it fits, and AQE picks the
+  * strategy per iteration otherwise. Lineage is cut with
+  * `localCheckpoint` every iteration so 20 iterations do not compound a
+  * 20-deep plan (the classic iterative-DataFrame failure mode). No
+  * driver-side row data: the only actions are scalar counts.
+  *
+  * Two aggregation modes, equal up to float associativity:
+  *  - `exact = false` (default, the scale path): incoming contributions
+  *    combine with a plain `sum` — map-side partials, unordered,
+  *    non-deterministic in the last ulps.
+  *  - `exact = true` (the oracle path): contributions fold
+  *    left-to-right in `src` order via `aggregate(array_sort(
+  *    collect_list(...)))`, bitwise-reproducible against a DuckDB
+  *    `list_reduce(list(... ORDER BY src))` mirror. Per-node state is
+  *    bounded by in-degree — correct for oracle-scale graphs, and for
+  *    production graphs whose max in-degree is bounded; the unordered
+  *    sum is the default for exactly the hub-node reason.
+  *
+  * Semantics: standard damped PageRank on a weighted digraph,
+  * `rank'(v) = (1-d)/N + d * Σ_{(u,v) ∈ E} rank(u) * w(u,v) / outw(u)`,
+  * with dangling-node mass NOT redistributed (it leaks to the teleport
+  * term — the "weak PageRank" convention; ranks then sum to < 1 when
+  * dangling nodes exist, and ranking order is unaffected for the
+  * connected bulk). Weights are integral (edge multiplicities), so
+  * `outw` is an exact integer sum and each contribution costs exactly
+  * one IEEE multiply and one divide — the property that makes the
+  * oracle mirror bitwise.
+  */
+object Graph {
+
+  /** PageRank over `edges` (`srcCol`, `dstCol`, integral `weightCol`).
+    * Returns (node, rank) for every node appearing as source or
+    * destination. `iterations` fixed (no convergence test — the oracle
+    * needs a deterministic step count; callers wanting convergence wrap
+    * the loop and diff successive vectors). */
+  def pageRank(
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      iterations: Int = 5, damping: Double = 0.85,
+      exact: Boolean = false, checkpoint: Boolean = false): DataFrame = {
+    require(iterations >= 1, "pageRank: iterations must be >= 1")
+    val e = edges.select(
+      col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val nodesP = if (checkpoint) nodes.localCheckpoint(eager = true) else nodes
+    val n = nodesP.count()
+    // exact integer out-weight per source (long sum of long multiplicities)
+    val outw = e.groupBy("src").agg(sum("w").as("ow"))
+    val eo = {
+      val joined = e.join(outw, "src")
+      if (checkpoint) joined.localCheckpoint(eager = true) else joined
+    }
+    val teleport = (1.0 - damping) / n.toDouble
+    var ranks = nodesP.withColumn("rank", lit(1.0 / n.toDouble))
+    var i = 0
+    while (i < iterations) {
+      val contribs = eo
+        .join(ranks, eo("src") === ranks("node"))
+        .select(col("dst"), col("src"),
+          (col("rank") * col("w").cast("double") / col("ow").cast("double"))
+            .as("contrib"))
+      val inc =
+        if (exact)
+          contribs.groupBy("dst").agg(
+            aggregate(
+              array_sort(collect_list(struct(col("src"), col("contrib")))),
+              lit(0.0),
+              (acc: Column, x: Column) => acc + x.getField("contrib"))
+              .as("inc"))
+        else
+          contribs.groupBy("dst").agg(sum("contrib").as("inc"))
+      val next = nodesP
+        .join(inc, nodesP("node") === inc("dst"), "left")
+        .select(col("node"),
+          (lit(teleport) + lit(damping) * coalesce(col("inc"), lit(0.0)))
+            .as("rank"))
+      ranks = if (checkpoint) next.localCheckpoint(eager = true) else next
+      i += 1
+    }
+    ranks
+  }
+
+  /** Convergence-looped variant for production use: iterates in blocks of
+    * `blockIters` (checkpointed), stopping when the max absolute rank
+    * delta falls below `tol` or `maxIterations` is hit. Returns
+    * (ranks, iterationsRun). The delta probe is one scalar agg — no row
+    * data reaches the driver. */
+  def pageRankConverged(
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      tol: Double = 1e-6, maxIterations: Int = 50,
+      damping: Double = 0.85, blockIters: Int = 5): (DataFrame, Int) = {
+    var ranks = pageRank(edges, srcCol, dstCol, weightCol,
+      iterations = blockIters, damping = damping, checkpoint = true)
+    var done = blockIters
+    var converged = false
+    while (!converged && done < maxIterations) {
+      val advanced = advance(edges, srcCol, dstCol, weightCol, ranks,
+        blockIters, damping)
+      val delta = advanced.as("a")
+        .join(ranks.as("b"), col("a.node") === col("b.node"))
+        .agg(max(abs(col("a.rank") - col("b.rank"))).as("d"))
+        .head().getDouble(0)
+      ranks = advanced
+      done += blockIters
+      converged = delta < tol
+    }
+    (ranks, done)
+  }
+
+  /** Advance an existing rank vector `start` by `iterations` steps over
+    * `edges` — the building block for convergence loops and for
+    * incremental re-ranking after an edge-table append. */
+  def advance(
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      start: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(
+      col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val n = nodes.count()
+    val outw = e.groupBy("src").agg(sum("w").as("ow"))
+    val eo = e.join(outw, "src").localCheckpoint(eager = true)
+    val teleport = (1.0 - damping) / n.toDouble
+    var ranks = start
+    var i = 0
+    while (i < iterations) {
+      val contribs = eo
+        .join(ranks, eo("src") === ranks("node"))
+        .select(col("dst"),
+          (col("rank") * col("w").cast("double") / col("ow").cast("double"))
+            .as("contrib"))
+      val inc = contribs.groupBy("dst").agg(sum("contrib").as("inc"))
+      ranks = nodes
+        .join(inc, nodes("node") === inc("dst"), "left")
+        .select(col("node"),
+          (lit(teleport) + lit(damping) * coalesce(col("inc"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint(eager = true)
+      i += 1
+    }
+    ranks
+  }
+}

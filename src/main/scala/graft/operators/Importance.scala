@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (the DSIR shape, Xie et al.
+  * 2023): score every document in a raw corpus by how much its hashed
+  * n-gram feature profile looks like a small high-quality TARGET corpus
+  * (vs the raw corpus itself), then sample/filter by that weight. The
+  * canonical pretraining-data recipe for "give me Wikipedia-like pages
+  * out of Common Crawl" — upstream of quality classifiers, because it
+  * needs no labels, only the target sample.
+  *
+  * Design (100 TB shape): features are HASHED into a fixed bucket space
+  * (`buckets`, default 4096), so both distribution tables are bounded at
+  * `buckets` rows regardless of corpus size — they broadcast. Scoring is
+  * then scan-side: tokenize → bucket → per-doc bucket counts (one
+  * shuffle, keyed by doc id, map-side combined) → broadcast-join the
+  * ratio table → one ordered fold per doc. Per-doc state is bounded by
+  * `buckets`. No driver-side row data; the only actions are the two
+  * scalar token totals.
+  *
+  * Arithmetic is oracle-exact by construction:
+  *  - bucketing is the first 8 hex chars of md5(feature) read as an
+  *    integer, mod `buckets` — both engines agree bit-for-bit;
+  *  - smoothed probabilities use ONE division each,
+  *    `p = (cnt+1) / (total+buckets)`, and the per-bucket importance
+  *    ratio is one more division `p_target / p_raw` — three IEEE ops in
+  *    a fixed order, no libm;
+  *  - the per-document weight folds `tf_b * ratio_b` left-to-right in
+  *    bucket order (`aggregate(array_sort(collect_list(...)))` ≡ DuckDB
+  *    `list_reduce(list(... ORDER BY bucket))`).
+  * The classical DSIR weight is the LOG-likelihood ratio sum; `log` is a
+  * cross-engine libm hazard (Java Math.log and DuckDB's libm disagree in
+  * the last ulp), so the weight here is the linearized form
+  * Σ_b tf_b · (p_t(b)/p_s(b)) — same "which features pull toward the
+  * target" signal, exactly reproducible in any engine. Callers wanting
+  * the log form for resampling temperature can post-hoc `log` the
+  * per-bucket ratios; the bucket counts exposed by [[bucketCounts]] are
+  * the sufficient statistic either way.
+  */
+object Importance {
+
+  /** Stable feature bucket: first 8 hex chars of md5 as an integer, mod
+    * `buckets`. Positive (8 hex chars < 2^32 < Long.Max) and identical
+    * across engines — the md5-family convention every d/s-series oracle
+    * already rides. */
+  def featureBucket(feature: Column, buckets: Int): Column =
+    conv(substring(md5(feature), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Per-bucket token counts of a corpus: (bucket, cnt) with every one of
+    * the `buckets` rows present (zero-count buckets included, so the
+    * +1-smoothing downstream is total-preserving). Unigram features. */
+  def bucketCounts(
+      df: DataFrame, textCol: String, buckets: Int): DataFrame = {
+    val s = df.sparkSession
+    val counts = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .select(featureBucket(col("token"), buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    s.range(buckets).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** The broadcastable per-bucket importance-ratio table:
+    * (bucket, ratio) where
+    * `ratio = ((t_b+1)/(T+B)) / ((s_b+1)/(S+B))`, each division one IEEE
+    * op. `target` is the small exemplar corpus, `raw` the corpus being
+    * scored. Exactly `buckets` rows. */
+  def ratioTable(
+      target: DataFrame, raw: DataFrame, textCol: String,
+      buckets: Int): DataFrame = {
+    val t = bucketCounts(target, textCol, buckets)
+      .select(col("bucket"), col("cnt").as("t_cnt"))
+    val sDf = bucketCounts(raw, textCol, buckets)
+      .select(col("bucket"), col("cnt").as("s_cnt"))
+    val totT = t.agg(sum("t_cnt")).head().getLong(0) + buckets
+    val totS = sDf.agg(sum("s_cnt")).head().getLong(0) + buckets
+    t.join(sDf, Seq("bucket"))
+      .select(col("bucket"),
+        (((col("t_cnt") + lit(1L)).cast("double") / lit(totT.toDouble)) /
+          ((col("s_cnt") + lit(1L)).cast("double") / lit(totS.toDouble)))
+          .as("ratio"))
+  }
+
+  /** DSIR importance weight per document of `raw` against `target`:
+    * (id, n_tokens, weight) with
+    * `weight = Σ_b tf_b · ratio_b` folded in bucket order. The ratio
+    * table broadcasts; the corpus shuffles ONCE (per-doc bucket counts,
+    * map-side combined). */
+  def dsirWeights(
+      raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 4096): DataFrame = {
+    val ratios = ratioTable(target, raw, textCol, buckets)
+    val tf = raw
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .select(col(idCol), featureBucket(col("token"), buckets).as("bucket"))
+      .groupBy(idCol, "bucket").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(ratios), Seq("bucket"))
+      .select(col(idCol), col("tf"),
+        (col("tf").cast("double") * col("ratio")).as("term"),
+        col("bucket"))
+      .groupBy(idCol)
+      .agg(
+        sum("tf").as("n_tokens"),
+        aggregate(
+          array_sort(collect_list(struct(col("bucket"), col("term")))),
+          lit(0.0),
+          (acc: Column, x: Column) => acc + x.getField("term"))
+          .as("weight"))
+  }
+
+  /** Top-fraction selection by importance weight — the "resampling" step
+    * as a filter: keep the `keepFraction` highest-weighted documents
+    * (deterministic id tie-break). Selection rides
+    * [[Sampling.tokenBudgetSelect]]'s distributed prefix sum with unit
+    * cost — a range exchange over two narrow columns plus per-partition
+    * offsets, never a global sort-and-limit funnel into one partition. */
+  def dsirSelect(
+      raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      keepFraction: Double, buckets: Int = 4096): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0,1]")
+    val w = dsirWeights(raw, target, idCol, textCol, buckets)
+    val total = w.count()
+    val keep = math.max(1L, math.floor(total * keepFraction).toLong)
+    // pin only the survivor ID LIST (one narrow column, disk-spillable)
+    // across the loan release — the returned semi-join then recomputes
+    // nothing and the corpus itself is never materialized here
+    val ids = Sampling.withTokenBudgetSelect(
+      w.select(col(idCol), lit(1L).as("__cost"), col("weight")),
+      idCol, "__cost", "weight", keep) { sel =>
+      sel.select(col(idCol)).localCheckpoint(eager = true)
+    }
+    raw.join(ids, Seq(idCol), "left_semi")
+  }
+}

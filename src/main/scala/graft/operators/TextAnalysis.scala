@@ -271,7 +271,11 @@ object TextAnalysis {
     * the token-overlap join, with the same quadratic-blowup guard: a
     * fingerprint appearing in more than `maxDf` documents (boilerplate)
     * is dropped BEFORE the self-join via a broadcast anti-join — it
-    * carries no plagiarism signal and would contribute O(df²) pairs. */
+    * carries no plagiarism signal and would contribute O(df²) pairs.
+    *
+    * Returns a PERSISTED frame (caller-owned, the chunkDedup contract):
+    * unpersist it when done, or use [[withWinnowOverlapPairs]] for a
+    * structural release. */
   def winnowOverlapPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4, minShared: Long = 2L,
@@ -298,6 +302,19 @@ object TextAnalysis {
     out.count()
     fps.unpersist(blocking = false)
     out
+  }
+
+  /** Loan-pattern wrapper for [[winnowOverlapPairs]]: the pair frame is
+    * caller-owned persisted (the chunkDedup contract), and a long-lived
+    * driver that forgets the release accumulates cached blocks until LRU
+    * eviction. This makes the release structural — use the frame inside
+    * `f`, never let it escape. */
+  def withWinnowOverlapPairs[T](
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Long = 2L,
+      maxDf: Long = 1000L)(f: DataFrame => T): T = {
+    val pairs = winnowOverlapPairs(df, idCol, textCol, k, w, minShared, maxDf)
+    try f(pairs) finally pairs.unpersist(blocking = false)
   }
 
   /** Corpus TF-IDF top-`k` terms per document — the keyword-extraction /

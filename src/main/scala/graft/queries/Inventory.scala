@@ -551,6 +551,31 @@ object Inventory {
       .agg(count(lit(1)).as("n_users"), sum("d7").as("retained_d7"))
   }
 
+  /** G1: PageRank over the event-type transition digraph
+    * ([[graft.operators.Graph.pageRank]], exact mode) — the iterative
+    * graph family (crawl-graph authority ranking at corpus scale):
+    * edges are consecutive event-type transitions per user (ts order,
+    * event_id tie-break) with multiplicity weights; 5 damped iterations
+    * from the uniform vector. Oracle-exact because every float op is
+    * fixed-order: contributions are one multiply + one divide each and
+    * fold left-to-right in `src` order (`aggregate(array_sort(...))` ≡
+    * DuckDB `list_reduce(list(... ORDER BY src))`), and integral edge
+    * weights make out-degree sums exact. The unrolled-CTE oracle mirrors
+    * each iteration literally. */
+  val g1Pagerank: Q = (s, d) => {
+    val ev = events(s, d)
+    val seq = ev.select(col("user_id"), eventTs(ev).as("ts"),
+      col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val edges = seq
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graft.operators.Graph.pageRank(
+      edges, "src", "dst", "w", iterations = 5, damping = 0.85, exact = true)
+  }
+
   /** X4: EXCEPT ALL — multiset difference (each occurrence consumes one
     * match, unlike X1's set EXCEPT): day-1 user activity minus day-2,
     * multiplicity-aware. */
@@ -850,6 +875,7 @@ object Inventory {
     "w7_first_touch" -> w7FirstTouch,
     "a15_funnel_conversion" -> a15FunnelConversion,
     "a16_retention_cohorts" -> a16RetentionCohorts,
+    "g1_pagerank" -> g1Pagerank,
     "c1_safe_long_hex" -> c1SafeLongHex,
     "c3_payload_hash" -> c3PayloadHash,
     "c4_popcount" -> c4Popcount,
@@ -862,6 +888,52 @@ object Inventory {
     "p2_explode_enumerate" -> p2ExplodeEnumerate,
     "p24_unpivot" -> p24Unpivot,
   )
+
+  /** g1's DuckDB mirror: the 5 PageRank iterations UNROLLED as chained
+    * CTEs (recursive CTEs cannot aggregate in the recursive term, and a
+    * fixed step count needs no recursion). Each iteration mirrors the
+    * Spark expression op-for-op: contribution `(rank * w) / ow` (one
+    * multiply, one divide), incoming fold ordered by `src`
+    * (`list_reduce(list(... ORDER BY src))` ≡ the exact-mode
+    * `aggregate(array_sort(collect_list(...)))`; the 0.0 init is
+    * absorbed — `0.0 + x = x` bitwise for positive x), and the update
+    * `((1.0 - 0.85) / n) + 0.85 * COALESCE(inc, 0.0)`. Every numeric
+    * literal is CAST to DOUBLE because DuckDB parses bare decimal
+    * literals as DECIMAL — `(1.0 - 0.85)` would be the EXACT decimal
+    * 0.15 where Scala's binary-double subtraction gives
+    * 0.15000000000000002, a last-ulp mismatch that survives to the
+    * hash. */
+  private def g1OracleSql: String = {
+    val iters = (1 to 5).map { k =>
+      s"""i$k AS (
+         |  SELECT e.dst, list_reduce(
+         |    list((r.rank * CAST(e.w AS DOUBLE)) / CAST(o.ow AS DOUBLE) ORDER BY e.src),
+         |    (a, b) -> a + b) AS inc
+         |  FROM edges e JOIN r${k - 1} r ON r.node = e.src
+         |  JOIN outw o ON o.src = e.src
+         |  GROUP BY e.dst),
+         |r$k AS (
+         |  SELECT nodes.node,
+         |    ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn))
+         |      + CAST(0.85 AS DOUBLE) * COALESCE(i.inc, CAST(0.0 AS DOUBLE)) AS rank
+         |  FROM nodes LEFT JOIN i$k i ON i.dst = nodes.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |edges AS (
+       |  SELECT prev AS src, event_type AS dst, CAST(count(*) AS BIGINT) AS w
+       |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type),
+       |nodes AS (
+       |  SELECT DISTINCT node FROM
+       |    (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
+       |$iters
+       |SELECT node, rank FROM r5""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "f1_range_scan" ->
@@ -1085,6 +1157,7 @@ object Inventory {
         |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, count(*) AS n_users,
         |       CAST(SUM(d7) AS BIGINT) AS retained_d7
         |FROM ret GROUP BY cohort""".stripMargin,
+    "g1_pagerank" -> g1OracleSql,
     "a15_funnel_conversion" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
         |            WHERE event_type = 'signup' GROUP BY user_id),

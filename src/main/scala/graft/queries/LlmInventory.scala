@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables._
 import graft.functions.GraftFunctions.nfc_normalize
-import graft.operators.{BloomSet, Classifier, Decontam, Dedup, LmScore, Multimodal, Pii, Sampling, Similarity, Sketches, Skew, TextAnalysis}
+import graft.operators.{BloomSet, Classifier, Decontam, Dedup, Importance, LmScore, Multimodal, Pii, Sampling, Similarity, Sketches, Skew, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -718,6 +718,22 @@ object LlmInventory {
     * reference slice's vocabulary (sources src0/src1 as the "curated"
     * domain). Exact integer counts + one IEEE division, broadcast
     * reference vocabulary — hash-checked end to end. */
+  /** t33: DSIR hashed-unigram importance weights
+    * ([[Importance.dsirWeights]]) — every document scored by how much
+    * its hashed feature profile pulls toward the English sub-corpus as
+    * the target (the label-free "find target-like pages in raw crawl"
+    * selector). 64 buckets so the oracle's ratio table is tiny; the
+    * operator default is 4096. Oracle-exact: md5 bucketing, three
+    * fixed-order IEEE divisions for the smoothed ratio, and a
+    * bucket-ordered fold for the weight — no libm (the log-likelihood
+    * form is deliberately linearized, see the operator doc). */
+  val t33DsirWeights: Q = (s, d) => {
+    val docs = documents(s, d)
+    Importance.dsirWeights(
+      docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+      buckets = 64)
+  }
+
   val t18LmNovelty: Q = (s, d) => {
     val docs = documents(s, d)
     LmScore.bigramNovelty(
@@ -1112,6 +1128,7 @@ object LlmInventory {
     "t10_top_ngram" -> t10TopNgram,
     "t11_decontam" -> t11Decontam,
     "t18_lm_novelty" -> t18LmNovelty,
+    "t33_dsir_weights" -> t33DsirWeights,
     "a9_kmv_distinct" -> a9KmvDistinct,
     "t19_pii_redact" -> t19PiiRedact,
     "t20_bloom_membership" -> t20BloomMembership,
@@ -1479,6 +1496,40 @@ object LlmInventory {
         |FROM sh s JOIN bench b USING (shingle)
         |WHERE s.doc_id % 97 <> 0
         |GROUP BY s.doc_id""".stripMargin,
+    // DSIR mirror: md5-bucketed unigrams, +1-smoothed ratio table over
+    // ALL 64 buckets (zero-count buckets included via the range join so
+    // smoothing is total-preserving), three fixed-order double divisions
+    // for the ratio, bucket-ordered fold for the weight; DOUBLE casts on
+    // every literal-adjacent value (DuckDB decimal-literal hazard)
+    "t33_dsir_weights" ->
+      """WITH st AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, lang, unnest(string_split_regex(t, '[ \t\n\x0b\f\r]+')) AS token
+        |  FROM st WHERE t <> ''),
+        |buck AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS bucket
+        |  FROM tok),
+        |allb AS (SELECT CAST(t.i AS BIGINT) AS bucket FROM range(0, 64) t(i)),
+        |tc AS (SELECT bucket, count(*) AS c FROM buck WHERE lang = 'en' GROUP BY bucket),
+        |sc AS (SELECT bucket, count(*) AS c FROM buck GROUP BY bucket),
+        |tp AS (SELECT allb.bucket, COALESCE(tc.c, 0) + 1 AS cs FROM allb LEFT JOIN tc USING (bucket)),
+        |sp AS (SELECT allb.bucket, COALESCE(sc.c, 0) + 1 AS cs FROM allb LEFT JOIN sc USING (bucket)),
+        |tt AS (SELECT CAST(sum(cs) AS DOUBLE) AS v FROM tp),
+        |ss AS (SELECT CAST(sum(cs) AS DOUBLE) AS v FROM sp),
+        |rat AS (
+        |  SELECT tp.bucket,
+        |    ((CAST(tp.cs AS DOUBLE) / (SELECT v FROM tt)) /
+        |     (CAST(sp.cs AS DOUBLE) / (SELECT v FROM ss))) AS ratio
+        |  FROM tp JOIN sp USING (bucket)),
+        |dtf AS (SELECT doc_id, bucket, count(*) AS tf FROM buck GROUP BY doc_id, bucket)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  list_reduce(list(CAST(tf AS DOUBLE) * ratio ORDER BY bucket), (a, b) -> a + b) AS weight
+        |FROM dtf JOIN rat USING (bucket)
+        |GROUP BY doc_id""".stripMargin,
     // multiplicity-preserving bigrams (no list_distinct on the doc side),
     // reference vocabulary distinct over src0/src1, LEFT JOIN + null-count,
     // one final IEEE division

@@ -1,0 +1,155 @@
+package graft
+
+import graft.operators.{Graph, Importance}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the iterative-graph (PageRank) and importance-weighting
+  * (DSIR) operators on handcrafted graphs/corpora where the intended
+  * math is checkable by hand — the g1/t33 DuckDB oracles check the same
+  * constructions statistically at sf0.01; this pins the INTENDED
+  * semantics so oracle-and-code drift can't slip through.
+  */
+class GraphImportanceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def edges(rows: (String, String, Long)*): DataFrame =
+    rows.toSeq.toDF("src", "dst", "w")
+
+  test("pageRank: symmetric 2-cycle converges to uniform, ranks sum to 1") {
+    // a <-> b: perfectly symmetric, every iteration keeps 1/2 each
+    val e = edges(("a", "b", 1L), ("b", "a", 1L))
+    val r = Graph.pageRank(e, "src", "dst", "w", iterations = 7)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("a") - 0.5) < 1e-12)
+    assert(math.abs(r("b") - 0.5) < 1e-12)
+  }
+
+  test("pageRank: authority ordering — a hub-pointed node outranks leaves") {
+    // star: l1,l2,l3 -> c, c -> l1 (c has out-edges so no dangling)
+    val e = edges(("l1", "c", 1L), ("l2", "c", 1L), ("l3", "c", 1L),
+      ("c", "l1", 1L))
+    val r = Graph.pageRank(e, "src", "dst", "w", iterations = 20)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("c") > r("l1"), s"center must outrank leaves: $r")
+    assert(r("l1") > r("l2"), "l1 receives c's mass, l2/l3 only teleport")
+    assert(math.abs(r("l2") - r("l3")) < 1e-15, "symmetric leaves tie")
+  }
+
+  test("pageRank: dangling mass leaks (documented weak-PageRank convention)") {
+    // a -> b, b dangling: total rank < 1 but > teleport floor
+    val e = edges(("a", "b", 1L))
+    val rs = Graph.pageRank(e, "src", "dst", "w", iterations = 30)
+      .agg(sum("rank")).head().getDouble(0)
+    assert(rs < 1.0 && rs > 0.15, s"dangling graph mass should leak: $rs")
+  }
+
+  test("pageRank: edge weights skew mass proportionally") {
+    // a -> b (weight 3), a -> c (weight 1); b and c point back
+    val e = edges(("a", "b", 3L), ("a", "c", 1L),
+      ("b", "a", 1L), ("c", "a", 1L))
+    val r = Graph.pageRank(e, "src", "dst", "w", iterations = 25)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("b") > r("c"), "3:1 out-weight must rank b above c")
+  }
+
+  test("pageRank: exact mode equals the unordered-sum mode to float tolerance") {
+    val e = edges(("a", "b", 2L), ("b", "c", 1L), ("c", "a", 1L),
+      ("a", "c", 1L), ("c", "b", 5L), ("b", "a", 3L))
+    val plain = Graph.pageRank(e, "src", "dst", "w", iterations = 6)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val exact = Graph.pageRank(e, "src", "dst", "w", iterations = 6,
+      exact = true)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    plain.keys.foreach { k =>
+      assert(math.abs(plain(k) - exact(k)) < 1e-12, s"mode drift at $k")
+    }
+  }
+
+  test("pageRank: advance(start, k) == pageRank(2k) — block iteration composes") {
+    val e = edges(("a", "b", 1L), ("b", "c", 2L), ("c", "a", 1L),
+      ("b", "a", 1L))
+    val full = Graph.pageRank(e, "src", "dst", "w", iterations = 6)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val half = Graph.pageRank(e, "src", "dst", "w", iterations = 3,
+      checkpoint = true)
+    val comp = Graph.advance(e, "src", "dst", "w", half, iterations = 3)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    full.keys.foreach { k =>
+      assert(math.abs(full(k) - comp(k)) < 1e-12, s"composition drift at $k")
+    }
+  }
+
+  test("pageRankConverged: stops once the vector is stable") {
+    val e = edges(("a", "b", 1L), ("b", "a", 1L))
+    val (r, iters) = Graph.pageRankConverged(e, "src", "dst", "w",
+      tol = 1e-9, maxIterations = 30, blockIters = 5)
+    assert(iters <= 15, s"symmetric 2-cycle must converge fast, took $iters")
+    val m = r.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(m("a") - 0.5) < 1e-9)
+  }
+
+  // --- DSIR ------------------------------------------------------------
+
+  private def docs(rows: (Long, String, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text", "lang")
+
+  test("dsirWeights: target-like documents score higher than off-target") {
+    val corpus = docs(
+      (1L, "alpha beta gamma alpha beta", "en"),
+      (2L, "alpha beta beta gamma alpha", "en"),
+      (3L, "zulu yankee xray zulu yankee", "de"),
+      (4L, "alpha beta gamma beta alpha", "de"))
+    val target = corpus.filter(col("lang") === "en")
+    val w = Importance.dsirWeights(corpus, target, "doc_id", "text",
+      buckets = 32)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc 4 shares the target vocabulary; doc 3 does not
+    assert(w(4L) > w(3L), s"target-vocab doc must outweigh off-target: $w")
+    assert(w(1L) > w(3L))
+  }
+
+  test("dsirWeights: weight is per-token-mass scaled (n_tokens exact)") {
+    val corpus = docs((1L, "a b c", "en"), (2L, "", "en"))
+    val out = Importance.dsirWeights(corpus, corpus, "doc_id", "text",
+      buckets = 16).collect()
+    // empty doc has no tokens → no row (explode drops it), like the oracle
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 3L)
+  }
+
+  test("ratioTable: exactly B rows, all ratios positive, smoothing total-preserving") {
+    val corpus = docs((1L, "a b c d e f", "en"), (2L, "g h i j", "de"))
+    val rt = Importance.ratioTable(
+      corpus.filter(col("lang") === "en"), corpus, "text", buckets = 8)
+      .collect()
+    assert(rt.length == 8)
+    assert(rt.forall(_.getDouble(1) > 0.0))
+  }
+
+  test("dsirSelect: keeps the requested fraction, highest-weight first") {
+    val corpus = docs(
+      (1L, "alpha beta alpha beta", "en"),
+      (2L, "alpha alpha beta beta", "en"),
+      (3L, "zulu yankee xray whiskey", "de"),
+      (4L, "foxtrot golf hotel india", "de"))
+    val target = corpus.filter(col("lang") === "en")
+    val kept = Importance.dsirSelect(corpus, target, "doc_id", "text",
+      keepFraction = 0.5, buckets = 32)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.size == 2)
+    assert(kept == Set(1L, 2L), s"must keep the target-like docs: $kept")
+  }
+
+  test("featureBucket: stable, non-negative, bounded") {
+    val b = spark.range(1).select(
+      Importance.featureBucket(lit("alpha"), 64).as("b1"),
+      Importance.featureBucket(lit("alpha"), 64).as("b2"),
+      Importance.featureBucket(lit("beta"), 64).as("b3"))
+      .head()
+    assert(b.getLong(0) == b.getLong(1))
+    assert(b.getLong(0) >= 0 && b.getLong(0) < 64)
+  }
+}

@@ -495,4 +495,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(2000))
     assert(exchangeCount(p) == 1, s"expected 1 exchange\n${p.take(2000)}")
   }
+
+  test("t33_dsir_weights: ratio table broadcasts; no nested-loop anywhere") {
+    val p = planOf("t33_dsir_weights")
+    // the B-row ratio table is the ONLY join input that may move: it
+    // rides a BroadcastExchange; the corpus-side tf frame must join
+    // broadcast, never shuffle as a join input
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("g1_pagerank: iterative loop plans hash/broadcast joins only, partial aggs present") {
+    val p = planOf("g1_pagerank")
+    // 5 unrolled iterations: every rank-vector join must be hash or
+    // broadcast (a nested loop would be quadratic in |V|), and the
+    // edge-count aggregation keeps map-side partials
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
 }
