@@ -34,6 +34,8 @@ import org.apache.spark.sql.SparkSession
   * graft corpus pack     --in DIR --out DIR [--window-tokens 2048] [--id-col c] [--text-col c]
   * graft corpus chunk    --in DIR --out DIR [--chunk-tokens 256] [--stride 192] [--id-col c] [--text-col c]
   * graft corpus stats    --in DIR [--id-col c] [--text-col c]
+  * graft corpus dsir     --in DIR --out DIR --target DIR [--keep-fraction 0.5] [--buckets 4096] [--weights-only]
+  * graft corpus pagerank --in EDGEDIR --out DIR [--src-col src] [--dst-col dst] [--weight-col w] [--iterations 10] [--damping 0.85]
   * }}}
   *
   * `--base DIR` holds `raw_blocks/`, `tables/`, `load_state_chunks/`,
@@ -83,11 +85,12 @@ object Main {
     case "corpus" :: cmd :: rest
         if Set("dedup", "semdedup", "scrub", "lmfilter", "linededup",
           "classify", "curate", "cap", "sample", "upsample", "export",
-          "annindex", "annquery", "stats", "pack", "chunk")(cmd) =>
+          "annindex", "annquery", "stats", "pack", "chunk", "dsir",
+          "pagerank")(cmd) =>
       val spark = session()
       try corpusRun(spark, cmd, rest.toArray) finally spark.stop()
     case _ =>
-      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|status|fork info|fork list|fork detect --sample|corpus dedup|semdedup|scrub|lmfilter|linededup|classify|curate|cap|sample|upsample|export|annindex|annquery|stats} [options]")
+      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|status|fork info|fork list|fork detect --sample|corpus dedup|semdedup|scrub|lmfilter|linededup|classify|curate|cap|sample|upsample|export|annindex|annquery|stats|dsir|pagerank} [options]")
       sys.exit(2)
   }
 
@@ -314,6 +317,44 @@ object Main {
           .write.mode("overwrite").parquet(out)
         println(s"[graft] corpus scrub: redacted ${pii.getLong(0)} emails, " +
           s"${pii.getLong(1)} phones across ${spark.read.parquet(out).count()} docs")
+      case "dsir" =>
+        // importance-resampling selection: --target is the exemplar
+        // corpus; keep the top --keep-fraction by hashed-n-gram weight
+        // (or just score with --weights-only)
+        val targetDir = opt(args, "target").getOrElse(sys.error("--target required"))
+        val buckets = opt(args, "buckets").map(_.toInt).getOrElse(4096)
+        val target = spark.read.parquet(targetDir)
+        val out = outDir
+        if (args.contains("--weights-only")) {
+          graft.operators.Importance
+            .dsirWeights(docs, target, idCol, textCol, buckets)
+            .write.mode("overwrite").parquet(out)
+          println(s"[graft] corpus dsir: weights for ${docs.count()} docs -> $out")
+        } else {
+          val frac = opt(args, "keep-fraction").map(_.toDouble).getOrElse(0.5)
+          graft.operators.Importance
+            .dsirSelect(docs, target, idCol, textCol, frac, buckets)
+            .write.mode("overwrite").parquet(out)
+          val total = docs.count()
+          val kept = spark.read.parquet(out).count()
+          println(s"[graft] corpus dsir: $total docs -> $kept kept " +
+            s"(top ${(frac * 100).round}% by importance vs $targetDir)")
+        }
+      case "pagerank" =>
+        // authority ranking over an edge-list parquet (--src-col/--dst-col/
+        // --weight-col); emits (node, rank)
+        val srcCol = opt(args, "src-col").getOrElse("src")
+        val dstCol = opt(args, "dst-col").getOrElse("dst")
+        val wCol = opt(args, "weight-col").getOrElse("w")
+        val iters = opt(args, "iterations").map(_.toInt).getOrElse(10)
+        val damping = opt(args, "damping").map(_.toDouble).getOrElse(0.85)
+        val out = outDir
+        graft.operators.Graph
+          .pageRank(docs, srcCol, dstCol, wCol, iters, damping,
+            checkpoint = true)
+          .write.mode("overwrite").parquet(out)
+        val n = spark.read.parquet(out).count()
+        println(s"[graft] corpus pagerank: $n nodes ranked ($iters iterations) -> $out")
       case "lmfilter" =>
         val ref = opt(args, "ref").getOrElse(sys.error("--ref required"))
         val maxNovelty = opt(args, "max-novelty").map(_.toDouble).getOrElse(0.3)

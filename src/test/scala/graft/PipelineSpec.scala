@@ -1211,6 +1211,43 @@ class PipelineSpec extends AnyFunSuite {
       .head().getAs[String]("chunk_text") == "a b c")
   }
 
+  test("corpus CLI: dsir / pagerank verbs (D10)") {
+    import spark.implicits._
+    val base = tmp()
+    // raw corpus: 1/2 target-like vocabulary, 3/4 off-vocabulary
+    Seq((1L, "alpha beta gamma alpha beta"),
+      (2L, "beta alpha alpha gamma gamma"),
+      (3L, "zulu yankee xray whiskey victor"),
+      (4L, "uniform tango sierra romeo quebec"))
+      .toDF("doc_id", "text").write.parquet(s"$base/dsir_in")
+    Seq((100L, "alpha beta gamma beta alpha gamma"))
+      .toDF("doc_id", "text").write.parquet(s"$base/dsir_target")
+    Main.corpusRun(spark, "dsir",
+      Array("--in", s"$base/dsir_in", "--out", s"$base/dsir_out",
+        "--target", s"$base/dsir_target", "--keep-fraction", "0.5",
+        "--buckets", "64"))
+    val kept = spark.read.parquet(s"$base/dsir_out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), s"target-vocab docs must survive: $kept")
+    Main.corpusRun(spark, "dsir",
+      Array("--in", s"$base/dsir_in", "--out", s"$base/dsir_w",
+        "--target", s"$base/dsir_target", "--buckets", "64",
+        "--weights-only"))
+    val w = spark.read.parquet(s"$base/dsir_w")
+    assert(w.count() == 4 &&
+      w.columns.toSet == Set("doc_id", "n_tokens", "weight"))
+
+    Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "w").write.parquet(s"$base/edges")
+    Main.corpusRun(spark, "pagerank",
+      Array("--in", s"$base/edges", "--out", s"$base/ranks",
+        "--iterations", "20"))
+    val ranks = spark.read.parquet(s"$base/ranks")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks.size == 3)
+    assert(ranks("b") > ranks("c"), s"3:1 weight skew must rank b>c: $ranks")
+  }
+
   test("corpus CLI: linededup / classify verbs (D10)") {
     import spark.implicits._
     val base = tmp()
