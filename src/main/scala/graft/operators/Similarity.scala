@@ -380,6 +380,34 @@ object Similarity {
         (col("pos") + 1).as("rnk"), col("col.score").as("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE
+    * batch-construction primitive): for each anchor, the k most-similar
+    * corpus vectors whose label DIFFERS from the anchor's — maximally
+    * confusing negatives, the ones that actually move a contrastive
+    * loss. Same 100 TB shape as [[topKJoin]]: anchors broadcast (with
+    * their labels), the corpus never shuffles, and the map-side bounded
+    * [[TopK]] aggregate keeps k per anchor; the label inequality is a
+    * scan-side filter BEFORE any scoring, so same-label rows cost
+    * nothing. A self-match is excluded for free (it shares its own
+    * label). Output: (qId, cId, rnk, cosine). */
+  def hardNegatives(
+      queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+      qVec: String, cVec: String, qLabel: String, cLabel: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(qId).as("__q_id"), col(qVec).as("__q_vec"),
+      col(qLabel).as("__q_lab")))
+    corpus.crossJoin(q)
+      .filter(col(cLabel) =!= col("__q_lab"))
+      .withColumn("cosine", vec_cosine(col(cVec), col("__q_vec")))
+      .groupBy(col("__q_id"))
+      .agg(TopK.topkAgg(k)(col("cosine"), col(cId).cast("long")).as("topk"))
+      .select(col("__q_id").as(qId), posexplode(col("topk")))
+      .select(
+        col(qId), col("col.id").as(cId),
+        (col("pos") + 1).as("rnk"), col("col.score").as("cosine"))
+  }
+
   /** Batch SQ8 ANN — [[topKJoin]]'s shape with a quantized prefilter:
     *
     *  1. scan 1 scores every (corpus row, query) with the INTEGER code

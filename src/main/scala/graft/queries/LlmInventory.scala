@@ -423,6 +423,21 @@ object LlmInventory {
       .select(col("q_id"), col("vec_id"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** s15: hard-negative mining ([[Similarity.hardNegatives]]) — for each
+    * of the first 5 vectors as anchors, the 3 most-similar vectors with
+    * a DIFFERENT label (the contrastive-training batch-construction
+    * primitive). Rank-only output like s5; the label-inequality filter
+    * and the cosine ranking both mirror relationally. */
+  val s15HardNegatives: Q = (s, d) => {
+    val em = embeddings(s, d)
+    Similarity.hardNegatives(
+      em.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding"), col("label")),
+      em, "q_id", "vec_id", "embedding", "embedding", "label", "label",
+      k = 3)
+      .select(col("q_id"), col("vec_id"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** s9: per-label embedding centroids in long form
     * ([[Similarity.groupCentroidsByDim]]) — the class-prototype builder.
     * Components quantize to 2^-20 fixed point before the sum (exact Long,
@@ -1105,6 +1120,7 @@ object LlmInventory {
     "s3_label_buckets" -> s3LabelBuckets,
     "s4_ivf_topk" -> s4IvfTopK,
     "s5_topk_join" -> s5TopKJoin,
+    "s15_hard_negatives" -> s15HardNegatives,
     "s6_sq8_topk" -> s6Sq8TopK,
     "s8_pq_topk" -> s8PqTopK,
     "s9_label_centroids" -> s9LabelCentroids,
@@ -2242,6 +2258,18 @@ object LlmInventory {
     "s3_label_buckets" ->
       """SELECT label, count(*) AS n, MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
         |FROM embeddings GROUP BY label""".stripMargin,
+    // same rank construction as s5 with the label-inequality candidate
+    // filter; a self-match never appears (it shares its own label)
+    "s15_hard_negatives" ->
+      """SELECT q_id, vec_id, rnk FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+        |         ROW_NUMBER() OVER (
+        |           PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |                    c.vec_id) AS rnk
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 5 AND c.label <> q.label) t
+        |WHERE rnk <= 3""".stripMargin,
     // mirrors Sq8Util.encodeFloats exactly: ordered-fold norm
     // (list_reduce == the kernel's left-to-right accumulation), then
     // clamp(floor(v/n*127), -127, 127) per element; the integer code dot

@@ -68,6 +68,30 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(g0.head._1 === 499.0)
   }
 
+  test("hardNegatives: nearest same-label vector is skipped for the best cross-label one") {
+    import graft.operators.Similarity
+    // anchor (id 0, label A) at e1; id 1 is an exact same-label copy
+    // (cosine 1.0 — MUST be skipped, including the self-exclusion case);
+    // id 2 label B nearly parallel (the hard negative); id 3 label B
+    // orthogonal (the easy negative, ranked after)
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f), "A"),
+      (1L, Seq(1.0f, 0.0f), "A"),
+      (2L, Seq(0.9f, 0.1f), "B"),
+      (3L, Seq(0.0f, 1.0f), "B"))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+      vecs.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding"), col("label")),
+      vecs, "q_id", "vec_id", "embedding", "embedding", "label", "label",
+      k = 2)
+      .orderBy("rnk")
+      .collect()
+      .map(r => (r.getLong(1), r.getAs[Number]("rnk").longValue()))
+    assert(out.toSeq == Seq((2L, 1L), (3L, 2L)),
+      s"hard negative 2 then easy negative 3, never same-label 0/1: ${out.toSeq}")
+  }
+
   test("tokenOverlapPairs: DF ceiling drops hot tokens BEFORE the self-join (sub-quadratic)") {
     // 200 docs all share the stop-word 'the' (hot); only docs 0/1 and 2/3
     // share 3 rare tokens each
