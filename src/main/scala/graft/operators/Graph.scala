@@ -46,7 +46,13 @@ object Graph {
     * Returns (node, rank) for every node appearing as source or
     * destination. `iterations` fixed (no convergence test — the oracle
     * needs a deterministic step count; callers wanting convergence wrap
-    * the loop and diff successive vectors). */
+    * the loop and diff successive vectors).
+    *
+    * With `checkpoint = true` the returned vector is a MATERIALIZED
+    * localCheckpoint (caller-owned: unpersist when done); every
+    * intermediate checkpoint — superseded rank vectors, the node set,
+    * the out-weighted edge frame — is released inside the loop, so a
+    * 50-iteration run holds exactly one rank-vector copy at any time. */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
       iterations: Int = 5, damping: Double = 0.85,
@@ -68,6 +74,7 @@ object Graph {
     }
     val teleport = (1.0 - damping) / n.toDouble
     var ranks = nodesP.withColumn("rank", lit(1.0 / n.toDouble))
+    var prev: DataFrame = null
     var i = 0
     while (i < iterations) {
       val contribs = eo
@@ -90,8 +97,23 @@ object Graph {
         .select(col("node"),
           (lit(teleport) + lit(damping) * coalesce(col("inc"), lit(0.0)))
             .as("rank"))
-      ranks = if (checkpoint) next.localCheckpoint(eager = true) else next
+      if (checkpoint) {
+        val cp = next.localCheckpoint(eager = true)
+        // the prior iteration's checkpoint blocks are dead the moment the
+        // next vector is MATERIALIZED (eager above) — release them, or a
+        // long run accumulates one rank-vector copy per iteration until
+        // the context cleaner happens to notice
+        if (prev != null) prev.unpersist(blocking = false)
+        prev = cp
+        ranks = cp
+      } else ranks = next
       i += 1
+    }
+    if (checkpoint) {
+      // the support frames are dead too once the final vector is
+      // materialized; only the returned checkpoint stays caller-owned
+      nodesP.unpersist(blocking = false)
+      eo.unpersist(blocking = false)
     }
     ranks
   }
@@ -116,6 +138,7 @@ object Graph {
         .join(ranks.as("b"), col("a.node") === col("b.node"))
         .agg(max(abs(col("a.rank") - col("b.rank"))).as("d"))
         .head().getDouble(0)
+      ranks.unpersist(blocking = false) // superseded checkpoint
       ranks = advanced
       done += blockIters
       converged = delta < tol
@@ -149,14 +172,19 @@ object Graph {
           (col("rank") * col("w").cast("double") / col("ow").cast("double"))
             .as("contrib"))
       val inc = contribs.groupBy("dst").agg(sum("contrib").as("inc"))
-      ranks = nodes
+      val next = nodes
         .join(inc, nodes("node") === inc("dst"), "left")
         .select(col("node"),
           (lit(teleport) + lit(damping) * coalesce(col("inc"), lit(0.0)))
             .as("rank"))
         .localCheckpoint(eager = true)
+      // release superseded checkpoints (never the caller's start vector)
+      if (i > 0) ranks.unpersist(blocking = false)
+      ranks = next
       i += 1
     }
+    nodes.unpersist(blocking = false)
+    eo.unpersist(blocking = false)
     ranks
   }
 }

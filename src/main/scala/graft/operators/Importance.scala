@@ -63,6 +63,15 @@ object Importance {
       .select(col("bucket"), coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** Merge bucket-count tables — the incremental-corpus path: when a new
+    * crawl shard lands, count ITS tokens alone and fold into the at-rest
+    * table instead of recounting the world. Counts are exact integers,
+    * so merge ≡ recount (spec-asserted), and the result is again exactly
+    * `buckets` rows. */
+  def mergeBucketCounts(at_rest: DataFrame, delta: DataFrame): DataFrame =
+    at_rest.union(delta)
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+
   /** The broadcastable per-bucket importance-ratio table:
     * (bucket, ratio) where
     * `ratio = ((t_b+1)/(T+B)) / ((s_b+1)/(S+B))`, each division one IEEE
@@ -84,15 +93,15 @@ object Importance {
           .as("ratio"))
   }
 
-  /** DSIR importance weight per document of `raw` against `target`:
-    * (id, n_tokens, weight) with
-    * `weight = Σ_b tf_b · ratio_b` folded in bucket order. The ratio
-    * table broadcasts; the corpus shuffles ONCE (per-doc bucket counts,
-    * map-side combined). */
-  def dsirWeights(
-      raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
-      buckets: Int = 4096): DataFrame = {
-    val ratios = ratioTable(target, raw, textCol, buckets)
+  /** Score `raw` against a PRECOMPUTED ratio table — the production
+    * apply path: at 100 TB the ratio table is trained once (or merged
+    * incrementally via [[mergeBucketCounts]]) and every new shard is
+    * scored with this ONE corpus scan; only [[dsirWeights]]'s
+    * train-and-score convenience pays the extra distribution pass.
+    * Output: (id, n_tokens, weight). */
+  def applyWeights(
+      raw: DataFrame, ratios: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = {
     val tf = raw
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .select(col(idCol), featureBucket(col("token"), buckets).as("bucket"))
@@ -110,6 +119,17 @@ object Importance {
           (acc: Column, x: Column) => acc + x.getField("term"))
           .as("weight"))
   }
+
+  /** DSIR importance weight per document of `raw` against `target`:
+    * (id, n_tokens, weight) with `weight = Σ_b tf_b · ratio_b` folded in
+    * bucket order — [[ratioTable]] + [[applyWeights]] composed. The
+    * ratio table broadcasts; the corpus shuffles ONCE (per-doc bucket
+    * counts, map-side combined). */
+  def dsirWeights(
+      raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 4096): DataFrame =
+    applyWeights(raw, ratioTable(target, raw, textCol, buckets),
+      idCol, textCol, buckets)
 
   /** Top-fraction selection by importance weight — the "resampling" step
     * as a filter: keep the `keepFraction` highest-weighted documents

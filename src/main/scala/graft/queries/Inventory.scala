@@ -572,8 +572,13 @@ object Inventory {
       .filter(col("prev").isNotNull)
       .groupBy(col("prev").as("src"), col("event_type").as("dst"))
       .agg(count(lit(1)).as("w"))
+    // checkpoint=true: the edge-derivation subtree (scan + lag window +
+    // groupBy) is referenced by every unrolled iteration — materializing
+    // it once cuts the plan from 10+ re-scans to one; float results are
+    // identical (materialization changes nothing the oracle can see)
     graft.operators.Graph.pageRank(
-      edges, "src", "dst", "w", iterations = 5, damping = 0.85, exact = true)
+      edges, "src", "dst", "w", iterations = 5, damping = 0.85,
+      exact = true, checkpoint = true)
   }
 
   /** X4: EXCEPT ALL — multiset difference (each occurrence consumes one

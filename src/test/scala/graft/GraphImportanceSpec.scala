@@ -143,6 +143,20 @@ class GraphImportanceSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L), s"must keep the target-like docs: $kept")
   }
 
+  test("mergeBucketCounts: incremental merge equals whole-corpus recount") {
+    val part1 = docs((1L, "alpha beta gamma", "en"), (2L, "delta", "en"))
+    val part2 = docs((3L, "alpha epsilon zeta eta", "en"))
+    val whole = part1.union(part2)
+    val merged = Importance.mergeBucketCounts(
+      Importance.bucketCounts(part1, "text", 16),
+      Importance.bucketCounts(part2, "text", 16))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Importance.bucketCounts(whole, "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == full)
+    assert(merged.size == 16)
+  }
+
   test("featureBucket: stable, non-negative, bounded") {
     val b = spark.range(1).select(
       Importance.featureBucket(lit("alpha"), 64).as("b1"),

@@ -507,10 +507,22 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("g1_pagerank: iterative loop plans hash/broadcast joins only, partial aggs present") {
-    val p = planOf("g1_pagerank")
-    // 5 unrolled iterations: every rank-vector join must be hash or
-    // broadcast (a nested loop would be quadratic in |V|), and the
-    // edge-count aggregation keeps map-side partials
+    // the declared query checkpoints each iteration (its final plan is an
+    // opaque RDD scan), so the gate inspects the same construction
+    // UN-checkpointed: the full 5-iteration tree must contain no nested
+    // loop anywhere and keep map-side partial aggregation
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, count, lag, lit}
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val edges = events
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val df = graft.operators.Graph.pageRank(
+      edges, "src", "dst", "w", iterations = 5, exact = true)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(3000))
     assert(p.contains("HashAggregate"), p.take(3000))
