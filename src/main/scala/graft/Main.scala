@@ -34,8 +34,8 @@ import org.apache.spark.sql.SparkSession
   * graft corpus pack     --in DIR --out DIR [--window-tokens 2048] [--id-col c] [--text-col c]
   * graft corpus chunk    --in DIR --out DIR [--chunk-tokens 256] [--stride 192] [--id-col c] [--text-col c]
   * graft corpus stats    --in DIR [--id-col c] [--text-col c]
-  * graft corpus dsir     --in DIR --out DIR --target DIR [--keep-fraction 0.5] [--buckets 4096] [--weights-only]
-  * graft corpus pagerank --in EDGEDIR --out DIR [--src-col src] [--dst-col dst] [--weight-col w] [--iterations 10] [--damping 0.85]
+  * graft corpus dsir     --in DIR --out DIR {--target DIR | --ratios DIR} [--save-ratios DIR] [--keep-fraction 0.5] [--buckets 4096] [--weights-only]
+  * graft corpus pagerank --in EDGEDIR --out DIR [--src-col src] [--dst-col dst] [--weight-col w] [--iterations 10] [--damping 0.85] [--seeds DIR [--seed-col node]]
   * }}}
   *
   * `--base DIR` holds `raw_blocks/`, `tables/`, `load_state_chunks/`,
@@ -320,39 +320,62 @@ object Main {
       case "dsir" =>
         // importance-resampling selection: --target is the exemplar
         // corpus; keep the top --keep-fraction by hashed-n-gram weight
-        // (or just score with --weights-only)
-        val targetDir = opt(args, "target").getOrElse(sys.error("--target required"))
+        // (or just score with --weights-only). --ratios DIR applies a
+        // PRE-TRAINED ratio table in one corpus scan (the sharded
+        // production path); --save-ratios DIR persists the trained table
+        // for exactly that reuse.
         val buckets = opt(args, "buckets").map(_.toInt).getOrElse(4096)
-        val target = spark.read.parquet(targetDir)
         val out = outDir
+        val ratios = opt(args, "ratios") match {
+          case Some(dir) => spark.read.parquet(dir)
+          case None =>
+            val targetDir = opt(args, "target")
+              .getOrElse(sys.error("--target or --ratios required"))
+            val t = graft.operators.Importance
+              .ratioTable(spark.read.parquet(targetDir), docs, textCol, buckets)
+            opt(args, "save-ratios").foreach { rd =>
+              t.coalesce(1).write.mode("overwrite").parquet(rd)
+              println(s"[graft] corpus dsir: ratio table ($buckets buckets) -> $rd")
+            }
+            t
+        }
         if (args.contains("--weights-only")) {
           graft.operators.Importance
-            .dsirWeights(docs, target, idCol, textCol, buckets)
+            .applyWeights(docs, ratios, idCol, textCol, buckets)
             .write.mode("overwrite").parquet(out)
           println(s"[graft] corpus dsir: weights for ${docs.count()} docs -> $out")
         } else {
           val frac = opt(args, "keep-fraction").map(_.toDouble).getOrElse(0.5)
           graft.operators.Importance
-            .dsirSelect(docs, target, idCol, textCol, frac, buckets)
+            .dsirSelectWithRatios(docs, ratios, idCol, textCol, frac, buckets)
             .write.mode("overwrite").parquet(out)
           val total = docs.count()
           val kept = spark.read.parquet(out).count()
           println(s"[graft] corpus dsir: $total docs -> $kept kept " +
-            s"(top ${(frac * 100).round}% by importance vs $targetDir)")
+            s"(top ${(frac * 100).round}% by importance)")
         }
       case "pagerank" =>
         // authority ranking over an edge-list parquet (--src-col/--dst-col/
-        // --weight-col); emits (node, rank)
+        // --weight-col); emits (node, rank). With --seeds DIR the teleport
+        // is personalized to that node list (topic-sensitive ranking).
         val srcCol = opt(args, "src-col").getOrElse("src")
         val dstCol = opt(args, "dst-col").getOrElse("dst")
         val wCol = opt(args, "weight-col").getOrElse("w")
         val iters = opt(args, "iterations").map(_.toInt).getOrElse(10)
         val damping = opt(args, "damping").map(_.toDouble).getOrElse(0.85)
         val out = outDir
-        graft.operators.Graph
-          .pageRank(docs, srcCol, dstCol, wCol, iters, damping,
-            checkpoint = true)
-          .write.mode("overwrite").parquet(out)
+        val ranks = opt(args, "seeds") match {
+          case Some(seedDir) =>
+            graft.operators.Graph.personalizedPageRank(
+              docs, srcCol, dstCol, wCol,
+              spark.read.parquet(seedDir),
+              opt(args, "seed-col").getOrElse("node"), iters, damping)
+          case None =>
+            graft.operators.Graph.pageRank(
+              docs, srcCol, dstCol, wCol, iters, damping, checkpoint = true)
+        }
+        ranks.write.mode("overwrite").parquet(out)
+        ranks.unpersist(blocking = false) // caller-owned checkpoint released
         val n = spark.read.parquet(out).count()
         println(s"[graft] corpus pagerank: $n nodes ranked ($iters iterations) -> $out")
       case "lmfilter" =>

@@ -118,6 +118,65 @@ object Graph {
     ranks
   }
 
+  /** Personalized (topic-sensitive) PageRank: teleport mass lands ONLY on
+    * the `seeds` node set instead of uniformly — the crawl-frontier
+    * prioritizer ("rank the web relative to these trusted pages") and
+    * the similar-item expander ("what's close to this seed set in the
+    * link structure"). Same per-iteration shape and cache hygiene as
+    * [[pageRank]]; the seed set joins in once as the teleport column
+    * (broadcast when small, which seed sets are). Nodes unreachable from
+    * the seeds converge to rank 0 — that's the feature. Returns a
+    * MATERIALIZED caller-owned checkpoint like `pageRank(checkpoint =
+    * true)`. */
+  def personalizedPageRank(
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      seeds: DataFrame, seedCol: String,
+      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "personalizedPageRank: iterations must be >= 1")
+    val e = edges.select(
+      col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val s = seeds.select(col(seedCol).as("node")).distinct()
+    val nSeeds = s.count()
+    require(nSeeds >= 1, "personalizedPageRank: seeds must be non-empty")
+    // teleport column: 1/|S| on seeds, 0 elsewhere — joined ONCE and
+    // carried through every iteration's node frame
+    val nodesT = nodes
+      .join(broadcast(s.withColumn("__is_seed", lit(true))), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__is_seed"), lit(1.0 / nSeeds.toDouble))
+          .otherwise(lit(0.0)).as("tele"))
+      .localCheckpoint(eager = true)
+    val outw = e.groupBy("src").agg(sum("w").as("ow"))
+    val eo = e.join(outw, "src").localCheckpoint(eager = true)
+    var ranks = nodesT.select(col("node"), col("tele").as("rank"))
+      .localCheckpoint(eager = true)
+    var i = 0
+    while (i < iterations) {
+      val contribs = eo
+        .join(ranks, eo("src") === ranks("node"))
+        .select(col("dst"),
+          (col("rank") * col("w").cast("double") / col("ow").cast("double"))
+            .as("contrib"))
+      val inc = contribs.groupBy("dst").agg(sum("contrib").as("inc"))
+      val next = nodesT
+        .join(inc, nodesT("node") === inc("dst"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * col("tele") +
+            lit(damping) * coalesce(col("inc"), lit(0.0))).as("rank"))
+        .localCheckpoint(eager = true)
+      ranks.unpersist(blocking = false)
+      ranks = next
+      i += 1
+    }
+    nodesT.unpersist(blocking = false)
+    eo.unpersist(blocking = false)
+    ranks
+  }
+
   /** Convergence-looped variant for production use: iterates in blocks of
     * `blockIters` (checkpointed), stopping when the max absolute rank
     * delta falls below `tol` or `maxIterations` is hit. Returns

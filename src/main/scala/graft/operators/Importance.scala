@@ -139,9 +139,23 @@ object Importance {
     * offsets, never a global sort-and-limit funnel into one partition. */
   def dsirSelect(
       raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
-      keepFraction: Double, buckets: Int = 4096): DataFrame = {
+      keepFraction: Double, buckets: Int = 4096): DataFrame =
+    selectTopFraction(raw,
+      dsirWeights(raw, target, idCol, textCol, buckets), idCol, keepFraction)
+
+  /** [[dsirSelect]] against a precomputed ratio table — the sharded
+    * production form: ONE corpus scan for the weights, then the
+    * prefix-sum cut. */
+  def dsirSelectWithRatios(
+      raw: DataFrame, ratios: DataFrame, idCol: String, textCol: String,
+      keepFraction: Double, buckets: Int = 4096): DataFrame =
+    selectTopFraction(raw,
+      applyWeights(raw, ratios, idCol, textCol, buckets), idCol, keepFraction)
+
+  private def selectTopFraction(
+      raw: DataFrame, w: DataFrame, idCol: String,
+      keepFraction: Double): DataFrame = {
     require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0,1]")
-    val w = dsirWeights(raw, target, idCol, textCol, buckets)
     val total = w.count()
     val keep = math.max(1L, math.floor(total * keepFraction).toLong)
     // pin only the survivor ID LIST (one narrow column, disk-spillable)

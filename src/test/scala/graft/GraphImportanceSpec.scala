@@ -91,6 +91,33 @@ class GraphImportanceSpec extends AnyFunSuite {
     assert(math.abs(m("a") - 0.5) < 1e-9)
   }
 
+  test("personalizedPageRank: teleport mass concentrates around the seed set") {
+    import spark.implicits._
+    // two symmetric communities bridged weakly: a<->b, c<->d, b->c (1)
+    val e = edges(("a", "b", 10L), ("b", "a", 10L),
+      ("c", "d", 10L), ("d", "c", 10L), ("b", "c", 1L))
+    val seeded = Graph.personalizedPageRank(
+      e, "src", "dst", "w", Seq("a").toDF("node"), "node", iterations = 20)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // the seed community must dominate; the far community only receives
+    // leaked bridge mass
+    assert(seeded("a") > seeded("c") && seeded("b") > seeded("c"),
+      s"seed community must outrank the far one: $seeded")
+    assert(seeded("a") > seeded("b"), "the seed itself gets the teleport mass")
+    assert(seeded("c") > 0.0, "bridge-reachable nodes keep nonzero rank")
+  }
+
+  test("personalizedPageRank: unreachable nodes converge toward zero") {
+    import spark.implicits._
+    // z -> y is a separate component, unreachable from seed a
+    val e = edges(("a", "b", 1L), ("b", "a", 1L), ("z", "y", 1L), ("y", "z", 1L))
+    val r = Graph.personalizedPageRank(
+      e, "src", "dst", "w", Seq("a").toDF("node"), "node", iterations = 30)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("z") < 1e-9 && r("y") < 1e-9, s"unreachable must decay: $r")
+    assert(r("a") + r("b") > 0.99, "all mass stays in the seed component")
+  }
+
   // --- DSIR ------------------------------------------------------------
 
   private def docs(rows: (Long, String, String)*): DataFrame =

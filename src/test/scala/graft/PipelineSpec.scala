@@ -1237,6 +1237,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(w.count() == 4 &&
       w.columns.toSet == Set("doc_id", "n_tokens", "weight"))
 
+    // train-once/apply-sharded round trip: --save-ratios then --ratios
+    // must reproduce the train-and-score weights exactly
+    Main.corpusRun(spark, "dsir",
+      Array("--in", s"$base/dsir_in", "--out", s"$base/dsir_w1",
+        "--target", s"$base/dsir_target", "--buckets", "64",
+        "--save-ratios", s"$base/dsir_rt", "--weights-only"))
+    Main.corpusRun(spark, "dsir",
+      Array("--in", s"$base/dsir_in", "--out", s"$base/dsir_w2",
+        "--ratios", s"$base/dsir_rt", "--buckets", "64", "--weights-only"))
+    val w1 = spark.read.parquet(s"$base/dsir_w1")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val w2 = spark.read.parquet(s"$base/dsir_w2")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w1 == w2, "precomputed-ratio apply must equal train-and-score")
+
     Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L))
       .toDF("src", "dst", "w").write.parquet(s"$base/edges")
     Main.corpusRun(spark, "pagerank",
@@ -1246,6 +1261,18 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(ranks.size == 3)
     assert(ranks("b") > ranks("c"), s"3:1 weight skew must rank b>c: $ranks")
+
+    // personalized: seeding c boosts c RELATIVE to b (c forwards its
+    // teleport mass to a, which still splits 3:1 toward b — so the
+    // absolute order may hold, but the c/b ratio must rise)
+    Seq("c").toDF("node").write.parquet(s"$base/seeds")
+    Main.corpusRun(spark, "pagerank",
+      Array("--in", s"$base/edges", "--out", s"$base/ranks_pers",
+        "--iterations", "20", "--seeds", s"$base/seeds"))
+    val pers = spark.read.parquet(s"$base/ranks_pers")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pers("c") / pers("b") > ranks("c") / ranks("b"),
+      s"seeding c must boost c relative to b: $pers vs $ranks")
   }
 
   test("corpus CLI: linededup / classify verbs (D10)") {
