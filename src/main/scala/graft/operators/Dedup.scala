@@ -635,6 +635,36 @@ object Dedup {
     * over the hash group, then a join back on the hash — both sides
     * already hash-partitioned by the same key, so AQE elides the second
     * exchange. */
+  /** WITHIN-document repeated-chunk removal — [[chunkDedup]]'s semantics
+    * scoped to each document alone (drop a chunk iff the SAME document
+    * already contained it): the self-repetition scrubber for
+    * generation-loop artifacts and boilerplate stutter, complementing
+    * the corpus-wide pass (which this never needs: no cross-document
+    * state).
+    *
+    * 100 TB shape: ZERO shuffles — the entire rewrite is one scan-side
+    * expression chain (chunk kernel → per-element "no earlier equal
+    * chunk" HOF filter → reassembly), so it composes into any curation
+    * scan for free. The earlier-chunk scan is O(chunks²) per document in
+    * the worst case, bounded by document length — per-row work, never
+    * cluster work. Same output contract as [[chunkDedup]]:
+    * (id, n_chunks, n_kept, text_dedup), empty docs emit no rows. */
+  def selfChunkDedup(
+      df: DataFrame, idCol: String, textCol: String, chunkTokens: Int): DataFrame = {
+    val chunks = Shingles.tokenChunks(col(textCol), chunkTokens)
+    df.select(col(idCol), chunks.as("__chunks"))
+      .filter(size(col("__chunks")) > 0)
+      .select(col(idCol), col("__chunks"),
+        filter(col("__chunks"), (x, i) =>
+          !exists(slice(col("__chunks"), lit(1), i), y => y === x))
+          .as("__kept"))
+      .select(col(idCol),
+        size(col("__chunks")).cast("long").as("n_chunks"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        when(size(col("__kept")) > 0, concat_ws(" ", col("__kept")))
+          .as("text_dedup"))
+  }
+
   def chunkDedup(
       df: DataFrame, idCol: String, textCol: String, chunkTokens: Int): DataFrame = {
     // persisted: consumed twice (the first-occurrence aggregate and the

@@ -728,6 +728,33 @@ object Inventory {
         count(lit(1)).as("n_items"))
   }
 
+  /** J14: the TPC-H Q10 returned-item-report shape — who returned the
+    * most revenue last quarter: quarter-filtered orders ⋈ lineitem
+    * (returnflag 'R') ⋈ customer ⋈ broadcast nation → per-customer
+    * revenue rollup → top-20 (TakeOrderedAndProject, deterministic
+    * custkey tie-break). The fourth classic OLAP plan next to j12/j13:
+    * a selective fact-fact equi join whose dims broadcast, revenue in
+    * exact decimal. */
+  val j14ReturnedItems: Q = (s, d) => {
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val l = lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val c = customer(s, d)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val n = nation(s, d).select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(revenue).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   /** J11: static-interval range lookup as a ZERO-JOIN scan-side
     * expression ([[graft.functions.RangeBucket]]) — the broadcast-dim
     * archetype (IP→geo, value→tier, slot→fork) where the dim table is a
@@ -881,6 +908,7 @@ object Inventory {
     "a15_funnel_conversion" -> a15FunnelConversion,
     "a16_retention_cohorts" -> a16RetentionCohorts,
     "g1_pagerank" -> g1Pagerank,
+    "j14_returned_items" -> j14ReturnedItems,
     "c1_safe_long_hex" -> c1SafeLongHex,
     "c3_payload_hash" -> c3PayloadHash,
     "c4_popcount" -> c4Popcount,
@@ -1163,6 +1191,18 @@ object Inventory {
         |       CAST(SUM(d7) AS BIGINT) AS retained_d7
         |FROM ret GROUP BY cohort""".stripMargin,
     "g1_pagerank" -> g1OracleSql,
+    "j14_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |  AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "a15_funnel_conversion" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
         |            WHERE event_type = 'signup' GROUP BY user_id),

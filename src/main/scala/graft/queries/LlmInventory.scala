@@ -733,6 +733,15 @@ object LlmInventory {
     * reference slice's vocabulary (sources src0/src1 as the "curated"
     * domain). Exact integer counts + one IEEE division, broadcast
     * reference vocabulary — hash-checked end to end. */
+  /** t34: WITHIN-document repeated-chunk removal
+    * ([[Dedup.selfChunkDedup]]) — d11's dedup semantics scoped to each
+    * document alone (generation-stutter / boilerplate self-repetition
+    * scrubbing), as a pure scan-side expression chain: ZERO shuffles,
+    * plan-gated. 2-token chunks so the word-soup corpus exhibits real
+    * repeats (~180 of 500 docs at sf0.01). */
+  val t34SelfChunkDedup: Q = (s, d) =>
+    Dedup.selfChunkDedup(documents(s, d), "doc_id", "text", chunkTokens = 2)
+
   /** t33: DSIR hashed-unigram importance weights
     * ([[Importance.dsirWeights]]) — every document scored by how much
     * its hashed feature profile pulls toward the English sub-corpus as
@@ -1145,6 +1154,7 @@ object LlmInventory {
     "t11_decontam" -> t11Decontam,
     "t18_lm_novelty" -> t18LmNovelty,
     "t33_dsir_weights" -> t33DsirWeights,
+    "t34_selfchunk_dedup" -> t34SelfChunkDedup,
     "a9_kmv_distinct" -> a9KmvDistinct,
     "t19_pii_redact" -> t19PiiRedact,
     "t20_bloom_membership" -> t20BloomMembership,
@@ -2540,6 +2550,33 @@ object LlmInventory {
     // the globally-first-occurrence rule (window row_number ordered by
     // (doc, idx) — equals Spark's min-struct over the hash group), and
     // reassemble survivors with an ordered string_agg
+    // d11's construction with the first-occurrence window scoped PER
+    // DOCUMENT (partition by doc_id, chunk) and 2-token chunks
+    "t34_selfchunk_dedup" ->
+      """WITH s AS (
+        |  SELECT doc_id, regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |         CASE WHEN t = '' THEN []::VARCHAR[]
+        |              ELSE string_split_regex(t, '[ \t\n\x0b\f\r]+') END AS toks
+        |  FROM s),
+        |ch AS (
+        |  SELECT doc_id, g.i AS chunk_idx,
+        |         array_to_string(list_slice(toks, g.i * 2 + 1, g.i * 2 + 2), ' ') AS chunk
+        |  FROM tok CROSS JOIN range(0, 320) g(i)
+        |  WHERE g.i < (len(toks) + 1) // 2),
+        |rk AS (
+        |  SELECT doc_id, chunk_idx, chunk,
+        |         row_number() OVER (PARTITION BY doc_id, chunk ORDER BY chunk_idx) AS rn
+        |  FROM ch)
+        |SELECT doc_id,
+        |       count(*) AS n_chunks,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CASE WHEN sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+        |            THEN string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx)
+        |       END AS text_dedup
+        |FROM rk GROUP BY doc_id""".stripMargin,
     "d11_chunk_dedup" ->
       """WITH s AS (
         |  SELECT doc_id, regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t

@@ -496,6 +496,20 @@ class PlanSpec extends AnyFunSuite {
     assert(exchangeCount(p) == 1, s"expected 1 exchange\n${p.take(2000)}")
   }
 
+  test("t34_selfchunk_dedup: pure scan-side rewrite — ZERO exchanges, no join, no window") {
+    val p = planOf("t34_selfchunk_dedup")
+    assert(exchangeCount(p) == 0, s"expected 0 exchanges\n${p.take(2000)}")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2000))
+  }
+
+  test("j14_returned_items: dims broadcast, no cartesian, top-20 is TakeOrdered") {
+    val p = planOf("j14_returned_items")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
   test("t33_dsir_weights: ratio table broadcasts; no nested-loop anywhere") {
     val p = planOf("t33_dsir_weights")
     // the B-row ratio table is the ONLY join input that may move: it

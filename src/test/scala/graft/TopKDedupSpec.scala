@@ -68,6 +68,26 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(g0.head._1 === 499.0)
   }
 
+  test("selfChunkDedup: repeats drop within a doc but NOT across docs; first wins") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      // doc 1: chunk "a b" repeats (idx 0 and 2) — second drops
+      (1L, "a b c d a b e f"),
+      // doc 2: contains doc 1's chunk — must survive (self-scope only)
+      (2L, "a b x y"),
+      // doc 3: all chunks identical — collapses to one
+      (3L, "q r q r q r"),
+      (4L, "   "))
+      .toDF("doc_id", "text")
+    val out = Dedup.selfChunkDedup(docs, "doc_id", "text", chunkTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((4L, 3L, "a b c d e f")))
+    assert(out(2L) == ((2L, 2L, "a b x y")), "cross-doc repeats must survive")
+    assert(out(3L) == ((3L, 1L, "q r")))
+    assert(!out.contains(4L), "whitespace-only docs emit no row")
+  }
+
   test("hardNegatives: nearest same-label vector is skipped for the best cross-label one") {
     import graft.operators.Similarity
     // anchor (id 0, label A) at e1; id 1 is an exact same-label copy
