@@ -846,6 +846,57 @@ class StreamingSpec extends AnyFunSuite {
     corpus.unpersist(blocking = false)
   }
 
+  test("streaming DSIR scoring: per-batch applyWeights with a frozen ratio table ≡ batch") {
+    import graft.operators.Importance
+    import spark.implicits._
+    // the ingest-path curation shape: the ratio table is trained ONCE
+    // offline (or merged incrementally), then every arriving micro-batch
+    // is scored in one scan inside foreachBatch — no streaming aggregate,
+    // no state store, verdicts appended exactly-once per batch
+    val dir = java.nio.file.Files.createTempDirectory("dsir_stream").toString
+    // background vocabulary is SHARED (8 words) so its source counts are
+    // high and its ratios low; the target sample is large enough that
+    // +B smoothing doesn't drown the signal (a 1-doc target would)
+    val off = Array("zulu", "yankee", "xray", "whiskey",
+      "victor", "uniform", "tango", "sierra")
+    val docs = (0L until 40L).map { i =>
+      val t =
+        if (i % 4 == 0) "alpha beta gamma alpha"
+        else (0 until 4).map(j => off(((i + j) % 8).toInt)).mkString(" ")
+      (i, t)
+    }.toDF("doc_id", "text")
+    val target = (0L until 20L)
+      .map(i => (1000L + i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val ratios = Importance.ratioTable(target, docs, "text", buckets = 64)
+      .persist()
+    ratios.count()
+    docs.repartition(4).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Importance.applyWeights(batch, ratios, "doc_id", "text", buckets = 64)
+          .write.mode("append").parquet(s"$dir/scored")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val streamed = spark.read.parquet(s"$dir/scored")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val batch = Importance.applyWeights(docs, ratios, "doc_id", "text", buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(streamed == batch, "per-batch scoring must equal the one-shot batch scoring")
+    // and the weights separate: target-like docs above the background
+    val tgt = streamed.filter(_._1 % 4 == 0).values.min
+    val bg = streamed.filter(_._1 % 4 != 0).values.max
+    assert(tgt > bg, s"target-like floor $tgt must exceed background ceiling $bg")
+    ratios.unpersist(blocking = false)
+  }
+
   test("sessionize: flatMapGroupsWithState keyed running state") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[StreamingJobs.SessionInput]
