@@ -131,7 +131,10 @@ object Graph {
   def personalizedPageRank(
       edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
       seeds: DataFrame, seedCol: String,
-      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 10, damping: Double = 0.85,
+      /** src-ordered incoming fold for bitwise oracle parity, as in
+        * [[pageRank]]. */
+      exact: Boolean = false): DataFrame = {
     require(iterations >= 1, "personalizedPageRank: iterations must be >= 1")
     val e = edges.select(
       col(srcCol).as("src"), col(dstCol).as("dst"),
@@ -158,10 +161,19 @@ object Graph {
     while (i < iterations) {
       val contribs = eo
         .join(ranks, eo("src") === ranks("node"))
-        .select(col("dst"),
+        .select(col("dst"), col("src"),
           (col("rank") * col("w").cast("double") / col("ow").cast("double"))
             .as("contrib"))
-      val inc = contribs.groupBy("dst").agg(sum("contrib").as("inc"))
+      val inc =
+        if (exact)
+          contribs.groupBy("dst").agg(
+            aggregate(
+              array_sort(collect_list(struct(col("src"), col("contrib")))),
+              lit(0.0),
+              (acc: Column, x: Column) => acc + x.getField("contrib"))
+              .as("inc"))
+        else
+          contribs.groupBy("dst").agg(sum("contrib").as("inc"))
       val next = nodesT
         .join(inc, nodesT("node") === inc("dst"), "left")
         .select(col("node"),

@@ -581,6 +581,28 @@ object Inventory {
       exact = true, checkpoint = true)
   }
 
+  /** G2: PERSONALIZED PageRank over the same transition digraph as g1
+    * ([[graft.operators.Graph.personalizedPageRank]], exact mode) —
+    * teleport mass restricted to the 'signup' node (topic-sensitive
+    * ranking: "authority relative to the signup flow"). Same
+    * bitwise-mirrorable arithmetic as g1; the oracle's teleport column
+    * is a CASE on the seed node. */
+  val g2PersonalizedPagerank: Q = (s, d) => {
+    val ev = events(s, d)
+    val seq = ev.select(col("user_id"), eventTs(ev).as("ts"),
+      col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val edges = seq
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    import s.implicits._
+    graft.operators.Graph.personalizedPageRank(
+      edges, "src", "dst", "w", Seq("signup").toDF("node"), "node",
+      iterations = 5, damping = 0.85, exact = true)
+  }
+
   /** X4: EXCEPT ALL — multiset difference (each occurrence consumes one
     * match, unlike X1's set EXCEPT): day-1 user activity minus day-2,
     * multiplicity-aware. */
@@ -909,6 +931,7 @@ object Inventory {
     "a16_retention_cohorts" -> a16RetentionCohorts,
     "g1_pagerank" -> g1Pagerank,
     "j14_returned_items" -> j14ReturnedItems,
+    "g2_personalized_pagerank" -> g2PersonalizedPagerank,
     "c1_safe_long_hex" -> c1SafeLongHex,
     "c3_payload_hash" -> c3PayloadHash,
     "c4_popcount" -> c4Popcount,
@@ -964,6 +987,46 @@ object Inventory {
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
        |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
+       |$iters
+       |SELECT node, rank FROM r5""".stripMargin
+  }
+
+  /** g2's mirror: g1's unrolled CTEs with the teleport COLUMN (CASE on
+    * the seed node; `lit(1.0 / nSeeds)` with one seed is exactly 1.0)
+    * replacing the uniform scalar, and the start vector = the teleport
+    * vector. Same DOUBLE-cast discipline throughout. */
+  private def g2OracleSql: String = {
+    val iters = (1 to 5).map { k =>
+      s"""i$k AS (
+         |  SELECT e.dst, list_reduce(
+         |    list((r.rank * CAST(e.w AS DOUBLE)) / CAST(o.ow AS DOUBLE) ORDER BY e.src),
+         |    (a, b) -> a + b) AS inc
+         |  FROM edges e JOIN r${k - 1} r ON r.node = e.src
+         |  JOIN outw o ON o.src = e.src
+         |  GROUP BY e.dst),
+         |r$k AS (
+         |  SELECT nodes.node,
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * t.tele
+         |      + CAST(0.85 AS DOUBLE) * COALESCE(i.inc, CAST(0.0 AS DOUBLE)) AS rank
+         |  FROM nodes JOIN tele t ON t.node = nodes.node
+         |  LEFT JOIN i$k i ON i.dst = nodes.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |edges AS (
+       |  SELECT prev AS src, event_type AS dst, CAST(count(*) AS BIGINT) AS w
+       |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type),
+       |nodes AS (
+       |  SELECT DISTINCT node FROM
+       |    (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+       |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+       |tele AS (
+       |  SELECT node, CASE WHEN node = 'signup' THEN CAST(1.0 AS DOUBLE)
+       |                    ELSE CAST(0.0 AS DOUBLE) END AS tele
+       |  FROM nodes),
+       |r0 AS (SELECT node, tele AS rank FROM tele),
        |$iters
        |SELECT node, rank FROM r5""".stripMargin
   }
@@ -1191,6 +1254,7 @@ object Inventory {
         |       CAST(SUM(d7) AS BIGINT) AS retained_d7
         |FROM ret GROUP BY cohort""".stripMargin,
     "g1_pagerank" -> g1OracleSql,
+    "g2_personalized_pagerank" -> g2OracleSql,
     "j14_returned_items" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -82,6 +82,29 @@ class GraphImportanceSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank invariants on seeded random graphs: mass ≈ 1, teleport floor holds") {
+    // every node gets an out-edge by construction (no dangling leak), so
+    // total mass must be 1 to fp tolerance and no rank can fall below
+    // the teleport floor (1-d)/N — checked across seeds
+    for (seed <- Seq(1, 7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val es = (0 until n).flatMap { v =>
+        (0 until 1 + rnd.nextInt(4)).map { _ =>
+          (s"n$v", s"n${rnd.nextInt(n)}", 1L + rnd.nextInt(5))
+        }
+      }
+      import spark.implicits._
+      val r = Graph.pageRank(es.toDF("src", "dst", "w"), "src", "dst", "w",
+        iterations = 25)
+        .collect().map(_.getDouble(1))
+      val mass = r.sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"seed $seed: mass $mass")
+      val floor = 0.15 / r.length
+      assert(r.forall(_ >= floor - 1e-12), s"seed $seed: below teleport floor")
+    }
+  }
+
   test("pageRankConverged: stops once the vector is stable") {
     val e = edges(("a", "b", 1L), ("b", "a", 1L))
     val (r, iters) = Graph.pageRankConverged(e, "src", "dst", "w",

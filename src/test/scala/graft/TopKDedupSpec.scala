@@ -88,6 +88,25 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(!out.contains(4L), "whitespace-only docs emit no row")
   }
 
+  test("selfChunkDedup: idempotent on seeded random word-soup (rewrite of rewrite = rewrite)") {
+    import graft.operators.Dedup
+    for (seed <- Seq(3, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until 50L).map { i =>
+        (i, (0 until 6 + rnd.nextInt(40)).map(_ => s"w${rnd.nextInt(12)}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val once = Dedup.selfChunkDedup(docs, "doc_id", "text", chunkTokens = 2)
+        .select(col("doc_id"), col("text_dedup"))
+      val twice = Dedup.selfChunkDedup(
+        once.withColumnRenamed("text_dedup", "text"), "doc_id", "text",
+        chunkTokens = 2)
+        .select(col("doc_id"), col("text_dedup"))
+      val a = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val b = twice.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(b == a, s"seed $seed: second pass must change nothing")
+    }
+  }
+
   test("hardNegatives: nearest same-label vector is skipped for the best cross-label one") {
     import graft.operators.Similarity
     // anchor (id 0, label A) at e1; id 1 is an exact same-label copy
