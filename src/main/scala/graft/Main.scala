@@ -26,7 +26,7 @@ import org.apache.spark.sql.SparkSession
   * graft corpus semdedup --in DIR --out DIR [--vec-col c] [--threshold 0.999] [--planes 16] [--bands 4] [--seed 42]
   * graft corpus scrub    --in DIR --out DIR [--text-col c]
   * graft corpus lmfilter --in DIR --out DIR --ref DIR [--max-novelty 0.3]
-  * graft corpus linededup --in DIR --out DIR [--chunk-tokens 10] [--id-col c] [--text-col c]
+  * graft corpus linededup --in DIR --out DIR [--chunk-tokens 10] [--self] [--id-col c] [--text-col c]
   * graft corpus classify --in DIR --out DIR [--threshold 0.0] [--seed w] [--text-col c]
   * graft corpus curate   --in DIR --out DIR [--classify-threshold T] [--chunk-tokens 10] [--dedup-threshold 0.8] [--ref-bench DIR] [--budget N] [--shards K]
   * graft corpus annindex --in DIR --out DIR [--append] [--id-col c] [--vec-col c] [--lists 64] [--pq-m 16] [--pq-ksub 16] [--seed 42]
@@ -392,12 +392,18 @@ object Main {
       case "linededup" =>
         val chunkTokens = opt(args, "chunk-tokens").map(_.toInt).getOrElse(10)
         val out = outDir
-        // rewrite each doc with corpus-wide repeated chunks removed (first
-        // occurrence survives); docs whose every chunk was a repeat drop out
-        // (chunkDedup returns a PERSISTED frame — caller-owned, released
-        // after the write below consumes it)
-        val chunkFrame = graft.operators.Dedup
-          .chunkDedup(docs, idCol, textCol, chunkTokens)
+        // rewrite each doc with repeated chunks removed (first occurrence
+        // survives); corpus-wide by default, --self scopes the repeat
+        // check to each document alone (zero-shuffle scan-side rewrite —
+        // generation-stutter scrubbing). Corpus-wide chunkDedup returns a
+        // PERSISTED frame — caller-owned, released after the write below;
+        // the self variant persists nothing
+        val chunkFrame =
+          if (args.contains("--self"))
+            graft.operators.Dedup
+              .selfChunkDedup(docs, idCol, textCol, chunkTokens)
+          else graft.operators.Dedup
+            .chunkDedup(docs, idCol, textCol, chunkTokens)
         val deduped = chunkFrame.filter(col("text_dedup").isNotNull)
         docs.drop(textCol)
           .join(deduped.select(col(idCol), col("text_dedup").as(textCol),

@@ -1293,6 +1293,16 @@ class PipelineSpec extends AnyFunSuite {
     // non-text columns survive the rewrite
     assert(ld.filter(col("doc_id") === 2).head().getAs[String]("source") === "s1")
 
+    // --self scopes the repeat check to each doc: doc 2's "x y" SURVIVES
+    // (doc 1 is irrelevant), doc 3 is untouched; only within-doc repeats
+    // would drop
+    Main.corpusRun(spark, "linededup",
+      Array("--in", s"$base/ld_in", "--out", s"$base/ld_self",
+        "--chunk-tokens", "2", "--self"))
+    val selfOut = spark.read.parquet(s"$base/ld_self").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(selfOut === Map(1L -> "x y a b", 2L -> "x y c d", 3L -> "x y"))
+
     // classify: gate = scored().keep — verified against the operator.
     // Token-DISJOINT docs, so per-doc scores are independent hash draws
     // and the threshold splits the corpus
