@@ -28,7 +28,7 @@ import org.apache.spark.sql.SparkSession
   * graft corpus lmfilter --in DIR --out DIR --ref DIR [--max-novelty 0.3]
   * graft corpus linededup --in DIR --out DIR [--chunk-tokens 10] [--self] [--id-col c] [--text-col c]
   * graft corpus classify --in DIR --out DIR [--threshold 0.0] [--seed w] [--text-col c]
-  * graft corpus curate   --in DIR --out DIR [--classify-threshold T] [--chunk-tokens 10] [--dedup-threshold 0.8] [--ref-bench DIR] [--budget N] [--shards K]
+  * graft corpus curate   --in DIR --out DIR [--classify-threshold T] [--dsir-target DIR [--dsir-keep 0.5]] [--chunk-tokens 10] [--dedup-threshold 0.8] [--ref-bench DIR] [--budget N] [--shards K]
   * graft corpus annindex --in DIR --out DIR [--append] [--id-col c] [--vec-col c] [--lists 64] [--pq-m 16] [--pq-ksub 16] [--seed 42]
   * graft corpus annquery --in INDEXDIR {--query-id N | --query-ids N,N,...} [--index DIR] [--id-col c] [--vec-col c] [--k 10] [--nprobe 8] [--path pq|sq8] [--overfetch 16] [--diverse [--pool 4k] [--lambda 0.7] [--mu 0.3]]
   * graft corpus pack     --in DIR --out DIR [--window-tokens 2048] [--id-col c] [--text-col c]
@@ -430,8 +430,9 @@ object Main {
       case "curate" =>
         // the composed end-to-end curation funnel — each stage is the
         // operator its standalone verb exposes, chained with counts:
-        // quality gate → classifier gate → near-dup dedup → chunk-level
-        // line dedup → [decontam] → [token budget] → [shard] write.
+        // quality gate → classifier gate → [DSIR importance select] →
+        // near-dup dedup → chunk-level line dedup → [decontam] →
+        // [token budget] → [shard] write.
         // Fuzzy (near-dup) dedup runs BEFORE sub-document dedup: the
         // reverse order shreds a near-duplicate into a unique-looking
         // remnant (its shared chunks removed) that then survives the
@@ -453,11 +454,24 @@ object Main {
           case None => q
         }
         if (clsThreshold.isDefined) funnel += "classify" -> classified.count()
+        // 2b. DSIR importance selection toward an exemplar corpus, opt-in
+        // (before dedup: importance is per-document and independent, so
+        // running it on the larger pre-dedup set keeps the stage cheap
+        // relative to the pair-generating stages it shrinks)
+        val selected = opt(args, "dsir-target") match {
+          case Some(tgt) =>
+            val keep = opt(args, "dsir-keep").map(_.toDouble).getOrElse(0.5)
+            graft.operators.Importance.dsirSelect(
+              classified, spark.read.parquet(tgt), idCol, textCol, keep)
+          case None => classified
+        }
+        if (opt(args, "dsir-target").isDefined)
+          funnel += "dsir" -> selected.count()
         // 3. whole-document near-dup dedup (representatives survive)
         val groups = graft.operators.Dedup
-          .nearDupGroups(classified, idCol, textCol, jaccardThreshold = dedupThreshold)
+          .nearDupGroups(selected, idCol, textCol, jaccardThreshold = dedupThreshold)
           .persist()
-        val deduped = classified.join(
+        val deduped = selected.join(
           groups.filter(col("is_representative")).select(col(idCol)), Seq(idCol), "left_semi")
         funnel += "neardedup" -> deduped.count()
         // 4. sub-document dedup: repeated chunks removed, docs rewritten

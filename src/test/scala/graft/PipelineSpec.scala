@@ -1107,6 +1107,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.columns.contains("shard"))
     // the near-dup representative keeps its full (chunk-level-rewritten) text
     assert(out.filter(col("doc_id") === 1).head().getAs[String]("text") === good)
+
+    // with --dsir-target the importance stage slots between classify and
+    // near-dup: target = doc 4's vocabulary, keep half → off-target docs
+    // fall before dedup ever sees them
+    Seq((200L, uniq("u4"))).toDF("doc_id", "text")
+      .write.parquet(s"$base/dsir_tgt")
+    Main.corpusRun(spark, "curate",
+      Array("--in", s"$base/in", "--out", s"$base/out_dsir",
+        "--dsir-target", s"$base/dsir_tgt", "--dsir-keep", "0.3"))
+    val keptD = spark.read.parquet(s"$base/out_dsir")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptD.contains(4L),
+      s"the target-vocabulary doc must survive the DSIR cut: $keptD")
+    assert(keptD.size < 5, s"the cut must actually drop docs: $keptD")
   }
 
   test("corpus CLI: annindex / annquery round-trip (D10)") {
