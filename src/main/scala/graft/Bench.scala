@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // local-iteration filter: SPARK_GRAFT_ONLY=d5_minhash_lsh,d7_... runs
+    // just those queries (driver passes nothing → full sweep)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,7 +21,21 @@ object Bench {
     // the bench keeps running (one broken query must not void the round's
     // numbers) but the error is named in an "errors" field
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // RANDOMIZED run order (seed printed for reproduction): a fixed
+    // alphabetical order charges each query a position-dependent JIT /
+    // page-cache / GC inheritance from the same predecessors every round,
+    // which showed up as unexplained ±50% round-over-round deltas on
+    // sub-second queries. Shuffling decorrelates neighbors round-to-round;
+    // median-of-3 per query still bounds within-round noise.
+    val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
+      .getOrElse(System.nanoTime())
+    val rng = new scala.util.Random(seed)
+    val ordered = rng.shuffle(
+      SparkEntry.queries.toSeq
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .sortBy(_._1))
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    ordered.foreach { case (name, fn) =>
       def once(): Double = {
         // ops that persist their result (LSH pair frames) must not feed a
         // later run from cache, and a prior query's cache must not skew
@@ -38,15 +56,28 @@ object Bench {
       // single noisy run can't swing the per-query signal ±20%
       once()
       val timed = Seq(once(), once(), once()).sorted
-      name -> timed(1)
+      results(name) = timed(1)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // stable (sorted) key order in both JSON artifacts so diffs between
+    // rounds line up even though execution order was shuffled
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errJson = errors.map { case (k, v) =>
       s"\"" + k + "\":\"" + v.replaceAll("[\"\\\\\n\r\t]", " ") + "\""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":${errors.size},"errors":$errJson,"seed":$seed,"sf":"$sfDir"}"""
+    // the driver's BENCH_r{N}.json keeps only a 2,000-char stdout tail —
+    // too short for 128 per-query timings — so the full artifact is ALSO
+    // written into the repo for per-round review (full sweeps only; a
+    // filtered local run must not overwrite the round's numbers)
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_times.json"), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_times.json write failed: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

@@ -257,6 +257,7 @@ object Scale {
     if (args.headOption.contains("streamdedup")) return streamDedupMain(args)
     if (args.headOption.contains("ann")) return annMain(args)
     if (args.headOption.contains("events")) return eventsMain(args)
+    if (args.headOption.contains("streamstate")) return streamStateMain(args)
     if (args.headOption.contains("curate")) return curateMain(args)
     if (args.headOption.contains("layout")) return layoutMain(args)
     if (args.headOption.contains("kernels")) return kernelsMain(args)
@@ -552,13 +553,14 @@ object Scale {
   private val streamDedupHeader = "## Streaming near-dup dedup stage"
 
   /** `runMain graft.Scale streamdedup [nDocs] [nBatches] [outMd]` — the
-    * realtime dedup arm ([[graft.streaming.StreamingJobs.streamingSimhashDedup]])
-    * under load: the 1M-doc planted-near-dup corpus (same generator as
-    * the batch dedup stage) replayed as a file stream of `nBatches`
-    * micro-batches through the SimHash band-bucket keyed state, with the
-    * state store's row count and memory measured per batch — the bounded
-    * per-bucket signature lists exist in code; this stage measures their
-    * constant under load. */
+    * realtime dedup arm ([[graft.streaming.StreamingJobs.streamingMinhashDedup]],
+    * the batch pipeline's MinHash band family) under load: the 1M-doc
+    * planted-near-dup corpus (same generator as the batch dedup stage)
+    * replayed as a file stream of `nBatches` micro-batches through the
+    * band-bucket keyed state, with the state store's row count and memory
+    * measured per batch AND planted-pair recall as the quality gate
+    * (≥ 0.95 — the r8 SimHash variant measured 0.59 here and is demoted
+    * to the low-memory option). */
   private def streamDedupMain(args: Array[String]): Unit = {
     val nDocs = args.lift(1).map(_.toLong).getOrElse(1000000L)
     val nBatches = args.lift(2).map(_.toInt).getOrElse(20)
@@ -582,7 +584,7 @@ object Scale {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
     val verdicts = graft.streaming.StreamingJobs
-      .streamingSimhashDedup(stream, "doc_id", "text")
+      .streamingMinhashDedup(stream, "doc_id", "text")
     // per-batch driver totals: (docs, dups, planted-docs flagged) — the
     // foreachBatch aggregate collects ONE row per batch, never verdicts
     val totals = new java.util.concurrent.atomic.AtomicLongArray(3)
@@ -616,20 +618,21 @@ object Scale {
     val planted = nDocs / 20
     require(docs == nDocs, s"stream saw $docs docs, expected $nDocs")
     val recall = plantedFlagged.toDouble / planted
-    require(recall >= 0.5, s"planted near-dup recall collapsed: $recall")
+    require(recall >= 0.95, s"planted near-dup recall below target: $recall")
     // hard state ceiling from the code's bounded lists: bands · 2^16
     // buckets · maxBucketEntries (sig, id) pairs
     val heapMb = heapPeakMb()
     val section =
       s"""
-         |$streamDedupHeader (SimHash band-bucket keyed state, $nBatches micro-batches)
+         |$streamDedupHeader (MinHash band-bucket keyed state, $nBatches micro-batches)
          |
          |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale streamdedup $nDocs $nBatches"` —
          |the batch dedup stage's ${nDocs / 1000}k-doc planted-near-dup corpus
          |replayed as a parquet file stream (1 file per trigger) through
-         |`streamingSimhashDedup` (4 bands × 16-bit buckets,
-         |flatMapGroupsWithState), verdicts folded per micro-batch in
-         |foreachBatch.
+         |`streamingMinhashDedup` (the batch pipeline's MinHash band family:
+         |8 hashes × 2 bands, 16-bit band buckets, flatMapGroupsWithState,
+         |match = ≥6/8 signature components), verdicts folded per
+         |micro-batch in foreachBatch.
          |
          || metric | value |
          ||---|---|
@@ -637,14 +640,15 @@ object Scale {
          || stream wall ($nBatches micro-batches) | ${f"$streamSec%.1f"} s (${f"${nDocs / streamSec}%.0f"} docs/s sustained) |
          || docs seen / flagged dups | $docs / $dups |
          || planted near-dup recall (either member flagged) | $plantedFlagged / $planted (${f"$recall%.2f"}) |
-         || state-store rows after $nBatches batches | $stateRowsFinal bucket keys (hard key ceiling 262,144 = 4 bands × 2^16) |
+         || state-store rows after $nBatches batches | $stateRowsFinal bucket keys (hard key ceiling 131,072 = 2 bands × 2^16) |
          || state-store memory (max over batches) | ${f"$stateMemMb%.1f"} MB |
          || peak heap | $heapMb MB |
          |
-         |- state is BOUNDED by construction: ≤ 256 (sig, id) pairs per
-         |  bucket, newest-first eviction — the measured rows/memory above
-         |  are the constant under 1M-doc load, not a growth curve; a
-         |  longer stream reuses the same buckets
+         |- state is BOUNDED by construction: ≤ 256 (signature, id) pairs
+         |  per bucket (8 32-bit components + id each), newest-first
+         |  eviction — the
+         |  measured rows/memory above are the constant under 1M-doc load,
+         |  not a growth curve; a longer stream reuses the same buckets
          |- verdicts are per-micro-batch and cross-batch: a doc matches
          |  signatures admitted in ANY earlier batch via the state store
          |""".stripMargin
@@ -1675,6 +1679,150 @@ object Scale {
     EventOpsStats(genSec, sessSec, nativeSec, asofSec, rollSec, intervalSec,
       nSessions, nativeSessions, minEv, maxEv, asofRows, asofWrong, maxRoll,
       intervalPairs, expectedPairs, heapPeakMb())
+  }
+
+  private val streamStateHeader = "## Streaming-state corpus stage"
+
+  /** `runMain graft.Scale streamstate [nEvents] [nBatches] [outMd]` — the
+    * STATEFUL streaming twins of the batch event ops under load: the
+    * event corpus replayed time-ordered (`repartitionByRange(ts)`, one
+    * file per trigger) through (a) the watermarked native
+    * `session_window` aggregation and (b) the watermarked stream-stream
+    * attribution join, measuring the state store's row/memory ceiling
+    * under watermark eviction and holding EXACT invariants: sealed
+    * sessions equal the corpus's closed-form session structure, and the
+    * stream-stream join's match count equals the batch twin's (the same
+    * `attributionJoin` code path run over the at-rest frame). */
+  private def streamStateMain(args: Array[String]): Unit = {
+    val nEvents = args.lift(1).map(_.toLong).getOrElse(20000000L)
+    val nBatches = args.lift(2).map(_.toInt).getOrElse(20)
+    val outMd = args.lift(3).getOrElse("SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val base = Files.createTempDirectory("graft_scale_streamstate").toString
+    val perUser = 200L
+    val nUsers = nEvents / perUser
+    // time-ordered replay: each file is a time band, so the watermark
+    // advances progressively and no event ever arrives beneath it (the
+    // round-robin split would jump the watermark to max−lateness on
+    // batch 1 and drop every later batch as late)
+    val (_, genSec) = timed {
+      genEventCorpus(spark, nEvents, perUser)
+        .repartitionByRange(nBatches, col("ts"))
+        .write.mode("overwrite").parquet(s"$base/in")
+      // FileStreamSource replays files in MODIFICATION-TIME order and the
+      // single write stamps every part the same second — force the replay
+      // to follow the range-partition order (part-0000N = Nth time band)
+      // by spacing the mtimes, or the watermark jumps to max−lateness on
+      // whatever band happens first and drops every earlier band as late
+      new java.io.File(s"$base/in").listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(1000000000000L + i * 60000L) }
+    }
+    val schema = spark.read.parquet(s"$base/in").schema
+    def fileStream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+
+    // (a) native session_window, 1-hour lateness: per-user sessions of
+    // exactly 50 events; the final session per user ends at the corpus
+    // max so the final watermark (max − 1 h) seals exactly 3 of the 4
+    val sessTotals = new java.util.concurrent.atomic.AtomicLongArray(2)
+    val q1 = graft.streaming.StreamingJobs.sessionWindows(
+        fileStream(), "ts", "user_id", gapSeconds = 1801L, lateness = "1 hour")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt_sess")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val r = b.agg(count(lit(1)),
+          sum(when(col("n_events") === 50L, 1L).otherwise(0L))).head()
+        sessTotals.addAndGet(0, r.getLong(0))
+        sessTotals.addAndGet(1, if (r.isNullAt(1)) 0L else r.getLong(1))
+        ()
+      }.start()
+    val (_, sessSec) = timed(q1.processAllAvailable())
+    val sessOps = q1.recentProgress.toSeq.flatMap(_.stateOperators.headOption)
+    val sessRowsMax = sessOps.map(_.numRowsTotal).maxOption.getOrElse(-1L)
+    val sessMemMb = sessOps.map(_.memoryUsedBytes).maxOption.getOrElse(0L) / 1e6
+    q1.stop()
+    val sealedSessions = sessTotals.get(0)
+    require(sealedSessions == 3L * nUsers && sessTotals.get(1) == sealedSessions,
+      s"session invariant broke: sealed=$sealedSessions (expected ${3L * nUsers}), " +
+        s"50-event=${sessTotals.get(1)}")
+
+    // (b) stream-stream attribution join (30 min lateness, 1 h window):
+    // stream count must equal the batch twin byte-for-byte
+    def clicks(src: org.apache.spark.sql.DataFrame) = src
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    def purchases(src: org.apache.spark.sql.DataFrame) = src
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val matches = new java.util.concurrent.atomic.AtomicLong()
+    val q2 = graft.streaming.StreamingJobs.attributionJoin(
+        clicks(fileStream()), purchases(fileStream()),
+        withinSeconds = 3600L, lateness = "30 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt_attr")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        matches.addAndGet(b.count()); ()
+      }.start()
+    val (_, attrSec) = timed(q2.processAllAvailable())
+    val attrOps = q2.recentProgress.toSeq.flatMap(_.stateOperators.headOption)
+    val attrRowsMax = attrOps.map(_.numRowsTotal).maxOption.getOrElse(-1L)
+    val attrMemMb = attrOps.map(_.memoryUsedBytes).maxOption.getOrElse(0L) / 1e6
+    q2.stop()
+    val ev = spark.read.parquet(s"$base/in")
+    val batchMatches = graft.streaming.StreamingJobs.attributionJoin(
+      clicks(ev), purchases(ev), withinSeconds = 3600L).count()
+    require(matches.get() == batchMatches,
+      s"stream-stream attribution diverged from batch twin: " +
+        s"stream=${matches.get()} batch=$batchMatches")
+
+    val heapMb = heapPeakMb()
+    val section =
+      s"""
+         |$streamStateHeader (session_window + stream-stream join, $nBatches micro-batches)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale streamstate $nEvents $nBatches"` —
+         |the ${nEvents / 1000000}M-event corpus replayed TIME-ORDERED (range-partitioned
+         |by ts, 1 file per trigger) through the two stateful streaming
+         |operators the batch event ops twin: watermarked native
+         |`session_window` and the watermarked stream-stream attribution
+         |join. Both invariants are EXACT equalities, not floors.
+         |
+         || metric | value |
+         ||---|---|
+         || corpus generate + write | ${f"$genSec%.1f"} s ($nEvents events, $nBatches time-band files) |
+         || session stream wall | ${f"$sessSec%.1f"} s (${f"${nEvents / sessSec}%.0f"} events/s) |
+         || sealed sessions | $sealedSessions (= 3 × $nUsers users — the 4th is open at final watermark, by construction) |
+         || session state rows / memory (max over batches) | $sessRowsMax / ${f"$sessMemMb%.1f"} MB |
+         || attribution stream wall | ${f"$attrSec%.1f"} s (${f"${nEvents / attrSec}%.0f"} events/s, both sides) |
+         || stream matches = batch twin | ${matches.get()} = $batchMatches (exact) |
+         || join state rows / memory (max over batches) | $attrRowsMax / ${f"$attrMemMb%.1f"} MB |
+         || peak heap | $heapMb MB |
+         |
+         |- state is bounded by WATERMARK EVICTION, not list ceilings: open
+         |  sessions per key and in-window join rows are all the store holds;
+         |  the max-over-batches rows above are the plateau under constant
+         |  replay, not a growth curve
+         |- the attribution equality stream == batch is the semantic proof
+         |  that watermark eviction dropped only rows that could no longer
+         |  match (the join is plan-identical in both modes)
+         |""".stripMargin
+    spliceSection(outMd, streamStateHeader, section)
+    println(s"""{"metric":"scale_streamstate","value":${sessSec + attrSec},"unit":"sec","n_events":$nEvents,"sealed_sessions":$sealedSessions,"sess_state_rows":$sessRowsMax,"sess_state_mem_mb":$sessMemMb,"attr_matches":${matches.get()},"attr_state_rows":$attrRowsMax,"attr_state_mem_mb":$attrMemMb,"heap_peak_mb":$heapMb}""")
+    spark.stop()
   }
 
   private def eventsMain(args: Array[String]): Unit = {

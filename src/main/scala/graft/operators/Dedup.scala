@@ -121,8 +121,9 @@ object Dedup {
         * from all-pairs to an id-ordered CHAIN of edges (O(n) candidates
         * instead of n²/2) — see the guard comment at the self-join. */
       maxBucketAllPairs: Int = 1024): DataFrame = {
-    val buckets = bandBuckets(
-      df, idCol, textCol, numHashes, rowsPerBand, shingleWidth, md5Parity)
+    def mkBuckets(in: DataFrame, fanOut: Boolean) = bandBuckets(
+      in, idCol, textCol, numHashes, rowsPerBand, shingleWidth, md5Parity, fanOut)
+    val buckets = mkBuckets(df, fanOut = true)
     // Hot-bucket guard: a legitimate mega-cluster (100k copies of a
     // boilerplate page — every real crawl corpus has some) lands in ONE
     // bucket, and an unconditional all-pairs self-join would emit ~n²/2
@@ -138,29 +139,39 @@ object Dedup {
     // through. Small buckets keep exact all-pairs semantics — outputs
     // at oracle scale are byte-identical to the uncapped op.
     //
-    // The guard is FREE when no bucket exceeds the ceiling (the common
-    // case): a narrow map-side-combined count over the persisted bucket
-    // frame answers "any hot bucket?" as one driver boolean, and only a
-    // hit engages the window plan — the clean path keeps the original
-    // single-shuffle self-join. On a hit, the hot keys never reach the
-    // join: both join inputs filter to small buckets BEFORE the
-    // equi-join, so no task ever holds a quadratic build side.
-    val bucketsP = buckets.persist()
-    val hasHot = !bucketsP
-      .groupBy("band", "bh").agg(count(lit(1)).as("__bn"))
-      .filter(col("__bn") > maxBucketAllPairs)
-      .isEmpty
-    val pairs = if (!hasHot) {
-      val a = bucketsP.as("a")
-      val b = bucketsP.as("b")
+    // The existence question is answered by [[sampledHotProbe]] — a
+    // seeded 2% input sample, ~2% of one signature pass — so the CLEAN
+    // path (no hot bucket, the overwhelmingly common case) runs the
+    // original single-shuffle self-join with no persist, no window, no
+    // full-corpus size aggregation: at bench scale AQE broadcasts it; at
+    // cluster scale it is the same SMJ the guard plan would run. Only a
+    // probe HIT engages the guarded plan, where the EXACT per-bucket
+    // size decides chain-vs-all-pairs (the probe's sampling error can
+    // only cost performance, never change which bucket gets chained —
+    // a missed marginal bucket just runs complete all-pairs).
+    val pairs = if (!sampledHotProbe(mkBuckets(_, false), df, Seq("band", "bh"), maxBucketAllPairs)) {
+      val a = buckets.as("a")
+      val b = buckets.as("b")
       a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
         .select(col("a.id").as("d1"), col("b.id").as("d2"))
         .distinct()
     } else {
-      val w = Window.partitionBy("band", "bh")
-      val sized = bucketsP.withColumn("__bn", count(lit(1)).over(w))
+      // Unified guarded plan: ONE exchange on (band, bh) + one sort by id
+      // serves the per-bucket size (windowed count), the small-bucket
+      // all-pairs join (partitioning + (band, bh)-prefix ordering already
+      // satisfied — no new exchange or sort), and the hot chain (lag over
+      // the same sorted frame); ReuseExchange dedupes the three
+      // consumers, so signatures compute once. Hot keys never reach the
+      // equi-join: both inputs filter to `__bn <= ceiling` BEFORE it, so
+      // no task ever holds a quadratic build side.
+      val w = Window.partitionBy("band", "bh").orderBy("id")
+      val sized = buckets
+        .withColumn("__bn", count(lit(1)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("__prev", lag("id", 1).over(w))
       val small = sized.filter(col("__bn") <= maxBucketAllPairs)
+        .select("id", "band", "bh")
       val a = small.as("a")
       val b = small.as("b")
       val smallPairs = a
@@ -168,14 +179,11 @@ object Dedup {
           col("a.id") < col("b.id"))
         .select(col("a.id").as("d1"), col("b.id").as("d2"))
       val bigPairs = sized
-        .filter(col("__bn") > maxBucketAllPairs)
-        .select(col("band"), col("bh"), col("id"))
-        .withColumn("__prev", lag("id", 1).over(w.orderBy("id")))
-        .filter(col("__prev").isNotNull)
+        .filter(col("__bn") > maxBucketAllPairs && col("__prev").isNotNull)
         .select(col("__prev").as("d1"), col("id").as("d2"))
       smallPairs.union(bigPairs).distinct()
     }
-    materializeAndRelease(pairs, bucketsP)
+    materializeAndRelease(pairs)
   }
 
   /** (id, band, bh) LSH band-bucket rows for a corpus — the shared front
@@ -187,7 +195,7 @@ object Dedup {
   private def bandBuckets(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, rowsPerBand: Int, shingleWidth: Int,
-      md5Parity: Boolean): DataFrame = {
+      md5Parity: Boolean, fanOut: Boolean = true): DataFrame = {
     require(numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a multiple of rowsPerBand " +
         s"($rowsPerBand) — trailing hashes would be computed but belong to " +
@@ -197,8 +205,11 @@ object Dedup {
     // Small inputs (one parquet file) arrive as one partition; fan the
     // heavy per-row signature compute across all cores first (at scale the
     // exchange is round-robin and narrow relative to the signature cost).
+    // (`fanOut = false` skips the exchange — the probe's 2% sample does
+    // not need it and saves a whole shuffle stage per call)
     val parts = df.sparkSession.sparkContext.defaultParallelism
-    val withUnits = df.repartition(parts)
+    val fanned = if (fanOut) df.repartition(parts) else df
+    val withUnits = fanned
       .select(col(idCol).as("id"), units.as("units"))
       .filter(size(col("units")) > 0)
     val sig =
@@ -304,8 +315,14 @@ object Dedup {
     * orders of magnitude smaller than the corpus). */
   private def materializeAndRelease(result: DataFrame, temps: DataFrame*): DataFrame = {
     result.persist()
-    result.count()
-    temps.foreach(_.unpersist(blocking = false))
+    // the eager count() exists ONLY to pin the result before its temps
+    // are released — with no temps the persist stays LAZY (first consumer
+    // materializes it), saving a whole extra evaluation for
+    // single-consumer callers
+    if (temps.nonEmpty) {
+      result.count()
+      temps.foreach(_.unpersist(blocking = false))
+    }
     result
   }
 
@@ -514,61 +531,84 @@ object Dedup {
     }
     // fan out before the signature compute (bands × planes × dim dot
     // products per row): a single-file input is one partition otherwise
-    val withSig = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select((col(idCol).as("id") +: col(vecCol).as("v") +: sigCols): _*)
-    val buckets = withSig
-      .select(col("id"), col("v"),
-        explode(array((0 until bands).map(b => col(s"sig$b")): _*)).as("bk"))
-      .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    // Hot-bucket guard (see [[minhashCandidatePairs]]): free when no
-    // bucket exceeds the ceiling — the existence probe counts over
-    // (band, sig) ONLY (the vectors never enter its exchange) and the
-    // clean path keeps the original plan. On a hit, oversized buckets
-    // emit an id-ordered chain — O(n) exact-cosine edges that still
-    // connect a true duplicate cluster — and are excluded from the
-    // all-pairs join BEFORE it runs, so no task holds a quadratic build
-    // side. vec_cosine is arithmetically symmetric, so cosine(prev, cur)
-    // on the chain matches the (smaller-id, larger-id) orientation of
-    // the all-pairs branch bitwise.
-    val bucketsP = buckets.persist()
-    val hasHot = !bucketsP
-      .select(col("band"), col("sig"))
-      .groupBy("band", "sig").agg(count(lit(1)).as("__bn"))
-      .filter(col("__bn") > maxBucketAllPairs)
-      .isEmpty
-    val pairs0 = if (!hasHot) {
-      val a = bucketsP.as("a")
-      val b = bucketsP.as("b")
-      a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.id") < col("b.id"))
-        .select(col("a.id").as("d1"), col("b.id").as("d2"),
-          vec_cosine(col("a.v"), col("b.v")).as("cosine"))
-        .distinct()
-    } else {
-      val w = Window.partitionBy("band", "sig")
-      val sized = bucketsP.withColumn("__bn", count(lit(1)).over(w))
-      val small = sized.filter(col("__bn") <= maxBucketAllPairs)
-      val a = small.as("a")
-      val b = small.as("b")
-      val smallPairs = a
-        .join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.id") < col("b.id"))
-        .select(col("a.id").as("d1"), col("b.id").as("d2"),
-          vec_cosine(col("a.v"), col("b.v")).as("cosine"))
-      val ow = w.orderBy("id")
-      val bigPairs = sized
-        .filter(col("__bn") > maxBucketAllPairs)
-        .select(col("band"), col("sig"), col("id"), col("v"))
-        .withColumn("__pid", lag("id", 1).over(ow))
-        .withColumn("__pv", lag("v", 1).over(ow))
-        .filter(col("__pid").isNotNull)
-        .select(col("__pid").as("d1"), col("id").as("d2"),
-          vec_cosine(col("__pv"), col("v")).as("cosine"))
-      smallPairs.union(bigPairs).distinct()
+    def mkBuckets(in: DataFrame, fanOut: Boolean) = {
+      val fanned =
+        if (fanOut) in.repartition(in.sparkSession.sparkContext.defaultParallelism) else in
+      fanned
+        .select((col(idCol).as("id") +: col(vecCol).as("v") +: sigCols): _*)
+        .select(col("id"), col("v"),
+          explode(array((0 until bands).map(b => col(s"sig$b")): _*)).as("bk"))
+        .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.sig").as("sig"))
     }
-    val pairs = pairs0.filter(col("cosine") >= threshold)
-    materializeAndRelease(pairs, bucketsP)
+    val buckets = mkBuckets(df, fanOut = true)
+    // Hot-bucket guard (see [[minhashCandidatePairs]] for the full
+    // rationale): the [[sampledHotProbe]] decides hot-vs-clean from a
+    // seeded 2%-class sample (the probe's aggregation prunes the vector
+    // column — only (band, sig) enter its exchange). Clean path = the
+    // original single-shuffle self-join, broadcast-able at small scale.
+    // Probe hit = unified single-exchange guarded plan: one shuffle on
+    // (band, sig) + one sort by id computes EXACT bucket sizes (windowed
+    // count), feeds the small-bucket all-pairs join, and yields the hot
+    // chain via lag over the same sorted frame. Hot keys are filtered
+    // out of BOTH join inputs before the equi-join, so no task holds a
+    // quadratic build side. vec_cosine is arithmetically symmetric, so
+    // cosine(prev, cur) on the chain matches the (smaller-id, larger-id)
+    // orientation of the all-pairs branch bitwise.
+    val pairs0 =
+      if (!sampledHotProbe(mkBuckets(_, false), df, Seq("band", "sig"), maxBucketAllPairs)) {
+        val a = buckets.as("a")
+        val b = buckets.as("b")
+        a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.id") < col("b.id"))
+          .select(col("a.id").as("d1"), col("b.id").as("d2"),
+            vec_cosine(col("a.v"), col("b.v")).as("cosine"))
+          .distinct()
+      } else {
+        val w = Window.partitionBy("band", "sig").orderBy("id")
+        val sized = buckets
+          .withColumn("__bn", count(lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("__pid", lag("id", 1).over(w))
+          .withColumn("__pv", lag("v", 1).over(w))
+        val small = sized.filter(col("__bn") <= maxBucketAllPairs)
+          .select("id", "band", "sig", "v")
+        val a = small.as("a")
+        val b = small.as("b")
+        val smallPairs = a
+          .join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.id") < col("b.id"))
+          .select(col("a.id").as("d1"), col("b.id").as("d2"),
+            vec_cosine(col("a.v"), col("b.v")).as("cosine"))
+        val bigPairs = sized
+          .filter(col("__bn") > maxBucketAllPairs && col("__pid").isNotNull)
+          .select(col("__pid").as("d1"), col("id").as("d2"),
+            vec_cosine(col("__pv"), col("v")).as("cosine"))
+        smallPairs.union(bigPairs).distinct()
+      }
+    materializeAndRelease(pairs0.filter(col("cosine") >= threshold))
+  }
+
+  /** Probabilistic hot-bucket EXISTENCE probe: build buckets for a seeded
+    * sample of the input and ask whether any sampled bucket's member count
+    * crosses `ceiling · fraction / 2` (floor 8). The sample fraction
+    * auto-scales to the ceiling (`max(0.02, 12/ceiling)`) so a bucket at
+    * the ceiling lands ~12 expected sampled members — a true mega-bucket
+    * (the guard's target: 10⁴–10⁵ members) crosses with probability ~1,
+    * while at the default 1024 ceiling the probe costs ~2% of one
+    * signature pass plus a narrow map-side-combined count. A marginal
+    * bucket the sample misses costs only the complete all-pairs join for
+    * that bucket (a few million rows at worst) — never a wrong verdict,
+    * because the guarded plan re-checks EXACT sizes before chaining.
+    * Fixed seed → deterministic verdict for a given input. */
+  private def sampledHotProbe(
+      mkBuckets: DataFrame => DataFrame, df: DataFrame,
+      keyCols: Seq[String], ceiling: Int): Boolean = {
+    val fraction = math.min(1.0, math.max(0.02, 12.0 / ceiling))
+    val threshold = math.max(8.0, ceiling * fraction / 2)
+    !mkBuckets(df.sample(withReplacement = false, fraction, 38L))
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > threshold)
+      .isEmpty
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):

@@ -197,14 +197,20 @@ object Graph {
   def pageRankConverged(
       edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
       tol: Double = 1e-6, maxIterations: Int = 50,
-      damping: Double = 0.85, blockIters: Int = 5): (DataFrame, Int) = {
+      damping: Double = 0.85, blockIters: Int = 5,
+      /** src-ordered incoming fold for bitwise oracle parity, as in
+        * [[pageRank]] — makes the CONVERGENCE STEP COUNT deterministic
+        * too (the unordered sum's last-ulp jitter can flip a delta probe
+        * sitting exactly at `tol`). */
+      exact: Boolean = false): (DataFrame, Int) = {
     var ranks = pageRank(edges, srcCol, dstCol, weightCol,
-      iterations = blockIters, damping = damping, checkpoint = true)
+      iterations = blockIters, damping = damping, exact = exact,
+      checkpoint = true)
     var done = blockIters
     var converged = false
     while (!converged && done < maxIterations) {
       val advanced = advance(edges, srcCol, dstCol, weightCol, ranks,
-        blockIters, damping)
+        blockIters, damping, exact)
       val delta = advanced.as("a")
         .join(ranks.as("b"), col("a.node") === col("b.node"))
         .agg(max(abs(col("a.rank") - col("b.rank"))).as("d"))
@@ -222,7 +228,8 @@ object Graph {
     * incremental re-ranking after an edge-table append. */
   def advance(
       edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
-      start: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
+      start: DataFrame, iterations: Int, damping: Double = 0.85,
+      exact: Boolean = false): DataFrame = {
     val e = edges.select(
       col(srcCol).as("src"), col(dstCol).as("dst"),
       col(weightCol).cast("long").as("w"))
@@ -239,10 +246,19 @@ object Graph {
     while (i < iterations) {
       val contribs = eo
         .join(ranks, eo("src") === ranks("node"))
-        .select(col("dst"),
+        .select(col("dst"), col("src"),
           (col("rank") * col("w").cast("double") / col("ow").cast("double"))
             .as("contrib"))
-      val inc = contribs.groupBy("dst").agg(sum("contrib").as("inc"))
+      val inc =
+        if (exact)
+          contribs.groupBy("dst").agg(
+            aggregate(
+              array_sort(collect_list(struct(col("src"), col("contrib")))),
+              lit(0.0),
+              (acc: Column, x: Column) => acc + x.getField("contrib"))
+              .as("inc"))
+        else
+          contribs.groupBy("dst").agg(sum("contrib").as("inc"))
       val next = nodes
         .join(inc, nodes("node") === inc("dst"), "left")
         .select(col("node"),

@@ -110,6 +110,187 @@ object Multimodal {
     out
   }
 
+  // -------------------------------------------------------------------
+  // REAL codecs (JDK-only: javax.imageio for PNG/JPEG/GIF pixels,
+  // javax.sound.sampled for WAV PCM) behind the same batched
+  // mapPartitions plumbing as [[decodeBatched]] — the decode step is no
+  // longer a stub for these container formats. The oracle-able invariant:
+  // stats computed from DECODED pixels/samples must equal the closed
+  // forms the payloads were generated from, so the only path from
+  // formula to matched value goes through a real encode → decode cycle.
+  // -------------------------------------------------------------------
+
+  private def outRow(df: DataFrame, idCol: String, fields: Seq[StructField]) =
+    StructType(df.schema(idCol) +: fields)
+
+  /** Real PNG ENCODE executor-side: `pixelsCol` is a row-major
+    * `array<int>` of packed 0xRRGGBB pixels (built declaratively with
+    * `sequence`/`transform` expressions), `widthCol`/`heightCol` its
+    * shape. Batched like [[decodeBatched]]; rows whose pixel count ≠
+    * width·height yield a NULL payload rather than a crooked image. */
+  def encodePngBatched(
+      df: DataFrame, idCol: String, widthCol: String, heightCol: String,
+      pixelsCol: String, batchSize: Int = 64): DataFrame = {
+    val (idI, wI, hI, pI) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(widthCol), df.schema.fieldIndex(heightCol),
+      df.schema.fieldIndex(pixelsCol))
+    val schema = outRow(df, idCol, Seq(StructField("png", BinaryType, nullable = true)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (w, h) = (r.getInt(wI), r.getInt(hI))
+          val px = r.getSeq[Int](pI)
+          val bytes =
+            if (px == null || px.length != w * h || w <= 0 || h <= 0) null
+            else {
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var i = 0
+              while (i < px.length) { img.setRGB(i % w, i / w, px(i)); i += 1 }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              bos.toByteArray
+            }
+          Row(r.get(idI), bytes)
+        }
+      }
+    }
+  }
+
+  /** Real image DECODE (PNG/JPEG/GIF — whatever the JDK's ImageIO
+    * readers handle): width, height, and EXACT integer per-channel sums
+    * over all pixels — deterministic, so the stats are hash-comparable
+    * against the pixel-formula closed form. Undecodable payloads yield
+    * NULL stats (the row survives for accounting, like the metadata
+    * parsers' null contract). */
+  def decodeImageStatsBatched(
+      df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val (idI, bI) = (df.schema.fieldIndex(idCol), df.schema.fieldIndex(binCol))
+    val schema = outRow(df, idCol, Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sum_r", LongType, nullable = true),
+      StructField("sum_g", LongType, nullable = true),
+      StructField("sum_b", LongType, nullable = true)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]](bI)
+          val img =
+            if (bytes == null) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: Throwable => null }
+          if (img == null) Row(r.get(idI), null, null, null, null, null)
+          else {
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            Row(r.get(idI), img.getWidth, img.getHeight, sr, sg, sb)
+          }
+        }
+      }
+    }
+  }
+
+  /** Real WAV ENCODE: canonical RIFF/fmt/data header + the `array<int>`
+    * `samplesCol` as interleaved 16-bit little-endian PCM. Pure byte
+    * assembly — no codec needed to WRITE canonical PCM WAV; the decode
+    * side goes through the real `javax.sound.sampled` parser. */
+  def encodeWavPcm16Batched(
+      df: DataFrame, idCol: String, samplesCol: String,
+      sampleRate: Int, channels: Int, batchSize: Int = 64): DataFrame = {
+    require(channels >= 1 && sampleRate > 0, "bad WAV shape")
+    val (idI, sI) = (df.schema.fieldIndex(idCol), df.schema.fieldIndex(samplesCol))
+    val schema = outRow(df, idCol, Seq(StructField("wav", BinaryType, nullable = true)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val samples = r.getSeq[Int](sI)
+          val bytes =
+            if (samples == null) null
+            else {
+              val dataSize = samples.length * 2
+              val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+                .put("WAVE".getBytes("US-ASCII"))
+                .put("fmt ".getBytes("US-ASCII")).putInt(16)
+                .putShort(1.toShort) // PCM
+                .putShort(channels.toShort)
+                .putInt(sampleRate)
+                .putInt(sampleRate * channels * 2) // byte rate
+                .putShort((channels * 2).toShort)  // block align
+                .putShort(16.toShort)              // bits/sample
+                .put("data".getBytes("US-ASCII")).putInt(dataSize)
+              samples.foreach(v => bb.putShort(v.toShort))
+              bb.array()
+            }
+          Row(r.get(idI), bytes)
+        }
+      }
+    }
+  }
+
+  /** Real WAV DECODE via `javax.sound.sampled.AudioSystem`: the parsed
+    * format (channels, sample rate), the decoded FRAME count, and the
+    * exact integer sum of all 16-bit samples — the invariant that ties
+    * the decode to the generator formula. NULL stats on undecodable
+    * payloads. */
+  def decodeWavStatsBatched(
+      df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val (idI, bI) = (df.schema.fieldIndex(idCol), df.schema.fieldIndex(binCol))
+    val schema = outRow(df, idCol, Seq(
+      StructField("channels", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("sum_samples", LongType, nullable = true)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]](bI)
+          val parsed =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              val pcm = ais.readAllBytes()
+              val bb = java.nio.ByteBuffer.wrap(pcm).order(
+                if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                else java.nio.ByteOrder.LITTLE_ENDIAN)
+              var sum = 0L
+              while (bb.remaining() >= 2) sum += bb.getShort()
+              Some((fmt.getChannels, fmt.getSampleRate.toInt,
+                pcm.length.toLong / (2L * fmt.getChannels), sum))
+            } catch { case _: Throwable => None }
+          parsed match {
+            case Some((ch, rate, frames, sum)) =>
+              Row(r.get(idI), ch, rate, frames, sum)
+            case None => Row(r.get(idI), null, null, null, null)
+          }
+        }
+      }
+    }
+  }
+
   /** Partition sizing guard for wide binary rows: repartition so each
     * output partition targets ~`targetMb` of payload (the 100 TB knob —
     * binary tables must never concentrate in few tasks). */

@@ -371,6 +371,51 @@ object Inventory {
         max("event_id").as("end_id"),
         count(lit(1)).as("n"))
 
+  /** P1: the FLAGSHIP block parser end-to-end through the real
+    * `from_json` maximal-schema pass ([[graft.beacon.BlockParser.blocks]],
+    * reference: src/parsers/fork_base.py:86-139): raw block JSON payloads
+    * are synthesized from `events` closed forms (header fields, eth1
+    * data, hex sync-committee bits, variable-length withdrawal /
+    * blob-commitment / execution-request arrays), parsed by the
+    * PRODUCTION parser — derived counts, hex popcount participation, and
+    * the constant-folded gnosis fork-version CASE over slots spanning all
+    * seven forks — while the DuckDB oracle recomputes every output column
+    * from the same closed forms WITHOUT parsing JSON: the only path from
+    * formula to matched value goes through the real parse. */
+  val p1Blocks: Q = (s, d) => {
+    val cfg = graft.beacon.ChainConfig.gnosis
+    val e = col("event_id")
+    val es = e.cast("string")
+    val hx = concat(lit("0x"), hex(e))
+    def arrOf(n: org.apache.spark.sql.Column, elems: Seq[String]) =
+      element_at(array(elems.map(lit): _*), (n + 1).cast("int"))
+    val wArr = arrOf(pmod(e, lit(4)), Seq("[]", "[{}]", "[{},{}]", "[{},{},{}]"))
+    val kArr = arrOf(pmod(e, lit(3)), Seq("[]", "[\"0xk1\"]", "[\"0xk1\",\"0xk2\"]"))
+    val dArr = arrOf(pmod(e, lit(2)), Seq("[]", "[{}]"))
+    val cArr = arrOf(pmod(e, lit(3)), Seq("[]", "[{}]", "[{},{}]"))
+    val payload = concat(
+      lit("""{"data":{"message":{"proposer_index":""""), es,
+      lit("""","parent_root":""""), hx,
+      lit("""","state_root":"0xs"""), es,
+      lit("""","body":{"randao_reveal":"0xr"""), es,
+      lit("""","graffiti":"g"""), es,
+      lit("""","eth1_data":{"deposit_root":"0xd"""), es,
+      lit("""","deposit_count":""""), (e * 3).cast("string"),
+      lit("""","block_hash":"0xb"""), es,
+      lit(""""},"sync_aggregate":{"sync_committee_bits":""""), hx,
+      lit(""""},"execution_payload":{"withdrawals":"""), wArr,
+      lit("""},"blob_kzg_commitments":"""), kArr,
+      lit(""","execution_requests":{"deposits":"""), dArr,
+      lit(""","withdrawals":"""), wArr,
+      lit(""","consolidations":"""), cArr,
+      lit("""}}},"signature":"0xsig"""), es,
+      lit(""""}}"""))
+    val raw = events(s, d)
+      .filter(col("event_id") < 3000)
+      .select((e * 10000L).as("slot"), payload.as("payload"))
+    graft.beacon.BlockParser.blocks(graft.beacon.BlockParser.withParsed(raw), cfg)
+  }
+
   /** P2-shape: posexplode + enumerate (attestation-list parsing shape). */
   val p2ExplodeEnumerate: Q = (s, d) =>
     documents(s, d)
@@ -941,6 +986,7 @@ object Inventory {
     "c9_epoch_rollup" -> c9EpochRollup,
     "c14_json_probe" -> c14JsonProbe,
     "d1_chunk_plan" -> d1ChunkPlan,
+    "p1_blocks" -> p1Blocks,
     "p2_explode_enumerate" -> p2ExplodeEnumerate,
     "p24_unpivot" -> p24Unpivot,
   )
@@ -1395,6 +1441,29 @@ object Inventory {
       """SELECT event_id // 100 AS chunk_id, MIN(event_id) AS start_id,
         |       MAX(event_id) AS end_id, count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+    "p1_blocks" ->
+      """SELECT event_id * 10000 AS slot,
+        |       event_id AS proposer_index,
+        |       '0x' || hex(event_id) AS parent_root,
+        |       '0xs' || event_id AS state_root,
+        |       '0xsig' || event_id AS signature,
+        |       CASE WHEN event_id * 10000 >= 27435008 THEN '0x06000064'
+        |            WHEN event_id * 10000 >= 21405696 THEN '0x05000064'
+        |            WHEN event_id * 10000 >= 14237696 THEN '0x04000064'
+        |            WHEN event_id * 10000 >= 10379264 THEN '0x03000064'
+        |            WHEN event_id * 10000 >= 6168576 THEN '0x02000064'
+        |            WHEN event_id * 10000 >= 8192 THEN '0x01000064'
+        |            ELSE '0x00000064' END AS version,
+        |       '0xr' || event_id AS randao_reveal,
+        |       'g' || event_id AS graffiti,
+        |       '0xd' || event_id AS eth1_deposit_root,
+        |       event_id * 3 AS eth1_deposit_count,
+        |       '0xb' || event_id AS eth1_block_hash,
+        |       CAST(bit_count(event_id) AS BIGINT) AS sync_aggregate_participation,
+        |       event_id % 4 AS withdrawals_count,
+        |       event_id % 3 AS blob_kzg_commitments_count,
+        |       event_id % 2 + event_id % 4 + event_id % 3 AS execution_requests_count
+        |FROM events WHERE event_id < 3000""".stripMargin,
     "p2_explode_enumerate" ->
       """SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS word
         |FROM (SELECT doc_id, string_split(text, ' ') AS l

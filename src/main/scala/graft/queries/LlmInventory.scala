@@ -1010,6 +1010,45 @@ object LlmInventory {
         graft.functions.GraftFunctions.video_duration_ms(col("payload")).as("duration_ms"))
   }
 
+  /** M6: REAL image decode — deterministic RGB pixels (closed-form
+    * formula per (doc, pixel)) → real PNG encode (`BufferedImage` +
+    * `ImageIO.write`, executor-side batched mapPartitions) → real PNG
+    * decode (`ImageIO.read`) → exact integer per-channel sums. The
+    * DuckDB oracle computes width/height/channel sums from the SAME
+    * pixel formula without ever seeing a PNG, so a hash match proves the
+    * encode → decode cycle reproduced every pixel bit-exactly — the
+    * decode step is the real thing, not the metadata walk of m2. */
+  val m6ImageDecode: Q = (s, d) => {
+    val doc = documents(s, d).filter(col("doc_id") < 40)
+    val w = (lit(4) + pmod(col("doc_id"), lit(5))).cast("int")
+    val h = (lit(3) + pmod(col("doc_id"), lit(3))).cast("int")
+    val px = transform(
+      sequence(lit(0L), w.cast("long") * h.cast("long") - 1L),
+      i => (pmod(col("doc_id") * 7 + i * 13, lit(256)) * 65536L +
+        pmod(col("doc_id") * 11 + i * 5, lit(256)) * 256L +
+        pmod(col("doc_id") * 3 + i * 17, lit(256))).cast("int"))
+    val pixels = doc.select(col("doc_id"), w.as("w"), h.as("h"), px.as("px"))
+    val png = Multimodal.encodePngBatched(pixels, "doc_id", "w", "h", "px")
+    Multimodal.decodeImageStatsBatched(png, "doc_id", "png")
+  }
+
+  /** M7: REAL audio decode — deterministic 16-bit PCM samples
+    * (closed-form per (doc, sample)) → canonical WAV bytes → real parse
+    * through `javax.sound.sampled.AudioSystem` → format fields, frame
+    * count, and the exact integer sample sum. Same proof shape as m6:
+    * the oracle recomputes the sum from the formula; matching means the
+    * PCM round-tripped through the real audio stack bit-exactly. */
+  val m7AudioDecode: Q = (s, d) => {
+    val doc = documents(s, d).filter(col("doc_id") < 40)
+    val n = (lit(50) + pmod(col("doc_id"), lit(7)) * 10).cast("int")
+    val smp = transform(
+      sequence(lit(0), n - 1),
+      i => (pmod(col("doc_id") * 7 + i * 13, lit(2001)) - 1000).cast("int"))
+    val sdf = doc.select(col("doc_id"), smp.as("smp"))
+    val wav = Multimodal.encodeWavPcm16Batched(sdf, "doc_id", "smp", 16000, 1)
+    Multimodal.decodeWavStatsBatched(wav, "doc_id", "wav")
+  }
+
   /** Frame-sampling plumbing: one row per byte-window "frame". */
   val m3FrameWindows: Q = (s, d) =>
     Multimodal.frameWindows(
@@ -1163,6 +1202,8 @@ object LlmInventory {
     "m3_frame_windows" -> m3FrameWindows,
     "m4_audio_meta" -> m4AudioMeta,
     "m5_video_meta" -> m5VideoMeta,
+    "m6_image_decode" -> m6ImageDecode,
+    "m7_audio_decode" -> m7AudioDecode,
     "t14_skew_agg" -> t14SkewAgg,
     "t15_winnow_fingerprint" -> t15WinnowFingerprint,
     "t16_source_cap" -> t16SourceCap,
@@ -2373,6 +2414,29 @@ object LlmInventory {
     // RIFF/WAVE magic, extract channels (chars 45-48), sample rate (chars
     // 49-56), byte rate (57-64) and data size (81-88), duration =
     // data*1000//byte_rate. Cross-checked against Python's wave module.
+    "m6_image_decode" ->
+      """SELECT doc_id,
+        |       CAST(4 + doc_id % 5 AS INT) AS width,
+        |       CAST(3 + doc_id % 3 AS INT) AS height,
+        |       CAST(list_sum(list_transform(
+        |         range(0, (4 + doc_id % 5) * (3 + doc_id % 3)),
+        |         i -> (doc_id*7 + i*13) % 256)) AS BIGINT) AS sum_r,
+        |       CAST(list_sum(list_transform(
+        |         range(0, (4 + doc_id % 5) * (3 + doc_id % 3)),
+        |         i -> (doc_id*11 + i*5) % 256)) AS BIGINT) AS sum_g,
+        |       CAST(list_sum(list_transform(
+        |         range(0, (4 + doc_id % 5) * (3 + doc_id % 3)),
+        |         i -> (doc_id*3 + i*17) % 256)) AS BIGINT) AS sum_b
+        |FROM documents WHERE doc_id < 40""".stripMargin,
+    "m7_audio_decode" ->
+      """SELECT doc_id,
+        |       CAST(1 AS INT) AS channels,
+        |       CAST(16000 AS INT) AS sample_rate,
+        |       CAST(50 + (doc_id % 7) * 10 AS BIGINT) AS n_frames,
+        |       CAST(list_sum(list_transform(
+        |         range(0, 50 + (doc_id % 7) * 10),
+        |         i -> (doc_id*7 + i*13) % 2001 - 1000)) AS BIGINT) AS sum_samples
+        |FROM documents WHERE doc_id < 40""".stripMargin,
     "m4_audio_meta" ->
       """WITH src AS (
         |  SELECT doc_id,
