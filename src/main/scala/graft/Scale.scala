@@ -258,6 +258,7 @@ object Scale {
     if (args.headOption.contains("ann")) return annMain(args)
     if (args.headOption.contains("events")) return eventsMain(args)
     if (args.headOption.contains("streamstate")) return streamStateMain(args)
+    if (args.headOption.contains("multimodal")) return multimodalMain(args)
     if (args.headOption.contains("curate")) return curateMain(args)
     if (args.headOption.contains("layout")) return layoutMain(args)
     if (args.headOption.contains("kernels")) return kernelsMain(args)
@@ -1679,6 +1680,122 @@ object Scale {
     EventOpsStats(genSec, sessSec, nativeSec, asofSec, rollSec, intervalSec,
       nSessions, nativeSessions, minEv, maxEv, asofRows, asofWrong, maxRoll,
       intervalPairs, expectedPairs, heapPeakMb())
+  }
+
+  private val multimodalHeader = "## Multimodal decode corpus stage"
+
+  /** `runMain graft.Scale multimodal [nAssets] [outMd]` — the REAL codec
+    * path under load: `nAssets` PNGs (deterministic pixel formula →
+    * `ImageIO.write`) and `nAssets` WAVs (formula PCM → canonical RIFF)
+    * are encoded executor-side, written to parquet as opaque binary
+    * columns, read back, and decoded through the real codecs
+    * (`ImageIO.read` / `AudioSystem`). Correctness is an EXACT equality:
+    * the total decoded channel/sample sums must equal the same formulas
+    * aggregated directly (no codec), over every asset. */
+  private def multimodalMain(args: Array[String]): Unit = {
+    val nAssets = args.lift(1).map(_.toLong).getOrElse(200000L)
+    val outMd = args.lift(2).getOrElse("SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val base = Files.createTempDirectory("graft_scale_multimodal").toString
+    val ids = spark.range(nAssets).toDF("id")
+      .repartition(spark.sparkContext.defaultParallelism)
+
+    // ---- images: 8..15 × 6..9 px, packed-RGB formula per pixel ----
+    val w = (lit(8) + pmod(col("id"), lit(8))).cast("int")
+    val h = (lit(6) + pmod(col("id"), lit(4))).cast("int")
+    val px = transform(
+      sequence(lit(0L), w.cast("long") * h.cast("long") - 1L),
+      i => (pmod(col("id") * 7 + i * 13, lit(256)) * 65536L +
+        pmod(col("id") * 11 + i * 5, lit(256)) * 256L +
+        pmod(col("id") * 3 + i * 17, lit(256))).cast("int"))
+    val pixelFrame = ids.select(col("id"), w.as("w"), h.as("h"), px.as("px"))
+    val (_, pngEncSec) = timed {
+      graft.operators.Multimodal.encodePngBatched(pixelFrame, "id", "w", "h", "px")
+        .write.mode("overwrite").parquet(s"$base/png")
+    }
+    val ((imgOk, imgBad), pngDecSec) = timed {
+      val stats = graft.operators.Multimodal.decodeImageStatsBatched(
+        spark.read.parquet(s"$base/png"), "id", "png")
+      val r = stats.agg(
+        sum(col("sum_r") + col("sum_g") + col("sum_b")),
+        sum(when(col("width").isNull, 1L).otherwise(0L))).head()
+      (if (r.isNullAt(0)) 0L else r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val expectedImg = pixelFrame.select(
+      aggregate(col("px"), lit(0L), (acc, p) =>
+        acc + shiftright(p, 16).bitwiseAND(lit(255)) +
+          shiftright(p, 8).bitwiseAND(lit(255)) + p.bitwiseAND(lit(255)))
+        .as("s")).agg(sum("s")).head().getLong(0)
+    require(imgBad == 0L && imgOk == expectedImg,
+      s"image decode diverged: decoded=$imgOk expected=$expectedImg bad=$imgBad")
+
+    // ---- audio: 100..149-sample mono 16 kHz clips, formula PCM ----
+    val n = (lit(100) + pmod(col("id"), lit(50))).cast("int")
+    val smp = transform(sequence(lit(0), n - 1),
+      i => (pmod(col("id") * 7 + i * 13, lit(2001)) - 1000).cast("int"))
+    val sampleFrame = ids.select(col("id"), smp.as("smp"))
+    val (_, wavEncSec) = timed {
+      graft.operators.Multimodal.encodeWavPcm16Batched(sampleFrame, "id", "smp", 16000, 1)
+        .write.mode("overwrite").parquet(s"$base/wav")
+    }
+    val ((wavSum, wavFrames, wavBad), wavDecSec) = timed {
+      val stats = graft.operators.Multimodal.decodeWavStatsBatched(
+        spark.read.parquet(s"$base/wav"), "id", "wav")
+      val r = stats.agg(
+        sum("sum_samples"), sum("n_frames"),
+        sum(when(col("channels").isNull, 1L).otherwise(0L))).head()
+      (if (r.isNullAt(0)) 0L else r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    val eRow = sampleFrame.select(
+      aggregate(col("smp"), lit(0L), (acc, v) => acc + v).as("s"),
+      size(col("smp")).cast("long").as("n"))
+      .agg(sum("s"), sum("n")).head()
+    val (expectedWavSum, expectedFrames) = (eRow.getLong(0), eRow.getLong(1))
+    require(wavBad == 0L && wavSum == expectedWavSum && wavFrames == expectedFrames,
+      s"wav decode diverged: sum=$wavSum/$expectedWavSum frames=$wavFrames/$expectedFrames bad=$wavBad")
+
+    val heapMb = heapPeakMb()
+    val section =
+      s"""
+         |$multimodalHeader (real ImageIO / AudioSystem codecs, $nAssets assets each)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale multimodal $nAssets"` —
+         |$nAssets formula-pixel PNGs and $nAssets formula-PCM WAVs encoded
+         |executor-side (batched mapPartitions), written to parquet as opaque
+         |binary columns, read back and decoded through the REAL JDK codecs.
+         |The invariant is an exact equality: total decoded channel/sample
+         |sums == the formulas aggregated directly, over every asset.
+         |
+         || metric | value |
+         ||---|---|
+         || PNG encode + write | ${f"$pngEncSec%.1f"} s (${f"${nAssets / pngEncSec}%.0f"} imgs/s) |
+         || PNG decode + stats | ${f"$pngDecSec%.1f"} s (${f"${nAssets / pngDecSec}%.0f"} imgs/s, 0 failures) |
+         || decoded channel sum == formula | $imgOk == $expectedImg (exact) |
+         || WAV encode + write | ${f"$wavEncSec%.1f"} s (${f"${nAssets / wavEncSec}%.0f"} clips/s) |
+         || WAV decode + stats | ${f"$wavDecSec%.1f"} s (${f"${nAssets / wavDecSec}%.0f"} clips/s, 0 failures) |
+         || decoded sample sum / frames == formula | $wavSum / $wavFrames == $expectedWavSum / $expectedFrames (exact) |
+         || peak heap | $heapMb MB |
+         |
+         |- per-row work only: encode and decode are scan-side
+         |  mapPartitions batches — no shuffle anywhere in either path, so
+         |  the stage scales with executors × cores at any corpus size
+         |- the binary column round-trips through parquet at rest, the
+         |  shape multimodal tables have in production
+         |""".stripMargin
+    spliceSection(outMd, multimodalHeader, section)
+    println(s"""{"metric":"scale_multimodal","value":${pngDecSec + wavDecSec},"unit":"sec","n_assets":$nAssets,"png_dec_per_s":${nAssets / pngDecSec},"wav_dec_per_s":${nAssets / wavDecSec},"img_sum_ok":${imgOk == expectedImg},"wav_sum_ok":${wavSum == expectedWavSum},"heap_peak_mb":$heapMb}""")
+    spark.stop()
   }
 
   private val streamStateHeader = "## Streaming-state corpus stage"

@@ -263,7 +263,10 @@ object Dedup {
     * verdict, so each reference bucket keeps only its first
     * `refPerBucketCap` members by the deterministic (md5(id), id) rank.
     * The default far exceeds any oracle-scale bucket, so test outputs
-    * are cap-free; size it to O(100) for crawl-scale sweeps. */
+    * are cap-free; size it to O(100) for crawl-scale sweeps. The cap
+    * window only enters the plan when the [[sampledHotProbe]] sees a
+    * reference bucket near the cap — the common no-hot-bucket sweep
+    * never pays the reference-wide sort. */
   def nearDupAgainst(
       df: DataFrame, reference: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, rowsPerBand: Int = 4, shingleW: Int = 3,
@@ -273,11 +276,16 @@ object Dedup {
       df, idCol, textCol, numHashes, rowsPerBand, shingleW, md5Parity).persist()
     val wb = Window.partitionBy("band", "bh")
       .orderBy(md5(col("id").cast("string")), col("id"))
-    val refB = bandBuckets(
-      reference, idCol, textCol, numHashes, rowsPerBand, shingleW, md5Parity)
-      .withColumn("__rk", row_number().over(wb))
-      .filter(col("__rk") <= refPerBucketCap)
-      .drop("__rk")
+    def mkRefBuckets(in: DataFrame, fanOut: Boolean) = bandBuckets(
+      in, idCol, textCol, numHashes, rowsPerBand, shingleW, md5Parity, fanOut)
+    val refHasHot = sampledHotProbe(
+      mkRefBuckets(_, false), reference, Seq("band", "bh"), refPerBucketCap)
+    val refB0 = mkRefBuckets(reference, fanOut = true)
+    val refB = (if (!refHasHot) refB0
+      else refB0
+        .withColumn("__rk", row_number().over(wb))
+        .filter(col("__rk") <= refPerBucketCap)
+        .drop("__rk"))
       .persist()
     val cands = newB.as("n")
       .join(refB.as("r"),
@@ -706,12 +714,64 @@ object Dedup {
   }
 
   def chunkDedup(
-      df: DataFrame, idCol: String, textCol: String, chunkTokens: Int): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, chunkTokens: Int): DataFrame =
+    firstOccurrenceRewrite(docChunks(df, idCol, textCol, chunkTokens), idCol)
+
+  /** Content-defined chunking (CDC) of a document at token granularity —
+    * the dedup-storage boundary trick (LBFS, Muthitacharoen et al. SOSP
+    * 2001; gear/FastCDC family) applied to text: a token CLOSES the
+    * current chunk when `md5(token)` starts with hex '0' (P = 1/16 →
+    * ~16-token expected chunks). Because boundaries depend only on LOCAL
+    * content, an inserted or deleted token perturbs just the chunk it
+    * touches — fixed-stride chunking ([[docChunks]]) shifts every later
+    * boundary, so a one-token edit at the front makes every downstream
+    * chunk "new" and repeated boilerplate stops deduplicating.
+    *
+    * Zero shuffle: the chunk array is ONE scan-side fold per row
+    * (`aggregate` over the token array carrying (done chunks, current
+    * chunk) state); empty/whitespace-only docs yield no chunks. */
+  def cdcChunks(text: Column): Column = {
+    val toks = filter(split(text, " "), t => t =!= "")
+    aggregate(
+      toks,
+      struct(array().cast("array<string>").as("done"), lit("").as("cur")),
+      (acc, t) => {
+        val cur2 = when(acc.getField("cur") === "", t)
+          .otherwise(concat(acc.getField("cur"), lit(" "), t))
+        val isBoundary = substring(md5(t), 1, 1) === "0"
+        struct(
+          when(isBoundary, array_append(acc.getField("done"), cur2))
+            .otherwise(acc.getField("done")).as("done"),
+          when(isBoundary, lit("")).otherwise(cur2).as("cur"))
+      },
+      acc => when(acc.getField("cur") === "", acc.getField("done"))
+        .otherwise(array_append(acc.getField("done"), acc.getField("cur"))))
+  }
+
+  /** [[chunkDedup]] on CONTENT-DEFINED chunks ([[cdcChunks]]) — same
+    * output contract `(id, n_chunks, n_kept, text_dedup)`, same
+    * first-occurrence rule, but repeated passages keep deduplicating
+    * even when surrounding edits shift their token offsets. Same 100 TB
+    * shape as [[chunkDedup]]: chunking is scan-side, the duplicate scan
+    * shuffles only (16-byte hash, id, idx). */
+  def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    firstOccurrenceRewrite(
+      df.select(col(idCol).as("id"), posexplode(cdcChunks(col(textCol))))
+        .withColumnRenamed("pos", "chunk_idx")
+        .withColumnRenamed("col", "chunk"),
+      idCol)
+
+  /** The corpus-wide first-occurrence rewrite shared by [[chunkDedup]]
+    * (fixed stride) and [[cdcChunkDedup]] (content-defined): keep each
+    * distinct chunk's globally-first (id, idx) occurrence, reassemble
+    * surviving chunks per document in order. `chunks0` is (id,
+    * chunk_idx, chunk). */
+  private def firstOccurrenceRewrite(chunks0: DataFrame, idCol: String): DataFrame = {
     // persisted: consumed twice (the first-occurrence aggregate and the
     // join-back side) — recomputing the tokenize+explode costs ~1.4× the
     // whole pipeline (measured at 200k docs). Released before returning;
     // the result arrives materialized+persisted (caller-owned).
-    val chunks = docChunks(df, idCol, textCol, chunkTokens)
+    val chunks = chunks0
       .withColumn("h", md5(col("chunk")))
       .persist()
     // globally-first occurrence per distinct chunk content: min (id, idx)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.{Bridge => ExpressionUtils}
@@ -102,6 +102,125 @@ object Sketches {
   def kmvMinHashes(hash: Column, k: Int): Column =
     ExpressionUtils.column(
       KmvMinHashes(ExpressionUtils.expression(hash), k).toAggregateExpression())
+
+  /** Bottom-k uniform row SAMPLE keyed by a hash — the KMV idea pointed
+    * at QUANTILES: keep the (hash, value) pairs whose hashes are the k
+    * smallest over a UNIQUE row key. The held values are a uniform
+    * without-replacement sample of k rows that is ORDER-INDEPENDENT and
+    * MERGEABLE (union, trim to k smallest) — properties classic
+    * reservoir sampling lacks (encounter-order-dependent) and t-digest
+    * trades away (merge-order-dependent centroids). Bounded at k
+    * (hash, value) pairs per group with map-side partials, so a
+    * 100 TB group ships k·16 bytes per executor instead of a sort;
+    * quantile estimates read off the sorted sample with the usual
+    * √k-class sampling error. Deterministic given the data → the whole
+    * report is hash-checkable against a SQL oracle. */
+  case class BottomKPairs(
+      hashChild: Expression, valueChild: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, java.lang.Double]]
+    with BinaryLike[Expression] {
+    require(k >= 1, s"k must be >= 1, got $k")
+
+    override def left: Expression = hashChild
+    override def right: Expression = valueChild
+
+    override def createAggregationBuffer(): java.util.TreeMap[java.lang.Long, java.lang.Double] =
+      new java.util.TreeMap[java.lang.Long, java.lang.Double]()
+
+    override def update(
+        buf: java.util.TreeMap[java.lang.Long, java.lang.Double],
+        input: InternalRow): java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+      val h = hashChild.eval(input)
+      val v = valueChild.eval(input)
+      if (h != null && v != null) {
+        buf.put(h.asInstanceOf[Long], v.asInstanceOf[Double])
+        if (buf.size > k) buf.pollLastEntry()
+      }
+      buf
+    }
+
+    override def merge(
+        b1: java.util.TreeMap[java.lang.Long, java.lang.Double],
+        b2: java.util.TreeMap[java.lang.Long, java.lang.Double]): java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+      val it = b2.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        b1.put(e.getKey, e.getValue)
+        if (b1.size > k) b1.pollLastEntry()
+      }
+      b1
+    }
+
+    /** The sampled VALUES, ordered by their hash (ascending). */
+    override def eval(buf: java.util.TreeMap[java.lang.Long, java.lang.Double]): Any = {
+      val out = new Array[Any](buf.size)
+      val it = buf.values().iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next().doubleValue(); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override def serialize(buf: java.util.TreeMap[java.lang.Long, java.lang.Double]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(buf.size * 16)
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        bb.putLong(e.getKey).putDouble(e.getValue)
+      }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+      val buf = createAggregationBuffer()
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      while (bb.hasRemaining) buf.put(bb.getLong(), bb.getDouble())
+      buf
+    }
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(o: Int): BottomKPairs =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): BottomKPairs =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): BottomKPairs =
+      copy(hashChild = l, valueChild = r)
+    override def prettyName: String = "bottom_k_pairs"
+  }
+
+  /** Column API: uniform hash-sample of up to k `value`s, keyed by a
+    * LONG hash of a unique row key (aggregate — use inside `agg`). */
+  def bottomKSampleValues(hash: Column, value: Column, k: Int): Column =
+    ExpressionUtils.column(
+      BottomKPairs(
+        ExpressionUtils.expression(hash),
+        ExpressionUtils.expression(value.cast("double")), k).toAggregateExpression())
+
+  /** Bounded-memory per-group quantiles from the bottom-k hash sample:
+    * `(groupCols…, n_sample, p<q·100>…)`. Below saturation (group ≤ k
+    * rows) the sample IS the group and the quantiles are exact; above,
+    * they carry √k-class sampling error. The rank rule is
+    * `ceil(q · n)` over the value-sorted sample (1-based) — mirrored
+    * verbatim in the oracle. */
+  def sampledQuantiles(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      keyCol: String, k: Int, qs: Seq[Double]): DataFrame = {
+    val base = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(bottomKSampleValues(md5Hash60(col(keyCol)), col(valueCol), k).as("sample"))
+      .withColumn("__vals", array_sort(col("sample")))
+      .withColumn("n_sample", size(col("sample")).cast("long"))
+    val qCols = qs.map { q =>
+      when(col("n_sample") > 0,
+        element_at(col("__vals"),
+          greatest(lit(1), ceil(lit(q) * col("n_sample"))).cast("int")))
+        .as(s"p${math.round(q * 100)}")
+    }
+    base.select(groupCols.map(col) ++ (col("n_sample") +: qCols): _*)
+  }
 
   /** Oracle-parity hash: first 15 hex digits of md5 as a long ∈
     * [0, 16^15) — DuckDB rebuilds it verbatim as

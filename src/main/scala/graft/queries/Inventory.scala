@@ -648,6 +648,30 @@ object Inventory {
       iterations = 5, damping = 0.85, exact = true)
   }
 
+  /** G3: CONVERGENCE-LOOPED PageRank ([[graft.operators.Graph.pageRankConverged]],
+    * exact mode) — the production stopping rule in the hard gate: blocks
+    * of 5 iterations, stop when the max rank delta < 1e-9. On this
+    * corpus the transition graph's delta at the first probe is ~1.6e-12
+    * (measured), so the loop deterministically stops after 10
+    * iterations; the oracle mirrors 10 unrolled CTE iterations plus the
+    * literal step count. Exact mode makes the delta — and therefore the
+    * STEP COUNT — bitwise-reproducible, not just the ranks. */
+  val g3ConvergedPagerank: Q = (s, d) => {
+    val ev = events(s, d)
+    val seq = ev.select(col("user_id"), eventTs(ev).as("ts"),
+      col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val edges = seq
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val (ranks, iters) = graft.operators.Graph.pageRankConverged(
+      edges, "src", "dst", "w", tol = 1e-9, maxIterations = 20,
+      damping = 0.85, blockIters = 5, exact = true)
+    ranks.withColumn("iterations", lit(iters.toLong))
+  }
+
   /** X4: EXCEPT ALL — multiset difference (each occurrence consumes one
     * match, unlike X1's set EXCEPT): day-1 user activity minus day-2,
     * multiplicity-aware. */
@@ -977,6 +1001,7 @@ object Inventory {
     "g1_pagerank" -> g1Pagerank,
     "j14_returned_items" -> j14ReturnedItems,
     "g2_personalized_pagerank" -> g2PersonalizedPagerank,
+    "g3_converged_pagerank" -> g3ConvergedPagerank,
     "c1_safe_long_hex" -> c1SafeLongHex,
     "c3_payload_hash" -> c3PayloadHash,
     "c4_popcount" -> c4Popcount,
@@ -1005,8 +1030,15 @@ object Inventory {
     * 0.15 where Scala's binary-double subtraction gives
     * 0.15000000000000002, a last-ulp mismatch that survives to the
     * hash. */
-  private def g1OracleSql: String = {
-    val iters = (1 to 5).map { k =>
+  private def g1OracleSql: String = pagerankUnrolledSql(5, "SELECT node, rank FROM r5")
+
+  /** Shared unrolled-CTE PageRank mirror: `n` literal iterations, then
+    * `finalSelect` over r`n` — g1 uses 5; g3 uses 10 plus the literal
+    * convergence step count (the loop's deterministic `done` on this
+    * corpus; a corpus change that shifted convergence would hash-fail
+    * loudly, which is the gate working). */
+  private def pagerankUnrolledSql(n: Int, finalSelect: String): String = {
+    val iters = (1 to n).map { k =>
       s"""i$k AS (
          |  SELECT e.dst, list_reduce(
          |    list((r.rank * CAST(e.w AS DOUBLE)) / CAST(o.ow AS DOUBLE) ORDER BY e.src),
@@ -1034,7 +1066,7 @@ object Inventory {
        |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
        |$iters
-       |SELECT node, rank FROM r5""".stripMargin
+       |$finalSelect""".stripMargin
   }
 
   /** g2's mirror: g1's unrolled CTEs with the teleport COLUMN (CASE on
@@ -1301,6 +1333,8 @@ object Inventory {
         |FROM ret GROUP BY cohort""".stripMargin,
     "g1_pagerank" -> g1OracleSql,
     "g2_personalized_pagerank" -> g2OracleSql,
+    "g3_converged_pagerank" -> pagerankUnrolledSql(
+      10, "SELECT node, rank, CAST(10 AS BIGINT) AS iterations FROM r10"),
     "j14_returned_items" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -1074,6 +1074,38 @@ object LlmInventory {
   val d11ChunkDedup: Q = (s, d) =>
     Dedup.chunkDedup(documents(s, d), "doc_id", "text", chunkTokens = 10)
 
+  /** t35: content-defined chunk dedup ([[Dedup.cdcChunkDedup]]) — the
+    * d11 first-occurrence rewrite on CDC boundaries (a token closes its
+    * chunk when md5(token) starts with '0'), so repeated passages dedup
+    * even when surrounding edits shift their offsets. Oracle replays the
+    * boundary rule with a window prefix-sum, groups chunks with an
+    * ordered string_agg, and applies the same row_number first-occurrence
+    * rule — exact string equality end to end. */
+  val t35CdcDedup: Q = (s, d) =>
+    Dedup.cdcChunkDedup(documents(s, d), "doc_id", "text")
+
+  /** a18: bounded-memory per-group quantiles from a bottom-k hash sample
+    * ([[Sketches.sampledQuantiles]], the KMV idea pointed at quantiles):
+    * deterministic uniform row sample keyed on md5(event_id), quantiles
+    * read off the value-sorted sample at rank ceil(q·n). Mergeable,
+    * order-independent, k·16 bytes per group however large the group —
+    * and bitwise-mirrorable (the oracle takes the same k smallest
+    * md5-ranked rows and indexes the same sorted list). */
+  val a18SampledQuantiles: Q = (s, d) =>
+    Sketches.sampledQuantiles(events(s, d), Seq("event_type"), "value",
+      "event_id", k = 256, qs = Seq(0.5, 0.9, 0.99))
+
+  /** t36: adjacent-pair statistics — the distributed half of BPE merge
+    * learning ([[graft.operators.BpeTrain]], Sennrich et al. 2016): one
+    * scan-side zip of each token array against its own tail, one
+    * map-side-combined count keyed on the pair, deterministic top-20 by
+    * (count desc, pair). The merge LOOP (argmax → scan-side rewrite,
+    * k passes) is library surface with its own unit test. */
+  val t36BpePairs: Q = (s, d) =>
+    graft.operators.BpeTrain.pairCounts(documents(s, d), "text")
+      .orderBy(col("n").desc, col("left"), col("right"))
+      .limit(20)
+
   /** t21: hashed-linear quality classifier (fastText shape,
     * [[Classifier.scored]]) — per-token md5-derived weights, mean-pooled
     * into a linear score, thresholded. Exact integer hash sum + one IEEE
@@ -1210,6 +1242,9 @@ object LlmInventory {
     "t17_mixture_upsample" -> t17MixtureUpsample,
     "t26_length_terciles" -> t26LengthTerciles,
     "d11_chunk_dedup" -> d11ChunkDedup,
+    "t35_cdc_dedup" -> t35CdcDedup,
+    "t36_bpe_pairs" -> t36BpePairs,
+    "a18_sampled_quantiles" -> a18SampledQuantiles,
     "t21_classifier_score" -> t21ClassifierScore,
     "t22_tfidf_topterms" -> t22TfidfTopTerms,
     "t23_heavy_hitters" -> t23HeavyHitters,
@@ -2641,6 +2676,58 @@ object LlmInventory {
         |            THEN string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx)
         |       END AS text_dedup
         |FROM rk GROUP BY doc_id""".stripMargin,
+    "t36_bpe_pairs" ->
+      """WITH tok AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, len(l)),
+        |           i -> {lft: l[i], rgt: l[i + 1]})) AS pr
+        |  FROM tok WHERE len(l) >= 2)
+        |SELECT pr.lft AS "left", pr.rgt AS "right", count(*) AS n
+        |FROM p GROUP BY 1, 2
+        |ORDER BY n DESC, 1, 2 LIMIT 20""".stripMargin,
+    "t35_cdc_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, pos, w FROM (
+        |    SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t0) t1
+        |  WHERE w <> ''),
+        |cb AS (
+        |  SELECT doc_id, pos, w,
+        |         COALESCE(SUM(CASE WHEN substr(md5(w), 1, 1) = '0' THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+        |  FROM tok),
+        |ch AS (
+        |  SELECT doc_id, cid AS chunk_idx, string_agg(w, ' ' ORDER BY pos) AS chunk
+        |  FROM cb GROUP BY doc_id, cid),
+        |rk AS (
+        |  SELECT doc_id, chunk_idx, chunk,
+        |         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM ch)
+        |SELECT doc_id,
+        |       count(*) AS n_chunks,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CASE WHEN sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+        |            THEN string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx)
+        |       END AS text_dedup
+        |FROM rk GROUP BY doc_id""".stripMargin,
+    "a18_sampled_quantiles" ->
+      """WITH rk AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT) AS rn
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, list_sort(list(value)) AS vals,
+        |         CAST(count(*) AS BIGINT) AS n_sample
+        |  FROM rk WHERE rn <= 256 GROUP BY event_type)
+        |SELECT event_type, n_sample,
+        |       vals[CAST(greatest(1, ceil(0.5 * n_sample)) AS INT)] AS p50,
+        |       vals[CAST(greatest(1, ceil(0.9 * n_sample)) AS INT)] AS p90,
+        |       vals[CAST(greatest(1, ceil(0.99 * n_sample)) AS INT)] AS p99
+        |FROM g""".stripMargin,
     "d11_chunk_dedup" ->
       """WITH s AS (
         |  SELECT doc_id, regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t

@@ -479,6 +479,54 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(fa.forall(_.forall(f => f >= -1.0f && f <= 1.0f)))
   }
 
+  test("real PNG codec: encode→decode round-trips pixels bit-exactly; bad shapes null") {
+    val rows = Seq(
+      (1L, 3, 2, Seq(0xFF0000, 0x00FF00, 0x0000FF, 0x102030, 0x405060, 0x708090)),
+      (2L, 2, 2, Seq(0, 0xFFFFFF, 0x123456, 0xABCDEF)),
+      (3L, 3, 2, Seq(1, 2, 3)) // pixel count ≠ w*h → NULL payload
+    ).toDF("id", "w", "h", "px")
+    val png = graft.operators.Multimodal.encodePngBatched(rows, "id", "w", "h", "px")
+    val stats = graft.operators.Multimodal.decodeImageStatsBatched(png, "id", "png")
+      .orderBy("id").collect()
+    // id 1: sums over the exact pixels
+    assert(stats(0).getInt(1) === 3 && stats(0).getInt(2) === 2)
+    assert(stats(0).getLong(3) === (0xFF + 0x10 + 0x40 + 0x70).toLong)
+    assert(stats(0).getLong(4) === (0xFF + 0x20 + 0x50 + 0x80).toLong)
+    assert(stats(0).getLong(5) === (0xFF + 0x30 + 0x60 + 0x90).toLong)
+    assert(stats(1).getLong(3) === (0xFF + 0x12 + 0xAB).toLong)
+    // id 3: crooked shape never produced an image → null stats
+    assert(stats(2).isNullAt(1) && stats(2).isNullAt(3))
+    // non-image bytes decode to null stats, row survives
+    val junk = Seq((9L, "definitely not a png".getBytes)).toDF("id", "payload")
+    val j = graft.operators.Multimodal.decodeImageStatsBatched(junk, "id", "payload").head()
+    assert(j.isNullAt(1) && j.isNullAt(3))
+  }
+
+  test("real WAV codec: PCM round-trips through AudioSystem; format fields parsed") {
+    val rows = Seq(
+      (1L, Seq(0, 1000, -1000, 32767, -32768, 5)),
+      (2L, Seq.empty[Int])
+    ).toDF("id", "smp")
+    val wav = graft.operators.Multimodal.encodeWavPcm16Batched(rows, "id", "smp", 8000, 1)
+    val stats = graft.operators.Multimodal.decodeWavStatsBatched(wav, "id", "wav")
+      .orderBy("id").collect()
+    assert(stats(0).getInt(1) === 1 && stats(0).getInt(2) === 8000)
+    assert(stats(0).getLong(3) === 6L)
+    assert(stats(0).getLong(4) === (0L + 1000 - 1000 + 32767 - 32768 + 5))
+    assert(stats(1).getLong(3) === 0L && stats(1).getLong(4) === 0L)
+    // stereo: frame count halves, channels parsed
+    val st = Seq((3L, Seq(10, 20, 30, 40))).toDF("id", "smp")
+    val s2 = graft.operators.Multimodal.decodeWavStatsBatched(
+      graft.operators.Multimodal.encodeWavPcm16Batched(st, "id", "smp", 44100, 2),
+      "id", "wav").head()
+    assert(s2.getInt(1) === 2 && s2.getInt(2) === 44100)
+    assert(s2.getLong(3) === 2L && s2.getLong(4) === 100L)
+    // junk bytes → null stats
+    val junk = Seq((9L, "not audio".getBytes)).toDF("id", "payload")
+    val j = graft.operators.Multimodal.decodeWavStatsBatched(junk, "id", "payload").head()
+    assert(j.isNullAt(1) && j.isNullAt(3))
+  }
+
   test("metrics: accumulators track fetch/ingest/transform") {
     val base = java.nio.file.Files.createTempDirectory("graft_m").toString
     val fetcher = MapSlotFetcher((0L until 10L).collect {

@@ -685,4 +685,89 @@ class TopKDedupSpec extends AnyFunSuite {
     tiny.unpersist(blocking = true)
     assert(cappedSet === unSet)
   }
+
+  test("cdcChunks: an insertion perturbs ONE chunk; fixed-stride shifts them all") {
+    // deterministic 200-token text (tokens vary so boundary tokens occur)
+    val text = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val shifted = "inserted " + text
+    val df = Seq((1L, text), (2L, shifted)).toDF("id", "text")
+    val rows = df.select(col("id"), Dedup.cdcChunks(col("text")).as("ch"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val a = rows(1L)
+    val b = rows(2L)
+    assert(a.nonEmpty && a.forall(_.nonEmpty))
+    // concatenating the chunks reconstructs the document exactly
+    assert(a.mkString(" ") === text && b.mkString(" ") === shifted)
+    // content-defined boundaries RE-SYNC after the insertion: every chunk
+    // of the original except (at most) the first survives verbatim
+    val shared = a.toSet.intersect(b.toSet).size
+    assert(shared >= a.size - 1,
+      s"CDC should re-sync: only $shared of ${a.size} chunks survived the edit")
+    // the fixed-stride counterpart shares (almost) nothing after a
+    // 1-token front insertion — the weakness CDC exists to fix
+    val fixedA = graft.operators.Shingles.tokenChunks(lit(text), 10)
+    val fixedB = graft.operators.Shingles.tokenChunks(lit(shifted), 10)
+    val fa = spark.range(1).select(fixedA).head().getSeq[String](0).toSet
+    val fb = spark.range(1).select(fixedB).head().getSeq[String](0).toSet
+    assert(fa.intersect(fb).size <= 1)
+  }
+
+  test("cdcChunkDedup: shared passage dedups across docs despite offset shift") {
+    val passage = (1 to 60).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, passage),
+      (2L, "completely different preamble text here " + passage)).toDF("id", "text")
+    val out = Dedup.cdcChunkDedup(docs, "id", "text")
+      .orderBy("id").collect()
+    out.foreach(_ => ())
+    // doc 1 keeps everything (first occurrence)
+    assert(out(0).getLong(1) === out(0).getLong(2))
+    // doc 2 loses most of its chunks to doc 1's copy of the passage —
+    // with fixed-stride chunking the shifted offsets would keep them all
+    assert(out(1).getLong(2) < out(1).getLong(1),
+      s"doc 2 should lose shared chunks, got ${out(1)}")
+  }
+
+  test("bottomKSampleValues: exact below saturation, bounded + partition-invariant above") {
+    import graft.operators.Sketches
+    // below saturation: the sample IS the group → quantiles are exact
+    val small = (1 to 100).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "g", "v")
+    val q = Sketches.sampledQuantiles(small, Seq("g"), "v", "id", k = 256,
+      qs = Seq(0.5, 0.9)).head()
+    assert(q.getLong(1) === 100L)
+    assert(q.getDouble(2) === 50.0) // ceil(0.5·100) = rank 50
+    assert(q.getDouble(3) === 90.0)
+    // above saturation: n_sample caps at k and the result is identical
+    // however the rows were partitioned (order-independent merge)
+    val big = (1 to 5000).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "g", "v")
+    val r1 = Sketches.sampledQuantiles(big.repartition(1), Seq("g"), "v", "id",
+      k = 64, qs = Seq(0.5, 0.99)).head()
+    val r7 = Sketches.sampledQuantiles(big.repartition(7), Seq("g"), "v", "id",
+      k = 64, qs = Seq(0.5, 0.99)).head()
+    assert(r1.getLong(1) === 64L && r7.getLong(1) === 64L)
+    assert(r1.getDouble(2) === r7.getDouble(2) && r1.getDouble(3) === r7.getDouble(3))
+    // the sampled median of 1..5000 should be in the middle half
+    assert(r1.getDouble(2) > 1250.0 && r1.getDouble(2) < 3750.0)
+  }
+
+  test("BpeTrain.learnMerges: argmax merge, deterministic tie-break, non-overlap fold") {
+    import graft.operators.BpeTrain
+    // "a b" dominates; after merging it the pair (a_b, c) ties (c, a_b)
+    // at 2 and wins on the lexical tie-break
+    val docs = Seq("a b c a b c a b").toDF("text")
+    val m = BpeTrain.learnMerges(docs, "text", k = 2, joiner = "_")
+    assert(m.map(x => (x.left, x.right, x.count)) ===
+      Seq(("a", "b", 3L), ("a_b", "c", 2L)))
+    // non-overlapping left-to-right: "a a a a" merges to two a_a symbols,
+    // whose single adjacent pair is below minCount → exactly one merge
+    val rep = Seq("a a a a").toDF("text")
+    val m2 = BpeTrain.learnMerges(rep, "text", k = 3, joiner = "_")
+    assert(m2.map(x => (x.left, x.right, x.count)) === Seq(("a", "a", 3L)))
+    // pairCounts on the raw corpus agrees with hand counts
+    val pc = BpeTrain.pairCounts(docs, "text")
+      .orderBy(col("n").desc, col("left"), col("right"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pc.head === (("a", "b", 3L)))
+    assert(pc.toSet === Set(("a", "b", 3L), ("b", "c", 2L), ("c", "a", 2L)))
+  }
 }
