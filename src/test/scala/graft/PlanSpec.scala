@@ -541,4 +541,47 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
     assert(p.contains("HashAggregate"), p.take(3000))
   }
+
+  test("d5 clean path: the sampled probe keeps Window/sort OUT of the LSH self-join") {
+    // no hot bucket in the oracle corpus → the guard must leave the
+    // original single-shuffle self-join untouched (the r8 regression was
+    // an unconditional size window in this plan)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = graft.operators.Dedup.minhashCandidatePairs(
+      docs, "doc_id", "text", 8, 4, 3)
+    val plan = pairs.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    pairs.unpersist(blocking = true)
+    assert(!plan.contains("Window"), plan.take(1500))
+    // and a planted mega-bucket DOES engage the windowed guard plan
+    import spark.implicits._
+    val boiler = (0 until 300).map(i => (i.toLong, "same boilerplate page text"))
+    val hot = spark.createDataset(boiler).toDF("id", "text")
+    val guarded = graft.operators.Dedup.minhashCandidatePairs(
+      hot, "id", "text", 8, 4, 2, maxBucketAllPairs = 50)
+    val gPlan = guarded.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    guarded.unpersist(blocking = true)
+    assert(gPlan.contains("Window"), gPlan.take(1500))
+  }
+
+  test("t36 pair counts: map-side partial aggregation, pairs never shuffled raw") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.operators.BpeTrain.pairCounts(docs, "text")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("partial_count") || plan.contains("partial_"), plan.take(1500))
+    // exactly one exchange NODE: the count shuffle keyed on the pair
+    // (formatted output lists each node twice — tree + detail — so count
+    // the numbered detail headers)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size === 1, plan.take(1500))
+  }
+
+  test("a18 sampled quantiles: bottom-k partials combine map-side, one exchange") {
+    val plan = planOf("a18_sampled_quantiles")
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial pass below the exchange — k values per group cross the
+    // wire, not the rows
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      plan.take(1500))
+    assert(plan.contains("partial_bottom_k_pairs"), plan.take(1500))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size === 1, plan.take(1500))
+  }
 }
