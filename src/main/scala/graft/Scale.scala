@@ -259,6 +259,7 @@ object Scale {
     if (args.headOption.contains("events")) return eventsMain(args)
     if (args.headOption.contains("streamstate")) return streamStateMain(args)
     if (args.headOption.contains("multimodal")) return multimodalMain(args)
+    if (args.headOption.contains("bpe")) return bpeMain(args)
     if (args.headOption.contains("curate")) return curateMain(args)
     if (args.headOption.contains("layout")) return layoutMain(args)
     if (args.headOption.contains("kernels")) return kernelsMain(args)
@@ -1680,6 +1681,80 @@ object Scale {
     EventOpsStats(genSec, sessSec, nativeSec, asofSec, rollSec, intervalSec,
       nSessions, nativeSessions, minEv, maxEv, asofRows, asofWrong, maxRoll,
       intervalPairs, expectedPairs, heapPeakMb())
+  }
+
+  private val bpeHeader = "## BPE merge-learning corpus stage"
+
+  /** `runMain graft.Scale bpe [nDocs] [nMerges] [outMd]` — the tokenizer-
+    * training loop ([[graft.operators.BpeTrain.learnMerges]]) over the
+    * 1M-doc corpus: each merge is one pair-count pass (explode +
+    * map-side-combined count) and one scan-side rewrite, the corpus
+    * distributed throughout. Correctness: the learned merge table must
+    * be IDENTICAL when the corpus is re-partitioned differently (the
+    * determinism/order-independence property the argmax tie-break
+    * guarantees), checked on a 3-merge prefix re-run over a 17-way
+    * repartition. */
+  private def bpeMain(args: Array[String]): Unit = {
+    val nDocs = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    val nMerges = args.lift(2).map(_.toInt).getOrElse(8)
+    val outMd = args.lift(3).getOrElse("SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val dir = Files.createTempDirectory("graft_scale_bpe").toString
+    val (_, genSec) = timed {
+      genDedupCorpus(spark, nDocs).write.mode("overwrite").parquet(dir)
+    }
+    val corpus = spark.read.parquet(dir)
+    val (merges, learnSec) = timed {
+      graft.operators.BpeTrain.learnMerges(corpus, "text", nMerges)
+    }
+    require(merges.size == nMerges,
+      s"expected $nMerges merges, learned ${merges.size}")
+    // determinism across partitionings: 3-merge prefix on a 17-way split
+    val (rep, repSec) = timed {
+      graft.operators.BpeTrain.learnMerges(corpus.repartition(17), "text", 3)
+    }
+    require(rep == merges.take(3),
+      s"merge table depends on partitioning: $rep vs ${merges.take(3)}")
+    val pairsPerPass = corpus.count() * 49 // ~49 adjacent pairs per 50-token doc
+    val heapMb = heapPeakMb()
+    val mergesShown = merges.map(m => s"(${m.left}+${m.right}:${m.count})").mkString(" ")
+    val section =
+      s"""
+         |$bpeHeader ($nMerges merges over ${nDocs / 1000}k docs)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale bpe $nDocs $nMerges"` —
+         |[[BpeTrain.learnMerges]] on the ${nDocs / 1000}k-doc corpus: per merge, ONE
+         |pair-count pass (~${pairsPerPass / 1000000}M pair rows, map-side-combined count
+         |keyed on the pair) and ONE zero-shuffle scan-side rewrite; the
+         |driver holds only the k-row merge table.
+         |
+         || metric | value |
+         ||---|---|
+         || corpus generate + write | ${f"$genSec%.1f"} s ($nDocs docs) |
+         || learn $nMerges merges | ${f"$learnSec%.1f"} s (${f"${learnSec / nMerges}%.1f"} s/merge, ${f"${nDocs * nMerges / learnSec}%.0f"} doc-passes/s) |
+         || merge table | $mergesShown |
+         || partition-invariance (3-merge prefix, 17-way repartition) | exact match (${f"$repSec%.1f"} s) |
+         || peak heap | $heapMb MB |
+         |
+         |- the argmax pair is fetched as ONE row per merge (`limit(1)`);
+         |  the tie-break (count desc, left, right) is what makes the merge
+         |  table a pure function of the corpus, not of its partitioning —
+         |  asserted above, not assumed
+         |- per-iteration persist/release keeps exactly one tokenized
+         |  corpus copy live, the PageRank checkpoint discipline
+         |""".stripMargin
+    spliceSection(outMd, bpeHeader, section)
+    println(s"""{"metric":"scale_bpe","value":$learnSec,"unit":"sec","n_docs":$nDocs,"n_merges":$nMerges,"sec_per_merge":${learnSec / nMerges},"partition_invariant":true,"heap_peak_mb":$heapMb}""")
+    spark.stop()
   }
 
   private val multimodalHeader = "## Multimodal decode corpus stage"
