@@ -26,7 +26,7 @@ import org.apache.spark.sql.SparkSession
   * graft corpus semdedup --in DIR --out DIR [--vec-col c] [--threshold 0.999] [--planes 16] [--bands 4] [--seed 42]
   * graft corpus scrub    --in DIR --out DIR [--text-col c]
   * graft corpus lmfilter --in DIR --out DIR --ref DIR [--max-novelty 0.3]
-  * graft corpus linededup --in DIR --out DIR [--chunk-tokens 10] [--self] [--id-col c] [--text-col c]
+  * graft corpus linededup --in DIR --out DIR [--chunk-tokens 10] [--self] [--cdc] [--id-col c] [--text-col c]
   * graft corpus classify --in DIR --out DIR [--threshold 0.0] [--seed w] [--text-col c]
   * graft corpus curate   --in DIR --out DIR [--classify-threshold T] [--dsir-target DIR [--dsir-keep 0.5]] [--chunk-tokens 10] [--dedup-threshold 0.8] [--ref-bench DIR] [--budget N] [--shards K]
   * graft corpus annindex --in DIR --out DIR [--append] [--id-col c] [--vec-col c] [--lists 64] [--pq-m 16] [--pq-ksub 16] [--seed 42]
@@ -36,6 +36,8 @@ import org.apache.spark.sql.SparkSession
   * graft corpus stats    --in DIR [--id-col c] [--text-col c]
   * graft corpus dsir     --in DIR --out DIR {--target DIR | --ratios DIR} [--save-ratios DIR] [--keep-fraction 0.5] [--buckets 4096] [--weights-only]
   * graft corpus pagerank --in EDGEDIR --out DIR [--src-col src] [--dst-col dst] [--weight-col w] [--iterations 10] [--damping 0.85] [--seeds DIR [--seed-col node]]
+  * graft corpus bpetrain --in DIR --out DIR [--merges 32] [--joiner ▁] [--text-col c]
+  * graft corpus quantiles --in DIR --out DIR [--group-by c] [--value-col c] [--key-col c] [--k 1024] [--q 0.5,0.9,0.99]
   * }}}
   *
   * `--base DIR` holds `raw_blocks/`, `tables/`, `load_state_chunks/`,
@@ -86,11 +88,11 @@ object Main {
         if Set("dedup", "semdedup", "scrub", "lmfilter", "linededup",
           "classify", "curate", "cap", "sample", "upsample", "export",
           "annindex", "annquery", "stats", "pack", "chunk", "dsir",
-          "pagerank")(cmd) =>
+          "pagerank", "bpetrain", "quantiles")(cmd) =>
       val spark = session()
       try corpusRun(spark, cmd, rest.toArray) finally spark.stop()
     case _ =>
-      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|status|fork info|fork list|fork detect --sample|corpus dedup|semdedup|scrub|lmfilter|linededup|classify|curate|cap|sample|upsample|export|annindex|annquery|stats|dsir|pagerank} [options]")
+      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|status|fork info|fork list|fork detect --sample|corpus dedup|semdedup|scrub|lmfilter|linededup|classify|curate|cap|sample|upsample|export|annindex|annquery|stats|dsir|pagerank|bpetrain|quantiles} [options]")
       sys.exit(2)
   }
 
@@ -398,10 +400,14 @@ object Main {
         // generation-stutter scrubbing). Corpus-wide chunkDedup returns a
         // PERSISTED frame — caller-owned, released after the write below;
         // the self variant persists nothing
+        // --cdc switches to content-defined boundaries (md5-prefix rule):
+        // repeated passages keep deduplicating across offset shifts
         val chunkFrame =
           if (args.contains("--self"))
             graft.operators.Dedup
               .selfChunkDedup(docs, idCol, textCol, chunkTokens)
+          else if (args.contains("--cdc"))
+            graft.operators.Dedup.cdcChunkDedup(docs, idCol, textCol)
           else graft.operators.Dedup
             .chunkDedup(docs, idCol, textCol, chunkTokens)
         val deduped = chunkFrame.filter(col("text_dedup").isNotNull)
@@ -417,6 +423,34 @@ object Main {
         println(s"[graft] corpus linededup: $total docs -> $k kept " +
           s"(${chunks.getLong(0) - chunks.getLong(1)} of ${chunks.getLong(0)} " +
           s"$chunkTokens-token chunks removed as repeats)")
+      case "bpetrain" =>
+        // learn a BPE merge table over the corpus and write it as a
+        // 1-file parquet (rank, left, right, count) — the
+        // tokenizer-training artifact downstream tokenizers consume
+        val k = opt(args, "merges").map(_.toInt).getOrElse(32)
+        val joiner = opt(args, "joiner").getOrElse("\u2581")
+        val merges = graft.operators.BpeTrain.learnMerges(
+          docs, textCol, k, joiner)
+        import spark.implicits._
+        merges.zipWithIndex
+          .map { case (m, i) => (i, m.left, m.right, m.count) }
+          .toDF("rank", "left", "right", "count")
+          .coalesce(1).write.mode("overwrite").parquet(outDir)
+        println(s"[graft] corpus bpetrain: learned ${merges.size} merges " +
+          s"(top: ${merges.take(3).map(m => s"${m.left}+${m.right}").mkString(", ")})")
+      case "quantiles" =>
+        // bounded-memory per-group quantile report from the bottom-k
+        // hash sample (deterministic, mergeable)
+        val groupBy = opt(args, "group-by").getOrElse(idCol)
+        val valueCol = opt(args, "value-col").getOrElse("value")
+        val keyCol = opt(args, "key-col").getOrElse(idCol)
+        val k = opt(args, "k").map(_.toInt).getOrElse(1024)
+        val qs = opt(args, "q").map(_.split(",").toSeq.map(_.toDouble))
+          .getOrElse(Seq(0.5, 0.9, 0.99))
+        val out = graft.operators.Sketches.sampledQuantiles(
+          docs, Seq(groupBy), valueCol, keyCol, k, qs)
+        out.coalesce(1).write.mode("overwrite").parquet(outDir)
+        println(s"[graft] corpus quantiles: ${out.columns.mkString(",")} -> $outDir")
       case "classify" =>
         val threshold = opt(args, "threshold").map(_.toDouble).getOrElse(0.0)
         val seed = opt(args, "seed").getOrElse("w")

@@ -1046,6 +1046,44 @@ class PipelineSpec extends AnyFunSuite {
     Main.corpusRun(spark, "stats", Array("--in", s"$base/in"))
   }
 
+  test("corpus CLI: bpetrain / quantiles / linededup --cdc verbs") {
+    import spark.implicits._
+    val base = tmp()
+    val docs = Seq(
+      (1L, "a b c a b c a b", 1.0),
+      (2L, "a b x y a b", 2.0),
+      (3L, "z z z z", 3.0)).toDF("doc_id", "text", "value")
+    docs.write.parquet(s"$base/in")
+
+    Main.corpusRun(spark, "bpetrain",
+      Array("--in", s"$base/in", "--out", s"$base/merges",
+        "--merges", "2", "--joiner", "_"))
+    val merges = spark.read.parquet(s"$base/merges").orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // (a,b) dominates at 5; z z z z contributes (z,z)=3
+    assert(merges.head === ((0, "a", "b", 5L)))
+    assert(merges.length === 2)
+
+    Main.corpusRun(spark, "quantiles",
+      Array("--in", s"$base/in", "--out", s"$base/q",
+        "--group-by", "doc_id", "--value-col", "value", "--key-col", "doc_id",
+        "--k", "16", "--q", "0.5"))
+    val q = spark.read.parquet(s"$base/q")
+    assert(q.count() === 3)
+    assert(q.columns.toSet === Set("doc_id", "n_sample", "p50"))
+
+    // --cdc: repeated passage dedups across an offset shift
+    val passage = (1 to 60).map(i => s"p$i").mkString(" ")
+    Seq((1L, passage), (2L, "shift prefix " + passage))
+      .toDF("doc_id", "text").write.parquet(s"$base/cdcin")
+    Main.corpusRun(spark, "linededup",
+      Array("--in", s"$base/cdcin", "--out", s"$base/cdcout", "--cdc"))
+    val out = spark.read.parquet(s"$base/cdcout").orderBy("doc_id").collect()
+    assert(out.length === 2)
+    val (n2, k2) = (out(1).getAs[Long]("n_chunks"), out(1).getAs[Long]("n_kept"))
+    assert(k2 < n2, s"doc 2 should lose shared CDC chunks ($k2 of $n2 kept)")
+  }
+
   test("corpus CLI: semdedup / scrub / lmfilter verbs (D10)") {
     import spark.implicits._
     val base = tmp()
