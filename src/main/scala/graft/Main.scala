@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
   * graft status --base DIR
   * graft fork info --slot S [--network gnosis|mainnet]
   * graft fork list [--network gnosis|mainnet]
-  * graft corpus dedup    --in DIR --out DIR [--id-col c] [--text-col c] [--threshold 0.8]
+  * graft corpus dedup    --in DIR --out DIR [--against REFDIR] [--id-col c] [--text-col c] [--threshold 0.8]
   * graft corpus cap      --in DIR --out DIR --key-col c [--cap N] [--id-col c]
   * graft corpus sample   --in DIR --out DIR --pct P [--id-col c]
   * graft corpus upsample --in DIR --out DIR --key-col c --weights k=w,k=w [--default-weight 1.0] [--id-col c]
@@ -112,17 +112,36 @@ object Main {
       case "dedup" =>
         val threshold = opt(args, "threshold").map(_.toDouble).getOrElse(0.8)
         val out = outDir
+        // --against REF runs the CROSS-CORPUS sweep first ("is it already
+        // in the at-rest corpus?"): exact-hash anti-join, then the LSH
+        // near-dup verdicts against the reference's band buckets — only
+        // the survivors enter the within-corpus group dedup below
+        val fresh = opt(args, "against") match {
+          case Some(refDir) =>
+            val ref = spark.read.parquet(refDir)
+            val exactFresh = graft.operators.Dedup
+              .exactDedupAgainst(docs, ref, idCol, textCol)
+            val verdicts = graft.operators.Dedup
+              .nearDupAgainst(exactFresh, ref, idCol, textCol,
+                jaccardThreshold = threshold)
+            val novel = verdicts.filter(!col("is_dup")).select(col(idCol))
+            val kept = exactFresh.join(novel, Seq(idCol), "left_semi")
+            verdicts.unpersist(blocking = false)
+            kept
+          case None => docs
+        }
         val groups = graft.operators.Dedup
-          .nearDupGroups(docs, idCol, textCol, jaccardThreshold = threshold)
+          .nearDupGroups(fresh, idCol, textCol, jaccardThreshold = threshold)
           .persist()
         val keep = groups.filter(col("is_representative")).select(col(idCol))
-        docs.join(keep, Seq(idCol), "left_semi")
+        fresh.join(keep, Seq(idCol), "left_semi")
           .write.mode("overwrite").parquet(out)
         val total = docs.count()
         val kept = spark.read.parquet(out).count()
         groups.unpersist(blocking = false)
         println(s"[graft] corpus dedup: $total docs -> $kept kept " +
-          s"(${total - kept} near-dups dropped, threshold $threshold)")
+          s"(${total - kept} dropped as duplicates, threshold $threshold" +
+          opt(args, "against").map(r => s", swept against $r").getOrElse("") + ")")
       case "cap" =>
         val keyCol = opt(args, "key-col").getOrElse(sys.error("--key-col required"))
         val cap = opt(args, "cap").map(_.toInt).getOrElse(1000)

@@ -1084,6 +1084,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(k2 < n2, s"doc 2 should lose shared CDC chunks ($k2 of $n2 kept)")
   }
 
+  test("corpus CLI: dedup --against sweeps the reference corpus first") {
+    import spark.implicits._
+    val base = tmp()
+    val boiler = (1 to 40).map(i => s"b$i").mkString(" ")
+    val nearBoiler = boiler.replace(" b20 ", " b20x ")
+    Seq((100L, boiler), (101L, (1 to 40).map(i => s"r$i").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$base/ref")
+    Seq(
+      (1L, boiler),                                       // exact dup of ref
+      (2L, nearBoiler),                                   // near-dup of ref
+      (3L, (1 to 40).map(i => s"n$i").mkString(" ")),     // novel
+      (4L, (1 to 40).map(i => s"n$i").mkString(" ")))     // within-corpus dup of 3
+      .toDF("doc_id", "text").write.parquet(s"$base/in")
+    Main.corpusRun(spark, "dedup",
+      Array("--in", s"$base/in", "--out", s"$base/out",
+        "--against", s"$base/ref"))
+    val kept = spark.read.parquet(s"$base/out")
+      .select("doc_id").as[Long].collect().toSet
+    // 1 dropped by the exact sweep, 2 by the near-dup sweep, 4 by the
+    // within-corpus pass; only the novel representative survives
+    assert(kept === Set(3L), s"got $kept")
+  }
+
   test("corpus CLI: semdedup / scrub / lmfilter verbs (D10)") {
     import spark.implicits._
     val base = tmp()
