@@ -416,6 +416,48 @@ object Inventory {
     graft.beacon.BlockParser.blocks(graft.beacon.BlockParser.withParsed(raw), cfg)
   }
 
+  /** P19: the validators mega-payload parser end-to-end
+    * ([[graft.beacon.StateParsers.validators]], reference:
+    * src/parsers/validators.py:11-47): variable-length validator arrays
+    * synthesized from `events` closed forms — including the UInt64
+    * FAR_FUTURE sentinel epoch on every other entry, which must clamp
+    * to Long.MaxValue through `safe_long` — parsed by the PRODUCTION
+    * from_json + explode + withMeta path; the oracle recomputes every
+    * column (sentinel clamp included, as the literal 2⁶³−1) without
+    * parsing JSON. slot_timestamp is surfaced as a formatted string so
+    * the comparison is timezone-free (the c8 convention). */
+  val p19Validators: Q = (s, d) => {
+    val cfg = graft.beacon.ChainConfig.gnosis
+    val e = col("event_id")
+    val n = (pmod(e, lit(5)) + 1).cast("int")
+    def entry(j: org.apache.spark.sql.Column) = concat(
+      lit("""{"index":""""), (e * 10 + j).cast("string"),
+      lit("""","balance":""""), (e * 100 + j).cast("string"),
+      lit("""","status":""""),
+      when(pmod(j, lit(3)) === 0, "active_ongoing")
+        .when(pmod(j, lit(3)) === 1, "pending_queued")
+        .otherwise("exited_slashed"),
+      lit("""","validator":{"pubkey":"0xp"""), e.cast("string"),
+      lit("_"), j.cast("string"),
+      lit("""","withdrawal_credentials":"0xw"""), j.cast("string"),
+      lit("""","effective_balance":""""), (j * 16).cast("string"),
+      lit("""","slashed":"""), when(pmod(j, lit(2)) === 0, "true").otherwise("false"),
+      lit(""","activation_eligibility_epoch":""""), j.cast("string"),
+      lit("""","activation_epoch":""""), (j + 1).cast("string"),
+      lit("""","exit_epoch":""""),
+      when(pmod(j, lit(2)) === 0, lit("18446744073709551615"))
+        .otherwise((j + 2).cast("string")),
+      lit("""","withdrawable_epoch":""""), (j + 3).cast("string"),
+      lit(""""}}"""))
+    val payload = concat(lit("""{"data":["""),
+      array_join(transform(sequence(lit(1), n), entry(_)), ","), lit("]}"))
+    val raw = events(s, d).filter(e < 1500)
+      .select((e * 10).as("slot"), payload.as("payload"))
+    graft.beacon.StateParsers.validators(raw, cfg, insertVersion = 7L)
+      .withColumn("slot_timestamp",
+        date_format(col("slot_timestamp"), "yyyy-MM-dd HH:mm:ss"))
+  }
+
   /** P2-shape: posexplode + enumerate (attestation-list parsing shape). */
   val p2ExplodeEnumerate: Q = (s, d) =>
     documents(s, d)
@@ -1012,6 +1054,7 @@ object Inventory {
     "c14_json_probe" -> c14JsonProbe,
     "d1_chunk_plan" -> d1ChunkPlan,
     "p1_blocks" -> p1Blocks,
+    "p19_validators" -> p19Validators,
     "p2_explode_enumerate" -> p2ExplodeEnumerate,
     "p24_unpivot" -> p24Unpivot,
   )
@@ -1498,6 +1541,28 @@ object Inventory {
         |       event_id % 3 AS blob_kzg_commitments_count,
         |       event_id % 2 + event_id % 4 + event_id % 3 AS execution_requests_count
         |FROM events WHERE event_id < 3000""".stripMargin,
+    "p19_validators" ->
+      """WITH x AS (
+        |  SELECT event_id, unnest(range(1, event_id % 5 + 2)) AS j
+        |  FROM events WHERE event_id < 1500)
+        |SELECT event_id * 10 AS slot,
+        |       CAST(event_id * 10 + j AS INT) AS validator_index,
+        |       event_id * 100 + j AS balance,
+        |       CASE WHEN j % 3 = 0 THEN 'active_ongoing'
+        |            WHEN j % 3 = 1 THEN 'pending_queued'
+        |            ELSE 'exited_slashed' END AS status,
+        |       '0xp' || event_id || '_' || j AS pubkey,
+        |       '0xw' || j AS withdrawal_credentials,
+        |       j * 16 AS effective_balance,
+        |       CAST(CASE WHEN j % 2 = 0 THEN 1 ELSE 0 END AS INT) AS slashed,
+        |       j AS activation_eligibility_epoch,
+        |       j + 1 AS activation_epoch,
+        |       CASE WHEN j % 2 = 0 THEN 9223372036854775807 ELSE j + 2 END AS exit_epoch,
+        |       j + 3 AS withdrawable_epoch,
+        |       strftime(make_timestamp((1638993340 + event_id * 10 * 5) * 1000000),
+        |                '%Y-%m-%d %H:%M:%S') AS slot_timestamp,
+        |       CAST(7 AS BIGINT) AS insert_version
+        |FROM x""".stripMargin,
     "p2_explode_enumerate" ->
       """SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS word
         |FROM (SELECT doc_id, string_split(text, ' ') AS l
