@@ -888,6 +888,68 @@ object Inventory {
       .limit(20)
   }
 
+  /** J15: the TPC-H Q18 large-volume-customer shape — an agg-then-join
+    * plan where the HAVING-filtered aggregate (orders whose total
+    * quantity exceeds a high threshold) is the SMALL side: lineitem
+    * aggregates with map-side partials on the orderkey, the survivors
+    * broadcast into the orders scan, and the tiny joined result
+    * broadcasts again into customer, so neither orders nor customer
+    * ever shuffles. The classic "filtered subquery drives the join
+    * order" case Catalyst can't discover without the explicit
+    * broadcast hints at 100 TB (stats say lineitem-agg is huge;
+    * post-HAVING it isn't). */
+  val j15LargeOrders: Q = (s, d) => {
+    val big = lineitem(s, d).select("l_orderkey", "l_quantity")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 250)
+    val o = orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val withOrders = o.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+    customer(s, d).select("c_custkey", "c_name")
+      .join(broadcast(withOrders), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice"), col("total_qty"))
+  }
+
+  /** J16: the TPC-H Q2 min-per-group join-back shape — for every part,
+    * the supplier(s) offering the group MINIMUM price: aggregate
+    * lineitem to per-part minima, then join the corpus BACK to itself
+    * on (partkey, price == min). Both the aggregate and the join-back
+    * hash-partition on the same l_partkey, so AQE reuses one exchange
+    * for both sides instead of shuffling twice; ties (two suppliers at
+    * the same minimum) surface as multiple rows, exactly as the
+    * correlated-subquery formulation would. supplier is a broadcast
+    * dim. The double equality is exact: both sides carry the same
+    * untouched parquet value. */
+  val j16CheapestSupplier: Q = (s, d) => {
+    val l = lineitem(s, d).select("l_partkey", "l_suppkey", "l_extendedprice")
+    val minP = l.groupBy("l_partkey")
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    l.join(minP, Seq("l_partkey"))
+      .filter(col("l_extendedprice") === col("min_price"))
+      .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("l_partkey", "l_suppkey", "s_name", "min_price")
+  }
+
+  /** J17: the TPC-H Q4 EXISTS shape — order-priority counts over orders
+    * that have at least one returned line: a LEFT SEMI join (Spark's
+    * native EXISTS plan — emits each left row at most once, no
+    * fan-out, right side reduced to its join key before the exchange)
+    * followed by a 5-group rollup. At 100 TB both sides shuffle once on
+    * the orderkey and the semi join's early-out makes it strictly
+    * cheaper than inner-join + distinct. */
+  val j17PrioritySemi: Q = (s, d) => {
+    val ret = lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select("l_orderkey")
+    orders(s, d).select("o_orderkey", "o_orderpriority")
+      .join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
   /** J11: static-interval range lookup as a ZERO-JOIN scan-side
     * expression ([[graft.functions.RangeBucket]]) — the broadcast-dim
     * archetype (IP→geo, value→tier, slot→fork) where the dim table is a
@@ -1042,6 +1104,9 @@ object Inventory {
     "a16_retention_cohorts" -> a16RetentionCohorts,
     "g1_pagerank" -> g1Pagerank,
     "j14_returned_items" -> j14ReturnedItems,
+    "j15_large_orders" -> j15LargeOrders,
+    "j16_cheapest_supplier" -> j16CheapestSupplier,
+    "j17_priority_semi" -> j17PrioritySemi,
     "g2_personalized_pagerank" -> g2PersonalizedPagerank,
     "g3_converged_pagerank" -> g3ConvergedPagerank,
     "c1_safe_long_hex" -> c1SafeLongHex,
@@ -1390,6 +1455,30 @@ object Inventory {
         |  AND c_nationkey = n_nationkey
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "j15_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       o_totalprice, total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "j16_cheapest_supplier" ->
+      """WITH m AS (
+        |  SELECT l_partkey AS mk, min(l_extendedprice) AS min_price
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, l_suppkey, s_name, min_price
+        |FROM lineitem
+        |JOIN m ON l_partkey = mk AND l_extendedprice = min_price
+        |JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+    "j17_priority_semi" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     WHERE l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
     "a15_funnel_conversion" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
         |            WHERE event_type = 'signup' GROUP BY user_id),

@@ -510,6 +510,38 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("j15_large_orders: HAVING-filtered agg broadcasts — orders and customer never shuffle as join inputs") {
+    val p = planOf("j15_large_orders")
+    // both joins ride the small post-HAVING side: no sort-merge/shuffled
+    // hash join may appear (that would shuffle the 100 TB orders/customer
+    // scans); the lineitem agg is the only shuffle in the plan
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("j16_cheapest_supplier: argmin join-back is an equi join, supplier broadcasts") {
+    val p = planOf("j16_cheapest_supplier")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000)) // supplier dim
+    // the join-back keys both sides on l_partkey (equi join, partial aggs)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("j17_priority_semi: EXISTS is a LEFT SEMI hash join, right side pruned to the key") {
+    val p = planOf("j17_priority_semi")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    // returned-lines side is pruned to l_orderkey (+ the pushed filter col)
+    // before its exchange: the scan must not read prices/quantities
+    assert(!p.contains("l_extendedprice"), p.take(3000))
+  }
+
   test("t33_dsir_weights: ratio table broadcasts; no nested-loop anywhere") {
     val p = planOf("t33_dsir_weights")
     // the B-row ratio table is the ONLY join input that may move: it
