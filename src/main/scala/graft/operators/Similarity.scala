@@ -266,6 +266,30 @@ object Similarity {
         .limit(k)
   }
 
+  /** Matryoshka (MRL, Kusupati et al. 2022) two-stage retrieval: coarse
+    * top-`coarseK` by cosine over only the FIRST `prefixDims` dimensions
+    * (MRL-trained embeddings front-load information, so the prefix is a
+    * usable low-dim embedding), then exact full-dim rerank of the
+    * bounded candidate set down to top-k. The scale story mirrors
+    * [[sq8TopK]]'s: at 100 TB the prefix would be materialized as its
+    * own parquet column so the coarse scan reads `prefixDims/dim` of the
+    * bytes (16/64 here = 4×); the full vectors are touched only for the
+    * `coarseK` survivors. Both stages are scan + codegen'd cosine +
+    * TakeOrderedAndProject — no shuffle, no index to build, which is
+    * the operational advantage over IVF when the corpus churns. */
+  def matryoshkaTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, prefixDims: Int, coarseK: Int): DataFrame =
+    corpus
+      .select(col(idCol), col(vecCol).as("__v"),
+        vec_cosine(slice(col(vecCol), 1, prefixDims),
+          typedlit(query.take(prefixDims))).as("coarse"))
+      .orderBy(col("coarse").desc, col(idCol).asc)
+      .limit(coarseK)
+      .select(col(idCol), vec_cosine(col("__v"), typedlit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+
   /** Maximal-marginal-relevance diverse top-k — the data-SELECTION shape
     * (Carbonell & Goldstein 1998; used for retrieval-context and
     * training-subset diversity): greedily pick the candidate maximizing

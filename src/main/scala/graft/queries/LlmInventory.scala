@@ -438,6 +438,27 @@ object LlmInventory {
       .select(col("q_id"), col("vec_id"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** s16: Matryoshka two-stage retrieval ([[Similarity.matryoshkaTopK]])
+    * — coarse top-50 on the first 16 of 64 dims, exact full-dim rerank
+    * to top-10. Rank-only output like s1 (robust to last-ulp float
+    * noise); ranks assigned driver-side over the already-reduced 10-row
+    * result. The oracle replays both stages: the same prefix slice
+    * (`embedding[1:16]`), the same coarse cut at 50 with id tie-break,
+    * the same full-dim rerank. */
+  val s16MatryoshkaTopK: Q = (s, d) => {
+    val em = embeddings(s, d)
+    val query = em.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val top = Similarity.matryoshkaTopK(
+      em.filter(col("vec_id") =!= 0), "vec_id", "embedding", query,
+      k = 10, prefixDims = 16, coarseK = 50)
+      .select("vec_id").collect()
+    import s.implicits._
+    top.toSeq.zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r.getLong(0)) }
+      .toDF("rnk", "vec_id")
+  }
+
   /** s9: per-label embedding centroids in long form
     * ([[Similarity.groupCentroidsByDim]]) — the class-prototype builder.
     * Components quantize to 2^-20 fixed point before the sum (exact Long,
@@ -1201,6 +1222,7 @@ object LlmInventory {
     "s4_ivf_topk" -> s4IvfTopK,
     "s5_topk_join" -> s5TopKJoin,
     "s15_hard_negatives" -> s15HardNegatives,
+    "s16_matryoshka_topk" -> s16MatryoshkaTopK,
     "s6_sq8_topk" -> s6Sq8TopK,
     "s8_pq_topk" -> s8PqTopK,
     "s9_label_centroids" -> s9LabelCentroids,
@@ -1996,6 +2018,21 @@ object LlmInventory {
         |           ORDER BY list_cosine_similarity(embedding,
         |             (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id) AS rnk
         |  FROM embeddings WHERE vec_id <> 0) t
+        |WHERE rnk <= 10""".stripMargin,
+    "s16_matryoshka_topk" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT vec_id, embedding
+        |  FROM embeddings WHERE vec_id <> 0
+        |  ORDER BY list_cosine_similarity(embedding[1:16],
+        |            (SELECT embedding[1:16] FROM q)) DESC, vec_id
+        |  LIMIT 50)
+        |SELECT rnk, vec_id FROM (
+        |  SELECT vec_id,
+        |         ROW_NUMBER() OVER (
+        |           ORDER BY list_cosine_similarity(embedding,
+        |             (SELECT embedding FROM q)) DESC, vec_id) AS rnk
+        |  FROM cand) t
         |WHERE rnk <= 10""".stripMargin,
     // MMR greedy replayed as a recursive CTE: same 32-candidate pool
     // (rel DESC, id), same literal weights 0.7/0.3, same id tie-break;

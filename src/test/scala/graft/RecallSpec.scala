@@ -59,6 +59,36 @@ class RecallSpec extends AnyFunSuite {
     assert(multi >= 0.395, s"multi-probe recall regressed: $multi < 0.40")
   }
 
+  test("matryoshka two-stage (s16 shape): pinned recall@10 floor; full prefix = brute force") {
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = em.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val per = queries.map { case (qid, query) =>
+      val corpus = em.filter(col("vec_id") =!= qid)
+      val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", query, 10)
+        .collect().map(_.getLong(0)).toSet
+      val got = Similarity.matryoshkaTopK(corpus, "vec_id", "embedding", query,
+        k = 10, prefixDims = 16, coarseK = 50)
+        .collect().map(_.getLong(0)).toSet
+      // prefixDims = dim degenerates to brute force exactly: the coarse
+      // stage ranks by the full cosine, so the top-10 survive any cut ≥ k
+      val full = Similarity.matryoshkaTopK(corpus, "vec_id", "embedding", query,
+        k = 10, prefixDims = query.length, coarseK = 50)
+        .collect().map(_.getLong(0)).toSet
+      assert(full == brute, s"q=$qid full-prefix != brute")
+      got.intersect(brute).size / 10.0
+    }
+    val recall = per.sum / per.length
+    info(s"matryoshkaTopK(16/64, coarse 50) mean recall@10 over 10 queries: $recall")
+    // pinned floor: measured 0.50 at gate creation — random test vectors
+    // spread information evenly so a 16/64 prefix keeps only a quarter of
+    // the cosine signal; MRL-TRAINED embeddings front-load and score far
+    // higher. The gate guards the kernel, not the embedding quality (the
+    // exact-equality full-prefix check above is the correctness half).
+    assert(recall >= 0.495, s"matryoshka recall regressed: $recall")
+  }
+
   test("md5 ±1 plane family (declared s2/d7): pinned recall floors + determinism") {
     val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // the family is a pure function of (seed, plane, dim) — regenerate twice
