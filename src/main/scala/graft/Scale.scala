@@ -943,6 +943,17 @@ object Scale {
         q, 11, centroids, codebooks32, nProbe = nProbe, overfetch = 64,
         codeCol = "pq_code_m32")
         .collect().map(_.getLong(0)))
+    // matryoshka two-stage: no index at all — coarse cosine over the
+    // first 16 of 64 dims (4× fewer flops; with the prefix materialized
+    // as its own column, 4× fewer bytes too), exact rerank of the
+    // bounded candidate set. coarseK is the quality knob and scales
+    // with corpus size (1024 at 1M = rerank touches 0.1% of the
+    // corpus); these synthetic vectors spread information evenly across
+    // dims — the WORST case for a prefix cut — so the recall here is a
+    // conservative floor, not what MRL-trained embeddings would score
+    val (mrlAvg, mrlRecall) = run((q, _) =>
+      Similarity.matryoshkaTopK(vecs, "vec_id", "embedding",
+        q, k = 11, prefixDims = 16, coarseK = 1024).collect().map(_.getLong(0)))
     // batched serving: ALL queries in ONE two-scan job over the union of
     // probed lists — the shape that amortizes fixed per-job cost
     val bruteTop: Map[Long, Set[Long]] = queries.map { case (qid, q) =>
@@ -994,6 +1005,7 @@ object Scale {
          || IVF-SQ8 probe avg / query (recall@10) | ${f"$sq8Avg%.3f"} s (${f"$sq8Recall%.2f"}) |
          || IVF-PQ m=16 probe avg / query (recall@10) | ${f"$pqAvg%.3f"} s (${f"$pqRecall%.2f"}) — 16 B/vector |
          || IVF-PQ m=32 probe avg / query (recall@10) | ${f"$pq32Avg%.3f"} s (${f"$pq32Recall%.2f"}) — 32 B/vector |
+         || Matryoshka 16/64-dim two-stage, NO index, coarse 1024 (recall@10) | ${f"$mrlAvg%.3f"} s (${f"$mrlRecall%.2f"} — even-information vecs, the prefix cut's worst case) |
          || BATCHED IVF-SQ8 (${queries.length} queries, one job) | ${f"$batchAvg%.3f"} s/query amortized (recall ${f"$batchRecall%.2f"}) |
          || BATCHED IVF-SQ8 (${queries100.length} queries, one job) | ${f"$batch100Avg%.3f"} s/query amortized |
          || probe speedup vs brute | SQ8 ${f"${bruteAvg / sq8Avg}%.1f"}×, PQ ${f"${bruteAvg / pqAvg}%.1f"}×, batched ${f"${bruteAvg / batchAvg}%.1f"}× |
@@ -1016,7 +1028,7 @@ object Scale {
          |  on wall clock, not just bytes
          |""".stripMargin
     spliceSection(outMd, annHeader, section)
-    println(s"""{"metric":"scale_ann","value":$indexSec,"unit":"sec","n_vecs":$nVecs,"index_vecs_per_s":${nVecs / indexSec},"brute_avg_s":$bruteAvg,"sq8_avg_s":$sq8Avg,"sq8_recall":$sq8Recall,"pq_avg_s":$pqAvg,"pq_recall":$pqRecall,"pq32_avg_s":$pq32Avg,"pq32_recall":$pq32Recall,"batch_avg_s":$batchAvg,"batch_recall":$batchRecall,"batch100_avg_s":$batch100Avg,"heap_peak_mb":$heapMb}""")
+    println(s"""{"metric":"scale_ann","value":$indexSec,"unit":"sec","n_vecs":$nVecs,"index_vecs_per_s":${nVecs / indexSec},"brute_avg_s":$bruteAvg,"sq8_avg_s":$sq8Avg,"sq8_recall":$sq8Recall,"pq_avg_s":$pqAvg,"pq_recall":$pqRecall,"pq32_avg_s":$pq32Avg,"pq32_recall":$pq32Recall,"mrl_avg_s":$mrlAvg,"mrl_recall":$mrlRecall,"batch_avg_s":$batchAvg,"batch_recall":$batchRecall,"batch100_avg_s":$batch100Avg,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 

@@ -352,6 +352,82 @@ object StreamingJobs {
       .agg(min(when(col("dupOf") >= 0, col("dupOf"))).as("dup_of"))
       .withColumn("is_dup", col("dup_of").isNotNull)
 
+  final case class HhRow(shard: Int, key: String)
+  final case class HhState(keys: Array[String], counts: Array[Long])
+  final case class HhUpdate(shard: Int, key: String, countLb: Long)
+
+  /** Streaming heavy hitters — the Misra-Gries summary
+    * ([[graft.operators.Sketches.MisraGries]], same trim rule) as KEYED
+    * STREAMING STATE, completing the sketch family's streaming arm the
+    * way streamingMinhashDedup completes batch near-dup's.
+    *
+    * Sharding: state is keyed on `xxhash64(key) % shards`, so every
+    * distinct key lives in EXACTLY ONE shard and the union of shard
+    * summaries is itself a valid MG summary: held counts are lower
+    * bounds with per-shard error ≤ n_shard/(capacity+1), and a shard
+    * whose distinct-key set fits `capacity` is EXACT — the same
+    * guarantee ladder as the batch aggregate. Total state is hard-capped
+    * at `shards · capacity` (key, count) pairs regardless of stream
+    * length or key cardinality; more shards = more parallelism AND
+    * tighter per-shard error, the knob a 100 TB stream turns.
+    *
+    * Each micro-batch emits the shard's FULL post-batch summary
+    * (`OutputMode.Update`; ≤ capacity rows per touched shard), so the
+    * latest emission per shard IS the sketch — sink it to a keyed store
+    * and the merged top-k is one tiny scan away. */
+  def streamingHeavyHitters(
+      events: DataFrame, keyCol: String,
+      capacity: Int = 64, shards: Int = 16): Dataset[HhUpdate] = {
+    require(capacity >= 1 && shards >= 1)
+    import events.sparkSession.implicits._
+    events
+      .select(pmod(xxhash64(col(keyCol)), lit(shards)).cast("int").as("shard"),
+        col(keyCol).cast("string").as("key"))
+      .as[HhRow]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (shard: Int, rows: Iterator[HhRow], state: GroupState[HhState]) => {
+          val m = new java.util.HashMap[String, java.lang.Long]()
+          state.getOption.foreach { st =>
+            var i = 0
+            while (i < st.keys.length) { m.put(st.keys(i), st.counts(i)); i += 1 }
+          }
+          // the batch aggregate's trim: subtract the (capacity+1)-th
+          // largest count from every entry, drop the non-positive
+          def trim(): Unit = if (m.size() > capacity) {
+            val counts = new Array[Long](m.size())
+            val it0 = m.values().iterator()
+            var i = 0
+            while (it0.hasNext) { counts(i) = it0.next(); i += 1 }
+            java.util.Arrays.sort(counts)
+            val dec = counts(m.size() - capacity - 1)
+            val it = m.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              val c = e.getValue - dec
+              if (c <= 0) it.remove() else e.setValue(c)
+            }
+          }
+          rows.foreach { r =>
+            val cur = m.get(r.key)
+            if (cur != null) m.put(r.key, cur + 1L)
+            else { m.put(r.key, 1L); trim() }
+          }
+          val keys = new Array[String](m.size())
+          val counts = new Array[Long](m.size())
+          val it = m.entrySet().iterator()
+          var i = 0
+          while (it.hasNext) {
+            val e = it.next(); keys(i) = e.getKey; counts(i) = e.getValue; i += 1
+          }
+          state.update(HhState(keys, counts))
+          // full post-batch summary, deterministic order
+          keys.zip(counts).sortBy { case (k, c) => (-c, k) }
+            .iterator.map { case (k, c) => HhUpdate(shard, k, c) }
+        })
+  }
+
   final case class SessionInput(userId: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(n: Long, total: Double, lastTs: Long)
   final case class SessionOutput(userId: Long, n: Long, total: Double, closed: Boolean)

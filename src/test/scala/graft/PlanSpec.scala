@@ -542,6 +542,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_extendedprice"), p.take(3000))
   }
 
+  test("s16_matryoshka_topk: two TakeOrdered stages, no join, no shuffle exchange") {
+    // both retrieval stages are scan + codegen cosine + TakeOrdered: the
+    // coarse prefix cut and the exact rerank. A Join or a shuffle
+    // Exchange here would mean the two-stage rewrite regressed to a
+    // planned-as-distributed rerank of an already-bounded candidate set.
+    val em = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = em.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val p = graft.operators.Similarity
+      .matryoshkaTopK(em.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        q, k = 10, prefixDims = 16, coarseK = 50)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("ShuffleExchange"), p.take(2000))
+  }
+
   test("t33_dsir_weights: ratio table broadcasts; no nested-loop anywhere") {
     val p = planOf("t33_dsir_weights")
     // the B-row ratio table is the ONLY join input that may move: it

@@ -99,6 +99,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingHeavyHitters: exact in the under-capacity regime; MG bounds under trim") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = StreamingJobs.streamingHeavyHitters(
+      mem.toDF().toDF("k"), "k", capacity = 4, shards = 2)
+    val q = out.writeStream.format("memory").queryName("hh")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // phase 1: few distinct keys — every shard under capacity → EXACT
+      mem.addData("a", "a", "b", "a", "c")
+      q.processAllAvailable()
+      mem.addData("b", "a", "c", "c")
+      q.processAllAvailable()
+      // no trim in this phase → counts only grow, so max = the latest
+      // emission per key (robust to the memory sink's row order)
+      val snap = spark.table("hh")
+        .groupBy("shard", "key").agg(org.apache.spark.sql.functions.max("countLb").as("c"))
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(snap === Map("a" -> 4L, "b" -> 2L, "c" -> 3L))
+
+      // phase 2: flood one shard past capacity with singletons plus a
+      // heavy key — MG guarantees: counts are lower bounds, error per
+      // shard ≤ n_shard/(capacity+1), the true heavy hitter survives
+      val heavy = Seq.fill(40)("a")
+      val noise = (0 until 20).map(i => s"n$i")
+      mem.addData(heavy ++ noise: _*)
+      q.processAllAvailable()
+      // 'a' only ever gains mass faster than any trim decrement here, so
+      // its max emission is its final count
+      val snap2 = spark.table("hh")
+        .groupBy("shard", "key").agg(org.apache.spark.sql.functions.max("countLb").as("c"))
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      val trueA = 44L // 4 from phase 1 + 40
+      assert(snap2.contains("a"), s"heavy hitter evicted: $snap2")
+      assert(snap2("a") <= trueA, "MG counts must be lower bounds")
+      // total stream length bounds the error for ANY shard split
+      val n = 9L + 60L
+      assert(snap2("a") >= trueA - n / 5, s"error bound violated: ${snap2("a")}")
+    } finally q.stop()
+  }
+
   test("streamingSimhashDedup: near-dups flagged across batches, uniques admitted") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
