@@ -30,7 +30,7 @@ import org.apache.spark.sql.SparkSession
   * graft corpus classify --in DIR --out DIR [--threshold 0.0] [--seed w] [--text-col c]
   * graft corpus curate   --in DIR --out DIR [--classify-threshold T] [--dsir-target DIR [--dsir-keep 0.5]] [--chunk-tokens 10] [--dedup-threshold 0.8] [--ref-bench DIR] [--budget N] [--shards K]
   * graft corpus annindex --in DIR --out DIR [--append] [--id-col c] [--vec-col c] [--lists 64] [--pq-m 16] [--pq-ksub 16] [--seed 42]
-  * graft corpus annquery --in INDEXDIR {--query-id N | --query-ids N,N,...} [--index DIR] [--id-col c] [--vec-col c] [--k 10] [--nprobe 8] [--path pq|sq8] [--overfetch 16] [--diverse [--pool 4k] [--lambda 0.7] [--mu 0.3]]
+  * graft corpus annquery --in INDEXDIR {--query-id N | --query-ids N,N,...} [--index DIR] [--id-col c] [--vec-col c] [--k 10] [--nprobe 8] [--path pq|sq8|mrl] [--overfetch 16] [--prefix-dims 16] [--coarse 256] [--diverse [--pool 4k] [--lambda 0.7] [--mu 0.3]]
   * graft corpus pack     --in DIR --out DIR [--window-tokens 2048] [--id-col c] [--text-col c]
   * graft corpus chunk    --in DIR --out DIR [--chunk-tokens 256] [--stride 192] [--id-col c] [--text-col c]
   * graft corpus stats    --in DIR [--id-col c] [--text-col c]
@@ -244,16 +244,20 @@ object Main {
         val nProbe = opt(args, "nprobe").map(_.toInt).getOrElse(8)
         val path = opt(args, "path").getOrElse("pq") // pq | sq8
         val overfetch = opt(args, "overfetch").map(_.toInt).getOrElse(16)
-        val cents = java.nio.file.Files
+        // trained artifacts load lazily: --path mrl needs neither
+        lazy val cents = java.nio.file.Files
           .readString(java.nio.file.Paths.get(index, "_ann_centroids.tsv"))
           .split("\n").map(_.split(",").map(_.toFloat))
-        val cbLines = java.nio.file.Files
-          .readString(java.nio.file.Paths.get(index, "_ann_codebooks.tsv"))
-          .split("\n")
-        val Array(m, ksub) = cbLines.head.split(" ").map(_.toInt)
-        val codebooks = cbLines.tail.map(_.split(",").map(_.toFloat))
-          .grouped(ksub).map(_.toArray).toArray
-        require(codebooks.length == m, s"codebook file shape mismatch: ${codebooks.length} != $m")
+        lazy val codebooks = {
+          val cbLines = java.nio.file.Files
+            .readString(java.nio.file.Paths.get(index, "_ann_codebooks.tsv"))
+            .split("\n")
+          val Array(m, ksub) = cbLines.head.split(" ").map(_.toInt)
+          val cbs = cbLines.tail.map(_.split(",").map(_.toFloat))
+            .grouped(ksub).map(_.toArray).toArray
+          require(cbs.length == m, s"codebook file shape mismatch: ${cbs.length} != $m")
+          cbs
+        }
         opt(args, "query-ids") match {
           case Some(idsCsv) =>
             // batched serving: ALL queries share one two-scan job over the
@@ -285,6 +289,15 @@ object Main {
             val top = path match {
               case "sq8" => graft.operators.Similarity.ivfSq8TopKIndexed(
                 spark, index, idCol, vecCol, query, poolSize + 1, cents, nProbe)
+              // index-free matryoshka two-stage: coarse prefix-dim cut +
+              // exact full-dim rerank, straight over the corpus parquet
+              case "mrl" =>
+                val prefix = opt(args, "prefix-dims").map(_.toInt).getOrElse(16)
+                val coarse = opt(args, "coarse").map(_.toInt)
+                  .getOrElse(math.max(256, poolSize * 16))
+                graft.operators.Similarity.matryoshkaTopK(
+                  spark.read.parquet(index), idCol, vecCol, query,
+                  poolSize + 1, prefix, coarse)
               case _ => graft.operators.Similarity.ivfPqTopKIndexed(
                 spark, index, idCol, vecCol, query, poolSize + 1, cents, codebooks,
                 nProbe, overfetch = overfetch)
