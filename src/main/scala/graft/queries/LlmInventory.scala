@@ -1127,6 +1127,20 @@ object LlmInventory {
       .orderBy(col("n").desc, col("left"), col("right"))
       .limit(20)
 
+  /** t37: edit-distance-1 fuzzy self-join ([[graft.operators.FuzzyJoin]])
+    * — deletion-neighborhood signatures turn the O(n²) levenshtein cross
+    * join into one signature equi-join + exact verify on candidates.
+    * Vocab synthesized from events closed forms ('w' + id%500 — dense in
+    * insertion AND substitution ED-1 pairs); the oracle is the brute
+    * quadratic the rewrite replaces, so completeness itself is what the
+    * hash check proves. */
+  val t37FuzzyPairs: Q = (s, d) =>
+    graft.operators.FuzzyJoin.editDistance1Pairs(
+      events(s, d)
+        .select(concat(lit("w"), (col("event_id") % 500).cast("string")).as("w"))
+        .distinct(),
+      "w")
+
   /** t21: hashed-linear quality classifier (fastText shape,
     * [[Classifier.scored]]) — per-token md5-derived weights, mean-pooled
     * into a linear score, thresholded. Exact integer hash sum + one IEEE
@@ -1266,6 +1280,7 @@ object LlmInventory {
     "d11_chunk_dedup" -> d11ChunkDedup,
     "t35_cdc_dedup" -> t35CdcDedup,
     "t36_bpe_pairs" -> t36BpePairs,
+    "t37_fuzzy_pairs" -> t37FuzzyPairs,
     "a18_sampled_quantiles" -> a18SampledQuantiles,
     "t21_classifier_score" -> t21ClassifierScore,
     "t22_tfidf_topterms" -> t22TfidfTopTerms,
@@ -2724,6 +2739,15 @@ object LlmInventory {
         |SELECT pr.lft AS "left", pr.rgt AS "right", count(*) AS n
         |FROM p GROUP BY 1, 2
         |ORDER BY n DESC, 1, 2 LIMIT 20""".stripMargin,
+    "t37_fuzzy_pairs" ->
+      // the brute-force quadratic the deletion-neighborhood rewrite
+      // replaces — hash equality proves the rewrite COMPLETE, not just
+      // sound
+      """WITH v AS (
+        |  SELECT DISTINCT 'w' || CAST(event_id % 500 AS VARCHAR) AS w
+        |  FROM events)
+        |SELECT a.w AS w1, b.w AS w2
+        |FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1""".stripMargin,
     "t35_cdc_dedup" ->
       """WITH tok AS (
         |  SELECT doc_id, pos, w FROM (

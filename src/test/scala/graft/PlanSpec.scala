@@ -542,6 +542,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_extendedprice"), p.take(3000))
   }
 
+  test("t37_fuzzy_pairs: deletion-neighborhood rewrite — equi join, never a levenshtein nested loop") {
+    val p = planOf("t37_fuzzy_pairs")
+    // the naive formulation (cross join + levenshtein predicate) plans as
+    // a BroadcastNestedLoopJoin; the rewrite must be a signature equi join
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("s16_matryoshka_topk: two TakeOrdered stages, no join, no shuffle exchange") {
     // both retrieval stages are scan + codegen cosine + TakeOrdered: the
     // coarse prefix cut and the exact rerank. A Join or a shuffle
