@@ -39,7 +39,10 @@ object FuzzyJoin {
     // "ab" once), so a pair is found at most once per shared signature
     val dels = transform(sequence(lit(1), length(w)),
       i => concat(w.substr(lit(1), i - 1), w.substr(i + 1, length(w) - i)))
-    val sigs = words
+    // empty strings are excluded: Spark's sequence(1, 0) runs BACKWARDS
+    // ([1, 0]) rather than empty, and an empty word's only ED-1 partners
+    // are single characters — callers wanting those can special-case
+    val sigs = words.filter(length(w) > 0)
       .select(w.as("__w"), explode(array_union(array(w), dels)).as("__sig"))
     sigs.as("a")
       .join(sigs.as("b"), col("a.__sig") === col("b.__sig"))

@@ -185,6 +185,32 @@ class ExtensionsSpec extends AnyFunSuite {
     dir
   }
 
+  test("editDistance1Pairs: complete + sound vs brute force on seeded random vocabs") {
+    import spark.implicits._
+    // small alphabet + short words maximize ED-1 collisions AND the
+    // false-positive shared-signature cases the verify must reject
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq.fill(80)(
+        (1 to (1 + rnd.nextInt(4))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+        .distinct
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val expect = (for {
+        a <- vocab; b <- vocab if a < b && lev(a, b) <= 1
+      } yield (a, b)).toSet
+      val got = graft.operators.FuzzyJoin
+        .editDistance1Pairs(vocab.toDF("w"), "w")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got === expect, s"seed=$seed vocab=${vocab.size}")
+    }
+  }
+
   test("saltedJoin equals plain join on a hot key") {
     val skewed = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i)).toDF("k", "v")
     val dim = Seq((1L, "hot"), (2L, "b"), (3L, "c")).toDF("k", "name")
