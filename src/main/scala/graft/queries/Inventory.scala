@@ -950,6 +950,30 @@ object Inventory {
       .agg(count(lit(1)).as("n_orders"))
   }
 
+  /** J18: snapshot reconciliation as a FULL OUTER join — the
+    * migration-audit shape (j2/j6's integrity anti-join generalized to a
+    * symmetric three-way verdict): rows only in the source, rows only in
+    * the destination, and key-matched rows whose values drifted, rolled
+    * up per class. The drifted snapshot is derived from orders by closed
+    * forms (every 97th key dropped, every 13th price perturbed) so the
+    * oracle rebuilds both sides exactly. One shuffle per side on the
+    * key; the verdict is a scan-side CASE over the join's null pattern;
+    * the rollup is 3 rows. At 100 TB both snapshots bucket-partition on
+    * the key and the join co-locates. */
+  val j18ReconcileDiff: Q = (s, d) => {
+    val o = orders(s, d).select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+    val right = o.filter(pmod(col("k"), lit(97)) =!= 0)
+      .withColumn("v",
+        when(pmod(col("k"), lit(13)) === 0, col("v") + 1.0).otherwise(col("v")))
+    o.as("l").join(right.as("r"), col("l.k") === col("r.k"), "full_outer")
+      .select(
+        when(col("l.k").isNull, "missing_left")
+          .when(col("r.k").isNull, "missing_right")
+          .when(col("l.v") === col("r.v"), "match")
+          .otherwise("value_mismatch").as("class"))
+      .groupBy("class").agg(count(lit(1)).as("n"))
+  }
+
   /** J11: static-interval range lookup as a ZERO-JOIN scan-side
     * expression ([[graft.functions.RangeBucket]]) — the broadcast-dim
     * archetype (IP→geo, value→tier, slot→fork) where the dim table is a
@@ -1107,6 +1131,7 @@ object Inventory {
     "j15_large_orders" -> j15LargeOrders,
     "j16_cheapest_supplier" -> j16CheapestSupplier,
     "j17_priority_semi" -> j17PrioritySemi,
+    "j18_reconcile_diff" -> j18ReconcileDiff,
     "g2_personalized_pagerank" -> g2PersonalizedPagerank,
     "g3_converged_pagerank" -> g3ConvergedPagerank,
     "c1_safe_long_hex" -> c1SafeLongHex,
@@ -1478,6 +1503,19 @@ object Inventory {
         |FROM orders
         |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
         |                     WHERE l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+    "j18_reconcile_diff" ->
+      """WITH l AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+        |r AS (SELECT o_orderkey AS k,
+        |             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+        |                  ELSE o_totalprice END AS v
+        |      FROM orders WHERE o_orderkey % 97 <> 0)
+        |SELECT CASE WHEN l.k IS NULL THEN 'missing_left'
+        |            WHEN r.k IS NULL THEN 'missing_right'
+        |            WHEN l.v = r.v THEN 'match'
+        |            ELSE 'value_mismatch' END AS class,
+        |       count(*) AS n
+        |FROM l FULL OUTER JOIN r ON l.k = r.k
         |GROUP BY 1""".stripMargin,
     "a15_funnel_conversion" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
