@@ -974,6 +974,98 @@ object Inventory {
       .groupBy("class").agg(count(lit(1)).as("n"))
   }
 
+  /** J19: the TPC-H Q21 waiting-orders shape — the hardest classic join
+    * nest: a semi join AND an anti join against the SAME fact table with
+    * a non-equi residual (`other supplier in the same order`). "Late" is
+    * shipped >60 days after the order date (this schema has no
+    * commit/receipt dates); a supplier is blamed when its line is late,
+    * the order is finalized and multi-supplier, and NO OTHER supplier's
+    * line in that order is late. All three passes over lineitem hash on
+    * l_orderkey, so at 100 TB the semi + anti stack onto the same
+    * exchange as the orders join (one fact shuffle, reused three times);
+    * the non-equi suppkey inequality rides as a join residual, never a
+    * nested loop. supplier is a broadcast dim; the count rollup is tiny. */
+  val j19SoleLateSupplier: Q = (s, d) => {
+    val l = lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+    val fOrders = orders(s, d).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val late = l.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val other = l.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val lateOther = late.select(col("ok").as("ok3"), col("sk").as("sk3"))
+    val blamed = late
+      .join(other,
+        col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+      .join(lateOther,
+        col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+    blamed
+      .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+        col("sk") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(20)
+  }
+
+  /** J20: the TPC-H Q20 excess-stock shape — a semi join driven by a
+    * DERIVED aggregate threshold: suppliers shipping more than 2× their
+    * fair share of a large part's volume (share > 2·total/n_suppliers —
+    * scale-invariant, unlike Q20's literal 50% which no supplier reaches
+    * once a part has 30+ suppliers). The per-(part,supplier) aggregate
+    * and the per-part total stack on the same l_partkey exchange
+    * (map-side partials both times); quantities sum through
+    * DECIMAL(18,2) so the threshold compare is order-independent; part
+    * is a broadcast dim filter and the qualifying set is tiny before it
+    * ever touches supplier. */
+  val j20ExcessShare: Q = (s, d) => {
+    val ps = lineitem(s, d).select("l_partkey", "l_suppkey", "l_quantity")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sq"))
+    val tot = ps.groupBy("l_partkey")
+      .agg(sum(col("sq")).as("tq"), count(lit(1)).as("ns"))
+    val qual = ps.join(tot, Seq("l_partkey"))
+      .join(broadcast(part(s, d).filter(col("p_size") > 40).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("sq").cast("double") >
+        lit(2.0) * (col("tq").cast("double") / col("ns")))
+    qual
+      .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("n_parts").desc, col("s_suppkey").asc)
+      .limit(20)
+  }
+
+  /** W8: SCD Type-2 intervalization — the warehouse dimension-build
+    * operator: collapse a property change log (here: each user's
+    * event_type stream) into validity intervals [valid_from, valid_to)
+    * with an is_current flag. Two windows over the SAME (user_id ×
+    * ts, event_id) sort — change-point detection via lag, interval close
+    * via lead over the surviving rows — so the whole operator is one
+    * shuffle on user_id and one sort, no self-join against the log. The
+    * run-collapse (drop rows equal to their predecessor) happens BEFORE
+    * the lead, so a 100 TB log with long stable runs shrinks to its
+    * change count between the two windows. */
+  val w8Scd2Intervals: Q = (s, d) => {
+    val ev = events(s, d)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val changes = ev
+      .select(col("user_id"), eventTs(ev).as("vts"), col("ts"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val w2 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    changes
+      .withColumn("next_vts", lead("vts", 1).over(w2))
+      .select(
+        col("user_id"), col("event_type"),
+        date_format(col("vts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("next_vts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("next_vts").isNull.as("is_current"))
+  }
+
   /** J11: static-interval range lookup as a ZERO-JOIN scan-side
     * expression ([[graft.functions.RangeBucket]]) — the broadcast-dim
     * archetype (IP→geo, value→tier, slot→fork) where the dim table is a
@@ -1132,6 +1224,9 @@ object Inventory {
     "j16_cheapest_supplier" -> j16CheapestSupplier,
     "j17_priority_semi" -> j17PrioritySemi,
     "j18_reconcile_diff" -> j18ReconcileDiff,
+    "j19_sole_late_supplier" -> j19SoleLateSupplier,
+    "j20_excess_share" -> j20ExcessShare,
+    "w8_scd2_intervals" -> w8Scd2Intervals,
     "g2_personalized_pagerank" -> g2PersonalizedPagerank,
     "g3_converged_pagerank" -> g3ConvergedPagerank,
     "c1_safe_long_hex" -> c1SafeLongHex,
@@ -1517,6 +1612,51 @@ object Inventory {
         |       count(*) AS n
         |FROM l FULL OUTER JOIN r ON l.k = r.k
         |GROUP BY 1""".stripMargin,
+    "j19_sole_late_supplier" ->
+      """WITH late AS (
+        |  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late l1 JOIN supplier ON l1.sk = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.ok AND l2.l_suppkey <> l1.sk)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.ok = l1.ok AND l3.sk <> l1.sk)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "j20_excess_share" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey, sum(sq) AS tq, count(*) AS ns
+        |        FROM ps GROUP BY 1)
+        |SELECT s_suppkey, s_name, count(*) AS n_parts
+        |FROM ps
+        |JOIN tot USING (l_partkey)
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE p_size > 40
+        |  AND CAST(sq AS DOUBLE) > 2.0 * (CAST(tq AS DOUBLE) / ns)
+        |GROUP BY 1, 2 ORDER BY n_parts DESC, s_suppkey LIMIT 20""".stripMargin,
+    "w8_scd2_intervals" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER w AS prev_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |changes AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lead(ts) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id) AS next_ts
+        |  FROM ordered
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |       strftime(next_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |       next_ts IS NULL AS is_current
+        |FROM changes""".stripMargin,
     "a15_funnel_conversion" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
         |            WHERE event_type = 'signup' GROUP BY user_id),
