@@ -714,6 +714,46 @@ object Inventory {
     ranks.withColumn("iterations", lit(iters.toLong))
   }
 
+  /** The part co-occurrence graph: an undirected edge between two parts
+    * whenever they appear in the same order — the market-basket /
+    * knowledge-graph projection whose node degrees are bounded by basket
+    * size × part popularity, not corpus size. Pair enumeration is
+    * per-order (baskets are small: C(lines, 2) each), distinct'd on the
+    * pair. */
+  private def partCooccurrence(s: SparkSession, d: String): DataFrame = {
+    val lp = lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      .distinct()
+    lp.as("x").join(lp.as("y"),
+        col("x.okey") === col("y.okey") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      .distinct()
+  }
+
+  /** G4: triangle participation counts over the part co-occurrence graph
+    * ([[graft.operators.Graph.triangleCounts]]) — the clustering-signal
+    * primitive (community density, spam-graph detection). The operator
+    * enumerates via the degree-ordered wedge join (out-neighborhoods
+    * bounded O(√m) under any skew); the oracle enumerates the SAME
+    * triangle set by plain id order — orientation-invariance is the
+    * correctness claim the gate checks. Top 20 nodes by count. */
+  val g4TriangleCount: Q = (s, d) =>
+    graft.operators.Graph
+      .triangleCounts(partCooccurrence(s, d), "src", "dst")
+      .orderBy(col("n_triangles").desc, col("node").asc)
+      .limit(20)
+
+  /** G5: common-neighbor link scores for existing edges
+    * ([[graft.operators.Graph.edgeCommonNeighbors]]) — link prediction /
+    * edge-strength ranking. cn = triangles through the edge (integer),
+    * Jaccard = one integer-fed IEEE division, bitwise-mirrorable. Top 20
+    * edges by cn. */
+  val g5CommonNeighbors: Q = (s, d) =>
+    graft.operators.Graph
+      .edgeCommonNeighbors(partCooccurrence(s, d), "src", "dst")
+      .orderBy(col("cn").desc, col("a").asc, col("b").asc)
+      .limit(20)
+
   /** X4: EXCEPT ALL — multiset difference (each occurrence consumes one
     * match, unlike X1's set EXCEPT): day-1 user activity minus day-2,
     * multiplicity-aware. */
@@ -1229,6 +1269,8 @@ object Inventory {
     "w8_scd2_intervals" -> w8Scd2Intervals,
     "g2_personalized_pagerank" -> g2PersonalizedPagerank,
     "g3_converged_pagerank" -> g3ConvergedPagerank,
+    "g4_triangle_count" -> g4TriangleCount,
+    "g5_common_neighbors" -> g5CommonNeighbors,
     "c1_safe_long_hex" -> c1SafeLongHex,
     "c3_payload_hash" -> c3PayloadHash,
     "c4_popcount" -> c4Popcount,
@@ -1612,6 +1654,48 @@ object Inventory {
         |       count(*) AS n
         |FROM l FULL OUTER JOIN r ON l.k = r.k
         |GROUP BY 1""".stripMargin,
+    "g4_triangle_count" ->
+      """WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |      FROM l a JOIN l b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1
+        |        JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT node, count(*) AS n_triangles FROM (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |GROUP BY node ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin,
+    "g5_common_neighbors" ->
+      """WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |      FROM l a JOIN l b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1
+        |        JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |cnt AS (
+        |  SELECT a, b, count(*) AS n FROM (
+        |    SELECT x AS a, y AS b FROM tri
+        |    UNION ALL SELECT x, z FROM tri
+        |    UNION ALL SELECT y, z FROM tri)
+        |  GROUP BY a, b),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY node)
+        |SELECT e.a, e.b, da.deg AS deg_a, db.deg AS deg_b,
+        |       COALESCE(cnt.n, 0) AS cn,
+        |       CAST(COALESCE(cnt.n, 0) AS DOUBLE) /
+        |         CAST(da.deg + db.deg - COALESCE(cnt.n, 0) AS DOUBLE) AS jaccard
+        |FROM e
+        |JOIN deg da ON da.node = e.a
+        |JOIN deg db ON db.node = e.b
+        |LEFT JOIN cnt ON cnt.a = e.a AND cnt.b = e.b
+        |ORDER BY cn DESC, e.a, e.b LIMIT 20""".stripMargin,
     "j19_sole_late_supplier" ->
       """WITH late AS (
         |  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk

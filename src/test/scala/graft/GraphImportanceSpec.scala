@@ -216,4 +216,50 @@ class GraphImportanceSpec extends AnyFunSuite {
     assert(b.getLong(0) == b.getLong(1))
     assert(b.getLong(0) >= 0 && b.getLong(0) < 64)
   }
+
+  test("triangles: K4 has exactly 4; K3 plus pendant has 1") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    assert(Graph.triangles(k4, "src", "dst").count() == 4)
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val t = Graph.triangles(tri, "src", "dst").collect()
+    assert(t.length == 1 &&
+      (t(0).getLong(0), t(0).getLong(1), t(0).getLong(2)) == ((1L, 2L, 3L)))
+  }
+
+  test("triangles: degree-ordered enumeration matches brute force on a random graph") {
+    // deterministic LCG edge soup: duplicates, loops and both directions
+    // included on purpose — canonicalization must absorb them all
+    var x = 12345L
+    def nxt(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L); math.abs(x) }
+    val raw = Seq.fill(400)((nxt() % 30, nxt() % 30))
+    val e = raw.toDF("src", "dst")
+    val got = Graph.triangles(e, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the canonical simple graph
+    val canon = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.toSet
+    val nodes = canon.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val brute = (for {
+      i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+      if canon((i, j)) && canon((j, k)) && canon((i, k))
+    } yield (i, j, k)).toSet
+    assert(got == brute, s"got ${got.size} vs brute ${brute.size}")
+  }
+
+  test("edgeCommonNeighbors: cn and jaccard on a hand graph, cn=0 edges kept") {
+    // square 1-2-3-4-1 with one diagonal 1-3: edge (1,3) closes two
+    // triangles; square edges close one each; pendant edge (4,5) zero
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (4L, 5L))
+      .toDF("src", "dst")
+    val r = Graph.edgeCommonNeighbors(e, "src", "dst")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(4), x.getDouble(5))).toMap
+    assert(r((1L, 3L))._1 == 2L)
+    assert(r((1L, 2L))._1 == 1L)
+    assert(r((4L, 5L))._1 == 0L)
+    // deg(1)=3, deg(3)=3, cn=2 -> jaccard 2/(3+3-2)=0.5
+    assert(r((1L, 3L))._2 == 0.5)
+    assert(r((4L, 5L))._2 == 0.0)
+  }
 }

@@ -642,4 +642,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_bottom_k_pairs"), plan.take(1500))
     assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size === 1, plan.take(1500))
   }
+
+  test("j19: semi+anti with non-equi residuals stay HASH joins on l_orderkey") {
+    val p = planOf("j19_sole_late_supplier")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(2500))
+    // the suppkey inequality must ride as a join residual on the equi
+    // key, never force a nested-loop plan
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2500))
+  }
+
+  test("g4 triangles: wedge and closing joins are equi joins, top-20 is TakeOrdered") {
+    val p = planOf("g4_triangle_count")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2500))
+  }
+
+  test("w8 SCD2: both windows share ONE user_id sort — exactly one exchange, one Sort") {
+    val p = planOf("w8_scd2_intervals")
+    // lag (change detect) and lead (interval close) use the same
+    // (user_id × ts, event_id) order: Catalyst must plan one partition
+    // exchange and the windows must not re-sort between them
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1, p.take(2500))
+    assert("\\(\\d+\\) Sort\\b".r.findAllIn(p).size === 1, p.take(2500))
+  }
 }
