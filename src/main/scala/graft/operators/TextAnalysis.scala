@@ -62,6 +62,40 @@ object TextAnalysis {
     size(regexp_extract_all(text,
       lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N} \\t\\n\\x0b\\f\\r]"), lit(0)))
 
+  /** Crude syllable estimate: the number of maximal `[aeiouy]+` runs in
+    * the lowercased text — the standard cheap heuristic readability
+    * formulas are defined over. Computed WHOLE-TEXT (run count equals
+    * the per-word sum, since whitespace never extends a vowel run) as
+    * two codegen'd regexp_replace lengths, no tokenize, no explode. */
+  def syllableEstimate(text: Column): Column = {
+    val s0 = lower(text)
+    (length(regexp_replace(s0, "[aeiouy]+", "V")) -
+      length(regexp_replace(s0, "[aeiouy]+", ""))).cast("long")
+  }
+
+  /** Terminal-punctuation sentence count (`.` `!` `?` occurrences). */
+  def sentenceCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.!?]", ""))).cast("long")
+
+  /** Flesch reading-ease per row: `206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words)`, with words and sentences clamped to ≥1 so
+    * empty or terminator-free docs (one-sentence convention) stay
+    * finite. Every term is a fixed-order IEEE double chain over exact
+    * integer counts — bitwise-mirrorable in an oracle. Pure scan-side:
+    * three regexp passes, zero shuffles. */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = tokenCount(t).cast("long")
+    val sents = sentenceCount(t)
+    val syll = syllableEstimate(t)
+    val w = greatest(words, lit(1L)).cast("double")
+    val sd = greatest(sents, lit(1L)).cast("double")
+    df.select(col(idCol), words.as("n_words"), sents.as("n_sentences"),
+      syll.as("n_syllables"),
+      (lit(206.835) - lit(1.015) * (w / sd) -
+        lit(84.6) * (syll.cast("double") / w)).as("flesch"))
+  }
+
   /** Quality signals: length, token count, mean token length, punctuation
     * ratio, stopword ratio. Composable score in [0,1]. Tokenizes ONCE into
     * a hidden column (same CollapseProject-resistant shape as

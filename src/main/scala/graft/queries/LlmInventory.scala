@@ -1141,6 +1141,38 @@ object LlmInventory {
         .distinct(),
       "w")
 
+  /** t38: Flesch reading-ease scoring ([[TextAnalysis.readability]]) —
+    * the classic curation readability gate. Whole-text vowel-run
+    * syllable estimate (run count = per-word sum), terminal-punctuation
+    * sentence count clamped to ≥1, and a fixed-order IEEE double chain
+    * over the exact integer counts, so the SCORE column — not just the
+    * counts — hash-matches the oracle. Pure scan-side. */
+  val t38Readability: Q = (s, d) =>
+    TextAnalysis.readability(documents(s, d), "doc_id", "text")
+
+  /** t39: asymmetric CONTAINMENT pairs — quote/subset detection, the
+    * directional cousin of d8's Jaccard verify: c(A→B) = |A∩B| / |A|
+    * catches a short doc quoted inside a long one that symmetric Jaccard
+    * dilutes below threshold. Same bounded 40-doc verify slice as d8
+    * (at corpus scale this runs on LSH candidates, not all pairs);
+    * integer set sizes, two single-division doubles. */
+  val t39ContainmentPairs: Q = (s, d) => {
+    val sub = documents(s, d)
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"), Dedup.tokenSet(col("text")).as("toks"))
+    val a = sub.select(col("doc_id").as("d1"), col("toks").as("t1"))
+    val b = sub.select(col("doc_id").as("d2"), col("toks").as("t2"))
+    a.join(b, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("t1"), col("t2"))).cast("long").as("common"),
+        size(col("t1")).cast("long").as("n1"),
+        size(col("t2")).cast("long").as("n2"))
+      .withColumn("c_1in2", col("common").cast("double") / col("n1").cast("double"))
+      .withColumn("c_2in1", col("common").cast("double") / col("n2").cast("double"))
+      .filter(greatest(col("c_1in2"), col("c_2in1")) >= 0.6)
+      .select("d1", "d2", "common", "n1", "n2", "c_1in2", "c_2in1")
+  }
+
   /** t21: hashed-linear quality classifier (fastText shape,
     * [[Classifier.scored]]) — per-token md5-derived weights, mean-pooled
     * into a linear score, thresholded. Exact integer hash sum + one IEEE
@@ -1281,6 +1313,8 @@ object LlmInventory {
     "t35_cdc_dedup" -> t35CdcDedup,
     "t36_bpe_pairs" -> t36BpePairs,
     "t37_fuzzy_pairs" -> t37FuzzyPairs,
+    "t38_readability" -> t38Readability,
+    "t39_containment_pairs" -> t39ContainmentPairs,
     "a18_sampled_quantiles" -> a18SampledQuantiles,
     "t21_classifier_score" -> t21ClassifierScore,
     "t22_tfidf_topterms" -> t22TfidfTopTerms,
@@ -2748,6 +2782,47 @@ object LlmInventory {
         |  FROM events)
         |SELECT a.w AS w1, b.w AS w2
         |FROM v a JOIN v b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1""".stripMargin,
+    // flesch literals CAST to DOUBLE: DuckDB parses bare decimals as
+    // DECIMAL and its exact arithmetic would diverge from Scala's
+    // binary-double chain in the last ulps
+    "t38_readability" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         CASE WHEN t = '' THEN 0
+        |              ELSE len(string_split_regex(t, '[ \t\n\x0b\f\r]+')) END AS n_words,
+        |         length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS n_sentences,
+        |         length(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g')) -
+        |         length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS n_syllables
+        |  FROM s)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |       CAST(n_sentences AS BIGINT) AS n_sentences,
+        |       CAST(n_syllables AS BIGINT) AS n_syllables,
+        |       CAST(206.835 AS DOUBLE)
+        |         - CAST(1.015 AS DOUBLE) *
+        |           (CAST(greatest(n_words, 1) AS DOUBLE) / CAST(greatest(n_sentences, 1) AS DOUBLE))
+        |         - CAST(84.6 AS DOUBLE) *
+        |           (CAST(n_syllables AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)) AS flesch
+        |FROM c""".stripMargin,
+    "t39_containment_pairs" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+        |  FROM documents WHERE doc_id < 40),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT d1, d2, CAST(c AS BIGINT) AS common,
+        |       CAST(ca.n AS BIGINT) AS n1, CAST(cb.n AS BIGINT) AS n2,
+        |       CAST(c AS DOUBLE) / CAST(ca.n AS DOUBLE) AS c_1in2,
+        |       CAST(c AS DOUBLE) / CAST(cb.n AS DOUBLE) AS c_2in1
+        |FROM common JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+        |WHERE greatest(CAST(c AS DOUBLE) / CAST(ca.n AS DOUBLE),
+        |               CAST(c AS DOUBLE) / CAST(cb.n AS DOUBLE)) >= 0.6""".stripMargin,
     "t35_cdc_dedup" ->
       """WITH tok AS (
         |  SELECT doc_id, pos, w FROM (

@@ -770,4 +770,22 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(pc.head === (("a", "b", 3L)))
     assert(pc.toSet === Set(("a", "b", 3L), ("b", "c", 2L), ("c", "a", 2L)))
   }
+
+  test("readability: punctuated text — hand-counted Flesch components") {
+    import graft.operators.TextAnalysis
+    // "See the cat. It sat!" — 5 words, 2 sentences,
+    // syllable runs: s[ee] th[e] c[a]t [I]t s[a]t = 5
+    val df = Seq((1L, "See the cat. It sat!"), (2L, ""), (3L, "pfft brrr"))
+      .toDF("id", "t")
+    val r = TextAnalysis.readability(df, "id", "t")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r(1L)._1 == 5L && r(1L)._2 == 2L && r(1L)._3 == 5L)
+    assert(r(1L)._4 == 206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (5.0 / 5.0))
+    // empty doc: clamped denominators keep the score finite
+    assert(r(2L)._1 == 0L && !r(2L)._4.isNaN && !r(2L)._4.isInfinite)
+    // vowel-free words: 0 syllables, score is the pure length terms
+    assert(r(3L)._3 == 0L &&
+      r(3L)._4 == 206.835 - 1.015 * 2.0 - 84.6 * 0.0)
+  }
 }
