@@ -434,4 +434,119 @@ object Sketches {
         col("col.token").as("token"),
         col("col.count").as("count_lb"),
         (col("pos") + 1).cast("int").as("rnk")): _*)
+
+  /** HyperLogLog registers over a 60-bit hash (Flajolet et al. 2007) —
+    * the FIXED-SIZE cousin of KMV: state is `m = 2^p` one-byte
+    * registers (64 B at p=6) regardless of cardinality, merge is
+    * elementwise max (commutative, idempotent — re-merging a sketch is
+    * harmless, which KMV's union-and-trim also has but counters don't).
+    * Register j holds the max over hashes landing in bucket
+    * `h & (m−1)` of the leading-zero rank of the remaining
+    * `60−p` bits — every step integer-exact, so the register ARRAY
+    * (not just an estimate) is oracle-reproducible. */
+  case class HllRegisters(
+      child: Expression, p: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]]
+    with UnaryLike[Expression] {
+    require(p >= 2 && p <= 16, s"p must be in [2,16], got $p")
+    private val m = 1 << p
+    private val restBits = 60 - p // child hashes live in [0, 2^60)
+
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val h = v.asInstanceOf[Long]
+        val bucket = (h & (m - 1)).toInt
+        val rest = h >>> p
+        val rho =
+          if (rest == 0L) restBits + 1
+          else restBits - (64 - java.lang.Long.numberOfLeadingZeros(rest)) + 1
+        if (rho > buf(bucket)) buf(bucket) = rho.toByte
+      }
+      buf
+    }
+
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < m) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
+      b1
+    }
+
+    /** The m registers as longs, bucket order. */
+    override def eval(buf: Array[Byte]): Any = {
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) { out(i) = buf(i).toLong; i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(o: Int): HllRegisters =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): HllRegisters =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): HllRegisters =
+      copy(child = c)
+    override def prettyName: String = "hll_registers"
+  }
+
+  /** Column API: HLL register array (length 2^p) of a LONG hash column
+    * (aggregate — use inside `agg`). */
+  def hllRegisters(hash: Column, p: Int): Column =
+    ExpressionUtils.column(
+      HllRegisters(ExpressionUtils.expression(hash), p).toAggregateExpression())
+
+  /** α₆₄ (bias constant for m = 64): 0.7213/(1 + 1.079/64) ≈ 0.709. */
+  private val Alpha64 = 0.709
+
+  /** HLL distinct-count report per group at p = 6 (64 registers, ~13%
+    * standard error): `(groupCols…, n_nonzero, s_scaled, hll_estimate)`.
+    * The harmonic sum Σ 2^−r is kept EXACT by scaling to the integer
+    * `s_scaled = Σ 2^(55−r)` (max 64·2^55 < 2^63 — no overflow, no
+    * float-order dependence), so the estimate
+    * `α·m²·2^55 / s_scaled` costs ONE IEEE division after exact-integer
+    * and power-of-two-exact constant folding — the whole report
+    * hash-matches a SQL oracle. Production estimators layer linear
+    * counting below 2.5m via [[hllEstimate]] (log — accurate, not
+    * bitwise-portable). */
+  def hllDistinct(
+      df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val regs = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(hllRegisters(md5Hash60(col(valueCol)), 6).as("regs"))
+    regs
+      .withColumn("n_nonzero",
+        expr("size(filter(regs, x -> x > 0))").cast("long"))
+      .withColumn("s_scaled",
+        expr("aggregate(regs, CAST(0 AS BIGINT), " +
+          "(acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), CAST(55 - x AS INT)))"))
+      .withColumn("hll_estimate",
+        lit(Alpha64) * lit(4096.0) * lit(36028797018963968.0) /
+          col("s_scaled").cast("double"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n_nonzero"), col("s_scaled"), col("hll_estimate")): _*)
+  }
+
+  /** Bias-corrected HLL estimate with the small-range linear-counting
+    * branch (`m·ln(m/V)` when the raw estimate ≤ 2.5m and empty
+    * registers remain) — the estimator to USE; numerically accurate but
+    * not bitwise-oracle-portable (ln), hence split from
+    * [[hllDistinct]]'s raw report. */
+  def hllEstimate(
+      df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    hllDistinct(df, groupCols, valueCol)
+      .withColumn("n_zero", lit(64L) - col("n_nonzero"))
+      .withColumn("estimate",
+        when(col("hll_estimate") <= 2.5 * 64 && col("n_zero") > 0,
+          lit(64.0) * log(lit(64.0) / col("n_zero").cast("double")))
+          .otherwise(col("hll_estimate")))
+      .drop("n_zero")
 }

@@ -813,6 +813,21 @@ object LlmInventory {
     exact.join(sk, Seq("lang")).orderBy("lang")
   }
 
+  /** a19: HyperLogLog distinct-count sketch vs exact (same per-lang
+    * bigram corpus as a9, so the two sketch families are directly
+    * comparable in one report): FIXED 64-byte state per group vs KMV's
+    * 64 longs, elementwise-max merge. The register array is
+    * integer-exact; the harmonic sum is kept exact by power-of-two
+    * scaling ([[Sketches.hllDistinct]]), so the estimate's single IEEE
+    * division hash-matches the oracle. */
+  val a19HllDistinct: Q = (s, d) => {
+    val bgs = documents(s, d)
+      .select(col("lang"), explode(LmScore.bigrams(col("text"))).as("bg"))
+    val sk = Sketches.hllDistinct(bgs, Seq("lang"), "bg")
+    val exact = bgs.groupBy("lang").agg(countDistinct("bg").as("exact_bigrams"))
+    exact.join(sk, Seq("lang")).orderBy("lang")
+  }
+
   /** a17: cross-corpus overlap via KMV sketch algebra
     * ([[Sketches.kmvPairwiseOverlap]]) — per-source-pair Jaccard of the
     * bigram sets estimated from bounded k-min sketches (no cross-source
@@ -1295,6 +1310,7 @@ object LlmInventory {
     "t33_dsir_weights" -> t33DsirWeights,
     "t34_selfchunk_dedup" -> t34SelfChunkDedup,
     "a9_kmv_distinct" -> a9KmvDistinct,
+    "a19_hll_distinct" -> a19HllDistinct,
     "t19_pii_redact" -> t19PiiRedact,
     "t20_bloom_membership" -> t20BloomMembership,
     "m1_binary_meta" -> m1BinaryMeta,
@@ -1784,6 +1800,37 @@ object LlmInventory {
     // KMV bottom-k over md5-prefix hashes: k-th smallest distinct hash via
     // a window rank, estimate = (k-1)*16^15 / h_k (one IEEE division);
     // below saturation the held count is the exact distinct count
+    // HLL registers rebuilt relationally: bucket = low 6 hash bits,
+    // rho = 55 − bin-length of the remaining 54 bits (0 → 55); the
+    // harmonic sum stays exact via the 2^(55−r) integer scaling, empty
+    // buckets contribute 2^55 each
+    "a19_hll_distinct" ->
+      """WITH tok AS (
+        |  SELECT lang, string_split(lower(text), ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT DISTINCT lang, unnest(list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM tok),
+        |h AS (
+        |  SELECT DISTINCT lang, ('0x' || substr(md5(bg), 1, 15))::BIGINT AS hv
+        |  FROM bg),
+        |r AS (SELECT lang, hv % 64 AS bucket, hv // 64 AS rest FROM h),
+        |rho AS (
+        |  SELECT lang, bucket,
+        |         max(CASE WHEN rest = 0 THEN 55
+        |                  ELSE 55 - length(bin(rest)) END) AS rr
+        |  FROM r GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_nonzero,
+        |         CAST(sum((1::BIGINT) << (55 - rr)) +
+        |              (64 - count(*)) * ((1::BIGINT) << 55) AS BIGINT) AS s_scaled
+        |  FROM rho GROUP BY 1),
+        |ex AS (SELECT lang, count(DISTINCT bg) AS exact_bigrams FROM bg GROUP BY 1)
+        |SELECT lang, exact_bigrams, n_nonzero, s_scaled,
+        |       CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) *
+        |         CAST(36028797018963968 AS DOUBLE) / CAST(s_scaled AS DOUBLE)
+        |         AS hll_estimate
+        |FROM ex JOIN agg USING (lang) ORDER BY lang""".stripMargin,
     "a9_kmv_distinct" ->
       """WITH tok AS (
         |  SELECT lang, string_split(lower(text), ' ') AS toks FROM documents),

@@ -643,6 +643,15 @@ class PlanSpec extends AnyFunSuite {
     assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size === 1, plan.take(1500))
   }
 
+  test("a19 HLL: registers combine as map-side partials below the exchange") {
+    val p = planOf("a19_hll_distinct")
+    assert(p.contains("partial_hll_registers"), p.take(2000))
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
   test("j19: semi+anti with non-equi residuals stay HASH joins on l_orderkey") {
     val p = planOf("j19_sole_late_supplier")
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(2500))

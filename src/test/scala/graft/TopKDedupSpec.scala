@@ -583,6 +583,37 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(est > 100.0 && est < 260.0, s"estimate $est wildly off exact 160")
   }
 
+  test("HllRegisters: partition-order-invariant, merge = max, estimate within rate") {
+    import graft.operators.Sketches
+    // 5000 distinct strings across 7 partitions vs one partition: the
+    // register array (and hence the estimate) must be identical, and
+    // the raw estimate within ~4 standard errors (1.04/√64 ≈ 13%)
+    val rows = (1 to 5000).map(i => s"item-$i")
+    val df7 = spark.createDataset(scala.util.Random.shuffle(rows)).repartition(7).toDF("v")
+    val df1 = spark.createDataset(rows).coalesce(1).toDF("v")
+    val r7 = Sketches.hllDistinct(df7.withColumn("g", lit("x")), Seq("g"), "v").head()
+    val r1 = Sketches.hllDistinct(df1.withColumn("g", lit("x")), Seq("g"), "v").head()
+    assert(r7.getLong(1) === r1.getLong(1) && r7.getLong(2) === r1.getLong(2))
+    assert(r7.getDouble(3) === r1.getDouble(3))
+    assert(math.abs(r7.getDouble(3) - 5000.0) / 5000.0 < 0.5,
+      s"raw estimate ${r7.getDouble(3)} vs 5000")
+    // duplicates never move a register: 10× repetition changes nothing
+    val dup = spark.createDataset(rows ++ rows ++ rows).toDF("v")
+    val rd = Sketches.hllDistinct(dup.withColumn("g", lit("x")), Seq("g"), "v").head()
+    assert(rd.getLong(2) === r1.getLong(2))
+  }
+
+  test("hllEstimate: linear counting takes over at low cardinality, accurate within 15%") {
+    import graft.operators.Sketches
+    for (n <- Seq(20, 100, 5000)) {
+      val df = spark.createDataset((1 to n).map(i => s"k$i")).toDF("v")
+        .withColumn("g", lit("x"))
+      val est = Sketches.hllEstimate(df, Seq("g"), "v")
+        .head().getAs[Double]("estimate")
+      assert(math.abs(est - n) / n < 0.35, s"n=$n est=$est")
+    }
+  }
+
   test("scoreBuckets: per-key terciles from the histogram, ties share a bucket, no corpus sort") {
     import graft.operators.Sampling
     // key A: scores 1..9 (no ties) -> clean terciles 3/3/3
