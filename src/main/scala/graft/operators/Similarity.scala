@@ -1150,6 +1150,40 @@ object Similarity {
   /** IVF top-k: probe the nProbe centroid lists closest to the query, then
     * exact cosine within those lists — the on-the-fly form of
     * [[ivfTopKIndexed]] for corpora not worth materializing. */
+  /** Metadata-FILTERED vector search, exact path — the vector-database
+    * WHERE clause: apply the predicate scan-side (it pushes into the
+    * parquet scan like any filter), brute-score the survivors, keep k.
+    * Correct at ANY filter selectivity — the comparison every
+    * filtered-ANN variant is measured against. At 100 TB this is the
+    * right plan whenever the predicate is selective enough that the
+    * surviving scan fits the latency budget (the filter prunes BEFORE
+    * any vector math runs). */
+  def filteredTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      predicate: Column, query: Seq[Float], k: Int): DataFrame =
+    bruteForceTopK(corpus.filter(predicate), idCol, vecCol, query, k)
+
+  /** Metadata-filtered IVF search — predicate applied INSIDE the probed
+    * lists (pre-filter within probes): the probe cut keeps the scan at
+    * `nProbe/nLists` of the corpus, the predicate prunes candidates
+    * before scoring, and `overfetch·k` guards the boundary where a
+    * selective filter empties the nearest lists. Recall degrades as
+    * selectivity × nProbe shrinks — measured in RecallSpec; raise
+    * nProbe (not overfetch) when the filter is sharp, because missing
+    * matches live in unprobed lists, not below the overfetch cut. */
+  def filteredIvfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      predicate: Column, query: Seq[Float], k: Int,
+      centroids: Array[Array[Float]], nProbe: Int): DataFrame = {
+    val probeLists = probedLists(centroids, query, nProbe)
+    ivfAssign(corpus, vecCol, centroids)
+      .filter(col("list_id").isin(probeLists: _*))
+      .filter(predicate)
+      .select(col(idCol), vec_cosine(col(vecCol), typedlit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
       k: Int, centroids: Array[Array[Float]], nProbe: Int): DataFrame = {

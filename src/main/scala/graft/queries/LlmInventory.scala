@@ -297,6 +297,28 @@ object LlmInventory {
       .toDF("rnk", "vec_id")
   }
 
+  /** s17: metadata-FILTERED vector search ([[Similarity.filteredTopK]])
+    * — the vector-database WHERE clause (label = 3), exact pre-filter
+    * path: the predicate pushes into the parquet scan, vector math runs
+    * only on survivors, rank-only output like s1. The probed variant
+    * ([[Similarity.filteredIvfTopK]]) is recall-measured in RecallSpec;
+    * the driver gate holds the exact path, which any selectivity must
+    * reproduce. */
+  val s17FilteredTopK: Q = (s, d) => {
+    val em = embeddings(s, d)
+    val query = em.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val top = Similarity.filteredTopK(
+      em.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      col("label") === 3, query, 10)
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .select("vec_id").collect()
+    import s.implicits._
+    top.toSeq.zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r.getLong(0)) }
+      .toDF("rnk", "vec_id")
+  }
+
   /** LSH-bucketed ANN over the same query — oracle-checked via the md5
     * ±1 plane family (bucket membership bit-identical in DuckDB) with
     * rank-only output like s1; ranks assigned driver-side over the
@@ -1284,6 +1306,7 @@ object LlmInventory {
     "s5_topk_join" -> s5TopKJoin,
     "s15_hard_negatives" -> s15HardNegatives,
     "s16_matryoshka_topk" -> s16MatryoshkaTopK,
+    "s17_filtered_topk" -> s17FilteredTopK,
     "s6_sq8_topk" -> s6Sq8TopK,
     "s8_pq_topk" -> s8PqTopK,
     "s9_label_centroids" -> s9LabelCentroids,
@@ -2114,6 +2137,14 @@ object LlmInventory {
         |           ORDER BY list_cosine_similarity(embedding,
         |             (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id) AS rnk
         |  FROM embeddings WHERE vec_id <> 0) t
+        |WHERE rnk <= 10""".stripMargin,
+    "s17_filtered_topk" ->
+      """SELECT rnk, vec_id FROM (
+        |  SELECT vec_id,
+        |         ROW_NUMBER() OVER (
+        |           ORDER BY list_cosine_similarity(embedding,
+        |             (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id) AS rnk
+        |  FROM embeddings WHERE vec_id <> 0 AND label = 3) t
         |WHERE rnk <= 10""".stripMargin,
     "s16_matryoshka_topk" ->
       """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),

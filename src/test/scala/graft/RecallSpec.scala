@@ -213,6 +213,38 @@ class RecallSpec extends AnyFunSuite {
     assert(recall >= 0.865, s"PQ ADC recall regressed: $recall < 0.87")
   }
 
+  test("filtered IVF (s17 probed variant): recall vs exact filtered top-k, probes recover a sharp filter") {
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet").persist()
+    val cents = Similarity.kmeansCentroids(em, "embedding", k = 16,
+      iters = 5, seed = 42L, sampleN = 2000)
+    val pred = col("label") === 3
+    def recallAt(nProbe: Int): Double = {
+      val per = (0L until 5L).map { qid =>
+        val q = em.filter(col("vec_id") === qid)
+          .select("embedding").head().getSeq[Float](0)
+        val rest = em.filter(col("vec_id") =!= qid)
+        val exact = Similarity.filteredTopK(rest, "vec_id", "embedding", pred, q, 10)
+          .collect().map(_.getLong(0)).toSet
+        val got = Similarity.filteredIvfTopK(rest, "vec_id", "embedding", pred,
+          q, 10, cents, nProbe)
+          .collect().map(_.getLong(0)).toSet
+        got.intersect(exact).size / 10.0
+      }
+      per.sum / per.length
+    }
+    val r4 = recallAt(4)
+    val r16 = recallAt(16)
+    em.unpersist(blocking = false)
+    info(s"filtered-IVF recall@10: nProbe=4 -> $r4, nProbe=16 (all lists) -> $r16")
+    // probing every list = the exact filtered scan: recall must be 1.0
+    assert(r16 == 1.0, s"full-probe filtered IVF must equal exact: $r16")
+    // near-uniform embeddings + a sharp filter is the WORST case for
+    // probing (neighbors don't concentrate in lists): measured 0.34 at
+    // nProbe=4 — the floor guards the kernel, the doc guards the caveat
+    assert(r4 >= 0.25, s"filtered-IVF recall floor regressed at nProbe=4: $r4")
+    assert(r16 >= r4, "more probes can never lose recall")
+  }
+
   test("IVF-PQ residual coding beats raw-vector coding on clustered data") {
     import spark.implicits._
     // TIGHT-cluster corpus (few big clusters, small within-cluster
