@@ -36,6 +36,7 @@ import org.apache.spark.sql.SparkSession
   * graft corpus stats    --in DIR [--id-col c] [--text-col c]
   * graft corpus dsir     --in DIR --out DIR {--target DIR | --ratios DIR} [--save-ratios DIR] [--keep-fraction 0.5] [--buckets 4096] [--weights-only]
   * graft corpus pagerank --in EDGEDIR --out DIR [--src-col src] [--dst-col dst] [--weight-col w] [--iterations 10] [--damping 0.85] [--seeds DIR [--seed-col node]]
+  * graft corpus triangles --in EDGEDIR --out DIR [--src-col src] [--dst-col dst]
   * graft corpus bpetrain --in DIR --out DIR [--merges 32] [--joiner ▁] [--text-col c]
   * graft corpus quantiles --in DIR --out DIR [--group-by c] [--value-col c] [--key-col c] [--k 1024] [--q 0.5,0.9,0.99]
   * }}}
@@ -88,11 +89,11 @@ object Main {
         if Set("dedup", "semdedup", "scrub", "lmfilter", "linededup",
           "classify", "curate", "cap", "sample", "upsample", "export",
           "annindex", "annquery", "stats", "pack", "chunk", "dsir",
-          "pagerank", "bpetrain", "quantiles")(cmd) =>
+          "pagerank", "triangles", "bpetrain", "quantiles")(cmd) =>
       val spark = session()
       try corpusRun(spark, cmd, rest.toArray) finally spark.stop()
     case _ =>
-      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|status|fork info|fork list|fork detect --sample|corpus dedup|semdedup|scrub|lmfilter|linededup|classify|curate|cap|sample|upsample|export|annindex|annquery|stats|dsir|pagerank|bpetrain|quantiles} [options]")
+      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|status|fork info|fork list|fork detect --sample|corpus dedup|semdedup|scrub|lmfilter|linededup|classify|curate|cap|sample|upsample|export|annindex|annquery|stats|dsir|pagerank|triangles|bpetrain|quantiles} [options]")
       sys.exit(2)
   }
 
@@ -412,6 +413,21 @@ object Main {
         ranks.unpersist(blocking = false) // caller-owned checkpoint released
         val n = spark.read.parquet(out).count()
         println(s"[graft] corpus pagerank: $n nodes ranked ($iters iterations) -> $out")
+      case "triangles" =>
+        // triangle participation counts + per-edge common-neighbor /
+        // Jaccard link scores over an edge-list parquet — writes
+        // nodes/ (node, n_triangles) and edges/ (a, b, deg_a, deg_b,
+        // cn, jaccard) under --out
+        val srcCol = opt(args, "src-col").getOrElse("src")
+        val dstCol = opt(args, "dst-col").getOrElse("dst")
+        val out = outDir
+        graft.operators.Graph.triangleCounts(docs, srcCol, dstCol)
+          .write.mode("overwrite").parquet(s"$out/nodes")
+        graft.operators.Graph.edgeCommonNeighbors(docs, srcCol, dstCol)
+          .write.mode("overwrite").parquet(s"$out/edges")
+        val nn = spark.read.parquet(s"$out/nodes").count()
+        val ne = spark.read.parquet(s"$out/edges").count()
+        println(s"[graft] corpus triangles: $nn nodes in triangles, $ne scored edges -> $out")
       case "lmfilter" =>
         val ref = opt(args, "ref").getOrElse(sys.error("--ref required"))
         val maxNovelty = opt(args, "max-novelty").map(_.toDouble).getOrElse(0.3)

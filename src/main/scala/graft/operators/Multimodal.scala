@@ -206,6 +206,68 @@ object Multimodal {
     }
   }
 
+  /** Perceptual AVERAGE HASH (aHash) from REAL decoded pixels — the
+    * image-dedup signature: per-pixel grayscale `r+g+b`, each pixel's
+    * bit set when `gray·N > Σgray` (the integer-exact form of
+    * "above the mean" — no division, no float), packed row-major into a
+    * long. Images here are ≤ 40 px so the native grid IS the hash grid
+    * (production-size images resize to 8×8 first — a fixed integer
+    * box-filter keeps the determinism). Near-duplicate images then
+    * dedup via [[Similarity.hamming64]] on the hash column, exactly
+    * like SimHash text dedup. Returns (id, width, height, ahash,
+    * n_bits); undecodable bytes → nulls. */
+  def decodeImageAHashBatched(
+      df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val (idI, bI) = (df.schema.fieldIndex(idCol), df.schema.fieldIndex(binCol))
+    val schema = outRow(df, idCol, Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("ahash", LongType, nullable = true),
+      StructField("n_bits", LongType, nullable = true)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]](bI)
+          val img =
+            if (bytes == null) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: Throwable => null }
+          if (img == null || img.getWidth.toLong * img.getHeight > 64)
+            Row(r.get(idI), null, null, null, null)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val n = w * h
+            val gray = new Array[Long](n)
+            var total = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                val g = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+                gray(y * w + x) = g; total += g
+                x += 1
+              }
+              y += 1
+            }
+            var hash = 0L
+            var bits = 0L
+            var i = 0
+            while (i < n) {
+              if (gray(i) * n > total) { hash |= 1L << i; bits += 1 }
+              i += 1
+            }
+            Row(r.get(idI), w, h, hash, bits)
+          }
+        }
+      }
+    }
+  }
+
   /** Real WAV ENCODE: canonical RIFF/fmt/data header + the `array<int>`
     * `samplesCol` as interleaved 16-bit little-endian PCM. Pure byte
     * assembly — no codec needed to WRITE canonical PCM WAV; the decode

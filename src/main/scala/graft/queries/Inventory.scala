@@ -1106,6 +1106,32 @@ object Inventory {
         col("next_vts").isNull.as("is_current"))
   }
 
+  /** W9: gaps-and-islands — collapse each user's activity days into
+    * maximal CONSECUTIVE runs (streak detection: subscription lapses,
+    * sensor dropouts, login streaks). Lag flags run starts, a running
+    * sum numbers the islands, one group-by summarizes — all three
+    * windows and the final aggregation share the SAME user_id
+    * partitioning, so the whole operator is one exchange + one sort
+    * over the (already-distinct'd) activity frame, never the raw log. */
+  val w9GapsIslands: Q = (s, d) => {
+    val ev = events(s, d)
+    val act = ev.select(col("user_id"), to_date(eventTs(ev)).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val islands = act
+      .withColumn("prev_day", lag("day", 1).over(w))
+      .withColumn("new_island",
+        when(col("prev_day").isNull ||
+          datediff(col("day"), col("prev_day")) > 1, 1L).otherwise(0L))
+      .withColumn("island", sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy("user_id", "island")
+      .agg(
+        date_format(min("day"), "yyyy-MM-dd").as("island_start"),
+        date_format(max("day"), "yyyy-MM-dd").as("island_end"),
+        count(lit(1)).as("n_days"))
+      .select("user_id", "island", "island_start", "island_end", "n_days")
+  }
+
   /** J11: static-interval range lookup as a ZERO-JOIN scan-side
     * expression ([[graft.functions.RangeBucket]]) — the broadcast-dim
     * archetype (IP→geo, value→tier, slot→fork) where the dim table is a
@@ -1267,6 +1293,7 @@ object Inventory {
     "j19_sole_late_supplier" -> j19SoleLateSupplier,
     "j20_excess_share" -> j20ExcessShare,
     "w8_scd2_intervals" -> w8Scd2Intervals,
+    "w9_gaps_islands" -> w9GapsIslands,
     "g2_personalized_pagerank" -> g2PersonalizedPagerank,
     "g3_converged_pagerank" -> g3ConvergedPagerank,
     "g4_triangle_count" -> g4TriangleCount,
@@ -1724,6 +1751,25 @@ object Inventory {
         |WHERE p_size > 40
         |  AND CAST(sq AS DOUBLE) > 2.0 * (CAST(tq AS DOUBLE) / ns)
         |GROUP BY 1, 2 ORDER BY n_parts DESC, s_suppkey LIMIT 20""".stripMargin,
+    "w9_gaps_islands" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |flagged AS (
+        |  SELECT user_id, day,
+        |         CASE WHEN lag(day) OVER w IS NULL
+        |                OR day - lag(day) OVER w > 1 THEN 1 ELSE 0 END AS new_island
+        |  FROM act
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+        |isl AS (
+        |  SELECT user_id, day,
+        |         sum(new_island) OVER (PARTITION BY user_id ORDER BY day
+        |                               ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM flagged)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |       strftime(min(day), '%Y-%m-%d') AS island_start,
+        |       strftime(max(day), '%Y-%m-%d') AS island_end,
+        |       count(*) AS n_days
+        |FROM isl GROUP BY user_id, island""".stripMargin,
     "w8_scd2_intervals" ->
       """WITH ordered AS (
         |  SELECT user_id, ts, event_id, event_type,

@@ -1090,6 +1090,27 @@ object LlmInventory {
     Multimodal.decodeImageStatsBatched(png, "doc_id", "png")
   }
 
+  /** M8: perceptual average-hash from REAL decoded pixels
+    * ([[Multimodal.decodeImageAHashBatched]]) — the image near-dup
+    * signature, m6's encode→decode plumbing pointed at dedup: bit_i =
+    * `gray_i·N > Σgray` (integer mean-threshold, no division), packed
+    * into a long. The oracle computes the SAME hash from the pixel
+    * formula without ever seeing a PNG — a match proves codec
+    * round-trip AND hash kernel together. */
+  val m8ImageAhash: Q = (s, d) => {
+    val doc = documents(s, d).filter(col("doc_id") < 40)
+    val w = (lit(4) + pmod(col("doc_id"), lit(5))).cast("int")
+    val h = (lit(3) + pmod(col("doc_id"), lit(3))).cast("int")
+    val px = transform(
+      sequence(lit(0L), w.cast("long") * h.cast("long") - 1L),
+      i => (pmod(col("doc_id") * 7 + i * 13, lit(256)) * 65536L +
+        pmod(col("doc_id") * 11 + i * 5, lit(256)) * 256L +
+        pmod(col("doc_id") * 3 + i * 17, lit(256))).cast("int"))
+    val pixels = doc.select(col("doc_id"), w.as("w"), h.as("h"), px.as("px"))
+    val png = Multimodal.encodePngBatched(pixels, "doc_id", "w", "h", "px")
+    Multimodal.decodeImageAHashBatched(png, "doc_id", "png")
+  }
+
   /** M7: REAL audio decode — deterministic 16-bit PCM samples
     * (closed-form per (doc, sample)) → canonical WAV bytes → real parse
     * through `javax.sound.sampled.AudioSystem` → format fields, frame
@@ -1343,6 +1364,7 @@ object LlmInventory {
     "m5_video_meta" -> m5VideoMeta,
     "m6_image_decode" -> m6ImageDecode,
     "m7_audio_decode" -> m7AudioDecode,
+    "m8_image_ahash" -> m8ImageAhash,
     "t14_skew_agg" -> t14SkewAgg,
     "t15_winnow_fingerprint" -> t15WinnowFingerprint,
     "t16_source_cap" -> t16SourceCap,
@@ -2613,6 +2635,27 @@ object LlmInventory {
     // RIFF/WAVE magic, extract channels (chars 45-48), sample rate (chars
     // 49-56), byte rate (57-64) and data size (81-88), duration =
     // data*1000//byte_rate. Cross-checked against Python's wave module.
+    "m8_image_ahash" ->
+      """WITH base AS (
+        |  SELECT doc_id, (4 + doc_id % 5) * (3 + doc_id % 3) AS n
+        |  FROM documents WHERE doc_id < 40),
+        |g AS (
+        |  SELECT doc_id, n,
+        |         list_transform(range(0, n), i ->
+        |           (doc_id*7 + i*13) % 256 +
+        |           (doc_id*11 + i*5) % 256 +
+        |           (doc_id*3 + i*17) % 256) AS gray
+        |  FROM base),
+        |s AS (SELECT doc_id, n, gray, list_sum(gray) AS total FROM g)
+        |SELECT doc_id,
+        |       CAST(4 + doc_id % 5 AS INT) AS width,
+        |       CAST(3 + doc_id % 3 AS INT) AS height,
+        |       CAST(list_sum(list_transform(range(0, n), i ->
+        |         CASE WHEN gray[i+1] * n > total
+        |              THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS ahash,
+        |       CAST(list_sum(list_transform(range(0, n), i ->
+        |         CASE WHEN gray[i+1] * n > total THEN 1 ELSE 0 END)) AS BIGINT) AS n_bits
+        |FROM s""".stripMargin,
     "m6_image_decode" ->
       """SELECT doc_id,
         |       CAST(4 + doc_id % 5 AS INT) AS width,

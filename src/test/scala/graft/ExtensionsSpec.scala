@@ -528,6 +528,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(j.isNullAt(1) && j.isNullAt(3))
   }
 
+  test("aHash: mean-threshold bits from decoded pixels, hand-checked; oversize/junk null") {
+    // 2×2 grays (r=g=b): 10,10,10,250 — mean 70: only pixel 3 above →
+    // hash = 1<<3 = 8, n_bits = 1
+    def g(v: Int) = v * 65536 + v * 256 + v
+    val rows = Seq(
+      (1L, 2, 2, Seq(g(10), g(10), g(10), g(250))),
+      // uniform image: no pixel is STRICTLY above the mean → hash 0
+      (2L, 2, 2, Seq(g(7), g(7), g(7), g(7))),
+      // 9×8 = 72 px > 64-bit capacity → null hash, row survives
+      (3L, 9, 8, Seq.tabulate(72)(i => g(i % 256)))
+    ).toDF("id", "w", "h", "px")
+    val png = graft.operators.Multimodal.encodePngBatched(rows, "id", "w", "h", "px")
+    val out = graft.operators.Multimodal.decodeImageAHashBatched(png, "id", "png")
+      .orderBy("id").collect()
+    assert(out(0).getLong(3) === 8L && out(0).getLong(4) === 1L)
+    assert(out(1).getLong(3) === 0L && out(1).getLong(4) === 0L)
+    assert(out(2).isNullAt(3))
+    val junk = Seq((9L, "not a png".getBytes)).toDF("id", "payload")
+    val j = graft.operators.Multimodal.decodeImageAHashBatched(junk, "id", "payload").head()
+    assert(j.isNullAt(1) && j.isNullAt(3))
+  }
+
   test("real WAV codec: PCM round-trips through AudioSystem; format fields parsed") {
     val rows = Seq(
       (1L, Seq(0, 1000, -1000, 32767, -32768, 5)),

@@ -652,6 +652,17 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("w9 gaps-and-islands: windows and rollup all ride the user_id partitioning") {
+    val p = planOf("w9_gaps_islands")
+    // lag + running sum share one (user_id × day) sort; the final
+    // (user_id, island) group-by is satisfied by the user_id hash
+    // partitioning (subset rule) — the distinct is the only other
+    // exchange. More than 2 exchanges = a window re-partitioned.
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, p.take(2500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2500))
+  }
+
   test("j19: semi+anti with non-equi residuals stay HASH joins on l_orderkey") {
     val p = planOf("j19_sole_late_supplier")
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(2500))
