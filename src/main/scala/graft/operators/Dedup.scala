@@ -249,6 +249,33 @@ object Dedup {
       reference.select(md5(col(textCol)).as("__h")).distinct(),
       md5(df(textCol)) === col("__h"), "left_anti")
 
+  /** [[exactDedupAgainst]] through a BLOOM PRE-FILTER — the 100 TB shape
+    * for "new batch vs at-rest corpus": the reference's content-hash
+    * Bloom bits broadcast everywhere (≈ m/8 bytes total — megabytes for
+    * billions of docs, vs an anti-join whose reference side is the
+    * full hash column), rows failing ANY bit are DEFINITELY novel
+    * (Bloom has no false negatives) and bypass the join entirely; only
+    * the maybe-set — true dups plus the FP-rate sliver — pays the
+    * anti-join. The result is EXACTLY exactDedupAgainst's (the d14
+    * oracle-equality claim): the filter is lossless pruning, never a
+    * correctness trade. At the default m=2²⁰/k=4 and 1M reference
+    * docs the FP rate is ≈ (1−e^(−4/1.05))⁴ ≈ 0.9 — size m ≈ 10–15
+    * bits/doc for the classic ~0.1–1% (the m parameter exists for
+    * exactly that). */
+  def exactDedupAgainstBloom(
+      df: DataFrame, reference: DataFrame, idCol: String, textCol: String,
+      m: Int = 1 << 20, k: Int = 4): DataFrame = {
+    val refH = reference.select(md5(col(textCol)).as("__rh")).distinct()
+    val bloom = BloomSet.build(refH, "__rh", m, k)
+    val flagged = BloomSet.mightContain(
+      df.withColumn("__h", md5(col(textCol))), "__h", bloom, m, k, "__maybe")
+    val definitelyNovel = flagged.filter(!col("__maybe"))
+    val verified = flagged.filter(col("__maybe"))
+      .join(refH, col("__h") === col("__rh"), "left_anti")
+    definitelyNovel.unionByName(verified)
+      .drop("__h", "__maybe")
+  }
+
   /** Cross-corpus NEAR-dup verdicts — MinHash-LSH against a REFERENCE
     * corpus instead of a self-join: new docs bucket-join the reference's
     * band buckets, exact shingle-Jaccard confirms, and each new doc gets

@@ -54,6 +54,33 @@ object EventOps {
           rightValueCols.map(c => col(s"__match.$c").as(c)): _*)
   }
 
+  /** [[asofJoin]] with a STALENESS TOLERANCE — the sensor-fusion /
+    * quote-matching variant: the latest preceding right row counts only
+    * while it is at most `toleranceSeconds` old; a staler match is as
+    * good as none (a trade must not pair with yesterday's quote).
+    * Same single-exchange merge; the tolerance is a scan-side
+    * post-projection that nulls every right value on stale matches, so
+    * the staleness gate costs nothing at any scale. `rightSecCol` must
+    * be one of `rightValueCols` (the matched row's epoch seconds);
+    * `leftSecCol` is the left row's epoch seconds. */
+  def asofJoinWithin(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String,
+      leftTieCol: String, rightTieCol: String,
+      rightValueCols: Seq[String],
+      leftSecCol: String, rightSecCol: String,
+      toleranceSeconds: Long): DataFrame = {
+    require(rightValueCols.contains(rightSecCol),
+      s"rightSecCol $rightSecCol must ride in rightValueCols")
+    val joined = asofJoin(left, right, keyCol,
+      leftTsCol, rightTsCol, leftTieCol, rightTieCol, rightValueCols)
+    val stale = col(rightSecCol).isNull ||
+      (col(leftSecCol) - col(rightSecCol) > toleranceSeconds)
+    rightValueCols.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
+    }
+  }
+
   /** Gap-based sessionization: a session starts at any row ≥ `gapSeconds`
     * after its key's previous row (boundary-inclusive: a gap of EXACTLY
     * `gapSeconds` continues the session). Emits one row per session:

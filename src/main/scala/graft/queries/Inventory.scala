@@ -511,6 +511,34 @@ object Inventory {
         (col("sec") - col("p_sec")).as("gap_s"))
   }
 
+  /** J21: as-of join WITH STALENESS TOLERANCE
+    * ([[graft.operators.EventOps.asofJoinWithin]]) — j8's merge where a
+    * purchase older than 1 hour no longer explains a click (the
+    * trade-vs-quote rule). Same one-exchange union-merge; the tolerance
+    * is a free scan-side null-out, so the gated variant costs exactly
+    * what j8 costs at any scale. */
+  val j21AsofTolerance: Q = (s, d) => {
+    val ev = events(s, d)
+    val sec = unix_timestamp(eventTs(ev))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), sec.as("sec"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"), sec.as("p_sec"))
+    graft.operators.EventOps.asofJoinWithin(
+      clicks, purchases, "user_id",
+      leftTsCol = "ts", rightTsCol = "ts",
+      leftTieCol = "event_id", rightTieCol = "purchase_id",
+      rightValueCols = Seq("purchase_id", "p_sec"),
+      leftSecCol = "sec", rightSecCol = "p_sec",
+      toleranceSeconds = 3600L)
+      .select(
+        col("event_id").as("click_id"),
+        col("user_id"),
+        col("purchase_id"),
+        (col("sec") - col("p_sec")).as("gap_s"))
+  }
+
   /** W4: gap-based sessionization — the canonical event-stream operator
     * Spark has no primitive for: a session starts at any event ≥ 30 min
     * after its user's previous one. lag → boundary flag → running sum
@@ -1268,6 +1296,7 @@ object Inventory {
     "a10_rollup" -> a10Rollup,
     "w3_event_deltas" -> w3EventDeltas,
     "j8_asof_join" -> j8AsofJoin,
+    "j21_asof_tolerance" -> j21AsofTolerance,
     "w4_sessionization" -> w4Sessionization,
     "a11_percentiles" -> a11Percentiles,
     "w5_rolling_counts" -> w5RollingCounts,
@@ -1576,6 +1605,20 @@ object Inventory {
         |FROM events""".stripMargin,
     "j8_asof_join" ->
       """SELECT event_id AS click_id, user_id, purchase_id, sec - p_sec AS gap_s
+        |FROM (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) // 1000000 AS sec,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+        |      OVER w AS purchase_id,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) // 1000000 END IGNORE NULLS)
+        |      OVER w AS p_sec
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) t
+        |WHERE event_type = 'click'""".stripMargin,
+    "j21_asof_tolerance" ->
+      """SELECT event_id AS click_id, user_id,
+        |       CASE WHEN sec - p_sec <= 3600 THEN purchase_id END AS purchase_id,
+        |       CASE WHEN sec - p_sec <= 3600 THEN sec - p_sec END AS gap_s
         |FROM (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) // 1000000 AS sec,
         |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)

@@ -173,6 +173,22 @@ object LlmInventory {
       .select("doc_id")
   }
 
+  /** d14: d12's sweep through the BLOOM PRE-FILTER
+    * ([[Dedup.exactDedupAgainstBloom]]) — the oracle is d12's anti-join
+    * SQL verbatim, so the hash match is the LOSSLESSNESS proof: rows the
+    * broadcast Bloom clears as definitely-novel (no false negatives)
+    * skip the join, the maybe-set verifies exactly, the union equals
+    * the plain anti-join bit-for-bit. m sized tight (2¹⁴ over ~50
+    * reference docs) so both branches are genuinely exercised. */
+  val d14BloomDedupAgainst: Q = (s, d) => {
+    val docs = documents(s, d)
+    Dedup.exactDedupAgainstBloom(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+      m = 1 << 14, k = 4)
+      .select("doc_id")
+  }
+
   /** d13: cross-corpus NEAR-dup verdicts ([[Dedup.nearDupAgainst]], md5
     * family): each new doc (doc_id % 10 ≠ 0) gets (dup_of, is_dup)
     * against the reference slice via band-bucket join + exact
@@ -1316,6 +1332,7 @@ object LlmInventory {
     "t6_quality_filter" -> t6QualityFilter,
     "t25_curate_funnel" -> t25CurateFunnel,
     "d12_exact_dedup_against" -> d12ExactDedupAgainst,
+    "d14_bloom_dedup_against" -> d14BloomDedupAgainst,
     "d13_neardup_against" -> d13NearDupAgainst,
     "d6_simhash" -> d6Simhash,
     "d7_embedding_near_dup" -> d7EmbeddingNearDup,
@@ -1487,6 +1504,14 @@ object LlmInventory {
         |       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
         |FROM documents""".stripMargin,
     "d12_exact_dedup_against" ->
+      """SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id % 10 <> 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents r
+        |    WHERE r.doc_id % 10 = 0 AND md5(r.text) = md5(d.text))""".stripMargin,
+    // d14 == d12 by CLAIM: the oracle is the plain anti-join — matching
+    // it proves the Bloom pruning lossless
+    "d14_bloom_dedup_against" ->
       """SELECT d.doc_id FROM documents d
         |WHERE d.doc_id % 10 <> 0
         |  AND NOT EXISTS (

@@ -55,6 +55,22 @@ class SessionAsofSpec extends AnyFunSuite {
     assert(out(7L) == ((6L, 100L)))          // now it does
   }
 
+  test("j21: a match older than the tolerance nulls out; a fresh one survives") {
+    val d = eventsDir(Seq(
+      (1L, 100L, 1L, "purchase"),
+      (2L, 3700L, 1L, "click"),   // gap 3600 — boundary-inclusive, kept
+      (3L, 3701L, 1L, "click"),   // gap 3601 — stale, nulled
+      (4L, 4000L, 1L, "purchase"),
+      (5L, 4010L, 1L, "click")))  // gap 10 — fresh again
+    val out = Inventory.j21AsofTolerance(spark, d)
+      .collect().map(r => r.getLong(0) -> ((
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out(2L) == ((1L, 3600L)))
+    assert(out(3L) == ((-1L, -1L)))
+    assert(out(5L) == ((4L, 10L)))
+  }
+
   test("EventOps.asofJoin ≡ naive max-lookup join on random data with ts collisions") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

@@ -583,6 +583,30 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(est > 100.0 && est < 260.0, s"estimate $est wildly off exact 160")
   }
 
+  test("exactDedupAgainstBloom: equals the plain anti-join; both branches exercised") {
+    import graft.operators.{BloomSet, Dedup}
+    val ref = (0L until 60L).map(i => (i, s"shared text $i")).toDF("doc_id", "text")
+    val fresh = ((100L until 130L).map(i => (i, s"novel text $i")) ++
+      (130L until 150L).map(i => (i, s"shared text ${i - 130}"))).toDF("doc_id", "text")
+    val viaBloom = Dedup.exactDedupAgainstBloom(
+      fresh, ref, "doc_id", "text", m = 256, k = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val plain = Dedup.exactDedupAgainst(fresh, ref, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom === plain)
+    assert(viaBloom === (100L until 130L).toSet)
+    // at m=256/k=2 over 60 refs the filter is ~37% full: the maybe-set
+    // must exceed the 20 true dups (false positives flow to the verify
+    // join) while some rows still short-circuit as definitely-novel
+    val bloom = BloomSet.build(
+      ref.select(md5(col("text")).as("__rh")).distinct(), "__rh", 256, 2)
+    val flags = BloomSet.mightContain(
+      fresh.withColumn("__h", md5(col("text"))), "__h", bloom, 256, 2, "maybe")
+    val nMaybe = flags.filter(col("maybe")).count()
+    assert(nMaybe >= 20, s"all 20 true dups must flag maybe: $nMaybe")
+    assert(nMaybe < 50, s"some novel rows must short-circuit: $nMaybe")
+  }
+
   test("HllRegisters: partition-order-invariant, merge = max, estimate within rate") {
     import graft.operators.Sketches
     // 5000 distinct strings across 7 partitions vs one partition: the
