@@ -374,4 +374,50 @@ object Sampling {
       out
     } finally parted.unpersist(blocking = false)
   }
+
+  /** Temperature-flattened (α) mixture rates — the multilingual /
+    * multi-source balancing primitive behind mC4 / XLM-R "exponential
+    * smoothing": sample stratum s with probability ∝ count_s^α, α < 1
+    * flattening the head so low-resource strata survive. Expressed as
+    * PER-ROW keep rates with max-retention normalization — the smallest
+    * stratum keeps everything, rate_s = (c_min / c_s)^(1−α) — so the
+    * flattened corpus is as large as the target composition allows (any
+    * further global down-scaling composes via [[deterministicSample]]
+    * thanks to hash nesting). Counts aggregate with map-side partials to
+    * |strata| rows before the collect — bounded by the stratum
+    * vocabulary (languages, sources), never the corpus. NULL strata are
+    * skipped and fall to [[stratifiedSample]]'s default rate.
+    *
+    * α = 0.5 takes a bit-stable path: rate = sqrt(c_min/c_s) is one IEEE
+    * division + one IEEE sqrt, both correctly rounded on every platform,
+    * so the rates (and the 16-bit [[boundaryHex]] thresholds derived
+    * from them) are engine-reproducible — the path the driver oracle
+    * checks. General α goes through `math.pow`, whose last ulp is
+    * libm-specific: fine for production sampling, not for cross-engine
+    * bit-parity. */
+  def alphaMixtureRates(
+      df: DataFrame, stratumCol: String, alpha: Double): Map[String, Double] = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of [0,1]: $alpha")
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .filterNot(_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "no non-null strata to mix")
+    val cmin = counts.values.min.toDouble
+    counts.map { case (s, c) =>
+      s -> (if (alpha == 0.5) math.sqrt(cmin / c.toDouble)
+            else math.pow(cmin / c.toDouble, 1.0 - alpha))
+    }
+  }
+
+  /** [[alphaMixtureRates]] composed with [[stratifiedSample]]: one
+    * bounded count aggregation, then a pure codegen'd per-row predicate
+    * — no shuffle of the data side, no join below the CASE-chain
+    * threshold, no RNG. */
+  def alphaMixtureSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      alpha: Double): DataFrame =
+    stratifiedSample(df, idCol, stratumCol,
+      alphaMixtureRates(df, stratumCol, alpha))
 }

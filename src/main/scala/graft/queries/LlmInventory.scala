@@ -746,6 +746,27 @@ object LlmInventory {
       Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 1.0))
       .select(col("doc_id"), col("source"), col("rep").cast("long").as("rep"))
 
+  /** t40: temperature-flattened language mixture
+    * ([[Sampling.alphaMixtureRates]] at α = 0.5, composed through
+    * [[Sampling.stratifiedSample]]) — the mC4 / XLM-R exponential-
+    * smoothing resample: keep rate (c_min/c_lang)^(1−α), so the
+    * smallest language survives whole and the 'en' head is flattened
+    * toward the α-tempered composition. α = 0.5 keeps every derived
+    * float bit-stable (one IEEE division + one IEEE sqrt, both
+    * correctly rounded in any engine), which makes the per-language
+    * 16-bit hash thresholds — and therefore the SELECTED ROW SET —
+    * oracle-reproducible. The emitted keep_rate is the same
+    * division+sqrt in both engines. */
+  val t40AlphaMixture: Q = (s, d) => {
+    val docs = documents(s, d)
+    val rates = Sampling.alphaMixtureRates(docs, "lang", 0.5)
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (k, v)) => when(col("lang") === k, lit(v)).otherwise(acc)
+    }
+    Sampling.stratifiedSample(docs, "doc_id", "lang", rates)
+      .select(col("doc_id"), col("lang"), rateCol.as("keep_rate"))
+  }
+
   /** t26: per-language length terciles ([[Sampling.scoreBuckets]] — the
     * CCNet head/middle/tail split shape on an exact integer score): each
     * doc lands in its language's token-count tercile via the
@@ -1386,6 +1407,7 @@ object LlmInventory {
     "t15_winnow_fingerprint" -> t15WinnowFingerprint,
     "t16_source_cap" -> t16SourceCap,
     "t17_mixture_upsample" -> t17MixtureUpsample,
+    "t40_alpha_mixture" -> t40AlphaMixture,
     "t26_length_terciles" -> t26LengthTerciles,
     "d11_chunk_dedup" -> d11ChunkDedup,
     "t35_cdc_dedup" -> t35CdcDedup,
@@ -2877,6 +2899,24 @@ object LlmInventory {
         |SELECT doc_id, source, r.rep
         |FROM t CROSS JOIN range(1, 8) r(rep)
         |WHERE r.rep <= n_copies""".stripMargin,
+    // α=0.5 keep rate sqrt(cmin/c): IEEE div + IEEE sqrt, both correctly
+    // rounded — then the 16-bit boundary replays boundaryHex (round to
+    // 65536 buckets; a full-rate stratum gets 'g', which sorts after all
+    // hex, matching the Spark side's all-inclusive threshold)
+    "t40_alpha_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT min(n) AS cmin FROM c),
+        |r AS (SELECT lang, sqrt(CAST(cmin AS DOUBLE) / CAST(n AS DOUBLE)) AS keep_rate
+        |      FROM c, m),
+        |bd AS (SELECT lang, keep_rate,
+        |              CASE WHEN CAST(round(keep_rate * 65536) AS BIGINT) >= 65536
+        |                   THEN 'g'
+        |                   ELSE lpad(lower(to_hex(CAST(round(keep_rate * 65536) AS BIGINT))), 4, '0')
+        |              END AS bound
+        |       FROM r)
+        |SELECT d.doc_id, d.lang, bd.keep_rate
+        |FROM documents d JOIN bd USING (lang)
+        |WHERE substr(md5(d.doc_id::VARCHAR), 1, 4) < bound""".stripMargin,
     // rebuild the 10-token chunking (generate_series + list_slice), replay
     // the globally-first-occurrence rule (window row_number ordered by
     // (doc, idx) — equals Spark's min-struct over the hash group), and

@@ -344,6 +344,30 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(third === half)
   }
 
+  test("Sampling.alphaMixtureRates: α=0.5 flattens the head via exact sqrt; α=1 is identity") {
+    import graft.operators.Sampling
+    // skewed strata: 2000 / 500 / 125 — exact power-of-4 ratios so the
+    // α=0.5 rates are exact binary fractions (1/4, 1/2, 1)
+    val rows = ((0L until 2000L).map((_, "big")) ++
+        (2000L until 2500L).map((_, "mid")) ++
+        (2500L until 2625L).map((_, "small"))).toDF("id", "dom")
+    val rates = Sampling.alphaMixtureRates(rows, "dom", 0.5)
+    assert(rates === Map("big" -> 0.25, "mid" -> 0.5, "small" -> 1.0))
+    // α=1 (no tempering): every stratum keeps everything
+    assert(Sampling.alphaMixtureRates(rows, "dom", 1.0).values.forall(_ === 1.0))
+    val kept = Sampling.alphaMixtureSample(rows, "id", "dom", 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDom = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDom("small") === 125) // smallest stratum survives whole
+    assert(byDom("mid") > 180 && byDom("mid") < 320)   // ~250
+    assert(byDom("big") > 400 && byDom("big") < 600)   // ~500: head flattened 4×
+    // nesting with the plain sampler (same hash stream at the same rate)
+    val flat = Sampling.deterministicSample(
+      rows.filter(col("dom") === "big"), "id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.filter(_._2 == "big").map(_._1).toSet === flat)
+  }
+
   test("tokenBudgetSelect: deterministic prefix under the budget, ties by id, partition-independent") {
     import graft.operators.Sampling
     // priority ties everywhere: selection must fall back to id order
