@@ -142,6 +142,45 @@ object HexUtil {
         s.toString, java.text.Normalizer.Form.NFC)) 1 else 0
   }
 
+  /** Character-distribution stats in ONE codepoint walk —
+    * `[n_codepoints, n_distinct, top_count, collision_sum]` where
+    * `collision_sum = Σ c·(c−1)` over per-codepoint counts. The quality
+    * signals every curation pass derives from these are rational:
+    * top-char fraction (`top/n`, boilerplate and ASCII-art pages) and
+    * the Simpson repeat probability (`Σc(c−1) / n(n−1)`, the
+    * entropy-class repetition gate without the cross-engine libm hazard
+    * of an actual `log`) — all-integer numerators, ONE IEEE division
+    * each downstream, so the whole report is engine-bit-reproducible.
+    * Scan-side kernel: no per-char explode row blowup (the composed
+    * alternative shuffles one row per CHARACTER — at 100 TB that is the
+    * difference between a projection and a corpus-sized exchange). */
+  def charStats(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val counts = new java.util.HashMap[Integer, Array[Int]]()
+    var n = 0L
+    if (s != null) {
+      val str = s.toString
+      var i = 0
+      val len = str.length
+      while (i < len) {
+        val cp = str.codePointAt(i)
+        i += Character.charCount(cp)
+        n += 1
+        val slot = counts.get(cp)
+        if (slot == null) counts.put(cp, Array(1)) else slot(0) += 1
+      }
+    }
+    var top = 0L
+    var coll = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0).toLong
+      if (c > top) top = c
+      coll += c * (c - 1L)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(n, counts.size.toLong, top, coll))
+  }
+
   /** Spread the low 31 bits of `x` into the even bit positions of a long
     * (the Morton/Z-order bit dilation). */
   def mortonSpread(x0: Long): Long = {

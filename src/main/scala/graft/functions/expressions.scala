@@ -50,6 +50,21 @@ case class CjkCodepointCount(child: Expression) extends UnaryExpression {
   override def prettyName: String = "cjk_codepoint_count"
 }
 
+/** Codegen'd single-pass character-distribution stats
+  * ([[HexUtil.charStats]]): `[n_codepoints, n_distinct, top_count,
+  * Σc(c−1)]` — the integer numerators of the top-char-fraction and
+  * Simpson-repeat quality gates, computed without a per-character
+  * explode. */
+case class CharStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    HexUtil.charStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HexUtil.charStats($c)")
+  override protected def withNewChildInternal(c: Expression): CharStats = copy(c)
+  override def prettyName: String = "char_stats"
+}
+
 /** Codegen'd Unicode NFC normalization ([[HexUtil.nfcNormalize]]) — the
   * canonical-composition preprocessing pass (tokenizers, dedup keys,
   * decontamination all assume one byte sequence per grapheme). */
@@ -511,6 +526,8 @@ object GraftFunctions {
   def hex_popcount(c: Column): Column = col(HexPopcount(expr(c)))
   def hex_byte_length(c: Column): Column = col(HexByteLength(expr(c)))
   def cjk_codepoint_count(c: Column): Column = col(CjkCodepointCount(expr(c)))
+  /** `[n_codepoints, n_distinct, top_count, Σc(c−1)]` in one walk. */
+  def char_stats(c: Column): Column = col(CharStats(expr(c)))
   def safe_long(c: Column): Column = col(SafeLong(expr(c)))
   /** Garbage → NULL variant for `coalesce(safe_long_null(x), fallback)` —
     * the reference's `safe_int(x, fallback)` row-specific-default shape. */
@@ -587,6 +604,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("hex_popcount", es => HexPopcount(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("hex_byte_length", es => HexByteLength(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cjk_codepoint_count", es => CjkCodepointCount(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("char_stats", es => CharStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("safe_long", es => SafeLong(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("safe_long_null", es => SafeLong(es.head, failToNull = true), "scala_udf")
     reg.createOrReplaceTempFunction("canonical_json_hash16", es => CanonicalJsonHash16(es.head), "scala_udf")

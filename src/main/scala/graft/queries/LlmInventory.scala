@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables._
-import graft.functions.GraftFunctions.nfc_normalize
+import graft.functions.GraftFunctions.{char_stats, nfc_normalize}
 import graft.operators.{BloomSet, Classifier, Decontam, Dedup, Importance, LmScore, Multimodal, Pii, Sampling, Similarity, Sketches, Skew, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1245,6 +1245,32 @@ object LlmInventory {
   val t38Readability: Q = (s, d) =>
     TextAnalysis.readability(documents(s, d), "doc_id", "text")
 
+  /** t41: character-diversity quality gate ([[graft.functions.CharStats]]
+    * — one codegen'd codepoint walk per row, NO per-character explode):
+    * top-char fraction (ASCII-art / separator-page detector) and the
+    * Simpson repeat probability Σc(c−1)/n(n−1) — the entropy-class
+    * repetition signal with all-integer numerators and exactly one IEEE
+    * division per output, so the report is bit-reproducible against the
+    * oracle's per-char GROUP BY mirror. At 100 TB the kernel is a
+    * projection; the mirror's explode shape (one row per CHARACTER)
+    * is what this expression exists to avoid. */
+  val t41CharDiversity: Q = (s, d) => {
+    val cs = col("cs")
+    val n = element_at(cs, 1)
+    documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), char_stats(col("text")).as("cs"))
+      .select(
+        col("doc_id"),
+        n.as("n_cp"),
+        element_at(cs, 2).as("n_distinct"),
+        element_at(cs, 3).as("top_cnt"),
+        (element_at(cs, 3).cast("double") / n.cast("double")).as("top_frac"),
+        when(n > 1,
+          element_at(cs, 4).cast("double") / (n * (n - lit(1))).cast("double"))
+          .as("simpson"))
+  }
+
   /** t39: asymmetric CONTAINMENT pairs — quote/subset detection, the
     * directional cousin of d8's Jaccard verify: c(A→B) = |A∩B| / |A|
     * catches a short doc quoted inside a long one that symmetric Jaccard
@@ -1415,6 +1441,7 @@ object LlmInventory {
     "t37_fuzzy_pairs" -> t37FuzzyPairs,
     "t38_readability" -> t38Readability,
     "t39_containment_pairs" -> t39ContainmentPairs,
+    "t41_char_diversity" -> t41CharDiversity,
     "a18_sampled_quantiles" -> a18SampledQuantiles,
     "t21_classifier_score" -> t21ClassifierScore,
     "t22_tfidf_topterms" -> t22TfidfTopTerms,
@@ -2899,6 +2926,26 @@ object LlmInventory {
         |SELECT doc_id, source, r.rep
         |FROM t CROSS JOIN range(1, 8) r(rep)
         |WHERE r.rep <= n_copies""".stripMargin,
+    // the per-char GROUP BY mirror of the single-pass CharStats kernel:
+    // string_split(text,'') is codepoint-aware in DuckDB, matching the
+    // kernel's codePointAt walk; integer numerators, one division each
+    "t41_char_diversity" ->
+      """WITH ch AS (
+        |  SELECT doc_id, u.c
+        |  FROM documents d, unnest(string_split(d.text, '')) u(c)
+        |  WHERE length(d.text) > 0),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_cp,
+        |               CAST(count(*) AS BIGINT) AS n_distinct,
+        |               CAST(max(k) AS BIGINT) AS top_cnt,
+        |               CAST(sum(k * (k - 1)) AS BIGINT) AS coll
+        |        FROM cnt GROUP BY 1)
+        |SELECT doc_id, n_cp, n_distinct, top_cnt,
+        |       CAST(top_cnt AS DOUBLE) / CAST(n_cp AS DOUBLE) AS top_frac,
+        |       CASE WHEN n_cp > 1
+        |            THEN CAST(coll AS DOUBLE) / CAST(n_cp * (n_cp - 1) AS DOUBLE)
+        |       END AS simpson
+        |FROM agg""".stripMargin,
     // α=0.5 keep rate sqrt(cmin/c): IEEE div + IEEE sqrt, both correctly
     // rounded — then the 16-bit boundary replays boundaryHex (round to
     // 65536 buckets; a full-rate stratum gets 'g', which sorts after all

@@ -50,6 +50,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(HexUtil.cjkCodepointCount(u("中文全部都是汉字")) === 8)
   }
 
+  test("charStats: one-walk [n, distinct, top, Σc(c−1)] matches a naive codepoint histogram") {
+    def oracle(s: String): Seq[Long] = {
+      val cps = s.codePoints().toArray.toSeq
+      val h = cps.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      Seq(cps.size.toLong, h.size.toLong,
+        if (h.isEmpty) 0L else h.values.max,
+        h.values.map(c => c * (c - 1L)).sum)
+    }
+    val rnd = new scala.util.Random(41)
+    val alphabet: Array[String] =
+      Array("a", "a", "b", "é", "汉", "😀", " ", "\n", "0", "aaa", "..")
+    (1 to 300).foreach { _ =>
+      val s = (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(HexUtil.charStats(u(s)).toLongArray().toSeq === oracle(s), s"on ${s.take(40)}")
+    }
+    assert(HexUtil.charStats(u("")).toLongArray().toSeq === Seq(0L, 0L, 0L, 0L))
+    assert(HexUtil.charStats(null).toLongArray().toSeq === Seq(0L, 0L, 0L, 0L))
+    // astral chars count once (codepoint walk, not UTF-16 unit walk)
+    assert(HexUtil.charStats(u("😀😀")).toLongArray().toSeq === Seq(2L, 1L, 2L, 2L))
+  }
+
   test("hexByteLen = len//2 after 0x strip (data_column_sidecars.py:67-74)") {
     assert(HexUtil.hexByteLen(u("0xaabb")) === 2)
     assert(HexUtil.hexByteLen(u("aabb")) === 2)
