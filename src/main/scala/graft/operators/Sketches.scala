@@ -418,6 +418,105 @@ object Sketches {
     ExpressionUtils.column(
       MisraGries(ExpressionUtils.expression(value), capacity).toAggregateExpression())
 
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) — the point-query
+    * frequency table in O(d·w) space: counter[r][h_r(x)] += 1 per row,
+    * estimate(x) = min_r counter[r][h_r(x)], an OVERESTIMATE with error
+    * ≤ e·n/w at confidence 1−e^−d. Complements [[MisraGries]] (which
+    * keeps only the heavy entries): CM answers frequency queries for ANY
+    * key after the fact, which is what repetition-aware samplers and
+    * per-token frequency features want.
+    *
+    * The child is the row's PRE-HASHED position vector (d longs in
+    * [0,w), from [[cmPositions]]' md5-salted family) — hashing stays
+    * scan-side and engine-reproducible, the aggregate is pure integer
+    * vector adds. State is a fixed d·w long array per group: map-side
+    * partials ship one bounded vector per executor instead of a
+    * token-keyed shuffle, and merge is elementwise add — at 100 TB the
+    * frequency table costs one aggregation of constant-size state. */
+  case class CountMinCounters(
+      child: Expression, depth: Int, width: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] {
+    require(depth >= 1 && width >= 1, s"bad CM shape: $depth x $width")
+
+    override def createAggregationBuffer(): Array[Long] =
+      new Array[Long](depth * width)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        var r = 0
+        while (r < depth) {
+          val pos = arr.getLong(r)
+          buf(r * width + pos.toInt) += 1L
+          r += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+
+    override def eval(buf: Array[Long]): Any =
+      new GenericArrayData(buf.clone())
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+      bb.asLongBuffer().put(buf)
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val buf = new Array[Long](bytes.length / 8)
+      java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(buf)
+      buf
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(o: Int): CountMinCounters =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): CountMinCounters =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): CountMinCounters =
+      copy(child = c)
+    override def prettyName: String = "count_min_counters"
+  }
+
+  /** The CM hash family as a scan-side position vector: row r's position
+    * is the md5 of `"r#" || value`'s first 60 bits mod `width` — the
+    * salted-md5 construction every sketch in this file uses, replayable
+    * verbatim in the SQL oracle. */
+  def cmPositions(value: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map { r =>
+      md5Hash60(concat(lit(s"$r#"), value.cast("string"))) % width.toLong
+    }: _*)
+
+  /** Column API: build the flattened row-major d×w Count-Min counter
+    * array over [[cmPositions]] vectors (aggregate — use inside `agg`). */
+  def countMinCounters(positions: Column, depth: Int, width: Int): Column =
+    ExpressionUtils.column(
+      CountMinCounters(ExpressionUtils.expression(positions), depth, width)
+        .toAggregateExpression())
+
+  /** Point-query estimate against a built sketch column: min over the d
+    * rows of the counter at this value's position (1-based element_at
+    * into the flattened array). */
+  def cmEstimate(sketch: Column, value: Column, depth: Int, width: Int): Column = {
+    val pos = cmPositions(value, depth, width)
+    (0 until depth).map { r =>
+      element_at(sketch,
+        (lit(r.toLong * width) + element_at(pos, r + 1) + lit(1L)).cast("int"))
+    }.reduce(least(_, _))
+  }
+
   /** Heavy hitters per group: explode the per-group summary to
     * `(groupCols…, token, count_lb, rnk)`, top `k` by the summary's
     * lower-bound counts. Exact when the per-group vocabulary fits

@@ -887,6 +887,30 @@ object LlmInventory {
     exact.join(sk, Seq("lang")).orderBy("lang")
   }
 
+  /** a20: Count-Min frequency sketch ([[Sketches.CountMinCounters]], 4×256)
+    * over the corpus token stream — point-query estimates for the 30 most
+    * frequent tokens next to their exact counts (CM is an overestimate;
+    * at this width the top of the distribution is near-exact, the gauge
+    * the query exposes). Hashing is the salted-md5 family computed
+    * scan-side, the aggregate is bounded integer vector adds with
+    * map-side partials (one 8 KB state per executor, never a token-keyed
+    * shuffle), and the single-row sketch broadcasts into the probe — all
+    * integers, so the oracle replays the counters cell by cell. */
+  val a20CountMin: Q = (s, d) => {
+    val dep = 4; val w = 256
+    val toks = documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val sketch = toks.agg(
+      Sketches.countMinCounters(Sketches.cmPositions(col("tok"), dep, w), dep, w)
+        .as("cm"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok").asc).limit(30)
+    top.crossJoin(broadcast(sketch))
+      .select(col("tok"), col("exact_cnt"),
+        Sketches.cmEstimate(col("cm"), col("tok"), dep, w).as("cm_estimate"))
+  }
+
   /** a17: cross-corpus overlap via KMV sketch algebra
     * ([[Sketches.kmvPairwiseOverlap]]) — per-source-pair Jaccard of the
     * bigram sets estimated from bounded k-min sketches (no cross-source
@@ -1419,6 +1443,7 @@ object LlmInventory {
     "t34_selfchunk_dedup" -> t34SelfChunkDedup,
     "a9_kmv_distinct" -> a9KmvDistinct,
     "a19_hll_distinct" -> a19HllDistinct,
+    "a20_count_min" -> a20CountMin,
     "t19_pii_redact" -> t19PiiRedact,
     "t20_bloom_membership" -> t20BloomMembership,
     "m1_binary_meta" -> m1BinaryMeta,
@@ -1923,6 +1948,29 @@ object LlmInventory {
     // rho = 55 − bin-length of the remaining 54 bits (0 → 55); the
     // harmonic sum stays exact via the 2^(55−r) integer scaling, empty
     // buckets contribute 2^55 each
+    // counters replayed cell by cell: counter(r,c) = token instances
+    // hashing to c under salt r (same "r#" salted-md5-60 family), the
+    // estimate = min over the 4 rows at the probe token's positions
+    "a20_count_min" ->
+      """WITH tok AS (
+        |  SELECT u.w AS tok
+        |  FROM documents d, unnest(string_split(lower(d.text), ' ')) u(w)
+        |  WHERE u.w <> ''),
+        |ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM tok GROUP BY tok),
+        |pos AS (
+        |  SELECT ex.tok, r.r,
+        |         ('0x' || substr(md5(r.r::VARCHAR || '#' || ex.tok), 1, 15))::BIGINT % 256 AS c
+        |  FROM ex, range(4) r(r)),
+        |cnt AS (
+        |  SELECT p.r, p.c, sum(ex.exact_cnt) AS v
+        |  FROM ex JOIN pos p USING (tok) GROUP BY p.r, p.c),
+        |est AS (
+        |  SELECT p.tok, min(c2.v) AS cm_estimate
+        |  FROM pos p JOIN cnt c2 ON c2.r = p.r AND c2.c = p.c
+        |  GROUP BY p.tok),
+        |top AS (SELECT tok, exact_cnt FROM ex ORDER BY exact_cnt DESC, tok LIMIT 30)
+        |SELECT t.tok, t.exact_cnt, CAST(e.cm_estimate AS BIGINT) AS cm_estimate
+        |FROM top t JOIN est e USING (tok)""".stripMargin,
     "a19_hll_distinct" ->
       """WITH tok AS (
         |  SELECT lang, string_split(lower(text), ' ') AS toks FROM documents),

@@ -577,6 +577,36 @@ class TopKDedupSpec extends AnyFunSuite {
       s"MG error bound n/(capacity+1) violated: ${hh2.head}")
   }
 
+  test("CountMinCounters: estimates overestimate, exact when collision-free, merge across partitions") {
+    import graft.operators.Sketches
+    val dep = 4; val w = 64
+    val words = Seq.fill(10)("x") ++ Seq.fill(7)("y") ++ (1 to 20).map(i => s"w$i")
+    val df = spark.createDataset(scala.util.Random.shuffle(words)).repartition(5).toDF("tok")
+    val sketchRow = df.agg(
+      Sketches.countMinCounters(Sketches.cmPositions(col("tok"), dep, w), dep, w)
+        .as("cm"))
+    // total mass per row of the sketch == number of input rows (vector
+    // adds across 5 partitions lost nothing)
+    val flat = sketchRow.head().getSeq[Long](0)
+    assert(flat.size === dep * w)
+    (0 until dep).foreach { r =>
+      assert(flat.slice(r * w, (r + 1) * w).sum === words.size.toLong, s"row $r mass")
+    }
+    // point queries: >= truth always; == truth for the heavy keys at this
+    // load factor (37 keys over 4x64 cells — min over 4 rows dodges the
+    // occasional collision)
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val probes = df.distinct()
+      .crossJoin(broadcast(sketchRow))
+      .select(col("tok"), Sketches.cmEstimate(col("cm"), col("tok"), dep, w).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    probes.foreach { case (tok, est) =>
+      assert(est >= exact(tok), s"CM must overestimate: $tok")
+    }
+    assert(probes("x") === 10L)
+    assert(probes("y") === 7L)
+  }
+
   test("KmvMinHashes: k smallest DISTINCT values, ascending, across partition merges") {
     import graft.operators.Sketches
     // duplicates and shuffled arrival across 7 partitions must not matter
