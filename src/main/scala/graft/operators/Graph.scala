@@ -411,4 +411,56 @@ object Graph {
         col("cn").cast("double") /
           (col("deg_a") + col("deg_b") - col("cn")).cast("double"))
   }
+
+  /** Multi-source BFS hop distance — the graph-neighborhood expander
+    * (crawl frontiers, "within-k-hops of the seed set" retrieval,
+    * contamination blast radius): returns `(node, dist)` for every node
+    * reachable from `seeds` within `maxHops` directed hops, `dist` = the
+    * MINIMUM hop count (seeds at 0). Classic frontier iteration: each
+    * round joins only the CURRENT frontier against the edge list (one
+    * shuffle bounded by frontier × out-degree, never the whole distance
+    * vector) and anti-joins the seen set to keep newly reached nodes —
+    * BFS order makes the first sighting the minimum distance, so the
+    * result is exact integers with no re-relaxation. Early-exits when a
+    * frontier empties (the per-round `count()` the loop needs anyway).
+    *
+    * With `checkpoint = true` the growing seen set and each frontier are
+    * materialized `localCheckpoint`s and superseded copies are released
+    * per round — the [[pageRank]] lineage-cut contract; the returned
+    * frame is caller-owned (unpersist when done). */
+  def hopDistance(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int,
+      checkpoint: Boolean = false): DataFrame = {
+    require(maxHops >= 0, s"hopDistance: maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val seed0 = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+    var dist = if (checkpoint) seed0.localCheckpoint(eager = true) else seed0
+    var frontier = dist
+    var h = 0
+    var done = false
+    while (h < maxHops && !done) {
+      val reached = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+      val fresh0 = reached.join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(h + 1L))
+      val fresh = if (checkpoint) fresh0.localCheckpoint(eager = true) else fresh0
+      if (fresh.isEmpty) {
+        if (checkpoint) fresh.unpersist(blocking = false)
+        done = true
+      } else {
+        val next0 = dist.union(fresh)
+        if (checkpoint) {
+          val cp = next0.localCheckpoint(eager = true)
+          dist.unpersist(blocking = false)
+          if (frontier ne dist) frontier.unpersist(blocking = false)
+          dist = cp
+        } else dist = next0
+        frontier = fresh
+        h += 1
+      }
+    }
+    dist
+  }
 }

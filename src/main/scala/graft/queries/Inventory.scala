@@ -782,6 +782,27 @@ object Inventory {
       .orderBy(col("cn").desc, col("a").asc, col("b").asc)
       .limit(20)
 
+  /** G6: multi-source BFS hop distance ([[graft.operators.Graph
+    * .hopDistance]]) — customer 1's purchased parts as the seed set,
+    * expanded ≤3 hops through the (symmetrized) part co-occurrence
+    * graph: the market-basket neighborhood expander ("what's within k
+    * co-purchase hops of this basket"), and the same shape as crawl
+    * frontiers and contamination blast-radius sweeps. Frontier-only
+    * joins per round; exact integer distances, so the recursive-CTE
+    * oracle matches row-for-row. */
+  val g6HopDistance: Q = (s, d) => {
+    val co = partCooccurrence(s, d)
+    val undirected =
+      co.union(co.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = lineitem(s, d)
+      .join(orders(s, d).filter(col("o_custkey") === 1L),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("pk")).distinct()
+    graft.operators.Graph.hopDistance(
+      undirected, "src", "dst", seeds, "pk", maxHops = 3)
+      .select(col("node"), col("dist"))
+  }
+
   /** X4: EXCEPT ALL — multiset difference (each occurrence consumes one
     * match, unlike X1's set EXCEPT): day-1 user activity minus day-2,
     * multiplicity-aware. */
@@ -1327,6 +1348,7 @@ object Inventory {
     "g3_converged_pagerank" -> g3ConvergedPagerank,
     "g4_triangle_count" -> g4TriangleCount,
     "g5_common_neighbors" -> g5CommonNeighbors,
+    "g6_hop_distance" -> g6HopDistance,
     "c1_safe_long_hex" -> c1SafeLongHex,
     "c3_payload_hash" -> c3PayloadHash,
     "c4_popcount" -> c4Popcount,
@@ -1766,6 +1788,26 @@ object Inventory {
         |JOIN deg db ON db.node = e.b
         |LEFT JOIN cnt ON cnt.a = e.a AND cnt.b = e.b
         |ORDER BY cn DESC, e.a, e.b LIMIT 20""".stripMargin,
+    // BFS = min hop count: the recursive CTE enumerates (node, d) pairs
+    // breadth-first up to 3 hops over the symmetrized co-occurrence
+    // edges; min(d) per node equals the frontier iteration's first
+    // sighting. Seeds (customer 1's parts) sit at distance 0.
+    "g6_hop_distance" ->
+      """WITH RECURSIVE l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |       FROM l a JOIN l b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |seeds AS (
+        |  SELECT DISTINCT li.l_partkey AS pk
+        |  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+        |  WHERE o.o_custkey = 1),
+        |bfs(node, d) AS (
+        |  SELECT pk, 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.node
+        |  WHERE b.d < 3)
+        |SELECT node, CAST(min(d) AS BIGINT) AS dist FROM bfs GROUP BY node""".stripMargin,
     "j19_sole_late_supplier" ->
       """WITH late AS (
         |  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk

@@ -262,4 +262,29 @@ class GraphImportanceSpec extends AnyFunSuite {
     assert(r((1L, 3L))._2 == 0.5)
     assert(r((4L, 5L))._2 == 0.0)
   }
+
+  test("hopDistance: min hop counts on a path + branch graph; maxHops truncates; early exit") {
+    // 1→2→3→4→5 with a shortcut 1→4: dist(4) must be 1, not 3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("pk")
+    def run(k: Int, cp: Boolean = false) =
+      Graph.hopDistance(edges, "src", "dst", seeds, "pk", k, checkpoint = cp)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(10) === Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+    // truncation: within 1 hop only the direct neighbors appear
+    assert(run(1) === Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+    assert(run(0) === Map(1L -> 0L))
+    // checkpointed run returns the same frame (lineage cuts change nothing)
+    val cp = run(10, cp = true)
+    assert(cp === run(10))
+    // disconnected seed: nothing reachable, early exit leaves the seed row
+    val far = Graph.hopDistance(edges, "src", "dst", Seq(99L).toDF("pk"), "pk", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(far === Map(99L -> 0L))
+    // multi-source: min over seeds (5 is 1 hop from seed 4, 2 hops from seed 1... min wins)
+    val multi = Graph.hopDistance(edges, "src", "dst", Seq(1L, 4L).toDF("pk"), "pk", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi(5L) === 1L && multi(4L) === 0L && multi(2L) === 1L)
+  }
 }
