@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables._
 import graft.functions.GraftFunctions.{char_stats, nfc_normalize}
-import graft.operators.{BloomSet, Classifier, Decontam, Dedup, Importance, LmScore, Multimodal, Pii, Sampling, Similarity, Sketches, Skew, TextAnalysis}
+import graft.operators.{BloomSet, Classifier, Decontam, Dedup, Importance, LmScore, Multimodal, Pii, Sampling, Similarity, Sketches, Skew, TextAnalysis, UrlOps}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1269,6 +1269,35 @@ object LlmInventory {
   val t38Readability: Q = (s, d) =>
     TextAnalysis.readability(documents(s, d), "doc_id", "text")
 
+  /** t42: URL canonicalization ([[UrlOps.canonicalUrl]]/[[UrlOps.urlHost]])
+    * — the crawl-curation normalization before URL-level dedup and
+    * per-host caps: scheme/host lowercased, default port stripped,
+    * fragment dropped, `utm_*`/`gclid`/`fbclid` tracking params removed,
+    * duplicate slashes collapsed, trailing slash stripped. Documents
+    * carry no URL column, so the query synthesizes a deterministic messy
+    * URL per row (mixed-case scheme+host, default ports, `//` runs,
+    * trackers interleaved with real params, a fragment — keyed off
+    * doc_id so every branch of the normalizer is exercised), the t32
+    * augmentation pattern. Pure codegen'd regex built-ins; the oracle
+    * reruns the same char-class regexes under RE2. */
+  val t42UrlNormalize: Q = (s, d) => {
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 2 === 0, lit("HTTP://WWW.")).otherwise(lit("https://cdn.")),
+      col("source"), lit(".Example.COM"),
+      when(id % 2 === 0, lit(":80")).otherwise(lit(":443")),
+      lit("/Docs//"), col("lang"), lit("/p"), id.cast("string"),
+      when(id % 3 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&id="), id.cast("string"), lit("&utm_campaign=c1"),
+      when(id % 5 === 0, lit("&gclid=XYZ")).otherwise(lit("")),
+      lit("#Section-2"))
+    documents(s, d)
+      .select(id, url.as("url"))
+      .select(col("doc_id"), col("url"),
+        UrlOps.canonicalUrl(col("url")).as("canonical"),
+        UrlOps.urlHost(col("url")).as("host"))
+  }
+
   /** t41: character-diversity quality gate ([[graft.functions.CharStats]]
     * — one codegen'd codepoint walk per row, NO per-character explode):
     * top-char fraction (ASCII-art / separator-page detector) and the
@@ -1467,6 +1496,7 @@ object LlmInventory {
     "t38_readability" -> t38Readability,
     "t39_containment_pairs" -> t39ContainmentPairs,
     "t41_char_diversity" -> t41CharDiversity,
+    "t42_url_normalize" -> t42UrlNormalize,
     "a18_sampled_quantiles" -> a18SampledQuantiles,
     "t21_classifier_score" -> t21ClassifierScore,
     "t22_tfidf_topterms" -> t22TfidfTopTerms,
@@ -2974,6 +3004,50 @@ object LlmInventory {
         |SELECT doc_id, source, r.rep
         |FROM t CROSS JOIN range(1, 8) r(rep)
         |WHERE r.rep <= n_copies""".stripMargin,
+    // same synthesized messy URL, same canonicalization regexes under
+    // RE2 ('g' flag spelled out — Spark's regexp_replace is global by
+    // default, DuckDB's is not)
+    "t42_url_normalize" ->
+      """WITH u0 AS (
+        |  SELECT doc_id,
+        |         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'https://cdn.' END)
+        |         || source || '.Example.COM'
+        |         || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+        |         || '/Docs//' || lang || '/p' || doc_id::VARCHAR
+        |         || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        |         || '?utm_source=feed&id=' || doc_id::VARCHAR || '&utm_campaign=c1'
+        |         || (CASE WHEN doc_id % 5 = 0 THEN '&gclid=XYZ' ELSE '' END)
+        |         || '#Section-2' AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS s,
+        |         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
+        |         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+        |  FROM u0),
+        |q AS (
+        |  SELECT doc_id, url, s, rest,
+        |         CASE WHEN s = 'http' THEN regexp_replace(hp, ':80$', '')
+        |              WHEN s = 'https' THEN regexp_replace(hp, ':443$', '')
+        |              ELSE hp END AS host,
+        |         regexp_replace(regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+        |                                       '/{2,}', '/', 'g'),
+        |                        '/$', '') AS cpath,
+        |         regexp_extract(rest, '[?](.*)$', 1) AS qs
+        |  FROM p),
+        |c AS (
+        |  SELECT doc_id, url, s, host, cpath,
+        |         CASE WHEN qs = '' THEN ''
+        |              ELSE regexp_replace(regexp_replace('&' || qs,
+        |                     '&(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&]*', '', 'g'),
+        |                     '^&', '') END AS cq
+        |  FROM q)
+        |SELECT doc_id, url,
+        |       CASE WHEN s = '' THEN ''
+        |            ELSE s || '://' || host || cpath ||
+        |                 (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) END AS canonical,
+        |       host
+        |FROM c""".stripMargin,
     // the per-char GROUP BY mirror of the single-pass CharStats kernel:
     // string_split(text,'') is codepoint-aware in DuckDB, matching the
     // kernel's codePointAt walk; integer numerators, one division each

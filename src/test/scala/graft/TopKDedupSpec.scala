@@ -577,6 +577,36 @@ class TopKDedupSpec extends AnyFunSuite {
       s"MG error bound n/(capacity+1) violated: ${hh2.head}")
   }
 
+  test("UrlOps.canonicalUrl: case, ports, fragments, trackers, slash runs; non-URLs to empty") {
+    import graft.operators.UrlOps
+    val cases = Seq(
+      // scheme+host lowercase, :80 stripped for http, // collapsed,
+      // trailing slash stripped, utm_* dropped, fragment dropped
+      ("HTTP://WWW.Ex.COM:80/A//b/?utm_source=x&id=5&utm_campaign=y#top",
+        "http://www.ex.com/A/b?id=5", "www.ex.com"),
+      // :443 stripped only for https; path case preserved
+      ("https://Cdn.Ex.com:443/Path", "https://cdn.ex.com/Path", "cdn.ex.com"),
+      // non-default port survives; tracker-only query drops the '?'
+      ("http://ex.com:8080/?gclid=abc", "http://ex.com:8080", "ex.com:8080"),
+      // root with no path; no query
+      ("https://ex.com/", "https://ex.com", "ex.com"),
+      // :80 on https is NOT a default port — kept
+      ("https://ex.com:80/x", "https://ex.com:80/x", "ex.com:80"),
+      // fbclid in the middle; real params keep their order
+      ("http://ex.com/p?a=1&fbclid=Z&b=2", "http://ex.com/p?a=1&b=2", "ex.com"),
+      // not a URL at all
+      ("plain text", "", ""))
+    val df = cases.map(_._1).toDF("u")
+      .select(col("u"), UrlOps.canonicalUrl(col("u")).as("c"), UrlOps.urlHost(col("u")).as("h"))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(got === cases)
+    // idempotence: canonical(canonical(u)) == canonical(u)
+    val twice = cases.map(_._2).filter(_.nonEmpty).toDF("u")
+      .select(col("u"), UrlOps.canonicalUrl(col("u")).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    twice.foreach { case (u, c) => assert(u === c, s"not idempotent on $u") }
+  }
+
   test("CountMinCounters: estimates overestimate, exact when collision-free, merge across partitions") {
     import graft.operators.Sketches
     val dep = 4; val w = 64
