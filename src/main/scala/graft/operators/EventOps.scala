@@ -110,4 +110,45 @@ object EventOps {
         max(col("__sec")).as("end_s"))
       .withColumn("dur_s", col("end_s") - col("start_s"))
   }
+
+  /** Exponentially time-decayed counts — the freshness-weighted
+    * frequency every trending/recency feature wants: each event
+    * contributes `0.5^(age / halfLife)` with age quantized to whole
+    * `halfLifeDays`-day units as of `asOfDate`. The quantized weights
+    * are SCALED TO EXACT LONGS — `2^(maxUnits − k)` for k half-lives —
+    * so the aggregation is pure integer arithmetic (order-independent,
+    * map-side partials, bit-reproducible across engines and partition
+    * orders; a double sum here would hash-differently per run), and the
+    * decayed total is ONE correctly-rounded IEEE division at the end:
+    * `decayed_count = Σ 2^(maxUnits−k) / 2^maxUnits`. Events older than
+    * `maxUnits` half-lives contribute 0; future events clamp to weight
+    * 1. Emits `n_events`, the exact `decayed_scaled` long, and the
+    * derived `decayed_count` double. */
+  def decayedCounts(
+      df: DataFrame, keyCol: String, tsCol: String,
+      asOfDate: String, halfLifeDays: Int = 7, maxUnits: Int = 18): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1: $halfLifeDays")
+    // scaled weights must stay clear of Long overflow under the sum:
+    // 2^maxUnits per row * rows; 40 leaves 2^23 rows of headroom even
+    // for a single all-fresh key per partition-free integer sum
+    require(maxUnits >= 1 && maxUnits <= 40, s"maxUnits out of range: $maxUnits")
+    val units = floor(
+      datediff(lit(asOfDate).cast("date"), to_date(col(tsCol))) /
+        lit(halfLifeDays)).cast("long")
+    val scale = 1L << maxUnits
+    // exact CASE chain: k half-lives -> the long literal 2^(maxUnits-k)
+    df.withColumn("__units", when(units < 0L, lit(0L)).otherwise(units))
+      .withColumn("__w",
+        when(col("__units") > maxUnits.toLong, lit(0L))
+          .otherwise((0 to maxUnits).foldLeft(lit(0L)) { (acc, k) =>
+            when(col("__units") === k.toLong, lit(1L << (maxUnits - k)))
+              .otherwise(acc)
+          }))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("__w")).as("decayed_scaled"))
+      .withColumn("decayed_count",
+        col("decayed_scaled").cast("double") / lit(scale.toDouble))
+  }
 }

@@ -666,6 +666,22 @@ object Inventory {
       .agg(count(lit(1)).as("n_users"), sum("d7").as("retained_d7"))
   }
 
+  /** A21: exponentially time-decayed event counts
+    * ([[graft.operators.EventOps.decayedCounts]]) — freshness-weighted
+    * frequency per event type (half-life 7 days as of 2024-02-01). The
+    * quantized weights ride as exact scaled longs (2^(18−k)), so the
+    * aggregation is order-independent integer arithmetic and the
+    * decayed total is ONE IEEE division — hash-stable against the
+    * oracle's identical CASE chain (a double sum, or even a
+    * decimal→double cast, differs in the last ulp across engines —
+    * measured, not theoretical). */
+  val a21DecayedCounts: Q = (s, d) => {
+    val ev = events(s, d)
+    graft.operators.EventOps.decayedCounts(
+      ev.select(col("event_type"), eventTs(ev).as("ts")),
+      "event_type", "ts", asOfDate = "2024-02-01", halfLifeDays = 7)
+  }
+
   /** G1: PageRank over the event-type transition digraph
     * ([[graft.operators.Graph.pageRank]], exact mode) — the iterative
     * graph family (crawl-graph authority ranking at corpus scale):
@@ -1334,6 +1350,7 @@ object Inventory {
     "w7_first_touch" -> w7FirstTouch,
     "a15_funnel_conversion" -> a15FunnelConversion,
     "a16_retention_cohorts" -> a16RetentionCohorts,
+    "a21_decayed_counts" -> a21DecayedCounts,
     "g1_pagerank" -> g1Pagerank,
     "j14_returned_items" -> j14ReturnedItems,
     "j15_large_orders" -> j15LargeOrders,
@@ -1379,6 +1396,25 @@ object Inventory {
     * 0.15000000000000002, a last-ulp mismatch that survives to the
     * hash. */
   private def g1OracleSql: String = pagerankUnrolledSql(5, "SELECT node, rank FROM r5")
+
+  /** Exact 2^(18−k) scaled-long CASE chain for the a21 mirror — the
+    * same literals the operator's when-chain binds. */
+  private def decayCaseSql(maxUnits: Int): String =
+    (0 to maxUnits).map { k =>
+      s"WHEN u2 = $k THEN ${1L << (maxUnits - k)}"
+    }.mkString(" ")
+
+  private def a21OracleSql: String =
+    s"""WITH w AS (
+       |  SELECT event_type,
+       |         CAST(floor(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') / 7) AS BIGINT) AS u
+       |  FROM events),
+       |c AS (SELECT event_type, CASE WHEN u < 0 THEN 0 ELSE u END AS u2 FROM w)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(sum(CASE ${decayCaseSql(18)} ELSE 0 END) AS BIGINT) AS decayed_scaled,
+       |       CAST(sum(CASE ${decayCaseSql(18)} ELSE 0 END) AS DOUBLE)
+       |         / ${(1L << 18).toDouble} AS decayed_count
+       |FROM c GROUP BY event_type""".stripMargin
 
   /** Shared unrolled-CTE PageRank mirror: `n` literal iterations, then
     * `finalSelect` over r`n` — g1 uses 5; g3 uses 10 plus the literal
@@ -1684,6 +1720,7 @@ object Inventory {
         |      WHERE event_type = 'purchase') b
         |  ON c.value >= b.lo AND c.value <= b.hi
         |GROUP BY c.event_id""".stripMargin,
+    "a21_decayed_counts" -> a21OracleSql,
     "a16_retention_cohorts" ->
       """WITH first AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id),
         |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

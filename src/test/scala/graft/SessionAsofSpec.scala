@@ -179,4 +179,24 @@ class SessionAsofSpec extends AnyFunSuite {
     assert(out(((2L, 1L))) == ((1L, 0L)))
     assert(out.size == 3)
   }
+
+  test("EventOps.decayedCounts: 0.5^k per whole half-life, future clamps to 1, stale to 0") {
+    import spark.implicits._
+    import graft.operators.EventOps
+    // as-of 2024-02-01, half-life 2 days: ages 0,1 -> unit 0 (w=1);
+    // 2,3 -> unit 1 (w=.5); 4 -> unit 2 (w=.25); future -> clamp w=1;
+    // 100 days (unit 50 > maxUnits 18) -> w=0
+    val rows = Seq(
+      ("a", "2024-02-01"), ("a", "2024-01-31"), // unit 0 ×2
+      ("a", "2024-01-30"),                      // unit 1
+      ("a", "2024-01-28"),                      // unit 2
+      ("a", "2024-02-05"),                      // future → 1
+      ("b", "2023-10-24"))                      // ancient → 0
+      .toDF("k", "dt").select(col("k"), col("dt").cast("timestamp").as("ts"))
+    val got = EventOps.decayedCounts(rows, "k", "ts",
+      asOfDate = "2024-02-01", halfLifeDays = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(got("a") === ((5L, 1.0 + 1.0 + 0.5 + 0.25 + 1.0)))
+    assert(got("b") === ((1L, 0.0)))
+  }
 }
