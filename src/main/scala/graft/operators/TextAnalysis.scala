@@ -382,4 +382,26 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
   }
+
+  /** HTML boilerplate strip — the web-extraction pass crawl corpora run
+    * before any text statistic (tags and scripts otherwise dominate
+    * token counts, dedup shingles, and quality gates): script/style
+    * blocks drop whole, remaining tags become spaces (word boundaries
+    * survive `</p><p>`), the six ubiquitous entities decode (innermost
+    * first, `&amp;` LAST — the single-pass order that leaves `&amp;lt;`
+    * as the literal `&lt;` its author wrote), and whitespace runs
+    * collapse. A composition of codegen'd `regexp_replace`/`replace`
+    * built-ins — scan-side, no UDF, no parser state; every regex is
+    * lookaround-free so the identical patterns run under Java regex and
+    * RE2 (the whitespace class is spelled out, the t38 convention). */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noScript, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (e, v)) => replace(acc, lit(e), lit(v)) }
+    trim(regexp_replace(decoded, "[ \\t\\n\\x0B\\f\\r]+", " "))
+  }
 }

@@ -1298,6 +1298,27 @@ object LlmInventory {
         UrlOps.urlHost(col("url")).as("host"))
   }
 
+  /** t43: HTML boilerplate strip ([[TextAnalysis.stripHtml]]) — the
+    * web-extraction pass before any text statistic. Documents carry no
+    * markup, so the query wraps each text in a deterministic HTML
+    * envelope exercising every branch (style + script blocks with tags
+    * INSIDE string literals, attributes, all six entities, an
+    * entity-in-entity `&amp;` ordering case, newlines) and strips it
+    * back; the oracle reruns the same regex/replace chain under RE2.
+    * Scan-side codegen'd built-ins end to end. */
+  val t43HtmlStrip: Q = (s, d) => {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style type=\"text/css\">p{margin:0}</style></head><body>\n<h1 class=\"hd\">"),
+      col("source"), lit(" &amp; friends</h1>\n<p id='p1'>"),
+      col("text"),
+      lit("</p><p>1 &lt; 2 &gt; 0&nbsp;&quot;q&#39;s&quot;</p>\n<script>var x = \"<p>\";</script></body></html>"))
+    documents(s, d)
+      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"), TextAnalysis.stripHtml(col("html")).as("stripped"))
+      .withColumn("n_stripped", length(col("stripped")).cast("long"))
+  }
+
   /** t41: character-diversity quality gate ([[graft.functions.CharStats]]
     * — one codegen'd codepoint walk per row, NO per-character explode):
     * top-char fraction (ASCII-art / separator-page detector) and the
@@ -1497,6 +1518,7 @@ object LlmInventory {
     "t39_containment_pairs" -> t39ContainmentPairs,
     "t41_char_diversity" -> t41CharDiversity,
     "t42_url_normalize" -> t42UrlNormalize,
+    "t43_html_strip" -> t43HtmlStrip,
     "a18_sampled_quantiles" -> a18SampledQuantiles,
     "t21_classifier_score" -> t21ClassifierScore,
     "t22_tfidf_topterms" -> t22TfidfTopTerms,
@@ -3004,6 +3026,32 @@ object LlmInventory {
         |SELECT doc_id, source, r.rep
         |FROM t CROSS JOIN range(1, 8) r(rep)
         |WHERE r.rep <= n_copies""".stripMargin,
+    // identical envelope construction, then the identical strip chain:
+    // script/style drop, tags to spaces, the six entities (&amp; last),
+    // whitespace collapse — RE2 with explicit 'g', same char classes
+    "t43_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         '<html><head><title>Doc ' || doc_id::VARCHAR ||
+        |         '</title><style type="text/css">p{margin:0}</style></head><body>' || chr(10) ||
+        |         '<h1 class="hd">' || source || ' &amp; friends</h1>' || chr(10) ||
+        |         '<p id=''p1''>' || text ||
+        |         '</p><p>1 &lt; 2 &gt; 0&nbsp;&quot;q&#39;s&quot;</p>' || chr(10) ||
+        |         '<script>var x = "<p>";</script></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |         regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t
+        |       FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id,
+        |         replace(replace(replace(replace(replace(replace(t,
+        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+        |       FROM s2)
+        |SELECT doc_id,
+        |       trim(regexp_replace(t, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS stripped,
+        |       CAST(length(trim(regexp_replace(t, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS BIGINT) AS n_stripped
+        |FROM s3""".stripMargin,
     // same synthesized messy URL, same canonicalization regexes under
     // RE2 ('g' flag spelled out — Spark's regexp_replace is global by
     // default, DuckDB's is not)

@@ -198,4 +198,23 @@ class RepetitionDecontamSpec extends AnyFunSuite {
     assert(BloomSet.mightContain(fresh, "v", tiny, m = 1, k = 2)
       .filter(!col("might_contain")).count() === 0L)
   }
+
+  test("stripHtml: scripts/styles drop whole, tags become boundaries, entities decode once") {
+    import graft.operators.TextAnalysis
+    val cases = Seq(
+      // tag INSIDE a script string must not terminate the drop early;
+      // </p><p> must not weld words together
+      ("<p>one</p><p>two</p><script>var a=\"<p>\";</script>done", "one two done"),
+      ("<style>p{x:1}</style>A<STYLE media='x'>y</STYLE>B", "A B"),
+      // multiline script body, case-insensitive close tag
+      ("pre<script>\nline1\nline2\n</SCRIPT>post", "pre post"),
+      // entity decode order: &amp;lt; is the LITERAL '&lt;' its author wrote
+      ("1 &lt; 2 &amp; 3 &gt; 0, &quot;q&#39;s&quot;&nbsp;end &amp;lt;",
+        "1 < 2 & 3 > 0, \"q's\" end &lt;"),
+      ("  spaced\t\tout\n\n text  ", "spaced out text"),
+      ("no markup at all", "no markup at all"))
+    val got = cases.map(_._1).toDF("h")
+      .select(TextAnalysis.stripHtml(col("h"))).as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
 }
