@@ -84,4 +84,28 @@ object Layout {
     stats.filter(
       col(s"${which}_min").cast("double") <= hi &&
         col(s"${which}_max").cast("double") >= lo).count()
+
+  /** Bucketed at-rest layout — the SHUFFLE-FREE JOIN story for tables
+    * that join on the same key every day (fact↔fact reconciliation,
+    * ledger↔raw integrity checks): `bucketBy(n, key)` hash-partitions
+    * rows into `n` files per write and records the bucket spec in the
+    * catalog, so a join of two tables bucketed the same way reads
+    * co-located buckets directly — NO Exchange on either side, at any
+    * data size (the LayoutSpec gate asserts the plan). `sortBy` inside
+    * each bucket additionally drops the in-partition sort from
+    * sort-merge joins. Registered as an EXTERNAL table at `path`
+    * (bucketing metadata must live in a catalog; plain
+    * `.parquet(dir)` files cannot carry it). At 100 TB this is the
+    * difference between re-shuffling both fact tables per query and
+    * reading them joined in place — the same trade the reference's
+    * ClickHouse `ORDER BY` co-location makes. */
+  def writeBucketed(
+      df: DataFrame, table: String, path: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

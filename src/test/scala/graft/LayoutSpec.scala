@@ -49,4 +49,32 @@ class LayoutSpec extends AnyFunSuite {
     assert(zB * 2 <= linB, s"z-order b-prune not better: z=$zB linear=$linB")
     linStats.unpersist(); zStats.unpersist()
   }
+
+  test("bucketed co-located join: no Exchange on either side, results match the plain join") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    val left = (0L until 4000L).map(i => (i, i % 7)).toDF("id", "lv")
+    val right = (0L until 4000L by 2L).map(i => (i, i % 5)).toDF("id", "rv")
+    Layout.writeBucketed(left, "bk_left", s"$base/l", "id", buckets = 8)
+    Layout.writeBucketed(right, "bk_right", s"$base/r", "id", buckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bk_left").join(spark.table("bk_right"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      // the point of the layout: co-located buckets join in place — a
+      // SortMergeJoin with NO shuffle of either fact side
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // and it is still the same join
+      val got = joined.select("id", "lv", "rv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val expect = (0L until 4000L by 2L).map(i => (i, i % 7, i % 5)).sorted
+      assert(got === expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bk_left")
+      spark.sql("DROP TABLE IF EXISTS bk_right")
+    }
+  }
 }
