@@ -420,4 +420,37 @@ object Sampling {
       alpha: Double): DataFrame =
     stratifiedSample(df, idCol, stratumCol,
       alphaMixtureRates(df, stratumCol, alpha))
+
+  /** Deterministic WEIGHTED sampling without replacement — "pick the k
+    * docs, favoring high quality scores, the same way every run": each
+    * row draws `weight` hashes (md5 of `id#rep`) and keeps the MINIMUM
+    * as its priority key; the k smallest keys win. Pairwise this is
+    * exactly proportional selection — P(min of w uniforms < min of v
+    * uniforms) = w/(w+v) — the integer-arithmetic cousin of
+    * Efraimidis–Spirakis exponential keys, chosen here because every
+    * comparison is an exact 60-bit integer (E-S needs `ln`, whose last
+    * ulp is libm-specific — the one arithmetic class this codebase
+    * keeps out of oracle-checked paths). Weights clamp to
+    * [1, `maxWeight`]; the key is a per-row `array_min` over a
+    * `transform(sequence(...))` of codegen'd hashes — scan-side, no
+    * shuffle, no RNG, and the global top-k is a TakeOrdered, not a
+    * sort. Emits the key (`wkey`) for oracle replay. */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int,
+      maxWeight: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxWeight >= 1 && maxWeight <= 64, s"maxWeight out of range: $maxWeight")
+    require(!df.columns.contains("wkey"),
+      "input already has a column named wkey — rename it before weightedSample")
+    val w = least(greatest(coalesce(col(weightCol).cast("long"), lit(1L)), lit(1L)),
+      lit(maxWeight.toLong))
+    val key = array_min(transform(
+      sequence(lit(1L), w),
+      r => conv(substring(md5(
+        concat(col(idCol).cast("string"), lit("#"), r.cast("string"))), 1, 15),
+        16, 10).cast("long")))
+    df.withColumn("wkey", key)
+      .orderBy(col("wkey").asc, col(idCol).asc)
+      .limit(k)
+  }
 }

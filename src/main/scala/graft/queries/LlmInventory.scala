@@ -1298,6 +1298,20 @@ object LlmInventory {
         UrlOps.urlHost(col("url")).as("host"))
   }
 
+  /** t44: deterministic weighted sampling without replacement
+    * ([[Sampling.weightedSample]]) — quality-weighted corpus selection
+    * (longer docs more likely, capped at 16×) via the min-of-w-hashes
+    * priority key: pairwise-proportional selection with EXACT 60-bit
+    * integer comparisons (the E-S exponential-keys shape without the
+    * cross-engine `ln` hazard). Scan-side key, TakeOrdered top-k; the
+    * emitted wkey lets the oracle replay the whole draw. */
+  val t44WeightedSample: Q = (s, d) => {
+    val docs = documents(s, d).withColumn("weight",
+      greatest(lit(1L), least(lit(16L), floor(col("n_chars") / 50).cast("long"))))
+    Sampling.weightedSample(docs, "doc_id", "weight", k = 50)
+      .select(col("doc_id"), col("weight"), col("wkey"))
+  }
+
   /** t43: HTML boilerplate strip ([[TextAnalysis.stripHtml]]) — the
     * web-extraction pass before any text statistic. Documents carry no
     * markup, so the query wraps each text in a deterministic HTML
@@ -1519,6 +1533,7 @@ object LlmInventory {
     "t41_char_diversity" -> t41CharDiversity,
     "t42_url_normalize" -> t42UrlNormalize,
     "t43_html_strip" -> t43HtmlStrip,
+    "t44_weighted_sample" -> t44WeightedSample,
     "a18_sampled_quantiles" -> a18SampledQuantiles,
     "t21_classifier_score" -> t21ClassifierScore,
     "t22_tfidf_topterms" -> t22TfidfTopTerms,
@@ -3026,6 +3041,20 @@ object LlmInventory {
         |SELECT doc_id, source, r.rep
         |FROM t CROSS JOIN range(1, 8) r(rep)
         |WHERE r.rep <= n_copies""".stripMargin,
+    // min over the row's w salted hashes (the t17 bounded-range trick
+    // for the per-row draw count), then the global top-50 by key
+    "t44_weighted_sample" ->
+      """WITH wdf AS (
+        |  SELECT doc_id,
+        |         CAST(greatest(1, least(16, floor(n_chars / 50))) AS BIGINT) AS weight
+        |  FROM documents),
+        |keys AS (
+        |  SELECT doc_id, weight,
+        |         min(('0x' || substr(md5(doc_id::VARCHAR || '#' || r.r::VARCHAR), 1, 15))::BIGINT) AS wkey
+        |  FROM wdf CROSS JOIN range(1, 17) r(r)
+        |  WHERE r.r <= weight
+        |  GROUP BY doc_id, weight)
+        |SELECT doc_id, weight, wkey FROM keys ORDER BY wkey, doc_id LIMIT 50""".stripMargin,
     // identical envelope construction, then the identical strip chain:
     // script/style drop, tags to spaces, the six entities (&amp; last),
     // whitespace collapse — RE2 with explicit 'g', same char classes

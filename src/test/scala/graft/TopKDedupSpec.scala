@@ -368,6 +368,31 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(kept.filter(_._2 == "big").map(_._1).toSet === flat)
   }
 
+  test("Sampling.weightedSample: proportional selection, deterministic, partition-independent") {
+    import graft.operators.Sampling
+    // 5000 rows weight 8 vs 5000 weight 1: among the top-1000 keys the
+    // heavy group should win ~8/9 of slots (pairwise P = 8/(8+1))
+    val rows = (0L until 10000L).map(i => (i, if (i < 5000) 8L else 1L))
+      .toDF("id", "w")
+    val picked = Sampling.weightedSample(rows, "id", "w", k = 1000)
+      .select("id").as[Long].collect().toSet
+    val heavy = picked.count(_ < 5000L)
+    assert(heavy > 800 && heavy < 950, s"heavy share off: $heavy/1000")
+    // deterministic under repartitioning: same winners, any layout
+    val shuffled = Sampling.weightedSample(rows.repartition(13), "id", "w", k = 1000)
+      .select("id").as[Long].collect().toSet
+    assert(shuffled === picked)
+    // weight 1 everywhere degenerates to the plain smallest-hash sample
+    val flat = (0L until 100L).toDF("id").withColumn("w", lit(1L))
+    val one = Sampling.weightedSample(flat, "id", "w", k = 10)
+      .select("id").as[Long].collect().toSet
+    val expect = (0L until 100L).map(i => i ->
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$i#1").take(15), 16))
+      .sortBy(_._2).take(10).map(_._1).toSet
+    assert(one === expect)
+  }
+
   test("tokenBudgetSelect: deterministic prefix under the budget, ties by id, partition-independent") {
     import graft.operators.Sampling
     // priority ties everywhere: selection must fall back to id order
