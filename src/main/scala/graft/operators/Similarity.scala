@@ -432,6 +432,31 @@ object Similarity {
         (col("pos") + 1).as("rnk"), col("col.score").as("cosine"))
   }
 
+  /** kNN majority-vote label prediction — classification by retrieval
+    * (label-noise auditing's cross-check, few-shot tagging of an
+    * unlabeled slice): each query's k nearest corpus vectors vote their
+    * label; the winner is the most votes, ties to the smallest label —
+    * a total order, so the prediction is deterministic. Same 100 TB
+    * shape as [[topKJoin]] (queries broadcast, corpus never shuffles,
+    * bounded per-query top-k); the vote itself runs on |queries|·k rows
+    * — label lookup joins THAT tiny frame back, never the corpus.
+    * Output: (qId, label_pred, votes). */
+  def knnPredict(
+      queries: DataFrame, corpus: DataFrame, qId: String, cId: String,
+      qVec: String, cVec: String, cLabel: String, k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    val neighbors = topKJoin(queries, corpus, qId, cId, qVec, cVec, k, excludeSelf)
+    val labels = corpus.select(col(cId), col(cLabel).as("__lab"))
+    val wv = Window.partitionBy(col(qId))
+      .orderBy(col("votes").desc, col("__lab").asc)
+    neighbors.join(labels, Seq(cId))
+      .groupBy(col(qId), col("__lab"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("__rk", row_number().over(wv))
+      .filter(col("__rk") === 1)
+      .select(col(qId), col("__lab").as("label_pred"), col("votes"))
+  }
+
   /** Batch SQ8 ANN — [[topKJoin]]'s shape with a quantized prefilter:
     *
     *  1. scan 1 scores every (corpus row, query) with the INTEGER code

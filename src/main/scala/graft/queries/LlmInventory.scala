@@ -461,6 +461,26 @@ object LlmInventory {
       .select(col("q_id"), col("vec_id"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** s18: kNN majority-vote label prediction ([[Similarity.knnPredict]])
+    * — classification by retrieval: the first 20 vectors as queries
+    * (self excluded), 10 nearest neighbors vote, most votes wins with
+    * ties to the smallest label. Neighbor ranking mirrors s5's
+    * cosine-order construction; the vote is exact integers over a
+    * |queries|·k frame. Emits the true label alongside for an
+    * agreement readout. */
+  val s18KnnPredict: Q = (s, d) => {
+    val em = embeddings(s, d)
+    val queries = em.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding"),
+        col("label").as("label_true"))
+    val pred = Similarity.knnPredict(queries, em, "q_id", "vec_id",
+      "embedding", "embedding", "label", k = 10, excludeSelf = true)
+    queries.select("q_id", "label_true")
+      .join(pred, Seq("q_id"))
+      .select(col("q_id"), col("label_true"), col("label_pred"),
+        col("votes").cast("long").as("votes"))
+  }
+
   /** s15: hard-negative mining ([[Similarity.hardNegatives]]) — for each
     * of the first 5 vectors as anchors, the 3 most-similar vectors with
     * a DIFFERENT label (the contrastive-training batch-construction
@@ -1480,6 +1500,7 @@ object LlmInventory {
     "s15_hard_negatives" -> s15HardNegatives,
     "s16_matryoshka_topk" -> s16MatryoshkaTopK,
     "s17_filtered_topk" -> s17FilteredTopK,
+    "s18_knn_predict" -> s18KnnPredict,
     "s6_sq8_topk" -> s6Sq8TopK,
     "s8_pq_topk" -> s8PqTopK,
     "s9_label_centroids" -> s9LabelCentroids,
@@ -2706,6 +2727,28 @@ object LlmInventory {
         |       e.vec_id = coalesce(c.component, e.vec_id) AS is_representative
         |FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
         |ORDER BY e.vec_id""".stripMargin,
+    // s5's neighbor construction + an integer vote; winner by
+    // (votes desc, label asc) — the same total order both engines sort
+    "s18_knn_predict" ->
+      """WITH nb AS (
+        |  SELECT q_id, lab FROM (
+        |    SELECT q.vec_id AS q_id, c.label AS lab,
+        |           ROW_NUMBER() OVER (
+        |             PARTITION BY q.vec_id
+        |             ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |                      c.vec_id) AS rnk
+        |    FROM embeddings q JOIN embeddings c
+        |      ON q.vec_id < 20 AND c.vec_id <> q.vec_id) t
+        |  WHERE rnk <= 10),
+        |v AS (SELECT q_id, lab, count(*) AS votes FROM nb GROUP BY 1, 2),
+        |win AS (
+        |  SELECT q_id, lab, votes,
+        |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, lab) AS rk
+        |  FROM v)
+        |SELECT w.q_id, e.label AS label_true, w.lab AS label_pred,
+        |       CAST(w.votes AS BIGINT) AS votes
+        |FROM win w JOIN embeddings e ON e.vec_id = w.q_id
+        |WHERE w.rk = 1""".stripMargin,
     "s5_topk_join" ->
       """SELECT q_id, vec_id, rnk FROM (
         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,

@@ -131,6 +131,34 @@ class TopKDedupSpec extends AnyFunSuite {
       s"hard negative 2 then easy negative 3, never same-label 0/1: ${out.toSeq}")
   }
 
+  test("knnPredict: cluster labels recovered; vote ties break to the smallest label") {
+    import graft.operators.Similarity
+    // two tight 2D clusters: ids 0-9 near (1,0) labeled 1, ids 10-19
+    // near (0,1) labeled 2; queries from each side must vote their own
+    // cluster with all k votes
+    val rows = (0 until 10).map(i => (i.toLong, Seq(1f, i * 1e-4f), 1)) ++
+      (10 until 20).map(i => (i.toLong, Seq((i - 10) * 1e-4f, 1f), 2))
+    val em = rows.toDF("vec_id", "embedding", "label")
+    val q = em.filter(col("vec_id").isin(0L, 15L))
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val got = Similarity.knnPredict(q, em, "q_id", "vec_id",
+      "embedding", "embedding", "label", k = 5, excludeSelf = true)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got(0L) === ((1, 5L)))
+    assert(got(15L) === ((2, 5L)))
+    // forced 2-2 tie at k=4 on an equidistant query: label 1 wins (ties
+    // to the smallest label). Query (1,1) sees two of each cluster.
+    val tiny = Seq(
+      (1L, Seq(1f, 0f), 1), (2L, Seq(0.9f, 0f), 1),
+      (3L, Seq(0f, 1f), 2), (4L, Seq(0f, 0.9f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val tq = Seq((100L, Seq(1f, 1f))).toDF("q_id", "embedding")
+    val tie = Similarity.knnPredict(tq, tiny, "q_id", "vec_id",
+      "embedding", "embedding", "label", k = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).head
+    assert(tie === ((1, 2L)))
+  }
+
   test("tokenOverlapPairs: DF ceiling drops hot tokens BEFORE the self-join (sub-quadratic)") {
     // 200 docs all share the stop-word 'the' (hot); only docs 0/1 and 2/3
     // share 3 rare tokens each
