@@ -268,6 +268,7 @@ object Scale {
     if (args.headOption.contains("rangelookup")) return rangeLookupMain(args)
     if (args.headOption.contains("pagerank")) return pagerankMain(args)
     if (args.headOption.contains("triangles")) return trianglesMain(args)
+    if (args.headOption.contains("bfs")) return bfsMain(args)
     if (args.headOption.contains("dsir")) return dsirMain(args)
     val totalSlots = args.lift(0).map(_.toLong).getOrElse(1000000L)
     val outMd = args.lift(1).getOrElse("SCALE.md")
@@ -2446,6 +2447,95 @@ object Scale {
          |""".stripMargin
     spliceSection(outMd, dsirHeader, section)
     println(s"""{"metric":"scale_dsir","value":$scoreSec,"unit":"sec","n_docs":$nDocs,"docs_per_s":${nDocs / scoreSec},"separation":${planted / background},"heap_peak_mb":$heapMb}""")
+    spark.stop()
+  }
+
+  private val bfsHeader = "## BFS hop-distance graph stage"
+
+  /** `runMain graft.Scale bfs [nBits] [outMd]` — frontier-expansion BFS
+    * at graph scale with an EXACT closed form: nodes 0..2^b−1, a
+    * directed edge i → i+2^j for every j with i+2^j < 2^b (~b·2^b
+    * edges). The minimum number of powers of two summing to n is
+    * popcount(n), so dist(0 → n) = popcount(n) for EVERY node, and the
+    * distance histogram must be exactly the binomial row C(b, d) — a
+    * per-node, per-level correctness check no sampled oracle could
+    * give. Frontier sizes sweep 1 → C(b, b/2) (the worst mid-level) →
+    * 1, exercising both the tiny-frontier and the fat-frontier join
+    * regimes in one run. */
+  private def bfsMain(args: Array[String]): Unit = {
+    val nBits = args.lift(1).map(_.toInt).getOrElse(20)
+    val outMd = args.lift(2).getOrElse("SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val v = 1L << nBits
+    val dir = Files.createTempDirectory("graft_scale_bfs").toString
+    val (_, genSec) = timed {
+      spark.range(v).toDF("src")
+        .select(col("src"), explode(array((0 until nBits).map(j => lit(1L << j)): _*)).as("step"))
+        .withColumn("dst", col("src") + col("step"))
+        .filter(col("dst") < v)
+        .select("src", "dst")
+        .write.mode("overwrite").parquet(dir)
+    }
+    val edges = spark.read.parquet(dir)
+    val nEdges = edges.count()
+    val (dist, bfsSec) = timed {
+      val r = graft.operators.Graph.hopDistance(
+        edges, "src", "dst", Seq(0L).toDF("pk"), "pk",
+        maxHops = nBits, checkpoint = true)
+      r.count(); r
+    }
+    // exact closed form: dist(n) = popcount(n); per-level histogram = C(b, d)
+    val hist = dist.groupBy("dist").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def choose(n: Int, k: Int): Long =
+      (1 to k).foldLeft(1L)((a, i) => a * (n - i + 1) / i)
+    (0 to nBits).foreach { d =>
+      require(hist.getOrElse(d.toLong, 0L) == choose(nBits, d),
+        s"level $d: got ${hist.getOrElse(d.toLong, 0L)}, want C($nBits,$d)=${choose(nBits, d)}")
+    }
+    val reached = hist.values.sum
+    require(reached == v, s"reached $reached of $v nodes")
+    val wrong = dist.filter(
+      col("dist") =!= bit_count(col("node"))).count()
+    require(wrong == 0L, s"$wrong nodes off the popcount closed form")
+    dist.unpersist(blocking = false)
+    val heapMb = heapPeakMb()
+    val section =
+      s"""
+         |$bfsHeader (2^$nBits nodes, ${nEdges / 1000000}M power-of-two edges, exact per-node oracle)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale bfs $nBits"` —
+         |`Graph.hopDistance` from node 0 over the add-a-power-of-two
+         |digraph: dist(n) = popcount(n) EXACTLY for all ${v / 1000}k nodes, and
+         |each BFS level d must hold exactly C($nBits, d) nodes — checked
+         |per node (bit_count) and per level (binomial row).
+         |
+         || metric | value |
+         ||---|---|
+         || graph generate + write | ${f"$genSec%.1f"} s ($nEdges edges) |
+         || BFS wall ($nBits levels) | ${f"$bfsSec%.1f"} s (${f"${nEdges.toDouble * nBits / bfsSec / 1e6}%.1f"}M edge-visits/s equivalent) |
+         || per-node closed form | ${v / 1000}k/${v / 1000}k nodes at dist = popcount(node) |
+         || level histogram | C($nBits, d) for every d (fat mid-level ${choose(nBits, nBits / 2)} nodes) |
+         || peak heap | $heapMb MB |
+         |
+         |- each round joins ONLY the frontier against the edge list and
+         |  anti-joins the seen set: the fat middle levels (~${choose(nBits, nBits / 2) / 1000}k nodes)
+         |  bound the per-round shuffle, never the full distance vector
+         |- `localCheckpoint` per round caps plan depth (the pagerank
+         |  lineage-cut contract) — $nBits rounds stay flat
+         |""".stripMargin
+    spliceSection(outMd, bfsHeader, section)
+    println(s"""{"metric":"scale_bfs","value":$bfsSec,"unit":"sec","n_bits":$nBits,"n_edges":$nEdges,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 }
