@@ -140,6 +140,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CountMinCounters streams: complete-mode sketch across batches equals the batch sketch") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Sketches
+    val dep = 4; val w = 64
+    val mem = MemoryStream[String]
+    val agg = mem.toDF().toDF("tok")
+      .agg(Sketches.countMinCounters(
+        Sketches.cmPositions(col("tok"), dep, w), dep, w).as("cm"))
+    val q = agg.writeStream.format("memory").queryName("cms")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData("a", "b", "a")
+      q.processAllAvailable()
+      mem.addData("c", "a", "b")
+      q.processAllAvailable()
+      // complete mode: the memory table holds the latest global snapshot —
+      // the sketch state survived the batch boundary and kept merging
+      val streamed = spark.table("cms").collect().last.getSeq[Long](0)
+      val batch = Seq("a", "b", "a", "c", "a", "b").toDF("tok")
+        .agg(Sketches.countMinCounters(
+          Sketches.cmPositions(col("tok"), dep, w), dep, w).as("cm"))
+        .head().getSeq[Long](0)
+      assert(streamed === batch,
+        "streaming CM snapshot must equal the batch sketch of the whole stream")
+      (0 until dep).foreach { r =>
+        assert(streamed.slice(r * w, (r + 1) * w).sum === 6L, s"row $r mass")
+      }
+    } finally q.stop()
+  }
+
   test("streamingSimhashDedup: near-dups flagged across batches, uniques admitted") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
