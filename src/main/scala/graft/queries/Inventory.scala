@@ -416,6 +416,43 @@ object Inventory {
     graft.beacon.BlockParser.blocks(graft.beacon.BlockParser.withParsed(raw), cfg)
   }
 
+  /** P3: the deposits parser end-to-end ([[graft.beacon.BlockParser
+    * .deposits]], reference: src/parsers/phase0.py) in the hard gate —
+    * the p1 pattern extended to a VALUE-BEARING repeated section:
+    * variable-length `body.deposits` arrays (0–2 entries, every field a
+    * closed form of event_id and the entry index, first entry carrying
+    * a merkle proof) synthesized as JSON, pushed through the PRODUCTION
+    * from_json + posexplode + safe_long path, and recomputed by the
+    * oracle without parsing any JSON. The proof array surfaces as
+    * (len, first) scalars — engine-portable where a raw list column's
+    * pandas rendering is not. */
+  val p3Deposits: Q = (s, d) => {
+    val e = col("event_id")
+    val es = e.cast("string")
+    def entry(j: Int) = concat(
+      lit("""{"proof":["0xa"""), es, lit(s"_$j"),
+      lit(""""],"data":{"pubkey":"0xp"""), es, lit(s"_$j"),
+      lit("""","withdrawal_credentials":"0xw"""), es,
+      lit("""","amount":""""), (e * 7 + j).cast("string"),
+      lit("""","signature":"0xsg"""), es,
+      lit(""""}}"""))
+    val depositsArr =
+      when(pmod(e, lit(3)) === 0, lit("[]"))
+        .when(pmod(e, lit(3)) === 1, concat(lit("["), entry(0), lit("]")))
+        .otherwise(concat(lit("["), entry(0), lit(","), entry(1), lit("]")))
+    val payload = concat(
+      lit("""{"data":{"message":{"body":{"deposits":"""),
+      depositsArr, lit("""}}}}"""))
+    val raw = events(s, d)
+      .filter(col("event_id") < 3000)
+      .select((e * 10000L).as("slot"), payload.as("payload"))
+    graft.beacon.BlockParser.deposits(graft.beacon.BlockParser.withParsed(raw))
+      .select(col("slot"), col("deposit_index"), col("pubkey"),
+        col("withdrawal_credentials"), col("amount"), col("signature"),
+        size(col("proof")).cast("long").as("proof_len"),
+        element_at(col("proof"), 1).as("proof_first"))
+  }
+
   /** P19: the validators mega-payload parser end-to-end
     * ([[graft.beacon.StateParsers.validators]], reference:
     * src/parsers/validators.py:11-47): variable-length validator arrays
@@ -1376,6 +1413,7 @@ object Inventory {
     "c14_json_probe" -> c14JsonProbe,
     "d1_chunk_plan" -> d1ChunkPlan,
     "p1_blocks" -> p1Blocks,
+    "p3_deposits" -> p3Deposits,
     "p19_validators" -> p19Validators,
     "p2_explode_enumerate" -> p2ExplodeEnumerate,
     "p24_unpivot" -> p24Unpivot,
@@ -2037,6 +2075,23 @@ object Inventory {
       """SELECT event_id // 100 AS chunk_id, MIN(event_id) AS start_id,
         |       MAX(event_id) AS end_id, count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+    // the deposits closed forms recomputed relationally: the t17
+    // bounded-range trick enumerates entry indices under the per-row
+    // arity (event_id % 3), every field a string/arith build
+    "p3_deposits" ->
+      """WITH n AS (
+        |  SELECT event_id, event_id % 3 AS n FROM events WHERE event_id < 3000),
+        |x AS (
+        |  SELECT event_id, r.j FROM n CROSS JOIN range(0, 2) r(j) WHERE r.j < n.n)
+        |SELECT CAST(event_id * 10000 AS BIGINT) AS slot,
+        |       CAST(j AS BIGINT) AS deposit_index,
+        |       '0xp' || event_id::VARCHAR || '_' || j::VARCHAR AS pubkey,
+        |       '0xw' || event_id::VARCHAR AS withdrawal_credentials,
+        |       CAST(event_id * 7 + j AS BIGINT) AS amount,
+        |       '0xsg' || event_id::VARCHAR AS signature,
+        |       CAST(1 AS BIGINT) AS proof_len,
+        |       '0xa' || event_id::VARCHAR || '_' || j::VARCHAR AS proof_first
+        |FROM x""".stripMargin,
     "p1_blocks" ->
       """SELECT event_id * 10000 AS slot,
         |       event_id AS proposer_index,
