@@ -1003,6 +1003,39 @@ object Inventory {
         count(lit(1)).as("n_items"))
   }
 
+  /** J22: the TPC-H Q7 cross-nation volume-shipping shape — bilateral
+    * trade between two nations by ship year: lineitem (2-year shipdate
+    * slice, filter pushed to the scan) ⋈ orders ⋈ customer, supplier
+    * and BOTH nation roles broadcast (each pre-filtered to the two
+    * nations — 2 rows each — so the asymmetric-pair predicate runs on a
+    * tiny cross of roles, never the fact), revenue in exact decimal,
+    * grouped by (supp_nation, cust_nation, year). The classic
+    * self-joined-dimension plan j12–j21 don't cover: one dimension
+    * table playing TWO roles in the same query. */
+  val j22VolumeShipping: Q = (s, d) => {
+    val nations = Seq("NATION_1", "NATION_2")
+    val n1 = nation(s, d).filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = nation(s, d).filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** J14: the TPC-H Q10 returned-item-report shape — who returned the
     * most revenue last quarter: quarter-filtered orders ⋈ lineitem
     * (returnflag 'R') ⋈ customer ⋈ broadcast nation → per-customer
@@ -1382,6 +1415,7 @@ object Inventory {
     "j11_range_lookup" -> j11RangeLookup,
     "j12_shipping_priority" -> j12ShippingPriority,
     "j13_local_supplier_volume" -> j13LocalSupplierVolume,
+    "j22_volume_shipping" -> j22VolumeShipping,
     "x4_except_all" -> x4ExceptAll,
     "a14_rolling_dau" -> a14RollingDau,
     "w7_first_touch" -> w7FirstTouch,
@@ -2001,6 +2035,22 @@ object Inventory {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+    "j22_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
     "j11_range_lookup" ->
       """WITH tiers AS (
         |  -- CAST(0.15 AS DOUBLE): DuckDB parses the bare literal as
