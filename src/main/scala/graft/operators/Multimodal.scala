@@ -268,6 +268,72 @@ object Multimodal {
     }
   }
 
+  /** Integer BOX-FILTER downsample from REAL decoded pixels — the
+    * resize step of every image-dedup / thumbnail pipeline, in the
+    * exact-arithmetic form that keeps it oracle-provable: the image
+    * divides into `factor`×`factor` cells (dims must divide exactly —
+    * else the row nulls out, the strict mode a deterministic pipeline
+    * wants), each output cell carries the integer SUM of its pixels'
+    * grayscale `r+g+b` (no division → no rounding policy to disagree
+    * on; the mean is `sum / factor²` whenever a caller wants it).
+    * Instead of an array column the cells fold into
+    * `cell_checksum = Σ cellSum·(cellIdx+1)` — order-sensitive, so a
+    * transposed or shifted kernel cannot hash-match — next to the
+    * plain `gray_total` (= Σ cellSum, the checksum's sanity twin).
+    * Same batched-mapPartitions plumbing as [[decodeImageAHashBatched]];
+    * undecodable bytes → nulls. */
+  def decodeImageResizeBatched(
+      df: DataFrame, idCol: String, binCol: String,
+      factor: Int = 2, batchSize: Int = 64): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    val (idI, bI) = (df.schema.fieldIndex(idCol), df.schema.fieldIndex(binCol))
+    val schema = outRow(df, idCol, Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("out_w", IntegerType, nullable = true),
+      StructField("out_h", IntegerType, nullable = true),
+      StructField("gray_total", LongType, nullable = true),
+      StructField("cell_checksum", LongType, nullable = true)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]](bI)
+          val img =
+            if (bytes == null) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: Throwable => null }
+          if (img == null || img.getWidth % factor != 0 || img.getHeight % factor != 0)
+            Row(r.get(idI), null, null, null, null, null)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val (ow, oh) = (w / factor, h / factor)
+            val cells = new Array[Long](ow * oh)
+            var total = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                val g = (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)).toLong
+                cells((y / factor) * ow + (x / factor)) += g
+                total += g
+                x += 1
+              }
+              y += 1
+            }
+            var checksum = 0L
+            var c = 0
+            while (c < cells.length) { checksum += cells(c) * (c + 1L); c += 1 }
+            Row(r.get(idI), w, h, ow, oh, total, checksum)
+          }
+        }
+      }
+    }
+  }
+
   /** Real WAV ENCODE: canonical RIFF/fmt/data header + the `array<int>`
     * `samplesCol` as interleaved 16-bit little-endian PCM. Pure byte
     * assembly — no codec needed to WRITE canonical PCM WAV; the decode

@@ -1192,6 +1192,29 @@ object LlmInventory {
     Multimodal.decodeImageAHashBatched(png, "doc_id", "png")
   }
 
+  /** m9: REAL pixel decode + integer box-filter downsample
+    * ([[Multimodal.decodeImageResizeBatched]]) — closed-form RGB pixels
+    * → canonical PNG → real javax.imageio decode → 2×2 cell sums folded
+    * into an order-sensitive checksum. The oracle recomputes cell
+    * membership and the checksum from the pixel FORMULA without seeing
+    * a PNG: a match proves the codec round-trip AND the resize kernel's
+    * cell geometry together (the m8 proof shape, extended from a global
+    * statistic to per-cell structure). */
+  val m9ImageResize: Q = (s, d) => {
+    val doc = documents(s, d).filter(col("doc_id") < 40)
+    // even dims only: 4/6/8 × 2/4 — factor-2 cells divide exactly
+    val w = (lit(4) + pmod(col("doc_id"), lit(3)) * 2).cast("int")
+    val h = (lit(2) + pmod(col("doc_id"), lit(2)) * 2).cast("int")
+    val px = transform(
+      sequence(lit(0L), w.cast("long") * h.cast("long") - 1L),
+      i => (pmod(col("doc_id") * 7 + i * 13, lit(256)) * 65536L +
+        pmod(col("doc_id") * 11 + i * 5, lit(256)) * 256L +
+        pmod(col("doc_id") * 3 + i * 17, lit(256))).cast("int"))
+    val pixels = doc.select(col("doc_id"), w.as("w"), h.as("h"), px.as("px"))
+    val png = Multimodal.encodePngBatched(pixels, "doc_id", "w", "h", "px")
+    Multimodal.decodeImageResizeBatched(png, "doc_id", "png", factor = 2)
+  }
+
   /** M7: REAL audio decode — deterministic 16-bit PCM samples
     * (closed-form per (doc, sample)) → canonical WAV bytes → real parse
     * through `javax.sound.sampled.AudioSystem` → format fields, frame
@@ -1539,6 +1562,7 @@ object LlmInventory {
     "m6_image_decode" -> m6ImageDecode,
     "m7_audio_decode" -> m7AudioDecode,
     "m8_image_ahash" -> m8ImageAhash,
+    "m9_image_resize" -> m9ImageResize,
     "t14_skew_agg" -> t14SkewAgg,
     "t15_winnow_fingerprint" -> t15WinnowFingerprint,
     "t16_source_cap" -> t16SourceCap,
@@ -2867,6 +2891,36 @@ object LlmInventory {
     // RIFF/WAVE magic, extract channels (chars 45-48), sample rate (chars
     // 49-56), byte rate (57-64) and data size (81-88), duration =
     // data*1000//byte_rate. Cross-checked against Python's wave module.
+    // cell membership and sums recomputed from the pixel FORMULA — no
+    // PNG in sight; the checksum is order-sensitive so only the exact
+    // cell geometry matches
+    "m9_image_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         4 + (doc_id % 3) * 2 AS w,
+        |         2 + (doc_id % 2) * 2 AS h
+        |  FROM documents WHERE doc_id < 40),
+        |px AS (
+        |  SELECT doc_id, w, h, r.i,
+        |         (doc_id * 7 + r.i * 13) % 256 +
+        |         (doc_id * 11 + r.i * 5) % 256 +
+        |         (doc_id * 3 + r.i * 17) % 256 AS gray
+        |  FROM d CROSS JOIN range(0, 32) r(i) WHERE r.i < w * h),
+        |cs AS (
+        |  SELECT doc_id, w, h,
+        |         ((i // w) // 2) * (w // 2) + ((i % w) // 2) AS c,
+        |         sum(gray) AS cell_sum
+        |  FROM px GROUP BY 1, 2, 3, 4),
+        |agg AS (
+        |  SELECT doc_id, w, h,
+        |         sum(cell_sum) AS gray_total,
+        |         sum(cell_sum * (c + 1)) AS cell_checksum
+        |  FROM cs GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(w // 2 AS INT) AS out_w, CAST(h // 2 AS INT) AS out_h,
+        |       CAST(gray_total AS BIGINT) AS gray_total,
+        |       CAST(cell_checksum AS BIGINT) AS cell_checksum
+        |FROM agg""".stripMargin,
     "m8_image_ahash" ->
       """WITH base AS (
         |  SELECT doc_id, (4 + doc_id % 5) * (3 + doc_id % 3) AS n
