@@ -687,4 +687,45 @@ class PlanSpec extends AnyFunSuite {
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1, p.take(2500))
     assert("\\(\\d+\\) Sort\\b".r.findAllIn(p).size === 1, p.take(2500))
   }
+
+  test("t44 weighted sample: global top-k is TakeOrdered, never a full Sort; key is scan-side") {
+    val p = planOf("t44_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2500))
+    // the min-of-w-hashes key must not force any exchange before the
+    // top-k (a global Sort would be the 100 TB killer this op avoids)
+    assert(!"\\(\\d+\\) Sort\\b".r.findAllIn(p).hasNext, p.take(2500))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2500))
+  }
+
+  test("t41 char diversity: pure projection over the scan — zero exchanges, no explode") {
+    val p = planOf("t41_char_diversity")
+    assert(!"\\(\\d+\\) Exchange".r.findAllIn(p).hasNext, p.take(2500))
+    assert(!p.contains("Generate"), p.take(2500)) // the explode the kernel replaces
+    assert(p.contains("char_stats"), p.take(2500))
+  }
+
+  test("a20 count-min: sketch combines as map-side partials; probe rides a broadcast") {
+    val p = planOf("a20_count_min")
+    assert(p.contains("partial_count_min_counters"), p.take(3000))
+    // the single-row sketch broadcasts into the probe — the j7 one-row
+    // cross shape (a BroadcastNestedLoopJoin over ONE row is the right
+    // plan here, not a hazard); what must never appear is a shuffled
+    // cartesian of the token side
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("j22 volume shipping: shipdate pushed to the scan, nation roles broadcast, no NLJ") {
+    val p = planOf("j22_volume_shipping")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"), p.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("a21 decayed counts: one partial-agg exchange, weights as a scan-side CASE chain") {
+    val p = planOf("a21_decayed_counts")
+    assert(p.contains("partial"), p.take(2500))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1, p.take(2500))
+  }
 }
