@@ -931,6 +931,34 @@ object LlmInventory {
         Sketches.cmEstimate(col("cm"), col("tok"), dep, w).as("cm_estimate"))
   }
 
+  /** a22: HLL register-UNION algebra — the sketch-merge path a
+    * federated corpus runs: each source keeps its own 64-register HLL
+    * at rest; the corpus-wide distinct estimate comes from the
+    * ELEMENTWISE MAX of the 20 source sketches (64 longs each), never a
+    * rescan of rows. Max is associative/idempotent, so union-of-sketches
+    * ≡ the sketch of the union — which is exactly what the gate proves:
+    * the Spark side computes per-source registers then merges; the
+    * oracle computes the whole-corpus registers directly; the hash can
+    * only match if the algebra holds. Same exact-integer scaling + one
+    * IEEE division as a19. */
+  val a22HllUnion: Q = (s, d) => {
+    val bgs = documents(s, d)
+      .select(col("source"), explode(LmScore.bigrams(col("text"))).as("bg"))
+    val perSource = bgs.groupBy("source")
+      .agg(Sketches.hllRegisters(Sketches.md5Hash60(col("bg")), 6).as("regs"))
+    val merged = perSource
+      .select(posexplode(col("regs")).as(Seq("pos", "r")))
+      .groupBy("pos").agg(max("r").as("r"))
+    val stats = merged.agg(
+      sum(when(col("r") > 0, 1L).otherwise(0L)).as("n_nonzero"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - r AS INT))")).as("s_scaled"))
+    val exact = bgs.agg(countDistinct("bg").as("exact_bigrams"))
+    exact.crossJoin(stats)
+      .withColumn("hll_estimate",
+        lit(0.709) * lit(4096.0) * lit(36028797018963968.0) /
+          col("s_scaled").cast("double"))
+  }
+
   /** a17: cross-corpus overlap via KMV sketch algebra
     * ([[Sketches.kmvPairwiseOverlap]]) — per-source-pair Jaccard of the
     * bigram sets estimated from bounded k-min sketches (no cross-source
@@ -1552,6 +1580,7 @@ object LlmInventory {
     "a9_kmv_distinct" -> a9KmvDistinct,
     "a19_hll_distinct" -> a19HllDistinct,
     "a20_count_min" -> a20CountMin,
+    "a22_hll_union" -> a22HllUnion,
     "t19_pii_redact" -> t19PiiRedact,
     "t20_bloom_membership" -> t20BloomMembership,
     "m1_binary_meta" -> m1BinaryMeta,
@@ -2083,6 +2112,34 @@ object LlmInventory {
         |top AS (SELECT tok, exact_cnt FROM ex ORDER BY exact_cnt DESC, tok LIMIT 30)
         |SELECT t.tok, t.exact_cnt, CAST(e.cm_estimate AS BIGINT) AS cm_estimate
         |FROM top t JOIN est e USING (tok)""".stripMargin,
+    // the oracle computes WHOLE-CORPUS registers directly; Spark merges
+    // per-source sketches by elementwise max — the hash matches only if
+    // union-of-sketches == sketch-of-union
+    "a22_hll_union" ->
+      """WITH tok AS (
+        |  SELECT string_split(lower(text), ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM tok),
+        |h AS (SELECT DISTINCT ('0x' || substr(md5(bg), 1, 15))::BIGINT AS hv FROM bg),
+        |r AS (SELECT hv % 64 AS bucket, hv // 64 AS rest FROM h),
+        |rho AS (
+        |  SELECT bucket,
+        |         max(CASE WHEN rest = 0 THEN 55
+        |                  ELSE 55 - length(bin(rest)) END) AS rr
+        |  FROM r GROUP BY 1),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nonzero,
+        |         CAST(sum((1::BIGINT) << (55 - rr)) +
+        |              (64 - count(*)) * ((1::BIGINT) << 55) AS BIGINT) AS s_scaled
+        |  FROM rho),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_bigrams FROM bg)
+        |SELECT exact_bigrams, n_nonzero, s_scaled,
+        |       CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) *
+        |         CAST(36028797018963968 AS DOUBLE) / CAST(s_scaled AS DOUBLE)
+        |         AS hll_estimate
+        |FROM ex, agg""".stripMargin,
     "a19_hll_distinct" ->
       """WITH tok AS (
         |  SELECT lang, string_split(lower(text), ' ') AS toks FROM documents),
