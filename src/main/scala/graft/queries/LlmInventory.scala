@@ -1404,6 +1404,25 @@ object LlmInventory {
       .withColumn("n_stripped", length(col("stripped")).cast("long"))
   }
 
+  /** d15: host-capped corpus — [[UrlOps.urlHost]] composed with
+    * [[Sampling.perKeyCap]], the per-site frequency cap every
+    * crawl-derived corpus applies after URL canonicalization (an
+    * over-crawled host otherwise dominates the mixture). Same messy-URL
+    * synthesis as t42; the cap's deterministic md5 ranking replays
+    * relationally. */
+  val d15HostCap: Q = (s, d) => {
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 2 === 0, lit("HTTP://WWW.")).otherwise(lit("https://cdn.")),
+      col("source"), lit(".Example.COM"),
+      when(id % 2 === 0, lit(":80")).otherwise(lit(":443")),
+      lit("/p"), id.cast("string"))
+    Sampling.perKeyCap(
+      documents(s, d).select(id, UrlOps.urlHost(url).as("host")),
+      "doc_id", "host", cap = 5)
+      .select(col("doc_id"), col("host"), col("rk"))
+  }
+
   /** t41: character-diversity quality gate ([[graft.functions.CharStats]]
     * — one codegen'd codepoint walk per row, NO per-character explode):
     * top-char fraction (ASCII-art / separator-page detector) and the
@@ -1606,6 +1625,7 @@ object LlmInventory {
     "t39_containment_pairs" -> t39ContainmentPairs,
     "t41_char_diversity" -> t41CharDiversity,
     "t42_url_normalize" -> t42UrlNormalize,
+    "d15_host_cap" -> d15HostCap,
     "t43_html_strip" -> t43HtmlStrip,
     "t44_weighted_sample" -> t44WeightedSample,
     "a18_sampled_quantiles" -> a18SampledQuantiles,
@@ -3195,6 +3215,20 @@ object LlmInventory {
         |SELECT doc_id, source, r.rep
         |FROM t CROSS JOIN range(1, 8) r(rep)
         |WHERE r.rep <= n_copies""".stripMargin,
+    // same host derivation (lowercase + default-port strip falls out of
+    // the CASE construction), same md5 cap ranking
+    "d15_host_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE 'cdn.' END)
+        |         || source || '.example.com' AS host
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, host,
+        |         row_number() OVER (
+        |           PARTITION BY host ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        |  FROM u)
+        |SELECT doc_id, host, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin,
     // min over the row's w salted hashes (the t17 bounded-range trick
     // for the per-row draw count), then the global top-50 by key
     "t44_weighted_sample" ->
