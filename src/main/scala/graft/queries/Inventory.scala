@@ -1036,6 +1036,134 @@ object Inventory {
         count(lit(1)).as("n_items"))
   }
 
+  /** J23: the TPC-H Q17 small-quantity-order shape — a per-key aggregate
+    * feeding a threshold predicate back onto the SAME fact rows: lineitem
+    * is semi-joined to the (broadcast, ~13-row) filtered part dim first so
+    * the per-part average is computed only over surviving parts, then the
+    * tiny per-part (sum, count) frame broadcasts back onto the fact. The
+    * Q17 `qty < 0.2·avg` predicate is applied MULTIPLIED THROUGH
+    * (qty·cnt·5 < sum) so both engines compare exact decimals with no
+    * division anywhere; the single final `/7.0` happens once, on a double,
+    * after the exact-decimal revenue sum. */
+  val j23SmallQtyOrders: Q = (s, d) => {
+    val pk = part(s, d)
+      .filter(col("p_brand") === "Brand#23" && col("p_type") === "PROMO")
+      .select("p_partkey")
+    val l = lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .drop("p_partkey")
+    val per = l.groupBy("l_partkey")
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty_sum"),
+        count(lit(1)).as("qty_cnt"))
+    l.join(broadcast(per), Seq("l_partkey"))
+      .filter(col("l_quantity").cast(DecimalType(18, 2)) * col("qty_cnt") * 5 <
+        col("qty_sum"))
+      .agg(count(lit(1)).as("n_small"),
+        (sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double") / 7.0)
+          .as("avg_yearly"))
+  }
+
+  /** J24: the TPC-H Q22 global-scalar + anti-join shape — customers whose
+    * balance beats the global positive-balance average AND who have not
+    * ordered recently (the date slice keeps the anti-join non-vacuous on
+    * the synthetic data), rolled up per nation. The global (sum, count)
+    * pair is a 1-row crossJoin broadcast; `bal > avg` is multiplied
+    * through (bal·cnt > sum, exact decimals, no division); the "no recent
+    * orders" arm is a left-anti join against a date-filtered orders
+    * custkey projection (filter pushed below the join build). */
+  val j24NoOrderRich: Q = (s, d) => {
+    val c = customer(s, d).select("c_custkey", "c_nationkey", "c_acctbal")
+    val glob = c.filter(col("c_acctbal") > 0)
+      .agg(sum(col("c_acctbal").cast(DecimalType(18, 2))).as("bal_sum"),
+        count(lit(1)).as("bal_cnt"))
+    c.crossJoin(broadcast(glob))
+      .filter(col("c_acctbal").cast(DecimalType(18, 2)) * col("bal_cnt") >
+        col("bal_sum"))
+      .join(orders(s, d)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast(LongType).as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+  }
+
+  /** J25: the TPC-H Q13 order-count-distribution shape — the one classic
+    * plan built on a LEFT OUTER join: every customer kept, orders filtered
+    * BEFORE the join (priority slice), `count(o_orderkey)` counting only
+    * matched rows (0 for order-less customers), then a second aggregation
+    * over the first's result (the histogram-of-a-groupBy pattern). */
+  val j25OrderCountDist: Q = (s, d) => {
+    val o = orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    customer(s, d).select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** J26: the TPC-H Q16 supplier-count shape — COUNT(DISTINCT) over a
+    * derived part↔supplier relation (lineitem's (partkey, suppkey) pairs
+    * stand in for partsupp) with an anti-join excluding flagged suppliers
+    * (negative balance = the "complaints" arm). The distinct-pair frame
+    * shuffles once on its natural key; the 2000-row part dim and the
+    * flagged-supplier set broadcast. */
+  val j26SupplierCnt: Q = (s, d) => {
+    val bad = supplier(s, d).filter(col("s_acctbal") < 0).select("s_suppkey")
+    val ps = lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+    val p = part(s, d)
+      .filter(col("p_brand") =!= "Brand#1" && !col("p_type").startsWith("MEDIUM") &&
+        col("p_size").isin(1, 9, 17, 25, 33, 41, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** J27: the TPC-H Q11 share-of-global-total shape — per-part revenue
+    * restricted to one nation's suppliers, kept only when the part's
+    * share exceeds 0.1% of the total: two aggregations over the same
+    * frame, the 1-row total crossJoin-broadcast back, and the HAVING
+    * predicate multiplied through (value·1000 > total — exact decimals,
+    * no division). The nation→supplier semi side broadcasts. */
+  val j27ValueShare: Q = (s, d) => {
+    val natSup = supplier(s, d)
+      .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val l = lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+    val per = l.groupBy("l_partkey").agg(sum(revenue).as("value_dec"))
+    per.crossJoin(broadcast(per.agg(sum(col("value_dec")).as("total_dec"))))
+      .filter(col("value_dec") * 1000 > col("total_dec"))
+      .select(col("l_partkey"), col("value_dec").cast("double").as("part_value"))
+  }
+
+  /** J28: the TPC-H Q19 disjunctive-predicate shape — one equi join whose
+    * residual filter is an OR of three brand/size/quantity conjunctions.
+    * The planner must keep the partkey equi-condition as the join key and
+    * evaluate the disjunction as a post-join filter (not fall back to a
+    * nested-loop); part broadcasts. */
+  val j28DisjunctivePred: Q = (s, d) => {
+    val p = part(s, d).select("p_partkey", "p_brand", "p_size")
+    val j = lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    j.filter(
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30)))
+      .agg(sum(revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** J14: the TPC-H Q10 returned-item-report shape — who returned the
     * most revenue last quarter: quarter-filtered orders ⋈ lineitem
     * (returnflag 'R') ⋈ customer ⋈ broadcast nation → per-customer
@@ -1416,6 +1544,12 @@ object Inventory {
     "j12_shipping_priority" -> j12ShippingPriority,
     "j13_local_supplier_volume" -> j13LocalSupplierVolume,
     "j22_volume_shipping" -> j22VolumeShipping,
+    "j23_small_qty_orders" -> j23SmallQtyOrders,
+    "j24_no_order_rich" -> j24NoOrderRich,
+    "j25_order_count_dist" -> j25OrderCountDist,
+    "j26_supplier_cnt" -> j26SupplierCnt,
+    "j27_value_share" -> j27ValueShare,
+    "j28_disjunctive_pred" -> j28DisjunctivePred,
     "x4_except_all" -> x4ExceptAll,
     "a14_rolling_dau" -> a14RollingDau,
     "w7_first_touch" -> w7FirstTouch,
@@ -2051,6 +2185,78 @@ object Inventory {
         |  AND l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3""".stripMargin,
+    "j23_small_qty_orders" ->
+      """WITH pk AS (SELECT p_partkey FROM part
+        |            WHERE p_brand = 'Brand#23' AND p_type = 'PROMO'),
+        |     l AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |           FROM lineitem JOIN pk ON l_partkey = p_partkey),
+        |     per AS (SELECT l_partkey,
+        |                    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+        |                    count(*) AS qty_cnt
+        |             FROM l GROUP BY 1)
+        |SELECT count(*) AS n_small,
+        |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |         AS avg_yearly
+        |FROM l JOIN per USING (l_partkey)
+        |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * per.qty_cnt * 5 < per.qty_sum""".stripMargin,
+    "j24_no_order_rich" ->
+      """WITH bal AS (
+        |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum, count(*) AS bal_cnt
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n_cust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, bal
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bal.bal_cnt > bal.bal_sum
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1""".stripMargin,
+    "j25_order_count_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT OUTER JOIN
+        |    (SELECT o_orderkey, o_custkey FROM orders
+        |     WHERE o_orderpriority <> '1-URGENT') o
+        |    ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+    "j26_supplier_cnt" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "j27_value_share" ->
+      """WITH l AS (
+        |  SELECT l_partkey, l_extendedprice, l_discount FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_3')),
+        |     per AS (
+        |  SELECT l_partkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |           AS value_dec
+        |  FROM l GROUP BY 1),
+        |     tot AS (SELECT SUM(value_dec) AS total_dec FROM per)
+        |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+        |FROM per, tot WHERE value_dec * 1000 > tot.total_dec""".stripMargin,
+    "j28_disjunctive_pred" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "j11_range_lookup" ->
       """WITH tiers AS (
         |  -- CAST(0.15 AS DOUBLE): DuckDB parses the bare literal as

@@ -728,4 +728,55 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial"), p.take(2500))
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1, p.take(2500))
   }
+
+  test("j23 small-qty orders: part dim and per-part threshold frame both broadcast") {
+    val p = planOf("j23_small_qty_orders")
+    // two broadcast hash joins (part keys in, thresholds back), no NLJ,
+    // and the threshold compare stays an exact decimal predicate (no
+    // division operator anywhere in the plan)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("j24 rich-no-recent-orders: anti join is hash-based, order-date filter pushed") {
+    val p = planOf("j24_no_order_rich")
+    // the scalar (sum,count) pair rides the j7-style 1-row cross broadcast —
+    // a BuildRight NLJ over ONE row is the right plan, not a hazard; the
+    // anti-join arm must still be a hash join with the date slice pushed
+    // to the orders scan
+    assert(p.contains("BroadcastHashJoin LeftAnti") ||
+      p.contains("ShuffledHashJoin LeftAnti"), p.take(3000))
+    assert(p.contains("PushedFilters:") && p.contains("o_orderdate"), p.take(4000))
+  }
+
+  test("j25 order-count distribution: LEFT OUTER with the priority filter BELOW the join") {
+    val p = planOf("j25_order_count_dist")
+    assert(p.contains("LeftOuter"), p.take(3000))
+    // the <> '1-URGENT' slice must reach the orders scan, not sit above the join
+    assert(p.contains("o_orderpriority"), p.take(4000))
+    assert(p.contains("PushedFilters:"), p.take(4000))
+  }
+
+  test("j26 supplier counts: flagged-supplier anti + part dim broadcast, distinct is partial-agg'd") {
+    val p = planOf("j26_supplier_cnt")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("j27 value share: semi side broadcasts; total-vs-part compare is a 1-row broadcast, not a window") {
+    val p = planOf("j27_value_share")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("j28 disjunctive predicates: equi key survives the OR — hash join, never NLJ") {
+    val p = planOf("j28_disjunctive_pred")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
 }
