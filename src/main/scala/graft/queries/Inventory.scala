@@ -453,6 +453,100 @@ object Inventory {
         element_at(col("proof"), 1).as("proof_first"))
   }
 
+  /** P2 (real parser): [[graft.beacon.BlockParser.attestations]]
+    * end-to-end (reference: src/parsers/fork_base.py:163-186) — the
+    * richest per-block table. Variable-length attestation lists (0–2
+    * entries) synthesized as JSON closed forms of event_id, INCLUDING the
+    * missing-`data.slot` fallback on entry index 1 (the reference's
+    * `safe_int(att_data.get("slot", slot), slot)` — the parsed
+    * attestation_slot must fall back to the BLOCK slot, not 0/null), and
+    * the checkpoint flattening (source/target epoch+root). The oracle
+    * recomputes every column arithmetically — no JSON in DuckDB. */
+  val p2Attestations: Q = (s, d) => {
+    val e = col("event_id")
+    val es = e.cast("string")
+    // every value a closed form of event_id; entry 1 OMITS data.slot
+    def entry(j: Int) = {
+      val slotField: org.apache.spark.sql.Column =
+        if (j == 1) lit("")
+        else concat(lit(""""slot":""""), (e * 32 + j).cast("string"), lit("\","))
+      concat(
+        lit("""{"aggregation_bits":"0x"""), es,
+        lit("""","signature":"0xs"""), es, lit(s"_$j"),
+        lit("""","data":{"""), slotField,
+        lit(""""index":""""), lit(j.toString),
+        lit("""","beacon_block_root":"0xb"""), es,
+        lit("""","source":{"epoch":""""), (e + j).cast("string"),
+        lit("""","root":"0xsr"""), lit(j.toString),
+        lit(""""},"target":{"epoch":""""), (e + j + 1).cast("string"),
+        lit("""","root":"0xtr"""), lit(j.toString),
+        lit(""""}}}"""))
+    }
+    val atts =
+      when(pmod(e, lit(3)) === 0, lit("[]"))
+        .when(pmod(e, lit(3)) === 1, concat(lit("["), entry(0), lit("]")))
+        .otherwise(concat(lit("["), entry(0), lit(","), entry(1), lit("]")))
+    val payload = concat(
+      lit("""{"data":{"message":{"body":{"attestations":"""),
+      atts, lit("""}}}}"""))
+    val raw = events(s, d)
+      .filter(col("event_id") < 3000)
+      .select((e * 10000L).as("slot"), payload.as("payload"))
+    graft.beacon.BlockParser.attestations(graft.beacon.BlockParser.withParsed(raw))
+  }
+
+  /** P6 (real parser): [[graft.beacon.BlockParser.attesterSlashings]]
+    * end-to-end (reference: src/parsers/phase0.py:87-190) — the most
+    * intricate projection in the reference: two indexed attestations per
+    * slashing, the attesting_indices LIST-OR-CSV-STRING variant (entry
+    * with even event_id carries `"i0, i1"` as a scalar string — the
+    * gated second from_json + split + trim path must recover it), and
+    * the derived counts: per-attestation validator_count and the
+    * DISTINCT-UNION total (indices overlap by one → 2 + 2 → 3). Arrays
+    * surface as (count, first) scalars for engine-portable compare. */
+  val p6AttesterSlashings: Q = (s, d) => {
+    val e = col("event_id")
+    val es = e.cast("string")
+    val i0 = pmod(e, lit(7))
+    def attData = concat(
+      lit(""""data":{"slot":""""), es,
+      lit("""","index":"0","beacon_block_root":"0xb"""), es,
+      lit("""","source":{"epoch":""""), es,
+      lit("""","root":"0xsr"},"target":{"epoch":""""), (e + 1).cast("string"),
+      lit("""","root":"0xtr"}}"""))
+    // attestation_1: CSV-string indices on even event_id (with a space
+    // after the comma — the trim path), JSON array otherwise
+    val a1Idx = when(pmod(e, lit(2)) === 0,
+      concat(lit("\""), i0.cast("string"), lit(", "),
+        (i0 + 1).cast("string"), lit("\"")))
+      .otherwise(concat(lit("""[""""), i0.cast("string"), lit("""",""""),
+        (i0 + 1).cast("string"), lit(""""]""")))
+    val a2Idx = concat(lit("""[""""), (i0 + 1).cast("string"), lit("""",""""),
+      (i0 + 2).cast("string"), lit(""""]"""))
+    val slashing = concat(
+      lit("""{"attestation_1":{"attesting_indices":"""), a1Idx, lit(","),
+      attData, lit(""","signature":"0xa1_"""), es, lit("\"},"),
+      lit(""""attestation_2":{"attesting_indices":"""), a2Idx, lit(","),
+      attData, lit(""","signature":"0xa2_"""), es, lit("\"}}"))
+    val arr = when(pmod(e, lit(3)) === 0, lit("[]"))
+      .otherwise(concat(lit("["), slashing, lit("]")))
+    val payload = concat(
+      lit("""{"data":{"message":{"body":{"attester_slashings":"""),
+      arr, lit("""}}}}"""))
+    val raw = events(s, d)
+      .filter(col("event_id") < 3000)
+      .select((e * 10000L).as("slot"), payload.as("payload"))
+    graft.beacon.BlockParser
+      .attesterSlashings(graft.beacon.BlockParser.withParsed(raw))
+      .select(col("slot"), col("slashing_index"),
+        col("att_1_slot"), col("att_1_source_epoch"), col("att_1_target_epoch"),
+        col("att_1_signature"), col("att_2_signature"),
+        element_at(col("att_1_attesting_indices"), 1).as("att_1_first_idx"),
+        element_at(col("att_2_attesting_indices"), 1).as("att_2_first_idx"),
+        col("att_1_validator_count"), col("att_2_validator_count"),
+        col("total_slashed_validators"))
+  }
+
   /** P19: the validators mega-payload parser end-to-end
     * ([[graft.beacon.StateParsers.validators]], reference:
     * src/parsers/validators.py:11-47): variable-length validator arrays
@@ -1582,6 +1676,8 @@ object Inventory {
     "d1_chunk_plan" -> d1ChunkPlan,
     "p1_blocks" -> p1Blocks,
     "p3_deposits" -> p3Deposits,
+    "p2_attestations" -> p2Attestations,
+    "p6_attester_slashings" -> p6AttesterSlashings,
     "p19_validators" -> p19Validators,
     "p2_explode_enumerate" -> p2ExplodeEnumerate,
     "p24_unpivot" -> p24Unpivot,
@@ -2348,6 +2444,38 @@ object Inventory {
         |       CAST(1 AS BIGINT) AS proof_len,
         |       '0xa' || event_id::VARCHAR || '_' || j::VARCHAR AS proof_first
         |FROM x""".stripMargin,
+    "p2_attestations" ->
+      """WITH n AS (
+        |  SELECT event_id, event_id % 3 AS n FROM events WHERE event_id < 3000),
+        |x AS (
+        |  SELECT event_id, r.j FROM n CROSS JOIN range(0, 2) r(j) WHERE r.j < n.n)
+        |SELECT CAST(event_id * 10000 AS BIGINT) AS slot,
+        |       CAST(j AS BIGINT) AS attestation_index,
+        |       '0x' || event_id::VARCHAR AS aggregation_bits,
+        |       '0xs' || event_id::VARCHAR || '_' || j::VARCHAR AS signature,
+        |       CAST(CASE WHEN j = 1 THEN event_id * 10000
+        |                 ELSE event_id * 32 + j END AS BIGINT) AS attestation_slot,
+        |       CAST(j AS BIGINT) AS committee_index,
+        |       '0xb' || event_id::VARCHAR AS beacon_block_root,
+        |       CAST(event_id + j AS BIGINT) AS source_epoch,
+        |       '0xsr' || j::VARCHAR AS source_root,
+        |       CAST(event_id + j + 1 AS BIGINT) AS target_epoch,
+        |       '0xtr' || j::VARCHAR AS target_root
+        |FROM x""".stripMargin,
+    "p6_attester_slashings" ->
+      """SELECT CAST(event_id * 10000 AS BIGINT) AS slot,
+        |       CAST(0 AS BIGINT) AS slashing_index,
+        |       CAST(event_id AS BIGINT) AS att_1_slot,
+        |       CAST(event_id AS BIGINT) AS att_1_source_epoch,
+        |       CAST(event_id + 1 AS BIGINT) AS att_1_target_epoch,
+        |       '0xa1_' || event_id::VARCHAR AS att_1_signature,
+        |       '0xa2_' || event_id::VARCHAR AS att_2_signature,
+        |       CAST(event_id % 7 AS BIGINT) AS att_1_first_idx,
+        |       CAST(event_id % 7 + 1 AS BIGINT) AS att_2_first_idx,
+        |       CAST(2 AS BIGINT) AS att_1_validator_count,
+        |       CAST(2 AS BIGINT) AS att_2_validator_count,
+        |       CAST(3 AS BIGINT) AS total_slashed_validators
+        |FROM events WHERE event_id < 3000 AND event_id % 3 <> 0""".stripMargin,
     "p1_blocks" ->
       """SELECT event_id * 10000 AS slot,
         |       event_id AS proposer_index,
