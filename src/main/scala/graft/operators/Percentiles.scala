@@ -53,4 +53,36 @@ object Percentiles {
           min(when(col("__cum") * 100 >= col("__tot") * p, col("__v")))
             .as(s"p$p")): _*)
   }
+
+  /** Per-key ROBUST outlier detection — median / MAD (median absolute
+    * deviation), the estimator that survives the contamination a mean/
+    * stddev z-score does not (one wild value drags a mean arbitrarily;
+    * the median moves one rank). Both medians are the DISCRETE
+    * `quantile_disc` definition above, so there is no interpolation
+    * anywhere: the only float ops are one subtraction (|x − med|, exact
+    * IEEE, identical in any engine) and the final `k·mad` compare.
+    *
+    * Plan shape: two histogram aggregations (each partial-agg + one
+    * exchange over (key, value) cardinality) and two BROADCAST joins of
+    * the tiny per-key stats frame back onto the fact — the fact itself
+    * never shuffles, so the construction holds at 100 TB where a
+    * per-key sort of the raw rows would not. */
+  def madOutliers(
+      df: DataFrame, keyCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val med = perKey(df, keyCol, valueCol, Seq(50))
+      .select(col(keyCol), col("p50").as("__med"))
+    val dev = df.join(broadcast(med), keyCol)
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+    val mad = perKey(dev, keyCol, "__dev", Seq(50))
+      .select(col(keyCol), col("p50").as("__mad"))
+    dev.join(broadcast(mad), keyCol)
+      .groupBy(keyCol)
+      .agg(
+        count(lit(1)).as("n"),
+        max("__med").as("med"),
+        max("__mad").as("mad"),
+        sum(when(col("__dev") > lit(k) * col("__mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
 }

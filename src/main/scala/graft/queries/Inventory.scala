@@ -700,6 +700,42 @@ object Inventory {
         col("l_extendedprice")),
       "flag", "l_extendedprice", Seq(50, 90, 99))
 
+  /** A23: robust per-key outlier detection via median/MAD
+    * ([[graft.operators.Percentiles.madOutliers]]) — both medians are the
+    * DISCRETE quantile (a11 construction), so no interpolation exists
+    * anywhere; the fact never shuffles (two histogram aggs + two
+    * broadcast joins of the tiny per-key stats). The estimator a z-score
+    * can't be: one wild value moves a mean arbitrarily, a median by one
+    * rank — the standard quality gate for heavy-tailed training-data
+    * score columns. */
+  val a23MadOutliers: Q = (s, d) =>
+    graft.operators.Percentiles.madOutliers(
+      events(s, d).select(col("event_type"), col("value")),
+      "event_type", "value", k = 3.0)
+
+  /** W10: trailing-window anomaly gate — rows whose value exceeds 2× the
+    * average of the preceding ≤5 events of the same user. The frame
+    * aggregate is an exact-decimal SUM and the compare is MULTIPLIED
+    * THROUGH (value·cnt > 2·sum) so the per-row verdict is
+    * order-identical in any engine — no windowed double accumulation, no
+    * division. One shuffle on user_id; the frame is O(1) per row. */
+  val w10TrailingAnomaly: Q = (s, d) => {
+    val ev = events(s, d)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-5, -1)
+    ev.select(col("user_id"), eventTs(ev).as("ts"), col("event_id"),
+        col("value"))
+      .withColumn("__sum", sum(col("value").cast(DecimalType(18, 2))).over(w))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .filter(col("__cnt") >= 3 &&
+        col("value").cast(DecimalType(18, 2)) * col("__cnt") >
+          col("__sum") * 2)
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("__cnt").as("n_trailing"),
+        col("__sum").cast("double").as("trailing_sum"))
+  }
+
   /** J9: interval/range join via [[graft.operators.IntervalJoin]] — for
     * each click, how many purchase price-bands (value ± 1) contain its
     * value. A naive `BETWEEN` join plans as a nested loop (quadratic
@@ -1628,6 +1664,8 @@ object Inventory {
     "j21_asof_tolerance" -> j21AsofTolerance,
     "w4_sessionization" -> w4Sessionization,
     "a11_percentiles" -> a11Percentiles,
+    "a23_mad_outliers" -> a23MadOutliers,
+    "w10_trailing_anomaly" -> w10TrailingAnomaly,
     "w5_rolling_counts" -> w5RollingCounts,
     "a12_pivot" -> a12Pivot,
     "j9_interval_join" -> j9IntervalJoin,
@@ -2015,6 +2053,45 @@ object Inventory {
         |       MIN(CASE WHEN cum * 100 >= tot * 90 THEN v END) AS p90,
         |       MIN(CASE WHEN cum * 100 >= tot * 99 THEN v END) AS p99
         |FROM c GROUP BY flag""".stripMargin,
+    "a23_mad_outliers" ->
+      """WITH h AS (SELECT event_type, value AS v, count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, v, cnt,
+        |        SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        SUM(cnt) OVER (PARTITION BY event_type) AS tot
+        |      FROM h),
+        |med AS (SELECT event_type,
+        |          MIN(CASE WHEN cum * 100 >= tot * 50 THEN v END) AS med
+        |        FROM c GROUP BY 1),
+        |dev AS (SELECT e.event_type, abs(e.value - m.med) AS dv, m.med
+        |        FROM events e JOIN med m USING (event_type)),
+        |h2 AS (SELECT event_type, dv, count(*) AS cnt FROM dev GROUP BY 1, 2),
+        |c2 AS (SELECT event_type, dv, cnt,
+        |         SUM(cnt) OVER (PARTITION BY event_type ORDER BY dv
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY event_type) AS tot
+        |       FROM h2),
+        |mad AS (SELECT event_type,
+        |          MIN(CASE WHEN cum * 100 >= tot * 50 THEN dv END) AS mad
+        |        FROM c2 GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n, MAX(d.med) AS med, MAX(a.mad) AS mad,
+        |       CAST(SUM(CASE WHEN d.dv > 3.0 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers
+        |FROM dev d JOIN mad a USING (event_type)
+        |GROUP BY 1""".stripMargin,
+    "w10_trailing_anomaly" ->
+      """SELECT user_id, event_id, value,
+        |       CAST(n_trailing AS BIGINT) AS n_trailing,
+        |       CAST(s AS DOUBLE) AS trailing_sum
+        |FROM (
+        |  SELECT user_id, event_id, value,
+        |    SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS s,
+        |    COUNT(*) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS n_trailing
+        |  FROM events)
+        |WHERE n_trailing >= 3 AND CAST(value AS DECIMAL(18,2)) * n_trailing > s * 2""".stripMargin,
     "j9_interval_join" ->
       """SELECT c.event_id, count(*) AS n_bands
         |FROM (SELECT event_id, value FROM events WHERE event_type = 'click') c

@@ -773,6 +773,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("a23 MAD outliers: per-key stats broadcast back — the fact never shuffle-joins") {
+    val p = planOf("a23_mad_outliers")
+    // both med and mad frames ride BroadcastExchange; a SortMergeJoin of
+    // the fact against either would shuffle the corpus twice
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("w10 trailing anomaly: one user_id exchange feeds the bounded-frame window") {
+    val p = planOf("w10_trailing_anomaly")
+    assert(p.contains("Window"), p.take(2500))
+    assert(!p.contains("SinglePartition"), p.take(2500))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1, p.take(2500))
+  }
+
   test("j28 disjunctive predicates: equi key survives the OR — hash join, never NLJ") {
     val p = planOf("j28_disjunctive_pred")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(3000))
