@@ -130,11 +130,26 @@ object Multimodal {
     * width·height yield a NULL payload rather than a crooked image. */
   def encodePngBatched(
       df: DataFrame, idCol: String, widthCol: String, heightCol: String,
-      pixelsCol: String, batchSize: Int = 64): DataFrame = {
+      pixelsCol: String, batchSize: Int = 64): DataFrame =
+    encodeImageBatched(df, idCol, widthCol, heightCol, pixelsCol,
+      format = "png", outCol = "png", batchSize = batchSize)
+
+  /** Format-generic real image ENCODE (any `ImageIO.write` format name —
+    * "png", "jpg", "gif", "bmp"): `pixelsCol` is a row-major `array<int>`
+    * of packed 0xRRGGBB pixels built declaratively with
+    * `sequence`/`transform`, `widthCol`/`heightCol` its shape. Rows whose
+    * pixel count ≠ width·height yield a NULL payload rather than a
+    * crooked image. Lossy formats (JPEG) preserve dimensions exactly and
+    * pixels approximately — the m10 gate checks the former in the hard
+    * oracle and the latter under a tolerance in MultimodalSpec. */
+  def encodeImageBatched(
+      df: DataFrame, idCol: String, widthCol: String, heightCol: String,
+      pixelsCol: String, format: String, outCol: String,
+      batchSize: Int = 64): DataFrame = {
     val (idI, wI, hI, pI) = (df.schema.fieldIndex(idCol),
       df.schema.fieldIndex(widthCol), df.schema.fieldIndex(heightCol),
       df.schema.fieldIndex(pixelsCol))
-    val schema = outRow(df, idCol, Seq(StructField("png", BinaryType, nullable = true)))
+    val schema = outRow(df, idCol, Seq(StructField(outCol, BinaryType, nullable = true)))
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(schema)
     df.mapPartitions { rows =>
@@ -150,7 +165,7 @@ object Multimodal {
               var i = 0
               while (i < px.length) { img.setRGB(i % w, i / w, px(i)); i += 1 }
               val bos = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(img, "png", bos)
+              javax.imageio.ImageIO.write(img, format, bos)
               bos.toByteArray
             }
           Row(r.get(idI), bytes)

@@ -1243,6 +1243,36 @@ object LlmInventory {
     Multimodal.decodeImageResizeBatched(png, "doc_id", "png", factor = 2)
   }
 
+  /** m10: REAL JPEG round-trip ([[Multimodal.encodeImageBatched]] with
+    * the JDK's lossy "jpg" writer → [[Multimodal.decodeImageStatsBatched]])
+    * — closes the last image-codec stub. JPEG preserves DIMENSIONS
+    * exactly and pixels only approximately, so the hard oracle pins the
+    * closed-form width/height plus a decoded_ok flag (stats non-null and
+    * the channel sums inside their mathematical [0, 255·w·h] bounds);
+    * pixel fidelity for smooth content is tolerance-gated in
+    * MultimodalSpec where approximate values belong. */
+  val m10JpegDecode: Q = (s, d) => {
+    val doc = documents(s, d).filter(col("doc_id") < 40)
+    val w = (lit(4) + pmod(col("doc_id"), lit(5))).cast("int")
+    val h = (lit(3) + pmod(col("doc_id"), lit(3))).cast("int")
+    val px = transform(
+      sequence(lit(0L), w.cast("long") * h.cast("long") - 1L),
+      i => (pmod(col("doc_id") * 7 + i * 13, lit(256)) * 65536L +
+        pmod(col("doc_id") * 11 + i * 5, lit(256)) * 256L +
+        pmod(col("doc_id") * 3 + i * 17, lit(256))).cast("int"))
+    val pixels = doc.select(col("doc_id"), w.as("w"), h.as("h"), px.as("px"))
+    val jpg = Multimodal.encodeImageBatched(pixels, "doc_id", "w", "h", "px",
+      format = "jpg", outCol = "img")
+    val maxSum = col("width").cast("long") * col("height") * 255L
+    Multimodal.decodeImageStatsBatched(jpg, "doc_id", "img")
+      .select(col("doc_id"), col("width"), col("height"),
+        (col("sum_r").isNotNull && col("sum_g").isNotNull &&
+          col("sum_b").isNotNull &&
+          col("sum_r").between(0L, maxSum) &&
+          col("sum_g").between(0L, maxSum) &&
+          col("sum_b").between(0L, maxSum)).as("decoded_ok"))
+  }
+
   /** M7: REAL audio decode — deterministic 16-bit PCM samples
     * (closed-form per (doc, sample)) → canonical WAV bytes → real parse
     * through `javax.sound.sampled.AudioSystem` → format fields, frame
@@ -1611,6 +1641,7 @@ object LlmInventory {
     "m7_audio_decode" -> m7AudioDecode,
     "m8_image_ahash" -> m8ImageAhash,
     "m9_image_resize" -> m9ImageResize,
+    "m10_jpeg_decode" -> m10JpegDecode,
     "t14_skew_agg" -> t14SkewAgg,
     "t15_winnow_fingerprint" -> t15WinnowFingerprint,
     "t16_source_cap" -> t16SourceCap,
@@ -2971,6 +3002,12 @@ object LlmInventory {
     // cell membership and sums recomputed from the pixel FORMULA — no
     // PNG in sight; the checksum is order-sensitive so only the exact
     // cell geometry matches
+    "m10_jpeg_decode" ->
+      """SELECT doc_id,
+        |       CAST(4 + doc_id % 5 AS INT) AS width,
+        |       CAST(3 + doc_id % 3 AS INT) AS height,
+        |       TRUE AS decoded_ok
+        |FROM documents WHERE doc_id < 40""".stripMargin,
     "m9_image_resize" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -550,6 +550,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(j.isNullAt(1) && j.isNullAt(3))
   }
 
+  test("real JPEG codec: dims exact, smooth-content pixels within lossy tolerance") {
+    // a smooth horizontal gradient (JPEG's best case) on a 16×8 canvas:
+    // dims must survive exactly; per-channel MEAN error stays small
+    val w0 = 16; val h0 = 8
+    val px = Seq.tabulate(w0 * h0) { i =>
+      val v = (i % w0) * 16 // 0..240 gradient, same in all channels
+      v * 65536 + v * 256 + v
+    }
+    val rows = Seq((1L, w0, h0, px)).toDF("id", "w", "h", "px")
+    val jpg = graft.operators.Multimodal
+      .encodeImageBatched(rows, "id", "w", "h", "px", format = "jpg", outCol = "img")
+    // payload really is JFIF/JPEG, not a re-labeled PNG
+    val bytes = jpg.head().getAs[Array[Byte]]("img")
+    assert((bytes(0) & 0xFF) === 0xFF && (bytes(1) & 0xFF) === 0xD8, "missing SOI marker")
+    val st = graft.operators.Multimodal.decodeImageStatsBatched(jpg, "id", "img").head()
+    assert(st.getInt(1) === w0 && st.getInt(2) === h0)
+    val exact = px.map(p => (p >> 16) & 0xFF).map(_.toLong).sum
+    val meanErr = math.abs(st.getLong(3) - exact).toDouble / (w0 * h0)
+    assert(meanErr < 8.0, s"mean per-pixel error $meanErr too large for smooth content")
+  }
+
   test("real WAV codec: PCM round-trips through AudioSystem; format fields parsed") {
     val rows = Seq(
       (1L, Seq(0, 1000, -1000, 32767, -32768, 5)),
