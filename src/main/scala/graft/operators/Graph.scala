@@ -428,6 +428,46 @@ object Graph {
     * materialized `localCheckpoint`s and superseded copies are released
     * per round — the [[pageRank]] lineage-cut contract; the returned
     * frame is caller-owned (unpersist when done). */
+  /** Bounded MIN-LABEL propagation — `iterations` synchronous rounds of
+    * `label(n) ← min(label(n), min over in-neighbors' labels)`, labels
+    * initialized to the node id. This is the fixed-round core of
+    * connected components / community seeding: after k rounds every node
+    * carries the smallest id reachable within k hops (the unbounded
+    * fixpoint lives in Dedup's pointer-jump union-find; the bounded form
+    * is a closed form ANY engine can replay, so it sits in the hard
+    * oracle gate where the convergence loop cannot).
+    *
+    * Scale shape per round: one equi join of the edge list against the
+    * label frame (shuffle on node id) + one partial-agg MIN — the g1
+    * PageRank cost model; `checkpoint` cuts the unrolled lineage the
+    * same way. Undirected graphs: pass a symmetrized edge list. */
+  def minLabelPropagation(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, checkpoint: Boolean = false): DataFrame = {
+    require(iterations >= 0,
+      s"minLabelPropagation: iterations must be >= 0, got $iterations")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val eCp = if (checkpoint) e.localCheckpoint(eager = true) else e
+    val nodes = eCp.select(col("src").as("node"))
+      .union(eCp.select(col("dst").as("node"))).distinct()
+    var labels = nodes.withColumn("label", col("node"))
+    if (checkpoint) labels = labels.localCheckpoint(eager = true)
+    var i = 0
+    while (i < iterations) {
+      val contrib = eCp.join(labels, eCp("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next0 = labels.select("node", "label").union(contrib)
+        .groupBy("node").agg(min("label").as("label"))
+      if (checkpoint) {
+        val cp = next0.localCheckpoint(eager = true)
+        labels.unpersist(blocking = false)
+        labels = cp
+      } else labels = next0
+      i += 1
+    }
+    labels
+  }
+
   def hopDistance(
       edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxHops: Int,

@@ -986,6 +986,22 @@ object Inventory {
       .select(col("node"), col("dist"))
   }
 
+  /** G7: bounded min-label propagation over the part co-occurrence graph
+    * ([[graft.operators.Graph.minLabelPropagation]]) — 4 synchronous
+    * rounds of `label ← min(label, neighbors' labels)` from id-valued
+    * seeds: the fixed-round core of connected components / community
+    * seeding, chosen over the convergence loop precisely because the
+    * k-round result is a closed form DuckDB can replay via an unrolled
+    * CTE (the g1 oracle argument). One edge⋈label join + one MIN agg per
+    * round, lineage checkpointed. */
+  val g7MinLabelProp: Q = (s, d) => {
+    val co = partCooccurrence(s, d)
+    val undirected =
+      co.union(co.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Graph.minLabelPropagation(
+      undirected, "src", "dst", iterations = 4, checkpoint = true)
+  }
+
   /** X4: EXCEPT ALL — multiset difference (each occurrence consumes one
     * match, unlike X1's set EXCEPT): day-1 user activity minus day-2,
     * multiplicity-aware. */
@@ -994,6 +1010,17 @@ object Inventory {
     def day(dt: String) =
       ev.filter(to_date(eventTs(ev)) === lit(dt)).select("user_id", "event_type")
     day("2024-01-01").exceptAll(day("2024-01-02"))
+  }
+
+  /** X5: INTERSECT ALL — multiset intersection (min of the two
+    * multiplicities survives, the dual of x4's EXCEPT ALL): user activity
+    * present on BOTH days, multiplicity-aware. Spark plans this as one
+    * count-compare aggregation, not a join explosion. */
+  val x5IntersectAll: Q = (s, d) => {
+    val ev = events(s, d)
+    def day(dt: String) =
+      ev.filter(to_date(eventTs(ev)) === lit(dt)).select("user_id", "event_type")
+    day("2024-01-01").intersectAll(day("2024-01-02"))
   }
 
   /** J10: interval-OVERLAP join ([[graft.operators.IntervalJoin
@@ -1292,6 +1319,29 @@ object Inventory {
         col("l_quantity").between(20, 30)))
       .agg(sum(revenue).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
+  }
+
+  /** J29: the TPC-H Q14 promo-revenue-share shape — conditional
+    * aggregation KEYED BY A DIMENSION ATTRIBUTE after the join (SUM(CASE
+    * WHEN p_type...)): both the promo slice and the total accumulate in
+    * one pass over the joined frame as exact decimals; the percentage is
+    * ONE double division at the very end. Part broadcasts; the date
+    * slice pushes to the lineitem scan. */
+  val j29PromoShare: Q = (s, d) => {
+    val p = part(s, d).select("p_partkey", "p_type")
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revenue)
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double")
+          .as("promo_revenue"),
+        sum(revenue).cast("double").as("total_revenue"),
+        (sum(when(col("p_type") === "PROMO", revenue)
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") * 100.0 /
+          sum(revenue).cast("double")).as("promo_pct"))
   }
 
   /** J14: the TPC-H Q10 returned-item-report shape — who returned the
@@ -1683,6 +1733,8 @@ object Inventory {
     "j27_value_share" -> j27ValueShare,
     "j28_disjunctive_pred" -> j28DisjunctivePred,
     "x4_except_all" -> x4ExceptAll,
+    "x5_intersect_all" -> x5IntersectAll,
+    "j29_promo_share" -> j29PromoShare,
     "a14_rolling_dau" -> a14RollingDau,
     "w7_first_touch" -> w7FirstTouch,
     "a15_funnel_conversion" -> a15FunnelConversion,
@@ -1703,6 +1755,7 @@ object Inventory {
     "g4_triangle_count" -> g4TriangleCount,
     "g5_common_neighbors" -> g5CommonNeighbors,
     "g6_hop_distance" -> g6HopDistance,
+    "g7_min_label_prop" -> g7MinLabelProp,
     "c1_safe_long_hex" -> c1SafeLongHex,
     "c3_payload_hash" -> c3PayloadHash,
     "c4_popcount" -> c4Popcount,
@@ -2208,6 +2261,31 @@ object Inventory {
     // breadth-first up to 3 hops over the symmetrized co-occurrence
     // edges; min(d) per node equals the frontier iteration's first
     // sighting. Seeds (customer 1's parts) sit at distance 0.
+    "g7_min_label_prop" ->
+      """WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |       FROM l a JOIN l b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |l0 AS (SELECT node, node AS label FROM n),
+        |l1 AS (SELECT node, MIN(label) AS label FROM (
+        |  SELECT node, label FROM l0
+        |  UNION ALL SELECT e.dst AS node, l0.label FROM e JOIN l0 ON e.src = l0.node
+        |) t GROUP BY node),
+        |l2 AS (SELECT node, MIN(label) AS label FROM (
+        |  SELECT node, label FROM l1
+        |  UNION ALL SELECT e.dst AS node, l1.label FROM e JOIN l1 ON e.src = l1.node
+        |) t GROUP BY node),
+        |l3 AS (SELECT node, MIN(label) AS label FROM (
+        |  SELECT node, label FROM l2
+        |  UNION ALL SELECT e.dst AS node, l2.label FROM e JOIN l2 ON e.src = l2.node
+        |) t GROUP BY node),
+        |l4 AS (SELECT node, MIN(label) AS label FROM (
+        |  SELECT node, label FROM l3
+        |  UNION ALL SELECT e.dst AS node, l3.label FROM e JOIN l3 ON e.src = l3.node
+        |) t GROUP BY node)
+        |SELECT node, label FROM l4""".stripMargin,
     "g6_hop_distance" ->
       """WITH RECURSIVE l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -2318,6 +2396,29 @@ object Inventory {
       """SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'
         |EXCEPT ALL
         |SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'""".stripMargin,
+    "x5_intersect_all" ->
+      """SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+        |INTERSECT ALL
+        |SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'""".stripMargin,
+    "j29_promo_share" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS total_revenue,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0 /
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
     "j12_shipping_priority" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

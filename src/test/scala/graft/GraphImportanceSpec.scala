@@ -27,6 +27,21 @@ class GraphImportanceSpec extends AnyFunSuite {
     assert(math.abs(r("b") - 0.5) < 1e-12)
   }
 
+  test("minLabelPropagation: k rounds = min id within k hops; converges to components") {
+    // path component 1-2-3-4 plus isolated pair 10-11 (symmetrized)
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val e = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+    def labels(k: Int): Map[Long, Long] =
+      graft.operators.Graph.minLabelPropagation(e, "src", "dst", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1 round: node 4 only sees 3; node 3 sees 2
+    assert(labels(1) === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 10L -> 10L, 11L -> 10L))
+    // 3 rounds: the whole path has flooded to 1; the pair stays at 10
+    assert(labels(3) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // extra rounds are a fixpoint
+    assert(labels(5) === labels(3))
+  }
+
   test("pageRank: authority ordering — a hub-pointed node outranks leaves") {
     // star: l1,l2,l3 -> c, c -> l1 (c has out-edges so no dangling)
     val e = edges(("l1", "c", 1L), ("l2", "c", 1L), ("l3", "c", 1L),
