@@ -67,6 +67,29 @@ object Percentiles {
     * the tiny per-key stats frame back onto the fact — the fact itself
     * never shuffles, so the construction holds at 100 TB where a
     * per-key sort of the raw rows would not. */
+  /** Per-key WINSORIZATION — clamp the value column into its key's
+    * [pLo, pHi] discrete-percentile band: the standard robustification
+    * for heavy-tailed score columns before they feed sampling weights or
+    * mixture rates (a wild scraper score would otherwise own the whole
+    * budget). Returns the input rows plus `<valueCol>_w` (clamped) and
+    * `clamped` (-1 low / 0 inside / +1 high). Same scale shape as
+    * [[madOutliers]]: one histogram agg + one broadcast join back; the
+    * fact never shuffles. */
+  def winsorize(
+      df: DataFrame, keyCol: String, valueCol: String,
+      pLo: Int, pHi: Int): DataFrame = {
+    require(pLo < pHi, s"winsorize: need pLo < pHi, got [$pLo, $pHi]")
+    val bounds = perKey(df, keyCol, valueCol, Seq(pLo, pHi))
+      .select(col(keyCol), col(s"p$pLo").as("__lo"), col(s"p$pHi").as("__hi"))
+    df.join(broadcast(bounds), keyCol)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .withColumn("clamped",
+        when(col(valueCol) < col("__lo"), -1)
+          .when(col(valueCol) > col("__hi"), 1).otherwise(0))
+      .drop("__lo", "__hi")
+  }
+
   def madOutliers(
       df: DataFrame, keyCol: String, valueCol: String,
       k: Double = 3.0): DataFrame = {

@@ -1406,6 +1406,25 @@ object LlmInventory {
     * integer comparisons (the E-S exponential-keys shape without the
     * cross-engine `ln` hazard). Scan-side key, TakeOrdered top-k; the
     * emitted wkey lets the oracle replay the whole draw. */
+  /** t45: per-language WINSORIZATION of doc length
+    * ([[graft.operators.Percentiles.winsorize]]) — clamp n_chars into the
+    * language's discrete [p10, p90] band, then roll up raw vs clamped
+    * sums and clamp counts. The robust-scaling step that keeps a
+    * heavy-tailed length/score column from owning downstream sampling
+    * weights; all-integer arithmetic end to end (discrete percentiles,
+    * long sums), so the gate is exact. One histogram agg + one broadcast
+    * join — the corpus never shuffles. */
+  val t45Winsorize: Q = (s, d) =>
+    graft.operators.Percentiles.winsorize(
+      documents(s, d).select(col("lang"), col("n_chars")),
+      "lang", "n_chars", 10, 90)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_raw"),
+        sum(col("n_chars_w")).as("sum_w"),
+        sum(when(col("clamped") === -1, 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("clamped") === 1, 1L).otherwise(0L)).as("n_high"))
+
   val t44WeightedSample: Q = (s, d) => {
     val docs = documents(s, d).withColumn("weight",
       greatest(lit(1L), least(lit(16L), floor(col("n_chars") / 50).cast("long"))))
@@ -1659,6 +1678,7 @@ object LlmInventory {
     "d15_host_cap" -> d15HostCap,
     "t43_html_strip" -> t43HtmlStrip,
     "t44_weighted_sample" -> t44WeightedSample,
+    "t45_winsorize" -> t45Winsorize,
     "a18_sampled_quantiles" -> a18SampledQuantiles,
     "t21_classifier_score" -> t21ClassifierScore,
     "t22_tfidf_topterms" -> t22TfidfTopTerms,
@@ -3268,6 +3288,25 @@ object LlmInventory {
         |SELECT doc_id, host, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin,
     // min over the row's w salted hashes (the t17 bounded-range trick
     // for the per-row draw count), then the global top-50 by key
+    "t45_winsorize" ->
+      """WITH h AS (SELECT lang, n_chars AS v, count(*) AS cnt
+        |           FROM documents GROUP BY 1, 2),
+        |c AS (SELECT lang, v, cnt,
+        |        SUM(cnt) OVER (PARTITION BY lang ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        SUM(cnt) OVER (PARTITION BY lang) AS tot
+        |      FROM h),
+        |b AS (SELECT lang,
+        |        MIN(CASE WHEN cum * 100 >= tot * 10 THEN v END) AS lo,
+        |        MIN(CASE WHEN cum * 100 >= tot * 90 THEN v END) AS hi
+        |      FROM c GROUP BY 1)
+        |SELECT d.lang, count(*) AS n,
+        |       CAST(SUM(d.n_chars) AS BIGINT) AS sum_raw,
+        |       CAST(SUM(LEAST(GREATEST(d.n_chars, b.lo), b.hi)) AS BIGINT) AS sum_w,
+        |       CAST(SUM(CASE WHEN d.n_chars < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |       CAST(SUM(CASE WHEN d.n_chars > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM documents d JOIN b USING (lang)
+        |GROUP BY 1""".stripMargin,
     "t44_weighted_sample" ->
       """WITH wdf AS (
         |  SELECT doc_id,
