@@ -269,6 +269,7 @@ object Scale {
     if (args.headOption.contains("pagerank")) return pagerankMain(args)
     if (args.headOption.contains("triangles")) return trianglesMain(args)
     if (args.headOption.contains("bfs")) return bfsMain(args)
+    if (args.headOption.contains("labelprop")) return labelPropMain(args)
     if (args.headOption.contains("dsir")) return dsirMain(args)
     val totalSlots = args.lift(0).map(_.toLong).getOrElse(1000000L)
     val outMd = args.lift(1).getOrElse("SCALE.md")
@@ -2447,6 +2448,94 @@ object Scale {
          |""".stripMargin
     spliceSection(outMd, dsirHeader, section)
     println(s"""{"metric":"scale_dsir","value":$scoreSec,"unit":"sec","n_docs":$nDocs,"docs_per_s":${nDocs / scoreSec},"separation":${planted / background},"heap_peak_mb":$heapMb}""")
+    spark.stop()
+  }
+
+  private val labelPropHeader = "## Min-label propagation graph stage"
+
+  /** `runMain graft.Scale labelprop [nBits] [rounds] [outMd]` — bounded
+    * min-label propagation (g7's operator) at graph scale with an EXACT
+    * per-node closed form on the bfs stage's +2^j digraph: after k
+    * rounds label(n) = 0 IFF dist(0 → n) ≤ k IFF popcount(n) ≤ k (the
+    * bfs stage's theorem, read through the label lens), so the zero-set
+    * must be exactly the popcount-≤k ball — Σ_{d≤k} C(b,d) nodes,
+    * checked per node via bit_count. Unlike BFS the label frame never
+    * shrinks to a frontier: every round joins ALL 2^b labels against
+    * all ~b·2^b edges — the worst-case regime for the operator, which
+    * is exactly what a scale stage should measure. */
+  private def labelPropMain(args: Array[String]): Unit = {
+    val nBits = args.lift(1).map(_.toInt).getOrElse(20)
+    val rounds = args.lift(2).map(_.toInt).getOrElse(6)
+    val outMd = args.lift(3).getOrElse("SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val v = 1L << nBits
+    val dir = Files.createTempDirectory("graft_scale_labelprop").toString
+    val (_, genSec) = timed {
+      spark.range(v).toDF("src")
+        .select(col("src"), explode(array((0 until nBits).map(j => lit(1L << j)): _*)).as("step"))
+        .withColumn("dst", col("src") + col("step"))
+        .filter(col("dst") < v)
+        .select("src", "dst")
+        .write.mode("overwrite").parquet(dir)
+    }
+    val edges = spark.read.parquet(dir)
+    val nEdges = edges.count()
+    val (labels, propSec) = timed {
+      val r = graft.operators.Graph.minLabelPropagation(
+        edges, "src", "dst", iterations = rounds, checkpoint = true)
+      r.count(); r
+    }
+    // exact closed form: label(n) == 0  ⇔  popcount(n) <= rounds
+    val wrong = labels.filter(
+      (col("label") === 0L) =!= (bit_count(col("node")) <= rounds)).count()
+    require(wrong == 0L, s"$wrong nodes violate the popcount-ball closed form")
+    def choose(n: Int, k: Int): Long =
+      (1 to k).foldLeft(1L)((a, i) => a * (n - i + 1) / i)
+    val zeroExpected = (0 to rounds).map(choose(nBits, _)).sum
+    val zeroGot = labels.filter(col("label") === 0L).count()
+    require(zeroGot == zeroExpected, s"zero-set $zeroGot, want $zeroExpected")
+    // propagation never raises a label
+    val raised = labels.filter(col("label") > col("node")).count()
+    require(raised == 0L, s"$raised labels exceed their node id")
+    labels.unpersist(blocking = false)
+    val heapMb = heapPeakMb()
+    val section =
+      s"""
+         |$labelPropHeader (2^$nBits nodes, ${nEdges / 1000000}M edges, $rounds rounds, exact per-node oracle)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale labelprop $nBits $rounds"` —
+         |`Graph.minLabelPropagation` (g7) over the bfs stage's +2^j
+         |digraph. Closed form: after k rounds label(n) = 0 IFF
+         |popcount(n) ≤ k, so the zero-set is the popcount ball —
+         |$zeroExpected of ${v / 1000}k nodes here — checked per node via
+         |bit_count, plus label ≤ node everywhere.
+         |
+         || metric | value |
+         ||---|---|
+         || graph generate + write | ${f"$genSec%.1f"} s ($nEdges edges) |
+         || $rounds propagation rounds | ${f"$propSec%.1f"} s (${f"${nEdges.toDouble * rounds / propSec / 1e6}%.1f"}M edge-visits/s equivalent) |
+         || per-node closed form | ${v / 1000}k/${v / 1000}k nodes (zero-set = popcount ≤ $rounds ball, $zeroGot nodes) |
+         || peak heap | $heapMb MB |
+         |
+         |- unlike BFS there is no frontier: every round joins the FULL
+         |  label vector against the edge list — the operator's worst-case
+         |  regime, measured on purpose (per-round cost is flat, bounded by
+         |  |E| + |V|, and `localCheckpoint` keeps the plan depth constant)
+         |- the zero-set check is two-sided: a label that spreads too fast
+         |  (a join bug) or too slow (a dropped round) both break the
+         |  binomial count
+         |""".stripMargin
+    spliceSection(outMd, labelPropHeader, section)
+    println(s"""{"metric":"scale_labelprop","value":$propSec,"unit":"sec","n_bits":$nBits,"rounds":$rounds,"n_edges":$nEdges,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 
