@@ -547,6 +547,56 @@ object Inventory {
         col("total_slashed_validators"))
   }
 
+  /** P7 (real parser): [[graft.beacon.BlockParser.syncAggregates]]
+    * end-to-end (reference: src/parsers/altair.py:15-60) — the
+    * popcount-bearing projection: sync_committee_bits hex → participation
+    * via the c4 `hex_popcount` kernel (here provably equal to
+    * bit_count(event_id) because the bits ARE hex(event_id)), plus the
+    * Altair null-gate: every 5th payload omits sync_aggregate entirely
+    * and must NOT emit a row (pre-Altair forks). */
+  val p7SyncAggregates: Q = (s, d) => {
+    val e = col("event_id")
+    val es = e.cast("string")
+    val payload = when(pmod(e, lit(5)) === 0,
+      lit("""{"data":{"message":{"body":{}}}}"""))
+      .otherwise(concat(
+        lit("""{"data":{"message":{"body":{"sync_aggregate":{"sync_committee_bits":"0x"""),
+        hex(e),
+        lit("""","sync_committee_signature":"0xsig"""), es,
+        lit(""""}}}}}""")))
+    val raw = events(s, d).filter(e < 3000)
+      .select((e * 10000L).as("slot"), payload.as("payload"))
+    graft.beacon.BlockParser.syncAggregates(graft.beacon.BlockParser.withParsed(raw))
+  }
+
+  /** P10 (real parser): [[graft.beacon.BlockParser.withdrawals]]
+    * end-to-end (reference: src/parsers/capella.py:22-43) — the
+    * block-context-onto-every-row shape: execution_payload's
+    * block_number/block_hash replicate onto each exploded withdrawal,
+    * every numeric through safe_long. Variable arity 0–2 via the p3
+    * pattern. */
+  val p10Withdrawals: Q = (s, d) => {
+    val e = col("event_id")
+    val es = e.cast("string")
+    def entry(j: Int) = concat(
+      lit("""{"index":""""), (e * 10 + j).cast("string"),
+      lit("""","validator_index":""""), (e + j).cast("string"),
+      lit("""","address":"0xad"""), es, lit(s"_$j"),
+      lit("""","amount":""""), (e * 100 + j).cast("string"),
+      lit(""""}"""))
+    val wArr = when(pmod(e, lit(3)) === 0, lit("[]"))
+      .when(pmod(e, lit(3)) === 1, concat(lit("["), entry(0), lit("]")))
+      .otherwise(concat(lit("["), entry(0), lit(","), entry(1), lit("]")))
+    val payload = concat(
+      lit("""{"data":{"message":{"body":{"execution_payload":{"block_number":""""),
+      (e * 2).cast("string"),
+      lit("""","block_hash":"0xbh"""), es,
+      lit("""","withdrawals":"""), wArr, lit("""}}}}}"""))
+    val raw = events(s, d).filter(e < 3000)
+      .select((e * 10000L).as("slot"), payload.as("payload"))
+    graft.beacon.BlockParser.withdrawals(graft.beacon.BlockParser.withParsed(raw))
+  }
+
   /** P19: the validators mega-payload parser end-to-end
     * ([[graft.beacon.StateParsers.validators]], reference:
     * src/parsers/validators.py:11-47): variable-length validator arrays
@@ -1769,6 +1819,8 @@ object Inventory {
     "p3_deposits" -> p3Deposits,
     "p2_attestations" -> p2Attestations,
     "p6_attester_slashings" -> p6AttesterSlashings,
+    "p7_sync_aggregates" -> p7SyncAggregates,
+    "p10_withdrawals" -> p10Withdrawals,
     "p19_validators" -> p19Validators,
     "p2_explode_enumerate" -> p2ExplodeEnumerate,
     "p24_unpivot" -> p24Unpivot,
@@ -2654,6 +2706,26 @@ object Inventory {
         |       CAST(2 AS BIGINT) AS att_2_validator_count,
         |       CAST(3 AS BIGINT) AS total_slashed_validators
         |FROM events WHERE event_id < 3000 AND event_id % 3 <> 0""".stripMargin,
+    "p7_sync_aggregates" ->
+      """SELECT CAST(event_id * 10000 AS BIGINT) AS slot,
+        |       '0x' || hex(event_id) AS sync_committee_bits,
+        |       '0xsig' || event_id::VARCHAR AS sync_committee_signature,
+        |       CAST(bit_count(event_id) AS BIGINT) AS participation_count,
+        |       CAST(bit_count(event_id) AS BIGINT) AS participating_validators
+        |FROM events WHERE event_id < 3000 AND event_id % 5 <> 0""".stripMargin,
+    "p10_withdrawals" ->
+      """WITH n AS (
+        |  SELECT event_id, event_id % 3 AS n FROM events WHERE event_id < 3000),
+        |x AS (
+        |  SELECT event_id, r.j FROM n CROSS JOIN range(0, 2) r(j) WHERE r.j < n.n)
+        |SELECT CAST(event_id * 10000 AS BIGINT) AS slot,
+        |       CAST(event_id * 2 AS BIGINT) AS block_number,
+        |       '0xbh' || event_id::VARCHAR AS block_hash,
+        |       CAST(event_id * 10 + j AS BIGINT) AS withdrawal_index,
+        |       CAST(event_id + j AS BIGINT) AS validator_index,
+        |       '0xad' || event_id::VARCHAR || '_' || j::VARCHAR AS address,
+        |       CAST(event_id * 100 + j AS BIGINT) AS amount
+        |FROM x""".stripMargin,
     "p1_blocks" ->
       """SELECT event_id * 10000 AS slot,
         |       event_id AS proposer_index,
