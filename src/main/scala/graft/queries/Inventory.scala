@@ -597,6 +597,59 @@ object Inventory {
     graft.beacon.BlockParser.withdrawals(graft.beacon.BlockParser.withParsed(raw))
   }
 
+  /** P5 (real parser): [[graft.beacon.BlockParser.proposerSlashings]]
+    * end-to-end (reference: src/parsers/phase0.py:61-85) — the
+    * two-signed-headers flatten: 12 columns from two nested header
+    * structs per slashing, each field a closed form. */
+  val p5ProposerSlashings: Q = (s, d) => {
+    val e = col("event_id")
+    val es = e.cast("string")
+    def header(k: Int) = concat(
+      lit("""{"message":{"slot":""""), (e + k).cast("string"),
+      lit("""","proposer_index":""""), es,
+      lit("""","parent_root":"0xpr"""), lit(k.toString), lit("_"), es,
+      lit("""","state_root":"0xst"""), lit(k.toString), lit("_"), es,
+      lit("""","body_root":"0xbr"""), lit(k.toString), lit("_"), es,
+      lit(""""},"signature":"0xhs"""), lit(k.toString), lit("_"), es,
+      lit(""""}"""))
+    val slashing = concat(
+      lit("""{"signed_header_1":"""), header(1),
+      lit(""","signed_header_2":"""), header(2), lit("}"))
+    val arr = when(pmod(e, lit(4)) === 0, lit("[]"))
+      .otherwise(concat(lit("["), slashing, lit("]")))
+    val payload = concat(
+      lit("""{"data":{"message":{"body":{"proposer_slashings":"""),
+      arr, lit("""}}}}"""))
+    val raw = events(s, d).filter(e < 3000)
+      .select((e * 10000L).as("slot"), payload.as("payload"))
+    graft.beacon.BlockParser
+      .proposerSlashings(graft.beacon.BlockParser.withParsed(raw))
+  }
+
+  /** P14 (real parser): [[graft.beacon.BlockParser.executionRequestsTable]]
+    * end-to-end (reference: src/parsers/electra.py:53-84) — the
+    * JSON-PASSTHROUGH shape: the whole execution_requests object is
+    * echoed as a string column (get_json_object on compact input must
+    * reproduce the synthesized substring byte-for-byte) plus three
+    * sub-list counts, and the row is emitted ONLY when any count > 0 —
+    * the all-empty variant (event_id % 4 == 0) must vanish. */
+  val p14ExecutionRequests: Q = (s, d) => {
+    val e = col("event_id")
+    val dArr = when(pmod(e, lit(4)) === 1, lit("""[{"x":1}]""")).otherwise(lit("[]"))
+    val wArr = when(pmod(e, lit(4)) === 2, lit("""[{"x":1},{"x":2}]""")).otherwise(lit("[]"))
+    val cArr = when(pmod(e, lit(4)) === 3, lit("""[{"x":1}]""")).otherwise(lit("[]"))
+    val er = concat(lit("""{"deposits":"""), dArr,
+      lit(""","withdrawals":"""), wArr,
+      lit(""","consolidations":"""), cArr, lit("}"))
+    val payload = concat(
+      lit("""{"data":{"message":{"body":{"execution_requests":"""),
+      er, lit("""}}}}"""))
+    val raw = events(s, d).filter(e < 3000)
+      .select((e * 10000L).as("slot"), payload.as("payload"))
+    graft.beacon.BlockParser
+      .executionRequestsTable(graft.beacon.BlockParser.withParsed(raw))
+  }
+
   /** P19: the validators mega-payload parser end-to-end
     * ([[graft.beacon.StateParsers.validators]], reference:
     * src/parsers/validators.py:11-47): variable-length validator arrays
@@ -1821,6 +1874,8 @@ object Inventory {
     "p6_attester_slashings" -> p6AttesterSlashings,
     "p7_sync_aggregates" -> p7SyncAggregates,
     "p10_withdrawals" -> p10Withdrawals,
+    "p5_proposer_slashings" -> p5ProposerSlashings,
+    "p14_execution_requests" -> p14ExecutionRequests,
     "p19_validators" -> p19Validators,
     "p2_explode_enumerate" -> p2ExplodeEnumerate,
     "p24_unpivot" -> p24Unpivot,
@@ -2706,6 +2761,35 @@ object Inventory {
         |       CAST(2 AS BIGINT) AS att_2_validator_count,
         |       CAST(3 AS BIGINT) AS total_slashed_validators
         |FROM events WHERE event_id < 3000 AND event_id % 3 <> 0""".stripMargin,
+    "p5_proposer_slashings" ->
+      """SELECT CAST(event_id * 10000 AS BIGINT) AS slot,
+        |       CAST(0 AS BIGINT) AS slashing_index,
+        |       CAST(event_id + 1 AS BIGINT) AS header_1_slot,
+        |       CAST(event_id AS BIGINT) AS header_1_proposer_index,
+        |       '0xpr1_' || event_id::VARCHAR AS header_1_parent_root,
+        |       '0xst1_' || event_id::VARCHAR AS header_1_state_root,
+        |       '0xbr1_' || event_id::VARCHAR AS header_1_body_root,
+        |       '0xhs1_' || event_id::VARCHAR AS header_1_signature,
+        |       CAST(event_id + 2 AS BIGINT) AS header_2_slot,
+        |       CAST(event_id AS BIGINT) AS header_2_proposer_index,
+        |       '0xpr2_' || event_id::VARCHAR AS header_2_parent_root,
+        |       '0xst2_' || event_id::VARCHAR AS header_2_state_root,
+        |       '0xbr2_' || event_id::VARCHAR AS header_2_body_root,
+        |       '0xhs2_' || event_id::VARCHAR AS header_2_signature
+        |FROM events WHERE event_id < 3000 AND event_id % 4 <> 0""".stripMargin,
+    "p14_execution_requests" ->
+      """SELECT CAST(event_id * 10000 AS BIGINT) AS slot,
+        |       '{"deposits":' ||
+        |         CASE WHEN event_id % 4 = 1 THEN '[{"x":1}]' ELSE '[]' END ||
+        |       ',"withdrawals":' ||
+        |         CASE WHEN event_id % 4 = 2 THEN '[{"x":1},{"x":2}]' ELSE '[]' END ||
+        |       ',"consolidations":' ||
+        |         CASE WHEN event_id % 4 = 3 THEN '[{"x":1}]' ELSE '[]' END ||
+        |       '}' AS payload,
+        |       CAST(CASE WHEN event_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT) AS deposits_count,
+        |       CAST(CASE WHEN event_id % 4 = 2 THEN 2 ELSE 0 END AS BIGINT) AS withdrawals_count,
+        |       CAST(CASE WHEN event_id % 4 = 3 THEN 1 ELSE 0 END AS BIGINT) AS consolidations_count
+        |FROM events WHERE event_id < 3000 AND event_id % 4 <> 0""".stripMargin,
     "p7_sync_aggregates" ->
       """SELECT CAST(event_id * 10000 AS BIGINT) AS slot,
         |       '0x' || hex(event_id) AS sync_committee_bits,
