@@ -650,6 +650,47 @@ object Inventory {
       .executionRequestsTable(graft.beacon.BlockParser.withParsed(raw))
   }
 
+  /** P8 (real parser): [[graft.beacon.BlockParser.executionPayloads]]
+    * end-to-end (reference: src/parsers/bellatrix.py:15-58 with the
+    * deneb.py:36-41 / capella.py:41-43 fork overrides) — the widest
+    * single-row projection (15 EL fields + 3 derived counts). Every odd
+    * event is a BELLATRIX-era payload: no blob-gas fields, no
+    * withdrawals, no transactions — each must DEFAULT (0 via safe_long /
+    * size-or-0), not null out, which is exactly the declarative
+    * fork-awareness claim (absent fields parse as null and default at
+    * projection; no per-row fork dispatch). */
+  val p8ExecutionPayloads: Q = (s, d) => {
+    val e = col("event_id")
+    val es = e.cast("string")
+    val newer = concat(
+      lit(""","transactions":["0xt1","0xt2"],"withdrawals":[{}],"blob_gas_used":""""),
+      (e * 5).cast("string"),
+      lit("""","excess_blob_gas":""""), (e * 6).cast("string"), lit("\""))
+    val ep = concat(
+      lit("""{"parent_hash":"0xph"""), es,
+      lit("""","fee_recipient":"0xfr"""), es,
+      lit("""","state_root":"0xsr"""), es,
+      lit("""","receipts_root":"0xrr"""), es,
+      lit("""","logs_bloom":"0xlb"""), es,
+      lit("""","prev_randao":"0xra"""), es,
+      lit("""","block_number":""""), (e * 2).cast("string"),
+      lit("""","gas_limit":""""), (e * 3).cast("string"),
+      lit("""","gas_used":""""), (e * 4).cast("string"),
+      lit("""","timestamp":""""), (e + 1000000).cast("string"),
+      lit("""","base_fee_per_gas":"7"""),
+      lit("""","block_hash":"0xbh"""), es,
+      lit("""","extra_data":"0xed"""), es, lit("\""),
+      when(pmod(e, lit(2)) === 0, newer).otherwise(lit("")),
+      lit("}"))
+    val payload = concat(
+      lit("""{"data":{"message":{"body":{"execution_payload":"""),
+      ep, lit("""}}}}"""))
+    val raw = events(s, d).filter(e < 3000)
+      .select((e * 10000L).as("slot"), payload.as("payload"))
+    graft.beacon.BlockParser
+      .executionPayloads(graft.beacon.BlockParser.withParsed(raw))
+  }
+
   /** P19: the validators mega-payload parser end-to-end
     * ([[graft.beacon.StateParsers.validators]], reference:
     * src/parsers/validators.py:11-47): variable-length validator arrays
@@ -1876,6 +1917,7 @@ object Inventory {
     "p10_withdrawals" -> p10Withdrawals,
     "p5_proposer_slashings" -> p5ProposerSlashings,
     "p14_execution_requests" -> p14ExecutionRequests,
+    "p8_execution_payloads" -> p8ExecutionPayloads,
     "p19_validators" -> p19Validators,
     "p2_explode_enumerate" -> p2ExplodeEnumerate,
     "p24_unpivot" -> p24Unpivot,
@@ -2761,6 +2803,26 @@ object Inventory {
         |       CAST(2 AS BIGINT) AS att_2_validator_count,
         |       CAST(3 AS BIGINT) AS total_slashed_validators
         |FROM events WHERE event_id < 3000 AND event_id % 3 <> 0""".stripMargin,
+    "p8_execution_payloads" ->
+      """SELECT CAST(event_id * 10000 AS BIGINT) AS slot,
+        |       '0xph' || event_id::VARCHAR AS parent_hash,
+        |       '0xfr' || event_id::VARCHAR AS fee_recipient,
+        |       '0xsr' || event_id::VARCHAR AS state_root,
+        |       '0xrr' || event_id::VARCHAR AS receipts_root,
+        |       '0xlb' || event_id::VARCHAR AS logs_bloom,
+        |       '0xra' || event_id::VARCHAR AS prev_randao,
+        |       CAST(event_id * 2 AS BIGINT) AS block_number,
+        |       CAST(event_id * 3 AS BIGINT) AS gas_limit,
+        |       CAST(event_id * 4 AS BIGINT) AS gas_used,
+        |       CAST(event_id + 1000000 AS BIGINT) AS timestamp,
+        |       '7' AS base_fee_per_gas,
+        |       '0xbh' || event_id::VARCHAR AS block_hash,
+        |       '0xed' || event_id::VARCHAR AS extra_data,
+        |       CAST(CASE WHEN event_id % 2 = 0 THEN 2 ELSE 0 END AS BIGINT) AS transactions_count,
+        |       CAST(CASE WHEN event_id % 2 = 0 THEN event_id * 5 ELSE 0 END AS BIGINT) AS blob_gas_used,
+        |       CAST(CASE WHEN event_id % 2 = 0 THEN event_id * 6 ELSE 0 END AS BIGINT) AS excess_blob_gas,
+        |       CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS withdrawals_count
+        |FROM events WHERE event_id < 3000""".stripMargin,
     "p5_proposer_slashings" ->
       """SELECT CAST(event_id * 10000 AS BIGINT) AS slot,
         |       CAST(0 AS BIGINT) AS slashing_index,
