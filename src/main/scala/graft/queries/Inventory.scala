@@ -691,6 +691,78 @@ object Inventory {
       .executionPayloads(graft.beacon.BlockParser.withParsed(raw))
   }
 
+  /** P4 (real parser): [[graft.beacon.BlockParser.voluntaryExits]]
+    * (reference: src/parsers/phase0.py:46-59) — enumerate + nested
+    * message projection, variable arity 0–2. */
+  val p4VoluntaryExits: Q = (s, d) => {
+    val e = col("event_id")
+    val es = e.cast("string")
+    def entry(j: Int) = concat(
+      lit("""{"signature":"0xvs"""), es, lit(s"_$j"),
+      lit("""","message":{"epoch":""""), (e + j).cast("string"),
+      lit("""","validator_index":""""), (e * 10 + j).cast("string"),
+      lit(""""}}"""))
+    val arr = when(pmod(e, lit(3)) === 0, lit("[]"))
+      .when(pmod(e, lit(3)) === 1, concat(lit("["), entry(0), lit("]")))
+      .otherwise(concat(lit("["), entry(0), lit(","), entry(1), lit("]")))
+    val payload = concat(
+      lit("""{"data":{"message":{"body":{"voluntary_exits":"""),
+      arr, lit("""}}}}"""))
+    val raw = events(s, d).filter(e < 3000)
+      .select((e * 10000L).as("slot"), payload.as("payload"))
+    graft.beacon.BlockParser.voluntaryExits(graft.beacon.BlockParser.withParsed(raw))
+  }
+
+  /** P16 (real parser): [[graft.beacon.StateParsers.pendingDeposits]]
+    * (reference: src/parsers/electra.py:113-129) — the pending-queue
+    * family's representative: the entry's OWN `slot` field must surface
+    * renamed `deposit_slot` (never colliding with the snapshot slot),
+    * plus the withMeta slot_timestamp/insert_version columns (timestamp
+    * surfaced as a formatted string — the c8/p19 timezone-free
+    * convention). */
+  val p16PendingDeposits: Q = (s, d) => {
+    val e = col("event_id")
+    val es = e.cast("string")
+    def entry(j: Int) = concat(
+      lit("""{"pubkey":"0xp"""), es, lit(s"_$j"),
+      lit("""","withdrawal_credentials":"0xw"""), es,
+      lit("""","amount":""""), (e * 7 + j).cast("string"),
+      lit("""","signature":"0xsg"""), es,
+      lit("""","slot":""""), (e + j).cast("string"), lit("\"}"))
+    val arr = when(pmod(e, lit(3)) === 0, lit("[]"))
+      .when(pmod(e, lit(3)) === 1, concat(lit("["), entry(0), lit("]")))
+      .otherwise(concat(lit("["), entry(0), lit(","), entry(1), lit("]")))
+    val payload = concat(lit("""{"data":"""), arr, lit("}"))
+    val raw = events(s, d).filter(e < 1500)
+      .select((e * 10).as("slot"), payload.as("payload"))
+    graft.beacon.StateParsers
+      .pendingDeposits(raw, graft.beacon.ChainConfig.gnosis, insertVersion = 3L)
+      .withColumn("slot_timestamp",
+        date_format(col("slot_timestamp"), "yyyy-MM-dd HH:mm:ss"))
+  }
+
+  /** P20 (real parser): [[graft.beacon.StateParsers.rewards]]
+    * (reference: src/parsers/rewards.py:11-40) — the single-object
+    * (non-exploding) state parse: `data` is ONE object → one row of
+    * reward components, null-gated on missing data. */
+  val p20Rewards: Q = (s, d) => {
+    val e = col("event_id")
+    val payload = concat(
+      lit("""{"data":{"proposer_index":""""), e.cast("string"),
+      lit("""","total":""""), (e * 2).cast("string"),
+      lit("""","attestations":""""), (e * 3).cast("string"),
+      lit("""","sync_aggregate":""""), (e + 1).cast("string"),
+      lit("""","proposer_slashings":""""), pmod(e, lit(5)).cast("string"),
+      lit("""","attester_slashings":""""), pmod(e, lit(7)).cast("string"),
+      lit(""""}}"""))
+    val raw = events(s, d).filter(e < 1500)
+      .select((e * 10).as("slot"), payload.as("payload"))
+    graft.beacon.StateParsers
+      .rewards(raw, graft.beacon.ChainConfig.gnosis, insertVersion = 2L)
+      .withColumn("slot_timestamp",
+        date_format(col("slot_timestamp"), "yyyy-MM-dd HH:mm:ss"))
+  }
+
   /** P19: the validators mega-payload parser end-to-end
     * ([[graft.beacon.StateParsers.validators]], reference:
     * src/parsers/validators.py:11-47): variable-length validator arrays
@@ -1918,6 +1990,9 @@ object Inventory {
     "p5_proposer_slashings" -> p5ProposerSlashings,
     "p14_execution_requests" -> p14ExecutionRequests,
     "p8_execution_payloads" -> p8ExecutionPayloads,
+    "p4_voluntary_exits" -> p4VoluntaryExits,
+    "p16_pending_deposits" -> p16PendingDeposits,
+    "p20_rewards" -> p20Rewards,
     "p19_validators" -> p19Validators,
     "p2_explode_enumerate" -> p2ExplodeEnumerate,
     "p24_unpivot" -> p24Unpivot,
@@ -2803,6 +2878,44 @@ object Inventory {
         |       CAST(2 AS BIGINT) AS att_2_validator_count,
         |       CAST(3 AS BIGINT) AS total_slashed_validators
         |FROM events WHERE event_id < 3000 AND event_id % 3 <> 0""".stripMargin,
+    "p4_voluntary_exits" ->
+      """WITH n AS (
+        |  SELECT event_id, event_id % 3 AS n FROM events WHERE event_id < 3000),
+        |x AS (
+        |  SELECT event_id, r.j FROM n CROSS JOIN range(0, 2) r(j) WHERE r.j < n.n)
+        |SELECT CAST(event_id * 10000 AS BIGINT) AS slot,
+        |       CAST(j AS BIGINT) AS exit_index,
+        |       '0xvs' || event_id::VARCHAR || '_' || j::VARCHAR AS signature,
+        |       CAST(event_id + j AS BIGINT) AS epoch,
+        |       CAST(event_id * 10 + j AS BIGINT) AS validator_index
+        |FROM x""".stripMargin,
+    "p16_pending_deposits" ->
+      """WITH n AS (
+        |  SELECT event_id, event_id % 3 AS n FROM events WHERE event_id < 1500),
+        |x AS (
+        |  SELECT event_id, r.j FROM n CROSS JOIN range(0, 2) r(j) WHERE r.j < n.n)
+        |SELECT CAST(event_id * 10 AS BIGINT) AS slot,
+        |       '0xp' || event_id::VARCHAR || '_' || j::VARCHAR AS pubkey,
+        |       '0xw' || event_id::VARCHAR AS withdrawal_credentials,
+        |       CAST(event_id * 7 + j AS BIGINT) AS amount,
+        |       '0xsg' || event_id::VARCHAR AS signature,
+        |       CAST(event_id + j AS BIGINT) AS deposit_slot,
+        |       strftime(make_timestamp((1638993340 + event_id * 10 * 5) * 1000000),
+        |                '%Y-%m-%d %H:%M:%S') AS slot_timestamp,
+        |       CAST(3 AS BIGINT) AS insert_version
+        |FROM x""".stripMargin,
+    "p20_rewards" ->
+      """SELECT CAST(event_id * 10 AS BIGINT) AS slot,
+        |       CAST(event_id AS BIGINT) AS proposer_index,
+        |       CAST(event_id * 2 AS BIGINT) AS total,
+        |       CAST(event_id * 3 AS BIGINT) AS attestations,
+        |       CAST(event_id + 1 AS BIGINT) AS sync_aggregate,
+        |       CAST(event_id % 5 AS BIGINT) AS proposer_slashings,
+        |       CAST(event_id % 7 AS BIGINT) AS attester_slashings,
+        |       strftime(make_timestamp((1638993340 + event_id * 10 * 5) * 1000000),
+        |                '%Y-%m-%d %H:%M:%S') AS slot_timestamp,
+        |       CAST(2 AS BIGINT) AS insert_version
+        |FROM events WHERE event_id < 1500""".stripMargin,
     "p8_execution_payloads" ->
       """SELECT CAST(event_id * 10000 AS BIGINT) AS slot,
         |       '0xph' || event_id::VARCHAR AS parent_hash,
