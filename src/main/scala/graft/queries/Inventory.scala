@@ -763,6 +763,85 @@ object Inventory {
         date_format(col("slot_timestamp"), "yyyy-MM-dd HH:mm:ss"))
   }
 
+  /** P11 (real parser): [[graft.beacon.BlockParser.blsChanges]]
+    * (reference: src/parsers/capella.py:46-60). */
+  val p11BlsChanges: Q = (s, d) => {
+    val e = col("event_id")
+    val es = e.cast("string")
+    def entry(j: Int) = concat(
+      lit("""{"signature":"0xcs"""), es, lit(s"_$j"),
+      lit("""","message":{"validator_index":""""), (e * 10 + j).cast("string"),
+      lit("""","from_bls_pubkey":"0xfb"""), es,
+      lit("""","to_execution_address":"0xea"""), es, lit(s"_$j"),
+      lit(""""}}"""))
+    val arr = when(pmod(e, lit(3)) === 0, lit("[]"))
+      .when(pmod(e, lit(3)) === 1, concat(lit("["), entry(0), lit("]")))
+      .otherwise(concat(lit("["), entry(0), lit(","), entry(1), lit("]")))
+    val payload = concat(
+      lit("""{"data":{"message":{"body":{"bls_to_execution_changes":"""),
+      arr, lit("""}}}}"""))
+    val raw = events(s, d).filter(e < 3000)
+      .select((e * 10000L).as("slot"), payload.as("payload"))
+    graft.beacon.BlockParser.blsChanges(graft.beacon.BlockParser.withParsed(raw))
+  }
+
+  /** P12 (real parser): [[graft.beacon.BlockParser.blobCommitments]]
+    * (reference: src/parsers/deneb.py:22-33) — the scalar-element
+    * explode (commitments are bare strings, not objects). */
+  val p12BlobCommitments: Q = (s, d) => {
+    val e = col("event_id")
+    val es = e.cast("string")
+    val arr = when(pmod(e, lit(3)) === 0, lit("[]"))
+      .when(pmod(e, lit(3)) === 1,
+        concat(lit("""["0xk"""), es, lit("""_0"]""")))
+      .otherwise(concat(lit("""["0xk"""), es, lit("""_0","0xk"""), es, lit("""_1"]""")))
+    val payload = concat(
+      lit("""{"data":{"message":{"body":{"blob_kzg_commitments":"""),
+      arr, lit("""}}}}"""))
+    val raw = events(s, d).filter(e < 3000)
+      .select((e * 10000L).as("slot"), payload.as("payload"))
+    graft.beacon.BlockParser.blobCommitments(graft.beacon.BlockParser.withParsed(raw))
+  }
+
+  /** P15 (real parser): [[graft.beacon.StateParsers.pendingConsolidations]]
+    * (reference: src/parsers/electra.py:98-111). */
+  val p15PendingConsolidations: Q = (s, d) => {
+    val e = col("event_id")
+    def entry(j: Int) = concat(
+      lit("""{"source_index":""""), (e * 10 + j).cast("string"),
+      lit("""","target_index":""""), (e * 20 + j).cast("string"), lit("\"}"))
+    val arr = when(pmod(e, lit(3)) === 0, lit("[]"))
+      .when(pmod(e, lit(3)) === 1, concat(lit("["), entry(0), lit("]")))
+      .otherwise(concat(lit("["), entry(0), lit(","), entry(1), lit("]")))
+    val payload = concat(lit("""{"data":"""), arr, lit("}"))
+    val raw = events(s, d).filter(e < 1500)
+      .select((e * 10).as("slot"), payload.as("payload"))
+    graft.beacon.StateParsers
+      .pendingConsolidations(raw, graft.beacon.ChainConfig.gnosis, insertVersion = 4L)
+      .withColumn("slot_timestamp",
+        date_format(col("slot_timestamp"), "yyyy-MM-dd HH:mm:ss"))
+  }
+
+  /** P17 (real parser): [[graft.beacon.StateParsers.pendingPartialWithdrawals]]
+    * (reference: src/parsers/electra.py:131-145). */
+  val p17PendingPartialWithdrawals: Q = (s, d) => {
+    val e = col("event_id")
+    def entry(j: Int) = concat(
+      lit("""{"validator_index":""""), (e * 10 + j).cast("string"),
+      lit("""","amount":""""), (e * 3 + j).cast("string"),
+      lit("""","withdrawable_epoch":""""), (e + j).cast("string"), lit("\"}"))
+    val arr = when(pmod(e, lit(3)) === 0, lit("[]"))
+      .when(pmod(e, lit(3)) === 1, concat(lit("["), entry(0), lit("]")))
+      .otherwise(concat(lit("["), entry(0), lit(","), entry(1), lit("]")))
+    val payload = concat(lit("""{"data":"""), arr, lit("}"))
+    val raw = events(s, d).filter(e < 1500)
+      .select((e * 10).as("slot"), payload.as("payload"))
+    graft.beacon.StateParsers
+      .pendingPartialWithdrawals(raw, graft.beacon.ChainConfig.gnosis, insertVersion = 5L)
+      .withColumn("slot_timestamp",
+        date_format(col("slot_timestamp"), "yyyy-MM-dd HH:mm:ss"))
+  }
+
   /** P19: the validators mega-payload parser end-to-end
     * ([[graft.beacon.StateParsers.validators]], reference:
     * src/parsers/validators.py:11-47): variable-length validator arrays
@@ -1993,6 +2072,10 @@ object Inventory {
     "p4_voluntary_exits" -> p4VoluntaryExits,
     "p16_pending_deposits" -> p16PendingDeposits,
     "p20_rewards" -> p20Rewards,
+    "p11_bls_changes" -> p11BlsChanges,
+    "p12_blob_commitments" -> p12BlobCommitments,
+    "p15_pending_consolidations" -> p15PendingConsolidations,
+    "p17_pending_partial_withdrawals" -> p17PendingPartialWithdrawals,
     "p19_validators" -> p19Validators,
     "p2_explode_enumerate" -> p2ExplodeEnumerate,
     "p24_unpivot" -> p24Unpivot,
@@ -2878,6 +2961,52 @@ object Inventory {
         |       CAST(2 AS BIGINT) AS att_2_validator_count,
         |       CAST(3 AS BIGINT) AS total_slashed_validators
         |FROM events WHERE event_id < 3000 AND event_id % 3 <> 0""".stripMargin,
+    "p11_bls_changes" ->
+      """WITH n AS (
+        |  SELECT event_id, event_id % 3 AS n FROM events WHERE event_id < 3000),
+        |x AS (
+        |  SELECT event_id, r.j FROM n CROSS JOIN range(0, 2) r(j) WHERE r.j < n.n)
+        |SELECT CAST(event_id * 10000 AS BIGINT) AS slot,
+        |       CAST(j AS BIGINT) AS change_index,
+        |       '0xcs' || event_id::VARCHAR || '_' || j::VARCHAR AS signature,
+        |       CAST(event_id * 10 + j AS BIGINT) AS validator_index,
+        |       '0xfb' || event_id::VARCHAR AS from_bls_pubkey,
+        |       '0xea' || event_id::VARCHAR || '_' || j::VARCHAR AS to_execution_address
+        |FROM x""".stripMargin,
+    "p12_blob_commitments" ->
+      """WITH n AS (
+        |  SELECT event_id, event_id % 3 AS n FROM events WHERE event_id < 3000),
+        |x AS (
+        |  SELECT event_id, r.j FROM n CROSS JOIN range(0, 2) r(j) WHERE r.j < n.n)
+        |SELECT CAST(event_id * 10000 AS BIGINT) AS slot,
+        |       CAST(j AS BIGINT) AS commitment_index,
+        |       '0xk' || event_id::VARCHAR || '_' || j::VARCHAR AS commitment
+        |FROM x""".stripMargin,
+    "p15_pending_consolidations" ->
+      """WITH n AS (
+        |  SELECT event_id, event_id % 3 AS n FROM events WHERE event_id < 1500),
+        |x AS (
+        |  SELECT event_id, r.j FROM n CROSS JOIN range(0, 2) r(j) WHERE r.j < n.n)
+        |SELECT CAST(event_id * 10 AS BIGINT) AS slot,
+        |       CAST(event_id * 10 + j AS BIGINT) AS source_index,
+        |       CAST(event_id * 20 + j AS BIGINT) AS target_index,
+        |       strftime(make_timestamp((1638993340 + event_id * 10 * 5) * 1000000),
+        |                '%Y-%m-%d %H:%M:%S') AS slot_timestamp,
+        |       CAST(4 AS BIGINT) AS insert_version
+        |FROM x""".stripMargin,
+    "p17_pending_partial_withdrawals" ->
+      """WITH n AS (
+        |  SELECT event_id, event_id % 3 AS n FROM events WHERE event_id < 1500),
+        |x AS (
+        |  SELECT event_id, r.j FROM n CROSS JOIN range(0, 2) r(j) WHERE r.j < n.n)
+        |SELECT CAST(event_id * 10 AS BIGINT) AS slot,
+        |       CAST(event_id * 10 + j AS BIGINT) AS validator_index,
+        |       CAST(event_id * 3 + j AS BIGINT) AS amount,
+        |       CAST(event_id + j AS BIGINT) AS withdrawable_epoch,
+        |       strftime(make_timestamp((1638993340 + event_id * 10 * 5) * 1000000),
+        |                '%Y-%m-%d %H:%M:%S') AS slot_timestamp,
+        |       CAST(5 AS BIGINT) AS insert_version
+        |FROM x""".stripMargin,
     "p4_voluntary_exits" ->
       """WITH n AS (
         |  SELECT event_id, event_id % 3 AS n FROM events WHERE event_id < 3000),
