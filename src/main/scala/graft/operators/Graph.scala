@@ -342,14 +342,32 @@ object Graph {
     * oracle may enumerate by plain id order and match row-for-row.
     * Three shuffles total: degree agg, wedge self-join on the hinge,
     * closing join on the (v1, v2) pair. */
-  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val canon = canonicalEdges(edges, srcCol, dstCol)
+  def triangles(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      checkpoint: Boolean = false): DataFrame = {
+    val canon0 = canonicalEdges(edges, srcCol, dstCol)
+    trianglesFromCanon(
+      if (checkpoint) canon0.localCheckpoint(eager = true) else canon0,
+      checkpoint)
+  }
+
+  /** [[triangles]] body over an already-materialized canonical edge
+    * frame. `canon`/`oriented` are referenced several times, but within
+    * this SINGLE-action plan Spark's ReusedExchange already dedups the
+    * repeated subtrees — measured at sf0.1 the checkpoint is neutral for
+    * g4 and a 19% LOSS for g5 (eager serialization of 8.7M-row frames
+    * buys nothing the reuse didn't). `checkpoint` therefore stays off by
+    * default and exists for callers whose plans defeat exchange reuse
+    * (e.g. wrapping these in per-round actions the way [[hopDistance]]
+    * does, where the same flag IS a measured 2.7× win). */
+  private def trianglesFromCanon(
+      canon: DataFrame, checkpoint: Boolean): DataFrame = {
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // orient u -> v where (deg_u, u) < (deg_v, v); carry the head's
     // order key so the wedge condition needs no third join
-    val oriented = canon
+    val oriented0 = canon
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
       .select(
@@ -359,6 +377,8 @@ object Graph {
           .otherwise(struct(col("b").as("u"), col("a").as("v"),
             col("da").as("dv"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+    val oriented =
+      if (checkpoint) oriented0.localCheckpoint(eager = true) else oriented0
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.u") === col("e2.u") &&
@@ -376,8 +396,10 @@ object Graph {
 
   /** Per-node triangle participation counts (nodes in ≥1 triangle).
     * One explode + one count over [[triangles]]. */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
-    triangles(edges, srcCol, dstCol)
+  def triangleCounts(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      checkpoint: Boolean = false): DataFrame =
+    triangles(edges, srcCol, dstCol, checkpoint)
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
 
@@ -388,13 +410,18 @@ object Graph {
     * at web scale the triangle set is far smaller than Σ deg(a)·deg(b)
     * over edges, and the Jaccard is one integer-fed IEEE division
     * (oracle-exact). Edges in no triangle surface with cn = 0. */
-  def edgeCommonNeighbors(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val canon = canonicalEdges(edges, srcCol, dstCol)
+  def edgeCommonNeighbors(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      checkpoint: Boolean = false): DataFrame = {
+    val canon0 = canonicalEdges(edges, srcCol, dstCol)
+    // one canonicalization feeds the degree agg, the output join, AND
+    // the triangle enumeration — materialized once under checkpoint
+    val canon = if (checkpoint) canon0.localCheckpoint(eager = true) else canon0
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // the three id-canonical edges of each id-sorted triple
-    val tri = triangles(edges, srcCol, dstCol)
+    val tri = trianglesFromCanon(canon, checkpoint)
     val cn = tri.select(explode(array(
         struct(col("x").as("a"), col("y").as("b")),
         struct(col("x").as("a"), col("z").as("b")),
@@ -473,7 +500,12 @@ object Graph {
       seeds: DataFrame, seedCol: String, maxHops: Int,
       checkpoint: Boolean = false): DataFrame = {
     require(maxHops >= 0, s"hopDistance: maxHops must be >= 0, got $maxHops")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // the edge frame is re-joined EVERY round: when the caller's edge list
+    // is itself a derived subtree (the g6 co-occurrence self-join), each
+    // frontier expansion would re-run that derivation — materialize it
+    // once alongside the distance vector (the g1 pageRank contract)
+    val e = if (checkpoint) e0.localCheckpoint(eager = true) else e0
     val seed0 = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L))
     var dist = if (checkpoint) seed0.localCheckpoint(eager = true) else seed0

@@ -1276,8 +1276,11 @@ object Inventory {
       .join(orders(s, d).filter(col("o_custkey") === 1L),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_partkey").as("pk")).distinct()
+    // checkpoint=true: the 8.7M-pair co-occurrence self-join would
+    // otherwise re-derive on every frontier expansion (measured 3× the
+    // query wall at sf0.1)
     graft.operators.Graph.hopDistance(
-      undirected, "src", "dst", seeds, "pk", maxHops = 3)
+      undirected, "src", "dst", seeds, "pk", maxHops = 3, checkpoint = true)
       .select(col("node"), col("dist"))
   }
 
