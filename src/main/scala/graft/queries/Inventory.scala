@@ -1642,6 +1642,29 @@ object Inventory {
           sum(revenue).cast("double")).as("promo_pct"))
   }
 
+  /** J30: the TPC-H Q12 shipmode-priority shape — a two-way conditional
+    * rollup after a fact⋈fact equi join: per linestatus (the shipmode
+    * stand-in), count lines from HIGH-priority vs lower-priority orders,
+    * restricted to a one-year late-shipment slice (shipdate > orderdate
+    * + 30 days — the commit/receipt-date lag adapted to this schema).
+    * The date predicate is a post-join residual on two fact columns;
+    * both CASE counters accumulate in one aggregation pass. */
+  val j30ShipmodePriority: Q = (s, d) => {
+    val o = orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linestatus", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+  }
+
   /** J14: the TPC-H Q10 returned-item-report shape — who returned the
     * most revenue last quarter: quarter-filtered orders ⋈ lineitem
     * (returnflag 'R') ⋈ customer ⋈ broadcast nation → per-customer
@@ -2033,6 +2056,7 @@ object Inventory {
     "x4_except_all" -> x4ExceptAll,
     "x5_intersect_all" -> x5IntersectAll,
     "j29_promo_share" -> j29PromoShare,
+    "j30_shipmode_priority" -> j30ShipmodePriority,
     "a14_rolling_dau" -> a14RollingDau,
     "w7_first_touch" -> w7FirstTouch,
     "a15_funnel_conversion" -> a15FunnelConversion,
@@ -2710,6 +2734,17 @@ object Inventory {
       """SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'
         |INTERSECT ALL
         |SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'""".stripMargin,
+    "j30_shipmode_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY 1""".stripMargin,
     "j29_promo_share" ->
       """SELECT
         |  CAST(SUM(CASE WHEN p_type = 'PROMO'
