@@ -108,4 +108,16 @@ object Layout {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Hive-style DATE-PARTITIONED at-rest layout — the other half of the
+    * 100 TB story next to [[writeBucketed]]: facts land under
+    * `.../(partCol)=v/` directories, and any query filtering on the
+    * partition column prunes whole directories at PLANNING time
+    * (`PartitionFilters` in the scan — zero I/O for skipped days, not
+    * even footer reads, where Z-order still opens min/max stats). The
+    * canonical beacon layout: raw/structured tables partitioned by
+    * slot-day, queries sliced by date ranges. */
+  def writeDayPartitioned(
+      df: DataFrame, dir: String, partCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(dir)
 }

@@ -50,6 +50,33 @@ class LayoutSpec extends AnyFunSuite {
     linStats.unpersist(); zStats.unpersist()
   }
 
+  test("day-partitioned layout: date slice becomes a PartitionFilter — skipped days cost zero I/O") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_daypart").toString
+    val df = spark.range(30000).toDF("id")
+      .withColumn("day", date_add(lit("2024-01-01").cast("date"),
+        (col("id") % 30).cast("int")))
+      .withColumn("v", col("id") * 2)
+    Layout.writeDayPartitioned(df, s"$base/t", "day")
+    val read = spark.read.parquet(s"$base/t")
+      .filter(col("day") === lit("2024-01-05").cast("date"))
+    // planning-time pruning: the day predicate rides PartitionFilters on
+    // the scan, NOT PushedFilters (no footer/stat reads for other days)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day"), plan.take(2000))
+    // only the one directory's rows flow
+    assert(read.count() === 1000L)
+    // value parity with an unpartitioned write of the same frame
+    df.write.mode("overwrite").parquet(s"$base/flat")
+    val expect = spark.read.parquet(s"$base/flat")
+      .filter(col("day") === lit("2024-01-05").cast("date"))
+      .agg(sum("v")).head().getLong(0)
+    assert(read.agg(sum("v")).head().getLong(0) === expect)
+    // the physical layout really is one directory per day
+    val dirs = new java.io.File(s"$base/t").listFiles().count(_.getName.startsWith("day="))
+    assert(dirs === 30, s"expected 30 day= dirs, got $dirs")
+  }
+
   test("bucketed co-located join: no Exchange on either side, results match the plain join") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_bucket").toString
