@@ -168,4 +168,42 @@ object Importance {
     }
     raw.join(ids, Seq(idCol), "left_semi")
   }
+
+  /** Distribution-SHIFT detector between two corpora — the per-bucket
+    * symmetric chi-squared decomposition over the same hashed-unigram
+    * space as DSIR: with +1-smoothed counts a_b, b_b and totals Na, Nb,
+    * each bucket contributes `(a·Nb − b·Na)² / (Na·Nb·(a·Nb + b·Na))`
+    * (the ½·Σ(p−q)²/(p+q) distance, cross-multiplied so EVERYTHING up to
+    * the final cast is exact integer arithmetic — no p/q divisions, no
+    * log, no accumulation-order hazard). The standard curation tripwire:
+    * "did this crawl shard drift from the at-rest corpus?", ranked by
+    * per-bucket contribution to see WHERE.
+    *
+    * Scale shape: both corpora reduce to `buckets` rows (map-side
+    * partials), the two totals ride 1-row crossJoin broadcasts, and the
+    * output is exactly `buckets` rows whatever the corpus size. The
+    * num/den pair is emitted as DOUBLE (each one correctly-rounded cast
+    * of an exact ≤1e24 integer — engine-identical) alongside the one
+    * IEEE division per bucket. */
+  def chiSquaredShift(
+      a: DataFrame, b: DataFrame, textCol: String,
+      buckets: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val ca = bucketCounts(a, textCol, buckets)
+      .select(col("bucket"), col("cnt").as("cnt_a"))
+    val cb = bucketCounts(b, textCol, buckets)
+      .select(col("bucket"), col("cnt").as("cnt_b"))
+    val ta = ca.agg((sum("cnt_a") + buckets).as("na"))
+    val tb = cb.agg((sum("cnt_b") + buckets).as("nb"))
+    val x = (col("cnt_a") + 1).cast(dec) * col("nb") // a·Nb, exact
+    val y = (col("cnt_b") + 1).cast(dec) * col("na") // b·Na, exact
+    ca.join(cb, Seq("bucket"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(
+        col("bucket"), col("cnt_a"), col("cnt_b"),
+        ((x - y) * (x - y)).cast("double").as("num"),
+        (col("na").cast(dec) * col("nb") * (x + y)).cast("double").as("den"))
+      .withColumn("contrib", col("num") / col("den"))
+  }
 }

@@ -1425,6 +1425,22 @@ object LlmInventory {
         sum(when(col("clamped") === -1, 1L).otherwise(0L)).as("n_low"),
         sum(when(col("clamped") === 1, 1L).otherwise(0L)).as("n_high"))
 
+  /** t46: corpus distribution-shift detector
+    * ([[graft.operators.Importance.chiSquaredShift]]) — per-bucket
+    * symmetric chi-squared contributions between the English and
+    * non-English sub-corpora over the DSIR hashed-unigram space:
+    * cross-multiplied exact integers end to end, one IEEE division per
+    * bucket, output bounded at 64 rows whatever the corpus size. The
+    * curation tripwire for "did this shard drift?" — and the per-bucket
+    * decomposition says WHERE. */
+  val t46DistShift: Q = (s, d) => {
+    val docs = documents(s, d)
+    graft.operators.Importance.chiSquaredShift(
+      docs.filter(col("lang") === "en"),
+      docs.filter(col("lang") =!= "en"),
+      "text", buckets = 64)
+  }
+
   val t44WeightedSample: Q = (s, d) => {
     val docs = documents(s, d).withColumn("weight",
       greatest(lit(1L), least(lit(16L), floor(col("n_chars") / 50).cast("long"))))
@@ -1679,6 +1695,7 @@ object LlmInventory {
     "t43_html_strip" -> t43HtmlStrip,
     "t44_weighted_sample" -> t44WeightedSample,
     "t45_winsorize" -> t45Winsorize,
+    "t46_dist_shift" -> t46DistShift,
     "a18_sampled_quantiles" -> a18SampledQuantiles,
     "t21_classifier_score" -> t21ClassifierScore,
     "t22_tfidf_topterms" -> t22TfidfTopTerms,
@@ -3288,6 +3305,36 @@ object LlmInventory {
         |SELECT doc_id, host, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5""".stripMargin,
     // min over the row's w salted hashes (the t17 bounded-range trick
     // for the per-row draw count), then the global top-50 by key
+    "t46_dist_shift" ->
+      """WITH st AS (
+        |  SELECT lang,
+        |    regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT lang, unnest(string_split_regex(t, '[ \t\n\x0b\f\r]+')) AS token
+        |  FROM st WHERE t <> ''),
+        |buck AS (
+        |  SELECT lang, ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS bucket
+        |  FROM tok),
+        |allb AS (SELECT CAST(t.i AS BIGINT) AS bucket FROM range(0, 64) t(i)),
+        |ac AS (SELECT bucket, count(*) AS c FROM buck WHERE lang = 'en' GROUP BY 1),
+        |bc AS (SELECT bucket, count(*) AS c FROM buck WHERE lang <> 'en' GROUP BY 1),
+        |a AS (SELECT allb.bucket, COALESCE(ac.c, 0) AS cnt_a FROM allb LEFT JOIN ac USING (bucket)),
+        |b AS (SELECT allb.bucket, COALESCE(bc.c, 0) AS cnt_b FROM allb LEFT JOIN bc USING (bucket)),
+        |na AS (SELECT SUM(cnt_a) + 64 AS v FROM a),
+        |nb AS (SELECT SUM(cnt_b) + 64 AS v FROM b),
+        |xy AS (
+        |  SELECT a.bucket, a.cnt_a, b.cnt_b,
+        |         CAST((a.cnt_a + 1) * nb.v AS HUGEINT) AS x,
+        |         CAST((b.cnt_b + 1) * na.v AS HUGEINT) AS y,
+        |         CAST(na.v AS HUGEINT) * CAST(nb.v AS HUGEINT) AS nn
+        |  FROM a JOIN b USING (bucket), na, nb)
+        |SELECT bucket, cnt_a, cnt_b,
+        |       CAST((x - y) * (x - y) AS DOUBLE) AS num,
+        |       CAST(nn * (x + y) AS DOUBLE) AS den,
+        |       CAST((x - y) * (x - y) AS DOUBLE) / CAST(nn * (x + y) AS DOUBLE)
+        |         AS contrib
+        |FROM xy""".stripMargin,
     "t45_winsorize" ->
       """WITH h AS (SELECT lang, n_chars AS v, count(*) AS cnt
         |           FROM documents GROUP BY 1, 2),
