@@ -550,6 +550,52 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(j.isNullAt(1) && j.isNullAt(3))
   }
 
+  test("madOutliers: hand-checked discrete median/MAD; shift invariance") {
+    import spark.implicits._
+    // {1..9, 100}: disc-median 5, deviations sorted {0,1,1,2,2,3,3,4,4,95}
+    // → MAD 2; only the 100 exceeds |x−5| > 3·2
+    val df = ((1 to 9).map(_.toDouble) :+ 100.0).map(("k", _)).toDF("k", "v")
+    val r = graft.operators.Percentiles.madOutliers(df, "k", "v").head()
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Double]("med") === 5.0)
+    assert(r.getAs[Double]("mad") === 2.0)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+    // adding a constant shifts the median, never the MAD or the verdicts
+    val shifted = graft.operators.Percentiles
+      .madOutliers(df.withColumn("v", $"v" + 1000.0), "k", "v").head()
+    assert(shifted.getAs[Double]("med") === 1005.0)
+    assert(shifted.getAs[Double]("mad") === 2.0)
+    assert(shifted.getAs[Long]("n_outliers") === 1L)
+  }
+
+  test("winsorize: clamp counts and bounds hand-checked; clamped data re-winsorizes as a no-op") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("k", i.toDouble)).toDF("k", "v")
+    val w = graft.operators.Percentiles.winsorize(df, "k", "v", 10, 90)
+    // discrete p10 = 10, p90 = 90 on 1..100
+    assert(w.agg(min("v_w"), max("v_w")).head() === org.apache.spark.sql.Row(10.0, 90.0))
+    assert(w.filter($"clamped" === -1).count() === 9L)  // 1..9
+    assert(w.filter($"clamped" === 1).count() === 10L)  // 91..100
+    // idempotence: winsorizing the already-clamped column clamps nothing
+    val again = graft.operators.Percentiles
+      .winsorize(w.select($"k", $"v_w".as("v")), "k", "v", 10, 90)
+    assert(again.filter($"clamped" =!= 0).count() === 0L)
+    assert(again.filter($"v" =!= $"v_w").count() === 0L)
+  }
+
+  test("chiSquaredShift: identical corpora → zero everywhere; disjoint vocab → mass on both sides") {
+    import spark.implicits._
+    val a = Seq("alpha beta gamma", "alpha beta").toDF("text")
+    val same = graft.operators.Importance.chiSquaredShift(a, a, "text", buckets = 16)
+    assert(same.count() === 16L)
+    assert(same.agg(sum("contrib")).head().getDouble(0) === 0.0)
+    val b = Seq("delta epsilon", "delta zeta").toDF("text")
+    val diff = graft.operators.Importance.chiSquaredShift(a, b, "text", buckets = 16)
+    // some bucket must light up, and every contribution is a valid fraction
+    assert(diff.agg(max("contrib")).head().getDouble(0) > 0.0)
+    assert(diff.filter($"contrib" < 0.0 || $"contrib" > 1.0).count() === 0L)
+  }
+
   test("real JPEG codec: dims exact, smooth-content pixels within lossy tolerance") {
     // a smooth horizontal gradient (JPEG's best case) on a 16×8 canvas:
     // dims must survive exactly; per-channel MEAN error stays small
