@@ -187,13 +187,21 @@ object Importance {
     * IEEE division per bucket. */
   def chiSquaredShift(
       a: DataFrame, b: DataFrame, textCol: String,
-      buckets: Int = 4096): DataFrame = {
+      buckets: Int = 4096): DataFrame =
+    chiSquaredShiftFromCounts(
+      bucketCounts(a, textCol, buckets),
+      bucketCounts(b, textCol, buckets), buckets)
+
+  /** [[chiSquaredShift]] over ALREADY-COUNTED (bucket, cnt) frames — the
+    * streaming/incremental entry point: the at-rest side is counted once
+    * (or maintained via [[mergeBucketCounts]]) and each arriving shard
+    * brings only its own `buckets`-row count table; nothing rescans. */
+  def chiSquaredShiftFromCounts(
+      aCounts: DataFrame, bCounts: DataFrame, buckets: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
-    val ca = bucketCounts(a, textCol, buckets)
-      .select(col("bucket"), col("cnt").as("cnt_a"))
-    val cb = bucketCounts(b, textCol, buckets)
-      .select(col("bucket"), col("cnt").as("cnt_b"))
+    val ca = aCounts.select(col("bucket"), col("cnt").as("cnt_a"))
+    val cb = bCounts.select(col("bucket"), col("cnt").as("cnt_b"))
     val ta = ca.agg((sum("cnt_a") + buckets).as("na"))
     val tb = cb.agg((sum("cnt_b") + buckets).as("nb"))
     val x = (col("cnt_a") + 1).cast(dec) * col("nb") // a·Nb, exact

@@ -1005,6 +1005,48 @@ class StreamingSpec extends AnyFunSuite {
     corpus.unpersist(blocking = false)
   }
 
+  test("streaming drift tripwire: per-batch chi-squared vs frozen at-rest counts — zero for in-distribution, positive for drifted") {
+    import graft.operators.Importance
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("drift_stream").toString
+    val atRestDocs = (0L until 20L)
+      .map(i => (i, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // the at-rest side is counted ONCE and frozen; each micro-batch
+    // contributes only its own 32-row count table
+    val atRest = Importance.bucketCounts(atRestDocs, "text", buckets = 32).persist()
+    atRest.count()
+    // batch files: one in-distribution (same text, same arity), one drifted
+    (0L until 20L).map(i => (100L + i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/in/b0")
+    (0L until 20L).map(i => (200L + i, "omega psi chi phi"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/in/b1")
+    val schema = spark.read.parquet(s"$dir/in/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val drift = Importance.chiSquaredShiftFromCounts(
+          atRest, Importance.bucketCounts(batch, "text", buckets = 32), 32)
+          .agg(org.apache.spark.sql.functions.sum("contrib")).head().getDouble(0)
+        val marker = batch.agg(org.apache.spark.sql.functions.min("doc_id"))
+          .head().getLong(0)
+        Seq((batchId, marker, drift)).toDF("batch_id", "min_doc", "chi2")
+          .write.mode("append").parquet(s"$dir/out")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out").collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out.size === 2)
+    // identical distribution AND identical totals → every a·Nb == b·Na → exactly 0
+    assert(out(100L) === 0.0, s"in-distribution batch drifted: ${out(100L)}")
+    assert(out(200L) > 0.01, s"drifted batch not flagged: ${out(200L)}")
+    atRest.unpersist(blocking = false)
+  }
+
   test("streaming DSIR scoring: per-batch applyWeights with a frozen ratio table ≡ batch") {
     import graft.operators.Importance
     import spark.implicits._
