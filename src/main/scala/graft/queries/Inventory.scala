@@ -1371,6 +1371,35 @@ object Inventory {
         count(lit(1)).as("n"),
         sum(when(col("o_totalprice") > 100000, 1L).otherwise(0L)).as("n_big"))
 
+  /** A24: full CUBE rollup — all four grouping combinations of
+    * (status, priority) in ONE Expand-based aggregation pass (a13's
+    * grouping-sets machinery at its densest: 2^k sets), with
+    * `grouping_id` disambiguating the null-as-ALL rows from genuine
+    * nulls. One scan, one expanded exchange — never k separate
+    * aggregations unioned. */
+  val a24Cube: Q = (s, d) =>
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total"))
+
+  /** O3: top-k per group — the generalized f2 (latest-per-key is k=1):
+    * the 3 highest-value events of each type via row_number over a
+    * (value desc, event_id) total order. The shape that replaces a
+    * global sort at 100 TB: one hash exchange on the group key, a
+    * per-partition sort, and the filter prunes everything past rank k
+    * before anything else sees it. */
+  val o3TopkPerGroup: Q = (s, d) => {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id").asc)
+    events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+  }
+
   /** W5: rolling time-window count per event — a RANGE frame over epoch
     * seconds (preceding 3600 s inclusive), the rate/velocity feature shape
     * (events-per-user-per-hour at every event). Range frames are the one
@@ -2027,6 +2056,8 @@ object Inventory {
     "w2_work_sharding" -> w2WorkSharding,
     "o1_topk" -> o1TopK,
     "o2_multikey_sort" -> o2MultiKeySort,
+    "o3_topk_per_group" -> o3TopkPerGroup,
+    "a24_cube" -> a24Cube,
     "x2_union_stats" -> x2UnionStats,
     "x3_intersect" -> x3Intersect,
     "a10_rollup" -> a10Rollup,
@@ -2905,6 +2936,20 @@ object Inventory {
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
         |FROM events WHERE event_id < 2000
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin,
+    "o3_topk_per_group" ->
+      """SELECT event_type, event_id, value, CAST(rank AS INT) AS rank FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id ASC) AS rank
+        |  FROM events)
+        |WHERE rank <= 3""".stripMargin,
+    "a24_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "a13_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |       CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big

@@ -788,6 +788,20 @@ class PlanSpec extends AnyFunSuite {
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1, p.take(2500))
   }
 
+  test("a24 cube: one Expand-based aggregation pass, never k unioned aggs") {
+    val p = planOf("a24_cube")
+    assert(p.contains("Expand"), p.take(2500))
+    assert(!p.contains("Union"), p.take(2500))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1, p.take(2500))
+  }
+
+  test("o3 top-k per group: one group-key exchange, no global sort, no single partition") {
+    val p = planOf("o3_topk_per_group")
+    assert(p.contains("Window"), p.take(2500))
+    assert(!p.contains("SinglePartition"), p.take(2500))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1, p.take(2500))
+  }
+
   test("j28 disjunctive predicates: equi key survives the OR — hash join, never NLJ") {
     val p = planOf("j28_disjunctive_pred")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(3000))
