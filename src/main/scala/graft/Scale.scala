@@ -270,6 +270,7 @@ object Scale {
     if (args.headOption.contains("triangles")) return trianglesMain(args)
     if (args.headOption.contains("bfs")) return bfsMain(args)
     if (args.headOption.contains("labelprop")) return labelPropMain(args)
+    if (args.headOption.contains("robust")) return robustMain(args)
     if (args.headOption.contains("dsir")) return dsirMain(args)
     val totalSlots = args.lift(0).map(_.toLong).getOrElse(1000000L)
     val outMd = args.lift(1).getOrElse("SCALE.md")
@@ -2448,6 +2449,98 @@ object Scale {
          |""".stripMargin
     spliceSection(outMd, dsirHeader, section)
     println(s"""{"metric":"scale_dsir","value":$scoreSec,"unit":"sec","n_docs":$nDocs,"docs_per_s":${nDocs / scoreSec},"separation":${planted / background},"heap_peak_mb":$heapMb}""")
+    spark.stop()
+  }
+
+  private val robustHeader = "## Robust-stats (median/MAD + winsorize) stage"
+
+  /** `runMain graft.Scale robust [nRows] [outMd]` — the a23/t45 operators
+    * at fact scale with EXACT closed forms: values `i % 1000` over 4 keys
+    * (uniform 0..999, `perVal = n/4000` rows per (key, value)), so every
+    * discrete percentile is arithmetic — p10 = 99, med = 499, p90 = 899,
+    * MAD = 250 — and the winsorize clamp counts and MAD outlier counts
+    * (k = 1.5 → |v−499| > 375) are exact products. The claim under test
+    * at 20M rows: the fact reduces to its (key, value) histogram before
+    * ANY window/sort sees it, and the stats broadcast back — no
+    * corpus-sized shuffle anywhere. */
+  private def robustMain(args: Array[String]): Unit = {
+    val nRows = args.lift(1).map(_.toLong).getOrElse(20000000L)
+    val outMd = args.lift(2).getOrElse("SCALE.md")
+    require(nRows % 4000 == 0, s"nRows must be a multiple of 4000, got $nRows")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // key by 1000-row BLOCK (not i%4 — gcd(4,1000)=4 would hand each key
+    // only the values ≡ k mod 4): every key sees each value 0..999 exactly
+    // nRows/4000 times
+    val df = spark.range(nRows)
+      .select((expr("id div 1000") % 4).cast("string").as("k"),
+        (col("id") % 1000).cast("double").as("v"))
+    val perVal = nRows / 4000 // rows per (key, value)
+    val perKey = nRows / 4
+    val (madRows, madSec) = timed {
+      graft.operators.Percentiles.madOutliers(df, "k", "v", k = 1.5)
+        .collect().sortBy(_.getString(0))
+    }
+    madRows.foreach { r =>
+      require(r.getAs[Long]("n") == perKey, s"n ${r.getAs[Long]("n")}")
+      require(r.getAs[Double]("med") == 499.0, s"med ${r.getAs[Double]("med")}")
+      require(r.getAs[Double]("mad") == 250.0, s"mad ${r.getAs[Double]("mad")}")
+      // |v-499| > 375  ⇔  v < 124 (124 values) or v > 874 (125 values)
+      require(r.getAs[Long]("n_outliers") == 249L * perVal,
+        s"outliers ${r.getAs[Long]("n_outliers")} want ${249L * perVal}")
+    }
+    val (winAgg, winSec) = timed {
+      graft.operators.Percentiles.winsorize(df, "k", "v", 10, 90)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v_w").cast("decimal(18,2)")).cast("double").as("sum_w"),
+          sum(when(col("clamped") === -1, 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("clamped") === 1, 1L).otherwise(0L)).as("n_high"))
+        .collect().sortBy(_.getString(0))
+    }
+    // p10 = 99, p90 = 899: clamped sum per key =
+    // perVal·(99·99 + Σ_{99..899} v + 899·100)
+    val sumMid = (99L to 899L).sum
+    val wantSum = (perVal * (99L * 99L + sumMid + 899L * 100L)).toDouble
+    winAgg.foreach { r =>
+      require(r.getAs[Long]("n") == perKey)
+      require(r.getAs[Double]("sum_w") == wantSum,
+        s"sum_w ${r.getAs[Double]("sum_w")} want $wantSum")
+      require(r.getAs[Long]("n_low") == 99L * perVal, s"n_low ${r.getAs[Long]("n_low")}")
+      require(r.getAs[Long]("n_high") == 100L * perVal, s"n_high ${r.getAs[Long]("n_high")}")
+    }
+    val heapMb = heapPeakMb()
+    val section =
+      s"""
+         |$robustHeader (${nRows / 1000000}M rows, 4 keys, exact closed-form oracles)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale robust $nRows"` —
+         |`Percentiles.madOutliers` (a23) and `Percentiles.winsorize` (t45)
+         |over `i % 1000` values: p10/med/p90/MAD and every clamp/outlier
+         |count is arithmetic (med 499, MAD 250, ${249L * perVal} outliers
+         |per key at k=1.5), checked exactly.
+         |
+         || metric | value |
+         ||---|---|
+         || median/MAD + outlier gate | ${f"$madSec%.1f"} s (${f"${nRows / madSec / 1e6}%.1f"}M rows/s) |
+         || winsorize + clamp rollup | ${f"$winSec%.1f"} s (${f"${nRows / winSec / 1e6}%.1f"}M rows/s) |
+         || peak heap | $heapMb MB |
+         |
+         |- the fact reduces to its 4000-row (key, value) histogram before
+         |  any window runs, and the per-key stats broadcast back — the
+         |  corpus itself never shuffles, which is the whole design claim
+         |  at 100 TB (quantize first for continuous values)
+         |""".stripMargin
+    spliceSection(outMd, robustHeader, section)
+    println(s"""{"metric":"scale_robust","value":${madSec + winSec},"unit":"sec","n_rows":$nRows,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 
