@@ -350,6 +350,22 @@ object Inventory {
 
   /** C14: ad-hoc JSON field probe (JSONExtractString fork sampling;
     * reference: src/services/fork.py:292-300). */
+  /** C17: Levenshtein edit distance (the built-in both engines define
+    * identically — unit-cost insert/delete/substitute) between each
+    * document's first two 20-char windows, plus the bounded variant
+    * (threshold 5, -1 past it) that at scale turns the O(n·m) fill into
+    * an O(n·k) band — the fuzzy-match primitive under t37's
+    * deletion-neighborhood join, surfaced directly. */
+  val c17EditDistance: Q = (s, d) =>
+    documents(s, d)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"),
+        substring(col("text"), 1, 20).as("a"),
+        substring(col("text"), 21, 20).as("b"))
+      .select(col("doc_id"),
+        levenshtein(col("a"), col("b")).as("dist"),
+        levenshtein(col("a"), col("b"), 5).as("dist_capped"))
+
   val c14JsonProbe: Q = (s, d) =>
     events(s, d)
       .filter(col("event_id") < 500)
@@ -2117,6 +2133,7 @@ object Inventory {
     "c8_slot_timestamp" -> c8SlotTimestamp,
     "c9_epoch_rollup" -> c9EpochRollup,
     "c14_json_probe" -> c14JsonProbe,
+    "c17_edit_distance" -> c17EditDistance,
     "d1_chunk_plan" -> d1ChunkPlan,
     "p1_blocks" -> p1Blocks,
     "p3_deposits" -> p3Deposits,
@@ -2970,6 +2987,13 @@ object Inventory {
         |FROM events GROUP BY 1""".stripMargin,
     "c1_safe_long_hex" ->
       "SELECT event_id, event_id AS parsed FROM events",
+    "c17_edit_distance" ->
+      """SELECT doc_id,
+        |  CAST(levenshtein(substr(text, 1, 20), substr(text, 21, 20)) AS INT) AS dist,
+        |  CAST(CASE WHEN levenshtein(substr(text, 1, 20), substr(text, 21, 20)) <= 5
+        |            THEN levenshtein(substr(text, 1, 20), substr(text, 21, 20))
+        |            ELSE -1 END AS INT) AS dist_capped
+        |FROM documents WHERE doc_id < 500""".stripMargin,
     "c3_payload_hash" ->
       "SELECT event_id, substr(sha256(replace(props, ' ', '')), 1, 16) AS h FROM events",
     "c4_popcount" ->
