@@ -1687,6 +1687,43 @@ object Inventory {
           sum(revenue).cast("double")).as("promo_pct"))
   }
 
+  /** J31: the TPC-H Q8 national-market-share shape — the deepest star in
+    * the suite (region→nation→customer→orders→lineitem→supplier→nation
+    * again): within one region's market, the share of revenue supplied
+    * by ONE nation per order year. Both the numerator (CASE-gated) and
+    * denominator accumulate as exact decimals in a single aggregation
+    * pass; the share is one double division per year row. Customer-side
+    * region filter and supplier-side nation tag both broadcast. */
+  val j31MarketShare: Q = (s, d) => {
+    val asiaNations = nation(s, d)
+      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cnk"))
+    val c = customer(s, d).select("c_custkey", "c_nationkey")
+      .join(broadcast(asiaNations), col("c_nationkey") === col("cnk"))
+      .select("c_custkey")
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val sup = supplier(s, d)
+      .join(broadcast(nation(s, d).select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "supp_nation")
+    lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_5", revenue)
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double")
+          .as("nation_rev"),
+        sum(revenue).cast("double").as("total_rev"))
+      .withColumn("mkt_share", col("nation_rev") / col("total_rev"))
+  }
+
   /** J30: the TPC-H Q12 shipmode-priority shape — a two-way conditional
     * rollup after a fact⋈fact equi join: per linestatus (the shipmode
     * stand-in), count lines from HIGH-priority vs lower-priority orders,
@@ -2104,6 +2141,7 @@ object Inventory {
     "x5_intersect_all" -> x5IntersectAll,
     "j29_promo_share" -> j29PromoShare,
     "j30_shipmode_priority" -> j30ShipmodePriority,
+    "j31_market_share" -> j31MarketShare,
     "a14_rolling_dau" -> a14RollingDau,
     "w7_first_touch" -> w7FirstTouch,
     "a15_funnel_conversion" -> a15FunnelConversion,
@@ -2782,6 +2820,33 @@ object Inventory {
       """SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'
         |INTERSECT ALL
         |SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'""".stripMargin,
+    "j31_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_rev,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS total_rev,
+        |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
     "j30_shipmode_priority" ->
       """SELECT l_linestatus,
         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
