@@ -77,6 +77,27 @@ class LayoutSpec extends AnyFunSuite {
     assert(dirs === 30, s"expected 30 day= dirs, got $dirs")
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at RUNTIME") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    // fact partitioned by day; the filter arrives via a DIM attribute the
+    // planner can't see statically — only DPP can skip directories
+    val fact = spark.range(30000).toDF("id")
+      .withColumn("day_id", (col("id") % 30).cast("int"))
+      .withColumn("v", col("id") * 2)
+    Layout.writeDayPartitioned(fact, s"$base/fact", "day_id")
+    val dim = (0 until 30).map(d => (d, if (d == 7) "pick" else "skip"))
+      .toDF("day_id", "tag")
+    dim.coalesce(1).write.parquet(s"$base/dim")
+    val f = spark.read.parquet(s"$base/fact")
+    val dimR = spark.read.parquet(s"$base/dim").filter($"tag" === "pick")
+    val joined = f.join(dimR, Seq("day_id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // the fact scan's partition filter must carry the runtime subquery
+    assert(plan.contains("dynamicpruning"), plan.take(3000))
+    assert(joined.count() === 1000L)
+  }
+
   test("bucketed co-located join: no Exchange on either side, results match the plain join") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_bucket").toString
