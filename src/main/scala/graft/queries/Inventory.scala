@@ -1724,6 +1724,26 @@ object Inventory {
       .withColumn("mkt_share", col("nation_rev") / col("total_rev"))
   }
 
+  /** J32: the TPC-H Q15 top-supplier shape — a derived revenue VIEW whose
+    * scalar MAX joins back onto itself (j16's argmin family, but the
+    * extremum is over a derived aggregate, not a base column): per-quarter
+    * supplier revenue in exact decimal, the 1-row max crossJoin-broadcast,
+    * and an EXACT decimal equality (ties all surface, deterministically —
+    * the oracle can't drift because no float ever enters the compare). */
+  val j32TopSupplier: Q = (s, d) => {
+    val rev = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenue).as("rev_dec"))
+    rev.crossJoin(broadcast(rev.agg(max(col("rev_dec")).as("mx"))))
+      .filter(col("rev_dec") === col("mx"))
+      .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+  }
+
   /** J30: the TPC-H Q12 shipmode-priority shape — a two-way conditional
     * rollup after a fact⋈fact equi join: per linestatus (the shipmode
     * stand-in), count lines from HIGH-priority vs lower-priority orders,
@@ -2142,6 +2162,7 @@ object Inventory {
     "j29_promo_share" -> j29PromoShare,
     "j30_shipmode_priority" -> j30ShipmodePriority,
     "j31_market_share" -> j31MarketShare,
+    "j32_top_supplier" -> j32TopSupplier,
     "a14_rolling_dau" -> a14RollingDau,
     "w7_first_touch" -> w7FirstTouch,
     "a15_funnel_conversion" -> a15FunnelConversion,
@@ -2820,6 +2841,19 @@ object Inventory {
       """SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'
         |INTERSECT ALL
         |SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'""".stripMargin,
+    "j32_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |           AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)""".stripMargin,
     "j31_market_share" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
