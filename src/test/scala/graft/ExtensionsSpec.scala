@@ -550,6 +550,43 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(j.isNullAt(1) && j.isNullAt(3))
   }
 
+  test("AQE skew join: a hot key splits at runtime (skew=true), result parity with broadcast") {
+    import org.apache.spark.sql.functions._
+    // independent SQL conf over the shared context: force a sort-merge
+    // join and make AQE's skew thresholds reachable at test size
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE would otherwise CONVERT the SMJ to broadcast at runtime (the
+    // 100-row side) and never reach the skew logic — pin both paths off
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "262144")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    // 400k fact rows, 85% on ONE key — the t14 salting scenario, this
+    // time handled by the engine's runtime re-plan instead of a rewrite
+    val left = s2.range(400000)
+      .select(when(col("id") % 100 < 85, 0L).otherwise(col("id") % 100).as("k"),
+        concat(lit("pad_pad_pad_pad_pad_"), col("id")).as("payload"))
+    val right = s2.range(100).select(col("id").as("k"), (col("id") * 7).as("dim"))
+    val joined = left.join(right, "k")
+    // execute THIS dataset's own QueryExecution (count() would spawn a
+    // separate one and leave this plan isFinalPlan=false)
+    var n = 0L
+    val it = joined.toLocalIterator()
+    while (it.hasNext) { it.next(); n += 1 }
+    assert(n === 400000L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE did not split the hot partition:\n${plan.take(2500)}")
+    // value parity against the broadcast plan on the default session
+    val expect = left.join(org.apache.spark.sql.functions.broadcast(right), "k")
+      .agg(sum(col("dim"))).head().getLong(0)
+    assert(joined.agg(sum(col("dim"))).head().getLong(0) === expect)
+  }
+
   test("madOutliers: hand-checked discrete median/MAD; shift invariance") {
     import spark.implicits._
     // {1..9, 100}: disc-median 5, deviations sorted {0,1,1,2,2,3,3,4,4,95}
