@@ -366,6 +366,24 @@ object Inventory {
         levenshtein(col("a"), col("b")).as("dist"),
         levenshtein(col("a"), col("b"), 5).as("dist_capped"))
 
+  /** C18: the date-arithmetic function pack — add_months (month-end
+    * clamping), datediff, last_day, month truncation, quarter, and
+    * Monday-0 weekday, each against its DuckDB twin (dialects disagree
+    * on weekday origins — Spark `weekday` is Monday-0, DuckDB `isodow`
+    * is Monday-1 — so the oracle maps explicitly; dates surface as
+    * formatted strings, the c8 timezone-free convention). */
+  val c18DateArith: Q = (s, d) =>
+    orders(s, d)
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+        datediff(lit("2000-01-01").cast("date"), col("o_orderdate"))
+          .cast("int").as("days_to_2000"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(trunc(col("o_orderdate"), "month"), "yyyy-MM-dd").as("month_start"),
+        quarter(col("o_orderdate")).cast("int").as("q"),
+        weekday(col("o_orderdate")).cast("int").as("wd"))
+
   val c14JsonProbe: Q = (s, d) =>
     events(s, d)
       .filter(col("event_id") < 500)
@@ -2193,6 +2211,7 @@ object Inventory {
     "c9_epoch_rollup" -> c9EpochRollup,
     "c14_json_probe" -> c14JsonProbe,
     "c17_edit_distance" -> c17EditDistance,
+    "c18_date_arith" -> c18DateArith,
     "d1_chunk_plan" -> d1ChunkPlan,
     "p1_blocks" -> p1Blocks,
     "p3_deposits" -> p3Deposits,
@@ -3086,6 +3105,16 @@ object Inventory {
         |FROM events GROUP BY 1""".stripMargin,
     "c1_safe_long_hex" ->
       "SELECT event_id, event_id AS parsed FROM events",
+    "c18_date_arith" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT)
+        |    AS days_to_2000,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(isodow(o_orderdate) - 1 AS INT) AS wd
+        |FROM orders WHERE o_orderkey < 2000""".stripMargin,
     "c17_edit_distance" ->
       """SELECT doc_id,
         |  CAST(levenshtein(substr(text, 1, 20), substr(text, 21, 20)) AS INT) AS dist,
