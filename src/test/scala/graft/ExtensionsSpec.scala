@@ -550,6 +550,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(j.isNullAt(1) && j.isNullAt(3))
   }
 
+  test("multi-format sources: CSV and JSONL reads agree with the parquet truth") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_formats").toString
+    val truth = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    truth.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    truth.write.mode("overwrite").json(s"$base/json")
+    // schema declared, never inferred — the production contract (an
+    // inference pass over 100 TB of text is a full extra scan)
+    val schema = truth.schema
+    val csv = spark.read.schema(schema).option("header", "true").csv(s"$base/csv")
+    val jsonl = spark.read.schema(schema).json(s"$base/json")
+    def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+      val r = df.agg(count(lit(1)), sum(col("event_id") * col("user_id")),
+        sum(col("value").cast("decimal(18,2)")).cast("double")).head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    assert(fingerprint(csv) === fingerprint(truth))
+    assert(fingerprint(jsonl) === fingerprint(truth))
+    // and a filter pushes into both scans (PushedFilters appears)
+    val p = csv.filter(col("event_id") === 5L).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("event_id"), p.take(1500))
+  }
+
   test("AQE skew join: a hot key splits at runtime (skew=true), result parity with broadcast") {
     import org.apache.spark.sql.functions._
     // independent SQL conf over the shared context: force a sort-merge
