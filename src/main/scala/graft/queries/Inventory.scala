@@ -1705,6 +1705,23 @@ object Inventory {
           sum(revenue).cast("double")).as("promo_pct"))
   }
 
+  /** J33: the TPC-H Q6 forecasting-revenue shape — the pure scan-side
+    * query: date + discount-band + quantity predicates ALL pushed to the
+    * parquet scan (PlanSpec-gated), one exact-decimal product sum, no
+    * join, no shuffle beyond the final 1-row partial-agg merge. The
+    * baseline every columnar engine is judged by. */
+  val j33ForecastRevenue: Q = (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          col("l_discount").cast(DecimalType(18, 4))).cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
   /** J31: the TPC-H Q8 national-market-share shape — the deepest star in
     * the suite (region→nation→customer→orders→lineitem→supplier→nation
     * again): within one region's market, the share of revenue supplied
@@ -2181,6 +2198,7 @@ object Inventory {
     "j30_shipmode_priority" -> j30ShipmodePriority,
     "j31_market_share" -> j31MarketShare,
     "j32_top_supplier" -> j32TopSupplier,
+    "j33_forecast_revenue" -> j33ForecastRevenue,
     "a14_rolling_dau" -> a14RollingDau,
     "w7_first_touch" -> w7FirstTouch,
     "a15_funnel_conversion" -> a15FunnelConversion,
@@ -2860,6 +2878,16 @@ object Inventory {
       """SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'
         |INTERSECT ALL
         |SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'""".stripMargin,
+    "j33_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "j32_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

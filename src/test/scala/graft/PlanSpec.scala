@@ -802,6 +802,16 @@ class PlanSpec extends AnyFunSuite {
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1, p.take(2500))
   }
 
+  test("j33 Q6: every predicate reaches the parquet scan; no join, no wide shuffle") {
+    val p = planOf("j33_forecast_revenue")
+    assert(p.contains("PushedFilters:"), p.take(3000))
+    assert(p.contains("l_shipdate") && p.contains("l_discount") &&
+      p.contains("l_quantity"), p.take(4000))
+    assert(!p.contains("Join"), p.take(2500))
+    // only the 1-row partial-agg merge exchanges
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 1, p.take(2500))
+  }
+
   test("j28 disjunctive predicates: equi key survives the OR — hash join, never NLJ") {
     val p = planOf("j28_disjunctive_pred")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(3000))
