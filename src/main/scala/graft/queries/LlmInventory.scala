@@ -160,6 +160,27 @@ object LlmInventory {
         (count(lit(1)) * col("group_size")).as("n_docs"),
         (count(lit(1)) * (col("group_size") - 1)).as("n_dropped"))
 
+  /** d16: best-of-group survivor selection — the curation policy layered
+    * on d9's components: instead of the union-find's min-id label, each
+    * near-dup cluster keeps its HIGHEST-QUALITY member (n_chars as the
+    * quality key here; any score column works), tie-broken by doc_id for
+    * a total order. One broadcast-scale window over the group frame —
+    * the corpus-sized side never re-shuffles beyond the d9 pipeline
+    * itself. The difference matters in practice: min-id keeps whichever
+    * copy was crawled first, best-of keeps the longest/cleanest copy. */
+  val d16BestOfGroup: Q = (s, d) => {
+    val docs = documents(s, d)
+    val groups = Dedup.nearDupGroups(docs, "doc_id", "text",
+      jaccardThreshold = 0.8, md5Parity = true)
+    val w = Window.partitionBy("group")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    groups.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("group"), col("doc_id").as("kept_doc"),
+        col("n_chars").as("kept_chars"))
+  }
+
   /** d12: cross-corpus (incremental) EXACT dedup
     * ([[Dedup.exactDedupAgainst]]) — the new-snapshot-vs-at-rest-corpus
     * sweep: docs with doc_id % 10 == 0 play the existing corpus, the
@@ -1618,6 +1639,7 @@ object LlmInventory {
     "d5_minhash_lsh" -> d5MinhashLsh,
     "d8_jaccard_verify" -> d8JaccardVerify,
     "d9_near_dup_groups" -> d9NearDupGroups,
+    "d16_best_of_group" -> d16BestOfGroup,
     "d10_dedup_yield" -> d10DedupYield,
     "t6_quality_filter" -> t6QualityFilter,
     "t25_curate_funnel" -> t25CurateFunnel,
@@ -2439,6 +2461,57 @@ object LlmInventory {
         |       coalesce(c.component, d.doc_id) AS "group",
         |       d.doc_id = coalesce(c.component, d.doc_id) AS is_representative
         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin,
+    "d16_best_of_group" ->
+      // d9's CTE chain + the quality-argmax survivor policy: per
+      // component keep max(n_chars), doc_id asc tie-break
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |shs AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM tok WHERE len(toks) >= 3),
+        |shx AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+        |sig AS (
+        |  SELECT doc_id,
+        |         min(md5('1#' || s)) AS mh1, min(md5('2#' || s)) AS mh2,
+        |         min(md5('3#' || s)) AS mh3, min(md5('4#' || s)) AS mh4,
+        |         min(md5('5#' || s)) AS mh5, min(md5('6#' || s)) AS mh6,
+        |         min(md5('7#' || s)) AS mh7, min(md5('8#' || s)) AS mh8
+        |  FROM shx GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band,
+        |         md5(mh1 || '|' || mh2 || '|' || mh3 || '|' || mh4) AS bh FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |         md5(mh5 || '|' || mh6 || '|' || mh7 || '|' || mh8) FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |confirmed AS (
+        |  SELECT c.d1, c.d2
+        |  FROM cand c
+        |  JOIN shs s1 ON s1.doc_id = c.d1
+        |  JOIN shs s2 ON s2.doc_id = c.d2
+        |  WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(s1.sh, s2.sh))) >= 0.8),
+        |edges AS (
+        |  SELECT d1, d2 FROM confirmed
+        |  UNION SELECT d2, d1 FROM confirmed),
+        |reach(id, r) AS (
+        |  SELECT d1, d1 FROM edges
+        |  UNION
+        |  SELECT reach.id, e.d2 FROM reach JOIN edges e ON e.d1 = reach.r),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |grp AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS g, d.n_chars
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+        |SELECT g AS "group", doc_id AS kept_doc, n_chars AS kept_chars FROM (
+        |  SELECT g, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY g ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM grp)
+        |WHERE rk = 1""".stripMargin,
     "d10_dedup_yield" ->
       // d9's pipeline (same CTEs) summarized to the group-size histogram:
       // exact integer counts per component size
