@@ -1065,6 +1065,24 @@ object Inventory {
         col("__sum").cast("double").as("trailing_sum"))
   }
 
+  /** W11: fill-forward (LOCF — last observation carried forward): sparse
+    * measurements (here: `value` published only on purchase/error events)
+    * propagate to every later event of the same user via
+    * `last_value(ignoreNulls)` over an unbounded-preceding frame — the
+    * gap-filling primitive for sensor/price/feature series. One user_id
+    * exchange; the frame is cumulative, not re-scanned per row. */
+  val w11FillForward: Q = (s, d) => {
+    val ev = events(s, d)
+    val sparse = when(col("event_type").isin("purchase", "error"), col("value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("user_id"), eventTs(ev).as("ts"), col("event_id"),
+        col("event_type"), sparse.as("sparse_v"))
+      .withColumn("filled", last(col("sparse_v"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("event_id"), col("sparse_v"), col("filled"))
+  }
+
   /** J9: interval/range join via [[graft.operators.IntervalJoin]] — for
     * each click, how many purchase price-bands (value ± 1) contain its
     * value. A naive `BETWEEN` join plans as a nested loop (quadratic
@@ -2176,6 +2194,7 @@ object Inventory {
     "a11_percentiles" -> a11Percentiles,
     "a23_mad_outliers" -> a23MadOutliers,
     "w10_trailing_anomaly" -> w10TrailingAnomaly,
+    "w11_fill_forward" -> w11FillForward,
     "w5_rolling_counts" -> w5RollingCounts,
     "a12_pivot" -> a12Pivot,
     "j9_interval_join" -> j9IntervalJoin,
@@ -2611,6 +2630,15 @@ object Inventory {
         |         AS n_outliers
         |FROM dev d JOIN mad a USING (event_type)
         |GROUP BY 1""".stripMargin,
+    "w11_fill_forward" ->
+      """SELECT user_id, event_id, sparse_v,
+        |  last_value(sparse_v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type IN ('purchase', 'error') THEN value END AS sparse_v
+        |  FROM events)""".stripMargin,
     "w10_trailing_anomaly" ->
       """SELECT user_id, event_id, value,
         |       CAST(n_trailing AS BIGINT) AS n_trailing,
