@@ -632,7 +632,10 @@ class StreamingSpec extends AnyFunSuite {
         chunkSize = 5L, slotDelay = 5L,
         chainedTransform = Some((s"$base/tables", LedgerStore(s"$base/tp"))),
         autoCompactMinFiles = 2, compactionLog = Some(clog))
-      q.awaitTermination(120000)
+      // AvailableNow stops itself once drained; under a loaded machine the
+      // 19-chunk fetch+transform+compact chain can exceed 2 min — fail
+      // HERE with a clear message rather than in a downstream month assert
+      assert(q.awaitTermination(300000), "tail did not drain within 300 s")
     }
     def monthFiles(dir: String): Map[String, Int] =
       graft.core.Fs.listDirNames(spark, dir).filter(_.startsWith("month="))
