@@ -266,6 +266,7 @@ object Scale {
     if (args.headOption.contains("mllib")) return mllibMain(args)
     if (args.headOption.contains("fuzzy")) return fuzzyMain(args)
     if (args.headOption.contains("rangelookup")) return rangeLookupMain(args)
+    if (args.headOption.contains("intervalskew")) return intervalSkewMain(args)
     if (args.headOption.contains("pagerank")) return pagerankMain(args)
     if (args.headOption.contains("triangles")) return trianglesMain(args)
     if (args.headOption.contains("bfs")) return bfsMain(args)
@@ -1046,6 +1047,98 @@ object Scale {
     * `fact.v BETWEEN dim.lo AND dim.hi` broadcast join Spark plans as a
     * BroadcastNestedLoopJoin (O(rows × intervals) compares). Both
     * variants produce identical per-tier counts (asserted). */
+  private val intervalSkewHeader = "## Interval-join hot-bucket (skew grid) stage"
+
+  /** `runMain graft.Scale intervalskew [nHot] [nHotIv] [outMd]` — the
+    * IntervalJoin salt-grid guard against PLANTED VALUE SKEW: `nHot`
+    * points all at ONE value (the zero/epoch pile-up) under `nHotIv`
+    * intervals that contain it, plus a uniform tail with a closed-form
+    * match count. Unguarded, the hot bucket's nHot·nHotIv pairs emit in
+    * ONE task; the guard cuts each side into ceiling-sized salt cells.
+    * The stage A/Bs guarded vs forced-clean (ceiling = MaxValue defeats
+    * the probe) on the SAME input and requires the exact closed-form
+    * pair count from both — the grid must redistribute, never change,
+    * the result. */
+  private def intervalSkewMain(args: Array[String]): Unit = {
+    val nHot = args.lift(1).map(_.toLong).getOrElse(4000000L)
+    val nHotIv = args.lift(2).map(_.toInt).getOrElse(512)
+    val outMd = args.lift(3).getOrElse("SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      // the guard targets the SHUFFLE-join regime (at 100 TB neither side
+      // broadcasts); at stage scale the interval side would slip under the
+      // 10 MB broadcast threshold and dodge co-location entirely, so force
+      // the plan shape the guard exists for
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val dir = Files.createTempDirectory("graft_scale_ivskew").toString
+    val nTail = 200000L
+    val nTailIv = 5000L
+    // hot points at exactly 42.0; tail points at 1000 + i + 0.5 (disjoint)
+    spark.range(nHot).select(lit(42.0).as("p"))
+      .unionAll(spark.range(nTail).select((col("id") + lit(1000.5)).as("p")))
+      .write.mode("overwrite").parquet(s"$dir/points")
+    // hot intervals all contain 42.0; tail intervals [1000+j*8, 1000+j*8+3]
+    // each contain exactly 3 tail points (j*8+0.5, +1.5, +2.5)
+    spark.range(nHotIv).select(lit(40.0).as("lo"), lit(44.0).as("hi"))
+      .unionAll(spark.range(nTailIv).select(
+        (col("id") * 8 + 1000.0).as("lo"), (col("id") * 8 + 1003.0).as("hi")))
+      .write.mode("overwrite").parquet(s"$dir/intervals")
+    val points = spark.read.parquet(s"$dir/points")
+    val intervals = spark.read.parquet(s"$dir/intervals")
+    val expected = nHot * nHotIv + 3L * nTailIv
+    val (guardedPairs, guardedSec) = timed {
+      graft.operators.IntervalJoin
+        .pointInInterval(points, "p", intervals, "lo", "hi", bucketWidth = 4.0)
+        .count()
+    }
+    require(guardedPairs == expected,
+      s"guarded pair count: got $guardedPairs, closed form says $expected")
+    val (cleanPairs, cleanSec) = timed {
+      graft.operators.IntervalJoin
+        .pointInInterval(points, "p", intervals, "lo", "hi",
+          bucketWidth = 4.0, bucketCeiling = Int.MaxValue)
+        .count()
+    }
+    require(cleanPairs == expected,
+      s"clean pair count: got $cleanPairs, closed form says $expected")
+    val cells = math.ceil(nHot.toDouble / graft.operators.IntervalJoin.DefaultBucketCeiling).toLong
+    val heapMb = heapPeakMb()
+    val section =
+      s"""
+         |$intervalSkewHeader (${nHot / 1000}k points planted at ONE value, $nHotIv covering intervals)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale intervalskew $nHot $nHotIv"` —
+         |`IntervalJoin.pointInInterval` where one bucket holds ${nHot / 1000}k identical
+         |points under $nHotIv intervals (${nHot * nHotIv / 1000000}M pairs through one
+         |bucket) plus a ${nTail / 1000}k-point uniform tail with a closed-form count.
+         |Both paths must return EXACTLY ${expected} pairs.
+         |
+         || metric | value |
+         ||---|---|
+         || guarded (salt grid, ceiling ${graft.operators.IntervalJoin.DefaultBucketCeiling}) | ${f"$guardedSec%.1f"} s — hot side cut into $cells cells, per-task input bounded |
+         || forced-clean (probe defeated) | ${f"$cleanSec%.1f"} s — all ${nHot * nHotIv / 1000000}M hot pairs in ONE task |
+         || pair count (both paths) | $guardedPairs = closed form ✓ |
+         || peak heap | $heapMb MB |
+         |
+         |- the probe fires on a seeded 2% sample (no exact count on the
+         |  clean path); the sizing agg + broadcast hot list are paid only
+         |  when the grid engages
+         |- exactly-once survives the grid: a pair meets at (own salt, own
+         |  salt) — the equality of both counts to the closed form is the
+         |  checked claim, not just plausibility
+         |""".stripMargin
+    spliceSection(outMd, intervalSkewHeader, section)
+    println(s"""{"metric":"scale_intervalskew","value":$guardedSec,"unit":"sec","clean_sec":$cleanSec,"pairs":$guardedPairs,"n_hot":$nHot,"heap_peak_mb":$heapMb}""")
+  }
+
   private def rangeLookupMain(args: Array[String]): Unit = {
     val nRows = args.lift(1).map(_.toLong).getOrElse(20000000L)
     val outMd = args.lift(2).getOrElse("SCALE.md")

@@ -439,22 +439,6 @@ object Graph {
           (col("deg_a") + col("deg_b") - col("cn")).cast("double"))
   }
 
-  /** Multi-source BFS hop distance — the graph-neighborhood expander
-    * (crawl frontiers, "within-k-hops of the seed set" retrieval,
-    * contamination blast radius): returns `(node, dist)` for every node
-    * reachable from `seeds` within `maxHops` directed hops, `dist` = the
-    * MINIMUM hop count (seeds at 0). Classic frontier iteration: each
-    * round joins only the CURRENT frontier against the edge list (one
-    * shuffle bounded by frontier × out-degree, never the whole distance
-    * vector) and anti-joins the seen set to keep newly reached nodes —
-    * BFS order makes the first sighting the minimum distance, so the
-    * result is exact integers with no re-relaxation. Early-exits when a
-    * frontier empties (the per-round `count()` the loop needs anyway).
-    *
-    * With `checkpoint = true` the growing seen set and each frontier are
-    * materialized `localCheckpoint`s and superseded copies are released
-    * per round — the [[pageRank]] lineage-cut contract; the returned
-    * frame is caller-owned (unpersist when done). */
   /** Bounded MIN-LABEL propagation — `iterations` synchronous rounds of
     * `label(n) ← min(label(n), min over in-neighbors' labels)`, labels
     * initialized to the node id. This is the fixed-round core of
@@ -495,6 +479,22 @@ object Graph {
     labels
   }
 
+  /** Multi-source BFS hop distance — the graph-neighborhood expander
+    * (crawl frontiers, "within-k-hops of the seed set" retrieval,
+    * contamination blast radius): returns `(node, dist)` for every node
+    * reachable from `seeds` within `maxHops` directed hops, `dist` = the
+    * MINIMUM hop count (seeds at 0). Classic frontier iteration: each
+    * round joins only the CURRENT frontier against the edge list (one
+    * shuffle bounded by frontier × out-degree, never the whole distance
+    * vector) and anti-joins the seen set to keep newly reached nodes —
+    * BFS order makes the first sighting the minimum distance, so the
+    * result is exact integers with no re-relaxation. Early-exits when a
+    * frontier empties (the per-round `count()` the loop needs anyway).
+    *
+    * With `checkpoint = true` the growing seen set and each frontier are
+    * materialized `localCheckpoint`s and superseded copies are released
+    * per round — the [[pageRank]] lineage-cut contract; the returned
+    * frame is caller-owned (unpersist when done). */
   def hopDistance(
       edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxHops: Int,

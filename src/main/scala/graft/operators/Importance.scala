@@ -202,8 +202,22 @@ object Importance {
     val dec = DecimalType(38, 0)
     val ca = aCounts.select(col("bucket"), col("cnt").as("cnt_a"))
     val cb = bCounts.select(col("bucket"), col("cnt").as("cnt_b"))
-    val ta = ca.agg((sum("cnt_a") + buckets).as("na"))
-    val tb = cb.agg((sum("cnt_b") + buckets).as("nb"))
+    // Exactness bound: num ≤ (na·nb)² and den ≤ 2·(na·nb)², so
+    // Decimal(38,0) is exact only while na·nb < ~7e18. Guard each side at
+    // 2e9 smoothed tokens (product ≤ 4e18) — beyond that the non-ANSI
+    // decimal would silently NULL out, which is worse than failing loud.
+    // The assert rides the total itself (coalesce(assert_true, 0) adds 0
+    // on the happy path) so column pruning can't drop it.
+    val maxTotal = 2000000000L
+    def guarded(total: Column, side: String): Column =
+      total + coalesce(
+        assert_true(total <= maxTotal, lit(
+          s"chi_squared_shift: smoothed token total of side '$side' exceeds " +
+            s"$maxTotal; Decimal(38,0) intermediates would overflow — " +
+            "pre-aggregate to coarser shards or subsample")),
+        lit(0L))
+    val ta = ca.agg(guarded(sum("cnt_a") + buckets, "a").as("na"))
+    val tb = cb.agg(guarded(sum("cnt_b") + buckets, "b").as("nb"))
     val x = (col("cnt_a") + 1).cast(dec) * col("nb") // a·Nb, exact
     val y = (col("cnt_b") + 1).cast(dec) * col("na") // b·Na, exact
     ca.join(cb, Seq("bucket"))

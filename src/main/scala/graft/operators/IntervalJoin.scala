@@ -23,8 +23,88 @@ import org.apache.spark.sql.functions._
   * bucket join toward all-pairs within a bucket. Degenerate inputs
   * (lo > hi) are dropped rather than fed to `sequence` (whose inferred
   * negative step would silently emit a DESCENDING bucket range).
+  *
+  * SKEW GUARD: a bucket holding k rows of one side and m of the other
+  * emits k·m rows IN ONE TASK — the same quadratic family the near-dup
+  * hot-bucket guard (`Dedup.sampledHotProbe`) exists for, and real
+  * numeric columns pile up on popular values (epoch boundaries, price
+  * points, zero). Both joins here gate on a seeded 2%-sampled existence
+  * probe per side: the clean path is the untouched single-shuffle
+  * equi-join (no extra exchange, ~2% probe tax); when a sampled bucket
+  * crosses the ceiling, the join switches to a SALT-GRID — per hot
+  * bucket, each side is cut into `ceil(n/ceiling)` salt cells (own salt
+  * from a uniform row hash) and replicated across the OTHER side's
+  * cells, so the equi-join key becomes (bucket, saltL, saltR) and every
+  * qualifying pair still meets exactly once, at (own, own). Per-task
+  * input is bounded by ~2·ceiling rows per cell whatever the skew; cold
+  * buckets ride the same join with both salts pinned to 0 and factor-1
+  * replication (no row growth). The sizing aggregation (narrow,
+  * map-side combined, hot rows only broadcast back) is paid ONLY on the
+  * guarded path.
   */
 object IntervalJoin {
+
+  /** Default per-(bucket, cell) row ceiling for the skew grid: 4096
+    * keeps a worst-case cell's all-pairs output at ~16M rows — minutes
+    * of CPU, not hours — while leaving cold buckets (the common case)
+    * entirely on the clean path. */
+  val DefaultBucketCeiling = 4096
+
+  /** Seeded 2%-sampled hot-bucket EXISTENCE probe ([[graft.operators
+    * Dedup]]'s guard family): bucket a sample of `df`, ask whether any
+    * sampled bucket crosses `ceiling · fraction / 2` (floor 8). A true
+    * mega-bucket (10⁴–10⁵ rows) crosses with probability ~1; a marginal
+    * bucket the sample misses just runs its complete all-pairs join in
+    * one task — never a wrong ANSWER, because the salt grid only
+    * redistributes rows. Fixed seed → deterministic verdict per input. */
+  private def sampledHotProbe(
+      mkBuckets: DataFrame => DataFrame, df: DataFrame, ceiling: Int): Boolean = {
+    val fraction = math.min(1.0, math.max(0.02, 12.0 / ceiling))
+    val threshold = math.max(8.0, ceiling * fraction / 2)
+    !mkBuckets(df.sample(withReplacement = false, fraction, 38L))
+      .groupBy("__bucket").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > threshold)
+      .isEmpty
+  }
+
+  /** One side of the salt grid: every row gets its OWN salt
+    * (`pmod(hash(rowid), ownFactor)` — uniform spread; exact balance is
+    * not needed, only boundedness) and is REPLICATED across the other
+    * side's `repFactor` cells. Cold rows (no hot entry) pin both to 0
+    * with factor-1 replication, so they flow through the same join with
+    * zero row growth. */
+  private def gridSide(
+      df: DataFrame, hot: DataFrame,
+      ownSalt: String, ownFactor: String,
+      repSalt: String, repFactor: String): DataFrame =
+    df.join(broadcast(hot), Seq("__bucket"), "left")
+      .withColumn(ownSalt,
+        when(col(ownFactor).isNull, lit(0L))
+          .otherwise(pmod(xxhash64(monotonically_increasing_id()), col(ownFactor))))
+      .withColumn(repSalt,
+        explode(sequence(lit(0L), coalesce(col(repFactor) - 1L, lit(0L)))))
+      .drop("__fl", "__fr")
+
+  /** Skew-bounded inner equi-join of two already-bucketed frames on
+    * `__bucket` (+ the salt grid for hot buckets). Exactly-once: a pair
+    * co-located in a bucket meets at precisely (left's own salt, right's
+    * own salt) — the left row carries one `__gl` and all `__gr`s, the
+    * right row one `__gr` and all `__gl`s. */
+  private def gridJoin(lhs: DataFrame, rhs: DataFrame, ceiling: Int): DataFrame = {
+    val ln = lhs.groupBy("__bucket").agg(count(lit(1)).as("__ln"))
+    val rn = rhs.groupBy("__bucket").agg(count(lit(1)).as("__rn"))
+    // hot list: buckets where EITHER side crosses the ceiling — tiny
+    // (skewed keys are few by definition), broadcast to both sides
+    val hot = ln.join(rn, Seq("__bucket"))
+      .filter(col("__ln") > ceiling || col("__rn") > ceiling)
+      .select(col("__bucket"),
+        ceil(col("__ln") / ceiling).cast("long").as("__fl"),
+        ceil(col("__rn") / ceiling).cast("long").as("__fr"))
+    gridSide(lhs, hot, "__gl", "__fl", "__gr", "__fr")
+      .join(gridSide(rhs, hot, "__gr", "__fr", "__gl", "__fl"),
+        Seq("__bucket", "__gl", "__gr"))
+      .drop("__gl", "__gr")
+  }
 
   /** Inner-join `points` to the `intervals` rows whose [lo, hi] contains
     * the point (both bounds inclusive). Output: every points column plus
@@ -32,19 +112,27 @@ object IntervalJoin {
   def pointInInterval(
       points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      bucketWidth: Double): DataFrame = {
+      bucketWidth: Double,
+      bucketCeiling: Int = DefaultBucketCeiling): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(bucketCeiling > 0, s"bucketCeiling must be positive, got $bucketCeiling")
     val w = lit(bucketWidth)
-    val ivBuckets = intervals
+    def mkIv(df: DataFrame) = df
       .filter(col(loCol) <= col(hiCol))
       .withColumn("__bucket",
         explode(sequence(
           floor(col(loCol) / w).cast("long"),
           floor(col(hiCol) / w).cast("long"))))
-    val ptBuckets = points
-      .withColumn("__bucket", floor(col(pointCol) / w).cast("long"))
-    ptBuckets
-      .join(ivBuckets, Seq("__bucket"))
+    def mkPt(df: DataFrame) =
+      df.withColumn("__bucket", floor(col(pointCol) / w).cast("long"))
+    val ivBuckets = mkIv(intervals)
+    val ptBuckets = mkPt(points)
+    val hot = sampledHotProbe(mkPt, points, bucketCeiling) ||
+      sampledHotProbe(mkIv, intervals, bucketCeiling)
+    val joined =
+      if (!hot) ptBuckets.join(ivBuckets, Seq("__bucket"))
+      else gridJoin(ptBuckets, ivBuckets, bucketCeiling)
+    joined
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
   }
@@ -57,21 +145,31 @@ object IntervalJoin {
     * `max(lLo, rLo)` — the intersection's first bucket, which (floor
     * being monotone) equals `max(floor(lLo/w), floor(rLo/w))` and is
     * covered by BOTH sides whenever they overlap — so no distinct pass
-    * and no lost pairs. Column names must be disjoint across sides. */
+    * and no lost pairs. Column names must be disjoint across sides.
+    * The skew grid composes cleanly: it only redistributes bucket
+    * co-location, and the claim filter runs downstream of the join. */
   def intervalOverlap(
       left: DataFrame, lLoCol: String, lHiCol: String,
       right: DataFrame, rLoCol: String, rHiCol: String,
-      bucketWidth: Double): DataFrame = {
+      bucketWidth: Double,
+      bucketCeiling: Int = DefaultBucketCeiling): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(bucketCeiling > 0, s"bucketCeiling must be positive, got $bucketCeiling")
     val w = lit(bucketWidth)
-    def expand(df: DataFrame, lo: String, hi: String) = df
+    def expand(lo: String, hi: String)(df: DataFrame) = df
       .filter(col(lo) <= col(hi))
       .withColumn("__bucket",
         explode(sequence(
           floor(col(lo) / w).cast("long"),
           floor(col(hi) / w).cast("long"))))
-    expand(left, lLoCol, lHiCol)
-      .join(expand(right, rLoCol, rHiCol), Seq("__bucket"))
+    val lB = expand(lLoCol, lHiCol)(left)
+    val rB = expand(rLoCol, rHiCol)(right)
+    val hot = sampledHotProbe(expand(lLoCol, lHiCol), left, bucketCeiling) ||
+      sampledHotProbe(expand(rLoCol, rHiCol), right, bucketCeiling)
+    val joined =
+      if (!hot) lB.join(rB, Seq("__bucket"))
+      else gridJoin(lB, rB, bucketCeiling)
+    joined
       .filter(
         col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol) &&
           col("__bucket") === greatest(

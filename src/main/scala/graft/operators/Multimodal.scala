@@ -165,8 +165,10 @@ object Multimodal {
               var i = 0
               while (i < px.length) { img.setRGB(i % w, i / w, px(i)); i += 1 }
               val bos = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(img, format, bos)
-              bos.toByteArray
+              // write returns false when no writer is registered for the
+              // format — that must be a NULL payload, not an empty file.
+              if (javax.imageio.ImageIO.write(img, format, bos)) bos.toByteArray
+              else null
             }
           Row(r.get(idI), bytes)
         }
@@ -321,7 +323,7 @@ object Multimodal {
               try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
               catch { case _: Throwable => null }
           if (img == null || img.getWidth % factor != 0 || img.getHeight % factor != 0)
-            Row(r.get(idI), null, null, null, null, null)
+            Row(r.get(idI), null, null, null, null, null, null)
           else {
             val (w, h) = (img.getWidth, img.getHeight)
             val (ow, oh) = (w / factor, h / factor)

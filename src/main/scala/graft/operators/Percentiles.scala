@@ -54,19 +54,6 @@ object Percentiles {
             .as(s"p$p")): _*)
   }
 
-  /** Per-key ROBUST outlier detection — median / MAD (median absolute
-    * deviation), the estimator that survives the contamination a mean/
-    * stddev z-score does not (one wild value drags a mean arbitrarily;
-    * the median moves one rank). Both medians are the DISCRETE
-    * `quantile_disc` definition above, so there is no interpolation
-    * anywhere: the only float ops are one subtraction (|x − med|, exact
-    * IEEE, identical in any engine) and the final `k·mad` compare.
-    *
-    * Plan shape: two histogram aggregations (each partial-agg + one
-    * exchange over (key, value) cardinality) and two BROADCAST joins of
-    * the tiny per-key stats frame back onto the fact — the fact itself
-    * never shuffles, so the construction holds at 100 TB where a
-    * per-key sort of the raw rows would not. */
   /** Per-key WINSORIZATION — clamp the value column into its key's
     * [pLo, pHi] discrete-percentile band: the standard robustification
     * for heavy-tailed score columns before they feed sampling weights or
@@ -90,6 +77,19 @@ object Percentiles {
       .drop("__lo", "__hi")
   }
 
+  /** Per-key ROBUST outlier detection — median / MAD (median absolute
+    * deviation), the estimator that survives the contamination a mean/
+    * stddev z-score does not (one wild value drags a mean arbitrarily;
+    * the median moves one rank). Both medians are the DISCRETE
+    * `quantile_disc` definition above, so there is no interpolation
+    * anywhere: the only float ops are one subtraction (|x − med|, exact
+    * IEEE, identical in any engine) and the final `k·mad` compare.
+    *
+    * Plan shape: two histogram aggregations (each partial-agg + one
+    * exchange over (key, value) cardinality) and two BROADCAST joins of
+    * the tiny per-key stats frame back onto the fact — the fact itself
+    * never shuffles, so the construction holds at 100 TB where a
+    * per-key sort of the raw rows would not. */
   def madOutliers(
       df: DataFrame, keyCol: String, valueCol: String,
       k: Double = 3.0): DataFrame = {

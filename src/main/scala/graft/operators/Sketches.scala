@@ -448,9 +448,16 @@ object Sketches {
       val v = child.eval(input)
       if (v != null) {
         val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        require(arr.numElements() >= depth,
+          s"count_min_counters: position vector has ${arr.numElements()} " +
+            s"elements, expected >= depth=$depth (width=$width) — " +
+            "cmPositions(depth, width) must match the aggregate's shape")
         var r = 0
         while (r < depth) {
           val pos = arr.getLong(r)
+          require(pos >= 0L && pos < width,
+            s"count_min_counters: position $pos out of [0, $width) at row " +
+              s"$r — cmPositions width must match the aggregate's width=$width")
           buf(r * width + pos.toInt) += 1L
           r += 1
         }

@@ -703,6 +703,59 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(j.isNullAt(1) && j.isNullAt(3))
   }
 
+  test("decodeImageResizeBatched strict mode: garbage bytes and odd dims null out, not crash") {
+    // 3 rows through factor=2: a valid 4×2 PNG, garbage bytes, and a 3×3
+    // image whose dims don't divide — the latter two must produce the
+    // documented all-null row (7 fields!) instead of an encoder failure
+    val px4x2 = Seq.tabulate(8)(i => i * 0x010101) // gray ramp
+    val good = Seq((1L, 4, 2, px4x2)).toDF("id", "w", "h", "px")
+    val png = graft.operators.Multimodal
+      .encodeImageBatched(good, "id", "w", "h", "px", format = "png", outCol = "img")
+    val odd = Seq((2L, 3, 3, Seq.fill(9)(0xFFFFFF))).toDF("id", "w", "h", "px")
+    val oddPng = graft.operators.Multimodal
+      .encodeImageBatched(odd, "id", "w", "h", "px", format = "png", outCol = "img")
+    val garbage = Seq((3L, "definitely not an image".getBytes)).toDF("id", "img")
+    val all = png.union(oddPng).union(garbage)
+    val out = graft.operators.Multimodal
+      .decodeImageResizeBatched(all, "id", "img", factor = 2)
+      .orderBy("id").collect()
+    assert(out.length === 3)
+    // good row: 4×2 → 2×1, gray_total = Σ 3·ramp
+    assert(out(0).getInt(1) === 4 && out(0).getInt(2) === 2)
+    assert(out(0).getInt(3) === 2 && out(0).getInt(4) === 1)
+    assert(out(0).getLong(5) === px4x2.map(p => 3L * (p & 0xFF)).sum)
+    // odd-dim and garbage rows: every stat field null, row survives
+    for (i <- Seq(1, 2); f <- 1 to 6) assert(out(i).isNullAt(f),
+      s"row $i field $f should be null in strict mode")
+  }
+
+  test("encodeImageBatched: unregistered format → null payload, not empty bytes") {
+    val rows = Seq((1L, 2, 2, Seq(0, 0, 0, 0))).toDF("id", "w", "h", "px")
+    val out = graft.operators.Multimodal
+      .encodeImageBatched(rows, "id", "w", "h", "px",
+        format = "no_such_format", outCol = "img").head()
+    assert(out.isNullAt(1), "unsupported format must yield NULL, not a 0-byte payload")
+  }
+
+  test("countMin positions bounds: mismatched depth/width fails loud, not corrupt") {
+    import graft.operators.Sketches
+    // positions built for depth=2,width=8 fed to an aggregate expecting
+    // depth=4 (too few) — must throw with a shape message, not AIOOBE
+    val df = Seq("a", "b").toDF("t")
+      .withColumn("pos", Sketches.cmPositions(col("t"), 2, 8))
+    val err = intercept[Exception] {
+      df.agg(Sketches.countMinCounters(col("pos"), 4, 8)).collect()
+    }
+    assert(err.getMessage != null)
+    // width mismatch: positions in [0,1024) against a width-8 table
+    val wide = Seq("a", "b").toDF("t")
+      .withColumn("pos", Sketches.cmPositions(col("t"), 2, 1024))
+    val err2 = intercept[Exception] {
+      wide.agg(Sketches.countMinCounters(col("pos"), 2, 8)).collect()
+    }
+    assert(err2.getMessage != null)
+  }
+
   test("metrics: accumulators track fetch/ingest/transform") {
     val base = java.nio.file.Files.createTempDirectory("graft_m").toString
     val fetcher = MapSlotFetcher((0L until 10L).collect {

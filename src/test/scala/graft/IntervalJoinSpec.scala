@@ -54,6 +54,56 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(bucketed.sorted.toSeq == naive.sorted.toSeq)
   }
 
+  test("skew guard: planted hot bucket triggers the salt grid, result set unchanged") {
+    import spark.implicits._
+    // 60k points AT ONE VALUE (the classic zero/epoch pile-up) plus a
+    // uniform tail — the probe must fire and the grid must return the
+    // same pair SET the clean path would, exactly once each
+    val rnd = new scala.util.Random(11)
+    val points = ((0 until 60000).map(i => (i.toLong, 42.0)) ++
+      (60000 until 60400).map(i => (i.toLong, rnd.nextDouble() * 200 - 100)))
+      .toDF("p_id", "p")
+    val intervals = (0 until 120).map { i =>
+      val lo = rnd.nextDouble() * 200 - 100
+      (i.toLong, lo, lo + rnd.nextDouble() * 30)
+    }.toDF("iv_id", "lo", "hi")
+    // tiny ceiling forces the guarded path even for the uniform tail
+    val guarded = IntervalJoin
+      .pointInInterval(points, "p", intervals, "lo", "hi",
+        bucketWidth = 5.0, bucketCeiling = 256)
+      .select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = points.crossJoin(intervals)
+      .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(guarded.length == guarded.distinct.length, "grid duplicated a pair")
+    assert(guarded.sorted.toSeq == naive.sorted.toSeq)
+  }
+
+  test("skew guard on intervalOverlap: hot stack of identical intervals, exactly-once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // 3k identical left intervals over one bucket + a uniform right side
+    val left = ((0 until 3000).map(i => (i.toLong, 10.0, 12.0)) ++
+      (3000 until 3050).map { i =>
+        val lo = rnd.nextDouble() * 100 - 50
+        (i.toLong, lo, lo + rnd.nextDouble() * 25)
+      }).toDF("l_id", "l_lo", "l_hi")
+    val right = (0 until 200).map { i =>
+      val lo = rnd.nextDouble() * 100 - 50
+      (1000000 + i.toLong, lo, lo + rnd.nextDouble() * 25)
+    }.toDF("r_id", "r_lo", "r_hi")
+    val guarded = IntervalJoin
+      .intervalOverlap(left, "l_lo", "l_hi", right, "r_lo", "r_hi",
+        bucketWidth = 5.0, bucketCeiling = 128)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = left.crossJoin(right)
+      .filter(col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(guarded.length == guarded.distinct.length,
+      "pair emitted in more than one (bucket, cell)")
+    assert(guarded.sorted.toSeq == naive.sorted.toSeq)
+  }
+
   test("inclusive endpoints and exact bucket boundaries match") {
     import spark.implicits._
     val points = Seq((1L, 10.0), (2L, 15.0), (3L, 20.0), (4L, 20.0000001))
