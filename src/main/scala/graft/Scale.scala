@@ -2427,6 +2427,38 @@ object Scale {
     val intraEdges = nCliques * c * (c - 1) / 2
     require(cnSpec == Map((c - 2).toLong -> intraEdges, 0L -> (nCliques - 1)),
       s"edge-cn spectrum: got $cnSpec")
+    // checkpoint A/B over a DERIVED edge frame — the g4/g5 regime, where
+    // the edge list is itself a membership self-join (order⋈order part
+    // co-occurrence in the inventory) that would otherwise re-run under
+    // every consumer subtree (degree agg, orientation, closing join). The
+    // parquet-scan runs above deliberately measure checkpoint-free: a scan
+    // lineage is cheap to replay, so the flag's value is specifically the
+    // derived-lineage delta recorded here.
+    val memDir = s"$dir/members"
+    spark.range(nCliques).toDF("q")
+      .withColumn("i", explode(expr(s"sequence(0, ${c - 1})")))
+      .select(col("q"), (col("q") * c + col("i")).as("node"))
+      .write.mode("overwrite").parquet(memDir)
+    val mem = spark.read.parquet(memDir)
+    // the .distinct() mirrors partCooccurrence (pair dedup across source
+    // rows) — it is the expensive exchange the checkpoint saves replaying
+    def derivedEdges = mem.as("x")
+      .join(mem.as("y"),
+        col("x.q") === col("y.q") && col("x.node") < col("y.node"))
+      .select(col("x.node").as("src"), col("y.node").as("dst"))
+      .distinct()
+    val expectSum = 3L * expectTotal // each triangle counted at its 3 nodes
+    val (sumOff, abOffSec) = timed {
+      graft.operators.Graph.triangleCounts(derivedEdges, "src", "dst")
+        .agg(sum("n_triangles")).head().getLong(0)
+    }
+    require(sumOff == expectSum, s"A/B off: got $sumOff, expected $expectSum")
+    val (sumOn, abOnSec) = timed {
+      graft.operators.Graph
+        .triangleCounts(derivedEdges, "src", "dst", checkpoint = true)
+        .agg(sum("n_triangles")).head().getLong(0)
+    }
+    require(sumOn == expectSum, s"A/B on: got $sumOn, expected $expectSum")
     val heapMb = heapPeakMb()
     val section =
       s"""
@@ -2444,6 +2476,8 @@ object Scale {
          || triangle enumeration (count ${expectTotal / 1000000}M) | ${f"$triSec%.1f"} s (${f"${expectTotal / triSec / 1000000}%.1f"}M triangles/s) |
          || per-node counts + spectrum | ${f"$cntSec%.1f"} s — every one of ${nCliques * c / 1000000}M nodes at exactly C(${c - 1},2) = $perNode |
          || per-edge common neighbors | ${f"$cnSec%.1f"} s — $intraEdges intra edges at cn=${c - 2}, ${nCliques - 1} chain edges at cn=0 |
+         || DERIVED-edge counts, checkpoint OFF | ${f"$abOffSec%.1f"} s — membership self-join lineage replayed per consumer subtree |
+         || DERIVED-edge counts, checkpoint ON | ${f"$abOnSec%.1f"} s — canon + orientation materialized once (the g4/g5 inventory setting) |
          || peak heap | $heapMb MB |
          |
          |- degree orientation bounds every out-neighborhood O(√m) whatever

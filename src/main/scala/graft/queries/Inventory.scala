@@ -1297,7 +1297,7 @@ object Inventory {
     * correctness claim the gate checks. Top 20 nodes by count. */
   val g4TriangleCount: Q = (s, d) =>
     graft.operators.Graph
-      .triangleCounts(partCooccurrence(s, d), "src", "dst")
+      .triangleCounts(partCooccurrence(s, d), "src", "dst", checkpoint = true)
       .orderBy(col("n_triangles").desc, col("node").asc)
       .limit(20)
 
@@ -1308,7 +1308,7 @@ object Inventory {
     * edges by cn. */
   val g5CommonNeighbors: Q = (s, d) =>
     graft.operators.Graph
-      .edgeCommonNeighbors(partCooccurrence(s, d), "src", "dst")
+      .edgeCommonNeighbors(partCooccurrence(s, d), "src", "dst", checkpoint = true)
       .orderBy(col("cn").desc, col("a").asc, col("b").asc)
       .limit(20)
 
