@@ -2026,6 +2026,36 @@ object Scale {
     require(wavBad == 0L && wavSum == expectedWavSum && wavFrames == expectedFrames,
       s"wav decode diverged: sum=$wavSum/$expectedWavSum frames=$wavFrames/$expectedFrames bad=$wavBad")
 
+    // ---- video: nAssets/4 animated GIFs × 4 frames of 16×8 gray ----
+    val nVideos = math.max(1L, nAssets / 4)
+    val vids = spark.range(nVideos).toDF("id")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val framesPer = 4
+    val (vw, vh) = (16, 8)
+    val frames = transform(sequence(lit(0), lit(framesPer - 1)), f =>
+      transform(sequence(lit(0L), lit(vw.toLong * vh - 1L)),
+        i => pmod(col("id") * 7 + f * 11 + i * 13, lit(256)).cast("int")))
+    val videoFrame = vids.select(
+      col("id"), lit(vw).as("w"), lit(vh).as("h"), frames.as("frames"))
+    val (_, gifEncSec) = timed {
+      graft.operators.Multimodal
+        .encodeGifAnimatedBatched(videoFrame, "id", "w", "h", "frames")
+        .write.mode("overwrite").parquet(s"$base/gif")
+    }
+    val ((gifSum, gifFrames, gifBad), gifDecSec) = timed {
+      val st = graft.operators.Multimodal.decodeGifFramesBatched(
+        spark.read.parquet(s"$base/gif"), "id", "gif")
+      val r = st.agg(
+        sum("gray_sum"), sum(when(col("frame_idx").isNotNull, 1L).otherwise(0L)),
+        sum(when(col("width").isNull, 1L).otherwise(0L))).head()
+      (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val expectedGif = videoFrame.select(
+      aggregate(flatten(col("frames")), lit(0L), (acc, v) => acc + v).as("s"))
+      .agg(sum("s")).head().getLong(0)
+    require(gifBad == 0L && gifFrames == nVideos * framesPer && gifSum == expectedGif,
+      s"gif decode diverged: sum=$gifSum/$expectedGif frames=$gifFrames/${nVideos * framesPer} bad=$gifBad")
+
     val heapMb = heapPeakMb()
     val section =
       s"""
@@ -2046,6 +2076,9 @@ object Scale {
          || WAV encode + write | ${f"$wavEncSec%.1f"} s (${f"${nAssets / wavEncSec}%.0f"} clips/s) |
          || WAV decode + stats | ${f"$wavDecSec%.1f"} s (${f"${nAssets / wavDecSec}%.0f"} clips/s, 0 failures) |
          || decoded sample sum / frames == formula | $wavSum / $wavFrames == $expectedWavSum / $expectedFrames (exact) |
+         || GIF video encode + write ($nVideos × $framesPer frames) | ${f"$gifEncSec%.1f"} s (${f"${nVideos * framesPer / gifEncSec}%.0f"} frames/s) |
+         || GIF video frame decode | ${f"$gifDecSec%.1f"} s (${f"${nVideos * framesPer / gifDecSec}%.0f"} frames/s, 0 failures) |
+         || decoded gray sum / frame count == formula | $gifSum / $gifFrames == $expectedGif / ${nVideos * framesPer} (exact) |
          || peak heap | $heapMb MB |
          |
          |- per-row work only: encode and decode are scan-side
@@ -2055,7 +2088,7 @@ object Scale {
          |  shape multimodal tables have in production
          |""".stripMargin
     spliceSection(outMd, multimodalHeader, section)
-    println(s"""{"metric":"scale_multimodal","value":${pngDecSec + wavDecSec},"unit":"sec","n_assets":$nAssets,"png_dec_per_s":${nAssets / pngDecSec},"wav_dec_per_s":${nAssets / wavDecSec},"img_sum_ok":${imgOk == expectedImg},"wav_sum_ok":${wavSum == expectedWavSum},"heap_peak_mb":$heapMb}""")
+    println(s"""{"metric":"scale_multimodal","value":${pngDecSec + wavDecSec + gifDecSec},"unit":"sec","n_assets":$nAssets,"png_dec_per_s":${nAssets / pngDecSec},"wav_dec_per_s":${nAssets / wavDecSec},"gif_frames_per_s":${nVideos * framesPer / gifDecSec},"img_sum_ok":${imgOk == expectedImg},"wav_sum_ok":${wavSum == expectedWavSum},"gif_sum_ok":${gifSum == expectedGif},"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 

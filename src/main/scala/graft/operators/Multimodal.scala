@@ -6,10 +6,11 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 
 /** Multimodal-column plumbing: image/audio/video payloads are opaque
   * `BinaryType` columns travelling with typed metadata, processed in
-  * batches on executors. The actual codec calls are STUBBED (no
-  * image/audio libraries in this environment) behind `decodeStub` — a
-  * deterministic fake — but the Spark-side contract (schema, batch shape,
-  * partition sizing) is real and tested.
+  * batches on executors. The image (PNG/JPEG via `javax.imageio`), audio
+  * (PCM WAV via `javax.sound.sampled`) and video (animated GIF via the
+  * `javax.imageio` sequence API) paths run REAL JDK codecs; only
+  * `decodeStub` remains as the deterministic stand-in for external ML
+  * feature extractors, documenting the batch contract they would honor.
   */
 object Multimodal {
 
@@ -41,7 +42,11 @@ object Multimodal {
       i => (pmod(xxhash64(binCol, i), lit(2000)) - 1000).cast("float") / 1000.0f)
 
   /** "Frame sampling" stub: one row per sampled byte-window standing in for
-    * decoded video frames — real plumbing (posexplode → row per frame). */
+    * decoded video frames — real plumbing (posexplode → row per frame).
+    * The REAL-codec sibling is [[decodeGifFramesBatched]], which iterates
+    * actual stored frames of an animated-GIF container; this expression
+    * form remains for containers with fixed-size frames (raw YUV, some
+    * MJPEG) where byte windows ARE the frames and no decoder is needed. */
   def frameWindows(df: DataFrame, idCol: String, binCol: String, n: Int): DataFrame = {
     val frameBytes = floor(length(col(binCol)) / n).cast("long")
     df.select(
@@ -345,6 +350,149 @@ object Multimodal {
             var c = 0
             while (c < cells.length) { checksum += cells(c) * (c + 1L); c += 1 }
             Row(r.get(idI), w, h, ow, oh, total, checksum)
+          }
+        }
+      }
+    }
+  }
+
+  /** Real multi-frame VIDEO ENCODE — animated GIF through the
+    * `javax.imageio` sequence API, the one multi-frame container the JDK
+    * writes natively. `framesCol` is `array<array<int>>`: each inner
+    * array one row-major GRAYSCALE frame (values 0..255) of
+    * `widthCol`×`heightCol` pixels. Grayscale is deliberate: GIF is
+    * 256-color indexed, and the 256-gray palette round-trips EXACTLY
+    * (an RGB source would be quantized, losing the closed-form oracle).
+    * Frames are written full-size (no delta/disposal compression), so
+    * the decode side reads each stored frame as a complete image. Rows
+    * with no frames, a shape mismatch, or out-of-range samples yield a
+    * NULL payload (the strict-mode null contract). */
+  def encodeGifAnimatedBatched(
+      df: DataFrame, idCol: String, widthCol: String, heightCol: String,
+      framesCol: String, outCol: String = "gif",
+      batchSize: Int = 64): DataFrame = {
+    val (idI, wI, hI, fI) = (df.schema.fieldIndex(idCol),
+      df.schema.fieldIndex(widthCol), df.schema.fieldIndex(heightCol),
+      df.schema.fieldIndex(framesCol))
+    val schema = outRow(df, idCol, Seq(StructField(outCol, BinaryType, nullable = true)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (w, h) = (r.getInt(wI), r.getInt(hI))
+          val frames = r.getSeq[scala.collection.Seq[Int]](fI)
+          val bad = frames == null || frames.isEmpty || w <= 0 || h <= 0 ||
+            frames.exists(f => f == null || f.length != w * h ||
+              f.exists(v => v < 0 || v > 255))
+          val bytes =
+            if (bad) null
+            else {
+              val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+              if (!writers.hasNext) null
+              else {
+                val writer = writers.next()
+                val bos = new java.io.ByteArrayOutputStream()
+                val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+                writer.setOutput(ios)
+                writer.prepareWriteSequence(null)
+                // interlace OFF: the JDK writer defaults to interlaced
+                // GIF, and its own reader mis-reassembles interlaced
+                // images shorter than 5 rows (rows after the first pass
+                // come back empty) — probed empirically in
+                // ExtensionsSpec; plain raster order round-trips at
+                // every size
+                val p = writer.getDefaultWriteParam
+                p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+                // an EXPLICIT identity 256-gray palette: TYPE_BYTE_GRAY
+                // would be treated as LINEAR gray and color-converted to
+                // sRGB on write (warping every value); an IndexColorModel
+                // with r=g=b=index is already sRGB, so the palette — and
+                // therefore every pixel — round-trips exactly
+                val grays = Array.tabulate[Byte](256)(i => i.toByte)
+                val icm = new java.awt.image.IndexColorModel(
+                  8, 256, grays, grays, grays)
+                frames.foreach { f =>
+                  val img = new java.awt.image.BufferedImage(
+                    w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+                  val raster = img.getRaster
+                  var i = 0
+                  while (i < f.length) {
+                    raster.setSample(i % w, i / w, 0, f(i))
+                    i += 1
+                  }
+                  writer.writeToSequence(
+                    new javax.imageio.IIOImage(img, null, null), p)
+                }
+                writer.endWriteSequence()
+                writer.dispose()
+                ios.close()
+                bos.toByteArray
+              }
+            }
+          Row(r.get(idI), bytes)
+        }
+      }
+    }
+  }
+
+  /** Real VIDEO FRAME decode — the frame-sampling primitive over a real
+    * container: `javax.imageio`'s GIF reader iterates the stored frames
+    * (`getNumImages(true)` → `read(i)`), one OUTPUT ROW PER FRAME with
+    * `(frame_idx, width, height, gray_sum)`, `gray_sum` the exact
+    * integer sum of the decoded gray levels (for a grayscale GIF the
+    * decoded RGB has r=g=b, so the blue channel IS the gray value).
+    * Undecodable payloads survive as one all-null row — the accounting
+    * contract the image/audio parsers follow. Frames are assumed
+    * full-size (the [[encodeGifAnimatedBatched]] contract); a delta-
+    * compressed GIF from elsewhere would need compositing, which is a
+    * policy decision, not plumbing. */
+  def decodeGifFramesBatched(
+      df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val (idI, bI) = (df.schema.fieldIndex(idCol), df.schema.fieldIndex(binCol))
+    val schema = outRow(df, idCol, Seq(
+      StructField("frame_idx", IntegerType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("gray_sum", LongType, nullable = true)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](bI)
+          val frames: Seq[(Int, Int, Int, Long)] =
+            if (bytes == null) null
+            else try {
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) null
+              else {
+                val reader = readers.next()
+                reader.setInput(iis)
+                val n = reader.getNumImages(true)
+                val out = (0 until n).map { i =>
+                  val img = reader.read(i)
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  var sum = 0L
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) { sum += (img.getRGB(x, y) & 0xFF); x += 1 }
+                    y += 1
+                  }
+                  (i, w, h, sum)
+                }
+                reader.dispose()
+                iis.close()
+                out
+              }
+            } catch { case _: Throwable => null }
+          if (frames == null) Iterator.single(Row(r.get(idI), null, null, null, null))
+          else frames.iterator.map { case (i, w, h, sm) =>
+            Row(r.get(idI), i, w, h, sm)
           }
         }
       }

@@ -631,6 +631,37 @@ object Inventory {
     graft.beacon.BlockParser.withdrawals(graft.beacon.BlockParser.withParsed(raw))
   }
 
+  /** P9 (real parser): [[graft.beacon.BlockParser.transactions]]
+    * end-to-end minus the one non-mirrorable column (reference:
+    * src/parsers/bellatrix.py:60-96) — the raw-tx posexplode with the
+    * block-level execution-payload columns broadcast onto every row.
+    * `transaction_hash` is the documented xxhash64 placeholder with no
+    * DuckDB twin, so it is dropped HERE (not in the parser): everything
+    * else — explode order, the six payload columns, the empty
+    * RLP-decode defaults — rides the hard hash gate. */
+  val p9Transactions: Q = (s, d) => {
+    val e = col("event_id")
+    val es = e.cast("string")
+    def tx(j: Int) = concat(lit("\"0xtx"), es, lit(s"_$j\""))
+    val txArr = when(pmod(e, lit(3)) === 0, lit("[]"))
+      .when(pmod(e, lit(3)) === 1, concat(lit("["), tx(0), lit("]")))
+      .otherwise(concat(lit("["), tx(0), lit(","), tx(1), lit("]")))
+    val payload = concat(
+      lit("""{"data":{"message":{"body":{"execution_payload":{"block_number":""""),
+      (e * 2).cast("string"),
+      lit("""","block_hash":"0xbh"""), es,
+      lit("""","fee_recipient":"0xfr"""), es,
+      lit("""","gas_limit":""""), (e * 30).cast("string"),
+      lit("""","gas_used":""""), (e * 21).cast("string"),
+      lit("""","base_fee_per_gas":""""), (e + 7).cast("string"),
+      lit("""","transactions":"""), txArr, lit("""}}}}}"""))
+    val raw = events(s, d).filter(e < 3000)
+      .select((e * 10000L).as("slot"), payload.as("payload"))
+    graft.beacon.BlockParser
+      .transactions(graft.beacon.BlockParser.withParsed(raw))
+      .drop("transaction_hash")
+  }
+
   /** P5 (real parser): [[graft.beacon.BlockParser.proposerSlashings]]
     * end-to-end (reference: src/parsers/phase0.py:61-85) — the
     * two-signed-headers flatten: 12 columns from two nested header
@@ -2262,6 +2293,7 @@ object Inventory {
     "p4_voluntary_exits" -> p4VoluntaryExits,
     "p16_pending_deposits" -> p16PendingDeposits,
     "p20_rewards" -> p20Rewards,
+    "p9_transactions" -> p9Transactions,
     "p11_bls_changes" -> p11BlsChanges,
     "p12_blob_commitments" -> p12BlobCommitments,
     "p15_pending_consolidations" -> p15PendingConsolidations,
@@ -3252,6 +3284,26 @@ object Inventory {
         |       CAST(2 AS BIGINT) AS att_2_validator_count,
         |       CAST(3 AS BIGINT) AS total_slashed_validators
         |FROM events WHERE event_id < 3000 AND event_id % 3 <> 0""".stripMargin,
+    "p9_transactions" ->
+      """WITH n AS (
+        |  SELECT event_id, event_id % 3 AS n FROM events WHERE event_id < 3000),
+        |x AS (
+        |  SELECT event_id, r.j FROM n CROSS JOIN range(0, 2) r(j) WHERE r.j < n.n)
+        |SELECT CAST(event_id * 10000 AS BIGINT) AS slot,
+        |       CAST(event_id * 2 AS BIGINT) AS block_number,
+        |       '0xbh' || event_id::VARCHAR AS block_hash,
+        |       CAST(j AS BIGINT) AS transaction_index,
+        |       '0xfr' || event_id::VARCHAR AS fee_recipient,
+        |       CAST(event_id * 30 AS BIGINT) AS gas_limit,
+        |       CAST(event_id * 21 AS BIGINT) AS gas_used,
+        |       (event_id + 7)::VARCHAR AS base_fee_per_gas,
+        |       '' AS from_address,
+        |       '' AS to_address,
+        |       '' AS "value",
+        |       CAST(0 AS BIGINT) AS gas_price,
+        |       CAST(0 AS BIGINT) AS nonce,
+        |       '' AS input
+        |FROM x""".stripMargin,
     "p11_bls_changes" ->
       """WITH n AS (
         |  SELECT event_id, event_id % 3 AS n FROM events WHERE event_id < 3000),

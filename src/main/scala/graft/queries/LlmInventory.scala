@@ -502,6 +502,44 @@ object LlmInventory {
         col("votes").cast("long").as("votes"))
   }
 
+  /** s19: incremental index APPEND ≡ from-scratch REBUILD, as a hard-gate
+    * equality ([[Similarity.appendToIvfIndex]]) — the index-maintenance
+    * contract that makes streaming ingest viable at 100 TB (appends touch
+    * only new vectors; nothing rescans). Construction: train centroids
+    * once, build an index on even vec_ids, APPEND the odd ones; build a
+    * second index on the full corpus from scratch. The query probes the
+    * APPENDED index for 8 query vectors and returns (q_id, rnk, vec_id,
+    * cosine); the REBUILT index's answers are written as the oracle
+    * artifact — so the driver's DuckDB hash equality IS the
+    * append-transparency property, checked end-to-end through the
+    * manifest-backed partition-pruned serving path. */
+  val s19AppendEqualsRebuild: Q = (s, d) => {
+    val em = embeddings(s, d)
+    val cents = Similarity.kmeansCentroids(
+      em, "embedding", k = 16, iters = 3, seed = 42L, sampleN = 2000)
+    val incr = java.nio.file.Files.createTempDirectory("s19_incr").toString
+    val full = java.nio.file.Files.createTempDirectory("s19_full").toString
+    Similarity.writeIvfIndex(
+      em.filter(pmod(col("vec_id"), lit(2)) === 0), "embedding", cents, incr)
+    Similarity.appendToIvfIndex(
+      em.filter(pmod(col("vec_id"), lit(2)) === 1), "embedding", cents, incr)
+    Similarity.writeIvfIndex(em, "embedding", cents, full)
+    def answers(dir: String): Seq[(Long, Long, Long, Double)] =
+      (0L until 8L).flatMap { qid =>
+        val q = em.filter(col("vec_id") === qid)
+          .select("embedding").head().getSeq[Float](0)
+        Similarity
+          .ivfTopKIndexed(s, dir, "vec_id", "embedding", q, k = 10, cents, nProbe = 4)
+          .collect().zipWithIndex
+          .map { case (r, i) => (qid, (i + 1).toLong, r.getLong(0), r.getDouble(1)) }
+      }
+    import s.implicits._
+    answers(full).toDF("q_id", "rnk", "vec_id", "cosine")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(oracleArtifactPath(d, "s19_rebuilt"))
+    answers(incr).toDF("q_id", "rnk", "vec_id", "cosine")
+  }
+
   /** s15: hard-negative mining ([[Similarity.hardNegatives]]) — for each
     * of the first 5 vectors as anchors, the 3 most-similar vectors with
     * a DIFFERENT label (the contrastive-training batch-construction
@@ -1311,6 +1349,29 @@ object LlmInventory {
     Multimodal.decodeWavStatsBatched(wav, "doc_id", "wav")
   }
 
+  /** m11: REAL video frames — closed-form grayscale frames → ANIMATED
+    * GIF through the `javax.imageio` sequence writer → real multi-frame
+    * decode ([[Multimodal.decodeGifFramesBatched]]), one row per frame
+    * with exact integer gray sums. The m6/m7 proof shape for the video
+    * container: the oracle recomputes frame count, dimensions, and each
+    * frame's pixel-formula sum without seeing a GIF, so a hash match
+    * pins the whole encode → container → iterate → decode chain.
+    * Replaces the byte-window stub (m3) as the real-codec sibling. */
+  val m11GifFrames: Q = (s, d) => {
+    val doc = documents(s, d).filter(col("doc_id") < 30)
+    val w = (lit(4) + pmod(col("doc_id"), lit(3)) * 2).cast("int")
+    val h = (lit(2) + pmod(col("doc_id"), lit(2)) * 2).cast("int")
+    val nf = (lit(1) + pmod(col("doc_id"), lit(3))).cast("int")
+    val frames = transform(sequence(lit(0), nf - 1), f =>
+      transform(
+        sequence(lit(0L), w.cast("long") * h.cast("long") - 1L),
+        i => pmod(col("doc_id") * 7 + f * 11 + i * 13, lit(256)).cast("int")))
+    val src = doc.select(col("doc_id"), w.as("w"), h.as("h"), frames.as("frames"))
+    val gif = Multimodal.encodeGifAnimatedBatched(
+      src, "doc_id", "w", "h", "frames", outCol = "gif")
+    Multimodal.decodeGifFramesBatched(gif, "doc_id", "gif")
+  }
+
   /** Frame-sampling plumbing: one row per byte-window "frame". */
   val m3FrameWindows: Q = (s, d) =>
     Multimodal.frameWindows(
@@ -1658,6 +1719,7 @@ object LlmInventory {
     "s16_matryoshka_topk" -> s16MatryoshkaTopK,
     "s17_filtered_topk" -> s17FilteredTopK,
     "s18_knn_predict" -> s18KnnPredict,
+    "s19_append_equals_rebuild" -> s19AppendEqualsRebuild,
     "s6_sq8_topk" -> s6Sq8TopK,
     "s8_pq_topk" -> s8PqTopK,
     "s9_label_centroids" -> s9LabelCentroids,
@@ -1699,6 +1761,7 @@ object LlmInventory {
     "m8_image_ahash" -> m8ImageAhash,
     "m9_image_resize" -> m9ImageResize,
     "m10_jpeg_decode" -> m10JpegDecode,
+    "m11_gif_frames" -> m11GifFrames,
     "t14_skew_agg" -> t14SkewAgg,
     "t15_winnow_fingerprint" -> t15WinnowFingerprint,
     "t16_source_cap" -> t16SourceCap,
@@ -2971,6 +3034,9 @@ object LlmInventory {
         |ORDER BY e.vec_id""".stripMargin,
     // s5's neighbor construction + an integer vote; winner by
     // (votes desc, label asc) — the same total order both engines sort
+    "s19_append_equals_rebuild" ->
+      s"""SELECT q_id, rnk, vec_id, cosine
+         |FROM read_parquet('${oracleArtifactPath("sf0.01", "s19_rebuilt")}/*.parquet')""".stripMargin,
     "s18_knn_predict" ->
       """WITH nb AS (
         |  SELECT q_id, lab FROM (
@@ -3110,6 +3176,27 @@ object LlmInventory {
     // 49-56), byte rate (57-64) and data size (81-88), duration =
     // data*1000//byte_rate. Cross-checked against Python's wave module.
     // cell membership and sums recomputed from the pixel FORMULA — no
+    "m11_gif_frames" ->
+      """WITH doc AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+        |dims AS (
+        |  SELECT doc_id,
+        |         4 + (doc_id % 3) * 2 AS w,
+        |         2 + (doc_id % 2) * 2 AS h,
+        |         1 + (doc_id % 3) AS nf
+        |  FROM doc),
+        |fr AS (
+        |  SELECT doc_id, w, h, f.f AS frame_idx
+        |  FROM dims CROSS JOIN range(0, 3) f(f) WHERE f.f < nf),
+        |px AS (
+        |  SELECT doc_id, frame_idx, w, h, i.i AS i
+        |  FROM fr CROSS JOIN range(0, 64) i(i) WHERE i.i < w * h)
+        |SELECT doc_id,
+        |       CAST(frame_idx AS INT) AS frame_idx,
+        |       CAST(w AS INT) AS width,
+        |       CAST(h AS INT) AS height,
+        |       CAST(SUM((doc_id * 7 + frame_idx * 11 + i * 13) % 256) AS BIGINT) AS gray_sum
+        |FROM px
+        |GROUP BY doc_id, frame_idx, w, h""".stripMargin,
     // PNG in sight; the checksum is order-sensitive so only the exact
     // cell geometry matches
     "m10_jpeg_decode" ->
