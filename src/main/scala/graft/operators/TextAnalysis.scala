@@ -383,6 +383,101 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
   }
 
+  /** BM25 ranked retrieval (Robertson & Spärck Jones; the Lucene-default
+    * scoring) for a FIXED small query-term set — the corpus-search
+    * primitive behind targeted-subset mining ("find the docs about X to
+    * upsample") and retrieval-based decontamination.
+    *
+    * Scale shape is the whole point: the query terms are a handful, so
+    * per-term TF becomes k SCAN-SIDE columns (`size(filter(tokens, =t))`)
+    * — the corpus is never exploded and never shuffled. The global stats
+    * (N, avg length, per-term document frequencies) reduce to ONE row of
+    * k+2 numbers (map-side partial agg), broadcast back as a 1-row cross
+    * join, and the only ordering work is the final top-k (TakeOrdered,
+    * no full sort). idf = ln(1 + (N−df+0.5)/(df+0.5)) — the Lucene
+    * non-negative form.
+    *
+    * Output is RANK-ONLY (rnk, id) plus the integer tf vector: scores
+    * are IEEE doubles whose last ulp may differ across engines, ranks do
+    * not (the s1 convention); ties break by id. */
+  def bm25TopK(
+      df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val scored = bm25Scored(df, idCol, textCol, queryTerms, k, k1, b)
+    import df.sparkSession.implicits._
+    // rank assigned driver-side over the already-reduced k rows (no
+    // single-partition window)
+    val top = scored.select(
+      (col(idCol) +: queryTerms.indices.map(i => col(s"__tf_$i"))): _*).collect()
+    top.toSeq.zipWithIndex.map { case (r, i) =>
+      ((i + 1).toLong, r.getLong(0), queryTerms.indices.map(j => r.getInt(j + 1).toLong))
+    }.toDF("rnk", idCol, "tfs")
+      .select((col("rnk") +: col(idCol) +:
+        queryTerms.indices.map(i => col("tfs").getItem(i).as(s"tf_$i"))): _*)
+  }
+
+  /** The distributed subtree of [[bm25TopK]] — everything up to and
+    * including the TakeOrdered top-k, before ranks are stamped driver
+    * side (exposed so the plan shape is testable: scan-side TFs, one
+    * broadcast stats row, no explode, no window). */
+  private[graft] def bm25Scored(
+      df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double, b: Double): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 32,
+      s"bm25TopK wants a small fixed term set, got ${queryTerms.size}")
+    val toks = tokens(col(textCol))
+    def tfCol(t: String) = s"__tf_${queryTerms.indexOf(t)}"
+    val perDoc = df.select(
+      (col(idCol) +: size(toks).cast("double").as("__len") +:
+        queryTerms.map(t =>
+          size(filter(toks, x => x === lit(t))).as(tfCol(t)))): _*)
+      // docs matching no term can't score — drop them BEFORE the agg join
+      .filter(queryTerms.map(t => col(tfCol(t)) > 0).reduce(_ || _))
+    val stats = df.select(
+      (lit(1L).as("__one") +: size(tokens(col(textCol))).cast("double").as("__l") +:
+        queryTerms.map(t =>
+          when(array_contains(tokens(col(textCol)), t), 1L).otherwise(0L)
+            .as(s"__has_${queryTerms.indexOf(t)}"))): _*)
+      .agg(sum("__one").as("n"),
+        (avg("__l").as("avglen") +:
+          queryTerms.indices.map(i => sum(s"__has_$i").as(s"df_$i"))): _*)
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score",
+        queryTerms.indices.map { i =>
+          val tf = col(tfCol(queryTerms(i))).cast("double")
+          val idf = log(lit(1.0) +
+            (col("n").cast("double") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
+          idf * tf * (k1 + 1.0) /
+            (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__len") / col("avglen")))
+        }.reduce(_ + _))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Multi-pattern BLOCKLIST statistics — the NSFW/spam/boilerplate
+    * token filter every crawl-curation pipeline runs first. Exact
+    * whole-token matches against a fixed list (substring matching flags
+    * "class" for "ass"; token matching is the defensible default):
+    * per-doc hit count for each blocked token plus the total, all
+    * scan-side `size(filter(tokens, =t))` — no explode, no shuffle, no
+    * UDF; at 100 TB this is a free rider on whatever scan reads the
+    * text. `flagged` = total > maxHits (0 ⇒ any hit flags). */
+  def blocklistStats(
+      df: DataFrame, idCol: String, textCol: String,
+      blocked: Seq[String], maxHits: Int = 0): DataFrame = {
+    require(blocked.nonEmpty && blocked.size <= 64,
+      s"blocklistStats wants a bounded list, got ${blocked.size}")
+    val toks = tokens(col(textCol))
+    val hitCols = blocked.indices.map(i =>
+      size(filter(toks, x => x === lit(blocked(i)))).cast("long").as(s"hits_$i"))
+    df.select((col(idCol) +: hitCols): _*)
+      .withColumn("total_hits",
+        blocked.indices.map(i => col(s"hits_$i")).reduce(_ + _))
+      .withColumn("flagged", col("total_hits") > maxHits)
+  }
+
   /** HTML boilerplate strip — the web-extraction pass crawl corpora run
     * before any text statistic (tags and scripts otherwise dominate
     * token counts, dedup shingles, and quality gates): script/style

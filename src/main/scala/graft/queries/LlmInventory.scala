@@ -1379,6 +1379,29 @@ object LlmInventory {
         .select(col("doc_id"), col("text").cast("binary").as("payload")),
       "doc_id", "payload", 4)
 
+  /** t47: BM25 ranked retrieval ([[TextAnalysis.bm25TopK]]) — the
+    * targeted-subset-mining search primitive, Lucene-default scoring
+    * (k1=1.2, b=0.75, non-negative idf) for a 3-term query over the
+    * corpus. Zero corpus shuffle: per-term TF is scan-side, global stats
+    * are one broadcast row, the only ordering is the final TakeOrdered.
+    * Rank-only output (the s1 float convention) plus the integer tf
+    * vector; the oracle replays the same tokenization, stats, and score
+    * formula relationally and must produce the same top-20 ranking. */
+  val t47Bm25: Q = (s, d) =>
+    TextAnalysis.bm25TopK(
+      documents(s, d), "doc_id", "text",
+      queryTerms = Seq("spark", "join", "customer"), k = 20)
+
+  /** t48: blocklist filtering ([[TextAnalysis.blocklistStats]]) — exact
+    * whole-token hit counts for a 4-token blocklist plus the flag at
+    * maxHits=2, all scan-side (no explode, no shuffle; the op rides any
+    * scan that already reads the text). Every output is an integer or a
+    * boolean, so the oracle is exact. */
+  val t48Blocklist: Q = (s, d) =>
+    TextAnalysis.blocklistStats(
+      documents(s, d), "doc_id", "text",
+      blocked = Seq("slow", "hash", "spark", "window"), maxHits = 2)
+
   /** t15: winnowing (rolling-hash) document fingerprints — the MOSS
     * partial-overlap detector ([[TextAnalysis.winnowFingerprints]]), k=3
     * token grams, window w=4, md5-parity hashes. One row per (doc,
@@ -1775,6 +1798,8 @@ object LlmInventory {
     "t38_readability" -> t38Readability,
     "t39_containment_pairs" -> t39ContainmentPairs,
     "t41_char_diversity" -> t41CharDiversity,
+    "t47_bm25" -> t47Bm25,
+    "t48_blocklist" -> t48Blocklist,
     "t42_url_normalize" -> t42UrlNormalize,
     "d15_host_cap" -> d15HostCap,
     "t43_html_strip" -> t43HtmlStrip,
@@ -3598,6 +3623,44 @@ object LlmInventory {
         |FROM c""".stripMargin,
     // the per-char GROUP BY mirror of the single-pass CharStats kernel:
     // string_split(text,'') is codepoint-aware in DuckDB, matching the
+    "t47_bm25" ->
+      """WITH pd AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS l,
+        |         CAST(len(list_filter(string_split(trim(text), ' '), x -> x = 'spark')) AS BIGINT) AS tf0,
+        |         CAST(len(list_filter(string_split(trim(text), ' '), x -> x = 'join')) AS BIGINT) AS tf1,
+        |         CAST(len(list_filter(string_split(trim(text), ' '), x -> x = 'customer')) AS BIGINT) AS tf2
+        |  FROM documents),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(l) AS avglen,
+        |         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |         CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |         CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM pd),
+        |sc AS (
+        |  SELECT doc_id, tf0, tf1, tf2,
+        |         ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (1 - 0.75 + 0.75 * l / avglen)) +
+        |         ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * l / avglen)) +
+        |         ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (1 - 0.75 + 0.75 * l / avglen)) AS score
+        |  FROM pd, st
+        |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk,
+        |       doc_id, tf0 AS tf_0, tf1 AS tf_1, tf2 AS tf_2
+        |FROM sc
+        |ORDER BY score DESC, doc_id ASC
+        |LIMIT 20""".stripMargin,
+    "t48_blocklist" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split(trim(text), ' '), x -> x = 'slow')) AS BIGINT) AS hits_0,
+        |         CAST(len(list_filter(string_split(trim(text), ' '), x -> x = 'hash')) AS BIGINT) AS hits_1,
+        |         CAST(len(list_filter(string_split(trim(text), ' '), x -> x = 'spark')) AS BIGINT) AS hits_2,
+        |         CAST(len(list_filter(string_split(trim(text), ' '), x -> x = 'window')) AS BIGINT) AS hits_3
+        |  FROM documents)
+        |SELECT doc_id, hits_0, hits_1, hits_2, hits_3,
+        |       hits_0 + hits_1 + hits_2 + hits_3 AS total_hits,
+        |       (hits_0 + hits_1 + hits_2 + hits_3) > 2 AS flagged
+        |FROM h""".stripMargin,
     // kernel's codePointAt walk; integer numerators, one division each
     "t41_char_diversity" ->
       """WITH ch AS (

@@ -211,6 +211,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
   }
 
+  test("t48_blocklist: pure scan-side filter stats — no shuffle, no explode, 2-column scan") {
+    val p = planOf("t48_blocklist")
+    assert(!p.contains("Exchange"), p) // rides the scan for free at 100 TB
+    assert(!p.contains("Generate"), p) // size(filter(...)), never explode
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
+  }
+
+  test("t47_bm25: corpus never explodes; stats ride one broadcast row; top-k is TakeOrdered") {
+    // gate the DISTRIBUTED subtree (bm25TopK stamps ranks driver-side
+    // over the reduced k rows, so its own frame is a LocalTableScan)
+    val df = graft.operators.TextAnalysis.bm25Scored(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+      Seq("spark", "join", "customer"), 20, 1.2, 0.75)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Generate"), p) // per-term TF is scan-side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // no full sort for top-20
+    assert(!p.contains("Window"), p)
+  }
+
   test("s1 brute-force cosine: single pass + TakeOrdered, no cartesian, no Window") {
     // the query itself assigns ranks driver-side over the reduced top-10;
     // the scale-relevant plan is the underlying operator's
