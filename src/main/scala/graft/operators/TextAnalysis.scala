@@ -478,6 +478,55 @@ object TextAnalysis {
       .withColumn("flagged", col("total_hits") > maxHits)
   }
 
+  /** Consecutive duplicate-token RUN removal — the span-level sibling of
+    * document-level repetition filtering (Gopher-style curation rewrites
+    * "the the the" to "the" instead of dropping the doc). Keep token i
+    * iff i == 0 or it differs from token i−1: one index-aware `filter`
+    * over the token array, so the op is PURE SCAN-SIDE — no explode, no
+    * window, no shuffle; at 100 TB it rides the scan like the quality
+    * stats do. Returns the rewritten text + how many tokens the runs
+    * lost (the audit column). */
+  def dedupTokenRuns(
+      df: DataFrame, idCol: String, textCol: String,
+      outCol: String = "text_dedup"): DataFrame = {
+    val toks = tokens(col(textCol))
+    // filter's index is 0-based, element_at is 1-based: element_at(toks, i)
+    // IS the previous element of position i
+    val kept = filter(toks, (x, i) => i === 0 || x =!= element_at(toks, i))
+    df.withColumn(outCol, array_join(kept, " "))
+      .withColumn("n_removed", (size(toks) - size(kept)).cast("long"))
+  }
+
+  /** First `http(s)` URL host in free text — the C4-curation key (URL
+    * blocklists, per-domain caps, domain mixing weights all key on it).
+    * Lookaround-free character-class regex, so the identical pattern
+    * runs under Java regex and RE2 (the t38 convention); no match → ''
+    * (regexp_extract's convention), surfaced as NULL by [[domainStats]]. */
+  def urlHost(text: Column): Column =
+    lower(regexp_extract(text, "https?://([A-Za-z0-9.-]+)", 1))
+
+  /** Registrable domain of a host — the LAST TWO dot-labels ("a.b.c.com"
+    * → "c.com"), the per-site aggregation key. Public-suffix lists
+    * ("co.uk") are a lookup-table refinement on top of the same shape. */
+  def registrableDomain(host: Column): Column =
+    regexp_extract(host, "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1)
+
+  /** Per-domain corpus statistics: docs and distinct hosts per
+    * registrable domain — what per-domain caps, domain mixing weights,
+    * and blocklist audits aggregate first. Scan-side regex extraction +
+    * one map-side-combined aggregation over domain cardinality (tiny vs
+    * the corpus); rows with no URL drop (no-domain docs are a different
+    * audit). */
+  def domainStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val host = urlHost(col(textCol))
+    df.select(col(idCol), host.as("host"))
+      .filter(col("host") =!= "")
+      .withColumn("domain", registrableDomain(col("host")))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("host").as("n_hosts"))
+  }
+
   /** HTML boilerplate strip — the web-extraction pass crawl corpora run
     * before any text statistic (tags and scripts otherwise dominate
     * token counts, dedup shingles, and quality gates): script/style

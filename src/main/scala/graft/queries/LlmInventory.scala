@@ -1402,6 +1402,39 @@ object LlmInventory {
       documents(s, d), "doc_id", "text",
       blocked = Seq("slow", "hash", "spark", "window"), maxHits = 2)
 
+  /** t49: per-domain corpus stats ([[TextAnalysis.domainStats]]) — URL
+    * host extraction + registrable-domain rollup, the C4-style curation
+    * key (per-domain caps, domain mixing, blocklist audits). URLs are
+    * synthesized closed-form into the text (every 3rd doc has none — the
+    * drop path); hosts have a subdomain so the registrable-domain
+    * truncation is actually exercised. Exact integer outputs. */
+  val t49DomainStats: Q = (s, d) => {
+    val e = col("doc_id")
+    val aug = documents(s, d).select(
+      e,
+      when(pmod(e, lit(3)) === 0, col("text"))
+        .otherwise(concat(
+          col("text"), lit(" see https://sub"), pmod(e, lit(7)).cast("string"),
+          lit(".site"), pmod(e, lit(13)).cast("string"),
+          lit(".com/page"), e.cast("string"), lit(" end"))).as("t"))
+    TextAnalysis.domainStats(aug, "doc_id", "t")
+  }
+
+  /** t50: consecutive duplicate-token-run removal
+    * ([[TextAnalysis.dedupTokenRuns]]) — the span-level repetition
+    * rewrite (fix "the the the", keep the doc). A planted `rep rep rep`
+    * suffix guarantees every row exercises the removal; natural adjacent
+    * repeats in the corpus dedup too, and the oracle replays the same
+    * keep-rule (token ≠ its predecessor) with a lag window + ordered
+    * string_agg — exact string equality end to end. */
+  val t50RunDedup: Q = (s, d) => {
+    val aug = documents(s, d).select(
+      col("doc_id"),
+      concat(col("text"), lit(" rep rep rep tail")).as("t"))
+    TextAnalysis.dedupTokenRuns(aug, "doc_id", "t")
+      .select(col("doc_id"), col("text_dedup"), col("n_removed"))
+  }
+
   /** t15: winnowing (rolling-hash) document fingerprints — the MOSS
     * partial-overlap detector ([[TextAnalysis.winnowFingerprints]]), k=3
     * token grams, window w=4, md5-parity hashes. One row per (doc,
@@ -1800,6 +1833,8 @@ object LlmInventory {
     "t41_char_diversity" -> t41CharDiversity,
     "t47_bm25" -> t47Bm25,
     "t48_blocklist" -> t48Blocklist,
+    "t49_domain_stats" -> t49DomainStats,
+    "t50_run_dedup" -> t50RunDedup,
     "t42_url_normalize" -> t42UrlNormalize,
     "d15_host_cap" -> d15HostCap,
     "t43_html_strip" -> t43HtmlStrip,
@@ -3649,6 +3684,30 @@ object LlmInventory {
         |FROM sc
         |ORDER BY score DESC, doc_id ASC
         |LIMIT 20""".stripMargin,
+    "t50_run_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(trim(text || ' rep rep rep tail'), ' ') AS ts
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS i FROM d),
+        |k AS (
+        |  SELECT doc_id, t, i, lag(t) OVER (PARTITION BY doc_id ORDER BY i) AS pt
+        |  FROM tok)
+        |SELECT doc_id,
+        |       string_agg(t, ' ' ORDER BY i) FILTER (WHERE pt IS NULL OR t <> pt) AS text_dedup,
+        |       CAST(COALESCE(SUM(CASE WHEN pt = t THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed
+        |FROM k
+        |GROUP BY doc_id""".stripMargin,
+    "t49_domain_stats" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'sub' || (doc_id % 7)::VARCHAR || '.site' || (doc_id % 13)::VARCHAR || '.com' AS host
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT 'site' || (doc_id % 13)::VARCHAR || '.com' AS domain,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+        |FROM u
+        |GROUP BY 1""".stripMargin,
     "t48_blocklist" ->
       """WITH h AS (
         |  SELECT doc_id,
