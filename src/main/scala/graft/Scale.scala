@@ -267,6 +267,7 @@ object Scale {
     if (args.headOption.contains("fuzzy")) return fuzzyMain(args)
     if (args.headOption.contains("rangelookup")) return rangeLookupMain(args)
     if (args.headOption.contains("intervalskew")) return intervalSkewMain(args)
+    if (args.headOption.contains("textops")) return textOpsMain(args)
     if (args.headOption.contains("pagerank")) return pagerankMain(args)
     if (args.headOption.contains("triangles")) return trianglesMain(args)
     if (args.headOption.contains("bfs")) return bfsMain(args)
@@ -1047,6 +1048,99 @@ object Scale {
     * `fact.v BETWEEN dim.lo AND dim.hi` broadcast join Spark plans as a
     * BroadcastNestedLoopJoin (O(rows × intervals) compares). Both
     * variants produce identical per-tier counts (asserted). */
+  private val textOpsHeader = "## Text-curation kernels stage (BM25 / blocklist / run-dedup)"
+
+  /** `runMain graft.Scale textops [nDocs] [outMd]` — the scan-side text
+    * kernels at corpus scale with planted closed-form invariants:
+    * every 100th doc carries the BM25 query term ×3 (nothing else can —
+    * the vocabulary is disjoint), every 10th doc a blocklist token, and
+    * EVERY doc a `rep rep rep` run. BM25's whole top-k must be planted
+    * docs at tf=3; the blocklist flag count is exact; run-dedup is
+    * checked by idempotence (a second pass removes ZERO tokens) plus the
+    * ≥2·n floor the plants guarantee. */
+  private def textOpsMain(args: Array[String]): Unit = {
+    val nDocs = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    val outMd = args.lift(2).getOrElse("SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val dir = Files.createTempDirectory("graft_scale_textops").toString
+    genDedupCorpus(spark, nDocs)
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 100 === 0, lit(" target target target")).otherwise(lit("")),
+          when(col("doc_id") % 10 === 0, lit(" blockedtok")).otherwise(lit("")),
+          lit(" rep rep rep")).as("text"))
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val docs = spark.read.parquet(s"$dir/docs")
+    import graft.operators.TextAnalysis
+
+    val (top, bm25Sec) = timed {
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("target"), k = 10).collect()
+    }
+    require(top.length == 10 && top.forall(r =>
+      r.getLong(1) % 100 == 0 && r.getLong(2) == 3L),
+      s"bm25 plant invariant broke: ${top.map(r => (r.getLong(1), r.getLong(2))).toSeq}")
+
+    val ((nFlagged, totalHits), blockSec) = timed {
+      val st = TextAnalysis.blocklistStats(docs, "doc_id", "text",
+        Seq("blockedtok"), maxHits = 0)
+        .agg(sum(when(col("flagged"), 1L).otherwise(0L)), sum("total_hits")).head()
+      (st.getLong(0), st.getLong(1))
+    }
+    val expectFlagged = (nDocs + 9) / 10
+    require(nFlagged == expectFlagged && totalHits == expectFlagged,
+      s"blocklist invariant broke: flagged=$nFlagged hits=$totalHits expected $expectFlagged")
+
+    val (removedFirst, runSec) = timed {
+      TextAnalysis.dedupTokenRuns(docs, "doc_id", "text")
+        .agg(sum("n_removed")).head().getLong(0)
+    }
+    require(removedFirst >= 2L * nDocs,
+      s"run-dedup floor broke: removed $removedFirst < ${2L * nDocs}")
+    // idempotence: the rewrite has no adjacent duplicates left
+    val removedSecond = TextAnalysis.dedupTokenRuns(
+      TextAnalysis.dedupTokenRuns(docs, "doc_id", "text")
+        .select(col("doc_id"), col("text_dedup").as("text")),
+      "doc_id", "text")
+      .agg(sum("n_removed")).head().getLong(0)
+    require(removedSecond == 0L,
+      s"run-dedup idempotence broke: second pass removed $removedSecond")
+
+    val heapMb = heapPeakMb()
+    val section =
+      s"""
+         |$textOpsHeader (${nDocs / 1000}k docs, planted closed-form invariants)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale textops $nDocs"` —
+         |the three scan-side curation kernels at corpus scale: every 100th
+         |doc plants the BM25 query term ×3 (disjoint vocabulary — nothing
+         |else can contain it), every 10th doc a blocklist token, every doc
+         |a 3-token repeat run.
+         |
+         || kernel | wall (s) | docs/s | invariant |
+         ||---|---|---|---|
+         || BM25 top-10 (1 term) | ${f"$bm25Sec%.1f"} | ${f"${nDocs / bm25Sec}%.0f"} | all 10 hits planted docs at tf=3 ✓ |
+         || blocklist stats + flag | ${f"$blockSec%.1f"} | ${f"${nDocs / blockSec}%.0f"} | flagged = hits = $nFlagged = n/10 EXACT |
+         || duplicate-run rewrite | ${f"$runSec%.1f"} | ${f"${nDocs / runSec}%.0f"} | removed $removedFirst ≥ 2n; 2nd pass removes 0 (idempotent) |
+         || peak heap | $heapMb MB | | |
+         |
+         |- all three are shuffle-free on the corpus (PlanSpec-gated): BM25's
+         |  only exchanges are the 1-row stats broadcast and the TakeOrdered
+         |  reduction — the corpus itself is read once, scan-side
+         |""".stripMargin
+    spliceSection(outMd, textOpsHeader, section)
+    println(s"""{"metric":"scale_textops","value":${bm25Sec + blockSec + runSec},"unit":"sec","n_docs":$nDocs,"bm25_sec":$bm25Sec,"block_sec":$blockSec,"run_sec":$runSec,"heap_peak_mb":$heapMb}""")
+    spark.stop()
+  }
+
   private val intervalSkewHeader = "## Interval-join hot-bucket (skew grid) stage"
 
   /** `runMain graft.Scale intervalskew [nHot] [nHotIv] [outMd]` — the

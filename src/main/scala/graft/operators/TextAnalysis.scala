@@ -489,12 +489,21 @@ object TextAnalysis {
   def dedupTokenRuns(
       df: DataFrame, idCol: String, textCol: String,
       outCol: String = "text_dedup"): DataFrame = {
-    val toks = tokens(col(textCol))
-    // filter's index is 0-based, element_at is 1-based: element_at(toks, i)
-    // IS the previous element of position i
-    val kept = filter(toks, (x, i) => i === 0 || x =!= element_at(toks, i))
-    df.withColumn(outCol, array_join(kept, " "))
-      .withColumn("n_removed", (size(toks) - size(kept)).cast("long"))
+    // materialize the token array into a projected column FIRST: a lambda
+    // that captures the raw tokens() expression would re-run the regex
+    // strip + split on every element_at probe — O(n²·regex) per doc,
+    // measured 10× the whole kernel at 1M docs. Over an attribute the
+    // probe is an array index.
+    val kept = filter(col("__toks"),
+      // filter's index is 0-based, element_at is 1-based: element_at(t, i)
+      // IS the previous element of position i
+      (x, i) => i === 0 || x =!= element_at(col("__toks"), i))
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__kept", kept)
+      .withColumn(outCol, array_join(col("__kept"), " "))
+      .withColumn("n_removed",
+        (size(col("__toks")) - size(col("__kept"))).cast("long"))
+      .drop("__toks", "__kept")
   }
 
   /** First `http(s)` URL host in free text — the C4-curation key (URL
