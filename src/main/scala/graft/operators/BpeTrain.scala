@@ -72,6 +72,25 @@ object BpeTrain {
 
   final case class Merge(left: String, right: String, count: Long)
 
+  /** APPLY a learned merge table — the tokenize-the-corpus half of the
+    * tokenizer story ([[learnMerges]] trains on corpus A; this encodes
+    * corpus B with the frozen table, the train/apply split every
+    * production tokenizer has). The merges fold in TABLE ORDER, each one
+    * the same scan-side left-to-right [[mergeOnce]] rewrite learning
+    * used — so apply(train_corpus) reproduces the training trajectory
+    * exactly. Pure per-row expressions: zero shuffle, the corpus is
+    * read once whatever the table length. Adds `outCol` (the token
+    * array) and `n_tokens`. */
+  def applyMerges(
+      df: DataFrame, textCol: String, merges: Seq[(String, String)],
+      joiner: String = "▁", outCol: String = "bpe_tokens"): DataFrame = {
+    val tokenized = merges.foldLeft(toks(col(textCol))) {
+      case (acc, (l, r)) => mergeOnce(acc, l, r, joiner)
+    }
+    df.withColumn(outCol, tokenized)
+      .withColumn("n_tokens", size(col(outCol)).cast("long"))
+  }
+
   /** Learn `k` merges: per iteration, ONE distributed pair-count pass,
     * the argmax pair by `(count desc, left, right)` (deterministic
     * tie-break), and ONE scan-side rewrite. Returns the learned merge

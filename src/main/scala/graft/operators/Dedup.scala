@@ -822,4 +822,37 @@ object Dedup {
       .drop("text_cat")
     materializeAndRelease(out, chunks)
   }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    * entity-resolution candidate generator that complements LSH: sort
+    * records by a key, pair each record with its `window` predecessors.
+    * Where MinHash needs token overlap, sort locality catches prefix
+    * typos, truncations, and formatting drift in short keys (names,
+    * titles, URLs).
+    *
+    * Distributed form: the classic single sorted pass becomes sort
+    * WITHIN blocks (`blockLen`-char key prefix) — one exchange + one
+    * sort, embarrassingly parallel across blocks, exactly the SNM
+    * multi-pass recommendation (runs with different keys union their
+    * candidates). Pairs come from ONE window computing an array of
+    * `window` lags, exploded once — not `window` self-scans. Ordering is
+    * the total order (key, id), so candidates are deterministic; output
+    * is (d1, d2) with d1 the earlier record in sort order. Downstream
+    * verifies candidates with whatever exact measure the pipeline wants
+    * (levenshtein, Jaccard) — blocking only promises the candidate SET. */
+  def sortedNeighborhoodPairs(
+      df: DataFrame, idCol: String, keyCol: String,
+      window: Int, blockLen: Int = 1): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(blockLen >= 1, s"blockLen must be >= 1: $blockLen")
+    val w = Window.partitionBy("__block")
+      .orderBy(col(keyCol).asc, col(idCol).asc)
+    df.select(col(idCol), col(keyCol))
+      .withColumn("__block", substring(col(keyCol), 1, blockLen))
+      .withColumn("__prevs",
+        array((1 to window).map(j => lag(idCol, j).over(w)): _*))
+      .select(col(idCol).as("d2"), explode(col("__prevs")).as("d1"))
+      .filter(col("d1").isNotNull)
+      .select(col("d1"), col("d2"))
+  }
 }

@@ -479,6 +479,46 @@ object Graph {
     labels
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) in the bounded-round,
+    * UNNORMALIZED form that keeps every score an exact integer — the
+    * same oracle argument as [[minLabelPropagation]]: k rounds are a
+    * closed form any engine replays with unrolled joins, where the
+    * normalized fixpoint is not. Round r:
+    * `a_r(v) = Σ_{(u,v)∈E} h_{r-1}(u)`, then `h_r(u) = Σ_{(u,v)∈E}
+    * a_r(v)` (the classic update order — hubs see the CURRENT round's
+    * authorities). h_0 = 1. On a bipartite src→dst graph (customer→part,
+    * user→domain) hubs rank the left side, authorities the right — the
+    * curation use: authority-ranked domains/parts given hub-weighted
+    * actors. Scale shape per round: two equi-joins of the edge list
+    * against node-score frames + two partial-agg SUMs (the g1/g7 cost
+    * model); scores stay exact BIGINTs (magnitudes grow ~(avg degree)^r
+    * — bound rounds accordingly). Returns (node, hub, authority) with 0
+    * for a side the node never plays. */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"hits: rounds must be >= 1, got $rounds")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    var h = e.select(col("src").as("node")).distinct()
+      .withColumn("score", lit(1L))
+    var a: DataFrame = null
+    var r = 0
+    while (r < rounds) {
+      a = e.join(h, e("src") === h("node"))
+        .groupBy(col("dst").as("node")).agg(sum("score").as("score"))
+        .select(col("node"), col("score"))
+      h = e.join(a, e("dst") === a("node"))
+        .groupBy(col("src").as("node")).agg(sum("score").as("score"))
+        .select(col("node"), col("score"))
+      r += 1
+    }
+    h.select(col("node"), col("score").as("hub"))
+      .join(a.select(col("node"), col("score").as("authority")), Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("authority"), lit(0L)).as("authority"))
+  }
+
   /** Multi-source BFS hop distance — the graph-neighborhood expander
     * (crawl frontiers, "within-k-hops of the seed set" retrieval,
     * contamination blast radius): returns `(node, dist)` for every node

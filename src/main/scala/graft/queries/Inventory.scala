@@ -1383,6 +1383,24 @@ object Inventory {
       undirected, "src", "dst", iterations = 4, checkpoint = true)
   }
 
+  /** G8: HITS hubs/authorities ([[graft.operators.Graph.hits]]) — 2
+    * unnormalized rounds on the bipartite customer→part purchase graph
+    * (hubs = customers weighted by what they buy, authorities = parts
+    * weighted by who buys them — the authority-ranking shape curation
+    * uses on actor→domain graphs). Every score is an exact BIGINT, so
+    * the oracle is the same update unrolled as two join+SUM CTEs.
+    * Top-20 parts by authority. */
+  val g8Hits: Q = (s, d) => {
+    val e = orders(s, d)
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+    graft.operators.Graph.hits(e, "c", "p", rounds = 2)
+      .filter(col("authority") > 0)
+      .select(col("node"), col("authority"))
+      .orderBy(col("authority").desc, col("node").asc)
+      .limit(20)
+  }
+
   /** X4: EXCEPT ALL — multiset difference (each occurrence consumes one
     * match, unlike X1's set EXCEPT): day-1 user activity minus day-2,
     * multiplicity-aware. */
@@ -2270,6 +2288,7 @@ object Inventory {
     "g5_common_neighbors" -> g5CommonNeighbors,
     "g6_hop_distance" -> g6HopDistance,
     "g7_min_label_prop" -> g7MinLabelProp,
+    "g8_hits" -> g8Hits,
     "c1_safe_long_hex" -> c1SafeLongHex,
     "c3_payload_hash" -> c3PayloadHash,
     "c4_popcount" -> c4Popcount,
@@ -2797,6 +2816,21 @@ object Inventory {
         |ORDER BY cn DESC, e.a, e.b LIMIT 20""".stripMargin,
     // BFS = min hop count: the recursive CTE enumerates (node, d) pairs
     // breadth-first up to 3 hops over the symmetrized co-occurrence
+    "g8_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |a1 AS (
+        |  SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS s FROM e GROUP BY dst),
+        |h1 AS (
+        |  SELECT e.src AS node, CAST(SUM(a1.s) AS BIGINT) AS s
+        |  FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+        |a2 AS (
+        |  SELECT e.dst AS node, CAST(SUM(h1.s) AS BIGINT) AS s
+        |  FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst)
+        |SELECT node, s AS authority FROM a2
+        |ORDER BY authority DESC, node ASC
+        |LIMIT 20""".stripMargin,
     // edges; min(d) per node equals the frontier iteration's first
     // sighting. Seeds (customer 1's parts) sit at distance 0.
     "g7_min_label_prop" ->

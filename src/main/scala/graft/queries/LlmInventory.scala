@@ -1435,6 +1435,39 @@ object LlmInventory {
       .select(col("doc_id"), col("text_dedup"), col("n_removed"))
   }
 
+  /** d17: sorted-neighborhood blocking ([[Dedup.sortedNeighborhoodPairs]])
+    * — the entity-resolution candidate generator (SNM): sort by an
+    * 8-char text prefix within 1-char blocks, pair each doc with its 3
+    * sort predecessors. Complements LSH (sort locality catches prefix
+    * typos token overlap misses). Deterministic: the sort is the total
+    * order (key, doc_id); the oracle replays it with row_number and a
+    * rank-distance self-join. */
+  val d17SortedNeighborhood: Q = (s, d) =>
+    Dedup.sortedNeighborhoodPairs(
+      documents(s, d).select(col("doc_id"), substring(col("text"), 1, 8).as("k")),
+      "doc_id", "k", window = 3)
+
+  /** t51: BPE merge-table APPLY ([[graft.operators.BpeTrain
+    * .applyMerges]]) — tokenize with a frozen 2-entry table whose second
+    * merge consumes the first's output (w1 w2 → w1▁w2; w1▁w2 w3 →
+    * w1▁w2▁w3), proving the fold runs in table order. Inputs are
+    * synthesized so merge sites never share a token (no overlap
+    * ambiguity), which makes the oracle a pair of plain substring
+    * replaces — exact string equality end to end. */
+  val t51BpeApply: Q = (s, d) => {
+    val e = col("doc_id")
+    val txt = concat(
+      lit("a"), pmod(e, lit(5)).cast("string"),
+      lit(" w1 w2 w3 b"), pmod(e, lit(3)).cast("string"),
+      lit(" w1 w2 x"), pmod(e, lit(7)).cast("string"))
+    val src = documents(s, d).select(e, txt.as("t"))
+    graft.operators.BpeTrain
+      .applyMerges(src, "t", Seq(("w1", "w2"), ("w1▁w2", "w3")))
+      .select(col("doc_id"),
+        array_join(col("bpe_tokens"), " ").as("text_bpe"),
+        col("n_tokens"))
+  }
+
   /** t15: winnowing (rolling-hash) document fingerprints — the MOSS
     * partial-overlap detector ([[TextAnalysis.winnowFingerprints]]), k=3
     * token grams, window w=4, md5-parity hashes. One row per (doc,
@@ -1835,6 +1868,8 @@ object LlmInventory {
     "t48_blocklist" -> t48Blocklist,
     "t49_domain_stats" -> t49DomainStats,
     "t50_run_dedup" -> t50RunDedup,
+    "d17_sorted_neighborhood" -> d17SortedNeighborhood,
+    "t51_bpe_apply" -> t51BpeApply,
     "t42_url_normalize" -> t42UrlNormalize,
     "d15_host_cap" -> d15HostCap,
     "t43_html_strip" -> t43HtmlStrip,
@@ -3684,6 +3719,29 @@ object LlmInventory {
         |FROM sc
         |ORDER BY score DESC, doc_id ASC
         |LIMIT 20""".stripMargin,
+    "t51_bpe_apply" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         'a' || (doc_id % 5)::VARCHAR || ' w1 w2 w3 b' || (doc_id % 3)::VARCHAR ||
+        |         ' w1 w2 x' || (doc_id % 7)::VARCHAR AS t
+        |  FROM documents),
+        |enc AS (
+        |  SELECT doc_id,
+        |         replace(replace(t, 'w1 w2', 'w1▁w2'), 'w1▁w2 w3', 'w1▁w2▁w3') AS text_bpe
+        |  FROM src)
+        |SELECT doc_id, text_bpe,
+        |       CAST(len(string_split(text_bpe, ' ')) AS BIGINT) AS n_tokens
+        |FROM enc""".stripMargin,
+    "d17_sorted_neighborhood" ->
+      """WITH b AS (
+        |  SELECT doc_id, substr(text, 1, 8) AS k, substr(text, 1, 1) AS blk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, blk,
+        |         ROW_NUMBER() OVER (PARTITION BY blk ORDER BY k ASC, doc_id ASC) AS rn
+        |  FROM b)
+        |SELECT a.doc_id AS d1, c.doc_id AS d2
+        |FROM r a JOIN r c ON a.blk = c.blk AND c.rn - a.rn BETWEEN 1 AND 3""".stripMargin,
     "t50_run_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(trim(text || ' rep rep rep tail'), ' ') AS ts

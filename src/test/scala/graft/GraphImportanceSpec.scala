@@ -42,6 +42,35 @@ class GraphImportanceSpec extends AnyFunSuite {
     assert(labels(5) === labels(3))
   }
 
+  test("hits: hand-computed 2-round scores on a small bipartite graph; duplicate edges ignored") {
+    // c1 -> {p1, p2}, c2 -> {p2}; h0 = 1
+    // a1: p1 = 1, p2 = 2; h1: c1 = a1(p1)+a1(p2) = 3, c2 = a1(p2) = 2
+    // a2: p1 = h1(c1) = 3, p2 = h1(c1)+h1(c2) = 5
+    val e = Seq(("c1", "p1"), ("c1", "p2"), ("c2", "p2"), ("c2", "p2"))
+      .toDF("s", "d") // the duplicate (c2, p2) must count once
+    val r = Graph.hits(e, "s", "d", rounds = 2)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("p1") === ((0L, 3L)))
+    assert(r("p2") === ((0L, 5L)))
+    assert(r("c1") === ((8L, 0L))) // h2: c1 = a2(p1)+a2(p2) = 8
+    assert(r("c2") === ((5L, 0L))) // h2: c2 = a2(p2) = 5
+  }
+
+  test("sortedNeighborhoodPairs: window candidates match the rank-distance definition") {
+    import graft.operators.Dedup
+    val df = Seq((1L, "apple"), (2L, "apply"), (3L, "appel"), (4L, "apple"),
+      (5L, "banana"), (6L, "bananna"), (7L, "band"))
+      .toDF("id", "k")
+    val got = Dedup.sortedNeighborhoodPairs(df, "id", "k", window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // block 'a' sort order: (appel,3) (apple,1) (apple,4) (apply,2)
+    // block 'b' sort order: (banana,5) (bananna,6) (band,7)
+    val expected = Set(
+      (3L, 1L), (3L, 4L), (1L, 4L), (1L, 2L), (4L, 2L),
+      (5L, 6L), (5L, 7L), (6L, 7L))
+    assert(got === expected)
+  }
+
   test("pageRank: authority ordering — a hub-pointed node outranks leaves") {
     // star: l1,l2,l3 -> c, c -> l1 (c has out-edges so no dangling)
     val e = edges(("l1", "c", 1L), ("l2", "c", 1L), ("l3", "c", 1L),
