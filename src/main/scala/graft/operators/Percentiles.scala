@@ -54,6 +54,37 @@ object Percentiles {
             .as(s"p$p")): _*)
   }
 
+  /** Per-key WEIGHTED discrete quantiles — [[perKey]] where each row
+    * carries a weight (token counts, byte sizes, sampling multiplicities):
+    * the p-th weighted percentile is the smallest value whose cumulative
+    * WEIGHT reaches p% of the key's total weight — what mixture
+    * calibration actually needs ("the median token lives in which
+    * quality band", not "the median document"). Same scale shape as
+    * [[perKey]]: the fact reduces to its (key, value) histogram with
+    * SUM(weight) partials, the cumulative window runs over histogram
+    * rows only, and the threshold compare `cum·100 ≥ tot·p` stays exact
+    * integer arithmetic for integer weights. */
+  def weightedPerKey(
+      df: DataFrame, keyCol: String, valueCol: String, weightCol: String,
+      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be within [1,100], got $percents")
+    val hist = df.groupBy(col(keyCol), col(valueCol).as("__v"))
+      .agg(sum(weightCol).as("__w"))
+    val wCum = Window.partitionBy(keyCol).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(keyCol)
+    hist
+      .withColumn("__cum", sum("__w").over(wCum))
+      .withColumn("__tot", sum("__w").over(wTot))
+      .groupBy(col(keyCol))
+      .agg(
+        max("__tot").as("total_w"),
+        percents.map(p =>
+          min(when(col("__cum") * 100 >= col("__tot") * p, col("__v")))
+            .as(s"p$p")): _*)
+  }
+
   /** Per-key WINSORIZATION — clamp the value column into its key's
     * [pLo, pHi] discrete-percentile band: the standard robustification
     * for heavy-tailed score columns before they feed sampling weights or

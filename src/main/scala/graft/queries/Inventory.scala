@@ -1073,6 +1073,20 @@ object Inventory {
       events(s, d).select(col("event_type"), col("value")),
       "event_type", "value", k = 3.0)
 
+  /** A25: per-key WEIGHTED discrete quantiles ([[graft.operators
+    * .Percentiles.weightedPerKey]]) — "the median TOKEN's quality band",
+    * not "the median document's": cumulative-weight thresholds over the
+    * (key, value) histogram, exact integer arithmetic end to end
+    * (weights are closed-form integers here; total_w rides along as the
+    * sanity twin). */
+  val a25WeightedQuantiles: Q = (s, d) =>
+    graft.operators.Percentiles.weightedPerKey(
+      events(s, d).select(
+        col("event_type"),
+        (col("event_id") % 1000).as("v"),
+        (col("event_id") % 7 + 1).as("w")),
+      "event_type", "v", "w", percents = Seq(25, 50, 90))
+
   /** W10: trailing-window anomaly gate — rows whose value exceeds 2× the
     * average of the preceding ≤5 events of the same user. The frame
     * aggregate is an exact-decimal SUM and the compare is MULTIPLIED
@@ -2233,6 +2247,7 @@ object Inventory {
     "o2_multikey_sort" -> o2MultiKeySort,
     "o3_topk_per_group" -> o3TopkPerGroup,
     "a24_cube" -> a24Cube,
+    "a25_weighted_quantiles" -> a25WeightedQuantiles,
     "x2_union_stats" -> x2UnionStats,
     "x3_intersect" -> x3Intersect,
     "a10_rollup" -> a10Rollup,
@@ -3200,6 +3215,22 @@ object Inventory {
         |      ORDER BY value DESC, event_id ASC) AS rank
         |  FROM events)
         |WHERE rank <= 3""".stripMargin,
+    "a25_weighted_quantiles" ->
+      """WITH h AS (
+        |  SELECT event_type, event_id % 1000 AS v, SUM(event_id % 7 + 1) AS w
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, v, w,
+        |         SUM(w) OVER (PARTITION BY event_type ORDER BY v ASC
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(w) OVER (PARTITION BY event_type) AS tot
+        |  FROM h)
+        |SELECT event_type,
+        |       CAST(MAX(tot) AS BIGINT) AS total_w,
+        |       CAST(MIN(CASE WHEN cum * 100 >= tot * 25 THEN v END) AS BIGINT) AS p25,
+        |       CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN v END) AS BIGINT) AS p50,
+        |       CAST(MIN(CASE WHEN cum * 100 >= tot * 90 THEN v END) AS BIGINT) AS p90
+        |FROM c GROUP BY event_type""".stripMargin,
     "a24_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
