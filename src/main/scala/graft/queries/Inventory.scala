@@ -806,6 +806,69 @@ object Inventory {
         date_format(col("slot_timestamp"), "yyyy-MM-dd HH:mm:ss"))
   }
 
+  /** P13 (real parser): [[graft.beacon.StateParsers.blobSidecars]]
+    * end-to-end minus only the placeholder-hash column (reference:
+    * src/parsers/deneb.py:45-67) — explode, commitment/proof strings,
+    * blob char length, and the withMeta columns all ride the hard gate;
+    * `blob_hash` is the documented xxhash64 placeholder with no DuckDB
+    * twin, dropped here like p9's. */
+  val p13BlobSidecars: Q = (s, d) => {
+    val e = col("event_id")
+    val es = e.cast("string")
+    def entry(j: Int) = concat(
+      lit("""{"index":""""), (e * 2 + j).cast("string"),
+      lit("""","kzg_commitment":"0xkc"""), es, lit(s"_$j"),
+      lit("""","kzg_proof":"0xkp"""), es,
+      lit("""","blob":"0x""" + "ab" * (j + 1) + "\"}"))
+    val arr = when(pmod(e, lit(3)) === 0, lit("[]"))
+      .when(pmod(e, lit(3)) === 1, concat(lit("["), entry(0), lit("]")))
+      .otherwise(concat(lit("["), entry(0), lit(","), entry(1), lit("]")))
+    val payload = concat(lit("""{"data":"""), arr, lit("}"))
+    val raw = events(s, d).filter(e < 1500)
+      .select((e * 10).as("slot"), payload.as("payload"))
+    graft.beacon.StateParsers
+      .blobSidecars(raw, graft.beacon.ChainConfig.gnosis, insertVersion = 4L)
+      .drop("blob_hash")
+      .withColumn("slot_timestamp",
+        date_format(col("slot_timestamp"), "yyyy-MM-dd HH:mm:ss"))
+  }
+
+  /** P21 (real parser): [[graft.beacon.StateParsers.dataColumnSidecars]]
+    * FULLY gated — including all three canonical-JSON sha256 hashes
+    * (reference: src/parsers/data_column_sidecars.py:62-74): for ASCII
+    * hex-string arrays Spark's `to_json` IS the canonical compact form,
+    * and the arrays here are closed-form, so the oracle rebuilds the
+    * exact JSON text and sha256's it — byte-for-byte hash parity inside
+    * the driver's hard gate, not just the unit test. Also exercises the
+    * C5 recursive hex byte-length fold (column_bytes). */
+  val p21DataColumnSidecars: Q = (s, d) => {
+    val e = col("event_id")
+    val es = e.cast("string")
+    def entry(j: Int) = {
+      val cells = (0 to j).map(k => "\"0x" + "ab" * (k + 1) + "\"").mkString(",")
+      val commits = (0 until j).map(_ => "\"0xcd\"").mkString(",")
+      concat(
+        lit("""{"index":""""), (e * 5 + j).cast("string"),
+        lit(s"""","column":[$cells],"kzg_commitments":[$commits]"""),
+        lit(""","kzg_proofs":"""),
+        when(pmod(e, lit(2)) === 0, lit("[]")).otherwise(lit("""["0xef"]""")),
+        lit(""","signed_block_header":{"message":{"slot":""""),
+        (e + j).cast("string"),
+        lit("""","proposer_index":""""), (e * 3 + j).cast("string"),
+        lit("""","body_root":"0xbr"""), es, lit("\"}}}"))
+    }
+    val arr = when(pmod(e, lit(3)) === 0, lit("[]"))
+      .when(pmod(e, lit(3)) === 1, concat(lit("["), entry(0), lit("]")))
+      .otherwise(concat(lit("["), entry(0), lit(","), entry(1), lit("]")))
+    val payload = concat(lit("""{"data":"""), arr, lit("}"))
+    val raw = events(s, d).filter(e < 1500)
+      .select((e * 10).as("slot"), payload.as("payload"))
+    graft.beacon.StateParsers
+      .dataColumnSidecars(raw, graft.beacon.ChainConfig.gnosis, insertVersion = 5L)
+      .withColumn("slot_timestamp",
+        date_format(col("slot_timestamp"), "yyyy-MM-dd HH:mm:ss"))
+  }
+
   /** P20 (real parser): [[graft.beacon.StateParsers.rewards]]
     * (reference: src/parsers/rewards.py:11-40) — the single-object
     * (non-exploding) state parse: `data` is ONE object → one row of
@@ -2328,6 +2391,8 @@ object Inventory {
     "p16_pending_deposits" -> p16PendingDeposits,
     "p20_rewards" -> p20Rewards,
     "p9_transactions" -> p9Transactions,
+    "p13_blob_sidecars" -> p13BlobSidecars,
+    "p21_data_column_sidecars" -> p21DataColumnSidecars,
     "p11_bls_changes" -> p11BlsChanges,
     "p12_blob_commitments" -> p12BlobCommitments,
     "p15_pending_consolidations" -> p15PendingConsolidations,
@@ -3349,6 +3414,42 @@ object Inventory {
         |       CAST(2 AS BIGINT) AS att_2_validator_count,
         |       CAST(3 AS BIGINT) AS total_slashed_validators
         |FROM events WHERE event_id < 3000 AND event_id % 3 <> 0""".stripMargin,
+    "p13_blob_sidecars" ->
+      """WITH n AS (
+        |  SELECT event_id, event_id % 3 AS n FROM events WHERE event_id < 1500),
+        |x AS (
+        |  SELECT event_id, r.j FROM n CROSS JOIN range(0, 2) r(j) WHERE r.j < n.n)
+        |SELECT CAST(event_id * 10 AS BIGINT) AS slot,
+        |       CAST(event_id * 2 + j AS BIGINT) AS blob_index,
+        |       '0xkc' || event_id::VARCHAR || '_' || j::VARCHAR AS kzg_commitment,
+        |       '0xkp' || event_id::VARCHAR AS kzg_proof,
+        |       CAST(2 + 2 * (j + 1) AS BIGINT) AS blob_size,
+        |       strftime(make_timestamp((1638993340 + event_id * 10 * 5) * 1000000),
+        |                '%Y-%m-%d %H:%M:%S') AS slot_timestamp,
+        |       CAST(4 AS BIGINT) AS insert_version
+        |FROM x""".stripMargin,
+    "p21_data_column_sidecars" ->
+      """WITH n AS (
+        |  SELECT event_id, event_id % 3 AS n FROM events WHERE event_id < 1500),
+        |x AS (
+        |  SELECT event_id, r.j FROM n CROSS JOIN range(0, 2) r(j) WHERE r.j < n.n)
+        |SELECT CAST(event_id * 10 AS BIGINT) AS slot,
+        |       CAST(event_id * 5 + j AS BIGINT) AS column_index,
+        |       CAST(j + 1 AS BIGINT) AS column_cells,
+        |       CAST((j + 1) * (j + 2) / 2 AS BIGINT) AS column_bytes,
+        |       CAST(j AS BIGINT) AS kzg_commitments_count,
+        |       CAST(event_id % 2 AS BIGINT) AS kzg_proofs_count,
+        |       CAST(event_id + j AS BIGINT) AS signed_block_slot,
+        |       CAST(event_id * 3 + j AS BIGINT) AS proposer_index,
+        |       '0xbr' || event_id::VARCHAR AS body_root,
+        |       sha256(CASE WHEN j = 0 THEN '["0xab"]'
+        |                   ELSE '["0xab","0xabab"]' END) AS column_hash,
+        |       sha256(CASE WHEN j = 0 THEN '[]' ELSE '["0xcd"]' END) AS commitments_hash,
+        |       sha256(CASE WHEN event_id % 2 = 0 THEN '[]' ELSE '["0xef"]' END) AS proofs_hash,
+        |       strftime(make_timestamp((1638993340 + event_id * 10 * 5) * 1000000),
+        |                '%Y-%m-%d %H:%M:%S') AS slot_timestamp,
+        |       CAST(5 AS BIGINT) AS insert_version
+        |FROM x""".stripMargin,
     "p9_transactions" ->
       """WITH n AS (
         |  SELECT event_id, event_id % 3 AS n FROM events WHERE event_id < 3000),
