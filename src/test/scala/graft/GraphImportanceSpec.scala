@@ -71,6 +71,33 @@ class GraphImportanceSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("weightedPerKey: weights move the quantile where counts would not") {
+    import graft.operators.Percentiles
+    // values 1,2,3 once each, but value 3 carries 98% of the weight:
+    // the weighted median is 3 while the unweighted median is 2
+    val df = Seq(("k", 1L, 1L), ("k", 2L, 1L), ("k", 3L, 98L))
+      .toDF("g", "v", "w")
+    val r = Percentiles.weightedPerKey(df, "g", "v", "w", Seq(50)).head()
+    assert(r.getLong(1) === 100L) // total_w
+    assert(r.getLong(2) === 3L)   // weighted p50
+    val u = Percentiles.perKey(df, "g", "v", Seq(50)).head()
+    assert(u.getLong(2) === 2L)   // unweighted p50 for contrast
+  }
+
+  test("applyMerges: left-to-right greedy, table order, chained merges") {
+    import graft.operators.BpeTrain
+    val df = Seq((1L, "a a a"), (2L, "x y z x y"), (3L, "")).toDF("id", "t")
+    // merge (a,a): greedy left-to-right pairs the FIRST two, leaves the third
+    val m1 = BpeTrain.applyMerges(df, "t", Seq(("a", "a")))
+      .orderBy("id").collect()
+    assert(m1(0).getSeq[String](2) === Seq("a▁a", "a"))
+    assert(m1(2).getSeq[String](2) === Seq.empty && m1(2).getLong(3) === 0L)
+    // chained: (x,y) then (x▁y,z) — the second consumes the first's output
+    val m2 = BpeTrain.applyMerges(df, "t", Seq(("x", "y"), ("x▁y", "z")))
+      .orderBy("id").collect()
+    assert(m2(1).getSeq[String](2) === Seq("x▁y▁z", "x▁y"))
+  }
+
   test("pageRank: authority ordering — a hub-pointed node outranks leaves") {
     // star: l1,l2,l3 -> c, c -> l1 (c has out-edges so no dangling)
     val e = edges(("l1", "c", 1L), ("l2", "c", 1L), ("l3", "c", 1L),

@@ -233,6 +233,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("d17_sorted_neighborhood: one block exchange + one sort, no self-join") {
+    val p = planOf("d17_sorted_neighborhood")
+    // the window builds ALL lags in one array — no per-window self-scans
+    assert(!p.contains("Join"), p)
+    // exactly one exchange in the plan TREE (the formatted detail section
+    // repeats each node name once more)
+    assert(p.linesIterator.count(_.contains("Exchange (")) === 1, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("a25_weighted_quantiles: window runs over the histogram, not the fact") {
+    val p = planOf("a25_weighted_quantiles")
+    // histogram agg (partial + final) BEFORE the window — the fact never
+    // feeds a window directly
+    val firstAgg = p.indexOf("HashAggregate")
+    val firstWindow = p.indexOf("Window")
+    assert(firstAgg >= 0 && firstWindow >= 0 && firstAgg < firstWindow, p)
+  }
+
   test("s1 brute-force cosine: single pass + TakeOrdered, no cartesian, no Window") {
     // the query itself assigns ranks driver-side over the reduced top-10;
     // the scale-relevant plan is the underlying operator's
