@@ -506,6 +506,40 @@ object TextAnalysis {
       .drop("__toks", "__kept")
   }
 
+  /** Pointwise mutual information for adjacent token pairs — the
+    * collocation detector ("new york", "machine learning") behind
+    * phrase-aware tokenization and compound-term mining. PMI =
+    * log(p(ab) / (p(a)·p(b))) ranks the same as the EXACT rational
+    * `n_ab·N_tok² / (N_pair·n_a·n_b)`, so no log is taken: num and den
+    * are exact BIGProducts and the one IEEE division is engine-identical
+    * (the t46 exactness convention). Composes [[graft.operators.BpeTrain
+    * .pairCounts]] (scan-side zip + one count agg) with unigram counts;
+    * the unigram table is vocabulary-sized, so its joins broadcast. Top
+    * `k` pairs with `n_pair ≥ minCount` by ratio, ties by pair. */
+  def pmiPairs(
+      df: DataFrame, textCol: String, minCount: Long, k: Int): DataFrame = {
+    // the SAME tokenization pairCounts uses (single-space split, empties
+    // dropped) — a \s+ variant would disagree on counts
+    val toksArr = filter(split(col(textCol), " "), t => t =!= "")
+    val pairsAll = graft.operators.BpeTrain.pairCounts(df, textCol)
+    val uni = df.select(explode(toksArr).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+    val nt = uni.agg(sum("n_tok").as("nt"))
+    val np = pairsAll.agg(sum("n").as("np"))
+    pairsAll.filter(col("n") >= minCount)
+      .join(uni.select(col("tok").as("left"), col("n_tok").as("n_left")), "left")
+      .join(uni.select(col("tok").as("right"), col("n_tok").as("n_right")), "right")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(np))
+      .select(col("left"), col("right"), col("n").as("n_pair"),
+        col("n_left"), col("n_right"),
+        (col("n") * col("nt") * col("nt")).as("pmi_num"),
+        (col("np") * col("n_left") * col("n_right")).as("pmi_den"))
+      .withColumn("pmi_ratio",
+        col("pmi_num").cast("double") / col("pmi_den").cast("double"))
+      .orderBy(col("pmi_ratio").desc, col("left").asc, col("right").asc)
+      .limit(k)
+  }
+
   /** First `http(s)` URL host in free text — the C4-curation key (URL
     * blocklists, per-domain caps, domain mixing weights all key on it).
     * Lookaround-free character-class regex, so the identical pattern

@@ -1468,6 +1468,13 @@ object LlmInventory {
         col("n_tokens"))
   }
 
+  /** t52: adjacent-pair PMI collocations ([[TextAnalysis.pmiPairs]]) —
+    * the phrase/compound detector, ranked by the EXACT rational
+    * `n_ab·N_tok²/(N_pair·n_a·n_b)` (no log: monotone in PMI, integer
+    * num/den, one IEEE division). Top-20 at n_pair ≥ 5. */
+  val t52PmiPairs: Q = (s, d) =>
+    TextAnalysis.pmiPairs(documents(s, d), "text", minCount = 5L, k = 20)
+
   /** t15: winnowing (rolling-hash) document fingerprints — the MOSS
     * partial-overlap detector ([[TextAnalysis.winnowFingerprints]]), k=3
     * token grams, window w=4, md5-parity hashes. One row per (doc,
@@ -1870,6 +1877,7 @@ object LlmInventory {
     "t50_run_dedup" -> t50RunDedup,
     "d17_sorted_neighborhood" -> d17SortedNeighborhood,
     "t51_bpe_apply" -> t51BpeApply,
+    "t52_pmi_pairs" -> t52PmiPairs,
     "t42_url_normalize" -> t42UrlNormalize,
     "d15_host_cap" -> d15HostCap,
     "t43_html_strip" -> t43HtmlStrip,
@@ -3718,6 +3726,30 @@ object LlmInventory {
         |       doc_id, tf0 AS tf_0, tf1 AS tf_1, tf2 AS tf_2
         |FROM sc
         |ORDER BY score DESC, doc_id ASC
+        |LIMIT 20""".stripMargin,
+    "t52_pmi_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS i FROM d),
+        |pr AS (
+        |  SELECT a.t AS l, b.t AS r
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |pc AS (SELECT l, r, CAST(COUNT(*) AS BIGINT) AS n_pair FROM pr GROUP BY 1, 2),
+        |uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS nt FROM uni),
+        |tp AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS np FROM pc)
+        |SELECT pc.l AS "left", pc.r AS "right", n_pair,
+        |       ul.n_tok AS n_left, ur.n_tok AS n_right,
+        |       CAST(n_pair * nt * nt AS BIGINT) AS pmi_num,
+        |       CAST(np * ul.n_tok * ur.n_tok AS BIGINT) AS pmi_den,
+        |       CAST(n_pair * nt * nt AS DOUBLE) / CAST(np * ul.n_tok * ur.n_tok AS DOUBLE) AS pmi_ratio
+        |FROM pc
+        |JOIN uni ul ON pc.l = ul.t
+        |JOIN uni ur ON pc.r = ur.t, tot, tp
+        |WHERE n_pair >= 5
+        |ORDER BY pmi_ratio DESC, "left" ASC, "right" ASC
         |LIMIT 20""".stripMargin,
     "t51_bpe_apply" ->
       """WITH src AS (
