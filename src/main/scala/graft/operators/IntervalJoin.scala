@@ -89,21 +89,36 @@ object IntervalJoin {
     * `__bucket` (+ the salt grid for hot buckets). Exactly-once: a pair
     * co-located in a bucket meets at precisely (left's own salt, right's
     * own salt) — the left row carries one `__gl` and all `__gr`s, the
-    * right row one `__gr` and all `__gl`s. */
+    * right row one `__gr` and all `__gl`s.
+    *
+    * The hot list is COLLECTED (tiny by definition — skewed keys are
+    * few) and re-ships as a local broadcast frame: the sizing aggs run
+    * exactly once, and when the exact counts clear every bucket (the
+    * probe is deliberately conservative — it fires from ~half the
+    * ceiling so a true mega-bucket is never missed) the join falls back
+    * to the untouched clean plan instead of paying the degenerate
+    * factor-1 grid (explode + 3-key join), which measured ~4× on j10. */
   private def gridJoin(lhs: DataFrame, rhs: DataFrame, ceiling: Int): DataFrame = {
     val ln = lhs.groupBy("__bucket").agg(count(lit(1)).as("__ln"))
     val rn = rhs.groupBy("__bucket").agg(count(lit(1)).as("__rn"))
-    // hot list: buckets where EITHER side crosses the ceiling — tiny
-    // (skewed keys are few by definition), broadcast to both sides
-    val hot = ln.join(rn, Seq("__bucket"))
+    val hotRows = ln.join(rn, Seq("__bucket"))
       .filter(col("__ln") > ceiling || col("__rn") > ceiling)
       .select(col("__bucket"),
         ceil(col("__ln") / ceiling).cast("long").as("__fl"),
         ceil(col("__rn") / ceiling).cast("long").as("__fr"))
-    gridSide(lhs, hot, "__gl", "__fl", "__gr", "__fr")
-      .join(gridSide(rhs, hot, "__gr", "__fr", "__gl", "__fl"),
-        Seq("__bucket", "__gl", "__gr"))
-      .drop("__gl", "__gr")
+      .collect()
+    if (hotRows.isEmpty) lhs.join(rhs, Seq("__bucket"))
+    else {
+      val spark = lhs.sparkSession
+      import spark.implicits._
+      val hot = hotRows.toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toDF("__bucket", "__fl", "__fr")
+      gridSide(lhs, hot, "__gl", "__fl", "__gr", "__fr")
+        .join(gridSide(rhs, hot, "__gr", "__fr", "__gl", "__fl"),
+          Seq("__bucket", "__gl", "__gr"))
+        .drop("__gl", "__gr")
+    }
   }
 
   /** Inner-join `points` to the `intervals` rows whose [lo, hi] contains
