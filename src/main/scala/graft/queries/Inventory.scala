@@ -1136,6 +1136,23 @@ object Inventory {
       events(s, d).select(col("event_type"), col("value")),
       "event_type", "value", k = 3.0)
 
+  /** A26: exact per-key MODE — the most frequent value, ties to the
+    * smallest (a total order, so oracle-exact): the categorical
+    * summary statistic (dominant event value per type). Histogram agg
+    * then one row_number over (count desc, value asc) — window input is
+    * the histogram, never the fact (the a25/a11 scale argument). */
+  val a26ModePerKey: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val hist = events(s, d)
+      .select(col("event_type"), (col("event_id") % 100).as("v"))
+      .groupBy("event_type", "v").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n").desc, col("v").asc)
+    hist.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("v").as("mode_v"), col("n").as("mode_n"))
+  }
+
   /** A25: per-key WEIGHTED discrete quantiles ([[graft.operators
     * .Percentiles.weightedPerKey]]) — "the median TOKEN's quality band",
     * not "the median document's": cumulative-weight thresholds over the
@@ -2311,6 +2328,7 @@ object Inventory {
     "o3_topk_per_group" -> o3TopkPerGroup,
     "a24_cube" -> a24Cube,
     "a25_weighted_quantiles" -> a25WeightedQuantiles,
+    "a26_mode_per_key" -> a26ModePerKey,
     "x2_union_stats" -> x2UnionStats,
     "x3_intersect" -> x3Intersect,
     "a10_rollup" -> a10Rollup,
@@ -3280,6 +3298,17 @@ object Inventory {
         |      ORDER BY value DESC, event_id ASC) AS rank
         |  FROM events)
         |WHERE rank <= 3""".stripMargin,
+    "a26_mode_per_key" ->
+      """WITH h AS (
+        |  SELECT event_type, event_id % 100 AS v, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, v, n,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY n DESC, v ASC) AS rn
+        |  FROM h)
+        |SELECT event_type, CAST(v AS BIGINT) AS mode_v, n AS mode_n
+        |FROM r WHERE rn = 1""".stripMargin,
     "a25_weighted_quantiles" ->
       """WITH h AS (
         |  SELECT event_type, event_id % 1000 AS v, SUM(event_id % 7 + 1) AS w

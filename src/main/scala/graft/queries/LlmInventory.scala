@@ -1475,6 +1475,21 @@ object LlmInventory {
   val t52PmiPairs: Q = (s, d) =>
     TextAnalysis.pmiPairs(documents(s, d), "text", minCount = 5L, k = 20)
 
+  /** t53: per-source vocabulary statistics — tokens, distinct tokens
+    * (vocabulary), and docs per source: the Heaps-law corpus profile
+    * every mixture decision starts from (a source whose vocabulary
+    * stopped growing is saturated; one with tiny vocab/token ratio is
+    * template spam). Exact integers; one explode + one two-level agg. */
+  val t53VocabStats: Q = (s, d) =>
+    documents(s, d)
+      .select(col("source"), col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct("tok").as("n_vocab"),
+        countDistinct("doc_id").as("n_docs"))
+
   /** t15: winnowing (rolling-hash) document fingerprints — the MOSS
     * partial-overlap detector ([[TextAnalysis.winnowFingerprints]]), k=3
     * token grams, window w=4, md5-parity hashes. One row per (doc,
@@ -1878,6 +1893,7 @@ object LlmInventory {
     "d17_sorted_neighborhood" -> d17SortedNeighborhood,
     "t51_bpe_apply" -> t51BpeApply,
     "t52_pmi_pairs" -> t52PmiPairs,
+    "t53_vocab_stats" -> t53VocabStats,
     "t42_url_normalize" -> t42UrlNormalize,
     "d15_host_cap" -> d15HostCap,
     "t43_html_strip" -> t43HtmlStrip,
@@ -3727,6 +3743,15 @@ object LlmInventory {
         |FROM sc
         |ORDER BY score DESC, doc_id ASC
         |LIMIT 20""".stripMargin,
+    "t53_vocab_stats" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id, unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS t
+        |  FROM documents)
+        |SELECT source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(DISTINCT t) AS BIGINT) AS n_vocab,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM tok GROUP BY source""".stripMargin,
     "t52_pmi_pairs" ->
       """WITH d AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
