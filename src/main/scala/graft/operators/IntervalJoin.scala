@@ -68,22 +68,33 @@ object IntervalJoin {
   }
 
   /** One side of the salt grid: every row gets its OWN salt
-    * (`pmod(hash(rowid), ownFactor)` — uniform spread; exact balance is
-    * not needed, only boundedness) and is REPLICATED across the other
-    * side's `repFactor` cells. Cold rows (no hot entry) pin both to 0
-    * with factor-1 replication, so they flow through the same join with
-    * zero row growth. */
+    * (`pmod(xxhash64(own columns), ownFactor)` — uniform spread; exact
+    * balance is not needed, only boundedness) and is REPLICATED across
+    * the other side's `repFactor` cells. Cold rows (no hot entry) pin
+    * both to 0 with factor-1 replication, so they flow through the same
+    * join with zero row growth.
+    *
+    * The salt is DETERMINISTIC in the row content (never
+    * `monotonically_increasing_id()`, whose value depends on task
+    * layout): on a real cluster a retried/speculated task must
+    * recompute the identical salt for rows whose copies already
+    * shuffled, or pairs drop/duplicate — the exact bug class salting
+    * exists to avoid. Byte-identical duplicate rows share a salt (they
+    * co-locate in one cell); that is a bounded-imbalance concern, never
+    * a correctness one. */
   private def gridSide(
       df: DataFrame, hot: DataFrame,
       ownSalt: String, ownFactor: String,
-      repSalt: String, repFactor: String): DataFrame =
+      repSalt: String, repFactor: String): DataFrame = {
+    val ownHash = xxhash64(df.columns.map(col).toIndexedSeq: _*)
     df.join(broadcast(hot), Seq("__bucket"), "left")
       .withColumn(ownSalt,
         when(col(ownFactor).isNull, lit(0L))
-          .otherwise(pmod(xxhash64(monotonically_increasing_id()), col(ownFactor))))
+          .otherwise(pmod(ownHash, col(ownFactor))))
       .withColumn(repSalt,
         explode(sequence(lit(0L), coalesce(col(repFactor) - 1L, lit(0L)))))
       .drop("__fl", "__fr")
+  }
 
   /** Skew-bounded inner equi-join of two already-bucketed frames on
     * `__bucket` (+ the salt grid for hot buckets). Exactly-once: a pair

@@ -394,6 +394,11 @@ object Multimodal {
                 val writer = writers.next()
                 val bos = new java.io.ByteArrayOutputStream()
                 val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+                // finally-close: createImageOutputStream defaults to a
+                // FileCache stream backed by a temp file — a throw from
+                // writeToSequence on a bad payload would otherwise leak
+                // one fd + temp file PER bad row until JVM exit
+                try {
                 writer.setOutput(ios)
                 writer.prepareWriteSequence(null)
                 // interlace OFF: the JDK writer defaults to interlaced
@@ -425,8 +430,12 @@ object Multimodal {
                     new javax.imageio.IIOImage(img, null, null), p)
                 }
                 writer.endWriteSequence()
-                writer.dispose()
-                ios.close()
+                } finally {
+                  writer.dispose()
+                  // close BEFORE reading bos: the image output stream
+                  // caches writes and only flushes them down on close
+                  try ios.close() catch { case _: Throwable => () }
+                }
                 bos.toByteArray
               }
             }
@@ -464,32 +473,41 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](bI)
           val frames: Seq[(Int, Int, Int, Long)] =
             if (bytes == null) null
-            else try {
-              val iis = javax.imageio.ImageIO.createImageInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-              val readers = javax.imageio.ImageIO.getImageReaders(iis)
-              if (!readers.hasNext) null
-              else {
-                val reader = readers.next()
-                reader.setInput(iis)
-                val n = reader.getNumImages(true)
-                val out = (0 until n).map { i =>
-                  val img = reader.read(i)
-                  val (w, h) = (img.getWidth, img.getHeight)
-                  var sum = 0L
-                  var y = 0
-                  while (y < h) {
-                    var x = 0
-                    while (x < w) { sum += (img.getRGB(x, y) & 0xFF); x += 1 }
-                    y += 1
+            else {
+              // finally-close: the input stream defaults to a FileCache
+              // variant (temp file + fd); the old return-null-from-catch
+              // path leaked both on every undecodable row — a corpus with
+              // many bad payloads would exhaust fds/disk before JVM exit
+              var iis: javax.imageio.stream.ImageInputStream = null
+              var reader: javax.imageio.ImageReader = null
+              try {
+                iis = javax.imageio.ImageIO.createImageInputStream(
+                  new java.io.ByteArrayInputStream(bytes))
+                val readers = javax.imageio.ImageIO.getImageReaders(iis)
+                if (!readers.hasNext) null
+                else {
+                  reader = readers.next()
+                  reader.setInput(iis)
+                  val n = reader.getNumImages(true)
+                  (0 until n).map { i =>
+                    val img = reader.read(i)
+                    val (w, h) = (img.getWidth, img.getHeight)
+                    var sum = 0L
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) { sum += (img.getRGB(x, y) & 0xFF); x += 1 }
+                      y += 1
+                    }
+                    (i, w, h, sum)
                   }
-                  (i, w, h, sum)
                 }
-                reader.dispose()
-                iis.close()
-                out
+              } catch { case _: Throwable => null }
+              finally {
+                if (reader != null) try reader.dispose() catch { case _: Throwable => () }
+                if (iis != null) try iis.close() catch { case _: Throwable => () }
               }
-            } catch { case _: Throwable => null }
+            }
           if (frames == null) Iterator.single(Row(r.get(idI), null, null, null, null))
           else frames.iterator.map { case (i, w, h, sm) =>
             Row(r.get(idI), i, w, h, sm)

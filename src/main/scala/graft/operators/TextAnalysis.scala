@@ -405,16 +405,26 @@ object TextAnalysis {
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val scored = bm25Scored(df, idCol, textCol, queryTerms, k, k1, b)
-    import df.sparkSession.implicits._
     // rank assigned driver-side over the already-reduced k rows (no
-    // single-partition window)
-    val top = scored.select(
-      (col(idCol) +: queryTerms.indices.map(i => col(s"__tf_$i"))): _*).collect()
-    top.toSeq.zipWithIndex.map { case (r, i) =>
-      ((i + 1).toLong, r.getLong(0), queryTerms.indices.map(j => r.getInt(j + 1).toLong))
-    }.toDF("rnk", idCol, "tfs")
-      .select((col("rnk") +: col(idCol) +:
-        queryTerms.indices.map(i => col("tfs").getItem(i).as(s"tf_$i"))): _*)
+    // single-partition window); the id is read GENERICALLY and its
+    // original field type is preserved in the output schema — a caller
+    // with int/string ids must not hit a collect-time ClassCastException
+    val sel = scored.select(
+      (col(idCol) +: queryTerms.indices.map(i => col(s"__tf_$i"))): _*)
+    val top = sel.collect()
+    val outSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("rnk",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+        sel.schema.fields.head +:
+        queryTerms.indices.map(i => org.apache.spark.sql.types.StructField(
+          s"tf_$i", org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(top.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(
+          (i + 1).toLong +: r.get(0) +:
+            queryTerms.indices.map(j => r.getInt(j + 1).toLong))
+      }: _*)
+    df.sparkSession.createDataFrame(rows, outSchema)
   }
 
   /** The distributed subtree of [[bm25TopK]] — everything up to and
@@ -526,14 +536,29 @@ object TextAnalysis {
       .groupBy("tok").agg(count(lit(1)).as("n_tok"))
     val nt = uni.agg(sum("n_tok").as("nt"))
     val np = pairsAll.agg(sum("n").as("np"))
+    // Exactness bound: n·nt² wraps BIGINT silently (non-ANSI) once the
+    // corpus token total nt reaches ~2-3M for frequent pairs. Products
+    // are computed in Decimal(38,0) (exact to ~1e38, i.e. nt ~1e12) and
+    // asserted to fit the BIGINT output contract — the
+    // chiSquaredShiftFromCounts guard pattern: the assert rides the
+    // value itself so column pruning can't drop it.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val num = col("n").cast(dec) * col("nt").cast(dec) * col("nt").cast(dec)
+    val den = col("np").cast(dec) * col("n_left").cast(dec) * col("n_right").cast(dec)
+    def asLong(c: Column, name: String): Column =
+      (c + coalesce(
+        assert_true(c <= lit(Long.MaxValue).cast(dec), lit(
+          s"pmi_pairs: $name exceeds BIGINT — corpus token total too " +
+            "large for exact integer PMI output; shard or subsample")),
+        lit(0))).cast("long")
     pairsAll.filter(col("n") >= minCount)
       .join(uni.select(col("tok").as("left"), col("n_tok").as("n_left")), "left")
       .join(uni.select(col("tok").as("right"), col("n_tok").as("n_right")), "right")
       .crossJoin(broadcast(nt)).crossJoin(broadcast(np))
       .select(col("left"), col("right"), col("n").as("n_pair"),
         col("n_left"), col("n_right"),
-        (col("n") * col("nt") * col("nt")).as("pmi_num"),
-        (col("np") * col("n_left") * col("n_right")).as("pmi_den"))
+        asLong(num, "pmi_num").as("pmi_num"),
+        asLong(den, "pmi_den").as("pmi_den"))
       .withColumn("pmi_ratio",
         col("pmi_num").cast("double") / col("pmi_den").cast("double"))
       .orderBy(col("pmi_ratio").desc, col("left").asc, col("right").asc)

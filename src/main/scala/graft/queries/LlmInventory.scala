@@ -3720,10 +3720,10 @@ object LlmInventory {
     "t47_bm25" ->
       """WITH pd AS (
         |  SELECT doc_id,
-        |         CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS l,
-        |         CAST(len(list_filter(string_split(trim(text), ' '), x -> x = 'spark')) AS BIGINT) AS tf0,
-        |         CAST(len(list_filter(string_split(trim(text), ' '), x -> x = 'join')) AS BIGINT) AS tf1,
-        |         CAST(len(list_filter(string_split(trim(text), ' '), x -> x = 'customer')) AS BIGINT) AS tf2
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS l,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'spark')) AS BIGINT) AS tf0,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'join')) AS BIGINT) AS tf1,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'customer')) AS BIGINT) AS tf2
         |  FROM documents),
         |st AS (
         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(l) AS avglen,
@@ -3745,7 +3745,7 @@ object LlmInventory {
         |LIMIT 20""".stripMargin,
     "t53_vocab_stats" ->
       """WITH tok AS (
-        |  SELECT source, doc_id, unnest(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS t
+        |  SELECT source, doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS t
         |  FROM documents)
         |SELECT source,
         |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -3801,7 +3801,7 @@ object LlmInventory {
         |FROM r a JOIN r c ON a.blk = c.blk AND c.rn - a.rn BETWEEN 1 AND 3""".stripMargin,
     "t50_run_dedup" ->
       """WITH d AS (
-        |  SELECT doc_id, string_split(trim(text || ' rep rep rep tail'), ' ') AS ts
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text || ' rep rep rep tail', '\s+'), x -> x <> '') AS ts
         |  FROM documents),
         |tok AS (
         |  SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS i FROM d),
@@ -3826,10 +3826,10 @@ object LlmInventory {
     "t48_blocklist" ->
       """WITH h AS (
         |  SELECT doc_id,
-        |         CAST(len(list_filter(string_split(trim(text), ' '), x -> x = 'slow')) AS BIGINT) AS hits_0,
-        |         CAST(len(list_filter(string_split(trim(text), ' '), x -> x = 'hash')) AS BIGINT) AS hits_1,
-        |         CAST(len(list_filter(string_split(trim(text), ' '), x -> x = 'spark')) AS BIGINT) AS hits_2,
-        |         CAST(len(list_filter(string_split(trim(text), ' '), x -> x = 'window')) AS BIGINT) AS hits_3
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'slow')) AS BIGINT) AS hits_0,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'hash')) AS BIGINT) AS hits_1,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'spark')) AS BIGINT) AS hits_2,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x = 'window')) AS BIGINT) AS hits_3
         |  FROM documents)
         |SELECT doc_id, hits_0, hits_1, hits_2, hits_3,
         |       hits_0 + hits_1 + hits_2 + hits_3 AS total_hits,
