@@ -1114,23 +1114,31 @@ object Scale {
     require(removedSecond == 0L,
       s"run-dedup idempotence broke: second pass removed $removedSecond")
 
-    // SNM blocking: zero-padded ids as keys → blockLen=2 gives exactly
-    // ceil(nDocs/1e5) blocks of known size, so the candidate-pair count
-    // has a closed form: per block of n, n·w − w(w+1)/2 (every row pairs
-    // with its w predecessors except the first w rows' deficit)
+    // SNM blocking under PLANTED KEY SKEW: every key shares the single
+    // 1-char prefix 'Z' — with blockLen=1 that is ONE block of nDocs rows,
+    // the natural-skew worst case that would sort in ONE task under a
+    // per-block window. The range-partitioned form must (a) return the
+    // exact closed-form pair count for a single block — n·w − w(w+1)/2 —
+    // and (b) keep every task bounded at ~n/p rows (measured, not assumed).
     val snmW = 3
+    val snmKeyed = docs.select(
+      col("doc_id"), format_string("Z%07d", col("doc_id")).as("k"))
+    val snmMaxTask = graft.operators.Dedup
+      .snmSorted(snmKeyed, "doc_id", "k", blockLen = 1)
+      .groupBy(spark_partition_id()).count()
+      .agg(max("count")).head().getLong(0)
+    val snmParts = cpus.toInt
+    require(snmMaxTask <= 4L * (nDocs / snmParts + 1),
+      s"SNM range partitioning is unbalanced: max task $snmMaxTask rows " +
+        s"vs ~${nDocs / snmParts} expected")
     val (snmPairs, snmSec) = timed {
       graft.operators.Dedup.sortedNeighborhoodPairs(
-        docs.select(col("doc_id"), format_string("%07d", col("doc_id")).as("k")),
-        "doc_id", "k", window = snmW, blockLen = 2).count()
+        snmKeyed, "doc_id", "k", window = snmW, blockLen = 1).count()
     }
-    val blockSize = 100000L
-    val fullBlocks = nDocs / blockSize
-    val rem = nDocs % blockSize
     def pairsOf(n: Long): Long =
       if (n > snmW) n * snmW - snmW.toLong * (snmW + 1) / 2
       else n * (n - 1) / 2
-    val expectSnm = fullBlocks * pairsOf(blockSize) + (if (rem > 0) pairsOf(rem) else 0L)
+    val expectSnm = pairsOf(nDocs)
     require(snmPairs == expectSnm,
       s"SNM invariant broke: got $snmPairs, closed form says $expectSnm")
 
@@ -1150,7 +1158,7 @@ object Scale {
          || BM25 top-10 (1 term) | ${f"$bm25Sec%.1f"} | ${f"${nDocs / bm25Sec}%.0f"} | all 10 hits planted docs at tf=3 ✓ |
          || blocklist stats + flag | ${f"$blockSec%.1f"} | ${f"${nDocs / blockSec}%.0f"} | flagged = hits = $nFlagged = n/10 EXACT |
          || duplicate-run rewrite | ${f"$runSec%.1f"} | ${f"${nDocs / runSec}%.0f"} | removed $removedFirst ≥ 2n; 2nd pass removes 0 (idempotent) |
-         || SNM blocking (w=$snmW, ${fullBlocks + (if (rem > 0) 1 else 0)} blocks) | ${f"$snmSec%.1f"} | ${f"${nDocs / snmSec}%.0f"} | $snmPairs candidate pairs = Σ n·w − w(w+1)/2 EXACT |
+         || SNM blocking (w=$snmW, ONE planted-skew block) | ${f"$snmSec%.1f"} | ${f"${nDocs / snmSec}%.0f"} | $snmPairs pairs = n·w − w(w+1)/2 EXACT; max task $snmMaxTask rows ≈ n/$snmParts (range-bounded) |
          || peak heap | $heapMb MB | | |
          |
          |- all three are shuffle-free on the corpus (PlanSpec-gated): BM25's

@@ -830,29 +830,98 @@ object Dedup {
     * typos, truncations, and formatting drift in short keys (names,
     * titles, URLs).
     *
-    * Distributed form: the classic single sorted pass becomes sort
-    * WITHIN blocks (`blockLen`-char key prefix) — one exchange + one
-    * sort, embarrassingly parallel across blocks, exactly the SNM
-    * multi-pass recommendation (runs with different keys union their
-    * candidates). Pairs come from ONE window computing an array of
-    * `window` lags, exploded once — not `window` self-scans. Ordering is
-    * the total order (key, id), so candidates are deterministic; output
-    * is (d1, d2) with d1 the earlier record in sort order. Downstream
-    * verifies candidates with whatever exact measure the pipeline wants
-    * (levenshtein, Jaccard) — blocking only promises the candidate SET. */
+    * Distributed form: because the block is a PREFIX of the key, the
+    * total order (key, id) already lays blocks out contiguously — so ONE
+    * global `repartitionByRange(key, id)` + `sortWithinPartitions`
+    * serves both the block gating and the neighborhood, and the range
+    * partitioner's sampled split points bound EVERY task at ~n/p rows
+    * regardless of how skewed the natural key prefixes are (English
+    * titles pile onto a few letters; a per-block window would sort a
+    * hot block in one unbounded task — the quadratic-family hazard the
+    * LSH buckets and the interval-join salt grid already guard).
+    * Partition boundaries are healed by a boundary exchange: each
+    * partition ships its LAST `window` rows (p·window rows total — the
+    * one bounded collect), and partition i seeds its sliding ring with
+    * the last `window` rows of the full prefix before it, computable
+    * from the tails alone (any prefix row missing from a tail is
+    * followed by ≥ window same-partition rows, so it can never be a
+    * cross-boundary predecessor). Pairs then come from one per-partition
+    * sliding pass: each row pairs with the ring entries sharing its
+    * block — exactly the per-block window's candidate set, independent
+    * of where the sampled split points fell.
+    *
+    * Ordering is the total order (key, id), so candidates are
+    * deterministic; output is (d1, d2) with d1 the earlier record in
+    * sort order. Downstream verifies candidates with whatever exact
+    * measure the pipeline wants (levenshtein, Jaccard) — blocking only
+    * promises the candidate SET. */
   def sortedNeighborhoodPairs(
       df: DataFrame, idCol: String, keyCol: String,
       window: Int, blockLen: Int = 1): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")
     require(blockLen >= 1, s"blockLen must be >= 1: $blockLen")
-    val w = Window.partitionBy("__block")
-      .orderBy(col(keyCol).asc, col(idCol).asc)
+    val spark = df.sparkSession
+    val sorted = snmSorted(df, idCol, keyCol, blockLen).persist()
+    // ONE physical RDD for both passes below: the tails job and the pairs
+    // job must see the identical partition layout (a second .rdd would
+    // re-plan and the range partitioner could re-sample different bounds)
+    val rdd = sorted.rdd
+    val nParts = math.max(1, rdd.getNumPartitions)
+    // boundary exchange: last `window` (id, block) rows per partition —
+    // p·window rows, the operator's only collect, bounded by config not data
+    val tails: Array[Array[(Any, String)]] = {
+      val collected = rdd.mapPartitionsWithIndex { (pi, it) =>
+        val ring = new scala.collection.mutable.ArrayDeque[(Any, String)]()
+        it.foreach { r =>
+          ring.append((r.get(0), r.getString(2)))
+          if (ring.size > window) ring.removeHead()
+        }
+        Iterator.single((pi, ring.toArray))
+      }.collect()
+      val byIdx = Array.fill(nParts)(Array.empty[(Any, String)])
+      collected.foreach { case (pi, t) => byIdx(pi) = t }
+      byIdx
+    }
+    val seeds = Array.fill(nParts)(Array.empty[(Any, String)])
+    var acc = Vector.empty[(Any, String)]
+    var i = 0
+    while (i < nParts) {
+      seeds(i) = acc.toArray
+      acc = (acc ++ tails(i)).takeRight(window)
+      i += 1
+    }
+    val seedsB = spark.sparkContext.broadcast(seeds)
+    val idType = df.schema(idCol).dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("d1", idType, nullable = true),
+      org.apache.spark.sql.types.StructField("d2", idType, nullable = true)))
+    val pairRdd = rdd.mapPartitionsWithIndex { (pi, it) =>
+      val ring = new scala.collection.mutable.ArrayDeque[(Any, String)]()
+      seedsB.value(pi).foreach(ring.append(_))
+      it.flatMap { r =>
+        val id = r.get(0)
+        val blk = r.getString(2)
+        val preds = ring.iterator
+          .collect { case (pid, pblk) if pblk == blk => pid }.toArray
+        ring.append((id, blk))
+        if (ring.size > window) ring.removeHead()
+        preds.iterator.map(d1 => org.apache.spark.sql.Row(d1, id))
+      }
+    }
+    materializeAndRelease(spark.createDataFrame(pairRdd, outSchema), sorted)
+  }
+
+  /** The distributed subtree of [[sortedNeighborhoodPairs]] — the one
+    * range exchange + in-partition sort the operator is built on
+    * (exposed so the plan shape is testable: RangePartitioning bounds
+    * every task at ~n/p rows under ANY key-prefix skew; no Window, no
+    * self-join). Columns: (id, key, __block), sorted by (key, id). */
+  private[graft] def snmSorted(
+      df: DataFrame, idCol: String, keyCol: String, blockLen: Int): DataFrame = {
+    val p = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
     df.select(col(idCol), col(keyCol))
       .withColumn("__block", substring(col(keyCol), 1, blockLen))
-      .withColumn("__prevs",
-        array((1 to window).map(j => lag(idCol, j).over(w)): _*))
-      .select(col(idCol).as("d2"), explode(col("__prevs")).as("d1"))
-      .filter(col("d1").isNotNull)
-      .select(col("d1"), col("d2"))
+      .repartitionByRange(p, col(keyCol).asc, col(idCol).asc)
+      .sortWithinPartitions(col(keyCol).asc, col(idCol).asc)
   }
 }

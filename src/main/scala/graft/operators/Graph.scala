@@ -492,13 +492,34 @@ object Graph {
     * actors. Scale shape per round: two equi-joins of the edge list
     * against node-score frames + two partial-agg SUMs (the g1/g7 cost
     * model); scores stay exact BIGINTs (magnitudes grow ~(avg degree)^r
-    * — bound rounds accordingly). Returns (node, hub, authority) with 0
+    * — an up-front degree-derived `require` refuses a rounds count whose
+    * worst case exceeds 62 bits, since a silent non-ANSI sum() wrap would
+    * be a wrong ANSWER, not a slow one). Returns (node, hub, authority) with 0
     * for a side the node never plays. */
   def hits(
       edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1, s"hits: rounds must be >= 1, got $rounds")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // OVERFLOW GUARD: scores grow up to (maxInDeg·maxOutDeg) per round,
+    // and in non-ANSI mode sum(BIGINT) wraps SILENTLY — the one way this
+    // operator could return a wrong answer at scale. Two cheap degree
+    // aggs (map-side combined; the edge frame is scanned 2·rounds times
+    // anyway) bound the worst case a priori: a_r ≤ maxIn·h_{r-1} and
+    // h_r ≤ maxOut·a_r, so max score ≤ (maxIn·maxOut)^rounds — require
+    // that within 62 bits or fail LOUD with the measured degrees.
+    // Degree-1 graphs (scores pinned at 1) pass via the max(2,·) floor.
+    val maxIn = e.groupBy("dst").agg(count(lit(1)).as("d"))
+      .agg(coalesce(max("d"), lit(1L))).head().getLong(0)
+    val maxOut = e.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(coalesce(max("d"), lit(1L))).head().getLong(0)
+    val bitsPerRound =
+      math.log(math.max(2.0, maxIn.toDouble * maxOut.toDouble)) / math.log(2.0)
+    require(rounds * bitsPerRound <= 62.0,
+      s"hits: $rounds rounds over a graph with max in-degree $maxIn and " +
+        s"max out-degree $maxOut can overflow the exact BIGINT scores " +
+        f"(worst case ~${rounds * bitsPerRound}%.0f bits > 62); lower " +
+        "rounds or pre-aggregate the graph")
     var h = e.select(col("src").as("node")).distinct()
       .withColumn("score", lit(1L))
     var a: DataFrame = null

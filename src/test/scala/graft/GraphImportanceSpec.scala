@@ -56,6 +56,20 @@ class GraphImportanceSpec extends AnyFunSuite {
     assert(r("c2") === ((5L, 0L))) // h2: c2 = a2(p2) = 5
   }
 
+  test("hits: refuses round counts whose worst case would wrap the exact BIGINT scores") {
+    // complete bipartite 64x64: maxIn = maxOut = 64 => 12 bits per round;
+    // 6 rounds ~ 72 bits worst case > 62 — this must fail LOUD, because a
+    // silent non-ANSI sum() wrap would return wrong rankings
+    val dense = (for (i <- 0 until 64; j <- 0 until 64)
+      yield (s"u$i", s"v$j")).toDF("s", "d")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.hits(dense, "s", "d", rounds = 6).collect()
+    }
+    assert(ex.getMessage.contains("overflow"))
+    // the same graph within the bound still runs (worst case 5*12=60 bits)
+    assert(Graph.hits(dense, "s", "d", rounds = 2).count() === 128L)
+  }
+
   test("sortedNeighborhoodPairs: window candidates match the rank-distance definition") {
     import graft.operators.Dedup
     val df = Seq((1L, "apple"), (2L, "apply"), (3L, "appel"), (4L, "apple"),
@@ -69,6 +83,27 @@ class GraphImportanceSpec extends AnyFunSuite {
       (3L, 1L), (3L, 4L), (1L, 4L), (1L, 2L), (4L, 2L),
       (5L, 6L), (5L, 7L), (6L, 7L))
     assert(got === expected)
+  }
+
+  test("sortedNeighborhoodPairs: one giant block spans partitions — boundary tails heal the seams") {
+    import graft.operators.Dedup
+    // ALL keys share the 1-char prefix 'Z' (the natural-skew worst case a
+    // per-block window would sort in ONE task); n >> shuffle partitions so
+    // the block provably spans many range partitions. Closed form for a
+    // single block of n distinct keys, window w: n·w − w(w+1)/2.
+    val n = 5000
+    val w = 3
+    val df = spark.range(n)
+      .select(col("id"), format_string("Z%09d", col("id")).as("k"))
+      .repartition(16) // scattered input — the operator must re-range it
+    val pairs = Dedup.sortedNeighborhoodPairs(df.toDF(), "id", "k", window = w)
+    assert(pairs.count() === n.toLong * w - w * (w + 1) / 2)
+    // spot-check the seam semantics: every d2 pairs with its w sort
+    // predecessors, which for key = zero-padded id is just id-1..id-w
+    val got = pairs.filter(col("d2") === 2500)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(2497L, 2498L, 2499L))
+    pairs.unpersist()
   }
 
   test("weightedPerKey: weights move the quantile where counts would not") {

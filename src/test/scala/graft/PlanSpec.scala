@@ -2,7 +2,7 @@ package graft
 
 import graft.queries.{Inventory, LlmInventory}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, substring}
 import org.apache.spark.sql.execution.ExplainMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -233,14 +233,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
-  test("d17_sorted_neighborhood: one block exchange + one sort, no self-join") {
-    val p = planOf("d17_sorted_neighborhood")
-    // the window builds ALL lags in one array — no per-window self-scans
+  test("d17_sorted_neighborhood: one RANGE exchange + in-partition sort, no window, no self-join") {
+    // the operator's distributed subtree (the query frame itself is the
+    // boundary-healed per-partition pass over it — the bm25Scored pattern)
+    val df = graft.operators.Dedup.snmSorted(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), substring(col("text"), 1, 8).as("k")),
+      "doc_id", "k", blockLen = 1)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // range partitioning bounds every task at ~n/p rows under ANY
+    // key-prefix skew — the hot-block hazard a per-block Window had
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("Window"), p)
     assert(!p.contains("Join"), p)
     // exactly one exchange in the plan TREE (the formatted detail section
     // repeats each node name once more)
     assert(p.linesIterator.count(_.contains("Exchange (")) === 1, p)
-    assert(p.contains("Window"), p)
   }
 
   test("a25_weighted_quantiles: window runs over the histogram, not the fact") {
