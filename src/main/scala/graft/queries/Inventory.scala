@@ -1883,6 +1883,46 @@ object Inventory {
           .as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** J34: the TPC-H Q9 product-type-profit shape — the 6-table star the
+    * sweep previously excused for lack of partsupp. The supply-cost side
+    * is SYNTHESIZED over the distinct (partkey, suppkey) pairs actually
+    * traded, with a closed-form cost both engines rebuild independently
+    * (`ps_supplycost = (7·partkey + 3·suppkey) mod 1000 + 1` as an
+    * integer-valued DECIMAL(18,2)) — the p1-gate pattern. Profit =
+    * revenue − supplycost·qty accumulates as exact decimals; one double
+    * cast at the very end. Plan: the name-filtered part list broadcasts
+    * into the fact; partsupp joins on the composite (partkey, suppkey)
+    * key (a genuine fact-sized shuffle join — partsupp is 0.8·lineitem
+    * here and 4·parts in real TPC-H, never broadcastable); nation
+    * broadcasts into supplier; supplier⋈fact is left to AQE (dim is
+    * ~1/1000 of the fact — broadcast at bench scale, shuffle at 100 TB). */
+  val j34ProductProfit: Q = (s, d) => {
+    val li = lineitem(s, d).select("l_orderkey", "l_partkey", "l_suppkey",
+      "l_quantity", "l_extendedprice", "l_discount")
+    val ps = li.select(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey")).distinct()
+      .withColumn("ps_supplycost",
+        (pmod(col("ps_partkey") * 7 + col("ps_suppkey") * 3, lit(1000L)) + 1)
+          .cast(DecimalType(18, 2)))
+    val p = part(s, d).filter(col("p_name").like("%red%")).select("p_partkey")
+    val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation(s, d).select(col("n_nationkey"),
+        col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "nation")
+    val o = orders(s, d).select("o_orderkey", "o_orderdate")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(ps, col("l_partkey") === col("ps_partkey") &&
+        col("l_suppkey") === col("ps_suppkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(revenue -
+        col("ps_supplycost") * col("l_quantity").cast(DecimalType(18, 2)))
+        .cast("double").as("sum_profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
   /** J31: the TPC-H Q8 national-market-share shape — the deepest star in
     * the suite (region→nation→customer→orders→lineitem→supplier→nation
     * again): within one region's market, the share of revenue supplied
@@ -2363,6 +2403,7 @@ object Inventory {
     "j31_market_share" -> j31MarketShare,
     "j32_top_supplier" -> j32TopSupplier,
     "j33_forecast_revenue" -> j33ForecastRevenue,
+    "j34_product_profit" -> j34ProductProfit,
     "a14_rolling_dau" -> a14RollingDau,
     "w7_first_touch" -> w7FirstTouch,
     "a15_funnel_conversion" -> a15FunnelConversion,
@@ -3070,6 +3111,30 @@ object Inventory {
       """SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'
         |INTERSECT ALL
         |SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'""".stripMargin,
+    // partsupp is synthesized from the distinct traded (partkey, suppkey)
+    // pairs with the SAME closed-form supply cost the Spark side builds —
+    // the p1-gate construction; all arithmetic exact decimal until the
+    // final double cast
+    "j34_product_profit" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |  FROM lineitem),
+        |ps2 AS (
+        |  SELECT ps_partkey, ps_suppkey,
+        |         CAST((7 * ps_partkey + 3 * ps_suppkey) % 1000 + 1 AS DECIMAL(18,2)) AS ps_supplycost
+        |  FROM ps)
+        |SELECT n_name AS nation,
+        |       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |                - ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem, part, supplier, nation, orders, ps2
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |  AND p_name LIKE '%red%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
     "j33_forecast_revenue" ->
       """SELECT
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
