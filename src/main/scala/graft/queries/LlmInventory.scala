@@ -1447,6 +1447,41 @@ object LlmInventory {
       documents(s, d).select(col("doc_id"), substring(col("text"), 1, 8).as("k")),
       "doc_id", "k", window = 3)
 
+  /** r7: the streaming exact-dedup arm under the HARD gate — the s19
+    * pattern (run the stream over the batch corpus, declare equality
+    * with the batch twin as the oracle), applied to the state-store
+    * path: the documents table drains as a file stream
+    * (`Trigger.AvailableNow`), [[graft.streaming.StreamingJobs
+    * .streamingExactDedup]]'s keyed dropDuplicates passes the FIRST
+    * arrival of each content hash, and the projection keeps only the
+    * content hash — WHICH survivor arrival order picked is
+    * nondeterministic, but the SET of distinct hashes is not. The
+    * DuckDB oracle is the batch twin (`SELECT DISTINCT md5(text)`), so
+    * a duplicate leaking through the state store — or a hash dropped by
+    * it — is a row-count/hash mismatch, not a silent pass. Every doc is
+    * PLANTED twice (explode to 2 copies) because the corpus texts are
+    * naturally distinct — the state store must drop exactly half the
+    * arrivals, not just pass rows through. */
+  val r7StreamExactDedup: Q = (s, d) => {
+    val path = s"$d/documents.parquet"
+    val schema = s.read.parquet(path).schema
+    // the file stream source wants a DIRECTORY: stream the sf dir with a
+    // glob pinned to the one table file
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .withColumn("__copy", explode(array(lit(0), lit(1))))
+    val dd = graft.streaming.StreamingJobs.streamingExactDedup(stream, "text")
+      .select(md5(col("text")).as("h"))
+    val tbl = "r7_stream_dedup_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("r7_ckpt").toString
+    val q = dd.writeStream.format("memory").queryName(tbl)
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(tbl)
+  }
+
   /** t51: BPE merge-table APPLY ([[graft.operators.BpeTrain
     * .applyMerges]]) — tokenize with a frozen 2-entry table whose second
     * merge consumes the first's output (w1 w2 → w1▁w2; w1▁w2 w3 →
@@ -1891,6 +1926,7 @@ object LlmInventory {
     "t49_domain_stats" -> t49DomainStats,
     "t50_run_dedup" -> t50RunDedup,
     "d17_sorted_neighborhood" -> d17SortedNeighborhood,
+    "r7_stream_exact_dedup" -> r7StreamExactDedup,
     "t51_bpe_apply" -> t51BpeApply,
     "t52_pmi_pairs" -> t52PmiPairs,
     "t53_vocab_stats" -> t53VocabStats,
@@ -2193,6 +2229,10 @@ object LlmInventory {
     "d2_exact_dedup" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // the batch twin of the streaming state-store dedup: the stream must
+    // emit exactly one row per distinct content hash
+    "r7_stream_exact_dedup" ->
+      """SELECT DISTINCT md5(text) AS h FROM documents""".stripMargin,
     "t7_hash_split" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
