@@ -97,7 +97,22 @@ object BpeTrain {
     * table in order. The working token frame is persisted per iteration
     * and the superseded one released — k iterations hold exactly one
     * tokenized corpus copy, like the PageRank loop's checkpoint
-    * discipline. */
+    * discipline.
+    *
+    * INTENDED REGIME — k in the tens to low hundreds (domain vocab
+    * extensions, collocation tables): the loop is exact greedy BPE at
+    * one full corpus pass per merge, so a 32k production vocabulary
+    * would be 32k passes — wrong tool. The production path at that
+    * scale is: train on a small deterministic SAMPLE (merge tables are
+    * stable under sampling — frequency ranks, not counts, drive the
+    * trajectory; [[graft.operators.Sampling]] has the hash-sampler),
+    * then encode the FULL corpus with [[applyMerges]], which is one
+    * zero-shuffle scan whatever the table length. Batching merges
+    * between recounts was considered and rejected: a merge can create
+    * emergent pairs (joined-token adjacencies) whose count exceeds the
+    * batch's next pick, so batched selection silently leaves the exact
+    * greedy trajectory — no cheap post-hoc verification bounds
+    * mid-trajectory counts without per-position deltas. */
   def learnMerges(
       df: DataFrame, textCol: String, k: Int,
       joiner: String = "▁", minCount: Long = 2L): Seq[Merge] = {

@@ -1403,7 +1403,7 @@ object Inventory {
     * size × part popularity, not corpus size. Pair enumeration is
     * per-order (baskets are small: C(lines, 2) each), distinct'd on the
     * pair. */
-  private def partCooccurrence(s: SparkSession, d: String): DataFrame = {
+  private[graft] def partCooccurrence(s: SparkSession, d: String): DataFrame = {
     val lp = lineitem(s, d)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
       .distinct()
