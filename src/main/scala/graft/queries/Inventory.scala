@@ -1109,6 +1109,95 @@ object Inventory {
       "user_id", "ts", "event_id", gapSeconds = 1800L)
   }
 
+  /** Drain a testdata table as a bounded file STREAM (the r7/r8/r9
+    * hard-gate pattern): schema from the batch read, the sf directory
+    * glob-pinned to the one table file, Trigger.AvailableNow, results
+    * through a uniquely-named memory sink. `mode` is the sink output
+    * mode — `complete` for windowed aggregations (every window emits in
+    * the final snapshot; append would hold back windows the watermark
+    * hasn't passed when the stream self-stops). */
+  private def drainStream(
+      s: SparkSession, d: String, tableFile: String, prefix: String,
+      mode: String)(build: DataFrame => DataFrame): DataFrame = {
+    val schema = s.read.parquet(s"$d/$tableFile").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", tableFile).parquet(d)
+    val tbl = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory(prefix).toString
+    val q = build(stream).writeStream.format("memory").queryName(tbl)
+      .outputMode(mode).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(tbl)
+  }
+
+  /** R8: STREAMING tumbling-window counts under the hard gate (the r7
+    * pattern applied to the watermark/window-agg path): the events table
+    * drains as a file stream through [[graft.streaming.StreamingJobs
+    * .windowedActivity]] (5-minute windows, watermarked), complete-mode
+    * snapshot at stream end, and the DuckDB oracle is the batch twin —
+    * exact integer bucket arithmetic (epoch µs div 300e6), so a window
+    * the state store dropped, split, or double-counted is a hash
+    * mismatch. Counts only: the value sum stays out of the compare (IEEE
+    * accumulation order differs by design between engines). */
+  val r8StreamWindowCounts: Q = (s, d) =>
+    drainStream(s, d, "events.parquet", "r8_wc_", "complete") { ev =>
+      graft.streaming.StreamingJobs.windowedActivity(
+        ev.withColumn("__ts", eventTs(ev).cast("timestamp")), "__ts", "event_type")
+    }
+      .select(col("window_start").cast("long").as("start_s"),
+        col("event_type"), col("n"))
+
+  /** R9: STREAMING gap sessions (native `session_window`) under the hard
+    * gate — the merging-window state path, strictly harder state than
+    * r8's fixed buckets: the engine must MERGE overlapping per-user
+    * session fragments across micro-batches. Complete-mode snapshot at
+    * stream end; the oracle replays the session semantics exactly in µs
+    * integers (merge while delta < gap; end = last event + gap). Gap is
+    * [[graft.streaming.StreamingJobs.sessionWindows]]'s 1801 s default —
+    * the w4 batch parity shift (session_window merges on `delta < gap`,
+    * the batch operator on `delta <= gap`). */
+  val r9StreamSessionWindows: Q = (s, d) =>
+    drainStream(s, d, "events.parquet", "r9_sw_", "complete") { ev =>
+      graft.streaming.StreamingJobs.sessionWindows(
+        ev.withColumn("__ts", eventTs(ev).cast("timestamp")), "__ts", "user_id")
+    }
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("n_events"))
+
+  /** R10: STREAMING stream-stream attribution join under the hard gate —
+    * the third streaming state family after r7 (keyed dedup) and r8/r9
+    * (windowed aggs): a symmetric hash join where BOTH sides buffer in
+    * the state store until the opposite watermark proves no match can
+    * still arrive. Clicks and purchases are two independent file streams
+    * over the same events table; the INNER time-range join emits each
+    * match exactly once as it forms, so the AvailableNow drain equals
+    * the batch join twin row-for-row — the oracle mirrors the time
+    * bound and the seconds-truncated lag in exact integer µs/seconds
+    * arithmetic. */
+  val r10StreamAttribution: Q = (s, d) => {
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    def side(tpe: String, user: String, id: String, ts: String): DataFrame = {
+      val ev = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      ev.filter(col("event_type") === tpe)
+        .select(col("user_id").as(user), col("event_id").as(id),
+          eventTs(ev).cast("timestamp").as(ts))
+    }
+    val joined = graft.streaming.StreamingJobs.attributionJoin(
+      side("click", "c_user", "click_id", "click_ts"),
+      side("purchase", "p_user", "purchase_id", "purchase_ts"))
+    val tbl = "r10_attr_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("r10_attr_").toString
+    val q = joined.writeStream.format("memory").queryName(tbl)
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(tbl)
+  }
+
   /** A11: per-key discrete percentiles (DuckDB `quantile_disc` parity:
     * smallest v with cum_count ≥ ⌈q·n⌉) WITHOUT sorting the corpus — the
     * cumulative window runs over the per-key DISTINCT-VALUE histogram,
@@ -2376,6 +2465,9 @@ object Inventory {
     "j8_asof_join" -> j8AsofJoin,
     "j21_asof_tolerance" -> j21AsofTolerance,
     "w4_sessionization" -> w4Sessionization,
+    "r8_stream_window_counts" -> r8StreamWindowCounts,
+    "r9_stream_session_windows" -> r9StreamSessionWindows,
+    "r10_stream_attribution" -> r10StreamAttribution,
     "a11_percentiles" -> a11Percentiles,
     "a23_mad_outliers" -> a23MadOutliers,
     "w10_trailing_anomaly" -> w10TrailingAnomaly,
@@ -2767,6 +2859,44 @@ object Inventory {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) t
         |WHERE event_type = 'click'""".stripMargin,
+    // the batch twin of the streaming tumbling-window counts: exact
+    // integer bucket arithmetic, same 300 s epoch-aligned buckets
+    "r8_stream_window_counts" ->
+      """SELECT (epoch_us(ts) // 300000000) * 300 AS start_s,
+        |       event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // the batch twin of the streaming session_window: merge while
+    // delta < gap (1801 s, all in exact epoch-µs integers), session end =
+    // last event + gap
+    "r9_stream_session_windows" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT user_id, us,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |               OR us - lag(us) OVER w >= 1801000000
+        |             THEN 1 ELSE 0 END AS new_sess
+        |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |g AS (SELECT user_id, us,
+        |        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM f)
+        |SELECT user_id, MIN(us) AS start_us,
+        |       CAST(MAX(us) + 1801000000 AS BIGINT) AS end_us,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+    // the batch twin of the streaming attribution join: same time-range
+    // bound in exact µs, lag truncated to whole seconds the way
+    // unix_timestamp subtraction truncates
+    "r10_stream_attribution" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, click_id, purchase_id,
+        |       p_us // 1000000 - c_us // 1000000 AS lag_s
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p_us >= c_us AND p_us <= c_us + 3600000000""".stripMargin,
     "w4_sessionization" ->
       """WITH s AS (SELECT user_id, event_id, ts, epoch_us(ts) // 1000000 AS sec FROM events),
         |f AS (SELECT user_id, event_id, ts, sec,
