@@ -251,6 +251,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Exchange (")) === 1, p)
   }
 
+  test("j34_product_profit: part filter broadcasts into the fact, no cartesian, no nested loop") {
+    val p = planOf("j34_product_profit")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the name filter reaches the part scan, not a post-join residual
+    assert(p.contains("StringContains(p_name,red)"), p)
+  }
+
   test("a25_weighted_quantiles: window runs over the histogram, not the fact") {
     val p = planOf("a25_weighted_quantiles")
     // histogram agg (partial + final) BEFORE the window — the fact never
