@@ -24,6 +24,42 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(agg.finish(buf).map(_.id) === Seq(100L, 99L, 98L))
   }
 
+  test("bm25TopK: non-long id columns survive the driver-side rank stamping") {
+    // regression: the rank stamping used to hardcode getLong(0) — a
+    // string/int id threw ClassCastException at collect time even though
+    // the signature accepts any idCol
+    val docs = Seq(
+      ("docA", "spark join spark"),
+      ("docB", "spark only"),
+      ("docC", "nothing relevant")).toDF("id", "text")
+    val r = graft.operators.TextAnalysis
+      .bm25TopK(docs, "id", "text", Seq("spark"), k = 2)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    assert(r.toSeq === Seq((1L, "docA", 2L), (2L, "docB", 1L)))
+    // and the id field keeps its original type in the schema
+    val sch = graft.operators.TextAnalysis
+      .bm25TopK(docs, "id", "text", Seq("spark"), k = 2).schema
+    assert(sch("id").dataType === org.apache.spark.sql.types.StringType)
+  }
+
+  test("pmiPairs: exact ratios on a hand corpus; BIGINT-overflow guard fails loud, not wrapped") {
+    // "x y" appears twice, each token twice, N_tok = 8, N_pair = 6:
+    // ratio(x,y) = 2*64 / (6*2*2) = 16/3
+    val docs = Seq("x y a b", "x y c d").toDF("text")
+    val r = graft.operators.TextAnalysis.pmiPairs(docs, "text", minCount = 2L, k = 1)
+      .collect().head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) === (("x", "y", 2L)))
+    assert(r.getLong(5) === 2L * 8 * 8 && r.getLong(6) === 6L * 2 * 2)
+    // a corpus whose n*nt^2 exceeds BIGINT must fail LOUD (the old Long
+    // arithmetic wrapped silently): 3M repeated tokens -> 2.7e19 > 2^63
+    val big = Seq(("a " * 3000000).trim).toDF("text")
+    val ex = intercept[Exception] {
+      graft.operators.TextAnalysis.pmiPairs(big, "text", minCount = 2L, k = 1).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("pmi_pairs"),
+      s"expected the pmi_pairs overflow assert, got: ${ex.getMessage}")
+  }
+
   test("BoundedTopK: k >= group size returns the whole group, sorted") {
     val agg = new BoundedTopK(10)
     val out = finishOf(agg, Seq(ScoredId(1.0, 3L), ScoredId(5.0, 1L), ScoredId(2.0, 2L)))
