@@ -1153,7 +1153,11 @@ object Inventory {
     * r8's fixed buckets: the engine must MERGE overlapping per-user
     * session fragments across micro-batches. Complete-mode snapshot at
     * stream end; the oracle replays the session semantics exactly in µs
-    * integers (merge while delta < gap; end = last event + gap). Gap is
+    * integers (merge while delta < gap; end = last event + gap).
+    * Complete mode is the bounded-drain GATE shape — an unbounded
+    * production stream runs append mode with the watermark sealing
+    * sessions (state bounded by the lateness horizon, e2e-tested in
+    * StreamingSpec). Gap is
     * [[graft.streaming.StreamingJobs.sessionWindows]]'s 1801 s default —
     * the w4 batch parity shift (session_window merges on `delta < gap`,
     * the batch operator on `delta <= gap`). */
@@ -1176,7 +1180,14 @@ object Inventory {
     * match exactly once as it forms, so the AvailableNow drain equals
     * the batch join twin row-for-row — the oracle mirrors the time
     * bound and the seconds-truncated lag in exact integer µs/seconds
-    * arithmetic. */
+    * arithmetic.
+    *
+    * State partitions are sized to the DRAINED volume (8 for a 100k-row
+    * gate; conf scoped and restored): a stream-stream join instantiates
+    * per-partition state stores on BOTH sides, and at the session's 32
+    * shuffle partitions the fixed store/commit overhead — not the data —
+    * dominated the gate's wall time. A production deployment sizes this
+    * to sustained throughput instead; the join plan is identical. */
   val r10StreamAttribution: Q = (s, d) => {
     val schema = s.read.parquet(s"$d/events.parquet").schema
     def side(tpe: String, user: String, id: String, ts: String): DataFrame = {
@@ -1191,9 +1202,14 @@ object Inventory {
       side("purchase", "p_user", "purchase_id", "purchase_ts"))
     val tbl = "r10_attr_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("r10_attr_").toString
-    val q = joined.writeStream.format("memory").queryName(tbl)
-      .outputMode("append").option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        joined.writeStream.format("memory").queryName(tbl)
+          .outputMode("append").option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     s.table(tbl)
   }
