@@ -1258,6 +1258,12 @@ object Scale {
          |- exactly-once survives the grid: a pair meets at (own salt, own
          |  salt) — the equality of both counts to the closed form is the
          |  checked claim, not just plausibility
+         |- salt determinism: a content hash would collapse these ${nHot / 1000}k
+         |  IDENTICAL points into one cell (measured 26.8 s — slower than no
+         |  guard); the grid spreads with monotonically_increasing_id and
+         |  PINS the salted hot subset via eager localCheckpoint, so task
+         |  retries replay materialized salts or fail loudly — silent
+         |  dup/drop (the SPARK-23207 class) is structurally off the table
          |""".stripMargin
     spliceSection(outMd, intervalSkewHeader, section)
     println(s"""{"metric":"scale_intervalskew","value":$guardedSec,"unit":"sec","clean_sec":$cleanSec,"pairs":$guardedPairs,"n_hot":$nHot,"heap_peak_mb":$heapMb}""")

@@ -67,33 +67,48 @@ object IntervalJoin {
       .isEmpty
   }
 
-  /** One side of the salt grid: every row gets its OWN salt
-    * (`pmod(xxhash64(own columns), ownFactor)` — uniform spread; exact
-    * balance is not needed, only boundedness) and is REPLICATED across
-    * the other side's `repFactor` cells. Cold rows (no hot entry) pin
-    * both to 0 with factor-1 replication, so they flow through the same
-    * join with zero row growth.
+  /** One side of the salt grid: every HOT row gets its OWN salt
+    * (uniform spread; exact balance is not needed, only boundedness)
+    * and is REPLICATED across the other side's `repFactor` cells. Cold
+    * rows (no hot entry) pin both to 0 with factor-1 replication — a
+    * fully deterministic branch with zero row growth.
     *
-    * The salt is DETERMINISTIC in the row content (never
-    * `monotonically_increasing_id()`, whose value depends on task
-    * layout): on a real cluster a retried/speculated task must
-    * recompute the identical salt for rows whose copies already
-    * shuffled, or pairs drop/duplicate — the exact bug class salting
-    * exists to avoid. Byte-identical duplicate rows share a salt (they
-    * co-locate in one cell); that is a bounded-imbalance concern, never
-    * a correctness one. */
+    * SALT DETERMINISM is the subtle part. A content hash
+    * (`xxhash64(own columns)`) would be retry-stable but collapses
+    * byte-identical rows into ONE cell — and identical join values ARE
+    * the pile-up the guard exists for (measured: the planted 4M-equal-
+    * points SCALE stage degenerated to a single 2,048M-pair task,
+    * slower than no guard at all). A bare
+    * `monotonically_increasing_id()` spreads perfectly but is task-
+    * layout-dependent: a retried/speculated task could recompute
+    * DIFFERENT salts for rows whose copies already shuffled — silently
+    * dropping/duplicating pairs (the SPARK-23207 class). Resolution:
+    * spread with the nondeterministic id, then PIN the salted hot
+    * subset with an eager `localCheckpoint` — every consumer (both
+    * shuffle reads, any retry) replays the materialized blocks, and if
+    * an executor dies and blocks are lost the job FAILS LOUDLY
+    * (checkpoint truncates lineage) instead of recomputing fresh salts.
+    * Wrong answers are off the table; the failure mode is a rerun.
+    * The checkpoint materializes only the hot-bucket rows after
+    * replication — the same volume the grid join must shuffle anyway;
+    * cold rows stay a pure streaming branch. */
   private def gridSide(
       df: DataFrame, hot: DataFrame,
       ownSalt: String, ownFactor: String,
       repSalt: String, repFactor: String): DataFrame = {
-    val ownHash = xxhash64(df.columns.map(col).toIndexedSeq: _*)
-    df.join(broadcast(hot), Seq("__bucket"), "left")
-      .withColumn(ownSalt,
-        when(col(ownFactor).isNull, lit(0L))
-          .otherwise(pmod(ownHash, col(ownFactor))))
-      .withColumn(repSalt,
-        explode(sequence(lit(0L), coalesce(col(repFactor) - 1L, lit(0L)))))
+    val joined = df.join(broadcast(hot), Seq("__bucket"), "left")
+    val cold = joined.filter(col(ownFactor).isNull)
+      .withColumn(ownSalt, lit(0L))
+      .withColumn(repSalt, lit(0L))
       .drop("__fl", "__fr")
+    val hotRows = joined.filter(col(ownFactor).isNotNull)
+      .withColumn(ownSalt,
+        pmod(xxhash64(monotonically_increasing_id()), col(ownFactor)))
+      .withColumn(repSalt,
+        explode(sequence(lit(0L), col(repFactor) - 1L)))
+      .drop("__fl", "__fr")
+      .localCheckpoint(true)
+    cold.unionByName(hotRows)
   }
 
   /** Skew-bounded inner equi-join of two already-bucketed frames on
