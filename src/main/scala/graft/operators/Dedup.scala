@@ -911,6 +911,76 @@ object Dedup {
     materializeAndRelease(spark.createDataFrame(pairRdd, outSchema), sorted)
   }
 
+  /** Prefix-filtered EXACT Jaccard self-join (the All-Pairs/PPJoin
+    * family — Bayardo et al. 2007, Xiao et al. 2008) — the exact
+    * set-similarity join that complements MinHash-LSH: LSH is
+    * probabilistic (misses a (1−J^r)^b sliver of true pairs), prefix
+    * filtering returns EVERY pair with J(x,y) ≥ τ and nothing else.
+    *
+    * Completeness argument: fix any global total order on tokens. If
+    * J(x,y) ≥ τ then |x∩y| ≥ ⌈τ·|x|⌉ (since |x∪y| ≥ |x|); were x's
+    * first |x|−⌈τ·|x|⌉+1 tokens disjoint from y, all common tokens
+    * would fit in the remaining ⌈τ·|x|⌉−1 slots — contradiction. So the
+    * smallest common token sits in BOTH docs' prefixes and the
+    * prefix×prefix equi-join finds every qualifying pair. The order
+    * used is (df ASC, token ASC) — rarest first — so prefixes index the
+    * tokens fewest other documents carry and candidate volume collapses
+    * toward output size instead of Σ df². The length filter
+    * (τ·max(|x|,|y|) ≤ min — J ≥ τ forces it) prunes before the
+    * distinct.
+    *
+    * τ is a RATIONAL `tauNum/tauDen`: prefix lengths use exact integer
+    * ceil and the final verdict is the multiplied-through compare
+    * `inter·den ≥ uni·num` — no float ever decides membership (the
+    * hash-gate exactness convention). Scale shape: one token-keyed df
+    * count (map-side combined), one doc-keyed sort_array agg (per-doc
+    * lists, bounded by doc length), the prefix self-join (the candidate
+    * generator), and a set-join verify on the survivors. Known hazard,
+    * stated not hidden: a token that is GLOBALLY rare-ranked yet still
+    * frequent can pile candidates quadratically; the capped variant for
+    * hostile corpora is [[tokenOverlapPairs]]'s maxDf ceiling —
+    * exactness there trades against the cap, so this operator keeps
+    * completeness and documents the trade. Returns (d1, d2, inter, uni)
+    * with d1 < d2, inter/uni the exact set sizes. */
+  def prefixFilterJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      tauNum: Long, tauDen: Long): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen,
+      s"tau must be in (0,1]: got $tauNum/$tauDen")
+    val toks = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val dfTab = toks.select(explode(col("ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val ordered = toks.select(col("id"), explode(col("ts")).as("tok"))
+      .join(dfTab, "tok")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"),
+        count(lit(1)).as("n"))
+    // p = n − ⌈τ·n⌉ + 1; ⌈num·n/den⌉ = floor((num·n + den − 1)/den) —
+    // exact through the double floor while num·n < 2^53 (a per-DOC token
+    // count times a small rational: unreachable in practice)
+    val p = (col("n") -
+      floor((col("n") * tauNum + tauDen - 1L) / tauDen).cast("long") + 1L)
+      .cast("int")
+    val prefix = ordered
+      .select(col("id"), col("n"), explode(slice(col("ord"), lit(1), p)).as("pe"))
+      .select(col("id"), col("n"), col("pe").getField("tok").as("tok"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          col("a.n") * tauNum <= col("b.n") * tauDen &&
+          col("b.n") * tauNum <= col("a.n") * tauDen)
+      .select(col("a.id").as("d1"), col("b.id").as("d2"))
+      .distinct()
+    cand
+      .join(toks.select(col("id").as("d1"), col("ts").as("t1")), "d1")
+      .join(toks.select(col("id").as("d2"), col("ts").as("t2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("t1"), col("t2"))).cast("long").as("inter"),
+        size(array_union(col("t1"), col("t2"))).cast("long").as("uni"))
+      .filter(col("inter") * tauDen >= col("uni") * tauNum)
+  }
+
   /** The distributed subtree of [[sortedNeighborhoodPairs]] — the one
     * range exchange + in-partition sort the operator is built on
     * (exposed so the plan shape is testable: RangePartitioning bounds

@@ -479,6 +479,68 @@ object Graph {
     labels
   }
 
+  /** Connected components to CONVERGENCE by min-label POINTER JUMPING —
+    * the run-to-fixpoint complement of [[minLabelPropagation]]'s
+    * bounded-round form, and the shape that survives high-diameter
+    * graphs at scale: plain min-propagation needs DIAMETER rounds (a
+    * 10⁶-long chain = 10⁶ shuffles), while adding the label-of-my-label
+    * self-join each round squares the reach — O(log n) rounds on any
+    * topology. Per round: one edge⋈label join (neighbor labels), one
+    * label⋈label join (pointer jump — the label table is |V| rows, far
+    * smaller than the edge list), one map-side-combined MIN, and one
+    * changed-row count that doubles as the fixpoint test (the loop needs
+    * an action per round anyway — the g6 argument). Undirected closure
+    * is taken internally; labels are the component's MIN node id, exact
+    * integers end to end (oracle-replayable: min reachable id is a
+    * recursive-CTE or closed-form fact, never a float). Refuses to
+    * return an UNCONVERGED answer — `maxRounds` exhaustion is a loud
+    * require, not a silently-partial labeling, because 2·log₂(n)+2
+    * rounds provably suffice (reach doubles per round) and hitting the
+    * bound means the caller's maxRounds is too small, not the graph too
+    * big. With `checkpoint = true` (default) every round's label frame
+    * is an eager `localCheckpoint` and the superseded one is released —
+    * the pageRank lineage-cut contract; the returned frame is
+    * caller-owned. */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 50, checkpoint: Boolean = true): DataFrame = {
+    require(maxRounds >= 1,
+      s"connectedComponents: maxRounds must be >= 1, got $maxRounds")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e1 = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val e = if (checkpoint) e1.localCheckpoint(eager = true) else e1
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    if (checkpoint) labels = labels.localCheckpoint(eager = true)
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      val viaEdge = e.join(labels, e("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      val viaJump = labels.select(col("node"), col("label").as("__mid"))
+        .join(labels.select(col("node").as("__mid2"), col("label").as("__jl")),
+          col("__mid") === col("__mid2"))
+        .select(col("node"), col("__jl").as("label"))
+      val next0 = labels.select("node", "label").union(viaEdge).union(viaJump)
+        .groupBy("node").agg(min("label").as("label"))
+      val next = if (checkpoint) next0.localCheckpoint(eager = true) else next0
+      val changed = next.select(col("node"), col("label").as("__new"))
+        .join(labels, Seq("node"))
+        .filter(col("__new") =!= col("label"))
+        .count()
+      if (checkpoint) labels.unpersist(blocking = false)
+      labels = next
+      done = changed == 0L
+      round += 1
+    }
+    require(done,
+      s"connectedComponents: not converged after $maxRounds rounds — " +
+        "pointer jumping needs ~2*log2(n)+2; raise maxRounds (a partial " +
+        "labeling would be a WRONG answer, not an approximate one)")
+    labels
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) in the bounded-round,
     * UNNORMALIZED form that keeps every score an exact integer — the
     * same oracle argument as [[minLabelPropagation]]: k rounds are a

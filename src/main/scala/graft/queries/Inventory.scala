@@ -1582,6 +1582,21 @@ object Inventory {
       undirected, "src", "dst", iterations = 4, checkpoint = true)
   }
 
+  /** G9: run-to-convergence connected components ([[graft.operators
+    * .Graph.connectedComponents]], min-label pointer jumping) — the
+    * O(log n)-round CC that complements g7's bounded-round form. The
+    * graph is 50-doc CHAINS (doc i → i+1 within each block): diameter
+    * 49 means g7's 4 plain rounds could never finish, so the query
+    * actually exercises the label-of-my-label squaring AND the fixpoint
+    * detection; the components are a closed form DuckDB states directly
+    * (label = block start). */
+  val g9ConnectedComponents: Q = (s, d) => {
+    val e = documents(s, d).select(col("doc_id").as("src"))
+      .filter(col("src") % 50 =!= 49)
+      .withColumn("dst", col("src") + 1)
+    graft.operators.Graph.connectedComponents(e, "src", "dst")
+  }
+
   /** G8: HITS hubs/authorities ([[graft.operators.Graph.hits]]) — 2
     * unnormalized rounds on the bipartite customer→part purchase graph
     * (hubs = customers weighted by what they buy, authorities = parts
@@ -2534,6 +2549,7 @@ object Inventory {
     "g6_hop_distance" -> g6HopDistance,
     "g7_min_label_prop" -> g7MinLabelProp,
     "g8_hits" -> g8Hits,
+    "g9_connected_components" -> g9ConnectedComponents,
     "c1_safe_long_hex" -> c1SafeLongHex,
     "c3_payload_hash" -> c3PayloadHash,
     "c4_popcount" -> c4Popcount,
@@ -3101,6 +3117,11 @@ object Inventory {
         |ORDER BY cn DESC, e.a, e.b LIMIT 20""".stripMargin,
     // BFS = min hop count: the recursive CTE enumerates (node, d) pairs
     // breadth-first up to 3 hops over the symmetrized co-occurrence
+    // the chain-block components are a CLOSED FORM: label = block start.
+    // Spark must actually converge (diameter 49) to state the same fact.
+    "g9_connected_components" ->
+      """SELECT doc_id AS node, doc_id - doc_id % 50 AS label
+        |FROM documents""".stripMargin,
     "g8_hits" ->
       """WITH e AS (
         |  SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst

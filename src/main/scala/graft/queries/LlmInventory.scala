@@ -1447,6 +1447,19 @@ object LlmInventory {
       documents(s, d).select(col("doc_id"), substring(col("text"), 1, 8).as("k")),
       "doc_id", "k", window = 3)
 
+  /** d18: prefix-filtered EXACT Jaccard self-join ([[Dedup
+    * .prefixFilterJaccardPairs]], the All-Pairs/PPJoin family) — the
+    * exact complement to the MinHash-LSH candidates: every pair with
+    * J ≥ 9/10 and nothing else, no probabilistic sliver. The oracle is
+    * the BRUTE-FORCE all-pairs join over the same 200-doc window with
+    * the identical multiplied-through integer verdict — so the gate
+    * checks the prefix filter's COMPLETENESS claim (no pair the brute
+    * force finds may be missing), not just its precision. */
+  val d18PrefixFilterPairs: Q = (s, d) =>
+    Dedup.prefixFilterJaccardPairs(
+      documents(s, d).filter(col("doc_id") < 200), "doc_id", "text",
+      tauNum = 9L, tauDen = 10L)
+
   /** r7: the streaming exact-dedup arm under the HARD gate — the s19
     * pattern (run the stream over the batch corpus, declare equality
     * with the batch twin as the oracle), applied to the state-store
@@ -1927,6 +1940,7 @@ object LlmInventory {
     "t50_run_dedup" -> t50RunDedup,
     "d17_sorted_neighborhood" -> d17SortedNeighborhood,
     "r7_stream_exact_dedup" -> r7StreamExactDedup,
+    "d18_prefix_filter_pairs" -> d18PrefixFilterPairs,
     "t51_bpe_apply" -> t51BpeApply,
     "t52_pmi_pairs" -> t52PmiPairs,
     "t53_vocab_stats" -> t53VocabStats,
@@ -2233,6 +2247,21 @@ object LlmInventory {
     // emit exactly one row per distinct content hash
     "r7_stream_exact_dedup" ->
       """SELECT DISTINCT md5(text) AS h FROM documents""".stripMargin,
+    // BRUTE-FORCE all-pairs over the same window: the prefix filter must
+    // return exactly this set (completeness, not just precision); same
+    // lowercased single-space token sets, same multiplied-through
+    // integer verdict inter*10 >= uni*9
+    "d18_prefix_filter_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
+        |  FROM documents WHERE doc_id < 200),
+        |p AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |         CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+        |         CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT) AS uni
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |SELECT d1, d2, inter, uni FROM p
+        |WHERE inter * 10 >= uni * 9""".stripMargin,
     "t7_hash_split" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'

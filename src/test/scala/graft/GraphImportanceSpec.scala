@@ -42,6 +42,39 @@ class GraphImportanceSpec extends AnyFunSuite {
     assert(labels(5) === labels(3))
   }
 
+  test("connectedComponents: pointer jumping matches union-find on a random graph; high-diameter chain converges") {
+    // random sparse graph vs a driver-side union-find ground truth
+    val rng = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rng.nextInt(200).toLong, rng.nextInt(200).toLong))
+    val parent = Array.tabulate(200)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> {
+        // component label = min node id in the component, among TOUCHED nodes
+        val root = find(n.toInt)
+        edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .filter(m => find(m.toInt) == root).min
+      }).toMap
+    val got = Graph.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // a 300-node chain (diameter 299): plain min-prop would need 299
+    // rounds; pointer jumping must land well inside the default 50
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labs = Graph.connectedComponents(chain, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs.size === 300 && labs.values.forall(_ == 0L))
+    // refusing to return partial labels: too-small maxRounds fails LOUD
+    val ex = intercept[IllegalArgumentException] {
+      Graph.connectedComponents(chain, "src", "dst", maxRounds = 3)
+    }
+    assert(ex.getMessage.contains("not converged"))
+  }
+
   test("hits: hand-computed 2-round scores on a small bipartite graph; duplicate edges ignored") {
     // c1 -> {p1, p2}, c2 -> {p2}; h0 = 1
     // a1: p1 = 1, p2 = 2; h1: c1 = a1(p1)+a1(p2) = 3, c2 = a1(p2) = 2

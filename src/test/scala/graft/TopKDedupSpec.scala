@@ -60,6 +60,32 @@ class TopKDedupSpec extends AnyFunSuite {
       s"expected the pmi_pairs overflow assert, got: ${ex.getMessage}")
   }
 
+  test("prefixFilterJaccardPairs: exact set equality with brute force at several thresholds") {
+    val rng = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (0L until 60L).map { i =>
+      val n = 5 + rng.nextInt(10)
+      (i, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+    def bruteSets: Map[Long, Set[String]] =
+      docs.map { case (i, t) => i -> t.toLowerCase.split(" ").toSet }.toMap
+    for ((num, den) <- Seq((1L, 2L), (3L, 4L), (9L, 10L))) {
+      val sets = bruteSets
+      val want = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        inter = (sets(a) intersect sets(b)).size
+        uni = (sets(a) union sets(b)).size
+        if inter.toLong * den >= uni.toLong * num
+      } yield (a, b, inter.toLong, uni.toLong)).toSet
+      val got = graft.operators.Dedup
+        .prefixFilterJaccardPairs(df, "id", "text", num, den)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === want, s"tau=$num/$den")
+    }
+  }
+
   test("BoundedTopK: k >= group size returns the whole group, sorted") {
     val agg = new BoundedTopK(10)
     val out = finishOf(agg, Seq(ScoredId(1.0, 3L), ScoredId(5.0, 1L), ScoredId(2.0, 2L)))
