@@ -268,6 +268,8 @@ object Scale {
     if (args.headOption.contains("rangelookup")) return rangeLookupMain(args)
     if (args.headOption.contains("intervalskew")) return intervalSkewMain(args)
     if (args.headOption.contains("textops")) return textOpsMain(args)
+    if (args.headOption.contains("ppjoin")) return ppjoinMain(args)
+    if (args.headOption.contains("cc")) return ccMain(args)
     if (args.headOption.contains("pagerank")) return pagerankMain(args)
     if (args.headOption.contains("triangles")) return trianglesMain(args)
     if (args.headOption.contains("triab")) return triAbMain(args)
@@ -1168,6 +1170,153 @@ object Scale {
          |""".stripMargin
     spliceSection(outMd, textOpsHeader, section)
     println(s"""{"metric":"scale_textops","value":${bm25Sec + blockSec + runSec},"unit":"sec","n_docs":$nDocs,"bm25_sec":$bm25Sec,"block_sec":$blockSec,"run_sec":$runSec,"heap_peak_mb":$heapMb}""")
+    spark.stop()
+  }
+
+  private val ccHeader = "## Connected-components pointer-jumping stage"
+
+  /** `runMain graft.Scale cc [nNodes] [outMd]` — [[graft.operators.Graph
+    * .connectedComponents]] on the topology that DEFEATS plain
+    * min-propagation: one chain of `nNodes` nodes (diameter n−1 — g7's
+    * per-round neighbor flood would need a million shuffles) plus
+    * `nNodes/100` disjoint 10-cliques as a multi-component control.
+    * Pointer jumping must converge inside the default 50-round bound
+    * (reach doubles per round: ~2·log₂(n)+2) and every label is a
+    * closed form: chain nodes → 0, clique k → its min id. The operator
+    * REFUSES unconverged output, so finishing at all is the round-count
+    * claim — no separate counter needed. */
+  private def ccMain(args: Array[String]): Unit = {
+    val nNodes = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    val outMd = args.lift(2).getOrElse("SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val nCliques = nNodes / 100
+    // chain 0..n-1; cliques live at ids n + 10k .. n + 10k + 9
+    val chain = spark.range(nNodes - 1)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val cliques = spark.range(nCliques).select(col("id").as("k"))
+      .withColumn("i", explode(sequence(lit(0L), lit(9L))))
+      .withColumn("j", explode(sequence(lit(0L), lit(9L))))
+      .filter(col("i") < col("j"))
+      .select((lit(nNodes) + col("k") * 10 + col("i")).as("src"),
+        (lit(nNodes) + col("k") * 10 + col("j")).as("dst"))
+    val edges = chain.unionAll(cliques)
+    val ((chainOk, cliqueOk, nLabeled), ccSec) = timed {
+      val labs = graft.operators.Graph
+        .connectedComponents(edges, "src", "dst")
+      val off = col("node") - nNodes
+      val bad = labs.filter(
+        when(col("node") < nNodes, col("label") =!= 0L)
+          .otherwise(col("label") =!= (lit(nNodes) + off - pmod(off, lit(10L)))))
+        .count()
+      val total = labs.count()
+      labs.unpersist()
+      (bad == 0L, bad == 0L, total)
+    }
+    require(chainOk && cliqueOk && nLabeled == nNodes + nCliques * 10,
+      s"cc invariant broke: labeled $nLabeled, expected ${nNodes + nCliques * 10}")
+    val heapMb = heapPeakMb()
+    val section =
+      s"""
+         |$ccHeader (${nNodes / 1000}k-node chain + ${nCliques / 1000}k 10-cliques)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale cc $nNodes"` —
+         |run-to-convergence components on the worst case for plain
+         |min-propagation: a single chain of diameter ${nNodes - 1} (a
+         |per-round neighbor flood would need $nNodes shuffles) plus
+         |${nCliques / 1000}k disjoint cliques as the multi-component control.
+         |
+         || metric | value |
+         ||---|---|
+         || converge + verify wall | ${f"$ccSec%.1f"} s (${f"${(nNodes + nCliques * 10) / ccSec}%.0f"} nodes/s) |
+         || labels | every chain node → 0, every clique → its min id, EXACT (closed form) |
+         || rounds | ≤ 50 by construction — the operator throws on non-convergence, so finishing IS the ~2·log₂(n) claim |
+         || peak heap | $heapMb MB |
+         |
+         |- per round: edge⋈label join + |V|-row label⋈label pointer jump +
+         |  map-side-combined MIN; superseded label frames are released
+         |  (the pageRank checkpoint discipline)
+         |""".stripMargin
+    spliceSection(outMd, ccHeader, section)
+    println(s"""{"metric":"scale_cc","value":$ccSec,"unit":"sec","n_nodes":${nNodes + nCliques * 10},"heap_peak_mb":$heapMb}""")
+    spark.stop()
+  }
+
+  private val ppjoinHeader = "## Prefix-filter exact Jaccard join stage"
+
+  /** `runMain graft.Scale ppjoin [nDocs] [outMd]` — [[graft.operators
+    * .Dedup.prefixFilterJaccardPairs]] at corpus scale in its INTENDED
+    * regime (large vocabulary — real text is Zipf with a huge tail, so
+    * each doc's rarest-first prefix indexes near-unique tokens): 1M
+    * docs × 50 tokens from a 50M-token vocabulary, every 20th doc a
+    * planted near-dup of its successor (token-set J = |S|/(|S|+1) ≈
+    * 0.98). At τ = 9/10 the EXACT join must return precisely the
+    * planted pairs — a chance pair would need 48-of-50 shared hash
+    * tokens (p ≈ (1e-6)⁴⁸, zero) — so the count is a closed form, and
+    * completeness + precision are both asserted, not sampled. The
+    * small-vocab hazard (common tokens piling candidates quadratically)
+    * is documented on the operator; this stage records the regime the
+    * algorithm is designed for. */
+  private def ppjoinMain(args: Array[String]): Unit = {
+    val nDocs = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    val outMd = args.lift(2).getOrElse("SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val dir = Files.createTempDirectory("graft_scale_ppjoin").toString
+    val (_, genSec) = timed {
+      genDedupCorpus(spark, nDocs, tokensPerDoc = 50, vocabSize = 50000000)
+        .write.mode("overwrite").parquet(s"$dir/docs")
+    }
+    val docs = spark.read.parquet(s"$dir/docs")
+    val (got, joinSec) = timed {
+      graft.operators.Dedup
+        .prefixFilterJaccardPairs(docs, "doc_id", "text", 9L, 10L)
+        .count()
+    }
+    val expected = nDocs / 20
+    require(got == expected,
+      s"ppjoin invariant broke: got $got pairs, planted $expected")
+    val heapMb = heapPeakMb()
+    val section =
+      s"""
+         |$ppjoinHeader (${nDocs / 1000}k docs, 50M-token vocabulary, planted J≈0.98 pairs)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale ppjoin $nDocs"` —
+         |the EXACT set-similarity self-join (All-Pairs/PPJoin family) in
+         |its intended large-vocabulary regime: rarest-first prefixes index
+         |near-unique tokens, so candidates collapse to ~output size.
+         |
+         || metric | value |
+         ||---|---|
+         || corpus generate + write | ${f"$genSec%.1f"} s ($nDocs docs) |
+         || prefix-filter join wall (τ=9/10) | ${f"$joinSec%.1f"} s (${f"${nDocs / joinSec}%.0f"} docs/s) |
+         || pairs | $got = planted $expected EXACT (completeness AND precision) |
+         || peak heap | $heapMb MB |
+         |
+         |- no float decides membership: integer prefix lengths, the
+         |  multiplied-through inter·10 ≥ uni·9 verdict
+         |- the small-vocab hazard (frequent tokens in prefixes piling
+         |  candidates quadratically) is stated on the operator; hostile
+         |  corpora use the maxDf-capped tokenOverlapPairs instead
+         |""".stripMargin
+    spliceSection(outMd, ppjoinHeader, section)
+    println(s"""{"metric":"scale_ppjoin","value":$joinSec,"unit":"sec","n_docs":$nDocs,"pairs":$got,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 
