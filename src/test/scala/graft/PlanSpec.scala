@@ -260,6 +260,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("StringContains(p_name,red)"), p)
   }
 
+  test("d18_prefix_filter_pairs: all joins are equi (no cartesian, no nested loop)") {
+    val p = planOf("d18_prefix_filter_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the candidate generator is a token-keyed equi self-join
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("a25_weighted_quantiles: window runs over the histogram, not the fact") {
     val p = planOf("a25_weighted_quantiles")
     // histogram agg (partial + final) BEFORE the window — the fact never
