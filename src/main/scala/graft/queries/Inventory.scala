@@ -285,6 +285,36 @@ object Inventory {
       (sec - lag(sec, 1).over(w)).as("gap_s"))
   }
 
+  /** W12: per-user TIME-WEIGHTED average value (TWAP) over irregular
+    * event samples — the canonical "average that respects holding time"
+    * (price exposure, feature-freshness dashboards): each sample's value
+    * holds until the NEXT sample (LOCF semantics), weight = the exact
+    * µs interval, the last sample holds nothing. Exactness: the value is
+    * 2-decimal money, so the numerator accumulates as exact integer
+    * CENTS·µs (a wide-decimal numerator was tried first and lost the
+    * last ulp — DuckDB's int128-decimal→double cast rounds TWICE where
+    * Spark's BigDecimal rounds once; with BIGINT aggregates both engines
+    * perform the identical IEEE steps: long→double, ×100, one divide).
+    * One user_id exchange; both the lead() window and the groupBy reuse
+    * it. */
+  val w12Twap: Q = (s, d) => {
+    val ev = events(s, d)
+    val us = unix_micros(eventTs(ev).cast("timestamp"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val cents = round(col("value") * 100).cast("long")
+    ev.select(col("user_id"), cents.as("__cents"),
+      (lead(us, 1).over(w) - us).as("__dt"))
+      .filter(col("__dt").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        sum(col("__cents") * col("__dt")).as("__numc"),
+        sum(col("__dt")).as("den_us"),
+        count(lit(1)).as("n_intervals"))
+      .select(col("user_id"), col("n_intervals"), col("den_us"),
+        (col("__numc").cast("double") /
+          (col("den_us").cast("double") * lit(100.0))).as("twap"))
+  }
+
   // ---------------------------------------------------------------------
   // §2.8 Scalar pack
   // ---------------------------------------------------------------------
@@ -2499,6 +2529,7 @@ object Inventory {
     "r8_stream_window_counts" -> r8StreamWindowCounts,
     "r9_stream_session_windows" -> r9StreamSessionWindows,
     "r10_stream_attribution" -> r10StreamAttribution,
+    "w12_twap" -> w12Twap,
     "a11_percentiles" -> a11Percentiles,
     "a23_mad_outliers" -> a23MadOutliers,
     "w10_trailing_anomaly" -> w10TrailingAnomaly,
@@ -2929,6 +2960,25 @@ object Inventory {
         |       p_us // 1000000 - c_us // 1000000 AS lag_s
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p_us >= c_us AND p_us <= c_us + 3600000000""".stripMargin,
+    // exact integer cents*µs numerator and µs denominator; the only
+    // float ops are the same IEEE steps Spark performs (long→double,
+    // ×100, one divide) — a wide-decimal numerator double-rounds in
+    // DuckDB's int128→double cast and loses the last ulp
+    "w12_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents, event_id
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, cents,
+        |         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dt
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_intervals,
+        |       CAST(SUM(dt) AS BIGINT) AS den_us,
+        |       CAST(CAST(SUM(cents * dt) AS BIGINT) AS DOUBLE) /
+        |         (CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE) * 100.0) AS twap
+        |FROM i WHERE dt IS NOT NULL
+        |GROUP BY user_id""".stripMargin,
     "w4_sessionization" ->
       """WITH s AS (SELECT user_id, event_id, ts, epoch_us(ts) // 1000000 AS sec FROM events),
         |f AS (SELECT user_id, event_id, ts, sec,

@@ -1447,6 +1447,25 @@ object LlmInventory {
       documents(s, d).select(col("doc_id"), substring(col("text"), 1, 8).as("k")),
       "doc_id", "k", window = 3)
 
+  /** t54: leakage-safe GROUPED train/val/test split — assignment keyed on
+    * the registrable DOMAIN's hash, never the doc's: near-duplicates
+    * cluster within a site, so a doc-keyed split (t7) leaks eval pages
+    * whose near-twins sit in train. Same synthesized URL scheme as t49
+    * (sub{id%7}.site{id%13}.com), the real [[TextAnalysis.urlHost]] /
+    * [[TextAnalysis.registrableDomain]] kernels, and t7's exact md5
+    * threshold arithmetic applied to the domain string — every doc of a
+    * domain lands in ONE split by construction (13 domains hash
+    * wherever they hash; the oracle replays the identical thresholds). */
+  val t54GroupedSplit: Q = (s, d) => {
+    val url = concat(lit("https://sub"), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit(".site"), pmod(col("doc_id"), lit(13)).cast("string"),
+      lit(".com/p"), col("doc_id").cast("string"))
+    documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.registrableDomain(TextAnalysis.urlHost(url)).as("domain"))
+      .withColumn("split", Sampling.splitLabel(col("domain"), 0.80, 0.10))
+  }
+
   /** d18: prefix-filtered EXACT Jaccard self-join ([[Dedup
     * .prefixFilterJaccardPairs]], the All-Pairs/PPJoin family) — the
     * exact complement to the MinHash-LSH candidates: every pair with
@@ -1941,6 +1960,7 @@ object LlmInventory {
     "d17_sorted_neighborhood" -> d17SortedNeighborhood,
     "r7_stream_exact_dedup" -> r7StreamExactDedup,
     "d18_prefix_filter_pairs" -> d18PrefixFilterPairs,
+    "t54_grouped_split" -> t54GroupedSplit,
     "t51_bpe_apply" -> t51BpeApply,
     "t52_pmi_pairs" -> t52PmiPairs,
     "t53_vocab_stats" -> t53VocabStats,
@@ -2251,6 +2271,18 @@ object LlmInventory {
     // return exactly this set (completeness, not just precision); same
     // lowercased single-space token sets, same multiplied-through
     // integer verdict inter*10 >= uni*9
+    // grouped split thresholds: boundaryHex(0.80)=cccd, (0.90)=e666 —
+    // md5 of the DOMAIN string, so all docs of a site share a split
+    "t54_grouped_split" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         'site' || (doc_id % 13)::VARCHAR || '.com' AS domain
+        |  FROM documents)
+        |SELECT doc_id, domain,
+        |       CASE WHEN substr(md5(domain), 1, 4) < 'cccd' THEN 'train'
+        |            WHEN substr(md5(domain), 1, 4) < 'e666' THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM g""".stripMargin,
     "d18_prefix_filter_pairs" ->
       """WITH d AS (
         |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
