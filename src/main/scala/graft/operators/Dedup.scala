@@ -908,7 +908,12 @@ object Dedup {
         preds.iterator.map(d1 => org.apache.spark.sql.Row(d1, id))
       }
     }
-    materializeAndRelease(spark.createDataFrame(pairRdd, outSchema), sorted)
+    val out = materializeAndRelease(spark.createDataFrame(pairRdd, outSchema), sorted)
+    // the pair frame is eagerly pinned above (temps nonEmpty forces the
+    // count), so the executor copies of the seed broadcast can go;
+    // unpersist (not destroy) keeps a cache-evicted recompute legal
+    seedsB.unpersist(blocking = false)
+    out
   }
 
   /** Prefix-filtered EXACT Jaccard self-join (the All-Pairs/PPJoin
@@ -947,8 +952,13 @@ object Dedup {
       tauNum: Long, tauDen: Long): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen,
       s"tau must be in (0,1]: got $tauNum/$tauDen")
+    // persisted: the tokenized frame feeds the df count, the ordered
+    // agg, AND both sides of the verify join — unpinned it would
+    // re-tokenize the corpus four times; released by the final
+    // materializeAndRelease
     val toks = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("ts"))
       .filter(size(col("ts")) > 0)
+      .persist()
     val dfTab = toks.select(explode(col("ts")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
     val ordered = toks.select(col("id"), explode(col("ts")).as("tok"))
@@ -972,13 +982,14 @@ object Dedup {
           col("b.n") * tauNum <= col("a.n") * tauDen)
       .select(col("a.id").as("d1"), col("b.id").as("d2"))
       .distinct()
-    cand
+    val out = cand
       .join(toks.select(col("id").as("d1"), col("ts").as("t1")), "d1")
       .join(toks.select(col("id").as("d2"), col("ts").as("t2")), "d2")
       .select(col("d1"), col("d2"),
         size(array_intersect(col("t1"), col("t2"))).cast("long").as("inter"),
         size(array_union(col("t1"), col("t2"))).cast("long").as("uni"))
       .filter(col("inter") * tauDen >= col("uni") * tauNum)
+    materializeAndRelease(out, toks)
   }
 
   /** The distributed subtree of [[sortedNeighborhoodPairs]] — the one

@@ -497,22 +497,27 @@ object Graph {
     * require, not a silently-partial labeling, because 2·log₂(n)+2
     * rounds provably suffice (reach doubles per round) and hitting the
     * bound means the caller's maxRounds is too small, not the graph too
-    * big. With `checkpoint = true` (default) every round's label frame
-    * is an eager `localCheckpoint` and the superseded one is released —
-    * the pageRank lineage-cut contract; the returned frame is
-    * caller-owned. */
+    * big. Every round's label frame is an eager `localCheckpoint` and
+    * the superseded one is released — NOT optional here, unlike the
+    * bounded loops (pageRank/minLabelPropagation reference their state
+    * once per round, so an unpinned lineage grows linearly and stays
+    * analyzable; this loop references `labels` FOUR times per round —
+    * identity, edge join, both sides of the pointer jump — so an
+    * unpinned logical plan is O(4^rounds) nodes and the ANALYZER, which
+    * runs before cache substitution, hangs long before execution would).
+    * The returned frame is caller-owned. */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 50, checkpoint: Boolean = true): DataFrame = {
+      maxRounds: Int = 50): DataFrame = {
     require(maxRounds >= 1,
       s"connectedComponents: maxRounds must be >= 1, got $maxRounds")
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val e1 = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    val e = if (checkpoint) e1.localCheckpoint(eager = true) else e1
+      .localCheckpoint(true)
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    if (checkpoint) labels = labels.localCheckpoint(eager = true)
+      .localCheckpoint(true)
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
@@ -524,12 +529,12 @@ object Graph {
         .select(col("node"), col("__jl").as("label"))
       val next0 = labels.select("node", "label").union(viaEdge).union(viaJump)
         .groupBy("node").agg(min("label").as("label"))
-      val next = if (checkpoint) next0.localCheckpoint(eager = true) else next0
+      val next = next0.localCheckpoint(eager = true)
       val changed = next.select(col("node"), col("label").as("__new"))
         .join(labels, Seq("node"))
         .filter(col("__new") =!= col("label"))
         .count()
-      if (checkpoint) labels.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
       labels = next
       done = changed == 0L
       round += 1

@@ -1145,20 +1145,43 @@ object Inventory {
     * through a uniquely-named memory sink. `mode` is the sink output
     * mode — `complete` for windowed aggregations (every window emits in
     * the final snapshot; append would hold back windows the watermark
-    * hasn't passed when the stream self-stops). */
-  private def drainStream(
+    * hasn't passed when the stream self-stops).
+    *
+    * NOTHING LEAKS per call: the result is pinned with an eager
+    * `localCheckpoint` (cache-managed — a bench's clearCache frees it),
+    * then the memory-sink temp view is dropped (unpinning the sink's
+    * driver-resident row buffer) and the checkpoint temp dir is deleted
+    * (AvailableNow finished — nothing will resume from it). Without
+    * this, one bench sweep strands 4 runs × result-set copies in driver
+    * memory plus orphaned /tmp checkpoint dirs per streaming query. */
+  private[queries] def drainStream(
       s: SparkSession, d: String, tableFile: String, prefix: String,
       mode: String)(build: DataFrame => DataFrame): DataFrame = {
     val schema = s.read.parquet(s"$d/$tableFile").schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", tableFile).parquet(d)
     val tbl = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory(prefix).toString
+    val ckpt = java.nio.file.Files.createTempDirectory(prefix)
     val q = build(stream).writeStream.format("memory").queryName(tbl)
-      .outputMode(mode).option("checkpointLocation", ckpt)
+      .outputMode(mode).option("checkpointLocation", ckpt.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table(tbl)
+    finishDrain(s, tbl, ckpt)
+  }
+
+  /** Pin the memory-sink result, then release the sink view + delete the
+    * finished checkpoint dir (shared by [[drainStream]] and the
+    * two-stream r10). */
+  private[queries] def finishDrain(
+      s: SparkSession, tbl: String, ckpt: java.nio.file.Path): DataFrame = {
+    val out = s.table(tbl).localCheckpoint(true)
+    s.catalog.dropTempView(tbl)
+    try {
+      java.nio.file.Files.walk(ckpt)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    } catch { case _: Throwable => () }
+    out
   }
 
   /** R8: STREAMING tumbling-window counts under the hard gate (the r7
@@ -1231,17 +1254,17 @@ object Inventory {
       side("click", "c_user", "click_id", "click_ts"),
       side("purchase", "p_user", "purchase_id", "purchase_ts"))
     val tbl = "r10_attr_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("r10_attr_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("r10_attr_")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val q =
       try {
         s.conf.set("spark.sql.shuffle.partitions", "8")
         joined.writeStream.format("memory").queryName(tbl)
-          .outputMode("append").option("checkpointLocation", ckpt)
+          .outputMode("append").option("checkpointLocation", ckpt.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
-    s.table(tbl)
+    finishDrain(s, tbl, ckpt)
   }
 
   /** A11: per-key discrete percentiles (DuckDB `quantile_disc` parity:
@@ -1621,9 +1644,17 @@ object Inventory {
     * detection; the components are a closed form DuckDB states directly
     * (label = block start). */
   val g9ConnectedComponents: Q = (s, d) => {
+    // semi-join dst back onto the table: a corpus whose size is not a
+    // multiple of 50 must not manufacture a phantom node past the last
+    // doc (the oracle only states labels for real doc_ids)
     val e = documents(s, d).select(col("doc_id").as("src"))
       .filter(col("src") % 50 =!= 49)
       .withColumn("dst", col("src") + 1)
+      .join(documents(s, d).select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      // self-loops keep a trailing singleton block's doc in the node set
+      // (labels are unaffected: a self edge contributes the node's own id)
+      .unionByName(documents(s, d).select(col("doc_id").as("src"),
+        col("doc_id").as("dst")))
     graft.operators.Graph.connectedComponents(e, "src", "dst")
   }
 

@@ -1494,25 +1494,13 @@ object LlmInventory {
     * PLANTED twice (explode to 2 copies) because the corpus texts are
     * naturally distinct — the state store must drop exactly half the
     * arrivals, not just pass rows through. */
-  val r7StreamExactDedup: Q = (s, d) => {
-    val path = s"$d/documents.parquet"
-    val schema = s.read.parquet(path).schema
-    // the file stream source wants a DIRECTORY: stream the sf dir with a
-    // glob pinned to the one table file
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(d)
-      .withColumn("__copy", explode(array(lit(0), lit(1))))
-    val dd = graft.streaming.StreamingJobs.streamingExactDedup(stream, "text")
-      .select(md5(col("text")).as("h"))
-    val tbl = "r7_stream_dedup_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("r7_ckpt").toString
-    val q = dd.writeStream.format("memory").queryName(tbl)
-      .outputMode("append").option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.table(tbl)
-  }
+  val r7StreamExactDedup: Q = (s, d) =>
+    Inventory.drainStream(s, d, "documents.parquet", "r7_dedup_", "append") {
+      stream =>
+        graft.streaming.StreamingJobs.streamingExactDedup(
+          stream.withColumn("__copy", explode(array(lit(0), lit(1)))), "text")
+          .select(md5(col("text")).as("h"))
+    }
 
   /** t51: BPE merge-table APPLY ([[graft.operators.BpeTrain
     * .applyMerges]]) — tokenize with a frozen 2-entry table whose second
