@@ -285,6 +285,23 @@ object Inventory {
       (sec - lag(sec, 1).over(w)).as("gap_s"))
   }
 
+  /** A27: EXACT isotonic regression ([[graft.operators.Isotonic
+    * .isotonicFit]], pool-adjacent-violators) — the score-calibration
+    * primitive: the L2-optimal MONOTONE fit of value against a bucketed
+    * score. Every pooling decision is an integer cross-multiplication
+    * over (Σcents, Σcnt) rationals; the oracle replays the fit through
+    * PAV's minimax characterization `f(i) = max_{j≤i} min_{k≥i}
+    * avg(j..k)` over pooled prefix sums — two completely different
+    * algorithms, one exact answer, so the hash gate is a real
+    * cross-check rather than a mirror. */
+  val a27IsotonicFit: Q = (s, d) => {
+    val ev = events(s, d)
+    graft.operators.Isotonic.isotonicFit(
+      ev.select((col("event_id") % 100).as("score"),
+        round(col("value") * 100).cast("long").as("cents")),
+      "score", "cents")
+  }
+
   /** W12: per-user TIME-WEIGHTED average value (TWAP) over irregular
     * event samples — the canonical "average that respects holding time"
     * (price exposure, feature-freshness dashboards): each sample's value
@@ -2561,6 +2578,7 @@ object Inventory {
     "r9_stream_session_windows" -> r9StreamSessionWindows,
     "r10_stream_attribution" -> r10StreamAttribution,
     "w12_twap" -> w12Twap,
+    "a27_isotonic_fit" -> a27IsotonicFit,
     "a11_percentiles" -> a11Percentiles,
     "a23_mad_outliers" -> a23MadOutliers,
     "w10_trailing_anomaly" -> w10TrailingAnomaly,
@@ -2991,6 +3009,32 @@ object Inventory {
         |       p_us // 1000000 - c_us // 1000000 AS lag_s
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p_us >= c_us AND p_us <= c_us + 3600000000""".stripMargin,
+    // PAV via its minimax characterization f(i) = max_{j<=i} min_{k>=i}
+    // avg(j..k) over pooled prefix sums — an INDEPENDENT algorithm from
+    // the stack merge. Rationals here are small (num < 2^27, den < 2^14),
+    // so ordering by the double num/den is exact: two distinct such
+    // fractions differ by >= 1/(den1*den2) >> double resolution.
+    "a27_isotonic_fit" ->
+      """WITH p AS (
+        |  SELECT event_id % 100 AS x,
+        |         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1),
+        |o AS (SELECT x, cents, n, ROW_NUMBER() OVER (ORDER BY x) AS i FROM p),
+        |c AS (SELECT i, x, cents, n,
+        |        SUM(cents) OVER (ORDER BY i) AS cs,
+        |        SUM(n) OVER (ORDER BY i) AS cc FROM o),
+        |a AS (SELECT j.i AS j, k.i AS k,
+        |        k.cs - COALESCE(jm.cs, 0) AS num,
+        |        k.cc - COALESCE(jm.cc, 0) AS den
+        |      FROM c j JOIN c k ON k.i >= j.i
+        |      LEFT JOIN c jm ON jm.i = j.i - 1),
+        |mm AS (SELECT pos.i AS i, a.j, MIN(num * 1.0 / den) AS mn
+        |       FROM a JOIN c pos ON pos.i BETWEEN a.j AND a.k
+        |       GROUP BY pos.i, a.j),
+        |f AS (SELECT i, MAX(mn) AS fitted FROM mm GROUP BY i)
+        |SELECT o.x, o.n, o.cents, f.fitted
+        |FROM o JOIN f ON f.i = o.i""".stripMargin,
     // exact integer cents*µs numerator and µs denominator; the only
     // float ops are the same IEEE steps Spark performs (long→double,
     // ×100, one divide) — a wide-decimal numerator double-rounds in

@@ -86,6 +86,38 @@ class TopKDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("Isotonic.isotonicFit: hand PAV case, minimax parity on random data, duplicate-score pooling") {
+    import graft.operators.Isotonic
+    // means 1, 3, 2, 2, 5 (cents, single counts): PAV pools 3,2,2 -> 7/3
+    val hand = Seq((0L, 100L), (1L, 300L), (2L, 200L), (3L, 200L), (4L, 500L))
+      .toDF("score", "cents")
+    val got = Isotonic.isotonicFit(hand, "score", "cents")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(0L) === 100.0 && got(4L) === 500.0)
+    assert(got(1L) === 700.0 / 3 && got(2L) === 700.0 / 3 && got(3L) === 700.0 / 3)
+    // random data incl. DUPLICATE scores vs the minimax closed form
+    // f(i) = max_{j<=i} min_{k>=i} avg(j..k) over the pooled sequence
+    val rng = new scala.util.Random(23)
+    val raw = Seq.fill(80)((rng.nextInt(20).toLong, (rng.nextInt(1000) + 1).toLong))
+    val pooled = raw.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (x, rows) => (x, rows.map(_._2).sum, rows.size.toLong) }
+    val n = pooled.size
+    def avg(j: Int, k: Int): Double = {
+      val num = (j to k).map(pooled(_)._2).sum
+      val den = (j to k).map(pooled(_)._3).sum
+      num.toDouble / den.toDouble
+    }
+    val want = (0 until n).map { i =>
+      pooled(i)._1 -> (0 to i).map(j => (i until n).map(k => avg(j, k)).min).max
+    }.toMap
+    val got2 = Isotonic.isotonicFit(raw.toDF("score", "cents"), "score", "cents")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got2 === want)
+    // fitted is monotone non-decreasing in score
+    val ordered = got2.toSeq.sortBy(_._1).map(_._2)
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
+  }
+
   test("BoundedTopK: k >= group size returns the whole group, sorted") {
     val agg = new BoundedTopK(10)
     val out = finishOf(agg, Seq(ScoredId(1.0, 3L), ScoredId(5.0, 1L), ScoredId(2.0, 2L)))
