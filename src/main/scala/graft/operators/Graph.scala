@@ -558,10 +558,13 @@ object Graph {
     * curation use: authority-ranked domains/parts given hub-weighted
     * actors. Scale shape per round: two equi-joins of the edge list
     * against node-score frames + two partial-agg SUMs (the g1/g7 cost
-    * model); scores stay exact BIGINTs (magnitudes grow ~(avg degree)^r
-    * — an up-front degree-derived `require` refuses a rounds count whose
-    * worst case exceeds 62 bits, since a silent non-ANSI sum() wrap would
-    * be a wrong ANSWER, not a slow one). Returns (node, hub, authority) with 0
+    * model); scores stay exact integers (magnitudes grow ~(avg degree)^r
+    * — when the conservative degree-derived worst case fits 62 bits the
+    * sums run as plain BIGINTs; beyond that the loop switches to a
+    * DECIMAL(38,0) path with lazy overflow asserts, since a silent
+    * non-ANSI sum() wrap would be a wrong ANSWER, not a slow one — the
+    * operator never refuses a config a priori, it only fails loudly on
+    * ACTUAL overflow). Returns (node, hub, authority) with 0
     * for a side the node never plays. */
   def hits(
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -580,31 +583,71 @@ object Graph {
       .agg(coalesce(max("d"), lit(1L))).head().getLong(0)
     val maxOut = e.groupBy("src").agg(count(lit(1)).as("d"))
       .agg(coalesce(max("d"), lit(1L))).head().getLong(0)
+    // The static bound is deliberately CONSERVATIVE (scores may never
+    // route through the max-degree node — e.g. a 2-regular cycle stays
+    // at 1 forever), so a failing bound selects a slower-but-exact
+    // DECIMAL(38,0) path instead of refusing: sums get ~126 bits of
+    // headroom, a lazy per-round assert_true ride fails LOUD if a sum
+    // ever nulls out (Spark's non-ANSI decimal-overflow signal), and
+    // the final scores narrow back to BIGINT behind the same guard —
+    // the caller only ever sees an exact answer or an exception.
     val bitsPerRound =
       math.log(math.max(2.0, maxIn.toDouble * maxOut.toDouble)) / math.log(2.0)
-    require(rounds * bitsPerRound <= 62.0,
-      s"hits: $rounds rounds over a graph with max in-degree $maxIn and " +
-        s"max out-degree $maxOut can overflow the exact BIGINT scores " +
-        f"(worst case ~${rounds * bitsPerRound}%.0f bits > 62); lower " +
-        "rounds or pre-aggregate the graph")
+    val wide = rounds * bitsPerRound > 62.0
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def guarded(df: DataFrame): DataFrame =
+      if (!wide) df
+      else df.select(col("node"),
+        (col("score") + coalesce(assert_true(col("score").isNotNull,
+          lit(s"hits: a round-score sum overflowed DECIMAL(38,0) " +
+            s"(maxIn=$maxIn maxOut=$maxOut rounds=$rounds)")),
+          lit(0))).as("score"))
     var h = e.select(col("src").as("node")).distinct()
-      .withColumn("score", lit(1L))
+      .withColumn("score", if (wide) lit(1L).cast(dec38) else lit(1L))
     var a: DataFrame = null
+    // deep round counts compound 2 joins/round of LOGICAL lineage — task
+    // serialization stack-overflows near ~50 rounds, so cut the lineage
+    // every few rounds with an eager localCheckpoint, releasing the
+    // superseded cut (the pageRank idiom); shallow runs skip this
+    // entirely and stay one lazy plan
+    val cutEvery = 8
+    var lastCut: DataFrame = null
     var r = 0
     while (r < rounds) {
-      a = e.join(h, e("src") === h("node"))
+      a = guarded(e.join(h, e("src") === h("node"))
         .groupBy(col("dst").as("node")).agg(sum("score").as("score"))
-        .select(col("node"), col("score"))
-      h = e.join(a, e("dst") === a("node"))
+        .select(col("node"), col("score")))
+      h = guarded(e.join(a, e("dst") === a("node"))
         .groupBy(col("src").as("node")).agg(sum("score").as("score"))
-        .select(col("node"), col("score"))
+        .select(col("node"), col("score")))
       r += 1
+      if (rounds > 2 * cutEvery && r % cutEvery == 0 && r < rounds) {
+        val cut = h.localCheckpoint(eager = true)
+        if (lastCut != null) lastCut.unpersist(blocking = false)
+        lastCut = cut
+        h = cut
+      }
     }
-    h.select(col("node"), col("score").as("hub"))
+    def narrowed(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (!wide) c
+      else (c + coalesce(assert_true(abs(c) <= lit(Long.MaxValue).cast(dec38),
+        lit("hits: final score exceeds BIGINT — lower rounds")),
+        lit(0))).cast("long")
+    val zero = lit(0L).cast(
+      if (wide) dec38 else org.apache.spark.sql.types.LongType: org.apache.spark.sql.types.DataType)
+    val out = h.select(col("node"), col("score").as("hub"))
       .join(a.select(col("node"), col("score").as("authority")), Seq("node"), "full_outer")
       .select(col("node"),
-        coalesce(col("hub"), lit(0L)).as("hub"),
-        coalesce(col("authority"), lit(0L)).as("authority"))
+        narrowed(coalesce(col("hub"), zero)).as("hub"),
+        narrowed(coalesce(col("authority"), zero)).as("authority"))
+    if (lastCut == null) out
+    else {
+      // materialize the small per-node result, then release the cut —
+      // the returned frame is caller-owned (unpersist when done)
+      val fin = out.localCheckpoint(eager = true)
+      lastCut.unpersist(blocking = false)
+      fin
+    }
   }
 
   /** Multi-source BFS hop distance — the graph-neighborhood expander

@@ -41,9 +41,16 @@ object Isotonic {
   /** PAV fit of `centsCol` (exact integer target, e.g. value·100)
     * against `scoreCol` (integral scores; the calibration grid).
     * Returns one row per distinct score: (x, n, cents, fitted) with
-    * `fitted` = its block's exact rational mean as the one double. */
+    * `fitted` = its block's exact rational mean as the one double.
+    *
+    * `maxBlocks` ENFORCES the driver-collect contract: each partition's
+    * residual PAV stack (and the stitched total) must stay within it,
+    * or the fit fails loudly instead of silently collecting an
+    * unbounded pooled grid — pool high-cardinality raw scores into a
+    * bounded grid first (the a27/t26 histogram convention). */
   def isotonicFit(
-      df: DataFrame, scoreCol: String, centsCol: String): DataFrame = {
+      df: DataFrame, scoreCol: String, centsCol: String,
+      maxBlocks: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     val pooled = df
       .groupBy(col(scoreCol).cast("long").as("x"))
@@ -59,6 +66,10 @@ object Isotonic {
         val stack = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
         it.foreach { r =>
           push(stack, (r.getLong(0), r.getLong(0), r.getLong(1), r.getLong(2)))
+          require(stack.length <= maxBlocks,
+            s"isotonicFit: partition $pi holds > $maxBlocks PAV blocks — " +
+              "pool scores into a bounded grid before fitting " +
+              "(or raise maxBlocks)")
         }
         Iterator.single((pi, stack.toArray))
       }.collect()
@@ -68,6 +79,9 @@ object Isotonic {
     collected.sortBy(_._1).foreach { case (_, blocks) =>
       blocks.foreach(b => push(all, b))
     }
+    require(all.length <= maxBlocks,
+      s"isotonicFit: stitched fit holds ${all.length} > $maxBlocks PAV " +
+        "blocks — pool scores into a bounded grid before fitting")
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("min_x",
         org.apache.spark.sql.types.LongType, nullable = false),
@@ -91,8 +105,9 @@ object Isotonic {
 
   /** PAV stack step: append a block, then merge while the top's mean is
     * BELOW its predecessor's — the comparison is the exact integer
-    * cross-multiplication (den ≤ rows, num ≤ total cents: products fit
-    * BIGINT far beyond any calibration-set size). */
+    * cross-multiplication via [[Math.multiplyExact]], falling back to
+    * BigInt when a product would overflow Long (huge Σcents × block
+    * counts), so a merge decision can never flip on a silent wrap. */
   private def push(
       stack: scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)],
       b: (Long, Long, Long, Long)): Unit = {
@@ -102,10 +117,20 @@ object Isotonic {
       val t = stack(stack.length - 1)
       val s = stack(stack.length - 2)
       // merge iff avg(top) < avg(prev): num_t·den_s < num_s·den_t
-      if (t._3 * s._4 < s._3 * t._4) {
+      if (meanLess(t._3, t._4, s._3, s._4)) {
         stack.remove(stack.length - 1)
         stack(stack.length - 1) = (s._1, t._2, s._3 + t._3, s._4 + t._4)
       } else done = true
     }
   }
+
+  /** Exact `num_a/den_a < num_b/den_b` for positive denominators:
+    * long cross-multiplication when it fits, BigInt otherwise. */
+  private[graft] def meanLess(
+      numA: Long, denA: Long, numB: Long, denB: Long): Boolean =
+    try Math.multiplyExact(numA, denB) < Math.multiplyExact(numB, denA)
+    catch {
+      case _: ArithmeticException =>
+        BigInt(numA) * BigInt(denB) < BigInt(numB) * BigInt(denA)
+    }
 }

@@ -307,28 +307,41 @@ object Inventory {
     * (price exposure, feature-freshness dashboards): each sample's value
     * holds until the NEXT sample (LOCF semantics), weight = the exact
     * µs interval, the last sample holds nothing. Exactness: the value is
-    * 2-decimal money, so the numerator accumulates as exact integer
-    * CENTS·µs (a wide-decimal numerator was tried first and lost the
-    * last ulp — DuckDB's int128-decimal→double cast rounds TWICE where
-    * Spark's BigDecimal rounds once; with BIGINT aggregates both engines
-    * perform the identical IEEE steps: long→double, ×100, one divide).
-    * One user_id exchange; both the lead() window and the groupBy reuse
+    * 2-decimal money, so the numerator accumulates EXACTLY in
+    * DECIMAL(38,0) cents·µs and is narrowed to BIGINT behind a loud
+    * `assert_true` overflow guard before the divide (a raw BIGINT sum
+    * was the original shape and wraps silently past 2^63 — e.g.
+    * 5-digit-dollar values over a ~10-year span; the narrowing keeps
+    * the final float steps the identical IEEE pair both engines
+    * perform — long→double, ×100, one divide — because DuckDB's direct
+    * int128-decimal→double cast rounds TWICE and loses the last ulp).
+    * The window orders by the SAME µs expression the oracle orders by
+    * (ts is nanosecond-resolution on the long-typed path; ordering by
+    * raw ts would break µs ties differently across engines). One
+    * user_id exchange; both the lead() window and the groupBy reuse
     * it. */
-  val w12Twap: Q = (s, d) => {
-    val ev = events(s, d)
+  val w12Twap: Q = (s, d) => twapOf(events(s, d))
+
+  /** The w12 computation over any events-shaped frame (user_id,
+    * event_id, ts, value) — factored so the overflow guard is unit-
+    * testable on a planted wide frame. */
+  private[graft] def twapOf(ev: DataFrame): DataFrame = {
     val us = unix_micros(eventTs(ev).cast("timestamp"))
-    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val w = Window.partitionBy("user_id").orderBy(us.asc, col("event_id").asc)
     val cents = round(col("value") * 100).cast("long")
+    val numOk = abs(col("__numc")) <= lit(Long.MaxValue).cast(DecimalType(38, 0))
     ev.select(col("user_id"), cents.as("__cents"),
       (lead(us, 1).over(w) - us).as("__dt"))
       .filter(col("__dt").isNotNull)
       .groupBy("user_id")
       .agg(
-        sum(col("__cents") * col("__dt")).as("__numc"),
+        sum(col("__cents").cast(DecimalType(38, 0)) * col("__dt")).as("__numc"),
         sum(col("__dt")).as("den_us"),
         count(lit(1)).as("n_intervals"))
       .select(col("user_id"), col("n_intervals"), col("den_us"),
-        (col("__numc").cast("double") /
+        ((col("__numc") + coalesce(assert_true(numOk,
+            lit("w12 TWAP numerator exceeds BIGINT: cents*span_us past 2^63")),
+          lit(0))).cast("long").cast("double") /
           (col("den_us").cast("double") * lit(100.0))).as("twap"))
   }
 

@@ -89,18 +89,35 @@ class GraphImportanceSpec extends AnyFunSuite {
     assert(r("c2") === ((5L, 0L))) // h2: c2 = a2(p2) = 5
   }
 
-  test("hits: refuses round counts whose worst case would wrap the exact BIGINT scores") {
+  test("hits: actual BIGINT overflow fails LOUD on the wide path (never a silent wrap)") {
     // complete bipartite 64x64: maxIn = maxOut = 64 => 12 bits per round;
-    // 6 rounds ~ 72 bits worst case > 62 — this must fail LOUD, because a
-    // silent non-ANSI sum() wrap would return wrong rankings
+    // 6 rounds really does grow h to 64^12 = 2^72 > 2^63 (growth equals
+    // the worst case on a complete bipartite graph) — the DECIMAL(38,0)
+    // wide path carries it exactly, then the BIGINT narrowing must fail
+    // LOUD, because a silent non-ANSI sum() wrap would return wrong
+    // rankings
     val dense = (for (i <- 0 until 64; j <- 0 until 64)
       yield (s"u$i", s"v$j")).toDF("s", "d")
-    val ex = intercept[IllegalArgumentException] {
+    val ex = intercept[Throwable] {
       Graph.hits(dense, "s", "d", rounds = 6).collect()
     }
-    assert(ex.getMessage.contains("overflow"))
-    // the same graph within the bound still runs (worst case 5*12=60 bits)
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(ex).exists(_.contains("exceeds BIGINT")))
+    // the same graph within the static bound still runs (5*12=60 bits)
     assert(Graph.hits(dense, "s", "d", rounds = 2).count() === 128L)
+  }
+
+  test("hits: benign configs past the conservative static bound run exactly (wide path)") {
+    // directed 4-cycle: every in/out degree is 1, scores stay pinned at 1
+    // forever — rounds = 70 exceeds the static 62-bit worst case (1 bit
+    // per round) yet the ACTUAL scores never grow; the old a-priori
+    // require refused this, the wide path must return exact 1s as longs
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")).toDF("s", "d")
+    val r = Graph.hits(cycle, "s", "d", rounds = 70)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r.size === 4)
+    assert(r.values.forall(_ == ((1L, 1L))))
   }
 
   test("sortedNeighborhoodPairs: window candidates match the rank-distance definition") {

@@ -199,4 +199,38 @@ class SessionAsofSpec extends AnyFunSuite {
     assert(got("a") === ((5L, 1.0 + 1.0 + 0.5 + 0.25 + 1.0)))
     assert(got("b") === ((1L, 0.0)))
   }
+
+  test("w12 twap: µs-tie ordering matches the oracle (nanos never decide) and the value is exact") {
+    import spark.implicits._
+    // long-typed ts = NANOSECONDS; ids 1 and 2 share the same microsecond
+    // (differ only in nanos, in the OPPOSITE order of event_id) — the
+    // window must order by (µs, event_id) like the DuckDB oracle, never
+    // by raw nanos. Ordered correctly: id1(v=1) dt=0, id2(v=3) dt=1s,
+    // id3 holds nothing → twap = 3.0; raw-ns ordering would yield 1.0.
+    val ev = Seq(
+      (1L, 1L, 1_000_000_900L, 1.00), // later in nanos, FIRST by (µs, id)
+      (1L, 2L, 1_000_000_500L, 3.00),
+      (1L, 3L, 2_000_000_000L, 5.00))
+      .toDF("user_id", "event_id", "ts", "value")
+    val r = Inventory.twapOf(ev).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(1) === 2L)        // n_intervals
+    assert(row.getLong(2) === 1_000_000L) // den_us
+    assert(row.getDouble(3) === 3.0)
+  }
+
+  test("w12 twap: numerator past 2^63 fails LOUD instead of wrapping") {
+    import spark.implicits._
+    // 5-digit-dollar value held over ~10 years: cents·µs ≈ 3.15e21 > 2^63
+    val tenYearsNs = 315_360_000L * 1_000_000_000L
+    val ev = Seq(
+      (1L, 1L, 0L, 99999.99),
+      (1L, 2L, tenYearsNs, 99999.99))
+      .toDF("user_id", "event_id", "ts", "value")
+    val ex = intercept[Throwable] { Inventory.twapOf(ev).collect() }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(ex).exists(_.contains("TWAP numerator exceeds BIGINT")))
+  }
 }

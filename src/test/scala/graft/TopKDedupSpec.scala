@@ -118,6 +118,39 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
   }
 
+  test("Isotonic.isotonicFit: maxBlocks ENFORCES the driver-collect bound on high-cardinality scores") {
+    import graft.operators.Isotonic
+    import org.apache.spark.sql.functions.col
+    // strictly increasing means never pool: 5000 distinct scores stay
+    // 5000 PAV blocks — a tight maxBlocks must fail LOUD instead of
+    // collecting an unbounded grid
+    val steep = spark.range(5000)
+      .select(col("id").as("score"), (col("id") * 10).as("cents"))
+    val ex = intercept[Throwable] {
+      Isotonic.isotonicFit(steep, "score", "cents", maxBlocks = 100).count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(ex).exists(_.contains("PAV blocks")))
+    // the same frame under the bound still fits exactly (identity fit)
+    val ok = Isotonic.isotonicFit(steep, "score", "cents", maxBlocks = 5000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ok(7L) === 70.0 && ok(4999L) === 49990.0 && ok.size === 5000)
+  }
+
+  test("Isotonic.meanLess: cross-multiplication past 2^63 falls back to exact BigInt, never wraps") {
+    import graft.operators.Isotonic
+    // avgA = 2^61, avgB = 2^59: the true answer is false, but the long
+    // product 2^62·4 wraps to 0 and a naive compare would say true
+    val big = 1L << 62
+    assert(!Isotonic.meanLess(big, 2L, 1L << 61, 4L))
+    assert(Isotonic.meanLess(1L << 61, 4L, big, 2L)) // symmetric case
+    // negative cents (refund-heavy blocks) stay exact through the fallback
+    assert(Isotonic.meanLess(-big, 2L, 1L << 61, 4L))
+    // non-overflowing comparisons agree with plain rationals
+    assert(Isotonic.meanLess(1L, 3L, 1L, 2L) && !Isotonic.meanLess(1L, 2L, 1L, 3L))
+  }
+
   test("BoundedTopK: k >= group size returns the whole group, sorted") {
     val agg = new BoundedTopK(10)
     val out = finishOf(agg, Seq(ScoredId(1.0, 3L), ScoredId(5.0, 1L), ScoredId(2.0, 2L)))
