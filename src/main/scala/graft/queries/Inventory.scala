@@ -1199,6 +1199,39 @@ object Inventory {
     finishDrain(s, tbl, ckpt)
   }
 
+  /** [[drainStream]] with REAL micro-batch boundaries: the table is
+    * first rewritten as `nFiles` parquet files in a temp dir and the
+    * stream reads them with `maxFilesPerTrigger = 1`, so the drain runs
+    * nFiles micro-batches and the query's state genuinely crosses batch
+    * boundaries (a single-file AvailableNow drain is one batch — it
+    * exercises the streaming PLAN but not state persistence). Only
+    * sound for queries whose final answer is independent of how rows
+    * split into batches (exact keyed counts, commuting sketch adds,
+    * majority voting) — which is exactly what the r11/r12/r13 gates
+    * assert. Temp source dir is deleted after the drain. */
+  private[queries] def drainStreamSplit(
+      s: SparkSession, d: String, tableFile: String, prefix: String,
+      mode: String, nFiles: Int)(build: DataFrame => DataFrame): DataFrame = {
+    val src = s.read.parquet(s"$d/$tableFile")
+    val tmp = java.nio.file.Files.createTempDirectory(prefix + "src_")
+    src.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    val stream = s.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString)
+    val tbl = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory(prefix)
+    val q = build(stream).writeStream.format("memory").queryName(tbl)
+      .outputMode(mode).option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = finishDrain(s, tbl, ckpt)
+    try {
+      java.nio.file.Files.walk(tmp)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    } catch { case _: Throwable => () }
+    out
+  }
+
   /** Pin the memory-sink result, then release the sink view + delete the
     * finished checkpoint dir (shared by [[drainStream]] and the
     * two-stream r10). */

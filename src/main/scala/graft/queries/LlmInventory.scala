@@ -1502,6 +1502,91 @@ object LlmInventory {
           .select(md5(col("text")).as("h"))
     }
 
+  /** r11: STREAMING Misra-Gries heavy hitters under the HARD gate — the
+    * last keyed-state family that was e2e-only ([[graft.streaming
+    * .StreamingJobs.streamingHeavyHitters]]). The events table drains
+    * as EIGHT micro-batches ([[Inventory.drainStreamSplit]]), so the
+    * per-shard summaries must persist and keep accumulating across
+    * batch boundaries; the gate runs the sketch in its EXACT regime
+    * (capacity 256 ≥ all distinct user_ids at the gate scale, so no
+    * trim ever fires and the final summary is the exact per-key count —
+    * order- and batching-independent by construction, the only regime
+    * whose final state a cross-engine oracle can replay; the
+    * order-dependent trim rule is gated separately through r13's
+    * majority invariant). The final snapshot is the per-shard
+    * max-`seq` emission; the DuckDB oracle is the plain batch GROUP BY.
+    * A count the state store dropped, double-applied on a batch
+    * boundary, or attributed to the wrong key is a hash mismatch. */
+  val r11StreamHeavyHitters: Q = (s, d) => {
+    val drained = Inventory.drainStreamSplit(
+      s, d, "events.parquet", "r11_hh_", "update", nFiles = 8) { ev =>
+      graft.streaming.StreamingJobs.streamingHeavyHitters(
+        ev, "user_id", capacity = 256, shards = 8).toDF()
+    }
+    val wLast = Window.partitionBy("shard")
+    drained
+      .withColumn("__maxSeq", max("seq").over(wLast))
+      .filter(col("seq") === col("__maxSeq"))
+      .select(col("key"), col("countLb").as("n"))
+  }
+
+  /** r12: STREAMING Count-Min sketch under the HARD gate ([[graft
+    * .streaming.StreamingJobs.streamingCountMin]]) — the fixed-size
+    * sketch-state arm next to r11's keyed state: the corpus token
+    * stream drains as eight micro-batches into ONE 4×256 counter
+    * vector (complete mode re-emits the whole-stream snapshot each
+    * batch; vector adds commute, so the final snapshot must equal the
+    * batch sketch of the entire corpus no matter how rows split into
+    * batches). Gated CELL BY CELL: the sketch explodes to (r, c, v)
+    * rows and the DuckDB oracle rebuilds every counter from the same
+    * salted-md5 positions (the a20 replay) — one count applied twice
+    * on a batch boundary, or a row of state lost between batches, is a
+    * hash mismatch on the exact cell it corrupted. */
+  val r12StreamCountMin: Q = (s, d) => {
+    val dep = 4; val w = 256
+    val sketch = Inventory.drainStreamSplit(
+      s, d, "documents.parquet", "r12_cm_", "complete", nFiles = 8) { docs =>
+      graft.streaming.StreamingJobs.streamingCountMin(
+        docs.select(explode(split(lower(col("text")), " ")).as("tok"))
+          .filter(col("tok") =!= ""),
+        "tok", dep, w)
+    }
+    sketch
+      .select(posexplode(col("cm")).as(Seq("i", "v")))
+      .filter(col("v") > 0)
+      .select((col("i") / w).cast("long").as("r"),
+        pmod(col("i"), lit(w)).cast("long").as("c"), col("v"))
+  }
+
+  /** r13: the Misra-Gries TRIM rule under the HARD gate — capacity 1
+    * degenerates MG to Boyer-Moore majority voting, the one trim regime
+    * with an order-independent exact invariant: a key holding a STRICT
+    * majority of the stream survives every eviction no matter how
+    * arrivals interleave (each trim cancels one held unit against one
+    * other arrival; majority > everything else combined). Two thirds of
+    * events carry the planted key, the rest are per-event singletons —
+    * thousands of real evictions across eight micro-batches — and the
+    * final non-empty state must be exactly the majority key, which the
+    * DuckDB oracle computes independently with a HAVING > n/2. An
+    * off-by-one in the trim's decrement-and-drop (or state lost at a
+    * batch boundary breaking the invariant) surfaces as the wrong — or
+    * no — survivor. */
+  val r13StreamMajority: Q = (s, d) => {
+    val drained = Inventory.drainStreamSplit(
+      s, d, "events.parquet", "r13_mj_", "update", nFiles = 8) { ev =>
+      graft.streaming.StreamingJobs.streamingHeavyHitters(
+        ev.select(
+          when(pmod(col("event_id"), lit(3)) < 2, lit("M"))
+            .otherwise(concat(lit("x"), col("event_id").cast("string")))
+            .as("k")),
+        "k", capacity = 1, shards = 1).toDF()
+    }
+    drained
+      .withColumn("__maxSeq", max("seq").over(Window.partitionBy("shard")))
+      .filter(col("seq") === col("__maxSeq"))
+      .select(col("key"))
+  }
+
   /** t51: BPE merge-table APPLY ([[graft.operators.BpeTrain
     * .applyMerges]]) — tokenize with a frozen 2-entry table whose second
     * merge consumes the first's output (w1 w2 → w1▁w2; w1▁w2 w3 →
@@ -1947,6 +2032,9 @@ object LlmInventory {
     "t50_run_dedup" -> t50RunDedup,
     "d17_sorted_neighborhood" -> d17SortedNeighborhood,
     "r7_stream_exact_dedup" -> r7StreamExactDedup,
+    "r11_stream_heavy_hitters" -> r11StreamHeavyHitters,
+    "r12_stream_count_min" -> r12StreamCountMin,
+    "r13_stream_majority" -> r13StreamMajority,
     "d18_prefix_filter_pairs" -> d18PrefixFilterPairs,
     "t54_grouped_split" -> t54GroupedSplit,
     "t51_bpe_apply" -> t51BpeApply,
@@ -2255,6 +2343,37 @@ object LlmInventory {
     // emit exactly one row per distinct content hash
     "r7_stream_exact_dedup" ->
       """SELECT DISTINCT md5(text) AS h FROM documents""".stripMargin,
+    // exact-regime MG summary ≡ the plain batch GROUP BY (no trim fires
+    // at capacity 256, so held counts are the exact per-key counts and
+    // the eight-micro-batch drain must land on them precisely)
+    "r11_stream_heavy_hitters" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    // every Count-Min counter rebuilt from the same salted-md5-60
+    // positions (the a20 replay): counter(r,c) = token instances
+    // hashing to column c under salt r
+    "r12_stream_count_min" ->
+      """WITH tok AS (
+        |  SELECT u.w AS tok
+        |  FROM documents d, unnest(string_split(lower(d.text), ' ')) u(w)
+        |  WHERE u.w <> ''),
+        |ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+        |pos AS (
+        |  SELECT ex.tok, r.r,
+        |         ('0x' || substr(md5(r.r::VARCHAR || '#' || ex.tok), 1, 15))::BIGINT % 256 AS c
+        |  FROM ex, range(4) r(r))
+        |SELECT p.r, p.c, CAST(sum(ex.cnt) AS BIGINT) AS v
+        |FROM ex JOIN pos p USING (tok)
+        |GROUP BY p.r, p.c""".stripMargin,
+    // Boyer-Moore invariant: the strict-majority key is the unique
+    // possible survivor of the capacity-1 trim rule, any arrival order
+    "r13_stream_majority" ->
+      """WITH k AS (
+        |  SELECT CASE WHEN event_id % 3 < 2 THEN 'M'
+        |              ELSE 'x' || CAST(event_id AS VARCHAR) END AS key
+        |  FROM events)
+        |SELECT key FROM k GROUP BY key
+        |HAVING count(*) * 2 > (SELECT count(*) FROM k)""".stripMargin,
     // BRUTE-FORCE all-pairs over the same window: the prefix filter must
     // return exactly this set (completeness, not just precision); same
     // lowercased single-space token sets, same multiplied-through

@@ -353,8 +353,8 @@ object StreamingJobs {
       .withColumn("is_dup", col("dup_of").isNotNull)
 
   final case class HhRow(shard: Int, key: String)
-  final case class HhState(keys: Array[String], counts: Array[Long])
-  final case class HhUpdate(shard: Int, key: String, countLb: Long)
+  final case class HhState(keys: Array[String], counts: Array[Long], seq: Long)
+  final case class HhUpdate(shard: Int, key: String, countLb: Long, seq: Long)
 
   /** Streaming heavy hitters — the Misra-Gries summary
     * ([[graft.operators.Sketches.MisraGries]], same trim rule) as KEYED
@@ -372,9 +372,20 @@ object StreamingJobs {
     * tighter per-shard error, the knob a 100 TB stream turns.
     *
     * Each micro-batch emits the shard's FULL post-batch summary
-    * (`OutputMode.Update`; ≤ capacity rows per touched shard), so the
-    * latest emission per shard IS the sketch — sink it to a keyed store
-    * and the merged top-k is one tiny scan away. */
+    * (`OutputMode.Update`; ≤ capacity rows per touched shard), stamped
+    * with the shard's emission sequence `seq` (how many micro-batches
+    * have touched it), so the rows carrying each shard's max seq ARE the
+    * final sketch — sink it to a keyed store and the merged top-k is
+    * one tiny scan away.
+    *
+    * Determinism contract: in the UNDER-CAPACITY regime (per-shard
+    * distinct keys ≤ capacity) no trim ever fires and the final summary
+    * is the EXACT per-key count — order-independent, which is what the
+    * r11 hard gate checks. Once trims fire, held counts depend on
+    * arrival order (any order still satisfies the MG lower-bound/error
+    * ladder above, and with capacity = 1 the trim rule degenerates to
+    * Boyer-Moore majority voting: a strict-majority key provably
+    * survives REGARDLESS of order — the r13 hard gate). */
   def streamingHeavyHitters(
       events: DataFrame, keyCol: String,
       capacity: Int = 64, shards: Int = 16): Dataset[HhUpdate] = {
@@ -389,6 +400,7 @@ object StreamingJobs {
         OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (shard: Int, rows: Iterator[HhRow], state: GroupState[HhState]) => {
           val m = new java.util.HashMap[String, java.lang.Long]()
+          val seq = state.getOption.map(_.seq).getOrElse(0L) + 1L
           state.getOption.foreach { st =>
             var i = 0
             while (i < st.keys.length) { m.put(st.keys(i), st.counts(i)); i += 1 }
@@ -421,11 +433,30 @@ object StreamingJobs {
           while (it.hasNext) {
             val e = it.next(); keys(i) = e.getKey; counts(i) = e.getValue; i += 1
           }
-          state.update(HhState(keys, counts))
+          state.update(HhState(keys, counts, seq))
           // full post-batch summary, deterministic order
           keys.zip(counts).sortBy { case (k, c) => (-c, k) }
-            .iterator.map { case (k, c) => HhUpdate(shard, k, c) }
+            .iterator.map { case (k, c) => HhUpdate(shard, k, c, seq) }
         })
+  }
+
+  /** Streaming Count-Min sketch — [[graft.operators.Sketches
+    * .CountMinCounters]] as a GLOBAL streaming aggregate: one
+    * depth×width integer counter vector that keeps merging across
+    * micro-batches (complete mode re-emits the whole-stream snapshot
+    * each batch). Vector adds commute, so the final snapshot is exactly
+    * the batch sketch of everything that ever arrived — the r12 hard
+    * gate declares that equality cell by cell against a DuckDB replay.
+    * State is a fixed depth·width·8 bytes regardless of stream length
+    * or key cardinality — the sketch-not-keyed-state shape an unbounded
+    * 100 TB token stream requires (a keyed count would grow without
+    * bound; this never does). */
+  def streamingCountMin(
+      tokens: DataFrame, tokCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    import graft.operators.Sketches
+    tokens.agg(Sketches.countMinCounters(
+      Sketches.cmPositions(col(tokCol), depth, width), depth, width).as("cm"))
   }
 
   final case class SessionInput(userId: Long, ts: java.sql.Timestamp, value: Double)

@@ -99,6 +99,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingHeavyHitters capacity=1: Boyer-Moore majority survives adversarial interleavings") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = StreamingJobs.streamingHeavyHitters(
+      mem.toDF().toDF("k"), "k", capacity = 1, shards = 1)
+    val q = out.writeStream.format("memory").queryName("hh_maj")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // 3 batches, each a different hostile shape: noise first (squatter
+      // holds the slot), majority flood, then alternation — M has 16 of
+      // 26 total arrivals (strict majority), so the final summary must
+      // hold exactly M no matter how trims interleaved
+      mem.addData("n1", "n2", "n3", "M", "n4")
+      q.processAllAvailable()
+      mem.addData(Seq.fill(12)("M"): _*)
+      q.processAllAvailable()
+      mem.addData("n5", "M", "n6", "M", "n7", "M", "n8", "n9")
+      q.processAllAvailable()
+      val rows = spark.table("hh_maj").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      val maxSeq = rows.map(_._3).max
+      assert(maxSeq === 3L, "every batch must bump the shard's seq")
+      val fin = rows.filter(_._3 == maxSeq)
+      assert(fin.map(_._1).toSeq === Seq("M"),
+        s"majority key must be the unique survivor, got ${fin.toSeq}")
+      assert(fin.head._2 >= 1L && fin.head._2 <= 16L,
+        "held count is a positive lower bound")
+    } finally q.stop()
+  }
+
   test("streamingHeavyHitters: exact in the under-capacity regime; MG bounds under trim") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[String]
