@@ -235,10 +235,22 @@ object LlmInventory {
     * stage's survivor set — so the funnel's composition, not just its
     * pieces, faces the hash gate. */
   val t25CurateFunnel: Q = (s, d) => {
+    val (n0, n1, n2, n3, ld) = curateStages3(s, d)
+    ld.unpersist(blocking = false)
+    import s.implicits._
+    Seq(("1_quality", n0, n1), ("2_neardedup", n1, n2), ("3_linededup", n2, n3))
+      .toDF("stage", "docs_in", "docs_out")
+  }
+
+  /** Stages 1–3 of the curate funnel (quality gate → near-dup groups →
+    * chunk dedup), shared by t25 and t55: returns the stage counts and
+    * the line-deduped survivor frame (text REBUILT from surviving
+    * chunks, PERSISTED — caller unpersists). The survivor frame feeds
+    * several downstream actions per caller, hence the persist chain. */
+  private def curateStages3(
+      s: SparkSession, d: String): (Long, Long, Long, Long, DataFrame) = {
     val docs = documents(s, d)
     val n0 = docs.count()
-    // the survivor frame feeds FOUR downstream actions (count, group
-    // build, semi-join, chunk explode) — persist once, release at end
     val q = TextAnalysis.qualityFilter(docs, "text")
       .filter(col("quality_ok"))
       .select(docs.columns.toIndexedSeq.map(col): _*)
@@ -254,13 +266,58 @@ object LlmInventory {
     val lineDeduped = deduped.drop("text").join(
       chunks.filter(col("text_dedup").isNotNull)
         .select(col("doc_id"), col("text_dedup").as("text")),
-      Seq("doc_id"))
+      Seq("doc_id")).persist()
     val n3 = lineDeduped.count()
     chunks.unpersist(blocking = false)
     groups.unpersist(blocking = false)
     q.unpersist(blocking = false)
+    (n0, n1, n2, n3, lineDeduped)
+  }
+
+  /** t55: the FULL curation funnel under one oracle — t25's three
+    * stages composed with the remaining CLI stages (`Main` curate):
+    * classifier gate (t21's construction over the REBUILT text),
+    * benchmark decontamination (t11's 4-gram shingle join against the
+    * planted doc_id%97 benchmark — benchmark members drop too), and the
+    * token-budget prefix (t13's total order over the rebuilt text,
+    * 5000-word budget). Each stage is the PRODUCTION operator; the
+    * oracle chains the six already-green constructions over each
+    * stage's survivor set, so every inter-stage handoff — including the
+    * rebuilt-text plumbing that only exists in composition — faces the
+    * hash gate. Scale shape: one persist per survivor frame feeding the
+    * next stage's actions, released in reverse order; no operator here
+    * does more work than its standalone gated form. */
+  val t55CurateFunnelFull: Q = (s, d) => {
+    val (n0, n1, n2, n3, ld) = curateStages3(s, d)
+    // stage 4: classifier gate over the rebuilt text
+    val scored = Classifier.scored(ld, "doc_id", "text",
+      seed = "w", threshold = 0.0)
+    val classified = ld.join(
+      scored.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+      .persist()
+    val n4 = classified.count()
+    // stage 5: decontaminate against the planted benchmark (raw text on
+    // the benchmark side — the benchmark is external to the pipeline)
+    val docs = documents(s, d)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val nonBench = classified.filter(col("doc_id") % 97 =!= 0)
+    val hits = Decontam.contaminationHits(nonBench, bench, "doc_id", "text", w = 4)
+    val decon = nonBench.join(
+      hits.select("doc_id"), Seq("doc_id"), "left_anti").persist()
+    val n5 = decon.count()
+    // stage 6: token-budget prefix over the rebuilt text
+    val withCost = decon
+      .withColumn("n_words_f", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_chars_f", length(col("text")).cast("long"))
+    val n6 = Sampling.withTokenBudgetSelect(
+      withCost, "doc_id", "n_words_f", "n_chars_f", 5000L)(_.count())
+    decon.unpersist(blocking = false)
+    classified.unpersist(blocking = false)
+    ld.unpersist(blocking = false)
     import s.implicits._
-    Seq(("1_quality", n0, n1), ("2_neardedup", n1, n2), ("3_linededup", n2, n3))
+    Seq(("1_quality", n0, n1), ("2_neardedup", n1, n2),
+      ("3_linededup", n2, n3), ("4_classify", n3, n4),
+      ("5_decontam", n4, n5), ("6_budget", n5, n6))
       .toDF("stage", "docs_in", "docs_out")
   }
 
@@ -1955,6 +2012,7 @@ object LlmInventory {
     "d10_dedup_yield" -> d10DedupYield,
     "t6_quality_filter" -> t6QualityFilter,
     "t25_curate_funnel" -> t25CurateFunnel,
+    "t55_curate_funnel_full" -> t55CurateFunnelFull,
     "d12_exact_dedup_against" -> d12ExactDedupAgainst,
     "d14_bloom_dedup_against" -> d14BloomDedupAgainst,
     "d13_neardup_against" -> d13NearDupAgainst,
@@ -2336,6 +2394,153 @@ object LlmInventory {
         |SELECT '2_neardedup', (SELECT count(*) FROM qd), (SELECT count(*) FROM dd)
         |UNION ALL
         |SELECT '3_linededup', (SELECT count(*) FROM dd), (SELECT count(*) FROM ld)""".stripMargin,
+    // t25's chain extended through the remaining CLI stages: the
+    // line-deduped text is REBUILT (d11's string_agg construction),
+    // classified (t21's md5-uint32 mean score), decontaminated against
+    // the raw-text %97 benchmark (t11's distinct 4-gram join; benchmark
+    // members drop), and budget-prefixed (t13's total order, 5000 words)
+    "t55_curate_funnel_full" ->
+      """WITH RECURSIVE sq AS (
+        |  SELECT doc_id, text, regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t
+        |  FROM documents),
+        |tokq AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN t = '' THEN []::VARCHAR[]
+        |              ELSE string_split_regex(t, '[ \t\n\x0b\f\r]+') END AS toks
+        |  FROM sq),
+        |stq AS (
+        |  SELECT doc_id, text, length(text) AS n_chars_q, len(toks) AS n_tokens_q,
+        |         CASE WHEN len(toks) > 0
+        |              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+        |              ELSE 0.0 END AS mean_token_len,
+        |         CASE WHEN length(text) > 0
+        |              THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)
+        |              ELSE 0.0 END AS punct_ratio
+        |  FROM tokq),
+        |qd AS (
+        |  SELECT doc_id, text FROM stq
+        |  WHERE NOT (n_chars_q < 50 OR n_chars_q > 100000
+        |             OR mean_token_len < 2.0 OR mean_token_len > 12.0
+        |             OR punct_ratio > 0.3)),
+        |tok2 AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM qd),
+        |shs AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM tok2 WHERE len(toks) >= 3),
+        |shx AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+        |sig AS (
+        |  SELECT doc_id,
+        |         min(md5('1#' || s)) AS mh1, min(md5('2#' || s)) AS mh2,
+        |         min(md5('3#' || s)) AS mh3, min(md5('4#' || s)) AS mh4,
+        |         min(md5('5#' || s)) AS mh5, min(md5('6#' || s)) AS mh6,
+        |         min(md5('7#' || s)) AS mh7, min(md5('8#' || s)) AS mh8
+        |  FROM shx GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band,
+        |         md5(mh1 || '|' || mh2 || '|' || mh3 || '|' || mh4) AS bh FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |         md5(mh5 || '|' || mh6 || '|' || mh7 || '|' || mh8) FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |confirmed AS (
+        |  SELECT c.d1, c.d2
+        |  FROM cand c
+        |  JOIN shs s1 ON s1.doc_id = c.d1
+        |  JOIN shs s2 ON s2.doc_id = c.d2
+        |  WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(s1.sh, s2.sh))) >= 0.8),
+        |edges AS (
+        |  SELECT d1, d2 FROM confirmed
+        |  UNION SELECT d2, d1 FROM confirmed),
+        |reach(id, r) AS (
+        |  SELECT d1, d1 FROM edges
+        |  UNION
+        |  SELECT reach.id, e.d2 FROM reach JOIN edges e ON e.d1 = reach.r),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |dd AS (
+        |  SELECT q2.doc_id, q2.text FROM qd q2 LEFT JOIN comp c ON c.id = q2.doc_id
+        |  WHERE coalesce(c.component, q2.doc_id) = q2.doc_id),
+        |s3 AS (
+        |  SELECT doc_id, regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t
+        |  FROM dd),
+        |tok3 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN t = '' THEN []::VARCHAR[]
+        |              ELSE string_split_regex(t, '[ \t\n\x0b\f\r]+') END AS toks
+        |  FROM s3),
+        |ch AS (
+        |  SELECT doc_id, g.i AS chunk_idx,
+        |         array_to_string(list_slice(toks, g.i * 10 + 1, g.i * 10 + 10), ' ') AS chunk
+        |  FROM tok3 CROSS JOIN range(0, 64) g(i)
+        |  WHERE g.i < (len(toks) + 9) // 10),
+        |rk AS (
+        |  SELECT doc_id, chunk_idx, chunk,
+        |         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM ch),
+        |ld AS (
+        |  SELECT doc_id,
+        |         string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx) AS rb
+        |  FROM rk GROUP BY doc_id
+        |  HAVING sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0),
+        |s4 AS (
+        |  SELECT doc_id, rb,
+        |         regexp_replace(rb, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t
+        |  FROM ld),
+        |tok4 AS (
+        |  SELECT doc_id, rb,
+        |         CASE WHEN t = '' THEN []::VARCHAR[]
+        |              ELSE string_split_regex(t, '[ \t\n\x0b\f\r]+') END AS toks
+        |  FROM s4),
+        |cls AS (
+        |  SELECT doc_id, rb FROM tok4
+        |  WHERE len(toks) > 0
+        |    AND CAST(coalesce(list_sum(list_transform(toks,
+        |          x -> ('0x' || substr(md5('w#' || x), 1, 8))::BIGINT)), 0) AS BIGINT)::DOUBLE
+        |        / (len(toks) * 2147483648.0) - 1 > 0.0),
+        |tok5 AS (
+        |  SELECT doc_id, rb, string_split(lower(rb), ' ') AS toks
+        |  FROM cls WHERE doc_id % 97 <> 0),
+        |sh5 AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS shingle
+        |  FROM tok5 WHERE len(toks) >= 4),
+        |btok AS (
+        |  SELECT string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS shingle
+        |  FROM btok WHERE len(toks) >= 4),
+        |hitd AS (SELECT DISTINCT s.doc_id FROM sh5 s JOIN bsh b USING (shingle)),
+        |dec AS (
+        |  SELECT t5.doc_id, t5.rb FROM tok5 t5 LEFT JOIN hitd h ON h.doc_id = t5.doc_id
+        |  WHERE h.doc_id IS NULL),
+        |run6 AS (
+        |  SELECT doc_id,
+        |         SUM(len(string_split(rb, ' '))) OVER (
+        |           ORDER BY length(rb) DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM dec),
+        |b6 AS (SELECT doc_id FROM run6 WHERE run <= 5000)
+        |SELECT '1_quality' AS stage,
+        |       (SELECT count(*) FROM documents) AS docs_in,
+        |       (SELECT count(*) FROM qd) AS docs_out
+        |UNION ALL
+        |SELECT '2_neardedup', (SELECT count(*) FROM qd), (SELECT count(*) FROM dd)
+        |UNION ALL
+        |SELECT '3_linededup', (SELECT count(*) FROM dd), (SELECT count(*) FROM ld)
+        |UNION ALL
+        |SELECT '4_classify', (SELECT count(*) FROM ld), (SELECT count(*) FROM cls)
+        |UNION ALL
+        |SELECT '5_decontam', (SELECT count(*) FROM cls), (SELECT count(*) FROM dec)
+        |UNION ALL
+        |SELECT '6_budget', (SELECT count(*) FROM dec), (SELECT count(*) FROM b6)""".stripMargin,
     "d2_exact_dedup" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY md5(text)""".stripMargin,
