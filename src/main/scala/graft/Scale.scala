@@ -394,6 +394,33 @@ object Scale {
         when(col("doc_id") % 20 === 0, lit(" extradup")).otherwise(lit(""))))
       .select("doc_id", "text")
 
+  /** Collocation-shaped corpus for the BPE stage: ~48 noise tokens from
+    * a 5M-token vocabulary (any noise pair repeats ~once in the whole
+    * corpus) plus ONE planted bigram per doc — bigram i ∈ 0..63 planted
+    * in (2i+1)/4096 of docs (`floor(sqrt(doc_id % 4096))`), so the pair
+    * table's head is 64 symbol-DISJOINT bigrams with DISTINCT descending
+    * counts: the collocation-table regime [[graft.operators.BpeTrain
+    * .learnMerges]] exists for, where the disjoint-prefix rule accepts a
+    * full batch per pass. The insert position varies per doc (hash). */
+  def genBpeCorpus(
+      spark: SparkSession, nDocs: Long,
+      tokensPerDoc: Int = 50, vocabSize: Int = 5000000): org.apache.spark.sql.DataFrame = {
+    val noiseLen = tokensPerDoc - 2
+    spark.range(nDocs).toDF("doc_id")
+      .withColumn("big", floor(sqrt(pmod(col("doc_id"), lit(4096L)).cast("double"))).cast("int"))
+      .withColumn("noise",
+        transform(sequence(lit(1), lit(noiseLen)),
+          j => concat(lit("w"), pmod(xxhash64(col("doc_id"), j), lit(vocabSize.toLong)))))
+      .withColumn("pos", pmod(xxhash64(col("doc_id"), lit(-1)), lit(noiseLen.toLong)).cast("int"))
+      .withColumn("text", array_join(
+        concat(
+          slice(col("noise"), lit(1), col("pos")),
+          array(concat(lit("bl"), col("big")), concat(lit("br"), col("big"))),
+          slice(col("noise"), col("pos") + 1, lit(noiseLen) - col("pos"))),
+        " "))
+      .select("doc_id", "text")
+  }
+
   /** `runMain graft.Scale dedup [nDocs] [outMd]` — the LLM-pipeline
     * near-dup flagship at three orders of magnitude above the sf0.01
     * oracle corpus, on the PRODUCTION hash family (single-pass xxhash64
@@ -1298,6 +1325,55 @@ object Scale {
     val expected = if (nDocs < 2) 0L else (nDocs - 2) / 20 + 1
     require(got == expected,
       s"ppjoin invariant broke: got $got pairs, planted $expected")
+    // ---- hostile phase: planted frequent token ----------------------
+    // nHot SHORT docs all sharing one token: at tau=1/2 the whole doc is
+    // the prefix, so "hot" lands in every prefix and the clean join
+    // piles C(nHot,2) candidates into ONE task. The work is inherent
+    // (every candidate is length-checked by exactness), but the salt
+    // grid spreads it over ceil(cnt/4096)^2 cells. Both paths must
+    // return exactly the planted duplicate pairs.
+    val nHot = args.lift(3).map(_.toLong).getOrElse(10000L)
+    val nDup = 500L
+    val hotCorpus = spark.range(nHot).toDF("doc_id")
+      .withColumn("text", concat(lit("hot u"), col("doc_id")))
+      .unionByName(
+        spark.range(nDup * 2).toDF("doc_id")
+          .withColumn("text",
+            concat(lit("da"), floor(col("doc_id") / 2).cast("long"),
+              lit(" db"), floor(col("doc_id") / 2).cast("long"),
+              lit(" dc"), floor(col("doc_id") / 2).cast("long")))
+          .withColumn("doc_id", col("doc_id") + 1000000000L))
+    hotCorpus.write.mode("overwrite").parquet(s"$dir/hot")
+    val hotDocs = spark.read.parquet(s"$dir/hot")
+    // the candidate GENERATION stage in isolation — the one thing the
+    // grid changes; the downstream distinct+verify key on the pair and
+    // parallelize identically either way. (cands, maxTask, wall) per path.
+    def candStage(ceiling: Int): (Long, Long, Double) = {
+      val (cand, toksF, temps) = graft.operators.Dedup
+        .prefixCandidates(hotDocs, "doc_id", "text", 1L, 2L, ceiling)
+      val t0 = System.nanoTime()
+      val row = cand.groupBy(spark_partition_id().as("__pid"))
+        .agg(count(lit(1)).as("__n"))
+        .agg(sum("__n").as("total"), max("__n").as("mx")).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (toksF +: temps).foreach(_.unpersist(blocking = false))
+      (row.getLong(0), row.getLong(1), sec)
+    }
+    val (candGrid, maxTaskGrid, gridSec) = candStage(4096)
+    val (candClean, maxTaskClean, cleanSec) = candStage(Int.MaxValue)
+    require(candGrid == candClean,
+      s"grid changed candidate volume: $candGrid vs $candClean")
+    require(maxTaskGrid * 4 < maxTaskClean,
+      s"grid did not bound the max task: $maxTaskGrid vs clean $maxTaskClean")
+    // full pipeline with the default guard: exactly the planted pairs
+    val (gotGrid, fullSec) = timed {
+      graft.operators.Dedup
+        .prefixFilterJaccardPairs(hotDocs, "doc_id", "text", 1L, 2L)
+        .count()
+    }
+    require(gotGrid == nDup,
+      s"hot-token phase broke: got $gotGrid, planted $nDup")
+    val gridF = (nHot + 4095) / 4096
     val heapMb = heapPeakMb()
     val section =
       s"""
@@ -1313,16 +1389,27 @@ object Scale {
          || corpus generate + write | ${f"$genSec%.1f"} s ($nDocs docs) |
          || prefix-filter join wall (τ=9/10) | ${f"$joinSec%.1f"} s (${f"${nDocs / joinSec}%.0f"} docs/s) |
          || pairs | $got = planted $expected EXACT (completeness AND precision) |
+         || hostile candidate stage: guard OFF | ${f"$cleanSec%.1f"} s, max task ${maxTaskClean / 1000000}M of ${candClean / 1000000}M rows (the pile-up) |
+         || hostile candidate stage: grid (f=$gridF) | ${f"$gridSec%.1f"} s, max task ${maxTaskGrid / 1000000}M rows (${f"${maxTaskClean.toDouble / maxTaskGrid}%.0f"}× smaller) |
+         || hostile full pipeline (guarded) | ${f"$fullSec%.1f"} s — $gotGrid = planted $nDup pairs EXACT |
          || peak heap | $heapMb MB |
          |
          |- no float decides membership: integer prefix lengths, the
          |  multiplied-through inter·10 ≥ uni·9 verdict
-         |- the small-vocab hazard (frequent tokens in prefixes piling
-         |  candidates quadratically) is stated on the operator; hostile
-         |  corpora use the maxDf-capped tokenOverlapPairs instead
+         |- hostile phase: $nHot 2-token docs sharing ONE token at τ=1/2
+         |  (whole doc = prefix) piles C($nHot,2) candidates into ONE join
+         |  task; the salt grid spreads them over f²=${gridF * gridF} cells —
+         |  identical candidate volume (asserted), ~f² smaller max task
+         |  (asserted ≥4×). The candidate VOLUME is inherent to exactness
+         |  here (same-length docs pass every length filter), so the
+         |  downstream distinct+verify dominate the full-pipeline wall
+         |  either way — what the grid buys at cluster scale is the
+         |  bounded task (straggler/retry/2 GB-partition unit), which is
+         |  what is measured. Detection is two-tier (df aggregate, then
+         |  exact prefix counts): the clean corpus above never pays it
          |""".stripMargin
     spliceSection(outMd, ppjoinHeader, section)
-    println(s"""{"metric":"scale_ppjoin","value":$joinSec,"unit":"sec","n_docs":$nDocs,"pairs":$got,"heap_peak_mb":$heapMb}""")
+    println(s"""{"metric":"scale_ppjoin","value":$joinSec,"unit":"sec","n_docs":$nDocs,"pairs":$got,"hot_max_task_clean":$maxTaskClean,"hot_max_task_grid":$maxTaskGrid,"hot_cand_sec_clean":$cleanSec,"hot_cand_sec_grid":$gridSec,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 
@@ -2158,13 +2245,14 @@ object Scale {
 
   /** `runMain graft.Scale bpe [nDocs] [nMerges] [outMd]` — the tokenizer-
     * training loop ([[graft.operators.BpeTrain.learnMerges]]) over the
-    * 1M-doc corpus: each merge is one pair-count pass (explode +
-    * map-side-combined count) and one scan-side rewrite, the corpus
-    * distributed throughout. Correctness: the learned merge table must
-    * be IDENTICAL when the corpus is re-partitioned differently (the
-    * determinism/order-independence property the argmax tie-break
-    * guarantees), checked on a 3-merge prefix re-run over a 17-way
-    * repartition. */
+    * 1M-doc corpus: each PASS is one pair-count shuffle (explode +
+    * map-side-combined count) and one scan-side rewrite folding every
+    * batch-accepted merge, the corpus distributed throughout.
+    * Correctness: the learned merge table must be IDENTICAL when the
+    * corpus is re-partitioned differently (the determinism property the
+    * argmax tie-break guarantees), checked on a 3-merge prefix re-run
+    * over a 17-way repartition, and the batched trajectory must equal
+    * the strictly-sequential one (batch=1) on the same prefix. */
   private def bpeMain(args: Array[String]): Unit = {
     val nDocs = args.lift(1).map(_.toLong).getOrElse(1000000L)
     val nMerges = args.lift(2).map(_.toInt).getOrElse(8)
@@ -2181,57 +2269,71 @@ object Scale {
     }
     val dir = Files.createTempDirectory("graft_scale_bpe").toString
     val (_, genSec) = timed {
-      genDedupCorpus(spark, nDocs).write.mode("overwrite").parquet(dir)
+      genBpeCorpus(spark, nDocs).write.mode("overwrite").parquet(dir)
     }
     val corpus = spark.read.parquet(dir)
-    val (merges, learnSec) = timed {
-      graft.operators.BpeTrain.learnMerges(corpus, "text", nMerges)
+    val ((merges, passes), learnSec) = timed {
+      graft.operators.BpeTrain.learnMergesStats(corpus, "text", nMerges)
     }
     require(merges.size == nMerges,
       s"expected $nMerges merges, learned ${merges.size}")
+    require(merges.size >= 4 * passes,
+      s"batching payoff missing: ${merges.size} merges took $passes passes")
     // determinism across partitionings: 3-merge prefix on a 17-way split
     val (rep, repSec) = timed {
       graft.operators.BpeTrain.learnMerges(corpus.repartition(17), "text", 3)
     }
     require(rep == merges.take(3),
       s"merge table depends on partitioning: $rep vs ${merges.take(3)}")
+    // batched (want+1 fetch) vs strictly-sequential prefix must agree —
+    // the exactness proof exercised at corpus scale, not just in units
+    val seqPrefix = graft.operators.BpeTrain
+      .learnMerges(corpus, "text", 3, batch = 1)
+    require(rep == seqPrefix,
+      s"batched trajectory diverged from sequential: $seqPrefix vs $rep")
     val pairsPerPass = corpus.count() * 49 // ~49 adjacent pairs per 50-token doc
     val heapMb = heapPeakMb()
     val mergesShown = merges.map(m => s"(${m.left}+${m.right}:${m.count})").mkString(" ")
     val section =
       s"""
-         |$bpeHeader ($nMerges merges over ${nDocs / 1000}k docs)
+         |$bpeHeader ($nMerges merges over ${nDocs / 1000}k collocation-corpus docs)
          |
          |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale bpe $nDocs $nMerges"` —
-         |[[BpeTrain.learnMerges]] on the ${nDocs / 1000}k-doc corpus: per merge, ONE
-         |pair-count pass (~${pairsPerPass / 1000000}M pair rows, map-side-combined count
-         |keyed on the pair) and ONE zero-shuffle scan-side rewrite; the
-         |driver holds only the k-row merge table.
+         |[[BpeTrain.learnMerges]] on the ${nDocs / 1000}k-doc corpus: per PASS, one
+         |pair-count shuffle (~${pairsPerPass / 1000000}M pair rows, map-side-combined count
+         |keyed on the pair) and one zero-shuffle scan-side rewrite folding
+         |every merge the disjoint-prefix rule accepts; the driver holds
+         |only the k-row merge table.
          |
          || metric | value |
          ||---|---|
          || corpus generate + write | ${f"$genSec%.1f"} s ($nDocs docs) |
-         || learn $nMerges merges | ${f"$learnSec%.1f"} s (${f"${learnSec / nMerges}%.1f"} s/merge, ${f"${nDocs * nMerges / learnSec}%.0f"} doc-passes/s) |
+         || learn $nMerges merges | ${f"$learnSec%.1f"} s in $passes corpus passes (${f"${nMerges.toDouble / passes}%.1f"} merges/pass, ${f"${learnSec / nMerges}%.1f"} s/merge) |
          || merge table | $mergesShown |
          || partition-invariance (3-merge prefix, 17-way repartition) | exact match (${f"$repSec%.1f"} s) |
          || peak heap | $heapMb MB |
          |
-         |- the argmax pair is fetched as ONE row per merge (`limit(1)`);
-         |  the tie-break (count desc, left, right) is what makes the merge
+         |- the candidate fetch is a `limit(batch+1)` top-k per pass; the
+         |  tie-break (count desc, left, right) is what makes the merge
          |  table a pure function of the corpus, not of its partitioning —
          |  asserted above, not assumed
          |- per-iteration persist/release keeps exactly one tokenized
          |  corpus copy live, the PageRank checkpoint discipline
-         |- INTENDED REGIME: k in the tens-to-low-hundreds (exact greedy,
-         |  one pass per merge). A 32k production vocabulary trains on a
-         |  deterministic hash-SAMPLE (ranks, not counts, drive the
-         |  trajectory) and encodes the full corpus with the one-pass
-         |  scan-side `applyMerges` (t51's gated hot path). Batched
-         |  recounts were rejected as unsound: emergent joined-token
-         |  pairs can outrank the batch's next pick mid-trajectory
+         |- batching is EXACT, not approximate: per pass the loop accepts
+         |  the longest ranked prefix of pairwise symbol-disjoint
+         |  candidates whose counts strictly beat the first rejected
+         |  candidate — disjointness pins their counts, and any emergent
+         |  joined-token pair is bounded by a symbol-sharing pair that
+         |  ranks at/below the stop point (proof on the method); the
+         |  batched-vs-sequential 3-merge agreement is asserted above
+         |- INTENDED REGIME: k in the tens-to-low-hundreds. A 32k
+         |  production vocabulary trains on a deterministic hash-SAMPLE
+         |  (ranks, not counts, drive the trajectory) and encodes the
+         |  full corpus with the one-pass scan-side `applyMerges` (t51's
+         |  gated hot path)
          |""".stripMargin
     spliceSection(outMd, bpeHeader, section)
-    println(s"""{"metric":"scale_bpe","value":$learnSec,"unit":"sec","n_docs":$nDocs,"n_merges":$nMerges,"sec_per_merge":${learnSec / nMerges},"partition_invariant":true,"heap_peak_mb":$heapMb}""")
+    println(s"""{"metric":"scale_bpe","value":$learnSec,"unit":"sec","n_docs":$nDocs,"n_merges":$nMerges,"passes":$passes,"merges_per_pass":${nMerges.toDouble / passes},"sec_per_merge":${learnSec / nMerges},"partition_invariant":true,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 

@@ -11,14 +11,15 @@ import org.apache.spark.sql.{Column, DataFrame}
   * BPE training — the same machinery applies to character alphabets by
   * pre-splitting differently).
   *
-  * 100 TB shape: ONE pass per learned merge — pair counting is an
-  * explode + map-side-combined groupBy (the only shuffle, keyed on the
-  * pair), the argmax is a 1-row `limit(1)` fetch, and the rewrite is a
-  * zero-shuffle scan-side fold per document. The corpus stays
-  * distributed throughout; the driver holds only the merge table
-  * (k rows). k merges = k such passes — the textbook trade; production
-  * trainers batch several disjoint merges per pass, which this loop
-  * supports by construction (the rewrite is per-row).
+  * 100 TB shape: pair counting is an explode + map-side-combined
+  * groupBy (the only shuffle, keyed on the pair), the candidate fetch
+  * is a `limit(batch+1)` top-k, and the rewrite is a zero-shuffle
+  * scan-side fold per document. The corpus stays distributed
+  * throughout; the driver holds only the merge table (k rows). Several
+  * merges are learned per corpus pass — [[learnMerges]] accepts the
+  * longest ranked prefix of pairwise symbol-disjoint candidates, which
+  * provably stays on the exact one-merge-at-a-time greedy trajectory
+  * (proof on the method).
   */
 object BpeTrain {
 
@@ -91,54 +92,103 @@ object BpeTrain {
       .withColumn("n_tokens", size(col(outCol)).cast("long"))
   }
 
-  /** Learn `k` merges: per iteration, ONE distributed pair-count pass,
-    * the argmax pair by `(count desc, left, right)` (deterministic
-    * tie-break), and ONE scan-side rewrite. Returns the learned merge
-    * table in order. The working token frame is persisted per iteration
-    * and the superseded one released — k iterations hold exactly one
-    * tokenized corpus copy, like the PageRank loop's checkpoint
-    * discipline.
+  /** Learn `k` merges on the EXACT greedy trajectory (argmax pair by
+    * `(count desc, left, right)`, deterministic tie-break) while
+    * amortizing several merges per corpus pass. Per iteration: ONE
+    * distributed pair-count pass fetching the top `batch+1` candidates,
+    * a driver-side acceptance scan (below), and ONE scan-side rewrite
+    * folding every accepted merge. Returns the merge table in order —
+    * byte-identical to the one-merge-per-pass loop (`batch = 1` IS that
+    * loop), only cheaper. The working token frame is persisted per
+    * iteration and the superseded one released — the loop holds exactly
+    * one tokenized corpus copy, like the PageRank checkpoint discipline.
+    *
+    * WHY BATCHING STAYS EXACT — the acceptance rule and its proof.
+    * Scan the ranked candidate list `c₁, c₂, …` in order, accepting
+    * while each cᵢ is symbol-disjoint from every candidate accepted
+    * before it; STOP the batch at the first candidate that shares a
+    * symbol (or at the fetch horizon), calling its count `n_stop`
+    * (`minCount − 1` if the filtered list was exhausted first); finally
+    * keep c₁ unconditionally plus the accepted tail with count
+    * STRICTLY above `n_stop`. Each kept cᵢ is then the true greedy
+    * argmax at its step, because after applying c₁‥cᵢ₋₁:
+    *  - cᵢ's own count is unchanged — a merge (l,r) only touches
+    *    adjacencies involving l or r, and cᵢ shares neither;
+    *  - every pre-existing pair that could outrank cᵢ is already
+    *    accepted above it — we stop at the FIRST sharing candidate, so
+    *    the accepted set is a contiguous ranked prefix with no skips;
+    *  - every EMERGENT pair (x, l⋈r) or (l⋈r, y) needs a pre-merge
+    *    (x,l) / (r,y) adjacency per occurrence, so its count is
+    *    bounded by a pair SHARING a symbol with an accepted merge —
+    *    such pairs are never accepted, hence rank at/below the stop
+    *    point, hence count ≤ n_stop < count(cᵢ) after the trim. (An
+    *    emergent name like `a⋈b` can compare lexically BELOW a kept
+    *    candidate, which is why the trim is strict, not ≥.)
+    * c₁ needs no trim: it is the global argmax of the exact table.
     *
     * INTENDED REGIME — k in the tens to low hundreds (domain vocab
-    * extensions, collocation tables): the loop is exact greedy BPE at
-    * one full corpus pass per merge, so a 32k production vocabulary
-    * would be 32k passes — wrong tool. The production path at that
+    * extensions, collocation tables): even batched, a 32k production
+    * vocabulary is the wrong tool here. The production path at that
     * scale is: train on a small deterministic SAMPLE (merge tables are
     * stable under sampling — frequency ranks, not counts, drive the
     * trajectory; [[graft.operators.Sampling]] has the hash-sampler),
     * then encode the FULL corpus with [[applyMerges]], which is one
-    * zero-shuffle scan whatever the table length. Batching merges
-    * between recounts was considered and rejected: a merge can create
-    * emergent pairs (joined-token adjacencies) whose count exceeds the
-    * batch's next pick, so batched selection silently leaves the exact
-    * greedy trajectory — no cheap post-hoc verification bounds
-    * mid-trajectory counts without per-position deltas. */
+    * zero-shuffle scan whatever the table length. */
   def learnMerges(
       df: DataFrame, textCol: String, k: Int,
-      joiner: String = "▁", minCount: Long = 2L): Seq[Merge] = {
+      joiner: String = "▁", minCount: Long = 2L, batch: Int = 16): Seq[Merge] =
+    learnMergesStats(df, textCol, k, joiner, minCount, batch)._1
+
+  /** [[learnMerges]] plus the number of corpus passes spent — the
+    * batching payoff, reported by the SCALE stage ("k merges in p
+    * passes") instead of asserted blind. */
+  def learnMergesStats(
+      df: DataFrame, textCol: String, k: Int,
+      joiner: String = "▁", minCount: Long = 2L, batch: Int = 16): (Seq[Merge], Int) = {
+    require(batch >= 1, s"batch must be >= 1: got $batch")
     var cur = df.select(toks(col(textCol)).as("__toks")).persist()
     cur.count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    var i = 0
+    var passes = 0
     var done = false
-    while (i < k && !done) {
+    while (merges.size < k && !done) {
+      passes += 1
+      val want = math.min(batch, k - merges.size)
       val top = pairCountsOfTokens(cur)
         .filter(col("n") >= minCount)
         .orderBy(col("n").desc, col("left"), col("right"))
-        .limit(1).collect()
+        .limit(want + 1).collect()
+        .map(r => Merge(r.getString(0), r.getString(1), r.getLong(2)))
       if (top.isEmpty) done = true
       else {
-        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += Merge(l, r, n)
-        val next = cur.select(mergeOnce(col("__toks"), l, r, joiner).as("__toks"))
-          .persist()
+        // acceptance scan: ranked prefix of pairwise symbol-disjoint
+        // candidates, n_stop = count at the first rejection / horizon
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[Merge]
+        var stopN = minCount - 1 // list exhausted => emergents < minCount
+        var i = 0
+        var stopped = false
+        while (i < top.length && !stopped) {
+          val c = top(i)
+          if (i >= want || used(c.left) || used(c.right)) {
+            stopped = true; stopN = c.count
+          } else {
+            accepted += c; used += c.left; used += c.right; i += 1
+          }
+        }
+        // counts are non-increasing, so the strict trim is a takeWhile
+        val kept = accepted.head +: accepted.tail.takeWhile(_.count > stopN)
+        merges ++= kept
+        val rewritten = kept.foldLeft(col("__toks")) { (t, m) =>
+          mergeOnce(t, m.left, m.right, joiner)
+        }
+        val next = cur.select(rewritten.as("__toks")).persist()
         next.count()
         cur.unpersist(blocking = false)
         cur = next
       }
-      i += 1
     }
     cur.unpersist(blocking = false)
-    merges.toSeq
+    (merges.toSeq, passes)
   }
 }

@@ -19,6 +19,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Dedup {
 
+  /** Default per-token prefix-entry ceiling for
+    * [[prefixFilterJaccardPairs]]'s salt grid: 4096 bounds a worst-case
+    * grid cell at ~16M candidate comparisons — minutes of CPU, not
+    * hours — while corpora whose prefix tokens all sit below it (the
+    * large-vocabulary common case) never pay the grid. */
+  val DefaultPrefixCeiling = 4096
+
   /** Exact dedup groups: content hash → representative id + multiplicity.
     * Shuffles only (hash, id) — at 100 TB the wide text column is pruned
     * before the exchange. */
@@ -940,18 +947,66 @@ object Dedup {
     * hash-gate exactness convention). Scale shape: one token-keyed df
     * count (map-side combined), one doc-keyed sort_array agg (per-doc
     * lists, bounded by doc length), the prefix self-join (the candidate
-    * generator), and a set-join verify on the survivors. Known hazard,
-    * stated not hidden: a token that is GLOBALLY rare-ranked yet still
-    * frequent can pile candidates quadratically; the capped variant for
-    * hostile corpora is [[tokenOverlapPairs]]'s maxDf ceiling —
-    * exactness there trades against the cap, so this operator keeps
-    * completeness and documents the trade. Returns (d1, d2, inter, uni)
-    * with d1 < d2, inter/uni the exact set sizes. */
+    * generator), and a set-join verify on the survivors.
+    *
+    * SKEW GUARD. A token that is rare-RANKED yet still frequent (short
+    * docs, low τ, or a vocabulary with a fat head) can land in many
+    * prefixes, and the token-keyed equi self-join then piles its df²
+    * candidate pairs into ONE task. The pair volume is inherent to
+    * exactness — every one of those candidates must be length-checked —
+    * but the pile-up is not: when any token's PREFIX-entry count
+    * exceeds `ceiling`, the join switches to a salt grid (the
+    * [[graft.operators.IntervalJoin]] family) that spreads each hot
+    * token's candidates over ⌈cnt/ceiling⌉² cells, bounding per-task
+    * pairs at ~ceiling². Salts are content-derived
+    * (`xxhash64(id)` — ids are unique, so the spread is uniform AND
+    * retry-stable; no checkpoint needed, unlike the interval grid whose
+    * join values can collide). Detection is two-tier so the common case
+    * pays nothing: a prefix count can exceed `ceiling` only if the
+    * token's document frequency does, so tier 1 is one cheap aggregate
+    * over the already-persisted tokenized frame; only when it fires is
+    * the prefix table itself counted (tier 2) and the grid engaged.
+    * Exactly-once: a co-prefixed pair (x,y) meets at precisely the cell
+    * (salt(x), salt(y)) — cold tokens pin both salts to 0 with factor-1
+    * replication (zero row growth). Honest scope: when the surviving
+    * candidates are THEMSELVES quadratic (same-length docs sharing the
+    * hot token), total work is inherent to exactness and the downstream
+    * distinct + verify — keyed on the pair — parallelize identically
+    * either way; what the grid removes is the unbounded single TASK in
+    * candidate generation (the straggler/retry/2 GB-partition unit at
+    * cluster scale), measured in isolation by the SCALE hostile phase.
+    * Returns (d1, d2, inter, uni) with d1 < d2, inter/uni the exact
+    * set sizes. */
   def prefixFilterJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      tauNum: Long, tauDen: Long): DataFrame = {
+      tauNum: Long, tauDen: Long,
+      ceiling: Int = DefaultPrefixCeiling): DataFrame = {
+    val (cand, toks, gridTemps) =
+      prefixCandidates(df, idCol, textCol, tauNum, tauDen, ceiling)
+    val out = cand.distinct()
+      .join(toks.select(col("id").as("d1"), col("ts").as("t1")), "d1")
+      .join(toks.select(col("id").as("d2"), col("ts").as("t2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("t1"), col("t2"))).cast("long").as("inter"),
+        size(array_union(col("t1"), col("t2"))).cast("long").as("uni"))
+      .filter(col("inter") * tauDen >= col("uni") * tauNum)
+    materializeAndRelease(out, toks +: gridTemps: _*)
+  }
+
+  /** [[prefixFilterJaccardPairs]]'s candidate generator, pre-`distinct`
+    * — exposed package-private so the SCALE stage can measure the one
+    * thing the salt grid changes (per-TASK candidate rows and the
+    * generation wall) in isolation from the shared downstream distinct
+    * + verify, which key on the pair and parallelize identically either
+    * way. Returns (candidates(d1,d2), persisted tokens frame, grid
+    * temps); the caller owns releasing both. */
+  private[graft] def prefixCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      tauNum: Long, tauDen: Long,
+      ceiling: Int): (DataFrame, DataFrame, Seq[DataFrame]) = {
     require(tauNum > 0 && tauNum <= tauDen,
       s"tau must be in (0,1]: got $tauNum/$tauDen")
+    require(ceiling >= 2, s"ceiling must be >= 2: got $ceiling")
     // persisted: the tokenized frame feeds the df count, the ordered
     // agg, AND both sides of the verify join — unpinned it would
     // re-tokenize the corpus four times; released by the final
@@ -975,21 +1030,103 @@ object Dedup {
     val prefix = ordered
       .select(col("id"), col("n"), explode(slice(col("ord"), lit(1), p)).as("pe"))
       .select(col("id"), col("n"), col("pe").getField("tok").as("tok"))
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
-          col("a.n") * tauNum <= col("b.n") * tauDen &&
-          col("b.n") * tauNum <= col("a.n") * tauDen)
-      .select(col("a.id").as("d1"), col("b.id").as("d2"))
-      .distinct()
-    val out = cand
-      .join(toks.select(col("id").as("d1"), col("ts").as("t1")), "d1")
-      .join(toks.select(col("id").as("d2"), col("ts").as("t2")), "d2")
-      .select(col("d1"), col("d2"),
-        size(array_intersect(col("t1"), col("t2"))).cast("long").as("inter"),
-        size(array_union(col("t1"), col("t2"))).cast("long").as("uni"))
-      .filter(col("inter") * tauDen >= col("uni") * tauNum)
-    materializeAndRelease(out, toks)
+    val lenOk = col("a.n") * tauNum <= col("b.n") * tauDen &&
+      col("b.n") * tauNum <= col("a.n") * tauDen
+    // tier 1: df > ceiling is NECESSARY for a hot prefix token
+    val mayBeHot = !dfTab.filter(col("df") > ceiling).isEmpty
+    val (cand, gridTemps) =
+      if (!mayBeHot) {
+        val c = prefix.as("a")
+          .join(prefix.as("b"),
+            col("a.tok") === col("b.tok") && col("a.id") < col("b.id") && lenOk)
+          .select(col("a.id").as("d1"), col("b.id").as("d2"))
+        (c, Seq.empty[DataFrame])
+      } else {
+        val prefixP = prefix.persist()
+        // tier 2: exact prefix-entry counts; hot list is tiny (each hot
+        // token carries > ceiling entries) and rides a broadcast join
+        val hot = prefixP.groupBy("tok").agg(count(lit(1)).as("__cnt"))
+          .filter(col("__cnt") > ceiling)
+          .select(col("tok"),
+            floor((col("__cnt") + (ceiling - 1).toLong) / ceiling.toLong)
+              .cast("long").as("__f"))
+        def gridSide = prefixP.join(broadcast(hot), Seq("tok"), "left")
+          .withColumn("__s",
+            when(col("__f").isNull, lit(0L))
+              .otherwise(pmod(xxhash64(col("id")), col("__f"))))
+          .withColumn("__r",
+            explode(sequence(lit(0L), coalesce(col("__f"), lit(1L)) - 1L)))
+        val c = gridSide.as("a")
+          .join(gridSide.as("b"),
+            col("a.tok") === col("b.tok") &&
+              col("a.__r") === col("b.__s") && col("b.__r") === col("a.__s") &&
+              col("a.id") < col("b.id") && lenOk)
+          .select(col("a.id").as("d1"), col("b.id").as("d2"))
+        (c, Seq(prefixP))
+      }
+    (cand, toks, gridTemps)
+  }
+
+  /** Cross-document repeated n-gram SPAN removal (the substring-dedup
+    * family — Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": verbatim spans repeated across a corpus
+    * are memorization fuel and train-time waste, and doc-level dedup
+    * never sees them; remove the SPAN, keep the document). A w-gram
+    * occurring ≥ `minOccur` times corpus-wide (multiplicity counts,
+    * within- and cross-document) covers all w tokens of each of its
+    * occurrences; a token covered by ANY repeated gram is dropped from
+    * the rebuilt text. Returns per doc: `n_tokens`, `n_rep_starts`
+    * (repeated-gram start positions), `covered_tokens`, `kept_text`
+    * (uncovered tokens in order, "" when everything was covered).
+    *
+    * Scale shape: grams ride the single-pass [[Shingles.all]] codegen
+    * kernel (the posexplode index IS the start position — no per-start
+    * slice); the occurrence count is one map-side-combined groupBy
+    * keyed on the gram — `hashGrams = true` (the 100 TB default)
+    * shrinks that shuffle key to 8 bytes of xxhash64, trading a
+    * ~n²/2⁶⁴ false-covered chance for not shuffling w-token strings;
+    * the gated query passes `false` for DuckDB string parity and zero
+    * collision risk. The coverage verdict is a per-doc BOUNDED window
+    * (`ROWS w-1 PRECEDING`, never a whole-partition frame), and window,
+    * rebuild fold, and final agg all share the id hash partitioning —
+    * one exchange for the doc-side half. The corpus is scanned three
+    * times (gram count, repeated-start join, token positions) rather
+    * than persisting the exploded gram frame: at target scale the
+    * grams outweigh the text ~w×, so re-scan beats caching them. */
+  def repeatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int, minOccur: Long = 2L, hashGrams: Boolean = true): DataFrame = {
+    require(w >= 1, s"w must be >= 1: got $w")
+    require(minOccur >= 2, s"minOccur must be >= 2: got $minOccur")
+    val grams = df.select(col(idCol).as("id"),
+        posexplode(Shingles.all(col(textCol), w)).as(Seq("p0", "gram")))
+      .select(col("id"), (col("p0") + 1).as("pos"),
+        (if (hashGrams) xxhash64(col("gram")) else col("gram")).as("g"))
+    val rep = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minOccur)
+      .select("g")
+    val starts = grams.join(rep, "g")
+      .select(col("id"), col("pos"), lit(1L).as("is_start"))
+    val positions = df.select(col(idCol).as("id"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).as("pos"), col("tok"))
+    val winCover = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(-(w - 1), 0)
+    val marked = positions.join(starts, Seq("id", "pos"), "left")
+      .withColumn("st", coalesce(col("is_start"), lit(0L)))
+      .withColumn("cov", max(col("st")).over(winCover))
+    marked.groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("st")).as("n_rep_starts"),
+        sum(col("cov")).as("covered_tokens"),
+        array_join(
+          transform(
+            filter(sort_array(collect_list(
+              struct(col("pos"), col("cov"), col("tok")))),
+              x => x.getField("cov") === 0),
+            x => x.getField("tok")),
+          " ").as("kept_text"))
+      .withColumnRenamed("id", idCol)
   }
 
   /** The distributed subtree of [[sortedNeighborhoodPairs]] — the one

@@ -83,7 +83,56 @@ class TopKDedupSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSet
       assert(got === want, s"tau=$num/$den")
+      // hot-token salt grid: ceiling=2 forces EVERY repeated prefix token
+      // through the grid — results must be identical (exactly-once)
+      val gotGrid = graft.operators.Dedup
+        .prefixFilterJaccardPairs(df, "id", "text", num, den, ceiling = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(gotGrid === want, s"grid path diverged at tau=$num/$den")
     }
+    // planted universal token in SHORT docs (whole doc is the prefix at
+    // tau=1/2) — the quadratic pile-up shape the guard exists for
+    val hotDocs = (0L until 50L).map(i => (i, s"hot u$i")) ++
+      Seq((100L, "x y z"), (101L, "x y z"))
+    val hotDf = hotDocs.toDF("id", "text")
+    val gotHot = graft.operators.Dedup
+      .prefixFilterJaccardPairs(hotDf, "id", "text", 1L, 2L, ceiling = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // hot-group pairs share only "hot": J = 1/3 < 1/2 → only the planted
+    // exact dup (and every candidate was still length-checked: exactness)
+    assert(gotHot === Set((100L, 101L, 3L, 3L)))
+  }
+
+  test("Dedup.repeatedSpans: hand-built coverage, overlap merging, hash parity") {
+    import graft.operators.Dedup
+    // docs 1 and 2 share the 4-token span "a b c d"; doc 3 is clean;
+    // doc 4 repeats a span WITHIN itself; doc 5 is shorter than w
+    val docs = Seq(
+      (1L, "a b c d x y z"),
+      (2L, "p q a b c d"),
+      (3L, "u v w u2 v2 w2"),
+      (4L, "m n o r m n o r"),
+      (5L, "s t")).toDF("doc_id", "text")
+    def run(hash: Boolean) = Dedup
+      .repeatedSpans(docs, "doc_id", "text", w = 4, minOccur = 2L, hashGrams = hash)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val m = run(hash = false)
+    // doc 1: start 1 repeated -> tokens 1..4 covered, kept "x y z"
+    assert(m(1L) === ((7L, 1L, 4L, "x y z")))
+    // doc 2: start 3 repeated -> tokens 3..6 covered, kept "p q"
+    assert(m(2L) === ((6L, 1L, 4L, "p q")))
+    // doc 3: nothing repeated
+    assert(m(3L) === ((6L, 0L, 0L, "u v w u2 v2 w2")))
+    // doc 4: "m n o r" occurs at starts 1 and 5 (and "n o r m" etc. only
+    // once) -> spans [1,4] and [5,8] merge to full coverage, kept ""
+    assert(m(4L) === ((8L, 2L, 8L, "")))
+    // doc 5: below w -> no grams, everything kept
+    assert(m(5L) === ((2L, 0L, 0L, "s t")))
+    // the xxhash64 scale path agrees exactly on this corpus
+    assert(run(hash = true) === m)
   }
 
   test("Isotonic.isotonicFit: hand PAV case, minimax parity on random data, duplicate-score pooling") {
@@ -1088,6 +1137,33 @@ class TopKDedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(pc.head === (("a", "b", 3L)))
     assert(pc.toSet === Set(("a", "b", 3L), ("b", "c", 2L), ("c", "a", 2L)))
+  }
+
+  test("BpeTrain.learnMerges: batched acceptance stays on the exact sequential trajectory") {
+    import graft.operators.BpeTrain
+    // tiny alphabet forces dense symbol-sharing among top candidates —
+    // the regime where a naive batch would leave the greedy trajectory
+    val alpha = Array("a", "b", "c", "d", "e")
+    for (seed <- Seq(7L, 41L, 1234L)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (1 to 60)
+        .map(_ => Seq.fill(3 + rnd.nextInt(10))(alpha(rnd.nextInt(alpha.length)))
+          .mkString(" "))
+        .toDF("text")
+      val seq1 = BpeTrain.learnMerges(corpus, "text", k = 10, joiner = "_", batch = 1)
+      val b4 = BpeTrain.learnMerges(corpus, "text", k = 10, joiner = "_", batch = 4)
+      val b16 = BpeTrain.learnMerges(corpus, "text", k = 10, joiner = "_", batch = 16)
+      assert(b4 === seq1, s"batch=4 left the greedy trajectory (seed $seed)")
+      assert(b16 === seq1, s"batch=16 left the greedy trajectory (seed $seed)")
+    }
+    // planted emergent-pair trap: "a b" wins round 1; the emergent pair
+    // (a_b, a_b) then counts 2 while pre-existing (c, d) also counts 2 —
+    // a batch that accepted (c,d) alongside (a,b) would order the table
+    // wrong if the emergent pair outranked it lexically at its step
+    val trap = Seq("a b a b", "a b a b", "c d", "c d").toDF("text")
+    val sTrap = BpeTrain.learnMerges(trap, "text", k = 3, joiner = "_", batch = 1)
+    val bTrap = BpeTrain.learnMerges(trap, "text", k = 3, joiner = "_", batch = 8)
+    assert(bTrap === sTrap)
   }
 
   test("readability: punctuated text — hand-counted Flesch components") {
