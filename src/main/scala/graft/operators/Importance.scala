@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data Selection via Importance Resampling (the DSIR shape, Xie et al.
@@ -227,5 +228,94 @@ object Importance {
         ((x - y) * (x - y)).cast("double").as("num"),
         (col("na").cast(dec) * col("nb") * (x + y)).cast("double").as("den"))
       .withColumn("contrib", col("num") / col("den"))
+  }
+
+  /** EXACT two-sample Kolmogorov–Smirnov statistic between groups `a`
+    * and `b` of `groupCol` — the nonparametric companion to
+    * [[chiSquaredShift]] for NUMERIC columns (score drift between two
+    * corpus shards, "did the quality distribution move?"). One row:
+    * (n_a, n_b, d_num, d) where D = d_num / (n_a·n_b) EXACTLY —
+    * d_num = max over values of |F_a·n_a·n_b − F_b·n_a·n_b| =
+    * max |cum_a·n_b − cum_b·n_a| stays in integer arithmetic
+    * (Decimal(38,0) cross-products, the chi² convention), so the gate
+    * hashes an integer; the one IEEE division producing `d` is
+    * fixed-order on both engines. Ties are handled exactly: the ECDF
+    * jumps at each DISTINCT value with its full multiplicity.
+    *
+    * Scale shape (the [[Percentiles]] contract): the corpus reduces to
+    * its distinct-value histogram first (map-side partials + one
+    * exchange), the cumulative window runs over HISTOGRAM rows only,
+    * and the totals ride a 1-row broadcast. For genuinely continuous
+    * values quantize first (the `Percentiles.perKey` knob) — D is then
+    * exact at that quantization. Guarded loud at 2e9 rows per side
+    * (beyond that the decimal cross-product could overflow). */
+  def ksTwoSample(
+      df: DataFrame, valueCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val maxSide = 2000000000L
+    val base = df.filter(col(groupCol).isin(a, b))
+      .select(col(valueCol).as("v"),
+        when(col(groupCol) === a, 1L).otherwise(0L).as("ia"))
+    val hist = base.groupBy("v")
+      .agg(sum("ia").as("da"), (count(lit(1)) - sum("ia")).as("db"))
+    def guarded(total: Column, side: String): Column =
+      total + coalesce(
+        assert_true(total <= maxSide, lit(
+          s"ks_two_sample: side '$side' exceeds $maxSide rows; the exact " +
+            "integer cross-products would overflow — quantize or subsample")),
+        lit(0L))
+    val tot = hist.agg(guarded(sum("da"), "a").as("na"),
+      guarded(sum("db"), "b").as("nb"))
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .select(col("v"), sum("da").over(wCum).as("ca"),
+        sum("db").over(wCum).as("cb"))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(abs(col("ca").cast(dec) * col("nb") -
+          col("cb").cast(dec) * col("na"))).cast("long").as("d_num"))
+      .withColumn("d", col("d_num").cast("double") /
+        (col("n_a").cast("double") * col("n_b").cast("double")))
+  }
+
+  /** Cohen's kappa between two label columns — chance-corrected
+    * agreement for labeled training data (two annotators, or an
+    * LLM-judge vs a heuristic rater: "is the agreement better than the
+    * marginals predict?"). One row: (n, agree, pe_num, kappa) with
+    * κ = (p_o − p_e)/(1 − p_e) computed as the exact integer rational
+    * (agree·n − Σ_k m_ak·m_bk) / (n² − Σ_k m_ak·m_bk) — Decimal(38,0)
+    * cross-products, one final fixed-order IEEE division. Scale shape:
+    * one count-agg over the fact, two marginal aggs (label-cardinality
+    * rows), the marginal product joined on the label — nothing bigger
+    * than the label set leaves the map side. Guarded loud at 2e9 rows
+    * (n² must stay exact). */
+  def cohenKappa(
+      df: DataFrame, raterACol: String, raterBCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val maxN = 2000000000L
+    val base = df.select(col(raterACol).as("ra"), col(raterBCol).as("rb"))
+    val stats = base.agg(
+      (count(lit(1)) + coalesce(
+        assert_true(count(lit(1)) <= maxN, lit(
+          s"cohen_kappa: more than $maxN rows; n² would overflow the " +
+            "exact integer path — subsample or shard")),
+        lit(0L))).as("n"),
+      sum(when(col("ra") === col("rb"), 1L).otherwise(0L)).as("agree"))
+    val ma = base.groupBy("ra").agg(count(lit(1)).as("ma"))
+    val mb = base.groupBy("rb").agg(count(lit(1)).as("mb"))
+    val pe = ma.join(mb, col("ra") === col("rb"))
+      .agg(coalesce(sum(col("ma").cast(dec) * col("mb")), lit(0L).cast(dec))
+        .as("pe_num"))
+    stats.crossJoin(broadcast(pe))
+      .select(col("n"), col("agree"),
+        col("pe_num").cast("long").as("pe_num"),
+        ((col("agree").cast(dec) * col("n") - col("pe_num"))
+          .cast("double") /
+          (col("n").cast(dec) * col("n") - col("pe_num")).cast("double"))
+          .as("kappa"))
   }
 }

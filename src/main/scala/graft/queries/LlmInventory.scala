@@ -1536,6 +1536,17 @@ object LlmInventory {
       documents(s, d).filter(col("doc_id") < 200), "doc_id", "text",
       tauNum = 9L, tauDen = 10L)
 
+  /** d19: cross-document repeated-SPAN removal ([[Dedup.repeatedSpans]],
+    * the Lee et al. substring-dedup family) — every 4-gram occurring ≥ 2
+    * times corpus-wide covers its tokens; covered tokens drop from the
+    * rebuilt text. The gate hashes the REBUILT text too, so the
+    * interval-union coverage logic (the windowed max), not just the
+    * counts, faces DuckDB. String grams (hashGrams=false) for parity;
+    * the xxhash64-keyed shuffle is the scale default. */
+  val d19RepeatedSpans: Q = (s, d) =>
+    Dedup.repeatedSpans(documents(s, d), "doc_id", "text",
+      w = 4, minOccur = 2L, hashGrams = false)
+
   /** r7: the streaming exact-dedup arm under the HARD gate — the s19
     * pattern (run the stream over the batch corpus, declare equality
     * with the batch twin as the oracle), applied to the state-store
@@ -1831,6 +1842,33 @@ object LlmInventory {
       "text", buckets = 64)
   }
 
+  /** a28: exact two-sample Kolmogorov–Smirnov
+    * ([[graft.operators.Importance.ksTwoSample]]) — the numeric-column
+    * drift companion to t46's chi²: token-count distribution of src0 vs
+    * src1. D is hashed as the exact integer d_num (= D·n_a·n_b); the
+    * histogram-then-window shape keeps the global window off the fact
+    * (the a25/Percentiles contract). */
+  val a28KsTwoSample: Q = (s, d) =>
+    graft.operators.Importance.ksTwoSample(
+      documents(s, d)
+        .withColumn("n_toks", size(split(lower(col("text")), " ")).cast("long")),
+      "n_toks", "source", "src0", "src1")
+
+  /** t56: Cohen's kappa ([[graft.operators.Importance.cohenKappa]]) —
+    * chance-corrected agreement between two deterministic "raters" of
+    * the same docs (token-count long/short vs byte-length long/short):
+    * the LLM-judge-vs-heuristic audit shape. Exact integer rational,
+    * one IEEE division. */
+  val t56CohenKappa: Q = (s, d) =>
+    graft.operators.Importance.cohenKappa(
+      documents(s, d)
+        .withColumn("rater_a",
+          when(size(split(lower(col("text")), " ")) >= 60, lit("long"))
+            .otherwise(lit("short")))
+        .withColumn("rater_b",
+          when(length(col("text")) >= 330, lit("long")).otherwise(lit("short"))),
+      "rater_a", "rater_b")
+
   val t44WeightedSample: Q = (s, d) => {
     val docs = documents(s, d).withColumn("weight",
       greatest(lit(1L), least(lit(16L), floor(col("n_chars") / 50).cast("long"))))
@@ -2094,6 +2132,7 @@ object LlmInventory {
     "r12_stream_count_min" -> r12StreamCountMin,
     "r13_stream_majority" -> r13StreamMajority,
     "d18_prefix_filter_pairs" -> d18PrefixFilterPairs,
+    "d19_repeated_spans" -> d19RepeatedSpans,
     "t54_grouped_split" -> t54GroupedSplit,
     "t51_bpe_apply" -> t51BpeApply,
     "t52_pmi_pairs" -> t52PmiPairs,
@@ -2104,6 +2143,8 @@ object LlmInventory {
     "t44_weighted_sample" -> t44WeightedSample,
     "t45_winsorize" -> t45Winsorize,
     "t46_dist_shift" -> t46DistShift,
+    "a28_ks_two_sample" -> a28KsTwoSample,
+    "t56_cohen_kappa" -> t56CohenKappa,
     "a18_sampled_quantiles" -> a18SampledQuantiles,
     "t21_classifier_score" -> t21ClassifierScore,
     "t22_tfidf_topterms" -> t22TfidfTopTerms,
@@ -2606,6 +2647,40 @@ object LlmInventory {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |SELECT d1, d2, inter, uni FROM p
         |WHERE inter * 10 >= uni * 9""".stripMargin,
+    // repeated-span mirror: zipped-unnest grams with positions (the t11
+    // shingle pattern), HAVING-count repeated set, start join, then the
+    // identical bounded window (ROWS 3 PRECEDING) for coverage and an
+    // ordered FILTER string_agg for the rebuilt text (COALESCE for the
+    // all-covered doc: Spark's array_join of [] is '')
+    "d19_repeated_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(range(1, len(toks) - 2)) AS s,
+        |         unnest(list_transform(range(1, len(toks) - 2),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
+        |  FROM tok WHERE len(toks) >= 4),
+        |rep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |st AS (SELECT g.doc_id, g.s FROM g JOIN rep USING (gram)),
+        |pos AS (
+        |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, unnest(toks) AS tok
+        |  FROM tok),
+        |mk AS (
+        |  SELECT pos.doc_id, pos.p, pos.tok,
+        |         CASE WHEN st.s IS NULL THEN 0 ELSE 1 END AS stf
+        |  FROM pos LEFT JOIN st ON pos.doc_id = st.doc_id AND pos.p = st.s),
+        |cv AS (
+        |  SELECT doc_id, p, tok, stf,
+        |         max(stf) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cov
+        |  FROM mk)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(stf) AS BIGINT) AS n_rep_starts,
+        |  CAST(sum(cov) AS BIGINT) AS covered_tokens,
+        |  COALESCE(string_agg(tok, ' ' ORDER BY p) FILTER (WHERE cov = 0), '') AS kept_text
+        |FROM cv GROUP BY doc_id""".stripMargin,
     "t7_hash_split" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333' THEN 'val'
@@ -4027,6 +4102,47 @@ object LlmInventory {
         |       CAST((x - y) * (x - y) AS DOUBLE) / CAST(nn * (x + y) AS DOUBLE)
         |         AS contrib
         |FROM xy""".stripMargin,
+    // KS mirror: distinct-value histogram, cumulative window over it,
+    // exact integer cross-products (HUGEINT ≡ Spark Decimal(38,0)), max,
+    // one fixed-order double division
+    "a28_ks_two_sample" ->
+      """WITH base AS (
+        |  SELECT CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS v,
+        |         CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |hist AS (SELECT v, SUM(ia) AS da, COUNT(*) - SUM(ia) AS db
+        |         FROM base GROUP BY v),
+        |tot AS (SELECT SUM(da) AS na, SUM(db) AS nb FROM hist),
+        |cum AS (
+        |  SELECT SUM(da) OVER w AS ca, SUM(db) OVER w AS cb
+        |  FROM hist
+        |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(MAX(ABS(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) AS BIGINT) AS d_num,
+        |  CAST(MAX(ABS(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) AS DOUBLE)
+        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS d
+        |FROM cum, tot GROUP BY na, nb""".stripMargin,
+    // kappa mirror: exact integer rational (agree·n − Σ m_a·m_b) /
+    // (n² − Σ m_a·m_b), one double division
+    "t56_cohen_kappa" ->
+      """WITH lab AS (
+        |  SELECT CASE WHEN len(string_split(lower(text), ' ')) >= 60
+        |              THEN 'long' ELSE 'short' END AS ra,
+        |         CASE WHEN length(text) >= 330
+        |              THEN 'long' ELSE 'short' END AS rb
+        |  FROM documents),
+        |st AS (SELECT COUNT(*) AS n,
+        |              SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS agree
+        |       FROM lab),
+        |ma AS (SELECT ra AS k, COUNT(*) AS m FROM lab GROUP BY ra),
+        |mb AS (SELECT rb AS k, COUNT(*) AS m FROM lab GROUP BY rb),
+        |pe AS (SELECT COALESCE(SUM(CAST(ma.m AS HUGEINT) * mb.m), 0) AS pe_num
+        |       FROM ma JOIN mb USING (k))
+        |SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+        |       CAST(pe_num AS BIGINT) AS pe_num,
+        |       CAST(CAST(agree AS HUGEINT) * n - pe_num AS DOUBLE)
+        |         / CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE) AS kappa
+        |FROM st, pe""".stripMargin,
     "t45_winsorize" ->
       """WITH h AS (SELECT lang, n_chars AS v, count(*) AS cnt
         |           FROM documents GROUP BY 1, 2),
