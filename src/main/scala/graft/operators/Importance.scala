@@ -281,6 +281,51 @@ object Importance {
         (col("n_a").cast("double") * col("n_b").cast("double")))
   }
 
+  /** EXACT Mann–Whitney U (rank-sum) between groups `a` and `b` — the
+    * ordinal companion to [[ksTwoSample]] ("did the scores shift UP?",
+    * where KS asks "did the distribution change at all?"). Ties get
+    * midranks, handled exactly by carrying DOUBLED rank sums:
+    * u2_a = 2·U_a = Σ_v da_v·(2·cum_prev_v + cnt_v + 1) − n_a(n_a+1)
+    * stays integer end to end (Decimal(38,0) cross-products, loud 2e9
+    * guard); `u_a` is the one halving division in IEEE. One row:
+    * (n_a, n_b, u2_a, u_a). U_b needs no second pass: U_a+U_b = n_a·n_b.
+    * Scale shape identical to KS: distinct-value histogram, cumulative
+    * window over histogram rows only, 1-row broadcast totals. */
+  def mannWhitney(
+      df: DataFrame, valueCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val maxSide = 2000000000L
+    val base = df.filter(col(groupCol).isin(a, b))
+      .select(col(valueCol).as("v"),
+        when(col(groupCol) === a, 1L).otherwise(0L).as("ia"))
+    val hist = base.groupBy("v")
+      .agg(sum("ia").as("da"), (count(lit(1)) - sum("ia")).as("db"))
+    def guarded(total: Column, side: String): Column =
+      total + coalesce(
+        assert_true(total <= maxSide, lit(
+          s"mann_whitney: side '$side' exceeds $maxSide rows; the exact " +
+            "integer rank sums would overflow — quantize or subsample")),
+        lit(0L))
+    val tot = hist.agg(guarded(sum("da"), "a").as("na"),
+      guarded(sum("db"), "b").as("nb"))
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .withColumn("cum", sum(col("da") + col("db")).over(wCum))
+      .withColumn("term",
+        col("da").cast(dec) *
+          (lit(2L) * (col("cum") - col("da") - col("db")) +
+            col("da") + col("db") + 1L))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        (sum(col("term")) -
+          max(col("na")).cast(dec) * (max(col("na")) + 1L))
+          .cast("long").as("u2_a"))
+      .withColumn("u_a", col("u2_a").cast("double") / 2.0)
+  }
+
   /** Cohen's kappa between two label columns — chance-corrected
     * agreement for labeled training data (two annotators, or an
     * LLM-judge vs a heuristic rater: "is the agreement better than the

@@ -327,6 +327,36 @@ object Similarity {
       .toDF("rnk", idCol)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
+    * retrieval combiner: each input ranking contributes 1/(k0 + rank)
+    * per document, missing documents contribute 0, fused score = the
+    * sum. The shape that merges a BM25 list with an ANN list without
+    * score calibration (ranks only — scales never meet).
+    *
+    * Inputs are (idCol, rnk) frames — top-k lists, so everything here
+    * is k-row-bounded whatever the corpus behind the rankings: the
+    * full-outer rank merge and the final sort never see corpus-sized
+    * data. Determinism: each contribution is one IEEE division of
+    * exact integers and the sum folds left in input order — both
+    * engine-reproducible; ties break on id. */
+  def rrfFuse(
+      rankings: Seq[DataFrame], idCol: String,
+      k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k0 >= 1, s"k0 must be >= 1: got $k0")
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol), col("rnk").cast("long").as(s"__r$i"))
+    }
+    val merged = tagged.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = rankings.indices
+      .map(i => coalesce(lit(1.0) / (lit(k0.toDouble) + col(s"__r$i")), lit(0.0)))
+      .reduce(_ + _)
+    merged.withColumn("rrf", score)
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(topK)
+      .select(col(idCol), col("rrf"))
+  }
+
   /** The sequential MMR argmax over a BOUNDED candidate pool of
     * `(id, vector, relevance)` — the driver half of [[mmrSelect]],
     * exposed so serving paths (CLI `annquery --diverse`) can rerank an

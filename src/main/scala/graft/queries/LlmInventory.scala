@@ -1854,6 +1854,40 @@ object LlmInventory {
         .withColumn("n_toks", size(split(lower(col("text")), " ")).cast("long")),
       "n_toks", "source", "src0", "src1")
 
+  /** a29: exact Mann–Whitney U ([[graft.operators.Importance
+    * .mannWhitney]]) — the ordinal drift companion to a28's KS over the
+    * same src0/src1 token-count split; u2_a (= 2·U_a, midrank ties
+    * exact) is the hashed integer. */
+  val a29MannWhitney: Q = (s, d) =>
+    graft.operators.Importance.mannWhitney(
+      documents(s, d)
+        .withColumn("n_toks", size(split(lower(col("text")), " ")).cast("long")),
+      "n_toks", "source", "src0", "src1")
+
+  /** s20: reciprocal-rank fusion ([[graft.operators.Similarity
+    * .rrfFuse]]) — hybrid retrieval's combiner, fusing two top-10
+    * cosine rankings (query vectors 0 and 1 over the shared candidate
+    * corpus) into a top-5; each contribution is one IEEE division of
+    * exact integers, summed left-to-right on both engines. */
+  val s20RrfFusion: Q = (s, d) => {
+    val em = embeddings(s, d)
+    def ranking(qid: Long): org.apache.spark.sql.DataFrame = {
+      val q = em.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0)
+      val top = Similarity
+        .bruteForceTopK(em.filter(!col("vec_id").isin(0L, 1L)),
+          "vec_id", "embedding", q, 10)
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .select("vec_id").collect()
+      import s.implicits._
+      top.toSeq.zipWithIndex
+        .map { case (r, i) => ((i + 1).toLong, r.getLong(0)) }
+        .toDF("rnk", "vec_id")
+    }
+    Similarity.rrfFuse(Seq(ranking(0L), ranking(1L)), "vec_id",
+      k0 = 60, topK = 5)
+  }
+
   /** t56: Cohen's kappa ([[graft.operators.Importance.cohenKappa]]) —
     * chance-corrected agreement between two deterministic "raters" of
     * the same docs (token-count long/short vs byte-length long/short):
@@ -2144,6 +2178,8 @@ object LlmInventory {
     "t45_winsorize" -> t45Winsorize,
     "t46_dist_shift" -> t46DistShift,
     "a28_ks_two_sample" -> a28KsTwoSample,
+    "a29_mann_whitney" -> a29MannWhitney,
+    "s20_rrf_fusion" -> s20RrfFusion,
     "t56_cohen_kappa" -> t56CohenKappa,
     "a18_sampled_quantiles" -> a18SampledQuantiles,
     "t21_classifier_score" -> t21ClassifierScore,
@@ -4122,6 +4158,47 @@ object LlmInventory {
         |  CAST(MAX(ABS(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) AS DOUBLE)
         |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS d
         |FROM cum, tot GROUP BY na, nb""".stripMargin,
+    // Mann-Whitney mirror: same histogram + cumulative window as KS,
+    // doubled rank sums stay integer (midrank ties exact), one halving
+    "a29_mann_whitney" ->
+      """WITH base AS (
+        |  SELECT CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS v,
+        |         CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |hist AS (SELECT v, SUM(ia) AS da, COUNT(*) - SUM(ia) AS db
+        |         FROM base GROUP BY v),
+        |tot AS (SELECT SUM(da) AS na, SUM(db) AS nb FROM hist),
+        |cum AS (
+        |  SELECT da, db, SUM(da + db) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM hist),
+        |s AS (SELECT SUM(CAST(da AS HUGEINT) * (2 * (c - da - db) + da + db + 1)) AS t
+        |      FROM cum)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(t - CAST(na AS HUGEINT) * (na + 1) AS BIGINT) AS u2_a,
+        |  CAST(t - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE) / 2.0 AS u_a
+        |FROM s, tot""".stripMargin,
+    // RRF mirror: two rank-only cosine lists (the s1 construction),
+    // full-outer rank merge, 1/(60+r) contributions with DOUBLE-cast
+    // literals (DuckDB decimal-literal hazard), left-to-right sum
+    "s20_rrf_fusion" ->
+      """WITH ra AS (
+        |  SELECT vec_id, ROW_NUMBER() OVER (
+        |      ORDER BY list_cosine_similarity(embedding,
+        |        (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id) AS r
+        |  FROM embeddings WHERE vec_id NOT IN (0, 1)
+        |  QUALIFY r <= 10),
+        |rb AS (
+        |  SELECT vec_id, ROW_NUMBER() OVER (
+        |      ORDER BY list_cosine_similarity(embedding,
+        |        (SELECT embedding FROM embeddings WHERE vec_id = 1)) DESC, vec_id) AS r
+        |  FROM embeddings WHERE vec_id NOT IN (0, 1)
+        |  QUALIFY r <= 10)
+        |SELECT COALESCE(ra.vec_id, rb.vec_id) AS vec_id,
+        |       COALESCE(CAST(1 AS DOUBLE) / (60 + ra.r), CAST(0 AS DOUBLE)) +
+        |       COALESCE(CAST(1 AS DOUBLE) / (60 + rb.r), CAST(0 AS DOUBLE)) AS rrf
+        |FROM ra FULL OUTER JOIN rb ON ra.vec_id = rb.vec_id
+        |ORDER BY rrf DESC, vec_id LIMIT 5""".stripMargin,
     // kappa mirror: exact integer rational (agree·n − Σ m_a·m_b) /
     // (n² − Σ m_a·m_b), one double division
     "t56_cohen_kappa" ->

@@ -419,6 +419,58 @@ class GraphImportanceSpec extends AnyFunSuite {
     assert(r((4L, 5L))._2 == 0.0)
   }
 
+  test("ksTwoSample + mannWhitney: brute-force parity on random tied data; kappa hand case") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    // small integer values force heavy ties — the exactness stressor
+    val rows = (1 to 200).map { i =>
+      (rnd.nextInt(12).toLong, if (rnd.nextBoolean()) "a" else "b")
+    }
+    val df = rows.toDF("v", "g")
+    val av = rows.filter(_._2 == "a").map(_._1)
+    val bv = rows.filter(_._2 == "b").map(_._1)
+    // brute KS: max over values of |Fa - Fb|, as the exact rational numerator
+    val dNumWant = (0L to 12L).map { x =>
+      val ca = av.count(_ <= x).toLong; val cb = bv.count(_ <= x).toLong
+      math.abs(ca * bv.size - cb * av.size)
+    }.max
+    val ks = Importance.ksTwoSample(df, "v", "g", "a", "b").head()
+    assert(ks.getLong(0) === av.size.toLong && ks.getLong(1) === bv.size.toLong)
+    assert(ks.getLong(2) === dNumWant)
+    assert(ks.getDouble(3) === dNumWant.toDouble / (av.size.toDouble * bv.size.toDouble))
+    // brute U: pairwise wins + half-ties, doubled to stay integer
+    val u2Want = (for (x <- av; y <- bv)
+      yield (if (x > y) 2L else if (x == y) 1L else 0L)).sum
+    val mw = Importance.mannWhitney(df, "v", "g", "a", "b").head()
+    assert(mw.getLong(2) === u2Want, "doubled U mismatch vs brute force")
+    assert(mw.getDouble(3) === u2Want / 2.0)
+    // kappa hand case: 2x2 confusion [[20 agree aa, 5 ab], [10 ba, 15 bb]]
+    val lab = (Seq.fill(20)(("x", "x")) ++ Seq.fill(5)(("x", "y")) ++
+      Seq.fill(10)(("y", "x")) ++ Seq.fill(15)(("y", "y"))).toDF("ra", "rb")
+    val k = Importance.cohenKappa(lab, "ra", "rb").head()
+    val n = 50L; val agree = 35L
+    val peNum = 25L * 30L + 25L * 20L // ma(x)*mb(x) + ma(y)*mb(y)
+    assert(k.getLong(0) === n && k.getLong(1) === agree && k.getLong(2) === peNum)
+    assert(k.getDouble(3) === (agree * n - peNum).toDouble / (n * n - peNum).toDouble)
+  }
+
+  test("rrfFuse: hand-fused ranks, missing-doc contribution, tie-break") {
+    import spark.implicits._
+    val ra = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("rnk", "id")
+      .select(col("id"), col("rnk"))
+    val rb = Seq((1L, 20L), (2L, 40L)).toDF("rnk", "id")
+      .select(col("id"), col("rnk"))
+    val got = graft.operators.Similarity
+      .rrfFuse(Seq(ra.select(col("id"), col("rnk")),
+        rb.select(col("id"), col("rnk"))), "id", k0 = 60, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // doc 20: 1/62 + 1/61; doc 10: 1/61; doc 40: 1/62; doc 30: 1/63
+    assert(got(0) === ((20L, 1.0 / 62 + 1.0 / 61)))
+    assert(got(1) === ((10L, 1.0 / 61)))
+    assert(got(2) === ((40L, 1.0 / 62)))
+    assert(got(3) === ((30L, 1.0 / 63)))
+  }
+
   test("hopDistance: min hop counts on a path + branch graph; maxHops truncates; early exit") {
     // 1→2→3→4→5 with a shortcut 1→4: dist(4) must be 1, not 3
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
