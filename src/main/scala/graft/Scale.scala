@@ -270,6 +270,7 @@ object Scale {
     if (args.headOption.contains("textops")) return textOpsMain(args)
     if (args.headOption.contains("ppjoin")) return ppjoinMain(args)
     if (args.headOption.contains("cc")) return ccMain(args)
+    if (args.headOption.contains("kmeans")) return kmeansMain(args)
     if (args.headOption.contains("pagerank")) return pagerankMain(args)
     if (args.headOption.contains("triangles")) return trianglesMain(args)
     if (args.headOption.contains("triab")) return triAbMain(args)
@@ -1201,6 +1202,84 @@ object Scale {
          |""".stripMargin
     spliceSection(outMd, textOpsHeader, section)
     println(s"""{"metric":"scale_textops","value":${bm25Sec + blockSec + runSec},"unit":"sec","n_docs":$nDocs,"bm25_sec":$bm25Sec,"block_sec":$blockSec,"run_sec":$runSec,"heap_peak_mb":$heapMb}""")
+    spark.stop()
+  }
+
+  private val kmeansHeader = "## Exact-integer Lloyd k-means stage"
+
+  /** `runMain graft.Scale kmeans [nVecs] [outMd]` — [[graft.operators
+    * .Similarity.kmeansLloydExact]] at corpus scale: 1M 64-dim vectors
+    * in 16 well-separated planted clusters (vector i belongs to cluster
+    * i % 16, center c has 8.0 at dim 4c, ±0.25 hash noise elsewhere),
+    * ids 0..15 seed one member of each cluster, 3 full-corpus Lloyd
+    * iterations. Correctness is closed-form: seed j sits in planted
+    * cluster j, so after convergence EVERY vector's label must equal
+    * id % 16 — purity asserted exactly, not sampled. The trajectory is
+    * exact integer arithmetic throughout (the operator's contract), so
+    * this is also a determinism stage: any partition layout gives these
+    * labels. */
+  private def kmeansMain(args: Array[String]): Unit = {
+    val nVecs = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    val outMd = args.lift(2).getOrElse("SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val k = 16
+    val dim = 64
+    val dir = Files.createTempDirectory("graft_scale_kmeans").toString
+    val (_, genSec) = timed {
+      spark.range(nVecs).toDF("id")
+        .withColumn("c", pmod(col("id"), lit(k.toLong)).cast("int"))
+        .withColumn("vec",
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => (when(j === col("c") * 4, lit(8.0d)).otherwise(lit(0.0d)) +
+              (pmod(xxhash64(col("id"), j), lit(1000L)).cast("double") / 1000.0d - 0.5d) * 0.5d)
+              .cast("float")))
+        .select("id", "vec")
+        .write.mode("overwrite").parquet(dir)
+    }
+    val vecs = spark.read.parquet(dir)
+    val ((cents, assigned), fitSec) = timed {
+      graft.operators.Similarity.kmeansLloydExact(vecs, "id", "vec", k, iters = 3)
+    }
+    val (impure, checkSec) = timed {
+      assigned.filter(col("list_id") =!= pmod(col("id"), lit(k.toLong))).count()
+    }
+    require(impure == 0L,
+      s"kmeans purity broke: $impure of $nVecs vectors mislabeled")
+    require(cents.length == k)
+    val heapMb = heapPeakMb()
+    val section =
+      s"""
+         |$kmeansHeader (${nVecs / 1000}k × $dim-dim vectors, k=$k, 3 iterations)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale kmeans $nVecs"` —
+         |distributed Lloyd in exact scaled-integer space: per iteration one
+         |scan-side least-struct argmin (zero shuffle) + one map-side-combined
+         |(list, dim) sum (k·dim = ${k * dim} driver rows); the trajectory is a
+         |pure function of the corpus (integer argmins, floor-divided means).
+         |
+         || metric | value |
+         ||---|---|
+         || corpus generate + write | ${f"$genSec%.1f"} s ($nVecs vectors) |
+         || 3 Lloyd iterations + final assignment | ${f"$fitSec%.1f"} s (${f"${nVecs * 3 / fitSec}%.0f"} vector-iters/s) |
+         || purity vs planted clusters | EXACT — 0 of $nVecs mislabeled (closed-form check, ${f"$checkSec%.1f"} s) |
+         || peak heap | $heapMb MB |
+         |
+         |- ids 0..15 seed one member of each planted cluster, so label j ≡
+         |  planted cluster j and purity is a closed form, not a sample
+         |- the s21 driver gate replays 2 iterations through an unrolled-CTE
+         |  DuckDB oracle (argmin ties, floor means, empty-cluster holds)
+         |""".stripMargin
+    spliceSection(outMd, kmeansHeader, section)
+    println(s"""{"metric":"scale_kmeans","value":$fitSec,"unit":"sec","n_vecs":$nVecs,"k":$k,"dim":$dim,"impure":$impure,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 

@@ -577,6 +577,85 @@ object Similarity {
     centroids
   }
 
+  /** Distributed Lloyd k-means in EXACT scaled-integer space — the
+    * corpus-scale clustering primitive behind SemDeDup-style semantic
+    * dedup and IVF training ([[kmeansCentroids]] trains on a driver
+    * SAMPLE; this one runs every iteration over the FULL distributed
+    * corpus). Components quantize to `round(x · 2^scaleBits)` longs, so
+    * every distance is an exact integer, every argmin has a total order
+    * (squared distance, then list id), and every centroid update is an
+    * exact floor-divided integer mean — the whole trajectory is a pure
+    * function of the corpus, independent of partitioning and float
+    * summation order (floating-point Lloyd is neither). Exactness at
+    * quantization `2^-scaleBits` is the same contract as the cents/µs
+    * conventions elsewhere.
+    *
+    * Init: the k smallest-id rows (deterministic, caller-predictable —
+    * shuffle ids upstream for a random-like seed). Per iteration: one
+    * scan-side least-struct argmin (zero shuffle) + one map-side-
+    * combined (list_id, dim) sum — k·dim driver rows, nothing else
+    * leaves the executors; empty clusters keep their centroid. Returns
+    * (final centroids, assignment frame (idCol, list_id)). Guarded
+    * loud: dim·(2·max|q|)² must fit a long (the exact-distance bound).
+    */
+  def kmeansLloydExact(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scaleBits: Int = 20): (Array[Array[Long]], DataFrame) = {
+    require(k >= 1, s"k must be >= 1: got $k")
+    require(iters >= 1, s"iters must be >= 1: got $iters")
+    require(scaleBits >= 1 && scaleBits <= 30, s"scaleBits out of range: $scaleBits")
+    val scale = (1L << scaleBits).toDouble
+    val q = corpus.select(col(idCol).as("id"),
+        transform(col(vecCol), x => round(x.cast("double") * scale).cast("long"))
+          .as("qv"))
+      .persist()
+    val head = q.select(size(col("qv")).as("d"),
+      aggregate(col("qv"), lit(0L), (m, x) => greatest(m, abs(x))).as("mx"))
+      .agg(max("d").as("dim"), max("mx").as("mx")).head()
+    val dim = head.getInt(0)
+    val maxAbs = head.getLong(1)
+    require(
+      BigInt(dim) * 4 * BigInt(maxAbs max 1L) * BigInt(maxAbs max 1L) <= BigInt(Long.MaxValue),
+      s"kmeans_lloyd_exact: dim=$dim at max|q|=$maxAbs would overflow the " +
+        "exact integer distance - lower scaleBits or normalize the vectors")
+    var cents: Array[Array[Long]] = q.orderBy(col("id").asc).limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(cents.length == k, s"corpus has fewer than k=$k rows")
+    def assignExpr: Column = {
+      val structs = cents.zipWithIndex.map { case (c, i) =>
+        struct(
+          aggregate(zip_with(col("qv"), typedlit(c.toSeq),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d2"),
+          lit(i).as("list_id"))
+      }
+      least(structs.toIndexedSeq: _*).getField("list_id")
+    }
+    for (_ <- 1 to iters) {
+      val rows = q.withColumn("list_id", assignExpr)
+        .select(col("list_id"), posexplode(col("qv")).as(Seq("dim0", "v")))
+        .groupBy("list_id", "dim0")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val sums = Array.fill(k, dim)(0L)
+      val cnts = Array.fill(k)(0L)
+      rows.foreach { r =>
+        sums(r.getInt(0))(r.getInt(1)) = r.getLong(2)
+        cnts(r.getInt(0)) = r.getLong(3)
+      }
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        if (cnts(i) == 0L) old
+        else sums(i).map(s => Math.floorDiv(s, cnts(i)))
+      }
+    }
+    val assigned = q.withColumn("list_id", assignExpr)
+      .select(col("id").as(idCol), col("list_id").cast("long").as("list_id"))
+    // released before return: the assignment frame recomputes the
+    // quantization on a cache miss, which is exact-integer and therefore
+    // safe to replay (unlike a float pipeline, nothing depends on order)
+    q.unpersist(blocking = false)
+    (cents, assigned)
+  }
+
   /** Assign every corpus row to its nearest centroid (`list_id`) — a
     * greatest-struct argmax over codegen'd cosine columns, no shuffle. */
   def ivfAssign(

@@ -1888,6 +1888,26 @@ object LlmInventory {
       k0 = 60, topK = 5)
   }
 
+  /** s21: distributed EXACT-integer Lloyd k-means ([[Similarity
+    * .kmeansLloydExact]]) — 2 full-corpus iterations from the 4
+    * smallest-id seeds; the hashed artifact is the (list_id, dim,
+    * centroid_component, cluster_size) table, all integers, so the
+    * whole 2-iteration trajectory (argmin ties, floor-divided means,
+    * empty-cluster holds) faces the oracle's unrolled-CTE replay. */
+  val s21Kmeans: Q = (s, d) => {
+    val em = embeddings(s, d)
+    val (cents, assigned) = Similarity.kmeansLloydExact(
+      em, "vec_id", "embedding", k = 4, iters = 2)
+    val sizes = assigned.groupBy("list_id").agg(count(lit(1)).as("n"))
+    import s.implicits._
+    val cdf = cents.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (v, d0) => (i.toLong, (d0 + 1).toLong, v) }
+    }.toSeq.toDF("list_id", "dim", "c")
+    cdf.join(sizes, Seq("list_id"), "left")
+      .select(col("list_id"), col("dim"), col("c"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** t56: Cohen's kappa ([[graft.operators.Importance.cohenKappa]]) —
     * chance-corrected agreement between two deterministic "raters" of
     * the same docs (token-count long/short vs byte-length long/short):
@@ -2180,6 +2200,7 @@ object LlmInventory {
     "a28_ks_two_sample" -> a28KsTwoSample,
     "a29_mann_whitney" -> a29MannWhitney,
     "s20_rrf_fusion" -> s20RrfFusion,
+    "s21_kmeans" -> s21Kmeans,
     "t56_cohen_kappa" -> t56CohenKappa,
     "a18_sampled_quantiles" -> a18SampledQuantiles,
     "t21_classifier_score" -> t21ClassifierScore,
@@ -4199,6 +4220,60 @@ object LlmInventory {
         |       COALESCE(CAST(1 AS DOUBLE) / (60 + rb.r), CAST(0 AS DOUBLE)) AS rrf
         |FROM ra FULL OUTER JOIN rb ON ra.vec_id = rb.vec_id
         |ORDER BY rrf DESC, vec_id LIMIT 5""".stripMargin,
+    // k-means mirror: the g7/g8 unrolled-CTE pattern — 2 Lloyd
+    // iterations replayed exactly (same round-half-up quantization,
+    // integer argmin with (d2, list_id) ties, floor-divided means via
+    // the floorMod subtraction, empty clusters hold via LEFT JOIN)
+    "s21_kmeans" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id AS BIGINT) AS list_id, qv AS cv FROM q WHERE vec_id < 4),
+        |a1 AS (
+        |  SELECT vec_id, list_id, qv FROM (
+        |    SELECT q.vec_id, c0.list_id, q.qv,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_reduce(list_transform(range(1, len(q.qv)+1),
+        |          j -> (q.qv[j]-c0.cv[j])*(q.qv[j]-c0.cv[j])), (a,b)->a+b) ASC, c0.list_id ASC) AS rn
+        |    FROM q CROSS JOIN c0) t WHERE rn = 1),
+        |u1 AS (
+        |  SELECT list_id, dim, SUM(val) AS s, COUNT(*) AS n FROM (
+        |    SELECT list_id, unnest(range(1, len(qv)+1)) AS dim, unnest(qv) AS val FROM a1)
+        |  GROUP BY 1, 2),
+        |c0d AS (SELECT list_id, unnest(range(1, len(cv)+1)) AS dim, unnest(cv) AS cval FROM c0),
+        |c1d AS (
+        |  SELECT c0d.list_id, c0d.dim,
+        |    COALESCE(CAST((u1.s - (((u1.s % u1.n) + u1.n) % u1.n)) // u1.n AS BIGINT), c0d.cval) AS cval
+        |  FROM c0d LEFT JOIN u1 ON c0d.list_id = u1.list_id AND c0d.dim = u1.dim),
+        |c1 AS (SELECT list_id, list(cval ORDER BY dim) AS cv FROM c1d GROUP BY list_id),
+        |a2 AS (
+        |  SELECT vec_id, list_id, qv FROM (
+        |    SELECT q.vec_id, c1.list_id, q.qv,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_reduce(list_transform(range(1, len(q.qv)+1),
+        |          j -> (q.qv[j]-c1.cv[j])*(q.qv[j]-c1.cv[j])), (a,b)->a+b) ASC, c1.list_id ASC) AS rn
+        |    FROM q CROSS JOIN c1) t WHERE rn = 1),
+        |u2 AS (
+        |  SELECT list_id, dim, SUM(val) AS s, COUNT(*) AS n FROM (
+        |    SELECT list_id, unnest(range(1, len(qv)+1)) AS dim, unnest(qv) AS val FROM a2)
+        |  GROUP BY 1, 2),
+        |c2d AS (
+        |  SELECT c1d.list_id, c1d.dim,
+        |    COALESCE(CAST((u2.s - (((u2.s % u2.n) + u2.n) % u2.n)) // u2.n AS BIGINT), c1d.cval) AS cval
+        |  FROM c1d LEFT JOIN u2 ON c1d.list_id = u2.list_id AND c1d.dim = u2.dim),
+        |c2 AS (SELECT list_id, list(cval ORDER BY dim) AS cv FROM c2d GROUP BY list_id),
+        |a3 AS (
+        |  SELECT vec_id, list_id FROM (
+        |    SELECT q.vec_id, c2.list_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_reduce(list_transform(range(1, len(q.qv)+1),
+        |          j -> (q.qv[j]-c2.cv[j])*(q.qv[j]-c2.cv[j])), (a,b)->a+b) ASC, c2.list_id ASC) AS rn
+        |    FROM q CROSS JOIN c2) t WHERE rn = 1),
+        |sizes AS (SELECT list_id, COUNT(*) AS n FROM a3 GROUP BY 1)
+        |SELECT c2d.list_id, CAST(c2d.dim AS BIGINT) AS dim, c2d.cval AS c,
+        |       COALESCE(sizes.n, 0) AS n
+        |FROM c2d LEFT JOIN sizes USING (list_id)""".stripMargin,
     // kappa mirror: exact integer rational (agree·n − Σ m_a·m_b) /
     // (n² − Σ m_a·m_b), one double division
     "t56_cohen_kappa" ->

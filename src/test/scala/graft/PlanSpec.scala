@@ -269,6 +269,26 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("d19_repeated_spans: equi joins only; coverage window bounded (ROWS w-1 PRECEDING)") {
+    val p = planOf("d19_repeated_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the coverage frame is the bounded ROWS window, never an unbounded
+    // whole-partition frame over the token positions
+    assert(p.contains("specifiedwindowframe(RowFrame, -3, currentrow$())"), p)
+  }
+
+  test("a28/a29: cumulative window runs over the value histogram, not the fact") {
+    for (name <- Seq("a28_ks_two_sample", "a29_mann_whitney")) {
+      val p = planOf(name)
+      val firstAgg = p.indexOf("HashAggregate")
+      val firstWindow = p.indexOf("Window")
+      assert(firstAgg >= 0 && firstWindow >= 0 && firstAgg < firstWindow,
+        s"$name: $p")
+      assert(!p.contains("CartesianProduct"), s"$name: $p")
+    }
+  }
+
   test("a25_weighted_quantiles: window runs over the histogram, not the fact") {
     val p = planOf("a25_weighted_quantiles")
     // histogram agg (partial + final) BEFORE the window — the fact never

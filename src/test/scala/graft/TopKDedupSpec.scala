@@ -105,6 +105,36 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(gotHot === Set((100L, 101L, 3L, 3L)))
   }
 
+  test("Similarity.kmeansLloydExact: planted clusters recovered; trajectory partition-invariant") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(5)
+    // 3 planted centers far apart, tight noise — Lloyd must recover them
+    val centers = Array(Array(10f, 0f, 0f), Array(0f, 10f, 0f), Array(0f, 0f, 10f))
+    val rows = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(v => v + (rnd.nextFloat() - 0.5f) * 0.2f).toSeq)
+    }
+    val df = rows.toDF("id", "vec")
+    val (cents, assigned) = Similarity.kmeansLloydExact(df, "id", "vec", k = 3, iters = 5)
+    val byId = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // purity: every member of a planted cluster got the same label,
+    // and the three labels are distinct
+    val labels = (0 until 3).map(c => (c until 90 by 3).map(i => byId(i.toLong)).distinct)
+    assert(labels.forall(_.size == 1), s"impure clusters: $labels")
+    assert(labels.flatten.distinct.size === 3)
+    // centroids land on the planted centers at quantization resolution
+    for (c <- cents) {
+      val back = c.map(_.toDouble / (1L << 20))
+      assert(centers.exists(pc => pc.zip(back).forall { case (p, b) => math.abs(p - b) < 0.1 }))
+    }
+    // the whole trajectory is a pure function of the corpus: a 17-way
+    // repartition must give byte-identical centroids AND assignment
+    val (cents17, assigned17) = Similarity.kmeansLloydExact(
+      df.repartition(17), "id", "vec", k = 3, iters = 5)
+    assert(cents17.map(_.toSeq).toSeq === cents.map(_.toSeq).toSeq)
+    assert(assigned17.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === byId)
+  }
+
   test("Dedup.repeatedSpans: hand-built coverage, overlap merging, hash parity") {
     import graft.operators.Dedup
     // docs 1 and 2 share the 4-token span "a b c d"; doc 3 is clean;
