@@ -488,6 +488,25 @@ object TextAnalysis {
       .withColumn("flagged", col("total_hits") > maxHits)
   }
 
+  /** Multi-pattern SUBSTRING blocklist via Aho–Corasick
+    * ([[MultiMatch]]) — the phrase-level complement to
+    * [[blocklistStats]]'s whole-token matches: blocked PHRASES
+    * ("click here to", "lorem ipsum") and intra-word fragments need
+    * substring semantics, and the naive k×`contains` plan is O(n·k)
+    * per row with no occurrence counts. One automaton pass per row
+    * counts every occurrence of every pattern (overlaps and duplicate
+    * patterns included); pure scan-side, no explode, no shuffle —
+    * at 100 TB a free rider on the text scan whatever the blocklist
+    * size. Matching is case-sensitive on the lowered text (patterns
+    * are lowered to match). */
+  def substringBlocklistHits(
+      df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String], maxHits: Long = 0L): DataFrame =
+    df.select(col(idCol),
+        MultiMatch.countMatches(lower(col(textCol)),
+          patterns.map(_.toLowerCase)).as("n_hits"))
+      .withColumn("flagged", col("n_hits") > maxHits)
+
   /** Consecutive duplicate-token RUN removal — the span-level sibling of
     * document-level repetition filtering (Gopher-style curation rewrites
     * "the the the" to "the" instead of dropping the doc). Keep token i

@@ -1888,6 +1888,16 @@ object LlmInventory {
       k0 = 60, topK = 5)
   }
 
+  /** t57: substring blocklist via the Aho–Corasick kernel
+    * ([[TextAnalysis.substringBlocklistHits]]) — total occurrences of
+    * four patterns (one single-char, one overlapping a longer one, one
+    * spanning a token boundary) per doc in ONE text pass; the oracle
+    * recounts by scanning every start position per pattern, so overlap
+    * semantics face the gate exactly. */
+  val t57SubstringBlocklist: Q = (s, d) =>
+    TextAnalysis.substringBlocklistHits(documents(s, d), "doc_id", "text",
+      Seq("ata", "a", "spark", "w sc"), maxHits = 28L)
+
   /** s21: distributed EXACT-integer Lloyd k-means ([[Similarity
     * .kmeansLloydExact]]) — 2 full-corpus iterations from the 4
     * smallest-id seeds; the hashed artifact is the (list_id, dim,
@@ -2202,6 +2212,7 @@ object LlmInventory {
     "s20_rrf_fusion" -> s20RrfFusion,
     "s21_kmeans" -> s21Kmeans,
     "t56_cohen_kappa" -> t56CohenKappa,
+    "t57_substring_blocklist" -> t57SubstringBlocklist,
     "a18_sampled_quantiles" -> a18SampledQuantiles,
     "t21_classifier_score" -> t21ClassifierScore,
     "t22_tfidf_topterms" -> t22TfidfTopTerms,
@@ -4274,6 +4285,21 @@ object LlmInventory {
         |SELECT c2d.list_id, CAST(c2d.dim AS BIGINT) AS dim, c2d.cval AS c,
         |       COALESCE(sizes.n, 0) AS n
         |FROM c2d LEFT JOIN sizes USING (list_id)""".stripMargin,
+    // Aho-Corasick mirror: per-pattern full position scans (overlap
+    // semantics preserved), summed — the O(n·k) recount the kernel
+    // replaces with one pass
+    "t57_substring_blocklist" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(
+        |      len(list_filter(range(1, len(t) - 1), i -> substr(t, i, 3) = 'ata')) +
+        |      len(list_filter(range(1, len(t) + 1), i -> substr(t, i, 1) = 'a')) +
+        |      len(list_filter(range(1, len(t) - 3), i -> substr(t, i, 5) = 'spark')) +
+        |      len(list_filter(range(1, len(t) - 2), i -> substr(t, i, 4) = 'w sc'))
+        |    AS BIGINT) AS n_hits
+        |  FROM t)
+        |SELECT doc_id, n_hits, n_hits > 28 AS flagged FROM h""".stripMargin,
     // kappa mirror: exact integer rational (agree·n − Σ m_a·m_b) /
     // (n² − Σ m_a·m_b), one double division
     "t56_cohen_kappa" ->

@@ -105,6 +105,31 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(gotHot === Set((100L, 101L, 3L, 3L)))
   }
 
+  test("AcAutomaton: brute-force parity on random strings with overlapping patterns") {
+    import graft.operators.AcAutomaton
+    // patterns chosen to stress fail links: prefixes of each other,
+    // self-overlapping, single char, and a duplicate (counts twice)
+    val patterns = Array("aa", "aab", "ab", "b", "aba", "aa")
+    val ac = new AcAutomaton(patterns)
+    def brute(t: String): Long =
+      patterns.map { p =>
+        (0 to t.length - p.length).count(i => t.regionMatches(i, p, 0, p.length)).toLong
+      }.sum
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 300) {
+      val t = Seq.fill(3 + rnd.nextInt(40))("ab" (rnd.nextInt(2))).mkString
+      assert(ac.countAll(org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        === brute(t), s"text=$t")
+    }
+    assert(ac.countAll(null) === 0L)
+    // the Column kernel agrees with the automaton (codegen path)
+    import graft.operators.MultiMatch
+    val df = Seq("aabab", "bbbb", "", "xyz").toDF("t")
+      .select(MultiMatch.countMatches(col("t"), patterns.toSeq).as("n"))
+    assert(df.collect().map(_.getLong(0)).toSeq ===
+      Seq(brute("aabab"), brute("bbbb"), brute(""), brute("xyz")))
+  }
+
   test("Similarity.kmeansLloydExact: planted clusters recovered; trajectory partition-invariant") {
     import graft.operators.Similarity
     val rnd = new scala.util.Random(5)
