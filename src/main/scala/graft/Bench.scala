@@ -189,9 +189,11 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":${errors.size},"errors":$errJson,"seed":$seed,"load_before":$loadBefore,"load_after":$loadAfter,"load_samples":$samplesJson,"load_per_query":$loadQJson,"retried_from":$retriedJson,"calib_before_sec":$calibBefore,"calib_after_sec":$calibAfter,"sf":"$sfDir"}"""
     // the driver's BENCH_r{N}.json keeps only a 2,000-char stdout tail —
     // too short for 128 per-query timings — so the full artifact is ALSO
-    // written into the repo for per-round review (full sweeps only; a
-    // filtered local run must not overwrite the round's numbers)
-    if (only.isEmpty)
+    // written into the repo for per-round review (full sweeps at the
+    // driver's sf0.1 only: a filtered or small-sf local run must not
+    // overwrite the round's numbers — the retry baseline is sf-matched,
+    // so a stored sf0.001 line would silently disable it)
+    if (only.isEmpty && sfDir.endsWith("sf0.1"))
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_times.json"), line + "\n")
       catch { case e: Throwable =>

@@ -326,6 +326,117 @@ object Importance {
       .withColumn("u_a", col("u2_a").cast("double") / 2.0)
   }
 
+  /** Exact Kendall rank correlation τ-b between two discrete numeric
+    * columns — the ordinal-association audit ("do longer docs really
+    * score higher?") that, unlike Pearson, needs no distributional
+    * assumptions. The fact reduces to its JOINT (x, y) cell histogram,
+    * then one O(cells²) broadcast cell-pair sweep counts concordant and
+    * discordant pairs exactly (each cell pair classified by pure
+    * comparisons — no subtraction that could overflow, products in
+    * Decimal(38,0)); ties split into x-only / y-only / both via three
+    * cell-level aggregates. τ-b = (C−D)/√((n0−n1)(n0−n2)) with one
+    * correctly-rounded sqrt each side — IEEE sqrt is exact-deterministic
+    * cross-engine, unlike log/exp. Loud `maxCells` guard: the sweep is
+    * quadratic in DISTINCT cells by design — quantize continuous values
+    * first (the [[Percentiles.perKey]] contract). One row:
+    * (n, conc, disc, tau_b). */
+  def kendallTauB(
+      df: DataFrame, xCol: String, yCol: String,
+      maxCells: Int = 1 << 14): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"kendall_tau_b: $nCells distinct (x,y) cells exceed maxCells=" +
+        s"$maxCells; the cell-pair sweep is quadratic — quantize the " +
+        "values first (the Percentiles contract) or raise maxCells")
+    val tot = cells.agg(
+      sum("c").as("n"),
+      sum(col("c").cast(dec) * (col("c") - 1) / 2).as("n3")) // tied both
+    val tx = cells.groupBy("x").agg(sum("c").as("t"))
+      .agg(sum(col("t").cast(dec) * (col("t") - 1) / 2).as("n1")) // tied x
+    val ty = cells.groupBy("y").agg(sum("c").as("t"))
+      .agg(sum(col("t").cast(dec) * (col("t") - 1) / 2).as("n2")) // tied y
+    val a = cells.select(col("x").as("ax"), col("y").as("ay"), col("c").as("ac"))
+    val b = cells.select(col("x").as("bx"), col("y").as("by"), col("c").as("bc"))
+    // ordered-pair double count: each unordered cell pair meets twice
+    val sweep = a.crossJoin(broadcast(b))
+      .agg(
+        coalesce(sum(when(
+          (col("ax") < col("bx") && col("ay") < col("by")) ||
+            (col("ax") > col("bx") && col("ay") > col("by")),
+          col("ac").cast(dec) * col("bc"))), lit(0L).cast(dec)).as("c2"),
+        coalesce(sum(when(
+          (col("ax") < col("bx") && col("ay") > col("by")) ||
+            (col("ax") > col("bx") && col("ay") < col("by")),
+          col("ac").cast(dec) * col("bc"))), lit(0L).cast(dec)).as("d2"))
+    val out = sweep.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .select(col("n"),
+        (col("c2") / 2).cast("long").as("conc"),
+        (col("d2") / 2).cast("long").as("disc"),
+        (col("n").cast(dec) * (col("n") - 1) / 2).as("n0"),
+        col("n1"), col("n2"))
+      .select(col("n"), col("conc"), col("disc"),
+        ((col("conc") - col("disc")).cast("double") /
+          (sqrt((col("n0") - col("n1")).cast("double")) *
+            sqrt((col("n0") - col("n2")).cast("double")))).as("tau_b"))
+    out.persist().count()
+    cells.unpersist(blocking = false)
+    out
+  }
+
+  /** Exact Spearman rank correlation ρ — Pearson over DOUBLED midranks,
+    * so every rank is an integer even under ties and every moment sum
+    * is exact (Decimal(38,0); loud 1e8-row guard keeps n·Σr² inside 38
+    * digits). Ranks come from per-column value histograms + cumulative
+    * windows (histogram rows only, the KS shape), broadcast-joined back
+    * to the fact; the single final division and two correctly-rounded
+    * sqrts are the only IEEE steps. One row: (n, num, den_x, den_y,
+    * rho) with num/den emitted as correctly-rounded doubles of exact
+    * integers (the chi² convention). */
+  def spearmanRho(
+      df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val maxN = 100000000L
+    val base = df.select(col(xCol).as("x"), col(yCol).as("y"))
+    def rankMap(c: String): DataFrame = {
+      val hist = base.groupBy(c).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, 0)
+      hist.select(col(c),
+        (lit(2L) * (sum("cnt").over(w) - col("cnt")) + col("cnt") + 1L)
+          .as(s"r_$c")) // doubled midrank: 2·cum_prev + cnt + 1
+    }
+    val ranked = base
+      .join(rankMap("x"), Seq("x"))
+      .join(rankMap("y"), Seq("y"))
+    val m = ranked.agg(
+      (count(lit(1)) + coalesce(
+        assert_true(count(lit(1)) <= maxN, lit(
+          s"spearman_rho: more than $maxN rows; n·Σr² would leave " +
+            "Decimal(38,0) — subsample or shard")),
+        lit(0L))).as("n"),
+      sum(col("r_x").cast(dec)).as("sx"),
+      sum(col("r_y").cast(dec)).as("sy"),
+      sum(col("r_x").cast(dec) * col("r_x")).as("sxx"),
+      sum(col("r_y").cast(dec) * col("r_y")).as("syy"),
+      sum(col("r_x").cast(dec) * col("r_y")).as("sxy"))
+    m.select(col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num0"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("dx0"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("dy0"))
+      .select(col("n"),
+        col("num0").cast("double").as("num"),
+        col("dx0").cast("double").as("den_x"),
+        col("dy0").cast("double").as("den_y"))
+      .withColumn("rho",
+        col("num") / (sqrt(col("den_x")) * sqrt(col("den_y"))))
+  }
+
   /** Cohen's kappa between two label columns — chance-corrected
     * agreement for labeled training data (two annotators, or an
     * LLM-judge vs a heuristic rater: "is the agreement better than the

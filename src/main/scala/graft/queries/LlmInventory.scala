@@ -1888,6 +1888,27 @@ object LlmInventory {
       k0 = 60, topK = 5)
   }
 
+  /** a30: exact Kendall τ-b ([[graft.operators.Importance.kendallTauB]])
+    * — ordinal association of token count vs byte length; concordant/
+    * discordant counts hashed as exact integers, the two sqrts are
+    * correctly-rounded IEEE (engine-identical, unlike log/exp). */
+  val a30KendallTau: Q = (s, d) =>
+    graft.operators.Importance.kendallTauB(
+      docLenFrame(s, d), "x", "y")
+
+  /** a31: exact Spearman ρ ([[graft.operators.Importance.spearmanRho]])
+    * — Pearson over doubled midranks, every moment sum an exact
+    * integer; num/den emitted as correctly-rounded doubles of exact
+    * integers (the chi² convention). */
+  val a31SpearmanRho: Q = (s, d) =>
+    graft.operators.Importance.spearmanRho(
+      docLenFrame(s, d), "x", "y")
+
+  private def docLenFrame(s: SparkSession, d: String) =
+    documents(s, d).select(
+      size(split(lower(col("text")), " ")).cast("long").as("x"),
+      length(col("text")).cast("long").as("y"))
+
   /** t57: substring blocklist via the Aho–Corasick kernel
     * ([[TextAnalysis.substringBlocklistHits]]) — total occurrences of
     * four patterns (one single-char, one overlapping a longer one, one
@@ -2213,6 +2234,8 @@ object LlmInventory {
     "s21_kmeans" -> s21Kmeans,
     "t56_cohen_kappa" -> t56CohenKappa,
     "t57_substring_blocklist" -> t57SubstringBlocklist,
+    "a30_kendall_tau" -> a30KendallTau,
+    "a31_spearman_rho" -> a31SpearmanRho,
     "a18_sampled_quantiles" -> a18SampledQuantiles,
     "t21_classifier_score" -> t21ClassifierScore,
     "t22_tfidf_topterms" -> t22TfidfTopTerms,
@@ -4285,6 +4308,61 @@ object LlmInventory {
         |SELECT c2d.list_id, CAST(c2d.dim AS BIGINT) AS dim, c2d.cval AS c,
         |       COALESCE(sizes.n, 0) AS n
         |FROM c2d LEFT JOIN sizes USING (list_id)""".stripMargin,
+    // Kendall mirror: joint-cell histogram, O(cells²) cross sweep with
+    // pure-comparison classification, HUGEINT products, IEEE sqrt
+    "a30_kendall_tau" ->
+      """WITH base AS (
+        |  SELECT CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS x,
+        |         CAST(length(text) AS BIGINT) AS y
+        |  FROM documents),
+        |cells AS (SELECT x, y, COUNT(*) AS c FROM base GROUP BY 1, 2),
+        |tot AS (SELECT SUM(c) AS n FROM cells),
+        |t1 AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1) / 2) AS n1
+        |       FROM (SELECT SUM(c) AS t FROM cells GROUP BY x)),
+        |t2 AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1) / 2) AS n2
+        |       FROM (SELECT SUM(c) AS t FROM cells GROUP BY y)),
+        |sw AS (
+        |  SELECT
+        |    COALESCE(SUM(CASE WHEN (a.x < b.x AND a.y < b.y) OR (a.x > b.x AND a.y > b.y)
+        |      THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS c2,
+        |    COALESCE(SUM(CASE WHEN (a.x < b.x AND a.y > b.y) OR (a.x > b.x AND a.y < b.y)
+        |      THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS d2
+        |  FROM cells a CROSS JOIN cells b)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(c2 / 2 AS BIGINT) AS conc, CAST(d2 / 2 AS BIGINT) AS disc,
+        |  CAST(c2 / 2 - d2 / 2 AS DOUBLE) /
+        |    (sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) / 2 - n1 AS DOUBLE)) *
+        |     sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) / 2 - n2 AS DOUBLE))) AS tau_b
+        |FROM sw, tot, t1, t2""".stripMargin,
+    // Spearman mirror: doubled midranks from per-column histograms +
+    // cumulative windows, exact HUGEINT moment sums, one division
+    "a31_spearman_rho" ->
+      """WITH base AS (
+        |  SELECT CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS x,
+        |         CAST(length(text) AS BIGINT) AS y
+        |  FROM documents),
+        |hx AS (SELECT x, COUNT(*) AS cnt FROM base GROUP BY x),
+        |rxm AS (SELECT x, 2 * (SUM(cnt) OVER (ORDER BY x
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt) + cnt + 1 AS r_x
+        |        FROM hx),
+        |hy AS (SELECT y, COUNT(*) AS cnt FROM base GROUP BY y),
+        |rym AS (SELECT y, 2 * (SUM(cnt) OVER (ORDER BY y
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt) + cnt + 1 AS r_y
+        |        FROM hy),
+        |rk AS (SELECT r_x, r_y FROM base JOIN rxm USING (x) JOIN rym USING (y)),
+        |m AS (SELECT COUNT(*) AS n,
+        |        SUM(CAST(r_x AS HUGEINT)) AS sx, SUM(CAST(r_y AS HUGEINT)) AS sy,
+        |        SUM(CAST(r_x AS HUGEINT) * r_x) AS sxx, SUM(CAST(r_y AS HUGEINT) * r_y) AS syy,
+        |        SUM(CAST(r_x AS HUGEINT) * r_y) AS sxy
+        |      FROM rk)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |  CAST(n * sxx - sx * sx AS DOUBLE) AS den_x,
+        |  CAST(n * syy - sy * sy AS DOUBLE) AS den_y,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+        |FROM m""".stripMargin,
     // Aho-Corasick mirror: per-pattern full position scans (overlap
     // semantics preserved), summed — the O(n·k) recount the kernel
     // replaces with one pass

@@ -454,6 +454,56 @@ class GraphImportanceSpec extends AnyFunSuite {
     assert(k.getDouble(3) === (agree * n - peNum).toDouble / (n * n - peNum).toDouble)
   }
 
+  test("kendallTauB + spearmanRho: brute-force parity on random tied data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    // correlated-with-noise integer pairs, heavy ties in both columns
+    val rows = (1 to 150).map { _ =>
+      val x = rnd.nextInt(10).toLong
+      (x, x / 2 + rnd.nextInt(4).toLong)
+    }
+    val df = rows.toDF("x", "y")
+    val xs = rows.map(_._1); val ys = rows.map(_._2); val n = rows.size
+    var bc = 0L; var bd = 0L
+    for (i <- 0 until n; j <- (i + 1) until n) {
+      val s = (xs(i) - xs(j)) * (ys(i) - ys(j))
+      if (s > 0) bc += 1 else if (s < 0) bd += 1
+    }
+    def tiePairs(v: Seq[Long]): Long =
+      v.groupBy(identity).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val n0 = n.toLong * (n - 1) / 2
+    val kt = graft.operators.Importance.kendallTauB(df, "x", "y").head()
+    assert(kt.getLong(0) === n.toLong)
+    assert(kt.getLong(1) === bc && kt.getLong(2) === bd)
+    assert(kt.getDouble(3) === (bc - bd).toDouble /
+      (math.sqrt((n0 - tiePairs(xs)).toDouble) * math.sqrt((n0 - tiePairs(ys)).toDouble)))
+    // Spearman: doubled midranks by hand
+    def rank2(v: Seq[Long]): Seq[Long] = {
+      val cnt = v.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val sorted = cnt.keys.toSeq.sorted
+      val m = scala.collection.mutable.Map.empty[Long, Long]
+      var cum = 0L
+      for (value <- sorted) { m(value) = 2 * cum + cnt(value) + 1; cum += cnt(value) }
+      v.map(m)
+    }
+    val rx = rank2(xs); val ry = rank2(ys)
+    val (sx, sy) = (rx.sum, ry.sum)
+    val sxx = rx.map(a => a * a).sum; val syy = ry.map(a => a * a).sum
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    val num = n * sxy - sx * sy
+    val dx = n * sxx - sx * sx; val dy = n * syy - sy * sy
+    val sr = graft.operators.Importance.spearmanRho(df, "x", "y").head()
+    assert(sr.getLong(0) === n.toLong)
+    assert(sr.getDouble(1) === num.toDouble && sr.getDouble(2) === dx.toDouble &&
+      sr.getDouble(3) === dy.toDouble)
+    assert(sr.getDouble(4) === num.toDouble / (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble)))
+    // the cells guard fails loud instead of going quadratic silently
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Importance.kendallTauB(df, "x", "y", maxCells = 3)
+    }
+    assert(ex.getMessage.contains("quantize"))
+  }
+
   test("rrfFuse: hand-fused ranks, missing-doc contribution, tie-break") {
     import spark.implicits._
     val ra = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("rnk", "id")
