@@ -271,6 +271,7 @@ object Scale {
     if (args.headOption.contains("ppjoin")) return ppjoinMain(args)
     if (args.headOption.contains("cc")) return ccMain(args)
     if (args.headOption.contains("kmeans")) return kmeansMain(args)
+    if (args.headOption.contains("spans")) return spansMain(args)
     if (args.headOption.contains("pagerank")) return pagerankMain(args)
     if (args.headOption.contains("triangles")) return trianglesMain(args)
     if (args.headOption.contains("triab")) return triAbMain(args)
@@ -1202,6 +1203,87 @@ object Scale {
          |""".stripMargin
     spliceSection(outMd, textOpsHeader, section)
     println(s"""{"metric":"scale_textops","value":${bm25Sec + blockSec + runSec},"unit":"sec","n_docs":$nDocs,"bm25_sec":$bm25Sec,"block_sec":$blockSec,"run_sec":$runSec,"heap_peak_mb":$heapMb}""")
+    spark.stop()
+  }
+
+  private val spansHeader = "## Repeated-span (substring) dedup stage"
+
+  /** `runMain graft.Scale spans [nDocs] [outMd]` — [[graft.operators
+    * .Dedup.repeatedSpans]] at corpus scale: 1M 50-token docs of
+    * near-unique hash tokens (any chance 4-gram repeat is ~n²/V⁴ ≈ 0),
+    * every 10th doc carrying one planted 4-token boilerplate span at a
+    * varying position. The invariant is closed-form: the planted span
+    * is the ONLY repeated 4-gram, its boundary grams are unique, so
+    * n_rep_starts = planted docs exactly and covered_tokens = 4 per
+    * planted doc, 0 elsewhere. Runs the production xxhash64-keyed gram
+    * shuffle (the 100 TB default; the d19 gate covers string parity). */
+  private def spansMain(args: Array[String]): Unit = {
+    val nDocs = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    val outMd = args.lift(2).getOrElse("SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val dir = Files.createTempDirectory("graft_scale_spans").toString
+    val (_, genSec) = timed {
+      spark.range(nDocs).toDF("doc_id")
+        .withColumn("noise",
+          transform(sequence(lit(1), lit(46)),
+            j => concat(lit("w"), pmod(xxhash64(col("doc_id"), j), lit(100000000000L)))))
+        .withColumn("pos", pmod(xxhash64(col("doc_id"), lit(-7)), lit(46L)).cast("int"))
+        .withColumn("text",
+          when(col("doc_id") % 10 === 0,
+            array_join(concat(
+              slice(col("noise"), lit(1), col("pos")),
+              array(lit("boiler"), lit("plate"), lit("span"), lit("here")),
+              slice(col("noise"), col("pos") + 1, lit(46) - col("pos"))), " "))
+            .otherwise(array_join(col("noise"), " ")))
+        .select("doc_id", "text")
+        .write.mode("overwrite").parquet(dir)
+    }
+    val docs = spark.read.parquet(dir)
+    val planted = (nDocs + 9) / 10
+    val (agg, spanSec) = timed {
+      graft.operators.Dedup.repeatedSpans(docs, "doc_id", "text", w = 4)
+        .agg(sum("n_rep_starts").as("starts"), sum("covered_tokens").as("cov"),
+          count(lit(1)).as("rows"))
+        .head()
+    }
+    require(agg.getLong(2) == nDocs, s"row count broke: ${agg.getLong(2)}")
+    require(agg.getLong(0) == planted,
+      s"repeated starts broke: ${agg.getLong(0)} vs planted $planted")
+    require(agg.getLong(1) == 4 * planted,
+      s"covered tokens broke: ${agg.getLong(1)} vs ${4 * planted}")
+    val heapMb = heapPeakMb()
+    val section =
+      s"""
+         |$spansHeader (${nDocs / 1000}k × 50-token docs, planted boilerplate in every 10th)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale spans $nDocs"` —
+         |cross-document repeated 4-gram span removal on the production
+         |xxhash64-keyed path: single-pass shingle kernel (posexplode index =
+         |start position), map-side-combined gram count, bounded per-doc
+         |coverage window; window + rebuild + agg share one id exchange.
+         |
+         || metric | value |
+         ||---|---|
+         || corpus generate + write | ${f"$genSec%.1f"} s ($nDocs docs) |
+         || repeated-span pass (~${nDocs * 47 / 1000000}M grams) | ${f"$spanSec%.1f"} s (${f"${nDocs / spanSec}%.0f"} docs/s) |
+         || invariants | starts = $planted, covered = ${4 * planted} — EXACT closed form |
+         || peak heap | $heapMb MB |
+         |
+         |- the planted span is the only repeated 4-gram (46 noise tokens
+         |  from a 10¹¹ vocabulary — chance repeats ≈ 0), so coverage is a
+         |  closed form over the whole corpus, not a sample
+         |""".stripMargin
+    spliceSection(outMd, spansHeader, section)
+    println(s"""{"metric":"scale_spans","value":$spanSec,"unit":"sec","n_docs":$nDocs,"planted":$planted,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 
