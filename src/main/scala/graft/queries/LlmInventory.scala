@@ -1610,6 +1610,21 @@ object LlmInventory {
     * salted-md5 positions (the a20 replay) — one count applied twice
     * on a batch boundary, or a row of state lost between batches, is a
     * hash mismatch on the exact cell it corrupted. */
+  /** r14: the bottom-k quantile SKETCH as streaming state under the
+    * HARD gate — the last mergeable-sketch family to cross real batch
+    * boundaries: events drain as 8 micro-batches, the per-group bottom-k
+    * (min-of-md5 keys) accumulates in complete-mode keyed state, and
+    * because the sketch is order-independent the final snapshot must
+    * equal the batch a18 construction EXACTLY — same oracle SQL, so a
+    * state row lost at any batch boundary (or a non-mergeable buffer)
+    * breaks the hash. */
+  val r14StreamQuantiles: Q = (s, d) =>
+    Inventory.drainStreamSplit(
+      s, d, "events.parquet", "r14_bq_", "complete", nFiles = 8) { ev =>
+      Sketches.sampledQuantiles(ev, Seq("event_type"), "value",
+        "event_id", k = 256, qs = Seq(0.5, 0.9, 0.99))
+    }
+
   val r12StreamCountMin: Q = (s, d) => {
     val dep = 4; val w = 256
     val sketch = Inventory.drainStreamSplit(
@@ -2215,6 +2230,7 @@ object LlmInventory {
     "r7_stream_exact_dedup" -> r7StreamExactDedup,
     "r11_stream_heavy_hitters" -> r11StreamHeavyHitters,
     "r12_stream_count_min" -> r12StreamCountMin,
+    "r14_stream_quantiles" -> r14StreamQuantiles,
     "r13_stream_majority" -> r13StreamMajority,
     "d18_prefix_filter_pairs" -> d18PrefixFilterPairs,
     "d19_repeated_spans" -> d19RepeatedSpans,
@@ -4774,6 +4790,23 @@ object LlmInventory {
         |            THEN string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx)
         |       END AS text_dedup
         |FROM rk GROUP BY doc_id""".stripMargin,
+    // r14 shares a18's oracle verbatim: the streaming drain must equal
+    // the batch sketch exactly (order-independent bottom-k)
+    "r14_stream_quantiles" ->
+      """WITH rk AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT) AS rn
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, list_sort(list(value)) AS vals,
+        |         CAST(count(*) AS BIGINT) AS n_sample
+        |  FROM rk WHERE rn <= 256 GROUP BY event_type)
+        |SELECT event_type, n_sample,
+        |       vals[CAST(greatest(1, ceil(0.5 * n_sample)) AS INT)] AS p50,
+        |       vals[CAST(greatest(1, ceil(0.9 * n_sample)) AS INT)] AS p90,
+        |       vals[CAST(greatest(1, ceil(0.99 * n_sample)) AS INT)] AS p99
+        |FROM g""".stripMargin,
     "a18_sampled_quantiles" ->
       """WITH rk AS (
         |  SELECT event_type, value,
