@@ -39,6 +39,9 @@ import org.apache.spark.sql.SparkSession
   * graft corpus triangles --in EDGEDIR --out DIR [--src-col src] [--dst-col dst]
   * graft corpus bpetrain --in DIR --out DIR [--merges 32] [--joiner ▁] [--text-col c]
   * graft corpus quantiles --in DIR --out DIR [--group-by c] [--value-col c] [--key-col c] [--k 1024] [--q 0.5,0.9,0.99]
+  * graft corpus kmeans   --in DIR --out DIR [--vec-col c] [--k 16] [--iters 5] [--id-col c]
+  * graft corpus spandedup --in DIR --out DIR [--w 50] [--min-occur 2] [--id-col c] [--text-col c]
+  * graft corpus blocklist --in DIR --out DIR --patterns a,b,c [--max-hits 0] [--id-col c] [--text-col c]
   * }}}
   *
   * `--base DIR` holds `raw_blocks/`, `tables/`, `load_state_chunks/`,
@@ -89,11 +92,12 @@ object Main {
         if Set("dedup", "semdedup", "scrub", "lmfilter", "linededup",
           "classify", "curate", "cap", "sample", "upsample", "export",
           "annindex", "annquery", "stats", "pack", "chunk", "dsir",
-          "pagerank", "triangles", "bpetrain", "quantiles")(cmd) =>
+          "pagerank", "triangles", "bpetrain", "quantiles", "kmeans",
+          "spandedup", "blocklist")(cmd) =>
       val spark = session()
       try corpusRun(spark, cmd, rest.toArray) finally spark.stop()
     case _ =>
-      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|status|fork info|fork list|fork detect --sample|corpus dedup|semdedup|scrub|lmfilter|linededup|classify|curate|cap|sample|upsample|export|annindex|annquery|stats|dsir|pagerank|triangles|bpetrain|quantiles} [options]")
+      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|status|fork info|fork list|fork detect --sample|corpus dedup|semdedup|scrub|lmfilter|linededup|classify|curate|cap|sample|upsample|export|annindex|annquery|stats|dsir|pagerank|triangles|bpetrain|quantiles|kmeans|spandedup|blocklist} [options]")
       sys.exit(2)
   }
 
@@ -499,6 +503,42 @@ object Main {
           docs, Seq(groupBy), valueCol, keyCol, k, qs)
         out.coalesce(1).write.mode("overwrite").parquet(outDir)
         println(s"[graft] corpus quantiles: ${out.columns.mkString(",")} -> $outDir")
+      case "kmeans" =>
+        // distributed exact-integer Lloyd over an embedding column:
+        // writes the assignment (id, list_id) plus a 1-file centroid
+        // table (list_id, dim, c) — the SemDeDup/IVF training artifact
+        val vecCol = opt(args, "vec-col").getOrElse("embedding")
+        val k = opt(args, "k").map(_.toInt).getOrElse(16)
+        val iters = opt(args, "iters").map(_.toInt).getOrElse(5)
+        val (cents, assigned) = graft.operators.Similarity.kmeansLloydExact(
+          docs, idCol, vecCol, k, iters)
+        assigned.write.mode("overwrite").parquet(s"$outDir/assign")
+        import spark.implicits._
+        cents.zipWithIndex.flatMap { case (c, i) =>
+          c.zipWithIndex.map { case (v, d0) => (i.toLong, (d0 + 1).toLong, v) }
+        }.toSeq.toDF("list_id", "dim", "c")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
+        println(s"[graft] corpus kmeans: k=$k, $iters iterations -> $outDir")
+      case "spandedup" =>
+        // cross-document repeated n-gram span removal (substring dedup):
+        // writes per-doc coverage stats + the rebuilt text
+        val w = opt(args, "w").map(_.toInt).getOrElse(50)
+        val minOccur = opt(args, "min-occur").map(_.toLong).getOrElse(2L)
+        val out = graft.operators.Dedup.repeatedSpans(
+          docs, idCol, textCol, w, minOccur)
+        out.write.mode("overwrite").parquet(outDir)
+        println(s"[graft] corpus spandedup: w=$w minOccur=$minOccur -> $outDir")
+      case "blocklist" =>
+        // substring/phrase blocklist (Aho-Corasick, one pass per row):
+        // --patterns a,b,c ; writes (id, n_hits, flagged)
+        val patterns = opt(args, "patterns")
+          .map(_.split(",").toSeq.filter(_.nonEmpty))
+          .getOrElse(sys.error("corpus blocklist needs --patterns a,b,c"))
+        val maxHits = opt(args, "max-hits").map(_.toLong).getOrElse(0L)
+        val out = graft.operators.TextAnalysis.substringBlocklistHits(
+          docs, idCol, textCol, patterns, maxHits)
+        out.write.mode("overwrite").parquet(outDir)
+        println(s"[graft] corpus blocklist: ${patterns.size} patterns -> $outDir")
       case "classify" =>
         val threshold = opt(args, "threshold").map(_.toDouble).getOrElse(0.0)
         val seed = opt(args, "seed").getOrElse("w")

@@ -1084,6 +1084,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(k2 < n2, s"doc 2 should lose shared CDC chunks ($k2 of $n2 kept)")
   }
 
+  test("corpus CLI: kmeans / spandedup / blocklist verbs") {
+    import spark.implicits._
+    val base = tmp()
+    // kmeans: 2 planted far-apart clusters, ids 0 and 1 seed one each
+    val vecs = (0L until 20L).map { i =>
+      val c = (i % 2).toInt
+      (i, Seq.fill(4)(0f).updated(c, 10f).zipWithIndex
+        .map { case (v, j) => v + (i * 7 + j) % 3 * 0.01f })
+    }
+    vecs.toDF("doc_id", "embedding").write.parquet(s"$base/vin")
+    Main.corpusRun(spark, "kmeans",
+      Array("--in", s"$base/vin", "--out", s"$base/km", "--k", "2", "--iters", "3"))
+    val asg = spark.read.parquet(s"$base/km/assign").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 20L).forall(i => asg(i) == asg(i % 2)), s"impure: $asg")
+    assert(spark.read.parquet(s"$base/km/centroids").count() === 8) // k*dim
+
+    // spandedup: docs 1/2 share a 4-token span
+    Seq((1L, "a b c d x y z"), (2L, "p q a b c d"), (3L, "u v w s t r"))
+      .toDF("doc_id", "text").write.parquet(s"$base/sin")
+    Main.corpusRun(spark, "spandedup",
+      Array("--in", s"$base/sin", "--out", s"$base/sout", "--w", "4"))
+    val spans = spark.read.parquet(s"$base/sout").orderBy("doc_id").collect()
+    assert(spans(0).getAs[String]("kept_text") === "x y z")
+    assert(spans(2).getAs[Long]("covered_tokens") === 0L)
+
+    // blocklist: substring hits incl. an intra-word fragment
+    Main.corpusRun(spark, "blocklist",
+      Array("--in", s"$base/sin", "--out", s"$base/bl",
+        "--patterns", "a b,q", "--max-hits", "0"))
+    val bl = spark.read.parquet(s"$base/bl").orderBy("doc_id").collect()
+    assert(bl(0).getAs[Long]("n_hits") === 1L && bl(0).getAs[Boolean]("flagged"))
+    assert(bl(1).getAs[Long]("n_hits") === 2L) // "q" + "a b"
+    assert(bl(2).getAs[Long]("n_hits") === 0L && !bl(2).getAs[Boolean]("flagged"))
+  }
+
   test("corpus CLI: dedup --against sweeps the reference corpus first") {
     import spark.implicits._
     val base = tmp()
