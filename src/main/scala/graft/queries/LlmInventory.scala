@@ -1625,6 +1625,20 @@ object LlmInventory {
         "event_id", k = 256, qs = Seq(0.5, 0.9, 0.99))
     }
 
+  /** r15: the KMV distinct-count sketch as streaming state under the
+    * HARD gate — same drain pattern as r14: the k-minimum-values
+    * TreeSet aggregate is mergeable and order-independent, so the
+    * complete-mode snapshot after 8 real micro-batches must equal the
+    * batch sketch (n_held, the exact k-th hash, and the estimate)
+    * bit-for-bit per language. */
+  val r15StreamKmv: Q = (s, d) =>
+    Inventory.drainStreamSplit(
+      s, d, "documents.parquet", "r15_kmv_", "complete", nFiles = 8) { docs =>
+      Sketches.kmvDistinct(
+        docs.select(col("lang"), explode(LmScore.bigrams(col("text"))).as("bg")),
+        Seq("lang"), "bg", k = 64)
+    }
+
   val r12StreamCountMin: Q = (s, d) => {
     val dep = 4; val w = 256
     val sketch = Inventory.drainStreamSplit(
@@ -2231,6 +2245,7 @@ object LlmInventory {
     "r11_stream_heavy_hitters" -> r11StreamHeavyHitters,
     "r12_stream_count_min" -> r12StreamCountMin,
     "r14_stream_quantiles" -> r14StreamQuantiles,
+    "r15_stream_kmv" -> r15StreamKmv,
     "r13_stream_majority" -> r13StreamMajority,
     "d18_prefix_filter_pairs" -> d18PrefixFilterPairs,
     "d19_repeated_spans" -> d19RepeatedSpans,
@@ -3054,6 +3069,30 @@ object LlmInventory {
         |         CAST(36028797018963968 AS DOUBLE) / CAST(s_scaled AS DOUBLE)
         |         AS hll_estimate
         |FROM ex JOIN agg USING (lang) ORDER BY lang""".stripMargin,
+    // r15: a9's sketch construction minus the exact-count join (which
+    // a9 keeps batch-side) — the stream must land on the identical rows
+    "r15_stream_kmv" ->
+      """WITH tok AS (
+        |  SELECT lang, string_split(lower(text), ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT DISTINCT lang, unnest(list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM tok),
+        |r AS (
+        |  SELECT lang, hv,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS nd
+        |  FROM (SELECT DISTINCT lang, ('0x' || substr(md5(bg), 1, 15))::BIGINT AS hv FROM bg)),
+        |agg AS (
+        |  SELECT lang,
+        |         CAST(least(max(nd), 64) AS BIGINT) AS n_held,
+        |         max(CASE WHEN rn = 64 THEN hv END) AS h_k,
+        |         CAST(max(nd) AS BIGINT) AS nd
+        |  FROM r GROUP BY lang)
+        |SELECT lang, n_held, h_k,
+        |       CASE WHEN n_held < 64 THEN CAST(n_held AS DOUBLE)
+        |            ELSE 63.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE) END AS kmv_estimate
+        |FROM agg""".stripMargin,
     "a9_kmv_distinct" ->
       """WITH tok AS (
         |  SELECT lang, string_split(lower(text), ' ') AS toks FROM documents),
