@@ -1129,6 +1129,119 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** EXACT weighted-cosine self-join over term-frequency vectors — the
+    * All-Pairs family (Bayardo et al. 2007) for WEIGHTED sets, where
+    * [[prefixFilterJaccardPairs]] covers unweighted ones: returns every
+    * pair with cos(x,y) ≥ τ and nothing else. cos = Σ tf_x·tf_y /
+    * (‖x‖·‖y‖) over lowercased whitespace tokens with multiplicity.
+    *
+    * EXACTNESS. τ is the rational `tauNum/tauDen`, and the verdict is
+    * the squared cross-multiplied integer compare
+    * `dot²·tauDen² ≥ tauNum²·‖x‖²·‖y‖²` (dot ≥ 0, so squaring is
+    * order-preserving) — Decimal(38,0) products, no float ever decides
+    * membership. Doubles appear only in the candidate PRUNING bound,
+    * where they are made conservative (the threshold is shrunk by 1e-9
+    * relative) — a float rounding error can only ADD candidates, never
+    * drop a qualifying pair.
+    *
+    * COMPLETENESS. Per doc, features sort in the global (df ASC, token
+    * ASC) order and the PREFIX is the shortest head whose tail bound
+    * Σ_suffix w_x(t)·mw(t) falls below τ — w_x the doc's normalized
+    * weight, mw(t) the corpus max normalized weight of t. If every
+    * common token of a qualifying pair sat in x's suffix, cos(x,y) =
+    * Σ_common w_x·w_y ≤ Σ_suffix w_x·mw < τ — contradiction; so each
+    * side of a qualifying pair shares a PREFIX token with the other's
+    * FULL vector, and the `prefix(a) ⋈ full(b), a.id < b.id` equi-join
+    * finds every pair through the smaller id's prefix. Scale shape: one
+    * (id, token) count, one token-keyed df/max-weight aggregate, the
+    * prefix×full inverted-index join (the candidate generator), and a
+    * scan-side map-lookup dot product on the distinct survivors — every
+    * stage keyed on token or pair. Same stated hazard as d18: a
+    * frequent token with a large max weight stretches prefixes toward
+    * whole docs (small-vocabulary corpora); the intended regime is the
+    * long-tail vocabulary where prefixes index rare tokens. Returns
+    * (d1, d2, dot, n2_1, n2_2) with d1 < d2 and ‖·‖² the exact integer
+    * squared norms. */
+  def weightedCosinePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      tauNum: Long, tauDen: Long): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen,
+      s"tau must be in (0,1]: got $tauNum/$tauDen")
+    // tauDen² and n2a·n2b·tauNum² must fit Decimal(38,0): with the 1e15
+    // per-doc squared-norm cap below, tauDen ≤ 1000 keeps the squared
+    // verdict at ≤ 1e36 — loud here, not wrapped there
+    require(tauDen <= 1000L, s"tauDen must be <= 1000: got $tauDen")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val tau = tauNum.toDouble / tauDen.toDouble
+    val tauAdj = tau * (1.0 - 1e-9)
+    // (id, token, tf) with multiplicity — persisted: feeds norms, df,
+    // the prefix build, the full side of the join, and the verify maps
+    val tf = df.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), " ")).as("t"))
+      .groupBy("id", "t").agg(count(lit(1)).as("tf"))
+      .persist()
+    val norms = tf.groupBy("id")
+      .agg((sum(col("tf").cast(dec) * col("tf")) +
+        coalesce(assert_true(
+          sum(col("tf").cast(dec) * col("tf")) <= lit(1000000000000000L),
+          lit("weighted_cosine_pairs: a squared norm exceeds 1e15 — the " +
+            "squared integer verdict would leave Decimal(38,0); chunk " +
+            "the document first")), lit(0L)))
+        .cast("long").as("n2"))
+    val stats = tf.join(norms, "id")
+      .select(col("t"), (col("tf").cast("double") / sqrt(col("n2"))).as("w"))
+      .groupBy("t").agg(count(lit(1)).as("dfc"), max("w").as("mw"))
+    // per-doc features in (df ASC, token ASC) order with pruning
+    // contributions w_x(t)·mw(t); two scan-side folds find the prefix cut
+    val ordered = tf.join(norms, "id").join(stats, "t")
+      .groupBy("id")
+      .agg(max("n2").as("n2"),
+        sort_array(collect_list(struct(col("dfc"), col("t"),
+          (col("tf").cast("double") / sqrt(col("n2")) * col("mw"))
+            .as("contrib")))).as("ord"))
+    val total = aggregate(col("ord"), lit(0.0),
+      (acc, e) => acc + e.getField("contrib"))
+    // prefix length: keep adding features while the remaining tail
+    // could still reach tauAdj on its own
+    val plen = aggregate(col("ord"),
+      struct(lit(0.0).as("cum"), lit(0).as("len"), lit(false).as("done")),
+      (acc, e) => {
+        val stillNeeded = (total - acc.getField("cum")) >= tauAdj
+        struct(
+          (acc.getField("cum") + e.getField("contrib")).as("cum"),
+          when(!acc.getField("done") && stillNeeded,
+            acc.getField("len") + 1).otherwise(acc.getField("len")).as("len"),
+          (acc.getField("done") || !stillNeeded).as("done"))
+      },
+      acc => acc.getField("len"))
+    val prefix = ordered
+      .select(col("id"), explode(slice(col("ord"), lit(1), plen)).as("pe"))
+      .select(col("id"), col("pe").getField("t").as("t"))
+    val cand = prefix.as("a")
+      .join(tf.select(col("id"), col("t")).as("b"),
+        col("a.t") === col("b.t") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"))
+      .distinct()
+    val maps = tf.groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("t"), col("tf")))).as("m"))
+      .join(norms, "id")
+    val out = cand
+      .join(maps.select(col("id").as("d1"), col("m").as("m1"), col("n2").as("n2_1")), "d1")
+      .join(maps.select(col("id").as("d2"), col("m").as("m2"), col("n2").as("n2_2")), "d2")
+      .select(col("d1"), col("d2"),
+        aggregate(map_entries(col("m1")), lit(0L).cast(dec),
+          (acc, e) => acc + e.getField("value").cast(dec) *
+            coalesce(element_at(col("m2"), e.getField("key")), lit(0L)))
+          .as("dotD"),
+        col("n2_1"), col("n2_2"))
+      .filter(col("dotD") * col("dotD") * (tauDen * tauDen) >=
+        lit(tauNum * tauNum).cast(dec) * col("n2_1") * col("n2_2"))
+      .select(col("d1"), col("d2"), col("dotD").cast("long").as("dot"),
+        col("n2_1"), col("n2_2"))
+    materializeAndRelease(out, tf)
+  }
+
   /** The distributed subtree of [[sortedNeighborhoodPairs]] — the one
     * range exchange + in-partition sort the operator is built on
     * (exposed so the plan shape is testable: RangePartitioning bounds

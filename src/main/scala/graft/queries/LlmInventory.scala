@@ -1536,6 +1536,16 @@ object LlmInventory {
       documents(s, d).filter(col("doc_id") < 200), "doc_id", "text",
       tauNum = 9L, tauDen = 10L)
 
+  /** d20: EXACT weighted-cosine self-join ([[Dedup.weightedCosinePairs]],
+    * the All-Pairs family on TF vectors) — every pair with cos ≥ 4/5
+    * over the 200-doc window, squared integer verdict; the oracle is
+    * the brute-force inverted-index join with the identical compare, so
+    * completeness AND precision face the gate (503 pairs at sf0.01). */
+  val d20WeightedCosine: Q = (s, d) =>
+    Dedup.weightedCosinePairs(
+      documents(s, d).filter(col("doc_id") < 200), "doc_id", "text",
+      tauNum = 4L, tauDen = 5L)
+
   /** d19: cross-document repeated-SPAN removal ([[Dedup.repeatedSpans]],
     * the Lee et al. substring-dedup family) — every 4-gram occurring ≥ 2
     * times corpus-wide covers its tokens; covered tokens drop from the
@@ -2249,6 +2259,7 @@ object LlmInventory {
     "r13_stream_majority" -> r13StreamMajority,
     "d18_prefix_filter_pairs" -> d18PrefixFilterPairs,
     "d19_repeated_spans" -> d19RepeatedSpans,
+    "d20_weighted_cosine" -> d20WeightedCosine,
     "t54_grouped_split" -> t54GroupedSplit,
     "t51_bpe_apply" -> t51BpeApply,
     "t52_pmi_pairs" -> t52PmiPairs,
@@ -2769,6 +2780,22 @@ object LlmInventory {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |SELECT d1, d2, inter, uni FROM p
         |WHERE inter * 10 >= uni * 9""".stripMargin,
+    // weighted-cosine mirror: brute-force inverted-index join over the
+    // window with the identical squared integer verdict
+    "d20_weighted_cosine" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |  FROM documents WHERE doc_id < 200),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |nrm AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM tf GROUP BY 1),
+        |dots AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, SUM(CAST(a.tf AS HUGEINT) * b.tf) AS dot
+        |  FROM tf a JOIN tf b ON a.t = b.t AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, CAST(dot AS BIGINT) AS dot,
+        |       CAST(na.n2 AS BIGINT) AS n2_1, CAST(nb.n2 AS BIGINT) AS n2_2
+        |FROM dots JOIN nrm na ON na.doc_id = d1 JOIN nrm nb ON nb.doc_id = d2
+        |WHERE dot * dot * 25 >= 16 * CAST(na.n2 AS HUGEINT) * nb.n2""".stripMargin,
     // repeated-span mirror: zipped-unnest grams with positions (the t11
     // shingle pattern), HAVING-count repeated set, start join, then the
     // identical bounded window (ROWS 3 PRECEDING) for coverage and an

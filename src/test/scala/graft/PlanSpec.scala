@@ -278,6 +278,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("specifiedwindowframe(RowFrame, -3, currentrow$())"), p)
   }
 
+  test("d20_weighted_cosine: all joins are equi (no cartesian, no nested loop)") {
+    val p = planOf("d20_weighted_cosine")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("a28/a29: cumulative window runs over the value histogram, not the fact") {
     for (name <- Seq("a28_ks_two_sample", "a29_mann_whitney")) {
       val p = planOf(name)

@@ -105,6 +105,37 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(gotHot === Set((100L, 101L, 3L, 3L)))
   }
 
+  test("weightedCosinePairs: exact set equality with brute force at several thresholds") {
+    val rng = new scala.util.Random(13)
+    val vocab = (0 until 25).map(i => s"w$i")
+    // multiplicity matters: docs repeat tokens (TF > 1 is the point)
+    val docs = (0L until 50L).map { i =>
+      val n = 4 + rng.nextInt(12)
+      (i, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+    val tfs: Map[Long, Map[String, Long]] = docs.map { case (i, t) =>
+      i -> t.toLowerCase.split(" ", -1).groupBy(identity)
+        .map { case (k, v) => k -> v.length.toLong }
+    }.toMap
+    for ((num, den) <- Seq((1L, 2L), (4L, 5L), (19L, 20L))) {
+      val want = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        ma = tfs(a); mb = tfs(b)
+        dot = ma.map { case (t, c) => c * mb.getOrElse(t, 0L) }.sum
+        n1 = ma.values.map(c => c * c).sum
+        n2 = mb.values.map(c => c * c).sum
+        if BigInt(dot) * dot * den * den >= BigInt(num) * num * n1 * n2
+      } yield (a, b, dot, n1, n2)).toSet
+      val got = graft.operators.Dedup
+        .weightedCosinePairs(df, "id", "text", num, den)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got === want, s"tau=$num/$den: missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("AcAutomaton: brute-force parity on random strings with overlapping patterns") {
     import graft.operators.AcAutomaton
     // patterns chosen to stress fail links: prefixes of each other,
