@@ -1486,6 +1486,16 @@ object Scale {
     val expected = if (nDocs < 2) 0L else (nDocs - 2) / 20 + 1
     require(got == expected,
       s"ppjoin invariant broke: got $got pairs, planted $expected")
+    // the WEIGHTED twin (d20) on the same corpus: planted pairs share
+    // 50 of ~51 tokens, cos ≈ 0.995 ≥ 9/10; chance pairs ≈ 0 — the
+    // exact weighted join must land on the identical closed form
+    val (gotW, wcosSec) = timed {
+      graft.operators.Dedup
+        .weightedCosinePairs(docs, "doc_id", "text", 9L, 10L)
+        .count()
+    }
+    require(gotW == expected,
+      s"weighted-cosine invariant broke: got $gotW pairs, planted $expected")
     // ---- hostile phase: planted frequent token ----------------------
     // nHot SHORT docs all sharing one token: at tau=1/2 the whole doc is
     // the prefix, so "hot" lands in every prefix and the clean join
@@ -1550,6 +1560,7 @@ object Scale {
          || corpus generate + write | ${f"$genSec%.1f"} s ($nDocs docs) |
          || prefix-filter join wall (τ=9/10) | ${f"$joinSec%.1f"} s (${f"${nDocs / joinSec}%.0f"} docs/s) |
          || pairs | $got = planted $expected EXACT (completeness AND precision) |
+         || weighted-cosine twin (d20, τ=9/10) | ${f"$wcosSec%.1f"} s — $gotW = planted $expected EXACT |
          || hostile candidate stage: guard OFF | ${f"$cleanSec%.1f"} s, max task ${maxTaskClean / 1000000}M of ${candClean / 1000000}M rows (the pile-up) |
          || hostile candidate stage: grid (f=$gridF) | ${f"$gridSec%.1f"} s, max task ${maxTaskGrid / 1000000}M rows (${f"${maxTaskClean.toDouble / maxTaskGrid}%.0f"}× smaller) |
          || hostile full pipeline (guarded) | ${f"$fullSec%.1f"} s — $gotGrid = planted $nDup pairs EXACT |
@@ -1570,7 +1581,7 @@ object Scale {
          |  exact prefix counts): the clean corpus above never pays it
          |""".stripMargin
     spliceSection(outMd, ppjoinHeader, section)
-    println(s"""{"metric":"scale_ppjoin","value":$joinSec,"unit":"sec","n_docs":$nDocs,"pairs":$got,"hot_max_task_clean":$maxTaskClean,"hot_max_task_grid":$maxTaskGrid,"hot_cand_sec_clean":$cleanSec,"hot_cand_sec_grid":$gridSec,"heap_peak_mb":$heapMb}""")
+    println(s"""{"metric":"scale_ppjoin","value":$joinSec,"unit":"sec","n_docs":$nDocs,"pairs":$got,"hot_max_task_clean":$maxTaskClean,"hot_max_task_grid":$maxTaskGrid,"hot_cand_sec_clean":$cleanSec,"hot_cand_sec_grid":$gridSec,"wcos_sec":$wcosSec,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 
