@@ -1330,6 +1330,95 @@ object Inventory {
     finishDrain(s, tbl, ckpt)
   }
 
+  /** R16: the stream-stream LEFT-OUTER arm under the hard gate — the
+    * one r10 couldn't cover: an unmatched click emits its NULL-purchase
+    * row only when the WATERMARK proves no match can still arrive, and
+    * a drained stream's watermark stops at the last real event, so the
+    * trailing outer results never flush. The fix is two SENTINEL click
+    * files (user_id −1, far-future timestamps, mtime-ordered after the
+    * real data): sentinel 1 pushes the watermark past every real
+    * click's join horizon (+3600 s window +1800 s lateness), sentinel 2
+    * provides the extra micro-batch in which the engine emits the
+    * now-expired outer rows; the sentinels' own horizons stay beyond
+    * the final watermark, so they never emit (and are filtered anyway).
+    * The oracle is the batch LEFT JOIN twin over the real events in
+    * exact integer µs — matched rows identical to r10's inner arm,
+    * unmatched clicks with NULL purchase/lag. */
+  val r16StreamLeftOuter: Q = (s, d) => {
+    import java.nio.file.{Files => JFiles}
+    val src = s.read.parquet(s"$d/events.parquet")
+    val schema = src.schema
+    val tsIsLong = schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val maxUs = src.select(max(unix_micros(eventTs(src).cast("timestamp"))))
+      .head().getLong(0)
+    // BOTH sides need a sentinel: the global watermark is the MIN of the
+    // two sides' watermarks (multipleWatermarkPolicy=min), so advancing
+    // only the click side leaves the purchase watermark — and with it
+    // the eviction clock — stuck at the real data's end
+    def sentinel(id: Long, us: Long, tpe: String): DataFrame =
+      src.limit(1).select(schema.fields.toSeq.map { f =>
+        f.name match {
+          case "user_id" => lit(-1L).cast(f.dataType).as("user_id")
+          case "event_id" => lit(id).cast(f.dataType).as("event_id")
+          case "event_type" => lit(tpe).cast(f.dataType).as("event_type")
+          case "ts" =>
+            (if (tsIsLong) lit(us * 1000L).cast(f.dataType)
+             else timestamp_micros(lit(us)).cast(f.dataType)).as("ts")
+          case other => col(other)
+        }
+      }: _*)
+    def sentinels(idBase: Long, us: Long): DataFrame =
+      sentinel(idBase, us, "click").unionByName(sentinel(idBase - 1, us, "purchase"))
+    // horizon arithmetic: the engine holds a click until the watermark
+    // passes click_ts + window + BOTH sides' lateness allowance — push
+    // the first sentinel a full extra lateness (plus margin) beyond the
+    // worst case so every real click's outer verdict is decidable
+    val s1Us = maxUs + (3600L + 1800L + 1800L + 120L) * 1000000L
+    val s2Us = s1Us + 3600L * 1000000L
+    val srcDir = JFiles.createTempDirectory("r16_src_")
+    def writeOne(dfx: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val stage = JFiles.createTempDirectory("r16_stage_")
+      dfx.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = JFiles.list(stage).filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val dst = srcDir.resolve(name)
+      JFiles.move(part, dst)
+      JFiles.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    val t0 = System.currentTimeMillis()
+    writeOne(src, "b0.parquet", t0 - 80000)
+    writeOne(sentinels(-1L, s1Us), "b1.parquet", t0 - 60000)
+    writeOne(sentinels(-3L, s2Us), "b2.parquet", t0 - 40000)
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    def side(tpe: String, user: String, id: String, ts: String): DataFrame =
+      stream.filter(col("event_type") === tpe)
+        .select(col("user_id").as(user), col("event_id").as(id),
+          eventTs(stream).cast("timestamp").as(ts))
+    val joined = graft.streaming.StreamingJobs.attributionJoin(
+      side("click", "c_user", "click_id", "click_ts"),
+      side("purchase", "p_user", "purchase_id", "purchase_ts"),
+      joinType = "left_outer")
+    val tbl = "r16_lo_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = JFiles.createTempDirectory("r16_lo_")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        joined.writeStream.format("memory").queryName(tbl)
+          .outputMode("append").option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    val out = finishDrain(s, tbl, ckpt)
+    try {
+      JFiles.walk(srcDir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { JFiles.deleteIfExists(p); () })
+    } catch { case _: Throwable => () }
+    out.filter(col("user_id") >= 0)
+  }
+
   /** A11: per-key discrete percentiles (DuckDB `quantile_disc` parity:
     * smallest v with cum_count ≥ ⌈q·n⌉) WITHOUT sorting the corpus — the
     * cumulative window runs over the per-key DISTINCT-VALUE histogram,
@@ -2623,6 +2712,7 @@ object Inventory {
     "r8_stream_window_counts" -> r8StreamWindowCounts,
     "r9_stream_session_windows" -> r9StreamSessionWindows,
     "r10_stream_attribution" -> r10StreamAttribution,
+    "r16_stream_left_outer" -> r16StreamLeftOuter,
     "w12_twap" -> w12Twap,
     "a27_isotonic_fit" -> a27IsotonicFit,
     "a11_percentiles" -> a11Percentiles,
@@ -3044,6 +3134,19 @@ object Inventory {
     // the batch twin of the streaming attribution join: same time-range
     // bound in exact µs, lag truncated to whole seconds the way
     // unix_timestamp subtraction truncates
+    // r16: the LEFT-OUTER twin — matched rows identical to r10, plus
+    // one NULL-purchase row per unmatched click
+    "r16_stream_left_outer" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id AS p_user, event_id AS purchase_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, click_id, purchase_id,
+        |       p_us // 1000000 - c_us // 1000000 AS lag_s
+        |FROM c LEFT JOIN p ON c.user_id = p_user
+        |  AND p_us >= c_us AND p_us <= c_us + 3600000000""".stripMargin,
     "r10_stream_attribution" ->
       """WITH c AS (
         |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
