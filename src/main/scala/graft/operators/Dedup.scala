@@ -1164,7 +1164,14 @@ object Dedup {
     * squared norms. */
   def weightedCosinePairs(
       df: DataFrame, idCol: String, textCol: String,
-      tauNum: Long, tauDen: Long): DataFrame = {
+      tauNum: Long, tauDen: Long,
+      /** Hot-token ceiling (the d18 salt-grid guard): a token whose df
+        * exceeds it spreads its prefix×full candidates over
+        * ⌈df/ceiling⌉² content-hash grid cells — bounded max task,
+        * identical candidates. Detection is free here: the full side's
+        * per-token entry count IS df, already aggregated. */
+      ceiling: Int = DefaultPrefixCeiling): DataFrame = {
+    require(ceiling >= 2, s"ceiling must be >= 2: got $ceiling")
     require(tauNum > 0 && tauNum <= tauDen,
       s"tau must be in (0,1]: got $tauNum/$tauDen")
     // tauDen² and n2a·n2b·tauNum² must fit Decimal(38,0): with the 1e15
@@ -1218,11 +1225,32 @@ object Dedup {
     val prefix = ordered
       .select(col("id"), explode(slice(col("ord"), lit(1), plen)).as("pe"))
       .select(col("id"), col("pe").getField("t").as("t"))
-    val cand = prefix.as("a")
-      .join(tf.select(col("id"), col("t")).as("b"),
-        col("a.t") === col("b.t") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("d1"), col("b.id").as("d2"))
-      .distinct()
+    val hot = stats.filter(col("dfc") > ceiling)
+      .select(col("t"),
+        floor((col("dfc") + (ceiling - 1).toLong) / ceiling.toLong)
+          .cast("long").as("__f"))
+    val mayBeHot = !hot.isEmpty
+    val cand = (if (!mayBeHot) {
+      prefix.as("a")
+        .join(tf.select(col("id"), col("t")).as("b"),
+          col("a.t") === col("b.t") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("d1"), col("b.id").as("d2"))
+    } else {
+      // d18's salt grid: content-hash salts (ids unique → retry-stable),
+      // cold tokens pin both to 0 with factor-1 replication
+      def gridSide(side: DataFrame) = side.join(broadcast(hot), Seq("t"), "left")
+        .withColumn("__s",
+          when(col("__f").isNull, lit(0L))
+            .otherwise(pmod(xxhash64(col("id")), col("__f"))))
+        .withColumn("__r",
+          explode(sequence(lit(0L), coalesce(col("__f"), lit(1L)) - 1L)))
+      gridSide(prefix).as("a")
+        .join(gridSide(tf.select(col("id"), col("t"))).as("b"),
+          col("a.t") === col("b.t") &&
+            col("a.__r") === col("b.__s") && col("b.__r") === col("a.__s") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("d1"), col("b.id").as("d2"))
+    }).distinct()
     val maps = tf.groupBy("id")
       .agg(map_from_entries(collect_list(struct(col("t"), col("tf")))).as("m"))
       .join(norms, "id")

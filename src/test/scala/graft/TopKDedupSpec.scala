@@ -133,6 +133,15 @@ class TopKDedupSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
         .toSet
       assert(got === want, s"tau=$num/$den: missing=${want -- got} extra=${got -- want}")
+      // hot-token salt grid: with a 25-word vocab over 50 docs every
+      // token's df exceeds ceiling=2, so EVERYTHING rides the grid —
+      // results must be identical (exactly-once)
+      val gotGrid = graft.operators.Dedup
+        .weightedCosinePairs(df, "id", "text", num, den, ceiling = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(gotGrid === want, s"grid path diverged at tau=$num/$den")
     }
   }
 
