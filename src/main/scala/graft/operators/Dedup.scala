@@ -1270,6 +1270,28 @@ object Dedup {
     materializeAndRelease(out, tf)
   }
 
+  /** Corpus SNAPSHOT DIFF — dataset versioning's primitive: what
+    * changed between two corpus snapshots, keyed by document id with
+    * content compared by hash. One full-outer join on the id (the only
+    * shuffle; the wide text column reduces to a 16-byte md5 before the
+    * exchange), status ∈ added | removed | changed | same. The
+    * reproducibility audit every training-data release needs ("what
+    * moved between v3 and v4?") and the input to incremental
+    * re-processing (feed `added ∪ changed` downstream instead of the
+    * whole snapshot). */
+  def corpusDiff(
+      old: DataFrame, neu: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val a = old.select(col(idCol).as("id"), md5(col(textCol)).as("h_old"))
+    val b = neu.select(col(idCol).as("id"), md5(col(textCol)).as("h_new"))
+    a.join(b, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") === col("h_new"), lit("same"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** The distributed subtree of [[sortedNeighborhoodPairs]] — the one
     * range exchange + in-partition sort the operator is built on
     * (exposed so the plan shape is testable: RangePartitioning bounds

@@ -30,6 +30,20 @@ object Sampling {
     if (b >= 65536L) "g" else f"$b%04x"
   }
 
+  /** Deterministic corpus SHUFFLE — the training-order primitive: a
+    * reproducible global permutation as a pure function of (seed, id),
+    * no RNG state, no partition dependence. `shuffle_key =
+    * md5(seed || id)` gives the order; writing the corpus range-
+    * partitioned + sorted by it IS the shuffled dataset, and epoch N is
+    * just seed N — re-shuffling is one sort, never a random state to
+    * snapshot. Adds `shuffle_key` (callers sort/write by it) and
+    * `shuffle_rank` stays derivable downstream via a window when a
+    * dense position is genuinely needed. */
+  def deterministicShuffle(
+      df: DataFrame, idCol: String, seed: String): DataFrame =
+    df.withColumn("shuffle_key",
+      md5(concat(lit(seed), lit("|"), col(idCol).cast("string"))))
+
   /** Deterministic train/val/test label: `trainPct` of ids → train, next
     * `valPct` → val, rest → test. */
   def splitLabel(id: Column, trainPct: Double, valPct: Double): Column =

@@ -1536,6 +1536,30 @@ object LlmInventory {
       documents(s, d).filter(col("doc_id") < 200), "doc_id", "text",
       tauNum = 9L, tauDen = 10L)
 
+  /** d21: corpus snapshot diff ([[Dedup.corpusDiff]]) — dataset
+    * versioning: v_old = docs 0..449 with every 7th text REWRITTEN,
+    * v_new = docs 50..499; statuses added/removed/changed/same all
+    * non-empty and hash-gated. */
+  val d21CorpusDiff: Q = (s, d) => {
+    val docs = documents(s, d)
+    val vOld = docs.filter(col("doc_id") < 450)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(lit("OLD "), col("text")))
+          .otherwise(col("text")))
+    val vNew = docs.filter(col("doc_id") >= 50)
+    Dedup.corpusDiff(vOld, vNew, "doc_id", "text")
+  }
+
+  /** t58: deterministic corpus shuffle ([[Sampling.deterministicShuffle]])
+    * — the reproducible training-order permutation (epoch = seed); the
+    * gate hashes the md5 shuffle keys plus the top-20 order under the
+    * key, so the permutation itself faces DuckDB. */
+  val t58DeterministicShuffle: Q = (s, d) =>
+    Sampling.deterministicShuffle(documents(s, d), "doc_id", seed = "epoch3")
+      .orderBy(col("shuffle_key").asc)
+      .select(col("doc_id"), col("shuffle_key"))
+      .limit(20)
+
   /** d20: EXACT weighted-cosine self-join ([[Dedup.weightedCosinePairs]],
     * the All-Pairs family on TF vectors) — every pair with cos ≥ 4/5
     * over the 200-doc window, squared integer verdict; the oracle is
@@ -2260,6 +2284,8 @@ object LlmInventory {
     "d18_prefix_filter_pairs" -> d18PrefixFilterPairs,
     "d19_repeated_spans" -> d19RepeatedSpans,
     "d20_weighted_cosine" -> d20WeightedCosine,
+    "d21_corpus_diff" -> d21CorpusDiff,
+    "t58_deterministic_shuffle" -> t58DeterministicShuffle,
     "t54_grouped_split" -> t54GroupedSplit,
     "t51_bpe_apply" -> t51BpeApply,
     "t52_pmi_pairs" -> t52PmiPairs,
@@ -2780,6 +2806,25 @@ object LlmInventory {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |SELECT d1, d2, inter, uni FROM p
         |WHERE inter * 10 >= uni * 9""".stripMargin,
+    // snapshot-diff mirror: 16-byte hashes before the full-outer join
+    "d21_corpus_diff" ->
+      """WITH vold AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN 'OLD ' || text ELSE text END) AS h
+        |  FROM documents WHERE doc_id < 450),
+        |vnew AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 50)
+        |SELECT COALESCE(vold.doc_id, vnew.doc_id) AS doc_id,
+        |  CASE WHEN vold.h IS NULL THEN 'added'
+        |       WHEN vnew.h IS NULL THEN 'removed'
+        |       WHEN vold.h = vnew.h THEN 'same'
+        |       ELSE 'changed' END AS status
+        |FROM vold FULL OUTER JOIN vnew ON vold.doc_id = vnew.doc_id""".stripMargin,
+    // deterministic-shuffle mirror: md5(seed || '|' || id) is the order
+    "t58_deterministic_shuffle" ->
+      """SELECT doc_id, md5('epoch3|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents
+        |ORDER BY shuffle_key ASC LIMIT 20""".stripMargin,
     // weighted-cosine mirror: brute-force inverted-index join over the
     // window with the identical squared integer verdict
     "d20_weighted_cosine" ->
