@@ -327,6 +327,43 @@ object Similarity {
       .toDF("rnk", idCol)
   }
 
+  /** Approximate kNN GRAPH over an embedding corpus — every document's
+    * top-k nearest neighbors in one batch job (the substrate for
+    * SemDeDup-style clustering, label propagation over semantic edges,
+    * and graph-based diversity analysis; [[knnPredict]] answers one
+    * query, this materializes the whole graph). Candidates come from
+    * [[graft.operators.Dedup.embeddingNearDupPairs]]'s banded
+    * hyperplane-LSH buckets (per-row signatures, within-bucket exact
+    * cosine, the hot-bucket chain guard riding along), symmetrized and
+    * ranked per source by (cosine DESC, dst ASC) over a window bounded
+    * by each node's candidate count. Output (src, rnk, dst) — ranks
+    * only, the s1 convention, so the gate is robust to last-ulp float
+    * differences. Approximate by construction: nodes sharing no band
+    * bucket contribute no edge (recall compounds with `bands`). */
+  def knnGraph(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, planes: Int, seed: Long, bands: Int = 2,
+      md5Family: Boolean = false, maxBucketAllPairs: Int = 1024): DataFrame = {
+    require(k >= 1, s"k must be >= 1: got $k")
+    val pairs = graft.operators.Dedup.embeddingNearDupPairs(
+      corpus, idCol, vecCol, planes, seed, threshold = -1.0, bands,
+      md5Family, maxBucketAllPairs)
+    val sym = pairs
+      .select(col("d1").as("src"), col("d2").as("dst"), col("cosine"))
+      .unionByName(pairs
+        .select(col("d2").as("src"), col("d1").as("dst"), col("cosine")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)
+    val out = sym.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("src"), col("rnk"), col("dst"))
+    // pairs is persisted by its producer (caller-owned contract): pin the
+    // graph, then release the pair frame
+    out.persist().count()
+    pairs.unpersist(blocking = false)
+    out
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
     * retrieval combiner: each input ranking contributes 1/(k0 + rank)
     * per document, missing documents contribute 0, fused score = the

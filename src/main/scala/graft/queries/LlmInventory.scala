@@ -2002,6 +2002,15 @@ object LlmInventory {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** s22: approximate kNN GRAPH ([[Similarity.knnGraph]]) — every
+    * vector's top-5 neighbors from the md5-parity banded hyperplane
+    * buckets (s7's signature family), symmetrized and ranked per source;
+    * rank-only output (the s1 convention). The oracle rebuilds the
+    * identical signatures, bucket pairs, and per-source ranking. */
+  val s22KnnGraph: Q = (s, d) =>
+    Similarity.knnGraph(embeddings(s, d), "vec_id", "embedding",
+      k = 5, planes = 8, seed = 42L, bands = 2, md5Family = true)
+
   /** t56: Cohen's kappa ([[graft.operators.Importance.cohenKappa]]) —
     * chance-corrected agreement between two deterministic "raters" of
     * the same docs (token-count long/short vs byte-length long/short):
@@ -2300,6 +2309,7 @@ object LlmInventory {
     "a29_mann_whitney" -> a29MannWhitney,
     "s20_rrf_fusion" -> s20RrfFusion,
     "s21_kmeans" -> s21Kmeans,
+    "s22_knn_graph" -> s22KnnGraph,
     "t56_cohen_kappa" -> t56CohenKappa,
     "t57_substring_blocklist" -> t57SubstringBlocklist,
     "a30_kendall_tau" -> a30KendallTau,
@@ -3829,6 +3839,33 @@ object LlmInventory {
         |ORDER BY d1, d2""".stripMargin,
     // d7's pair SQL + d9's recursive-CTE components: min reachable id over
     // the symmetrized near-dup edges == the union-find min-of-cluster label
+    // kNN-graph mirror: s7's md5-parity signatures, bucket pairs both
+    // directions, per-source ROW_NUMBER by (cosine DESC, dst)
+    "s22_knn_graph" ->
+      """WITH sigs AS (
+        |  SELECT vec_id, embedding, band,
+        |    sum(CASE WHEN dot > 0 THEN 1<<i ELSE 0 END)::BIGINT AS sig
+        |  FROM (
+        |    SELECT vec_id, embedding, b.band AS band, i.i AS i,
+        |      list_reduce(list_transform(range(1, len(embedding)+1),
+        |        j -> CASE WHEN ('0x'||substr(md5((42+b.band)::VARCHAR||'#'||i.i::VARCHAR||'#'||(j-1)::VARCHAR),1,1))::INT < 8
+        |             THEN CAST(embedding[j] AS DOUBLE) ELSE -CAST(embedding[j] AS DOUBLE) END),
+        |        (a,b2) -> a+b2) AS dot
+        |    FROM embeddings CROSS JOIN range(0, 2) b(band) CROSS JOIN range(0, 8) i(i))
+        |  GROUP BY vec_id, embedding, band),
+        |pairs AS (
+        |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2,
+        |    list_cosine_similarity(a.embedding, b.embedding) AS cosine
+        |  FROM sigs a JOIN sigs b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+        |sym AS (
+        |  SELECT d1 AS src, d2 AS dst, cosine FROM pairs
+        |  UNION ALL SELECT d2, d1, cosine FROM pairs),
+        |r AS (
+        |  SELECT src, dst,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
+        |  FROM sym)
+        |SELECT src, CAST(rnk AS BIGINT) AS rnk, dst FROM r WHERE rnk <= 5""".stripMargin,
     "s7_semantic_dedup" ->
       """WITH RECURSIVE sigs AS (
         |  SELECT vec_id, embedding, band,
