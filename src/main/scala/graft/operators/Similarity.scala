@@ -327,6 +327,63 @@ object Similarity {
       .toDF("rnk", idCol)
   }
 
+  /** DBSCAN density clustering over an embedding corpus (Ester et al.
+    * 1996), with neighborhoods from the banded hyperplane-LSH candidate
+    * graph: a point is CORE when its ε-neighborhood (cosine ≥ `tau`
+    * among LSH-visible candidates) holds ≥ `minPts` points including
+    * itself; clusters are the connected components of the core-core
+    * graph; non-core points with a core neighbor join that neighbor's
+    * cluster as BORDER (ties to the smallest component id —
+    * deterministic, where textbook DBSCAN is arrival-order-dependent);
+    * the rest are NOISE. The density-based complement to
+    * [[kmeansLloydExact]]: finds arbitrarily-shaped clusters and an
+    * explicit noise bucket, no k to pick. Approximate exactly like
+    * [[knnGraph]]: neighbor pairs the LSH bands never co-bucket are
+    * invisible (recall compounds with `bands`; the s7 semantic-dedup
+    * trade, stated). Scale shape: per-row signatures, within-bucket
+    * exact cosine with the hot-bucket guard, one degree aggregation,
+    * and components over the core-core edge list — orders of magnitude
+    * smaller than the corpus. Returns (idCol, role ∈ core|border|noise,
+    * cluster — min member id, NULL for noise). */
+  def dbscanLabels(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      tau: Double, minPts: Int,
+      planes: Int, seed: Long, bands: Int = 2,
+      md5Family: Boolean = false, maxBucketAllPairs: Int = 1024): DataFrame = {
+    require(minPts >= 2, s"minPts must be >= 2: got $minPts")
+    val pairs = graft.operators.Dedup.embeddingNearDupPairs(
+      corpus, idCol, vecCol, planes, seed, tau, bands, md5Family,
+      maxBucketAllPairs)
+    val edges = pairs.select(col("d1").as("s"), col("d2").as("t"))
+      .unionByName(pairs.select(col("d2").as("s"), col("d1").as("t")))
+    val core = edges.groupBy("s").agg(count(lit(1)).as("nn"))
+      .filter(col("nn") + 1 >= minPts)
+      .select(col("s").as("id"))
+    val coreEdges = edges
+      .join(core.select(col("id").as("s")), "s")
+      .join(core.select(col("id").as("t")), "t")
+      .select(col("s").as("d1"), col("t").as("d2"))
+    val comps = graft.operators.Dedup.connectedComponents(coreEdges)
+    // isolated cores (no core neighbor) are their own 1-core cluster
+    val coreComp = core.join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    val border = edges
+      .join(coreComp.select(col("id").as("t"), col("component")), "t")
+      .join(core.select(col("id").as("s")), Seq("s"), "left_anti")
+      .groupBy("s").agg(min("component").as("component"))
+    val out = corpus.select(col(idCol).as("id"))
+      .join(coreComp.select(col("id"), col("component").as("c_comp")), Seq("id"), "left")
+      .join(border.select(col("s").as("id"), col("component").as("b_comp")), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("c_comp").isNotNull, lit("core"))
+          .when(col("b_comp").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("c_comp"), col("b_comp")).as("cluster"))
+    out.persist().count()
+    pairs.unpersist(blocking = false)
+    out
+  }
+
   /** Approximate kNN GRAPH over an embedding corpus — every document's
     * top-k nearest neighbors in one batch job (the substrate for
     * SemDeDup-style clustering, label propagation over semantic edges,

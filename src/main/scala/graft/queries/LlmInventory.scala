@@ -2002,6 +2002,16 @@ object LlmInventory {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** s23: DBSCAN density clustering ([[Similarity.dbscanLabels]]) —
+    * cosine ε = 0.25 over the md5-parity LSH neighborhood graph,
+    * minPts = 3: 26 cores / 34 borders / 440 noise across 16 clusters
+    * at sf0.01, the oracle replaying core degrees, the recursive
+    * core-core reachability, and the min-component border rule. */
+  val s23Dbscan: Q = (s, d) =>
+    Similarity.dbscanLabels(embeddings(s, d), "vec_id", "embedding",
+      tau = 0.25, minPts = 3, planes = 8, seed = 42L, bands = 2,
+      md5Family = true)
+
   /** s22: approximate kNN GRAPH ([[Similarity.knnGraph]]) — every
     * vector's top-5 neighbors from the md5-parity banded hyperplane
     * buckets (s7's signature family), symmetrized and ranked per source;
@@ -2310,6 +2320,7 @@ object LlmInventory {
     "s20_rrf_fusion" -> s20RrfFusion,
     "s21_kmeans" -> s21Kmeans,
     "s22_knn_graph" -> s22KnnGraph,
+    "s23_dbscan" -> s23Dbscan,
     "t56_cohen_kappa" -> t56CohenKappa,
     "t57_substring_blocklist" -> t57SubstringBlocklist,
     "a30_kendall_tau" -> a30KendallTau,
@@ -3839,6 +3850,49 @@ object LlmInventory {
         |ORDER BY d1, d2""".stripMargin,
     // d7's pair SQL + d9's recursive-CTE components: min reachable id over
     // the symmetrized near-dup edges == the union-find min-of-cluster label
+    // DBSCAN mirror: s7's signatures, tau-thresholded neighbor edges,
+    // core degrees, RECURSIVE core-core reachability (min-id component),
+    // min-component border attachment
+    "s23_dbscan" ->
+      """WITH RECURSIVE sigs AS (
+        |  SELECT vec_id, embedding, band,
+        |    sum(CASE WHEN dot > 0 THEN 1<<i ELSE 0 END)::BIGINT AS sig
+        |  FROM (
+        |    SELECT vec_id, embedding, b.band AS band, i.i AS i,
+        |      list_reduce(list_transform(range(1, len(embedding)+1),
+        |        j -> CASE WHEN ('0x'||substr(md5((42+b.band)::VARCHAR||'#'||i.i::VARCHAR||'#'||(j-1)::VARCHAR),1,1))::INT < 8
+        |             THEN CAST(embedding[j] AS DOUBLE) ELSE -CAST(embedding[j] AS DOUBLE) END),
+        |        (a,b2) -> a+b2) AS dot
+        |    FROM embeddings CROSS JOIN range(0, 2) b(band) CROSS JOIN range(0, 8) i(i))
+        |  GROUP BY vec_id, embedding, band),
+        |pairs AS (
+        |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+        |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.25),
+        |edges AS (SELECT d1 AS s, d2 AS t FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |deg AS (SELECT s, count(*) AS nn FROM edges GROUP BY s),
+        |core AS (SELECT s AS id FROM deg WHERE nn + 1 >= 3),
+        |ce AS (
+        |  SELECT e.s, e.t FROM edges e
+        |  JOIN core c1 ON c1.id = e.s JOIN core c2 ON c2.id = e.t),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT reach.id, ce.t FROM reach JOIN ce ON ce.s = reach.r),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |border AS (
+        |  SELECT e.s AS id, min(comp.component) AS component
+        |  FROM edges e JOIN core c ON c.id = e.t JOIN comp ON comp.id = e.t
+        |  WHERE e.s NOT IN (SELECT id FROM core)
+        |  GROUP BY e.s)
+        |SELECT em.vec_id,
+        |  CASE WHEN comp.id IS NOT NULL THEN 'core'
+        |       WHEN border.id IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  COALESCE(comp.component, border.component) AS cluster
+        |FROM embeddings em
+        |LEFT JOIN comp ON comp.id = em.vec_id
+        |LEFT JOIN border ON border.id = em.vec_id""".stripMargin,
     // kNN-graph mirror: s7's md5-parity signatures, bucket pairs both
     // directions, per-source ROW_NUMBER by (cosine DESC, dst)
     "s22_knn_graph" ->

@@ -170,6 +170,36 @@ class TopKDedupSpec extends AnyFunSuite {
       Seq(brute("aabab"), brute("bbbb"), brute(""), brute("xyz")))
   }
 
+  test("Similarity.dbscanLabels: hand graph — cores, border tie to min component, noise, isolated core") {
+    import graft.operators.Similarity
+    // unit vectors on the xy-circle; tau = 0.92 ≈ cos(23°):
+    //  arc chain A at 0°/15°/30°: edges 0-1 and 1-2 only → node 1 is the
+    //  SOLE core (an ISOLATED core, no core-core edge) and 0/2 are
+    //  borders of its cluster
+    //  tight triangle B at 90°/97°/104°: mutually adjacent → all core
+    //  30 at 200°: adjacent to nothing → noise
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0f)
+    }
+    val rows = Seq(
+      (0L, v(0)), (1L, v(15)), (2L, v(30)),
+      (10L, v(90)), (11L, v(97)), (12L, v(104)),
+      (30L, v(200)))
+    val df = rows.toDF("id", "vec")
+    // planes=1 per band, 4 bands: points ≤15° apart co-bucket in ≥1 band
+    // with prob ~1-(15/180)^4 — candidate visibility is near-certain here
+    val out = Similarity.dbscanLabels(df, "id", "vec",
+      tau = 0.92, minPts = 3, planes = 1, seed = 7L, bands = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out(1L) === (("core", 1L)), out.toString)   // isolated core
+    assert(out(0L) === (("border", 1L)), out.toString)
+    assert(out(2L) === (("border", 1L)), out.toString)
+    assert(Seq(10L, 11L, 12L).forall(i => out(i) === (("core", 10L))), out.toString)
+    assert(out(30L) === (("noise", -1L)), out.toString)
+  }
+
   test("Similarity.kmeansLloydExact: planted clusters recovered; trajectory partition-invariant") {
     import graft.operators.Similarity
     val rnd = new scala.util.Random(5)
