@@ -42,6 +42,10 @@ import org.apache.spark.sql.SparkSession
   * graft corpus kmeans   --in DIR --out DIR [--vec-col c] [--k 16] [--iters 5] [--id-col c]
   * graft corpus spandedup --in DIR --out DIR [--w 50] [--min-occur 2] [--id-col c] [--text-col c]
   * graft corpus blocklist --in DIR --out DIR --patterns a,b,c [--max-hits 0] [--id-col c] [--text-col c]
+  * graft corpus knngraph --in DIR --out DIR [--vec-col c] [--k 10] [--planes 16] [--bands 4] [--seed 42] [--id-col c]
+  * graft corpus dbscan   --in DIR --out DIR [--vec-col c] [--tau 0.8] [--min-pts 4] [--planes 16] [--bands 4] [--seed 42] [--id-col c]
+  * graft corpus diff     --in NEWDIR --against OLDDIR --out DIR [--id-col c] [--text-col c]
+  * graft corpus shuffle  --in DIR --out DIR [--seed epoch0] [--shards 8] [--id-col c]
   * }}}
   *
   * `--base DIR` holds `raw_blocks/`, `tables/`, `load_state_chunks/`,
@@ -93,11 +97,12 @@ object Main {
           "classify", "curate", "cap", "sample", "upsample", "export",
           "annindex", "annquery", "stats", "pack", "chunk", "dsir",
           "pagerank", "triangles", "bpetrain", "quantiles", "kmeans",
-          "spandedup", "blocklist")(cmd) =>
+          "spandedup", "blocklist", "knngraph", "dbscan", "diff",
+          "shuffle")(cmd) =>
       val spark = session()
       try corpusRun(spark, cmd, rest.toArray) finally spark.stop()
     case _ =>
-      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|status|fork info|fork list|fork detect --sample|corpus dedup|semdedup|scrub|lmfilter|linededup|classify|curate|cap|sample|upsample|export|annindex|annquery|stats|dsir|pagerank|triangles|bpetrain|quantiles|kmeans|spandedup|blocklist} [options]")
+      System.err.println("usage: graft {load backfill|load realtime|transform batch|maintain check|fix|reset|status|fork info|fork list|fork detect --sample|corpus dedup|semdedup|scrub|lmfilter|linededup|classify|curate|cap|sample|upsample|export|annindex|annquery|stats|dsir|pagerank|triangles|bpetrain|quantiles|kmeans|spandedup|blocklist|knngraph|dbscan|diff|shuffle} [options]")
       sys.exit(2)
   }
 
@@ -528,6 +533,50 @@ object Main {
           docs, idCol, textCol, w, minOccur)
         out.write.mode("overwrite").parquet(outDir)
         println(s"[graft] corpus spandedup: w=$w minOccur=$minOccur -> $outDir")
+      case "knngraph" =>
+        // approximate kNN graph over an embedding column
+        val vecCol = opt(args, "vec-col").getOrElse("embedding")
+        val k = opt(args, "k").map(_.toInt).getOrElse(10)
+        val planes = opt(args, "planes").map(_.toInt).getOrElse(16)
+        val bands = opt(args, "bands").map(_.toInt).getOrElse(4)
+        val seed = opt(args, "seed").map(_.toLong).getOrElse(42L)
+        val g = graft.operators.Similarity.knnGraph(
+          docs, idCol, vecCol, k, planes, seed, bands)
+        g.write.mode("overwrite").parquet(outDir)
+        g.unpersist(blocking = false)
+        println(s"[graft] corpus knngraph: k=$k planes=$planes bands=$bands -> $outDir")
+      case "dbscan" =>
+        // density clustering: (id, role core|border|noise, cluster)
+        val vecCol = opt(args, "vec-col").getOrElse("embedding")
+        val tau = opt(args, "tau").map(_.toDouble).getOrElse(0.8)
+        val minPts = opt(args, "min-pts").map(_.toInt).getOrElse(4)
+        val planes = opt(args, "planes").map(_.toInt).getOrElse(16)
+        val bands = opt(args, "bands").map(_.toInt).getOrElse(4)
+        val seed = opt(args, "seed").map(_.toLong).getOrElse(42L)
+        val cl = graft.operators.Similarity.dbscanLabels(
+          docs, idCol, vecCol, tau, minPts, planes, seed, bands)
+        cl.write.mode("overwrite").parquet(outDir)
+        cl.unpersist(blocking = false)
+        println(s"[graft] corpus dbscan: tau=$tau minPts=$minPts -> $outDir")
+      case "diff" =>
+        // corpus snapshot diff: --against OLDDIR; (id, status)
+        val refDir = opt(args, "against")
+          .getOrElse(sys.error("corpus diff needs --against OLDDIR"))
+        val old = spark.read.parquet(refDir)
+        val out = graft.operators.Dedup.corpusDiff(old, docs, idCol, textCol)
+        out.write.mode("overwrite").parquet(outDir)
+        val byStatus = spark.read.parquet(outDir).groupBy("status").count()
+          .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+        println(s"[graft] corpus diff: $byStatus -> $outDir")
+      case "shuffle" =>
+        // deterministic epoch shuffle: sort by md5(seed||id), shard-ready
+        val seed = opt(args, "seed").getOrElse("epoch0")
+        graft.operators.Sampling.deterministicShuffle(docs, idCol, seed)
+          .repartitionByRange(
+            opt(args, "shards").map(_.toInt).getOrElse(8), col("shuffle_key"))
+          .sortWithinPartitions("shuffle_key")
+          .write.mode("overwrite").parquet(outDir)
+        println(s"[graft] corpus shuffle: seed '$seed' -> $outDir")
       case "blocklist" =>
         // substring/phrase blocklist (Aho-Corasick, one pass per row):
         // --patterns a,b,c ; writes (id, n_hits, flagged)

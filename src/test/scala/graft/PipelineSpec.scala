@@ -1118,6 +1118,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(bl(0).getAs[Long]("n_hits") === 1L && bl(0).getAs[Boolean]("flagged"))
     assert(bl(1).getAs[Long]("n_hits") === 2L) // "q" + "a b"
     assert(bl(2).getAs[Long]("n_hits") === 0L && !bl(2).getAs[Boolean]("flagged"))
+
+    // diff: doc 2's text changes, doc 3 removed, doc 4 added
+    Seq((1L, "a b c d x y z"), (2L, "CHANGED"), (4L, "brand new"))
+      .toDF("doc_id", "text").write.parquet(s"$base/new")
+    Main.corpusRun(spark, "diff",
+      Array("--in", s"$base/new", "--against", s"$base/sin", "--out", s"$base/diff"))
+    val diff = spark.read.parquet(s"$base/diff")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff === Map(1L -> "same", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+
+    // shuffle: deterministic, order is a pure function of (seed, id)
+    Main.corpusRun(spark, "shuffle",
+      Array("--in", s"$base/sin", "--out", s"$base/shuf", "--seed", "e1", "--shards", "2"))
+    val keys = spark.read.parquet(s"$base/shuf")
+      .select("doc_id", "shuffle_key").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keys.size === 3 && keys.values.toSet.size === 3)
+
+    // knngraph + dbscan over a tiny embedding corpus
+    Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.99f, 0.1f, 0f)), (3L, Seq(0.98f, -0.1f, 0f)),
+      (9L, Seq(0f, 0f, 1f))).toDF("doc_id", "embedding")
+      .write.parquet(s"$base/vecs")
+    Main.corpusRun(spark, "knngraph",
+      Array("--in", s"$base/vecs", "--out", s"$base/knn",
+        "--k", "2", "--planes", "1", "--bands", "4", "--seed", "7"))
+    val knn = spark.read.parquet(s"$base/knn")
+    assert(knn.filter(col("src") === 1L).count() >= 1)
+    Main.corpusRun(spark, "dbscan",
+      Array("--in", s"$base/vecs", "--out", s"$base/db",
+        "--tau", "0.9", "--min-pts", "3", "--planes", "1", "--bands", "4", "--seed", "7"))
+    val db = spark.read.parquet(s"$base/db")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(db(1L) === "core" && db(9L) === "noise")
   }
 
   test("corpus CLI: dedup --against sweeps the reference corpus first") {
