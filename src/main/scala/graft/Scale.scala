@@ -272,6 +272,7 @@ object Scale {
     if (args.headOption.contains("cc")) return ccMain(args)
     if (args.headOption.contains("kmeans")) return kmeansMain(args)
     if (args.headOption.contains("spans")) return spansMain(args)
+    if (args.headOption.contains("dbscan")) return dbscanMain(args)
     if (args.headOption.contains("pagerank")) return pagerankMain(args)
     if (args.headOption.contains("triangles")) return trianglesMain(args)
     if (args.headOption.contains("triab")) return triAbMain(args)
@@ -1284,6 +1285,107 @@ object Scale {
          |""".stripMargin
     spliceSection(outMd, spansHeader, section)
     println(s"""{"metric":"scale_spans","value":$spanSec,"unit":"sec","n_docs":$nDocs,"planted":$planted,"heap_peak_mb":$heapMb}""")
+    spark.stop()
+  }
+
+  private val dbscanHeader = "## DBSCAN density-clustering stage"
+
+  /** `runMain graft.Scale dbscan [nVecs] [outMd]` — [[graft.operators
+    * .Similarity.dbscanLabels]] at corpus scale: 800k planted points in
+    * 50k dense 16-member clusters (center per cluster from hashed ±1
+    * coordinates in 64 dims, members jittered ±0.01 → intra-cluster
+    * cos ≈ 1) plus 200k isolated noise vectors (pairwise |cos| far
+    * below τ at d=64 — the Gaussian-tail argument, P(cos>0.9) ≈ 1e-23).
+    * Closed form: EVERY planted member must come back core with its
+    * cluster = the min member id, every noise vector noise — roles
+    * asserted by exact counts, clusters by exact distinct count. 16
+    * planes × 3 bands keeps buckets at ~cluster size (the all-pairs
+    * within-bucket path, no chain truncation) with per-pair visibility
+    * ≈ 1 − 5e-4. */
+  private def dbscanMain(args: Array[String]): Unit = {
+    val nVecs = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    val outMd = args.lift(2).getOrElse("SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val dim = 64
+    val clustered = nVecs * 4 / 5 // 16 members per cluster
+    val nClusters = clustered / 16
+    val dir = Files.createTempDirectory("graft_scale_dbscan").toString
+    val (_, genSec) = timed {
+      spark.range(nVecs).toDF("id")
+        .withColumn("cl",
+          when(col("id") < clustered, (col("id") / 16).cast("long")).otherwise(lit(-1L)))
+        .withColumn("vec",
+          when(col("cl") >= 0,
+            transform(sequence(lit(0), lit(dim - 1)), j =>
+              ((pmod(xxhash64(col("cl"), j), lit(2L)) * 2 - 1).cast("double") +
+                (pmod(xxhash64(col("id"), j, lit(99)), lit(100L)).cast("double") / 100.0 - 0.5) * 0.02)
+                .cast("float")))
+            .otherwise(
+              transform(sequence(lit(0), lit(dim - 1)), j =>
+                ((pmod(xxhash64(col("id"), j, lit(7)), lit(2000L)).cast("double") / 1000.0 - 1.0))
+                  .cast("float"))))
+        .select("id", "vec")
+        .write.mode("overwrite").parquet(dir)
+    }
+    val vecs = spark.read.parquet(dir)
+    val ((roles, gotClusters, badLabels), fitSec) = timed {
+      val out = graft.operators.Similarity.dbscanLabels(
+        vecs, "id", "vec", tau = 0.9, minPts = 4,
+        planes = 16, seed = 42L, bands = 3)
+      val agg = out.groupBy("role").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nClustersGot = out.filter(col("role") === "core")
+        .agg(countDistinct("cluster")).head().getLong(0)
+      // every member's label must be its cluster's MIN id = floor(id/16)*16
+      val clusterOk = out.filter(col("role") === "core")
+        .filter(col("cluster") =!= floor(col("id") / 16).cast("long") * 16)
+        .count()
+      out.unpersist(blocking = false)
+      (agg, nClustersGot, clusterOk)
+    }
+    require(roles.getOrElse("core", 0L) == clustered,
+      s"core count broke: ${roles.get("core")} vs planted $clustered")
+    require(roles.getOrElse("noise", 0L) == nVecs - clustered,
+      s"noise count broke: ${roles.get("noise")} vs ${nVecs - clustered}")
+    require(roles.getOrElse("border", 0L) == 0L,
+      s"unexpected borders: ${roles.get("border")}")
+    require(gotClusters == nClusters,
+      s"cluster count broke: $gotClusters vs planted $nClusters")
+    require(badLabels == 0L,
+      s"$badLabels members carry a label != their cluster's min id")
+    val heapMb = heapPeakMb()
+    val section =
+      s"""
+         |$dbscanHeader (${nVecs / 1000}k × $dim-dim vectors: ${nClusters / 1000}k planted 16-member clusters + ${(nVecs - clustered) / 1000}k noise)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale dbscan $nVecs"` —
+         |density clustering over the banded hyperplane-LSH neighborhood
+         |graph: per-row signatures (16 planes × 3 bands → buckets at
+         |~cluster size, all-pairs within-bucket), degree aggregation,
+         |connected components of the core-core graph, border/noise rules.
+         |
+         || metric | value |
+         ||---|---|
+         || corpus generate + write | ${f"$genSec%.1f"} s ($nVecs vectors) |
+         || DBSCAN end-to-end | ${f"$fitSec%.1f"} s (${f"${nVecs / fitSec}%.0f"} vectors/s) |
+         || roles | core = $clustered, border = 0, noise = ${nVecs - clustered} — EXACT closed form |
+         || clusters | $gotClusters = planted $nClusters, every label the cluster's min id |
+         || peak heap | $heapMb MB |
+         |
+         |- the s23 driver gate replays the full construction (signatures,
+         |  τ edges, degrees, recursive reachability, border rule) in DuckDB
+         |""".stripMargin
+    spliceSection(outMd, dbscanHeader, section)
+    println(s"""{"metric":"scale_dbscan","value":$fitSec,"unit":"sec","n_vecs":$nVecs,"clusters":$gotClusters,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 
