@@ -1207,14 +1207,17 @@ object Dedup {
         sort_array(collect_list(struct(col("dfc"), col("t"),
           (col("tf").cast("double") / sqrt(col("n2")) * col("mw"))
             .as("contrib")))).as("ord"))
-    val total = aggregate(col("ord"), lit(0.0),
-      (acc, e) => acc + e.getField("contrib"))
+    // total materializes as its own column FIRST: referencing the
+    // aggregate() expression inside the fold lambda below would re-sum
+    // the whole array per element — O(n²) per doc for zero gain
+    val withTotal = ordered.withColumn("__tot",
+      aggregate(col("ord"), lit(0.0), (acc, e) => acc + e.getField("contrib")))
     // prefix length: keep adding features while the remaining tail
     // could still reach tauAdj on its own
     val plen = aggregate(col("ord"),
       struct(lit(0.0).as("cum"), lit(0).as("len"), lit(false).as("done")),
       (acc, e) => {
-        val stillNeeded = (total - acc.getField("cum")) >= tauAdj
+        val stillNeeded = (col("__tot") - acc.getField("cum")) >= tauAdj
         struct(
           (acc.getField("cum") + e.getField("contrib")).as("cum"),
           when(!acc.getField("done") && stillNeeded,
@@ -1222,7 +1225,7 @@ object Dedup {
           (acc.getField("done") || !stillNeeded).as("done"))
       },
       acc => acc.getField("len"))
-    val prefix = ordered
+    val prefix = withTotal
       .select(col("id"), explode(slice(col("ord"), lit(1), plen)).as("pe"))
       .select(col("id"), col("pe").getField("t").as("t"))
     val hot = stats.filter(col("dfc") > ceiling)
