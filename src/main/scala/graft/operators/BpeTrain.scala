@@ -125,6 +125,11 @@ object BpeTrain {
     *    emergent name like `a⋈b` can compare lexically BELOW a kept
     *    candidate, which is why the trim is strict, not ≥.)
     * c₁ needs no trim: it is the global argmax of the exact table.
+    * SELF-pairs (a,a) break the emergent bound — (a⋈a,a) is enabled by
+    * the accepted merge itself, not by a rejected sharing candidate —
+    * so the scan also ends the batch at any self-pair, accepting it
+    * only when it is c₁ (a run-heavy corpus degrades to batch = 1,
+    * which is exactly the trajectory the claim promises).
     *
     * INTENDED REGIME — k in the tens to low hundreds (domain vocab
     * extensions, collocation tables): even batched, a 32k production
@@ -171,6 +176,17 @@ object BpeTrain {
         while (i < top.length && !stopped) {
           val c = top(i)
           if (i >= want || used(c.left) || used(c.right)) {
+            stopped = true; stopN = c.count
+          } else if (c.left == c.right) {
+            // SELF-pair (a,a): its emergent pairs (a⋈a,a)/(a,a⋈a)/
+            // (a⋈a,a⋈a) are enabled by the ACCEPTED merge itself, so
+            // they are bounded by c.count — NOT by a rejected
+            // symbol-sharing candidate — and no later-ranked candidate
+            // can be proven safe in the same pass. End the batch here:
+            // accept only as c₁ (the global argmax needs no proof);
+            // at i > 0 leave it for the next pass, where stopN = its
+            // count still bounds emergents of the earlier accepts.
+            if (i == 0) accepted += c
             stopped = true; stopN = c.count
           } else {
             accepted += c; used += c.left; used += c.right; i += 1

@@ -40,9 +40,19 @@ object Dedup {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
-  /** Distinct lower-cased tokens. */
+  /** The engine tokenizer WITH multiplicity: lower-cased single-space
+    * split, empty tokens dropped — ragged whitespace ("a  b") therefore
+    * contributes no phantom `""` feature. Same convention as
+    * [[BpeTrain]]'s pair counting; [[tokenSet]] is its distinct view, so
+    * set-semantics operators (d18's Jaccard family) and
+    * bag-semantics operators (d20's weighted cosine) share one
+    * vocabulary by construction. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  /** Distinct lower-cased tokens ([[tokens]] deduplicated). */
   def tokenSet(text: Column): Column =
-    array_distinct(split(lower(text), " "))
+    array_distinct(tokens(text))
 
   /** `w`-shingles over the token array (n-gram units for Jaccard).
     * Codegen'd single-pass kernel ([[WordShingles]]): the composed
@@ -1140,9 +1150,10 @@ object Dedup {
     * `dot²·tauDen² ≥ tauNum²·‖x‖²·‖y‖²` (dot ≥ 0, so squaring is
     * order-preserving) — Decimal(38,0) products, no float ever decides
     * membership. Doubles appear only in the candidate PRUNING bound,
-    * where they are made conservative (the threshold is shrunk by 1e-9
-    * relative) — a float rounding error can only ADD candidates, never
-    * drop a qualifying pair.
+    * where they are made conservative (the threshold is lowered by an
+    * ABSOLUTE slack scaled to the per-doc summation error bound, see
+    * the prefix fold) — a float rounding error can only ADD candidates,
+    * never drop a qualifying pair.
     *
     * COMPLETENESS. Per doc, features sort in the global (df ASC, token
     * ASC) order and the PREFIX is the shortest head whose tail bound
@@ -1181,11 +1192,12 @@ object Dedup {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
     val tau = tauNum.toDouble / tauDen.toDouble
-    val tauAdj = tau * (1.0 - 1e-9)
     // (id, token, tf) with multiplicity — persisted: feeds norms, df,
-    // the prefix build, the full side of the join, and the verify maps
+    // the prefix build, the full side of the join, and the verify maps.
+    // Tokenizer is the shared [[tokens]] convention (empties dropped),
+    // so d18 and d20 agree on the vocabulary even on ragged whitespace.
     val tf = df.select(col(idCol).as("id"),
-        explode(split(lower(col(textCol)), " ")).as("t"))
+        explode(tokens(col(textCol))).as("t"))
       .groupBy("id", "t").agg(count(lit(1)).as("tf"))
       .persist()
     val norms = tf.groupBy("id")
@@ -1213,11 +1225,20 @@ object Dedup {
     val withTotal = ordered.withColumn("__tot",
       aggregate(col("ord"), lit(0.0), (acc, e) => acc + e.getField("contrib")))
     // prefix length: keep adding features while the remaining tail
-    // could still reach tauAdj on its own
+    // could still reach τ on its own. The safety margin is ABSOLUTE and
+    // scaled to the summation bound — the float error in (tot − cum)
+    // grows with the doc's feature count n and the contribution total
+    // (≈ 2(n+4)·2⁻⁵³·tot for positive-term sequential sums plus ~4 ulp
+    // per term from the w·mw products), so a τ-relative shrink could be
+    // outrun by a large-vocab doc at small τ. (n+8)·1e-15·max(tot,1)
+    // dominates that bound with ~4× headroom; over-margin only ADDS
+    // candidates — the exact integer verdict discards them.
+    val tauErr = (size(col("ord")) + lit(8)).cast("double") * lit(1e-15) *
+      greatest(col("__tot"), lit(1.0))
     val plen = aggregate(col("ord"),
       struct(lit(0.0).as("cum"), lit(0).as("len"), lit(false).as("done")),
       (acc, e) => {
-        val stillNeeded = (col("__tot") - acc.getField("cum")) >= tauAdj
+        val stillNeeded = (col("__tot") - acc.getField("cum")) >= lit(tau) - tauErr
         struct(
           (acc.getField("cum") + e.getField("contrib")).as("cum"),
           when(!acc.getField("done") && stillNeeded,

@@ -349,10 +349,16 @@ object Importance {
       .agg(count(lit(1)).as("c"))
       .persist()
     val nCells = cells.count()
-    require(nCells <= maxCells,
-      s"kendall_tau_b: $nCells distinct (x,y) cells exceed maxCells=" +
-        s"$maxCells; the cell-pair sweep is quadratic — quantize the " +
-        "values first (the Percentiles contract) or raise maxCells")
+    if (nCells > maxCells) {
+      // release the cache before throwing — callers catch this and
+      // retry with quantized input, and a leaked frame would pin memory
+      cells.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"requirement failed: kendall_tau_b: $nCells distinct (x,y) " +
+          s"cells exceed maxCells=$maxCells; the cell-pair sweep is " +
+          "quadratic — quantize the values first (the Percentiles " +
+          "contract) or raise maxCells")
+    }
     val tot = cells.agg(
       sum("c").as("n"),
       sum(col("c").cast(dec) * (col("c") - 1) / 2).as("n3")) // tied both

@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.graft.{Bridge => ExpressionUtils}
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -100,17 +102,26 @@ final class AcAutomaton(patterns: Array[String]) extends Serializable {
 }
 
 /** Codegen'd total-occurrence count of a pattern set in a string column
-  * (Aho–Corasick, see [[AcAutomaton]]). NULL text counts 0 hits via the
-  * standard null-intolerant contract. */
+  * (Aho–Corasick, see [[AcAutomaton]]). NULL text counts 0 hits (never
+  * NULL) — the expression is non-nullable like [[WordShingles]], matching
+  * [[AcAutomaton.countAll]]'s explicit null→0 handling, so downstream
+  * `flagged = n_hits > k` stays a real boolean on null rows. */
 case class AcCountMatches(child: Expression, patterns: Seq[String])
     extends UnaryExpression {
   @transient private lazy val ac = new AcAutomaton(patterns.toArray)
   override def dataType: DataType = LongType
-  override protected def nullSafeEval(v: Any): Any =
-    ac.countAll(v.asInstanceOf[UTF8String])
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    ac.countAll(if (v == null) null else v.asInstanceOf[UTF8String])
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val acRef = ctx.addReferenceObj("ac", ac, classOf[AcAutomaton].getName)
-    defineCodeGen(ctx, ev, c => s"$acRef.countAll($c)")
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code + code"""
+        long ${ev.value} = $acRef.countAll(${c.isNull} ? null : ${c.value});""",
+      isNull = FalseLiteral)
   }
   override protected def withNewChildInternal(c: Expression): AcCountMatches =
     copy(child = c)

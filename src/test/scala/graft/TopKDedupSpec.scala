@@ -145,6 +145,34 @@ class TopKDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenizer unification: ragged whitespace — d18 and d20 share one vocabulary, no phantom token") {
+    import graft.operators.Dedup
+    // consecutive / leading / trailing spaces: the single-space split
+    // alone would emit "" tokens; the shared tokenizer drops them
+    val ragged = Seq(
+      (1L, "alpha  beta   alpha"), (2L, " beta gamma "), (3L, "alpha beta")
+    ).toDF("id", "text")
+    val setVocab = ragged
+      .select(explode(Dedup.tokenSet(col("text"))).as("t"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(setVocab === Set("alpha", "beta", "gamma"))
+    val bagVocab = ragged
+      .select(explode(Dedup.tokens(col("text"))).as("t"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(bagVocab === setVocab, "d18/d20 vocabularies diverged")
+    // multiplicity survives the filter: doc 1 has alpha ×2
+    val tf1 = ragged.filter(col("id") === 1L)
+      .select(explode(Dedup.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tf1 === Map("alpha" -> 2L, "beta" -> 1L))
+    // end-to-end: cosine(doc1, doc3) on ragged input matches the
+    // clean-text computation — dot = 2·1 + 1·1 = 3, n2 = 5 and 2
+    val pairs = Dedup.weightedCosinePairs(ragged, "id", "text", 1L, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(pairs.contains((1L, 3L, 3L, 5L, 2L)), s"got $pairs")
+  }
+
   test("AcAutomaton: brute-force parity on random strings with overlapping patterns") {
     import graft.operators.AcAutomaton
     // patterns chosen to stress fail links: prefixes of each other,
@@ -168,6 +196,16 @@ class TopKDedupSpec extends AnyFunSuite {
       .select(MultiMatch.countMatches(col("t"), patterns.toSeq).as("n"))
     assert(df.collect().map(_.getLong(0)).toSeq ===
       Seq(brute("aabab"), brute("bbbb"), brute(""), brute("xyz")))
+    // NULL text → 0 hits (never NULL), so flagged stays a real boolean
+    import graft.operators.TextAnalysis
+    val withNull = Seq((1L, "aabab"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val hits = TextAnalysis.substringBlocklistHits(
+      withNull, "doc_id", "text", Seq("aa"), maxHits = 0L)
+      .orderBy("doc_id").collect()
+    assert(!hits(1).isNullAt(1) && hits(1).getLong(1) === 0L)
+    assert(!hits(1).isNullAt(2) && hits(1).getBoolean(2) === false)
+    assert(hits(0).getLong(1) === 1L && hits(0).getBoolean(2) === true)
   }
 
   test("Similarity.dbscanLabels: hand graph — cores, border tie to min component, noise, isolated core") {
@@ -1289,6 +1327,24 @@ class TopKDedupSpec extends AnyFunSuite {
     val sTrap = BpeTrain.learnMerges(trap, "text", k = 3, joiner = "_", batch = 1)
     val bTrap = BpeTrain.learnMerges(trap, "text", k = 3, joiner = "_", batch = 8)
     assert(bTrap === sTrap)
+    // SELF-pair trap: (a,a) wins round 1 and its EMERGENT pairs
+    // (a_a,a)/(a_a,a_a) are enabled by the accepted merge itself, so a
+    // batch that accepted (b,c) alongside (a,a) would skip the emergent
+    // (a_a,a)=40 that truly outranks it. The batch must end at the
+    // self-pair: both learn [(a,a,160),(a_a,a,40)].
+    val selfTrap = (Seq.fill(40)("a a a a a") ++ Seq.fill(20)("b c")).toDF("text")
+    val sSelf = BpeTrain.learnMerges(selfTrap, "text", k = 2, joiner = "_", batch = 1)
+    val bSelf = BpeTrain.learnMerges(selfTrap, "text", k = 2, joiner = "_", batch = 2)
+    assert(sSelf.map(x => (x.left, x.right, x.count)) ===
+      Seq(("a", "a", 160L), ("a_a", "a", 40L)))
+    assert(bSelf === sSelf, "batched self-pair acceptance left the greedy trajectory")
+    // self-pair ranked BELOW a disjoint winner: batch ends at it without
+    // accepting; the earlier accepts keep their strict-trim guarantee
+    val mixed = (Seq.fill(30)("x y") ++ Seq.fill(20)("a a a") ++ Seq.fill(5)("p q"))
+      .toDF("text")
+    val sMix = BpeTrain.learnMerges(mixed, "text", k = 3, joiner = "_", batch = 8)
+    val bMix = BpeTrain.learnMerges(mixed, "text", k = 3, joiner = "_", batch = 1)
+    assert(sMix === bMix, "mid-list self-pair broke the batched trajectory")
   }
 
   test("readability: punctuated text — hand-counted Flesch components") {
