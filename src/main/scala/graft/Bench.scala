@@ -155,10 +155,20 @@ object Bench {
     refTimesAndCalib.foreach { case (refTimes, refCalib) =>
       val scale = math.max(calibBefore / refCalib, 0.5)
       val byName = ordered.toMap
+      // two retry arms (r12 evidence: g4 sat at 1.8× quiet because only
+      // the 3× arm existed, while its recorded loadavg said the box was
+      // busy): (a) >3× the calib-scaled quiet time — load sample or
+      // not, something inflated it; (b) the query's own recorded
+      // loadavg exceeded the guard limit AND it ran >1.3× quiet — the
+      // artifact already names the culprit, so re-time it
       val flagged = results.toSeq
         .filter { case (name, t) =>
           !errors.contains(name) &&
-            refTimes.get(name).exists(rt => t > 3.0 * rt * scale)
+            refTimes.get(name).exists { rt =>
+              t > 3.0 * rt * scale ||
+                (loadPerQuery.getOrElse(name, 0.0) > loadLimit &&
+                  t > 1.3 * rt * scale)
+            }
         }
         .sortBy(-_._2).take(40)
       flagged.foreach { case (name, t) =>

@@ -23,13 +23,13 @@ import org.apache.spark.sql.SparkSession
   * graft corpus sample   --in DIR --out DIR --pct P [--id-col c]
   * graft corpus upsample --in DIR --out DIR --key-col c --weights k=w,k=w [--default-weight 1.0] [--id-col c]
   * graft corpus export   --in DIR --out DIR --shards N [--id-col c]
-  * graft corpus semdedup --in DIR --out DIR [--vec-col c] [--threshold 0.999] [--planes 16] [--bands 4] [--seed 42]
+  * graft corpus semdedup --in DIR --out DIR [--vec-col c] [--threshold 0.999] [--planes 16] [--bands 4] [--seed 42] [--via groups|dbscan [--min-pts 3] [--quality-col c]]
   * graft corpus scrub    --in DIR --out DIR [--text-col c]
   * graft corpus lmfilter --in DIR --out DIR --ref DIR [--max-novelty 0.3]
   * graft corpus linededup --in DIR --out DIR [--chunk-tokens 10] [--self] [--cdc] [--id-col c] [--text-col c]
   * graft corpus classify --in DIR --out DIR [--threshold 0.0] [--seed w] [--text-col c]
   * graft corpus curate   --in DIR --out DIR [--classify-threshold T] [--dsir-target DIR [--dsir-keep 0.5]] [--chunk-tokens 10] [--dedup-threshold 0.8] [--ref-bench DIR] [--budget N] [--shards K]
-  * graft corpus annindex --in DIR --out DIR [--append] [--id-col c] [--vec-col c] [--lists 64] [--pq-m 16] [--pq-ksub 16] [--seed 42]
+  * graft corpus annindex --in DIR --out DIR [--append] [--id-col c] [--vec-col c] [--lists 64] [--pq-m 16] [--pq-ksub 16] [--seed 42] [--trainer sample|exact]
   * graft corpus annquery --in INDEXDIR {--query-id N | --query-ids N,N,...} [--index DIR] [--id-col c] [--vec-col c] [--k 10] [--nprobe 8] [--path pq|sq8|mrl] [--overfetch 16] [--prefix-dims 16] [--coarse 256] [--diverse [--pool 4k] [--lambda 0.7] [--mu 0.3]]
   * graft corpus pack     --in DIR --out DIR [--window-tokens 2048] [--id-col c] [--text-col c]
   * graft corpus chunk    --in DIR --out DIR [--chunk-tokens 256] [--stride 192] [--id-col c] [--text-col c]
@@ -229,8 +229,19 @@ object Main {
           return
         }
         val sampleN = math.max(2000, 20 * lists)
-        val cents = graft.operators.Similarity.kmeansCentroids(
-          docs, vecCol, lists, iters = 5, seed = seed, sampleN = sampleN)
+        // --trainer exact: full-corpus distributed integer Lloyd
+        // (kmeansLloydExact) instead of the driver-sample trainer — the
+        // right call when the corpus is too large/diverse for sampleN
+        // rows to shape `lists` centroids
+        val cents = opt(args, "trainer").getOrElse("sample") match {
+          case "exact" =>
+            graft.operators.Similarity.kmeansCentroidsExact(
+              docs, idCol, vecCol, lists, iters = 5)
+          case "sample" =>
+            graft.operators.Similarity.kmeansCentroids(
+              docs, vecCol, lists, iters = 5, seed = seed, sampleN = sampleN)
+          case other => sys.error(s"unknown --trainer: $other (sample|exact)")
+        }
         val cbs = graft.operators.Similarity.pqCodebooksResidual(
           docs, vecCol, cents, m, ksub, iters = 5, seed = seed, sampleN = sampleN)
         graft.operators.Similarity.writeIvfIndex(
@@ -340,18 +351,39 @@ object Main {
         val bands = opt(args, "bands").map(_.toInt).getOrElse(4)
         val seed = opt(args, "seed").map(_.toLong).getOrElse(42L)
         val out = outDir
-        val groups = graft.operators.Dedup
-          .semanticDedupGroups(docs, idCol, vecCol, planes, seed, threshold, bands)
-          .persist()
-        val keep = groups.filter(col("is_representative")).select(col(idCol))
-        docs.join(keep, Seq(idCol), "left_semi")
-          .write.mode("overwrite").parquet(out)
-        val total = docs.count()
-        val kept = spark.read.parquet(out).count()
-        groups.unpersist(blocking = false)
-        println(s"[graft] corpus semdedup: $total docs -> $kept kept " +
-          s"(${total - kept} semantic dups dropped, cosine >= $threshold, " +
-          s"$planes planes x $bands bands)")
+        opt(args, "via").getOrElse("groups") match {
+          case "dbscan" =>
+            // SemDeDup proper: DBSCAN clusters + best-of-group survivor
+            // (argmax --quality-col, default the id itself — "keep the
+            // newest copy"); noise survives untouched
+            val minPts = opt(args, "min-pts").map(_.toInt).getOrElse(3)
+            val qCol = opt(args, "quality-col").getOrElse(idCol)
+            val surv = graft.operators.Similarity.semanticSurvivors(
+              docs, idCol, vecCol, qCol, threshold, minPts, planes, seed, bands)
+            val keep = surv.filter(col("kept")).select(col(idCol))
+            docs.join(keep, Seq(idCol), "left_semi")
+              .write.mode("overwrite").parquet(out)
+            val total = docs.count()
+            val kept = spark.read.parquet(out).count()
+            surv.unpersist(blocking = false)
+            println(s"[graft] corpus semdedup --via dbscan: $total docs -> " +
+              s"$kept kept (${total - kept} semantic dups dropped, cosine >= " +
+              s"$threshold, minPts=$minPts, quality=$qCol)")
+          case "groups" =>
+            val groups = graft.operators.Dedup
+              .semanticDedupGroups(docs, idCol, vecCol, planes, seed, threshold, bands)
+              .persist()
+            val keep = groups.filter(col("is_representative")).select(col(idCol))
+            docs.join(keep, Seq(idCol), "left_semi")
+              .write.mode("overwrite").parquet(out)
+            val total = docs.count()
+            val kept = spark.read.parquet(out).count()
+            groups.unpersist(blocking = false)
+            println(s"[graft] corpus semdedup: $total docs -> $kept kept " +
+              s"(${total - kept} semantic dups dropped, cosine >= $threshold, " +
+              s"$planes planes x $bands bands)")
+          case other => sys.error(s"unknown --via: $other (groups|dbscan)")
+        }
       case "scrub" =>
         val out = outDir
         val pii = docs.agg(

@@ -384,6 +384,56 @@ object Similarity {
     out
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication") — SEMANTIC near-dup
+    * removal, end to end: cluster the embedding space with
+    * [[dbscanLabels]] (DBSCAN over the banded hyperplane-LSH
+    * neighborhood graph), then keep exactly ONE representative per
+    * dense cluster — the argmax of `qualityCol`, ties to the smaller id
+    * (a total order, so the survivor set is deterministic) — and keep
+    * every noise point (nothing semantically close → nothing to dedup
+    * against). This composes the engine's building blocks the way a
+    * production pipeline would: s22/s23's clustering for the "what is
+    * semantically redundant" question, d16's best-of-group rule for
+    * "which copy to keep".
+    *
+    * Scale shape: everything rides dbscanLabels' bucketed pipeline; the
+    * survivor window runs over the CLUSTERED rows only (corpus-sized
+    * input never re-shuffles — one quality join keyed on the id, one
+    * window over cluster members, and cluster cardinality is bounded by
+    * the near-dup rate, not the corpus). Returns one row per corpus doc:
+    * (idCol, role, cluster, quality, kept) — callers filter
+    * `kept` for the survivor corpus or audit the dropped mass per
+    * cluster. */
+  def semanticSurvivors(
+      corpus: DataFrame, idCol: String, vecCol: String, qualityCol: String,
+      tau: Double, minPts: Int,
+      planes: Int, seed: Long, bands: Int = 2,
+      md5Family: Boolean = false, maxBucketAllPairs: Int = 1024): DataFrame = {
+    val labels = dbscanLabels(
+      corpus.select(col(idCol), col(vecCol)), idCol, vecCol,
+      tau, minPts, planes, seed, bands, md5Family, maxBucketAllPairs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("quality").desc, col(idCol).asc)
+    val withQ = labels
+      .join(corpus.select(col(idCol), col(qualityCol).cast("long").as("quality")),
+        Seq(idCol))
+    // the survivor window runs over CLUSTERED rows only: at corpus scale
+    // most docs are noise, and noise shares one NULL cluster key — run
+    // the window over it and a single task owns ~the whole corpus
+    val clustered = withQ.filter(col("cluster").isNotNull)
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("kept", col("__rk") === 1)
+      .drop("__rk")
+    val out = clustered.unionByName(
+      withQ.filter(col("cluster").isNull).withColumn("kept", lit(true)))
+    // labels was pinned by dbscanLabels (caller-owned): pin the
+    // composition, release the intermediate
+    out.persist().count()
+    labels.unpersist(blocking = false)
+    out
+  }
+
   /** Approximate kNN GRAPH over an embedding corpus — every document's
     * top-k nearest neighbors in one batch job (the substrate for
     * SemDeDup-style clustering, label propagation over semantic edges,
@@ -640,6 +690,25 @@ object Similarity {
     lloyd(sample, k, iters, seed)
   }
 
+  /** [[kmeansLloydExact]]'s centroids de-quantized to float — the
+    * drop-in replacement for [[kmeansCentroids]] as the IVF coarse
+    * quantizer when a bounded driver sample under-trains the list count
+    * (FAISS practice wants ≳ 39 training points per centroid; a 2000-row
+    * sample training 64+ lists at 100 TB leaves most lists shaped by a
+    * handful of points). Every Lloyd iteration runs over the FULL
+    * distributed corpus in exact integer space, and only k·dim centroid
+    * components ever reach the driver. Same downstream contract as the
+    * sampled trainer: centroids broadcast as plan literals into
+    * [[ivfAssign]]/[[writeIvfIndex]]. */
+  def kmeansCentroidsExact(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
+      scaleBits: Int = 20): Array[Array[Float]] = {
+    val (cents, _) = kmeansLloydExact(corpus, idCol, vecCol, k, iters, scaleBits,
+      seedByHash = true)
+    val scale = (1L << scaleBits).toDouble
+    cents.map(_.map(c => (c / scale).toFloat))
+  }
+
   /** The Lloyd iteration itself, over driver-local points — shared by the
     * IVF coarse quantizer and the per-subspace PQ trainers. */
   private def lloyd(
@@ -694,7 +763,13 @@ object Similarity {
     */
   def kmeansLloydExact(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, scaleBits: Int = 20): (Array[Array[Long]], DataFrame) = {
+      k: Int, iters: Int, scaleBits: Int = 20,
+      /** seed from the k smallest `xxhash64(id)` rows instead of the k
+        * smallest ids — still deterministic, but distribution-following
+        * (ids are often assigned in crawl/cluster order, making
+        * smallest-id seeds geometrically correlated); the IVF trainer
+        * ([[kmeansCentroidsExact]]) uses this. */
+      seedByHash: Boolean = false): (Array[Array[Long]], DataFrame) = {
     require(k >= 1, s"k must be >= 1: got $k")
     require(iters >= 1, s"iters must be >= 1: got $iters")
     require(scaleBits >= 1 && scaleBits <= 30, s"scaleBits out of range: $scaleBits")
@@ -712,8 +787,10 @@ object Similarity {
       BigInt(dim) * 4 * BigInt(maxAbs max 1L) * BigInt(maxAbs max 1L) <= BigInt(Long.MaxValue),
       s"kmeans_lloyd_exact: dim=$dim at max|q|=$maxAbs would overflow the " +
         "exact integer distance - lower scaleBits or normalize the vectors")
-    var cents: Array[Array[Long]] = q.orderBy(col("id").asc).limit(k)
-      .collect().map(_.getSeq[Long](1).toArray)
+    var cents: Array[Array[Long]] =
+      (if (seedByHash) q.orderBy(xxhash64(col("id")).asc, col("id").asc)
+       else q.orderBy(col("id").asc))
+        .limit(k).collect().map(_.getSeq[Long](1).toArray)
     require(cents.length == k, s"corpus has fewer than k=$k rows")
     def assignExpr: Column = {
       val structs = cents.zipWithIndex.map { case (c, i) =>

@@ -1232,6 +1232,63 @@ object Inventory {
     out
   }
 
+  /** [[drainStreamSplit]] with CALLER-CONTROLLED micro-batches: each
+    * frame stages as exactly ONE parquet file, mtime-ordered in sequence
+    * order, and the stream reads them with `maxFilesPerTrigger = 1` — so
+    * frame i IS micro-batch i. This is the construction gates need when
+    * specific rows must arrive in specific batches: r16/r18's watermark
+    * sentinels after the real data, r17's planted near-dup copies in
+    * LATER batches than their originals (forcing the match to cross the
+    * state store, not just the within-batch fold). Temp source dir and
+    * checkpoint are deleted after the drain; `shufflePartitions`
+    * optionally narrows state-store partitioning for the drain's
+    * duration (restored after). */
+  private[queries] def drainStagedFiles(
+      s: SparkSession, frames: Seq[DataFrame], prefix: String,
+      mode: String, shufflePartitions: Option[String] = None)(
+      build: DataFrame => DataFrame): DataFrame = {
+    import java.nio.file.{Files => JFiles}
+    require(frames.nonEmpty, "drainStagedFiles needs at least one frame")
+    val schema = frames.head.schema
+    val srcDir = JFiles.createTempDirectory(prefix + "src_")
+    val t0 = System.currentTimeMillis()
+    frames.zipWithIndex.foreach { case (dfx, i) =>
+      val stage = JFiles.createTempDirectory(prefix + "stage_")
+      dfx.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = JFiles.list(stage).filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val dst = srcDir.resolve(f"b$i%04d.parquet")
+      JFiles.move(part, dst)
+      JFiles.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          t0 - 100000L + i * 10000L))
+      try {
+        JFiles.walk(stage).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { JFiles.deleteIfExists(p); () })
+      } catch { case _: Throwable => () }
+    }
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val tbl = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = JFiles.createTempDirectory(prefix)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        shufflePartitions.foreach(p =>
+          s.conf.set("spark.sql.shuffle.partitions", p))
+        build(stream).writeStream.format("memory").queryName(tbl)
+          .outputMode(mode).option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    val out = finishDrain(s, tbl, ckpt)
+    try {
+      JFiles.walk(srcDir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { JFiles.deleteIfExists(p); () })
+    } catch { case _: Throwable => () }
+    out
+  }
+
   /** Pin the memory-sink result, then release the sink view + delete the
     * finished checkpoint dir (shared by [[drainStream]] and the
     * two-stream r10). */
@@ -1344,17 +1401,41 @@ object Inventory {
     * The oracle is the batch LEFT JOIN twin over the real events in
     * exact integer µs — matched rows identical to r10's inner arm,
     * unmatched clicks with NULL purchase/lag. */
-  val r16StreamLeftOuter: Q = (s, d) => {
-    import java.nio.file.{Files => JFiles}
+  val r16StreamLeftOuter: Q = (s, d) =>
+    outerAttributionDrain(s, d, "r16_lo_", "left_outer")
+
+  /** R18: the stream-stream FULL-OUTER arm under the hard gate — the
+    * symmetric completion of r16: unmatched PURCHASES must also emit
+    * (NULL click side) once the watermark proves no qualifying click can
+    * still arrive. Same dual-side far-future sentinel construction
+    * (min-policy watermark — BOTH sides need pushing), same horizon
+    * margin; sentinels match only each other (user −1, filtered). The
+    * oracle is the batch FULL JOIN twin in exact integer µs — matched
+    * rows identical to r10, NULL-purchase rows identical to r16, plus
+    * one NULL-click row per unmatched purchase, `user_id` coalesced
+    * from whichever side exists. */
+  val r18StreamFullOuter: Q = (s, d) =>
+    outerAttributionDrain(s, d, "r18_fo_", "full_outer")
+
+  /** Shared r16/r18 machinery: the events table plus two dual-side
+    * far-future sentinel batches, drained through [[graft.streaming
+    * .StreamingJobs.attributionJoin]] at the given outer `joinType`.
+    * BOTH sides get a sentinel because the global watermark is the MIN
+    * of the two sides' (multipleWatermarkPolicy=min) — advancing only
+    * one leaves the other side's eviction clock stuck at the real
+    * data's end. Horizon arithmetic: a buffered row holds until the
+    * watermark passes its ts + window + BOTH lateness allowances, so
+    * sentinel 1 sits a full extra lateness (plus margin) beyond the
+    * worst case and sentinel 2 provides the extra micro-batch in which
+    * the now-expired outer rows actually emit. Sentinels never emit
+    * against real data (user −1 matches only sentinels; filtered). */
+  private def outerAttributionDrain(
+      s: SparkSession, d: String, prefix: String, joinType: String): DataFrame = {
     val src = s.read.parquet(s"$d/events.parquet")
     val schema = src.schema
     val tsIsLong = schema("ts").dataType == org.apache.spark.sql.types.LongType
     val maxUs = src.select(max(unix_micros(eventTs(src).cast("timestamp"))))
       .head().getLong(0)
-    // BOTH sides need a sentinel: the global watermark is the MIN of the
-    // two sides' watermarks (multipleWatermarkPolicy=min), so advancing
-    // only the click side leaves the purchase watermark — and with it
-    // the eviction clock — stuck at the real data's end
     def sentinel(id: Long, us: Long, tpe: String): DataFrame =
       src.limit(1).select(schema.fields.toSeq.map { f =>
         f.name match {
@@ -1369,54 +1450,20 @@ object Inventory {
       }: _*)
     def sentinels(idBase: Long, us: Long): DataFrame =
       sentinel(idBase, us, "click").unionByName(sentinel(idBase - 1, us, "purchase"))
-    // horizon arithmetic: the engine holds a click until the watermark
-    // passes click_ts + window + BOTH sides' lateness allowance — push
-    // the first sentinel a full extra lateness (plus margin) beyond the
-    // worst case so every real click's outer verdict is decidable
     val s1Us = maxUs + (3600L + 1800L + 1800L + 120L) * 1000000L
     val s2Us = s1Us + 3600L * 1000000L
-    val srcDir = JFiles.createTempDirectory("r16_src_")
-    def writeOne(dfx: DataFrame, name: String, mtimeMs: Long): Unit = {
-      val stage = JFiles.createTempDirectory("r16_stage_")
-      dfx.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = JFiles.list(stage).filter(p =>
-        p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-      val dst = srcDir.resolve(name)
-      JFiles.move(part, dst)
-      JFiles.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-    }
-    val t0 = System.currentTimeMillis()
-    writeOne(src, "b0.parquet", t0 - 80000)
-    writeOne(sentinels(-1L, s1Us), "b1.parquet", t0 - 60000)
-    writeOne(sentinels(-3L, s2Us), "b2.parquet", t0 - 40000)
-    val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-    def side(tpe: String, user: String, id: String, ts: String): DataFrame =
-      stream.filter(col("event_type") === tpe)
-        .select(col("user_id").as(user), col("event_id").as(id),
-          eventTs(stream).cast("timestamp").as(ts))
-    val joined = graft.streaming.StreamingJobs.attributionJoin(
-      side("click", "c_user", "click_id", "click_ts"),
-      side("purchase", "p_user", "purchase_id", "purchase_ts"),
-      joinType = "left_outer")
-    val tbl = "r16_lo_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = JFiles.createTempDirectory("r16_lo_")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        joined.writeStream.format("memory").queryName(tbl)
-          .outputMode("append").option("checkpointLocation", ckpt.toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
-    val out = finishDrain(s, tbl, ckpt)
-    try {
-      JFiles.walk(srcDir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { JFiles.deleteIfExists(p); () })
-    } catch { case _: Throwable => () }
-    out.filter(col("user_id") >= 0)
+    drainStagedFiles(
+      s, Seq(src, sentinels(-1L, s1Us), sentinels(-3L, s2Us)),
+      prefix, "append", shufflePartitions = Some("8")) { stream =>
+      def side(tpe: String, user: String, id: String, ts: String): DataFrame =
+        stream.filter(col("event_type") === tpe)
+          .select(col("user_id").as(user), col("event_id").as(id),
+            eventTs(stream).cast("timestamp").as(ts))
+      graft.streaming.StreamingJobs.attributionJoin(
+        side("click", "c_user", "click_id", "click_ts"),
+        side("purchase", "p_user", "purchase_id", "purchase_ts"),
+        joinType = joinType)
+    }.filter(col("user_id") >= 0)
   }
 
   /** A11: per-key discrete percentiles (DuckDB `quantile_disc` parity:
@@ -2713,6 +2760,7 @@ object Inventory {
     "r9_stream_session_windows" -> r9StreamSessionWindows,
     "r10_stream_attribution" -> r10StreamAttribution,
     "r16_stream_left_outer" -> r16StreamLeftOuter,
+    "r18_stream_full_outer" -> r18StreamFullOuter,
     "w12_twap" -> w12Twap,
     "a27_isotonic_fit" -> a27IsotonicFit,
     "a11_percentiles" -> a11Percentiles,
@@ -3146,6 +3194,19 @@ object Inventory {
         |SELECT c.user_id, click_id, purchase_id,
         |       p_us // 1000000 - c_us // 1000000 AS lag_s
         |FROM c LEFT JOIN p ON c.user_id = p_user
+        |  AND p_us >= c_us AND p_us <= c_us + 3600000000""".stripMargin,
+    // r18: the FULL-OUTER twin — r16's rows plus one NULL-click row per
+    // unmatched purchase, user_id coalesced from whichever side exists
+    "r18_stream_full_outer" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id AS p_user, event_id AS purchase_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT COALESCE(c.user_id, p_user) AS user_id, click_id, purchase_id,
+        |       p_us // 1000000 - c_us // 1000000 AS lag_s
+        |FROM c FULL OUTER JOIN p ON c.user_id = p_user
         |  AND p_us >= c_us AND p_us <= c_us + 3600000000""".stripMargin,
     "r10_stream_attribution" ->
       """WITH c AS (

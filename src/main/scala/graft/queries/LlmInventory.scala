@@ -1550,6 +1550,72 @@ object LlmInventory {
     Dedup.corpusDiff(vOld, vNew, "doc_id", "text")
   }
 
+  /** d22: INCREMENTAL corpus processing on top of d21's diff — the
+    * versioning identity that makes re-runs cheap at 100 TB:
+    * funnel(v2) ≡ carried(v1) − removed + funnel(added ∪ changed), for
+    * a funnel of per-doc stages (quality gate → classifier) followed by
+    * a global reduction (exact dedup, min-id per content hash) that
+    * reruns over the maintained per-doc survivor set — hashes only, the
+    * texts of unchanged docs are never re-read. The identity is exact
+    * because per-doc verdicts are pure functions of (id, text) and
+    * `same` status certifies text equality by hash; the global stage
+    * recomputes but its input is id+hash pairs, not the corpus. Both
+    * gates fire: the query ASSERTS incremental ≡ full recompute in-
+    * query (the s19 equality pattern) and RETURNS the incremental
+    * result, which the DuckDB oracle — an independent full-funnel
+    * replay of v2 — must hash-match. Snapshots are d21's construction,
+    * so all four diff statuses participate. */
+  val d22IncrementalFunnel: Q = (s, d) => {
+    val docs = documents(s, d)
+    val v1 = docs.filter(col("doc_id") < 450)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(lit("OLD "), col("text")))
+          .otherwise(col("text")))
+      .select("doc_id", "text")
+    // v2 plants exact copies under new ids (every 11th doc) so the
+    // global dedup stage faces real duplicate groups (n = 2, keep_id =
+    // the original), and the copies arrive through the ADDED path
+    val v2base = docs.filter(col("doc_id") >= 50).select("doc_id", "text")
+    val v2 = v2base.unionByName(
+      v2base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+    // the per-doc half of the funnel: quality gate, then classifier —
+    // both production operators, both pure per-row
+    def perDoc(df: DataFrame): DataFrame = {
+      val q = TextAnalysis.qualityFilter(df, "text")
+        .filter(col("quality_ok")).select(col("doc_id"), col("text"))
+      q.join(
+        Classifier.scored(q, "doc_id", "text", seed = "w", threshold = 0.0)
+          .filter(col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+    }
+    // incremental path: v1's cached verdicts carry for `same` ids; only
+    // added ∪ changed texts are processed; removed ids drop with the diff
+    val diff = Dedup.corpusDiff(v1, v2, "doc_id", "text").persist()
+    val v1Done = perDoc(v1)
+    val carried = v1Done.join(
+      diff.filter(col("status") === "same").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val fresh = perDoc(v2.join(
+      diff.filter(col("status").isin("added", "changed")).select("doc_id"),
+      Seq("doc_id"), "left_semi"))
+    def dedupStage(sv: DataFrame): DataFrame =
+      sv.groupBy("h").agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+    val incr = dedupStage(carried.unionByName(fresh)).persist()
+    // the hard equality gate: full recompute over v2 must agree row-
+    // for-row (symmetric difference empty)
+    val full = dedupStage(perDoc(v2))
+    val mismatches = incr.unionByName(full)
+      .groupBy("h", "keep_id", "n").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 2).count()
+    diff.unpersist(blocking = false)
+    require(mismatches == 0L,
+      s"d22: incremental funnel diverged from the full recompute on " +
+        s"$mismatches (h, keep_id, n) rows")
+    incr
+  }
+
   /** t58: deterministic corpus shuffle ([[Sampling.deterministicShuffle]])
     * — the reproducible training-order permutation (epoch = seed); the
     * gate hashes the md5 shuffle keys plus the top-20 order under the
@@ -1716,6 +1782,50 @@ object LlmInventory {
       .withColumn("__maxSeq", max("seq").over(Window.partitionBy("shard")))
       .filter(col("seq") === col("__maxSeq"))
       .select(col("key"))
+  }
+
+  /** r17: STREAMING MinHash near-dup under the HARD gate — the last
+    * streaming surface that was e2e/SCALE-only ([[graft.streaming
+    * .StreamingJobs.streamingMinhashDedup]], the RECOMMENDED streaming
+    * dedup). Determinism construction: each doc's text is rewritten to
+    * five tokens unique to that doc (`a<id> … e<id>`), so distinct docs
+    * share NO shingles and full-signature agreement between them would
+    * need eight independent 64-bit hash-min collisions on disjoint sets
+    * — the ONLY matches are the planted copies (`doc_id + 100000`, same
+    * text, identical signature). With `minMatch = numHashes` every copy
+    * is flagged against its original and nothing else, so the distinct
+    * unordered pair set is arrival-order- and batching-INDEPENDENT —
+    * exactly what a cross-engine oracle can state: one (id, id+100000)
+    * row per doc in the window. The staging forces the match across the
+    * STATE STORE, not just the within-batch fold: originals drain as
+    * micro-batches 1–4, copies as batches 5–8
+    * ([[Inventory.drainStagedFiles]]), so each flag requires the
+    * admitted signature to have survived ≥1 real batch boundary. A
+    * signature row lost between batches (missed flag), a corrupted
+    * stored signature (spurious admit), or a double-applied bucket
+    * entry all change the row set. Kernel fidelity (real-text MinHash
+    * vs the md5-parity family) is gated separately by d4/d5. */
+  val r17StreamNearDup: Q = (s, d) => {
+    val ids = col("doc_id").cast("string")
+    val base = documents(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        concat(lit("a"), ids, lit(" b"), ids, lit(" c"), ids,
+          lit(" d"), ids, lit(" e"), ids).as("text"))
+    val copies = base.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    def shard(df: DataFrame, r: Int) =
+      df.filter(pmod(col("doc_id"), lit(4)) === r)
+    val frames = (0 until 4).map(shard(base, _)) ++
+      (0 until 4).map(shard(copies, _))
+    val verdicts = Inventory.drainStagedFiles(
+      s, frames, "r17_nd_", "update") { stream =>
+      graft.streaming.StreamingJobs.streamingMinhashDedup(
+        stream, "doc_id", "text", numHashes = 8, rowsPerBand = 4,
+        shingleW = 3, minMatch = 8).toDF()
+    }
+    verdicts.filter(col("dupOf") >= 0)
+      .select(least(col("docId"), col("dupOf")).as("d1"),
+        greatest(col("docId"), col("dupOf")).as("d2"))
+      .distinct()
   }
 
   /** t51: BPE merge-table APPLY ([[graft.operators.BpeTrain
@@ -2012,6 +2122,18 @@ object LlmInventory {
       tau = 0.25, minPts = 3, planes = 8, seed = 42L, bands = 2,
       md5Family = true)
 
+  /** s24: SemDeDup semantic survivors ([[Similarity.semanticSurvivors]])
+    * — the headline semantic-dedup composition: s23's DBSCAN clusters
+    * (same parameters, so role/cluster re-face their gate) + the d16
+    * argmax-survivor rule with `label` as the quality key. The oracle
+    * chains the s23 recursive replay with the survivor window, so the
+    * kept/dropped verdict per doc — not just the clustering — is
+    * hash-checked. */
+  val s24SemanticSurvivors: Q = (s, d) =>
+    Similarity.semanticSurvivors(embeddings(s, d), "vec_id", "embedding",
+      "label", tau = 0.25, minPts = 3, planes = 8, seed = 42L, bands = 2,
+      md5Family = true)
+
   /** s22: approximate kNN GRAPH ([[Similarity.knnGraph]]) — every
     * vector's top-5 neighbors from the md5-parity banded hyperplane
     * buckets (s7's signature family), symmetrized and ranked per source;
@@ -2296,6 +2418,7 @@ object LlmInventory {
     "d17_sorted_neighborhood" -> d17SortedNeighborhood,
     "r7_stream_exact_dedup" -> r7StreamExactDedup,
     "r11_stream_heavy_hitters" -> r11StreamHeavyHitters,
+    "r17_stream_neardup" -> r17StreamNearDup,
     "r12_stream_count_min" -> r12StreamCountMin,
     "r14_stream_quantiles" -> r14StreamQuantiles,
     "r15_stream_kmv" -> r15StreamKmv,
@@ -2304,6 +2427,7 @@ object LlmInventory {
     "d19_repeated_spans" -> d19RepeatedSpans,
     "d20_weighted_cosine" -> d20WeightedCosine,
     "d21_corpus_diff" -> d21CorpusDiff,
+    "d22_incremental_funnel" -> d22IncrementalFunnel,
     "t58_deterministic_shuffle" -> t58DeterministicShuffle,
     "t54_grouped_split" -> t54GroupedSplit,
     "t51_bpe_apply" -> t51BpeApply,
@@ -2321,6 +2445,7 @@ object LlmInventory {
     "s21_kmeans" -> s21Kmeans,
     "s22_knn_graph" -> s22KnnGraph,
     "s23_dbscan" -> s23Dbscan,
+    "s24_semantic_survivors" -> s24SemanticSurvivors,
     "t56_cohen_kappa" -> t56CohenKappa,
     "t57_substring_blocklist" -> t57SubstringBlocklist,
     "a30_kendall_tau" -> a30KendallTau,
@@ -2765,6 +2890,53 @@ object LlmInventory {
     "d2_exact_dedup" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // incremental-funnel twin: an INDEPENDENT full replay of funnel(v2)
+    // (t55's quality + classifier CTEs over the v2 snapshot, then d2's
+    // dedup) — the query under test returns the INCREMENTAL result, so
+    // hash equality here is the versioning identity itself
+    "d22_incremental_funnel" ->
+      """WITH v2 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 50
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+        |  WHERE doc_id >= 50 AND doc_id % 11 = 0),
+        |sq AS (
+        |  SELECT doc_id, text, regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t
+        |  FROM v2),
+        |tokq AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN t = '' THEN []::VARCHAR[]
+        |              ELSE string_split_regex(t, '[ \t\n\x0b\f\r]+') END AS toks
+        |  FROM sq),
+        |stq AS (
+        |  SELECT doc_id, text, length(text) AS n_chars_q, len(toks) AS n_tokens_q,
+        |         CASE WHEN len(toks) > 0
+        |              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+        |              ELSE 0.0 END AS mean_token_len,
+        |         CASE WHEN length(text) > 0
+        |              THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)
+        |              ELSE 0.0 END AS punct_ratio
+        |  FROM tokq),
+        |qd AS (
+        |  SELECT doc_id, text FROM stq
+        |  WHERE NOT (n_chars_q < 50 OR n_chars_q > 100000
+        |             OR mean_token_len < 2.0 OR mean_token_len > 12.0
+        |             OR punct_ratio > 0.3)),
+        |cq AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN t2 = '' THEN []::VARCHAR[]
+        |              ELSE string_split_regex(t2, '[ \t\n\x0b\f\r]+') END AS toks
+        |  FROM (SELECT doc_id, text,
+        |          regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t2
+        |        FROM qd)),
+        |cls AS (
+        |  SELECT doc_id, text FROM cq
+        |  WHERE len(toks) > 0
+        |    AND CAST(coalesce(list_sum(list_transform(toks,
+        |          x -> ('0x' || substr(md5('w#' || x), 1, 8))::BIGINT)), 0) AS BIGINT)::DOUBLE
+        |        / (len(toks) * 2147483648.0) - 1 > 0.0)
+        |SELECT md5(text) AS h, MIN(doc_id) AS keep_id, count(*) AS n
+        |FROM cls GROUP BY md5(text)""".stripMargin,
     // the batch twin of the streaming state-store dedup: the stream must
     // emit exactly one row per distinct content hash
     "r7_stream_exact_dedup" ->
@@ -2818,7 +2990,8 @@ object LlmInventory {
         |FROM g""".stripMargin,
     "d18_prefix_filter_pairs" ->
       """WITH d AS (
-        |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
+        |  SELECT doc_id, list_distinct(list_filter(string_split(lower(text), ' '),
+        |                                           t -> t <> '')) AS ts
         |  FROM documents WHERE doc_id < 200),
         |p AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
@@ -2827,6 +3000,12 @@ object LlmInventory {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |SELECT d1, d2, inter, uni FROM p
         |WHERE inter * 10 >= uni * 9""".stripMargin,
+    // streaming near-dup twin: by construction (per-doc unique tokens,
+    // minMatch = numHashes) the only near-dup matches are the planted
+    // copies, so the expected pair set is one row per windowed doc
+    "r17_stream_neardup" ->
+      """SELECT doc_id AS d1, doc_id + 100000 AS d2
+        |FROM documents WHERE doc_id < 300""".stripMargin,
     // snapshot-diff mirror: 16-byte hashes before the full-outer join
     "d21_corpus_diff" ->
       """WITH vold AS (
@@ -2850,7 +3029,8 @@ object LlmInventory {
     // window with the identical squared integer verdict
     "d20_weighted_cosine" ->
       """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |                                    t -> t <> '')) AS t
         |  FROM documents WHERE doc_id < 200),
         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
         |nrm AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM tf GROUP BY 1),
@@ -3893,6 +4073,54 @@ object LlmInventory {
         |FROM embeddings em
         |LEFT JOIN comp ON comp.id = em.vec_id
         |LEFT JOIN border ON border.id = em.vec_id""".stripMargin,
+    // SemDeDup mirror: the s23 replay + the d16 survivor window (argmax
+    // label per cluster, tie-min id; noise always kept)
+    "s24_semantic_survivors" ->
+      """WITH RECURSIVE sigs AS (
+        |  SELECT vec_id, embedding, band,
+        |    sum(CASE WHEN dot > 0 THEN 1<<i ELSE 0 END)::BIGINT AS sig
+        |  FROM (
+        |    SELECT vec_id, embedding, b.band AS band, i.i AS i,
+        |      list_reduce(list_transform(range(1, len(embedding)+1),
+        |        j -> CASE WHEN ('0x'||substr(md5((42+b.band)::VARCHAR||'#'||i.i::VARCHAR||'#'||(j-1)::VARCHAR),1,1))::INT < 8
+        |             THEN CAST(embedding[j] AS DOUBLE) ELSE -CAST(embedding[j] AS DOUBLE) END),
+        |        (a,b2) -> a+b2) AS dot
+        |    FROM embeddings CROSS JOIN range(0, 2) b(band) CROSS JOIN range(0, 8) i(i))
+        |  GROUP BY vec_id, embedding, band),
+        |pairs AS (
+        |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+        |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.25),
+        |edges AS (SELECT d1 AS s, d2 AS t FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |deg AS (SELECT s, count(*) AS nn FROM edges GROUP BY s),
+        |core AS (SELECT s AS id FROM deg WHERE nn + 1 >= 3),
+        |ce AS (
+        |  SELECT e.s, e.t FROM edges e
+        |  JOIN core c1 ON c1.id = e.s JOIN core c2 ON c2.id = e.t),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT reach.id, ce.t FROM reach JOIN ce ON ce.s = reach.r),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |border AS (
+        |  SELECT e.s AS id, min(comp.component) AS component
+        |  FROM edges e JOIN core c ON c.id = e.t JOIN comp ON comp.id = e.t
+        |  WHERE e.s NOT IN (SELECT id FROM core)
+        |  GROUP BY e.s),
+        |lab AS (
+        |  SELECT em.vec_id,
+        |    CASE WHEN comp.id IS NOT NULL THEN 'core'
+        |         WHEN border.id IS NOT NULL THEN 'border'
+        |         ELSE 'noise' END AS role,
+        |    COALESCE(comp.component, border.component) AS cluster,
+        |    CAST(em.label AS BIGINT) AS quality
+        |  FROM embeddings em
+        |  LEFT JOIN comp ON comp.id = em.vec_id
+        |  LEFT JOIN border ON border.id = em.vec_id)
+        |SELECT vec_id, role, cluster, quality,
+        |  (cluster IS NULL OR ROW_NUMBER() OVER (
+        |     PARTITION BY cluster ORDER BY quality DESC, vec_id ASC) = 1) AS kept
+        |FROM lab""".stripMargin,
     // kNN-graph mirror: s7's md5-parity signatures, bucket pairs both
     // directions, per-source ROW_NUMBER by (cosine DESC, dst)
     "s22_knn_graph" ->

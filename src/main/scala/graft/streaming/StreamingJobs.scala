@@ -118,11 +118,13 @@ object StreamingJobs {
   def attributionJoin(
       clicks: DataFrame, purchases: DataFrame,
       withinSeconds: Long = 3600L, lateness: String = "30 minutes",
-      /** `inner` (matches only) or `left_outer`: unmatched clicks emit a
+      /** `inner` (matches only), `left_outer` (unmatched clicks emit a
         * (click, NULL purchase) row once the watermark proves no purchase
         * can still arrive inside the window — the streaming "abandoned
-        * click" report. Outer emission REQUIRES the watermark + time
-        * bound; without them the engine could never rule a match out. */
+        * click" report), or `full_outer` (additionally one (NULL click,
+        * purchase) row per unattributable purchase — the reconciliation
+        * shape). Outer emission REQUIRES the watermark + time bound;
+        * without them the engine could never rule a match out. */
       joinType: String = "inner"): DataFrame = {
     val c = if (clicks.isStreaming) clicks.withWatermark("click_ts", lateness) else clicks
     val p =
@@ -134,7 +136,9 @@ object StreamingJobs {
               |AND purchase_ts <= click_ts + INTERVAL $withinSeconds SECONDS""".stripMargin),
       joinType)
       .select(
-        col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        // coalesce is for full_outer's NULL-click rows; inner/left read c_user
+        coalesce(col("c_user"), col("p_user")).as("user_id"),
+        col("click_id"), col("purchase_id"),
         (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
           .as("lag_s"))
   }

@@ -1211,6 +1211,38 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("corpus CLI: semdedup --via dbscan — one argmax-quality survivor per cluster (D10)") {
+    import spark.implicits._
+    val base = tmp()
+    Scale.genEmbCorpus(spark, 100L).write.parquet(s"$base/emb")
+    // min-pts 2: each planted pair {i, i+1} is a two-core cluster; the
+    // default quality key is the id itself, so the NEWEST copy survives
+    // (the d16 argmax rule — the groups path keeps the min id instead)
+    Main.corpusRun(spark, "semdedup",
+      Array("--in", s"$base/emb", "--out", s"$base/sd2", "--id-col", "vec_id",
+        "--via", "dbscan", "--min-pts", "2"))
+    val kept = spark.read.parquet(s"$base/sd2")
+    assert(kept.count() === 95)
+    assert(kept.filter(col("vec_id").isin(1L, 21L, 41L, 61L, 81L)).count() === 5)
+    assert(kept.filter(col("vec_id").isin(0L, 20L, 40L, 60L, 80L)).count() === 0)
+  }
+
+  test("corpus CLI: annindex --trainer exact — full-corpus distributed coarse quantizer (D10)") {
+    val base = tmp()
+    Scale.genEmbCorpus(spark, 200L).write.parquet(s"$base/emb")
+    Main.corpusRun(spark, "annindex",
+      Array("--in", s"$base/emb", "--out", s"$base/idx", "--id-col", "vec_id",
+        "--lists", "4", "--trainer", "exact"))
+    val idx = spark.read.parquet(s"$base/idx")
+    assert(idx.count() === 200)
+    assert(idx.select("list_id").distinct().count() <= 4)
+    // the persisted centroid artifact has exactly `lists` rows, so
+    // annquery probes the exact-trained quantizer without retraining
+    val cents = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$base/idx", "_ann_centroids.tsv")).split("\n")
+    assert(cents.length === 4 && cents.forall(_.split(",").length === 64))
+  }
+
   test("corpus CLI: curate — the composed funnel drops each planted offender (D10)") {
     import spark.implicits._
     val base = tmp()
