@@ -1211,7 +1211,14 @@ object Inventory {
     * assert. Temp source dir is deleted after the drain. */
   private[queries] def drainStreamSplit(
       s: SparkSession, d: String, tableFile: String, prefix: String,
-      mode: String, nFiles: Int)(build: DataFrame => DataFrame): DataFrame = {
+      mode: String, nFiles: Int,
+      /** state-store/shuffle partition count for the drain's duration
+        * (restored after) — micro-batch overhead scales with partitions
+        * × batches, and gate drains move thousands of rows, not
+        * billions; the r10 lesson (state partitions sized to drained
+        * volume) applied to every split drain. */
+      shufflePartitions: Option[String] = Some("8"))(
+      build: DataFrame => DataFrame): DataFrame = {
     val src = s.read.parquet(s"$d/$tableFile")
     val tmp = java.nio.file.Files.createTempDirectory(prefix + "src_")
     src.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
@@ -1219,9 +1226,15 @@ object Inventory {
       .option("maxFilesPerTrigger", "1").parquet(tmp.toString)
     val tbl = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory(prefix)
-    val q = build(stream).writeStream.format("memory").queryName(tbl)
-      .outputMode(mode).option("checkpointLocation", ckpt.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        shufflePartitions.foreach(p =>
+          s.conf.set("spark.sql.shuffle.partitions", p))
+        build(stream).writeStream.format("memory").queryName(tbl)
+          .outputMode(mode).option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     val out = finishDrain(s, tbl, ckpt)
     try {

@@ -1805,23 +1805,54 @@ object LlmInventory {
     * stored signature (spurious admit), or a double-applied bucket
     * entry all change the row set. Kernel fidelity (real-text MinHash
     * vs the md5-parity family) is gated separately by d4/d5. */
-  val r17StreamNearDup: Q = (s, d) => {
+  val r17StreamNearDup: Q = (s, d) =>
+    plantedNearDupDrain(s, d, "r17_nd_") { stream =>
+      graft.streaming.StreamingJobs.streamingMinhashDedup(
+        stream, "doc_id", "text", numHashes = 8, rowsPerBand = 4,
+        shingleW = 3, minMatch = 8).toDF()
+    }
+
+  /** r19: the SimHash streaming near-dup arm under the same hard gate —
+    * the low-memory variant next to r17's MinHash default. Identical
+    * planted copies sit at Hamming distance 0 (every band agrees);
+    * distinct docs' per-doc-unique token sets give independent
+    * signatures ~32 bits apart, and a 16-bit band co-location (≈2⁻¹⁶
+    * per band) is rejected by the full-signature Hamming ≤ 3 check —
+    * so the planted pairs are again the only flags and the unordered
+    * pair set is batching-independent. With r17 this closes the LAST
+    * e2e-only streaming surface: every streaming operator in the
+    * engine now has a DuckDB-gated arm. */
+  val r19StreamSimhashNearDup: Q = (s, d) =>
+    plantedNearDupDrain(s, d, "r19_sh_") { stream =>
+      graft.streaming.StreamingJobs.streamingSimhashDedup(
+        stream, "doc_id", "text", maxHamming = 3, bands = 4).toDF()
+    }
+
+  /** Shared r17/r19 machinery: per-doc-unique token rewrite (docs < 300;
+    * the five tokens are 12-hex md5 prefixes keyed by (position, id) —
+    * disjoint across docs AND structurally uncorrelated, which matters
+    * for the SimHash arm: structured tokens like `a42`/`a45` leave
+    * FNV-1a bit correlations that put two 5-token signatures within
+    * Hamming 3), planted copies under `id + 100000`, originals staged
+    * as micro-batches 1–4 and copies as 5–8 so every near-dup flag
+    * crosses the state store, verdicts projected to the distinct
+    * unordered pair. Expected output whatever the arm: one
+    * (id, id+100000) row per windowed doc. */
+  private def plantedNearDupDrain(
+      s: SparkSession, d: String, prefix: String)(
+      arm: DataFrame => DataFrame): DataFrame = {
     val ids = col("doc_id").cast("string")
     val base = documents(s, d).filter(col("doc_id") < 300)
       .select(col("doc_id"),
-        concat(lit("a"), ids, lit(" b"), ids, lit(" c"), ids,
-          lit(" d"), ids, lit(" e"), ids).as("text"))
+        concat_ws(" ", (1 to 5).map(i =>
+          substring(md5(concat(lit(s"$i#"), ids)), 1, 12)): _*).as("text"))
     val copies = base.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
     def shard(df: DataFrame, r: Int) =
       df.filter(pmod(col("doc_id"), lit(4)) === r)
     val frames = (0 until 4).map(shard(base, _)) ++
       (0 until 4).map(shard(copies, _))
     val verdicts = Inventory.drainStagedFiles(
-      s, frames, "r17_nd_", "update") { stream =>
-      graft.streaming.StreamingJobs.streamingMinhashDedup(
-        stream, "doc_id", "text", numHashes = 8, rowsPerBand = 4,
-        shingleW = 3, minMatch = 8).toDF()
-    }
+      s, frames, prefix, "update", shufflePartitions = Some("8"))(arm)
     verdicts.filter(col("dupOf") >= 0)
       .select(least(col("docId"), col("dupOf")).as("d1"),
         greatest(col("docId"), col("dupOf")).as("d2"))
@@ -2419,6 +2450,7 @@ object LlmInventory {
     "r7_stream_exact_dedup" -> r7StreamExactDedup,
     "r11_stream_heavy_hitters" -> r11StreamHeavyHitters,
     "r17_stream_neardup" -> r17StreamNearDup,
+    "r19_stream_simhash_neardup" -> r19StreamSimhashNearDup,
     "r12_stream_count_min" -> r12StreamCountMin,
     "r14_stream_quantiles" -> r14StreamQuantiles,
     "r15_stream_kmv" -> r15StreamKmv,
@@ -3004,6 +3036,10 @@ object LlmInventory {
     // minMatch = numHashes) the only near-dup matches are the planted
     // copies, so the expected pair set is one row per windowed doc
     "r17_stream_neardup" ->
+      """SELECT doc_id AS d1, doc_id + 100000 AS d2
+        |FROM documents WHERE doc_id < 300""".stripMargin,
+    // same planted construction through the SimHash arm
+    "r19_stream_simhash_neardup" ->
       """SELECT doc_id AS d1, doc_id + 100000 AS d2
         |FROM documents WHERE doc_id < 300""".stripMargin,
     // snapshot-diff mirror: 16-byte hashes before the full-outer join
