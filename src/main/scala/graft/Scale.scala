@@ -272,6 +272,7 @@ object Scale {
     if (args.headOption.contains("cc")) return ccMain(args)
     if (args.headOption.contains("kmeans")) return kmeansMain(args)
     if (args.headOption.contains("ivftrain")) return ivfTrainMain(args)
+    if (args.headOption.contains("incremental")) return incrementalMain(args)
     if (args.headOption.contains("spans")) return spansMain(args)
     if (args.headOption.contains("dbscan")) return dbscanMain(args)
     if (args.headOption.contains("pagerank")) return pagerankMain(args)
@@ -1625,6 +1626,142 @@ object Scale {
          |""".stripMargin
     spliceSection(outMd, ivfTrainHeader, section)
     println(s"""{"metric":"scale_ivftrain","value":$exSec,"unit":"sec","n_vecs":$n,"k":$k,"recall_exact":$recEx,"recall_sampled":$recSm,"qerr_exact":$qeEx,"qerr_sampled":$qeSm,"covered_exact":$covEx,"covered_sampled":$covSm,"offset_exact":$offEx,"offset_sampled":$offSm,"heap_peak_mb":$heapMb}""")
+    spark.stop()
+  }
+
+  private val incrHeader =
+    "## Incremental corpus re-processing stage (the d22 identity at 1M docs)"
+
+  /** `runMain graft.Scale incremental [nDocs] [outMd]` — the d22
+    * versioning identity measured at corpus scale: v1 = 1M docs, v2 =
+    * v1 with 1% changed, 1% removed, 1% added. The previous run's
+    * per-doc verdicts (quality gate → classifier, the funnel's
+    * expensive per-doc half) are materialized as the cached artifact;
+    * the INCREMENTAL re-run then pays one hash-diff scan
+    * ([[graft.operators.Dedup.corpusDiff]], 1 md5/doc) plus the full
+    * per-doc stack on the ~2% added ∪ changed only, while the FULL
+    * re-run pays the per-doc stack (strip + tokenize + quality stats +
+    * 20 classifier md5s per doc) on everything. Asserted: the two
+    * survivor sets are EXACTLY equal (symmetric difference empty — the
+    * d22 identity), and the fresh path processed only the added ∪
+    * changed rows. The walls are the measurement: this is what makes
+    * re-curating a 100 TB corpus after a 1% delta affordable. */
+  private def incrementalMain(args: Array[String]): Unit = {
+    val nDocs = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    val outMd = args.lift(2).getOrElse("SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    import graft.operators.{Classifier, Dedup, TextAnalysis}
+    import org.apache.spark.sql.{Column, DataFrame}
+    // 20 8-hex md5 tokens per doc: passes the quality gate (180 chars,
+    // mean token len 8, zero punct), classifier-nontrivial
+    def docText(idc: Column, salt: String): Column =
+      concat_ws(" ", (1 to 20).map(i =>
+        substring(md5(concat(lit(s"$i#"), idc.cast("string"), lit(s"#$salt"))), 1, 8)): _*)
+    val dir = Files.createTempDirectory("graft_scale_incr").toString
+    val (_, genSec) = timed {
+      spark.range(nDocs).toDF("id")
+        .withColumn("text", docText(col("id"), "a"))
+        .write.mode("overwrite").parquet(s"$dir/v1")
+      // v2: drop id%100==2, rewrite id%100==1, append nDocs/100 new ids
+      spark.range(nDocs).toDF("id")
+        .filter(pmod(col("id"), lit(100L)) =!= 2L)
+        .withColumn("text",
+          when(pmod(col("id"), lit(100L)) === 1L, docText(col("id"), "b"))
+            .otherwise(docText(col("id"), "a")))
+        .unionByName(
+          spark.range(nDocs, nDocs + nDocs / 100).toDF("id")
+            .withColumn("text", docText(col("id"), "a")))
+        .write.mode("overwrite").parquet(s"$dir/v2")
+    }
+    val v1 = spark.read.parquet(s"$dir/v1")
+    val v2 = spark.read.parquet(s"$dir/v2")
+    // the funnel's per-doc half (d22's construction: quality gate, then
+    // classifier), reduced to the (id, content-hash) verdict rows the
+    // global dedup stage needs
+    def perDoc(df: DataFrame): DataFrame = {
+      val q = TextAnalysis.qualityFilter(df, "text")
+        .filter(col("quality_ok")).select(col("id"), col("text"))
+      q.join(
+        Classifier.scored(q, "id", "text", seed = "w", threshold = 0.0)
+          .filter(col("keep")).select("id"),
+        Seq("id"), "left_semi")
+        .select(col("id"), md5(col("text")).as("h"))
+    }
+    def dedupStage(sv: DataFrame): DataFrame =
+      sv.groupBy("h").agg(min("id").as("keep_id"), count(lit(1)).as("n"))
+    // the previous run's artifact — on disk, like a real pipeline's
+    val (_, cacheSec) = timed {
+      perDoc(v1).write.mode("overwrite").parquet(s"$dir/v1_done")
+    }
+    val v1Done = spark.read.parquet(s"$dir/v1_done")
+    // FULL re-run over v2
+    val ((fullOut, nFull), fullSec) = timed {
+      val o = dedupStage(perDoc(v2)).persist()
+      (o, o.count())
+    }
+    // INCREMENTAL: hash-diff, carry `same`, per-doc stack on added ∪
+    // changed only, rerun the cheap global reduction
+    val ((incrOut, nIncr, nFresh), incrSec) = timed {
+      val diff = Dedup.corpusDiff(v1, v2, "id", "text").persist()
+      val carried = v1Done.join(
+        diff.filter(col("status") === "same").select("id"), Seq("id"), "left_semi")
+      val freshIn = v2.join(
+        diff.filter(col("status").isin("added", "changed")).select("id"),
+        Seq("id"), "left_semi").persist()
+      val nf = freshIn.count()
+      val o = dedupStage(carried.unionByName(perDoc(freshIn))).persist()
+      val c = o.count()
+      diff.unpersist(blocking = false)
+      freshIn.unpersist(blocking = false)
+      (o, c, nf)
+    }
+    // the identity, asserted exactly
+    val mismatches = fullOut.unionByName(incrOut)
+      .groupBy("h", "keep_id", "n").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 2).count()
+    require(mismatches == 0L,
+      s"incremental diverged from full recompute on $mismatches rows")
+    require(nFull == nIncr)
+    val expectedFresh = (nDocs / 100) * 2 // 1% changed + 1% added
+    require(nFresh == expectedFresh,
+      s"fresh path processed $nFresh rows, expected $expectedFresh")
+    fullOut.unpersist(blocking = false)
+    incrOut.unpersist(blocking = false)
+    val heapMb = heapPeakMb()
+    val section =
+      s"""
+         |$incrHeader (${nDocs / 1000}k docs, 1% changed / 1% removed / 1% added)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale incremental $nDocs"` —
+         |the d22 identity funnel(v2) ≡ carried(v1) − removed + funnel(added ∪
+         |changed) at corpus scale, with v1's per-doc verdicts as an on-disk
+         |artifact the way a real pipeline would hold them.
+         |
+         || metric | value |
+         ||---|---|
+         || corpora generate + write | ${f"$genSec%.1f"} s |
+         || v1 per-doc funnel (the cached artifact) | ${f"$cacheSec%.1f"} s |
+         || FULL re-run of v2 | ${f"$fullSec%.1f"} s ($nFull survivor groups) |
+         || INCREMENTAL re-run | ${f"$incrSec%.1f"} s (${f"${fullSec / incrSec}%.1f"}× faster; per-doc stack on $nFresh of $nDocs v2 docs) |
+         || identity | EXACT — 0 mismatched (h, keep_id, n) rows |
+         || peak heap | $heapMb MB |
+         |
+         |- the incremental bound is the hash-diff (1 md5/doc over both
+         |  snapshots) — the per-doc stack (strip + tokenize + quality stats +
+         |  20 classifier md5s) runs on the 2% delta only; at 100 TB the same
+         |  split holds with stored hashes making the diff a metadata join
+         |""".stripMargin
+    spliceSection(outMd, incrHeader, section)
+    println(s"""{"metric":"scale_incremental","value":$incrSec,"unit":"sec","n_docs":$nDocs,"full_sec":$fullSec,"incr_sec":$incrSec,"speedup":${fullSec / incrSec},"fresh_rows":$nFresh,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 
