@@ -45,6 +45,7 @@ import org.apache.spark.sql.SparkSession
   * graft corpus knngraph --in DIR --out DIR [--vec-col c] [--k 10] [--planes 16] [--bands 4] [--seed 42] [--id-col c]
   * graft corpus dbscan   --in DIR --out DIR [--vec-col c] [--tau 0.8] [--min-pts 4] [--planes 16] [--bands 4] [--seed 42] [--id-col c]
   * graft corpus diff     --in NEWDIR --against OLDDIR --out DIR [--id-col c] [--text-col c]
+  * graft corpus incremental --in NEWDIR --against OLDDIR --out CACHEDIR [--cache PREVCACHEDIR] [--id-col c] [--text-col c]
   * graft corpus shuffle  --in DIR --out DIR [--seed epoch0] [--shards 8] [--id-col c]
   * }}}
   *
@@ -98,7 +99,7 @@ object Main {
           "annindex", "annquery", "stats", "pack", "chunk", "dsir",
           "pagerank", "triangles", "bpetrain", "quantiles", "kmeans",
           "spandedup", "blocklist", "knngraph", "dbscan", "diff",
-          "shuffle")(cmd) =>
+          "shuffle", "incremental")(cmd) =>
       val spark = session()
       try corpusRun(spark, cmd, rest.toArray) finally spark.stop()
     case _ =>
@@ -590,6 +591,25 @@ object Main {
         cl.write.mode("overwrite").parquet(outDir)
         cl.unpersist(blocking = false)
         println(s"[graft] corpus dbscan: tau=$tau minPts=$minPts -> $outDir")
+      case "incremental" =>
+        // incremental re-curation (the d22 identity): carry the previous
+        // snapshot's per-doc verdicts, run the per-doc stack on the
+        // added ∪ changed delta only, write the NEW verdict cache
+        val refDir = opt(args, "against")
+          .getOrElse(sys.error("corpus incremental needs --against OLDDIR"))
+        val old = spark.read.parquet(refDir)
+        val op = graft.operators.IncrementalCurate
+        val v1Done = opt(args, "cache") match {
+          case Some(c) => spark.read.parquet(c)
+          case None => op.perDocVerdicts(old, idCol, textCol) // bootstrap
+        }
+        val verdicts = op.incrementalVerdicts(old, docs, v1Done, idCol, textCol)
+        verdicts.write.mode("overwrite").parquet(outDir)
+        val nV = spark.read.parquet(outDir).count()
+        val nG = op.dedupGroups(spark.read.parquet(outDir), idCol).count()
+        verdicts.unpersist(blocking = false)
+        println(s"[graft] corpus incremental: $nV per-doc verdicts " +
+          s"(next-snapshot cache at $outDir), $nG distinct-content groups")
       case "diff" =>
         // corpus snapshot diff: --against OLDDIR; (id, status)
         val refDir = opt(args, "against")

@@ -1659,7 +1659,7 @@ object Scale {
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
-    import graft.operators.{Classifier, Dedup, TextAnalysis}
+    import graft.operators.{Dedup, IncrementalCurate}
     import org.apache.spark.sql.{Column, DataFrame}
     // 20 8-hex md5 tokens per doc: passes the quality gate (180 chars,
     // mean token len 8, zero punct), classifier-nontrivial
@@ -1684,20 +1684,13 @@ object Scale {
     }
     val v1 = spark.read.parquet(s"$dir/v1")
     val v2 = spark.read.parquet(s"$dir/v2")
-    // the funnel's per-doc half (d22's construction: quality gate, then
-    // classifier), reduced to the (id, content-hash) verdict rows the
-    // global dedup stage needs
-    def perDoc(df: DataFrame): DataFrame = {
-      val q = TextAnalysis.qualityFilter(df, "text")
-        .filter(col("quality_ok")).select(col("id"), col("text"))
-      q.join(
-        Classifier.scored(q, "id", "text", seed = "w", threshold = 0.0)
-          .filter(col("keep")).select("id"),
-        Seq("id"), "left_semi")
-        .select(col("id"), md5(col("text")).as("h"))
-    }
+    // the funnel's per-doc half and the global reduction are the
+    // PRODUCTION operator ([[IncrementalCurate]], d22's construction,
+    // CLI `corpus incremental`)
+    def perDoc(df: DataFrame): DataFrame =
+      IncrementalCurate.perDocVerdicts(df, "id", "text")
     def dedupStage(sv: DataFrame): DataFrame =
-      sv.groupBy("h").agg(min("id").as("keep_id"), count(lit(1)).as("n"))
+      IncrementalCurate.dedupGroups(sv, "id")
     // the previous run's artifact — on disk, like a real pipeline's
     val (_, cacheSec) = timed {
       perDoc(v1).write.mode("overwrite").parquet(s"$dir/v1_done")

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus re-processing — the versioning identity
+  * `funnel(v2) ≡ carried(v1) − removed + funnel(added ∪ changed)` as a
+  * production operator (gated as d22; measured at 1M docs in SCALE.md's
+  * incremental stage). The funnel's per-doc half (quality gate →
+  * classifier — the expensive text passes) reduces each snapshot to
+  * cacheable `(id, content-hash)` VERDICT rows; a later snapshot then
+  * pays one hash-diff scan plus the per-doc stack on the added ∪
+  * changed delta only, and any global reduction (exact dedup, token
+  * budget) reruns over the maintained verdict rows — id + 16-byte hash,
+  * never the unchanged texts. At 100 TB this is the difference between
+  * re-curating 2% and re-reading everything.
+  */
+object IncrementalCurate {
+
+  /** The per-doc half of the curation funnel (the d22 construction:
+    * [[TextAnalysis.qualityFilter]] gate, then [[Classifier.scored]]
+    * keep), reduced to `(idCol, h)` verdict rows — `h` the md5 of the
+    * surviving text, the join key every downstream global stage needs.
+    * Pure per-row verdicts: carrying a cached row for an unchanged doc
+    * is EXACTLY equal to recomputing it, which is what makes
+    * [[incrementalVerdicts]] an identity rather than an approximation. */
+  def perDocVerdicts(
+      df: DataFrame, idCol: String, textCol: String,
+      classifierSeed: String = "w", classifierThreshold: Double = 0.0): DataFrame = {
+    val q = TextAnalysis.qualityFilter(df, textCol)
+      .filter(col("quality_ok")).select(col(idCol), col(textCol))
+    q.join(
+      Classifier.scored(q, idCol, textCol, classifierSeed, classifierThreshold)
+        .filter(col("keep")).select(idCol),
+      Seq(idCol), "left_semi")
+      .select(col(idCol), md5(col(textCol)).as("h"))
+  }
+
+  /** Verdicts for snapshot `v2` given snapshot `v1` and v1's cached
+    * [[perDocVerdicts]] rows: one [[Dedup.corpusDiff]] hash scan
+    * classifies every id, `same` ids carry their cached verdict
+    * (text equality certified by the hash), and the per-doc stack runs
+    * on `added ∪ changed` alone; `removed` ids drop with the diff.
+    * Returns the new `(idCol, h)` verdict frame — the cache for the
+    * NEXT snapshot — PINNED (persist + count, the dbscanLabels
+    * contract: it feeds several downstream actions; caller releases);
+    * the diff frame is pinned for its two uses and released before
+    * return. */
+  def incrementalVerdicts(
+      v1: DataFrame, v2: DataFrame, v1Verdicts: DataFrame,
+      idCol: String, textCol: String,
+      classifierSeed: String = "w", classifierThreshold: Double = 0.0): DataFrame = {
+    val diff = Dedup.corpusDiff(v1, v2, idCol, textCol).persist()
+    val carried = v1Verdicts.join(
+      diff.filter(col("status") === "same").select(idCol), Seq(idCol), "left_semi")
+    val fresh = perDocVerdicts(
+      v2.join(diff.filter(col("status").isin("added", "changed")).select(idCol),
+        Seq(idCol), "left_semi"),
+      idCol, textCol, classifierSeed, classifierThreshold)
+    val out = carried.unionByName(fresh).persist()
+    out.count()
+    diff.unpersist(blocking = false)
+    out
+  }
+
+  /** The global exact-dedup reduction over verdict rows (min-id per
+    * content hash) — reruns in full on every snapshot, but its input is
+    * id + 16-byte hash pairs, not the corpus. */
+  def dedupGroups(verdicts: DataFrame, idCol: String): DataFrame =
+    verdicts.groupBy("h")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n"))
+}

@@ -1579,37 +1579,20 @@ object LlmInventory {
     val v2 = v2base.unionByName(
       v2base.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
-    // the per-doc half of the funnel: quality gate, then classifier —
-    // both production operators, both pure per-row
-    def perDoc(df: DataFrame): DataFrame = {
-      val q = TextAnalysis.qualityFilter(df, "text")
-        .filter(col("quality_ok")).select(col("doc_id"), col("text"))
-      q.join(
-        Classifier.scored(q, "doc_id", "text", seed = "w", threshold = 0.0)
-          .filter(col("keep")).select("doc_id"),
-        Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), md5(col("text")).as("h"))
-    }
+    import graft.operators.IncrementalCurate
     // incremental path: v1's cached verdicts carry for `same` ids; only
     // added ∪ changed texts are processed; removed ids drop with the diff
-    val diff = Dedup.corpusDiff(v1, v2, "doc_id", "text").persist()
-    val v1Done = perDoc(v1)
-    val carried = v1Done.join(
-      diff.filter(col("status") === "same").select("doc_id"),
-      Seq("doc_id"), "left_semi")
-    val fresh = perDoc(v2.join(
-      diff.filter(col("status").isin("added", "changed")).select("doc_id"),
-      Seq("doc_id"), "left_semi"))
-    def dedupStage(sv: DataFrame): DataFrame =
-      sv.groupBy("h").agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
-    val incr = dedupStage(carried.unionByName(fresh)).persist()
+    val v1Done = IncrementalCurate.perDocVerdicts(v1, "doc_id", "text")
+    val incr = IncrementalCurate.dedupGroups(
+      IncrementalCurate.incrementalVerdicts(v1, v2, v1Done, "doc_id", "text"),
+      "doc_id").persist()
     // the hard equality gate: full recompute over v2 must agree row-
     // for-row (symmetric difference empty)
-    val full = dedupStage(perDoc(v2))
+    val full = IncrementalCurate.dedupGroups(
+      IncrementalCurate.perDocVerdicts(v2, "doc_id", "text"), "doc_id")
     val mismatches = incr.unionByName(full)
       .groupBy("h", "keep_id", "n").agg(count(lit(1)).as("c"))
       .filter(col("c") =!= 2).count()
-    diff.unpersist(blocking = false)
     require(mismatches == 0L,
       s"d22: incremental funnel diverged from the full recompute on " +
         s"$mismatches (h, keep_id, n) rows")

@@ -1243,6 +1243,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(cents.length === 4 && cents.forall(_.split(",").length === 64))
   }
 
+  test("corpus CLI: incremental — cached verdicts + delta processing equal the full re-run (D10)") {
+    import spark.implicits._
+    val base = tmp()
+    def mk(i: Int, tag: String) =
+      (i.toLong, (1 to 80).map(j => s"$tag${i}w$j").mkString(" "))
+    val v1 = (1 to 30).map(mk(_, "a")).toDF("doc_id", "text")
+    // v2: doc 5 changed, doc 7 removed, doc 31 added
+    val v2 = ((1 to 30).filterNot(_ == 7)
+      .map(i => if (i == 5) mk(5, "b") else mk(i, "a")) :+ mk(31, "a"))
+      .toDF("doc_id", "text")
+    v1.write.parquet(s"$base/v1")
+    v2.write.parquet(s"$base/v2")
+    // bootstrap path (no --cache): v1 verdicts computed, delta processed
+    Main.corpusRun(spark, "incremental",
+      Array("--in", s"$base/v2", "--against", s"$base/v1", "--out", s"$base/c2"))
+    val got = spark.read.parquet(s"$base/c2")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = graft.operators.IncrementalCurate
+      .perDocVerdicts(v2, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === want, "incremental verdicts diverged from the full re-run")
+    assert(!got.exists(_._1 == 7L), "removed doc leaked through")
+    // cached path: v3 == v2 (all same) reuses c2 untouched
+    Main.corpusRun(spark, "incremental",
+      Array("--in", s"$base/v2", "--against", s"$base/v2",
+        "--cache", s"$base/c2", "--out", s"$base/c3"))
+    val got3 = spark.read.parquet(s"$base/c3")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got3 === want)
+  }
+
   test("corpus CLI: curate — the composed funnel drops each planted offender (D10)") {
     import spark.implicits._
     val base = tmp()
