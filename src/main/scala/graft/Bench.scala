@@ -152,8 +152,25 @@ object Bench {
     }
     // post-sweep spike retry (once per flagged query, capped; keep min)
     val retriedFrom = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var calibRetry = -1.0
     refTimesAndCalib.foreach { case (refTimes, refCalib) =>
-      val scale = math.max(calibBefore / refCalib, 0.5)
+      // r13 evidence: calibBefore was measured DURING a start-of-sweep
+      // load spike (1.026 vs 0.203 after) → a scale of 8.76× meant no
+      // query could ever trip either retry arm while 204/259 ran at
+      // loadavg > 2. The retry pass already waits for the load guard, so
+      // a settled calib is available exactly when the thresholds are
+      // applied: measure one here and take the MIN of the two readings
+      // as the machine speed (a contaminated calib only ever reads HIGH).
+      loadSamples += guardLoad()
+      calibRetry = calib()
+      val scale = math.max(math.min(calibBefore, calibRetry) / refCalib, 0.5)
+      // when the two calibs disagree >2× the sweep was contaminated —
+      // trust the committed quiet times UNSCALED on the loadavg arm
+      // (over-flagging is harmless: retries keep the min, capped at 40)
+      val loadArmScale =
+        if (math.max(calibBefore, calibRetry) >
+          2.0 * math.min(calibBefore, calibRetry)) math.min(scale, 1.0)
+        else scale
       val byName = ordered.toMap
       // two retry arms (r12 evidence: g4 sat at 1.8× quiet because only
       // the 3× arm existed, while its recorded loadavg said the box was
@@ -167,7 +184,7 @@ object Bench {
             refTimes.get(name).exists { rt =>
               t > 3.0 * rt * scale ||
                 (loadPerQuery.getOrElse(name, 0.0) > loadLimit &&
-                  t > 1.3 * rt * scale)
+                  t > 1.3 * rt * loadArmScale)
             }
         }
         .sortBy(-_._2).take(40)
@@ -196,7 +213,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":${errors.size},"errors":$errJson,"seed":$seed,"load_before":$loadBefore,"load_after":$loadAfter,"load_samples":$samplesJson,"load_per_query":$loadQJson,"retried_from":$retriedJson,"calib_before_sec":$calibBefore,"calib_after_sec":$calibAfter,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":${errors.size},"errors":$errJson,"seed":$seed,"load_before":$loadBefore,"load_after":$loadAfter,"load_samples":$samplesJson,"load_per_query":$loadQJson,"retried_from":$retriedJson,"calib_before_sec":$calibBefore,"calib_retry_sec":$calibRetry,"calib_after_sec":$calibAfter,"sf":"$sfDir"}"""
     // the driver's BENCH_r{N}.json keeps only a 2,000-char stdout tail —
     // too short for 128 per-query timings — so the full artifact is ALSO
     // written into the repo for per-round review (full sweeps at the

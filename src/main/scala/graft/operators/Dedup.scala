@@ -46,7 +46,14 @@ object Dedup {
     * [[BpeTrain]]'s pair counting; [[tokenSet]] is its distinct view, so
     * set-semantics operators (d18's Jaccard family) and
     * bag-semantics operators (d20's weighted cosine) share one
-    * vocabulary by construction. */
+    * vocabulary by construction.
+    *
+    * Two-family convention (every DuckDB oracle mirrors its side):
+    * set/bag operators use this empty-dropping view
+    * (`list_filter(string_split(...), x -> x <> '')` in their oracles —
+    * d3/d4/d6/d8/d18/d20/t39); POSITIONAL operators ([[shingles]],
+    * [[Shingles.winnow]], [[repeatedSpans]]) keep the raw split so
+    * positions index the array the codegen kernels walk. */
   def tokens(text: Column): Column =
     filter(split(lower(text), " "), t => t =!= "")
 
@@ -1088,6 +1095,16 @@ object Dedup {
     * the rebuilt text. Returns per doc: `n_tokens`, `n_rep_starts`
     * (repeated-gram start positions), `covered_tokens`, `kept_text`
     * (uncovered tokens in order, "" when everything was covered).
+    *
+    * Tokenizer note — this is the POSITIONAL family: tokens here are the
+    * RAW `split(lower(text), " ")` (phantom "" tokens from ragged
+    * whitespace kept and counted), NOT [[tokens]]'s empty-dropping view.
+    * Deliberate: `pos` must index the same array the [[Shingles.all]]
+    * kernel shingles over (raw-split parity, [[ShingleUtil]]), or the
+    * repeated-start join would mark the wrong tokens. Set/bag-semantics
+    * operators (d18/d20 and every [[tokenSet]] consumer) drop empties;
+    * span/shingle/winnow operators count them as positions. The gated
+    * d19 oracle mirrors the raw split in lockstep.
     *
     * Scale shape: grams ride the single-pass [[Shingles.all]] codegen
     * kernel (the posexplode index IS the start position — no per-start

@@ -416,7 +416,10 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster").orderBy(col("quality").desc, col(idCol).asc)
     val withQ = labels
-      .join(corpus.select(col(idCol), col(qualityCol).cast("long").as("quality")),
+      // double, not long: a fractional quality score (0.9 vs 0.2) must
+      // still drive the argmax — a long cast would truncate both to 0
+      // and silently degrade the survivor rule to min-id tie-break
+      .join(corpus.select(col(idCol), col(qualityCol).cast("double").as("quality")),
         Seq(idCol))
     // the survivor window runs over CLUSTERED rows only: at corpus scale
     // most docs are noise, and noise shares one NULL cluster key — run

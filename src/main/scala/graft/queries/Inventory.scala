@@ -1272,9 +1272,13 @@ object Inventory {
         p.getFileName.toString.endsWith(".parquet")).findFirst().get()
       val dst = srcDir.resolve(f"b$i%04d.parquet")
       JFiles.move(part, dst)
+      // spacing derives from frames.length so the LAST staged file still
+      // sits comfortably in the past — a fixed t0-100s start reaches
+      // "now" at i=10 and future mtimes could collide with fresh
+      // checkpoint/source files, breaking the frame-i-is-batch-i order
       JFiles.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(
-          t0 - 100000L + i * 10000L))
+          t0 - (frames.length + 2).toLong * 10000L + i * 10000L))
       try {
         JFiles.walk(stage).sorted(java.util.Comparator.reverseOrder())
           .forEach(p => { JFiles.deleteIfExists(p); () })

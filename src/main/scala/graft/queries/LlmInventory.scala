@@ -1583,9 +1583,13 @@ object LlmInventory {
     // incremental path: v1's cached verdicts carry for `same` ids; only
     // added ∪ changed texts are processed; removed ids drop with the diff
     val v1Done = IncrementalCurate.perDocVerdicts(v1, "doc_id", "text")
-    val incr = IncrementalCurate.dedupGroups(
-      IncrementalCurate.incrementalVerdicts(v1, v2, v1Done, "doc_id", "text"),
-      "doc_id").persist()
+    // incrementalVerdicts returns PINNED (caller releases) — bind it so
+    // the cache doesn't stay pinned for the rest of the suite run
+    val verdicts = IncrementalCurate.incrementalVerdicts(
+      v1, v2, v1Done, "doc_id", "text")
+    val incr = IncrementalCurate.dedupGroups(verdicts, "doc_id").persist()
+    incr.count()
+    verdicts.unpersist(blocking = false)
     // the hard equality gate: full recompute over v2 must agree row-
     // for-row (symmetric difference empty)
     val full = IncrementalCurate.dedupGroups(
@@ -3473,14 +3477,14 @@ object LlmInventory {
         |FROM flags GROUP BY lang ORDER BY lang""".stripMargin,
     "d3_token_overlap" ->
       """WITH tok AS (
-        |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+        |  SELECT DISTINCT doc_id, unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS w
         |  FROM documents WHERE doc_id < 60)
         |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
         |FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 30""".stripMargin,
     "d4_minhash_band" ->
       """WITH tok AS (
-        |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+        |  SELECT DISTINCT doc_id, unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS w
         |  FROM documents WHERE doc_id < 100),
         |sig AS (
         |  SELECT doc_id,
@@ -3677,7 +3681,7 @@ object LlmInventory {
       // 32-63, chars 9-16 = bits 0-31), +/-1 votes per bit, sig bit =
       // votes strictly positive, packed MSB-first as 16 hex chars
       """WITH tok AS (
-        |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t
+        |  SELECT DISTINCT doc_id, unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS t
         |  FROM documents),
         |h AS (
         |  SELECT doc_id, t,
@@ -3702,7 +3706,7 @@ object LlmInventory {
         |FROM nibbles GROUP BY doc_id""".stripMargin,
     "d8_jaccard_verify" ->
       """WITH tok AS (
-        |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+        |  SELECT DISTINCT doc_id, unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS w
         |  FROM documents WHERE doc_id < 40),
         |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
         |common AS (
@@ -4132,7 +4136,7 @@ object LlmInventory {
         |         WHEN border.id IS NOT NULL THEN 'border'
         |         ELSE 'noise' END AS role,
         |    COALESCE(comp.component, border.component) AS cluster,
-        |    CAST(em.label AS BIGINT) AS quality
+        |    CAST(em.label AS DOUBLE) AS quality
         |  FROM embeddings em
         |  LEFT JOIN comp ON comp.id = em.vec_id
         |  LEFT JOIN border ON border.id = em.vec_id)
@@ -5199,7 +5203,7 @@ object LlmInventory {
         |FROM c""".stripMargin,
     "t39_containment_pairs" ->
       """WITH tok AS (
-        |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+        |  SELECT DISTINCT doc_id, unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS w
         |  FROM documents WHERE doc_id < 40),
         |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
         |common AS (

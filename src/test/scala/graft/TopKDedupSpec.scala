@@ -296,6 +296,25 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(m(5L) === ((2L, 0L, 0L, "s t")))
     // the xxhash64 scale path agrees exactly on this corpus
     assert(run(hash = true) === m)
+
+    // positional-raw convention on ragged whitespace: the double space in
+    // doc 6 is a phantom "" token at pos 3 — counted in n_tokens (the
+    // positions must index the same raw array Shingles.all walks), so the
+    // repeated "a b c d" span at raw starts 1 and 6 covers 8 of 10
+    // positions; the uncovered "" and "x" rebuild as " x".
+    // Dedup.tokens drops it: the set/bag family sees 9 tokens.
+    val ragged = Seq(
+      (6L, "a b c d  a b c d x"),
+      (7L, "a b c d p q r t u")).toDF("doc_id", "text")
+    val mr = Dedup
+      .repeatedSpans(ragged, "doc_id", "text", w = 4, minOccur = 2L, hashGrams = false)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(mr(6L)._1 === 10L) // raw positions, phantom "" counted
+    assert(mr(6L) === ((10L, 2L, 8L, " x")))
+    val nSetTokens = ragged.filter($"doc_id" === 6L)
+      .select(size(graft.operators.Dedup.tokens($"text"))).as[Int].head()
+    assert(nSetTokens === 9) // set/bag family drops the phantom token
   }
 
   test("Isotonic.isotonicFit: hand PAV case, minimax parity on random data, duplicate-score pooling") {
