@@ -69,4 +69,38 @@ object IncrementalCurate {
   def dedupGroups(verdicts: DataFrame, idCol: String): DataFrame =
     verdicts.groupBy("h")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n"))
+
+  /** STREAMING arm — fold ONE micro-batch of snapshot-delta rows into
+    * the verdict cache. A delta row is `(idCol, status, textCol)` with
+    * `status ∈ added | changed | removed` (a `same` doc never ships —
+    * the upstream hash diff drops it; `removed` rows carry NULL text).
+    * The cache lives as versioned parquet snapshots under `cacheDir`:
+    * `v0` is the previous corpus snapshot's [[perDocVerdicts]], and
+    * micro-batch b reads `v{b}` and writes `v{b+1}` — so a replayed
+    * batch (restart mid-stream) rewrites its version from the same
+    * input deterministically: exactly-once by idempotence, the
+    * checkpointed-sink convention. Per batch the work is one anti-join
+    * keyed on the id (cache rows are id + 16-byte hash, never text)
+    * plus the per-doc funnel over the delta's `added ∪ changed` texts
+    * only — the d22 identity applied continuously. At 100 TB the
+    * versioned-parquet cache is the portable state store (a production
+    * deploy would bucket it by id and compact old versions; the update
+    * logic is unchanged). Call from `foreachBatch`
+    * (e.g. [[graft.queries.Inventory]]'s staged foreach drain). */
+  def applyDeltaBatch(
+      cacheDir: String, batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String,
+      classifierSeed: String = "w", classifierThreshold: Double = 0.0): Unit = {
+    val spark = batch.sparkSession
+    val prev = spark.read.parquet(s"$cacheDir/v$batchId")
+    val drop = batch.filter(col("status").isin("removed", "changed"))
+      .select(col(idCol))
+    val fresh = perDocVerdicts(
+      batch.filter(col("status").isin("added", "changed"))
+        .select(col(idCol), col(textCol)),
+      idCol, textCol, classifierSeed, classifierThreshold)
+    prev.join(drop, Seq(idCol), "left_anti")
+      .unionByName(fresh)
+      .write.mode("overwrite").parquet(s"$cacheDir/v${batchId + 1}")
+  }
 }

@@ -1256,13 +1256,14 @@ object Inventory {
     * checkpoint are deleted after the drain; `shufflePartitions`
     * optionally narrows state-store partitioning for the drain's
     * duration (restored after). */
-  private[queries] def drainStagedFiles(
-      s: SparkSession, frames: Seq[DataFrame], prefix: String,
-      mode: String, shufflePartitions: Option[String] = None)(
-      build: DataFrame => DataFrame): DataFrame = {
+  /** Stage each frame as exactly ONE parquet file under a fresh temp dir,
+    * mtime-ordered in sequence order (FileStreamSource orders by mtime, so
+    * with `maxFilesPerTrigger = 1` frame i IS micro-batch i). Caller owns
+    * the returned directory. */
+  private def stageFrames(
+      frames: Seq[DataFrame], prefix: String): java.nio.file.Path = {
     import java.nio.file.{Files => JFiles}
-    require(frames.nonEmpty, "drainStagedFiles needs at least one frame")
-    val schema = frames.head.schema
+    require(frames.nonEmpty, "staged drain needs at least one frame")
     val srcDir = JFiles.createTempDirectory(prefix + "src_")
     val t0 = System.currentTimeMillis()
     frames.zipWithIndex.foreach { case (dfx, i) =>
@@ -1284,10 +1285,59 @@ object Inventory {
           .forEach(p => { JFiles.deleteIfExists(p); () })
       } catch { case _: Throwable => () }
     }
+    srcDir
+  }
+
+  private def deleteRecursively(dir: java.nio.file.Path): Unit =
+    try {
+      java.nio.file.Files.walk(dir)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    } catch { case _: Throwable => () }
+
+  /** [[drainStagedFiles]] for foreachBatch sinks: frame i still arrives
+    * as micro-batch i (same mtime-ordered single-file staging +
+    * `maxFilesPerTrigger = 1`), but each batch is handed to `onBatch`
+    * with its batchId instead of folding into a memory sink — the shape
+    * for streaming operators that maintain EXTERNAL per-batch state
+    * (r20's incremental-curation verdict cache). Temp source dir and
+    * checkpoint are deleted after the drain. */
+  private[queries] def drainStagedForeach(
+      s: SparkSession, frames: Seq[DataFrame], prefix: String,
+      shufflePartitions: Option[String] = None)(
+      onBatch: (DataFrame, Long) => Unit): Unit = {
+    import java.nio.file.{Files => JFiles}
+    val schema = frames.head.schema
+    val srcDir = stageFrames(frames, prefix)
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val ckpt = JFiles.createTempDirectory(prefix)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (b, id) => onBatch(b.toDF(), id)
+    val q =
+      try {
+        shufflePartitions.foreach(p =>
+          s.conf.set("spark.sql.shuffle.partitions", p))
+        stream.writeStream.foreachBatch(fn)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    deleteRecursively(srcDir)
+    deleteRecursively(ckpt)
+  }
+
+  private[queries] def drainStagedFiles(
+      s: SparkSession, frames: Seq[DataFrame], prefix: String,
+      mode: String, shufflePartitions: Option[String] = None)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val schema = frames.head.schema
+    val srcDir = stageFrames(frames, prefix)
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
     val tbl = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = JFiles.createTempDirectory(prefix)
+    val ckpt = java.nio.file.Files.createTempDirectory(prefix)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val q =
       try {
@@ -1299,10 +1349,7 @@ object Inventory {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     val out = finishDrain(s, tbl, ckpt)
-    try {
-      JFiles.walk(srcDir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { JFiles.deleteIfExists(p); () })
-    } catch { case _: Throwable => () }
+    deleteRecursively(srcDir)
     out
   }
 

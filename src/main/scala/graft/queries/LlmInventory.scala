@@ -1603,6 +1603,70 @@ object LlmInventory {
     incr
   }
 
+  /** r20: STREAMING incremental curation — d22's versioning identity
+    * under the streaming hard gate. The v1→v2 snapshot deltas (d22's
+    * exact construction, so all of added/changed/removed participate:
+    * ~50 removed, ~57 changed, ~91 added incl. the planted duplicate
+    * copies) arrive as FOUR real micro-batches
+    * ([[Inventory.drainStagedForeach]], frame i IS batch i), and
+    * [[IncrementalCurate.applyDeltaBatch]] folds each into the
+    * versioned parquet verdict cache seeded with v1's
+    * [[IncrementalCurate.perDocVerdicts]] — so the carried verdicts
+    * must survive three real batch boundaries, and each batch's
+    * anti-join must drop exactly its removed/changed ids. Gated twice:
+    * the query ASSERTS the final cache equals the batch full recompute
+    * row-for-row (the d22/s19 equality pattern), and the DuckDB oracle
+    * replays the full funnel over v2 independently. A verdict row lost
+    * between batches, a double-applied delta, or a stale carried hash
+    * all change the (h, keep_id, n) set. */
+  val r20StreamIncremental: Q = (s, d) => {
+    import graft.operators.IncrementalCurate
+    val docs = documents(s, d)
+    val v1 = docs.filter(col("doc_id") < 450)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(lit("OLD "), col("text")))
+          .otherwise(col("text")))
+      .select("doc_id", "text")
+    val v2base = docs.filter(col("doc_id") >= 50).select("doc_id", "text")
+    val v2 = v2base.unionByName(
+      v2base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+    val cacheDir = java.nio.file.Files.createTempDirectory("r20_cache_")
+    IncrementalCurate.perDocVerdicts(v1, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$cacheDir/v0")
+    // delta rows (doc_id, status, text): one hash-diff scan classifies
+    // every id; `same` docs never ship; removed rows carry NULL text
+    val deltas = Dedup.corpusDiff(v1, v2, "doc_id", "text")
+      .filter(col("status") =!= "same")
+      .join(v2, Seq("doc_id"), "left")
+    val frames = (0 until 4).map(r =>
+      deltas.filter(pmod(col("doc_id"), lit(4)) === r))
+    Inventory.drainStagedForeach(s, frames, "r20_ic_",
+      shufflePartitions = Some("8")) { (batch, id) =>
+      IncrementalCurate.applyDeltaBatch(
+        cacheDir.toString, batch, id, "doc_id", "text")
+    }
+    val streamed = IncrementalCurate.dedupGroups(
+        s.read.parquet(s"$cacheDir/v${frames.length}"), "doc_id")
+      // localCheckpoint (eager) truncates lineage off the temp cache
+      // files so the dir can be deleted before the frame is consumed
+      .localCheckpoint(true)
+    val full = IncrementalCurate.dedupGroups(
+      IncrementalCurate.perDocVerdicts(v2, "doc_id", "text"), "doc_id")
+    val mismatches = streamed.unionByName(full)
+      .groupBy("h", "keep_id", "n").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 2).count()
+    require(mismatches == 0L,
+      s"r20: streamed incremental verdicts diverged from the full " +
+        s"recompute on $mismatches (h, keep_id, n) rows")
+    try {
+      java.nio.file.Files.walk(cacheDir)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    } catch { case _: Throwable => () }
+    streamed
+  }
+
   /** t58: deterministic corpus shuffle ([[Sampling.deterministicShuffle]])
     * — the reproducible training-order permutation (epoch = seed); the
     * gate hashes the md5 shuffle keys plus the top-20 order under the
@@ -2447,6 +2511,7 @@ object LlmInventory {
     "d20_weighted_cosine" -> d20WeightedCosine,
     "d21_corpus_diff" -> d21CorpusDiff,
     "d22_incremental_funnel" -> d22IncrementalFunnel,
+    "r20_stream_incremental" -> r20StreamIncremental,
     "t58_deterministic_shuffle" -> t58DeterministicShuffle,
     "t54_grouped_split" -> t54GroupedSplit,
     "t51_bpe_apply" -> t51BpeApply,
@@ -2475,6 +2540,55 @@ object LlmInventory {
     "t23_heavy_hitters" -> t23HeavyHitters,
     "t24_overlap_pairs" -> t24OverlapPairs,
   )
+
+  /** The independent DuckDB full-funnel replay of the d22/r20 v2
+    * construction (quality gate → classifier → exact-dedup groups) —
+    * shared by both the batch identity gate (d22) and its streaming arm
+    * (r20): whatever path maintained the verdicts, the result must equal
+    * this full recompute. */
+  private val d22FullFunnelSql: String =
+    """WITH v2 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id >= 50
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+      |  WHERE doc_id >= 50 AND doc_id % 11 = 0),
+      |sq AS (
+      |  SELECT doc_id, text, regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t
+      |  FROM v2),
+      |tokq AS (
+      |  SELECT doc_id, text,
+      |         CASE WHEN t = '' THEN []::VARCHAR[]
+      |              ELSE string_split_regex(t, '[ \t\n\x0b\f\r]+') END AS toks
+      |  FROM sq),
+      |stq AS (
+      |  SELECT doc_id, text, length(text) AS n_chars_q, len(toks) AS n_tokens_q,
+      |         CASE WHEN len(toks) > 0
+      |              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+      |              ELSE 0.0 END AS mean_token_len,
+      |         CASE WHEN length(text) > 0
+      |              THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)
+      |              ELSE 0.0 END AS punct_ratio
+      |  FROM tokq),
+      |qd AS (
+      |  SELECT doc_id, text FROM stq
+      |  WHERE NOT (n_chars_q < 50 OR n_chars_q > 100000
+      |             OR mean_token_len < 2.0 OR mean_token_len > 12.0
+      |             OR punct_ratio > 0.3)),
+      |cq AS (
+      |  SELECT doc_id, text,
+      |         CASE WHEN t2 = '' THEN []::VARCHAR[]
+      |              ELSE string_split_regex(t2, '[ \t\n\x0b\f\r]+') END AS toks
+      |  FROM (SELECT doc_id, text,
+      |          regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t2
+      |        FROM qd)),
+      |cls AS (
+      |  SELECT doc_id, text FROM cq
+      |  WHERE len(toks) > 0
+      |    AND CAST(coalesce(list_sum(list_transform(toks,
+      |          x -> ('0x' || substr(md5('w#' || x), 1, 8))::BIGINT)), 0) AS BIGINT)::DOUBLE
+      |        / (len(toks) * 2147483648.0) - 1 > 0.0)
+      |SELECT md5(text) AS h, MIN(doc_id) AS keep_id, count(*) AS n
+      |FROM cls GROUP BY md5(text)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // the identical extraction regex runs in both engines (no
@@ -2913,49 +3027,11 @@ object LlmInventory {
     // (t55's quality + classifier CTEs over the v2 snapshot, then d2's
     // dedup) — the query under test returns the INCREMENTAL result, so
     // hash equality here is the versioning identity itself
-    "d22_incremental_funnel" ->
-      """WITH v2 AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id >= 50
-        |  UNION ALL
-        |  SELECT doc_id + 10000 AS doc_id, text FROM documents
-        |  WHERE doc_id >= 50 AND doc_id % 11 = 0),
-        |sq AS (
-        |  SELECT doc_id, text, regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t
-        |  FROM v2),
-        |tokq AS (
-        |  SELECT doc_id, text,
-        |         CASE WHEN t = '' THEN []::VARCHAR[]
-        |              ELSE string_split_regex(t, '[ \t\n\x0b\f\r]+') END AS toks
-        |  FROM sq),
-        |stq AS (
-        |  SELECT doc_id, text, length(text) AS n_chars_q, len(toks) AS n_tokens_q,
-        |         CASE WHEN len(toks) > 0
-        |              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
-        |              ELSE 0.0 END AS mean_token_len,
-        |         CASE WHEN length(text) > 0
-        |              THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)
-        |              ELSE 0.0 END AS punct_ratio
-        |  FROM tokq),
-        |qd AS (
-        |  SELECT doc_id, text FROM stq
-        |  WHERE NOT (n_chars_q < 50 OR n_chars_q > 100000
-        |             OR mean_token_len < 2.0 OR mean_token_len > 12.0
-        |             OR punct_ratio > 0.3)),
-        |cq AS (
-        |  SELECT doc_id, text,
-        |         CASE WHEN t2 = '' THEN []::VARCHAR[]
-        |              ELSE string_split_regex(t2, '[ \t\n\x0b\f\r]+') END AS toks
-        |  FROM (SELECT doc_id, text,
-        |          regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t2
-        |        FROM qd)),
-        |cls AS (
-        |  SELECT doc_id, text FROM cq
-        |  WHERE len(toks) > 0
-        |    AND CAST(coalesce(list_sum(list_transform(toks,
-        |          x -> ('0x' || substr(md5('w#' || x), 1, 8))::BIGINT)), 0) AS BIGINT)::DOUBLE
-        |        / (len(toks) * 2147483648.0) - 1 > 0.0)
-        |SELECT md5(text) AS h, MIN(doc_id) AS keep_id, count(*) AS n
-        |FROM cls GROUP BY md5(text)""".stripMargin,
+    "d22_incremental_funnel" -> d22FullFunnelSql,
+    // the streaming arm must land on the SAME full recompute: the only
+    // difference is HOW the verdict cache was maintained (four real
+    // micro-batches through the state fold instead of one batch job)
+    "r20_stream_incremental" -> d22FullFunnelSql,
     // the batch twin of the streaming state-store dedup: the stream must
     // emit exactly one row per distinct content hash
     "r7_stream_exact_dedup" ->
