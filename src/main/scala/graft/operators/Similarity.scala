@@ -474,6 +474,61 @@ object Similarity {
     out
   }
 
+  /** Greedy BEAM search over a materialized kNN graph — the SERVING path
+    * for [[knnGraph]] (the single-layer HNSW shape: Malkov & Yashunin
+    * 2018's search loop without the layer hierarchy). Start from a
+    * deterministic `entryIds` set, then `hops` times expand the current
+    * beam's out-neighbors from the graph and keep the `beam` best by
+    * EXACT cosine to the query (ties to the smaller id); emit the final
+    * beam's top `k` as (rnk, idCol) — the s1 rank-only convention. The
+    * FIXED hop count (vs the classic stop-when-no-improvement) makes the
+    * traversal a pure function of (graph, corpus, query, entries), which
+    * is what lets an oracle replay it as unrolled hop CTEs; the beam is
+    * monotone non-worsening because the previous beam always re-enters
+    * the candidate set.
+    *
+    * Scale shape: driver state is `beam` ids per hop — never
+    * corpus-sized. Each hop is one IN-filter probe of the graph's `src`
+    * (partition-prunable when the graph is bucketed by src, the 100 TB
+    * layout) plus one IN-filter corpus scan for ≤ beam·(k+1) exact
+    * scores; versus IVF's nprobe·bucket scan the graph descent touches
+    * O(beam·degree·hops) vectors regardless of how the corpus is
+    * distributed — the standard trade once buckets outgrow memory. */
+  def graphSearch(
+      corpus: DataFrame, graph: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], entryIds: Seq[Long],
+      k: Int, beam: Int, hops: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: got $k")
+    require(beam >= k, s"beam ($beam) must be >= k ($k)")
+    require(hops >= 0, s"hops must be >= 0: got $hops")
+    require(entryIds.nonEmpty, "graphSearch needs at least one entry id")
+    val spark = corpus.sparkSession
+    def scored(ids: Seq[Long]) =
+      corpus.filter(col(idCol).isin(ids: _*))
+        .select(col(idCol).cast("long"),
+          vec_cosine(col(vecCol), typedlit(query)).as("__cos"))
+        .orderBy(col("__cos").desc, col(idCol).asc)
+    def topBeam(ids: Seq[Long]): Seq[Long] =
+      scored(ids).limit(beam).collect().map(_.getLong(0)).toSeq
+    var beamIds = topBeam(entryIds)
+    var h = 0
+    while (h < hops) {
+      val nbrs = graph.filter(col("src").isin(beamIds: _*))
+        .select(col("dst").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      beamIds = topBeam((beamIds ++ nbrs).distinct)
+      h += 1
+    }
+    // rank the surviving beam (already ≤ beam rows) driver-side — the s1
+    // pattern: no single-partition Window, ranks assigned over the
+    // reduced result
+    val top = scored(beamIds).limit(k).collect()
+    import spark.implicits._
+    top.toSeq.zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r.getLong(0)) }
+      .toDF("rnk", idCol)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
     * retrieval combiner: each input ranking contributes 1/(k0 + rank)
     * per document, missing documents contribute 0, fused score = the

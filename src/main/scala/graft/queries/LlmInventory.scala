@@ -2225,6 +2225,30 @@ object LlmInventory {
     Similarity.knnGraph(embeddings(s, d), "vec_id", "embedding",
       k = 5, planes = 8, seed = 42L, bands = 2, md5Family = true)
 
+  /** s25: graph-ANN SERVING ([[Similarity.graphSearch]]) — greedy beam
+    * descent over s22's exact kNN-graph construction (same parameters,
+    * so the traversal runs on an already-gated substrate): entry ids
+    * 1–4, beam 8, THREE hops, top-5, corpus excluding the query row
+    * (the s1 convention — vec 0 can never enter the beam; its graph
+    * edges exist but score-join away). The oracle rebuilds the graph
+    * (s22's CTEs) and replays the fixed-hop descent as unrolled
+    * b0→c1→b1→c2→b2→c3→b3 CTEs — beam membership after every hop, not
+    * just the final ranking, must agree. Rank-only output. */
+  val s25GraphSearch: Q = (s, d) => {
+    val em = embeddings(s, d)
+    val query = em.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val graph = Similarity.knnGraph(em, "vec_id", "embedding",
+      k = 5, planes = 8, seed = 42L, bands = 2, md5Family = true)
+    val out = Similarity.graphSearch(
+      em.filter(col("vec_id") =!= 0), graph, "vec_id", "embedding",
+      query, entryIds = Seq(1L, 2L, 3L, 4L), k = 5, beam = 8, hops = 3)
+    // graph arrives pinned (caller-owned); the search has fully consumed
+    // it (out is a driver-built frame), so release before returning
+    graph.unpersist(blocking = false)
+    out
+  }
+
   /** t56: Cohen's kappa ([[graft.operators.Importance.cohenKappa]]) —
     * chance-corrected agreement between two deterministic "raters" of
     * the same docs (token-count long/short vs byte-length long/short):
@@ -2528,6 +2552,7 @@ object LlmInventory {
     "s20_rrf_fusion" -> s20RrfFusion,
     "s21_kmeans" -> s21Kmeans,
     "s22_knn_graph" -> s22KnnGraph,
+    "s25_graph_search" -> s25GraphSearch,
     "s23_dbscan" -> s23Dbscan,
     "s24_semantic_survivors" -> s24SemanticSurvivors,
     "t56_cohen_kappa" -> t56CohenKappa,
@@ -4247,6 +4272,55 @@ object LlmInventory {
         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
         |  FROM sym)
         |SELECT src, CAST(rnk AS BIGINT) AS rnk, dst FROM r WHERE rnk <= 5""".stripMargin,
+    // graph-ANN serving: s22's graph CTEs + the fixed-hop beam descent
+    // unrolled (b0 = ranked entries; c_h = beam ∪ out-neighbors; b_h =
+    // top-8 by exact cosine, ties to smaller id; final = top-5 of b3).
+    // score excludes vec 0 (the query row) so candidate joins drop it.
+    "s25_graph_search" ->
+      """WITH sigs AS (
+        |  SELECT vec_id, embedding, band,
+        |    sum(CASE WHEN dot > 0 THEN 1<<i ELSE 0 END)::BIGINT AS sig
+        |  FROM (
+        |    SELECT vec_id, embedding, b.band AS band, i.i AS i,
+        |      list_reduce(list_transform(range(1, len(embedding)+1),
+        |        j -> CASE WHEN ('0x'||substr(md5((42+b.band)::VARCHAR||'#'||i.i::VARCHAR||'#'||(j-1)::VARCHAR),1,1))::INT < 8
+        |             THEN CAST(embedding[j] AS DOUBLE) ELSE -CAST(embedding[j] AS DOUBLE) END),
+        |        (a,b2) -> a+b2) AS dot
+        |    FROM embeddings CROSS JOIN range(0, 2) b(band) CROSS JOIN range(0, 8) i(i))
+        |  GROUP BY vec_id, embedding, band),
+        |pairs AS (
+        |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2,
+        |    list_cosine_similarity(a.embedding, b.embedding) AS cosine
+        |  FROM sigs a JOIN sigs b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+        |sym AS (
+        |  SELECT d1 AS src, d2 AS dst, cosine FROM pairs
+        |  UNION ALL SELECT d2, d1, cosine FROM pairs),
+        |g AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
+        |    FROM sym) WHERE rnk <= 5),
+        |score AS (
+        |  SELECT vec_id, list_cosine_similarity(embedding,
+        |    (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cos
+        |  FROM embeddings WHERE vec_id <> 0),
+        |b0 AS (SELECT vec_id FROM score WHERE vec_id IN (1, 2, 3, 4)
+        |       ORDER BY cos DESC, vec_id ASC LIMIT 8),
+        |c1 AS (SELECT vec_id FROM b0 UNION SELECT g.dst FROM g JOIN b0 ON g.src = b0.vec_id),
+        |b1 AS (SELECT c1.vec_id FROM c1 JOIN score USING (vec_id)
+        |       ORDER BY score.cos DESC, c1.vec_id ASC LIMIT 8),
+        |c2 AS (SELECT vec_id FROM b1 UNION SELECT g.dst FROM g JOIN b1 ON g.src = b1.vec_id),
+        |b2 AS (SELECT c2.vec_id FROM c2 JOIN score USING (vec_id)
+        |       ORDER BY score.cos DESC, c2.vec_id ASC LIMIT 8),
+        |c3 AS (SELECT vec_id FROM b2 UNION SELECT g.dst FROM g JOIN b2 ON g.src = b2.vec_id),
+        |b3 AS (SELECT c3.vec_id FROM c3 JOIN score USING (vec_id)
+        |       ORDER BY score.cos DESC, c3.vec_id ASC LIMIT 8)
+        |SELECT rnk, vec_id FROM (
+        |  SELECT b3.vec_id AS vec_id,
+        |    ROW_NUMBER() OVER (ORDER BY score.cos DESC, b3.vec_id ASC) AS rnk
+        |  FROM b3 JOIN score USING (vec_id)) t
+        |WHERE rnk <= 5""".stripMargin,
     "s7_semantic_dedup" ->
       """WITH RECURSIVE sigs AS (
         |  SELECT vec_id, embedding, band,

@@ -441,4 +441,61 @@ class RecallSpec extends AnyFunSuite {
     }
     corpus.unpersist(blocking = false)
   }
+
+  test("graphSearch: planted 3-hop path needs every hop; pinned recall@10 floor vs brute") {
+    import spark.implicits._
+    // hand-built chain: unit vectors on a circle, query at angle 0, ids
+    // 1..4 at 10°..40°; the graph is the path 4→3→2→1 — from entry {4}
+    // the true nearest (id 1) is exactly 3 hops away, so hops=3 finds it
+    // and hops=2 cannot: the descent really crosses the graph
+    def v(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val corpus = Seq(1L -> v(10), 2L -> v(20), 3L -> v(30), 4L -> v(40))
+      .toDF("vec_id", "embedding")
+    val chain = Seq((4L, 1L, 3L), (3L, 1L, 2L), (2L, 1L, 1L))
+      .toDF("src", "rnk", "dst")
+    def hit(hops: Int): Seq[Long] =
+      Similarity.graphSearch(corpus, chain, "vec_id", "embedding",
+        v(0), entryIds = Seq(4L), k = 1, beam = 2, hops = hops)
+        .collect().map(_.getLong(1)).toSeq
+    assert(hit(3) === Seq(1L), "3 hops must reach the planted nearest")
+    assert(hit(2) === Seq(2L), "2 hops can only reach id 2")
+    assert(hit(0) === Seq(4L), "0 hops = best entry")
+
+    // recall@10 vs brute over 10 pinned queries on the real fixture —
+    // same measurement as the LSH/IVF gates; floor pinned at the value
+    // measured at gate creation minus one step
+    // planes=4 → 16 buckets over 500 vectors (~31/bucket): the graph
+    // needs DENSITY for descent — s22's gate parameters (planes=8 → 256
+    // buckets, ~2/bucket) leave it too sparse to traverse at this corpus
+    // size; degree k=10 matches the HNSW-ish M=10 regime
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val graph = Similarity.knnGraph(em, "vec_id", "embedding",
+      k = 10, planes = 4, seed = 42L, bands = 2)
+    val queries = em.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def recallAt10(hops: Int): Double = {
+      val per = queries.map { case (qid, query) =>
+        val corpus10 = em.filter(col("vec_id") =!= qid)
+        val brute = Similarity.bruteForceTopK(corpus10, "vec_id", "embedding", query, 10)
+          .collect().map(_.getLong(0)).toSet
+        val got = Similarity.graphSearch(corpus10, graph, "vec_id", "embedding",
+          query, entryIds = Seq(1L, 2L, 3L, 4L).filter(_ != qid), k = 10,
+          beam = 16, hops = hops)
+          .collect().map(_.getLong(1)).toSet
+        got.intersect(brute).size / 10.0
+      }
+      per.sum / per.length
+    }
+    val r0 = recallAt10(0)
+    val r3 = recallAt10(3)
+    info(s"graphSearch mean recall@10 over 10 queries: hops0=$r0 hops3=$r3")
+    // the previous beam always re-enters the candidate set, so more hops
+    // can only improve the final beam
+    assert(r3 >= r0, s"descent worsened recall: $r3 < $r0")
+    graph.unpersist(blocking = false)
+    // pinned at gate creation: hops3 = 0.60 exactly (steps of 0.01 here)
+    assert(r3 >= 0.595, s"graph descent recall floor regressed: $r3 < 0.60")
+  }
 }
