@@ -29,7 +29,7 @@ import org.apache.spark.sql.SparkSession
   * graft corpus linededup --in DIR --out DIR [--chunk-tokens 10] [--self] [--cdc] [--id-col c] [--text-col c]
   * graft corpus classify --in DIR --out DIR [--threshold 0.0] [--seed w] [--text-col c]
   * graft corpus curate   --in DIR --out DIR [--classify-threshold T] [--dsir-target DIR [--dsir-keep 0.5]] [--chunk-tokens 10] [--dedup-threshold 0.8] [--ref-bench DIR] [--budget N] [--shards K]
-  * graft corpus annindex --in DIR --out DIR [--append] [--id-col c] [--vec-col c] [--lists 64] [--pq-m 16] [--pq-ksub 16] [--seed 42] [--trainer sample|exact]
+  * graft corpus annindex --in DIR --out DIR [--append] [--id-col c] [--vec-col c] [--lists 64] [--pq-m 16] [--pq-ksub 16] [--seed 42] [--trainer sample|exact|refined]
   * graft corpus annquery --in INDEXDIR {--query-id N | --query-ids N,N,...} [--index DIR] [--id-col c] [--vec-col c] [--k 10] [--nprobe 8] [--path pq|sq8|mrl] [--overfetch 16] [--prefix-dims 16] [--coarse 256] [--diverse [--pool 4k] [--lambda 0.7] [--mu 0.3]]
   * graft corpus pack     --in DIR --out DIR [--window-tokens 2048] [--id-col c] [--text-col c]
   * graft corpus chunk    --in DIR --out DIR [--chunk-tokens 256] [--stride 192] [--id-col c] [--text-col c]
@@ -239,10 +239,17 @@ object Main {
           case "exact" =>
             graft.operators.Similarity.kmeansCentroidsExact(
               docs, idCol, vecCol, lists, iters = 5)
+          // sampled init + up to 2 exact full-corpus refinement passes
+          // with integer early exit — the exact trainer's geometry at a
+          // small multiple of the sampled wall (SCALE ivftrain stage)
+          case "refined" =>
+            graft.operators.Similarity.kmeansCentroidsRefined(
+              docs, idCol, vecCol, lists, sampleIters = 5, refineIters = 2,
+              seed = seed, sampleN = sampleN)
           case "sample" =>
             graft.operators.Similarity.kmeansCentroids(
               docs, vecCol, lists, iters = 5, seed = seed, sampleN = sampleN)
-          case other => sys.error(s"unknown --trainer: $other (sample|exact)")
+          case other => sys.error(s"unknown --trainer: $other (sample|exact|refined)")
         }
         val cbs = graft.operators.Similarity.pqCodebooksResidual(
           docs, vecCol, cents, m, ksub, iters = 5, seed = seed, sampleN = sampleN)

@@ -275,6 +275,7 @@ object Scale {
     if (args.headOption.contains("incremental")) return incrementalMain(args)
     if (args.headOption.contains("spans")) return spansMain(args)
     if (args.headOption.contains("dbscan")) return dbscanMain(args)
+    if (args.headOption.contains("semsurvivors")) return semSurvivorsMain(args)
     if (args.headOption.contains("pagerank")) return pagerankMain(args)
     if (args.headOption.contains("triangles")) return trianglesMain(args)
     if (args.headOption.contains("triab")) return triAbMain(args)
@@ -1391,6 +1392,110 @@ object Scale {
     spark.stop()
   }
 
+  private val semSurvivorsHeader = "## SemDeDup survivor stage (the s24 composition)"
+
+  /** `runMain graft.Scale semsurvivors [nVecs] [outMd]` — [[graft.operators
+    * .Similarity.semanticSurvivors]] (the headline SemDeDup composition,
+    * gated as s24) at corpus scale: the dbscan stage's planted geometry
+    * (80% of the corpus in dense 16-member clusters, 20% isolated
+    * noise) plus a deterministic hashed QUALITY per doc. Closed form:
+    * every cluster keeps EXACTLY its argmax-quality member (ties to the
+    * smaller id), every noise doc survives — survivor identity asserted
+    * by an exact anti-join against the planted argmax, kept/dropped
+    * mass by exact counts. The wall and kept fraction are the
+    * measurement: this is the "dedup 100 TB by meaning, keep the best
+    * copy" number. Skew: the survivor window runs over clustered rows
+    * only; the 200k noise docs bypass it (the s24 NULL-key guard), so
+    * no task ever owns the noise mass. */
+  private def semSurvivorsMain(args: Array[String]): Unit = {
+    val nVecs = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    val outMd = args.lift(2).getOrElse("SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val dim = 64
+    val clustered = nVecs * 4 / 5 // 16 members per cluster
+    val nClusters = clustered / 16
+    val dir = Files.createTempDirectory("graft_scale_semsurv").toString
+    val (_, genSec) = timed {
+      spark.range(nVecs).toDF("id")
+        .withColumn("cl",
+          when(col("id") < clustered, (col("id") / 16).cast("long")).otherwise(lit(-1L)))
+        .withColumn("vec",
+          when(col("cl") >= 0,
+            transform(sequence(lit(0), lit(dim - 1)), j =>
+              ((pmod(xxhash64(col("cl"), j), lit(2L)) * 2 - 1).cast("double") +
+                (pmod(xxhash64(col("id"), j, lit(99)), lit(100L)).cast("double") / 100.0 - 0.5) * 0.02)
+                .cast("float")))
+            .otherwise(
+              transform(sequence(lit(0), lit(dim - 1)), j =>
+                ((pmod(xxhash64(col("id"), j, lit(7)), lit(2000L)).cast("double") / 1000.0 - 1.0))
+                  .cast("float"))))
+        .withColumn("quality", pmod(xxhash64(col("id"), lit(5)), lit(1000000L)))
+        .select("id", "vec", "quality")
+        .write.mode("overwrite").parquet(dir)
+    }
+    val vecs = spark.read.parquet(dir)
+    val ((nKept, noiseDropped, wrongSurvivors), fitSec) = timed {
+      val out = graft.operators.Similarity.semanticSurvivors(
+        vecs, "id", "vec", "quality", tau = 0.9, minPts = 4,
+        planes = 16, seed = 42L, bands = 3)
+      val kept = out.filter(col("kept")).count()
+      val noiseBad = out.filter(col("role") === "noise")
+        .filter(!col("kept")).count()
+      // planted argmax per cluster: max quality, ties to the smaller id
+      val expected = vecs.filter(col("id") < clustered)
+        .groupBy((col("id") / 16).cast("long").as("pc"))
+        .agg(min(struct((-col("quality")).as("nq"), col("id").as("id"))).as("s"))
+        .select(col("s").getField("id").as("id"))
+      val wrong = expected
+        .join(out.filter(col("kept")).select("id"), Seq("id"), "left_anti")
+        .count()
+      out.unpersist(blocking = false)
+      (kept, noiseBad, wrong)
+    }
+    require(nKept == nClusters + (nVecs - clustered),
+      s"kept count broke: $nKept vs ${nClusters + (nVecs - clustered)}")
+    require(noiseDropped == 0L, s"$noiseDropped noise docs were dropped")
+    require(wrongSurvivors == 0L,
+      s"$wrongSurvivors clusters kept a non-argmax-quality member")
+    val keptFrac = nKept.toDouble / nVecs
+    val heapMb = heapPeakMb()
+    val section =
+      s"""
+         |$semSurvivorsHeader (${nVecs / 1000}k × $dim-dim vectors: ${nClusters / 1000}k planted 16-member clusters + ${(nVecs - clustered) / 1000}k noise, hashed quality)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale semsurvivors $nVecs"` —
+         |the full SemDeDup composition ([[Similarity.semanticSurvivors]],
+         |the s24 gate's operator): DBSCAN clusters over the banded
+         |hyperplane-LSH neighborhood graph, then the argmax-quality
+         |survivor window over CLUSTERED rows only (noise bypasses it — the
+         |NULL cluster key never becomes one task).
+         |
+         || metric | value |
+         ||---|---|
+         || corpus generate + write | ${f"$genSec%.1f"} s ($nVecs vectors) |
+         || semdedup end-to-end | ${f"$fitSec%.1f"} s (${f"${nVecs / fitSec}%.0f"} vectors/s) |
+         || kept | $nKept of $nVecs (${f"${keptFrac * 100}%.1f"}% — one survivor per cluster + all noise, EXACT closed form) |
+         || survivor identity | every cluster kept its argmax-quality member (ties to min id), 0 mismatches |
+         || dropped redundant mass | ${clustered - nClusters} docs (15/16 of every planted cluster) |
+         || peak heap | $heapMb MB |
+         |
+         |- the s24 driver gate replays the identical composition (DBSCAN
+         |  recursive CTEs + the survivor window) in DuckDB at sf0.01
+         |""".stripMargin
+    spliceSection(outMd, semSurvivorsHeader, section)
+    println(s"""{"metric":"scale_semsurvivors","value":$fitSec,"unit":"sec","n_vecs":$nVecs,"kept":$nKept,"kept_frac":$keptFrac,"heap_peak_mb":$heapMb}""")
+    spark.stop()
+  }
+
   private val kmeansHeader = "## Exact-integer Lloyd k-means stage"
 
   /** `runMain graft.Scale kmeans [nVecs] [outMd]` — [[graft.operators
@@ -1487,10 +1592,14 @@ object Scale {
     * every 4th planted cluster), so tail clusters face the gate too;
     * when the separable geometry saturates recall for both trainers,
     * the full-corpus mean cosine QUANTIZATION ERROR (what the trainer
-    * optimizes) is the discriminating measurement. Asserted: 64
-    * centroids from each trainer; both recalls ≥ 0.6; exact-trainer
-    * quantization error sane. The comparisons themselves are LOGGED,
-    * not asserted — the point is the measurement. */
+    * optimizes) is the discriminating measurement. A third arm measures
+    * [[graft.operators.Similarity.kmeansCentroidsRefined]] (`--trainer
+    * refined`): sampled init + ≤2 exact full-corpus passes with the
+    * integer early exit — the affordable way to the exact trainer's
+    * geometry. Asserted: 64 centroids from each trainer; all recalls
+    * ≥ 0.6; exact-trainer quantization error sane; refinement does not
+    * worsen the sampled quantization error. The comparisons themselves
+    * are LOGGED, not asserted — the point is the measurement. */
   private def ivfTrainMain(args: Array[String]): Unit = {
     val nVecs = args.lift(1).map(_.toLong).getOrElse(1000000L)
     val outMd = args.lift(2).getOrElse("SCALE.md")
@@ -1532,7 +1641,17 @@ object Scale {
       Similarity.kmeansCentroids(vecs, "vec", k, iters = 5, seed = 42L,
         sampleN = 2000)
     }
-    require(centsEx.length == k && centsSm.length == k)
+    // the AFFORDABLE exact path (r13 verdict ask): sampled init + ≤2
+    // exact full-corpus refinement passes with the integer early exit —
+    // should recover ~the exact trainer's geometry at a small multiple
+    // of the sampled wall instead of exSec's full-scan budget
+    val refineMoves = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    val (centsRf, rfSec) = timed {
+      Similarity.kmeansCentroidsRefined(vecs, "id", "vec", k,
+        sampleIters = 5, refineIters = 2, seed = 42L, sampleN = 2000,
+        onIter = (i, m) => refineMoves += ((i, m)))
+    }
+    require(centsEx.length == k && centsSm.length == k && centsRf.length == k)
     // centroid-placement audit against the PLANTED centers (8.0 at dim
     // c): for each planted cluster, the L2 offset of the nearest
     // trained centroid — sample training places a centroid σ/√(sample
@@ -1555,6 +1674,7 @@ object Scale {
     }
     val (offEx, covEx) = centroidAudit(centsEx)
     val (offSm, covSm) = centroidAudit(centsSm)
+    val (offRf, covRf) = centroidAudit(centsRf)
     // one query per 4th planted cluster (min id of the cluster): the
     // tail clusters a sample under-trains are IN the query set
     val queries = vecs.filter(pmod(col("c"), lit(4L)) === 3L)
@@ -1576,8 +1696,10 @@ object Scale {
     }
     val (recEx, recExSec) = timed(meanRecall(centsEx))
     val (recSm, recSmSec) = timed(meanRecall(centsSm))
+    val (recRf, recRfSec) = timed(meanRecall(centsRf))
     require(recEx >= 0.6, f"exact-trainer recall broke: $recEx%.3f")
     require(recSm >= 0.6, f"sampled-trainer recall broke: $recSm%.3f")
+    require(recRf >= 0.6, f"refined-trainer recall broke: $recRf%.3f")
     // the discriminating metric when both recalls saturate (the planted
     // clusters are separable): mean cosine quantization error
     // 1 − max_c cos(v, c) over the FULL corpus — what coarse-quantizer
@@ -1595,7 +1717,12 @@ object Scale {
     }
     val (qeEx, _) = timed(cosQuantErr(centsEx))
     val (qeSm, _) = timed(cosQuantErr(centsSm))
+    val (qeRf, _) = timed(cosQuantErr(centsRf))
     require(qeEx >= 0.0 && qeEx < 0.5, f"exact quantization error insane: $qeEx%.4f")
+    // refinement can only polish the sampled init toward full-corpus
+    // means — the quantization error it optimizes must not regress
+    require(qeRf <= qeSm + 1e-9,
+      f"refined trainer worsened quantization error: $qeRf%.5f > $qeSm%.5f")
     val heapMb = heapPeakMb()
     vecs.unpersist(blocking = false)
     val section =
@@ -1609,23 +1736,28 @@ object Scale {
          |nProbe=$nProbe vs brute-force truth on ${queries.length} queries
          |spanning the cluster range (tail clusters included).
          |
-         || metric | exact trainer | sampled trainer |
-         ||---|---|---|
-         || train wall | ${f"$exSec%.1f"} s (5 full-corpus iterations) | ${f"$smSec%.1f"} s (2000-row sample, 5 iterations) |
-         || mean recall@$topK | ${f"$recEx%.3f"} | ${f"$recSm%.3f"} |
-         || mean cosine quantization error (full corpus) | ${f"$qeEx%.5f"} | ${f"$qeSm%.5f"} |
-         || planted clusters covered (centroid within 2.0) | $covEx / $k | $covSm / $k |
-         || mean centroid offset from planted center (covered) | ${f"$offEx%.4f"} | ${f"$offSm%.4f"} |
-         || recall measurement wall | ${f"$recExSec%.1f"} s | ${f"$recSmSec%.1f"} s |
+         || metric | exact trainer | refined (sampled init + ≤2 exact passes) | sampled trainer |
+         ||---|---|---|---|
+         || train wall | ${f"$exSec%.1f"} s (5 full-corpus iterations) | ${f"$rfSec%.1f"} s (${refineMoves.length} exact pass${if (refineMoves.length == 1) "" else "es"}) | ${f"$smSec%.1f"} s (2000-row sample, 5 iterations) |
+         || mean recall@$topK | ${f"$recEx%.3f"} | ${f"$recRf%.3f"} | ${f"$recSm%.3f"} |
+         || mean cosine quantization error (full corpus) | ${f"$qeEx%.5f"} | ${f"$qeRf%.5f"} | ${f"$qeSm%.5f"} |
+         || planted clusters covered (centroid within 2.0) | $covEx / $k | $covRf / $k | $covSm / $k |
+         || mean centroid offset from planted center (covered) | ${f"$offEx%.4f"} | ${f"$offRf%.4f"} | ${f"$offSm%.4f"} |
+         || recall measurement wall | ${f"$recExSec%.1f"} s | ${f"$recRfSec%.1f"} s | ${f"$recSmSec%.1f"} s |
          |
          |- peak heap $heapMb MB; corpus generate+write ${f"$genSec%.1f"} s
          |- the exact trainer moves only k·dim integer centroid rows to the
          |  driver per iteration; the corpus never leaves the executors —
          |  at 100 TB the sampled trainer's 2000 rows shape 64 lists from
          |  ~31 points each, the exact trainer from the full mass
+         |- refined = [[Similarity.kmeansCentroidsRefined]]: driver-sample
+         |  init, then exact full-corpus passes with the integer early exit
+         |  (per-pass max centroid movement²: ${refineMoves.map(_._2).mkString(", ")}) —
+         |  ${f"${rfSec / math.max(smSec, 1e-9)}%.1f"}× the sampled wall vs the pure
+         |  exact trainer's ${f"${exSec / math.max(smSec, 1e-9)}%.1f"}×
          |""".stripMargin
     spliceSection(outMd, ivfTrainHeader, section)
-    println(s"""{"metric":"scale_ivftrain","value":$exSec,"unit":"sec","n_vecs":$n,"k":$k,"recall_exact":$recEx,"recall_sampled":$recSm,"qerr_exact":$qeEx,"qerr_sampled":$qeSm,"covered_exact":$covEx,"covered_sampled":$covSm,"offset_exact":$offEx,"offset_sampled":$offSm,"heap_peak_mb":$heapMb}""")
+    println(s"""{"metric":"scale_ivftrain","value":$exSec,"unit":"sec","n_vecs":$n,"k":$k,"recall_exact":$recEx,"recall_refined":$recRf,"recall_sampled":$recSm,"qerr_exact":$qeEx,"qerr_refined":$qeRf,"qerr_sampled":$qeSm,"covered_exact":$covEx,"covered_refined":$covRf,"covered_sampled":$covSm,"offset_exact":$offEx,"offset_refined":$offRf,"offset_sampled":$offSm,"train_sec_exact":$exSec,"train_sec_refined":$rfSec,"train_sec_sampled":$smSec,"refine_passes":${refineMoves.length},"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 

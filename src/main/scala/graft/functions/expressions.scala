@@ -437,6 +437,59 @@ case class MatVec(child: Expression, matrix: Array[Float])
   override def prettyName: String = "mat_vec"
 }
 
+/** Exact-integer nearest-centroid kernel: one tight loop over a
+  * flattened k×dim long centroid table. Semantics identical to the
+  * `least(struct(d², list_id))` formula it replaces — exact long squared
+  * distances, ties to the SMALLER list index (strict-less keeps the
+  * first minimum). */
+object KmeansUtil {
+  def nearest(qv: ArrayData, cents: Array[Long], dim: Int): Int = {
+    val k = cents.length / dim
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < k) {
+      var d = 0L
+      var i = 0
+      val off = c * dim
+      while (i < dim) {
+        val t = qv.getLong(i) - cents(off + i)
+        d += t * t
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
+/** Codegen'd `nearest_centroid(qv) -> int` over plan-bound quantized-long
+  * centroids — the [[graft.operators.Similarity.kmeansLloydExact]]
+  * assignment kernel. The composed formula it replaces evaluated k
+  * interpreted zip_with/aggregate lambdas per row (CodegenFallback) and
+  * was the dominant cost of full-corpus Lloyd iterations. */
+case class NearestCentroid(child: Expression, cents: Array[Long], dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = child.dataType == ArrayType(LongType) ||
+      child.dataType == ArrayType(LongType, containsNull = false)
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> input, got ${child.dataType.simpleString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    KmeansUtil.nearest(v.asInstanceOf[ArrayData], cents, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("kmeansCents", cents, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.KmeansUtil.nearest($c, $cRef, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroid =
+    copy(child = c)
+  override def prettyName: String = "nearest_centroid"
+}
+
 /** Codegen'd PQ ADC score of a code column against a query's lookup
   * table (plan-bound constant). */
 case class PqAdc(child: Expression, lut: Array[Double], ksub: Int)
@@ -555,6 +608,9 @@ object GraftFunctions {
   /** Dense rotation (row-major dim×dim plan constant) of a float vector. */
   def mat_vec(c: Column, matrix: Array[Float]): Column =
     col(MatVec(expr(c), matrix))
+  /** Exact-integer nearest-centroid argmin (quantized-long k-means). */
+  def nearest_centroid(c: Column, cents: Array[Array[Long]]): Column =
+    col(NearestCentroid(expr(c), cents.flatten, cents.head.length))
   def image_format(c: Column): Column = col(ImageFormat(expr(c)))
   /** PNG/GIF pixel width; NULL for unrecognized payloads. */
   def image_width(c: Column): Column =

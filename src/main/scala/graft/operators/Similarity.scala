@@ -529,6 +529,69 @@ object Similarity {
       .toDF("rnk", idCol)
   }
 
+  /** BATCHED [[graphSearch]] — every query descends the graph together
+    * (the s5 batched-serving convention): the beam is a (query, id)
+    * FRAME, so each hop is ONE graph join + ONE corpus-score join + one
+    * per-query window, and a thousand concurrent queries pay the
+    * per-hop job cost once instead of a thousand driver loops. Same
+    * fixed-hop semantics as the single-query path, applied per query;
+    * self-matches are excluded per query (a corpus row serves as a
+    * traversal node for every OTHER query). Output (qIdCol, rnk, idCol),
+    * rank-only. Returned PINNED (persist + count, caller releases — the
+    * knnGraph contract).
+    *
+    * Scale shape: candidate volume per hop is |Q|·beam·(degree+1) rows —
+    * query-bounded, never corpus-sized; the window partitions by query
+    * (≤ beam·(degree+1) rows each), and the score join broadcasts the
+    * candidate side against the id-keyed corpus. */
+  def graphSearchBatch(
+      corpus: DataFrame, graph: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      entryIds: Seq[Long], k: Int, beam: Int, hops: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: got $k")
+    require(beam >= k, s"beam ($beam) must be >= k ($k)")
+    require(hops >= 0, s"hops must be >= 0: got $hops")
+    require(entryIds.nonEmpty, "graphSearchBatch needs at least one entry id")
+    val q = broadcast(queries.select(
+      col(qIdCol).cast("long").as("__q"), col(qVecCol).as("__qv")))
+    def scored(cand: DataFrame): DataFrame =
+      cand.join(corpus.select(col(idCol).cast("long").as("id"),
+          col(vecCol).as("__v")), Seq("id"))
+        .join(q, Seq("__q"))
+        .filter(col("id") =!= col("__q"))
+        .withColumn("__cos", vec_cosine(col("__v"), col("__qv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__q").orderBy(col("__cos").desc, col("id").asc)
+    def topBeam(cand: DataFrame): DataFrame =
+      scored(cand).withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= beam).select("__q", "id")
+    val entries = q.select(col("__q"))
+      .select(col("__q"), explode(typedlit(entryIds)).as("id"))
+    // persist each hop's beam: the next hop consumes it twice (union
+    // side and neighbor-join side); release the previous hop's pin
+    var beamDf = topBeam(entries).persist()
+    beamDf.count()
+    var h = 0
+    while (h < hops) {
+      val nbrs = beamDf
+        .join(graph.select(col("src").cast("long").as("id"),
+          col("dst").cast("long").as("__dst")), Seq("id"))
+        .select(col("__q"), col("__dst").as("id"))
+      val next = topBeam(beamDf.unionByName(nbrs).distinct()).persist()
+      next.count()
+      beamDf.unpersist(blocking = false)
+      beamDf = next
+      h += 1
+    }
+    val out = scored(beamDf)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("__q").as(qIdCol), col("rnk"), col("id").as(idCol))
+    out.persist().count()
+    beamDf.unpersist(blocking = false)
+    out
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
     * retrieval combiner: each input ranking contributes 1/(k0 + rank)
     * per document, missing documents contribute 0, fused score = the
@@ -767,6 +830,34 @@ object Similarity {
     cents.map(_.map(c => (c / scale).toFloat))
   }
 
+  /** The AFFORDABLE exact IVF trainer: sampled init + a couple of exact
+    * full-corpus refinement iterations. SCALE's ivftrain stage showed the
+    * pure exact trainer buys its centroid geometry (offset 0.030 vs the
+    * sample's 0.233 at 1M×64) at ~1000× the sampled wall — five full
+    * Lloyd scans from a cold seed. Almost all of that geometry is
+    * recoverable for the cost of the LAST iterations alone: the driver
+    * sample ([[kmeansCentroids]], milliseconds) lands the centroids in
+    * the right basins, then `refineIters` [[kmeansLloydExact]] passes
+    * (each = one scan-side argmin + one k·dim aggregate) polish each
+    * centroid with the FULL corpus's exact mean, with the integer early
+    * exit stopping the loop the moment no centroid moves. The result
+    * keeps the exact trainer's defining property — final centroids are
+    * full-corpus means in exact arithmetic — while paying 1–2 scans
+    * instead of `iters`. Same contract as the other trainers: float
+    * centroids, broadcast as plan literals downstream. */
+  def kmeansCentroidsRefined(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      sampleIters: Int = 10, refineIters: Int = 2, seed: Long = 42L,
+      sampleN: Int = 2000, scaleBits: Int = 20,
+      onIter: (Int, Long) => Unit = (_, _) => ()): Array[Array[Float]] = {
+    val scale = (1L << scaleBits).toDouble
+    val init = kmeansCentroids(corpus, vecCol, k, sampleIters, seed, sampleN)
+      .map(_.map(x => math.round(x.toDouble * scale)))
+    val (cents, _) = kmeansLloydExact(corpus, idCol, vecCol, k, refineIters,
+      scaleBits, init = Some(init), convergeDist2 = 0L, onIter = onIter)
+    cents.map(_.map(c => (c / scale).toFloat))
+  }
+
   /** The Lloyd iteration itself, over driver-local points — shared by the
     * IVF coarse quantizer and the per-subspace PQ trainers. */
   private def lloyd(
@@ -827,7 +918,21 @@ object Similarity {
         * (ids are often assigned in crawl/cluster order, making
         * smallest-id seeds geometrically correlated); the IVF trainer
         * ([[kmeansCentroidsExact]]) uses this. */
-      seedByHash: Boolean = false): (Array[Array[Long]], DataFrame) = {
+      seedByHash: Boolean = false,
+      /** explicit initial centroids in the SAME quantized-long space
+        * (overrides the seed rows) — the sampled-init refinement path
+        * ([[kmeansCentroidsRefined]]). */
+      init: Option[Array[Array[Long]]] = None,
+      /** early exit: stop iterating once NO centroid's exact squared
+        * integer movement between iterations exceeds this (0 = exact
+        * convergence). Movement is an integer, so the exit decision —
+        * like the rest of the trajectory — is a pure function of the
+        * corpus. Negative disables (run all `iters`). */
+      convergeDist2: Long = -1L,
+      /** observer called after each iteration with (iteration,
+        * max centroid movement²) — lets callers report how many full
+        * scans the early exit actually paid for. */
+      onIter: (Int, Long) => Unit = (_, _) => ()): (Array[Array[Long]], DataFrame) = {
     require(k >= 1, s"k must be >= 1: got $k")
     require(iters >= 1, s"iters must be >= 1: got $iters")
     require(scaleBits >= 1 && scaleBits <= 30, s"scaleBits out of range: $scaleBits")
@@ -845,36 +950,62 @@ object Similarity {
       BigInt(dim) * 4 * BigInt(maxAbs max 1L) * BigInt(maxAbs max 1L) <= BigInt(Long.MaxValue),
       s"kmeans_lloyd_exact: dim=$dim at max|q|=$maxAbs would overflow the " +
         "exact integer distance - lower scaleBits or normalize the vectors")
-    var cents: Array[Array[Long]] =
-      (if (seedByHash) q.orderBy(xxhash64(col("id")).asc, col("id").asc)
-       else q.orderBy(col("id").asc))
-        .limit(k).collect().map(_.getSeq[Long](1).toArray)
-    require(cents.length == k, s"corpus has fewer than k=$k rows")
-    def assignExpr: Column = {
-      val structs = cents.zipWithIndex.map { case (c, i) =>
-        struct(
-          aggregate(zip_with(col("qv"), typedlit(c.toSeq),
-            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d2"),
-          lit(i).as("list_id"))
-      }
-      least(structs.toIndexedSeq: _*).getField("list_id")
+    var cents: Array[Array[Long]] = init match {
+      case Some(c0) =>
+        require(c0.length == k, s"init has ${c0.length} centroids, need $k")
+        c0.map(_.clone())
+      case None =>
+        (if (seedByHash) q.orderBy(xxhash64(col("id")).asc, col("id").asc)
+         else q.orderBy(col("id").asc))
+          .limit(k).collect().map(_.getSeq[Long](1).toArray)
     }
-    for (_ <- 1 to iters) {
+    require(cents.length == k, s"corpus has fewer than k=$k rows")
+    // codegen'd single-loop argmin over the plan-bound centroid table —
+    // the composed least(struct(zip_with…)) formula it replaces ran k
+    // interpreted lambda dispatches per row (CodegenFallback) and
+    // dominated full-corpus iterations; semantics identical (exact long
+    // d², ties to the smaller list index), kernel-vs-formula parity
+    // asserted in FunctionsSpec
+    def assignExpr: Column =
+      graft.functions.GraftFunctions.nearest_centroid(col("qv"), cents)
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      // per-list componentwise sums as dim sum(element_at) columns over a
+      // k-row groupBy — NOT a posexplode: exploding multiplies the corpus
+      // by dim before the aggregate (64M intermediate rows at 1M×64 and
+      // the dominant trainer cost); this shape map-side-combines straight
+      // to k×(dim+1) cells. Same exact integer sums either way.
+      val aggCols = (0 until dim).map(j =>
+        sum(element_at(col("qv"), j + 1)).as(s"s$j")) :+
+        count(lit(1)).as("n")
       val rows = q.withColumn("list_id", assignExpr)
-        .select(col("list_id"), posexplode(col("qv")).as(Seq("dim0", "v")))
-        .groupBy("list_id", "dim0")
-        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .groupBy("list_id")
+        .agg(aggCols.head, aggCols.tail: _*)
         .collect()
       val sums = Array.fill(k, dim)(0L)
       val cnts = Array.fill(k)(0L)
       rows.foreach { r =>
-        sums(r.getInt(0))(r.getInt(1)) = r.getLong(2)
-        cnts(r.getInt(0)) = r.getLong(3)
+        val list = r.getInt(0)
+        var j = 0
+        while (j < dim) { sums(list)(j) = r.getLong(j + 1); j += 1 }
+        cnts(list) = r.getLong(dim + 1)
       }
-      cents = cents.zipWithIndex.map { case (old, i) =>
+      val next = cents.zipWithIndex.map { case (old, i) =>
         if (cnts(i) == 0L) old
         else sums(i).map(s => Math.floorDiv(s, cnts(i)))
       }
+      // exact integer movement: each |old−new| ≤ 2·max|q| so the squared
+      // sum sits under the same overflow guard as the distances
+      val move2 = cents.zip(next).map { case (o, n) =>
+        var d = 0L; var i = 0
+        while (i < dim) { val t = o(i) - n(i); d += t * t; i += 1 }
+        d
+      }.max
+      cents = next
+      it += 1
+      onIter(it, move2)
+      if (convergeDist2 >= 0L && move2 <= convergeDist2) converged = true
     }
     val assigned = q.withColumn("list_id", assignExpr)
       .select(col("id").as(idCol), col("list_id").cast("long").as("list_id"))

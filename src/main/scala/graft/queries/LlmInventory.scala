@@ -2249,6 +2249,28 @@ object LlmInventory {
     out
   }
 
+  /** s26: BATCHED graph-ANN serving ([[Similarity.graphSearchBatch]]) —
+    * four queries (vec 0–3) descend s22's graph TOGETHER: the beam is a
+    * (query, id) frame, each hop one graph join + one score join + a
+    * per-query window, so the whole batch pays three hop jobs total
+    * (the s5 batched convention vs s25's per-query driver loop). Entry
+    * ids 4–7, beam 8, three hops, top-5 per query; self-matches
+    * excluded per query. The oracle replays the descent as unrolled hop
+    * CTEs PARTITIONED BY query. */
+  val s26GraphSearchBatch: Q = (s, d) => {
+    val em = embeddings(s, d)
+    val graph = Similarity.knnGraph(em, "vec_id", "embedding",
+      k = 5, planes = 8, seed = 42L, bands = 2, md5Family = true)
+    val out = Similarity.graphSearchBatch(
+      em, graph, "vec_id", "embedding",
+      em.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("q_id"), col("embedding")),
+      "q_id", "embedding",
+      entryIds = Seq(4L, 5L, 6L, 7L), k = 5, beam = 8, hops = 3)
+    graph.unpersist(blocking = false)
+    out
+  }
+
   /** t56: Cohen's kappa ([[graft.operators.Importance.cohenKappa]]) —
     * chance-corrected agreement between two deterministic "raters" of
     * the same docs (token-count long/short vs byte-length long/short):
@@ -2553,6 +2575,7 @@ object LlmInventory {
     "s21_kmeans" -> s21Kmeans,
     "s22_knn_graph" -> s22KnnGraph,
     "s25_graph_search" -> s25GraphSearch,
+    "s26_graph_search_batch" -> s26GraphSearchBatch,
     "s23_dbscan" -> s23Dbscan,
     "s24_semantic_survivors" -> s24SemanticSurvivors,
     "t56_cohen_kappa" -> t56CohenKappa,
@@ -4320,6 +4343,61 @@ object LlmInventory {
         |  SELECT b3.vec_id AS vec_id,
         |    ROW_NUMBER() OVER (ORDER BY score.cos DESC, b3.vec_id ASC) AS rnk
         |  FROM b3 JOIN score USING (vec_id)) t
+        |WHERE rnk <= 5""".stripMargin,
+    // batched serving: the same descent PARTITIONED BY query — per-query
+    // self-exclusion in the score CTE, per-query windows per hop
+    "s26_graph_search_batch" ->
+      """WITH sigs AS (
+        |  SELECT vec_id, embedding, band,
+        |    sum(CASE WHEN dot > 0 THEN 1<<i ELSE 0 END)::BIGINT AS sig
+        |  FROM (
+        |    SELECT vec_id, embedding, b.band AS band, i.i AS i,
+        |      list_reduce(list_transform(range(1, len(embedding)+1),
+        |        j -> CASE WHEN ('0x'||substr(md5((42+b.band)::VARCHAR||'#'||i.i::VARCHAR||'#'||(j-1)::VARCHAR),1,1))::INT < 8
+        |             THEN CAST(embedding[j] AS DOUBLE) ELSE -CAST(embedding[j] AS DOUBLE) END),
+        |        (a,b2) -> a+b2) AS dot
+        |    FROM embeddings CROSS JOIN range(0, 2) b(band) CROSS JOIN range(0, 8) i(i))
+        |  GROUP BY vec_id, embedding, band),
+        |pairs AS (
+        |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2,
+        |    list_cosine_similarity(a.embedding, b.embedding) AS cosine
+        |  FROM sigs a JOIN sigs b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+        |sym AS (
+        |  SELECT d1 AS src, d2 AS dst, cosine FROM pairs
+        |  UNION ALL SELECT d2, d1, cosine FROM pairs),
+        |g AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
+        |    FROM sym) WHERE rnk <= 5),
+        |qs AS (SELECT vec_id AS q, embedding AS qe FROM embeddings WHERE vec_id < 4),
+        |score AS (
+        |  SELECT qs.q, e.vec_id, list_cosine_similarity(e.embedding, qs.qe) AS cos
+        |  FROM embeddings e CROSS JOIN qs WHERE e.vec_id <> qs.q),
+        |b0 AS (
+        |  SELECT q, vec_id FROM (
+        |    SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, vec_id ASC) AS r
+        |    FROM score WHERE vec_id IN (4, 5, 6, 7)) WHERE r <= 8),
+        |c1 AS (SELECT q, vec_id FROM b0 UNION SELECT b0.q, g.dst FROM g JOIN b0 ON g.src = b0.vec_id),
+        |b1 AS (
+        |  SELECT q, vec_id FROM (
+        |    SELECT c1.q, c1.vec_id, ROW_NUMBER() OVER (PARTITION BY c1.q ORDER BY score.cos DESC, c1.vec_id ASC) AS r
+        |    FROM c1 JOIN score ON score.q = c1.q AND score.vec_id = c1.vec_id) WHERE r <= 8),
+        |c2 AS (SELECT q, vec_id FROM b1 UNION SELECT b1.q, g.dst FROM g JOIN b1 ON g.src = b1.vec_id),
+        |b2 AS (
+        |  SELECT q, vec_id FROM (
+        |    SELECT c2.q, c2.vec_id, ROW_NUMBER() OVER (PARTITION BY c2.q ORDER BY score.cos DESC, c2.vec_id ASC) AS r
+        |    FROM c2 JOIN score ON score.q = c2.q AND score.vec_id = c2.vec_id) WHERE r <= 8),
+        |c3 AS (SELECT q, vec_id FROM b2 UNION SELECT b2.q, g.dst FROM g JOIN b2 ON g.src = b2.vec_id),
+        |b3 AS (
+        |  SELECT q, vec_id FROM (
+        |    SELECT c3.q, c3.vec_id, ROW_NUMBER() OVER (PARTITION BY c3.q ORDER BY score.cos DESC, c3.vec_id ASC) AS r
+        |    FROM c3 JOIN score ON score.q = c3.q AND score.vec_id = c3.vec_id) WHERE r <= 8)
+        |SELECT q_id, rnk, vec_id FROM (
+        |  SELECT b3.q AS q_id, b3.vec_id AS vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY b3.q ORDER BY score.cos DESC, b3.vec_id ASC) AS rnk
+        |  FROM b3 JOIN score ON score.q = b3.q AND score.vec_id = b3.vec_id) t
         |WHERE rnk <= 5""".stripMargin,
     "s7_semantic_dedup" ->
       """WITH RECURSIVE sigs AS (

@@ -508,4 +508,27 @@ class FunctionsSpec extends AnyFunSuite {
     // dot(query, c0) = 0.5
     assert(PqUtil.adc(code, lut, 2) === 0.5)
   }
+
+  test("KmeansUtil.nearest: parity with the least-struct argmin formula incl. ties") {
+    import graft.functions.KmeansUtil
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(17)
+    val dim = 7; val k = 5
+    val cents = Array.fill(k, dim)(rnd.nextInt(2000).toLong - 1000L)
+    // plant an exact DUPLICATE centroid so ties exist: the kernel must
+    // keep the SMALLER index, like least(struct(d2, list_id))
+    cents(3) = cents(1).clone()
+    val flat = cents.flatten
+    def formula(qv: Array[Long]): Int =
+      cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.min._2
+    (0 until 500).foreach { _ =>
+      val qv = Array.fill(dim)(rnd.nextInt(2000).toLong - 1000L)
+      val got = KmeansUtil.nearest(new GenericArrayData(qv), flat, dim)
+      assert(got === formula(qv))
+    }
+    // exact hit on the duplicated centroid → index 1, never 3
+    assert(KmeansUtil.nearest(new GenericArrayData(cents(1)), flat, dim) === 1)
+  }
 }

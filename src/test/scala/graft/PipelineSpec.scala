@@ -1274,6 +1274,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(got3 === want)
   }
 
+  test("IncrementalCurate.applyDeltaBatch: per-batch cache fold; replay is idempotent (r20 substrate)") {
+    import graft.operators.{Dedup, IncrementalCurate}
+    import spark.implicits._
+    val base = tmp()
+    def mk(i: Int, tag: String) =
+      (i.toLong, (1 to 80).map(j => s"$tag${i}w$j").mkString(" "))
+    val v1 = (1 to 30).map(mk(_, "a")).toDF("doc_id", "text")
+    val v2 = ((1 to 30).filterNot(_ == 7)
+      .map(i => if (i == 5) mk(5, "b") else mk(i, "a")) :+ mk(31, "a"))
+      .toDF("doc_id", "text")
+    val cache = s"$base/cache"
+    IncrementalCurate.perDocVerdicts(v1, "doc_id", "text")
+      .write.parquet(s"$cache/v0")
+    // one delta batch carrying all three statuses (removed rows NULL text)
+    val deltas = Dedup.corpusDiff(v1, v2, "doc_id", "text")
+      .filter(col("status") =!= "same")
+      .join(v2, Seq("doc_id"), "left")
+    IncrementalCurate.applyDeltaBatch(cache, deltas, 0L, "doc_id", "text")
+    val once = spark.read.parquet(s"$cache/v1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // REPLAY batch 0 (a restart re-delivers it): v1 is rewritten from the
+    // same v0 input — byte-identical, the exactly-once-by-idempotence claim
+    IncrementalCurate.applyDeltaBatch(cache, deltas, 0L, "doc_id", "text")
+    val twice = spark.read.parquet(s"$cache/v1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(twice === once, "replaying a batch changed the cache")
+    // and the folded cache equals the full recompute over v2
+    val want = IncrementalCurate.perDocVerdicts(v2, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(once === want)
+    assert(!once.exists(_._1 == 7L), "removed doc leaked through the fold")
+  }
+
   test("corpus CLI: curate — the composed funnel drops each planted offender (D10)") {
     import spark.implicits._
     val base = tmp()

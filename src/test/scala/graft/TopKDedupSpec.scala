@@ -266,6 +266,34 @@ class TopKDedupSpec extends AnyFunSuite {
       df.repartition(17), "id", "vec", k = 3, iters = 5)
     assert(cents17.map(_.toSeq).toSeq === cents.map(_.toSeq).toSeq)
     assert(assigned17.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === byId)
+
+    // refined trainer (sampled init + exact passes): Lloyd refinement
+    // can only polish whatever basins the sampled init found (it never
+    // re-seeds), so the GUARANTEED invariant is SSE monotonicity — the
+    // refined centroids fit the corpus at least as well as the raw
+    // sampled ones — plus the bounded pass count
+    val moves = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    val refined = Similarity.kmeansCentroidsRefined(
+      df, "id", "vec", k = 3, sampleIters = 5, refineIters = 2,
+      seed = 42L, sampleN = 90, onIter = (i, m) => moves += ((i, m)))
+    val sampledOnly = Similarity.kmeansCentroids(
+      df, "vec", k = 3, iters = 5, seed = 42L, sampleN = 90)
+    def sse(cents: Array[Array[Float]]): Double =
+      rows.map { case (_, v) =>
+        cents.map(c => c.zip(v).map { case (a, b) => (a - b) * (a - b) }
+          .sum.toDouble).min
+      }.sum
+    assert(sse(refined) <= sse(sampledOnly) + 1e-6,
+      s"refinement worsened fit: ${sse(refined)} > ${sse(sampledOnly)}")
+    assert(moves.nonEmpty && moves.length <= 2)
+    val scale = (1L << 20).toDouble
+    val initQ = refined.map(_.map(x => math.round(x.toDouble * scale)))
+    val moves2 = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    Similarity.kmeansLloydExact(df, "id", "vec", k = 3, iters = 5,
+      init = Some(initQ), convergeDist2 = 0L,
+      onIter = (i, m) => moves2 += ((i, m)))
+    assert(moves2.length === 1, s"early exit should stop after one pass: $moves2")
+    assert(moves2.head._2 === 0L, s"converged centroids must not move: $moves2")
   }
 
   test("Dedup.repeatedSpans: hand-built coverage, overlap merging, hash parity") {
