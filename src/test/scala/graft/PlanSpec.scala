@@ -102,6 +102,24 @@ class PlanSpec extends AnyFunSuite {
     assert(row.getInt(1) === 1)
   }
 
+  test("NearestCentroid compiles into whole-stage codegen (the Lloyd assignment kernel)") {
+    import org.apache.spark.sql.execution.debug._
+    import org.apache.spark.sql.functions.{array, col}
+    val cents = Array(Array(0L, 0L), Array(60L, 120L))
+    val df = spark.range(64)
+      .select(array(col("id"), col("id") * 2).as("qv"))
+      .select(graft.functions.GraftFunctions.nearest_centroid(col("qv"), cents).as("list"))
+    val gen = df.queryExecution.debug.codegenToSeq()
+    assert(gen.nonEmpty)
+    val code = gen.map(_._2).mkString("\n")
+    assert(code.contains("KmeansUtil.nearest"), "kernel not in generated code")
+    val got = df.collect().map(_.getInt(0))
+    // d² ties at id=30 (4500 both sides) → the SMALLER index, like the
+    // least-struct formula the kernel replaced
+    assert(got(30) === 0)
+    assert(got(29) === 0 && got(31) === 1 && got(0) === 0 && got(63) === 1)
+  }
+
   test("bucketed tables: slot equi-join plans with ZERO exchange (co-located)") {
     import spark.implicits._
     Seq("b_blocks", "b_rewards").foreach { t =>
