@@ -43,7 +43,7 @@ import org.apache.spark.sql.SparkSession
   * graft corpus spandedup --in DIR --out DIR [--w 50] [--min-occur 2] [--id-col c] [--text-col c]
   * graft corpus blocklist --in DIR --out DIR --patterns a,b,c [--max-hits 0] [--id-col c] [--text-col c]
   * graft corpus knngraph --in DIR --out DIR [--vec-col c] [--k 10] [--planes 16] [--bands 4] [--seed 42] [--id-col c]
-  * graft corpus graphsearch --in DIR --graph GRAPHDIR --query-id N [--k 10] [--beam 32] [--hops 3] [--entries 8 | --entry-ids N,N,...] [--vec-col c] [--id-col c]
+  * graft corpus graphsearch --in DIR --graph GRAPHDIR {--query-id N | --query-ids N,N,...} [--k 10] [--beam 32] [--hops 3] [--entries 8 | --entry-ids N,N,...] [--vec-col c] [--id-col c]
   * graft corpus dbscan   --in DIR --out DIR [--vec-col c] [--tau 0.8] [--min-pts 4] [--planes 16] [--bands 4] [--seed 42] [--id-col c]
   * graft corpus diff     --in NEWDIR --against OLDDIR --out DIR [--id-col c] [--text-col c]
   * graft corpus incremental --in NEWDIR --against OLDDIR --out CACHEDIR [--cache PREVCACHEDIR] [--id-col c] [--text-col c]
@@ -587,31 +587,46 @@ object Main {
         g.unpersist(blocking = false)
         println(s"[graft] corpus knngraph: k=$k planes=$planes bands=$bands -> $outDir")
       case "graphsearch" =>
-        // serve one query by greedy beam descent over a materialized
+        // serve queries by greedy beam descent over a materialized
         // knngraph dir (single-layer HNSW shape); entries default to the
-        // lowest-id corpus rows (deterministic)
+        // lowest-id corpus rows (deterministic). --query-ids runs ALL
+        // queries through ONE batched descent (graphSearchBatch) — the
+        // annquery --query-ids convention.
         val vecCol = opt(args, "vec-col").getOrElse("embedding")
         val graphDir = opt(args, "graph")
           .getOrElse(sys.error("corpus graphsearch needs --graph GRAPHDIR"))
-        val qid = opt(args, "query-id").map(_.toLong)
-          .getOrElse(sys.error("--query-id required"))
         val k = opt(args, "k").map(_.toInt).getOrElse(10)
         val beam = opt(args, "beam").map(_.toInt).getOrElse(math.max(32, k))
         val hops = opt(args, "hops").map(_.toInt).getOrElse(3)
-        val query = docs.filter(col(idCol) === qid)
-          .select(vecCol).head().getSeq[Float](0)
-        val entries = opt(args, "entry-ids") match {
+        def entriesFor(exclude: Set[Long]) = opt(args, "entry-ids") match {
           case Some(csv) => csv.split(",").map(_.trim.toLong).toSeq
-          case None => docs.filter(col(idCol) =!= qid)
+          case None => docs.filter(!col(idCol).isin(exclude.toSeq: _*))
             .select(col(idCol).cast("long")).orderBy(col(idCol).asc)
             .limit(opt(args, "entries").map(_.toInt).getOrElse(8))
             .collect().map(_.getLong(0)).toSeq
         }
-        val hits = graft.operators.Similarity.graphSearch(
-          docs.filter(col(idCol) =!= qid), spark.read.parquet(graphDir),
-          idCol, vecCol, query, entries, k, beam, hops)
-        hits.orderBy("rnk").collect()
-          .foreach(r => println(s"${r.getLong(0)}\t${r.get(1)}"))
+        opt(args, "query-ids") match {
+          case Some(idsCsv) =>
+            val qids = idsCsv.split(",").map(_.trim.toLong).toSeq
+            val hits = graft.operators.Similarity.graphSearchBatch(
+              docs, spark.read.parquet(graphDir), idCol, vecCol,
+              docs.filter(col(idCol).isin(qids: _*))
+                .select(col(idCol).as("q_id"), col(vecCol)),
+              "q_id", vecCol, entriesFor(qids.toSet), k, beam, hops)
+            hits.orderBy(col("q_id"), col("rnk")).collect()
+              .foreach(r => println(s"${r.getLong(0)}\t${r.getLong(1)}\t${r.get(2)}"))
+            hits.unpersist(blocking = false)
+          case None =>
+            val qid = opt(args, "query-id").map(_.toLong)
+              .getOrElse(sys.error("--query-id or --query-ids required"))
+            val query = docs.filter(col(idCol) === qid)
+              .select(vecCol).head().getSeq[Float](0)
+            val hits = graft.operators.Similarity.graphSearch(
+              docs.filter(col(idCol) =!= qid), spark.read.parquet(graphDir),
+              idCol, vecCol, query, entriesFor(Set(qid)), k, beam, hops)
+            hits.orderBy("rnk").collect()
+              .foreach(r => println(s"${r.getLong(0)}\t${r.get(1)}"))
+        }
       case "dbscan" =>
         // density clustering: (id, role core|border|noise, cluster)
         val vecCol = opt(args, "vec-col").getOrElse("embedding")

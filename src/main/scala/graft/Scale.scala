@@ -276,6 +276,7 @@ object Scale {
     if (args.headOption.contains("spans")) return spansMain(args)
     if (args.headOption.contains("dbscan")) return dbscanMain(args)
     if (args.headOption.contains("semsurvivors")) return semSurvivorsMain(args)
+    if (args.headOption.contains("graphserve")) return graphServeMain(args)
     if (args.headOption.contains("pagerank")) return pagerankMain(args)
     if (args.headOption.contains("triangles")) return trianglesMain(args)
     if (args.headOption.contains("triab")) return triAbMain(args)
@@ -1493,6 +1494,117 @@ object Scale {
          |""".stripMargin
     spliceSection(outMd, semSurvivorsHeader, section)
     println(s"""{"metric":"scale_semsurvivors","value":$fitSec,"unit":"sec","n_vecs":$nVecs,"kept":$nKept,"kept_frac":$keptFrac,"heap_peak_mb":$heapMb}""")
+    spark.stop()
+  }
+
+  private val graphServeHeader = "## Graph-ANN serving stage (beam descent over the 1M kNN graph)"
+
+  /** `runMain graft.Scale graphserve [nVecs] [outMd]` — the s25/s26
+    * serving paths at corpus scale: build [[graft.operators.Similarity
+    * .knnGraph]] over 1M hash-uniform 64-dim vectors (the HARD case —
+    * no planted structure, shallow cosine neighborhoods), then serve 16
+    * queries three ways: batched ([[graft.operators.Similarity
+    * .graphSearchBatch]], one descent job set for all queries), the
+    * per-query driver loop ([[graft.operators.Similarity.graphSearch]]),
+    * and brute force. The HARD invariant is exact: the batched descent
+    * must return byte-identical (query, rnk, id) rows to 16 independent
+    * single-query descents — same graph, same entries, same hops —
+    * proving the frame-wide windows and the driver loop implement ONE
+    * semantics. recall@10 vs brute is LOGGED as measured (uniform
+    * random data lower-bounds any real corpus, where near-duplicate
+    * structure makes descent easier); the walls quantify the batched
+    * amortization. */
+  private def graphServeMain(args: Array[String]): Unit = {
+    val nVecs = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    val outMd = args.lift(2).getOrElse("SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    import graft.operators.Similarity
+    val dim = 64
+    val dir = Files.createTempDirectory("graft_scale_gserve").toString
+    val (_, genSec) = timed {
+      spark.range(nVecs).toDF("id")
+        .withColumn("vec",
+          transform(sequence(lit(0), lit(dim - 1)), j =>
+            ((pmod(xxhash64(col("id"), j, lit(7)), lit(2000L)).cast("double") / 1000.0 - 1.0))
+              .cast("float")))
+        .write.mode("overwrite").parquet(dir)
+    }
+    val vecs = spark.read.parquet(dir).persist()
+    vecs.count()
+    val (graph, buildSec) = timed {
+      Similarity.knnGraph(vecs, "id", "vec", k = 8, planes = 16, seed = 42L,
+        bands = 4)
+    }
+    val nEdges = graph.count()
+    val queries = vecs.filter(col("id") < 16)
+      .select(col("id").as("q_id"), col("vec")).persist()
+    val qList = queries.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val entries = (100L to 131L).toSeq
+    val (batched, batchSec) = timed {
+      val out = Similarity.graphSearchBatch(vecs, graph, "id", "vec",
+        queries, "q_id", "vec", entries, k = 10, beam = 32, hops = 3)
+      val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      out.unpersist(blocking = false)
+      rows
+    }
+    val (singles, singleSec) = timed {
+      qList.flatMap { case (qid, qv) =>
+        Similarity.graphSearch(
+          vecs.filter(col("id") =!= qid), graph, "id", "vec", qv,
+          entries, k = 10, beam = 32, hops = 3)
+          .collect().map(r => (qid, r.getLong(0), r.getLong(1)))
+      }.toSet
+    }
+    require(batched == singles,
+      s"batched descent diverged from single-query descents: " +
+        s"${(batched diff singles).size}+${(singles diff batched).size} rows differ")
+    val (recall, bruteSec) = timed {
+      val per = qList.map { case (qid, qv) =>
+        val truth = Similarity.bruteForceTopK(
+          vecs.filter(col("id") =!= qid), "id", "vec", qv, 10)
+          .collect().map(_.getLong(0)).toSet
+        val got = batched.filter(_._1 == qid).map(_._3)
+        (got & truth).size / 10.0
+      }
+      per.sum / per.length
+    }
+    val heapMb = heapPeakMb()
+    graph.unpersist(blocking = false)
+    queries.unpersist(blocking = false)
+    vecs.unpersist(blocking = false)
+    val section =
+      s"""
+         |$graphServeHeader (${nVecs / 1000}k × $dim-dim hash-uniform vectors, degree-8 graph, 16 queries)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale graphserve $nVecs"` —
+         |the s25/s26 serving paths over a corpus-scale kNN graph. Uniform
+         |random vectors are the HARD case (no near-dup structure to
+         |navigate); the exact invariant is that the BATCHED descent
+         |(one job set for all queries) returns byte-identical rows to 16
+         |independent single-query descents.
+         |
+         || metric | value |
+         ||---|---|
+         || corpus generate + write | ${f"$genSec%.1f"} s ($nVecs vectors) |
+         || kNN graph build (k=8, 16 planes × 4 bands) | ${f"$buildSec%.1f"} s ($nEdges edges) |
+         || batched serve, 16 queries × top-10 (beam 32, 3 hops) | ${f"$batchSec%.1f"} s (${f"${batchSec / 16}%.2f"} s/query) |
+         || single-query loop, same 16 | ${f"$singleSec%.1f"} s (${f"${singleSec / 16}%.2f"} s/query — batched is ${f"${singleSec / math.max(batchSec, 1e-9)}%.1f"}×) |
+         || batched ≡ single | EXACT (same (query, rnk, id) set) |
+         || mean recall@10 vs brute (brute wall ${f"$bruteSec%.1f"} s) | ${f"$recall%.3f"} on uniform data (LOGGED, not asserted — no navigable structure; the RecallSpec fixture floor is 0.60) |
+         || peak heap | $heapMb MB |
+         |""".stripMargin
+    spliceSection(outMd, graphServeHeader, section)
+    println(s"""{"metric":"scale_graphserve","value":$batchSec,"unit":"sec","n_vecs":$nVecs,"edges":$nEdges,"recall":$recall,"build_sec":$buildSec,"single_sec":$singleSec,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 

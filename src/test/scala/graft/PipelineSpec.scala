@@ -1152,6 +1152,29 @@ class PipelineSpec extends AnyFunSuite {
     val db = spark.read.parquet(s"$base/db")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(db(1L) === "core" && db(9L) === "noise")
+
+    // graphsearch over the materialized knn dir: from entry 3 the beam
+    // must find 2 (the nearest to 1's vector after 3 itself via the
+    // graph); single-query and batched paths both drive the verb
+    val out1 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out1)) {
+      Main.corpusRun(spark, "graphsearch",
+        Array("--in", s"$base/vecs", "--graph", s"$base/knn",
+          "--query-id", "1", "--k", "1", "--beam", "2", "--hops", "2",
+          "--entry-ids", "3"))
+    }
+    assert(out1.toString.trim.linesIterator.toSeq.head === "1\t2",
+      s"graphsearch single: ${out1.toString}")
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2)) {
+      Main.corpusRun(spark, "graphsearch",
+        Array("--in", s"$base/vecs", "--graph", s"$base/knn",
+          "--query-ids", "1,2", "--k", "1", "--beam", "2", "--hops", "2",
+          "--entry-ids", "3"))
+    }
+    val batchLines = out2.toString.trim.linesIterator.toSeq
+    assert(batchLines.contains("1\t1\t2") && batchLines.exists(_.startsWith("2\t1\t")),
+      s"graphsearch batched: ${out2.toString}")
   }
 
   test("corpus CLI: dedup --against sweeps the reference corpus first") {
