@@ -48,6 +48,7 @@ import org.apache.spark.sql.SparkSession
   * graft corpus diff     --in NEWDIR --against OLDDIR --out DIR [--id-col c] [--text-col c]
   * graft corpus incremental --in NEWDIR --against OLDDIR --out CACHEDIR [--cache PREVCACHEDIR] [--id-col c] [--text-col c]
   * graft corpus shuffle  --in DIR --out DIR [--seed epoch0] [--shards 8] [--id-col c]
+  * graft corpus curriculum --in DIR --out DIR [--score-col c] [--stratum-col source] [--buckets 3] [--seed epoch0] [--shards 8] [--id-col c] [--text-col c]
   * }}}
   *
   * `--base DIR` holds `raw_blocks/`, `tables/`, `load_state_chunks/`,
@@ -100,7 +101,7 @@ object Main {
           "annindex", "annquery", "stats", "pack", "chunk", "dsir",
           "pagerank", "triangles", "bpetrain", "quantiles", "kmeans",
           "spandedup", "blocklist", "knngraph", "graphsearch", "dbscan",
-          "diff", "shuffle", "incremental")(cmd) =>
+          "diff", "shuffle", "curriculum", "incremental")(cmd) =>
       val spark = session()
       try corpusRun(spark, cmd, rest.toArray) finally spark.stop()
     case _ =>
@@ -678,6 +679,28 @@ object Main {
           .sortWithinPartitions("shuffle_key")
           .write.mode("overwrite").parquet(outDir)
         println(s"[graft] corpus shuffle: seed '$seed' -> $outDir")
+      case "curriculum" =>
+        // easy→hard training order: per-stratum exact quantile buckets of
+        // a difficulty score + deterministic within-bucket shuffle; the
+        // written order (bucket, shuffle_key) IS the curriculum
+        val seed = opt(args, "seed").getOrElse("epoch0")
+        val buckets = opt(args, "buckets").map(_.toInt).getOrElse(3)
+        val stratum = opt(args, "stratum-col").getOrElse("source")
+        val (base, scoreCol) = opt(args, "score-col") match {
+          case Some(c) => (docs, c)
+          case None => (docs.withColumn("n_tokens",
+            graft.operators.TextAnalysis.tokenCount(col(textCol)).cast("long")),
+            "n_tokens")
+        }
+        graft.operators.Sampling
+          .curriculumOrder(base, idCol, stratum, scoreCol, buckets, seed)
+          .repartitionByRange(
+            opt(args, "shards").map(_.toInt).getOrElse(8),
+            col("bucket"), col("shuffle_key"))
+          .sortWithinPartitions("bucket", "shuffle_key")
+          .write.mode("overwrite").parquet(outDir)
+        println(s"[graft] corpus curriculum: $buckets buckets of " +
+          s"'$scoreCol' per '$stratum', seed '$seed' -> $outDir")
       case "blocklist" =>
         // substring/phrase blocklist (Aho-Corasick, one pass per row):
         // --patterns a,b,c ; writes (id, n_hits, flagged)

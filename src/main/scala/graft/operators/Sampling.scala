@@ -44,6 +44,22 @@ object Sampling {
     df.withColumn("shuffle_key",
       md5(concat(lit(seed), lit("|"), col(idCol).cast("string"))))
 
+  /** CURRICULUM training order — easy→hard as a pure function of the
+    * corpus: per-stratum exact quantile buckets of a difficulty score
+    * ([[scoreBuckets]] — length, perplexity proxy, classifier score),
+    * deterministically shuffled WITHIN each bucket
+    * ([[deterministicShuffle]]). The curriculum IS the sort order
+    * `(bucket ASC, shuffle_key ASC, id)`: write the corpus
+    * range-partitioned + sorted by it and training reads easy buckets
+    * first with a reproducible permutation inside each — no global
+    * window, no RNG state, epoch N = seed N (the t58 convention).
+    * Adds `bucket` and `shuffle_key`. */
+  def curriculumOrder(
+      df: DataFrame, idCol: String, stratumCol: String, scoreCol: String,
+      buckets: Int = 3, seed: String = "epoch1"): DataFrame =
+    deterministicShuffle(
+      scoreBuckets(df, stratumCol, scoreCol, buckets), idCol, seed)
+
   /** Deterministic train/val/test label: `trainPct` of ids → train, next
     * `valPct` → val, rest → test. */
   def splitLabel(id: Column, trainPct: Double, valPct: Double): Column =

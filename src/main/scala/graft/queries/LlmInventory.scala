@@ -918,6 +918,24 @@ object LlmInventory {
       "lang", "n_tokens", buckets = 3)
       .select("doc_id", "lang", "n_tokens", "bucket")
 
+  /** t59: CURRICULUM training order ([[Sampling.curriculumOrder]]) —
+    * t26's exact per-language length terciles composed with t58's
+    * deterministic within-bucket shuffle. The operator's contract is
+    * the SORT (bucket, shuffle_key) — no global window; the GATE
+    * materializes the per-(lang, bucket) rank so the ORDER itself, not
+    * just the bucket assignment, faces DuckDB. The rank window here is
+    * gate-side presentation over bounded groups, not the operator. */
+  val t59Curriculum: Q = (s, d) => {
+    val cur = Sampling.curriculumOrder(
+      documents(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "doc_id", "lang", "n_tokens", buckets = 3, seed = "cur1")
+    cur.withColumn("pos", row_number().over(
+        Window.partitionBy("lang", "bucket")
+          .orderBy(col("shuffle_key").asc, col("doc_id").asc)).cast("long"))
+      .select("doc_id", "lang", "bucket", "pos")
+  }
+
   // --- Repetition / contamination gates ---------------------------------
 
   /** t9: Gopher-style word-repetition signals — top-word fraction and
@@ -2532,6 +2550,7 @@ object LlmInventory {
     "t17_mixture_upsample" -> t17MixtureUpsample,
     "t40_alpha_mixture" -> t40AlphaMixture,
     "t26_length_terciles" -> t26LengthTerciles,
+    "t59_curriculum" -> t59Curriculum,
     "d11_chunk_dedup" -> d11ChunkDedup,
     "t35_cdc_dedup" -> t35CdcDedup,
     "t36_bpe_pairs" -> t36BpePairs,
@@ -2824,6 +2843,36 @@ object LlmInventory {
         |  FROM cum)
         |SELECT tk.doc_id, tk.lang, CAST(tk.n_tokens AS BIGINT) AS n_tokens, b.bucket
         |FROM tk JOIN b USING (lang, n_tokens)""".stripMargin,
+    // curriculum = t26's bucket construction + t58's md5 keys; the rank
+    // inside each (lang, bucket) IS the training order under the gate
+    "t59_curriculum" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g') AS t
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN t = '' THEN 0
+        |              ELSE len(string_split_regex(t, '[ \t\n\x0b\f\r]+')) END AS n_tokens
+        |  FROM s),
+        |hist AS (
+        |  SELECT lang, n_tokens, count(*) AS c FROM tk GROUP BY lang, n_tokens),
+        |cum AS (
+        |  SELECT lang, n_tokens, c,
+        |         CAST(SUM(c) OVER (PARTITION BY lang ORDER BY n_tokens) - c AS BIGINT) AS cume,
+        |         CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM hist),
+        |b AS (
+        |  SELECT lang, n_tokens,
+        |         CAST(LEAST(CAST(floor((cume * 3) / n) AS BIGINT) + 1, 3) AS INT) AS bucket
+        |  FROM cum),
+        |cur AS (
+        |  SELECT tk.doc_id, tk.lang, b.bucket,
+        |         md5('cur1|' || CAST(tk.doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM tk JOIN b USING (lang, n_tokens))
+        |SELECT doc_id, lang, bucket,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY lang, bucket
+        |              ORDER BY shuffle_key ASC, doc_id ASC) AS BIGINT) AS pos
+        |FROM cur""".stripMargin,
     // t25: the t6 + d9 + d11 oracle constructions chained over each
     // stage's survivor set — quality survivors feed the LSH pipeline,
     // dedup representatives feed the chunk dedup; the three stage counts

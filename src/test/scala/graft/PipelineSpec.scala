@@ -1136,6 +1136,23 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(keys.size === 3 && keys.values.toSet.size === 3)
 
+    // curriculum: bucketed easy→hard + within-bucket shuffle; the single
+    // written shard is already in curriculum order (bucket, shuffle_key)
+    Seq((1L, "s", "w"), (2L, "s", "w w"), (3L, "s", "w w w"),
+      (4L, "s", "w"), (5L, "s", "w w"), (6L, "s", "w w w"))
+      .toDF("doc_id", "source", "text").write.parquet(s"$base/cin")
+    Main.corpusRun(spark, "curriculum",
+      Array("--in", s"$base/cin", "--out", s"$base/cout", "--shards", "1"))
+    val cur = spark.read.parquet(s"$base/cout")
+      .select("doc_id", "bucket", "shuffle_key").collect()
+    assert(cur.length === 6)
+    val bucketsInOrder = cur.map(_.getInt(1)).toSeq
+    assert(bucketsInOrder === bucketsInOrder.sorted,
+      s"file order must be curriculum order: $bucketsInOrder")
+    // 1-token docs = bucket 1, 3-token docs = bucket 3
+    val byId = cur.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byId(1L) === 1 && byId(4L) === 1 && byId(3L) === 3 && byId(6L) === 3)
+
     // knngraph + dbscan over a tiny embedding corpus
     Seq(
       (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.99f, 0.1f, 0f)), (3L, Seq(0.98f, -0.1f, 0f)),
