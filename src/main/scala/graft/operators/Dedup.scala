@@ -210,6 +210,36 @@ object Dedup {
     materializeAndRelease(pairs)
   }
 
+  /** PUBLIC view of [[bandBuckets]]: the (id, band, bh) LSH band rows as
+    * a CACHEABLE per-doc asset — a pure per-row function of (id, text),
+    * which is what lets [[IncrementalCurate.incrementalNearDupPairs]]
+    * carry unchanged docs' rows across snapshots (the d22 verdict-cache
+    * idea applied to the near-dup stage: on a 2% delta, 98% of the
+    * signature work — the expensive shingle+MinHash passes — is a cache
+    * read of id + band-hash rows, never the texts). */
+  def minhashBandRows(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, rowsPerBand: Int, shingleWidth: Int = 1,
+      md5Parity: Boolean = false): DataFrame =
+    bandBuckets(df, idCol, textCol, numHashes, rowsPerBand, shingleWidth,
+      md5Parity)
+
+  /** The all-pairs-within-buckets join half of [[minhashCandidatePairs]]
+    * over a PRE-BUILT (id, band, bh) frame — exposed for callers that
+    * maintain band rows incrementally. Clean-path semantics (no hot
+    * chain): the pairing rule must be a pure function of bucket
+    * membership for the incremental identity to hold; corpora hot
+    * enough to need the chain guard should full-recompute through
+    * [[minhashCandidatePairs]]. */
+  def pairsFromBandRows(bandRows: DataFrame): DataFrame = {
+    val a = bandRows.as("a")
+    val b = bandRows.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"))
+      .distinct()
+  }
+
   /** (id, band, bh) LSH band-bucket rows for a corpus — the shared front
     * half of [[minhashCandidatePairs]] (self-join) and [[nearDupAgainst]]
     * (cross-corpus join): per-row MinHash signature (single-pass kernel,
@@ -645,6 +675,96 @@ object Dedup {
         smallPairs.union(bigPairs).distinct()
       }
     materializeAndRelease(pairs0.filter(col("cosine") >= threshold))
+  }
+
+  /** IMAGE near-dup candidate pairs over perceptual aHash signatures
+    * ([[Multimodal.decodeImageAHashBatched]]'s output — real decoded
+    * pixels, mean-threshold bits) — the SimHash banded-Hamming plan
+    * pointed at pixels: rotate `bands` bit-slices over the 64-bit
+    * signature, bucket on (width, height, band, slice), exact
+    * `bit_count(a XOR b) <= maxHamming` within buckets.
+    *
+    * For `maxHamming <= bands - 1` the candidate set is COMPLETE, not
+    * probabilistic (pigeonhole: k differing bits dirty at most k of the
+    * `bands` slices, so at least one slice matches exactly) — the m12
+    * gate runs in that regime, so its output is the exact set of
+    * near-dup pairs. Larger thresholds degrade gracefully to the usual
+    * LSH recall trade.
+    *
+    * (width, height) rides in the join key: Hamming over aHash is only
+    * meaningful between same-grid images. Production images resize to a
+    * fixed 8×8 grid first (the [[Multimodal]] contract), making all 64
+    * bits informative; small native grids leave high slices all-zero,
+    * which the dimension key keeps from pairing ACROSS sizes, though
+    * same-size images all collide in their empty slices — harmless for
+    * correctness (the Hamming verify is exact) and bounded by the same
+    * hot-bucket chain guard as the text paths (a mega-cluster of
+    * identical images is the expected hot case; chained buckets trade
+    * in-bucket completeness for O(n) candidates, as everywhere else).
+    * Undecodable images (null hash) are dropped before bucketing.
+    * Output: (d1, d2, hamming), d1 < d2, persisted (caller releases). */
+  def imageNearDupPairs(
+      images: DataFrame, idCol: String,
+      widthCol: String, heightCol: String, hashCol: String,
+      maxHamming: Int, bands: Int = 4,
+      maxBucketAllPairs: Int = 1024): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0: got $maxHamming")
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands must divide 64: got $bands")
+    val bandBits = 64 / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
+    def buckets(in: DataFrame, fanOut: Boolean) = {
+      val fanned =
+        if (fanOut) in.repartition(in.sparkSession.sparkContext.defaultParallelism)
+        else in
+      fanned
+        .filter(col(hashCol).isNotNull)
+        .select(col(idCol).as("id"), col(widthCol).as("w"),
+          col(heightCol).as("h"), col(hashCol).cast("long").as("sig"))
+        .select(col("id"), col("w"), col("h"), col("sig"),
+          posexplode(array((0 until bands).map(b =>
+            shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "slice")
+    }
+    val bk = buckets(images, fanOut = true)
+    val keyCols = Seq("w", "h", "band", "slice")
+    val ham = bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int")
+    val pairs0 =
+      if (!sampledHotProbe(buckets(_, false), images, keyCols, maxBucketAllPairs)) {
+        val a = bk.as("a")
+        val b = bk.as("b")
+        a.join(b, col("a.w") === col("b.w") && col("a.h") === col("b.h") &&
+            col("a.band") === col("b.band") && col("a.slice") === col("b.slice") &&
+            col("a.id") < col("b.id"))
+          .select(col("a.id").as("d1"), col("b.id").as("d2"), ham.as("hamming"))
+          .distinct()
+      } else {
+        // unified guarded plan (see minhashCandidatePairs): one exchange
+        // on the bucket key + one sort by id serves exact sizes, the
+        // small-bucket all-pairs join, and the hot chain
+        val w = Window.partitionBy(keyCols.map(col): _*).orderBy("id")
+        val sized = bk
+          .withColumn("__bn", count(lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("__pid", lag("id", 1).over(w))
+          .withColumn("__psig", lag("sig", 1).over(w))
+        val small = sized.filter(col("__bn") <= maxBucketAllPairs)
+          .select("id", "w", "h", "band", "slice", "sig")
+        val a = small.as("a")
+        val b = small.as("b")
+        val smallPairs = a
+          .join(b, col("a.w") === col("b.w") && col("a.h") === col("b.h") &&
+            col("a.band") === col("b.band") && col("a.slice") === col("b.slice") &&
+            col("a.id") < col("b.id"))
+          .select(col("a.id").as("d1"), col("b.id").as("d2"), ham.as("hamming"))
+        val bigPairs = sized
+          .filter(col("__bn") > maxBucketAllPairs && col("__pid").isNotNull)
+          .select(col("__pid").as("d1"), col("id").as("d2"),
+            bit_count(col("__psig").bitwiseXOR(col("sig"))).cast("int").as("hamming"))
+        smallPairs.union(bigPairs).distinct()
+      }
+    materializeAndRelease(pairs0.filter(col("hamming") <= maxHamming))
   }
 
   /** Probabilistic hot-bucket EXISTENCE probe: build buckets for a seeded

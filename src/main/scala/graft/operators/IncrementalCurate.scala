@@ -63,6 +63,60 @@ object IncrementalCurate {
     out
   }
 
+  /** INCREMENTAL MinHash near-dup candidates — the d22 versioning
+    * identity extended to the expensive LSH stage:
+    * `pairs(v2) ≡ carried(v1 pairs, both endpoints unchanged)
+    *            ∪ pairs(buckets touched by the delta)`.
+    * The cached asset is [[Dedup.minhashBandRows]]'s (id, band, bh)
+    * frame — pure per-row functions of (id, text), so `same` ids (text
+    * equality certified by the diff's hash) carry their rows verbatim
+    * and only `added ∪ changed` texts pay the shingle+MinHash passes.
+    * Pair identity: a v2 pair with both endpoints unchanged shared a
+    * bucket in v1 (identical band rows) → carried; a pair with a delta
+    * endpoint lives in a bucket CONTAINING a delta row → rebuilt by the
+    * delta-bucket all-pairs join (which regenerates some old-old pairs;
+    * the union is distinct). Exact under the clean pairing rule
+    * ([[Dedup.pairsFromBandRows]] — a pure function of bucket
+    * membership; hot-chain corpora should full-recompute instead),
+    * asserted in-query by the d23 gate and measured at 1M docs / 2%
+    * delta in SCALE's incremental stage.
+    *
+    * Returns (newBandRows, pairs) — BOTH pinned (persist + count, the
+    * dbscanLabels contract: the band rows are the next snapshot's
+    * cache, the pairs feed downstream verification; caller releases);
+    * the diff temp is released before return. */
+  def incrementalNearDupPairs(
+      v1: DataFrame, v2: DataFrame,
+      v1Bands: DataFrame, v1Pairs: DataFrame,
+      idCol: String, textCol: String,
+      numHashes: Int, rowsPerBand: Int, shingleWidth: Int = 1,
+      md5Parity: Boolean = false): (DataFrame, DataFrame) = {
+    val diff = Dedup.corpusDiff(v1, v2, idCol, textCol).persist()
+    val sameIds = diff.filter(col("status") === "same")
+      .select(col(idCol).as("id"))
+    val deltaIds = diff.filter(col("status").isin("added", "changed"))
+      .select(col(idCol))
+    val carriedBands = v1Bands.join(sameIds, Seq("id"), "left_semi")
+    val freshBands = Dedup.minhashBandRows(
+      v2.join(deltaIds, Seq(idCol), "left_semi"), idCol, textCol,
+      numHashes, rowsPerBand, shingleWidth, md5Parity)
+    val newBands = carriedBands.unionByName(freshBands).persist()
+    newBands.count()
+    // buckets containing at least one delta row — at a 2% delta this
+    // prunes the self-join to the touched slice of the bucket space
+    val deltaBuckets = freshBands.select("band", "bh").distinct()
+    val touched = newBands.join(deltaBuckets, Seq("band", "bh"), "left_semi")
+    val freshPairs = Dedup.pairsFromBandRows(touched)
+    val carriedPairs = v1Pairs
+      .join(sameIds.select(col("id").as("d1")), Seq("d1"), "left_semi")
+      .join(sameIds.select(col("id").as("d2")), Seq("d2"), "left_semi")
+      .select("d1", "d2")
+    val pairs = carriedPairs.unionByName(freshPairs).distinct().persist()
+    pairs.count()
+    diff.unpersist(blocking = false)
+    (newBands, pairs)
+  }
+
   /** The global exact-dedup reduction over verdict rows (min-id per
     * content hash) — reruns in full on every snapshot, but its input is
     * id + 16-byte hash pairs, not the corpus. */
@@ -92,6 +146,20 @@ object IncrementalCurate {
       idCol: String, textCol: String,
       classifierSeed: String = "w", classifierThreshold: Double = 0.0): Unit = {
     val spark = batch.sparkSession
+    // fail LOUD with the coupling named, not a bare path-not-found: the
+    // cache version is keyed to the streaming batchId, which assumes the
+    // source delivers exactly ONE staged delta file per trigger
+    // (maxFilesPerTrigger = 1 — the drainStagedForeach construction). A
+    // source that coalesced two delta files into one trigger would skip
+    // a version and silently fold against a stale cache if this read
+    // ever grew a create-if-absent fallback.
+    val prevPath = new org.apache.hadoop.fs.Path(s"$cacheDir/v$batchId")
+    val fs = prevPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(prevPath),
+      s"applyDeltaBatch: verdict cache $prevPath is absent for batch " +
+        s"$batchId — versions are keyed to the batchId, which requires " +
+        "exactly one staged delta file per trigger (seed v0 before the " +
+        "stream; keep maxFilesPerTrigger = 1)")
     val prev = spark.read.parquet(s"$cacheDir/v$batchId")
     val drop = batch.filter(col("status").isin("removed", "changed"))
       .select(col(idCol))
@@ -102,5 +170,92 @@ object IncrementalCurate {
     prev.join(drop, Seq(idCol), "left_anti")
       .unionByName(fresh)
       .write.mode("overwrite").parquet(s"$cacheDir/v${batchId + 1}")
+  }
+
+  /** [[applyDeltaBatch]] with a BUCKETED live cache — the 100 TB shape:
+    * instead of versioned full-cache snapshots (every micro-batch
+    * rewrites the whole cache — a multi-TB write per batch at 10^11
+    * docs), the cache is ONE live parquet dataset hash-partitioned by
+    * `bucket = pmod(xxhash64(id), buckets)`, and a micro-batch rewrites
+    * ONLY the buckets containing its delta ids (dynamic partition
+    * overwrite): per-batch write volume is ∝ delta-touched buckets, not
+    * cache size — measured in SCALE's incremental stage.
+    *
+    * Exactly-once by IDEMPOTENCE without version numbers: the batch
+    * drops ALL of its delta ids from the touched buckets (added AND
+    * changed AND removed) then re-adds fresh verdicts for added ∪
+    * changed — replaying a batch whose write already landed drops the
+    * previously-applied rows and re-derives them identically (verdicts
+    * are pure functions of (id, text)), so the bucket converges to the
+    * same content. Unlike the versioned path, this does NOT depend on
+    * the one-file-per-trigger coupling — any delta partitioning into
+    * batches converges, because each batch's rows are self-contained
+    * (an id appears in one delta batch). Seed the cache with
+    * [[seedBucketedCache]]. Caveat (documented, inherent to dynamic
+    * overwrite): the multi-bucket commit is not atomic — a crash
+    * mid-commit needs the batch replayed, which the streaming
+    * checkpoint guarantees. */
+  def applyDeltaBatchBucketed(
+      cacheDir: String, batch: DataFrame,
+      idCol: String, textCol: String, buckets: Int,
+      classifierSeed: String = "w", classifierThreshold: Double = 0.0): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1: got $buckets")
+    val spark = batch.sparkSession
+    val bucketOf = pmod(xxhash64(col(idCol)), lit(buckets.toLong))
+    // the touched-bucket set is bounded by `buckets` (a plan literal
+    // below, so the live read partition-prunes to these directories)
+    val deltaBuckets = batch.select(bucketOf.as("bucket"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (deltaBuckets.nonEmpty) {
+      val live = spark.read.parquet(s"$cacheDir/live")
+        .filter(col("bucket").isin(deltaBuckets: _*))
+      val dropAll = batch.select(col(idCol))
+      val fresh = perDocVerdicts(
+        batch.filter(col("status").isin("added", "changed"))
+          .select(col(idCol), col(textCol)),
+        idCol, textCol, classifierSeed, classifierThreshold)
+        .withColumn("bucket", bucketOf)
+      val next = live.join(dropAll, Seq(idCol), "left_anti")
+        .unionByName(fresh)
+        .persist()
+      // dynamic overwrite only rewrites partitions PRESENT in the output:
+      // a bucket the delta fully empties would contribute no rows and its
+      // stale directory would survive — find those (bounded by `buckets`)
+      // and delete them explicitly after the write
+      val survivedBuckets = next.select("bucket").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        next.write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$cacheDir/live")
+      } finally {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+        next.unpersist(blocking = false)
+      }
+      val emptied = deltaBuckets.filterNot(survivedBuckets)
+      if (emptied.nonEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(s"$cacheDir/live")
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        emptied.foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$cacheDir/live/bucket=$b"), true)
+          ()
+        }
+      }
+    }
+  }
+
+  /** Seed [[applyDeltaBatchBucketed]]'s live cache from a verdict frame
+    * (`(idCol, h)` rows — e.g. [[perDocVerdicts]] of the base
+    * snapshot), written bucketed so every bucket directory exists
+    * before the first delta batch prunes into it. */
+  def seedBucketedCache(
+      cacheDir: String, verdicts: DataFrame, idCol: String,
+      buckets: Int): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1: got $buckets")
+    verdicts
+      .withColumn("bucket", pmod(xxhash64(col(idCol)), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$cacheDir/live")
   }
 }

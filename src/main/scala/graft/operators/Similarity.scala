@@ -502,15 +502,41 @@ object Similarity {
     require(beam >= k, s"beam ($beam) must be >= k ($k)")
     require(hops >= 0, s"hops must be >= 0: got $hops")
     require(entryIds.nonEmpty, "graphSearch needs at least one entry id")
+    val beam0 = scoredByQuery(corpus, idCol, vecCol, query,
+      corpus.filter(col(idCol).isin(entryIds: _*)).select(col(idCol).cast("long").as("id")))
+      .limit(beam).collect().map(_.getLong(0)).toSeq
+    require(beam0.nonEmpty,
+      s"graphSearch: none of the ${entryIds.length} entry ids resolve to a " +
+        s"corpus row — the descent would silently return empty")
+    descendFrom(corpus, graph, idCol, vecCol, query, beam0, k, beam, hops)
+  }
+
+  /** One (id, __cos DESC, id ASC)-ordered scoring scan of `candidates`
+    * (an `id`-column frame) against a literal query — shared hop kernel
+    * of the single-query descents. */
+  private def scoredByQuery(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], candidates: DataFrame): DataFrame =
+    candidates.join(
+        corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v")),
+        Seq("id"))
+      .select(col("id"), vec_cosine(col("__v"), typedlit(query)).as("__cos"))
+      .orderBy(col("__cos").desc, col("id").asc)
+
+  /** The fixed-hop beam loop shared by [[graphSearch]] (literal entries)
+    * and [[graphSearchSeeded]] (LSH-seeded entries): `hops` times expand
+    * the beam's out-neighbors and keep the `beam` best by exact cosine,
+    * then emit the final beam's top `k` as (rnk, idCol). */
+  private def descendFrom(
+      corpus: DataFrame, graph: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], beam0: Seq[Long],
+      k: Int, beam: Int, hops: Int): DataFrame = {
     val spark = corpus.sparkSession
-    def scored(ids: Seq[Long]) =
-      corpus.filter(col(idCol).isin(ids: _*))
-        .select(col(idCol).cast("long"),
-          vec_cosine(col(vecCol), typedlit(query)).as("__cos"))
-        .orderBy(col("__cos").desc, col(idCol).asc)
     def topBeam(ids: Seq[Long]): Seq[Long] =
-      scored(ids).limit(beam).collect().map(_.getLong(0)).toSeq
-    var beamIds = topBeam(entryIds)
+      scoredByQuery(corpus, idCol, vecCol, query,
+        corpus.filter(col(idCol).isin(ids: _*)).select(col(idCol).cast("long").as("id")))
+        .limit(beam).collect().map(_.getLong(0)).toSeq
+    var beamIds = beam0
     var h = 0
     while (h < hops) {
       val nbrs = graph.filter(col("src").isin(beamIds: _*))
@@ -522,11 +548,109 @@ object Similarity {
     // rank the surviving beam (already ≤ beam rows) driver-side — the s1
     // pattern: no single-partition Window, ranks assigned over the
     // reduced result
-    val top = scored(beamIds).limit(k).collect()
+    val top = scoredByQuery(corpus, idCol, vecCol, query,
+      corpus.filter(col(idCol).isin(beamIds: _*)).select(col(idCol).cast("long").as("id")))
+      .limit(k).collect()
     import spark.implicits._
     top.toSeq.zipWithIndex
       .map { case (r, i) => ((i + 1).toLong, r.getLong(0)) }
       .toDF("rnk", idCol)
+  }
+
+  /** (id, band, sig) hyperplane band-signature rows over a corpus — the
+    * ENTRY INDEX for seeded graph serving (the same banded family
+    * [[graft.operators.Dedup.embeddingNearDupPairs]] buckets with, so
+    * the signatures that built the kNN graph can seed its queries for
+    * free). Row-local expressions, zero shuffle; the 100 TB layout
+    * materializes this once next to the graph, bucketed by (band, sig),
+    * so a query's seed probe is a partition-pruned point lookup. */
+  def bandSignatures(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      planes: Int, seed: Long, bands: Int,
+      md5Family: Boolean = false): DataFrame = {
+    require(planes >= 1 && planes <= 62, s"planes out of range: $planes")
+    require(bands >= 1, s"bands must be >= 1: got $bands")
+    val dim = dimOf(corpus, vecCol)
+    val sigCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hyperplaneSignature(col(vecCol), dim, planes, seed + b, md5Family)
+          .as("sig")).as(s"sig$b")
+    }
+    corpus.select((col(idCol).cast("long").as("id") +: sigCols): _*)
+      .select(col("id"),
+        explode(array((0 until bands).map(b => col(s"sig$b")): _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  /** Driver-side twin of [[bandSignatures]] for ONE query vector — the
+    * same plane family and the same left-to-right double fold as the
+    * scan-side [[hyperplaneSignature]] expression (±1·v is exact and
+    * both folds add in index order), so the query lands in exactly the
+    * buckets its corpus twin would. Returns (band, sig) pairs. */
+  def querySignatures(
+      query: Seq[Float], planes: Int, seed: Long, bands: Int,
+      md5Family: Boolean = false): Seq[(Int, Long)] = {
+    val dim = query.length
+    val qa = query.toArray
+    (0 until bands).map { b =>
+      val ps = if (md5Family) md5SignPlanes(dim, planes, seed + b)
+               else randomPlanes(dim, planes, seed + b)
+      var sig = 0L
+      var i = 0
+      while (i < ps.length) {
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += qa(j).toDouble * ps(i)(j).toDouble; j += 1 }
+        if (acc > 0) sig |= (1L << i)
+        i += 1
+      }
+      (b, sig)
+    }
+  }
+
+  /** [[graphSearch]] with LSH-SEEDED entries — the fix for the
+    * navigability gap a fixed entry set has on corpora without global
+    * structure: a pure kNN graph is near-forest on uniform data (fine
+    * LSH buckets = tiny islands), so a descent from ANY fixed entries
+    * reaches a vanishing neighborhood of 1M nodes. Seeding from the
+    * query's own band buckets starts the beam among rows that are
+    * LSH-close to the query (the buckets that built the graph), so hop
+    * 0 already scores genuine neighbor candidates and the descent
+    * refines within the right region — measured in SCALE's graphserve
+    * stage: recall@10 ≈ 1.0 on a clustered 1M corpus and materially
+    * non-zero on hash-uniform vectors, vs exactly 0.000 for the fixed
+    * entry set. Seeding parameters may differ from the graph's build
+    * parameters (fewer planes / more bands widen the seed pool — the
+    * recall lever at serving time, no rebuild).
+    *
+    * `sigs` optionally passes a PRE-MATERIALIZED [[bandSignatures]]
+    * frame (the serving shape: built once with the graph, bucketed by
+    * (band, sig) so the probe partition-prunes); omitted, the index is
+    * computed on the fly (one corpus scan — fine for tests, not the
+    * per-query serving path). Guarded loud when the query shares no
+    * bucket with any corpus row. */
+  def graphSearchSeeded(
+      corpus: DataFrame, graph: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, beam: Int, hops: Int,
+      planes: Int, seed: Long, bands: Int, md5Family: Boolean = false,
+      sigs: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1: got $k")
+    require(beam >= k, s"beam ($beam) must be >= k ($k)")
+    require(hops >= 0, s"hops must be >= 0: got $hops")
+    val index = sigs.getOrElse(
+      bandSignatures(corpus, idCol, vecCol, planes, seed, bands, md5Family))
+    val qsig = querySignatures(query, planes, seed, bands, md5Family)
+    val pred = qsig.map { case (b, sg) =>
+      col("band") === lit(b) && col("sig") === lit(sg)
+    }.reduce(_ || _)
+    val entries = index.filter(pred).select(col("id")).distinct()
+    val beam0 = scoredByQuery(corpus, idCol, vecCol, query, entries)
+      .limit(beam).collect().map(_.getLong(0)).toSeq
+    require(beam0.nonEmpty,
+      "graphSearchSeeded: the query shares no LSH band bucket with any " +
+        s"corpus row (planes=$planes, bands=$bands) — widen the seed pool " +
+        "(more bands or fewer planes) instead of returning empty")
+    descendFrom(corpus, graph, idCol, vecCol, query, beam0, k, beam, hops)
   }
 
   /** BATCHED [[graphSearch]] — every query descends the graph together
@@ -548,12 +672,54 @@ object Similarity {
       corpus: DataFrame, graph: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       entryIds: Seq[Long], k: Int, beam: Int, hops: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1: got $k")
-    require(beam >= k, s"beam ($beam) must be >= k ($k)")
-    require(hops >= 0, s"hops must be >= 0: got $hops")
     require(entryIds.nonEmpty, "graphSearchBatch needs at least one entry id")
     val q = broadcast(queries.select(
       col(qIdCol).cast("long").as("__q"), col(qVecCol).as("__qv")))
+    val entries = q.select(col("__q"))
+      .select(col("__q"), explode(typedlit(entryIds)).as("id"))
+    descendBatchFrom(corpus, graph, idCol, vecCol, q, entries,
+      qIdCol, k, beam, hops)
+  }
+
+  /** BATCHED [[graphSearchSeeded]] — per-query LSH-seeded entries as a
+    * FRAME join instead of a driver loop: query band signatures
+    * ([[bandSignatures]] over the queries frame) equi-join the corpus
+    * signature index on (band, sig), so the whole batch's seed probe is
+    * ONE broadcast join (query side is small by construction) and the
+    * descent is the shared per-hop job set. Same fixed-hop semantics as
+    * the single-query seeded path — SCALE's graphserve stage asserts
+    * batched ≡ single EXACT on 1M vectors. `sigs` passes the
+    * pre-materialized corpus index (the serving shape). */
+  def graphSearchBatchSeeded(
+      corpus: DataFrame, graph: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, beam: Int, hops: Int,
+      planes: Int, seed: Long, bands: Int, md5Family: Boolean = false,
+      sigs: Option[DataFrame] = None): DataFrame = {
+    val q = broadcast(queries.select(
+      col(qIdCol).cast("long").as("__q"), col(qVecCol).as("__qv")))
+    val index = sigs.getOrElse(
+      bandSignatures(corpus, idCol, vecCol, planes, seed, bands, md5Family))
+    val qsigs = broadcast(
+      bandSignatures(queries, qIdCol, qVecCol, planes, seed, bands, md5Family)
+        .select(col("id").as("__q"), col("band"), col("sig")))
+    val entries = qsigs.join(index, Seq("band", "sig"))
+      .select(col("__q"), col("id")).distinct()
+    descendBatchFrom(corpus, graph, idCol, vecCol, q, entries,
+      qIdCol, k, beam, hops)
+  }
+
+  /** The batched fixed-hop beam loop shared by [[graphSearchBatch]] and
+    * [[graphSearchBatchSeeded]]: the beam is a (query, id) frame; each
+    * hop is one graph join + one score join + a per-query window.
+    * Guarded loud when any query has no scoreable hop-0 candidate. */
+  private def descendBatchFrom(
+      corpus: DataFrame, graph: DataFrame, idCol: String, vecCol: String,
+      q: DataFrame, entries: DataFrame, qIdCol: String,
+      k: Int, beam: Int, hops: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: got $k")
+    require(beam >= k, s"beam ($beam) must be >= k ($k)")
+    require(hops >= 0, s"hops must be >= 0: got $hops")
     def scored(cand: DataFrame): DataFrame =
       cand.join(corpus.select(col(idCol).cast("long").as("id"),
           col(vecCol).as("__v")), Seq("id"))
@@ -565,12 +731,18 @@ object Similarity {
     def topBeam(cand: DataFrame): DataFrame =
       scored(cand).withColumn("__r", row_number().over(w))
         .filter(col("__r") <= beam).select("__q", "id")
-    val entries = q.select(col("__q"))
-      .select(col("__q"), explode(typedlit(entryIds)).as("id"))
     // persist each hop's beam: the next hop consumes it twice (union
     // side and neighbor-join side); release the previous hop's pin
     var beamDf = topBeam(entries).persist()
     beamDf.count()
+    // guarded loud: a query whose hop-0 candidates are all self-excluded
+    // or unresolvable would VANISH from the output otherwise (the batch
+    // twin of graphSearch's empty-beam require)
+    val missing = q.select(col("__q")).except(beamDf.select(col("__q")))
+      .collect().map(_.getLong(0)).sorted
+    require(missing.isEmpty,
+      s"graphSearchBatch: queries with no scoreable entry candidate " +
+        s"(would silently drop from the output): ${missing.mkString(", ")}")
     var h = 0
     while (h < hops) {
       val nbrs = beamDf
@@ -942,10 +1114,26 @@ object Similarity {
           .as("qv"))
       .persist()
     val head = q.select(size(col("qv")).as("d"),
-      aggregate(col("qv"), lit(0L), (m, x) => greatest(m, abs(x))).as("mx"))
-      .agg(max("d").as("dim"), max("mx").as("mx")).head()
+      aggregate(col("qv"), lit(0L), (m, x) => greatest(m, abs(x))).as("mx"),
+      exists(col("qv"), x => x.isNull).as("hn"),
+      col("qv").isNull.as("nv"))
+      .agg(max("d").as("dim"), min("d").as("dimMin"), max("mx").as("mx"),
+        sum(col("hn").cast("long")).as("nullElems"),
+        sum(col("nv").cast("long")).as("nullVecs")).head()
     val dim = head.getInt(0)
-    val maxAbs = head.getLong(1)
+    val maxAbs = head.getLong(2)
+    // guard LOUD before the codegen kernel: KmeansUtil.nearest walks
+    // qv[0..dim) against the corpus-max dim — a ragged or null-element
+    // vector would read out of bounds / NaN-free garbage SILENTLY where
+    // the composed least-struct formula it replaced failed with an NPE
+    require(head.getLong(4) == 0L,
+      s"kmeans_lloyd_exact: ${head.getLong(4)} rows have a NULL $vecCol")
+    require(head.getLong(3) == 0L,
+      s"kmeans_lloyd_exact: ${head.getLong(3)} rows have NULL elements in $vecCol")
+    require(head.getInt(1) == dim,
+      s"kmeans_lloyd_exact: ragged vectors — size($vecCol) ranges " +
+        s"${head.getInt(1)}..$dim; the nearest-centroid kernel requires a " +
+        "uniform dimensionality")
     require(
       BigInt(dim) * 4 * BigInt(maxAbs max 1L) * BigInt(maxAbs max 1L) <= BigInt(Long.MaxValue),
       s"kmeans_lloyd_exact: dim=$dim at max|q|=$maxAbs would overflow the " +
@@ -953,6 +1141,9 @@ object Similarity {
     var cents: Array[Array[Long]] = init match {
       case Some(c0) =>
         require(c0.length == k, s"init has ${c0.length} centroids, need $k")
+        require(c0.forall(_.length == dim),
+          s"init centroids must all have length $dim (corpus dim): got " +
+            s"lengths ${c0.map(_.length).distinct.mkString(",")}")
         c0.map(_.clone())
       case None =>
         (if (seedByHash) q.orderBy(xxhash64(col("id")).asc, col("id").asc)

@@ -1307,50 +1307,65 @@ object Inventory {
       shufflePartitions: Option[String] = None)(
       onBatch: (DataFrame, Long) => Unit): Unit = {
     import java.nio.file.{Files => JFiles}
+    // nonEmpty BEFORE frames.head — an empty drain must die with the
+    // staging message, not a NoSuchElementException
+    require(frames.nonEmpty, "staged drain needs at least one frame")
     val schema = frames.head.schema
     val srcDir = stageFrames(frames, prefix)
-    val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
     val ckpt = JFiles.createTempDirectory(prefix)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (b, id) => onBatch(b.toDF(), id)
-    val q =
-      try {
-        shufflePartitions.foreach(p =>
-          s.conf.set("spark.sql.shuffle.partitions", p))
-        stream.writeStream.foreachBatch(fn)
-          .option("checkpointLocation", ckpt.toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
-    deleteRecursively(srcDir)
-    deleteRecursively(ckpt)
+    // try/finally: a failing onBatch throws out of awaitTermination and
+    // must not leak the temp source/checkpoint dirs
+    try {
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (b, id) => onBatch(b.toDF(), id)
+      val q =
+        try {
+          shufflePartitions.foreach(p =>
+            s.conf.set("spark.sql.shuffle.partitions", p))
+          stream.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.awaitTermination()
+    } finally {
+      deleteRecursively(srcDir)
+      deleteRecursively(ckpt)
+    }
   }
 
   private[queries] def drainStagedFiles(
       s: SparkSession, frames: Seq[DataFrame], prefix: String,
       mode: String, shufflePartitions: Option[String] = None)(
       build: DataFrame => DataFrame): DataFrame = {
+    require(frames.nonEmpty, "staged drain needs at least one frame")
     val schema = frames.head.schema
     val srcDir = stageFrames(frames, prefix)
-    val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-    val tbl = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory(prefix)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q =
-      try {
-        shufflePartitions.foreach(p =>
-          s.conf.set("spark.sql.shuffle.partitions", p))
-        build(stream).writeStream.format("memory").queryName(tbl)
-          .outputMode(mode).option("checkpointLocation", ckpt.toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
-    val out = finishDrain(s, tbl, ckpt)
-    deleteRecursively(srcDir)
-    out
+    // try/finally: a failing build/drain must not leak the temp dirs
+    // (finishDrain deletes ckpt on success; deleteRecursively is
+    // idempotent so the finally re-delete is harmless)
+    try {
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val tbl = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          shufflePartitions.foreach(p =>
+            s.conf.set("spark.sql.shuffle.partitions", p))
+          build(stream).writeStream.format("memory").queryName(tbl)
+            .outputMode(mode).option("checkpointLocation", ckpt.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.awaitTermination()
+      finishDrain(s, tbl, ckpt)
+    } finally {
+      deleteRecursively(srcDir)
+      deleteRecursively(ckpt)
+    }
   }
 
   /** Pin the memory-sink result, then release the sink view + delete the

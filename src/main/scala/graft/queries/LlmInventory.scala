@@ -1354,6 +1354,50 @@ object LlmInventory {
     Multimodal.decodeImageAHashBatched(png, "doc_id", "png")
   }
 
+  /** m12: IMAGE NEAR-DUP pairs ([[Dedup.imageNearDupPairs]]) — m8's
+    * aHash signatures composed into the banded-Hamming join, end to end
+    * through the REAL codec: closed-form RGB pixels → canonical PNG →
+    * real javax.imageio decode → mean-threshold aHash → 4×16-bit band
+    * buckets → exact `bit_count(xor) <= 3` within buckets. The corpus
+    * is the 40 m8 images PLUS a near-identical copy of each (id+1000,
+    * red channel +37 on every third pixel — below the aHash threshold
+    * for most bits, so the planted pairs land at Hamming 0–3 and a
+    * couple legitimately exceed the cutoff, exercising both the band
+    * rotation and the Hamming verify). maxHamming=3 < bands=4 is the
+    * COMPLETE regime (pigeonhole), so the output is the exact pair set;
+    * the oracle recomputes both hash families from the pixel FORMULAS
+    * without ever seeing a PNG and replays the same banded join. */
+  val m12ImageNearDup: Q = (s, d) => {
+    val doc = documents(s, d).filter(col("doc_id") < 40)
+    val w = (lit(4) + pmod(col("doc_id"), lit(5))).cast("int")
+    val h = (lit(3) + pmod(col("doc_id"), lit(3))).cast("int")
+    def px(noise: Column => Column) = transform(
+      sequence(lit(0L), w.cast("long") * h.cast("long") - 1L),
+      i => (pmod(col("doc_id") * 7 + i * 13 + noise(i), lit(256)) * 65536L +
+        pmod(col("doc_id") * 11 + i * 5, lit(256)) * 256L +
+        pmod(col("doc_id") * 3 + i * 17, lit(256))).cast("int"))
+    val base = doc.select(col("doc_id"), w.as("w"), h.as("h"),
+      px(_ => lit(0L)).as("px"))
+    // two-step select: aliasing doc_id to doc_id+1000 in the SAME
+    // projection would capture the px expression via Spark 4's lateral
+    // column alias resolution (px would see the SHIFTED id) — compute
+    // the pixels against the base id first, rename after
+    val copies = doc.select(col("doc_id"), w.as("w"), h.as("h"),
+        px(i => when(pmod(i, lit(3)) === 0, lit(37L)).otherwise(lit(0L))).as("px"))
+      .select((col("doc_id") + 1000L).as("doc_id"),
+        col("w"), col("h"), col("px"))
+    val png = Multimodal.encodePngBatched(
+      base.unionByName(copies), "doc_id", "w", "h", "px")
+    val hashed = Multimodal.decodeImageAHashBatched(png, "doc_id", "png")
+    val pairs = Dedup.imageNearDupPairs(hashed, "doc_id",
+      "width", "height", "ahash", maxHamming = 3, bands = 4)
+    // imageNearDupPairs returns pinned (caller-owned): bind the result
+    // to a driver-stable frame and release the pin
+    val out = pairs.localCheckpoint(true)
+    pairs.unpersist(blocking = false)
+    out
+  }
+
   /** m9: REAL pixel decode + integer box-filter downsample
     * ([[Multimodal.decodeImageResizeBatched]]) — closed-form RGB pixels
     * → canonical PNG → real javax.imageio decode → 2×2 cell sums folded
@@ -1621,6 +1665,62 @@ object LlmInventory {
     incr
   }
 
+  /** d23: INCREMENTAL near-dup candidates
+    * ([[IncrementalCurate.incrementalNearDupPairs]]) — the d22 identity
+    * extended to the LSH stage: v1's cached (id, band, bh) rows carry
+    * for `same` ids, only added ∪ changed texts re-shingle/re-sign, and
+    * pairs rebuild only in buckets a delta doc touches (carried v1
+    * pairs cover the rest). Snapshots are d21/d22's construction (all
+    * four diff statuses, planted exact copies arriving as ADDED — their
+    * identical signatures collide in every band, so the incremental
+    * path must produce real new pairs, not just carry old ones). d5's
+    * md5-parity family (8 hashes / 2 bands of 4, 3-gram shingles) keeps
+    * the full pipeline ANSI-SQL-reproducible. Gated twice: the query
+    * ASSERTS incremental ≡ full recompute over v2 (the d22/s19 equality
+    * pattern) and returns the incremental pairs, which the DuckDB
+    * oracle — an independent full LSH replay of v2 — must hash-match. */
+  val d23IncrementalNearDup: Q = (s, d) => {
+    val docs = documents(s, d)
+    val v1 = docs.filter(col("doc_id") < 450)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(lit("OLD "), col("text")))
+          .otherwise(col("text")))
+      .select("doc_id", "text")
+    val v2base = docs.filter(col("doc_id") >= 50).select("doc_id", "text")
+    val v2 = v2base.unionByName(
+      v2base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+    import graft.operators.IncrementalCurate
+    // v1's cached state (band rows + pairs) — in production these are
+    // the previous run's outputs; the gate pays both sides by design
+    val v1Bands = Dedup.minhashBandRows(v1, "doc_id", "text",
+      numHashes = 8, rowsPerBand = 4, shingleWidth = 3, md5Parity = true)
+      .persist()
+    v1Bands.count()
+    val v1Pairs = Dedup.pairsFromBandRows(v1Bands)
+    val (newBands, incr) = IncrementalCurate.incrementalNearDupPairs(
+      v1, v2, v1Bands, v1Pairs, "doc_id", "text",
+      numHashes = 8, rowsPerBand = 4, shingleWidth = 3, md5Parity = true)
+    v1Bands.unpersist(blocking = false)
+    // the hard equality gate: full recompute over v2 must agree pair
+    // for pair (symmetric difference empty), under the SAME clean
+    // pairing rule the incremental path uses
+    val full = Dedup.pairsFromBandRows(
+      Dedup.minhashBandRows(v2, "doc_id", "text",
+        numHashes = 8, rowsPerBand = 4, shingleWidth = 3, md5Parity = true))
+    val mismatches = incr.unionByName(full)
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 2).count()
+    require(mismatches == 0L,
+      s"d23: incremental near-dup diverged from the full recompute on " +
+        s"$mismatches (d1, d2) pairs")
+    // bind the result off the pinned frames, then release both
+    val out = incr.localCheckpoint(true)
+    incr.unpersist(blocking = false)
+    newBands.unpersist(blocking = false)
+    out
+  }
+
   /** r20: STREAMING incremental curation — d22's versioning identity
     * under the streaming hard gate. The v1→v2 snapshot deltas (d22's
     * exact construction, so all of added/changed/removed participate:
@@ -1676,6 +1776,63 @@ object LlmInventory {
       .filter(col("c") =!= 2).count()
     require(mismatches == 0L,
       s"r20: streamed incremental verdicts diverged from the full " +
+        s"recompute on $mismatches (h, keep_id, n) rows")
+    try {
+      java.nio.file.Files.walk(cacheDir)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    } catch { case _: Throwable => () }
+    streamed
+  }
+
+  /** r21: STREAMING incremental curation over the BUCKETED live cache
+    * ([[IncrementalCurate.applyDeltaBatchBucketed]]) — r20's identity
+    * with the 100 TB cache layout: one live parquet dataset
+    * hash-partitioned by `pmod(xxhash64(id), 8)`, each micro-batch
+    * rewriting ONLY the buckets its delta ids touch (dynamic partition
+    * overwrite) with drop-all-then-re-add idempotence instead of
+    * version numbers. Same four-micro-batch construction as r20, so
+    * carried verdicts must survive three real batch boundaries ACROSS
+    * bucket directories the batches partially rewrite. Gated twice:
+    * the query ASSERTS the final live cache equals the batch full
+    * recompute row-for-row, and the DuckDB oracle replays the full
+    * funnel over v2 independently. */
+  val r21StreamIncrementalBucketed: Q = (s, d) => {
+    import graft.operators.IncrementalCurate
+    val docs = documents(s, d)
+    val v1 = docs.filter(col("doc_id") < 450)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(lit("OLD "), col("text")))
+          .otherwise(col("text")))
+      .select("doc_id", "text")
+    val v2base = docs.filter(col("doc_id") >= 50).select("doc_id", "text")
+    val v2 = v2base.unionByName(
+      v2base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+    val cacheDir = java.nio.file.Files.createTempDirectory("r21_cache_")
+    IncrementalCurate.seedBucketedCache(cacheDir.toString,
+      IncrementalCurate.perDocVerdicts(v1, "doc_id", "text"),
+      "doc_id", buckets = 8)
+    val deltas = Dedup.corpusDiff(v1, v2, "doc_id", "text")
+      .filter(col("status") =!= "same")
+      .join(v2, Seq("doc_id"), "left")
+    val frames = (0 until 4).map(r =>
+      deltas.filter(pmod(col("doc_id"), lit(4)) === r))
+    Inventory.drainStagedForeach(s, frames, "r21_ic_",
+      shufflePartitions = Some("8")) { (batch, _) =>
+      IncrementalCurate.applyDeltaBatchBucketed(
+        cacheDir.toString, batch, "doc_id", "text", buckets = 8)
+    }
+    val streamed = IncrementalCurate.dedupGroups(
+        s.read.parquet(s"$cacheDir/live").select("doc_id", "h"), "doc_id")
+      .localCheckpoint(true)
+    val full = IncrementalCurate.dedupGroups(
+      IncrementalCurate.perDocVerdicts(v2, "doc_id", "text"), "doc_id")
+    val mismatches = streamed.unionByName(full)
+      .groupBy("h", "keep_id", "n").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 2).count()
+    require(mismatches == 0L,
+      s"r21: bucketed streamed verdicts diverged from the full " +
         s"recompute on $mismatches (h, keep_id, n) rows")
     try {
       java.nio.file.Files.walk(cacheDir)
@@ -2243,14 +2400,19 @@ object LlmInventory {
     Similarity.knnGraph(embeddings(s, d), "vec_id", "embedding",
       k = 5, planes = 8, seed = 42L, bands = 2, md5Family = true)
 
-  /** s25: graph-ANN SERVING ([[Similarity.graphSearch]]) — greedy beam
-    * descent over s22's exact kNN-graph construction (same parameters,
-    * so the traversal runs on an already-gated substrate): entry ids
-    * 1–4, beam 8, THREE hops, top-5, corpus excluding the query row
-    * (the s1 convention — vec 0 can never enter the beam; its graph
-    * edges exist but score-join away). The oracle rebuilds the graph
-    * (s22's CTEs) and replays the fixed-hop descent as unrolled
-    * b0→c1→b1→c2→b2→c3→b3 CTEs — beam membership after every hop, not
+  /** s25: graph-ANN SERVING ([[Similarity.graphSearchSeeded]]) — greedy
+    * beam descent over s22's exact kNN-graph construction (same
+    * parameters, so the traversal runs on an already-gated substrate),
+    * with the entries LSH-SEEDED from the query's own band buckets
+    * (same planes/seed/bands family that built the graph — the r15
+    * navigability fix: a fixed entry set can't descend a near-forest
+    * graph, the query's bucket-mates can). Beam 8, THREE hops, top-5,
+    * corpus excluding the query row (the s1 convention — vec 0 can
+    * never enter the beam; its graph edges exist but score-join away).
+    * The oracle rebuilds the graph (s22's CTEs), derives the SAME
+    * seeded entry set from the signature CTE (q side = vec 0's rows),
+    * and replays the fixed-hop descent as unrolled b0→c1→b1→c2→b2→c3→b3
+    * CTEs — seed membership and beam membership after every hop, not
     * just the final ranking, must agree. Rank-only output. */
   val s25GraphSearch: Q = (s, d) => {
     val em = embeddings(s, d)
@@ -2258,33 +2420,39 @@ object LlmInventory {
       .select("embedding").head().getSeq[Float](0)
     val graph = Similarity.knnGraph(em, "vec_id", "embedding",
       k = 5, planes = 8, seed = 42L, bands = 2, md5Family = true)
-    val out = Similarity.graphSearch(
+    val out = Similarity.graphSearchSeeded(
       em.filter(col("vec_id") =!= 0), graph, "vec_id", "embedding",
-      query, entryIds = Seq(1L, 2L, 3L, 4L), k = 5, beam = 8, hops = 3)
+      query, k = 5, beam = 8, hops = 3,
+      planes = 8, seed = 42L, bands = 2, md5Family = true)
     // graph arrives pinned (caller-owned); the search has fully consumed
     // it (out is a driver-built frame), so release before returning
     graph.unpersist(blocking = false)
     out
   }
 
-  /** s26: BATCHED graph-ANN serving ([[Similarity.graphSearchBatch]]) —
-    * four queries (vec 0–3) descend s22's graph TOGETHER: the beam is a
+  /** s26: BATCHED graph-ANN serving
+    * ([[Similarity.graphSearchBatchSeeded]]) — four queries (vec 0–3)
+    * descend s22's graph TOGETHER with per-query LSH-SEEDED entries:
+    * the whole batch's seed probe is ONE (band, sig) equi-join of the
+    * query signatures against the corpus signature index, the beam is a
     * (query, id) frame, each hop one graph join + one score join + a
-    * per-query window, so the whole batch pays three hop jobs total
-    * (the s5 batched convention vs s25's per-query driver loop). Entry
-    * ids 4–7, beam 8, three hops, top-5 per query; self-matches
-    * excluded per query. The oracle replays the descent as unrolled hop
-    * CTEs PARTITIONED BY query. */
+    * per-query window, so the batch pays three hop jobs total (the s5
+    * batched convention vs s25's per-query driver loop). Beam 8, three
+    * hops, top-5 per query; self-matches excluded per query (a query's
+    * own bucket rows enter the seed join but score-join away). The
+    * oracle derives the same per-query entries from the signature CTE
+    * and replays the descent as unrolled hop CTEs PARTITIONED BY
+    * query. */
   val s26GraphSearchBatch: Q = (s, d) => {
     val em = embeddings(s, d)
     val graph = Similarity.knnGraph(em, "vec_id", "embedding",
       k = 5, planes = 8, seed = 42L, bands = 2, md5Family = true)
-    val out = Similarity.graphSearchBatch(
+    val out = Similarity.graphSearchBatchSeeded(
       em, graph, "vec_id", "embedding",
       em.filter(col("vec_id") < 4)
         .select(col("vec_id").as("q_id"), col("embedding")),
-      "q_id", "embedding",
-      entryIds = Seq(4L, 5L, 6L, 7L), k = 5, beam = 8, hops = 3)
+      "q_id", "embedding", k = 5, beam = 8, hops = 3,
+      planes = 8, seed = 42L, bands = 2, md5Family = true)
     graph.unpersist(blocking = false)
     out
   }
@@ -2541,6 +2709,7 @@ object LlmInventory {
     "m6_image_decode" -> m6ImageDecode,
     "m7_audio_decode" -> m7AudioDecode,
     "m8_image_ahash" -> m8ImageAhash,
+    "m12_image_neardup" -> m12ImageNearDup,
     "m9_image_resize" -> m9ImageResize,
     "m10_jpeg_decode" -> m10JpegDecode,
     "m11_gif_frames" -> m11GifFrames,
@@ -2576,7 +2745,9 @@ object LlmInventory {
     "d20_weighted_cosine" -> d20WeightedCosine,
     "d21_corpus_diff" -> d21CorpusDiff,
     "d22_incremental_funnel" -> d22IncrementalFunnel,
+    "d23_incremental_neardup" -> d23IncrementalNearDup,
     "r20_stream_incremental" -> r20StreamIncremental,
+    "r21_stream_incremental_bucketed" -> r21StreamIncrementalBucketed,
     "t58_deterministic_shuffle" -> t58DeterministicShuffle,
     "t54_grouped_split" -> t54GroupedSplit,
     "t51_bpe_apply" -> t51BpeApply,
@@ -3125,10 +3296,46 @@ object LlmInventory {
     // dedup) — the query under test returns the INCREMENTAL result, so
     // hash equality here is the versioning identity itself
     "d22_incremental_funnel" -> d22FullFunnelSql,
+    // independent full LSH replay of the v2 snapshot (d5's md5-parity
+    // pipeline over the d22 v2 construction): however the band rows and
+    // pairs were maintained incrementally, the result must equal this
+    "d23_incremental_neardup" ->
+      """WITH v2 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 50
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+        |  WHERE doc_id >= 50 AND doc_id % 11 = 0),
+        |tok AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM v2),
+        |shx AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM tok WHERE len(toks) >= 3),
+        |sig AS (
+        |  SELECT doc_id,
+        |         min(md5('1#' || sh)) AS mh1, min(md5('2#' || sh)) AS mh2,
+        |         min(md5('3#' || sh)) AS mh3, min(md5('4#' || sh)) AS mh4,
+        |         min(md5('5#' || sh)) AS mh5, min(md5('6#' || sh)) AS mh6,
+        |         min(md5('7#' || sh)) AS mh7, min(md5('8#' || sh)) AS mh8
+        |  FROM shx GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band,
+        |         md5(mh1 || '|' || mh2 || '|' || mh3 || '|' || mh4) AS bh FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |         md5(mh5 || '|' || mh6 || '|' || mh7 || '|' || mh8) FROM sig)
+        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin,
     // the streaming arm must land on the SAME full recompute: the only
     // difference is HOW the verdict cache was maintained (four real
     // micro-batches through the state fold instead of one batch job)
     "r20_stream_incremental" -> d22FullFunnelSql,
+    // the bucketed-cache streaming arm must land on the SAME full
+    // recompute: only the cache LAYOUT (live bucketed vs versioned
+    // snapshots) and idempotence mechanism differ
+    "r21_stream_incremental_bucketed" -> d22FullFunnelSql,
     // the batch twin of the streaming state-store dedup: the stream must
     // emit exactly one row per distinct content hash
     "r7_stream_exact_dedup" ->
@@ -4344,10 +4551,12 @@ object LlmInventory {
         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
         |  FROM sym)
         |SELECT src, CAST(rnk AS BIGINT) AS rnk, dst FROM r WHERE rnk <= 5""".stripMargin,
-    // graph-ANN serving: s22's graph CTEs + the fixed-hop beam descent
-    // unrolled (b0 = ranked entries; c_h = beam ∪ out-neighbors; b_h =
-    // top-8 by exact cosine, ties to smaller id; final = top-5 of b3).
-    // score excludes vec 0 (the query row) so candidate joins drop it.
+    // graph-ANN serving: s22's graph CTEs + LSH-SEEDED entries (the
+    // query's band-bucket mates, derived from the same sigs CTE) + the
+    // fixed-hop beam descent unrolled (b0 = ranked seeded entries; c_h =
+    // beam ∪ out-neighbors; b_h = top-8 by exact cosine, ties to smaller
+    // id; final = top-5 of b3). score excludes vec 0 (the query row) so
+    // candidate joins drop it.
     "s25_graph_search" ->
       """WITH sigs AS (
         |  SELECT vec_id, embedding, band,
@@ -4377,8 +4586,12 @@ object LlmInventory {
         |  SELECT vec_id, list_cosine_similarity(embedding,
         |    (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cos
         |  FROM embeddings WHERE vec_id <> 0),
-        |b0 AS (SELECT vec_id FROM score WHERE vec_id IN (1, 2, 3, 4)
-        |       ORDER BY cos DESC, vec_id ASC LIMIT 8),
+        |entries AS (
+        |  SELECT DISTINCT s.vec_id FROM sigs s JOIN sigs q
+        |    ON s.band = q.band AND s.sig = q.sig
+        |  WHERE q.vec_id = 0 AND s.vec_id <> 0),
+        |b0 AS (SELECT entries.vec_id FROM entries JOIN score USING (vec_id)
+        |       ORDER BY score.cos DESC, entries.vec_id ASC LIMIT 8),
         |c1 AS (SELECT vec_id FROM b0 UNION SELECT g.dst FROM g JOIN b0 ON g.src = b0.vec_id),
         |b1 AS (SELECT c1.vec_id FROM c1 JOIN score USING (vec_id)
         |       ORDER BY score.cos DESC, c1.vec_id ASC LIMIT 8),
@@ -4394,7 +4607,8 @@ object LlmInventory {
         |  FROM b3 JOIN score USING (vec_id)) t
         |WHERE rnk <= 5""".stripMargin,
     // batched serving: the same descent PARTITIONED BY query — per-query
-    // self-exclusion in the score CTE, per-query windows per hop
+    // LSH-seeded entries from the sigs CTE, per-query self-exclusion in
+    // the score CTE, per-query windows per hop
     "s26_graph_search_batch" ->
       """WITH sigs AS (
         |  SELECT vec_id, embedding, band,
@@ -4424,10 +4638,14 @@ object LlmInventory {
         |score AS (
         |  SELECT qs.q, e.vec_id, list_cosine_similarity(e.embedding, qs.qe) AS cos
         |  FROM embeddings e CROSS JOIN qs WHERE e.vec_id <> qs.q),
+        |entries AS (
+        |  SELECT DISTINCT q.vec_id AS q, s.vec_id AS vec_id FROM sigs s JOIN sigs q
+        |    ON s.band = q.band AND s.sig = q.sig
+        |  WHERE q.vec_id < 4),
         |b0 AS (
         |  SELECT q, vec_id FROM (
-        |    SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, vec_id ASC) AS r
-        |    FROM score WHERE vec_id IN (4, 5, 6, 7)) WHERE r <= 8),
+        |    SELECT e.q, e.vec_id, ROW_NUMBER() OVER (PARTITION BY e.q ORDER BY score.cos DESC, e.vec_id ASC) AS r
+        |    FROM entries e JOIN score ON score.q = e.q AND score.vec_id = e.vec_id) WHERE r <= 8),
         |c1 AS (SELECT q, vec_id FROM b0 UNION SELECT b0.q, g.dst FROM g JOIN b0 ON g.src = b0.vec_id),
         |b1 AS (
         |  SELECT q, vec_id FROM (
@@ -4697,6 +4915,46 @@ object LlmInventory {
         |       CAST(list_sum(list_transform(range(0, n), i ->
         |         CASE WHEN gray[i+1] * n > total THEN 1 ELSE 0 END)) AS BIGINT) AS n_bits
         |FROM s""".stripMargin,
+    // image near-dup: both hash families recomputed from the pixel
+    // FORMULAS (no PNG in the oracle — a hash match proves the real
+    // encode→decode→aHash pipeline), then the same 4×16-bit banded join
+    // + exact Hamming verify
+    "m12_image_neardup" ->
+      """WITH base AS (
+        |  SELECT doc_id, (4 + doc_id % 5) AS w, (3 + doc_id % 3) AS h,
+        |         (4 + doc_id % 5) * (3 + doc_id % 3) AS n
+        |  FROM documents WHERE doc_id < 40),
+        |imgs AS (
+        |  SELECT doc_id AS id, w, h, n,
+        |         list_transform(range(0, n), i ->
+        |           (doc_id*7 + i*13) % 256 +
+        |           (doc_id*11 + i*5) % 256 +
+        |           (doc_id*3 + i*17) % 256) AS gray
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000 AS id, w, h, n,
+        |         list_transform(range(0, n), i ->
+        |           (doc_id*7 + i*13 + CASE WHEN i % 3 = 0 THEN 37 ELSE 0 END) % 256 +
+        |           (doc_id*11 + i*5) % 256 +
+        |           (doc_id*3 + i*17) % 256) AS gray
+        |  FROM base),
+        |hs AS (
+        |  SELECT id, w, h,
+        |         CAST(list_sum(list_transform(range(0, n), i ->
+        |           CASE WHEN gray[i+1] * n > list_sum(gray)
+        |                THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS ahash
+        |  FROM imgs),
+        |bk AS (
+        |  SELECT id, w, h, ahash, b.band AS band,
+        |         (ahash >> (b.band * 16)) & 65535 AS slice
+        |  FROM hs CROSS JOIN range(0, 4) b(band)),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS d1, b.id AS d2,
+        |         CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+        |  FROM bk a JOIN bk b
+        |    ON a.w = b.w AND a.h = b.h AND a.band = b.band
+        |   AND a.slice = b.slice AND a.id < b.id)
+        |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
     "m6_image_decode" ->
       """SELECT doc_id,
         |       CAST(4 + doc_id % 5 AS INT) AS width,

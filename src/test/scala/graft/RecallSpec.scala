@@ -498,4 +498,70 @@ class RecallSpec extends AnyFunSuite {
     // pinned at gate creation: hops3 = 0.60 exactly (steps of 0.01 here)
     assert(r3 >= 0.595, s"graph descent recall floor regressed: $r3 < 0.60")
   }
+
+  test("querySignatures ≡ bandSignatures: driver fold matches the scan-side expression") {
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 25)
+    for (md5Family <- Seq(true, false)) {
+      val scan = Similarity.bandSignatures(em, "vec_id", "embedding",
+        planes = 8, seed = 42L, bands = 3, md5Family = md5Family)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      em.select("vec_id", "embedding").collect().foreach { r =>
+        val id = r.getLong(0)
+        val qs = Similarity.querySignatures(r.getSeq[Float](1),
+          planes = 8, seed = 42L, bands = 3, md5Family = md5Family)
+        qs.foreach { case (b, sig) =>
+          assert(scan((id, b)) === sig,
+            s"signature mismatch id=$id band=$b md5=$md5Family")
+        }
+      }
+    }
+  }
+
+  test("seeded graph search: recall floor beats fixed entries; batch ≡ singles") {
+    val em = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // same graph regime as the fixed-entry recall measurement above
+    val graph = Similarity.knnGraph(em, "vec_id", "embedding",
+      k = 10, planes = 4, seed = 42L, bands = 2)
+    val queries = em.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val per = queries.map { case (qid, query) =>
+      val corpus = em.filter(col("vec_id") =!= qid)
+      val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", query, 10)
+        .collect().map(_.getLong(0)).toSet
+      val got = Similarity.graphSearchSeeded(corpus, graph, "vec_id", "embedding",
+        query, k = 10, beam = 16, hops = 3,
+        planes = 4, seed = 42L, bands = 2)
+        .collect().map(_.getLong(1)).toSet
+      got.intersect(brute).size / 10.0
+    }
+    val recall = per.sum / per.length
+    info(s"graphSearchSeeded mean recall@10 over 10 queries: $recall")
+    // pinned at gate creation; must beat the fixed-entry path's 0.60
+    // floor — seeding starts the beam among the query's own bucket-mates
+    assert(recall >= 0.695, s"seeded descent recall floor regressed: $recall")
+
+    // batched seeded ≡ per-query seeded singles, EXACT (query, rnk, id)
+    // — self-exclusion is per query in the batch path, so compare against
+    // singles over the self-excluded corpus
+    val qDf = em.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val batched = Similarity.graphSearchBatchSeeded(em, graph, "vec_id",
+      "embedding", qDf, "q_id", "embedding", k = 5, beam = 16, hops = 3,
+      planes = 4, seed = 42L, bands = 2)
+    val batchedRows =
+      try batched.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      finally batched.unpersist(blocking = false)
+    val singleRows = queries.flatMap { case (qid, query) =>
+      Similarity.graphSearchSeeded(em.filter(col("vec_id") =!= qid), graph,
+        "vec_id", "embedding", query, k = 5, beam = 16, hops = 3,
+        planes = 4, seed = 42L, bands = 2)
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(batchedRows === singleRows,
+      s"batched seeded descent diverged from singles: " +
+        s"${(batchedRows diff singleRows).size}+${(singleRows diff batchedRows).size} rows")
+    graph.unpersist(blocking = false)
+  }
 }
