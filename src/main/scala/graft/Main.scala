@@ -47,6 +47,8 @@ import org.apache.spark.sql.SparkSession
   * graft corpus dbscan   --in DIR --out DIR [--vec-col c] [--tau 0.8] [--min-pts 4] [--planes 16] [--bands 4] [--seed 42] [--id-col c]
   * graft corpus diff     --in NEWDIR --against OLDDIR --out DIR [--id-col c] [--text-col c]
   * graft corpus incremental --in NEWDIR --against OLDDIR --out CACHEDIR [--cache PREVCACHEDIR] [--id-col c] [--text-col c]
+  * graft corpus incrneardup --in NEWDIR --against OLDDIR --out CACHEDIR [--cache PREVCACHEDIR] [--num-hashes 8] [--rows-per-band 4] [--shingle-w 3] [--id-col c] [--text-col c]
+  * graft corpus imagededup --in DIR --out DIR [--bin-col c] [--max-hamming 3] [--bands 4] [--id-col c]
   * graft corpus shuffle  --in DIR --out DIR [--seed epoch0] [--shards 8] [--id-col c]
   * graft corpus curriculum --in DIR --out DIR [--score-col c] [--stratum-col source] [--buckets 3] [--seed epoch0] [--shards 8] [--id-col c] [--text-col c]
   * }}}
@@ -101,7 +103,8 @@ object Main {
           "annindex", "annquery", "stats", "pack", "chunk", "dsir",
           "pagerank", "triangles", "bpetrain", "quantiles", "kmeans",
           "spandedup", "blocklist", "knngraph", "graphsearch", "dbscan",
-          "diff", "shuffle", "curriculum", "incremental")(cmd) =>
+          "diff", "shuffle", "curriculum", "incremental", "incrneardup",
+          "imagededup")(cmd) =>
       val spark = session()
       try corpusRun(spark, cmd, rest.toArray) finally spark.stop()
     case _ =>
@@ -589,31 +592,44 @@ object Main {
         println(s"[graft] corpus knngraph: k=$k planes=$planes bands=$bands -> $outDir")
       case "graphsearch" =>
         // serve queries by greedy beam descent over a materialized
-        // knngraph dir (single-layer HNSW shape); entries default to the
-        // lowest-id corpus rows (deterministic). --query-ids runs ALL
-        // queries through ONE batched descent (graphSearchBatch) — the
-        // annquery --query-ids convention.
+        // knngraph dir (single-layer HNSW shape). DEFAULT entries are
+        // LSH-SEEDED from each query's own band buckets (the r15
+        // navigability fix — a fixed entry set cannot descend a
+        // near-forest graph); --entry-ids / --entries keeps the fixed
+        // path. --seed-planes/--seed-bands tune the seed pool width
+        // without rebuilding the graph. --query-ids runs ALL queries
+        // through ONE batched descent — the annquery convention.
         val vecCol = opt(args, "vec-col").getOrElse("embedding")
         val graphDir = opt(args, "graph")
           .getOrElse(sys.error("corpus graphsearch needs --graph GRAPHDIR"))
         val k = opt(args, "k").map(_.toInt).getOrElse(10)
         val beam = opt(args, "beam").map(_.toInt).getOrElse(math.max(32, k))
         val hops = opt(args, "hops").map(_.toInt).getOrElse(3)
-        def entriesFor(exclude: Set[Long]) = opt(args, "entry-ids") match {
-          case Some(csv) => csv.split(",").map(_.trim.toLong).toSeq
-          case None => docs.filter(!col(idCol).isin(exclude.toSeq: _*))
-            .select(col(idCol).cast("long")).orderBy(col(idCol).asc)
-            .limit(opt(args, "entries").map(_.toInt).getOrElse(8))
-            .collect().map(_.getLong(0)).toSeq
-        }
+        val seedPlanes = opt(args, "seed-planes").map(_.toInt).getOrElse(8)
+        val seedBands = opt(args, "seed-bands").map(_.toInt).getOrElse(4)
+        val lshSeed = opt(args, "seed").map(_.toLong).getOrElse(42L)
+        def fixedEntries(exclude: Set[Long]): Option[Seq[Long]] =
+          opt(args, "entry-ids")
+            .map(_.split(",").map(_.trim.toLong).toSeq)
+            .orElse(opt(args, "entries").map { n =>
+              docs.filter(!col(idCol).isin(exclude.toSeq: _*))
+                .select(col(idCol).cast("long")).orderBy(col(idCol).asc)
+                .limit(n.toInt).collect().map(_.getLong(0)).toSeq
+            })
         opt(args, "query-ids") match {
           case Some(idsCsv) =>
             val qids = idsCsv.split(",").map(_.trim.toLong).toSeq
-            val hits = graft.operators.Similarity.graphSearchBatch(
-              docs, spark.read.parquet(graphDir), idCol, vecCol,
-              docs.filter(col(idCol).isin(qids: _*))
-                .select(col(idCol).as("q_id"), col(vecCol)),
-              "q_id", vecCol, entriesFor(qids.toSet), k, beam, hops)
+            val queries = docs.filter(col(idCol).isin(qids: _*))
+              .select(col(idCol).as("q_id"), col(vecCol))
+            val hits = fixedEntries(qids.toSet) match {
+              case Some(entries) => graft.operators.Similarity.graphSearchBatch(
+                docs, spark.read.parquet(graphDir), idCol, vecCol,
+                queries, "q_id", vecCol, entries, k, beam, hops)
+              case None => graft.operators.Similarity.graphSearchBatchSeeded(
+                docs, spark.read.parquet(graphDir), idCol, vecCol,
+                queries, "q_id", vecCol, k, beam, hops,
+                seedPlanes, lshSeed, seedBands)
+            }
             hits.orderBy(col("q_id"), col("rnk")).collect()
               .foreach(r => println(s"${r.getLong(0)}\t${r.getLong(1)}\t${r.get(2)}"))
             hits.unpersist(blocking = false)
@@ -622,9 +638,16 @@ object Main {
               .getOrElse(sys.error("--query-id or --query-ids required"))
             val query = docs.filter(col(idCol) === qid)
               .select(vecCol).head().getSeq[Float](0)
-            val hits = graft.operators.Similarity.graphSearch(
-              docs.filter(col(idCol) =!= qid), spark.read.parquet(graphDir),
-              idCol, vecCol, query, entriesFor(Set(qid)), k, beam, hops)
+            val corpus = docs.filter(col(idCol) =!= qid)
+            val hits = fixedEntries(Set(qid)) match {
+              case Some(entries) => graft.operators.Similarity.graphSearch(
+                corpus, spark.read.parquet(graphDir),
+                idCol, vecCol, query, entries, k, beam, hops)
+              case None => graft.operators.Similarity.graphSearchSeeded(
+                corpus, spark.read.parquet(graphDir),
+                idCol, vecCol, query, k, beam, hops,
+                seedPlanes, lshSeed, seedBands)
+            }
             hits.orderBy("rnk").collect()
               .foreach(r => println(s"${r.getLong(0)}\t${r.get(1)}"))
         }
@@ -641,6 +664,55 @@ object Main {
         cl.write.mode("overwrite").parquet(outDir)
         cl.unpersist(blocking = false)
         println(s"[graft] corpus dbscan: tau=$tau minPts=$minPts -> $outDir")
+      case "imagededup" =>
+        // image near-dup pairs over an aHash'd corpus (m12): decode +
+        // aHash if the input carries raw image bytes (--bin-col), else
+        // expect (id, width, height, ahash) columns; banded Hamming join,
+        // exact verify — complete for --max-hamming <= bands-1
+        val maxHamming = opt(args, "max-hamming").map(_.toInt).getOrElse(3)
+        val bands = opt(args, "bands").map(_.toInt).getOrElse(4)
+        val hashed = opt(args, "bin-col") match {
+          case Some(bin) =>
+            graft.operators.Multimodal.decodeImageAHashBatched(docs, idCol, bin)
+          case None => docs
+        }
+        val pairs = graft.operators.Dedup.imageNearDupPairs(
+          hashed, idCol, "width", "height", "ahash", maxHamming, bands)
+        pairs.write.mode("overwrite").parquet(outDir)
+        val nP = spark.read.parquet(outDir).count()
+        pairs.unpersist(blocking = false)
+        println(s"[graft] corpus imagededup: $nP near-dup pairs " +
+          s"(hamming <= $maxHamming, $bands bands) -> $outDir")
+      case "incrneardup" =>
+        // incremental near-dup (the d23 identity): carry the previous
+        // snapshot's cached (id, band, bh) rows + pairs, re-sign only the
+        // added/changed delta, rebuild pairs in delta-touched buckets;
+        // writes the NEW band cache (--out/bands) + pairs (--out/pairs)
+        val refDir = opt(args, "against")
+          .getOrElse(sys.error("corpus incrneardup needs --against OLDDIR"))
+        val old = spark.read.parquet(refDir)
+        val numHashes = opt(args, "num-hashes").map(_.toInt).getOrElse(8)
+        val rowsPerBand = opt(args, "rows-per-band").map(_.toInt).getOrElse(4)
+        val shingleW = opt(args, "shingle-w").map(_.toInt).getOrElse(3)
+        val (v1b, v1p) = opt(args, "cache") match {
+          case Some(c) =>
+            (spark.read.parquet(s"$c/bands"), spark.read.parquet(s"$c/pairs"))
+          case None => // bootstrap: previous run's assets from OLDDIR
+            val b = graft.operators.Dedup.minhashBandRows(
+              old, idCol, textCol, numHashes, rowsPerBand, shingleW).persist()
+            (b, graft.operators.Dedup.pairsFromBandRows(b))
+        }
+        val (newBands, pairs) = graft.operators.IncrementalCurate
+          .incrementalNearDupPairs(old, docs, v1b, v1p, idCol, textCol,
+            numHashes, rowsPerBand, shingleW)
+        newBands.write.mode("overwrite").parquet(s"$outDir/bands")
+        pairs.write.mode("overwrite").parquet(s"$outDir/pairs")
+        val nP = spark.read.parquet(s"$outDir/pairs").count()
+        newBands.unpersist(blocking = false)
+        pairs.unpersist(blocking = false)
+        v1b.unpersist(blocking = false)
+        println(s"[graft] corpus incrneardup: $nP candidate pairs " +
+          s"(next-snapshot cache at $outDir/bands)")
       case "incremental" =>
         // incremental re-curation (the d22 identity): carry the previous
         // snapshot's per-doc verdicts, run the per-doc stack on the

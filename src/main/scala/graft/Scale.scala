@@ -1529,82 +1529,133 @@ object Scale {
     }
     import graft.operators.Similarity
     val dim = 64
-    val dir = Files.createTempDirectory("graft_scale_gserve").toString
-    val (_, genSec) = timed {
-      spark.range(nVecs).toDF("id")
+    // Two regimes. CLUSTERED is the realistic embedding-corpus case
+    // (topical manifolds — genClusteredEmbCorpus's ~2000-docs/topic
+    // regime) and carries the HARD recall floor; hash-UNIFORM is the
+    // adversarial case (r14 measured recall exactly 0.000 there with
+    // FIXED entries — the LSH-bucket kNN graph is near-forest, nothing
+    // descends). r15's fix is LSH-SEEDED entries: the query's own band
+    // buckets start the beam among genuine neighbor candidates, and
+    // seeding params may differ from the graph's build params (fewer
+    // planes per band = wider seed pool — the serving-time recall
+    // lever, no graph rebuild).
+    case class Regime(name: String, gen: () => org.apache.spark.sql.DataFrame,
+      seedPlanes: Int, seedBands: Int, floor: Double)
+    val regimes = Seq(
+      Regime("clustered", () => genClusteredEmbCorpus(spark, nVecs)
+        .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        seedPlanes = 8, seedBands = 4, floor = 0.9),
+      Regime("uniform", () => spark.range(nVecs).toDF("id")
         .withColumn("vec",
           transform(sequence(lit(0), lit(dim - 1)), j =>
             ((pmod(xxhash64(col("id"), j, lit(7)), lit(2000L)).cast("double") / 1000.0 - 1.0))
-              .cast("float")))
-        .write.mode("overwrite").parquet(dir)
-    }
-    val vecs = spark.read.parquet(dir).persist()
-    vecs.count()
-    val (graph, buildSec) = timed {
-      Similarity.knnGraph(vecs, "id", "vec", k = 8, planes = 16, seed = 42L,
-        bands = 4)
-    }
-    val nEdges = graph.count()
-    val queries = vecs.filter(col("id") < 16)
-      .select(col("id").as("q_id"), col("vec")).persist()
-    val qList = queries.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_._1)
-    val entries = (100L to 131L).toSeq
-    val (batched, batchSec) = timed {
-      val out = Similarity.graphSearchBatch(vecs, graph, "id", "vec",
-        queries, "q_id", "vec", entries, k = 10, beam = 32, hops = 3)
-      val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      out.unpersist(blocking = false)
-      rows
-    }
-    val (singles, singleSec) = timed {
-      qList.flatMap { case (qid, qv) =>
-        Similarity.graphSearch(
-          vecs.filter(col("id") =!= qid), graph, "id", "vec", qv,
-          entries, k = 10, beam = 32, hops = 3)
-          .collect().map(r => (qid, r.getLong(0), r.getLong(1)))
-      }.toSet
-    }
-    require(batched == singles,
-      s"batched descent diverged from single-query descents: " +
-        s"${(batched diff singles).size}+${(singles diff batched).size} rows differ")
-    val (recall, bruteSec) = timed {
-      val per = qList.map { case (qid, qv) =>
-        val truth = Similarity.bruteForceTopK(
-          vecs.filter(col("id") =!= qid), "id", "vec", qv, 10)
-          .collect().map(_.getLong(0)).toSet
-        val got = batched.filter(_._1 == qid).map(_._3)
-        (got & truth).size / 10.0
+              .cast("float"))),
+        seedPlanes = 10, seedBands = 8, floor = -1.0))
+    val rows = regimes.map { rg =>
+      val dir = Files.createTempDirectory(s"graft_scale_gserve_${rg.name}").toString
+      val (_, genSec) = timed { rg.gen().write.mode("overwrite").parquet(dir) }
+      val vecs = spark.read.parquet(dir).persist()
+      vecs.count()
+      val (graph, buildSec) = timed {
+        Similarity.knnGraph(vecs, "id", "vec", k = 8, planes = 16, seed = 42L,
+          bands = 4)
       }
-      per.sum / per.length
+      val nEdges = graph.count()
+      // the seed INDEX is materialized once beside the graph (the serving
+      // shape: at 100 TB it is bucketed by (band, sig) so a query's probe
+      // partition-prunes) — its build cost is reported, not hidden
+      val (sigs, sigSec) = timed {
+        val s0 = Similarity.bandSignatures(vecs, "id", "vec",
+          rg.seedPlanes, seed = 42L, rg.seedBands).persist()
+        s0.count()
+        s0
+      }
+      val queries = vecs.filter(col("id") < 16)
+        .select(col("id").as("q_id"), col("vec")).persist()
+      val qList = queries.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1)
+      val (batched, batchSec) = timed {
+        val out = Similarity.graphSearchBatchSeeded(vecs, graph, "id", "vec",
+          queries, "q_id", "vec", k = 10, beam = 32, hops = 3,
+          rg.seedPlanes, seed = 42L, rg.seedBands, sigs = Some(sigs))
+        val r = out.collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getLong(2))).toSet
+        out.unpersist(blocking = false)
+        r
+      }
+      val (singles, singleSec) = timed {
+        qList.flatMap { case (qid, qv) =>
+          Similarity.graphSearchSeeded(
+            vecs.filter(col("id") =!= qid), graph, "id", "vec", qv,
+            k = 10, beam = 32, hops = 3,
+            rg.seedPlanes, seed = 42L, rg.seedBands,
+            sigs = Some(sigs.filter(col("id") =!= qid)))
+            .collect().map(r0 => (qid, r0.getLong(0), r0.getLong(1)))
+        }.toSet
+      }
+      require(batched == singles,
+        s"${rg.name}: batched descent diverged from single-query descents: " +
+          s"${(batched diff singles).size}+${(singles diff batched).size} rows differ")
+      val (recall, bruteSec) = timed {
+        val per = qList.map { case (qid, qv) =>
+          val truth = Similarity.bruteForceTopK(
+            vecs.filter(col("id") =!= qid), "id", "vec", qv, 10)
+            .collect().map(_.getLong(0)).toSet
+          val got = batched.filter(_._1 == qid).map(_._3)
+          (got & truth).size / 10.0
+        }
+        per.sum / per.length
+      }
+      // the r15 "done" criterion: clustered recall is ASSERTED (the
+      // realistic regime must actually navigate); uniform stays logged —
+      // materially non-zero is the honest claim there, and the number
+      // itself is the evidence
+      if (rg.floor > 0)
+        require(recall >= rg.floor,
+          s"${rg.name}: seeded descent recall@10 $recall under floor ${rg.floor}")
+      graph.unpersist(blocking = false)
+      sigs.unpersist(blocking = false)
+      queries.unpersist(blocking = false)
+      vecs.unpersist(blocking = false)
+      (rg, genSec, buildSec, sigSec, nEdges, batchSec, singleSec, recall, bruteSec)
     }
     val heapMb = heapPeakMb()
-    graph.unpersist(blocking = false)
-    queries.unpersist(blocking = false)
-    vecs.unpersist(blocking = false)
+    // NB: built with plain concatenation, NOT an embedded stripMargin
+    // template — lines spliced into the outer stripMargin would lose
+    // their leading table pipes (double-strip)
+    val tbl = rows.map { case (rg, genSec, buildSec, sigSec, nEdges, batchSec, singleSec, recall, bruteSec) =>
+      Seq(
+        s"| — **${rg.name}** corpus (gen ${f"$genSec%.1f"} s) | |",
+        s"| kNN graph build (k=8, 16 planes × 4 bands) | ${f"$buildSec%.1f"} s ($nEdges edges) |",
+        s"| seed index build (${rg.seedPlanes} planes × ${rg.seedBands} bands) | ${f"$sigSec%.1f"} s |",
+        s"| batched seeded serve, 16 queries × top-10 (beam 32, 3 hops) | ${f"$batchSec%.1f"} s (${f"${batchSec / 16}%.2f"} s/query) |",
+        s"| single-query seeded loop, same 16 | ${f"$singleSec%.1f"} s (batched is ${f"${singleSec / math.max(batchSec, 1e-9)}%.1f"}×) |",
+        s"| batched ≡ single | EXACT (same (query, rnk, id) set) |",
+        s"| mean recall@10 vs brute (brute wall ${f"$bruteSec%.1f"} s) | ${f"$recall%.3f"}${if (rg.floor > 0) s" (ASSERTED ≥ ${rg.floor})" else " (logged — the adversarial no-structure case; was 0.000 with fixed entries in r14)"} |"
+      ).mkString("\n")
+    }.mkString("\n")
     val section =
       s"""
-         |$graphServeHeader (${nVecs / 1000}k × $dim-dim hash-uniform vectors, degree-8 graph, 16 queries)
+         |$graphServeHeader (${nVecs / 1000}k × $dim-dim vectors, degree-8 graph, 16 queries, LSH-seeded entries)
          |
          |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale graphserve $nVecs"` —
-         |the s25/s26 serving paths over a corpus-scale kNN graph. Uniform
-         |random vectors are the HARD case (no near-dup structure to
-         |navigate); the exact invariant is that the BATCHED descent
-         |(one job set for all queries) returns byte-identical rows to 16
-         |independent single-query descents.
+         |the s25/s26 serving paths with r15's LSH-SEEDED entries: the
+         |query's own hyperplane band buckets start the beam (one
+         |partition-prunable probe of a materialized signature index),
+         |replacing the fixed entry set whose measured recall on 1M
+         |uniform vectors was exactly 0.000. Clustered = the realistic
+         |embedding-corpus regime (recall floor asserted); uniform = the
+         |adversarial no-structure case (logged). Both regimes assert the
+         |batched descent ≡ 16 independent single-query descents, EXACT.
          |
          || metric | value |
          ||---|---|
-         || corpus generate + write | ${f"$genSec%.1f"} s ($nVecs vectors) |
-         || kNN graph build (k=8, 16 planes × 4 bands) | ${f"$buildSec%.1f"} s ($nEdges edges) |
-         || batched serve, 16 queries × top-10 (beam 32, 3 hops) | ${f"$batchSec%.1f"} s (${f"${batchSec / 16}%.2f"} s/query) |
-         || single-query loop, same 16 | ${f"$singleSec%.1f"} s (${f"${singleSec / 16}%.2f"} s/query — batched is ${f"${singleSec / math.max(batchSec, 1e-9)}%.1f"}×) |
-         || batched ≡ single | EXACT (same (query, rnk, id) set) |
-         || mean recall@10 vs brute (brute wall ${f"$bruteSec%.1f"} s) | ${f"$recall%.3f"} on uniform data (LOGGED, not asserted — no navigable structure; the RecallSpec fixture floor is 0.60) |
+         |""".stripMargin + tbl + s"""
          || peak heap | $heapMb MB |
          |""".stripMargin
     spliceSection(outMd, graphServeHeader, section)
-    println(s"""{"metric":"scale_graphserve","value":$batchSec,"unit":"sec","n_vecs":$nVecs,"edges":$nEdges,"recall":$recall,"build_sec":$buildSec,"single_sec":$singleSec,"heap_peak_mb":$heapMb}""")
+    val (rgC, _, buildC, _, edgesC, batchC, singleC, recallC, _) = rows.head
+    val (_, _, _, _, _, _, _, recallU, _) = rows(1)
+    println(s"""{"metric":"scale_graphserve","value":$batchC,"unit":"sec","n_vecs":$nVecs,"edges":$edgesC,"recall_clustered":$recallC,"recall_uniform":$recallU,"build_sec":$buildC,"single_sec":$singleC,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 
@@ -1867,6 +1918,13 @@ object Scale {
          |  (per-pass max centroid movement²: ${refineMoves.map(_._2).mkString(", ")}) —
          |  ${f"${rfSec / math.max(smSec, 1e-9)}%.1f"}× the sampled wall vs the pure
          |  exact trainer's ${f"${exSec / math.max(smSec, 1e-9)}%.1f"}×
+         |- **`--trainer refined` is the RECOMMENDED exact path**: it lands
+         |  the exact trainer's defining property (final centroids are
+         |  full-corpus means in exact integer arithmetic — the offset
+         |  column) at the cost of 1–2 full scans instead of `iters`; use
+         |  the pure exact trainer only when the sampled init itself is
+         |  suspect (adversarially ordered corpora where a 2000-row sample
+         |  misses whole clusters)
          |""".stripMargin
     spliceSection(outMd, ivfTrainHeader, section)
     println(s"""{"metric":"scale_ivftrain","value":$exSec,"unit":"sec","n_vecs":$n,"k":$k,"recall_exact":$recEx,"recall_refined":$recRf,"recall_sampled":$recSm,"qerr_exact":$qeEx,"qerr_refined":$qeRf,"qerr_sampled":$qeSm,"covered_exact":$covEx,"covered_refined":$covRf,"covered_sampled":$covSm,"offset_exact":$offEx,"offset_refined":$offRf,"offset_sampled":$offSm,"train_sec_exact":$exSec,"train_sec_refined":$rfSec,"train_sec_sampled":$smSec,"refine_passes":${refineMoves.length},"heap_peak_mb":$heapMb}""")
@@ -1915,7 +1973,11 @@ object Scale {
       spark.range(nDocs).toDF("id")
         .withColumn("text", docText(col("id"), "a"))
         .write.mode("overwrite").parquet(s"$dir/v1")
-      // v2: drop id%100==2, rewrite id%100==1, append nDocs/100 new ids
+      // v2: drop id%100==2, rewrite id%100==1, append nDocs/100 new ids —
+      // every 2nd appended doc an EXACT COPY of an existing v1 text, so
+      // the near-dup arm below faces real cross-snapshot duplicate pairs
+      // arriving through the ADDED path (and the funnel arm faces n=2
+      // exact-dup groups)
       spark.range(nDocs).toDF("id")
         .filter(pmod(col("id"), lit(100L)) =!= 2L)
         .withColumn("text",
@@ -1923,7 +1985,10 @@ object Scale {
             .otherwise(docText(col("id"), "a")))
         .unionByName(
           spark.range(nDocs, nDocs + nDocs / 100).toDF("id")
-            .withColumn("text", docText(col("id"), "a")))
+            .withColumn("text",
+              when(pmod(col("id"), lit(2L)) === 1L,
+                docText(col("id") - nDocs, "a"))
+                .otherwise(docText(col("id"), "a"))))
         .write.mode("overwrite").parquet(s"$dir/v2")
     }
     val v1 = spark.read.parquet(s"$dir/v1")
@@ -1971,12 +2036,145 @@ object Scale {
     val expectedFresh = (nDocs / 100) * 2 // 1% changed + 1% added
     require(nFresh == expectedFresh,
       s"fresh path processed $nFresh rows, expected $expectedFresh")
-    fullOut.unpersist(blocking = false)
     incrOut.unpersist(blocking = false)
+
+    // ---- NEAR-DUP ARM (d23): the identity extended to the LSH stage ----
+    // REAL document length: the funnel corpora's 20-token docs make the
+    // codegen signature kernel nearly free, hiding exactly the cost the
+    // incremental carry exists to skip. Inflate to ~200 tokens by
+    // repeating the id-salted token block (no extra md5 work in the
+    // generator; the signature pass still walks every token/shingle,
+    // which is the production cost profile of KB-scale documents)
+    val (_, ndGenSec) = timed {
+      v1.select(col("id"),
+          rtrim(repeat(concat(col("text"), lit(" ")), 20)).as("text"))
+        .write.mode("overwrite").parquet(s"$dir/v1n")
+      v2.select(col("id"),
+          rtrim(repeat(concat(col("text"), lit(" ")), 20)).as("text"))
+        .write.mode("overwrite").parquet(s"$dir/v2n")
+    }
+    val v1n = spark.read.parquet(s"$dir/v1n")
+    val v2n = spark.read.parquet(s"$dir/v2n")
+    // the previous run's cached assets: (id, band, bh) rows + pairs —
+    // and the snapshot diff, materialized ONCE for ALL incremental
+    // stages (the funnel and the near-dup stage consume the same diff
+    // in a real pipeline; its cost is charged here, separately)
+    val (_, bandCacheSec) = timed {
+      Dedup.minhashBandRows(v1n, "id", "text",
+        numHashes = 8, rowsPerBand = 4, shingleWidth = 3)
+        .write.mode("overwrite").parquet(s"$dir/v1_bands")
+    }
+    val v1Bands = spark.read.parquet(s"$dir/v1_bands")
+    Dedup.pairsFromBandRows(v1Bands)
+      .write.mode("overwrite").parquet(s"$dir/v1_pairs")
+    val v1Pairs = spark.read.parquet(s"$dir/v1_pairs")
+    val (_, ndDiffSec) = timed {
+      Dedup.corpusDiff(v1n, v2n, "id", "text")
+        .write.mode("overwrite").parquet(s"$dir/ndiff")
+      // the delta WITH its texts — in production this frame arrives from
+      // ingest (the r20/r21 delta rows), it is never re-extracted from
+      // the at-rest corpus; materializing it here charges that setup
+      // honestly to the shared-assets step
+      spark.read.parquet(s"$dir/ndiff")
+        .filter(col("status").isin("added", "changed"))
+        .join(v2n, Seq("id"), "left").select("id", "text")
+        .write.mode("overwrite").parquet(s"$dir/ndelta")
+    }
+    val ((ndFull, nNdFull), ndFullSec) = timed {
+      val p = Dedup.pairsFromBandRows(
+        Dedup.minhashBandRows(v2n, "id", "text",
+          numHashes = 8, rowsPerBand = 4, shingleWidth = 3)).persist()
+      (p, p.count())
+    }
+    val ((ndBands, ndIncr, nNdIncr), ndIncrSec) = timed {
+      val (nb, p) = IncrementalCurate.incrementalNearDupPairs(
+        v1n, v2n, v1Bands, v1Pairs, "id", "text",
+        numHashes = 8, rowsPerBand = 4, shingleWidth = 3,
+        diffOpt = Some(spark.read.parquet(s"$dir/ndiff")),
+        deltaDocsOpt = Some(spark.read.parquet(s"$dir/ndelta")))
+      (nb, p, p.count())
+    }
+    val ndMismatch = ndFull.unionByName(ndIncr)
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 2).count()
+    require(ndMismatch == 0L,
+      s"incremental near-dup diverged from full recompute on $ndMismatch pairs")
+    // closed-form pair census: the ONLY near-dup pairs in v2 are the
+    // planted copies (source m, copy nDocs+m) for odd m whose source
+    // text survived unchanged (m % 100 == 1 was rewritten) — every
+    // other text is a distinct md5 stream
+    val expectedPlanted = spark.range(nDocs, nDocs + nDocs / 100).toDF("id")
+      .filter(pmod(col("id"), lit(2L)) === 1L &&
+        pmod(col("id") - nDocs, lit(100L)) =!= 1L &&
+        pmod(col("id") - nDocs, lit(100L)) =!= 2L)
+      .count()
+    require(nNdFull == expectedPlanted && nNdIncr == expectedPlanted,
+      s"near-dup pair census: full=$nNdFull incr=$nNdIncr expected=$expectedPlanted")
+    ndFull.unpersist(blocking = false)
+    ndIncr.unpersist(blocking = false)
+    ndBands.unpersist(blocking = false)
+
+    // ---- BUCKETED LIVE CACHE ARM (r21): write volume ∝ delta ----
+    // the versioned cache rewrites EVERYTHING every micro-batch; the
+    // bucketed live cache rewrites only delta-touched buckets — measure
+    // actual bytes written over a 20-micro-batch drain of the full delta
+    val nBuckets = 8192
+    val cacheDir = s"$dir/bucketed"
+    val (_, seedSec) = timed {
+      IncrementalCurate.seedBucketedCache(cacheDir, v1Done, "id", nBuckets)
+    }
+    def liveBytes(newerThan: Long): Long = {
+      val root = java.nio.file.Paths.get(s"$cacheDir/live")
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          java.nio.file.Files.getLastModifiedTime(p).toMillis > newerThan)
+        .mapToLong(p => java.nio.file.Files.size(p)).sum()
+      finally s.close()
+    }
+    val cacheBytes = liveBytes(0L)
+    // delta statuses materialized ONCE (each batch application reads the
+    // batch several times; re-deriving the diff per use would re-scan
+    // both corpora)
+    Dedup.corpusDiff(v1, v2, "id", "text")
+      .filter(col("status") =!= "same")
+      .join(v2, Seq("id"), "left")
+      .write.mode("overwrite").parquet(s"$dir/delta")
+    val delta = spark.read.parquet(s"$dir/delta")
+    // apply the FULL delta as one batch (a bulk catch-up — touches most
+    // buckets, recorded honestly), then REPLAY a micro-batch-sized
+    // 500-id slice of the already-applied delta: the replay measures
+    // BOTH claims at once — write volume ∝ touched buckets (≤ batch
+    // ids, a vanishing cache fraction) AND drop-all-then-re-add
+    // idempotence at scale (the cache must be unchanged, asserted
+    // against the full recompute below)
+    val (_, drainSec) = timed {
+      IncrementalCurate.applyDeltaBatchBucketed(cacheDir,
+        delta, "id", "text", nBuckets)
+    }
+    val replayBatch = delta.orderBy(col("id")).limit(500)
+    val replayCut = System.currentTimeMillis()
+    val (_, replaySec) = timed {
+      IncrementalCurate.applyDeltaBatchBucketed(cacheDir,
+        replayBatch, "id", "text", nBuckets)
+    }
+    val replayBytes = liveBytes(replayCut)
+    val ((bOut, nB), bGroupSec) = timed {
+      val o = dedupStage(
+        spark.read.parquet(s"$cacheDir/live").select("id", "h")).persist()
+      (o, o.count())
+    }
+    val bMismatch = fullOut.unionByName(bOut)
+      .groupBy("h", "keep_id", "n").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 2).count()
+    require(bMismatch == 0L && nB == nFull,
+      s"bucketed drain + replay diverged from full recompute on $bMismatch rows")
+    bOut.unpersist(blocking = false)
+    fullOut.unpersist(blocking = false)
     val heapMb = heapPeakMb()
     val section =
       s"""
-         |$incrHeader (${nDocs / 1000}k docs, 1% changed / 1% removed / 1% added)
+         |$incrHeader (${nDocs / 1000}k docs, 1% changed / 1% removed / 1% added — every 2nd added doc an exact copy of an existing text)
          |
          |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale incremental $nDocs"` —
          |the d22 identity funnel(v2) ≡ carried(v1) − removed + funnel(added ∪
@@ -1990,15 +2188,32 @@ object Scale {
          || FULL re-run of v2 | ${f"$fullSec%.1f"} s ($nFull survivor groups) |
          || INCREMENTAL re-run | ${f"$incrSec%.1f"} s (${f"${fullSec / incrSec}%.1f"}× faster; per-doc stack on $nFresh of $nDocs v2 docs) |
          || identity | EXACT — 0 mismatched (h, keep_id, n) rows |
+         || — near-dup arm (d23), ~400-token docs (gen ${f"$ndGenSec%.1f"} s) | |
+         || v1 band-row cache / shared diff + delta docs | ${f"$bandCacheSec%.1f"} s / ${f"$ndDiffSec%.1f"} s (the cached LSH asset; the diff and the texts-carrying delta are once-per-snapshot-pair assets every incremental stage consumes — in production the delta arrives from ingest) |
+         || FULL LSH re-run of v2 (8 hashes / 2 bands, 3-gram shingles) | ${f"$ndFullSec%.1f"} s ($nNdFull pairs) |
+         || INCREMENTAL near-dup re-run | ${f"$ndIncrSec%.1f"} s (${f"${ndFullSec / ndIncrSec}%.1f"}× faster; signatures for the 2% delta only, pairs rebuilt in delta-touched buckets) |
+         || near-dup identity + census | EXACT — 0 mismatched pairs; pair set == the $nNdFull planted copies (closed form) |
+         || — bucketed live cache arm (r21): seed ($nBuckets buckets) | ${f"$seedSec%.1f"} s (${cacheBytes / 1024 / 1024} MB cache) |
+         || bulk catch-up (full 3% delta, one batch) | ${f"$drainSec%.1f"} s |
+         || 500-id micro-batch REPLAY: bytes written | ${replayBytes / 1024} KB in ${f"$replaySec%.1f"} s — vs ${cacheBytes / 1024} KB (the versioned cache's per-batch full rewrite): ${f"${cacheBytes / math.max(replayBytes.toDouble, 1.0)}%.1f"}× less, ∝ touched buckets not cache size |
+         || replay idempotence + identity | EXACT — cache unchanged by the replayed slice; 0 mismatched (h, keep_id, n) rows vs full recompute ($nB groups, grouped in ${f"$bGroupSec%.1f"} s) |
          || peak heap | $heapMb MB |
          |
          |- the incremental bound is the hash-diff (1 md5/doc over both
          |  snapshots) — the per-doc stack (strip + tokenize + quality stats +
          |  20 classifier md5s) runs on the 2% delta only; at 100 TB the same
          |  split holds with stored hashes making the diff a metadata join
+         |- the near-dup arm carries the SAME bound to the LSH stage: band
+         |  rows are pure per-row functions of (id, text), so 98% of the
+         |  shingle+MinHash work is a cache read, and the pair join runs
+         |  only over buckets containing a delta row
+         |- per-micro-batch write volume is ∝ touched buckets (≤ batch ids),
+         |  not cache size: at 10^11 docs the bucket count scales with the
+         |  corpus and the ratio improves proportionally — a fixed-size
+         |  micro-batch rewrites a vanishing fraction of the cache
          |""".stripMargin
     spliceSection(outMd, incrHeader, section)
-    println(s"""{"metric":"scale_incremental","value":$incrSec,"unit":"sec","n_docs":$nDocs,"full_sec":$fullSec,"incr_sec":$incrSec,"speedup":${fullSec / incrSec},"fresh_rows":$nFresh,"heap_peak_mb":$heapMb}""")
+    println(s"""{"metric":"scale_incremental","value":$incrSec,"unit":"sec","n_docs":$nDocs,"full_sec":$fullSec,"incr_sec":$incrSec,"speedup":${fullSec / incrSec},"fresh_rows":$nFresh,"neardup_full_sec":$ndFullSec,"neardup_incr_sec":$ndIncrSec,"neardup_pairs":$nNdFull,"replay_written_kb":${replayBytes / 1024},"cache_kb":${cacheBytes / 1024},"bucketed_vs_versioned":${cacheBytes / math.max(replayBytes.toDouble, 1.0)},"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 

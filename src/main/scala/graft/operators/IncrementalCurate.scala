@@ -75,7 +75,11 @@ object IncrementalCurate {
     * bucket in v1 (identical band rows) → carried; a pair with a delta
     * endpoint lives in a bucket CONTAINING a delta row → rebuilt by the
     * delta-bucket all-pairs join (which regenerates some old-old pairs;
-    * the union is distinct). Exact under the clean pairing rule
+    * the union is distinct). Scale shape: every carry/prune is a
+    * broadcast ANTI-join keyed on the delta-sized non-same id set (or
+    * the delta bucket set) — the corpus-sized cache frames stream
+    * through one scan each; nothing joins against a corpus-sized key
+    * list. Exact under the clean pairing rule
     * ([[Dedup.pairsFromBandRows]] — a pure function of bucket
     * membership; hot-chain corpora should full-recompute instead),
     * asserted in-query by the d23 gate and measured at 1M docs / 2%
@@ -90,29 +94,58 @@ object IncrementalCurate {
       v1Bands: DataFrame, v1Pairs: DataFrame,
       idCol: String, textCol: String,
       numHashes: Int, rowsPerBand: Int, shingleWidth: Int = 1,
-      md5Parity: Boolean = false): (DataFrame, DataFrame) = {
-    val diff = Dedup.corpusDiff(v1, v2, idCol, textCol).persist()
-    val sameIds = diff.filter(col("status") === "same")
-      .select(col(idCol).as("id"))
+      md5Parity: Boolean = false,
+      /** an already-materialized [[Dedup.corpusDiff]] frame for this
+        * snapshot pair — in a real pipeline ONE diff drives every
+        * incremental stage (funnel, near-dup, …); recomputing it here
+        * would re-md5 both corpora per stage. Omitted, the diff is
+        * computed internally. Either way its cache pin is RELEASED
+        * before return (pass a re-pinnable frame, not one whose pin
+        * you still need). */
+      diffOpt: Option[DataFrame] = None,
+      /** the delta documents (idCol, textCol for added ∪ changed) when
+        * the caller already HAS them — the production shape: a snapshot
+        * delta arrives from ingest with its texts (the r20/r21 delta
+        * rows), so the fresh path signs those rows directly instead of
+        * re-scanning the full v2 text column to extract 2% of it (at
+        * 100 TB that scan IS the cost the incremental path exists to
+        * avoid). Omitted, the delta is derived by a v2 semi-join. */
+      deltaDocsOpt: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val diff = diffOpt.getOrElse(
+      Dedup.corpusDiff(v1, v2, idCol, textCol)).persist()
+    // every filter below is keyed on the NON-same id set (the delta,
+    // ~2-3% of the corpus) so the corpus-sized cache frames are pruned
+    // by broadcast anti-joins — never hash-joined against a corpus-sized
+    // `same` id list, which would cost as much as the full recompute
+    // (measured: the semi-join-on-same formulation LOST to full at 100k)
+    val nonSameIds = broadcast(
+      diff.filter(col("status") =!= "same").select(col(idCol).as("id")))
     val deltaIds = diff.filter(col("status").isin("added", "changed"))
       .select(col(idCol))
-    val carriedBands = v1Bands.join(sameIds, Seq("id"), "left_semi")
+    val carriedBands = v1Bands.join(nonSameIds, Seq("id"), "left_anti")
+    // delta-sized: pin it — it feeds BOTH the new cache union and the
+    // delta-bucket set below (unpinned, the wide v2 text scan behind it
+    // would run twice — measured as the dominant incremental cost)
     val freshBands = Dedup.minhashBandRows(
-      v2.join(deltaIds, Seq(idCol), "left_semi"), idCol, textCol,
-      numHashes, rowsPerBand, shingleWidth, md5Parity)
+      deltaDocsOpt.getOrElse(
+        v2.join(deltaIds, Seq(idCol), "left_semi").select(col(idCol), col(textCol))),
+      idCol, textCol,
+      numHashes, rowsPerBand, shingleWidth, md5Parity).persist()
     val newBands = carriedBands.unionByName(freshBands).persist()
     newBands.count()
     // buckets containing at least one delta row — at a 2% delta this
     // prunes the self-join to the touched slice of the bucket space
-    val deltaBuckets = freshBands.select("band", "bh").distinct()
+    // (broadcast: the set is delta-sized)
+    val deltaBuckets = broadcast(freshBands.select("band", "bh").distinct())
     val touched = newBands.join(deltaBuckets, Seq("band", "bh"), "left_semi")
     val freshPairs = Dedup.pairsFromBandRows(touched)
     val carriedPairs = v1Pairs
-      .join(sameIds.select(col("id").as("d1")), Seq("d1"), "left_semi")
-      .join(sameIds.select(col("id").as("d2")), Seq("d2"), "left_semi")
+      .join(nonSameIds.select(col("id").as("d1")), Seq("d1"), "left_anti")
+      .join(nonSameIds.select(col("id").as("d2")), Seq("d2"), "left_anti")
       .select("d1", "d2")
     val pairs = carriedPairs.unionByName(freshPairs).distinct().persist()
     pairs.count()
+    freshBands.unpersist(blocking = false)
     diff.unpersist(blocking = false)
     (newBands, pairs)
   }
@@ -227,8 +260,11 @@ object IncrementalCurate {
       val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
       try {
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        next.write.mode("overwrite").partitionBy("bucket")
-          .parquet(s"$cacheDir/live")
+        // cluster by bucket before the partitioned write: without it every
+        // shuffle task contributes a file to every touched bucket dir
+        // (tasks × buckets tiny files)
+        next.repartition(col("bucket")).write.mode("overwrite")
+          .partitionBy("bucket").parquet(s"$cacheDir/live")
       } finally {
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
         next.unpersist(blocking = false)
@@ -255,6 +291,8 @@ object IncrementalCurate {
     require(buckets >= 1, s"buckets must be >= 1: got $buckets")
     verdicts
       .withColumn("bucket", pmod(xxhash64(col(idCol)), lit(buckets.toLong)))
+      // one file per bucket dir (see applyDeltaBatchBucketed's write)
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$cacheDir/live")
   }

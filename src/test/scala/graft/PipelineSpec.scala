@@ -1347,6 +1347,77 @@ class PipelineSpec extends AnyFunSuite {
     assert(!once.exists(_._1 == 7L), "removed doc leaked through the fold")
   }
 
+  test("IncrementalCurate.applyDeltaBatchBucketed: delta buckets only; replay idempotent; emptied bucket dir deleted (r21 substrate)") {
+    import graft.operators.{Dedup, IncrementalCurate}
+    import spark.implicits._
+    val base = tmp()
+    def mk(i: Int, tag: String) =
+      (i.toLong, (1 to 80).map(j => s"$tag${i}w$j").mkString(" "))
+    val v1 = (1 to 30).map(mk(_, "a")).toDF("doc_id", "text")
+    val v2 = ((1 to 30).filterNot(_ == 7)
+      .map(i => if (i == 5) mk(5, "b") else mk(i, "a")) :+ mk(31, "a"))
+      .toDF("doc_id", "text")
+    val cache = s"$base/cache"
+    val buckets = 4
+    IncrementalCurate.seedBucketedCache(cache,
+      IncrementalCurate.perDocVerdicts(v1, "doc_id", "text"), "doc_id", buckets)
+    val dirsBefore = new java.io.File(s"$cache/live").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
+    // untouched-bucket evidence: record each bucket dir's mtime, apply a
+    // SINGLE-doc batch, and require only that doc's bucket dir changed
+    val deltas = Dedup.corpusDiff(v1, v2, "doc_id", "text")
+      .filter(col("status") =!= "same")
+      .join(v2, Seq("doc_id"), "left").persist()
+    val oneDoc = deltas.filter(col("doc_id") === 31L)
+    def dirFiles(): Map[String, Set[String]] =
+      new java.io.File(s"$cache/live").listFiles()
+        .filter(_.getName.startsWith("bucket=")).map(d =>
+          d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val filesBefore = dirFiles()
+    IncrementalCurate.applyDeltaBatchBucketed(cache, oneDoc,
+      "doc_id", "text", buckets)
+    val filesAfterOne = dirFiles()
+    val doc31Bucket = {
+      val b = v2.filter(col("doc_id") === 31L)
+        .select(pmod(xxhash64(col("doc_id")), lit(buckets.toLong))).head().getLong(0)
+      s"bucket=$b"
+    }
+    filesBefore.keySet.foreach { d =>
+      if (d == doc31Bucket)
+        assert(filesBefore(d) != filesAfterOne(d), s"$d should be rewritten")
+      else
+        assert(filesBefore(d) == filesAfterOne(d), s"$d rewritten without a delta id")
+    }
+    // now the rest of the delta, then a replay of the whole delta: the
+    // cache must converge to the full recompute and stay there
+    IncrementalCurate.applyDeltaBatchBucketed(cache,
+      deltas.filter(col("doc_id") =!= 31L), "doc_id", "text", buckets)
+    def liveSet() = spark.read.parquet(s"$cache/live")
+      .select("doc_id", "h")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val once = liveSet()
+    IncrementalCurate.applyDeltaBatchBucketed(cache, deltas,
+      "doc_id", "text", buckets)
+    assert(liveSet() === once, "replaying the delta changed the cache")
+    val want = IncrementalCurate.perDocVerdicts(v2, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(once === want)
+    // emptied-bucket cleanup: remove EVERY doc (a delta whose statuses are
+    // all `removed`) — dynamic overwrite can't rewrite an empty partition,
+    // so the bucket dirs must be deleted explicitly
+    val removeAll = v2.select(col("doc_id"), lit("removed").as("status"),
+      lit(null).cast("string").as("text"))
+      .select("doc_id", "status", "text")
+    IncrementalCurate.applyDeltaBatchBucketed(cache, removeAll,
+      "doc_id", "text", buckets)
+    val dirsAfter = Option(new java.io.File(s"$cache/live").listFiles())
+      .map(_.filter(_.getName.startsWith("bucket=")).map(_.getName).toSet)
+      .getOrElse(Set.empty[String])
+    assert(dirsBefore.nonEmpty && dirsAfter.isEmpty,
+      s"emptied bucket dirs must be deleted: before=$dirsBefore after=$dirsAfter")
+    deltas.unpersist(blocking = false)
+  }
+
   test("corpus CLI: curate — the composed funnel drops each planted offender (D10)") {
     import spark.implicits._
     val base = tmp()

@@ -1394,6 +1394,83 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(sMix === bMix, "mid-list self-pair broke the batched trajectory")
   }
 
+  test("imageNearDupPairs: complete for maxHamming <= bands-1; dims separate; nulls dropped") {
+    // hand-built 64-bit hashes, one (w,h) family: base 0xFFFF00000000FFFFL
+    // with planted flips spread across DIFFERENT 16-bit bands — the
+    // pigeonhole completeness claim is exactly that k <= bands-1 flips
+    // still leave one band identical
+    val base = 0xFFFF00000000FFFFL
+    def flip(bits: Int*) = bits.foldLeft(base)((h, b) => h ^ (1L << b))
+    val rows = Seq(
+      (1L, 8, 8, Some(base)),
+      (2L, 8, 8, Some(flip(0))),            // hamming 1 (band 0)
+      (3L, 8, 8, Some(flip(0, 17, 33))),    // hamming 3, flips in 3 bands
+      (4L, 8, 8, Some(flip(0, 17, 33, 49))),// hamming 4, one flip per band
+      (5L, 4, 4, Some(base)),               // same hash, DIFFERENT dims
+      (6L, 8, 8, None)                      // undecodable
+    ).toDF("id", "w", "h", "ahash")
+    val pairs = Dedup.imageNearDupPairs(rows, "id", "w", "h", "ahash",
+      maxHamming = 3, bands = 4)
+    val got =
+      try pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      finally pairs.unpersist(blocking = false)
+    // 1-2 (ham 1), 1-3 (ham 3: bands 1 unchanged? flips hit bands 0,1,2 →
+    // band 3 identical), 2-3 (ham 2) all found; 4 differs from 1 in EVERY
+    // band at hamming 4 — over maxHamming anyway; 5 never pairs (dims);
+    // 6 dropped
+    assert(got === Set((1L, 2L, 1), (1L, 3L, 3), (2L, 3L, 2),
+      (2L, 4L, 3), (3L, 4L, 1)))
+    // census check of the completeness regime: every same-dims pair with
+    // hamming <= 3 is present (brute-force cross-check)
+    val hs = Map(1L -> base, 2L -> flip(0), 3L -> flip(0, 17, 33),
+      4L -> flip(0, 17, 33, 49))
+    val brute = for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 3
+    } yield (a, b, d)
+    assert(got === brute.toSet)
+  }
+
+  test("incrementalNearDupPairs: identity vs full recompute; only delta texts re-sign") {
+    import graft.operators.IncrementalCurate
+    def doc(i: Int, tag: String) =
+      (i.toLong, (1 to 12).map(j => s"$tag${i}t$j").mkString(" "))
+    // v1: docs 1-20; planted near-dup pair (3, 4) share a text
+    val v1 = ((1 to 20).map(doc(_, "a")) :+ (104L, doc(3, "a")._2))
+      .toDF("doc_id", "text")
+    // v2: drop 7, change 5, add 21 and a COPY of 9 (new pair via delta)
+    val v2 = ((1 to 20).filterNot(_ == 7)
+      .map(i => if (i == 5) doc(5, "b") else doc(i, "a"))
+      ++ Seq(doc(21, "a"), (109L, doc(9, "a")._2), (104L, doc(3, "a")._2)))
+      .toDF("doc_id", "text")
+    val v1Bands = Dedup.minhashBandRows(v1, "doc_id", "text",
+      numHashes = 4, rowsPerBand = 2, shingleWidth = 2).persist()
+    val v1Pairs = Dedup.pairsFromBandRows(v1Bands)
+    val (newBands, incr) = IncrementalCurate.incrementalNearDupPairs(
+      v1, v2, v1Bands, v1Pairs, "doc_id", "text",
+      numHashes = 4, rowsPerBand = 2, shingleWidth = 2)
+    val got =
+      try incr.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally { incr.unpersist(blocking = false) }
+    val full = Dedup.pairsFromBandRows(
+      Dedup.minhashBandRows(v2, "doc_id", "text",
+        numHashes = 4, rowsPerBand = 2, shingleWidth = 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === full, "incremental pair set diverged from full recompute")
+    // the carried pair survives, the delta-born pair appears
+    assert(got.contains((3L, 104L)), "carried v1 pair lost")
+    assert(got.contains((9L, 109L)), "delta-born pair missing")
+    // the new band cache equals a from-scratch build over v2 (the next
+    // snapshot's carry correctness depends on this)
+    val gotBands =
+      try newBands.collect().map(r => (r.getLong(0), r.getInt(1), r.get(2))).toSet
+      finally { newBands.unpersist(blocking = false); v1Bands.unpersist(blocking = false) }
+    val fullBands = Dedup.minhashBandRows(v2, "doc_id", "text",
+      numHashes = 4, rowsPerBand = 2, shingleWidth = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.get(2))).toSet
+    assert(gotBands === fullBands, "carried band cache diverged")
+  }
+
   test("readability: punctuated text — hand-counted Flesch components") {
     import graft.operators.TextAnalysis
     // "See the cat. It sat!" — 5 words, 2 sentences,
