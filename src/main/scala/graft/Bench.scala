@@ -45,14 +45,37 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // INSTANTANEOUS contention probe (r15): the 1-min load average is a
+    // trailing indicator — right after this sweep's own 32-thread burst it
+    // reads high while the CPUs are actually idle, and a decayed average
+    // cannot inflate the NEXT measurement. What can is work runnable NOW:
+    // /proc/loadavg field 4 is "runnable/total" at this instant. Min over
+    // a few spaced samples of (runnable − 1 for self) — sustained external
+    // load stays > 0, our own parked executor threads read 0.
+    def runnableOthers(): Int = {
+      def once(): Int =
+        try {
+          val f = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+            .split("\\s+")(3).split("/")(0).toInt
+          math.max(0, f - 1)
+        } catch { case _: Throwable => 0 }
+      (0 until 3).map { i => if (i > 0) Thread.sleep(150); once() }.min
+    }
     // r10 lesson: the cpus/4 threshold let background load 2-6 inflate
     // CPU-bound queries up to 7x while still "passing" the guard — 2.0
     // absolute is the tightest level that doesn't trip on the JVM's own
     // settling tail
     val loadLimit = math.min(cpus.toDouble / 4.0, 2.0)
-    def guardLoad(): Double = {
-      val l = loadAvg()
-      if (l > loadLimit) { Thread.sleep(30000); loadAvg() } else l
+    // loop-until-settled (bounded): ONE 30 s sleep often returns while the
+    // 1-min average is still digesting the previous burst — the r15 retry
+    // pass needs a genuinely settled start, not a single nap
+    def guardLoad(maxSleeps: Int = 1): Double = {
+      var l = loadAvg()
+      var i = 0
+      while (l > loadLimit && i < maxSleeps) {
+        Thread.sleep(30000); l = loadAvg(); i += 1
+      }
+      l
     }
     // CALIBRATION CONSTANT: the same box drifts 5-7x round-over-round on
     // CPU-bound shapes with identical code (r9->r10 evidence), so absolute
@@ -120,6 +143,7 @@ object Bench {
     val loadSamples = scala.collection.mutable.ArrayBuffer[Double]()
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val loadPerQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val runnablePerQuery = scala.collection.mutable.LinkedHashMap[String, Int]()
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // ops that persist their result (LSH pair frames) must not feed a
       // later run from cache, and a prior query's cache must not skew
@@ -147,8 +171,19 @@ object Bench {
     ordered.foreach { case (name, fn) =>
       sinceLoadCheck += 1
       if (sinceLoadCheck >= 20) { sinceLoadCheck = 0; loadSamples += guardLoad() }
+      // sample the ENVIRONMENT load BEFORE the timed runs (r15): a
+      // post-query sample mostly reads the query's OWN 32-thread burst
+      // still decaying out of the 1-min average — heavy queries then
+      // look permanently "contaminated" and the retry loop churns on
+      // measurements that were actually clean. The pre-sample certifies
+      // the conditions the timing started under, which is the thing a
+      // quiet baseline needs to prove. The runnable probe (only taken
+      // when the average reads high — free on a quiet box) separates a
+      // decaying own-burst from real concurrent work.
+      val pre = loadAvg()
+      loadPerQuery(name) = pre
+      runnablePerQuery(name) = if (pre > loadLimit) runnableOthers() else 0
       results(name) = medianOf3(name, fn)
-      loadPerQuery(name) = loadAvg()
     }
     // post-sweep spike retry — RETRY-UNTIL-CLEAN (r15): the r14 "quiet"
     // baseline still carried queries measured at loadavg up to 7.99
@@ -163,22 +198,24 @@ object Bench {
     val byName = ordered.toMap
     // a query is DIRTY when (a) it exceeds 3× its calib-scaled quiet
     // time — load sample or not, something inflated it; (b) its own
-    // recorded loadavg exceeded the guard limit AND it ran >1.3× quiet
+    // recorded pre-load exceeded the guard limit AND it ran >1.3× quiet
     // (r12 evidence: g4 sat at 1.8× quiet under load with only the 3×
-    // arm); or (c) its recorded loadavg exceeded the limit at all — the
-    // measurement is contaminated even if the wall looks fine, and a
-    // committed "quiet" baseline must not carry it (r14 evidence).
-    // (c) also covers queries absent from the committed reference
-    // (new this round), which the time arms can't see.
+    // arm); or (c) its measurement STARTED under real external
+    // contention — pre-load over the limit AND the runnable probe saw
+    // concurrent work — regardless of the wall (r14 evidence: a
+    // committed "quiet" baseline must not carry contaminated
+    // measurements). (c) also covers queries absent from the committed
+    // reference (new this round), which the time arms can't see.
     def dirty(refTimes: Map[String, Double], scale: Double,
         loadArmScale: Double): Seq[(String, Double)] =
       results.toSeq.filter { case (name, t) =>
         !errors.contains(name) && {
           val overLoad = loadPerQuery.getOrElse(name, 0.0) > loadLimit
+          val contended = overLoad && runnablePerQuery.getOrElse(name, 0) > 0
           refTimes.get(name).exists { rt =>
             t > 3.0 * rt * scale ||
               (overLoad && t > 1.3 * rt * loadArmScale)
-          } || overLoad
+          } || contended
         }
       }
     val maxPasses = 3
@@ -215,13 +252,15 @@ object Bench {
         retryPasses += 1
         continue = true
         flagged.foreach { case (name, t) =>
-          loadSamples += guardLoad()
+          // settle HARD before re-timing (up to 3 minutes): the retry
+          // exists to produce a certified-clean measurement, and its
+          // recorded pre-load/probe is what clears arm (c) next pass
+          val pre = guardLoad(maxSleeps = 6)
+          loadSamples += pre
+          loadPerQuery(name) = pre
+          runnablePerQuery(name) = if (pre > loadLimit) runnableOthers() else 0
           val t2 = medianOf3(name, byName(name))
           if (t2 < t) { retriedFrom(name) = t; results(name) = t2 }
-          // record the re-measurement's load either way: when t2 >= t the
-          // clean re-run CONFIRMED the kept time wasn't load-inflated,
-          // and the artifact must describe the confirming conditions
-          loadPerQuery(name) = loadAvg()
         }
       }
       pass += 1
@@ -240,11 +279,18 @@ object Bench {
     val loadQJson = loadPerQuery.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
+    // only queries whose pre-load read high AND whose probe saw real
+    // concurrent work — empty on a genuinely quiet sweep
+    val contendedJson = runnablePerQuery.toSeq
+      .filter { case (k, v) => v > 0 && loadPerQuery.getOrElse(k, 0.0) > loadLimit }
+      .sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val retriedJson = retriedFrom.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":${errors.size},"errors":$errJson,"seed":$seed,"load_before":$loadBefore,"load_after":$loadAfter,"load_samples":$samplesJson,"load_per_query":$loadQJson,"retried_from":$retriedJson,"retry_passes":$retryPasses,"calib_before_sec":$calibBefore,"calib_retry_sec":$calibRetry,"calib_after_sec":$calibAfter,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":${errors.size},"errors":$errJson,"seed":$seed,"load_before":$loadBefore,"load_after":$loadAfter,"load_samples":$samplesJson,"load_per_query":$loadQJson,"contended_queries":$contendedJson,"retried_from":$retriedJson,"retry_passes":$retryPasses,"calib_before_sec":$calibBefore,"calib_retry_sec":$calibRetry,"calib_after_sec":$calibAfter,"sf":"$sfDir"}"""
     // the driver's BENCH_r{N}.json keeps only a 2,000-char stdout tail —
     // too short for 128 per-query timings — so the full artifact is ALSO
     // written into the repo for per-round review (full sweeps at the

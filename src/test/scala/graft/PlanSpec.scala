@@ -931,4 +931,58 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(3000))
   }
+
+  test("bucketed verdict cache: a delta batch's live read PARTITION-PRUNES to its buckets") {
+    // the r21 write-∝-delta claim starts with the READ side: the isin on
+    // the partition column must prune directories, not scan the cache
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("plan_bucketed").toString
+    val verdicts = (1 to 64).map(i => (i.toLong, s"h$i")).toDF("doc_id", "h")
+    graft.operators.IncrementalCurate.seedBucketedCache(
+      base, verdicts, "doc_id", buckets = 8)
+    val pruned = spark.read.parquet(s"$base/live")
+      .filter(col("bucket").isin(1L, 3L))
+    val p = pruned.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the isin lands in PartitionFilters (directory pruning), NOT as a
+    // post-scan data filter — the scan reads 2 of 8 bucket dirs
+    val partFilters = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(partFilters.contains("bucket") && partFilters.contains("IN (1,3)"),
+      p.take(2000))
+    val executed = {
+      pruned.collect() // collect() drives THIS queryExecution (count() would build a new one)
+      pruned.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+    }
+    val numFiles = executed.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.map(_.metrics("numFiles").value).sum
+    assert(numFiles == 2L, s"expected 2 pruned files, scan read $numFiles\n${p.take(1500)}")
+  }
+
+  test("graphSearchBatchSeeded: seed probe is a broadcast equi-join, hop joins never NLJ") {
+    val p = planOf("s26_graph_search_batch")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("imageNearDupPairs: banded Hamming join is equi on (w,h,band,slice), never NLJ") {
+    // the gate query's final frame is a localCheckpoint (lineage cut), so
+    // explain the operator output directly (persisted — the cached plan
+    // still renders its join tree)
+    import spark.implicits._
+    val imgs = (1 to 16).map(i => (i.toLong, 8, 8, i.toLong * 1234567L))
+      .toDF("id", "w", "h", "ahash")
+    val pairs = graft.operators.Dedup.imageNearDupPairs(
+      imgs, "id", "w", "h", "ahash", maxHamming = 3, bands = 4)
+    val p =
+      try pairs.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      finally pairs.unpersist(blocking = false)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
 }
