@@ -277,6 +277,7 @@ object Scale {
     if (args.headOption.contains("dbscan")) return dbscanMain(args)
     if (args.headOption.contains("semsurvivors")) return semSurvivorsMain(args)
     if (args.headOption.contains("graphserve")) return graphServeMain(args)
+    if (args.headOption.contains("imagededup")) return imageDedupMain(args)
     if (args.headOption.contains("pagerank")) return pagerankMain(args)
     if (args.headOption.contains("triangles")) return trianglesMain(args)
     if (args.headOption.contains("triab")) return triAbMain(args)
@@ -1656,6 +1657,161 @@ object Scale {
     val (rgC, _, buildC, _, edgesC, batchC, singleC, recallC, _) = rows.head
     val (_, _, _, _, _, _, _, recallU, _) = rows(1)
     println(s"""{"metric":"scale_graphserve","value":$batchC,"unit":"sec","n_vecs":$nVecs,"edges":$edgesC,"recall_clustered":$recallC,"recall_uniform":$recallU,"build_sec":$buildC,"single_sec":$singleC,"heap_peak_mb":$heapMb}""")
+    spark.stop()
+  }
+
+  private val imageDedupHeader =
+    "## Image near-dup dedup stage (real PNG codec → aHash → banded Hamming join)"
+
+  /** `runMain graft.Scale imagededup [nImgs] [outMd]` — the m12 pipeline
+    * at corpus scale: nImgs closed-form 8×8 RGB images encoded to REAL
+    * PNGs, decoded back through javax.imageio, aHash'd from the decoded
+    * pixels, and paired by [[graft.operators.Dedup.imageNearDupPairs]]
+    * (4×16-bit bands, exact Hamming ≤ 3 — the COMPLETE regime). Every
+    * 20th image gets a planted near-identical copy (red +37 on every
+    * 3rd pixel). The HARD invariant is an in-stage FORMULA TWIN: the
+    * same aHash computed declaratively from the pixel formulas (no
+    * codec anywhere) feeds the same banded join, and the two pair sets
+    * must be EXACTLY equal — one codec-corrupted pixel, one hash-kernel
+    * drift, or one lost bucket flips it. */
+  private def imageDedupMain(args: Array[String]): Unit = {
+    val nImgs = args.lift(1).map(_.toLong).getOrElse(200000L)
+    val outMd = args.lift(2).getOrElse("SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    import graft.operators.{Dedup, Multimodal}
+    val dim = 8
+    val n = lit(dim * dim)
+    // base ids [0, nImgs); copies at id+10M of every 20th base image,
+    // red channel +37 on every 3rd pixel (the m12 construction at the
+    // production 8×8 grid — all 64 hash bits informative)
+    // xxhash-derived channels: iid-uniform pixels give iid ~Bernoulli(½)
+    // hash bits, so 64-bit aHashes are pseudo-random and the ONLY pairs
+    // within Hamming 3 are the planted copies (a linear congruential
+    // formula here produces massively correlated hashes across ids —
+    // measured 866k spurious pairs at 21k images). Copy noise: red +16
+    // on every 4th pixel — ~1–2 expected bit flips, so planted pairs
+    // spread over Hamming 0–3 with a tail legitimately past the cutoff.
+    def pxCol(idc: org.apache.spark.sql.Column, noisy: Boolean) = transform(
+      sequence(lit(0L), lit((dim * dim - 1).toLong)),
+      i => (pmod(xxhash64(lit("r"), idc, i) +
+          (if (noisy) when(pmod(i, lit(4)) === 0, lit(16L)).otherwise(lit(0L))
+           else lit(0L)), lit(256)) * 65536L +
+        pmod(xxhash64(lit("g"), idc, i), lit(256)) * 256L +
+        pmod(xxhash64(lit("b"), idc, i), lit(256))).cast("int"))
+    val dir = Files.createTempDirectory("graft_scale_imgdedup").toString
+    val (_, genSec) = timed {
+      spark.range(nImgs).toDF("id")
+        .select(col("id"), lit(dim).as("w"), lit(dim).as("h"),
+          pxCol(col("id"), noisy = false).as("px"))
+        .unionByName(
+          // two-step select: aliasing id+10M as id in the SAME projection
+          // would capture pxCol's col("id") via Spark 4's lateral column
+          // alias resolution (the m12 gate hit exactly this)
+          spark.range(nImgs).toDF("id").filter(pmod(col("id"), lit(20L)) === 0L)
+            .select(col("id"), lit(dim).as("w"), lit(dim).as("h"),
+              pxCol(col("id"), noisy = true).as("px"))
+            .select((col("id") + 10000000L).as("id"), col("w"), col("h"),
+              col("px")))
+        .write.mode("overwrite").parquet(s"$dir/pixels")
+    }
+    val pixels = spark.read.parquet(s"$dir/pixels")
+    val nTotal = pixels.count()
+    // REAL codec round trip: pixels → PNG bytes → javax.imageio decode →
+    // aHash (materialized — at 100 TB the hash column is the at-rest
+    // asset, images decode once)
+    val (_, hashSec) = timed {
+      Multimodal.decodeImageAHashBatched(
+        Multimodal.encodePngBatched(pixels, "id", "w", "h", "px"),
+        "id", "png")
+        .write.mode("overwrite").parquet(s"$dir/hashed")
+    }
+    val hashed = spark.read.parquet(s"$dir/hashed")
+    val ((pairs, nPairs), pairSec) = timed {
+      val p = Dedup.imageNearDupPairs(hashed, "id", "width", "height",
+        "ahash", maxHamming = 3, bands = 4)
+      (p, p.count())
+    }
+    // FORMULA TWIN: same hash, no codec — declaratively from the pixel
+    // formulas (gray = r+g+b per the closed form; bit_i set when
+    // gray_i·N > Σgray), through the SAME banded join
+    val (twinPairs, twinSec) = timed {
+      def grayCol(idc: org.apache.spark.sql.Column, noisy: Boolean) = transform(
+        sequence(lit(0L), lit((dim * dim - 1).toLong)),
+        i => pmod(xxhash64(lit("r"), idc, i) +
+            (if (noisy) when(pmod(i, lit(4)) === 0, lit(16L)).otherwise(lit(0L))
+             else lit(0L)), lit(256)) +
+          pmod(xxhash64(lit("g"), idc, i), lit(256)) +
+          pmod(xxhash64(lit("b"), idc, i), lit(256)))
+      val pows = typedlit((0 until dim * dim).map(b => 1L << b))
+      def hashOf(g: org.apache.spark.sql.Column) =
+        aggregate(
+          zip_with(g, pows,
+            (x, p) => when(x * n > aggregate(g, lit(0L), _ + _), p)
+              .otherwise(lit(0L))),
+          lit(0L), _ + _)
+      val formulaHashed = spark.range(nImgs).toDF("id")
+        .select(col("id"), lit(dim).as("width"), lit(dim).as("height"),
+          hashOf(grayCol(col("id"), noisy = false)).as("ahash"))
+        .unionByName(
+          // two-step select (lateral-alias capture, as above)
+          spark.range(nImgs).toDF("id").filter(pmod(col("id"), lit(20L)) === 0L)
+            .select(col("id"), lit(dim).as("width"), lit(dim).as("height"),
+              hashOf(grayCol(col("id"), noisy = true)).as("ahash"))
+            .select((col("id") + 10000000L).as("id"), col("width"),
+              col("height"), col("ahash")))
+      Dedup.imageNearDupPairs(formulaHashed, "id", "width", "height",
+        "ahash", maxHamming = 3, bands = 4)
+    }
+    val mismatches = pairs.select("d1", "d2", "hamming")
+      .unionByName(twinPairs.select("d1", "d2", "hamming"))
+      .groupBy("d1", "d2", "hamming").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 2).count()
+    require(mismatches == 0L,
+      s"codec-path pairs diverged from the formula twin on $mismatches rows")
+    val planted = pairs.filter(col("d2") === col("d1") + 10000000L).count()
+    val nCopies = nTotal - nImgs
+    pairs.unpersist(blocking = false)
+    twinPairs.unpersist(blocking = false)
+    val heapMb = heapPeakMb()
+    val section =
+      s"""
+         |$imageDedupHeader (${nImgs / 1000}k 8×8 images + ${nCopies / 1000}k planted near-identical copies)
+         |
+         |`SPARK_GRAFT_CPUS=$cpus sbt "runMain graft.Scale imagededup $nImgs"` —
+         |the m12 pipeline at corpus scale: closed-form RGB pixels → REAL
+         |PNG encode → real javax.imageio decode → mean-threshold aHash →
+         |4×16-bit banded Hamming join, exact ≤ 3 (the COMPLETE regime:
+         |pigeonhole guarantees no candidate is missed). The hard gate is
+         |the codec-free FORMULA TWIN: the same hashes derived
+         |declaratively from the pixel formulas, through the same join —
+         |pair sets must agree EXACTLY, so a single corrupted pixel
+         |anywhere in $nTotal codec round-trips flips the stage.
+         |
+         || metric | value |
+         ||---|---|
+         || pixel corpora generate + write | ${f"$genSec%.1f"} s ($nTotal images) |
+         || PNG encode → decode → aHash (real codec, materialized) | ${f"$hashSec%.1f"} s (${(nTotal / math.max(hashSec, 1e-9)).toLong} imgs/s) |
+         || banded Hamming join (4×16-bit, ≤ 3) | ${f"$pairSec%.1f"} s ($nPairs pairs) |
+         || formula twin (no codec) + equality | ${f"$twinSec%.1f"} s build; EXACT — 0 mismatched (d1, d2, hamming) rows |
+         || planted copies found at ≤ 3 | $planted of $nCopies (the rest legitimately exceed the cutoff — same count in both paths by the equality) |
+         || peak heap | $heapMb MB |
+         |
+         |- the codec pass is the cost: encode+decode dominates and runs
+         |  once, map-side, producing the at-rest (id, w, h, ahash) asset
+         |  the join consumes — at 100 TB the 10-byte hash row is what
+         |  shuffles, never image bytes
+         |""".stripMargin
+    spliceSection(outMd, imageDedupHeader, section)
+    println(s"""{"metric":"scale_imagededup","value":$pairSec,"unit":"sec","n_imgs":$nTotal,"pairs":$nPairs,"planted_found":$planted,"hash_sec":$hashSec,"twin_sec":$twinSec,"heap_peak_mb":$heapMb}""")
     spark.stop()
   }
 
