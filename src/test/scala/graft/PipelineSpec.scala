@@ -1418,6 +1418,45 @@ class PipelineSpec extends AnyFunSuite {
     deltas.unpersist(blocking = false)
   }
 
+  test("corpus CLI: incrneardup + imagededup verbs (D10)") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val base = tmp()
+    def doc(i: Int, tag: String) =
+      (i.toLong, (1 to 12).map(j => s"$tag${i}t$j").mkString(" "))
+    val v1 = ((1 to 20).map(doc(_, "a")) :+ (104L, doc(3, "a")._2))
+      .toDF("doc_id", "text")
+    val v2 = ((1 to 20).filterNot(_ == 7)
+      .map(i => if (i == 5) doc(5, "b") else doc(i, "a"))
+      ++ Seq(doc(21, "a"), (109L, doc(9, "a")._2), (104L, doc(3, "a")._2)))
+      .toDF("doc_id", "text")
+    v1.write.parquet(s"$base/v1")
+    v2.write.parquet(s"$base/v2")
+    // bootstrap path (no --cache): previous assets derived from OLDDIR
+    Main.corpusRun(spark, "incrneardup",
+      Array("--in", s"$base/v2", "--against", s"$base/v1", "--out", s"$base/nd",
+        "--num-hashes", "4", "--rows-per-band", "2", "--shingle-w", "2"))
+    val got = spark.read.parquet(s"$base/nd/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.pairsFromBandRows(
+      Dedup.minhashBandRows(v2, "doc_id", "text", 4, 2, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want, "CLI incremental pairs diverged from full recompute")
+    // the written band cache is the next snapshot's carry input
+    assert(spark.read.parquet(s"$base/nd/bands").count() > 0)
+
+    // imagededup over a hashed frame (no --bin-col): planted flip pairs
+    val imgs = Seq(
+      (1L, 8, 8, 0xF0F0L), (2L, 8, 8, 0xF0F1L), (3L, 8, 8, 0x0F0FL))
+      .toDF("doc_id", "width", "height", "ahash")
+    imgs.write.parquet(s"$base/imgs")
+    Main.corpusRun(spark, "imagededup",
+      Array("--in", s"$base/imgs", "--out", s"$base/ip", "--max-hamming", "3"))
+    val pairs = spark.read.parquet(s"$base/ip")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set((1L, 2L, 1)), s"got $pairs")
+  }
+
   test("corpus CLI: curate — the composed funnel drops each planted offender (D10)") {
     import spark.implicits._
     val base = tmp()
