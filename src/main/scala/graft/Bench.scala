@@ -50,14 +50,31 @@ object Bench {
     // reads high while the CPUs are actually idle, and a decayed average
     // cannot inflate the NEXT measurement. What can is work runnable NOW:
     // /proc/loadavg field 4 is "runnable/total" at this instant. Min over
-    // a few spaced samples of (runnable − 1 for self) — sustained external
-    // load stays > 0, our own parked executor threads read 0.
+    // a few spaced samples of (runnable − THIS JVM's runnable threads) —
+    // subtracting a flat 1 for "self" under-counts whenever a GC or Spark
+    // daemon thread happens to be on-CPU at the sample instant, tagging a
+    // genuinely quiet box as contended and triggering spurious retry
+    // passes (keep-min makes the timings safe either way; this keeps the
+    // contended_queries artifact honest). Sustained external load stays
+    // > 0 across the spaced samples; our own parked executors read 0.
     def runnableOthers(): Int = {
+      def ownRunnable(): Int = {
+        // RUNNABLE JVM threads ≈ our contribution to the kernel's
+        // runnable count (an upper bound: a RUNNABLE Java thread may be
+        // briefly off-CPU — erring high only makes the probe LESS likely
+        // to cry contention, the safe direction)
+        val it = Thread.getAllStackTraces.keySet.iterator()
+        var n = 0
+        while (it.hasNext) {
+          if (it.next().getState == Thread.State.RUNNABLE) n += 1
+        }
+        math.max(1, n) // this sampling thread is itself RUNNABLE
+      }
       def once(): Int =
         try {
           val f = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
             .split("\\s+")(3).split("/")(0).toInt
-          math.max(0, f - 1)
+          math.max(0, f - ownRunnable())
         } catch { case _: Throwable => 0 }
       (0 until 3).map { i => if (i > 0) Thread.sleep(150); once() }.min
     }

@@ -696,6 +696,16 @@ object Main {
         val shingleW = opt(args, "shingle-w").map(_.toInt).getOrElse(3)
         val (v1b, v1p) = opt(args, "cache") match {
           case Some(c) =>
+            // the natural snapshot-rotation mistake: --out equal to
+            // --cache would have newBands.write overwrite the very
+            // parquet path v1Bands is still lazily reading — Spark either
+            // throws "Cannot overwrite a path that is also being read
+            // from" or, worse, corrupts the carry cache mid-scan
+            require(new java.io.File(c).getCanonicalPath !=
+              new java.io.File(outDir).getCanonicalPath,
+              s"corpus incrneardup: --out ($outDir) must differ from " +
+                s"--cache ($c) — write the new snapshot's cache to a fresh " +
+                "dir and rotate afterwards")
             (spark.read.parquet(s"$c/bands"), spark.read.parquet(s"$c/pairs"))
           case None => // bootstrap: previous run's assets from OLDDIR
             val b = graft.operators.Dedup.minhashBandRows(

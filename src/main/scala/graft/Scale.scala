@@ -1716,8 +1716,8 @@ object Scale {
     * PNGs, decoded back through javax.imageio, aHash'd from the decoded
     * pixels, and paired by [[graft.operators.Dedup.imageNearDupPairs]]
     * (4×16-bit bands, exact Hamming ≤ 3 — the COMPLETE regime). Every
-    * 20th image gets a planted near-identical copy (red +37 on every
-    * 3rd pixel). The HARD invariant is an in-stage FORMULA TWIN: the
+    * 20th image gets a planted near-identical copy (red +16 on every
+    * 4th pixel). The HARD invariant is an in-stage FORMULA TWIN: the
     * same aHash computed declaratively from the pixel formulas (no
     * codec anywhere) feeds the same banded join, and the two pair sets
     * must be EXACTLY equal — one codec-corrupted pixel, one hash-kernel
@@ -2245,7 +2245,8 @@ object Scale {
     // ---- NEAR-DUP ARM (d23): the identity extended to the LSH stage ----
     // REAL document length: the funnel corpora's 20-token docs make the
     // codegen signature kernel nearly free, hiding exactly the cost the
-    // incremental carry exists to skip. Inflate to ~200 tokens by
+    // incremental carry exists to skip. Inflate to ~400 tokens (the
+    // 20-token block repeated 20×) by
     // repeating the id-salted token block (no extra md5 work in the
     // generator; the signature pass still walks every token/shingle,
     // which is the production cost profile of KB-scale documents)

@@ -661,8 +661,10 @@ object Similarity {
     * fixed-hop semantics as the single-query path, applied per query;
     * self-matches are excluded per query (a corpus row serves as a
     * traversal node for every OTHER query). Output (qIdCol, rnk, idCol),
-    * rank-only. Returned PINNED (persist + count, caller releases — the
-    * knnGraph contract).
+    * rank-only; a query with no scoreable entry candidate yields one
+    * sentinel row (rnk = 0, idCol NULL) instead of failing the batch —
+    * see [[descendBatchFrom]]. Returned PINNED (persist + count, caller
+    * releases — the knnGraph contract).
     *
     * Scale shape: candidate volume per hop is |Q|·beam·(degree+1) rows —
     * query-bounded, never corpus-sized; the window partitions by query
@@ -712,7 +714,17 @@ object Similarity {
   /** The batched fixed-hop beam loop shared by [[graphSearchBatch]] and
     * [[graphSearchBatchSeeded]]: the beam is a (query, id) frame; each
     * hop is one graph join + one score join + a per-query window.
-    * Guarded loud when any query has no scoreable hop-0 candidate. */
+    *
+    * A query with NO scoreable hop-0 candidate (entries unresolvable or
+    * all self-excluded) degrades PER QUERY, not batch-atomically: the
+    * seedable queries return their normal top-k and each unseedable
+    * query contributes one loud SENTINEL row `(qIdCol, rnk = 0,
+    * idCol = NULL)` — rnk 0 can never be a real rank (real ranks start
+    * at 1), so callers can both detect the failures (`rnk = 0`) and
+    * filter them without string parsing. Batch serving with one bad
+    * query among thousands should not fail the thousands (the r15
+    * advisory); the single-query paths keep their hard require, where
+    * "the batch" IS the one query. */
   private def descendBatchFrom(
       corpus: DataFrame, graph: DataFrame, idCol: String, vecCol: String,
       q: DataFrame, entries: DataFrame, qIdCol: String,
@@ -735,14 +747,11 @@ object Similarity {
     // side and neighbor-join side); release the previous hop's pin
     var beamDf = topBeam(entries).persist()
     beamDf.count()
-    // guarded loud: a query whose hop-0 candidates are all self-excluded
-    // or unresolvable would VANISH from the output otherwise (the batch
-    // twin of graphSearch's empty-beam require)
+    // a query whose hop-0 candidates are all self-excluded or
+    // unresolvable would VANISH from the output otherwise — surface each
+    // as a sentinel row after the descent (bounded collect: ≤ |Q| ids)
     val missing = q.select(col("__q")).except(beamDf.select(col("__q")))
       .collect().map(_.getLong(0)).sorted
-    require(missing.isEmpty,
-      s"graphSearchBatch: queries with no scoreable entry candidate " +
-        s"(would silently drop from the output): ${missing.mkString(", ")}")
     var h = 0
     while (h < hops) {
       val nbrs = beamDf
@@ -755,10 +764,20 @@ object Similarity {
       beamDf = next
       h += 1
     }
-    val out = scored(beamDf)
+    val found = scored(beamDf)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("__q").as(qIdCol), col("rnk"), col("id").as(idCol))
+    val out =
+      if (missing.isEmpty) found
+      else {
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        found.unionByName(
+          missing.toSeq.toDF("__mq")
+            .select(col("__mq").as(qIdCol), lit(0L).as("rnk"),
+              lit(null).cast("long").as(idCol)))
+      }
     out.persist().count()
     beamDf.unpersist(blocking = false)
     out
