@@ -1471,6 +1471,49 @@ class TopKDedupSpec extends AnyFunSuite {
     assert(gotBands === fullBands, "carried band cache diverged")
   }
 
+  test("incrementalNearDupPairs: hot delta-touched bucket fails LOUD, not quadratic") {
+    import graft.operators.IncrementalCurate
+    def doc(i: Int, tag: String) =
+      (i.toLong, (1 to 12).map(j => s"$tag${i}t$j").mkString(" "))
+    val v1 = (1 to 5).map(doc(_, "a")).toDF("doc_id", "text")
+    // v2 adds a MEGA-CLUSTER: 10 planted copies of one boilerplate text —
+    // identical band rows land them all in one bucket, over the ceiling
+    val boiler = (1 to 12).map(j => s"boilt$j").mkString(" ")
+    val v2 = ((1 to 5).map(doc(_, "a")) ++
+      (100 to 109).map(i => (i.toLong, boiler))).toDF("doc_id", "text")
+    val v1Bands = Dedup.minhashBandRows(v1, "doc_id", "text",
+      numHashes = 4, rowsPerBand = 2, shingleWidth = 2).persist()
+    val v1Pairs = Dedup.pairsFromBandRows(v1Bands)
+    val ex = intercept[IllegalArgumentException] {
+      val (nb, pairs) = IncrementalCurate.incrementalNearDupPairs(
+        v1, v2, v1Bands, v1Pairs, "doc_id", "text",
+        numHashes = 4, rowsPerBand = 2, shingleWidth = 2,
+        maxBucketAllPairs = 4)
+      // materialization point in case the guard were ever made lazy
+      pairs.count(); nb.count()
+    }
+    v1Bands.unpersist(blocking = false)
+    assert(ex.getMessage.contains("delta-touched bucket"),
+      s"guard message should name the bucket: ${ex.getMessage}")
+    assert(ex.getMessage.contains("maxBucketAllPairs=4"))
+    // the same corpus passes with an adequate ceiling (10 copies → 10-row
+    // buckets; default 1024 obviously clears, 16 is the tight bound here)
+    val (nb2, p2) = IncrementalCurate.incrementalNearDupPairs(
+      v1, v2, v1Bands, v1Pairs, "doc_id", "text",
+      numHashes = 4, rowsPerBand = 2, shingleWidth = 2,
+      maxBucketAllPairs = 16)
+    try {
+      // all C(10,2) boilerplate pairs present — the guard never trades
+      // completeness, it only refuses to run the quadratic silently
+      val got = p2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for { a <- 100 to 109; b <- 100 to 109 if a < b }
+        yield (a.toLong, b.toLong)).toSet
+      assert(want.subsetOf(got))
+    } finally {
+      p2.unpersist(blocking = false); nb2.unpersist(blocking = false)
+    }
+  }
+
   test("readability: punctuated text — hand-counted Flesch components") {
     import graft.operators.TextAnalysis
     // "See the cat. It sat!" — 5 words, 2 sentences,
