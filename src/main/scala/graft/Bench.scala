@@ -5,6 +5,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // TOTAL WALL BUDGET (r17, VERDICT r16 item 2b): the retry-until-clean
+    // machinery could sleep up to 3 min per flagged query × 40 × 3 passes
+    // on a loaded box — r16's 32-core official run hit the DRIVER'S
+    // timeout (rc=124) and the round lost its numbers entirely. The
+    // budget caps the whole invocation: once exceeded, remaining retry
+    // passes and settle-sleeps are skipped and the sweep emits what it
+    // has, flagged `budget_exhausted` in the artifact. The main sweep
+    // itself always times every query (a dropped query would be a
+    // contract violation, not a time saving).
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
+      .map(_.toDouble).getOrElse(1500.0)
+    val benchT0 = System.nanoTime()
+    def budgetLeftSec(): Double = budgetSec - (System.nanoTime() - benchT0) / 1e9
     // local-iteration filter: SPARK_GRAFT_ONLY=d5_minhash_lsh,d7_... runs
     // just those queries (driver passes nothing → full sweep)
     val only: Option[Set[String]] =
@@ -150,9 +163,15 @@ object Bench {
           }
           // the committed times are only a valid yardstick at the SAME
           // scale factor (a local sf0.001 run vs the sf0.1 reference
-          // would never — or always — flag)
+          // would never — or always — flag) AND the same core count
+          // (r17: the r16 driver's 8-core leg overwrote the file, and
+          // 8-core times are a 1.1–13× biased yardstick for a 32-core
+          // sweep; files without a cpus field predate the tag — treat
+          // them as matching so an old reference still beats none)
           val sameSf = Option(root.get("sf")).map(_.asText()).contains(sfDir)
-          if (c > 0 && m.nonEmpty && sameSf) Some((m.toMap, c)) else None
+          val sameCpus = Option(root.get("cpus")).forall(_.asText() == cpus)
+          if (c > 0 && m.nonEmpty && sameSf && sameCpus) Some((m.toMap, c))
+          else None
         }
       } catch { case _: Throwable => None }
     val loadBefore = guardLoad()
@@ -238,8 +257,16 @@ object Bench {
     val maxPasses = 3
     var pass = 0
     var continue = true
-    while (pass < maxPasses && continue) {
+    var budgetExhausted = false
+    while (pass < maxPasses && continue && !budgetExhausted) {
       continue = false
+      // retry passes live INSIDE the wall budget: each settle-wait can
+      // sleep minutes, and a contended box must not run the driver into
+      // its own timeout (r16 rc=124). Keep-min semantics mean skipped
+      // retries only leave a (flagged) pessimistic reading, never a
+      // wrong one.
+      if (budgetLeftSec() <= 0) { budgetExhausted = true }
+      else {
       // r13 evidence: calibBefore was measured DURING a start-of-sweep
       // load spike (1.026 vs 0.203 after) → a scale of 8.76× meant no
       // query could ever trip either retry arm while 204/259 ran at
@@ -269,16 +296,20 @@ object Bench {
         retryPasses += 1
         continue = true
         flagged.foreach { case (name, t) =>
-          // settle HARD before re-timing (up to 3 minutes): the retry
-          // exists to produce a certified-clean measurement, and its
-          // recorded pre-load/probe is what clears arm (c) next pass
-          val pre = guardLoad(maxSleeps = 6)
-          loadSamples += pre
-          loadPerQuery(name) = pre
-          runnablePerQuery(name) = if (pre > loadLimit) runnableOthers() else 0
-          val t2 = medianOf3(name, byName(name))
-          if (t2 < t) { retriedFrom(name) = t; results(name) = t2 }
+          if (!budgetExhausted && budgetLeftSec() <= 0) budgetExhausted = true
+          if (!budgetExhausted) {
+            // settle HARD before re-timing (up to 3 minutes): the retry
+            // exists to produce a certified-clean measurement, and its
+            // recorded pre-load/probe is what clears arm (c) next pass
+            val pre = guardLoad(maxSleeps = 6)
+            loadSamples += pre
+            loadPerQuery(name) = pre
+            runnablePerQuery(name) = if (pre > loadLimit) runnableOthers() else 0
+            val t2 = medianOf3(name, byName(name))
+            if (t2 < t) { retriedFrom(name) = t; results(name) = t2 }
+          }
         }
+      }
       }
       pass += 1
     }
@@ -307,19 +338,43 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":${errors.size},"errors":$errJson,"seed":$seed,"load_before":$loadBefore,"load_after":$loadAfter,"load_samples":$samplesJson,"load_per_query":$loadQJson,"contended_queries":$contendedJson,"retried_from":$retriedJson,"retry_passes":$retryPasses,"calib_before_sec":$calibBefore,"calib_retry_sec":$calibRetry,"calib_after_sec":$calibAfter,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":${errors.size},"errors":$errJson,"seed":$seed,"cpus":"$cpus","budget_sec":$budgetSec,"budget_exhausted":$budgetExhausted,"load_before":$loadBefore,"load_after":$loadAfter,"load_samples":$samplesJson,"load_per_query":$loadQJson,"contended_queries":$contendedJson,"retried_from":$retriedJson,"retry_passes":$retryPasses,"calib_before_sec":$calibBefore,"calib_retry_sec":$calibRetry,"calib_after_sec":$calibAfter,"sf":"$sfDir"}"""
     // the driver's BENCH_r{N}.json keeps only a 2,000-char stdout tail —
-    // too short for 128 per-query timings — so the full artifact is ALSO
+    // too short for 266 per-query timings — so the full artifact is ALSO
     // written into the repo for per-round review (full sweeps at the
     // driver's sf0.1 only: a filtered or small-sf local run must not
     // overwrite the round's numbers — the retry baseline is sf-matched,
-    // so a stored sf0.001 line would silently disable it)
-    if (only.isEmpty && sfDir.endsWith("sf0.1"))
+    // so a stored sf0.001 line would silently disable it). r17: a run at
+    // a DIFFERENT core count never overwrites an existing tagged
+    // reference — the driver's low-core scaling leg used to clobber the
+    // 32-core yardstick (the committed r16 file was the 8-core leg's).
+    val writeRef = only.isEmpty && sfDir.endsWith("sf0.1") && {
+      try {
+        val p = java.nio.file.Paths.get("bench_times.json")
+        !java.nio.file.Files.exists(p) || {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = om.readTree(java.nio.file.Files.readString(p))
+          Option(root.get("cpus")).forall(_.asText() == cpus)
+        }
+      } catch { case _: Throwable => true }
+    }
+    if (writeRef)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_times.json"), line + "\n")
       catch { case e: Throwable =>
         System.err.println(s"[bench] bench_times.json write failed: ${e.getMessage}") }
     println(line)
+    // SHORT summary line, printed LAST (r17, VERDICT r16 item 2a): the
+    // full line above is ~10 KB for 266 queries and the driver keeps a
+    // 2,000-char stdout tail, so for four rounds the official 32-core
+    // numbers arrived unparseable (BENCH_r13..r16 `parsed: null`). This
+    // line is ≤300 chars — any tail carries it — and keeps the contract
+    // fields; the per-query map lives in the full line and in
+    // bench_times.json. This is a measurement-REPORTING fix only: the
+    // timing methodology and the full line are unchanged.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n":${results.size},"n_errors":${errors.size},"retry_passes":$retryPasses,"budget_exhausted":$budgetExhausted,"cpus":"$cpus","calib_before_sec":$calibBefore,"calib_retry_sec":$calibRetry,"calib_after_sec":$calibAfter,"sf":"$sfDir"}"""
+    println(summary)
     spark.stop()
   }
 }

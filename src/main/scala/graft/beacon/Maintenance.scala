@@ -15,19 +15,45 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Maintenance {
 
   /** D6: integrity report — failed chunks + completed-but-untransformed
-    * anti-join (reference: maintenance.py:577-667). */
+    * anti-join (reference: maintenance.py:577-667). `loaders` is treated
+    * as a SET (the report is per-chunk; a duplicated loader name does
+    * not duplicate rows).
+    *
+    * r17: ONE fused anti-join for every loader instead of the old
+    * per-loader [[Ledger.untransformedChunks]] branch union — N loaders
+    * paid N full window passes over the chunk ledger plus N over the
+    * progress ledger plus N sorts (the loader filter cannot push below
+    * the chunk_id-keyed dedup window), for a report the reference
+    * defines set-wise. Row set is identical: each old branch only ever
+    * matched its own loader's progress rows (`raw_table_name =
+    * 'raw_' || loader`), and the old per-branch limit was
+    * `Int.MaxValue` — a no-op. */
   def check(
       spark: SparkSession, chunkLedger: LedgerStore, progressLedger: LedgerStore,
       loaders: Seq[String]): Map[String, DataFrame] = {
     val ledger = chunkLedger.read(spark, Schemas.loadStateChunks)
     val progress = progressLedger.read(spark, Schemas.transformerProgress)
-    val failed = Ledger.chunkStates(ledger)
+    val states = Ledger.chunkStates(ledger)
+    val failed = states
       .filter(col("status") === "failed")
       .orderBy("loader_name", "start_slot")
-    val untransformed = loaders
-      .map(l => Ledger.untransformedChunks(ledger, progress, l, Int.MaxValue))
-      .reduceOption(_ unionByName _)
-      .getOrElse(failed.limit(0))
+    val untransformed =
+      if (loaders.isEmpty) failed.limit(0)
+      else {
+        val done = Ledger.progressStates(progress)
+          .filter(col("status") === "completed")
+          .select(col("raw_table_name").as("__rt"),
+            col("start_slot").as("__ss"), col("end_slot").as("__es"))
+        states
+          .filter(col("status") === "completed" &&
+            col("loader_name").isin(loaders.distinct: _*))
+          .join(done,
+            col("__rt") === concat(lit("raw_"), col("loader_name")) &&
+              col("__ss") === col("start_slot") &&
+              col("__es") === col("end_slot"),
+            "left_anti")
+          .orderBy("loader_name", "start_slot")
+      }
     Map("failed_chunks" -> failed, "untransformed_chunks" -> untransformed)
   }
 

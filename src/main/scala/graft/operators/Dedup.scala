@@ -257,12 +257,11 @@ object Dedup {
     val units =
       if (shingleWidth <= 1) tokenSet(col(textCol)) else shingles(col(textCol), shingleWidth)
     // Small inputs (one parquet file) arrive as one partition; fan the
-    // heavy per-row signature compute across all cores first (at scale the
-    // exchange is round-robin and narrow relative to the signature cost).
-    // (`fanOut = false` skips the exchange — the probe's 2% sample does
-    // not need it and saves a whole shuffle stage per call)
-    val parts = df.sparkSession.sparkContext.defaultParallelism
-    val fanned = if (fanOut) df.repartition(parts) else df
+    // heavy per-row signature compute across all cores first (at scale a
+    // many-file input skips the exchange — [[Fan.scan]]). (`fanOut =
+    // false` skips it unconditionally — the probe's 2% sample does not
+    // need it and saves a whole shuffle stage per call)
+    val fanned = if (fanOut) Fan.scan(df) else df
     val withUnits = fanned
       .select(col(idCol).as("id"), units.as("units"))
       .filter(size(col("units")) > 0)
@@ -373,10 +372,9 @@ object Dedup {
         col("n.band") === col("r.band") && col("n.bh") === col("r.bh"))
       .select(col("n.id").as("new_id"), col("r.id").as("ref_id"))
       .distinct()
-    val parts = df.sparkSession.sparkContext.defaultParallelism
-    val shNew = df.repartition(parts)
+    val shNew = Fan.scan(df)
       .select(col(idCol).as("new_id"), shingles(col(textCol), shingleW).as("__shn"))
-    val shRef = reference.repartition(parts)
+    val shRef = Fan.scan(reference)
       .select(col(idCol).as("ref_id"), shingles(col(textCol), shingleW).as("__shr"))
     val confirmed = cands
       .join(shNew, Seq("new_id"))
@@ -447,12 +445,15 @@ object Dedup {
     * cache, blocks reclaimed by the ContextCleaner once dropped. */
   def connectedComponents(
       pairs: DataFrame, maxIter: Int = 10,
-      driverThreshold: Long = 5000000L): DataFrame = {
+      driverThreshold: Long = 1000000L): DataFrame = {
     // After jaccard confirmation the edge set is orders of magnitude
     // smaller than the corpus (only actual near-dups). Below the
     // threshold a driver union-find is exact, allocation-light, and
     // avoids maxIter shuffle rounds; the distributed label-propagation
-    // loop below remains the giant-graph path.
+    // loop below remains the giant-graph path. 1M edges ≈ 30 MB of
+    // driver heap in the primitive-array union-find (r17 — the boxed
+    // Map form this replaces cost ~0.5 GB at the old 5M ceiling, a
+    // cluster-driver OOM shape).
     val spark = pairs.sparkSession
     // the driver union-find works on long ids; string/UUID ids would cast
     // to null and NPE — route them to the type-agnostic distributed path
@@ -465,33 +466,29 @@ object Dedup {
     // single bounded action decides the path AND fetches the edges — a
     // separate count() probe would cost one full extra pass over the
     // (possibly expensive) upstream pipeline. Collected as a PRIMITIVE
-    // Dataset[(Long,Long)] (tuple encoder), not Rows: 5M boxed Rows with
-    // object headers cost hundreds of driver MB; primitive tuples are
-    // ~3× lighter and never materialize a GenericRow each
+    // Dataset[(Long,Long)] (tuple encoder), not Rows: millions of boxed
+    // Rows with object headers cost hundreds of driver MB; primitive
+    // tuples are ~3× lighter and never materialize a GenericRow each
     val bounded: Array[(Long, Long)] =
       if (integralIds) {
         import spark.implicits._
         pairs.select(col("d1").cast("long"), col("d2").cast("long"))
-          .as[(Long, Long)].limit((driverThreshold + 1).toInt).collect()
+          .as[(Long, Long)]
+          .limit(DriverUnionFind.probeLimit(driverThreshold)).collect()
       } else Array.empty
     if (integralIds && bounded.length <= driverThreshold) {
-      val es = bounded
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      es.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val rows = parent.keys.toSeq.map(id => (id, find(id)))
+      val ids = DriverUnionFind.sortedIds(bounded)
+      val root = DriverUnionFind.unionAll(ids, bounded)
+      val rows = Array.tabulate(ids.length)(i => (ids(i), ids(root(i))))
       import spark.implicits._
-      return rows.toDF("id", "component")
+      // cast back to the coerced d1∪d2 input type so the output schema no
+      // longer depends on which path the data size picks (r16 advisory)
+      val idType = pairs.select(col("d1"))
+        .union(pairs.select(col("d2"))).schema.head.dataType
+      return DriverUnionFind.datasetOf(spark, rows.toSeq)
+        .toDF("id", "component")
+        .select(col("id").cast(idType).as("id"),
+          col("component").cast(idType).as("component"))
     }
     val sym = pairs.select(col("d1"), col("d2"))
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
@@ -567,11 +564,10 @@ object Dedup {
     // consumer. ALL temps are released before returning.
     val candidates =
       minhashCandidatePairs(df, idCol, textCol, numHashes, rowsPerBand, shingleW, md5Parity)
-    // repartition BEFORE the shingle compute, for the same reason
+    // fan out BEFORE the shingle compute, for the same reason
     // minhashCandidatePairs does: a single-file input arrives as one
     // partition and the per-row shingling would run single-threaded
-    val parts = df.sparkSession.sparkContext.defaultParallelism
-    val sh = df.repartition(parts)
+    val sh = Fan.scan(df)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleW).as("sh"))
       .persist()
     val confirmed = jaccardWithShingles(candidates, sh)
@@ -621,8 +617,7 @@ object Dedup {
     // fan out before the signature compute (bands × planes × dim dot
     // products per row): a single-file input is one partition otherwise
     def mkBuckets(in: DataFrame, fanOut: Boolean) = {
-      val fanned =
-        if (fanOut) in.repartition(in.sparkSession.sparkContext.defaultParallelism) else in
+      val fanned = if (fanOut) Fan.scan(in) else in
       fanned
         .select((col(idCol).as("id") +: col(vecCol).as("v") +: sigCols): _*)
         .select(col("id"), col("v"),
@@ -714,9 +709,7 @@ object Dedup {
     val bandBits = 64 / bands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
     def buckets(in: DataFrame, fanOut: Boolean) = {
-      val fanned =
-        if (fanOut) in.repartition(in.sparkSession.sparkContext.defaultParallelism)
-        else in
+      val fanned = if (fanOut) Fan.scan(in) else in
       fanned
         .filter(col(hashCol).isNotNull)
         .select(col(idCol).as("id"), col(widthCol).as("w"),

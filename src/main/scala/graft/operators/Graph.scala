@@ -527,19 +527,28 @@ object Graph {
     * identity, edge join, both sides of the pointer jump — so an
     * unpinned logical plan is O(4^rounds) nodes and the ANALYZER, which
     * runs before cache substitution, hangs long before execution would).
-    * The returned frame is caller-owned. */
+    * CONTRACT: the loud `not converged` refusal applies to the
+    * DISTRIBUTED loop only — the driver-side union-find below
+    * `driverThreshold` is exact by construction and never consults
+    * `maxRounds` (there is no partial answer it could return). Force
+    * `driverThreshold = 0` to exercise/pin the distributed refusal.
+    * Both paths return the same (node, label) schema: ids keep the
+    * coerced src∪dst input type. The returned frame is caller-owned. */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 50,
       /** below this edge count the labeling runs driver-side (the
-        * [[graft.operators.Dedup.connectedComponents]] bounded
-        * union-find idiom — min-id roots, exact): the pointer-jumping
-        * loop pays ~3 actions per round and log₂(diameter) rounds, all
-        * over a graph that after any real confirmation step is orders
-        * of magnitude smaller than the corpus (measured: g9 at sf0.1
-        * ran 93 jobs over a 10k-edge graph). Above the threshold, or
-        * for non-integral ids, the distributed loop runs unchanged. */
-      driverThreshold: Long = 5000000L): DataFrame = {
+        * [[graft.operators.DriverUnionFind]] primitive-array idiom —
+        * min-id roots, exact): the pointer-jumping loop pays ~3 actions
+        * per round and log₂(diameter) rounds, all over a graph that
+        * after any real confirmation step is orders of magnitude
+        * smaller than the corpus (measured: g9 at sf0.1 ran 93 jobs
+        * over a 10k-edge graph). 1M edges ≈ 30 MB of driver heap in the
+        * primitive union-find (r17; the boxed-Map form this replaces
+        * cost ~0.5 GB at the old 5M ceiling — a cluster-driver OOM
+        * shape). Above the threshold, or for non-integral ids, the
+        * distributed loop runs unchanged. */
+      driverThreshold: Long = 1000000L): DataFrame = {
     require(maxRounds >= 1,
       s"connectedComponents: maxRounds must be >= 1, got $maxRounds")
     val integralIds = {
@@ -549,28 +558,25 @@ object Graph {
       types.nonEmpty &&
         types.forall(Set[DataType](ByteType, ShortType, IntegerType, LongType))
     }
+    // coerced src∪dst type — both paths emit ids in THIS type, so the
+    // output schema no longer depends on which path the data size picks
+    lazy val nodeType = edges.select(col(srcCol).as("n"))
+      .union(edges.select(col(dstCol).as("n"))).schema.head.dataType
     if (integralIds) {
       val spark = edges.sparkSession
       import spark.implicits._
       val bounded = edges
         .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
-        .as[(Long, Long)].limit((driverThreshold + 1).toInt).collect()
+        .as[(Long, Long)]
+        .limit(DriverUnionFind.probeLimit(driverThreshold)).collect()
       if (bounded.length <= driverThreshold) {
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        bounded.foreach { case (a, b) =>
-          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        return parent.keys.toSeq.map(id => (id, find(id)))
+        val ids = DriverUnionFind.sortedIds(bounded)
+        val root = DriverUnionFind.unionAll(ids, bounded)
+        val rows = Array.tabulate(ids.length)(i => (ids(i), ids(root(i))))
+        return DriverUnionFind.datasetOf(spark, rows.toSeq)
           .toDF("node", "label")
+          .select(col("node").cast(nodeType).as("node"),
+            col("label").cast(nodeType).as("label"))
       }
     }
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))

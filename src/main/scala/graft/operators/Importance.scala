@@ -85,12 +85,30 @@ object Importance {
       .select(col("bucket"), col("cnt").as("t_cnt"))
     val sDf = bucketCounts(raw, textCol, buckets)
       .select(col("bucket"), col("cnt").as("s_cnt"))
-    val totT = t.agg(sum("t_cnt")).head().getLong(0) + buckets
-    val totS = sDf.agg(sum("s_cnt")).head().getLong(0) + buckets
+    ratioFromCounts(t, sDf, buckets)
+  }
+
+  /** Smoothed ratio table from precomputed (bucket, t_cnt) / (bucket,
+    * s_cnt) frames. r17: the totals ride a whole-frame WINDOW over the
+    * B-row joined table instead of two `agg().head()` driver actions —
+    * the old form was 2 extra actions per call and, worse, EXECUTED each
+    * count subtree twice (once for its total, once in the join), so
+    * `dsirWeights` paid 3 corpus scans and 2 target scans for a
+    * 2-scan-plus-broadcast computation. The window's single partition
+    * holds exactly `buckets` rows (≤ 4096 by practice) — never corpus
+    * data. Arithmetic is bit-identical: totals are exact longs either
+    * way, cast to double at the same point in the same expression. */
+  private def ratioFromCounts(
+      t: DataFrame, sDf: DataFrame, buckets: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     t.join(sDf, Seq("bucket"))
+      .select(col("bucket"), col("t_cnt"), col("s_cnt"),
+        (sum("t_cnt").over(w) + lit(buckets.toLong)).cast("double").as("__totT"),
+        (sum("s_cnt").over(w) + lit(buckets.toLong)).cast("double").as("__totS"))
       .select(col("bucket"),
-        (((col("t_cnt") + lit(1L)).cast("double") / lit(totT.toDouble)) /
-          ((col("s_cnt") + lit(1L)).cast("double") / lit(totS.toDouble)))
+        (((col("t_cnt") + lit(1L)).cast("double") / col("__totT")) /
+          ((col("s_cnt") + lit(1L)).cast("double") / col("__totS")))
           .as("ratio"))
   }
 
@@ -102,11 +120,23 @@ object Importance {
     * Output: (id, n_tokens, weight). */
   def applyWeights(
       raw: DataFrame, ratios: DataFrame, idCol: String, textCol: String,
-      buckets: Int): DataFrame = {
-    val tf = raw
+      buckets: Int): DataFrame =
+    scoreTf(docBucketTf(raw, idCol, textCol, buckets), ratios, idCol)
+
+  /** Per-doc per-bucket term frequencies — the one corpus-sized pass
+    * behind [[applyWeights]]/[[dsirWeights]]. */
+  private def docBucketTf(
+      raw: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    raw
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .select(col(idCol), featureBucket(col("token"), buckets).as("bucket"))
       .groupBy(idCol, "bucket").agg(count(lit(1)).as("tf"))
+
+  /** Score a precomputed tf frame against a ratio table (the second,
+    * bucket-joined half of [[applyWeights]]). */
+  private def scoreTf(
+      tf: DataFrame, ratios: DataFrame, idCol: String): DataFrame =
     tf.join(broadcast(ratios), Seq("bucket"))
       .select(col(idCol), col("tf"),
         (col("tf").cast("double") * col("ratio")).as("term"),
@@ -119,18 +149,34 @@ object Importance {
           lit(0.0),
           (acc: Column, x: Column) => acc + x.getField("term"))
           .as("weight"))
-  }
 
   /** DSIR importance weight per document of `raw` against `target`:
     * (id, n_tokens, weight) with `weight = Σ_b tf_b · ratio_b` folded in
     * bucket order — [[ratioTable]] + [[applyWeights]] composed. The
     * ratio table broadcasts; the corpus shuffles ONCE (per-doc bucket
-    * counts, map-side combined). */
+    * counts, map-side combined).
+    *
+    * r17: the corpus is also SCANNED once — the raw-side bucket counts
+    * the ratio table needs are derived from the SAME per-doc tf frame
+    * that scores the documents (`s_cnt_b = Σ_id tf(id, b)`, exact
+    * integers both ways), so the plan's two consumers share one
+    * (id, bucket) exchange (ReusedExchange) instead of tokenizing and
+    * exploding the whole corpus a second time; the old form scanned the
+    * corpus 3× and the target 2× (the eager totals in ratioTable
+    * re-executed every count subtree). Only `target` is tokenized
+    * separately — it is the small exemplar corpus by contract. */
   def dsirWeights(
       raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
-      buckets: Int = 4096): DataFrame =
-    applyWeights(raw, ratioTable(target, raw, textCol, buckets),
-      idCol, textCol, buckets)
+      buckets: Int = 4096): DataFrame = {
+    val s = raw.sparkSession
+    val tf = docBucketTf(raw, idCol, textCol, buckets)
+    val sCounts = s.range(buckets).select(col("id").as("bucket"))
+      .join(tf.groupBy("bucket").agg(sum("tf").as("__s")), Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("__s"), lit(0L)).as("s_cnt"))
+    val t = bucketCounts(target, textCol, buckets)
+      .select(col("bucket"), col("cnt").as("t_cnt"))
+    scoreTf(tf, ratioFromCounts(t, sCounts, buckets), idCol)
+  }
 
   /** Top-fraction selection by importance weight — the "resampling" step
     * as a filter: keep the `keepFraction` highest-weighted documents

@@ -33,11 +33,10 @@ object IncrementalCurate {
     // self-join — which analyzed and ran the quality subtree TWICE per
     // action and paid a join exchange for a verdict derivable row-locally
     // (ids are unique per snapshot, so semi-join ≡ filter). Fan the scan
-    // out first: verdicts do per-token md5 work, which dwarfs one narrow
-    // exchange of the delta at any scale (the bandBuckets idiom), and a
-    // single-file snapshot otherwise runs the whole pass on one core.
-    val parts = df.sparkSession.sparkContext.defaultParallelism
-    val q = TextAnalysis.qualityFilter(df.repartition(parts), textCol)
+    // out first when the source is narrow ([[Fan.scan]] — a single-file
+    // snapshot otherwise runs the whole pass on one core; a many-file
+    // production input skips the exchange).
+    val q = TextAnalysis.qualityFilter(Fan.scan(df), textCol)
       .filter(col("quality_ok")).select(col(idCol), col(textCol))
     Classifier.filtered(q, textCol, classifierSeed, classifierThreshold)
       .select(col(idCol), md5(col(textCol)).as("h"))
@@ -165,14 +164,19 @@ object IncrementalCurate {
     val hot = touched.groupBy("band", "bh").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketAllPairs)
       .orderBy(col("__n").desc).limit(1).collect()
-    require(hot.isEmpty, {
+    if (hot.nonEmpty) {
+      // release the pins taken above before failing (r16 advisory): the
+      // documented fall-back is a full recompute and must not start with
+      // this call's cache blocks leaked in the session
+      Seq(freshBands, newBands, diff).foreach(_.unpersist(blocking = false))
       val r = hot.head
-      s"incrementalNearDupPairs: delta-touched bucket (band=${r.get(0)}, " +
-        s"bh=${r.get(1)}) holds ${r.getLong(2)} rows > " +
-        s"maxBucketAllPairs=$maxBucketAllPairs — the clean pairing rule " +
-        "would self-join it quadratically; full-recompute this snapshot " +
-        "through Dedup.minhashCandidatePairs (hot-chain guarded) instead"
-    })
+      throw new IllegalArgumentException(
+        s"incrementalNearDupPairs: delta-touched bucket (band=${r.get(0)}, " +
+          s"bh=${r.get(1)}) holds ${r.getLong(2)} rows > " +
+          s"maxBucketAllPairs=$maxBucketAllPairs — the clean pairing rule " +
+          "would self-join it quadratically; full-recompute this snapshot " +
+          "through Dedup.minhashCandidatePairs (hot-chain guarded) instead")
+    }
     val freshPairs = Dedup.pairsFromBandRows(touched)
     val carriedPairs = v1Pairs
       .join(nonSameIds.select(col("id").as("d1")), Seq("d1"), "left_anti")

@@ -351,17 +351,19 @@ object Similarity {
       planes: Int, seed: Long, bands: Int = 2,
       md5Family: Boolean = false, maxBucketAllPairs: Int = 1024,
       /** below this edge count the core/component/border labeling runs
-        * driver-side (the [[graft.operators.Dedup.connectedComponents]]
-        * bounded-union-find idiom extended to the whole labeling): the
+        * driver-side (the [[graft.operators.DriverUnionFind]]
+        * primitive-array idiom extended to the whole labeling): the
         * ε-neighborhood pair set is orders of magnitude smaller than the
         * corpus after cosine confirmation, and the distributed labeling
         * was 3 multi-stage shuffle actions over a few thousand rows —
         * pure per-task overhead (measured: s23 at sf0.1 spent ~5 of 7 s
-        * there over 1,363 pairs). Above the threshold (or for
-        * non-integral ids) the original distributed plan runs
-        * unchanged; results are identical — exact integer min-label
-        * logic both sides. */
-      driverThreshold: Long = 5000000L): DataFrame = {
+        * there over 1,363 pairs). 1M edges ≈ 30 MB of driver heap in
+        * the primitive structures (r17 — the boxed-Map form this
+        * replaces cost ~0.5 GB at the old 5M ceiling). Above the
+        * threshold (or for non-integral ids) the original distributed
+        * plan runs unchanged; results are identical — exact integer
+        * min-label logic both sides. */
+      driverThreshold: Long = 1000000L): DataFrame = {
     require(minPts >= 2, s"minPts must be >= 2: got $minPts")
     val pairs = graft.operators.Dedup.embeddingNearDupPairs(
       corpus, idCol, vecCol, planes, seed, tau, bands, md5Family,
@@ -377,54 +379,62 @@ object Similarity {
       if (integralIds) {
         import spark.implicits._
         pairs.select(col("d1").cast("long"), col("d2").cast("long"))
-          .as[(Long, Long)].limit((driverThreshold + 1).toInt).collect()
+          .as[(Long, Long)]
+          .limit(graft.operators.DriverUnionFind.probeLimit(driverThreshold))
+          .collect()
       } else Array.empty
     val out = if (integralIds && bounded.length <= driverThreshold) {
       // ---- driver path: degree → core → union-find → border, exact ----
-      val deg = scala.collection.mutable.Map.empty[Long, Int]
+      // all primitive arrays indexed by the sorted-id position (r17)
+      import graft.operators.{DriverUnionFind => UF}
+      val ids = UF.sortedIds(bounded)
+      val deg = new Array[Int](ids.length)
       bounded.foreach { case (a, b) =>
-        deg(a) = deg.getOrElse(a, 0) + 1; deg(b) = deg.getOrElse(b, 0) + 1
+        deg(UF.indexOf(ids, a)) += 1; deg(UF.indexOf(ids, b)) += 1
       }
-      val core = deg.iterator.filter(_._2 + 1 >= minPts).map(_._1).toSet
+      val core = Array.tabulate(ids.length)(i => deg(i) + 1 >= minPts)
       // min-id union-find over core-core edges (roots are always the
       // component's min id — the connectedComponents invariant)
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      bounded.foreach { case (a, b) =>
-        if (core(a) && core(b)) {
-          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-      }
-      // isolated cores (no core neighbor) are their own 1-core cluster
-      def comp(c: Long): Long = if (parent.contains(c)) find(c) else c
+      val root = UF.unionAll(ids, bounded, i => core(i))
+      // component of a core index; isolated cores (no core neighbor) are
+      // their own 1-core cluster (their root is themselves already)
+      def comp(i: Int): Long = ids(root(i))
       // border: non-core with ≥1 core neighbor joins the MIN component
-      val borderComp = scala.collection.mutable.Map.empty[Long, Long]
-      def offer(s: Long, t: Long): Unit =
-        if (!core(s) && core(t)) {
-          val ct = comp(t)
-          borderComp(s) = math.min(borderComp.getOrElse(s, ct), ct)
+      val borderComp = Array.fill(ids.length)(Long.MaxValue)
+      def offer(si: Int, ti: Int): Unit =
+        if (!core(si) && core(ti)) {
+          val ct = comp(ti)
+          if (ct < borderComp(si)) borderComp(si) = ct
         }
-      bounded.foreach { case (a, b) => offer(a, b); offer(b, a) }
+      bounded.foreach { case (a, b) =>
+        val ia = UF.indexOf(ids, a); val ib = UF.indexOf(ids, b)
+        offer(ia, ib); offer(ib, ia)
+      }
       import spark.implicits._
-      val labels =
-        core.iterator.map(id => (id, "core", comp(id))).toSeq ++
-          borderComp.iterator.map { case (id, c) => (id, "border", c) }.toSeq
-      val labelDf = labels.toDF("__lid", "__role", "cluster")
+      val labels = (0 until ids.length).iterator.flatMap { i =>
+        if (core(i)) Some((ids(i), "core", comp(i)))
+        else if (borderComp(i) != Long.MaxValue)
+          Some((ids(i), "border", borderComp(i)))
+        else None
+      }.toSeq
+      val labelDs = UF.datasetOf(spark, labels)
+        .toDF("__lid", "__role", "cluster")
+      // broadcast only a label set that credibly fits executor memory (a
+      // few MB — r17 scale-safety; bigger label sets shuffle-join, which
+      // at that size is what the distributed path would have done anyway)
+      val labelDf =
+        if (labels.length <= 100000) broadcast(labelDs) else labelDs
       // equi-join on the ORIGINAL id column (coercion handles narrower
-      // integral types) so the output id keeps the corpus's exact type
+      // integral types) so the output id keeps the corpus's exact type;
+      // cluster is cast to the coerced pair-id type so both paths emit
+      // the same schema (r16 advisory)
+      val clusterType = pairs.select(col("d1"))
+        .union(pairs.select(col("d2"))).schema.head.dataType
       val base = corpus.select(col(idCol))
-      base.join(broadcast(labelDf), base(idCol) === labelDf("__lid"), "left")
+      base.join(labelDf, base(idCol) === labelDf("__lid"), "left")
         .select(col(idCol),
           coalesce(col("__role"), lit("noise")).as("role"),
-          col("cluster"))
+          col("cluster").cast(clusterType).as("cluster"))
     } else {
       // ---- distributed path (giant or non-integral graphs): unchanged ----
       val edges = pairs.select(col("d1").as("s"), col("d2").as("t"))

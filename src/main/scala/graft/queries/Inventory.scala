@@ -1264,6 +1264,30 @@ object Inventory {
     * (AvailableNow finished — nothing will resume from it). Without
     * this, one bench sweep strands 4 runs × result-set copies in driver
     * memory plus orphaned /tmp checkpoint dirs per streaming query. */
+  /** Scratch directory for a query's TRANSIENT artifacts — drain staging
+    * files, streaming checkpoints, ledger round-trips, incremental
+    * caches. All of them are created and deleted inside one query
+    * invocation (never carried across runs — the no-precomputation
+    * contract), so durability has zero value and their cost is pure
+    * fixed I/O latency: a streaming drain commits offsets + state per
+    * micro-batch as many tiny fsync'd files (guide §6 — small-file
+    * overhead). r17: RAM-backed scratch (`/dev/shm`) when present,
+    * overridable via `SPARK_GRAFT_SCRATCH` (point it at fast local disk
+    * on a cluster where executors cannot see the driver's tmpfs);
+    * falls back to the JVM default temp dir. */
+  private[graft] def scratchDir(prefix: String): java.nio.file.Path = {
+    val base = sys.env.get("SPARK_GRAFT_SCRATCH").orElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm)) Some("/dev/shm") else None
+    }
+    base match {
+      case Some(b) => java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(b), prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
+    }
+  }
+
   private[queries] def drainStream(
       s: SparkSession, d: String, tableFile: String, prefix: String,
       mode: String)(build: DataFrame => DataFrame): DataFrame = {
@@ -1271,7 +1295,7 @@ object Inventory {
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", tableFile).parquet(d)
     val tbl = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory(prefix)
+    val ckpt = scratchDir(prefix)
     val q = build(stream).writeStream.format("memory").queryName(tbl)
       .outputMode(mode).option("checkpointLocation", ckpt.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -1300,12 +1324,12 @@ object Inventory {
       shufflePartitions: Option[String] = Some("8"))(
       build: DataFrame => DataFrame): DataFrame = {
     val src = s.read.parquet(s"$d/$tableFile")
-    val tmp = java.nio.file.Files.createTempDirectory(prefix + "src_")
+    val tmp = scratchDir(prefix + "src_")
     src.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
     val stream = s.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", "1").parquet(tmp.toString)
     val tbl = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory(prefix)
+    val ckpt = scratchDir(prefix)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val q =
       try {
@@ -1344,7 +1368,7 @@ object Inventory {
       frames: Seq[DataFrame], prefix: String): java.nio.file.Path = {
     import java.nio.file.{Files => JFiles}
     require(frames.nonEmpty, "staged drain needs at least one frame")
-    val srcDir = JFiles.createTempDirectory(prefix + "src_")
+    val srcDir = scratchDir(prefix + "src_")
     val t0 = System.currentTimeMillis()
     // The per-frame single-file writes are INDEPENDENT jobs — run them
     // from a small thread pool so each job's tail back-fills the others'
@@ -1358,17 +1382,31 @@ object Inventory {
       math.min(4, frames.length))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    // every temp dir any future creates, so a FAILED staging run can
+    // clean up after itself instead of leaking stage dirs (r16 advisory)
+    val created = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
     try {
       val futures = frames.zipWithIndex.map { case (dfx, i) =>
         scala.concurrent.Future {
-          val stage = JFiles.createTempDirectory(prefix + "stage_")
+          val stage = scratchDir(prefix + "stage_")
+          created.add(stage)
           dfx.coalesce(1).write.mode("overwrite").parquet(stage.toString)
           (i, stage)
         }
       }
-      val staged = scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(futures),
-        scala.concurrent.duration.Duration.Inf)
+      val staged =
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration.Inf)
+        catch { case t: Throwable =>
+          // let in-flight writes finish (deleting under them races the
+          // parquet committer), then remove every dir this call created
+          pool.shutdown()
+          pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+          created.forEach(p => deleteRecursively(p))
+          deleteRecursively(srcDir)
+          throw t
+        }
       staged.foreach { case (i, stage) =>
         val part = JFiles.list(stage).filter(p =>
           p.getFileName.toString.endsWith(".parquet")).findFirst().get()
@@ -1414,7 +1452,7 @@ object Inventory {
     require(frames.nonEmpty, "staged drain needs at least one frame")
     val schema = frames.head.schema
     val srcDir = stageFrames(frames, prefix)
-    val ckpt = JFiles.createTempDirectory(prefix)
+    val ckpt = scratchDir(prefix)
     // try/finally: a failing onBatch throws out of awaitTermination and
     // must not leak the temp source/checkpoint dirs
     try {
@@ -1445,7 +1483,7 @@ object Inventory {
     require(frames.nonEmpty, "staged drain needs at least one frame")
     val schema = frames.head.schema
     val srcDir = stageFrames(frames, prefix)
-    val ckpt = java.nio.file.Files.createTempDirectory(prefix)
+    val ckpt = scratchDir(prefix)
     // try/finally: a failing build/drain must not leak the temp dirs
     // (finishDrain deletes ckpt on success; deleteRecursively is
     // idempotent so the finally re-delete is harmless)
@@ -1555,7 +1593,7 @@ object Inventory {
       side("click", "c_user", "click_id", "click_ts"),
       side("purchase", "p_user", "purchase_id", "purchase_ts"))
     val tbl = "r10_attr_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("r10_attr_")
+    val ckpt = scratchDir("r10_attr_")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val q =
       try {
@@ -2880,7 +2918,7 @@ object Inventory {
     * round-trip: failed chunks plus the completed-but-untransformed
     * anti-join, tagged and unioned into one oracle-comparable frame. */
   val j2IntegrityCheck: Q = (s, d) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_j2").toString
+    val tmp = scratchDir("graft_j2").toString
     val led = graft.beacon.LedgerStore(s"$tmp/chunks")
     led.append(syntheticLedger(s, d))
     val prog = graft.beacon.LedgerStore(s"$tmp/progress")

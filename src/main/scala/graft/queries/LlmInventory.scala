@@ -260,11 +260,12 @@ object LlmInventory {
     // analysis/optimization over the whole accumulated tree (measured as
     // a 6.7 s driver-side gap on t55 at sf0.1, ~half its wall). The
     // checkpoint truncates the plan to the materialized blocks; the
-    // frames are survivor-sized. Fan the quality scan out first — the
-    // single-file snapshot otherwise runs its regexp/tokenize pass on
-    // one core (measured: the n1 count was a 1.0 s single-task stage).
-    val parts = s.sparkContext.defaultParallelism
-    val q = TextAnalysis.qualityFilter(docs.repartition(parts), "text")
+    // frames are survivor-sized. Fan the quality scan out first when the
+    // source is narrow ([[graft.operators.Fan.scan]]) — the single-file
+    // snapshot otherwise runs its regexp/tokenize pass on one core
+    // (measured: the n1 count was a 1.0 s single-task stage); a
+    // many-file production corpus skips the exchange.
+    val q = TextAnalysis.qualityFilter(graft.operators.Fan.scan(docs), "text")
       .filter(col("quality_ok"))
       .select(docs.columns.toIndexedSeq.map(col): _*)
       .localCheckpoint(true)
@@ -589,8 +590,8 @@ object LlmInventory {
     val em = embeddings(s, d)
     val cents = Similarity.kmeansCentroids(
       em, "embedding", k = 16, iters = 3, seed = 42L, sampleN = 2000)
-    val incr = java.nio.file.Files.createTempDirectory("s19_incr").toString
-    val full = java.nio.file.Files.createTempDirectory("s19_full").toString
+    val incr = Inventory.scratchDir("s19_incr").toString
+    val full = Inventory.scratchDir("s19_full").toString
     Similarity.writeIvfIndex(
       em.filter(pmod(col("vec_id"), lit(2)) === 0), "embedding", cents, incr)
     Similarity.appendToIvfIndex(
@@ -1770,7 +1771,7 @@ object LlmInventory {
     val v2 = v2base.unionByName(
       v2base.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
-    val cacheDir = java.nio.file.Files.createTempDirectory("r20_cache_")
+    val cacheDir = Inventory.scratchDir("r20_cache_")
     IncrementalCurate.perDocVerdicts(v1, "doc_id", "text")
       .write.mode("overwrite").parquet(s"$cacheDir/v0")
     // delta rows (doc_id, status, text): one hash-diff scan classifies
@@ -1830,7 +1831,7 @@ object LlmInventory {
     val v2 = v2base.unionByName(
       v2base.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
-    val cacheDir = java.nio.file.Files.createTempDirectory("r21_cache_")
+    val cacheDir = Inventory.scratchDir("r21_cache_")
     IncrementalCurate.seedBucketedCache(cacheDir.toString,
       IncrementalCurate.perDocVerdicts(v1, "doc_id", "text"),
       "doc_id", buckets = 8)

