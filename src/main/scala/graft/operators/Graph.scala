@@ -56,8 +56,23 @@ object Graph {
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
       iterations: Int = 5, damping: Double = 0.85,
-      exact: Boolean = false, checkpoint: Boolean = false): DataFrame = {
+      exact: Boolean = false, checkpoint: Boolean = false,
+      /** below this edge count an `exact = true` run computes the fixed
+        * point on the DRIVER ([[DriverRank]] — bit-identical IEEE op
+        * order, ~3 MB heap at the ceiling): the declared rank queries
+        * iterate over event-type transition graphs of a few dozen rows,
+        * where each distributed iteration is pure per-action overhead.
+        * Above the threshold, for `exact = false`, or for null/exotic
+        * ids the distributed loop runs unchanged. */
+      driverThreshold: Long = 100000L): DataFrame = {
     require(iterations >= 1, "pageRank: iterations must be >= 1")
+    if (exact) {
+      val g0 = DriverRank.collect(edges, srcCol, dstCol, weightCol, driverThreshold)
+      if (g0.isDefined) {
+        val g = g0.get
+        return g.toFrame(DriverRank.fixed(g, iterations, damping))
+      }
+    }
     val e = edges.select(
       col(srcCol).as("src"), col(dstCol).as("dst"),
       col(weightCol).cast("long").as("w"))
@@ -134,8 +149,38 @@ object Graph {
       iterations: Int = 10, damping: Double = 0.85,
       /** src-ordered incoming fold for bitwise oracle parity, as in
         * [[pageRank]]. */
-      exact: Boolean = false): DataFrame = {
+      exact: Boolean = false,
+      /** driver fixed point below this edge count for `exact = true`
+        * runs, as in [[pageRank]]; seeds must be bounded too and share
+        * the node id family, else the call routes distributed. */
+      driverThreshold: Long = 100000L): DataFrame = {
     require(iterations >= 1, "personalizedPageRank: iterations must be >= 1")
+    if (exact) {
+      val sT = edges.select(col(srcCol)).schema.head.dataType
+      val seedT = seeds.select(col(seedCol)).schema.head.dataType
+      val g0 =
+        if (DriverRank.sameIdFamily(sT, seedT))
+          DriverRank.collect(edges, srcCol, dstCol, weightCol, driverThreshold)
+        else None
+      if (g0.isDefined) {
+        val g = g0.get
+        // distinct in the ORIGINAL seed type (the distributed path's
+        // s.count()); null or over-threshold seed sets route distributed
+        val sDist = seeds.select(col(seedCol)).distinct()
+          .limit(DriverUnionFind.probeLimit(driverThreshold)).collect()
+        if (sDist.length <= driverThreshold && !sDist.exists(_.isNullAt(0))) {
+          val nSeeds = sDist.length
+          require(nSeeds >= 1, "personalizedPageRank: seeds must be non-empty")
+          val tele = new Array[Double](g.n)
+          sDist.foreach { r =>
+            val j = g.seedIndex(r.get(0))
+            if (j >= 0) tele(j) = 1.0 / nSeeds.toDouble
+          }
+          return g.toFrame(
+            DriverRank.personalized(g, tele, iterations, damping))
+        }
+      }
+    }
     val e = edges.select(
       col(srcCol).as("src"), col(dstCol).as("dst"),
       col(weightCol).cast("long").as("w"))
@@ -202,7 +247,20 @@ object Graph {
         * [[pageRank]] — makes the CONVERGENCE STEP COUNT deterministic
         * too (the unordered sum's last-ulp jitter can flip a delta probe
         * sitting exactly at `tol`). */
-      exact: Boolean = false): (DataFrame, Int) = {
+      exact: Boolean = false,
+      /** driver fixed point below this edge count for `exact = true`
+        * runs, as in [[pageRank]] — the block/delta/step-count logic is
+        * replicated exactly (max |Δ| is order-independent). */
+      driverThreshold: Long = 100000L): (DataFrame, Int) = {
+    if (exact) {
+      val g0 = DriverRank.collect(edges, srcCol, dstCol, weightCol, driverThreshold)
+      if (g0.isDefined) {
+        val g = g0.get
+        val (ranks, done) =
+          DriverRank.converged(g, tol, maxIterations, damping, blockIters)
+        return (g.toFrame(ranks), done)
+      }
+    }
     // the edge scaffolding (node set, out-weights) is loop-INVARIANT —
     // build it ONCE instead of once per block (the old advance-per-block
     // shape re-derived the possibly-expensive upstream edge pipeline
